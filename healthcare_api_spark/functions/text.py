@@ -1,0 +1,61 @@
+"""Text primitives shared by the dedup / text-analysis operators
+(SURVEY.md §2.10).
+
+Everything is a JVM-side Column expression. Hashing uses ``md5`` (not
+``xxhash64``) deliberately: md5 hex strings are reproducible across
+engines, which lets every dedup operator be verified against an external
+SQL oracle bit-for-bit. Lexicographic min over md5 hex is a valid minhash
+permutation (uniform over the 128-bit space); seeding with a prefix gives
+independent permutations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(c: Column) -> Column:
+    """Lowercase + collapse runs of whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization of normalized text → array<string>."""
+    return F.split(normalize_text(c), " ")
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingles → array<string> (may contain duplicates).
+
+    Built with a sequence/transform over the token array — no explode
+    needed at construction, so the shingling itself is narrow (no
+    shuffle); dedup operators explode afterwards only when they must.
+    """
+    toks = tokens(c)
+    # positions 0 .. size-n (sequence is inclusive)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+    )
+
+
+def char_ngrams(c: Column, n: int = 5) -> Column:
+    """Character n-grams of normalized text → array<string>."""
+    s = normalize_text(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))
+    return F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+
+
+def seeded_hash(c: Column, seed: int) -> Column:
+    """One member of a family of independent hash permutations."""
+    return F.md5(F.concat(F.lit(f"s{seed}:"), c))
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: md5 of normalized text (SURVEY.md §2.10)."""
+    return F.md5(normalize_text(c))

@@ -1,0 +1,252 @@
+"""Deduplication operators (SURVEY.md §2.10).
+
+Scale design notes (100 TB):
+
+- Exact dedup is a window/aggregate on the dedup key — one shuffle on the
+  key, map-side combine does most of the work.
+- MinHash: shingling is narrow (array expr per row, no explode until the
+  signature agg). The signature aggregation explodes shingles but Spark's
+  partial hash-agg computes per-doc mins map-side, so the shuffle carries
+  ~1 row per (doc, seed) — linear in docs, not in shingles.
+- LSH banding turns near-dup search from O(n²) into a self-join on band
+  keys; band buckets are the only shuffle keys. Skewed buckets (boilerplate
+  docs) are handled by AQE skew-join splitting.
+- All hashes are md5-hex based → engine-independent and oracle-verifiable.
+  Lexicographic min over md5 hex is a uniform minhash permutation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from healthcare_api_spark.functions.text import (
+    normalize_text,
+    seeded_hash,
+    tokens,
+    word_shingles,
+)
+
+
+# ---------------------------------------------------------------- exact --
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per key: the one with the smallest
+    ``order_col`` (deterministic tie-break — SURVEY.md §2.10 'exact').
+
+    One shuffle on ``key_cols``; at scale prefer this over
+    ``dropDuplicates`` because the survivor is deterministic.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dedup_by_content(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = True
+) -> DataFrame:
+    """Content dedup: fingerprint the (optionally normalized) text and keep
+    the lowest-id row per fingerprint. Adds ``canonical_id``: every row maps
+    to its cluster representative."""
+    fp = F.md5(normalize_text(F.col(text_col))) if normalized else F.md5(F.col(text_col))
+    w = Window.partitionBy("_fp")
+    return (
+        df.withColumn("_fp", fp)
+        .withColumn("canonical_id", F.min(F.col(id_col)).over(w))
+        .drop("_fp")
+    )
+
+
+# -------------------------------------------------------------- minhash --
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: columns ``mh0..mh{k-1}``.
+
+    mh_i = min over shingles of md5('s<i>:' || shingle). The explode +
+    groupBy(id) aggregation benefits from map-side partial min, so the
+    shuffle is O(docs × num_hashes) regardless of document length.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("_sh")
+    )
+    aggs = [F.min(seeded_hash(F.col("_sh"), i)).alias(f"mh{i}") for i in range(num_hashes)]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup clustering by full-signature equality (the strictest LSH
+    band: one band of ``num_hashes`` rows). Returns (id, canonical_id)
+    where canonical_id = min id sharing the signature."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig_cols = [f"mh{i}" for i in range(num_hashes)]
+    w = Window.partitionBy(*sig_cols)
+    return sig.withColumn("canonical_id", F.min(F.col(id_col)).over(w)).select(
+        id_col, "canonical_id"
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate generation: docs sharing any band signature.
+
+    Bands of ``rows_per_band`` minhashes are hashed to a bucket key; a
+    self-equi-join on (band_idx, bucket) yields candidates. Output:
+    (id_a, id_b) with id_a < id_b, distinct.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    n_bands = num_hashes // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# -------------------------------------------------------------- jaccard --
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates.
+
+    Candidates come from minhash equality on mh0 (cheap single-band LSH);
+    the exact Jaccard then filters false positives. At scale the candidate
+    join is the only quadratic-risk step and is bounded by bucket sizes.
+    Output: (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a < id_b.
+    """
+    sets = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("_set"),
+        seeded_hash_min(F.col(text_col), 0, shingle_n).alias("_mh0"),
+    )
+    a = sets.select(
+        F.col("_id").alias("id_a"), F.col("_set").alias("set_a"), F.col("_mh0").alias("mh_a")
+    )
+    b = sets.select(
+        F.col("_id").alias("id_b"), F.col("_set").alias("set_b"), F.col("_mh0").alias("mh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("double")
+    union = (F.size(F.col("set_a")) + F.size(F.col("set_b"))).cast("double") - inter
+    jac = (inter / union).alias("jaccard")
+    return (
+        a.join(b, (F.col("mh_a") == F.col("mh_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def seeded_hash_min(text: Column, seed: int, shingle_n: int = 3) -> Column:
+    """min(md5(seed || shingle)) computed as a narrow array expression —
+    a per-row minhash with no explode at all (for candidate keys)."""
+    sh = F.array_distinct(word_shingles(text, shingle_n))
+    return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"s{seed}:"), s))))
+
+
+# -------------------------------------------------------------- simhash --
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash over tokens: each token votes ±1 on ``bits`` bit positions
+    derived from its md5; the sign of each bit-sum forms the hash.
+
+    Narrow implementation: token hashing and the per-row bit votes are
+    array expressions; the only shuffle is none at all — simhash is
+    computed per row. Output: (id, simhash long).
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    # 16-bit int from the first 4 hex chars of each token's md5
+    tok_h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"))
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        mask = F.lit(1 << i).cast("long")
+        votes = F.aggregate(
+            tok_h,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) > 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        out = out + F.when(votes > 0, mask).otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col), out.alias("simhash"))
+
+
+def simhash_dedup(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Cluster docs with identical simhash → (id, canonical_id)."""
+    sh = simhash(df, id_col, text_col, bits)
+    w = Window.partitionBy("simhash")
+    return sh.withColumn("canonical_id", F.min(F.col(id_col)).over(w)).select(
+        id_col, "simhash", "canonical_id"
+    )
+
+
+# ---------------------------------------------------- embedding near-dup --
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine within a bucket column
+    (pre-clustering key: LSH bucket, shard, or label). The bucket bounds
+    the pair join; cosine is exact double math in array order, so results
+    are reproducible bit-for-bit. Output: (id_a, id_b, cos) id_a < id_b.
+    """
+    from healthcare_api_spark.operators.similarity import cosine
+
+    v = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.col(bucket_col).alias("_b")
+    )
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_b").alias("ba"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_b").alias("bb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,70 @@
+"""Relational query surface (SURVEY.md §2.3 J1-J7, §2.4 A1-A5, §2.5).
+
+The reference hand-rolls these with Python dicts (assay.py:41-50) or
+delegates them to Google's FHIR search engine (README.md:97-105). Here
+each is the idiomatic Spark shape; Catalyst/AQE picks broadcast vs
+shuffle join, does partial aggregation, and prunes scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ A* --
+
+def accurate_count(df: DataFrame) -> DataFrame:
+    """A3: `?_total=accurate&_count=0` (README.md:101-103) — count without
+    returning rows; over Parquet this is a footer-metadata count."""
+    return df.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def counts_by(df: DataFrame, *cols: str) -> DataFrame:
+    """A4: per-type resource counts (graph-view node labels)."""
+    return df.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def collect_group(df: DataFrame, key: str, value: Column, alias: str = "members") -> DataFrame:
+    """A1: bucket rows by key (assay.py:45-50) with deterministic element
+    order (sorted) so downstream consumers are reproducible."""
+    return df.groupBy(key).agg(F.sort_array(F.collect_list(value)).alias(alias))
+
+
+def distinct_set(df: DataFrame, *cols: str) -> DataFrame:
+    """A2: `set()` accumulation (assay.py:56,75)."""
+    return df.select(*cols).distinct()
+
+
+# ------------------------------------------------------------------ J* --
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """J5: keep left rows with ≥1 match (assay.py:58-75 shape)."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """J4: drop left rows with a match (assay.py:89)."""
+    return left.join(right, on, "left_anti")
+
+
+def broadcast_lookup(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """J1: hash-probe a small dimension (assay.py:41-42) — explicit
+    broadcast so the 100 TB fact side never shuffles."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def latest_per_key(df: DataFrame, key: str, order_col: str, tiebreak: str) -> DataFrame:
+    """§2.5 window shape: latest row per key; deterministic tie-break.
+    (Pins the reference's nondeterministic last-wins, assay.py:63-69.)"""
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), F.col(tiebreak).desc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def keyset_page(df: DataFrame, key: str, after, page_size: int) -> DataFrame:
+    """§2.5 pagination: keyset (`WHERE key > last ORDER BY key LIMIT n`) —
+    O(page) per page instead of O(offset) for deep pages."""
+    out = df
+    if after is not None:
+        out = out.filter(F.col(key) > F.lit(after))
+    return out.orderBy(F.col(key).asc()).limit(page_size)

@@ -1,0 +1,96 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  One pass over the table, no shuffle except the final top-k reduction
+  (Spark's TakeOrderedAndProject — per-partition heaps then driver merge).
+- ``lsh_bucketed_topk``: random-hyperplane LSH as the 100 TB scale path —
+  partition-prunes the scan to matching sign-buckets before scoring.
+
+All dot products run in double precision in array order (zip_with +
+aggregate), so scores are deterministic and engine-reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in array order, double precision, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+
+    The query vector is a constant array literal — no join, no broadcast,
+    stays inside whole-stage codegen. Ties broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hyperplane_buckets(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    """Add a ``bucket`` column: sign-bit string of dot products with
+    ``n_planes`` fixed random hyperplanes (deterministic seed).
+
+    At scale, write the table partitioned/bucketed by this column; a query
+    then scans only its own bucket (and optionally Hamming-adjacent ones
+    for higher recall).
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bits = [
+        F.when(dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in plane])) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's LSH bucket.
+
+    Recall < 1 by construction; n_planes trades recall vs. candidate-set
+    size (each plane halves the expected candidates).
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    qbits = "".join("1" if float(np.dot(plane, query_vec)) >= 0 else "0" for plane in planes)
+    bucketed = hyperplane_buckets(df, vec_col, dim, n_planes, seed)
+    candidates = bucketed.filter(F.col("bucket") == qbits)
+    return brute_force_topk(candidates, id_col, vec_col, query_vec, k)

@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.10).
+
+All pure Column expressions — language-ID and quality scoring at 100 TB
+must stay inside whole-stage codegen; regex counting over a string column
+is a narrow map with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from healthcare_api_spark.functions.text import fingerprint, normalize_text, token_count
+
+# Tiny per-language stopword marker lists for the n-gram/stopword
+# heuristic language identifier. Deliberately deterministic and simple —
+# the operator contract is "reproducible heuristic", not NLP accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "en": ["the", "and", "of", "to", "is", "that"],
+    "es": ["el", "la", "los", "que", "de", "es"],
+    "fr": ["le", "la", "les", "et", "est", "que"],
+    "zh": ["de", "shi", "le", "bu", "wo", "zai"],
+}
+
+
+def _marker_count(c: Column, words: list[str]) -> Column:
+    """Number of marker-word occurrences (word-boundary regex count)."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), F.lit(0)))
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    return {lang: _marker_count(c, words) for lang, words in LANG_MARKERS.items()}
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Predict language = argmax marker count, alphabetical tie-break.
+
+    Implemented as a greatest()-driven CASE chain — no UDF, no shuffle.
+    Output: (id, pred_lang, pred_score).
+    """
+    scores = lang_scores(F.col(text_col))
+    best = F.greatest(*scores.values())
+    pred = None
+    for lang in sorted(scores):  # alphabetical order gives the tie-break
+        cond = scores[lang] == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best.cast("bigint").alias("pred_score"),
+    )
+
+
+def quality_features(c: Column) -> dict[str, Column]:
+    """Deterministic quality features over normalized text."""
+    norm = normalize_text(c)
+    n_chars = F.length(norm).cast("double")
+    n_tokens = token_count(c).cast("double")
+    punct = F.size(F.regexp_extract_all(norm, F.lit(r"[^\w\s]"), F.lit(0))).cast("double")
+    stop = _marker_count(c, LANG_MARKERS["en"]).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": n_chars / F.greatest(n_tokens, F.lit(1.0)),
+        "punct_ratio": punct / F.greatest(n_chars, F.lit(1.0)),
+        "stopword_ratio": stop / F.greatest(n_tokens, F.lit(1.0)),
+    }
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite quality score in [0, ~1]: rewards stopword presence and
+    mid-length tokens, penalizes punctuation soup. Deterministic formula —
+    oracle-reproducible. Output: (id, n_tokens, score)."""
+    f = quality_features(F.col(text_col))
+    score = (
+        F.least(f["n_tokens"] / 100.0, F.lit(1.0)) * 0.4
+        + F.least(f["stopword_ratio"] * 5.0, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(f["punct_ratio"] * 10.0, F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        f["n_tokens"].cast("bigint").alias("n_tokens"),
+        F.round(score, 6).alias("score"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate
+    (word-chunk regex: runs of ≤4 chars), both JVM-side."""
+    bpe_ish = F.size(
+        F.regexp_extract_all(
+            normalize_text(F.col(text_col)), F.lit(r"\w{1,4}|[^\w\s]"), F.lit(0)
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        bpe_ish.cast("bigint").alias("n_subwords"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized-content fingerprint per document (md5)."""
+    return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))

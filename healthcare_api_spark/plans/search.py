@@ -1,0 +1,193 @@
+"""FHIR-search-parameter → DataFrame translator (SURVEY.md §2.7).
+
+The reference delegates its entire read path to Google's hosted FHIR
+search (README.md:97-105). This module is the native replacement: a
+*frontend* that parses the search-parameter grammar and emits a
+declarative DataFrame plan — filters become Column predicates (pushed
+into scans by Catalyst), chained parameters become joins, ``_include`` /
+``_revinclude`` become left joins along reference keys, ``_has`` becomes
+a semi-join. No custom execution: Catalyst owns the physical plan.
+
+Supported grammar (each an entry in §2.7's capability table):
+
+    field=value                token / string equality
+    field=eqV|neV|gtV|ltV|geV|leV   prefixed comparators (number/date)
+    field:exact=value          exact string match
+    field:contains=value       substring
+    field=Type/id              reference filter
+    ref_field.sub=value        chained search (join target table)
+    _has:Type:ref:field=value  reverse chain (semi-join)
+    _include=Type:ref          include referenced rows (left join)
+    _revinclude=Type:ref       include referencing rows
+    _sort=[-]field             sort
+    _count=N / _page_token     paging (keyset)
+    _elements=a,b              projection
+    _total=accurate            count only
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_api_spark.functions.refs import ref_id
+
+_PREFIX_OPS = {
+    "eq": lambda c, v: c == v,
+    "ne": lambda c, v: c != v,
+    "gt": lambda c, v: c > v,
+    "lt": lambda c, v: c < v,
+    "ge": lambda c, v: c >= v,
+    "le": lambda c, v: c <= v,
+}
+
+
+@dataclass
+class SearchConfig:
+    """Per-resource search-parameter metadata.
+
+    ``params`` maps a search-param name to the column expression path;
+    ``reference_params`` maps a param name to (column path, target type)
+    for chaining/includes.
+    """
+
+    params: dict[str, str] = field(default_factory=dict)
+    reference_params: dict[str, tuple[str, str]] = field(default_factory=dict)
+
+
+def _typed_lit(df: DataFrame, colpath: str, value: str):
+    """Cast the string search value to the column's type so comparisons
+    are typed (dates/numbers) and predicate pushdown stays eligible."""
+    dtype = df.select(F.col(colpath)).schema[0].dataType.simpleString()
+    c = F.lit(value)
+    if dtype in ("int", "bigint", "smallint", "tinyint"):
+        return c.cast("bigint")
+    if dtype in ("double", "float"):
+        return c.cast("double")
+    if dtype == "timestamp":
+        return c.cast("timestamp")
+    if dtype == "date":
+        return c.cast("date")
+    return c
+
+
+def _apply_simple(df: DataFrame, colpath: str, raw: str, modifier: str | None) -> Column:
+    """One (param, value) → predicate. Comma in value = OR (FHIR 'or')."""
+    ors = []
+    for value in raw.split(","):
+        prefix = value[:2]
+        if prefix in _PREFIX_OPS and len(value) > 2:
+            ors.append(_PREFIX_OPS[prefix](F.col(colpath), _typed_lit(df, colpath, value[2:])))
+        elif modifier == "contains":
+            ors.append(F.lower(F.col(colpath)).contains(value.lower()))
+        elif modifier == "exact":
+            ors.append(F.col(colpath) == F.lit(value))
+        else:
+            # FHIR string search is case-insensitive prefix; token search
+            # is equality. Strings get startswith, others equality.
+            dtype = df.select(F.col(colpath)).schema[0].dataType.simpleString()
+            if dtype == "string" and not value[:1].isupper():
+                ors.append(F.lower(F.col(colpath)).startswith(value.lower()))
+            else:
+                ors.append(F.col(colpath) == _typed_lit(df, colpath, value))
+    out = ors[0]
+    for o in ors[1:]:
+        out = out | o
+    return out
+
+
+class SearchEngine:
+    """Executes FHIR-search-style queries over a catalog of DataFrames."""
+
+    def __init__(self, tables: dict[str, DataFrame], configs: dict[str, SearchConfig]):
+        self.tables = tables
+        self.configs = configs
+
+    def _resolve(self, rtype: str, name: str) -> str:
+        cfg = self.configs.get(rtype, SearchConfig())
+        return cfg.params.get(name, name)
+
+    def search(self, resource_type: str, params: dict[str, str]) -> DataFrame:
+        """Translate ``params`` into a DataFrame plan over the catalog."""
+        df = self.tables[resource_type]
+        cfg = self.configs.get(resource_type, SearchConfig())
+        sort_spec: list[Column] = []
+        count: int | None = None
+        elements: list[str] | None = None
+        total_only = False
+
+        for key, raw in params.items():
+            name, _, modifier = key.partition(":")
+            if key == "_total":
+                total_only = raw == "accurate"
+            elif key == "_count":
+                count = int(raw)
+            elif key == "_sort":
+                for s in raw.split(","):
+                    sort_spec.append(
+                        F.col(self._resolve(resource_type, s.lstrip("-"))).desc()
+                        if s.startswith("-")
+                        else F.col(self._resolve(resource_type, s)).asc()
+                    )
+            elif key == "_elements":
+                elements = [self._resolve(resource_type, e) for e in raw.split(",")]
+            elif key.startswith("_has:"):
+                # _has:Observation:patient:code=X → semi-join from Observation
+                _, src_type, ref_param, src_param = key.split(":", 3)
+                src = self.tables[src_type]
+                src_cfg = self.configs.get(src_type, SearchConfig())
+                ref_col, _target = src_cfg.reference_params[ref_param]
+                pred = _apply_simple(src, src_cfg.params.get(src_param, src_param), raw, None)
+                keys = src.filter(pred).select(ref_id(F.col(ref_col)).alias("_k")).distinct()
+                df = df.join(F.broadcast(keys), df["id"] == F.col("_k"), "left_semi")
+            elif "." in name and name.split(".", 1)[0] in cfg.reference_params:
+                # chained search: subject.name=X → join target table
+                ref_param, sub = name.split(".", 1)
+                ref_col, target_type = cfg.reference_params[ref_param]
+                target = self.tables[target_type]
+                t_cfg = self.configs.get(target_type, SearchConfig())
+                pred = _apply_simple(target, t_cfg.params.get(sub, sub), raw, modifier or None)
+                keys = target.filter(pred).select(F.col("id").alias("_k")).distinct()
+                df = df.join(F.broadcast(keys), ref_id(F.col(ref_col)) == F.col("_k"), "left_semi")
+            elif name in cfg.reference_params and "/" in raw:
+                ref_col, _t = cfg.reference_params[name]
+                df = df.filter(F.col(ref_col) == F.lit(raw))
+            else:
+                df = df.filter(
+                    _apply_simple(df, self._resolve(resource_type, name), raw, modifier or None)
+                )
+
+        if total_only:
+            return df.agg(F.count(F.lit(1)).alias("total"))
+        if sort_spec:
+            df = df.orderBy(*sort_spec)
+        if elements:
+            df = df.select(*elements)
+        if count is not None:
+            df = df.limit(count)
+        return df
+
+    def include(self, df: DataFrame, resource_type: str, ref_param: str) -> DataFrame:
+        """``_include``: left-join the referenced resource as a struct
+        column named ``included_<param>`` (J7)."""
+        cfg = self.configs[resource_type]
+        ref_col, target_type = cfg.reference_params[ref_param]
+        target = self.tables[target_type]
+        inc = target.select(F.struct(*target.columns).alias(f"included_{ref_param}"))
+        inc = inc.withColumn("_k", F.col(f"included_{ref_param}.id"))
+        return df.join(inc, ref_id(F.col(ref_col)) == F.col("_k"), "left").drop("_k")
+
+    def revinclude(self, df: DataFrame, source_type: str, ref_param: str) -> DataFrame:
+        """``_revinclude``: left-join rows of ``source_type`` that
+        reference the result rows, collected per target row."""
+        src_cfg = self.configs[source_type]
+        ref_col, _t = src_cfg.reference_params[ref_param]
+        src = self.tables[source_type]
+        grouped = (
+            src.withColumn("_k", ref_id(F.col(ref_col)))
+            .groupBy("_k")
+            .agg(F.collect_list(F.struct(*[c for c in src.columns])).alias(f"revincluded_{source_type}"))
+        )
+        return df.join(grouped, df["id"] == F.col("_k"), "left").drop("_k")

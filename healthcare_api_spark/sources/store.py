@@ -1,0 +1,87 @@
+"""The resource store (SURVEY.md §2.1 S6-S8).
+
+Replaces the reference's GCS-upload + Google-FHIR-store-import path
+(upload.sh:23, README.md:77-90) with a Parquet lakehouse:
+
+- one directory per store, partitioned by ``resourceType`` → a query for
+  one type is a partition-pruned scan (the reference's one-file-per-type
+  layout, made a physical partitioning);
+- import = append/overwrite of a type partition;
+- ``--enable-update-create`` upsert semantics (README.md:29) = merge by
+  id with last-write-wins on a version timestamp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class ResourceStore:
+    """A Parquet-backed, type-partitioned FHIR resource store."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _type_path(self, resource_type: str) -> str:
+        return f"{self.root}/resourceType={resource_type}"
+
+    def import_resources(self, df: DataFrame, resource_type: str, mode: str = "overwrite") -> None:
+        """S7: bulk import one resource type (idempotent overwrite of the
+        type partition; other types untouched — partitioned layout)."""
+        df.write.mode(mode).parquet(self._type_path(resource_type))
+
+    def table(self, resource_type: str) -> DataFrame:
+        """Type scan = partition-pruned read (§2.7 'type scan')."""
+        return self.spark.read.parquet(self._type_path(resource_type))
+
+    def upsert(self, updates: DataFrame, resource_type: str, id_col: str = "id",
+               version_col: str | None = None) -> None:
+        """S8 update-create semantics: merge by id, last-write-wins.
+
+        At lake scale this is the foreachBatch/MERGE pattern; on plain
+        Parquet we rewrite the partition with the deduped union. The
+        winner is deterministic: highest version_col, else the update.
+        """
+        try:
+            existing = self.table(resource_type)
+        except Exception:
+            self.import_resources(updates, resource_type)
+            return
+        merged = upsert_frames(existing, updates, id_col, version_col)
+        # Rewriting the input partition requires a materialization barrier.
+        merged_local = merged.localCheckpoint(eager=True)
+        self.import_resources(merged_local, resource_type, mode="overwrite")
+
+    def counts_by_type(self, types: list[str]) -> DataFrame:
+        """A4: per-type counts across the store catalog."""
+        frames = [
+            self.table(t).agg(F.count(F.lit(1)).alias("cnt")).select(F.lit(t).alias("resourceType"), "cnt")
+            for t in types
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+
+def upsert_frames(existing: DataFrame, updates: DataFrame, id_col: str = "id",
+                  version_col: str | None = None) -> DataFrame:
+    """Pure merge: union + keep one row per id.
+
+    Priority: updates beat existing; among duplicates, higher
+    ``version_col`` wins, deterministic. One shuffle on the id.
+    """
+    e = existing.withColumn("_src", F.lit(0))
+    u = updates.withColumn("_src", F.lit(1))
+    merged = e.unionByName(u, allowMissingColumns=True)
+    order = [F.col("_src").desc()]
+    if version_col is not None:
+        order = [F.col(version_col).desc(), F.col("_src").desc()]
+    w = Window.partitionBy(id_col).orderBy(*order)
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
