@@ -1,38 +1,864 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises a named operator family from
+SURVEY.md §2 through the ``healthcare_api_spark`` package; the matching
+``oracle_sql()`` entry is the DuckDB-checkable ground truth. Naming maps
+to the SURVEY §2 inventory: a*=aggregations, p*=projections/filters,
+f*=scalar functions, j*=joins, w*=windows, q*=TPC-H-shaped benchmarks,
+s8/st*=upsert+streaming shapes, d*=dedup, v*=similarity, t*=text
+analysis, m*=multimodal, fs*=FHIR-search frontend.
+
+Cross-engine determinism rules used throughout:
+- every aggregate/computed column aliased identically in both engines;
+- float aggregates rounded (2-6 dp) in both;
+- all hashes are md5-hex (engine-portable);
+- top-k queries carry a unique-key tie-break;
+- timestamps compared as formatted strings under UTC session tz.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from healthcare_api_spark.functions.mime import guess_mime
+from healthcare_api_spark.functions.refs import is_ref_to, make_ref, ref_id, ref_type
+from healthcare_api_spark.operators import dedup, relational, similarity, textops
+from healthcare_api_spark.operators.multimodal import attach_payload, decode_image_meta
+from healthcare_api_spark.operators.transforms import transform_document_reference
+from healthcare_api_spark.plans.search import SearchConfig, SearchEngine
+from healthcare_api_spark.streaming.upsert import sessionize, tumbling_window_counts
+
+
+def _tune(spark: SparkSession) -> None:
+    """Runtime confs the driver's session may not have set (the package's
+    own get_spark() sets these at build time)."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from healthcare_api_spark.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _docs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ shifted copy — guarantees every doc has one exact
+    duplicate so the dedup operators have real work at any SF."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+
+_DOCS_DUP_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents"
+)
+
+# DuckDB-side normalization/tokenization identical to functions.text
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+# --------------------------------------------------------- entry (smoke) --
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the Assay join shape (SURVEY §3.2) on TPC-H roles —
+    orders≈Group, lineitem≈members, part≈Specimen: per order, count the
+    'PROMO-specimen' members, keeping orders with ≥1 (J3+J1+P16)."""
+    _tune(spark)
+    return q_j3_explode_join(spark, "/root/testdata/sf0.001")
 
+
+# ------------------------------------------------------------ aggregates --
+
+def q_a3_count_accurate(spark, sf_dir):
+    _tune(spark)
+    return relational.accurate_count(_t(spark, sf_dir, "customer"))
+
+
+def q_a4_counts_by_type(spark, sf_dir):
+    _tune(spark)
+    return relational.counts_by(_t(spark, sf_dir, "orders"), "o_orderstatus")
+
+
+def q_a2_distinct_set(spark, sf_dir):
+    _tune(spark)
+    return relational.distinct_set(_t(spark, sf_dir, "customer"), "c_nationkey")
+
+
+def q_a1_group_collect(spark, sf_dir):
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("l_linenumber")), lambda x: x.cast("string")),
+            ",",
+        ).alias("members")
+    )
+    return grouped
+
+
+def q_a5_invariant_counts(spark, sf_dir):
+    _tune(spark)
+    orders, cust = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    a = orders.agg(F.countDistinct("o_custkey").alias("n_cust_with_orders"))
+    b = cust.agg(F.count(F.lit(1)).alias("n_customers"))
+    return a.crossJoin(b).withColumn(
+        "invariant_holds", F.col("n_cust_with_orders") == F.col("n_customers")
+    )
+
+
+# -------------------------------------------------- projections / filters --
+
+def q_p13_p14_projection(spark, sf_dir):
+    _tune(spark)
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.coalesce(F.col("p_size"), F.lit(0)).alias("size_or_default"),
+    )
+
+
+def q_p12_choice_type(spark, sf_dir):
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", F.col("o_orderpriority")).alias("open_priority"),
+        F.when(F.col("o_orderstatus") != "O", F.col("o_orderpriority")).alias("closed_priority"),
+    )
+
+
+def q_p15_row_filter(spark, sf_dir):
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").withColumn("ref", make_ref("Flag", F.col("l_returnflag")))
+    return li.filter(~F.col("ref").startswith("Flag/R")).select("l_orderkey", "l_linenumber")
+
+
+def q_p9_nested_roundtrip(spark, sf_dir):
+    """Builds a DocumentReference-shaped nested frame from flat columns,
+    runs the real P9 rename (profile[0].valueCoding → format) through
+    transform_document_reference, and flattens back for the oracle."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    null_s = F.lit(None).cast("string")
+    vc = F.struct(
+        F.col("source").alias("system"), F.col("lang").alias("code"), null_s.alias("display")
+    )
+    nested = docs.select(
+        "doc_id",
+        F.struct(F.concat(F.lit("Patient/"), F.col("doc_id")).alias("reference")).alias("subject"),
+        F.array(
+            F.struct(
+                F.struct(null_s.alias("url"), null_s.alias("title")).alias("attachment"),
+                F.array(F.struct(vc.alias("valueCoding"))).alias("profile"),
+                F.lit(None)
+                .cast("struct<system:string,code:string,display:string>")
+                .alias("format"),
+            )
+        ).alias("content"),
+    )
+    transformed = transform_document_reference(nested)
+    return transformed.select(
+        "doc_id",
+        F.col("content").getItem(0).getField("format").getField("code").alias("format_code"),
+        F.col("content").getItem(0).getField("format").getField("system").alias("format_system"),
+    )
+
+
+# ------------------------------------------------------- scalar functions --
+
+def q_f3_ref_roundtrip(spark, sf_dir):
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    with_ref = cust.select("c_custkey", make_ref("Customer", F.col("c_custkey")).alias("ref"))
+    return with_ref.select(
+        "c_custkey",
+        ref_type(F.col("ref")).alias("rtype"),
+        ref_id(F.col("ref")).cast("bigint").alias("rid"),
+    )
+
+
+_EXT_BY_MOD = {0: ".maf", 1: ".bed", 2: ".vcf", 3: ".csv", 4: ".pdf", 5: ".R",
+               6: ".yaml", 7: ".md", 8: ".txt", 9: "", 10: ".xyz"}
+_MIME_BY_MOD = {0: "text/tab-separated-values", 1: "text/tab-separated-values",
+                2: "text/tab-separated-values", 3: "text/csv", 4: "application/pdf",
+                5: "text/x-r", 6: "text/yaml", 7: "text/x-markdown", 8: "text/plain",
+                9: "application/octet-stream", 10: "application/octet-stream"}
+
+
+def _with_url(df: DataFrame) -> DataFrame:
+    mod = F.col("doc_id") % 11
+    ext = None
+    for m, e in _EXT_BY_MOD.items():
+        cond = mod == m
+        ext = F.when(cond, F.lit(e)) if ext is None else ext.when(cond, F.lit(e))
+    return df.withColumn(
+        "url", F.concat(F.lit("https://example.org/files/doc_"), F.col("doc_id"), ext)
+    )
+
+
+def q_f6_mime_infer(spark, sf_dir):
+    _tune(spark)
+    docs = _with_url(_t(spark, sf_dir, "documents"))
+    return guess_mime(docs, "url", out_col="content_type").select("doc_id", "content_type")
+
+
+def q_f1_f2_string_clean(spark, sf_dir):
+    _tune(spark)
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_replace("p_type", " ", "").alias("type_nospace"),
+        F.regexp_replace("p_brand", "#", "").alias("brand_clean"),
+    )
+
+
+# ------------------------------------------------------------------ joins --
+
+def q_j1_broadcast_join(spark, sf_dir):
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = relational.broadcast_lookup(
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"]),
+        nation,
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return joined.groupBy("n_name").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+
+
+def q_j3_explode_join(spark, sf_dir):
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    promo = part.filter(F.col("p_type").startswith("PROMO")).select("p_partkey")
+    members = li.join(F.broadcast(promo), li["l_partkey"] == promo["p_partkey"])
+    agg = members.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_promo_items"))
+    return (
+        orders.join(agg, orders["o_orderkey"] == agg["l_orderkey"])
+        .select("o_orderkey", "n_promo_items")
+    )
+
+
+def q_j4_anti_join(spark, sf_dir):
+    """Customers with no 'P'-status order (non-vacuous at every SF)."""
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    p_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return relational.anti_join(
+        cust, p_orders, cust["c_custkey"] == p_orders["o_custkey"]
+    ).select("c_custkey")
+
+
+def q_j5_semi_join(spark, sf_dir):
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    f_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return relational.semi_join(
+        cust, f_orders, cust["c_custkey"] == f_orders["o_custkey"]
+    ).select("c_custkey")
+
+
+def q_j7_chained_search(spark, sf_dir):
+    """FHIR chained param shape: ?subject.mktsegment=BUILDING&date=1995."""
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    building = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return relational.semi_join(
+        orders, building, orders["o_custkey"] == building["c_custkey"]
+    ).select("o_orderkey")
+
+
+# ---------------------------------------------------------------- windows --
+
+def q_w1_latest_per_key(spark, sf_dir):
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    latest = relational.latest_per_key(orders, "o_custkey", "o_orderdate", "o_orderkey")
+    return latest.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_str"),
+    )
+
+
+def q_w2_keyset_page(spark, sf_dir):
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return relational.keyset_page(orders, "o_orderkey", after=100, page_size=20).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+# ------------------------------------------------------- TPC-H benchmarks --
+
+def q_q1_pricing_summary(spark, sf_dir):
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_q3_shipping_priority(spark, sf_dir):
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_q5_local_supplier(spark, sf_dir):
+    _tune(spark)
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, (li["l_suppkey"] == supp["s_suppkey"]) & (cust["c_nationkey"] == supp["s_nationkey"]))
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_q6_forecast_revenue(spark, sf_dir):
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# ------------------------------------------------- upsert / streaming-ish --
+
+def q_s8_upsert_lastwin(spark, sf_dir):
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    latest = relational.latest_per_key(ev, "user_id", "ts", "event_id")
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+def q_st1_tumbling_window(spark, sf_dir):
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    win = tumbling_window_counts(ev, "ts", "1 hour", ("event_type",), watermark=None)
+    return win.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "cnt",
+    )
+
+
+def q_st2_sessionize(spark, sf_dir):
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", "user_id", "30 minutes")
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSS").alias("session_start"),
+        "n_events",
+    )
+
+
+# ------------------------------------------------------------------ dedup --
+
+def q_d1_dedup_exact(spark, sf_dir):
+    _tune(spark)
+    docs = _docs_dup(spark, sf_dir)
+    return dedup.exact_dedup_by_content(docs, "doc_id", "text").select("doc_id", "canonical_id")
+
+
+def q_d2_dedup_minhash(spark, sf_dir):
+    _tune(spark)
+    docs = _docs_dup(spark, sf_dir)
+    return dedup.minhash_dedup(docs, "doc_id", "text", num_hashes=4, shingle_n=3)
+
+
+def q_d3_simhash(spark, sf_dir):
+    _tune(spark)
+    docs = _docs_dup(spark, sf_dir)
+    return dedup.simhash_dedup(docs, "doc_id", "text", bits=16)
+
+
+def q_d4_ngram_jaccard(spark, sf_dir):
+    _tune(spark)
+    docs = _docs_dup(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.3)
+
+
+def q_d5_embed_neardup(spark, sf_dir):
+    """Embedding near-dup within label buckets; the shifted-id union
+    plants exact duplicates (cos=1.0) so the operator has real work —
+    organic same-label pairs top out near cos≈0.45 in this data."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    return dedup.embedding_neardup_pairs(
+        emb.unionByName(dup), "vec_id", "embedding", "label", threshold=0.95
+    )
+
+
+# ------------------------------------------------------------- similarity --
+
+def q_v1_ann_topk(spark, sf_dir):
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.brute_force_topk(emb, "vec_id", "embedding", list(qvec), k=10)
+
+
+def q_v2_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate variant — rows-only check (recall<1 by
+    design, no SQL oracle)."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.lsh_bucketed_topk(emb, "vec_id", "embedding", list(qvec), dim=64, k=10)
+
+
+# ---------------------------------------------------------- text analysis --
+
+def q_t1_lang_id(spark, sf_dir):
+    _tune(spark)
+    return textops.lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_t2_quality_score(spark, sf_dir):
+    _tune(spark)
+    return textops.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_t3_token_counts(spark, sf_dir):
+    _tune(spark)
+    return textops.token_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_t4_fingerprints(spark, sf_dir):
+    _tune(spark)
+    return textops.fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# -------------------------------------------------------------- multimodal --
+
+def q_m1_attachment_meta(spark, sf_dir):
+    _tune(spark)
+    docs = _with_url(_t(spark, sf_dir, "documents")).withColumn(
+        "_bin", F.col("text").cast("binary")
+    )
+    att = attach_payload(docs, "url", data_col="_bin")
+    return att.select(
+        "doc_id",
+        F.col("attachment.contentType").alias("content_type"),
+        F.col("attachment.size").alias("n_bytes"),
+    )
+
+
+def q_m2_image_decode_stub(spark, sf_dir):
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn("_bin", F.col("text").cast("binary"))
+    return decode_image_meta(docs, "doc_id", "_bin")
+
+
+# ------------------------------------------------------ FHIR search front --
+
+def _doc_engine(spark, sf_dir) -> SearchEngine:
+    tables = {"Document": _t(spark, sf_dir, "documents"), "Event": _t(spark, sf_dir, "events")}
+    configs = {"Document": SearchConfig(), "Event": SearchConfig()}
+    return SearchEngine(tables, configs)
+
+
+def q_fs1_search_token(spark, sf_dir):
+    _tune(spark)
+    eng = _doc_engine(spark, sf_dir)
+    return eng.search(
+        "Document", {"lang": "es", "n_chars": "ge300", "_elements": "doc_id,lang,n_chars"}
+    )
+
+
+def q_fs2_search_range(spark, sf_dir):
+    _tune(spark)
+    eng = _doc_engine(spark, sf_dir)
+    return eng.search(
+        "Event",
+        {"event_type": "purchase", "value": "ge50", "ts": "ge2024-01-15", "_elements": "event_id"},
+    )
+
+
+def q_fs3_search_count(spark, sf_dir):
+    _tune(spark)
+    eng = _doc_engine(spark, sf_dir)
+    return eng.search("Document", {"lang": "de", "_total": "accurate"})
+
+
+# ----------------------------------------------------------------- export --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "a3_count_accurate": q_a3_count_accurate,
+        "a4_counts_by_type": q_a4_counts_by_type,
+        "a2_distinct_set": q_a2_distinct_set,
+        "a1_group_collect": q_a1_group_collect,
+        "a5_invariant_counts": q_a5_invariant_counts,
+        "p13_p14_projection": q_p13_p14_projection,
+        "p12_choice_type": q_p12_choice_type,
+        "p15_row_filter": q_p15_row_filter,
+        "p9_nested_roundtrip": q_p9_nested_roundtrip,
+        "f3_ref_roundtrip": q_f3_ref_roundtrip,
+        "f6_mime_infer": q_f6_mime_infer,
+        "f1_f2_string_clean": q_f1_f2_string_clean,
+        "j1_broadcast_join": q_j1_broadcast_join,
+        "j3_explode_join": q_j3_explode_join,
+        "j4_anti_join": q_j4_anti_join,
+        "j5_semi_join": q_j5_semi_join,
+        "j7_chained_search": q_j7_chained_search,
+        "w1_latest_per_key": q_w1_latest_per_key,
+        "w2_keyset_page": q_w2_keyset_page,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier": q_q5_local_supplier,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "s8_upsert_lastwin": q_s8_upsert_lastwin,
+        "st1_tumbling_window": q_st1_tumbling_window,
+        "st2_sessionize": q_st2_sessionize,
+        "d1_dedup_exact": q_d1_dedup_exact,
+        "d2_dedup_minhash": q_d2_dedup_minhash,
+        "d3_simhash": q_d3_simhash,
+        "d4_ngram_jaccard": q_d4_ngram_jaccard,
+        "d5_embed_neardup": q_d5_embed_neardup,
+        "v1_ann_topk": q_v1_ann_topk,
+        "v2_ann_lsh": q_v2_ann_lsh,
+        "t1_lang_id": q_t1_lang_id,
+        "t2_quality_score": q_t2_quality_score,
+        "t3_token_counts": q_t3_token_counts,
+        "t4_fingerprints": q_t4_fingerprints,
+        "m1_attachment_meta": q_m1_attachment_meta,
+        "m2_image_decode_stub": q_m2_image_decode_stub,
+        "fs1_search_token": q_fs1_search_token,
+        "fs2_search_range": q_fs2_search_range,
+        "fs3_search_count": q_fs3_search_count,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+def _simhash_oracle() -> str:
+    bits = 16
+    h = "(('0x' || substr(md5(tok),1,4))::INTEGER)"
+    votes = ", ".join(
+        f"sum(CASE WHEN ({h} & {1 << i}) > 0 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    sh = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+        WITH docs AS ({_DOCS_DUP_SQL}),
+        toks AS (
+            SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS tok FROM docs
+        ),
+        votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+        sh AS (SELECT doc_id, CAST({sh} AS BIGINT) AS simhash FROM votes)
+        SELECT doc_id, simhash, min(doc_id) OVER (PARTITION BY simhash) AS canonical_id
+        FROM sh
     """
-    return {}
+
+
+def _shingle_cte(src: str = "docs") -> str:
+    """Word-3-shingles per doc, mirroring functions.text.word_shingles
+    (concat_ws skips out-of-range nulls)."""
+    return f"""
+        toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM {src}),
+        sh AS (
+            SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
+            FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+            )
+        )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    mime_case = " ".join(f"WHEN {m} THEN '{v}'" for m, v in _MIME_BY_MOD.items())
+    lang_counts = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b'))"
+        for lang, ws in textops.LANG_MARKERS.items()
+    }
+    lang_best = f"greatest({', '.join(lang_counts.values())})"
+    lang_pred = " ".join(
+        f"WHEN {lang_counts[lang]} = best THEN '{lang}'" for lang in sorted(lang_counts)
+    )
+    en_stop = lang_counts["en"]
+    punct = f"len(regexp_extract_all({_NORM_SQL}, '[^\\w\\s]'))"
+
+    return {
+        "a3_count_accurate": "SELECT count(*) AS cnt FROM customer",
+        "a4_counts_by_type": (
+            "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus"
+        ),
+        "a2_distinct_set": "SELECT DISTINCT c_nationkey FROM customer",
+        "a1_group_collect": (
+            "SELECT l_orderkey, string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber)"
+            " AS members FROM lineitem GROUP BY l_orderkey"
+        ),
+        "a5_invariant_counts": (
+            "SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS n_cust_with_orders,"
+            " (SELECT count(*) FROM customer) AS n_customers,"
+            " (SELECT count(DISTINCT o_custkey) FROM orders) = (SELECT count(*) FROM customer)"
+            " AS invariant_holds"
+        ),
+        "p13_p14_projection": (
+            "SELECT p_partkey, split_part(p_name, ' ', 1) AS first_word,"
+            " coalesce(p_size, 0) AS size_or_default FROM part"
+        ),
+        "p12_choice_type": (
+            "SELECT o_orderkey,"
+            " CASE WHEN o_orderstatus = 'O' THEN o_orderpriority END AS open_priority,"
+            " CASE WHEN o_orderstatus <> 'O' THEN o_orderpriority END AS closed_priority"
+            " FROM orders"
+        ),
+        "p15_row_filter": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem"
+            " WHERE NOT (('Flag/' || l_returnflag) LIKE 'Flag/R%')"
+        ),
+        "p9_nested_roundtrip": (
+            "SELECT doc_id, lang AS format_code, source AS format_system FROM documents"
+        ),
+        "f3_ref_roundtrip": (
+            "SELECT c_custkey, 'Customer' AS rtype, c_custkey AS rid FROM customer"
+        ),
+        "f6_mime_infer": (
+            f"SELECT doc_id, CASE doc_id % 11 {mime_case} END AS content_type FROM documents"
+        ),
+        "f1_f2_string_clean": (
+            "SELECT p_partkey, regexp_replace(p_type, ' ', '', 'g') AS type_nospace,"
+            " regexp_replace(p_brand, '#', '', 'g') AS brand_clean FROM part"
+        ),
+        "j1_broadcast_join": (
+            "SELECT n_name, round(sum(o_totalprice), 2) AS revenue FROM orders"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "j3_explode_join": (
+            "SELECT o_orderkey, count(*) AS n_promo_items FROM orders"
+            " JOIN lineitem ON o_orderkey = l_orderkey"
+            " JOIN part ON l_partkey = p_partkey"
+            " WHERE p_type LIKE 'PROMO%' GROUP BY o_orderkey"
+        ),
+        "j4_anti_join": (
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN"
+            " (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')"
+        ),
+        "j5_semi_join": (
+            "SELECT c_custkey FROM customer WHERE c_custkey IN"
+            " (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"
+        ),
+        "j7_chained_search": (
+            "SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'"
+            " AND o_orderdate < TIMESTAMP '1996-01-01' AND o_custkey IN"
+            " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+        ),
+        "w1_latest_per_key": (
+            "SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str"
+            " FROM orders QUALIFY row_number() OVER"
+            " (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1"
+        ),
+        "w2_keyset_page": (
+            "SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders"
+            " WHERE o_orderkey > 100 ORDER BY o_orderkey LIMIT 20"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,"
+            " round(sum(l_extendedprice), 2) AS sum_base_price,"
+            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,"
+            " round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 4) AS avg_disc,"
+            " count(*) AS count_order FROM lineitem"
+            " WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+            " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q3_shipping_priority": (
+            "SELECT l_orderkey, o_orderpriority,"
+            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-07-01'"
+            " AND l_shipdate > TIMESTAMP '1996-07-01'"
+            " GROUP BY l_orderkey, o_orderpriority"
+            " ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+        ),
+        "q5_local_supplier": (
+            "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " GROUP BY n_name"
+        ),
+        "q6_forecast_revenue": (
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem"
+            " WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"
+            " AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+        ),
+        "s8_upsert_lastwin": (
+            "SELECT user_id, event_id AS last_event_id, round(value, 4) AS last_value"
+            " FROM events QUALIFY row_number() OVER"
+            " (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        "st1_tumbling_window": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,"
+            " event_type, count(*) AS cnt FROM events GROUP BY 1, 2"
+        ),
+        "st2_sessionize": (
+            "WITH marks AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER"
+            " (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s"
+            " FROM events),"
+            " sess AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts"
+            " ROWS UNBOUNDED PRECEDING) AS sid FROM marks)"
+            " SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g') AS session_start,"
+            " count(*) AS n_events FROM sess GROUP BY user_id, sid"
+        ),
+        "d1_dedup_exact": (
+            f"WITH docs AS ({_DOCS_DUP_SQL})"
+            f" SELECT doc_id, min(doc_id) OVER (PARTITION BY md5({_NORM_SQL}))"
+            " AS canonical_id FROM docs"
+        ),
+        "d2_dedup_minhash": (
+            f"WITH docs AS ({_DOCS_DUP_SQL}), {_shingle_cte()},"
+            " sig AS (SELECT doc_id,"
+            "  min(md5('s0:' || s)) AS mh0, min(md5('s1:' || s)) AS mh1,"
+            "  min(md5('s2:' || s)) AS mh2, min(md5('s3:' || s)) AS mh3"
+            " FROM sh GROUP BY doc_id)"
+            " SELECT doc_id, min(doc_id) OVER (PARTITION BY mh0, mh1, mh2, mh3)"
+            " AS canonical_id FROM sig"
+        ),
+        "d3_simhash": _simhash_oracle(),
+        "d4_ngram_jaccard": (
+            f"WITH docs AS ({_DOCS_DUP_SQL}), {_shingle_cte()},"
+            " sets AS (SELECT doc_id, list(DISTINCT s) AS ss, min(md5('s0:' || s)) AS mh0"
+            " FROM sh GROUP BY doc_id)"
+            " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            " round(len(list_intersect(a.ss, b.ss)) /"
+            " (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6) AS jaccard"
+            " FROM sets a JOIN sets b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id"
+            " WHERE len(list_intersect(a.ss, b.ss)) /"
+            " (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.3"
+        ),
+        "d5_embed_neardup": (
+            "WITH all_v AS (SELECT vec_id, embedding, label FROM embeddings"
+            " UNION ALL SELECT vec_id + 100000, embedding, label FROM embeddings),"
+            " v AS (SELECT vec_id, label,"
+            " list_transform(embedding, x -> x::DOUBLE) AS e FROM all_v)"
+            " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+            " round(list_dot_product(a.e, b.e) /"
+            " (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos"
+            " FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id"
+            " WHERE list_dot_product(a.e, b.e) /"
+            " (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.95"
+        ),
+        "v1_ann_topk": (
+            "WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe"
+            " FROM embeddings WHERE vec_id = 0),"
+            " v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
+            " FROM embeddings)"
+            " SELECT vec_id, round(list_dot_product(e, qe) /"
+            " (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cos"
+            " FROM v, q ORDER BY list_dot_product(e, qe) /"
+            " (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) DESC, vec_id ASC"
+            " LIMIT 10"
+        ),
+        "t1_lang_id": (
+            f"WITH s AS (SELECT doc_id, text, {lang_best} AS best FROM documents)"
+            f" SELECT doc_id, CASE {lang_pred} END AS pred_lang,"
+            " CAST(best AS BIGINT) AS pred_score FROM s"
+        ),
+        "t2_quality_score": (
+            f"WITH f AS (SELECT doc_id,"
+            f" CAST(len({_NORM_SQL}) AS DOUBLE) AS n_chars,"
+            f" CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tokens,"
+            f" CAST({punct} AS DOUBLE) AS punct,"
+            f" CAST({en_stop} AS DOUBLE) AS stop FROM documents)"
+            " SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,"
+            " round(least(n_tokens / 100.0, 1.0) * 0.4"
+            " + least((stop / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.4"
+            " + (1.0 - least((punct / greatest(n_chars, 1.0)) * 10.0, 1.0)) * 0.2, 6) AS score"
+            " FROM f"
+        ),
+        "t3_token_counts": (
+            f"SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,"
+            f" CAST(len(regexp_extract_all({_NORM_SQL}, '\\w{{1,4}}|[^\\w\\s]')) AS BIGINT)"
+            " AS n_subwords FROM documents"
+        ),
+        "t4_fingerprints": (
+            f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
+        ),
+        "m1_attachment_meta": (
+            f"SELECT doc_id, CASE doc_id % 11 {mime_case} END AS content_type,"
+            " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
+        ),
+        "m2_image_decode_stub": (
+            "SELECT doc_id AS id,"
+            " CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,"
+            " CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,"
+            " CAST(3 AS INTEGER) AS channels, 'fake/raw' AS format FROM documents"
+        ),
+        "fs1_search_token": (
+            "SELECT doc_id, lang, n_chars FROM documents"
+            " WHERE lower(lang) LIKE 'es%' AND n_chars >= 300"
+        ),
+        "fs2_search_range": (
+            "SELECT event_id FROM events WHERE lower(event_type) LIKE 'purchase%'"
+            " AND value >= 50 AND ts >= TIMESTAMP '2024-01-15'"
+        ),
+        "fs3_search_count": (
+            "SELECT count(*) AS total FROM documents WHERE lower(lang) LIKE 'de%'"
+        ),
+    }
