@@ -49,9 +49,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _docs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ shifted copy — guarantees every doc has one exact
-    duplicate so the dedup operators have real work at any SF."""
+    duplicate so the dedup operators have real work at any SF.
+
+    Repartitioned: the SF test files arrive as a single Parquet split,
+    which would serialize the CPU-heavy shingling/hashing onto one core;
+    a 100 TB input arrives pre-split so this is a no-op at scale.
+    """
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    dup = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return dup.repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
 
 
 _DOCS_DUP_SQL = (
@@ -772,11 +778,15 @@ def oracle_sql() -> dict[str, str]:
             " AS canonical_id FROM docs"
         ),
         "d2_dedup_minhash": (
+            # rotation minhash family: one md5 per shingle, permutation i
+            # = digest rotated by 8·i hex chars (see dedup._rotate_hex)
             f"WITH docs AS ({_DOCS_DUP_SQL}), {_shingle_cte()},"
-            " sig AS (SELECT doc_id,"
-            "  min(md5('s0:' || s)) AS mh0, min(md5('s1:' || s)) AS mh1,"
-            "  min(md5('s2:' || s)) AS mh2, min(md5('s3:' || s)) AS mh3"
-            " FROM sh GROUP BY doc_id)"
+            " dig AS (SELECT doc_id, md5(s) AS d FROM sh),"
+            " sig AS (SELECT doc_id, min(d) AS mh0,"
+            "  min(substr(d, 9, 24) || substr(d, 1, 8)) AS mh1,"
+            "  min(substr(d, 17, 16) || substr(d, 1, 16)) AS mh2,"
+            "  min(substr(d, 25, 8) || substr(d, 1, 24)) AS mh3"
+            " FROM dig GROUP BY doc_id)"
             " SELECT doc_id, min(doc_id) OVER (PARTITION BY mh0, mh1, mh2, mh3)"
             " AS canonical_id FROM sig"
         ),

@@ -62,23 +62,48 @@ def exact_dedup_by_content(
 
 # -------------------------------------------------------------- minhash --
 
+def _rotate_hex(d: Column, i: int) -> Column:
+    """Circular rotation of a 32-hex digest by 8·i chars — a bijection on
+    the digest space, so min over it is a valid minhash permutation."""
+    if i == 0:
+        return d
+    k = (8 * i) % 32
+    return F.concat(F.substring(d, k + 1, 32 - k), F.substring(d, 1, k))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 8,
     shingle_n: int = 3,
+    family: str = "rotation",
 ) -> DataFrame:
     """Per-doc MinHash signature: columns ``mh0..mh{k-1}``.
 
-    mh_i = min over shingles of md5('s<i>:' || shingle). The explode +
-    groupBy(id) aggregation benefits from map-side partial min, so the
-    shuffle is O(docs × num_hashes) regardless of document length.
+    Two permutation families:
+    - ``rotation`` (default): one md5 per shingle, permutation i = digest
+      rotated by 8·i hex chars. 1 hash/shingle regardless of k — the
+      cheap path; permutations are pairwise uniform but not mutually
+      independent (fine for banding/clustering, slightly higher variance).
+    - ``seeded``: md5('s<i>:'||shingle) per permutation — k independent
+      hashes per shingle, k× the hashing cost.
+
+    The explode + groupBy(id) aggregation benefits from map-side partial
+    min, so the shuffle is O(docs × num_hashes) regardless of document
+    length; per-shingle hashing runs on the exploded (flat) column so it
+    stays in whole-stage codegen with subexpression elimination.
     """
+    # no array_distinct: min() is insensitive to duplicate shingles, and
+    # the per-row hash-set build would be interpreted overhead
     shingled = df.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("_sh")
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh")
     )
-    aggs = [F.min(seeded_hash(F.col("_sh"), i)).alias(f"mh{i}") for i in range(num_hashes)]
+    if family == "rotation":
+        d = F.md5(F.col("_sh"))
+        aggs = [F.min(_rotate_hex(d, i)).alias(f"mh{i}") for i in range(num_hashes)]
+    else:
+        aggs = [F.min(seeded_hash(F.col("_sh"), i)).alias(f"mh{i}") for i in range(num_hashes)]
     return shingled.groupBy(id_col).agg(*aggs)
 
 
@@ -88,11 +113,12 @@ def minhash_dedup(
     text_col: str,
     num_hashes: int = 4,
     shingle_n: int = 3,
+    family: str = "rotation",
 ) -> DataFrame:
     """Near-dup clustering by full-signature equality (the strictest LSH
     band: one band of ``num_hashes`` rows). Returns (id, canonical_id)
     where canonical_id = min id sharing the signature."""
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, family)
     sig_cols = [f"mh{i}" for i in range(num_hashes)]
     w = Window.partitionBy(*sig_cols)
     return sig.withColumn("canonical_id", F.min(F.col(id_col)).over(w)).select(
@@ -159,12 +185,17 @@ def ngram_jaccard_pairs(
     the exact Jaccard then filters false positives. At scale the candidate
     join is the only quadratic-risk step and is bounded by bucket sizes.
     Output: (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a < id_b.
+
+    The shingle sets are persisted before the self-join: higher-order
+    lambda expressions (shingling, per-shingle md5) are interpreted, not
+    codegen'd, and projection collapse would otherwise re-evaluate them
+    on both join sides — the dominant cost at scale.
     """
     sets = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("_set"),
-        seeded_hash_min(F.col(text_col), 0, shingle_n).alias("_mh0"),
-    )
+    ).withColumn("_mh0", F.array_min(F.transform(F.col("_set"), lambda s: F.md5(F.concat(F.lit("s0:"), s)))))
+    sets = sets.persist()
     a = sets.select(
         F.col("_id").alias("id_a"), F.col("_set").alias("set_a"), F.col("_mh0").alias("mh_a")
     )
@@ -173,9 +204,9 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("double")
     union = (F.size(F.col("set_a")) + F.size(F.col("set_b"))).cast("double") - inter
-    jac = (inter / union).alias("jaccard")
     return (
-        a.join(b, (F.col("mh_a") == F.col("mh_b")) & (F.col("id_a") < F.col("id_b")))
+        a.join(b, F.col("mh_a") == F.col("mh_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
