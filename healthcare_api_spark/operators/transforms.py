@@ -66,16 +66,17 @@ def transform_encounter(df: DataFrame) -> DataFrame:
     - class := class.coding[0], defaulting to the NONAC coding when class
       is absent (P13 + P14, transform.py:42-45)
     - status := 'finished' (P14, transform.py:46)
-    - NOTE transform.py:40-41 pops the (never-present) key ``reference``,
-      so its observable effect is: ``reason`` removed, ``reasonReference``
-      = [] when ``reason`` was present. Reproduced faithfully.
+    - NOTE transform.py:40-41 pops the (never-present) key ``reference``
+      — not ``reason`` — so the observable reference behavior is:
+      ``reason`` KEPT, ``reasonReference`` = [] added when ``reason`` was
+      present. Reproduced faithfully, bug included.
     """
     out = df
     if "reason" in df.columns:
         out = out.withColumn(
             "reasonReference",
             F.when(F.col("reason").isNotNull(), F.array().cast("array<string>")),
-        ).drop("reason")
+        )
     default_class = F.named_struct(
         F.lit("code"), F.lit("NONAC"), F.lit("display"), F.lit("inpatient non-acute")
     )

@@ -1,0 +1,89 @@
+"""Dedup operator unit tests on a corpus with known duplicate structure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from healthcare_api_spark.operators import dedup
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (4, "completely different text about spark dataframes and catalyst optimizer plans"),
+    (5, "THE QUICK  brown fox jumps over the lazy dog near the river bank today"),  # dup modulo norm
+]
+
+
+def _corpus(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"])
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = _corpus(spark)
+    out = dedup.exact_dedup(df, ["text"], "doc_id")
+    # rows 1/2 collapse to doc_id 1 (min order_col); 5 differs pre-norm
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4, 5]
+
+
+def test_exact_dedup_by_content_normalized(spark):
+    out = dedup.exact_dedup_by_content(_corpus(spark), "doc_id", "text")
+    canon = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+    assert canon[1] == canon[2] == canon[5] == 1  # normalization folds case/space
+    assert canon[3] == 3 and canon[4] == 4
+
+
+def test_minhash_signatures_shape_and_dup_equality(spark):
+    sig = dedup.minhash_signatures(_corpus(spark), "doc_id", "text", num_hashes=4)
+    rows = {r["doc_id"]: r for r in sig.collect()}
+    assert set(sig.columns) == {"doc_id", "mh0", "mh1", "mh2", "mh3"}
+    for i in range(4):
+        assert rows[1][f"mh{i}"] == rows[2][f"mh{i}"] == rows[5][f"mh{i}"]
+    assert rows[1]["mh0"] != rows[4]["mh0"]
+
+
+def test_minhash_dedup_clusters(spark):
+    out = dedup.minhash_dedup(_corpus(spark), "doc_id", "text", num_hashes=4)
+    canon = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+    assert canon[1] == canon[2] == canon[5] == 1
+    assert canon[4] == 4
+
+
+def test_lsh_candidate_pairs_find_near_dups(spark):
+    pairs = dedup.lsh_candidate_pairs(
+        _corpus(spark), "doc_id", "text", num_hashes=8, rows_per_band=2
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 5) in got  # exact dups always collide
+    assert all(a < b for a, b in got)
+
+
+def test_ngram_jaccard_scores(spark):
+    out = dedup.ngram_jaccard_pairs(_corpus(spark), "doc_id", "text", threshold=0.5)
+    scores = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert scores[(1, 2)] == 1.0 and scores[(1, 5)] == 1.0
+    assert all(a < b for a, b in scores)
+
+
+def test_simhash_identical_for_dups(spark):
+    out = dedup.simhash_dedup(_corpus(spark), "doc_id", "text")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["simhash"] == rows[2]["simhash"] == rows[5]["simhash"]
+    assert rows[1]["canonical_id"] == 1 and rows[2]["canonical_id"] == 1
+    assert 0 <= rows[1]["simhash"] < (1 << 16)
+
+
+def test_embedding_neardup(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.999, 0.01, 0.0], 0),   # near dup of 1
+            (3, [0.0, 1.0, 0.0], 0),      # orthogonal
+            (4, [1.0, 0.0, 0.0], 1),      # same vector, different bucket
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    out = dedup.embedding_neardup_pairs(emb, "vec_id", "embedding", "label", threshold=0.95)
+    got = {(r["id_a"], r["id_b"]): r["cos"] for r in out.collect()}
+    assert set(got) == {(1, 2)}  # bucket bound excludes 4; 3 below threshold
+    assert got[(1, 2)] > 0.999

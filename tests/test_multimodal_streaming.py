@@ -1,0 +1,108 @@
+"""Multimodal plumbing + streaming upsert tests."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_api_spark.operators.multimodal import (
+    attach_payload,
+    audio_features,
+    decode_image_meta,
+    frame_sample,
+)
+from healthcare_api_spark.sources.store import ResourceStore
+from healthcare_api_spark.streaming.upsert import (
+    sessionize,
+    streaming_upsert,
+    tumbling_window_counts,
+)
+
+
+def _payloads(spark):
+    return spark.createDataFrame(
+        [(1, "https://h/a.png", bytearray(b"x" * 100)),
+         (2, "https://h/b", bytearray(b"y" * 700)),
+         (3, "https://h/c.mp4", None)],
+        ["id", "url", "data"],
+    )
+
+
+def test_attach_payload_struct(spark):
+    out = {r["id"]: r.asDict(recursive=True)["attachment"]
+           for r in attach_payload(_payloads(spark), "url", "data").collect()}
+    assert out[1]["contentType"] == "image/png" and out[1]["size"] == 100
+    assert out[2]["contentType"] == "application/octet-stream"
+    assert out[3]["contentType"] == "video/mp4" and out[3]["size"] is None
+
+
+def test_decode_image_meta_stub_batched(spark):
+    out = {r["id"]: r for r in decode_image_meta(_payloads(spark), "id", "data").collect()}
+    assert out[1]["width"] == 101 and out[1]["height"] == 101  # 100 % 640 + 1
+    assert out[2]["width"] == 61 and out[2]["height"] == 221   # 700 % 640/480 + 1
+    assert out[3]["width"] == 1  # null payload → 0 bytes
+    assert all(out[i]["channels"] == 3 and out[i]["format"] == "fake/raw" for i in out)
+
+
+def test_frame_sample_fanout(spark):
+    out = frame_sample(_payloads(spark), "id", "data", every_n=5).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r["frame_idx"])
+    assert by_id[2] == [0, 5]  # 700//64 = 10 frames, sampled every 5
+    assert by_id[1] == [0] and by_id[3] == [0]
+
+
+def test_audio_stub_marks_integration_point(spark):
+    with pytest.raises(NotImplementedError, match="audio"):
+        audio_features(_payloads(spark), "id", "data")
+
+
+def test_tumbling_window_counts_batch(spark):
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", "click"), (2, "2024-01-01 10:55:00", "click"),
+         (3, "2024-01-01 11:05:00", "view")],
+        ["event_id", "ts", "event_type"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(str(r["window_start"]), r["event_type"]): r["cnt"]
+           for r in tumbling_window_counts(ev, watermark=None).collect()}
+    assert out[("2024-01-01 10:00:00", "click")] == 2
+    assert out[("2024-01-01 11:00:00", "view")] == 1
+
+
+def test_sessionize_batch(spark):
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7), (2, "2024-01-01 10:10:00", 7),
+         (3, "2024-01-01 12:00:00", 7), (4, "2024-01-01 10:00:00", 8)],
+        ["event_id", "ts", "user_id"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = sessionize(ev).collect()
+    u7 = sorted([r for r in rows if r["user_id"] == 7], key=lambda r: r["session_start"])
+    assert [r["n_events"] for r in u7] == [2, 1]  # 2h gap splits the session
+    assert len([r for r in rows if r["user_id"] == 8]) == 1
+
+
+def test_streaming_upsert_foreachbatch(spark, tmp_path):
+    """readStream over an NDJSON directory → merge-by-id into the store
+    (the --enable-update-create semantics, README.md:29)."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    (src / "batch1.json").write_text(
+        json.dumps({"id": "a", "v": 1}) + "\n" + json.dumps({"id": "b", "v": 1}) + "\n"
+    )
+    store = ResourceStore(spark, str(tmp_path / "store"))
+    store.import_resources(
+        spark.createDataFrame([("a", 0)], ["id", "v"]), "Patient"
+    )
+    stream = spark.readStream.schema("id string, v int").json(str(src))
+    q = streaming_upsert(stream, store, "Patient", version_col="v",
+                         checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["id"]: r["v"] for r in store.table("Patient").collect()}
+    assert rows == {"a": 1, "b": 1}  # a upserted, b created

@@ -1,0 +1,96 @@
+"""FHIR-search frontend tests (SURVEY.md §2.7) over FHIR-shaped frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_api_spark.plans.search import SearchConfig, SearchEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    patients = spark.createDataFrame(
+        [
+            ("p1", "female", "1980-05-01", "everywoman"),
+            ("p2", "male", "1990-01-01", "smith"),
+            ("p3", "female", "2001-12-12", "smith"),
+        ],
+        ["id", "gender", "birthDate", "family"],
+    )
+    observations = spark.createDataFrame(
+        [
+            ("o1", "Patient/p1", "8480-6", "2024-01-01"),
+            ("o2", "Patient/p1", "718-7", "2024-02-01"),
+            ("o3", "Patient/p2", "8480-6", "2024-03-01"),
+        ],
+        ["id", "subject_ref", "code", "effective"],
+    )
+    configs = {
+        "Patient": SearchConfig(params={"name": "family"}),
+        "Observation": SearchConfig(
+            params={"date": "effective"},
+            reference_params={"subject": ("subject_ref", "Patient")},
+        ),
+    }
+    return SearchEngine({"Patient": patients, "Observation": observations}, configs)
+
+
+def test_token_filter(engine):
+    out = engine.search("Patient", {"gender": "female"})
+    assert sorted(r["id"] for r in out.collect()) == ["p1", "p3"]
+
+
+def test_string_prefix_and_exact(engine):
+    assert {r["id"] for r in engine.search("Patient", {"name": "eve"}).collect()} == {"p1"}
+    assert engine.search("Patient", {"name:exact": "eve"}).count() == 0
+    assert {r["id"] for r in engine.search("Patient", {"name:contains": "MIT"}).collect()} == {
+        "p2", "p3"}
+
+
+def test_or_values_and_prefix_ops(engine):
+    out = engine.search("Patient", {"birthDate": "ge1990-01-01"})
+    assert sorted(r["id"] for r in out.collect()) == ["p2", "p3"]
+    out = engine.search("Observation", {"date": "ge2024-01-15,lt2024-01-10"})
+    assert sorted(r["id"] for r in out.collect()) == ["o1", "o2", "o3"]
+
+
+def test_reference_filter(engine):
+    out = engine.search("Observation", {"subject": "Patient/p1"})
+    assert sorted(r["id"] for r in out.collect()) == ["o1", "o2"]
+
+
+def test_chained_search(engine):
+    # ?subject.name=eve → join Patient, prefix-match family
+    out = engine.search("Observation", {"subject.name": "eve"})
+    assert sorted(r["id"] for r in out.collect()) == ["o1", "o2"]
+
+
+def test_reverse_chain_has(engine):
+    # Patients having an Observation with code=8480-6
+    out = engine.search("Patient", {"_has:Observation:subject:code": "8480-6"})
+    assert sorted(r["id"] for r in out.collect()) == ["p1", "p2"]
+
+
+def test_total_count_sort_elements(engine):
+    total = engine.search("Patient", {"gender": "female", "_total": "accurate"})
+    assert total.collect()[0]["total"] == 2
+
+    out = engine.search("Patient", {"_sort": "-birthDate", "_count": "2",
+                                     "_elements": "id,birthDate"})
+    rows = out.collect()
+    assert [r["id"] for r in rows] == ["p3", "p2"] and rows[0].asDict().keys() == {
+        "id", "birthDate"}
+
+
+def test_include_revinclude(engine):
+    obs = engine.search("Observation", {"subject": "Patient/p1"})
+    inc = engine.include(obs, "Observation", "subject")
+    rows = {r["id"]: r for r in inc.collect()}
+    assert rows["o1"]["included_subject"]["gender"] == "female"
+
+    pats = engine.search("Patient", {"gender": "female"})
+    rev = engine.revinclude(pats, "Observation", "subject")
+    rows = {r["id"]: r for r in rev.collect()}
+    assert len(rows["p1"]["revincluded_Observation"]) == 2
+    assert rows["p3"]["revincluded_Observation"] is None

@@ -1,0 +1,85 @@
+"""Similarity search + text analysis operator tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from healthcare_api_spark.operators import similarity, textops
+
+
+def _emb(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+        (5, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_order_and_scores(spark):
+    out = similarity.brute_force_topk(_emb(spark), "vec_id", "embedding", [1.0, 0.0, 0.0, 0.0], k=3)
+    rows = out.collect()
+    assert [r["vec_id"] for r in rows] == [1, 2, 5]
+    assert rows[0]["cos"] == 1.0
+    assert abs(rows[1]["cos"] - 0.9 / math.sqrt(0.82)) < 1e-6
+
+
+def test_lsh_bucketed_topk_recall_on_exact_match(spark):
+    # the query vector itself is always in its own bucket → top-1 recall
+    out = similarity.lsh_bucketed_topk(
+        _emb(spark), "vec_id", "embedding", [1.0, 0.0, 0.0, 0.0], dim=4, k=2, n_planes=4
+    )
+    rows = out.collect()
+    assert rows and rows[0]["vec_id"] == 1 and rows[0]["cos"] == 1.0
+
+
+def test_hyperplane_buckets_deterministic(spark):
+    b1 = similarity.hyperplane_buckets(_emb(spark), "embedding", dim=4, n_planes=6).collect()
+    b2 = similarity.hyperplane_buckets(_emb(spark), "embedding", dim=4, n_planes=6).collect()
+    assert [r["bucket"] for r in b1] == [r["bucket"] for r in b2]
+    assert all(len(r["bucket"]) == 6 for r in b1)
+    # opposite vectors land in complementary buckets
+    rows = {r["vec_id"]: r["bucket"] for r in b1}
+    flipped = "".join("1" if c == "0" else "0" for c in rows[1])
+    assert rows[4] == flipped
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the market and bought fish"),
+            (2, "der Hund und die Katze sind nicht im Haus das ist gut"),
+            (3, "!!! ??? ... ###"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_lang_id(spark):
+    out = {r["doc_id"]: r for r in textops.lang_id(_docs(spark), "doc_id", "text").collect()}
+    assert out[1]["pred_lang"] == "en" and out[1]["pred_score"] >= 4
+    assert out[2]["pred_lang"] == "de"
+    # no markers at all → score 0, alphabetical tie-break
+    assert out[3]["pred_score"] == 0 and out[3]["pred_lang"] == "de"
+
+
+def test_quality_score_ranges(spark):
+    out = {r["doc_id"]: r for r in textops.quality_score(_docs(spark), "doc_id", "text").collect()}
+    assert 0.0 <= out[3]["score"] < out[1]["score"] <= 1.0
+    assert out[1]["n_tokens"] == 12
+
+
+def test_token_counts_and_fingerprints(spark):
+    tc = {r["doc_id"]: r for r in textops.token_counts(_docs(spark), "doc_id", "text").collect()}
+    assert tc[1]["n_tokens"] == 12 and tc[1]["n_subwords"] >= tc[1]["n_tokens"]
+    fp = textops.fingerprints(_docs(spark), "doc_id", "text").collect()
+    assert all(len(r["fp"]) == 32 for r in fp)
+    # normalization-invariant
+    df2 = spark.createDataFrame([(1, "THE CAT and the dog went to the market and bought fish")],
+                                ["doc_id", "text"])
+    fp2 = textops.fingerprints(df2, "doc_id", "text").collect()[0]["fp"]
+    assert fp2 == [r["fp"] for r in fp if r["doc_id"] == 1][0]
