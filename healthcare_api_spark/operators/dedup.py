@@ -89,21 +89,38 @@ def minhash_signatures(
     - ``seeded``: md5('s<i>:'||shingle) per permutation — k independent
       hashes per shingle, k× the hashing cost.
 
-    The explode + groupBy(id) aggregation benefits from map-side partial
-    min, so the shuffle is O(docs × num_hashes) regardless of document
-    length; per-shingle hashing runs on the exploded (flat) column so it
-    stays in whole-stage codegen with subexpression elimination.
+    Physical shapes:
+    - rotation: fully NARROW — one md5 per shingle and a single
+      fold (``aggregate``) per row computing all k mins; no explode, no
+      shuffle, no aggregation exchange. The one-element explode below is
+      a Generate barrier stopping projection collapse from re-evaluating
+      the shingling once per output column.
+    - seeded: explode + groupBy(id) with map-side partial min — the
+      per-shingle md5s run on the flat column in whole-stage codegen
+      (k hashes per shingle can't be folded into one pass).
+
+    No array_distinct anywhere: min() is insensitive to duplicates and
+    the per-row hash-set build would be interpreted overhead.
     """
-    # no array_distinct: min() is insensitive to duplicate shingles, and
-    # the per-row hash-set build would be interpreted overhead
+    if family == "rotation":
+        digests = F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: F.md5(s))
+        # 'g' sorts above every md5 hex digit — a safe +infinity
+        init = F.struct(*[F.lit("g").alias(f"mh{i}") for i in range(num_hashes)])
+        folded = F.aggregate(
+            digests,
+            init,
+            lambda acc, d: F.struct(
+                *[F.least(acc[f"mh{i}"], _rotate_hex(d, i)).alias(f"mh{i}") for i in range(num_hashes)]
+            ),
+        )
+        barrier = df.select(F.col(id_col), F.explode(F.array(folded)).alias("_sig"))
+        return barrier.select(
+            id_col, *[F.col("_sig").getField(f"mh{i}").alias(f"mh{i}") for i in range(num_hashes)]
+        )
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh")
     )
-    if family == "rotation":
-        d = F.md5(F.col("_sh"))
-        aggs = [F.min(_rotate_hex(d, i)).alias(f"mh{i}") for i in range(num_hashes)]
-    else:
-        aggs = [F.min(seeded_hash(F.col("_sh"), i)).alias(f"mh{i}") for i in range(num_hashes)]
+    aggs = [F.min(seeded_hash(F.col("_sh"), i)).alias(f"mh{i}") for i in range(num_hashes)]
     return shingled.groupBy(id_col).agg(*aggs)
 
 
