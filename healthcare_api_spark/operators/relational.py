@@ -61,6 +61,35 @@ def latest_per_key(df: DataFrame, key: str, order_col: str, tiebreak: str) -> Da
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    skewed_key: str,
+    dim_key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the skewed side gets a deterministic
+    salt from a hash of its full row identity; the other side is
+    replicated ``salt`` ways. A hot key's rows then spread over ``salt``
+    reducers instead of one. (AQE's skew-join split handles most cases;
+    this is the explicit tool for pathological keys or non-AQE sinks.)
+
+    The replicated side multiplies by ``salt`` — use only when it is the
+    small side.
+    """
+    left = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt))
+    )
+    right = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = left.join(
+        right,
+        (left[skewed_key] == right[dim_key]) & (left["_salt"] == right["_salt"].cast("bigint")),
+        how,
+    )
+    return out.drop("_salt")
+
+
 def keyset_page(df: DataFrame, key: str, after, page_size: int) -> DataFrame:
     """§2.5 pagination: keyset (`WHERE key > last ORDER BY key LIMIT n`) —
     O(page) per page instead of O(offset) for deep pages."""

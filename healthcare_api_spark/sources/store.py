@@ -66,6 +66,25 @@ class ResourceStore:
         return out
 
 
+def import_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Co-location sink: hash-bucketed (and optionally sorted) managed
+    table. Two tables bucketed identically on their join key join with
+    NO shuffle on either side — at 100 TB this turns the repeated
+    fact⋈fact join from a full exchange into a local zip per bucket.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
 def upsert_frames(existing: DataFrame, updates: DataFrame, id_col: str = "id",
                   version_col: str | None = None) -> DataFrame:
     """Pure merge: union + keep one row per id.

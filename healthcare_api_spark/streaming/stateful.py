@@ -1,0 +1,64 @@
+"""Custom stateful streaming operators via applyInPandasWithState
+(SURVEY.md §2.9 stretch; the brief's 'custom stateful operators' row).
+
+``streaming_dedup`` — exactly-once emission per key across the whole
+stream: the first row for each key passes, later duplicates are dropped,
+with per-key state (a seen flag + first-seen timestamp) managed by the
+state store and bounded by an optional processing-time timeout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_col: str,
+    timeout_ms: int | None = None,
+):
+    """Drop duplicate keys across micro-batches.
+
+    State per key: (seen count). Output: one row per key, first
+    occurrence only, schema (key, first_seen_count=1).
+
+    At scale the state store shards by the grouping key across
+    executors; a processing-time timeout bounds state for unbounded key
+    domains (after expiry a key may be re-emitted — at-least-once dedup,
+    the standard trade-off).
+    """
+    out_schema = StructType(
+        [StructField("key", StringType()), StructField("n_first_batch", LongType())]
+    )
+    state_schema = StructType([StructField("seen", LongType())])
+
+    def dedup_fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.exists:
+            (seen,) = state.get
+            state.update((seen + n,))
+            return iter(())  # duplicate key: emit nothing
+        state.update((n,))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        return iter([pd.DataFrame({"key": [str(key[0])], "n_first_batch": [n]})])
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(dedup_fn, out_schema, state_schema, "update", timeout)
+    )
