@@ -308,6 +308,20 @@ def q_w2_keyset_page(spark, sf_dir):
     )
 
 
+def q_w3_rank_topn_per_group(spark, sf_dir):
+    """Top-3 orders per customer by price (rank window, pinned ties)."""
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
 # ------------------------------------------------------- TPC-H benchmarks --
 
 def q_q1_pricing_summary(spark, sf_dir):
@@ -550,6 +564,17 @@ def q_fs3_search_count(spark, sf_dir):
     return eng.search("Document", {"lang": "de", "_total": "accurate"})
 
 
+def q_fs4_search_sort_page(spark, sf_dir):
+    """`?_sort=-n_chars,doc_id&_count=25&_elements=...` through the
+    search frontend (multi-key sort pins ties for the page boundary)."""
+    _tune(spark)
+    eng = _doc_engine(spark, sf_dir)
+    return eng.search(
+        "Document",
+        {"_sort": "-n_chars,doc_id", "_count": "25", "_elements": "doc_id,n_chars"},
+    )
+
+
 # ----------------------------------------------------------------- export --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -573,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j7_chained_search": q_j7_chained_search,
         "w1_latest_per_key": q_w1_latest_per_key,
         "w2_keyset_page": q_w2_keyset_page,
+        "w3_rank_topn_per_group": q_w3_rank_topn_per_group,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier": q_q5_local_supplier,
@@ -596,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs1_search_token": q_fs1_search_token,
         "fs2_search_range": q_fs2_search_range,
         "fs3_search_count": q_fs3_search_count,
+        "fs4_search_sort_page": q_fs4_search_sort_page,
     }
 
 
@@ -720,6 +747,12 @@ def oracle_sql() -> dict[str, str]:
         "w2_keyset_page": (
             "SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders"
             " WHERE o_orderkey > 100 ORDER BY o_orderkey LIMIT 20"
+        ),
+        "w3_rank_topn_per_group": (
+            "SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM ("
+            " SELECT o_custkey, o_orderkey, row_number() OVER"
+            " (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn"
+            " FROM orders) WHERE rn <= 3"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,"
@@ -870,5 +903,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fs3_search_count": (
             "SELECT count(*) AS total FROM documents WHERE lower(lang) LIKE 'de%'"
+        ),
+        "fs4_search_sort_page": (
+            "SELECT doc_id, n_chars FROM documents"
+            " ORDER BY n_chars DESC, doc_id ASC LIMIT 25"
         ),
     }
