@@ -18,13 +18,18 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the driver may import this file from any CWD; make the package importable
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from healthcare_api_spark.functions.mime import guess_mime
-from healthcare_api_spark.functions.refs import is_ref_to, make_ref, ref_id, ref_type
+from healthcare_api_spark.functions.refs import make_ref, ref_id, ref_type
 from healthcare_api_spark.operators import dedup, relational, similarity, textops
 from healthcare_api_spark.operators.multimodal import attach_payload, decode_image_meta
 from healthcare_api_spark.operators.transforms import transform_document_reference

@@ -50,11 +50,13 @@ class SearchConfig:
 
     ``params`` maps a search-param name to the column expression path;
     ``reference_params`` maps a param name to (column path, target type)
-    for chaining/includes.
+    for chaining/includes; ``token_params`` maps a param name to the
+    CodeableConcept-style coding array path for ``system|code`` matching.
     """
 
     params: dict[str, str] = field(default_factory=dict)
     reference_params: dict[str, tuple[str, str]] = field(default_factory=dict)
+    token_params: dict[str, str] = field(default_factory=dict)
 
 
 def _typed_lit(df: DataFrame, colpath: str, value: str):
@@ -151,6 +153,22 @@ class SearchEngine:
                 pred = _apply_simple(target, t_cfg.params.get(sub, sub), raw, modifier or None)
                 keys = target.filter(pred).select(F.col("id").alias("_k")).distinct()
                 df = df.join(F.broadcast(keys), ref_id(F.col(ref_col)) == F.col("_k"), "left_semi")
+            elif modifier == "missing":
+                colpath = self._resolve(resource_type, name)
+                df = df.filter(
+                    F.col(colpath).isNull() if raw == "true" else F.col(colpath).isNotNull()
+                )
+            elif name in cfg.token_params and "|" in raw:
+                # token search `?code=system|value`: exists() over the
+                # coding array (SURVEY §2.7 'Token/code filter')
+                system, _, code = raw.partition("|")
+                coding_col = cfg.token_params[name]
+                pred = F.exists(
+                    F.col(coding_col),
+                    lambda c: (c["system"] == system if system else F.lit(True))
+                    & (c["code"] == code),
+                )
+                df = df.filter(pred)
             elif name in cfg.reference_params and "/" in raw:
                 ref_col, _t = cfg.reference_params[name]
                 df = df.filter(F.col(ref_col) == F.lit(raw))

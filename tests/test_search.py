@@ -20,20 +20,39 @@ def engine(spark):
     )
     observations = spark.createDataFrame(
         [
-            ("o1", "Patient/p1", "8480-6", "2024-01-01"),
-            ("o2", "Patient/p1", "718-7", "2024-02-01"),
-            ("o3", "Patient/p2", "8480-6", "2024-03-01"),
+            ("o1", "Patient/p1", "8480-6", "2024-01-01",
+             [{"system": "http://loinc.org", "code": "8480-6"}]),
+            ("o2", "Patient/p1", "718-7", "2024-02-01",
+             [{"system": "http://loinc.org", "code": "718-7"}]),
+            ("o3", "Patient/p2", "8480-6", "2024-03-01", None),
         ],
-        ["id", "subject_ref", "code", "effective"],
+        "id string, subject_ref string, code string, effective string,"
+        " coding array<struct<system:string,code:string>>",
     )
     configs = {
         "Patient": SearchConfig(params={"name": "family"}),
         "Observation": SearchConfig(
             params={"date": "effective"},
             reference_params={"subject": ("subject_ref", "Patient")},
+            token_params={"code_token": "coding"},
         ),
     }
     return SearchEngine({"Patient": patients, "Observation": observations}, configs)
+
+
+def test_token_system_code(engine):
+    out = engine.search("Observation", {"code_token": "http://loinc.org|8480-6"})
+    assert [r["id"] for r in out.collect()] == ["o1"]
+    # system-less form matches any system
+    out = engine.search("Observation", {"code_token": "|718-7"})
+    assert [r["id"] for r in out.collect()] == ["o2"]
+
+
+def test_missing_modifier(engine):
+    out = engine.search("Observation", {"coding:missing": "true"})
+    assert [r["id"] for r in out.collect()] == ["o3"]
+    out = engine.search("Observation", {"coding:missing": "false"})
+    assert sorted(r["id"] for r in out.collect()) == ["o1", "o2"]
 
 
 def test_token_filter(engine):
