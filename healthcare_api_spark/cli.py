@@ -1,0 +1,107 @@
+"""CLI mirroring the reference's entry points (transform.py / assay.py
+click commands) on the Spark engine.
+
+    python -m healthcare_api_spark.cli transform \
+        --input-ndjson in.ndjson --output-ndjson outdir --type Specimen
+    python -m healthcare_api_spark.cli assay \
+        --document-reference d.ndjson --group g.ndjson --specimen s.ndjson \
+        --output outdir
+    python -m healthcare_api_spark.cli count --parquet path [--where expr]
+
+Same flags, distributed execution: the reference processes one row at a
+time in one process (transform.py:154-169); this runs the identical
+semantics as Spark jobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from healthcare_api_spark.session import get_spark
+
+
+def _cmd_transform(args) -> int:
+    from healthcare_api_spark.operators.transforms import dispatch_transformation
+    from healthcare_api_spark.schemas import SCHEMAS
+    from healthcare_api_spark.sources.ndjson import read_ndjson, write_ndjson
+    from healthcare_api_spark.validate import structural_checks
+
+    spark = get_spark("cli-transform")
+    schema = SCHEMAS.get(args.type)
+    if schema is None:
+        print(f"Unsupported resourceType: {args.type}", file=sys.stderr)
+        return 2
+    df = read_ndjson(spark, args.input_ndjson, schema)
+    out = dispatch_transformation(df, args.type)
+    if args.validate:
+        checked = structural_checks(out, args.type)
+        bad = checked.filter(~checked["valid"])
+        n_bad = bad.count()
+        if n_bad:
+            for r in bad.select("id", "errors").limit(20).collect():
+                print(f"Validation error: {r['id']}: {list(r['errors'])}", file=sys.stderr)
+            if args.stop_on_first_error:
+                return 1
+        out = checked.drop("valid", "errors")
+    write_ndjson(out, args.output_ndjson)
+    return 0
+
+
+def _cmd_assay(args) -> int:
+    from healthcare_api_spark.operators.assay import check_invariants, derive_assays
+    from healthcare_api_spark.schemas import SCHEMAS
+    from healthcare_api_spark.sources.ndjson import read_ndjson, write_ndjson
+
+    spark = get_spark("cli-assay")
+    docs = read_ndjson(spark, args.document_reference, SCHEMAS["DocumentReference"])
+    groups = read_ndjson(spark, args.group, SCHEMAS["Group"])
+    specimens = read_ndjson(spark, args.specimen, SCHEMAS["Specimen"])
+    res = derive_assays(docs, groups, specimens)
+    write_ndjson(res.assays, f"{args.output}/Assay")
+    write_ndjson(res.documents, f"{args.output}/DocumentReference")
+    write_ndjson(res.groups, f"{args.output}/Group")
+    print(check_invariants(res))
+    return 0
+
+
+def _cmd_count(args) -> int:
+    spark = get_spark("cli-count")
+    df = spark.read.parquet(args.parquet)
+    if args.where:
+        df = df.filter(args.where)
+    print(df.count())
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="healthcare_api_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("transform", help="R5→R4B NDJSON transform (reference transform.py)")
+    t.add_argument("--input-ndjson", required=True)
+    t.add_argument("--output-ndjson", required=True)
+    t.add_argument("--type", required=True, help="resourceType of the input file")
+    t.add_argument("--validate", action="store_true", default=True)
+    t.add_argument("--no-validate", dest="validate", action="store_false")
+    t.add_argument("--stop-on-first-error", action="store_true")
+    t.set_defaults(fn=_cmd_transform)
+
+    a = sub.add_parser("assay", help="Assay derivation (reference assay.py)")
+    a.add_argument("--document-reference", required=True)
+    a.add_argument("--group", required=True)
+    a.add_argument("--specimen", required=True)
+    a.add_argument("--output", required=True)
+    a.set_defaults(fn=_cmd_assay)
+
+    c = sub.add_parser("count", help="accurate count (?_total=accurate&_count=0)")
+    c.add_argument("--parquet", required=True)
+    c.add_argument("--where", default=None)
+    c.set_defaults(fn=_cmd_count)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

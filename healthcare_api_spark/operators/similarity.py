@@ -54,6 +54,101 @@ def brute_force_topk(
     return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
 
 
+def normalize_vec(a: Column) -> Column:
+    """L2-normalize an embedding column (JVM-side)."""
+    n = norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def quantize_int8(a: Column, scale: float = 127.0) -> Column:
+    """Symmetric int8 quantization of a [-1,1]-normalized embedding —
+    4× smaller shuffle/storage for recall-tolerant stages."""
+    return F.transform(a, lambda x: F.round(x.cast("double") * scale).cast("tinyint"))
+
+
+# ----------------------------------------------------------------- IVF --
+
+def ivf_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Train IVF centroids with Lloyd's k-means, Spark-side.
+
+    Deterministic: initial centroids are the k lowest-id vectors; each
+    iteration is one distributed assign (narrow, broadcast centroids as
+    literals) + one groupBy mean over exploded components. Only the k×dim
+    centroid matrix ever reaches the driver.
+    """
+    init_rows = df.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    centroids = [list(map(float, r[0])) for r in init_rows]
+    for _ in range(iters):
+        assigned = ivf_assign(df, vec_col, centroids)
+        comp = assigned.select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+        means = (
+            comp.groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .collect()
+        )
+        new = {r["cluster"]: [s["m"] for s in r["ms"]] for r in means}
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Add a ``cluster`` column: argmax cosine over the centroid list.
+
+    Pure expression: an array of (‑cos, cid) structs reduced with
+    array_min (struct compare is field-ordered) — no UDF, no shuffle.
+    At scale, write the table partitioned by ``cluster`` so probes
+    partition-prune.
+    """
+    cands = F.array(
+        *[
+            F.struct(
+                (-cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("cluster", F.array_min(cands).getField("cid"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF probe: score only the ``nprobe`` clusters nearest the query.
+
+    Driver picks the probe clusters from the tiny centroid matrix; the
+    cluster filter prunes the scan (partition pruning when the table is
+    written partitioned by cluster), then exact cosine top-k inside.
+    """
+    q = np.asarray(query_vec, dtype=float)
+
+    def cos(c):
+        c = np.asarray(c, dtype=float)
+        denom = (np.linalg.norm(c) * np.linalg.norm(q)) or 1.0
+        return float(np.dot(c, q) / denom)
+
+    probe = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[:nprobe]
+    assigned = ivf_assign(df, vec_col, centroids)
+    cands = assigned.filter(F.col("cluster").isin(probe))
+    return brute_force_topk(cands, id_col, vec_col, query_vec, k)
+
+
 def hyperplane_buckets(
     df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42
 ) -> DataFrame:

@@ -85,6 +85,32 @@ def test_sessionize_batch(spark):
     assert len([r for r in rows if r["user_id"] == 8]) == 1
 
 
+def test_tumbling_window_streaming_with_watermark(spark, tmp_path):
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        json.dumps({"ts": "2024-01-01 10:05:00", "event_type": "click"}) + "\n"
+        + json.dumps({"ts": "2024-01-01 10:45:00", "event_type": "click"}) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("ts string, event_type string").json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    win = tumbling_window_counts(stream, "ts", "1 hour", ("event_type",), watermark="2 hours")
+    q = (
+        win.writeStream.format("memory").queryName("win_out").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {(str(r["window_start"]), r["event_type"]): r["cnt"]
+                for r in spark.table("win_out").collect()}
+        assert rows[("2024-01-01 10:00:00", "click")] == 2
+    finally:
+        q.stop()
+
+
 def test_streaming_upsert_foreachbatch(spark, tmp_path):
     """readStream over an NDJSON directory → merge-by-id into the store
     (the --enable-update-create semantics, README.md:29)."""
