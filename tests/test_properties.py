@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis): algebraic invariants of the
+engine's operators under arbitrary inputs. Examples are batched into
+single DataFrames so each hypothesis case costs one Spark job, not N.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from healthcare_api_spark.functions.ids import uuid5_udf
+from healthcare_api_spark.functions.refs import make_ref, ref_id, ref_type
+from healthcare_api_spark.operators import dedup, textops
+from healthcare_api_spark.sources.store import upsert_frames
+
+_slow = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+ids = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), min_codepoint=32,
+                           max_codepoint=0x2FF),
+    min_size=1, max_size=20,
+)
+texts = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Zs"), max_codepoint=0x2FF),
+    min_size=0, max_size=200,
+)
+
+
+@_slow
+@given(st.lists(ids, min_size=1, max_size=20, unique=True))
+def test_ref_roundtrip_property(spark, id_list):
+    df = spark.createDataFrame([(i,) for i in id_list], ["rid"])
+    out = df.select(
+        "rid", make_ref("Patient", F.col("rid")).alias("ref")
+    ).select("rid", ref_type(F.col("ref")).alias("t"), ref_id(F.col("ref")).alias("back"))
+    for r in out.collect():
+        assert r["t"] == "Patient" and r["back"] == r["rid"]
+
+
+@_slow
+@given(st.lists(ids, min_size=1, max_size=15, unique=True))
+def test_uuid5_byte_exact_property(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], ["n"])
+    out = {r["n"]: r["u"] for r in df.select("n", uuid5_udf(F.col("n")).alias("u")).collect()}
+    for n in names:
+        assert out[n] == str(uuid.uuid5(uuid.NAMESPACE_DNS, n))
+
+
+@_slow
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(-10, 10)),
+                 min_size=1, max_size=30))
+def test_upsert_idempotent_property(spark, rows):
+    existing = spark.createDataFrame([(k, 0, 0) for k in range(6)], ["id", "v", "x"])
+    updates = spark.createDataFrame(rows, ["id", "v", "x"])
+    once = upsert_frames(existing, updates, "id", "v")
+    twice = upsert_frames(once, updates, "id", "v")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b  # applying the same updates again changes nothing
+    assert {r[0] for r in a} == set(range(6)) | {r[0] for r in rows}
+
+
+@_slow
+@given(st.lists(texts, min_size=1, max_size=10))
+def test_quality_score_bounded_property(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    out = textops.quality_score(df, "doc_id", "text").collect()
+    assert all(0.0 <= r["score"] <= 1.0 for r in out)
+
+
+@_slow
+@given(st.lists(texts.filter(lambda t: t.strip()), min_size=1, max_size=8, unique=True))
+def test_minhash_duplication_invariant_property(spark, docs):
+    """A doc and its duplicate always share a full signature, whatever
+    the text; dedup clusters map both to the lower id."""
+    rows = list(enumerate(docs)) + [(1000 + i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["canonical_id"]
+           for r in dedup.minhash_dedup(df, "doc_id", "text", num_hashes=4).collect()}
+    for i in range(len(docs)):
+        assert out[1000 + i] == out[i]
+
+
+@_slow
+@given(st.lists(st.tuples(ids, texts), min_size=1, max_size=20))
+def test_exact_dedup_counts_property(spark, rows):
+    df = spark.createDataFrame(rows + rows, ["k", "t"]).withColumn(
+        "ord", F.monotonically_increasing_id()
+    )
+    out = dedup.exact_dedup(df, ["k", "t"], "ord")
+    assert out.count() == len(set(rows))
