@@ -57,6 +57,9 @@ class SearchConfig:
     params: dict[str, str] = field(default_factory=dict)
     reference_params: dict[str, tuple[str, str]] = field(default_factory=dict)
     token_params: dict[str, str] = field(default_factory=dict)
+    # param → (array column, struct field): FHIR HumanName-style search,
+    # `?name=eve` ≡ exists(name, n -> lower(n.family).startswith('eve'))
+    array_string_params: dict[str, tuple[str, str]] = field(default_factory=dict)
 
 
 def _typed_lit(df: DataFrame, colpath: str, value: str):
@@ -158,6 +161,22 @@ class SearchEngine:
                 df = df.filter(
                     F.col(colpath).isNull() if raw == "true" else F.col(colpath).isNotNull()
                 )
+            elif name in cfg.array_string_params:
+                arr, fld = cfg.array_string_params[name]
+                ors = None
+                for value in raw.split(","):
+                    if modifier == "exact":
+                        p = F.exists(F.col(arr), lambda s: s[fld] == value)
+                    elif modifier == "contains":
+                        p = F.exists(
+                            F.col(arr), lambda s: F.lower(s[fld]).contains(value.lower())
+                        )
+                    else:
+                        p = F.exists(
+                            F.col(arr), lambda s: F.lower(s[fld]).startswith(value.lower())
+                        )
+                    ors = p if ors is None else (ors | p)
+                df = df.filter(ors)
             elif name in cfg.token_params and "|" in raw:
                 # token search `?code=system|value`: exists() over the
                 # coding array (SURVEY §2.7 'Token/code filter')

@@ -40,6 +40,25 @@ def engine(spark):
     return SearchEngine({"Patient": patients, "Observation": observations}, configs)
 
 
+def test_array_string_search_humanname(spark):
+    # the SURVEY §2.7 'string prefix search' row: ?name=eve over
+    # array<struct<family,given>> HumanName columns
+    patients = spark.createDataFrame(
+        [("p1", [{"family": "Everywoman", "given": ["Eve"]}]),
+         ("p2", [{"family": "Smith", "given": ["Bob"]}]),
+         ("p3", None)],
+        "id string, name array<struct<family:string,given:array<string>>>",
+    )
+    eng = SearchEngine(
+        {"Patient": patients},
+        {"Patient": SearchConfig(array_string_params={"name": ("name", "family")})},
+    )
+    assert [r["id"] for r in eng.search("Patient", {"name": "eve"}).collect()] == ["p1"]
+    assert [r["id"] for r in eng.search("Patient", {"name:contains": "MIT"}).collect()] == ["p2"]
+    assert eng.search("Patient", {"name:exact": "eve"}).count() == 0
+    assert [r["id"] for r in eng.search("Patient", {"name": "eve,smi"}).collect()] == ["p1", "p2"]
+
+
 def test_token_system_code(engine):
     out = engine.search("Observation", {"code_token": "http://loinc.org|8480-6"})
     assert [r["id"] for r in out.collect()] == ["o1"]
