@@ -183,6 +183,93 @@ def q_p9_nested_roundtrip(spark, sf_dir):
     )
 
 
+def q_s1_s4_ndjson_roundtrip(spark, sf_dir):
+    """S1+S4: write a projection as NDJSON, scan it back with an explicit
+    schema, aggregate — the NDJSON path under the driver's oracle."""
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from healthcare_api_spark.sources.ndjson import read_ndjson, write_ndjson
+
+    _tune(spark)
+    out = tempfile.mkdtemp(prefix="ndjson_rt_") + "/docs"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    write_ndjson(docs, out)
+    schema = StructType([StructField("doc_id", LongType()), StructField("lang", StringType())])
+    back = read_ndjson(spark, out, schema)
+    return back.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_p1_p3_drop_fields(spark, sf_dir):
+    """P1-P3: struct field drops via dropFields, flattened for the oracle."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    nested = docs.select(
+        "doc_id",
+        F.struct(F.col("lang").alias("lang"), F.col("source").alias("version")).alias("meta"),
+    )
+    dropped = nested.withColumn("meta", F.col("meta").dropFields("version"))
+    return dropped.select("doc_id", F.col("meta.lang").alias("lang"))
+
+
+def q_p4_p6_nested_ops(spark, sf_dir):
+    """P4 (drop nested field) + P6 (pop-move rename) on built structs."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    nested = docs.select(
+        "doc_id",
+        F.struct(
+            F.struct(F.concat(F.lit("Procedure/"), F.col("doc_id")).alias("reference")).alias(
+                "procedure"
+            ),
+            F.col("lang").alias("collectedDateTime"),
+        ).alias("collection"),
+        F.array(
+            F.struct(F.struct(F.col("source").alias("reference")).alias("structure"))
+        ).alias("includedStructure"),
+    )
+    out = nested.withColumn("collection", F.col("collection").dropFields("procedure")).withColumn(
+        "location", F.col("includedStructure").getItem(0).getField("structure")
+    )
+    return out.select(
+        "doc_id",
+        F.col("collection.collectedDateTime").alias("collected"),
+        F.col("location.reference").alias("location_ref"),
+    )
+
+
+def q_p10_array_rename(spark, sf_dir):
+    """P10: rename a field inside every element of an array of structs."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    nested = docs.select(
+        "doc_id",
+        F.array(F.struct(F.struct(F.col("lang").alias("code")).alias("method"))).alias(
+            "processing"
+        ),
+    )
+    renamed = nested.withColumn(
+        "processing",
+        F.transform(
+            F.col("processing"),
+            lambda p: p.withField("procedure", p["method"]).dropFields("method"),
+        ),
+    )
+    return renamed.select(
+        "doc_id", F.col("processing").getItem(0).getField("procedure").getField("code").alias("proc_code")
+    )
+
+
+def q_p11_rename_flat(spark, sf_dir):
+    """P11: plain column rename (withColumnRenamed)."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").withColumnRenamed("ts", "effectiveDateTime")
+    return ev.select(
+        "event_id", F.date_format("effectiveDateTime", "yyyy-MM-dd HH:mm:ss").alias("effective_str")
+    )
+
+
 # ------------------------------------------------------- scalar functions --
 
 def q_f3_ref_roundtrip(spark, sf_dir):
@@ -231,6 +318,76 @@ def q_f1_f2_string_clean(spark, sf_dir):
     )
 
 
+def q_f7_uuid5(spark, sf_dir):
+    """F7: byte-exact RFC-4122 v5 ids (assay.py:100). No SQL oracle —
+    DuckDB has no uuid5 — rows-only; byte-exactness is pinned against
+    Python's uuid in tests/test_assay.py and test_properties.py."""
+    from healthcare_api_spark.functions.ids import uuid5_dns
+
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer").limit(200)
+    return cust.select(
+        "c_custkey",
+        uuid5_dns(F.concat(F.col("c_custkey").cast("string"), F.lit("-assay"))).alias("assay_id"),
+    )
+
+
+def q_f8_json_extract(spark, sf_dir):
+    """F8: JSON parse of the events.props payload column."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+def q_f9_f11_struct_build(spark, sf_dir):
+    """F9 narrative templating + F11 struct construction, flattened."""
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    sr = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.lit("ServiceRequest").alias("resourceType"),
+            F.concat(F.lit("SR/"), F.col("o_orderkey")).alias("id"),
+            F.format_string(
+                '<div xmlns="http://www.w3.org/1999/xhtml">Order %s priority %s</div>',
+                F.col("o_orderkey"),
+                F.col("o_orderpriority"),
+            ).alias("div"),
+        ).alias("sr"),
+    )
+    return sr.select(
+        "o_orderkey",
+        F.col("sr.id").alias("sr_id"),
+        F.col("sr.div").alias("div"),
+    )
+
+
+def q_f10_f12_cast_append(spark, sf_dir):
+    """F10 int→string cast + F12 array append semantics."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("string").alias("size_str"),
+        F.array(F.concat(F.lit("A/"), F.col("doc_id"))).alias("basedOn"),
+    )
+    appended = base.withColumn(
+        "basedOn",
+        F.concat(
+            F.coalesce(F.col("basedOn"), F.array().cast("array<string>")),
+            F.array(F.concat(F.lit("B/"), F.col("doc_id"))),
+        ),
+    )
+    return appended.select(
+        "doc_id",
+        "size_str",
+        F.size("basedOn").alias("n_refs"),
+        F.element_at("basedOn", -1).alias("last_ref"),
+    )
+
+
 # ------------------------------------------------------------------ joins --
 
 def q_j1_broadcast_join(spark, sf_dir):
@@ -257,6 +414,18 @@ def q_j3_explode_join(spark, sf_dir):
     return (
         orders.join(agg, orders["o_orderkey"] == agg["l_orderkey"])
         .select("o_orderkey", "n_promo_items")
+    )
+
+
+def q_j2_docs_by_group(spark, sf_dir):
+    """J2: group→docs via a prebuilt per-key index (assay.py:45-50) —
+    aggregate the fact side by key, then join the dimension."""
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    idx = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_docs"))
+    return orders.join(idx, orders["o_orderkey"] == idx["l_orderkey"], "left").select(
+        "o_orderkey", F.coalesce("n_docs", F.lit(0)).alias("n_docs")
     )
 
 
@@ -589,6 +758,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_distinct_set": q_a2_distinct_set,
         "a1_group_collect": q_a1_group_collect,
         "a5_invariant_counts": q_a5_invariant_counts,
+        "s1_s4_ndjson_roundtrip": q_s1_s4_ndjson_roundtrip,
+        "p1_p3_drop_fields": q_p1_p3_drop_fields,
+        "p4_p6_nested_ops": q_p4_p6_nested_ops,
+        "p10_array_rename": q_p10_array_rename,
+        "p11_rename_flat": q_p11_rename_flat,
         "p13_p14_projection": q_p13_p14_projection,
         "p12_choice_type": q_p12_choice_type,
         "p15_row_filter": q_p15_row_filter,
@@ -596,7 +770,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_ref_roundtrip": q_f3_ref_roundtrip,
         "f6_mime_infer": q_f6_mime_infer,
         "f1_f2_string_clean": q_f1_f2_string_clean,
+        "f7_uuid5": q_f7_uuid5,
+        "f8_json_extract": q_f8_json_extract,
+        "f9_f11_struct_build": q_f9_f11_struct_build,
+        "f10_f12_cast_append": q_f10_f12_cast_append,
         "j1_broadcast_join": q_j1_broadcast_join,
+        "j2_docs_by_group": q_j2_docs_by_group,
         "j3_explode_join": q_j3_explode_join,
         "j4_anti_join": q_j4_anti_join,
         "j5_semi_join": q_j5_semi_join,
@@ -693,6 +872,17 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT count(DISTINCT o_custkey) FROM orders) = (SELECT count(*) FROM customer)"
             " AS invariant_holds"
         ),
+        "s1_s4_ndjson_roundtrip": (
+            "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang"
+        ),
+        "p1_p3_drop_fields": "SELECT doc_id, lang FROM documents",
+        "p4_p6_nested_ops": (
+            "SELECT doc_id, lang AS collected, source AS location_ref FROM documents"
+        ),
+        "p10_array_rename": "SELECT doc_id, lang AS proc_code FROM documents",
+        "p11_rename_flat": (
+            "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_str FROM events"
+        ),
         "p13_p14_projection": (
             "SELECT p_partkey, split_part(p_name, ' ', 1) AS first_word,"
             " coalesce(p_size, 0) AS size_or_default FROM part"
@@ -720,10 +910,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, regexp_replace(p_type, ' ', '', 'g') AS type_nospace,"
             " regexp_replace(p_brand, '#', '', 'g') AS brand_clean FROM part"
         ),
+        "f8_json_extract": (
+            "SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events"
+        ),
+        "f9_f11_struct_build": (
+            "SELECT o_orderkey, 'SR/' || o_orderkey AS sr_id,"
+            " '<div xmlns=\"http://www.w3.org/1999/xhtml\">Order ' || o_orderkey ||"
+            " ' priority ' || o_orderpriority || '</div>' AS div FROM orders"
+        ),
+        "f10_f12_cast_append": (
+            "SELECT doc_id, n_chars::VARCHAR AS size_str, CAST(2 AS INTEGER) AS n_refs,"
+            " 'B/' || doc_id AS last_ref FROM documents"
+        ),
         "j1_broadcast_join": (
             "SELECT n_name, round(sum(o_totalprice), 2) AS revenue FROM orders"
             " JOIN customer ON o_custkey = c_custkey"
             " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "j2_docs_by_group": (
+            "SELECT o_orderkey, coalesce(n_docs, 0) AS n_docs FROM orders LEFT JOIN"
+            " (SELECT l_orderkey, count(*) AS n_docs FROM lineitem GROUP BY l_orderkey) li"
+            " ON o_orderkey = l_orderkey"
         ),
         "j3_explode_join": (
             "SELECT o_orderkey, count(*) AS n_promo_items FROM orders"
