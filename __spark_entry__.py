@@ -461,6 +461,44 @@ def q_j7_chained_search(spark, sf_dir):
     ).select("o_orderkey")
 
 
+def q_x1_asof_join(spark, sf_dir):
+    """As-of join: each click joined to the user's latest prior purchase
+    (union/running-state implementation — no pair explosion)."""
+    from healthcare_api_spark.operators.temporal import asof_join
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    out = asof_join(clicks, purchases, "user_id", "ts", "ts", ["purchase_id", "value"])
+    return out.select(
+        "event_id", "user_id", "purchase_id", F.round("value", 4).alias("purchase_value")
+    )
+
+
+def q_x2_interval_join(spark, sf_dir):
+    """Interval/range join via chunked equi-join: lineitems landing in
+    synthetic 60-day promo windows derived from nation."""
+    from healthcare_api_spark.operators.temporal import interval_join
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    nation = _t(spark, sf_dir, "nation")
+    intervals = nation.select(
+        F.col("n_nationkey").alias("promo_id"),
+        F.expr("timestamp'1995-01-01' + make_interval(0, 0, 0, n_nationkey * 90, 0, 0, 0)").alias(
+            "start_ts"
+        ),
+        F.expr(
+            "timestamp'1995-01-01' + make_interval(0, 0, 0, n_nationkey * 90 + 60, 0, 0, 0)"
+        ).alias("end_ts"),
+    )
+    joined = interval_join(li, intervals, "l_shipdate", "start_ts", "end_ts", chunk="60 days")
+    return joined.groupBy("promo_id").agg(F.count(F.lit(1)).alias("n_items"))
+
+
 # ---------------------------------------------------------------- windows --
 
 def q_w1_latest_per_key(spark, sf_dir):
@@ -780,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_anti_join": q_j4_anti_join,
         "j5_semi_join": q_j5_semi_join,
         "j7_chained_search": q_j7_chained_search,
+        "x1_asof_join": q_x1_asof_join,
+        "x2_interval_join": q_x2_interval_join,
         "w1_latest_per_key": q_w1_latest_per_key,
         "w2_keyset_page": q_w2_keyset_page,
         "w3_rank_topn_per_group": q_w3_rank_topn_per_group,
@@ -950,6 +990,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'"
             " AND o_orderdate < TIMESTAMP '1996-01-01' AND o_custkey IN"
             " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+        ),
+        "x1_asof_join": (
+            "WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),"
+            " purchases AS (SELECT user_id, ts, event_id AS purchase_id, value FROM events"
+            " WHERE event_type='purchase')"
+            " SELECT c.event_id, c.user_id, p.purchase_id,"
+            " round(p.value, 4) AS purchase_value"
+            " FROM clicks c ASOF LEFT JOIN purchases p"
+            " ON c.user_id = p.user_id AND c.ts >= p.ts"
+        ),
+        "x2_interval_join": (
+            "WITH intervals AS (SELECT n_nationkey AS promo_id,"
+            " TIMESTAMP '1995-01-01' + INTERVAL (n_nationkey * 90) DAY AS start_ts,"
+            " TIMESTAMP '1995-01-01' + INTERVAL (n_nationkey * 90 + 60) DAY AS end_ts"
+            " FROM nation)"
+            " SELECT promo_id, count(*) AS n_items FROM lineitem JOIN intervals"
+            " ON l_shipdate >= start_ts AND l_shipdate < end_ts GROUP BY promo_id"
         ),
         "w1_latest_per_key": (
             "SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str"

@@ -1,0 +1,70 @@
+"""As-of and interval join edge semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_api_spark.operators.temporal import asof_join, interval_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:00:00"), (2, "u1", "2024-01-01 12:00:00"),
+         (3, "u2", "2024-01-01 09:00:00")],
+        ["event_id", "user_id", "ts"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 09:30:00", 100.0), ("u1", "2024-01-01 11:00:00", 200.0),
+         ("u2", "2024-01-01 10:00:00", 300.0)],
+        ["user_id", "ts", "value"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    return left, right
+
+
+def test_asof_backward(spark):
+    left, right = _frames(spark)
+    out = {r["event_id"]: r["value"]
+           for r in asof_join(left, right, "user_id", "ts", "ts", ["value"]).collect()}
+    assert out[1] == 100.0   # latest prior
+    assert out[2] == 200.0   # newer state picked at 12:00
+    assert out[3] is None    # u2 has no prior purchase at 09:00
+
+
+def test_asof_tie_inclusive(spark):
+    left, right = _frames(spark)
+    tied = left.withColumn("ts", F.to_timestamp(F.lit("2024-01-01 11:00:00")))
+    out = {r["event_id"]: r["value"]
+           for r in asof_join(tied.filter(F.col("user_id") == "u1"), right,
+                               "user_id", "ts", "ts", ["value"]).collect()}
+    assert out[1] == 200.0  # right row at exactly left_ts matches (>=)
+
+
+def test_asof_forward(spark):
+    left, right = _frames(spark)
+    out = {r["event_id"]: r["value"]
+           for r in asof_join(left, right, "user_id", "ts", "ts", ["value"],
+                               direction="forward").collect()}
+    assert out[1] == 200.0  # next right at 11:00
+    assert out[3] == 300.0  # u2's purchase comes later
+    assert out[2] is None   # nothing after 12:00
+
+
+def test_asof_bad_direction(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError):
+        asof_join(left, right, "user_id", "ts", "ts", ["value"], direction="sideways")
+
+
+def test_interval_join_boundaries(spark):
+    events = spark.createDataFrame(
+        [(1, "2024-01-05"), (2, "2024-01-10"), (3, "2024-02-15")], ["id", "ts"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [(10, "2024-01-01", "2024-01-10"), (20, "2024-01-10", "2024-02-01")],
+        ["iid", "s", "e"],
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    out = {(r["id"], r["iid"]) for r in
+           interval_join(events, intervals, "ts", "s", "e", chunk="2 days").collect()}
+    # [start, end): event 2 at the boundary belongs to the second interval
+    assert out == {(1, 10), (2, 20)}
