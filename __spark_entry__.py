@@ -501,6 +501,55 @@ def q_x2_interval_join(spark, sf_dir):
 
 # ---------------------------------------------------------------- windows --
 
+def q_x3_hierarchical_rollup(spark, sf_dir):
+    """Hypertable rollup: hour tier from raw, day tier from hour tier
+    (sums-of-sums) — raw scanned once; avg derived at read time."""
+    from healthcare_api_spark.operators.rollup import hierarchical_rollup, rollup_union
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    tiers = hierarchical_rollup(ev, "ts", "value", ["hour", "day"], ("event_type",))
+    u = rollup_union(tiers)
+    return u.select(
+        "level",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "cnt",
+        F.round("sum_v", 2).alias("sum_v"),
+        # avg is intentionally NOT emitted: it's sum_v/cnt at read time,
+        # and rounding a division straddles engine-specific round()
+        # boundary behavior (Java shortest-repr vs binary-double)
+        F.round("min_v", 4).alias("min_v"),
+        F.round("max_v", 4).alias("max_v"),
+    )
+
+
+def q_k1_sketch_distinct(spark, sf_dir):
+    """HLL++ sketch: approx distinct users per event type. Sketches are
+    engine-specific — no cross-engine oracle; rows-only check, with the
+    exact-vs-approx error bound asserted in tests."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+def q_k2_sketch_quantiles(spark, sf_dir):
+    """KLL-style quantile sketch (percentile_approx). Rows-only (sketch
+    values are engine-specific); accuracy asserted in tests."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q")
+    ).select(
+        "event_type",
+        F.round(F.col("q").getItem(0), 4).alias("p50"),
+        F.round(F.col("q").getItem(1), 4).alias("p95"),
+        F.round(F.col("q").getItem(2), 4).alias("p99"),
+    )
+
+
 def q_w1_latest_per_key(spark, sf_dir):
     _tune(spark)
     orders = _t(spark, sf_dir, "orders")
@@ -820,6 +869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j7_chained_search": q_j7_chained_search,
         "x1_asof_join": q_x1_asof_join,
         "x2_interval_join": q_x2_interval_join,
+        "x3_hierarchical_rollup": q_x3_hierarchical_rollup,
+        "k1_sketch_distinct": q_k1_sketch_distinct,
+        "k2_sketch_quantiles": q_k2_sketch_quantiles,
         "w1_latest_per_key": q_w1_latest_per_key,
         "w2_keyset_page": q_w2_keyset_page,
         "w3_rank_topn_per_group": q_w3_rank_topn_per_group,
@@ -990,6 +1042,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'"
             " AND o_orderdate < TIMESTAMP '1996-01-01' AND o_custkey IN"
             " (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+        ),
+        "x3_hierarchical_rollup": (
+            "WITH h AS (SELECT date_trunc('hour', ts) AS bucket, event_type,"
+            " count(*) AS cnt, sum(value) AS sum_v, min(value) AS min_v, max(value) AS max_v"
+            " FROM events GROUP BY 1, 2),"
+            " d AS (SELECT date_trunc('day', bucket) AS bucket, event_type,"
+            " CAST(sum(cnt) AS BIGINT) AS cnt, sum(sum_v) AS sum_v, min(min_v) AS min_v,"
+            " max(max_v) AS max_v FROM h GROUP BY 1, 2),"
+            " u AS (SELECT 'hour' AS level, * FROM h UNION ALL SELECT 'day', * FROM d)"
+            " SELECT level, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,"
+            " cnt, round(sum_v, 2) AS sum_v,"
+            " round(min_v, 4) AS min_v, round(max_v, 4) AS max_v FROM u"
         ),
         "x1_asof_join": (
             "WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),"

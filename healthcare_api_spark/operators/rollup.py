@@ -1,0 +1,82 @@
+"""Hypertable-style hierarchical time rollups (brief: "hypertable
+rollup" as an archetypal custom operator).
+
+The continuous-aggregate pattern: aggregate raw events once at the
+finest resolution, then derive each coarser tier FROM THE PREVIOUS TIER
+(sums of sums, counts of counts, min of mins…). At 100 TB the raw table
+is touched exactly once; the hour→day→month re-aggregations run over
+tables that are orders of magnitude smaller. The naive alternative —
+one groupBy per resolution over raw — scans the fact table N times.
+
+``RollupSpec`` keeps only decomposable aggregates (sum/count/min/max);
+avg is derived as sum/count at read time, exactly like TimescaleDB /
+Druid / Mesa-style systems do.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TRUNC = {"minute": "minute", "hour": "hour", "day": "day", "week": "week",
+          "month": "month", "year": "year"}
+_ORDER = ["minute", "hour", "day", "week", "month", "year"]
+
+
+@dataclass
+class RollupTier:
+    level: str
+    df: DataFrame
+
+
+def hierarchical_rollup(
+    events: DataFrame,
+    ts_col: str,
+    value_col: str,
+    levels: list[str],
+    group_cols: tuple[str, ...] = (),
+) -> dict[str, DataFrame]:
+    """Build one aggregate table per level; each tier derives from the
+    previous (finer) tier. Returns {level: DataFrame} with columns
+    (bucket, *group_cols, cnt, sum_v, min_v, max_v).
+    """
+    for lv in levels:
+        if lv not in _TRUNC:
+            raise ValueError(f"unknown level: {lv}")
+    ordered = sorted(levels, key=_ORDER.index)
+
+    tiers: dict[str, DataFrame] = {}
+    finest = ordered[0]
+    base = events.groupBy(
+        F.date_trunc(_TRUNC[finest], F.col(ts_col)).alias("bucket"), *group_cols
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(value_col).cast("double")).alias("sum_v"),
+        F.min(F.col(value_col).cast("double")).alias("min_v"),
+        F.max(F.col(value_col).cast("double")).alias("max_v"),
+    )
+    tiers[finest] = base
+    prev = base
+    for lv in ordered[1:]:
+        prev = prev.groupBy(
+            F.date_trunc(_TRUNC[lv], F.col("bucket")).alias("bucket"), *group_cols
+        ).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+        tiers[lv] = prev
+    return tiers
+
+
+def rollup_union(tiers: dict[str, DataFrame]) -> DataFrame:
+    """All tiers as one frame with a ``level`` discriminator — the
+    queryable 'continuous aggregate' view."""
+    out = None
+    for lv, df in tiers.items():
+        tagged = df.withColumn("level", F.lit(lv))
+        out = tagged if out is None else out.unionByName(tagged)
+    return out

@@ -1,0 +1,49 @@
+"""Hierarchical rollup correctness + sketch accuracy bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_api_spark.operators.rollup import hierarchical_rollup, rollup_union
+from healthcare_api_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_tiers_compose_exactly(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    tiers = hierarchical_rollup(ev, "ts", "value", ["hour", "day"], ("event_type",))
+    # the day tier derived from hours must equal a direct day aggregation
+    direct = ev.groupBy(
+        F.date_trunc("day", "ts").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum(F.col("value").cast("double")), 6).alias("s"))
+    derived = tiers["day"].select("bucket", "event_type", "cnt", F.round("sum_v", 6).alias("s"))
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, derived.collect()))
+
+
+def test_rollup_union_levels(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    u = rollup_union(hierarchical_rollup(ev, "ts", "value", ["hour", "day"]))
+    levels = {r["level"] for r in u.select("level").distinct().collect()}
+    assert levels == {"hour", "day"}
+
+
+def test_unknown_level_raises(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    with pytest.raises(ValueError):
+        hierarchical_rollup(ev, "ts", "value", ["fortnight"])
+
+
+def test_sketch_accuracy_bounds(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    approx = {r["event_type"]: r["a"] for r in ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("a")).collect()}
+    exact = {r["event_type"]: r["e"] for r in ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("e")).collect()}
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(3, 0.05 * exact[k])
+
+    q = ev.agg(F.percentile_approx("value", 0.5, 10000).alias("m")).collect()[0]["m"]
+    exact_m = ev.agg(F.expr("percentile(value, 0.5)").alias("m")).collect()[0]["m"]
+    assert abs(q - exact_m) <= max(1.0, 0.05 * abs(exact_m))
