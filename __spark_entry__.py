@@ -114,6 +114,23 @@ def q_a1_group_collect(spark, sf_dir):
     return grouped
 
 
+def q_a6_grouping_sets(spark, sf_dir):
+    """Multi-granularity aggregation in one pass (GROUPING SETS / cube
+    shape — the §2.4 'not present in reference' row, exposed natively)."""
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+            "total",
+        )
+    )
+
+
 def q_a5_invariant_counts(spark, sf_dir):
     _tune(spark)
     orders, cust = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
@@ -845,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_distinct_set": q_a2_distinct_set,
         "a1_group_collect": q_a1_group_collect,
         "a5_invariant_counts": q_a5_invariant_counts,
+        "a6_grouping_sets": q_a6_grouping_sets,
         "s1_s4_ndjson_roundtrip": q_s1_s4_ndjson_roundtrip,
         "p1_p3_drop_fields": q_p1_p3_drop_fields,
         "p4_p6_nested_ops": q_p4_p6_nested_ops,
@@ -974,6 +992,12 @@ def oracle_sql() -> dict[str, str]:
         "p10_array_rename": "SELECT doc_id, lang AS proc_code FROM documents",
         "p11_rename_flat": (
             "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_str FROM events"
+        ),
+        "a6_grouping_sets": (
+            "SELECT coalesce(o_orderstatus, 'ALL') AS status,"
+            " coalesce(o_orderpriority, 'ALL') AS priority,"
+            " count(*) AS cnt, round(sum(o_totalprice), 2) AS total"
+            " FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
         ),
         "p13_p14_projection": (
             "SELECT p_partkey, split_part(p_name, ' ', 1) AS first_word,"

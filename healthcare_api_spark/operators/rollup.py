@@ -72,6 +72,28 @@ def hierarchical_rollup(
     return tiers
 
 
+def refresh_tier(existing: DataFrame, new_events: DataFrame, ts_col: str,
+                 value_col: str, level: str, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Incrementally maintain a tier: aggregate ONLY the new events at
+    this level, then merge-add into the existing tier (cnt/sum add,
+    min/max combine). This is the continuous-aggregate refresh — cost is
+    O(new events + touched buckets), never a re-scan of history.
+
+    Use from a Structured Streaming foreachBatch for true streaming
+    maintenance; idempotence requires exactly-once batch delivery
+    (checkpointed foreachBatch provides it).
+    """
+    delta = hierarchical_rollup(new_events, ts_col, value_col, [level], group_cols)[level]
+    keys = ["bucket", *group_cols]
+    merged = existing.unionByName(delta)
+    return merged.groupBy(*keys).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
 def rollup_union(tiers: dict[str, DataFrame]) -> DataFrame:
     """All tiers as one frame with a ``level`` discriminator — the
     queryable 'continuous aggregate' view."""

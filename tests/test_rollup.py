@@ -35,6 +35,22 @@ def test_unknown_level_raises(spark):
         hierarchical_rollup(ev, "ts", "value", ["fortnight"])
 
 
+def test_incremental_refresh_equals_full_rebuild(spark):
+    from healthcare_api_spark.operators.rollup import refresh_tier
+
+    ev = load_table(spark, SF_DIR, "events")
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    base = hierarchical_rollup(old, "ts", "value", ["hour"], ("event_type",))["hour"]
+    refreshed = refresh_tier(base, new, "ts", "value", "hour", ("event_type",))
+    full = hierarchical_rollup(ev, "ts", "value", ["hour"], ("event_type",))["hour"]
+    r = sorted((str(x["bucket"]), x["event_type"], x["cnt"], round(x["sum_v"], 6))
+               for x in refreshed.collect())
+    f = sorted((str(x["bucket"]), x["event_type"], x["cnt"], round(x["sum_v"], 6))
+               for x in full.collect())
+    assert r == f
+
+
 def test_sketch_accuracy_bounds(spark):
     ev = load_table(spark, SF_DIR, "events")
     approx = {r["event_type"]: r["a"] for r in ev.groupBy("event_type").agg(
