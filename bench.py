@@ -35,6 +35,9 @@ HEADLINE = [
     "v1_ann_topk",
     "t2_quality_score",
     "t4_fingerprints",
+    "x1_asof_join",
+    "x3_hierarchical_rollup",
+    "a6_grouping_sets",
 ]
 
 

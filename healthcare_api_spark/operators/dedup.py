@@ -270,6 +270,66 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> 
     )
 
 
+# ------------------------------------------------- components clustering --
+
+def cluster_pairs(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs → transitive
+    dedup clusters: (id, cluster_id = min id in component).
+
+    Iterative min-label propagation on DataFrames (the standard
+    large-graph approach — alternating small-star steps): each round
+    joins labels to the symmetric edge list and takes the min neighbor
+    label; converges in O(component diameter) rounds, each one shuffle.
+    ``pairs`` must have columns (id_a, id_b); singletons come from
+    ``all_ids``. Early-exits when a round changes nothing.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint each round: iterative DataFrame loops otherwise grow
+    # the logical plan exponentially (and the convergence check would
+    # recompute the whole history every round)
+    labels = all_ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------------- embedding near-dup --
 
 def embedding_neardup_pairs(

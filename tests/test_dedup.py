@@ -73,6 +73,22 @@ def test_simhash_identical_for_dups(spark):
     assert 0 <= rows[1]["simhash"] < (1 << 16)
 
 
+def test_cluster_pairs_transitive(spark):
+    # chain 1-2-3 plus pair 5-6 plus singleton 9: components {1,2,3},{5,6},{9}
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 9]], ["id"])
+    out = {r["id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs, ids).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_cluster_pairs_long_chain_converges(spark):
+    n = 12
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(i,) for i in range(n + 1)], ["id"])
+    out = {r["id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs, ids, max_iter=20).collect()}
+    assert set(out.values()) == {0}  # one component labeled by its min
+
+
 def test_embedding_neardup(spark):
     emb = spark.createDataFrame(
         [
