@@ -738,6 +738,25 @@ def q_d4_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.3)
 
 
+def q_d6_neardup_clusters(spark, sf_dir):
+    """The full near-dup pipeline: minhash band candidates → transitive
+    connected-components clustering (iterative label propagation)."""
+    _tune(spark)
+    docs = _docs_dup(spark, sf_dir)
+    sets = docs.select(
+        "doc_id", dedup.seeded_hash_min(F.col("text"), 0, 3).alias("mh0")
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("mh0").alias("ma"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("mh0").alias("mb"))
+    pairs = (
+        a.join(b, F.col("ma") == F.col("mb"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    ids = docs.select(F.col("doc_id").alias("id"))
+    return dedup.cluster_pairs(pairs, ids, "id", max_iter=6).withColumnRenamed("id", "doc_id")
+
+
 def q_d5_embed_neardup(spark, sf_dir):
     """Embedding near-dup within label buckets; the shifted-id union
     plants exact duplicates (cos=1.0) so the operator has real work —
@@ -905,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_simhash": q_d3_simhash,
         "d4_ngram_jaccard": q_d4_ngram_jaccard,
         "d5_embed_neardup": q_d5_embed_neardup,
+        "d6_neardup_clusters": q_d6_neardup_clusters,
         "v1_ann_topk": q_v1_ann_topk,
         "v2_ann_lsh": q_v2_ann_lsh,
         "t1_lang_id": q_t1_lang_id,
@@ -1191,6 +1211,20 @@ def oracle_sql() -> dict[str, str]:
             " FROM sets a JOIN sets b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id"
             " WHERE len(list_intersect(a.ss, b.ss)) /"
             " (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.3"
+        ),
+        "d6_neardup_clusters": (
+            f"WITH RECURSIVE docs AS ({_DOCS_DUP_SQL}), {_shingle_cte()},"
+            " sets AS (SELECT doc_id, min(md5('s0:' || s)) AS mh0 FROM sh GROUP BY doc_id),"
+            " pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sets a"
+            "  JOIN sets b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id),"
+            " sym AS (SELECT id_a AS a, id_b AS b FROM pairs"
+            "  UNION SELECT id_b, id_a FROM pairs),"
+            " reach(a, b) AS ("
+            "  SELECT a, b FROM sym"
+            "  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)"
+            " SELECT d.doc_id,"
+            " least(d.doc_id, coalesce((SELECT min(b) FROM reach WHERE a = d.doc_id),"
+            " d.doc_id)) AS cluster_id FROM docs d"
         ),
         "d5_embed_neardup": (
             "WITH all_v AS (SELECT vec_id, embedding, label FROM embeddings"

@@ -89,6 +89,41 @@ def test_minhash_duplication_invariant_property(spark, docs):
 
 
 @_slow
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 999)),
+             min_size=0, max_size=25),
+)
+def test_asof_join_matches_naive_property(spark, lefts, rights):
+    """asof_join == the obvious per-row 'latest right ≤ left_ts' rule."""
+    from healthcare_api_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], ["lid", "k", "ts"]
+    )
+    right = spark.createDataFrame(rights, ["k", "ts", "payload"]) if rights else (
+        spark.createDataFrame([], "k int, ts int, payload int"))
+    got = {r["lid"]: r["payload"]
+           for r in asof_join(left, right, "k", "ts", "ts", ["payload"]).collect()}
+
+    def naive(k, t):
+        cands = [(rt, p) for (rk, rt, p) in rights if rk == k and rt <= t]
+        if not cands:
+            return None
+        best_ts = max(c[0] for c in cands)
+        # ties at the same ts: our window picks the LAST right row in
+        # (ts, input) order — emulate by taking the max payload position;
+        # restrict generated data to unique (k, ts) instead:
+        return [p for (rt, p) in cands if rt == best_ts][-1]
+
+    seen = set()
+    unique_ts = all((rk, rt) not in seen and not seen.add((rk, rt)) for rk, rt, _ in rights)
+    if unique_ts:
+        for i, (k, t) in enumerate(lefts):
+            assert got[i] == naive(k, t), (i, k, t)
+
+
+@_slow
 @given(st.lists(st.tuples(ids, texts), min_size=1, max_size=20))
 def test_exact_dedup_counts_property(spark, rows):
     df = spark.createDataFrame(rows + rows, ["k", "t"]).withColumn(
