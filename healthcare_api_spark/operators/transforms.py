@@ -113,14 +113,19 @@ def transform_imaging_study(df: DataFrame) -> DataFrame:
             "series",
             F.transform(
                 F.col("series"),
+                # guard like the reference's `if "modality" in series`
+                # (transform.py:65): absent modality stays absent, not {}
                 lambda s: s.withField(
                     "modality",
-                    F.struct(
-                        F.regexp_replace(s["modality"]["coding"][0]["system"], " ", "").alias(
-                            "system"
+                    F.when(
+                        s["modality"].isNotNull(),
+                        F.struct(
+                            F.regexp_replace(s["modality"]["coding"][0]["system"], " ", "").alias(
+                                "system"
+                            ),
+                            s["modality"]["coding"][0]["code"].alias("code"),
+                            s["modality"]["coding"][0]["display"].alias("display"),
                         ),
-                        s["modality"]["coding"][0]["code"].alias("code"),
-                        s["modality"]["coding"][0]["display"].alias("display"),
                     ),
                 ),
             ),

@@ -110,9 +110,24 @@ class SearchEngine:
         self.tables = tables
         self.configs = configs
 
+    @classmethod
+    def from_store(cls, store, type_configs: dict[str, "SearchConfig"]) -> "SearchEngine":
+        """Bind the engine to a ResourceStore: one table per configured
+        resource type (partition-pruned scans)."""
+        return cls({t: store.table(t) for t in type_configs}, type_configs)
+
     def _resolve(self, rtype: str, name: str) -> str:
         cfg = self.configs.get(rtype, SearchConfig())
         return cfg.params.get(name, name)
+
+    def _check_column(self, df: DataFrame, rtype: str, param: str, colpath: str) -> None:
+        try:
+            df.select(F.col(colpath))
+        except Exception as e:
+            raise ValueError(
+                f"unknown search parameter '{param}' for {rtype}: no column "
+                f"'{colpath}' (configure it in SearchConfig.params)"
+            ) from e
 
     def search(self, resource_type: str, params: dict[str, str]) -> DataFrame:
         """Translate ``params`` into a DataFrame plan over the catalog."""
@@ -192,9 +207,9 @@ class SearchEngine:
                 ref_col, _t = cfg.reference_params[name]
                 df = df.filter(F.col(ref_col) == F.lit(raw))
             else:
-                df = df.filter(
-                    _apply_simple(df, self._resolve(resource_type, name), raw, modifier or None)
-                )
+                colpath = self._resolve(resource_type, name)
+                self._check_column(df, resource_type, name, colpath)
+                df = df.filter(_apply_simple(df, colpath, raw, modifier or None))
 
         if total_only:
             return df.agg(F.count(F.lit(1)).alias("total"))

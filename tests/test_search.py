@@ -59,6 +59,22 @@ def test_array_string_search_humanname(spark):
     assert [r["id"] for r in eng.search("Patient", {"name": "eve,smi"}).collect()] == ["p1", "p2"]
 
 
+def test_unknown_param_clear_error(engine):
+    with pytest.raises(ValueError, match="unknown search parameter 'bogus'"):
+        engine.search("Patient", {"bogus": "x"})
+
+
+def test_from_store(spark, tmp_path):
+    from healthcare_api_spark.sources.store import ResourceStore
+
+    store = ResourceStore(spark, str(tmp_path / "s"))
+    store.import_resources(
+        spark.createDataFrame([("p1", "female"), ("p2", "male")], ["id", "gender"]), "Patient"
+    )
+    eng = SearchEngine.from_store(store, {"Patient": SearchConfig()})
+    assert eng.search("Patient", {"gender": "female"}).count() == 1
+
+
 def test_token_system_code(engine):
     out = engine.search("Observation", {"code_token": "http://loinc.org|8480-6"})
     assert [r["id"] for r in out.collect()] == ["o1"]

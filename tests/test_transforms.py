@@ -85,6 +85,13 @@ def test_imaging_study(spark, write_ndjson_file):
     assert mod["code"] == "CT"
 
 
+def test_imaging_study_missing_modality_stays_absent(spark, write_ndjson_file):
+    data = [{"resourceType": "ImagingStudy", "id": "i2", "series": [{}]}]
+    rows, _ = _rows(spark, write_ndjson_file, "ImagingStudy", data)
+    # reference guards `if "modality" in series` — absent stays absent
+    assert rows["i2"]["series"][0]["modality"] is None
+
+
 def test_medication_administration_choice(spark, write_ndjson_file):
     data = [
         {"resourceType": "MedicationAdministration", "id": "m1",
