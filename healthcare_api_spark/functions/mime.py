@@ -73,18 +73,25 @@ def mime_lookup_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def mime_from_name(file_name: Column) -> Column:
+    """Extension→MIME CASE chain over any file-name/path column — the
+    single source of truth for the lookup (used by guess_mime_expr and
+    the assay rewrite's title/url fallback)."""
+    ext = extension(file_name)
+    out = None
+    for e, m in MIME_BY_EXT.items():
+        cond = ext == F.lit(e)
+        out = F.when(cond, F.lit(m)) if out is None else out.when(cond, F.lit(m))
+    return F.coalesce(out, F.lit(OCTET_STREAM))
+
+
 def guess_mime_expr(url: Column) -> Column:
     """Pure-expression variant: CASE chain over MIME_BY_EXT.
 
     For narrow pipelines where a join is overkill; constant-folded by
     Catalyst into a single codegen stage.
     """
-    ext = extension(url_path(url))
-    out = None
-    for e, m in MIME_BY_EXT.items():
-        cond = ext == F.lit(e)
-        out = F.when(cond, F.lit(m)) if out is None else out.when(cond, F.lit(m))
-    return F.coalesce(out, F.lit(OCTET_STREAM))
+    return mime_from_name(url_path(url))
 
 
 def guess_mime(df: DataFrame, url_col: str, out_col: str = "contentType") -> DataFrame:

@@ -62,12 +62,14 @@ def exact_dedup_by_content(
 
 # -------------------------------------------------------------- minhash --
 
-def _rotate_hex(d: Column, i: int) -> Column:
-    """Circular rotation of a 32-hex digest by 8·i chars — a bijection on
-    the digest space, so min over it is a valid minhash permutation."""
-    if i == 0:
+def _rotate_hex(d: Column, i: int, step: int = 8) -> Column:
+    """Circular rotation of a 32-hex digest by step·i chars — a bijection
+    on the digest space, so min over it is a valid minhash permutation.
+    ``step`` must be chosen so the k rotations are distinct (see
+    minhash_signatures)."""
+    k = (step * i) % 32
+    if k == 0:
         return d
-    k = (8 * i) % 32
     return F.concat(F.substring(d, k + 1, 32 - k), F.substring(d, 1, k))
 
 
@@ -103,6 +105,11 @@ def minhash_signatures(
     the per-row hash-set build would be interpreted overhead.
     """
     if family == "rotation":
+        if num_hashes > 32:
+            raise ValueError("rotation family supports at most 32 hashes; use family='seeded'")
+        # distinct rotations: step shrinks as k grows (k=4 → 8-char step,
+        # k=8 → 4-char step); step*i < 32 for all i keeps them unique
+        step = max(32 // num_hashes, 1)
         digests = F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: F.md5(s))
         # 'g' sorts above every md5 hex digit — a safe +infinity
         init = F.struct(*[F.lit("g").alias(f"mh{i}") for i in range(num_hashes)])
@@ -110,7 +117,10 @@ def minhash_signatures(
             digests,
             init,
             lambda acc, d: F.struct(
-                *[F.least(acc[f"mh{i}"], _rotate_hex(d, i)).alias(f"mh{i}") for i in range(num_hashes)]
+                *[
+                    F.least(acc[f"mh{i}"], _rotate_hex(d, i, step)).alias(f"mh{i}")
+                    for i in range(num_hashes)
+                ]
             ),
         )
         barrier = df.select(F.col(id_col), F.explode(F.array(folded)).alias("_sig"))
@@ -221,11 +231,13 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("double")
     union = (F.size(F.col("set_a")) + F.size(F.col("set_b"))).cast("double") - inter
+    # threshold on the RAW ratio (rounding first would admit boundary
+    # pairs just below threshold); round only for output
     return (
         a.join(b, F.col("mh_a") == F.col("mh_b"))
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter((inter / union) >= threshold)
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -300,6 +312,7 @@ def cluster_pairs(
     labels = all_ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -325,8 +338,19 @@ def cluster_pairs(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # silent truncation would split components — surface it
+        import warnings
+
+        warnings.warn(
+            f"cluster_pairs did not converge within max_iter={max_iter}; "
+            "components with larger diameter are split — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -58,9 +58,13 @@ def hierarchical_rollup(
         F.max(F.col(value_col).cast("double")).alias("max_v"),
     )
     tiers[finest] = base
-    prev = base
+    # weeks straddle month/year boundaries, so a week tier is a valid
+    # CHILD but never a valid PARENT: coarser tiers derive from the
+    # finest non-week tier below them
+    prev_nestable = base
     for lv in ordered[1:]:
-        prev = prev.groupBy(
+        src = prev_nestable
+        tier = src.groupBy(
             F.date_trunc(_TRUNC[lv], F.col("bucket")).alias("bucket"), *group_cols
         ).agg(
             F.sum("cnt").alias("cnt"),
@@ -68,7 +72,9 @@ def hierarchical_rollup(
             F.min("min_v").alias("min_v"),
             F.max("max_v").alias("max_v"),
         )
-        tiers[lv] = prev
+        tiers[lv] = tier
+        if lv != "week":
+            prev_nestable = tier
     return tiers
 
 

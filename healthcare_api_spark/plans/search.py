@@ -78,12 +78,26 @@ def _typed_lit(df: DataFrame, colpath: str, value: str):
     return c
 
 
+_PREFIXABLE_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float",
+                     "decimal", "timestamp", "date", "timestamp_ntz")
+
+
 def _apply_simple(df: DataFrame, colpath: str, raw: str, modifier: str | None) -> Column:
-    """One (param, value) → predicate. Comma in value = OR (FHIR 'or')."""
+    """One (param, value) → predicate. Comma in value = OR (FHIR 'or').
+
+    Comparator prefixes (ge/le/…) apply to number/date/quantity columns
+    per the FHIR grammar, and to string columns only when the remainder
+    is digit-leading (ISO dates / numbers kept as strings) — otherwise
+    string values that happen to start with 'ge'/'ne'/'le' ("george",
+    "neuro", "lesion") would be silently misparsed as comparisons.
+    """
+    dtype0 = df.select(F.col(colpath)).schema[0].dataType.simpleString()
+    typed_prefixable = any(dtype0.startswith(t) for t in _PREFIXABLE_TYPES)
     ors = []
     for value in raw.split(","):
         prefix = value[:2]
-        if prefix in _PREFIX_OPS and len(value) > 2:
+        prefixable = typed_prefixable or (len(value) > 2 and value[2].isdigit())
+        if prefixable and prefix in _PREFIX_OPS and len(value) > 2:
             ors.append(_PREFIX_OPS[prefix](F.col(colpath), _typed_lit(df, colpath, value[2:])))
         elif modifier == "contains":
             ors.append(F.lower(F.col(colpath)).contains(value.lower()))

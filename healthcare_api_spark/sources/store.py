@@ -44,9 +44,16 @@ class ResourceStore:
         Parquet we rewrite the partition with the deduped union. The
         winner is deterministic: highest version_col, else the update.
         """
+        from pyspark.errors import AnalysisException
+
         try:
             existing = self.table(resource_type)
-        except Exception:
+        except AnalysisException as e:
+            # first write for this type: only a missing path is a valid
+            # reason to skip the merge — anything else (corrupt footer,
+            # permissions) must NOT silently overwrite history
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             self.import_resources(updates, resource_type)
             return
         merged = upsert_frames(existing, updates, id_col, version_col)

@@ -41,12 +41,19 @@ def streaming_dedup(
     def dedup_fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # expiry: drop the key's state so the store stays bounded
+            # (the key may be re-emitted later — at-least-once dedup)
+            state.remove()
+            return iter(())
         n = 0
         for pdf in pdfs:
             n += len(pdf)
         if state.exists:
             (seen,) = state.get
             state.update((seen + n,))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)  # re-arm on every touch
             return iter(())  # duplicate key: emit nothing
         state.update((n,))
         if timeout_ms is not None:

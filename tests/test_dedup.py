@@ -42,6 +42,13 @@ def test_minhash_signatures_shape_and_dup_equality(spark):
     assert rows[1]["mh0"] != rows[4]["mh0"]
 
 
+def test_minhash_rotation_family_distinct_at_k8(spark):
+    sig = dedup.minhash_signatures(_corpus(spark), "doc_id", "text", num_hashes=8)
+    row = sig.filter(F.col("doc_id") == 4).collect()[0]
+    values = [row[f"mh{i}"] for i in range(8)]
+    assert len(set(values)) == 8  # 4-char rotation step keeps all 8 distinct
+
+
 def test_minhash_dedup_clusters(spark):
     out = dedup.minhash_dedup(_corpus(spark), "doc_id", "text", num_hashes=4)
     canon = {r["doc_id"]: r["canonical_id"] for r in out.collect()}

@@ -29,6 +29,19 @@ def test_rollup_union_levels(spark):
     assert levels == {"hour", "day"}
 
 
+def test_week_tier_never_feeds_month(spark):
+    # weeks straddle month boundaries; month must derive from day
+    ev = load_table(spark, SF_DIR, "events")
+    tiers = hierarchical_rollup(ev, "ts", "value", ["day", "week", "month"])
+    direct_month = ev.groupBy(F.date_trunc("month", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    derived = tiers["month"].select("bucket", "cnt")
+    assert sorted(map(tuple, direct_month.collect())) == sorted(
+        map(tuple, derived.select("bucket", "cnt").collect())
+    )
+
+
 def test_unknown_level_raises(spark):
     ev = load_table(spark, SF_DIR, "events")
     with pytest.raises(ValueError):

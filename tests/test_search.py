@@ -59,6 +59,15 @@ def test_array_string_search_humanname(spark):
     assert [r["id"] for r in eng.search("Patient", {"name": "eve,smi"}).collect()] == ["p1", "p2"]
 
 
+def test_string_value_not_misparsed_as_prefix(spark):
+    # "george" starts with 'ge' but is a name, not >= 'orge'
+    patients = spark.createDataFrame(
+        [("p1", "george"), ("p2", "orwell")], ["id", "family"]
+    )
+    eng = SearchEngine({"Patient": patients}, {"Patient": SearchConfig(params={"name": "family"})})
+    assert [r["id"] for r in eng.search("Patient", {"name": "george"}).collect()] == ["p1"]
+
+
 def test_unknown_param_clear_error(engine):
     with pytest.raises(ValueError, match="unknown search parameter 'bogus'"):
         engine.search("Patient", {"bogus": "x"})
