@@ -216,7 +216,10 @@ def ngram_jaccard_pairs(
     The shingle sets are persisted before the self-join: higher-order
     lambda expressions (shingling, per-shingle md5) are interpreted, not
     codegen'd, and projection collapse would otherwise re-evaluate them
-    on both join sides — the dominant cost at scale.
+    on both join sides — the dominant cost at scale. The cached blocks
+    live until Spark's LRU evicts them or the caller runs
+    ``spark.catalog.clearCache()``; sessions running many dedup batches
+    should clear between batches.
     """
     sets = df.select(
         F.col(id_col).alias("_id"),
