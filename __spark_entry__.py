@@ -52,17 +52,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _docs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_dup(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     """documents ∪ shifted copy — guarantees every doc has one exact
     duplicate so the dedup operators have real work at any SF.
 
-    Repartitioned: the SF test files arrive as a single Parquet split,
-    which would serialize the CPU-heavy shingling/hashing onto one core;
-    a 100 TB input arrives pre-split so this is a no-op at scale.
+    ``spread`` repartitions: the SF test files arrive as a single Parquet
+    split, which would serialize CPU-heavy shingling onto one core; a
+    100 TB input arrives pre-split so this is a no-op at scale. Queries
+    whose first real operator already shuffles (exact dedup's window)
+    skip it.
     """
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
-    return dup.repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    if spread:
+        dup = dup.repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    return dup
 
 
 _DOCS_DUP_SQL = (
@@ -716,7 +720,7 @@ def q_st2_sessionize(spark, sf_dir):
 
 def q_d1_dedup_exact(spark, sf_dir):
     _tune(spark)
-    docs = _docs_dup(spark, sf_dir)
+    docs = _docs_dup(spark, sf_dir, spread=False)
     return dedup.exact_dedup_by_content(docs, "doc_id", "text").select("doc_id", "canonical_id")
 
 
