@@ -813,6 +813,20 @@ def q_t4_fingerprints(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_t5_corpus_stats(spark, sf_dir):
+    """Corpus accounting: per-language doc/token/subword totals —
+    the composition textops → aggregate a training pipeline reports."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    counts = textops.token_counts(docs, "doc_id", "text")
+    joined = docs.select("doc_id", "lang").join(counts, "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_subwords").alias("subwords"),
+    )
+
+
 # -------------------------------------------------------------- multimodal --
 
 def q_m1_attachment_meta(spark, sf_dir):
@@ -935,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t2_quality_score": q_t2_quality_score,
         "t3_token_counts": q_t3_token_counts,
         "t4_fingerprints": q_t4_fingerprints,
+        "t5_corpus_stats": q_t5_corpus_stats,
         "m1_attachment_meta": q_m1_attachment_meta,
         "m2_image_decode_stub": q_m2_image_decode_stub,
         "fs1_search_token": q_fs1_search_token,
@@ -1277,6 +1292,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t4_fingerprints": (
             f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
+        ),
+        "t5_corpus_stats": (
+            f"WITH c AS (SELECT doc_id, lang, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,"
+            f" CAST(len(regexp_extract_all({_NORM_SQL}, '\\w{{1,4}}|[^\\w\\s]')) AS BIGINT)"
+            " AS n_subwords FROM documents)"
+            " SELECT lang, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,"
+            " CAST(sum(n_subwords) AS BIGINT) AS subwords FROM c GROUP BY lang"
         ),
         "m1_attachment_meta": (
             f"SELECT doc_id, CASE doc_id % 11 {mime_case} END AS content_type,"
