@@ -50,9 +50,10 @@ def main() -> None:
     gated = annotated.filter(F.col("score") >= 0.5)
     n_gated = gated.count()
 
-    # 3. exact dedup on normalized content
+    # 3. exact dedup on normalized content (persisted: feeds candidate
+    # generation, clustering, and the final corpus join)
     exact = dedup.exact_dedup_by_content(gated, "doc_id", "text")
-    exact_survivors = exact.filter(F.col("doc_id") == F.col("canonical_id"))
+    exact_survivors = exact.filter(F.col("doc_id") == F.col("canonical_id")).persist()
 
     # 4. near-dup clusters: minhash band candidates → components → reps
     pairs = dedup.lsh_candidate_pairs(
@@ -65,7 +66,10 @@ def main() -> None:
     reps = clusters.filter(F.col("id") == F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
     )
-    corpus = exact_survivors.join(reps, "doc_id")
+    # persisted: four downstream actions (count, token stats, the
+    # partitioned write, the per-language report) would otherwise re-run
+    # the whole annotate→gate→dedup→cluster lineage each
+    corpus = exact_survivors.join(reps, "doc_id").persist()
     n_corpus = corpus.count()
 
     # 5. embedding near-dup audit (separate modality, LSH-bucketed)

@@ -40,12 +40,16 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     normalized text. Narrow (no explode, no shuffle).
     """
     s = normalize_text(c)
-    # lookahead captures the n-token window; the consumed `\S+ ` advances
+    # lookahead captures the n-token window; the consumed `\S+ ?` advances
     # the engine one whole token per match (a bare lookahead would be
-    # zero-width and also match at every character inside tokens)
-    pattern = r"(?=((?:\S+ ){" + str(n - 1) + r"}\S+))\S+ "
+    # zero-width and also match at every character inside tokens). The
+    # optional trailing space matters only for n=1, where the last token
+    # has none.
+    pattern = r"(?=((?:\S+ ){" + str(n - 1) + r"}\S+))\S+ ?"
     full = F.regexp_extract_all(s, F.lit(pattern), 1)
-    return F.when(F.size(full) > 0, full).otherwise(F.array(s))
+    # fallback parity with the token-array formulation: null text behaves
+    # like empty text (one '' shingle)
+    return F.when(F.size(full) > 0, full).otherwise(F.array(F.coalesce(s, F.lit(""))))
 
 
 def char_ngrams(c: Column, n: int = 5) -> Column:

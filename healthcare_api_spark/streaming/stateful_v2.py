@@ -56,7 +56,10 @@ class RunningStatsProcessor(StatefulProcessor):
         cnt, s = 0, 0.0
         mn, mx = None, None
         for pdf in rows:
-            v = pdf[self._value_col].astype(float)
+            # nulls are excluded from ALL aggregates (cnt included) so
+            # cnt/sum/min/max stay mutually consistent; an all-null batch
+            # must not poison min/max state with NaN
+            v = pdf[self._value_col].dropna().astype(float)
             cnt += len(v)
             if len(v):
                 s += float(v.sum())

@@ -146,7 +146,14 @@ def gen_research_subject(rng: random.Random, i: int) -> dict:
 
 def strip_nulls(x):
     if isinstance(x, dict):
-        return {k: strip_nulls(v) for k, v in x.items() if v is not None and strip_nulls(v) != {}}
+        out = {}
+        for k, v in x.items():
+            if v is None:
+                continue
+            sv = strip_nulls(v)  # once per value — recursing in both the
+            if sv != {}:         # filter and the value would be O(2^depth)
+                out[k] = sv
+        return out
     if isinstance(x, list):
         return [strip_nulls(v) for v in x]
     return x
