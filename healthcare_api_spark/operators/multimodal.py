@@ -122,6 +122,63 @@ def frame_sample(df: DataFrame, id_col: str, data_col: str, every_n: int = 10) -
     return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_sample, schema)
 
 
+def byte_histogram_features(
+    df: DataFrame, id_col: str, data_col: str, bins: int = 16
+) -> DataFrame:
+    """REAL (not stubbed) feature extraction over binary payloads: an
+    L1-normalized byte-value histogram per payload — codec-free, useful
+    as a cheap modality fingerprint / near-dup signal for opaque blobs.
+    Arrow-batched mapInPandas; numpy does the binning per batch."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("features", ArrayType(DoubleType()))]
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[data_col]:
+                if b is None or len(b) == 0:
+                    feats.append([0.0] * bins)
+                    continue
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist, _ = np.histogram(arr, bins=bins, range=(0, 256))
+                feats.append((hist / hist.sum()).tolist())
+            yield pd.DataFrame({"id": pdf[id_col], "features": feats})
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_extract, schema)
+
+
+def resize_image_stub(
+    df: DataFrame, id_col: str, data_col: str, width: int = 64, height: int = 64
+) -> DataFrame:
+    """STUB image resize: emits a payload of exactly width*height*3 bytes
+    derived deterministically from the input (tiled). The Spark plumbing
+    (binary in/out, batch shape, output sizing) is real; swap the body
+    for PIL/libvips `resize` in production."""
+    schema = StructType(
+        [StructField("id", LongType()), StructField("resized", BinaryType()),
+         StructField("n_bytes", IntegerType())]
+    )
+    target = width * height * 3
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[data_col]:
+                src = bytes(b) if b else b"\x00"
+                # STUB: tile/truncate to the target size instead of decoding
+                tiled = (src * (target // len(src) + 1))[:target]
+                out.append(tiled)
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "resized": out, "n_bytes": [target] * len(pdf)}
+            )
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_resize, schema)
+
+
 def audio_features(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
     """STUB audio feature extraction (duration, sample rate) — raises by
     contract if invoked without a real backend wired in, unless

@@ -56,6 +56,30 @@ def test_frame_sample_fanout(spark):
     assert by_id[1] == [0] and by_id[3] == [0]
 
 
+def test_byte_histogram_features_real(spark):
+    from healthcare_api_spark.operators.multimodal import byte_histogram_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(256)))), (2, bytearray(b"\x00" * 50)), (3, None)],
+        ["id", "data"],
+    )
+    out = {r["id"]: r["features"] for r in byte_histogram_features(df, "id", "data").collect()}
+    assert len(out[1]) == 16 and abs(sum(out[1]) - 1.0) < 1e-9
+    assert all(abs(x - 1 / 16) < 1e-9 for x in out[1])  # uniform bytes → uniform hist
+    assert out[2][0] == 1.0 and sum(out[2][1:]) == 0.0  # all zeros → first bin
+    assert out[3] == [0.0] * 16  # null payload → zero vector
+
+
+def test_resize_stub_output_sizing(spark):
+    from healthcare_api_spark.operators.multimodal import resize_image_stub
+
+    df = spark.createDataFrame([(1, bytearray(b"abc")), (2, None)], ["id", "data"])
+    out = {r["id"]: r for r in resize_image_stub(df, "id", "data", 8, 8).collect()}
+    assert len(out[1]["resized"]) == 8 * 8 * 3 == out[1]["n_bytes"]
+    assert bytes(out[1]["resized"][:6]) == b"abcabc"  # deterministic tiling
+    assert len(out[2]["resized"]) == 8 * 8 * 3
+
+
 def test_audio_stub_marks_integration_point(spark):
     with pytest.raises(NotImplementedError, match="audio"):
         audio_features(_payloads(spark), "id", "data")
