@@ -53,6 +53,40 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# Character-trigram profiles per language (top distinctive trigrams,
+# spaces significant). The char-ngram flavor of the heuristic: robust to
+# unknown words, catches morphology ('sch', 'ión') not just stopwords.
+CHAR_TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "ein", "sch", "ich", "nde", "die", "und", "cht"],
+    "en": ["the", "ing", "and", "ion", "ent", "her", "tha", "nth"],
+    "es": ["que", "ión", "los", "ado", "con", "ent", "cia", "sta"],
+    "fr": ["les", "ent", "ion", "des", "eur", "que", "ait", "une"],
+    "zh": ["shi", "zhe", "ian", "ang", "eng", "ong", "uan", "hao"],
+}
+
+
+def lang_id_chargram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-trigram language-ID: score = occurrences of each
+    language's profile trigrams in the normalized text; argmax with
+    alphabetical tie-break. Same narrow no-UDF shape as ``lang_id`` —
+    use whichever signal fits the corpus (or both, ensembled)."""
+    norm = normalize_text(F.col(text_col))
+    scores = {
+        lang: F.size(
+            F.regexp_extract_all(norm, F.lit("(" + "|".join(tris) + ")"), F.lit(0))
+        )
+        for lang, tris in CHAR_TRIGRAM_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = None
+    for lang in sorted(scores):
+        cond = scores[lang] == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return df.select(
+        F.col(id_col), pred.alias("pred_lang"), best.cast("bigint").alias("pred_score")
+    )
+
+
 def quality_features(c: Column) -> dict[str, Column]:
     """Deterministic quality features over normalized text."""
     norm = normalize_text(c)

@@ -67,6 +67,14 @@ def test_lang_id(spark):
     assert out[3]["pred_score"] == 0 and out[3]["pred_lang"] == "de"
 
 
+def test_lang_id_chargram(spark):
+    out = {r["doc_id"]: r
+           for r in textops.lang_id_chargram(_docs(spark), "doc_id", "text").collect()}
+    assert out[1]["pred_lang"] == "en" and out[1]["pred_score"] > 0
+    assert out[2]["pred_lang"] == "de"
+    assert out[3]["pred_score"] == 0  # punctuation soup matches nothing
+
+
 def test_quality_score_ranges(spark):
     out = {r["doc_id"]: r for r in textops.quality_score(_docs(spark), "doc_id", "text").collect()}
     assert 0.0 <= out[3]["score"] < out[1]["score"] <= 1.0
