@@ -66,3 +66,26 @@ def test_window_queries_single_shuffle(spark):
 def test_keyset_page_pushes_range_filter(spark):
     plan = _plan(entrymod.q_w2_keyset_page(spark, SF_DIR))
     assert "GreaterThan(o_orderkey,100)" in plan
+
+
+def test_asof_join_is_single_window_shuffle(spark):
+    # the union/running-state as-of: one hashpartitioning exchange (the
+    # key window), never a join-pair explosion
+    plan = _plan(entrymod.q_x1_asof_join(spark, SF_DIR))
+    assert "Join" not in plan  # no physical join node at all
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_signatures_fully_narrow(spark):
+    # rotation-family signatures: no exchange until the cluster window
+    from healthcare_api_spark.operators import dedup
+
+    docs = entrymod._docs_dup(spark, SF_DIR, spread=False)
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4)
+    assert "Exchange" not in _plan(sig)
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    plan = _plan(entrymod.q_x2_interval_join(spark, SF_DIR))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # chunk equi-join compiled to a hash/SMJ join
