@@ -25,9 +25,23 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def _marker_count(c: Column, words: list[str]) -> Column:
-    """Number of marker-word occurrences (word-boundary regex count)."""
+    """Number of marker-word occurrences (word-boundary regex count).
+    Null text counts like empty text (0) for deterministic outputs."""
     pat = r"\b(" + "|".join(words) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), F.lit(0)))
+    return F.size(F.regexp_extract_all(F.coalesce(F.lower(c), F.lit("")), F.lit(pat), F.lit(0)))
+
+
+def _argmax_lang(df: DataFrame, id_col: str, scores: dict[str, Column]) -> DataFrame:
+    """Shared argmax-with-alphabetical-tie-break over per-language score
+    expressions → (id, pred_lang, pred_score)."""
+    best = F.greatest(*scores.values())
+    pred = None
+    for lang in sorted(scores):
+        cond = scores[lang] == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return df.select(
+        F.col(id_col), pred.alias("pred_lang"), best.cast("bigint").alias("pred_score")
+    )
 
 
 def lang_scores(c: Column) -> dict[str, Column]:
@@ -40,51 +54,40 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Implemented as a greatest()-driven CASE chain — no UDF, no shuffle.
     Output: (id, pred_lang, pred_score).
     """
-    scores = lang_scores(F.col(text_col))
-    best = F.greatest(*scores.values())
-    pred = None
-    for lang in sorted(scores):  # alphabetical order gives the tie-break
-        cond = scores[lang] == best
-        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
-    return df.select(
-        F.col(id_col),
-        pred.alias("pred_lang"),
-        best.cast("bigint").alias("pred_score"),
-    )
+    return _argmax_lang(df, id_col, lang_scores(F.col(text_col)))
 
 
-# Character-trigram profiles per language (top distinctive trigrams,
-# spaces significant). The char-ngram flavor of the heuristic: robust to
-# unknown words, catches morphology ('sch', 'ión') not just stopwords.
+# Character-trigram profiles for LATIN-SCRIPT languages (top distinctive
+# trigrams, spaces significant). The char-ngram flavor of the heuristic:
+# robust to unknown words, catches morphology ('sch', 'ión') not just
+# stopwords. Non-Latin scripts are detected by Unicode range instead —
+# pinyin trigrams would false-positive on English letter statistics.
 CHAR_TRIGRAM_PROFILES: dict[str, list[str]] = {
     "de": ["der", "ein", "sch", "ich", "nde", "die", "und", "cht"],
     "en": ["the", "ing", "and", "ion", "ent", "her", "tha", "nth"],
     "es": ["que", "ión", "los", "ado", "con", "ent", "cia", "sta"],
     "fr": ["les", "ent", "ion", "des", "eur", "que", "ait", "une"],
-    "zh": ["shi", "zhe", "ian", "ang", "eng", "ong", "uan", "hao"],
 }
 
 
 def lang_id_chargram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Character-trigram language-ID: score = occurrences of each
-    language's profile trigrams in the normalized text; argmax with
-    alphabetical tie-break. Same narrow no-UDF shape as ``lang_id`` —
-    use whichever signal fits the corpus (or both, ensembled)."""
-    norm = normalize_text(F.col(text_col))
-    scores = {
+    """Character-trigram language-ID; argmax, alphabetical tie-break.
+
+    Latin-script languages score by NON-OVERLAPPING matches of the
+    profile-trigram alternation (a deterministic heuristic count, not an
+    exact per-trigram occurrence sum); Chinese scores by Han-codepoint
+    count (script detection — the reliable signal for CJK). Same narrow
+    no-UDF shape as ``lang_id``; use whichever signal fits the corpus.
+    """
+    norm = F.coalesce(normalize_text(F.col(text_col)), F.lit(""))
+    scores: dict[str, Column] = {
         lang: F.size(
             F.regexp_extract_all(norm, F.lit("(" + "|".join(tris) + ")"), F.lit(0))
         )
         for lang, tris in CHAR_TRIGRAM_PROFILES.items()
     }
-    best = F.greatest(*scores.values())
-    pred = None
-    for lang in sorted(scores):
-        cond = scores[lang] == best
-        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
-    return df.select(
-        F.col(id_col), pred.alias("pred_lang"), best.cast("bigint").alias("pred_score")
-    )
+    scores["zh"] = F.size(F.regexp_extract_all(norm, F.lit(r"[一-鿿]"), F.lit(0)))
+    return _argmax_lang(df, id_col, scores)
 
 
 def quality_features(c: Column) -> dict[str, Column]:

@@ -68,11 +68,22 @@ def test_lang_id(spark):
 
 
 def test_lang_id_chargram(spark):
-    out = {r["doc_id"]: r
-           for r in textops.lang_id_chargram(_docs(spark), "doc_id", "text").collect()}
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog went to the market and bought fish"),
+         (2, "der Hund und die Katze sind nicht im Haus das ist gut"),
+         (3, "!!! ??? ... ###"),
+         (4, "你好世界 这是中文文本"),
+         (5, "the musician sang along strongly"),  # en despite pinyin-ish trigrams
+         (6, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.lang_id_chargram(docs, "doc_id", "text").collect()}
     assert out[1]["pred_lang"] == "en" and out[1]["pred_score"] > 0
     assert out[2]["pred_lang"] == "de"
     assert out[3]["pred_score"] == 0  # punctuation soup matches nothing
+    assert out[4]["pred_lang"] == "zh"  # Han-script detection
+    assert out[5]["pred_lang"] == "en"
+    assert out[6]["pred_lang"] == "de" and out[6]["pred_score"] == 0  # null = empty
 
 
 def test_quality_score_ranges(spark):
