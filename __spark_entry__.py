@@ -852,7 +852,12 @@ def q_m2_image_decode_stub(spark, sf_dir):
 
 def _doc_engine(spark, sf_dir) -> SearchEngine:
     tables = {"Document": _t(spark, sf_dir, "documents"), "Event": _t(spark, sf_dir, "events")}
-    configs = {"Document": SearchConfig(), "Event": SearchConfig()}
+    # lang / event_type are configured FHIR-string-class params →
+    # case-insensitive prefix match (oracle: lower(col) LIKE 'v%')
+    configs = {
+        "Document": SearchConfig(string_params={"lang"}),
+        "Event": SearchConfig(string_params={"event_type"}),
+    }
     return SearchEngine(tables, configs)
 
 

@@ -60,6 +60,10 @@ class SearchConfig:
     # param → (array column, struct field): FHIR HumanName-style search,
     # `?name=eve` ≡ exists(name, n -> lower(n.family).startswith('eve'))
     array_string_params: dict[str, tuple[str, str]] = field(default_factory=dict)
+    # params with FHIR class 'string': case-insensitive prefix match
+    # regardless of the query value's case (`?name=Eve` ≡ `?name=eve`).
+    # Params not listed here get token semantics (exact equality).
+    string_params: set[str] = field(default_factory=set)
 
 
 def _typed_lit(df: DataFrame, colpath: str, value: str):
@@ -82,7 +86,9 @@ _PREFIXABLE_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float",
                      "decimal", "timestamp", "date", "timestamp_ntz")
 
 
-def _apply_simple(df: DataFrame, colpath: str, raw: str, modifier: str | None) -> Column:
+def _apply_simple(
+    df: DataFrame, colpath: str, raw: str, modifier: str | None, *, string_class: bool = False
+) -> Column:
     """One (param, value) → predicate. Comma in value = OR (FHIR 'or').
 
     Comparator prefixes (ge/le/…) apply to number/date/quantity columns
@@ -90,6 +96,11 @@ def _apply_simple(df: DataFrame, colpath: str, raw: str, modifier: str | None) -
     is digit-leading (ISO dates / numbers kept as strings) — otherwise
     string values that happen to start with 'ge'/'ne'/'le' ("george",
     "neuro", "lesion") would be silently misparsed as comparisons.
+
+    ``string_class`` carries the *configured* FHIR param class: string
+    params get case-insensitive prefix match regardless of the query
+    value's capitalization (`?name=Eve` ≡ `?name=eve`); everything else
+    is token semantics (typed equality).
     """
     dtype0 = df.select(F.col(colpath)).schema[0].dataType.simpleString()
     typed_prefixable = any(dtype0.startswith(t) for t in _PREFIXABLE_TYPES)
@@ -103,14 +114,10 @@ def _apply_simple(df: DataFrame, colpath: str, raw: str, modifier: str | None) -
             ors.append(F.lower(F.col(colpath)).contains(value.lower()))
         elif modifier == "exact":
             ors.append(F.col(colpath) == F.lit(value))
+        elif string_class:
+            ors.append(F.lower(F.col(colpath)).startswith(value.lower()))
         else:
-            # FHIR string search is case-insensitive prefix; token search
-            # is equality. Strings get startswith, others equality.
-            dtype = df.select(F.col(colpath)).schema[0].dataType.simpleString()
-            if dtype == "string" and not value[:1].isupper():
-                ors.append(F.lower(F.col(colpath)).startswith(value.lower()))
-            else:
-                ors.append(F.col(colpath) == _typed_lit(df, colpath, value))
+            ors.append(F.col(colpath) == _typed_lit(df, colpath, value))
     out = ors[0]
     for o in ors[1:]:
         out = out | o
@@ -173,18 +180,32 @@ class SearchEngine:
                 src = self.tables[src_type]
                 src_cfg = self.configs.get(src_type, SearchConfig())
                 ref_col, _target = src_cfg.reference_params[ref_param]
-                pred = _apply_simple(src, src_cfg.params.get(src_param, src_param), raw, None)
-                keys = src.filter(pred).select(ref_id(F.col(ref_col)).alias("_k")).distinct()
-                df = df.join(F.broadcast(keys), df["id"] == F.col("_k"), "left_semi")
+                pred = _apply_simple(
+                    src, src_cfg.params.get(src_param, src_param), raw, None,
+                    string_class=src_param in src_cfg.string_params,
+                )
+                # Semi-join on the filtered source's reference keys. No
+                # broadcast hint and no pre-distinct: left_semi already
+                # dedups matches, and the key set is unbounded (a loose
+                # filter at 100 TB can match millions of rows — a forced
+                # broadcast would OOM the driver). AQE converts to BHJ at
+                # runtime when the filtered side is actually small.
+                keys = src.filter(pred).select(ref_id(F.col(ref_col)).alias("_k"))
+                df = df.join(keys, df["id"] == F.col("_k"), "left_semi")
             elif "." in name and name.split(".", 1)[0] in cfg.reference_params:
                 # chained search: subject.name=X → join target table
                 ref_param, sub = name.split(".", 1)
                 ref_col, target_type = cfg.reference_params[ref_param]
                 target = self.tables[target_type]
                 t_cfg = self.configs.get(target_type, SearchConfig())
-                pred = _apply_simple(target, t_cfg.params.get(sub, sub), raw, modifier or None)
-                keys = target.filter(pred).select(F.col("id").alias("_k")).distinct()
-                df = df.join(F.broadcast(keys), ref_id(F.col(ref_col)) == F.col("_k"), "left_semi")
+                pred = _apply_simple(
+                    target, t_cfg.params.get(sub, sub), raw, modifier or None,
+                    string_class=sub in t_cfg.string_params,
+                )
+                # Same scale rule as _has: no forced broadcast of the
+                # matched-target id set; AQE picks BHJ iff it is small.
+                keys = target.filter(pred).select(F.col("id").alias("_k"))
+                df = df.join(keys, ref_id(F.col(ref_col)) == F.col("_k"), "left_semi")
             elif modifier == "missing":
                 colpath = self._resolve(resource_type, name)
                 df = df.filter(
@@ -223,7 +244,10 @@ class SearchEngine:
             else:
                 colpath = self._resolve(resource_type, name)
                 self._check_column(df, resource_type, name, colpath)
-                df = df.filter(_apply_simple(df, colpath, raw, modifier or None))
+                df = df.filter(_apply_simple(
+                    df, colpath, raw, modifier or None,
+                    string_class=name in cfg.string_params,
+                ))
 
         if total_only:
             return df.agg(F.count(F.lit(1)).alias("total"))
