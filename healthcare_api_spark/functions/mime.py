@@ -41,7 +41,6 @@ MIME_BY_EXT: dict[str, str] = {
     "jpeg": "image/jpeg",
     "gif": "image/gif",
     "svg": "image/svg+xml",
-    "gz": "application/gzip",
     "zip": "application/zip",
     "tar": "application/x-tar",
     "bam": "application/octet-stream",
@@ -54,6 +53,11 @@ OCTET_STREAM = "application/octet-stream"
 
 # Matches the trailing '.ext' of a path; empty string when no extension.
 _EXT_PATTERN = r"\.([^./]+)$"
+# Compression-encoding suffixes mimetypes.guess_type treats as encodings,
+# not types: 'x.vcf.gz' has type text/tab-separated-values + encoding
+# gzip, and the reference keeps only the type (assay.py:131-136). A bare
+# 'x.gz' types as (None, gzip) → octet-stream fallback.
+_ENCODING_SUFFIX = r"(?i)\.(gz|bz2|xz|Z)$"
 
 
 def url_path(url: Column) -> Column:
@@ -62,8 +66,10 @@ def url_path(url: Column) -> Column:
 
 
 def extension(path: Column) -> Column:
-    """Lower-cased trailing extension of a path; '' if none."""
-    return F.lower(F.regexp_extract(path, _EXT_PATTERN, 1))
+    """Lower-cased trailing extension of a path after stripping a
+    compression-encoding suffix ('.vcf.gz' → 'vcf'); '' if none."""
+    stripped = F.regexp_replace(path, _ENCODING_SUFFIX, "")
+    return F.lower(F.regexp_extract(stripped, _EXT_PATTERN, 1))
 
 
 def mime_lookup_df(spark: SparkSession) -> DataFrame:

@@ -49,20 +49,29 @@ def hierarchical_rollup(
 
     tiers: dict[str, DataFrame] = {}
     finest = ordered[0]
+    # weeks straddle month/year boundaries, so a week tier is a valid
+    # CHILD but never a valid PARENT. When week is the finest REQUESTED
+    # level and coarser tiers are wanted, aggregate an internal day-level
+    # base instead (days nest into weeks and months/years alike) — never
+    # derive month/year from week buckets.
+    base_level = finest
+    if finest == "week" and len(ordered) > 1:
+        base_level = "day"
     base = events.groupBy(
-        F.date_trunc(_TRUNC[finest], F.col(ts_col)).alias("bucket"), *group_cols
+        F.date_trunc(_TRUNC[base_level], F.col(ts_col)).alias("bucket"), *group_cols
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col(value_col).cast("double")).alias("sum_v"),
         F.min(F.col(value_col).cast("double")).alias("min_v"),
         F.max(F.col(value_col).cast("double")).alias("max_v"),
     )
-    tiers[finest] = base
-    # weeks straddle month/year boundaries, so a week tier is a valid
-    # CHILD but never a valid PARENT: coarser tiers derive from the
-    # finest non-week tier below them
+    if base_level == finest:
+        tiers[finest] = base
+        remaining = ordered[1:]
+    else:
+        remaining = ordered  # week itself also derives from the day base
     prev_nestable = base
-    for lv in ordered[1:]:
+    for lv in remaining:
         src = prev_nestable
         tier = src.groupBy(
             F.date_trunc(_TRUNC[lv], F.col("bucket")).alias("bucket"), *group_cols

@@ -40,11 +40,20 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
 
+    # The whole right payload travels as ONE struct so every output
+    # column comes from the SAME matched right row — forward-filling each
+    # column independently would backfill a matched row's NULL field from
+    # an *older* right row, mixing rows (ASOF attaches the matched row,
+    # nulls included, per DuckDB/pandas semantics). The struct itself is
+    # never null for right rows, so last(ignorenulls) skips only the
+    # left-row gaps.
     l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn("_src", F.lit(1))
-    r_cols = [F.col(key), F.col(right_ts).alias("_ts"), F.lit(0).alias("_src")] + [
-        F.col(c).alias(f"_p_{c}") for c in payload_cols
-    ]
-    r_tag = right.select(*r_cols)
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_src"),
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("_p"),
+    )
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
     asc = direction == "backward"
@@ -54,12 +63,9 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned
-    for c in payload_cols:
-        carried = carried.withColumn(f"_p_{c}", F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w))
+    carried = unioned.withColumn("_p", F.last(F.col("_p"), ignorenulls=True).over(w))
     out = carried.filter(F.col("_src") == 1).drop("_src", "_ts")
-    for c in payload_cols:
-        out = out.withColumnRenamed(f"_p_{c}", c)
+    out = out.select("*", *[F.col("_p")[c].alias(c) for c in payload_cols]).drop("_p")
     return out
 
 
@@ -78,7 +84,18 @@ def interval_join(
     in (width/chunk + 1) chunks, each event in exactly one — the equi-join
     on the chunk key gives Catalyst a shuffle/broadcast hash join instead
     of a nested-loop inequality join.
+
+    ``how``: 'inner', 'left' (keep unmatched events, interval columns
+    null), or 'left_semi' (events that fall in ≥1 interval). The range
+    predicate lives IN the join condition — an after-the-join filter
+    would drop outer rows' null start/end and silently collapse 'left'
+    to inner semantics. Each event maps to exactly one chunk, so outer
+    rows are not duplicated by the chunk explosion.
     """
+    if how not in ("inner", "left", "left_semi"):
+        raise ValueError(
+            f"interval_join supports how='inner'|'left'|'left_semi', got {how!r}"
+        )
     chunk_secs = F.lit(_parse_duration_secs(chunk))
     ev_chunk = F.floor(F.unix_timestamp(F.col(ts_col)) / chunk_secs)
     events_c = events.withColumn("_chunk", ev_chunk)
@@ -87,15 +104,31 @@ def interval_join(
     end_chunk = F.floor(F.unix_timestamp(F.col(end_col)) / chunk_secs)
     intervals_c = intervals.withColumn(
         "_chunk", F.explode(F.sequence(start_chunk, end_chunk))
+    ).withColumnRenamed("_chunk", "_ichunk")
+    cond = (
+        (events_c["_chunk"] == intervals_c["_ichunk"])
+        & (events_c[ts_col] >= intervals_c[start_col])
+        & (events_c[ts_col] < intervals_c[end_col])
     )
-    joined = events_c.join(intervals_c, "_chunk", how).filter(
-        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
-    )
-    return joined.drop("_chunk")
+    joined = events_c.join(intervals_c, cond, how)
+    return joined.drop("_chunk", "_ichunk")
+
+
+_DURATION_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600,
+    "hours": 3600, "day": 86400, "days": 86400, "week": 604800, "weeks": 604800,
+}
 
 
 def _parse_duration_secs(s: str) -> int:
-    n, unit = s.split()
-    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600,
-            "hours": 3600, "day": 86400, "days": 86400}[unit]
-    return int(n) * mult
+    parts = s.split()
+    if len(parts) != 2 or not parts[0].lstrip("-").isdigit():
+        raise ValueError(f"duration must look like '30 days', got {s!r}")
+    n, unit = parts
+    if unit not in _DURATION_UNITS:
+        raise ValueError(
+            f"unsupported duration unit {unit!r}; accepted: {sorted(set(_DURATION_UNITS))}"
+        )
+    if int(n) <= 0:
+        raise ValueError(f"duration must be positive, got {s!r}")
+    return int(n) * _DURATION_UNITS[unit]

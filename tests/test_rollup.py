@@ -42,6 +42,21 @@ def test_week_tier_never_feeds_month(spark):
     )
 
 
+def test_week_finest_still_correct_coarser_tiers(spark):
+    # ADVICE r1: levels=['week','month'] — month must NOT derive from
+    # week buckets (they straddle month boundaries); an internal day base
+    # feeds both.
+    ev = load_table(spark, SF_DIR, "events")
+    tiers = hierarchical_rollup(ev, "ts", "value", ["week", "month"])
+    assert set(tiers) == {"week", "month"}
+    for lv in ("week", "month"):
+        direct = ev.groupBy(F.date_trunc(lv, "ts").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        derived = tiers[lv].select("bucket", "cnt")
+        assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, derived.collect()))
+
+
 def test_unknown_level_raises(spark):
     ev = load_table(spark, SF_DIR, "events")
     with pytest.raises(ValueError):

@@ -56,6 +56,21 @@ def test_asof_bad_direction(spark):
         asof_join(left, right, "user_id", "ts", "ts", ["value"], direction="sideways")
 
 
+def test_asof_payload_from_one_right_row(spark):
+    # ADVICE r1: a matched right row's NULL field must NOT be backfilled
+    # from an older right row — the whole matched row travels together.
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 12:00:00")], ["event_id", "user_id", "ts"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 09:00:00", 100.0, "old"),
+         ("u1", "2024-01-01 11:00:00", None, "new")],
+        "user_id string, ts string, value double, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = asof_join(left, right, "user_id", "ts", "ts", ["value", "tag"]).collect()[0]
+    assert row["tag"] == "new" and row["value"] is None  # not 100.0 from 'old'
+
+
 def test_interval_join_boundaries(spark):
     events = spark.createDataFrame(
         [(1, "2024-01-05"), (2, "2024-01-10"), (3, "2024-02-15")], ["id", "ts"]
@@ -68,3 +83,35 @@ def test_interval_join_boundaries(spark):
            interval_join(events, intervals, "ts", "s", "e", chunk="2 days").collect()}
     # [start, end): event 2 at the boundary belongs to the second interval
     assert out == {(1, 10), (2, 20)}
+
+
+def test_interval_join_left_outer_keeps_unmatched(spark):
+    # ADVICE r1: outer rows must survive — the range predicate is in the
+    # join condition, not a post-join filter that nulls them out.
+    events = spark.createDataFrame(
+        [(1, "2024-01-05"), (3, "2024-03-15")], ["id", "ts"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [(10, "2024-01-01", "2024-01-10")], ["iid", "s", "e"]
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    rows = {r["id"]: r["iid"] for r in
+            interval_join(events, intervals, "ts", "s", "e",
+                          chunk="2 days", how="left").collect()}
+    assert rows == {1: 10, 3: None}
+    semi = interval_join(events, intervals, "ts", "s", "e",
+                         chunk="2 days", how="left_semi")
+    assert [r["id"] for r in semi.collect()] == [1]
+    with pytest.raises(ValueError, match="inner"):
+        interval_join(events, intervals, "ts", "s", "e", how="full")
+
+
+def test_duration_parse_errors(spark):
+    from healthcare_api_spark.operators.temporal import _parse_duration_secs
+
+    assert _parse_duration_secs("2 weeks") == 2 * 604800
+    with pytest.raises(ValueError, match="unsupported duration unit"):
+        _parse_duration_secs("3 fortnights")
+    with pytest.raises(ValueError, match="look like"):
+        _parse_duration_secs("monthly")
+    with pytest.raises(ValueError, match="positive"):
+        _parse_duration_secs("-1 days")

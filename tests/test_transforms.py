@@ -154,3 +154,23 @@ def test_dispatch_unknown_type_raises(spark):
     df = spark.range(1)
     with pytest.raises(ValueError, match="Unsupported resourceType"):
         transforms.dispatch_transformation(df, "Observation")
+
+
+def test_mime_strips_compression_encoding_suffix(spark):
+    # ADVICE r1: mimetypes.guess_type('x.vcf.gz') strips the .gz encoding
+    # and types the underlying extension; a bare .gz has no type →
+    # octet-stream fallback (reference assay.py:131-136).
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.functions.mime import mime_from_name
+
+    df = spark.createDataFrame(
+        [("a.vcf.gz",), ("b.maf.GZ",), ("c.tsv.bz2",), ("d.gz",), ("e.vcf",)],
+        ["name"],
+    ).select("name", mime_from_name(F.col("name")).alias("mime"))
+    got = {r["name"]: r["mime"] for r in df.collect()}
+    assert got["a.vcf.gz"] == "text/tab-separated-values"
+    assert got["b.maf.GZ"] == "text/tab-separated-values"
+    assert got["c.tsv.bz2"] == "text/tab-separated-values"
+    assert got["d.gz"] == "application/octet-stream"
+    assert got["e.vcf"] == "text/tab-separated-values"

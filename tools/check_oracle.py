@@ -50,9 +50,11 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -90,7 +92,7 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"OK    {name}: {len(srows)} rows")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    print(f"\n{ran - len(failures)}/{ran} passed")
     return 1 if failures else 0
 
 
