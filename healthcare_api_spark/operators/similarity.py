@@ -177,15 +177,43 @@ def lsh_bucketed_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    min_candidates: int | None = None,
+    max_hamming: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: score only rows in the query's LSH bucket.
+    """Approximate top-k: score only rows in (or near) the query's bucket.
 
     Recall < 1 by construction; n_planes trades recall vs. candidate-set
     size (each plane halves the expected candidates).
+
+    Bucket-underfill fallback: when the query's own bucket holds fewer
+    than ``min_candidates`` rows (default: k), the scan widens to
+    Hamming-adjacent buckets — nearest sign-patterns first — until the
+    candidate pool is large enough or ``max_hamming`` is reached. Bucket
+    populations come from ONE tiny aggregation (≤ 2^n_planes groups,
+    map-side combined); at scale these stats live in table metadata and
+    the probe set is decided driver-side either way, so the candidate
+    scan stays partition-pruned to the chosen buckets.
     """
+    min_candidates = k if min_candidates is None else min_candidates
+    max_hamming = n_planes if max_hamming is None else max_hamming
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
     qbits = "".join("1" if float(np.dot(plane, query_vec)) >= 0 else "0" for plane in planes)
     bucketed = hyperplane_buckets(df, vec_col, dim, n_planes, seed)
-    candidates = bucketed.filter(F.col("bucket") == qbits)
+
+    counts = {
+        r["bucket"]: r["n"]
+        for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # occupied buckets, nearest sign-pattern first (ties lexicographic)
+    def hamming(b: str) -> int:
+        return sum(x != y for x, y in zip(b, qbits))
+
+    probe, pool = [], 0
+    for b in sorted(counts, key=lambda b: (hamming(b), b)):
+        if probe and (pool >= min_candidates or hamming(b) > max_hamming):
+            break
+        probe.append(b)
+        pool += counts[b]
+    candidates = bucketed.filter(F.col("bucket").isin(probe))
     return brute_force_topk(candidates, id_col, vec_col, query_vec, k)

@@ -37,6 +37,23 @@ def test_lsh_bucketed_topk_recall_on_exact_match(spark):
     assert rows and rows[0]["vec_id"] == 1 and rows[0]["cos"] == 1.0
 
 
+def test_lsh_underfill_expands_to_adjacent_buckets(spark):
+    # VERDICT r1 #7: with 5 rows spread over many buckets, the query's
+    # own bucket can't hold k=5 — Hamming-adjacent expansion must still
+    # deliver k rows (the table has exactly 5).
+    out = similarity.lsh_bucketed_topk(
+        _emb(spark), "vec_id", "embedding", [1.0, 0.0, 0.0, 0.0], dim=4, k=5, n_planes=4
+    )
+    rows = out.collect()
+    assert len(rows) == 5 and rows[0]["vec_id"] == 1
+    # and a strict max_hamming=0 reproduces the old single-bucket shape
+    narrow = similarity.lsh_bucketed_topk(
+        _emb(spark), "vec_id", "embedding", [1.0, 0.0, 0.0, 0.0],
+        dim=4, k=5, n_planes=4, max_hamming=0, min_candidates=1,
+    )
+    assert 0 < narrow.count() <= 5
+
+
 def test_hyperplane_buckets_deterministic(spark):
     b1 = similarity.hyperplane_buckets(_emb(spark), "embedding", dim=4, n_planes=6).collect()
     b2 = similarity.hyperplane_buckets(_emb(spark), "embedding", dim=4, n_planes=6).collect()
