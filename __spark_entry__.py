@@ -719,8 +719,11 @@ def q_st2_sessionize(spark, sf_dir):
 # ------------------------------------------------------------------ dedup --
 
 def q_d1_dedup_exact(spark, sf_dir):
+    """spread=True: the md5-of-full-text runs BEFORE the window shuffle,
+    so with the SF file's single split it would serialize onto 2 cores —
+    the repartition parallelizes the hashing (measured 2.4s → 0.9s)."""
     _tune(spark)
-    docs = _docs_dup(spark, sf_dir, spread=False)
+    docs = _docs_dup(spark, sf_dir, spread=True)
     return dedup.exact_dedup_by_content(docs, "doc_id", "text").select("doc_id", "canonical_id")
 
 
