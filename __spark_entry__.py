@@ -694,6 +694,34 @@ def q_s8_upsert_lastwin(spark, sf_dir):
     )
 
 
+def q_s9_bucketed_upsert(spark, sf_dir):
+    """S8 production path: copy-on-write bucketed store — import the
+    customer table, upsert a derived batch (every 10th id gets a higher
+    version + shifted balance), return the merged table. IO per upsert is
+    bounded to the touched id-hash buckets (tests/test_store_pruning.py).
+    """
+    import tempfile
+
+    from healthcare_api_spark.sources.store import BucketedResourceStore
+
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.lit(1).alias("version"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    updates = base.filter(F.col("id") % 10 == 0).select(
+        "id", F.lit(2).alias("version"), (F.col("acctbal") + 100.0).alias("acctbal")
+    )
+    root = f"{tempfile.gettempdir()}/spark_graft_s9_{abs(hash(sf_dir)) % 10**8}"
+    store = BucketedResourceStore(spark, root, num_buckets=8)
+    store.import_resources(base, "Customer")
+    store.upsert(updates, "Customer", version_col="version")
+    merged = store.table("Customer")
+    return merged.select("id", "version", F.round("acctbal", 2).alias("acctbal"))
+
+
 def q_st1_tumbling_window(spark, sf_dir):
     _tune(spark)
     ev = _t(spark, sf_dir, "events")
@@ -943,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": q_q5_local_supplier,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "s8_upsert_lastwin": q_s8_upsert_lastwin,
+        "s9_bucketed_upsert": q_s9_bucketed_upsert,
         "st1_tumbling_window": q_st1_tumbling_window,
         "st2_sessionize": q_st2_sessionize,
         "d1_dedup_exact": q_d1_dedup_exact,
@@ -1195,6 +1224,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id AS last_event_id, round(value, 4) AS last_value"
             " FROM events QUALIFY row_number() OVER"
             " (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        "s9_bucketed_upsert": (
+            "SELECT c_custkey AS id,"
+            " CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS version,"
+            " round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0"
+            " ELSE c_acctbal END, 2) AS acctbal FROM customer"
         ),
         "st1_tumbling_window": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,"

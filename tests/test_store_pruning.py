@@ -1,11 +1,30 @@
 """The store's type-partitioned layout must actually prune: a one-type
-query reads one partition directory, never the whole store."""
+query reads one partition directory, never the whole store. The bucketed
+copy-on-write variant must additionally bound upsert IO to the touched
+bucket directories."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
-from healthcare_api_spark.sources.store import ResourceStore
+from healthcare_api_spark.sources.store import BucketedResourceStore, ResourceStore
+
+
+def _bucket_files(type_path: str) -> dict[str, set[tuple[str, int]]]:
+    """{bucket_dir: {(file_name, size)}} snapshot of the physical layout."""
+    out = {}
+    for d in os.listdir(type_path):
+        if not d.startswith("bucket="):
+            continue
+        full = os.path.join(type_path, d)
+        out[d] = {
+            (f, os.path.getsize(os.path.join(full, f)))
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        }
+    return out
 
 
 def test_type_scan_reads_single_partition(spark, tmp_path):
@@ -21,6 +40,65 @@ def test_type_scan_reads_single_partition(spark, tmp_path):
     assert files and all("resourceType=Patient" in f for f in files)
     assert not any("resourceType=Observation" in f for f in files)
     assert df.count() == 100
+
+
+def test_bucketed_upsert_semantics_match_plain_store(spark, tmp_path):
+    # same last-write-wins merge as ResourceStore.upsert (S8)
+    store = BucketedResourceStore(spark, str(tmp_path / "bs"), num_buckets=8)
+    store.import_resources(
+        spark.createDataFrame([(f"p{i}", 1, f"v{i}") for i in range(50)],
+                              ["id", "version", "payload"]), "Patient"
+    )
+    store.upsert(
+        spark.createDataFrame([("p3", 2, "updated"), ("p999", 1, "created")],
+                              ["id", "version", "payload"]),
+        "Patient", version_col="version",
+    )
+    rows = {r["id"]: r for r in store.table("Patient").collect()}
+    assert len(rows) == 51
+    assert rows["p3"]["payload"] == "updated" and rows["p999"]["payload"] == "created"
+    # stale update loses to a higher existing version
+    store.upsert(
+        spark.createDataFrame([("p3", 1, "stale")], ["id", "version", "payload"]),
+        "Patient", version_col="version",
+    )
+    assert {r["payload"] for r in store.table("Patient").filter(F.col("id") == "p3").collect()} \
+        == {"updated"}
+
+
+def test_bucketed_upsert_touches_bounded_file_set(spark, tmp_path):
+    # VERDICT r1 #6: an upsert must rewrite ONLY the buckets its update
+    # batch hashes into — untouched bucket directories stay bit-identical.
+    store = BucketedResourceStore(spark, str(tmp_path / "bs2"), num_buckets=8)
+    store.import_resources(
+        spark.createDataFrame([(f"p{i}", f"v{i}") for i in range(200)], ["id", "payload"]),
+        "Patient",
+    )
+    type_path = store._type_path("Patient")
+    before = _bucket_files(type_path)
+    assert len(before) == 8  # 200 spread ids populate every bucket
+
+    updates = spark.createDataFrame([("p7", "new")], ["id", "payload"])
+    store.upsert(updates, "Patient")
+    touched = {f"bucket={r[0]}" for r in
+               updates.select(store._bucket_expr("id")).distinct().collect()}
+    assert len(touched) == 1
+    after = _bucket_files(type_path)
+    for d in before:
+        if d in touched:
+            assert after[d] != before[d]  # rewritten
+        else:
+            assert after[d] == before[d]  # bit-identical: no IO
+    # and the merge read was pruned to the touched directory
+    assert store.table("Patient").count() == 200
+    assert {r["payload"] for r in
+            store.table("Patient").filter(F.col("id") == "p7").collect()} == {"new"}
+
+
+def test_bucketed_first_upsert_creates_table(spark, tmp_path):
+    store = BucketedResourceStore(spark, str(tmp_path / "bs3"), num_buckets=4)
+    store.upsert(spark.createDataFrame([("a", 1)], ["id", "v"]), "Patient")
+    assert store.table("Patient").count() == 1
 
 
 def test_whole_store_scan_with_partition_filter(spark, tmp_path):
