@@ -879,6 +879,55 @@ def q_m2_image_decode_stub(spark, sf_dir):
     return decode_image_meta(docs, "doc_id", "_bin")
 
 
+def q_m3_audio_features(spark, sf_dir):
+    """REAL codec-free audio path: synthesize a PCM16 WAV per doc with
+    doc-derived params (Arrow-batched generator UDF), then run the RIFF
+    parser + numpy feature extractor. The oracle pins the container
+    fields exactly: n_samples = 8·(n_chars%100+10) at 8 kHz mono."""
+    import io
+    import wave
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_api_spark.operators.multimodal import audio_features
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rate = 8000
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = 8 * (int(n_chars) % 100 + 10)  # samples = rate * ms/1000
+                freq = 200.0 + int(doc_id) % 200
+                t = np.arange(n, dtype=np.float64) / rate
+                pcm = (0.5 * 32767 * np.sin(2 * np.pi * freq * t)).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(pcm.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    wavs = docs.mapInPandas(
+        _gen, "doc_id long, data binary"
+    )
+    feats = audio_features(wavs, "doc_id", "data")
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        "sample_rate",
+        "channels",
+        "bit_depth",
+        "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+    )
+
+
 # ------------------------------------------------------ FHIR search front --
 
 def _doc_engine(spark, sf_dir) -> SearchEngine:
@@ -989,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_corpus_stats": q_t5_corpus_stats,
         "m1_attachment_meta": q_m1_attachment_meta,
         "m2_image_decode_stub": q_m2_image_decode_stub,
+        "m3_audio_features": q_m3_audio_features,
         "fs1_search_token": q_fs1_search_token,
         "fs2_search_range": q_fs2_search_range,
         "fs3_search_count": q_fs3_search_count,
@@ -1352,6 +1402,13 @@ def oracle_sql() -> dict[str, str]:
             " CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,"
             " CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,"
             " CAST(3 AS INTEGER) AS channels, 'fake/raw' AS format FROM documents"
+        ),
+        "m3_audio_features": (
+            "SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,"
+            " CAST(1 AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bit_depth,"
+            " CAST(8 * (n_chars % 100 + 10) AS BIGINT) AS n_samples,"
+            " round((8 * (n_chars % 100 + 10)) / 8000.0, 6) AS duration_sec"
+            " FROM documents"
         ),
         "fs1_search_token": (
             "SELECT doc_id, lang, n_chars FROM documents"

@@ -179,12 +179,98 @@ def resize_image_stub(
     return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_resize, schema)
 
 
+def _parse_wav(payload: bytes):
+    """Minimal RIFF/WAVE parser → (fmt_tag, channels, sample_rate,
+    bit_depth, data_bytes) or None if not a well-formed WAV container.
+    Pure stdlib struct walking — no codec library."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, csize = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    fmt_tag, channels, rate, _byte_rate, _align, bits = fmt
+    return fmt_tag, channels, rate, bits, data
+
+
 def audio_features(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
-    """STUB audio feature extraction (duration, sample rate) — raises by
-    contract if invoked without a real backend wired in, unless
-    ``fake=True`` column semantics are acceptable; kept NotImplemented to
-    mark the integration point explicitly."""
-    raise NotImplementedError(
-        "audio decode requires an audio backend (librosa/soundfile) not present "
-        "in this environment; Spark plumbing mirrors decode_image_meta"
+    """REAL (codec-free) audio feature extraction for PCM/float WAV
+    payloads: (sample_rate, channels, bit_depth, n_samples, duration_sec,
+    rms, zero_crossing_rate, codec) per payload, Arrow-batched via
+    mapInPandas with numpy doing the math per batch.
+
+    The RIFF/WAVE container and uncompressed PCM (format tag 1) / IEEE
+    float (tag 3) need no audio library — the header is 44 bytes of
+    struct and the samples are a ``np.frombuffer``. Compressed codecs
+    (mp3/ogg/aac, or WAV with any other format tag) can't be decoded
+    without a backend; those rows come back with ``codec`` set to
+    ``unsupported:<n>``/``invalid`` and null features — per-row error
+    capture (like the NDJSON corrupt-record column) instead of failing
+    the job, which is the only sane contract at 100 TB where some
+    payloads are always malformed.
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("bit_depth", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("duration_sec", DoubleType()),
+            StructField("rms", DoubleType()),
+            StructField("zcr", DoubleType()),
+            StructField("codec", StringType()),
+        ]
     )
+    _DTYPES = {(1, 8): np.uint8, (1, 16): np.int16, (1, 32): np.int32, (3, 32): np.float32}
+    _SCALE = {(1, 8): 128.0, (1, 16): 32768.0, (1, 32): 2147483648.0, (3, 32): 1.0}
+
+    def _row(rid, payload):
+        null = dict(sample_rate=None, channels=None, bit_depth=None, n_samples=None,
+                    duration_sec=None, rms=None, zcr=None)
+        if payload is None or len(payload) == 0:
+            return dict(id=rid, codec="empty", **null)
+        parsed = _parse_wav(bytes(payload))
+        if parsed is None:
+            return dict(id=rid, codec="invalid", **null)
+        fmt_tag, channels, rate, bits, data = parsed
+        key = (fmt_tag, bits)
+        if key not in _DTYPES or channels < 1 or rate < 1:
+            return dict(id=rid, codec=f"unsupported:{fmt_tag}/{bits}", **null)
+        arr = np.frombuffer(data[: len(data) - len(data) % ((bits // 8) * channels)],
+                            dtype=_DTYPES[key]).astype(np.float64)
+        if key == (1, 8):
+            arr -= 128.0  # 8-bit PCM is unsigned, center it
+        arr /= _SCALE[key]
+        n = arr.size // channels
+        if n == 0:
+            return dict(id=rid, codec="pcm", sample_rate=rate, channels=channels,
+                        bit_depth=bits, n_samples=0, duration_sec=0.0, rms=0.0, zcr=0.0)
+        mono = arr.reshape(n, channels).mean(axis=1)
+        signs = np.signbit(mono)
+        zcr = float(np.count_nonzero(signs[1:] != signs[:-1])) / max(n - 1, 1)
+        return dict(
+            id=rid, codec="pcm" if fmt_tag == 1 else "float",
+            sample_rate=int(rate), channels=int(channels), bit_depth=int(bits),
+            n_samples=int(n), duration_sec=float(n / rate),
+            rms=float(np.sqrt(np.mean(mono**2))), zcr=zcr,
+        )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_row(rid, b) for rid, b in zip(pdf[id_col], pdf[data_col])]
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_extract, schema)

@@ -80,9 +80,65 @@ def test_resize_stub_output_sizing(spark):
     assert len(out[2]["resized"]) == 8 * 8 * 3
 
 
-def test_audio_stub_marks_integration_point(spark):
-    with pytest.raises(NotImplementedError, match="audio"):
-        audio_features(_payloads(spark), "id", "data")
+def _wav_bytes(freq=440.0, rate=8000, seconds=0.5, amp=0.5, channels=1):
+    """Synthesize a PCM16 WAV with stdlib wave — no codec library."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(rate * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<" + "h" * channels,
+                        *[int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate))] * channels)
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_audio_features_real_pcm_wav(spark):
+    # codec-free RIFF/PCM path: physics must check out — a sine of
+    # amplitude A has rms A/sqrt(2) and zero-crossing rate 2f/rate
+    import math
+
+    wav = _wav_bytes(freq=440.0, rate=8000, seconds=0.5, amp=0.5)
+    stereo = _wav_bytes(freq=200.0, rate=16000, seconds=0.25, amp=0.8, channels=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(stereo)), (3, bytearray(b"not audio")), (4, None)],
+        "id long, data binary",
+    )
+    rows = {r["id"]: r for r in audio_features(df, "id", "data").collect()}
+    r1 = rows[1]
+    assert r1["codec"] == "pcm" and r1["sample_rate"] == 8000 and r1["channels"] == 1
+    assert r1["bit_depth"] == 16 and r1["n_samples"] == 4000
+    assert abs(r1["duration_sec"] - 0.5) < 1e-9
+    assert abs(r1["rms"] - 0.5 / math.sqrt(2)) < 0.01
+    assert abs(r1["zcr"] - 2 * 440.0 / 8000) < 0.01
+    r2 = rows[2]
+    assert r2["channels"] == 2 and r2["sample_rate"] == 16000 and r2["n_samples"] == 4000
+    assert abs(r2["rms"] - 0.8 / math.sqrt(2)) < 0.01
+    assert rows[3]["codec"] == "invalid" and rows[3]["rms"] is None
+    assert rows[4]["codec"] == "empty" and rows[4]["sample_rate"] is None
+
+
+def test_audio_features_unsupported_codec_captured_per_row(spark):
+    # a WAV container with a non-PCM format tag (e.g. 85 = mp3) must not
+    # fail the job — per-row error capture
+    import struct
+
+    body = struct.pack("<HHIIHH", 85, 2, 44100, 176400, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(body)) + body
+           + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    df = spark.createDataFrame([(1, bytearray(wav))], "id long, data binary")
+    row = audio_features(df, "id", "data").collect()[0]
+    assert row["codec"] == "unsupported:85/16" and row["duration_sec"] is None
 
 
 def test_tumbling_window_counts_batch(spark):
