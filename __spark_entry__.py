@@ -822,6 +822,20 @@ def q_v2_ann_lsh(spark, sf_dir):
     return similarity.lsh_bucketed_topk(emb, "vec_id", "embedding", list(qvec), dim=64, k=10)
 
 
+def q_v3_ivf_topk(spark, sf_dir):
+    """IVF scale path: deterministic k-means train (k lowest-id init),
+    nprobe-cluster probe, exact cosine top-k inside the probed clusters.
+    Rows-only check (k-means isn't SQL-expressible); pytest pins the
+    IVF pieces and recall-vs-brute-force separately (test_ivf_cli)."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    centroids = similarity.ivf_train(emb, "vec_id", "embedding", k=8, iters=3)
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", centroids, qvec, k=10, nprobe=3
+    )
+
+
 # ---------------------------------------------------------- text analysis --
 
 def q_t1_lang_id(spark, sf_dir):
@@ -1031,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6_neardup_clusters": q_d6_neardup_clusters,
         "v1_ann_topk": q_v1_ann_topk,
         "v2_ann_lsh": q_v2_ann_lsh,
+        "v3_ivf_topk": q_v3_ivf_topk,
         "t1_lang_id": q_t1_lang_id,
         "t2_quality_score": q_t2_quality_score,
         "t3_token_counts": q_t3_token_counts,
