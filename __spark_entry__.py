@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from healthcare_api_spark.functions.mime import guess_mime
 from healthcare_api_spark.functions.refs import make_ref, ref_id, ref_type
-from healthcare_api_spark.operators import dedup, relational, similarity, textops
+from healthcare_api_spark.operators import curation, dedup, relational, similarity, textops
 from healthcare_api_spark.operators.multimodal import attach_payload, decode_image_meta
 from healthcare_api_spark.operators.transforms import transform_document_reference
 from healthcare_api_spark.plans.search import SearchConfig, SearchEngine
@@ -872,6 +872,50 @@ def q_t5_corpus_stats(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------- corpus curation --
+
+def q_t6_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signals (dup/top n-gram fractions)."""
+    _tune(spark)
+    return curation.repetition_features(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", ngram_n=2
+    )
+
+
+def q_d7_decontaminate(spark, sf_dir):
+    """Test-set decontamination: flag training docs sharing a word 3-gram
+    with the 'benchmark' slice (doc_id % 50 == 0 — deterministic stand-in
+    for an eval suite). Benchmark shingle set is broadcast (small fixed
+    artifact vs TBs of docs)."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return curation.decontaminate(docs, bench, "doc_id", "text", shingle_n=3)
+
+
+# per-language sampling rates for ds1 (es/zh fall to the default)
+_DS1_RATES = {"de": 0.9, "en": 0.5, "fr": 0.1}
+_DS1_DEFAULT = 0.25
+
+
+def q_ds1_stratified_sample(spark, sf_dir):
+    """Deterministic data mixing: per-language md5-threshold subsample —
+    reproducible across engines/partitionings (pure narrow filter)."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return curation.stratified_sample(
+        docs, "doc_id", "lang", _DS1_RATES, default_rate=_DS1_DEFAULT, salt="strat"
+    ).select("doc_id", "lang", "source")
+
+
+def q_ds2_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: 512-token training sequences per
+    source stream; maps each doc to its token offset + sequence-id range."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return curation.pack_sequences(docs, "doc_id", "text", budget=512, part_col="source")
+
+
 # -------------------------------------------------------------- multimodal --
 
 def q_m1_attachment_meta(spark, sf_dir):
@@ -1051,6 +1095,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_token_counts": q_t3_token_counts,
         "t4_fingerprints": q_t4_fingerprints,
         "t5_corpus_stats": q_t5_corpus_stats,
+        "t6_repetition": q_t6_repetition,
+        "d7_decontaminate": q_d7_decontaminate,
+        "ds1_stratified_sample": q_ds1_stratified_sample,
+        "ds2_pack_sequences": q_ds2_pack_sequences,
         "m1_attachment_meta": q_m1_attachment_meta,
         "m2_image_decode_stub": q_m2_image_decode_stub,
         "m3_audio_features": q_m3_audio_features,
@@ -1092,6 +1140,29 @@ def _shingle_cte(src: str = "docs") -> str:
             )
         )
     """
+
+
+def _bigram_cte(src: str = "documents") -> str:
+    """Word-2-shingles per doc (mirrors word_shingles(n=2) incl. the
+    whole-text fallback for <2-token docs via greatest(…, 1))."""
+    return f"""
+        toks2 AS (SELECT doc_id, {_TOKS_SQL} AS w FROM {src}),
+        sh2 AS (
+            SELECT doc_id, concat_ws(' ', w[i], w[i+1]) AS s
+            FROM toks2, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i
+            )
+        )
+    """
+
+
+def _ds1_case_sql() -> str:
+    from healthcare_api_spark.operators.curation import sample_threshold
+
+    whens = " ".join(
+        f"WHEN '{s}' THEN '{sample_threshold(r)}'" for s, r in sorted(_DS1_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE '{sample_threshold(_DS1_DEFAULT)}' END"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1407,6 +1478,39 @@ def oracle_sql() -> dict[str, str]:
             " AS n_subwords FROM documents)"
             " SELECT lang, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,"
             " CAST(sum(n_subwords) AS BIGINT) AS subwords FROM c GROUP BY lang"
+        ),
+        "t6_repetition": (
+            f"WITH {_bigram_cte()},"
+            " per AS (SELECT doc_id, s, count(*) AS c FROM sh2 GROUP BY doc_id, s)"
+            " SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,"
+            " CAST(count(*) AS BIGINT) AS n_distinct,"
+            " round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_ngram_frac,"
+            " round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_ngram_frac"
+            " FROM per GROUP BY doc_id"
+        ),
+        "d7_decontaminate": (
+            f"WITH docs AS (SELECT doc_id, text FROM documents), {_shingle_cte()},"
+            " dsh AS (SELECT DISTINCT doc_id, s FROM sh),"
+            " bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),"
+            " hits AS (SELECT d.doc_id, count(*) AS n_shared"
+            "  FROM dsh d JOIN bsh b ON d.s = b.s GROUP BY d.doc_id)"
+            " SELECT dd.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,"
+            " CASE WHEN coalesce(h.n_shared, 0) > 0 THEN 1 ELSE 0 END AS contaminated"
+            " FROM documents dd LEFT JOIN hits h ON dd.doc_id = h.doc_id"
+        ),
+        "ds1_stratified_sample": (
+            "SELECT doc_id, lang, source FROM documents"
+            " WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < {_ds1_case_sql()}"
+        ),
+        "ds2_pack_sequences": (
+            f"WITH c AS (SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT)"
+            " AS n_tokens FROM documents),"
+            " w AS (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER"
+            " (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM c)"
+            " SELECT doc_id, source, n_tokens, CAST(cum - n_tokens AS BIGINT) AS start_tok,"
+            " CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS first_seq,"
+            " CAST(floor((cum - 1) / 512.0) AS BIGINT) AS last_seq FROM w"
         ),
         "m1_attachment_meta": (
             f"SELECT doc_id, CASE doc_id % 11 {mime_case} END AS content_type,"

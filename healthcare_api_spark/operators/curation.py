@@ -1,0 +1,225 @@
+"""Corpus-curation operators for training-data pipelines (SURVEY.md §2.10
+extensions): repetition filtering, benchmark decontamination, deterministic
+stratified sampling / mixture planning, and sequence packing.
+
+These are the operations that sit between "raw deduplicated documents" and
+"training batches" in an LLM data pipeline. Design rules, in order:
+
+* deterministic — every operator is reproducible bit-for-bit and (where
+  SQL-expressible) verified against a DuckDB oracle;
+* narrow first — sampling is a pure filter (zero shuffle); the shuffles
+  that remain (n-gram frequency, packing window) are keyed so map-side
+  partial aggregation does the heavy lifting at 100 TB;
+* no UDFs — everything is Column expressions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from healthcare_api_spark.functions.text import token_count, word_shingles
+
+# ------------------------------------------------------------- repetition --
+
+
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str, ngram_n: int = 2
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals.
+
+    Per document: total word n-grams, distinct n-grams, the duplicate
+    fraction ``1 - distinct/total`` and the share of the single most
+    frequent n-gram. High values on either fraction are the classic
+    boilerplate/spam signature used by quality filters (Rae et al. 2021
+    §A1.1 "repetition removal" — public Gopher paper).
+
+    Shape at scale: shingling is narrow; the two aggregations are keyed by
+    (doc, ngram) then (doc), both hash-aggregates with map-side combine, so
+    the shuffle carries one row per *distinct* per-doc n-gram, not one per
+    token. Zero joins, no window.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), ngram_n)).alias("s")
+    )
+    per = sh.groupBy(id_col, "s").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    total = F.col("n_ngrams").cast("double")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.col("n_distinct") / total, 6).alias("dup_ngram_frac"),
+        F.round(F.col("top_c") / total, 6).alias("top_ngram_frac"),
+    )
+
+
+# -------------------------------------------------------- decontamination --
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Flag training documents that overlap a benchmark/eval set by at
+    least one word ``shingle_n``-gram (test-set decontamination).
+
+    Output: (id, n_shared, contaminated) for EVERY input doc — n_shared is
+    the number of *distinct* document shingles that appear anywhere in the
+    benchmark set.
+
+    Shape at scale: per-doc shingle dedup is narrow (``array_distinct``
+    before the explode — no distinct shuffle); the benchmark side is
+    reduced to a distinct shingle set once. ``broadcast_bench`` defaults
+    True because a benchmark suite is a small fixed artifact (MBs) against
+    TBs of training docs — a map-side hash probe with zero shuffle of the
+    big side. Pass False for an unusually large benchmark corpus and let
+    AQE pick the strategy.
+    """
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("s"),
+    )
+    bench_sh = bench.select(
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+    ).distinct()
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    hits = doc_sh.join(bench_sh, "s").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------- sampling / mixture design --
+
+
+def sample_threshold(rate: float) -> str:
+    """Hex-string threshold for deterministic md5 sampling.
+
+    A row is kept when the first 8 hex chars of its salted md5 compare
+    lexicographically below this threshold — a pure string comparison that
+    every engine evaluates identically (no hex→int conversion needed).
+    rate≥1 returns 'g', which sorts above every hex string (keep all).
+    """
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return "0" * 8
+    return format(int(rate * 0x1_0000_0000), "08x")
+
+
+def sample_hash(id_col: str, salt: str) -> F.Column:
+    """First 8 hex chars of md5('<salt>:<id>') — the sampling key."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling (the 'data mixing' primitive).
+
+    Keeps each row iff md5-hash('<salt>:<id>')[:8] < threshold(rate of its
+    stratum). Unlike ``df.sample``, this is reproducible across engines,
+    cluster sizes, and partitionings — the keep/drop decision depends only
+    on (salt, id), so re-runs and incremental appends sample consistently.
+
+    Shape at scale: a pure narrow filter — zero shuffle, no join; the CASE
+    chain over strata is whole-stage-codegen'd. Changing ``salt`` draws an
+    independent sample (for held-out splits, use disjoint salts).
+    """
+    h = sample_hash(id_col, salt)
+    thr = F.lit(sample_threshold(default_rate))
+    for stratum in sorted(rates):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(sample_threshold(rates[stratum]))
+        ).otherwise(thr)
+    return df.filter(h < thr)
+
+
+def plan_mixture(
+    df: DataFrame, strata_col: str, target_props: dict[str, float], total: int
+) -> dict[str, float]:
+    """Compute per-stratum sampling rates that hit a target mixture.
+
+    target_props are relative weights (normalized internally); ``total`` is
+    the desired output row count. Rates are capped at 1.0 (a stratum
+    smaller than its target contributes everything it has — upsampling is
+    a separate concern). Only the per-stratum counts (a handful of rows)
+    reach the driver.
+    """
+    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
+    z = sum(target_props.values())
+    return {
+        s: min(1.0, (w / z) * total / counts[s])
+        for s, w in target_props.items()
+        if s in counts and counts[s] > 0
+    }
+
+
+# --------------------------------------------------------------- packing --
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: concatenate documents in id
+    order (within ``part_col`` when given) and slice the token stream into
+    fixed ``budget``-token training sequences. Documents may straddle a
+    boundary — the output maps each doc to its token offset and the range
+    of sequence ids it lands in (GPT-style packing, not whole-doc binning).
+
+    Output: (id[, part], n_tokens, start_tok, first_seq, last_seq).
+
+    Shape at scale: one window (= one shuffle) partitioned by ``part_col``;
+    the cumulative sum is a running aggregate inside each partition. With
+    no part_col everything lands in a single reducer — fine for a demo,
+    wrong at 100 TB: partition by (source, date) or a bucketed key so each
+    window partition holds one reducer's worth of documents, then offset
+    the per-partition sequence ids by a precomputed per-partition base
+    (the standard two-pass global-cumsum trick) if globally dense ids are
+    required.
+    """
+    cols = [F.col(id_col)] + ([F.col(part_col)] if part_col else [])
+    counted = df.select(*cols, token_count(F.col(text_col)).alias("n_tokens"))
+    w = (
+        Window.partitionBy(part_col if part_col else F.lit(0))
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_tok")
+    return counted.select(
+        *cols,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        start.cast("bigint").alias("start_tok"),
+        F.floor((cum - F.col("n_tokens")) / budget).cast("bigint").alias("first_seq"),
+        F.floor((cum - 1) / budget).cast("bigint").alias("last_seq"),
+    )

@@ -1,0 +1,172 @@
+"""Corpus-curation operators: repetition features, decontamination,
+deterministic stratified sampling, sequence packing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from healthcare_api_spark.operators import curation
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------------------------- repetition --
+
+
+def test_repetition_features_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x"), (3, None)], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curation.repetition_features(df, "doc_id", "text", ngram_n=2).collect()
+    }
+    # "a b a b a" bigrams: [a b, b a, a b, b a] -> 4 total, 2 distinct
+    assert rows[1]["n_ngrams"] == 4 and rows[1]["n_distinct"] == 2
+    assert rows[1]["dup_ngram_frac"] == 0.5 and rows[1]["top_ngram_frac"] == 0.5
+    # single token falls back to whole-text shingle
+    assert rows[2]["n_ngrams"] == 1 and rows[2]["dup_ngram_frac"] == 0.0
+    # null text behaves like empty text (one '' shingle), row is kept
+    assert rows[3]["n_ngrams"] == 1 and rows[3]["top_ngram_frac"] == 1.0
+
+
+def test_repetition_boilerplate_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"), (2, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curation.repetition_features(df, "doc_id", "text").collect()
+    }
+    assert rows[1]["dup_ngram_frac"] > 0.7 > rows[2]["dup_ngram_frac"]
+
+
+# -------------------------------------------------------- decontamination --
+
+
+def test_decontaminate_flags_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over things"),
+            (2, "totally different words appear here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, "a quick brown fox story")], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in curation.decontaminate(docs, bench, "doc_id", "text", shingle_n=3).collect()
+    }
+    assert rows[1]["contaminated"] == 1 and rows[1]["n_shared"] == 1  # "quick brown fox"
+    assert rows[2]["contaminated"] == 0 and rows[2]["n_shared"] == 0
+
+
+def test_decontaminate_counts_distinct_shingles_once(spark):
+    # doc repeats shared trigrams; n_shared counts each distinct one once
+    docs = spark.createDataFrame([(1, "a b c a b c a b c")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, "a b c a b")], ["doc_id", "text"])
+    [r] = curation.decontaminate(docs, bench, "doc_id", "text").collect()
+    # both sides' distinct trigram set is {a b c, b c a, c a b}
+    assert r["n_shared"] == 3
+
+
+# ---------------------------------------------------------------- sampling --
+
+
+def test_sample_threshold_boundaries():
+    assert curation.sample_threshold(1.0) == "g"  # sorts above any hex
+    assert curation.sample_threshold(0.0) == "00000000"
+    assert curation.sample_threshold(0.5) == "80000000"
+
+
+def test_stratified_sample_matches_python_md5(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)], ["doc_id", "lang"]
+    )
+    rates = {"en": 0.5, "de": 0.1}
+    got = {
+        r["doc_id"]
+        for r in curation.stratified_sample(df, "doc_id", "lang", rates, salt="s1").collect()
+    }
+    expect = set()
+    for i in range(400):
+        h = hashlib.md5(f"s1:{i}".encode()).hexdigest()[:8]
+        if h < curation.sample_threshold(rates["en" if i % 2 == 0 else "de"]):
+            expect.add(i)
+    assert got == expect
+    # deterministic: second run identical
+    again = {
+        r["doc_id"]
+        for r in curation.stratified_sample(df, "doc_id", "lang", rates, salt="s1").collect()
+    }
+    assert again == got
+
+
+def test_stratified_sample_rate_extremes_and_default(spark):
+    df = spark.createDataFrame([(i, "xx") for i in range(50)], ["doc_id", "lang"])
+    assert curation.stratified_sample(df, "doc_id", "lang", {"xx": 1.0}).count() == 50
+    assert curation.stratified_sample(df, "doc_id", "lang", {"xx": 0.0}).count() == 0
+    # stratum not in rates -> default_rate
+    assert curation.stratified_sample(df, "doc_id", "lang", {"yy": 1.0}).count() == 0
+    assert (
+        curation.stratified_sample(df, "doc_id", "lang", {}, default_rate=1.0).count() == 50
+    )
+
+
+def test_stratified_sample_is_narrow(spark):
+    df = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    plan = _plan(curation.stratified_sample(df, "doc_id", "lang", {"en": 0.5}))
+    assert "Exchange" not in plan
+
+
+def test_plan_mixture_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(80)] + [(i + 100, "de") for i in range(20)],
+        ["doc_id", "lang"],
+    )
+    rates = curation.plan_mixture(df, "lang", {"en": 1.0, "de": 1.0}, total=40)
+    assert rates["en"] == 20 / 80
+    assert rates["de"] == 1.0  # capped: 20 wanted, 20 available
+
+
+# ----------------------------------------------------------------- packing --
+
+
+def test_pack_sequences_chunking(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f g h i")], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curation.pack_sequences(df, "doc_id", "text", budget=4).collect()
+    }
+    assert (rows[1]["start_tok"], rows[1]["first_seq"], rows[1]["last_seq"]) == (0, 0, 0)
+    # doc 2 straddles the seq-0/seq-1 boundary (tokens 3..4)
+    assert (rows[2]["start_tok"], rows[2]["first_seq"], rows[2]["last_seq"]) == (3, 0, 1)
+    assert (rows[3]["start_tok"], rows[3]["first_seq"], rows[3]["last_seq"]) == (5, 1, 2)
+
+
+def test_pack_sequences_partitioned_restarts_offsets(spark):
+    df = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "c d", "s1"), (3, "e f", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curation.pack_sequences(
+            df, "doc_id", "text", budget=10, part_col="source"
+        ).collect()
+    }
+    assert rows[3]["start_tok"] == 0  # s2 stream starts fresh
+    assert rows[2]["start_tok"] == 2
+
+
+def test_pack_sequences_single_shuffle(spark):
+    df = spark.createDataFrame([(1, "a", "s")], ["doc_id", "text", "source"])
+    plan = _plan(curation.pack_sequences(df, "doc_id", "text", 8, part_col="source"))
+    assert plan.count("Exchange hashpartitioning") == 1
