@@ -64,6 +64,11 @@ class SearchConfig:
     # regardless of the query value's case (`?name=Eve` ≡ `?name=eve`).
     # Params not listed here get token semantics (exact equality).
     string_params: set[str] = field(default_factory=set)
+    # array_string_params listed here are TOKEN-class instead (exact
+    # equality on the struct field — identifiers, not names). Unlisted
+    # array params keep string semantics, the right default for the
+    # HumanName shape this registry exists for.
+    token_class_params: set[str] = field(default_factory=set)
 
 
 def _typed_lit(df: DataFrame, colpath: str, value: str):
@@ -213,9 +218,10 @@ class SearchEngine:
                 )
             elif name in cfg.array_string_params:
                 arr, fld = cfg.array_string_params[name]
+                token_class = name in cfg.token_class_params
                 ors = None
                 for value in raw.split(","):
-                    if modifier == "exact":
+                    if modifier == "exact" or (token_class and modifier != "contains"):
                         p = F.exists(F.col(arr), lambda s: s[fld] == value)
                     elif modifier == "contains":
                         p = F.exists(
@@ -227,17 +233,30 @@ class SearchEngine:
                         )
                     ors = p if ors is None else (ors | p)
                 df = df.filter(ors)
-            elif name in cfg.token_params and "|" in raw:
-                # token search `?code=system|value`: exists() over the
-                # coding array (SURVEY §2.7 'Token/code filter')
-                system, _, code = raw.partition("|")
+            elif name in cfg.token_params:
+                # token search `?code=system|code` / `?code=code` over the
+                # coding array (SURVEY §2.7 'Token/code filter'). A bare
+                # code matches ANY system (FHIR token grammar); comma = OR.
                 coding_col = cfg.token_params[name]
-                pred = F.exists(
-                    F.col(coding_col),
-                    lambda c: (c["system"] == system if system else F.lit(True))
-                    & (c["code"] == code),
-                )
-                df = df.filter(pred)
+
+                def _token_pred(system: str, code: str) -> Column:
+                    # separate helper so the HOF lambda stays unary
+                    # (pyspark dispatches on the callable's arity)
+                    if system:
+                        return F.exists(
+                            F.col(coding_col),
+                            lambda c: (c["system"] == system) & (c["code"] == code),
+                        )
+                    return F.exists(F.col(coding_col), lambda c: c["code"] == code)
+
+                ors = None
+                for value in raw.split(","):
+                    system, has_pipe, code = value.partition("|")
+                    if not has_pipe:
+                        system, code = "", value
+                    p = _token_pred(system, code)
+                    ors = p if ors is None else (ors | p)
+                df = df.filter(ors)
             elif name in cfg.reference_params and "/" in raw:
                 ref_col, _t = cfg.reference_params[name]
                 df = df.filter(F.col(ref_col) == F.lit(raw))

@@ -121,6 +121,38 @@ def test_token_system_code(engine):
     assert [r["id"] for r in out.collect()] == ["o2"]
 
 
+def test_token_bare_code_and_comma_or(engine):
+    # FHIR token grammar: a bare code matches ANY system; comma = OR
+    out = engine.search("Observation", {"code_token": "718-7"})
+    assert [r["id"] for r in out.collect()] == ["o2"]
+    out = engine.search("Observation", {"code_token": "718-7,8480-6"})
+    assert sorted(r["id"] for r in out.collect()) == ["o1", "o2"]
+    # bare code does NOT prefix-match (token class, not string class)
+    assert engine.search("Observation", {"code_token": "718"}).count() == 0
+
+
+def test_array_param_token_class_exact(spark):
+    # identifier-shaped array param: token class = exact equality on the
+    # struct field, no case-insensitive prefix semantics
+    patients = spark.createDataFrame(
+        [("p1", [{"value": "MRN-001"}]), ("p2", [{"value": "MRN-0012"}])],
+        "id string, identifier array<struct<value:string>>",
+    )
+    eng = SearchEngine(
+        {"Patient": patients},
+        {"Patient": SearchConfig(
+            array_string_params={"identifier": ("identifier", "value")},
+            token_class_params={"identifier"},
+        )},
+    )
+    assert [r["id"] for r in eng.search("Patient", {"identifier": "MRN-001"}).collect()] == ["p1"]
+    # prefix of a longer identifier matches nothing (would match both
+    # under string-class semantics)
+    assert eng.search("Patient", {"identifier": "MRN-00"}).count() == 0
+    # :contains stays available explicitly
+    assert eng.search("Patient", {"identifier:contains": "mrn-00"}).count() == 2
+
+
 def test_missing_modifier(engine):
     out = engine.search("Observation", {"coding:missing": "true"})
     assert [r["id"] for r in out.collect()] == ["o3"]
