@@ -916,6 +916,47 @@ def q_ds2_pack_sequences(spark, sf_dir):
     return curation.pack_sequences(docs, "doc_id", "text", budget=512, part_col="source")
 
 
+def q_t7_redact_pii(spark, sf_dir):
+    """PII scrubbing: plant one deterministic PII item per doc (the base
+    corpus has none) and redact it — email / IPv4 / phone / URL rotating
+    by doc_id % 4. Pure narrow regexp chain."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" contact eng"), sid, F.lit("@example.com now")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit(" node 10.0."), (F.col("doc_id") % 256).cast("string"),
+                       F.lit(".7 up")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit(" dial +44 201 "),
+                       (F.lit(5550) + F.col("doc_id") % 10).cast("string"), F.lit(" soon")))
+        .otherwise(F.concat(F.lit(" docs at https://ex.org/d/"), sid)),
+    )
+    return curation.redact_pii(
+        docs.select("doc_id", planted.alias("text")), "doc_id", "text"
+    )
+
+
+def q_d8_boilerplate_lines(spark, sf_dir):
+    """Corpus-level boilerplate line removal (CCNet-style): the flat
+    synthetic text gets deterministic line structure (a newline every 8
+    tokens) and a shared 'legal footer' line on every third doc; lines
+    appearing in ≥2 docs are dropped, order preserved."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    with_nl = F.regexp_replace(F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n")
+    planted = F.concat(
+        with_nl,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("\nshared legal footer")).otherwise(F.lit("")),
+    )
+    return curation.remove_boilerplate_lines(
+        docs.select("doc_id", planted.alias("text")), "doc_id", "text", min_docs=2
+    )
+
+
 # -------------------------------------------------------------- multimodal --
 
 def q_m1_attachment_meta(spark, sf_dir):
@@ -1096,7 +1137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_fingerprints": q_t4_fingerprints,
         "t5_corpus_stats": q_t5_corpus_stats,
         "t6_repetition": q_t6_repetition,
+        "t7_redact_pii": q_t7_redact_pii,
         "d7_decontaminate": q_d7_decontaminate,
+        "d8_boilerplate_lines": q_d8_boilerplate_lines,
         "ds1_stratified_sample": q_ds1_stratified_sample,
         "ds2_pack_sequences": q_ds2_pack_sequences,
         "m1_attachment_meta": q_m1_attachment_meta,
@@ -1154,6 +1197,38 @@ def _bigram_cte(src: str = "documents") -> str:
             )
         )
     """
+
+
+_T7_PLANT_SQL = (
+    "text || CASE doc_id % 4"
+    " WHEN 0 THEN ' contact eng' || CAST(doc_id AS VARCHAR) || '@example.com now'"
+    " WHEN 1 THEN ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 up'"
+    " WHEN 2 THEN ' dial +44 201 ' || CAST(5550 + doc_id % 10 AS VARCHAR) || ' soon'"
+    " ELSE ' docs at https://ex.org/d/' || CAST(doc_id AS VARCHAR) END"
+)
+
+
+def _t7_oracle() -> str:
+    from healthcare_api_spark.operators.curation import PII_PATTERNS
+
+    clean = "t"
+    counts = []
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+        counts.append(f"len(regexp_extract_all(t, '{pat}'))")
+    return (
+        f"WITH p AS (SELECT doc_id, {_T7_PLANT_SQL} AS t FROM documents)"
+        f" SELECT doc_id, {clean} AS clean_text,"
+        f" CAST({' + '.join(counts)} AS BIGINT) AS n_redacted FROM p"
+    )
+
+
+# newline every 8 tokens + a shared footer on every third doc (mirrors
+# q_d8's planted structure; \1 is RE2's backref syntax, $1 is Java's)
+_D8_PLANT_SQL = (
+    "regexp_replace(text, '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g')"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'shared legal footer' ELSE '' END"
+)
 
 
 def _ds1_case_sql() -> str:
@@ -1497,6 +1572,23 @@ def oracle_sql() -> dict[str, str]:
             " SELECT dd.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,"
             " CASE WHEN coalesce(h.n_shared, 0) > 0 THEN 1 ELSE 0 END AS contaminated"
             " FROM documents dd LEFT JOIN hits h ON dd.doc_id = h.doc_id"
+        ),
+        "t7_redact_pii": _t7_oracle(),
+        "d8_boilerplate_lines": (
+            f"WITH d2 AS (SELECT doc_id, {_D8_PLANT_SQL} AS t FROM documents),"
+            " lsx AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d2),"
+            " lines AS (SELECT doc_id, i AS pos, ls[i] AS line FROM lsx,"
+            "  LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)),"
+            " boiler AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)"
+            "  GROUP BY line HAVING count(*) >= 2),"
+            " kept AS (SELECT doc_id, pos, line FROM lines"
+            "  WHERE line NOT IN (SELECT line FROM boiler)),"
+            " clean AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct,"
+            "  count(*) AS n_kept FROM kept GROUP BY doc_id)"
+            " SELECT d2.doc_id, coalesce(c.ct, '') AS clean_text,"
+            " CAST(len(string_split(d2.t, chr(10))) AS BIGINT) AS n_lines,"
+            " CAST(len(string_split(d2.t, chr(10))) - coalesce(c.n_kept, 0) AS BIGINT)"
+            " AS n_removed FROM d2 LEFT JOIN clean c ON d2.doc_id = c.doc_id"
         ),
         "ds1_stratified_sample": (
             "SELECT doc_id, lang, source FROM documents"

@@ -107,6 +107,104 @@ def decontaminate(
     )
 
 
+# --------------------------------------------------------- PII redaction --
+
+# (name, pattern, replacement) applied IN ORDER. Patterns are restricted
+# to the regex subset Java and RE2 evaluate identically (no lookaround,
+# no backreferences, unambiguous greedy runs) so redaction is
+# engine-portable and oracle-verifiable.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://\S+", "<URL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3} \d{3} \d{3,4}", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Scrub emails / URLs / IPv4s / phone numbers to typed placeholder
+    tokens. Output: (id, clean_text, n_redacted) — n_redacted counts
+    matches per pattern against the ORIGINAL text (order-independent),
+    while replacements apply sequentially in registry order.
+
+    Shape at scale: a chain of ``regexp_replace`` / ``regexp_extract_all``
+    Column expressions — narrow, whole-stage codegen, zero shuffle.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    clean = F.col(text_col)
+    n = F.lit(0)
+    for _, pat, repl in pats:
+        n = n + F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n.cast("bigint").alias("n_redacted"),
+    )
+
+
+# ------------------------------------------------ boilerplate line removal --
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: drop every line whose
+    document frequency across the corpus is ≥ ``min_docs`` (nav bars,
+    cookie banners, license headers), preserving the order of surviving
+    lines. Output: (id, clean_text, n_lines, n_removed) for EVERY input
+    doc — a doc whose lines are all boilerplate keeps an empty string.
+
+    Shape at scale: posexplode (narrow) → per-line doc-frequency
+    aggregate (shuffle keyed by line text, map-side combine collapses
+    within-partition repeats — boilerplate by definition compresses
+    hardest) → anti join against the frequent-line set (small by
+    construction; AQE broadcasts it) → one groupBy to reassemble docs.
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line")
+    )
+    boiler = (
+        lines.select(id_col, "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("docfreq"))
+        .filter(F.col("docfreq") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+            line_sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), line_sep)).alias("n_lines"),
+    )
+    return base.join(clean, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
 # ---------------------------------------------- sampling / mixture design --
 
 

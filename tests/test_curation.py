@@ -75,6 +75,72 @@ def test_decontaminate_counts_distinct_shingles_once(spark):
     assert r["n_shared"] == 3
 
 
+# ------------------------------------------------------------- redaction --
+
+
+def test_redact_pii_all_categories(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "see https://ex.com/a?b=1 and http://y.io"),
+            (3, "host 192.168.0.1 dial +44 201 5550"),
+            (4, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in curation.redact_pii(df, "doc_id", "text").collect()}
+    assert rows[1]["clean_text"] == "mail <EMAIL> now" and rows[1]["n_redacted"] == 1
+    assert rows[2]["clean_text"] == "see <URL> and <URL>" and rows[2]["n_redacted"] == 2
+    assert rows[3]["clean_text"] == "host <IP> dial <PHONE>" and rows[3]["n_redacted"] == 2
+    assert rows[4]["clean_text"] == "nothing sensitive here" and rows[4]["n_redacted"] == 0
+
+
+def test_redact_pii_is_narrow(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    assert "Exchange" not in _plan(curation.redact_pii(df, "doc_id", "text"))
+
+
+# ----------------------------------------------------- boilerplate removal --
+
+
+def test_remove_boilerplate_lines(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique content one\nfooter"),
+            (2, "cookie banner\nunique content two\nfooter"),
+            (3, "totally original document"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curation.remove_boilerplate_lines(df, "doc_id", "text", min_docs=2).collect()
+    }
+    assert rows[1]["clean_text"] == "unique content one"
+    assert rows[1]["n_lines"] == 3 and rows[1]["n_removed"] == 2
+    assert rows[2]["clean_text"] == "unique content two"
+    assert rows[3]["clean_text"] == "totally original document" and rows[3]["n_removed"] == 0
+
+
+def test_remove_boilerplate_keeps_fully_boiler_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "same")], ["doc_id", "text"]
+    )
+    rows = curation.remove_boilerplate_lines(df, "doc_id", "text").collect()
+    assert len(rows) == 3
+    assert all(r["clean_text"] == "" and r["n_removed"] == 1 for r in rows)
+
+
+def test_remove_boilerplate_within_doc_repeat_not_boiler(spark):
+    # a line repeated inside ONE doc is not corpus boilerplate
+    df = spark.createDataFrame([(1, "dup\ndup\nother"), (2, "x")], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in curation.remove_boilerplate_lines(df, "doc_id", "text", min_docs=2).collect()
+    }
+    assert rows[1]["clean_text"] == "dup\ndup\nother" and rows[1]["n_removed"] == 0
+
+
 # ---------------------------------------------------------------- sampling --
 
 
