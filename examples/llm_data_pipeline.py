@@ -5,13 +5,17 @@ embeddings and produce a cleaned, deduplicated, quality-filtered corpus
 with stats — every stage a distributed operator from this package:
 
   1. language-ID + quality scoring (textops)
-  2. quality gate (declarative filter)
-  3. exact dedup (normalized-content fingerprints)
-  4. near-dup clustering (minhash bands → connected components),
+  2. quality + repetition gates (declarative filters; Gopher-style)
+  3. PII redaction (curation; narrow regexp chain)
+  4. benchmark decontamination (curation; broadcast n-gram overlap)
+  5. exact dedup (normalized-content fingerprints)
+  6. near-dup clustering (minhash bands → connected components),
      keep cluster representatives
-  5. embedding near-dup sweep within LSH buckets (similarity)
-  6. token accounting for the surviving corpus
-  7. write the cleaned corpus partitioned by language
+  7. embedding near-dup sweep within LSH buckets (similarity)
+  8. mixture sampling to target language proportions (deterministic
+     md5-threshold; reproducible across engines/cluster sizes)
+  9. token accounting + sequence packing (concat-and-chunk)
+ 10. write the cleaned corpus partitioned by language
 
 Run: python examples/llm_data_pipeline.py [sf_dir]
 """
@@ -27,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from healthcare_api_spark import get_spark
-from healthcare_api_spark.operators import dedup, similarity, textops
+from healthcare_api_spark.operators import curation, dedup, similarity, textops
 from healthcare_api_spark.tables import load_table
 
 
@@ -46,16 +50,36 @@ def main() -> None:
         docs.join(lang, "doc_id").join(qual.select("doc_id", "score"), "doc_id")
     )
 
-    # 2. quality gate
-    gated = annotated.filter(F.col("score") >= 0.5)
+    # 2. quality + repetition gates (both Gopher-style signals)
+    rep = curation.repetition_features(docs, "doc_id", "text", ngram_n=2)
+    gated = (
+        annotated.join(rep.select("doc_id", "dup_ngram_frac"), "doc_id")
+        .filter((F.col("score") >= 0.5) & (F.col("dup_ngram_frac") < 0.9))
+    )
     n_gated = gated.count()
 
-    # 3. exact dedup on normalized content (persisted: feeds candidate
+    # 3. PII redaction: downstream stages consume the scrubbed text
+    redacted = curation.redact_pii(gated, "doc_id", "text")
+    gated = (
+        gated.join(redacted.select("doc_id", "clean_text"), "doc_id")
+        .drop("text")
+        .withColumnRenamed("clean_text", "text")
+    )
+
+    # 4. decontamination vs a benchmark slice (stand-in for an eval suite)
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    contam = curation.decontaminate(gated, bench, "doc_id", "text", shingle_n=5)
+    gated = gated.join(
+        contam.filter(F.col("contaminated") == 0).select("doc_id"), "doc_id"
+    )
+    n_decontam = gated.count()
+
+    # 5. exact dedup on normalized content (persisted: feeds candidate
     # generation, clustering, and the final corpus join)
     exact = dedup.exact_dedup_by_content(gated, "doc_id", "text")
     exact_survivors = exact.filter(F.col("doc_id") == F.col("canonical_id")).persist()
 
-    # 4. near-dup clusters: minhash band candidates → components → reps
+    # 6. near-dup clusters: minhash band candidates → components → reps
     pairs = dedup.lsh_candidate_pairs(
         exact_survivors, "doc_id", "text", num_hashes=8, rows_per_band=2
     )
@@ -72,7 +96,7 @@ def main() -> None:
     corpus = exact_survivors.join(reps, "doc_id").persist()
     n_corpus = corpus.count()
 
-    # 5. embedding near-dup audit (separate modality, LSH-bucketed)
+    # 7. embedding near-dup audit (separate modality, LSH-bucketed)
     emb = load_table(spark, sf_dir, "embeddings")
     bucketed = similarity.hyperplane_buckets(emb, "embedding", dim=64, n_planes=8)
     emb_pairs = dedup.embedding_neardup_pairs(
@@ -80,15 +104,28 @@ def main() -> None:
     )
     n_emb_dups = emb_pairs.count()
 
-    # 6. token accounting on the survivors
+    # 8. mixture sampling: rebalance toward an even language mix
+    # (deterministic — rerunning with the same salt reproduces the draw)
+    props = {lang: 1.0 for (lang,) in corpus.select("pred_lang").distinct().collect()}
+    rates = curation.plan_mixture(corpus, "pred_lang", props, total=max(1, n_corpus // 2))
+    corpus = curation.stratified_sample(
+        corpus, "doc_id", "pred_lang", rates, salt="mix-v1"
+    ).persist()
+    n_mixed = corpus.count()
+
+    # 9. token accounting + sequence packing on the survivors
     tokens = textops.token_counts(corpus, "doc_id", "text")
     stats = tokens.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").alias("tokens"),
         F.sum("n_subwords").alias("subwords"),
     ).collect()[0]
+    packed = curation.pack_sequences(
+        corpus, "doc_id", "text", budget=512, part_col="pred_lang"
+    )
+    n_seqs = packed.agg((F.max("last_seq") + 1).alias("m")).collect()[0]["m"]
 
-    # 7. write partitioned by language (layout for downstream sampling)
+    # 10. write partitioned by language (layout for downstream sampling)
     corpus.select("doc_id", "text", "pred_lang", "score").write.mode("overwrite").partitionBy(
         "pred_lang"
     ).parquet(out_dir)
@@ -96,10 +133,13 @@ def main() -> None:
     langs = {r["pred_lang"]: r["cnt"] for r in corpus.groupBy("pred_lang").agg(
         F.count(F.lit(1)).alias("cnt")).collect()}
     print(f"input docs:            {n0}")
-    print(f"after quality gate:    {n_gated}")
+    print(f"after quality gates:   {n_gated}")
+    print(f"after decontamination: {n_decontam}")
     print(f"after exact+near dedup:{n_corpus}")
     print(f"embedding near-dups:   {n_emb_dups}")
+    print(f"after mixture sample:  {n_mixed}")
     print(f"corpus tokens:         {stats['tokens']} ({stats['subwords']} subwords)")
+    print(f"packed sequences/lang: max {n_seqs} @512 tokens")
     print(f"by language:           {langs}")
     print(f"written to:            {out_dir}")
 
