@@ -159,10 +159,15 @@ class SearchEngine:
         """Translate ``params`` into a DataFrame plan over the catalog."""
         df = self.tables[resource_type]
         cfg = self.configs.get(resource_type, SearchConfig())
-        sort_spec: list[Column] = []
+        # (column path, descending) — kept as data, not Columns, so
+        # _page_token can derive its keyset predicate from the sort key
+        sort_fields: list[tuple[str, bool]] = []
         count: int | None = None
         elements: list[str] | None = None
         total_only = False
+        page_token: str | None = None
+        includes: list[str] = []
+        revincludes: list[tuple[str, str]] = []
 
         for key, raw in params.items():
             name, _, modifier = key.partition(":")
@@ -170,12 +175,27 @@ class SearchEngine:
                 total_only = raw == "accurate"
             elif key == "_count":
                 count = int(raw)
+            elif key == "_page_token":
+                page_token = raw
+            elif key == "_include":
+                # _include=SourceType:refParam — source must be the
+                # searched type (FHIR R4 form)
+                for spec in raw.split(","):
+                    src_t, _, rp = spec.partition(":")
+                    if src_t != resource_type:
+                        raise ValueError(
+                            f"_include source '{src_t}' must be the searched "
+                            f"type '{resource_type}'"
+                        )
+                    includes.append(rp)
+            elif key == "_revinclude":
+                for spec in raw.split(","):
+                    src_t, _, rp = spec.partition(":")
+                    revincludes.append((src_t, rp))
             elif key == "_sort":
                 for s in raw.split(","):
-                    sort_spec.append(
-                        F.col(self._resolve(resource_type, s.lstrip("-"))).desc()
-                        if s.startswith("-")
-                        else F.col(self._resolve(resource_type, s)).asc()
+                    sort_fields.append(
+                        (self._resolve(resource_type, s.lstrip("-")), s.startswith("-"))
                     )
             elif key == "_elements":
                 elements = [self._resolve(resource_type, e) for e in raw.split(",")]
@@ -270,12 +290,33 @@ class SearchEngine:
 
         if total_only:
             return df.agg(F.count(F.lit(1)).alias("total"))
-        if sort_spec:
-            df = df.orderBy(*sort_spec)
-        if elements:
-            df = df.select(*elements)
+        if page_token is not None:
+            # keyset pagination: the token is the last page's final sort-key
+            # value — O(page) per page (a pushed-down range filter), never
+            # the O(offset) skip-scan of numbered pages
+            if len(sort_fields) != 1:
+                raise ValueError("_page_token requires exactly one _sort key")
+            colpath, desc = sort_fields[0]
+            bound = _typed_lit(df, colpath, page_token)
+            df = df.filter(F.col(colpath) < bound if desc else F.col(colpath) > bound)
+        if sort_fields:
+            df = df.orderBy(
+                *[F.col(c).desc() if d else F.col(c).asc() for c, d in sort_fields]
+            )
         if count is not None:
             df = df.limit(count)
+        # includes join AFTER the limit: only the returned page pays the
+        # join, and each is a 1:1 left join (no row multiplication)
+        for rp in includes:
+            df = self.include(df, resource_type, rp)
+        for src_t, rp in revincludes:
+            df = self.revinclude(df, src_t, rp)
+        if elements:
+            keep = elements + [
+                c for c in df.columns
+                if c.startswith("included_") or c.startswith("revincluded_")
+            ]
+            df = df.select(*keep)
         return df
 
     def include(self, df: DataFrame, resource_type: str, ref_param: str) -> DataFrame:

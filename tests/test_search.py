@@ -207,6 +207,58 @@ def test_total_count_sort_elements(engine):
         "id", "birthDate"}
 
 
+def test_include_revinclude_as_params(engine):
+    # the documented grammar: _include/_revinclude inside search()
+    rows = {
+        r["id"]: r
+        for r in engine.search(
+            "Observation",
+            {"subject": "Patient/p1", "_include": "Observation:subject"},
+        ).collect()
+    }
+    assert rows["o1"]["included_subject"]["gender"] == "female"
+
+    rows = {
+        r["id"]: r
+        for r in engine.search(
+            "Patient", {"gender": "female", "_revinclude": "Observation:subject"}
+        ).collect()
+    }
+    assert len(rows["p1"]["revincluded_Observation"]) == 2
+    assert rows["p3"]["revincluded_Observation"] is None
+
+    # source type of _include must be the searched type
+    with pytest.raises(ValueError, match="_include source"):
+        engine.search("Observation", {"_include": "Patient:subject"})
+
+    # _elements keeps the included struct alongside the projection
+    out = engine.search(
+        "Observation",
+        {"_include": "Observation:subject", "_elements": "id"},
+    )
+    assert set(out.columns) == {"id", "included_subject"}
+
+
+def test_page_token_keyset(engine):
+    first = engine.search("Observation", {"_sort": "date", "_count": "2"}).collect()
+    assert [r["id"] for r in first] == ["o1", "o2"]
+    nxt = engine.search(
+        "Observation",
+        {"_sort": "date", "_count": "2", "_page_token": first[-1]["effective"]},
+    ).collect()
+    assert [r["id"] for r in nxt] == ["o3"]
+    # descending paging uses the < bound
+    desc_first = engine.search("Observation", {"_sort": "-date", "_count": "1"}).collect()
+    assert desc_first[0]["id"] == "o3"
+    desc_next = engine.search(
+        "Observation",
+        {"_sort": "-date", "_count": "2", "_page_token": desc_first[-1]["effective"]},
+    ).collect()
+    assert [r["id"] for r in desc_next] == ["o2", "o1"]
+    with pytest.raises(ValueError, match="exactly one _sort"):
+        engine.search("Observation", {"_page_token": "x"})
+
+
 def test_include_revinclude(engine):
     obs = engine.search("Observation", {"subject": "Patient/p1"})
     inc = engine.include(obs, "Observation", "subject")
