@@ -972,10 +972,49 @@ def q_m1_attachment_meta(spark, sf_dir):
     )
 
 
-def q_m2_image_decode_stub(spark, sf_dir):
+def q_m2_image_decode(spark, sf_dir):
+    """REAL codec-free image path: synthesize a true PNG per doc (stdlib
+    zlib encoder) with doc-derived dims/channels and a (x+y+doc_id)%256
+    gradient, then run header decode AND the full pixel decode — the
+    oracle recomputes the pixel checksum analytically, so a zlib or
+    unfiltering bug would hash-mismatch."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_api_spark.operators.multimodal import decode_png, encode_png_bytes
+
     _tune(spark)
-    docs = _t(spark, sf_dir, "documents").withColumn("_bin", F.col("text").cast("binary"))
-    return decode_image_meta(docs, "doc_id", "_bin")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 64 + 1, d % 48 + 1
+                ch = (1, 3, 4)[d % 3]
+                v = ((np.add.outer(np.arange(h), np.arange(w)) + d) % 256).astype(np.uint8)
+                payloads.append(encode_png_bytes(np.repeat(v[:, :, None], ch, axis=2)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    pngs = docs.mapInPandas(_gen, "doc_id long, data binary")
+    meta = decode_image_meta(pngs, "doc_id", "data").select(
+        F.col("id").alias("doc_id"), "width", "height", "channels", "bit_depth", "format"
+    )
+    px = decode_png(pngs, "doc_id", "data")
+
+    def _sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = [
+                int(np.frombuffer(p, dtype=np.uint8).sum()) if p is not None else None
+                for p in pdf["pixels"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["id"], "px_sum": sums})
+
+    sums = px.mapInPandas(_sum, "doc_id long, px_sum long")
+    return meta.join(sums, "doc_id")
 
 
 def q_m3_audio_features(spark, sf_dir):
@@ -1143,7 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds1_stratified_sample": q_ds1_stratified_sample,
         "ds2_pack_sequences": q_ds2_pack_sequences,
         "m1_attachment_meta": q_m1_attachment_meta,
-        "m2_image_decode_stub": q_m2_image_decode_stub,
+        "m2_image_decode": q_m2_image_decode,
         "m3_audio_features": q_m3_audio_features,
         "fs1_search_token": q_fs1_search_token,
         "fs2_search_range": q_fs2_search_range,
@@ -1608,11 +1647,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, CASE doc_id % 11 {mime_case} END AS content_type,"
             " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
         ),
-        "m2_image_decode_stub": (
-            "SELECT doc_id AS id,"
-            " CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,"
-            " CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,"
-            " CAST(3 AS INTEGER) AS channels, 'fake/raw' AS format FROM documents"
+        "m2_image_decode": (
+            "WITH dims AS (SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,"
+            " CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch"
+            " FROM documents),"
+            " sums AS (SELECT doc_id, sum((x.i + y.i + doc_id) % 256) AS s"
+            "  FROM dims, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS i) x,"
+            "  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) y"
+            "  GROUP BY doc_id)"
+            " SELECT d.doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,"
+            " CAST(ch AS INTEGER) AS channels, CAST(8 AS INTEGER) AS bit_depth,"
+            " 'png' AS format, CAST(ch * s AS BIGINT) AS px_sum"
+            " FROM dims d JOIN sums USING (doc_id)"
         ),
         "m3_audio_features": (
             "SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,"

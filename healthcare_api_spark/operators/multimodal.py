@@ -6,10 +6,15 @@ first-class column family:
 
 - payloads are opaque ``binary`` columns (or external urls for cold data);
 - metadata is a typed struct, populated JVM-side (MIME inference, sizes);
-- decode / feature-extract steps run as Arrow-batched ``mapInPandas``
-  (the image/audio libraries are not in this container, so the decode
-  kernels are STUBBED with deterministic fakes — the Spark-side plumbing
-  (schema, batching, partitioning) is real and tested).
+- decode / feature-extract steps run as Arrow-batched ``mapInPandas``.
+
+Codec-free REAL kernels (no image/audio library in this container, but
+these formats need none): image header metadata (PNG/BMP/GIF/JPEG struct
+walking), full PNG pixel decode (stdlib zlib + numpy unfiltering),
+nearest-neighbor PNG resize, byte histograms, RIFF/PCM audio features.
+Compressed codecs (jpeg pixels, mp3, video) stay STUBBED with
+deterministic fakes — the Spark-side plumbing (schema, batching,
+partitioning, per-row error capture) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -61,38 +66,253 @@ IMAGE_META_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("channels", IntegerType()),
+        StructField("bit_depth", IntegerType()),
         StructField("format", StringType()),
     ]
 )
 
+# PNG color type → sample count per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_image_header(payload: bytes):
+    """Codec-free container sniffing → (format, width, height, channels,
+    bit_depth) or None. PNG/BMP/GIF dims live at fixed offsets; JPEG needs
+    a marker walk to the first SOF segment. Pure stdlib — no image lib."""
+    import struct
+
+    if len(payload) >= 33 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack_from(">II", payload, 16)
+        depth, color_type = payload[24], payload[25]
+        return ("png", w, h, _PNG_CHANNELS.get(color_type, 0), depth)
+    if len(payload) >= 30 and payload[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        # bpp is bits per PIXEL: 24→3×8-bit channels, 8→1 palette channel
+        return ("bmp", w, abs(h), max(bpp // 8, 1), 8 if bpp >= 8 else bpp)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return ("gif", w, h, 1, 8)  # palette-indexed
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 9 < len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-length markers
+                pos += 2
+                continue
+            seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):  # SOFn
+                depth = payload[pos + 4]
+                h, w = struct.unpack_from(">HH", payload, pos + 5)
+                return ("jpeg", w, h, payload[pos + 9], depth)
+            pos += 2 + seglen
+        return None
+    return None
+
 
 def decode_image_meta(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
-    """STUB image decode: extracts (width, height, channels, format) per
-    payload via Arrow-batched mapInPandas.
+    """REAL (codec-free) image metadata decode: (width, height, channels,
+    bit_depth, format) for PNG / BMP / GIF / JPEG payloads via Arrow-batched
+    mapInPandas — container headers are struct walking, no codec library.
 
-    Real deployments replace ``_fake_decode`` with PIL/libvips; the fake
-    derives deterministic dims from the byte length so tests exercise the
-    full batched path (schema, nulls, partition boundaries) without the
-    codec library.
-    """
+    Undecodable payloads surface per-row as format ``invalid`` (or
+    ``empty``) with null dims — the NDJSON-corrupt-record contract, never
+    a job failure (at 100 TB some payloads are always malformed)."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = pdf[data_col].map(lambda b: len(b) if b is not None else 0)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col],
-                    # STUB: deterministic fake in lieu of a real codec.
-                    "width": (n % 640 + 1).astype("int32"),
-                    "height": (n % 480 + 1).astype("int32"),
-                    "channels": pd.Series([3] * len(pdf), dtype="int32"),
-                    "format": pd.Series(["fake/raw"] * len(pdf)),
-                }
-            )
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[data_col]):
+                null = dict(width=None, height=None, channels=None, bit_depth=None)
+                if b is None or len(b) == 0:
+                    rows.append(dict(id=rid, format="empty", **null))
+                    continue
+                parsed = _parse_image_header(bytes(b))
+                if parsed is None:
+                    rows.append(dict(id=rid, format="invalid", **null))
+                    continue
+                fmt, w, h, ch, depth = parsed
+                rows.append(dict(id=rid, width=w, height=h, channels=ch,
+                                 bit_depth=depth, format=fmt))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
 
     return df.select(F.col(id_col).alias(id_col), F.col(data_col)).mapInPandas(
         _decode, IMAGE_META_SCHEMA
     )
+
+
+def encode_png_bytes(arr) -> bytes:
+    """Codec-free PNG encoder (stdlib zlib): uint8 array (h, w) or
+    (h, w, ch) with ch ∈ {1,2,3,4} → non-interlaced 8-bit PNG, filter 0
+    scanlines. The inverse of ``_decode_png_pixels`` — used by tests and
+    the driver contract to synthesize real decodable payloads."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_pixels(payload: bytes):
+    """Full PNG decode without any image library: chunk walk → zlib
+    (stdlib) inflate → per-scanline unfiltering (the 5 PNG filter types)
+    → interleaved uint8 pixel bytes. Supports bit depth 8, color types
+    0/2/4/6 (gray / RGB / gray+alpha / RGBA), non-interlaced — the subset
+    generable without a codec. Returns (width, height, channels, bytes)
+    or a str error code.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    hdr = _parse_image_header(payload)
+    if hdr is None or hdr[0] != "png":
+        return "invalid"
+    _, w, h, ch, depth = hdr
+    color_type = payload[25]
+    interlace = payload[28]
+    if depth != 8 or color_type not in (0, 2, 4, 6) or interlace != 0:
+        return f"unsupported:ct{color_type}/d{depth}/i{interlace}"
+    idat, pos = b"", 8
+    while pos + 8 <= len(payload):
+        clen = struct.unpack_from(">I", payload, pos)[0]
+        cid = payload[pos + 4 : pos + 8]
+        if cid == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + clen]
+        elif cid == b"IEND":
+            break
+        pos += 12 + clen  # len + id + crc
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return "corrupt-idat"
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return "truncated"
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, row = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int32)
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # up
+            rec = (row + prev) & 0xFF
+        else:
+            # sub/average/paeth recur along the row — per-byte loop
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0  # left
+                b = prev[x]  # up
+                c = prev[x - ch] if x >= ch else 0  # up-left
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    return f"bad-filter:{ftype}"
+                rec[x] = (row[x] + pred) & 0xFF
+        out[y] = rec
+        prev = out[y].astype(np.int32)
+    return (w, h, ch, out.tobytes())
+
+
+PNG_PIXELS_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixels", BinaryType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def decode_png(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """REAL full-pixel PNG decode (stdlib zlib + numpy unfiltering) as an
+    Arrow-batched mapInPandas kernel. Output pixels are interleaved uint8;
+    undecodable rows carry a ``status`` error code and null pixels."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[data_col]):
+                null = dict(width=None, height=None, channels=None, pixels=None)
+                if b is None or len(b) == 0:
+                    rows.append(dict(id=rid, status="empty", **null))
+                    continue
+                res = _decode_png_pixels(bytes(b))
+                if isinstance(res, str):
+                    rows.append(dict(id=rid, status=res, **null))
+                else:
+                    w, h, ch, px = res
+                    rows.append(dict(id=rid, width=w, height=h, channels=ch,
+                                     pixels=px, status="ok"))
+            yield pd.DataFrame(rows, columns=[f.name for f in PNG_PIXELS_SCHEMA.fields])
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_decode, PNG_PIXELS_SCHEMA)
+
+
+def resize_png_nearest(
+    df: DataFrame, id_col: str, data_col: str, width: int = 64, height: int = 64
+) -> DataFrame:
+    """REAL image resize for PNG payloads: full decode, then
+    nearest-neighbor index into the pixel grid (numpy fancy indexing per
+    batch). Non-PNG / undecodable rows carry the decode error status and
+    null output — per-row capture, the job never fails."""
+    import numpy as np
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("resized", BinaryType()),
+         StructField("n_bytes", IntegerType()), StructField("status", StringType())]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[data_col]):
+                res = _decode_png_pixels(bytes(b)) if b else "empty"
+                if isinstance(res, str):
+                    rows.append(dict(id=rid, resized=None, n_bytes=None, status=res))
+                    continue
+                w, h, ch, px = res
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                out = img[ys][:, xs]
+                rows.append(dict(id=rid, resized=out.tobytes(),
+                                 n_bytes=width * height * ch, status="ok"))
+            yield pd.DataFrame(rows, columns=["id", "resized", "n_bytes", "status"])
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_resize, schema)
 
 
 def frame_sample(df: DataFrame, id_col: str, data_col: str, every_n: int = 10) -> DataFrame:

@@ -39,12 +39,143 @@ def test_attach_payload_struct(spark):
     assert out[3]["contentType"] == "video/mp4" and out[3]["size"] is None
 
 
-def test_decode_image_meta_stub_batched(spark):
-    out = {r["id"]: r for r in decode_image_meta(_payloads(spark), "id", "data").collect()}
-    assert out[1]["width"] == 101 and out[1]["height"] == 101  # 100 % 640 + 1
-    assert out[2]["width"] == 61 and out[2]["height"] == 221   # 700 % 640/480 + 1
-    assert out[3]["width"] == 1  # null payload → 0 bytes
-    assert all(out[i]["channels"] == 3 and out[i]["format"] == "fake/raw" for i in out)
+def _bmp_header(w, h, bpp=24):
+    import struct
+
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00\x00" + struct.pack(
+        "<H", bpp
+    ) + b"\x00" * 40
+
+
+def _jpeg_header(w, h, ch=3):
+    import struct
+
+    # SOI + APP0(len 4) + SOF0(height, width, channels) — header only
+    return (
+        b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xc0" + struct.pack(">H", 8 + 3 * ch) + bytes([8])
+        + struct.pack(">HH", h, w) + bytes([ch])
+    )
+
+
+def test_decode_image_meta_real_headers(spark):
+    import struct
+
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import encode_png_bytes
+
+    png = encode_png_bytes(np.zeros((7, 5, 3), dtype=np.uint8))
+    gif = b"GIF89a" + struct.pack("<HH", 11, 12) + b"\x00" * 6
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(_bmp_header(9, 4))),
+         (3, bytearray(gif)), (4, bytearray(_jpeg_header(33, 22))),
+         (5, bytearray(b"not an image at all......")), (6, None)],
+        ["id", "data"],
+    )
+    out = {r["id"]: r for r in decode_image_meta(df, "id", "data").collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"], out[1]["channels"]) == (
+        "png", 5, 7, 3)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"], out[2]["channels"]) == (
+        "bmp", 9, 4, 3)
+    assert (out[3]["format"], out[3]["width"], out[3]["height"]) == ("gif", 11, 12)
+    assert (out[4]["format"], out[4]["width"], out[4]["height"], out[4]["channels"]) == (
+        "jpeg", 33, 22, 3)
+    assert out[5]["format"] == "invalid" and out[5]["width"] is None
+    assert out[6]["format"] == "empty"
+
+
+def _forward_filter(img, ftypes):
+    """Apply PNG filters row-by-row (the encoder side of the 5 filter
+    types) so the test pins the decoder's unfiltering against a known
+    ground truth."""
+    import numpy as np
+
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    out = b""
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row, ft = flat[y], ftypes[y % len(ftypes)]
+        enc = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (row[x] - pred) & 0xFF
+        out += bytes([ft]) + enc.astype(np.uint8).tobytes()
+        prev = row
+    return out
+
+
+def test_png_full_decode_all_filters(spark):
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import decode_png, encode_png_bytes
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+
+    # hand-build a PNG using EVERY filter type across its rows
+    raw = _forward_filter(img, ftypes=[0, 1, 2, 3, 4])
+
+    def chunk(cid, body):
+        return struct.pack(">I", len(body)) + cid + body + struct.pack(
+            ">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 10, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(encode_png_bytes(img))),
+         (3, bytearray(b"\x89PNG\r\n\x1a\njunk..............................."))],
+        ["id", "data"],
+    )
+    out = {r["id"]: r for r in decode_png(df, "id", "data").collect()}
+    assert out[1]["status"] == "ok"
+    assert np.array_equal(
+        np.frombuffer(out[1]["pixels"], dtype=np.uint8).reshape(10, 6, 3), img)
+    # encoder→decoder round trip
+    assert np.array_equal(
+        np.frombuffer(out[2]["pixels"], dtype=np.uint8).reshape(10, 6, 3), img)
+    assert out[3]["status"] == "invalid" and out[3]["pixels"] is None
+
+
+def test_resize_png_nearest_real(spark):
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import encode_png_bytes, resize_png_nearest
+
+    # 2x2 quadrant image upscaled 2x: each quadrant becomes a 2x2 block
+    img = np.array([[[10], [20]], [[30], [40]]], dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png_bytes(img))), (2, bytearray(b"nope"))], ["id", "data"]
+    )
+    out = {r["id"]: r for r in resize_png_nearest(df, "id", "data", 4, 4).collect()}
+    got = np.frombuffer(out[1]["resized"], dtype=np.uint8).reshape(4, 4)
+    expect = np.array(
+        [[10, 10, 20, 20], [10, 10, 20, 20], [30, 30, 40, 40], [30, 30, 40, 40]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, expect) and out[1]["n_bytes"] == 16
+    assert out[2]["status"] == "invalid" and out[2]["resized"] is None
 
 
 def test_frame_sample_fanout(spark):
