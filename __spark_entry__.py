@@ -1066,6 +1066,57 @@ def q_m3_audio_features(spark, sf_dir):
     )
 
 
+def q_m4_video_frames(spark, sf_dir):
+    """REAL codec-free video path: synthesize an uncompressed YUV4MPEG2
+    stream per doc (constant-Y frames, doc-derived dims and frame count),
+    sample every 5th frame with the y4m container walker, and checksum
+    each frame's raw bytes — the oracle recomputes the sums analytically,
+    so a frame-boundary or plane-size bug would hash-mismatch."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from healthcare_api_spark.operators.multimodal import frame_sample
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 2 * (d % 8 + 1), 2 * (d % 6 + 1)
+                head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+                body = b"".join(
+                    b"FRAME\n"
+                    + bytes([(d + i) % 256]) * (w * h)
+                    + bytes([128]) * (w * h // 2)
+                    for i in range(d % 20 + 1)
+                )
+                payloads.append(head + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    vids = docs.mapInPandas(_gen, "doc_id long, data binary")
+    frames = frame_sample(vids, "doc_id", "data", every_n=5)
+
+    def _sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "fr_sum": [sum(bytes(fr)) for fr in pdf["frame"]],
+                }
+            )
+
+    return frames.mapInPandas(
+        _sum, "doc_id long, frame_idx int, width int, height int, fr_sum long"
+    )
+
+
 # ------------------------------------------------------ FHIR search front --
 
 def _doc_engine(spark, sf_dir) -> SearchEngine:
@@ -1184,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_attachment_meta": q_m1_attachment_meta,
         "m2_image_decode": q_m2_image_decode,
         "m3_audio_features": q_m3_audio_features,
+        "m4_video_frames": q_m4_video_frames,
         "fs1_search_token": q_fs1_search_token,
         "fs2_search_range": q_fs2_search_range,
         "fs3_search_count": q_fs3_search_count,
@@ -1666,6 +1718,17 @@ def oracle_sql() -> dict[str, str]:
             " CAST(8 * (n_chars % 100 + 10) AS BIGINT) AS n_samples,"
             " round((8 * (n_chars % 100 + 10)) / 8000.0, 6) AS duration_sec"
             " FROM documents"
+        ),
+        "m4_video_frames": (
+            "WITH dims AS (SELECT doc_id, 2 * (doc_id % 8 + 1) AS w,"
+            " 2 * (doc_id % 6 + 1) AS h, doc_id % 20 + 1 AS nf FROM documents),"
+            " fr AS (SELECT doc_id, w, h, i.idx FROM dims,"
+            "  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS idx) i"
+            "  WHERE idx % 5 = 0)"
+            " SELECT doc_id, CAST(idx AS INTEGER) AS frame_idx,"
+            " CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,"
+            " CAST(w * h * ((doc_id + idx) % 256) + (w * h / 2) * 128 AS BIGINT) AS fr_sum"
+            " FROM fr"
         ),
         "fs1_search_token": (
             "SELECT doc_id, lang, n_chars FROM documents"

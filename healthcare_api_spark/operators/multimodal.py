@@ -315,28 +315,86 @@ def resize_png_nearest(
     return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_resize, schema)
 
 
-def frame_sample(df: DataFrame, id_col: str, data_col: str, every_n: int = 10) -> DataFrame:
-    """STUB video frame sampler: emits one row per sampled frame index.
+# chroma subsampling → bytes per frame as a multiple of w*h (num, den)
+_Y4M_CHROMA = {"420": (3, 2), "422": (2, 1), "444": (3, 1), "mono": (1, 1)}
 
-    Plumbing is real (mapInPandas fan-out rows > input rows); the frame
-    count is a deterministic fake of the payload size. Replace the body
-    with pyav/ffmpeg bindings in production.
+
+def _parse_y4m(payload: bytes):
+    """YUV4MPEG2 container walk → (width, height, frame_size, data_start)
+    or None. Y4M is UNCOMPRESSED video: a text header line, then
+    'FRAME\\n' + raw planar YUV per frame — no codec needed."""
+    if not payload.startswith(b"YUV4MPEG2 "):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    chroma = "420"
+    for tok in payload[10:nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"C"):
+            c = tok[1:].decode("ascii", "replace")
+            chroma = next((k for k in _Y4M_CHROMA if c.startswith(k)), c)
+    if not w or not h or chroma not in _Y4M_CHROMA:
+        return None
+    num, den = _Y4M_CHROMA[chroma]
+    return w, h, (w * h * num) // den, nl + 1
+
+
+def frame_sample(df: DataFrame, id_col: str, data_col: str, every_n: int = 10) -> DataFrame:
+    """Video frame sampler: every ``every_n``-th frame as a binary row.
+
+    REAL for Y4M/YUV4MPEG2 payloads (uncompressed planar YUV — pure
+    container walking, no codec): emits the full raw frame bytes with
+    ``mode='y4m'`` plus the stream dims. Compressed containers (mp4/webm)
+    need a codec library this env lacks — those fall back to the
+    deterministic STUB sampler (``mode='stub'``, fake frame count from
+    payload size) so the fan-out plumbing (rows out > rows in) stays
+    exercised end-to-end.
     """
     schema = StructType(
         [StructField("id", LongType()), StructField("frame_idx", IntegerType()),
-         StructField("frame", BinaryType())]
+         StructField("frame", BinaryType()), StructField("mode", StringType()),
+         StructField("width", IntegerType()), StructField("height", IntegerType())]
     )
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"id": [], "frame_idx": [], "frame": []}
-            for _, r in pdf.iterrows():
-                payload = r[data_col] or b""
+            rows = {k: [] for k in ("id", "frame_idx", "frame", "mode", "width", "height")}
+
+            def emit(rid, idx, frame, mode, w=None, h=None):
+                rows["id"].append(rid)
+                rows["frame_idx"].append(idx)
+                rows["frame"].append(frame)
+                rows["mode"].append(mode)
+                rows["width"].append(w)
+                rows["height"].append(h)
+
+            for rid, b in zip(pdf[id_col], pdf[data_col]):
+                payload = bytes(b) if b is not None else b""
+                y4m = _parse_y4m(payload)
+                if y4m is not None:
+                    w, h, fsize, pos = y4m
+                    idx = 0
+                    while pos < len(payload):
+                        nl = payload.find(b"\n", pos)
+                        if nl < 0 or payload[pos : pos + 5] != b"FRAME":
+                            break  # truncated/corrupt tail: keep what we have
+                        start = nl + 1
+                        frame = payload[start : start + fsize]
+                        if len(frame) < fsize:
+                            break
+                        if idx % every_n == 0:
+                            emit(rid, idx, frame, "y4m", w, h)
+                        idx += 1
+                        pos = start + fsize
+                    continue
                 n_frames = max(len(payload) // 64, 1)  # STUB: fake frame count
                 for i in range(0, n_frames, every_n):
-                    rows["id"].append(r[id_col])
-                    rows["frame_idx"].append(i)
-                    rows["frame"].append(bytes(payload[i : i + 8]))
+                    emit(rid, i, bytes(payload[i : i + 8]), "stub")
             yield pd.DataFrame(rows)
 
     return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_sample, schema)

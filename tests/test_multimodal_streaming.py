@@ -182,9 +182,36 @@ def test_frame_sample_fanout(spark):
     out = frame_sample(_payloads(spark), "id", "data", every_n=5).collect()
     by_id = {}
     for r in out:
+        assert r["mode"] == "stub"  # none of these payloads is y4m
         by_id.setdefault(r["id"], []).append(r["frame_idx"])
     assert by_id[2] == [0, 5]  # 700//64 = 10 frames, sampled every 5
     assert by_id[1] == [0] and by_id[3] == [0]
+
+
+def _y4m_bytes(w, h, frames):
+    """Build an uncompressed YUV4MPEG2 stream (C420): one constant-Y
+    frame per value in ``frames``, chroma fixed at 128."""
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+    out = head
+    for v in frames:
+        out += b"FRAME\n" + bytes([v]) * (w * h) + bytes([128]) * (w * h // 2)
+    return out
+
+
+def test_frame_sample_y4m_real(spark):
+    y4m = _y4m_bytes(4, 2, frames=[9, 10, 11, 12, 13, 14, 15])
+    df = spark.createDataFrame([(1, bytearray(y4m))], ["id", "data"])
+    out = sorted(frame_sample(df, "id", "data", every_n=3).collect(),
+                 key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in out] == [0, 3, 6]
+    assert all(r["mode"] == "y4m" and r["width"] == 4 and r["height"] == 2 for r in out)
+    # frame bytes are the REAL planar YUV: 8 Y bytes + 4 chroma bytes
+    assert out[0]["frame"] == bytes([9]) * 8 + bytes([128]) * 4
+    assert out[1]["frame"] == bytes([12]) * 8 + bytes([128]) * 4
+    # truncated final frame (frame 6) is dropped, not an error
+    trunc = spark.createDataFrame([(2, bytearray(y4m[:-3]))], ["id", "data"])
+    got = frame_sample(trunc, "id", "data", every_n=6).collect()
+    assert [r["frame_idx"] for r in got] == [0]
 
 
 def test_byte_histogram_features_real(spark):
