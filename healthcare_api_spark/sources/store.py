@@ -61,6 +61,17 @@ class ResourceStore:
         merged_local = merged.localCheckpoint(eager=True)
         self.import_resources(merged_local, resource_type, mode="overwrite")
 
+    def compact(self, resource_type: str, target_files: int = 1) -> None:
+        """Small-file compaction: rewrite the type partition into
+        ``target_files`` files. Incremental upserts fragment the layout
+        (every merge emits one file per shuffle task); at 100 TB the
+        resulting tiny-file scans dominate NameNode/list costs and break
+        split planning. Run compaction as periodic maintenance, exactly
+        like OPTIMIZE in Delta/Iceberg."""
+        existing = self.table(resource_type).coalesce(target_files)
+        merged_local = existing.localCheckpoint(eager=True)
+        self.import_resources(merged_local, resource_type, mode="overwrite")
+
     def counts_by_type(self, types: list[str]) -> DataFrame:
         """A4: per-type counts across the store catalog."""
         frames = [
@@ -148,6 +159,23 @@ class BucketedResourceStore(ResourceStore):
         (
             merged_local.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self._type_path(resource_type))
+        )
+
+    def compact(self, resource_type: str, target_files: int = 1) -> None:
+        """Compaction for the bucketed layout: one pass that rewrites
+        every bucket directory down to ~``target_files`` file(s) each.
+        The repartition keys rows by their bucket, so each write task
+        emits whole buckets — file count drops from O(upserts × tasks)
+        to O(buckets) while the id-hash layout (and therefore bounded
+        future upsert IO) is preserved."""
+        existing = self.spark.read.parquet(self._type_path(resource_type))
+        merged_local = existing.repartition(
+            max(self.num_buckets * target_files, 1), "bucket"
+        ).localCheckpoint(eager=True)
+        (
+            merged_local.write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(self._type_path(resource_type))
         )

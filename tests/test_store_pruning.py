@@ -95,6 +95,55 @@ def test_bucketed_upsert_touches_bounded_file_set(spark, tmp_path):
             store.table("Patient").filter(F.col("id") == "p7").collect()} == {"new"}
 
 
+def test_compact_bounds_file_count_and_preserves_data(spark, tmp_path):
+    root = str(tmp_path / "bstore")
+    store = BucketedResourceStore(spark, root, num_buckets=4)
+    store.import_resources(
+        spark.createDataFrame([(f"p{i}", 0) for i in range(40)], ["id", "v"]), "Patient"
+    )
+    # several incremental upserts fragment the bucket directories (AQE
+    # coalescing is disabled so the merge keeps its multi-task shuffle —
+    # at test scale AQE would collapse everything onto one writer task
+    # and mask the fragmentation compaction exists to fix)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        for v in range(1, 4):
+            store.upsert(
+                spark.createDataFrame(
+                    [(f"p{i}", v) for i in range(0, 40, 3)], ["id", "v"]
+                ),
+                "Patient",
+                version_col="v",
+            )
+    finally:
+        spark.conf.set(coalesce_key, old)
+    type_path = f"{root}/resourceType=Patient"
+    before = sum(len(fs) for fs in _bucket_files(type_path).values())
+    assert before > 4  # fragmented: more files than bucket dirs
+    expect = {r["id"]: r["v"] for r in store.table("Patient").collect()}
+
+    store.compact("Patient")
+    after_layout = _bucket_files(type_path)
+    after = sum(len(fs) for fs in after_layout.values())
+    assert after <= len(after_layout)  # ~one file per bucket dir
+    assert after < before
+    got = {r["id"]: r["v"] for r in store.table("Patient").collect()}
+    assert got == expect
+
+
+def test_plain_store_compact(spark, tmp_path):
+    store = ResourceStore(spark, str(tmp_path / "pstore"))
+    df = spark.createDataFrame([(f"p{i}", i) for i in range(50)], ["id", "v"])
+    store.import_resources(df.repartition(8), "Patient")
+    assert len(store.table("Patient").inputFiles()) > 1
+    expect = {r["id"]: r["v"] for r in store.table("Patient").collect()}
+    store.compact("Patient")
+    assert len(store.table("Patient").inputFiles()) == 1
+    assert {r["id"]: r["v"] for r in store.table("Patient").collect()} == expect
+
+
 def test_bucketed_first_upsert_creates_table(spark, tmp_path):
     store = BucketedResourceStore(spark, str(tmp_path / "bs3"), num_buckets=4)
     store.upsert(spark.createDataFrame([("a", 1)], ["id", "v"]), "Patient")
