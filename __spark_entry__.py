@@ -135,6 +135,18 @@ def q_a6_grouping_sets(spark, sf_dir):
     )
 
 
+def q_a7_profile_table(spark, sf_dir):
+    """One-pass column profiler in exact mode (oracle-verifiable);
+    production default is approx (HLL++, single shuffle) — see
+    relational.profile_table + test_profile.py."""
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return relational.profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        exact=True,
+    )
+
+
 def q_a5_invariant_counts(spark, sf_dir):
     _tune(spark)
     orders, cust = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
@@ -1174,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_group_collect": q_a1_group_collect,
         "a5_invariant_counts": q_a5_invariant_counts,
         "a6_grouping_sets": q_a6_grouping_sets,
+        "a7_profile_table": q_a7_profile_table,
         "s1_s4_ndjson_roundtrip": q_s1_s4_ndjson_roundtrip,
         "p1_p3_drop_fields": q_p1_p3_drop_fields,
         "p4_p6_nested_ops": q_p4_p6_nested_ops,
@@ -1376,6 +1389,14 @@ def oracle_sql() -> dict[str, str]:
             " coalesce(o_orderpriority, 'ALL') AS priority,"
             " count(*) AS cnt, round(sum(o_totalprice), 2) AS total"
             " FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+        ),
+        "a7_profile_table": " UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" CAST(min({c}) AS VARCHAR) AS min_str,"
+            f" CAST(max({c}) AS VARCHAR) AS max_str FROM orders"
+            for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
         ),
         "p13_p14_projection": (
             "SELECT p_partkey, split_part(p_name, ' ', 1) AS first_word,"

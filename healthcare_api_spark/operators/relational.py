@@ -97,3 +97,42 @@ def keyset_page(df: DataFrame, key: str, after, page_size: int) -> DataFrame:
     if after is not None:
         out = out.filter(F.col(key) > F.lit(after))
     return out.orderBy(F.col(key).asc()).limit(page_size)
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = False
+) -> DataFrame:
+    """Column-level profile in ONE pass over the data: per column the
+    row count, null count, distinct count, and min/max (typed compare,
+    string-rendered). Long format: (column, n_rows, n_nulls, n_distinct,
+    min_str, max_str).
+
+    ``exact=False`` (the 100 TB default) uses HLL++
+    ``approx_count_distinct`` — all metrics then fold into a single
+    map-side-combined aggregation, one shuffle of one row per partition.
+    ``exact=True`` switches to true COUNT(DISTINCT) per column, which
+    Catalyst plans via Expand (row multiplication by #columns) — the
+    oracle-verifiable mode; use on samples at scale. The stack() melt at
+    the end reshapes the single agg row without touching the data again.
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        ndv = F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(c)
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            ndv.cast("long").alias(f"{c}__ndv"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__ndv`, `{c}__min`, `{c}__max`" for c in cols
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS"
+            " (column, n_nulls, n_distinct, min_str, max_str)"
+        ),
+        F.col("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")

@@ -1,0 +1,31 @@
+"""profile_table: one-pass column profiling."""
+
+from __future__ import annotations
+
+from healthcare_api_spark.operators.relational import profile_table
+
+
+def _by_col(rows):
+    return {r["column"]: r for r in rows}
+
+
+def test_profile_exact_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (2, None), (None, None)], ["a", "b"]
+    )
+    out = _by_col(profile_table(df, exact=True).collect())
+    assert out["a"]["n_rows"] == 4 and out["a"]["n_nulls"] == 1
+    assert out["a"]["n_distinct"] == 2
+    assert (out["a"]["min_str"], out["a"]["max_str"]) == ("1", "2")
+    assert out["b"]["n_nulls"] == 2 and out["b"]["n_distinct"] == 1
+    assert (out["b"]["min_str"], out["b"]["max_str"]) == ("x", "x")
+
+
+def test_profile_approx_is_single_shuffle(spark):
+    df = spark.createDataFrame([(i, str(i % 7)) for i in range(100)], ["a", "b"])
+    prof = profile_table(df)  # approx mode: the 100 TB default
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one partial-agg shuffle, no Expand
+    out = _by_col(prof.collect())
+    # HLL++ at default precision is exact-ish at this cardinality
+    assert out["b"]["n_distinct"] == 7 and out["a"]["n_rows"] == 100
