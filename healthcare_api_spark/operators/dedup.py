@@ -83,13 +83,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: columns ``mh0..mh{k-1}``.
 
-    Two permutation families:
+    Three permutation families:
     - ``rotation`` (default): one md5 per shingle, permutation i = digest
       rotated by 8·i hex chars. 1 hash/shingle regardless of k — the
-      cheap path; permutations are pairwise uniform but not mutually
+      cheap md5 path; permutations are pairwise uniform but not mutually
       independent (fine for banding/clustering, slightly higher variance).
     - ``seeded``: md5('s<i>:'||shingle) per permutation — k independent
       hashes per shingle, k× the hashing cost.
+    - ``xxhash``: k independent ``xxhash64(seed=i)`` per shingle — the
+      PRODUCTION fast path: a native 64-bit hash inside whole-stage
+      codegen (no md5 bignum, no interpreted fold), signatures are
+      longs (8 bytes vs 32-char hex → 4× smaller shuffle keys). NOT
+      oracle-verifiable (xxhash64 is Spark-specific); md5 families exist
+      exactly so dedup can be checked against an external engine.
 
     Physical shapes:
     - rotation: fully NARROW — one md5 per shingle and a single
@@ -130,7 +136,15 @@ def minhash_signatures(
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh")
     )
-    aggs = [F.min(seeded_hash(F.col("_sh"), i)).alias(f"mh{i}") for i in range(num_hashes)]
+    if family == "xxhash":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    elif family == "seeded":
+        aggs = [F.min(seeded_hash(F.col("_sh"), i)).alias(f"mh{i}") for i in range(num_hashes)]
+    else:
+        raise ValueError(f"unknown minhash family: {family!r}")
     return shingled.groupBy(id_col).agg(*aggs)
 
 
@@ -160,24 +174,27 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    family: str = "rotation",
 ) -> DataFrame:
     """Banded-LSH candidate generation: docs sharing any band signature.
 
     Bands of ``rows_per_band`` minhashes are hashed to a bucket key; a
     self-equi-join on (band_idx, bucket) yields candidates. Output:
-    (id_a, id_b) with id_a < id_b, distinct.
+    (id_a, id_b) with id_a < id_b, distinct. With ``family='xxhash'``
+    the bucket key is a native 64-bit hash too — long join keys instead
+    of 32-char hex, the production fast path.
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, family)
     n_bands = num_hashes // rows_per_band
     bands = []
     for b in range(n_bands):
         cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bucket = (
+            F.xxhash64(*cols) if family == "xxhash"
+            else F.md5(F.concat_ws("|", *cols))
+        )
         bands.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-            )
+            sig.select(F.col(id_col), F.lit(b).alias("band"), bucket.alias("bucket"))
         )
     banded = bands[0]
     for b in bands[1:]:

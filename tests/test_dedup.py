@@ -49,6 +49,37 @@ def test_minhash_rotation_family_distinct_at_k8(spark):
     assert len(set(values)) == 8  # 4-char rotation step keeps all 8 distinct
 
 
+def test_minhash_xxhash_family_production_path(spark):
+    # native-hash fast path: long signatures, exact dups still collide
+    sig = dedup.minhash_signatures(
+        _corpus(spark), "doc_id", "text", num_hashes=4, family="xxhash"
+    )
+    assert dict(sig.dtypes)["mh0"] == "bigint"
+    rows = {r["doc_id"]: r for r in sig.collect()}
+    for i in range(4):
+        assert rows[1][f"mh{i}"] == rows[2][f"mh{i}"] == rows[5][f"mh{i}"]
+    assert rows[1]["mh0"] != rows[4]["mh0"]
+    # banding keeps long bucket keys (xxhash64 of the band columns)
+    pairs = dedup.lsh_candidate_pairs(
+        _corpus(spark), "doc_id", "text", num_hashes=8, rows_per_band=2,
+        family="xxhash",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 5) in got
+    # plan: hashing stays in whole-stage codegen (no HOF lambda fold)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "aggregate(" not in plan  # the interpreted fold is md5-only
+
+
+def test_minhash_unknown_family_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown minhash family"):
+        dedup.minhash_signatures(
+            _corpus(spark), "doc_id", "text", family="nope"
+        ).collect()
+
+
 def test_minhash_dedup_clusters(spark):
     out = dedup.minhash_dedup(_corpus(spark), "doc_id", "text", num_hashes=4)
     canon = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
