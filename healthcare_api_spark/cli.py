@@ -74,6 +74,20 @@ def _cmd_count(args) -> int:
     return 0
 
 
+def _cmd_profile(args) -> int:
+    from healthcare_api_spark.operators.relational import profile_table
+
+    spark = get_spark("cli-profile")
+    df = spark.read.parquet(args.parquet)
+    cols = args.columns.split(",") if args.columns else None
+    for r in profile_table(df, cols, exact=args.exact).collect():
+        print(
+            f"{r['column']}\trows={r['n_rows']}\tnulls={r['n_nulls']}"
+            f"\tdistinct={r['n_distinct']}\tmin={r['min_str']}\tmax={r['max_str']}"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="healthcare_api_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -98,6 +112,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--parquet", required=True)
     c.add_argument("--where", default=None)
     c.set_defaults(fn=_cmd_count)
+
+    pr = sub.add_parser("profile", help="one-pass column profile (approx NDV by default)")
+    pr.add_argument("--parquet", required=True)
+    pr.add_argument("--columns", default=None, help="comma-separated subset")
+    pr.add_argument("--exact", action="store_true", help="exact COUNT(DISTINCT)")
+    pr.set_defaults(fn=_cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)
