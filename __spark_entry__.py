@@ -557,6 +557,32 @@ def q_x3_hierarchical_rollup(spark, sf_dir):
     )
 
 
+def q_x4_gapfill(spark, sf_dir):
+    """time_bucket_gapfill: sparse per-user hourly error buckets are
+    densified over each user's span — counts zero-filled, the rolling
+    value carried forward (locf). Grid cost is O(buckets), not events."""
+    from healthcare_api_spark.operators.temporal import gapfill_buckets
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "error") & (F.col("user_id") < 4)
+    )
+    base = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sv"),
+    )
+    filled = gapfill_buckets(base, "bucket", "1 HOUR", ("user_id",),
+                             {"cnt": "zero", "sv": "locf"})
+    return filled.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round("sv", 2).alias("sv_locf"),
+    )
+
+
 def q_k1_sketch_distinct(spark, sf_dir):
     """HLL++ sketch: approx distinct users per event type. Sketches are
     engine-specific — no cross-engine oracle; rows-only check, with the
@@ -1212,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_asof_join": q_x1_asof_join,
         "x2_interval_join": q_x2_interval_join,
         "x3_hierarchical_rollup": q_x3_hierarchical_rollup,
+        "x4_gapfill": q_x4_gapfill,
         "k1_sketch_distinct": q_k1_sketch_distinct,
         "k2_sketch_quantiles": q_k2_sketch_quantiles,
         "w1_latest_per_key": q_w1_latest_per_key,
@@ -1477,6 +1504,21 @@ def oracle_sql() -> dict[str, str]:
             " SELECT level, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,"
             " cnt, round(sum_v, 2) AS sum_v,"
             " round(min_v, 4) AS min_v, round(max_v, 4) AS max_v FROM u"
+        ),
+        "x4_gapfill": (
+            "WITH base AS (SELECT user_id, date_trunc('hour', ts) AS b,"
+            " count(*) AS cnt, round(sum(value), 2) AS sv FROM events"
+            " WHERE event_type = 'error' AND user_id < 4 GROUP BY 1, 2),"
+            " span AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM base GROUP BY user_id),"
+            " grid AS (SELECT user_id, g AS b FROM span,"
+            "  LATERAL (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g)),"
+            " j AS (SELECT g.user_id, g.b, base.cnt, base.sv FROM grid g"
+            "  LEFT JOIN base ON g.user_id = base.user_id AND g.b = base.b)"
+            " SELECT user_id, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,"
+            " CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,"
+            " round(last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS sv_locf"
+            " FROM j"
         ),
         "x1_asof_join": (
             "WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),"

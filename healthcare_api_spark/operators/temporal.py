@@ -114,6 +114,56 @@ def interval_join(
     return joined.drop("_chunk", "_ichunk")
 
 
+def gapfill_buckets(
+    df: DataFrame,
+    bucket_col: str,
+    step: str,
+    group_cols: tuple[str, ...],
+    fills: dict[str, str],
+) -> DataFrame:
+    """TimescaleDB-style ``time_bucket_gapfill``: densify a bucketed
+    time series so every ``step`` bucket between each group's first and
+    last observation exists, filling absent values per ``fills``:
+    ``zero`` (missing → 0), ``locf`` (last observation carried forward),
+    or ``null`` (leave the gap visible).
+
+    Input is an already-aggregated frame (bucket timestamp, group cols,
+    value cols) — gap-filling composes downstream of any rollup tier.
+
+    Shape at scale: one small per-group span aggregate, a narrow
+    ``sequence``+``explode`` grid (rows = buckets, not raw events), an
+    equi-join grid⋈actuals on (group, bucket), and — only if any fill is
+    ``locf`` — one window per group. The grid is proportional to the
+    time span, never to the event volume, so this costs O(buckets) on
+    top of the aggregation that produced the input.
+    """
+    for c, mode in fills.items():
+        if mode not in ("zero", "locf", "null"):
+            raise ValueError(f"unknown fill mode {mode!r} for {c!r}")
+    gcols = list(group_cols)
+    span = df.groupBy(*gcols).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    grid = span.select(
+        *gcols,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {step}"))
+        ).alias(bucket_col),
+    )
+    out = grid.join(df, [*gcols, bucket_col], "left")
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c, mode in fills.items():
+        if mode == "zero":
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+        elif mode == "locf":
+            out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
 _DURATION_UNITS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600,
     "hours": 3600, "day": 86400, "days": 86400, "week": 604800, "weeks": 604800,

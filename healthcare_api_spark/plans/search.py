@@ -280,6 +280,14 @@ class SearchEngine:
             elif name in cfg.reference_params and "/" in raw:
                 ref_col, _t = cfg.reference_params[name]
                 df = df.filter(F.col(ref_col) == F.lit(raw))
+            elif modifier == "not":
+                # FHIR :not — true when NO value matches, INCLUDING rows
+                # where the field is absent (unlike a bare != filter,
+                # which three-valued-logic drops nulls)
+                colpath = self._resolve(resource_type, name)
+                self._check_column(df, resource_type, name, colpath)
+                pos = _apply_simple(df, colpath, raw, None, string_class=False)
+                df = df.filter(~pos | F.col(colpath).isNull())
             else:
                 colpath = self._resolve(resource_type, name)
                 self._check_column(df, resource_type, name, colpath)

@@ -153,6 +153,19 @@ def test_array_param_token_class_exact(spark):
     assert eng.search("Patient", {"identifier:contains": "mrn-00"}).count() == 2
 
 
+def test_not_modifier_includes_absent(spark):
+    patients = spark.createDataFrame(
+        [("p1", "female"), ("p2", "male"), ("p3", None)], ["id", "gender"]
+    )
+    eng = SearchEngine({"Patient": patients}, {"Patient": SearchConfig()})
+    out = eng.search("Patient", {"gender:not": "female"})
+    # :not matches non-matching AND absent values (FHIR semantics)
+    assert sorted(r["id"] for r in out.collect()) == ["p2", "p3"]
+    # comma-OR under :not = none of the values match
+    out = eng.search("Patient", {"gender:not": "female,male"})
+    assert [r["id"] for r in out.collect()] == ["p3"]
+
+
 def test_missing_modifier(engine):
     out = engine.search("Observation", {"coding:missing": "true"})
     assert [r["id"] for r in out.collect()] == ["o3"]

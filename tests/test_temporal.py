@@ -115,3 +115,34 @@ def test_duration_parse_errors(spark):
         _parse_duration_secs("monthly")
     with pytest.raises(ValueError, match="positive"):
         _parse_duration_secs("-1 days")
+
+
+def test_gapfill_zero_locf_null(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.temporal import gapfill_buckets
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 2, 1.0), ("a", "2024-01-01 03:00:00", 5, 4.0),
+         ("b", "2024-01-01 01:00:00", 7, 9.0)],
+        ["g", "bucket", "cnt", "v"],
+    ).withColumn("bucket", F.to_timestamp("bucket"))
+    out = gapfill_buckets(df, "bucket", "1 HOUR", ("g",), {"cnt": "zero", "v": "locf"})
+    rows = {(r["g"], str(r["bucket"])): (r["cnt"], r["v"]) for r in out.collect()}
+    # group a densifies to 4 hourly buckets
+    assert rows[("a", "2024-01-01 00:00:00")] == (2, 1.0)
+    assert rows[("a", "2024-01-01 01:00:00")] == (0, 1.0)  # zero + locf
+    assert rows[("a", "2024-01-01 02:00:00")] == (0, 1.0)
+    assert rows[("a", "2024-01-01 03:00:00")] == (5, 4.0)
+    # group b spans a single bucket - no gaps invented
+    assert [k for k in rows if k[0] == "b"] == [("b", "2024-01-01 01:00:00")]
+
+    # null mode leaves the gap visible
+    nulls = gapfill_buckets(df, "bucket", "1 HOUR", ("g",), {"cnt": "null"})
+    got = {(r["g"], str(r["bucket"])): r["cnt"] for r in nulls.collect()}
+    assert got[("a", "2024-01-01 02:00:00")] is None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown fill mode"):
+        gapfill_buckets(df, "bucket", "1 HOUR", ("g",), {"cnt": "interpolate"})
