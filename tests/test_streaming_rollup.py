@@ -48,6 +48,58 @@ def test_watermark_drops_late_data_append_mode(spark, tmp_path):
         q.stop()
 
 
+def test_stream_stream_join_attribution(spark, tmp_path):
+    """Two live streams joined on user within a 30-minute bound; batch
+    run of the same operator pins the expected matches."""
+    from healthcare_api_spark.streaming.joins import stream_stream_join
+
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    clicks_dir.mkdir(), buys_dir.mkdir()
+    clicks = [
+        {"user": 1, "cts": "2024-01-01 10:00:00", "click_id": 100},
+        {"user": 2, "cts": "2024-01-01 10:00:00", "click_id": 200},
+    ]
+    buys = [
+        {"user": 1, "bts": "2024-01-01 10:20:00", "buy_id": 900},  # within 30m
+        {"user": 2, "bts": "2024-01-01 11:30:00", "buy_id": 901},  # too late
+    ]
+    (clicks_dir / "c.json").write_text("\n".join(json.dumps(r) for r in clicks) + "\n")
+    (buys_dir / "b.json").write_text("\n".join(json.dumps(r) for r in buys) + "\n")
+
+    def _src(d, schema, ts):
+        return (
+            spark.readStream.schema(schema).json(str(d)).withColumn(ts, F.to_timestamp(ts))
+        )
+
+    joined = stream_stream_join(
+        _src(clicks_dir, "user long, cts string, click_id long", "cts"),
+        _src(buys_dir, "user long, bts string, buy_id long", "bts"),
+        "user", "cts", "bts", within="30 minutes",
+    ).select("l.click_id", "r.buy_id")
+    q = (
+        joined.writeStream.format("memory").queryName("attrib").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["click_id"], r["buy_id"]) for r in spark.table("attrib").collect()}
+    finally:
+        q.stop()
+    assert got == {(100, 900)}
+
+    # batch parity: the same operator over static frames
+    bc = spark.createDataFrame(
+        [(r["user"], r["cts"], r["click_id"]) for r in clicks],
+        ["user", "cts", "click_id"],
+    ).withColumn("cts", F.to_timestamp("cts"))
+    bb = spark.createDataFrame(
+        [(r["user"], r["bts"], r["buy_id"]) for r in buys], ["user", "bts", "buy_id"]
+    ).withColumn("bts", F.to_timestamp("bts"))
+    batch = stream_stream_join(bc, bb, "user", "cts", "bts", within="30 minutes")
+    assert {(r["click_id"], r["buy_id"]) for r in batch.collect()} == got
+
+
 def test_streaming_rollup_refresh_matches_batch(spark, tmp_path):
     """Two micro-batches of incremental tier maintenance == one batch
     rollup over the union (the continuous-aggregate invariant)."""
