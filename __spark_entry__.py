@@ -954,6 +954,16 @@ def q_ds2_pack_sequences(spark, sf_dir):
     return curation.pack_sequences(docs, "doc_id", "text", budget=512, part_col="source")
 
 
+def q_t8_quality_gate(spark, sf_dir):
+    """Composite Gopher-style gate with auditable reasons array; the
+    repetitive threshold is tuned to this corpus's dup distribution so
+    multiple rules carry signal."""
+    _tune(spark)
+    return curation.quality_gate(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_dup_ngram_frac=0.08
+    )
+
+
 def q_t7_redact_pii(spark, sf_dir):
     """PII scrubbing: plant one deterministic PII item per doc (the base
     corpus has none) and redact it — email / IPv4 / phone / URL rotating
@@ -1268,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_corpus_stats": q_t5_corpus_stats,
         "t6_repetition": q_t6_repetition,
         "t7_redact_pii": q_t7_redact_pii,
+        "t8_quality_gate": q_t8_quality_gate,
         "d7_decontaminate": q_d7_decontaminate,
         "d8_boilerplate_lines": q_d8_boilerplate_lines,
         "ds1_stratified_sample": q_ds1_stratified_sample,
@@ -1728,6 +1739,24 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents dd LEFT JOIN hits h ON dd.doc_id = h.doc_id"
         ),
         "t7_redact_pii": _t7_oracle(),
+        "t8_quality_gate": (
+            f"WITH f AS (SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,"
+            f" {en_stop} / greatest(CAST(len({_TOKS_SQL}) AS DOUBLE), 1.0) AS stop"
+            " FROM documents),"
+            f" {_bigram_cte()},"
+            " per AS (SELECT doc_id, s, count(*) AS c FROM sh2 GROUP BY doc_id, s),"
+            " rep AS (SELECT doc_id, round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6)"
+            "  AS dup FROM per GROUP BY doc_id),"
+            " j AS (SELECT f.doc_id, n_tokens, stop, dup FROM f JOIN rep USING (doc_id)),"
+            " r AS (SELECT doc_id, n_tokens,"
+            "  CAST(CASE WHEN n_tokens < 5 THEN ['too-short'] ELSE [] END AS VARCHAR[])"
+            "  || CAST(CASE WHEN n_tokens > 100000 THEN ['too-long'] ELSE [] END AS VARCHAR[])"
+            "  || CAST(CASE WHEN stop < 0.01 THEN ['low-stopword'] ELSE [] END AS VARCHAR[])"
+            "  || CAST(CASE WHEN dup > 0.08 THEN ['repetitive'] ELSE [] END AS VARCHAR[])"
+            "  AS reasons FROM j)"
+            " SELECT doc_id, n_tokens, reasons,"
+            " CASE WHEN len(reasons) = 0 THEN 1 ELSE 0 END AS passes FROM r"
+        ),
         "d8_boilerplate_lines": (
             f"WITH d2 AS (SELECT doc_id, {_D8_PLANT_SQL} AS t FROM documents),"
             " lsx AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d2),"

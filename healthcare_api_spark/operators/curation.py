@@ -107,6 +107,61 @@ def decontaminate(
     )
 
 
+def quality_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_stopword_ratio: float = 0.01,
+    max_dup_ngram_frac: float = 0.6,
+) -> DataFrame:
+    """Composite Gopher-style document gate: every rule evaluated, failed
+    rule names collected into a ``reasons`` array (stable order), and a
+    ``passes`` flag — the auditable form a curation pipeline wants (drop
+    decisions must be explainable, not just a boolean).
+
+    Rules: token-count bounds, minimum stopword ratio (gibberish /
+    non-linguistic content), maximum duplicate-n-gram fraction
+    (boilerplate/spam). Output: (id, n_tokens, reasons, passes).
+
+    Shape at scale: the length/stopword features are narrow; the
+    repetition feature joins one aggregated row per doc (two
+    map-side-combined shuffles from ``repetition_features``) — one more
+    equi-join on the id, nothing O(corpus²).
+    """
+    from healthcare_api_spark.operators.textops import quality_features
+
+    f = quality_features(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        f["n_tokens"].cast("bigint").alias("n_tokens"),
+        f["stopword_ratio"].alias("_stop"),
+    )
+    rep = repetition_features(df, id_col, text_col, ngram_n=2).select(
+        id_col, "dup_ngram_frac"
+    )
+    joined = base.join(rep, id_col)
+    rules = [
+        ("too-short", F.col("n_tokens") < min_tokens),
+        ("too-long", F.col("n_tokens") > max_tokens),
+        ("low-stopword", F.col("_stop") < min_stopword_ratio),
+        ("repetitive", F.col("dup_ngram_frac") > max_dup_ngram_frac),
+    ]
+    reasons = F.concat(
+        *[
+            F.when(cond, F.array(F.lit(name))).otherwise(F.array().cast("array<string>"))
+            for name, cond in rules
+        ]
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        reasons.alias("reasons"),
+        (F.size(reasons) == 0).cast("int").alias("passes"),
+    )
+
+
 # --------------------------------------------------------- PII redaction --
 
 # (name, pattern, replacement) applied IN ORDER. Patterns are restricted

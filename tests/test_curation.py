@@ -75,6 +75,24 @@ def test_decontaminate_counts_distinct_shingles_once(spark):
     assert r["n_shared"] == 3
 
 
+def test_quality_gate_reasons(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is that happy thing today"),  # clean
+            (2, "tiny"),  # too short (and no stopwords)
+            (3, "spam spam spam spam spam spam spam spam"),  # repetitive, no stopwords
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in curation.quality_gate(df, "doc_id", "text").collect()}
+    assert rows[1]["passes"] == 1 and rows[1]["reasons"] == []
+    assert rows[2]["passes"] == 0 and "too-short" in rows[2]["reasons"]
+    assert rows[3]["passes"] == 0
+    assert set(rows[3]["reasons"]) == {"low-stopword", "repetitive"}
+    # reasons keep the stable rule order
+    assert rows[3]["reasons"] == ["low-stopword", "repetitive"]
+
+
 # ------------------------------------------------------------- redaction --
 
 
