@@ -89,3 +89,20 @@ def test_interval_join_is_hash_join_not_nested_loop(spark):
     plan = _plan(entrymod.q_x2_interval_join(spark, SF_DIR))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Join" in plan  # chunk equi-join compiled to a hash/SMJ join
+
+
+def test_curation_query_plan_shapes(spark):
+    # the curation/gap-fill family keeps its designed shuffle budget and
+    # never degrades to sort-merge or nested-loop joins at this scale
+    expected_max_exchanges = {
+        "t6_repetition": 2,        # (doc,ngram) agg + doc agg, partial combine
+        "ds2_pack_sequences": 1,   # one window per stream partition
+        "d7_decontaminate": 2,     # bench side broadcasts, doc side aggregates
+        "x4_gapfill": 2,           # span agg + locf window; grid join broadcasts
+        "t8_quality_gate": 2,      # repetition aggs; feature join broadcasts
+    }
+    for q, max_ex in expected_max_exchanges.items():
+        plan = _plan(entrymod.queries()[q](spark, SF_DIR))
+        assert plan.count("Exchange hashpartitioning") <= max_ex, q
+        assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, q
+        assert "CartesianProduct" not in plan, q
