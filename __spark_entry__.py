@@ -572,14 +572,19 @@ def q_x4_gapfill(spark, sf_dir):
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("value"), 2).alias("sv"),
-    )
+    ).withColumn("svi", F.col("sv"))
     filled = gapfill_buckets(base, "bucket", "1 HOUR", ("user_id",),
-                             {"cnt": "zero", "sv": "locf"})
+                             {"cnt": "zero", "sv": "locf", "svi": "interpolate"})
     return filled.select(
         "user_id",
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         F.col("cnt").cast("bigint").alias("cnt"),
         F.round("sv", 2).alias("sv_locf"),
+        # milli-units as BIGINT: interpolated values land on exact .xx5
+        # decimals (2dp inputs × rational fracs) where Java shortest-repr
+        # HALF_UP and DuckDB binary rounding diverge; integer boundaries
+        # are dyadic, so both engines round the same double identically
+        F.round(F.col("svi") * 1000, 0).cast("bigint").alias("sv_interp_milli"),
     )
 
 
@@ -1527,9 +1532,26 @@ def oracle_sql() -> dict[str, str]:
             "  LEFT JOIN base ON g.user_id = base.user_id AND g.b = base.b)"
             " SELECT user_id, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,"
             " CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,"
-            " round(last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b"
-            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS sv_locf"
-            " FROM j"
+            " round(last_value(sv IGNORE NULLS) OVER wback, 2) AS sv_locf,"
+            # mirror Spark's arithmetic order exactly (prev + (next-prev)*frac),
+            # then scale to milli-unit BIGINT — integer round boundaries are
+            # dyadic, so both engines round the identical double identically
+            " CAST(round((CASE WHEN sv IS NOT NULL THEN sv ELSE"
+            "  last_value(sv IGNORE NULLS) OVER wback"
+            "  + (first_value(sv IGNORE NULLS) OVER wfwd"
+            "     - last_value(sv IGNORE NULLS) OVER wback)"
+            "  * ((epoch(b) - last_value(CASE WHEN sv IS NOT NULL THEN epoch(b) END"
+            "      IGNORE NULLS) OVER wback)"
+            "   / (first_value(CASE WHEN sv IS NOT NULL THEN epoch(b) END"
+            "      IGNORE NULLS) OVER wfwd"
+            "    - last_value(CASE WHEN sv IS NOT NULL THEN epoch(b) END"
+            "      IGNORE NULLS) OVER wback))"
+            " END) * 1000) AS BIGINT) AS sv_interp_milli"
+            " FROM j WINDOW"
+            " wback AS (PARTITION BY user_id ORDER BY b"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),"
+            " wfwd AS (PARTITION BY user_id ORDER BY b"
+            "  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
         ),
         "x1_asof_join": (
             "WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),"

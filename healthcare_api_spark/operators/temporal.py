@@ -125,7 +125,9 @@ def gapfill_buckets(
     time series so every ``step`` bucket between each group's first and
     last observation exists, filling absent values per ``fills``:
     ``zero`` (missing → 0), ``locf`` (last observation carried forward),
-    or ``null`` (leave the gap visible).
+    ``interpolate`` (linear between the surrounding observations,
+    time-weighted; no extrapolation — gaps before the first / after the
+    last observation stay null), or ``null`` (leave the gap visible).
 
     Input is an already-aggregated frame (bucket timestamp, group cols,
     value cols) — gap-filling composes downstream of any rollup tier.
@@ -138,7 +140,7 @@ def gapfill_buckets(
     top of the aggregation that produced the input.
     """
     for c, mode in fills.items():
-        if mode not in ("zero", "locf", "null"):
+        if mode not in ("zero", "locf", "interpolate", "null"):
             raise ValueError(f"unknown fill mode {mode!r} for {c!r}")
     gcols = list(group_cols)
     span = df.groupBy(*gcols).agg(
@@ -156,11 +158,28 @@ def gapfill_buckets(
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    fwd = (
+        Window.partitionBy(*gcols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pos = F.col(bucket_col).cast("double")  # epoch seconds
     for c, mode in fills.items():
         if mode == "zero":
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
         elif mode == "locf":
             out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+        elif mode == "interpolate":
+            obs_pos = F.when(F.col(c).isNotNull(), pos)
+            prev_v = F.last(F.col(c), ignorenulls=True).over(w)
+            prev_p = F.last(obs_pos, ignorenulls=True).over(w)
+            next_v = F.first(F.col(c), ignorenulls=True).over(fwd)
+            next_p = F.first(obs_pos, ignorenulls=True).over(fwd)
+            frac = (pos - prev_p) / (next_p - prev_p)
+            interp = F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+                prev_v + (next_v - prev_v) * frac  # null-safe: null ends stay null
+            )
+            out = out.withColumn(c, interp)
     return out
 
 

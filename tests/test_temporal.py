@@ -145,4 +145,24 @@ def test_gapfill_zero_locf_null(spark):
     import pytest
 
     with pytest.raises(ValueError, match="unknown fill mode"):
-        gapfill_buckets(df, "bucket", "1 HOUR", ("g",), {"cnt": "interpolate"})
+        gapfill_buckets(df, "bucket", "1 HOUR", ("g",), {"cnt": "cubic"})
+
+
+def test_gapfill_interpolate(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.temporal import gapfill_buckets
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0), ("a", "2024-01-01 03:00:00", 4.0),
+         ("a", "2024-01-01 05:00:00", None)],
+        ["g", "bucket", "v"],
+    ).withColumn("bucket", F.to_timestamp("bucket"))
+    out = gapfill_buckets(df, "bucket", "1 HOUR", ("g",), {"v": "interpolate"})
+    rows = {str(r["bucket"]): r["v"] for r in out.collect()}
+    assert rows["2024-01-01 00:00:00"] == 1.0
+    assert rows["2024-01-01 01:00:00"] == 2.0  # linear between 1.0 and 4.0
+    assert rows["2024-01-01 02:00:00"] == 3.0
+    assert rows["2024-01-01 03:00:00"] == 4.0
+    # trailing gap has no next observation: stays null (no extrapolation)
+    assert rows["2024-01-01 04:00:00"] is None and rows["2024-01-01 05:00:00"] is None
