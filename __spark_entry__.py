@@ -915,6 +915,18 @@ def q_t5_corpus_stats(spark, sf_dir):
     )
 
 
+def q_t9_top_tokens(spark, sf_dir):
+    """Corpus heavy hitters with deterministic tie-break."""
+    _tune(spark)
+    return textops.top_tokens(_t(spark, sf_dir, "documents"), "text", k=20)
+
+
+def q_t10_tfidf(spark, sf_dir):
+    """Per-doc top-3 tf·idf terms (unsmoothed ln(N/df))."""
+    _tune(spark)
+    return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
 # ---------------------------------------------------------- corpus curation --
 
 def q_t6_repetition(spark, sf_dir):
@@ -1284,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_repetition": q_t6_repetition,
         "t7_redact_pii": q_t7_redact_pii,
         "t8_quality_gate": q_t8_quality_gate,
+        "t9_top_tokens": q_t9_top_tokens,
+        "t10_tfidf": q_t10_tfidf,
         "d7_decontaminate": q_d7_decontaminate,
         "d8_boilerplate_lines": q_d8_boilerplate_lines,
         "ds1_stratified_sample": q_ds1_stratified_sample,
@@ -1740,6 +1754,24 @@ def oracle_sql() -> dict[str, str]:
             " AS n_subwords FROM documents)"
             " SELECT lang, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,"
             " CAST(sum(n_subwords) AS BIGINT) AS subwords FROM c GROUP BY lang"
+        ),
+        "t9_top_tokens": (
+            f"WITH t AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)"
+            " SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok"
+            " ORDER BY cnt DESC, tok ASC LIMIT 20"
+        ),
+        "t10_tfidf": (
+            f"WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM"
+            f" (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)"
+            " GROUP BY doc_id, tok),"
+            " dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),"
+            " n AS (SELECT count(*) AS n FROM documents),"
+            " sc AS (SELECT doc_id, tok, tf * ln(n / df) AS tfidf"
+            "  FROM tf JOIN dfq USING (tok), n),"
+            " r AS (SELECT doc_id, tok, tfidf, row_number() OVER"
+            "  (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rk FROM sc)"
+            " SELECT doc_id, CAST(rk AS INTEGER) AS rk, tok, round(tfidf, 6) AS tfidf"
+            " FROM r WHERE rk <= 3"
         ),
         "t6_repetition": (
             f"WITH {_bigram_cte()},"

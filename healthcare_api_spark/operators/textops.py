@@ -141,3 +141,56 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Normalized-content fingerprint per document (md5)."""
     return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+
+
+def top_tokens(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Corpus heavy hitters: the k most frequent tokens, deterministic
+    (count desc, token asc tie-break). Output: (tok, cnt).
+
+    Shape at scale: explode → one hash-aggregate keyed by token with
+    map-side combine (the heavy hitters, by definition, collapse hardest
+    in the combine), then TakeOrderedAndProject for the top-k — per-
+    partition heaps, no global sort."""
+    from healthcare_api_spark.functions.text import tokens
+
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by tf·idf (idf = ln(N/df), the classic
+    unsmoothed form). Output: (id, rk, tok, tfidf) with deterministic
+    tie-break (tfidf desc, tok asc).
+
+    Shape at scale: term frequencies are one (doc, token)-keyed
+    aggregate; document frequencies reduce that to one row per token
+    (both map-side combined); N is a scalar broadcast; the final top-k
+    is a per-doc window. No cartesian anything — the join back to tf
+    rows is an equi-join on the token."""
+    from healthcare_api_spark.functions.text import tokens
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n") / F.col("df")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "rk", "tok", F.round("tfidf", 6).alias("tfidf"))
+    )

@@ -119,3 +119,31 @@ def test_token_counts_and_fingerprints(spark):
                                 ["doc_id", "text"])
     fp2 = textops.fingerprints(df2, "doc_id", "text").collect()[0]["fp"]
     assert fp2 == [r["fp"] for r in fp if r["doc_id"] == 1][0]
+
+
+def test_top_tokens_heavy_hitters(spark):
+    from healthcare_api_spark.operators.textops import top_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b a")], ["doc_id", "text"]
+    )
+    rows = top_tokens(df, "text", k=2).collect()
+    assert [(r["tok"], r["cnt"]) for r in rows] == [("a", 4), ("b", 3)]
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from healthcare_api_spark.operators.textops import tfidf_top_terms
+
+    # 'rare' appears only in doc 1; 'common' in both docs -> idf 0
+    df = spark.createDataFrame(
+        [(1, "common rare rare"), (2, "common common other")], ["doc_id", "text"]
+    )
+    rows = {(r["doc_id"], r["rk"]): r for r in tfidf_top_terms(df, "doc_id", "text", k=2).collect()}
+    top1 = rows[(1, 1)]
+    assert top1["tok"] == "rare"
+    assert abs(top1["tfidf"] - 2 * math.log(2.0)) < 1e-6
+    # ubiquitous token scores ln(2/2)=0 and sorts below the unique one
+    assert rows[(2, 1)]["tok"] == "other"
+    assert rows[(2, 2)]["tok"] == "common" and rows[(2, 2)]["tfidf"] == 0.0
