@@ -131,3 +131,48 @@ def test_exact_dedup_counts_property(spark, rows):
     )
     out = dedup.exact_dedup(df, ["k", "t"], "ord")
     assert out.count() == len(set(rows))
+
+
+@_slow
+@given(st.lists(st.tuples(st.integers(0, 10**6), st.sampled_from(["en", "de", "fr"])),
+                min_size=1, max_size=60, unique_by=lambda t: t[0]))
+def test_stratified_sample_partitioning_invariant_property(spark, rows):
+    """The sample is a pure function of (salt, id): repartitioning the
+    input must never change which rows are kept — the property that makes
+    deterministic sampling usable on a cluster at all."""
+    from healthcare_api_spark.operators import curation
+
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.0}
+    a = {r["doc_id"] for r in curation.stratified_sample(df, "doc_id", "lang", rates).collect()}
+    b = {
+        r["doc_id"]
+        for r in curation.stratified_sample(
+            df.repartition(7, "lang"), "doc_id", "lang", rates
+        ).collect()
+    }
+    assert a == b
+    # subset property: kept rows all satisfy their stratum's threshold
+    assert a <= {i for i, _ in rows}
+
+
+@_slow
+@given(st.lists(st.tuples(st.integers(0, 10**6), texts), min_size=1, max_size=40,
+                unique_by=lambda t: t[0]))
+def test_pack_sequences_conservation_property(spark, rows):
+    """Packing never loses or invents tokens: offsets are the prefix sums
+    of token counts in id order, and sequence ranges are consistent."""
+    from healthcare_api_spark.operators import curation
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(
+        curation.pack_sequences(df, "doc_id", "text", budget=7).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    running = 0
+    for r in out:
+        assert r["start_tok"] == running
+        running += r["n_tokens"]
+        assert r["first_seq"] == r["start_tok"] // 7
+        assert r["last_seq"] == max(r["start_tok"] + r["n_tokens"] - 1, r["start_tok"]) // 7
+        assert r["first_seq"] <= r["last_seq"]
