@@ -147,6 +147,34 @@ def q_a7_profile_table(spark, sf_dir):
     )
 
 
+_A9_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_A9_ALIASES = ["urgent", "high", "medium", "notspec", "low"]
+
+
+def q_a9_pivot(spark, sf_dir):
+    """Cross-tab pivot with a DECLARED value list (no inference pass,
+    data-independent schema): orders by status × priority."""
+    _tune(spark)
+    return relational.pivot_counts(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority",
+        _A9_PRIORITIES, _A9_ALIASES,
+    )
+
+
+def q_a8_exact_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median/p90) per order status —
+    the non-sketch complement of k2's approx quantiles."""
+    _tune(spark)
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
 def q_a5_invariant_counts(spark, sf_dir):
     _tune(spark)
     orders, cust = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
@@ -1240,6 +1268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_invariant_counts": q_a5_invariant_counts,
         "a6_grouping_sets": q_a6_grouping_sets,
         "a7_profile_table": q_a7_profile_table,
+        "a8_exact_percentiles": q_a8_exact_percentiles,
+        "a9_pivot": q_a9_pivot,
         "s1_s4_ndjson_roundtrip": q_s1_s4_ndjson_roundtrip,
         "p1_p3_drop_fields": q_p1_p3_drop_fields,
         "p4_p6_nested_ops": q_p4_p6_nested_ops,
@@ -1446,6 +1476,21 @@ def oracle_sql() -> dict[str, str]:
             " coalesce(o_orderpriority, 'ALL') AS priority,"
             " count(*) AS cnt, round(sum(o_totalprice), 2) AS total"
             " FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+        ),
+        "a8_exact_percentiles": (
+            "SELECT o_orderstatus,"
+            " round(quantile_cont(o_totalprice, 0.5), 4) AS p50,"
+            " round(quantile_cont(o_totalprice, 0.9), 4) AS p90"
+            " FROM orders GROUP BY o_orderstatus"
+        ),
+        "a9_pivot": (
+            "SELECT o_orderstatus,"
+            + ", ".join(
+                f" CAST(sum(CASE WHEN o_orderpriority = '{v}' THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS {a}"
+                for v, a in zip(_A9_PRIORITIES, _A9_ALIASES)
+            )
+            + " FROM orders GROUP BY o_orderstatus"
         ),
         "a7_profile_table": " UNION ALL ".join(
             f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows,"

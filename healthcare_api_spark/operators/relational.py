@@ -99,6 +99,26 @@ def keyset_page(df: DataFrame, key: str, after, page_size: int) -> DataFrame:
     return out.orderBy(F.col(key).asc()).limit(page_size)
 
 
+def pivot_counts(
+    df: DataFrame, row_col: str, pivot_col: str, values: list[str],
+    aliases: list[str] | None = None,
+) -> DataFrame:
+    """Cross-tab: one row per ``row_col`` value, one count column per
+    pivot value. ``values`` is explicit (never inferred) — at 100 TB an
+    inferred pivot needs an extra distinct pass AND makes the output
+    schema data-dependent; a declared list keeps the plan one
+    aggregation with map-side combine."""
+    out = df.groupBy(row_col).pivot(pivot_col, values).count()
+    names = aliases or values
+    return out.select(
+        F.col(row_col),
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("bigint").alias(a)
+            for v, a in zip(values, names)
+        ],
+    )
+
+
 def profile_table(
     df: DataFrame, columns: list[str] | None = None, exact: bool = False
 ) -> DataFrame:

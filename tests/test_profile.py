@@ -29,3 +29,19 @@ def test_profile_approx_is_single_shuffle(spark):
     out = _by_col(prof.collect())
     # HLL++ at default precision is exact-ish at this cardinality
     assert out["b"]["n_distinct"] == 7 and out["a"]["n_rows"] == 100
+
+
+def test_pivot_counts_declared_values(spark):
+    from healthcare_api_spark.operators.relational import pivot_counts
+
+    df = spark.createDataFrame(
+        [("O", "HI"), ("O", "HI"), ("O", "LO"), ("F", "LO")], ["status", "prio"]
+    )
+    rows = {r["status"]: r for r in pivot_counts(
+        df, "status", "prio", ["HI", "LO", "NONE"], ["hi", "lo", "none"]).collect()}
+    assert (rows["O"]["hi"], rows["O"]["lo"], rows["O"]["none"]) == (2, 1, 0)
+    assert (rows["F"]["hi"], rows["F"]["lo"]) == (0, 1)
+    # values NOT in the declared list are dropped, not invented
+    extra = spark.createDataFrame([("O", "XX")], ["status", "prio"])
+    r = pivot_counts(extra, "status", "prio", ["HI"], ["hi"]).collect()[0]
+    assert r["hi"] == 0
