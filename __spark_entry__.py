@@ -585,6 +585,32 @@ def q_x3_hierarchical_rollup(spark, sf_dir):
     )
 
 
+def q_w5_funnel(spark, sf_dir):
+    """Ordered funnel over the events stream: signup → click → purchase
+    with strict min-timestamp ordering (stage k only after stage k-1)."""
+    from healthcare_api_spark.operators.analytics import funnel_counts
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, "user_id", "event_type", "ts",
+                         ["signup", "click", "purchase"])
+
+
+def q_w6_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle (first-activity cohorts ×
+    periods-later activity)."""
+    from healthcare_api_spark.operators.analytics import cohort_retention
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = cohort_retention(ev, "user_id", "ts", period="week", max_offset=8)
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd HH:mm:ss").alias("cohort"),
+        "offset",
+        "active_users",
+    )
+
+
 def q_x4_gapfill(spark, sf_dir):
     """time_bucket_gapfill: sparse per-user hourly error buckets are
     densified over each user's span — counts zero-filled, the rolling
@@ -1301,6 +1327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_latest_per_key": q_w1_latest_per_key,
         "w2_keyset_page": q_w2_keyset_page,
         "w3_rank_topn_per_group": q_w3_rank_topn_per_group,
+        "w5_funnel": q_w5_funnel,
+        "w6_cohort_retention": q_w6_cohort_retention,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier": q_q5_local_supplier,
@@ -1643,6 +1671,30 @@ def oracle_sql() -> dict[str, str]:
             " SELECT o_custkey, o_orderkey, row_number() OVER"
             " (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn"
             " FROM orders) WHERE rn <= 3"
+        ),
+        "w5_funnel": (
+            "WITH e1 AS (SELECT user_id, min(ts) AS t1 FROM events"
+            "  WHERE event_type = 'signup' GROUP BY user_id),"
+            " e2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e"
+            "  JOIN e1 ON e.user_id = e1.user_id"
+            "  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),"
+            " e3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e"
+            "  JOIN e2 ON e.user_id = e2.user_id"
+            "  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)"
+            " SELECT 0 AS stage_idx, 'signup' AS stage, CAST(count(*) AS BIGINT) AS users FROM e1"
+            " UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM e2"
+            " UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM e3"
+        ),
+        "w6_cohort_retention": (
+            "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort"
+            "  FROM events GROUP BY user_id),"
+            " a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events),"
+            " j AS (SELECT a.user_id, f.cohort,"
+            '  CAST(date_diff(\'day\', f.cohort, a.p) / 7 AS INTEGER) AS "offset"'
+            "  FROM a JOIN f USING (user_id))"
+            ' SELECT strftime(cohort, \'%Y-%m-%d %H:%M:%S\') AS cohort, "offset",'
+            " CAST(count(*) AS BIGINT) AS active_users FROM j"
+            ' WHERE "offset" >= 0 AND "offset" <= 8 GROUP BY 1, 2'
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,"

@@ -1,0 +1,93 @@
+"""Behavioral-analytics operators over event streams (SURVEY.md §2.5
+window family, applied): funnel analysis and cohort retention — the two
+queries every product-analytics engine ships first.
+
+Both are pure aggregations keyed by the user: at 100 TB they shuffle
+once per stage on ``user_col`` with map-side partial aggregation, and
+the final outputs are tiny (stages × 1 or cohorts × offsets rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered funnel: how many users reached each stage, where stage k
+    counts only if it happened strictly AFTER the user's stage-(k-1)
+    entry (min-timestamp semantics, the standard product-analytics
+    definition). Output: (stage_idx, stage, users), one row per stage.
+
+    Implementation: chained per-stage aggregations — stage k's entry is
+    ``min(ts) over stage-k events joined to stage-(k-1) entries with
+    ts > prev_entry``. Each pass is a filtered scan + equi-join on the
+    user + hash-agg: memory stays bounded regardless of per-user event
+    counts (no collect_list — a power user with 10M events would blow
+    up any per-user array). After the first shuffle all stages hash on
+    ``user_col``, so AQE reuses the partitioning.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    entries: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, stage in enumerate(stages):
+        stage_events = events.filter(F.col(type_col) == stage).select(
+            F.col(user_col), F.col(ts_col).alias("_ts")
+        )
+        if prev is not None:
+            stage_events = stage_events.join(prev, user_col).filter(
+                F.col("_ts") > F.col("_entry")
+            ).select(user_col, "_ts")
+        entry = stage_events.groupBy(user_col).agg(F.min("_ts").alias("_entry"))
+        entries.append(entry)
+        prev = entry
+    counts = None
+    for i, (stage, entry) in enumerate(zip(stages, entries)):
+        c = entry.agg(F.count(F.lit(1)).cast("bigint").alias("users")).select(
+            F.lit(i).alias("stage_idx"), F.lit(stage).alias("stage"), "users"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+    max_offset: int = 8,
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by their first-activity
+    period; for each (cohort, offset) the number of distinct cohort
+    users active ``offset`` periods later. Output:
+    (cohort, offset, active_users), offsets 0..max_offset.
+
+    Two shuffles: per-user first-activity (agg on user), then the
+    (cohort, offset) distinct-user count. Period arithmetic uses
+    date_trunc + floor(datediff/len) so cohorts align to calendar
+    boundaries.
+    """
+    days = {"day": 1, "week": 7}.get(period)
+    if days is None:
+        raise ValueError(f"unsupported period {period!r}; use 'day' or 'week'")
+    first = events.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("_cohort")
+    )
+    acts = events.select(
+        F.col(user_col), F.date_trunc(period, F.col(ts_col)).alias("_p")
+    ).distinct()
+    joined = acts.join(first, user_col)
+    offset = (F.datediff(F.col("_p"), F.col("_cohort")) / days).cast("int")
+    return (
+        joined.withColumn("offset", offset)
+        .filter((F.col("offset") >= 0) & (F.col("offset") <= max_offset))
+        .groupBy(F.col("_cohort").alias("cohort"), "offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )

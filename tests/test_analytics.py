@@ -1,0 +1,57 @@
+"""Funnel analysis and cohort retention."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_api_spark.operators.analytics import cohort_retention, funnel_counts
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "event_type", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def test_funnel_strict_ordering(spark):
+    ev = _ev(spark, [
+        (1, "signup", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 11:00:00"),
+        (1, "purchase", "2024-01-01 12:00:00"),   # full funnel
+        (2, "signup", "2024-01-02 10:00:00"),
+        (2, "click", "2024-01-02 11:00:00"),      # no purchase
+        (3, "click", "2024-01-03 09:00:00"),
+        (3, "signup", "2024-01-03 10:00:00"),     # click BEFORE signup: stage 2 not reached
+        (3, "purchase", "2024-01-03 11:00:00"),   # purchase without click-after-signup
+    ])
+    out = {r["stage"]: r["users"] for r in funnel_counts(
+        ev, "user_id", "event_type", "ts", ["signup", "click", "purchase"]).collect()}
+    assert out == {"signup": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_empty_stages_raises(spark):
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_counts(_ev(spark, [(1, "a", "2024-01-01 00:00:00")]),
+                      "user_id", "event_type", "ts", [])
+
+
+def test_cohort_retention_triangle(spark):
+    ev = _ev(spark, [
+        # cohort week of 2024-01-01: users 1, 2
+        (1, "x", "2024-01-02 10:00:00"),
+        (2, "x", "2024-01-03 10:00:00"),
+        (1, "x", "2024-01-09 10:00:00"),   # user 1 returns in week +1
+        (1, "x", "2024-01-10 10:00:00"),   # same week: counted once
+        # cohort week of 2024-01-08: user 3
+        (3, "x", "2024-01-08 10:00:00"),
+    ])
+    out = {(str(r["cohort"]), r["offset"]): r["active_users"]
+           for r in cohort_retention(ev, "user_id", "ts", period="week").collect()}
+    assert out[("2024-01-01 00:00:00", 0)] == 2
+    assert out[("2024-01-01 00:00:00", 1)] == 1
+    assert out[("2024-01-08 00:00:00", 0)] == 1
+    assert ("2024-01-08 00:00:00", 1) not in out
+
+    with pytest.raises(ValueError, match="unsupported period"):
+        cohort_retention(ev, "user_id", "ts", period="month")
