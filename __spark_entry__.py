@@ -1017,6 +1017,29 @@ def q_ds1_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_ds3_exact_k_sample(spark, sf_dir):
+    """Fixed-budget stratified sampling: exactly 20 docs per language by
+    salted-hash rank (deterministic reservoir)."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return curation.exact_k_sample(docs, "doc_id", "lang", k=20).select(
+        "doc_id", "lang"
+    )
+
+
+_DS4_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_ds4_assign_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment by cumulative hash
+    buckets — rows never migrate between splits across re-runs."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return curation.assign_splits(docs, "doc_id", _DS4_SPLITS).select(
+        "doc_id", "split"
+    )
+
+
 def q_ds2_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing: 512-token training sequences per
     source stream; maps each doc to its token offset + sequence-id range."""
@@ -1360,6 +1383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_boilerplate_lines": q_d8_boilerplate_lines,
         "ds1_stratified_sample": q_ds1_stratified_sample,
         "ds2_pack_sequences": q_ds2_pack_sequences,
+        "ds3_exact_k_sample": q_ds3_exact_k_sample,
+        "ds4_assign_splits": q_ds4_assign_splits,
         "m1_attachment_meta": q_m1_attachment_meta,
         "m2_image_decode": q_m2_image_decode,
         "m3_audio_features": q_m3_audio_features,
@@ -1448,6 +1473,22 @@ _D8_PLANT_SQL = (
     "regexp_replace(text, '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g')"
     " || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'shared legal footer' ELSE '' END"
 )
+
+
+def _ds4_case_sql() -> str:
+    """Thresholds via the SAME cumulative float accumulation as
+    curation.assign_splits — hand-typed cums could differ by one ulp
+    (0.8+0.1 != 0.9 in binary) and shift a hex threshold."""
+    from healthcare_api_spark.operators.curation import sample_threshold
+
+    names = list(_DS4_SPLITS)
+    h = "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    whens = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += _DS4_SPLITS[name]
+        whens.append(f"WHEN {h} < '{sample_threshold(cum)}' THEN '{name}'")
+    return f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
 
 
 def _ds1_case_sql() -> str:
@@ -1928,6 +1969,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source FROM documents"
             " WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)"
             f" < {_ds1_case_sql()}"
+        ),
+        "ds3_exact_k_sample": (
+            "WITH r AS (SELECT doc_id, lang, row_number() OVER"
+            " (PARTITION BY lang ORDER BY"
+            "  substr(md5('strat-k:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn"
+            " FROM documents)"
+            " SELECT doc_id, lang FROM r WHERE rn <= 20"
+        ),
+        "ds4_assign_splits": (
+            f"SELECT doc_id, {_ds4_case_sql()} AS split FROM documents"
         ),
         "ds2_pack_sequences": (
             f"WITH c AS (SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT)"

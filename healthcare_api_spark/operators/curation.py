@@ -313,6 +313,46 @@ def stratified_sample(
     return df.filter(h < thr)
 
 
+def exact_k_sample(
+    df: DataFrame, id_col: str, strata_col: str, k: int, salt: str = "strat-k"
+) -> DataFrame:
+    """Exactly-k-per-stratum sample (the fixed-budget complement of
+    rate-based ``stratified_sample``): rank rows inside each stratum by
+    their salted hash and keep the k smallest — a deterministic,
+    engine-portable reservoir. A stratum smaller than k contributes all
+    its rows. One shuffle (the per-stratum window)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def assign_splits(
+    df: DataFrame, id_col: str, splits: dict[str, float], salt: str = "split"
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the salted id hash falls
+    into cumulative-proportion buckets (declared order). Every row gets
+    exactly one ``split`` label; re-runs, appends, and re-partitionings
+    never move a row between splits — the property that keeps eval sets
+    uncontaminated as the corpus grows. Pure narrow expression."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    h = sample_hash(id_col, salt)
+    names = list(splits)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = h < F.lit(sample_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return df.withColumn("split", last if expr is None else expr.otherwise(last))
+
+
 def plan_mixture(
     df: DataFrame, strata_col: str, target_props: dict[str, float], total: int
 ) -> dict[str, float]:

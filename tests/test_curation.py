@@ -218,6 +218,47 @@ def test_plan_mixture_rates(spark):
     assert rates["de"] == 1.0  # capped: 20 wanted, 20 available
 
 
+def test_exact_k_sample(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 80 else "de") for i in range(90)], ["doc_id", "lang"]
+    )
+    out = curation.exact_k_sample(df, "doc_id", "lang", k=5)
+    by_lang = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    assert by_lang == {"en": 5, "de": 5}
+    # deterministic: identical draw on rerun and under repartitioning
+    again = curation.exact_k_sample(df.repartition(13), "doc_id", "lang", k=5)
+    assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
+    # stratum smaller than k contributes everything
+    tiny = curation.exact_k_sample(df.filter("lang = 'de'"), "doc_id", "lang", k=100)
+    assert tiny.count() == 10
+
+
+def test_assign_splits_deterministic_partition(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in range(300)], ["doc_id"])
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r["doc_id"]: r["split"] for r in curation.assign_splits(df, "doc_id", splits).collect()}
+    # every row labeled; roughly proportional
+    counts = {s: sum(1 for v in out.values() if v == s) for s in splits}
+    assert sum(counts.values()) == 300 and counts["train"] > 200
+    # matches the reference Python computation exactly
+    for i in (0, 17, 123, 299):
+        h = hashlib.md5(f"split:{i}".encode()).hexdigest()[:8]
+        if h < curation.sample_threshold(0.8):
+            expect = "train"
+        elif h < curation.sample_threshold(0.9):
+            expect = "val"
+        else:
+            expect = "test"
+        assert out[i] == expect
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        curation.assign_splits(df, "doc_id", {})
+
+
 # ----------------------------------------------------------------- packing --
 
 
