@@ -981,6 +981,31 @@ def q_t10_tfidf(spark, sf_dir):
     return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+def q_t11_unigram_logprob(spark, sf_dir):
+    """Model-free perplexity proxy: avg negative log-prob under the
+    corpus's own unigram distribution (the CCNet LM-filter shape)."""
+    _tune(spark)
+    return textops.unigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_u1_canonical_urls(spark, sf_dir):
+    """Web-corpus URL canonicalization over deterministically messy URLs
+    (mixed-case host, default port, utm params, fragments)."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    messy = F.concat(
+        F.lit("HTTPS://Example.COM:443/files/doc_"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/?utm_source=feed&page="), (F.col("doc_id") % 7).cast("string")))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/?utm_campaign=x"))
+        .otherwise(F.lit("/")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return curation.canonicalize_urls(
+        docs.withColumn("url", messy), "doc_id", "url"
+    )
+
+
 # ---------------------------------------------------------- corpus curation --
 
 def q_t6_repetition(spark, sf_dir):
@@ -1379,6 +1404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_quality_gate": q_t8_quality_gate,
         "t9_top_tokens": q_t9_top_tokens,
         "t10_tfidf": q_t10_tfidf,
+        "t11_unigram_logprob": q_t11_unigram_logprob,
+        "u1_canonical_urls": q_u1_canonical_urls,
         "d7_decontaminate": q_d7_decontaminate,
         "d8_boilerplate_lines": q_d8_boilerplate_lines,
         "ds1_stratified_sample": q_ds1_stratified_sample,
@@ -1473,6 +1500,37 @@ _D8_PLANT_SQL = (
     "regexp_replace(text, '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g')"
     " || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'shared legal footer' ELSE '' END"
 )
+
+
+_U1_MESSY_SQL = (
+    "'HTTPS://Example.COM:443/files/doc_' || CAST(doc_id AS VARCHAR)"
+    " || CASE doc_id % 3"
+    " WHEN 0 THEN '/?utm_source=feed&page=' || CAST(doc_id % 7 AS VARCHAR)"
+    " WHEN 1 THEN '/?utm_campaign=x' ELSE '/' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN '#section-2' ELSE '' END"
+)
+
+
+def _u1_oracle() -> str:
+    """DuckDB mirror of curation.canonicalize_urls — same rule ORDER,
+    RE2 backrefs (\\1) instead of Java's $1."""
+    head = r"regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
+    u = f"lower({head}) || substr(url, length({head}) + 1)"
+    for pat, repl in [
+        (r"#.*$", ""),
+        (r"([?&])utm_[^&]*", r"\1"),
+        (r"\?&+", "?"),
+        (r"&&+", "&"),
+        (r"[?&]+$", ""),
+        (r"(://[^/?#:]+):80/", r"\1/"),
+        (r"(://[^/?#:]+):443/", r"\1/"),
+        (r"/+$", ""),
+    ]:
+        u = f"regexp_replace({u}, '{pat}', '{repl}', 'g')"
+    return (
+        f"WITH m AS (SELECT doc_id, {_U1_MESSY_SQL} AS url FROM documents)"
+        f" SELECT doc_id, url, {u} AS canonical_url FROM m"
+    )
 
 
 def _ds4_case_sql() -> str:
@@ -1911,6 +1969,18 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, CAST(rk AS INTEGER) AS rk, tok, round(tfidf, 6) AS tfidf"
             " FROM r WHERE rk <= 3"
         ),
+        "t11_unigram_logprob": (
+            f"WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM"
+            f" (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)"
+            " GROUP BY doc_id, tok),"
+            " v AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS ctot FROM tf GROUP BY tok),"
+            " n AS (SELECT CAST(sum(ctot) AS BIGINT) AS n FROM v),"
+            " s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,"
+            "  sum(-tf * ln(ctot / n)) AS nll FROM tf JOIN v USING (tok), n"
+            "  GROUP BY doc_id)"
+            " SELECT doc_id, n_tokens, round(nll / n_tokens, 6) AS avg_neg_logprob FROM s"
+        ),
+        "u1_canonical_urls": _u1_oracle(),
         "t6_repetition": (
             f"WITH {_bigram_cte()},"
             " per AS (SELECT doc_id, s, count(*) AS c FROM sh2 GROUP BY doc_id, s)"

@@ -203,6 +203,34 @@ def redact_pii(
     )
 
 
+# ------------------------------------------------- URL canonicalization --
+
+
+def canonicalize_urls(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Web-corpus URL normalization: lowercase scheme+host, drop the
+    fragment, strip tracking (utm_*) query params, clean up leftover
+    ``?``/``&`` separators, drop default ports and trailing slashes.
+    Canonical URLs are what dedup keys on — without this, the same page
+    survives as a dozen tracking-param variants. Output: (id, url,
+    canonical_url). Pure narrow regexp chain (portable subset), and the
+    rule order is part of the contract.
+    """
+    # scheme+host (up to first /?#) lowered; the rest untouched
+    head = F.regexp_extract(F.col(url_col), r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    u = F.concat(
+        F.lower(head), F.col(url_col).substr(F.length(head) + 1, F.lit(1 << 30))
+    )
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    u = F.regexp_replace(u, r"([?&])utm_[^&]*", "$1")  # tracking params
+    u = F.regexp_replace(u, r"\?&+", "?")  # '?&' → '?'
+    u = F.regexp_replace(u, r"&&+", "&")  # collapse '&&'
+    u = F.regexp_replace(u, r"[?&]+$", "")  # trailing separators
+    u = F.regexp_replace(u, r"(://[^/?#:]+):80/", "$1/")  # default ports
+    u = F.regexp_replace(u, r"(://[^/?#:]+):443/", "$1/")
+    u = F.regexp_replace(u, r"/+$", "")  # trailing slash(es)
+    return df.select(F.col(id_col), F.col(url_col).alias("url"), u.alias("canonical_url"))
+
+
 # ------------------------------------------------ boilerplate line removal --
 
 

@@ -162,6 +162,39 @@ def top_tokens(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
     )
 
 
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Perplexity-style quality signal WITHOUT an external model: score
+    each document by the average negative log-probability of its tokens
+    under the corpus's own unigram distribution (CCNet uses a wiki-trained
+    LM for the same purpose; the self-corpus unigram is the model-free
+    variant). Low scores = common language; high scores = gibberish /
+    rare-token soup. Output: (id, n_tokens, avg_neg_logprob).
+
+    Shape at scale: (doc, token) tf aggregate → token-total aggregate
+    (both map-side combined) → equi-join tf⋈vocab on the token → one
+    per-doc sum. The corpus-total N is a one-row broadcast.
+    """
+    from healthcare_api_spark.functions.text import tokens
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("ctot"))
+    n_total = vocab.agg(F.sum("ctot").alias("n"))
+    scored = tf.join(vocab, "tok").crossJoin(F.broadcast(n_total))
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum(-F.col("tf") * F.log(F.col("ctot") / F.col("n"))).alias("_nll"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(F.col("_nll") / F.col("n_tokens"), 6).alias("avg_neg_logprob"),
+    )
+
+
 def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Per-document top-k terms by tf·idf (idf = ln(N/df), the classic
     unsmoothed form). Output: (id, rk, tok, tfidf) with deterministic

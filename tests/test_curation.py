@@ -295,3 +295,29 @@ def test_pack_sequences_single_shuffle(spark):
     df = spark.createDataFrame([(1, "a", "s")], ["doc_id", "text", "source"])
     plan = _plan(curation.pack_sequences(df, "doc_id", "text", 8, part_col="source"))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --------------------------------------------------------------- URLs --
+
+
+def test_canonicalize_urls_rules(spark):
+    cases = [
+        # path is untouched when a query follows (only URL-final slashes drop)
+        (1, "HTTPS://Example.COM/Path/?utm_source=x&q=1#frag",
+            "https://example.com/Path/?q=1"),
+        (2, "http://host.org:80/a/b/", "http://host.org/a/b"),
+        (3, "https://host.org:443/x?utm_a=1&utm_b=2", "https://host.org/x"),
+        (4, "https://h.io/p?a=1&utm_x=2&b=3", "https://h.io/p?a=1&b=3"),
+        (5, "https://h.io/p/", "https://h.io/p"),
+        (6, "https://h.io", "https://h.io"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], ["doc_id", "url"])
+    out = {r["doc_id"]: r["canonical_url"]
+           for r in curation.canonicalize_urls(df, "doc_id", "url").collect()}
+    for i, _, want in cases:
+        assert out[i] == want, (i, out[i], want)
+
+
+def test_canonicalize_urls_is_narrow(spark):
+    df = spark.createDataFrame([(1, "https://x.io/a")], ["doc_id", "url"])
+    assert "Exchange" not in _plan(curation.canonicalize_urls(df, "doc_id", "url"))

@@ -147,3 +147,15 @@ def test_tfidf_top_terms(spark):
     # ubiquitous token scores ln(2/2)=0 and sorts below the unique one
     assert rows[(2, 1)]["tok"] == "other"
     assert rows[(2, 2)]["tok"] == "common" and rows[(2, 2)]["tfidf"] == 0.0
+
+
+def test_unigram_logprob_ranks_rare_text_higher(spark):
+    from healthcare_api_spark.operators.textops import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "common common common common"), (2, "common zyzzyx")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    # the doc containing the rare token scores a higher avg neg-logprob
+    assert rows[2]["avg_neg_logprob"] > rows[1]["avg_neg_logprob"]
+    assert rows[1]["n_tokens"] == 4 and rows[2]["n_tokens"] == 2
