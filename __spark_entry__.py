@@ -988,6 +988,14 @@ def q_t11_unigram_logprob(spark, sf_dir):
     return textops.unigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_t12_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio filter signal — deterministic but not
+    SQL-expressible (rows-only; tests pin compressible vs noise)."""
+    _tune(spark)
+    out = textops.compression_ratio(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def q_u1_canonical_urls(spark, sf_dir):
     """Web-corpus URL canonicalization over deterministically messy URLs
     (mixed-case host, default port, utm params, fragments)."""
@@ -1405,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_top_tokens": q_t9_top_tokens,
         "t10_tfidf": q_t10_tfidf,
         "t11_unigram_logprob": q_t11_unigram_logprob,
+        "t12_compression_ratio": q_t12_compression_ratio,
         "u1_canonical_urls": q_u1_canonical_urls,
         "d7_decontaminate": q_d7_decontaminate,
         "d8_boilerplate_lines": q_d8_boilerplate_lines,

@@ -143,6 +143,46 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
 
 
+def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Compression-ratio quality signal: len(zlib(text)) / len(text)
+    (RedPajama-style filter — highly repetitive/boilerplate text
+    compresses far below normal prose; random noise doesn't compress at
+    all). Deterministic (zlib level fixed) but not SQL-expressible —
+    rows-only check, pinned by tests instead. Arrow-batched mapInPandas,
+    stdlib zlib per batch. Output: (id, n_bytes, ratio)."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("n_bytes", LongType()),
+         StructField("ratio", DoubleType())]
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, t in zip(pdf[id_col], pdf[text_col]):
+                b = (t or "").encode("utf-8")
+                if not b:
+                    rows.append(dict(id=rid, n_bytes=0, ratio=None))
+                    continue
+                rows.append(dict(
+                    id=rid, n_bytes=len(b),
+                    ratio=round(len(zlib.compress(b, 6)) / len(b), 6),
+                ))
+            yield pd.DataFrame(rows, columns=["id", "n_bytes", "ratio"])
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(_extract, schema)
+
+
 def top_tokens(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
     """Corpus heavy hitters: the k most frequent tokens, deterministic
     (count desc, token asc tie-break). Output: (tok, cnt).

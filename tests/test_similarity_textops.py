@@ -159,3 +159,22 @@ def test_unigram_logprob_ranks_rare_text_higher(spark):
     # the doc containing the rare token scores a higher avg neg-logprob
     assert rows[2]["avg_neg_logprob"] > rows[1]["avg_neg_logprob"]
     assert rows[1]["n_tokens"] == 4 and rows[2]["n_tokens"] == 2
+
+
+def test_compression_ratio_signal(spark):
+    import random
+
+    from healthcare_api_spark.operators.textops import compression_ratio
+
+    rng = random.Random(3)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(2000))
+    df = spark.createDataFrame(
+        [(1, "spam " * 400), (2, noise), (3, None)], ["doc_id", "text"]
+    )
+    rows = {r["id"]: r for r in compression_ratio(df, "doc_id", "text").collect()}
+    assert rows[1]["ratio"] < 0.05          # boilerplate collapses
+    assert rows[2]["ratio"] > 0.5           # noise barely compresses
+    assert rows[3]["ratio"] is None and rows[3]["n_bytes"] == 0
+    # deterministic across runs
+    again = {r["id"]: r["ratio"] for r in compression_ratio(df, "doc_id", "text").collect()}
+    assert again == {k: r["ratio"] for k, r in rows.items()}
