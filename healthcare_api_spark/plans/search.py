@@ -10,17 +10,20 @@ a semi-join. No custom execution: Catalyst owns the physical plan.
 
 Supported grammar (each an entry in §2.7's capability table):
 
-    field=value                token / string equality
+    field=value                token / string-class match (comma = OR)
     field=eqV|neV|gtV|ltV|geV|leV   prefixed comparators (number/date)
     field:exact=value          exact string match
     field:contains=value       substring
+    field:not=value            negation incl. absent values
+    field:missing=true|false   presence filter
+    code=system|code / |code / code   token search over coding arrays
     field=Type/id              reference filter
     ref_field.sub=value        chained search (join target table)
     _has:Type:ref:field=value  reverse chain (semi-join)
     _include=Type:ref          include referenced rows (left join)
     _revinclude=Type:ref       include referencing rows
     _sort=[-]field             sort
-    _count=N / _page_token     paging (keyset)
+    _count=N / _page_token=v   paging (keyset off the sort key)
     _elements=a,b              projection
     _total=accurate            count only
 """
