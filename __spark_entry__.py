@@ -1132,6 +1132,18 @@ def q_d8_boilerplate_lines(spark, sf_dir):
     )
 
 
+def q_ds5_pack_global(spark, sf_dir):
+    """Sequence packing with GLOBAL offsets: per-source windows plus a
+    broadcast of tiny exclusive-prefix base offsets (two-pass global
+    cumsum) — contiguous token stream across the whole corpus without a
+    single-reducer window."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return curation.pack_sequences(
+        docs, "doc_id", "text", budget=512, part_col="source", global_offsets=True
+    )
+
+
 # -------------------------------------------------------------- multimodal --
 
 def q_m1_attachment_meta(spark, sf_dir):
@@ -1421,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds2_pack_sequences": q_ds2_pack_sequences,
         "ds3_exact_k_sample": q_ds3_exact_k_sample,
         "ds4_assign_splits": q_ds4_assign_splits,
+        "ds5_pack_global": q_ds5_pack_global,
         "m1_attachment_meta": q_m1_attachment_meta,
         "m2_image_decode": q_m2_image_decode,
         "m3_audio_features": q_m3_audio_features,
@@ -2064,6 +2077,19 @@ def oracle_sql() -> dict[str, str]:
             " AS n_tokens FROM documents),"
             " w AS (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER"
             " (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM c)"
+            " SELECT doc_id, source, n_tokens, CAST(cum - n_tokens AS BIGINT) AS start_tok,"
+            " CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS first_seq,"
+            " CAST(floor((cum - 1) / 512.0) AS BIGINT) AS last_seq FROM w"
+        ),
+        "ds5_pack_global": (
+            f"WITH c AS (SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT)"
+            " AS n_tokens FROM documents),"
+            " t AS (SELECT source, sum(n_tokens) AS tot FROM c GROUP BY source),"
+            " b AS (SELECT source, coalesce(sum(tot) OVER (ORDER BY source"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM t),"
+            " w AS (SELECT c.doc_id, c.source, n_tokens, b.base + sum(n_tokens) OVER"
+            " (PARTITION BY c.source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum"
+            "  FROM c JOIN b USING (source))"
             " SELECT doc_id, source, n_tokens, CAST(cum - n_tokens AS BIGINT) AS start_tok,"
             " CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS first_seq,"
             " CAST(floor((cum - 1) / 512.0) AS BIGINT) AS last_seq FROM w"

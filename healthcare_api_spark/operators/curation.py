@@ -410,6 +410,7 @@ def pack_sequences(
     text_col: str,
     budget: int,
     part_col: str | None = None,
+    global_offsets: bool = False,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: concatenate documents in id
     order (within ``part_col`` when given) and slice the token stream into
@@ -423,11 +424,17 @@ def pack_sequences(
     the cumulative sum is a running aggregate inside each partition. With
     no part_col everything lands in a single reducer — fine for a demo,
     wrong at 100 TB: partition by (source, date) or a bucketed key so each
-    window partition holds one reducer's worth of documents, then offset
-    the per-partition sequence ids by a precomputed per-partition base
-    (the standard two-pass global-cumsum trick) if globally dense ids are
-    required.
+    window partition holds one reducer's worth of documents.
+
+    ``global_offsets=True`` implements the two-pass global-cumsum trick:
+    a tiny per-partition totals aggregate (one row per ``part_col``
+    value) becomes exclusive-prefix base offsets via a single small
+    window, broadcast back onto the per-partition cumsums — offsets are
+    then contiguous across the whole corpus (partition order = part_col
+    order) while the heavy window still runs one reducer per partition.
     """
+    if global_offsets and not part_col:
+        raise ValueError("global_offsets requires part_col")
     cols = [F.col(id_col)] + ([F.col(part_col)] if part_col else [])
     counted = df.select(*cols, token_count(F.col(text_col)).alias("n_tokens"))
     w = (
@@ -436,6 +443,17 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
+    if global_offsets:
+        totals = counted.groupBy(part_col).agg(F.sum("n_tokens").alias("_tot"))
+        wp = (
+            Window.orderBy(part_col)
+            .rowsBetween(Window.unboundedPreceding, -1)  # exclusive prefix
+        )
+        base = totals.select(
+            F.col(part_col), F.coalesce(F.sum("_tot").over(wp), F.lit(0)).alias("_base")
+        )
+        counted = counted.join(F.broadcast(base), part_col)
+        cum = cum + F.col("_base")
     start = (cum - F.col("n_tokens")).alias("start_tok")
     return counted.select(
         *cols,

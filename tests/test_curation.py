@@ -321,3 +321,24 @@ def test_canonicalize_urls_rules(spark):
 def test_canonicalize_urls_is_narrow(spark):
     df = spark.createDataFrame([(1, "https://x.io/a")], ["doc_id", "url"])
     assert "Exchange" not in _plan(curation.canonicalize_urls(df, "doc_id", "url"))
+
+
+def test_pack_sequences_global_offsets_contiguous(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "c d e", "s1"), (3, "f g", "s2"), (4, "h", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    out = sorted(
+        curation.pack_sequences(
+            df, "doc_id", "text", budget=4, part_col="source", global_offsets=True
+        ).collect(),
+        key=lambda r: r["start_tok"],
+    )
+    # one contiguous token stream across sources (s1 then s2)
+    assert [(r["doc_id"], r["start_tok"]) for r in out] == [(1, 0), (2, 2), (3, 5), (4, 7)]
+    # doc 2 straddles the 4-token boundary under GLOBAL offsets
+    assert (out[1]["first_seq"], out[1]["last_seq"]) == (0, 1)
+    with pytest.raises(ValueError, match="requires part_col"):
+        curation.pack_sequences(df, "doc_id", "text", 4, global_offsets=True)
