@@ -933,6 +933,19 @@ def q_v3_ivf_topk(spark, sf_dir):
     )
 
 
+def q_v4_pca_project(spark, sf_dir):
+    """Distributed PCA: one-pass covariance partials → driver eigh of the
+    64×64 matrix → narrow JVM projection. Rows-only check (no SQL eigen);
+    pytest pins direction recovery + centering + narrow plan."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, _ratios = similarity.pca_train(emb, "embedding", dim=64, k=4)
+    proj = similarity.pca_project(emb, "vec_id", "embedding", mean, comps)
+    return proj.select(
+        "vec_id", *[F.round(f"p{j}", 6).alias(f"p{j}") for j in range(4)]
+    )
+
+
 # ---------------------------------------------------------- text analysis --
 
 def q_t1_lang_id(spark, sf_dir):
@@ -1414,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_ann_topk": q_v1_ann_topk,
         "v2_ann_lsh": q_v2_ann_lsh,
         "v3_ivf_topk": q_v3_ivf_topk,
+        "v4_pca_project": q_v4_pca_project,
         "t1_lang_id": q_t1_lang_id,
         "t2_quality_score": q_t2_quality_score,
         "t3_token_counts": q_t3_token_counts,

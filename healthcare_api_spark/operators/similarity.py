@@ -217,3 +217,71 @@ def lsh_bucketed_topk(
         pool += counts[b]
     candidates = bucketed.filter(F.col("bucket").isin(probe))
     return brute_force_topk(candidates, id_col, vec_col, query_vec, k)
+
+
+# ------------------------------------------------------------------ PCA --
+
+def pca_train(df: DataFrame, vec_col: str, dim: int, k: int):
+    """Distributed PCA training: ONE pass of Arrow-batched partial
+    statistics (count, component sums, outer-product sums per batch) —
+    only O(partitions) rows of dim + dim² floats reach the driver, where
+    numpy eigendecomposes the tiny dim×dim covariance. Returns
+    (mean: list[dim], components: list[k][dim] row-major,
+    explained_ratio: list[k]).
+
+    Sign convention: each component's largest-|coefficient| entry is
+    made positive, so results are deterministic (eigenvectors are
+    otherwise sign-ambiguous).
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    schema = "n long, s array<double>, o array<double>"
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, s, o = 0, np.zeros(dim), np.zeros((dim, dim))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            o += m.T @ m
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "o": [o.ravel().tolist()]})
+
+    parts = df.select(vec_col).mapInPandas(_partial, schema).collect()
+    if not parts:
+        raise ValueError("pca_train: empty input")
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    o = np.sum([np.array(r["o"]).reshape(dim, dim) for r in parts], axis=0)
+    mean = s / n
+    cov = o / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps, ratios = [], []
+    total = float(np.clip(evals.sum(), 1e-300, None))
+    for idx in order:
+        v = evecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append(v.tolist())
+        ratios.append(float(evals[idx] / total))
+    return mean.tolist(), comps, ratios
+
+
+def pca_project(
+    df: DataFrame, id_col: str, vec_col: str, mean: list, components: list
+) -> DataFrame:
+    """Project vectors onto trained components — pure JVM expressions:
+    p_j = dot(x, W_j) - dot(mean, W_j) (the mean-centering folds into a
+    per-component constant). Narrow, zero shuffle. Output: (id, p0..pk-1).
+    """
+    outs = []
+    for j, comp in enumerate(components):
+        w = F.array(*[F.lit(float(c)) for c in comp])
+        offset = float(sum(m * c for m, c in zip(mean, comp)))
+        outs.append((dot(F.col(vec_col), w) - F.lit(offset)).alias(f"p{j}"))
+    return df.select(F.col(id_col), *outs)

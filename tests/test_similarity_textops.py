@@ -178,3 +178,42 @@ def test_compression_ratio_signal(spark):
     # deterministic across runs
     again = {r["id"]: r["ratio"] for r in compression_ratio(df, "doc_id", "text").collect()}
     assert again == {k: r["ratio"] for k, r in rows.items()}
+
+
+def test_pca_recovers_principal_direction(spark):
+    import numpy as np
+
+    from healthcare_api_spark.operators.similarity import pca_project, pca_train
+
+    rng = np.random.default_rng(11)
+    direction = np.array([3.0, 4.0]) / 5.0
+    pts = (rng.normal(0, 5, size=(300, 1)) * direction  # strong axis
+           + rng.normal(0, 0.1, size=(300, 2))          # tiny noise
+           + np.array([10.0, -2.0]))                    # off-center mean
+    df = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in enumerate(pts)], ["vid", "vec"]
+    )
+    mean, comps, ratios = pca_train(df, "vec", dim=2, k=2)
+    assert abs(mean[0] - 10.0) < 0.5 and abs(mean[1] + 2.0) < 0.5
+    # first component aligns with the planted direction (sign-normalized)
+    c0 = np.array(comps[0])
+    assert abs(abs(c0 @ direction) - 1.0) < 1e-3
+    assert ratios[0] > 0.99 > ratios[1]
+    # projection is mean-centered: projected values average ~0
+    proj = pca_project(df, "vid", "vec", mean, comps)
+    import pyspark.sql.functions as SF
+
+    avgs = proj.agg(SF.avg("p0"), SF.avg("p1")).collect()[0]
+    assert abs(avgs[0]) < 1e-6 and abs(avgs[1]) < 1e-6
+    # projection plan is narrow
+    assert "Exchange" not in proj._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pca_train_empty_raises(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.similarity import pca_train
+
+    empty = spark.createDataFrame([], "vid long, vec array<double>")
+    with pytest.raises(ValueError, match="empty input"):
+        pca_train(empty, "vec", dim=2, k=1)
