@@ -125,10 +125,14 @@ def main() -> None:
     )
     n_seqs = packed.agg((F.max("last_seq") + 1).alias("m")).collect()[0]["m"]
 
-    # 10. write partitioned by language (layout for downstream sampling)
-    corpus.select("doc_id", "text", "pred_lang", "score").write.mode("overwrite").partitionBy(
-        "pred_lang"
-    ).parquet(out_dir)
+    # 10. deterministic train/val/test assignment, then write partitioned
+    # by (language, split) — appends later never move a row across splits
+    corpus = curation.assign_splits(
+        corpus, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="splits-v1"
+    )
+    corpus.select("doc_id", "text", "pred_lang", "score", "split").write.mode(
+        "overwrite"
+    ).partitionBy("pred_lang", "split").parquet(out_dir)
 
     langs = {r["pred_lang"]: r["cnt"] for r in corpus.groupBy("pred_lang").agg(
         F.count(F.lit(1)).alias("cnt")).collect()}

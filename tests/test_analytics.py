@@ -55,3 +55,22 @@ def test_cohort_retention_triangle(spark):
 
     with pytest.raises(ValueError, match="unsupported period"):
         cohort_retention(ev, "user_id", "ts", period="month")
+
+
+def test_funnel_counts_monotone_nonincreasing(spark):
+    """Structural invariant: stage k's user count can never exceed stage
+    k-1's (each entry requires a prior-stage entry)."""
+    import random
+
+    rng = random.Random(5)
+    types = ["signup", "click", "purchase", "other"]
+    rows = [
+        (rng.randrange(30), rng.choice(types),
+         f"2024-01-{rng.randrange(1, 28):02d} {rng.randrange(24):02d}:00:00")
+        for _ in range(400)
+    ]
+    out = funnel_counts(
+        _ev(spark, rows), "user_id", "event_type", "ts", ["signup", "click", "purchase"]
+    ).collect()
+    users = [r["users"] for r in sorted(out, key=lambda r: r["stage_idx"])]
+    assert users == sorted(users, reverse=True)
