@@ -175,6 +175,15 @@ def q_a8_exact_percentiles(spark, sf_dir):
     )
 
 
+def q_a10_histogram(spark, sf_dir):
+    """Fixed-range histogram with explicit under/overflow buckets —
+    O(bins) output regardless of input size."""
+    _tune(spark)
+    return relational.histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 0.0, 600000.0, 20
+    )
+
+
 def q_a5_invariant_counts(spark, sf_dir):
     _tune(spark)
     orders, cust = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
@@ -640,6 +649,27 @@ def q_x4_gapfill(spark, sf_dir):
         # are dyadic, so both engines round the same double identically
         F.round(F.col("svi") * 1000, 0).cast("bigint").alias("sv_interp_milli"),
     )
+
+
+def q_x5_mad_anomalies(spark, sf_dir):
+    """Robust per-series outlier flags: |v - median| > k·MAD per event
+    type (k=1.5 so uniform-ish test data has real tails to flag)."""
+    from healthcare_api_spark.operators.temporal import mad_anomalies
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = mad_anomalies(ev, ("event_type",), "value", k=1.5)
+    return out.select(
+        "event_id", "event_type", F.round("value", 2).alias("value"), "anomaly"
+    )
+
+
+def q_d9_exact_substring(spark, sf_dir):
+    """ExactSubstr-style detection (Lee et al. 2021): docs sharing any
+    verbatim 30-char run with another doc."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_substring_flags(docs, "doc_id", "text", gram_len=30, min_docs=2)
 
 
 def q_k1_sketch_distinct(spark, sf_dir):
@@ -1377,6 +1407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_profile_table": q_a7_profile_table,
         "a8_exact_percentiles": q_a8_exact_percentiles,
         "a9_pivot": q_a9_pivot,
+        "a10_histogram": q_a10_histogram,
+        "x5_mad_anomalies": q_x5_mad_anomalies,
+        "d9_exact_substring": q_d9_exact_substring,
         "s1_s4_ndjson_roundtrip": q_s1_s4_ndjson_roundtrip,
         "p1_p3_drop_fields": q_p1_p3_drop_fields,
         "p4_p6_nested_ops": q_p4_p6_nested_ops,
@@ -1654,6 +1687,35 @@ def oracle_sql() -> dict[str, str]:
                 for v, a in zip(_A9_PRIORITIES, _A9_ALIASES)
             )
             + " FROM orders GROUP BY o_orderstatus"
+        ),
+        "a10_histogram": (
+            "SELECT CAST(CASE WHEN o_totalprice IS NULL THEN NULL"
+            " WHEN o_totalprice < 0.0 THEN -1"
+            " WHEN o_totalprice >= 600000.0 THEN 20"
+            " ELSE floor((o_totalprice - 0.0) / 30000.0) END AS INTEGER) AS bucket,"
+            " CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1"
+        ),
+        "x5_mad_anomalies": (
+            "WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m"
+            "  FROM events GROUP BY event_type),"
+            " wm AS (SELECT e.event_id, e.event_type, e.value, m.m FROM events e"
+            "  JOIN med m USING (event_type)),"
+            " mad AS (SELECT event_type, quantile_cont(abs(value - m), 0.5) AS d"
+            "  FROM wm GROUP BY event_type)"
+            " SELECT event_id, wm.event_type, round(value, 2) AS value,"
+            " CASE WHEN abs(value - m) > 1.5 * d THEN 1 ELSE 0 END AS anomaly"
+            " FROM wm JOIN mad USING (event_type)"
+        ),
+        "d9_exact_substring": (
+            f"WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),"
+            " grams AS (SELECT DISTINCT doc_id, md5(substr(t, i, 30)) AS g FROM n,"
+            "  LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 29, 1))) AS i)),"
+            " freq AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),"
+            " hits AS (SELECT doc_id, count(*) AS n_repeated FROM grams"
+            "  JOIN freq USING (g) GROUP BY doc_id)"
+            " SELECT d.doc_id, CAST(coalesce(h.n_repeated, 0) AS BIGINT) AS n_repeated,"
+            " CASE WHEN coalesce(h.n_repeated, 0) > 0 THEN 1 ELSE 0 END AS flagged"
+            " FROM documents d LEFT JOIN hits h USING (doc_id)"
         ),
         "a7_profile_table": " UNION ALL ".join(
             f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows,"

@@ -402,3 +402,57 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+# ------------------------------------------------- exact-substring dedup --
+
+def exact_substring_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_len: int = 40,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style dedup signal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — public paper): flag
+    documents that share any verbatim character run of ``gram_len`` with
+    another document. The full suffix-array method removes the spans;
+    this operator produces the detection layer — per doc, the number of
+    its distinct ``gram_len``-grams that occur in ≥ ``min_docs`` docs.
+
+    Output: (id, n_repeated, flagged).
+
+    Shape at scale: per-doc grams are deduped narrowly
+    (``array_distinct`` before the explode), the doc-frequency aggregate
+    is keyed by a fixed-width md5 (constant shuffle key size regardless
+    of gram_len), and the frequent-gram set joins back semi-style. Same
+    skeleton as corpus boilerplate removal — corpus-frequency ops all
+    reduce to it.
+    """
+    from healthcare_api_spark.functions.text import char_ngrams
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(char_ngrams(F.col(text_col), gram_len), lambda g: F.md5(g))
+            )
+        ).alias("g"),
+    )
+    freq = (
+        grams.groupBy("g").agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") >= min_docs)
+        .select("g")
+    )
+    hits = grams.join(freq, "g").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_repeated")
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_repeated"), F.lit(0)).cast("bigint").alias("n_repeated"),
+            (F.coalesce(F.col("n_repeated"), F.lit(0)) > 0).cast("int").alias("flagged"),
+        )
+    )

@@ -119,6 +119,30 @@ def pivot_counts(
     )
 
 
+def histogram(
+    df: DataFrame, value_col: str, lo: float, hi: float, bins: int
+) -> DataFrame:
+    """Fixed-range histogram: one hash-aggregate over the bucket index
+    (map-side combined — output is ``bins`` rows however big the input).
+    Out-of-range values land in underflow (-1) / overflow (``bins``)
+    buckets instead of being dropped silently. Output: (bucket, cnt)."""
+    if bins < 1 or not hi > lo:
+        raise ValueError("need bins >= 1 and hi > lo")
+    width = (hi - lo) / bins
+    c = F.col(value_col)
+    bucket = (
+        F.when(c.isNull(), None)
+        .when(c < lo, F.lit(-1))
+        .when(c >= hi, F.lit(bins))
+        .otherwise(F.floor((c - lo) / width))
+    )
+    return (
+        df.select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def profile_table(
     df: DataFrame, columns: list[str] | None = None, exact: bool = False
 ) -> DataFrame:

@@ -183,6 +183,36 @@ def gapfill_buckets(
     return out
 
 
+def mad_anomalies(
+    df: DataFrame,
+    series_cols: tuple[str, ...],
+    value_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-series outlier flags: a point is anomalous when its
+    absolute deviation from the series median exceeds ``k`` × the median
+    absolute deviation (the standard robust z-score — immune to the
+    outliers it is hunting, unlike mean/stddev). Adds an ``anomaly``
+    0/1 column to every input row.
+
+    Two aggregation passes over the series (median, then MAD — MAD needs
+    the median first by definition), each a per-series percentile with
+    the tiny per-series results joined back. The comparison is
+    ``|v - med| > k·mad`` (no division, so constant series with mad=0
+    simply flag nothing beyond exact-median points)."""
+    gcols = list(series_cols)
+    med = df.groupBy(*gcols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    with_med = df.join(med, gcols)
+    mad = with_med.groupBy(*gcols).agg(
+        F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+    )
+    out = with_med.join(mad, gcols)
+    flag = (F.abs(F.col(value_col) - F.col("_med")) > k * F.col("_mad")).cast("int")
+    return out.withColumn("anomaly", flag).drop("_med", "_mad")
+
+
 _DURATION_UNITS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600,
     "hours": 3600, "day": 86400, "days": 86400, "week": 604800, "weeks": 604800,

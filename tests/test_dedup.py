@@ -141,3 +141,21 @@ def test_embedding_neardup(spark):
     got = {(r["id_a"], r["id_b"]): r["cos"] for r in out.collect()}
     assert set(got) == {(1, 2)}  # bucket bound excludes 4; 3 below threshold
     assert got[(1, 2)] > 0.999
+
+
+def test_exact_substring_flags(spark):
+    shared = "the exact same forty character long run!"  # 40 chars
+    assert len(shared) == 40
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix a"),
+            (2, "other text " + shared + " suffix b"),
+            (3, "completely unrelated content with no overlap whatsoever here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup.exact_substring_flags(
+        df, "doc_id", "text", gram_len=40, min_docs=2).collect()}
+    assert rows[1]["flagged"] == 1 and rows[1]["n_repeated"] >= 1
+    assert rows[2]["flagged"] == 1
+    assert rows[3]["flagged"] == 0 and rows[3]["n_repeated"] == 0

@@ -45,3 +45,21 @@ def test_pivot_counts_declared_values(spark):
     extra = spark.createDataFrame([("O", "XX")], ["status", "prio"])
     r = pivot_counts(extra, "status", "prio", ["HI"], ["hi"]).collect()[0]
     assert r["hi"] == 0
+
+
+def test_histogram_buckets_and_overflow(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.relational import histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (5.0,), (9.9,), (10.0,), (25.0,), (None,)], ["v"]
+    )
+    out = {r["bucket"]: r["cnt"] for r in histogram(df, "v", 0.0, 10.0, 2).collect()}
+    assert out[-1] == 1          # underflow
+    assert out[0] == 1           # [0, 5): just 0.0
+    assert out[1] == 2           # [5, 10): 5.0, 9.9
+    assert out[2] == 2           # overflow: 10.0, 25.0
+    assert out[None] == 1
+    with pytest.raises(ValueError, match="bins >= 1"):
+        histogram(df, "v", 10.0, 0.0, 2)

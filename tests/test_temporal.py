@@ -166,3 +166,17 @@ def test_gapfill_interpolate(spark):
     assert rows["2024-01-01 03:00:00"] == 4.0
     # trailing gap has no next observation: stays null (no extrapolation)
     assert rows["2024-01-01 04:00:00"] is None and rows["2024-01-01 05:00:00"] is None
+
+
+def test_mad_anomalies_flags_outlier(spark):
+    from healthcare_api_spark.operators.temporal import mad_anomalies
+
+    rows = [("s1", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 300]] + [
+        ("s2", 5.0), ("s2", 5.0), ("s2", 5.0)  # constant series: mad 0
+    ]
+    df = spark.createDataFrame(rows, ["series", "v"])
+    out = mad_anomalies(df, ("series",), "v", k=3.5).collect()
+    flagged = [(r["series"], r["v"]) for r in out if r["anomaly"] == 1]
+    assert flagged == [("s1", 300.0)]
+    # constant series flags nothing (|v - med| = 0 is never > 0)
+    assert all(r["anomaly"] == 0 for r in out if r["series"] == "s2")
