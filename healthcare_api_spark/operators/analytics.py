@@ -46,6 +46,11 @@ def funnel_counts(
                 F.col("_ts") > F.col("_entry")
             ).select(user_col, "_ts")
         entry = stage_events.groupBy(user_col).agg(F.min("_ts").alias("_entry"))
+        # persisted: stage k's entries feed BOTH stage k+1's filter and
+        # stage k's own count branch — without the cache the union of
+        # counts would recompute the whole chain once per stage (O(k²)
+        # scans of the events table)
+        entry = entry.persist()
         entries.append(entry)
         prev = entry
     counts = None
