@@ -175,6 +175,21 @@ def q_a8_exact_percentiles(spark, sf_dir):
     )
 
 
+def q_l1_zorder_key(spark, sf_dir):
+    """Z-order layout key (Delta OPTIMIZE ZORDER equivalent): Morton
+    interleave of (custkey, orderkey) low bits — pure bit arithmetic,
+    narrow, the sort key that makes Parquet row-group stats prune on
+    BOTH dimensions."""
+    from healthcare_api_spark.operators.layout import morton_key
+
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        morton_key(F.col("o_custkey"), F.col("o_orderkey")).cast("bigint").alias("zkey"),
+    )
+
+
 def q_a10_histogram(spark, sf_dir):
     """Fixed-range histogram with explicit under/overflow buckets —
     O(bins) output regardless of input size."""
@@ -1408,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_exact_percentiles": q_a8_exact_percentiles,
         "a9_pivot": q_a9_pivot,
         "a10_histogram": q_a10_histogram,
+        "l1_zorder_key": q_l1_zorder_key,
         "x5_mad_anomalies": q_x5_mad_anomalies,
         "d9_exact_substring": q_d9_exact_substring,
         "s1_s4_ndjson_roundtrip": q_s1_s4_ndjson_roundtrip,
@@ -1628,6 +1644,8 @@ def _ds1_case_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from healthcare_api_spark.operators.layout import morton_key_sql
+
     mime_case = " ".join(f"WHEN {m} THEN '{v}'" for m, v in _MIME_BY_MOD.items())
     lang_counts = {
         lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b'))"
@@ -1687,6 +1705,11 @@ def oracle_sql() -> dict[str, str]:
                 for v, a in zip(_A9_PRIORITIES, _A9_ALIASES)
             )
             + " FROM orders GROUP BY o_orderstatus"
+        ),
+        "l1_zorder_key": (
+            "SELECT o_orderkey, CAST("
+            + morton_key_sql("o_custkey", "o_orderkey")
+            + " AS BIGINT) AS zkey FROM orders"
         ),
         "a10_histogram": (
             "SELECT CAST(CASE WHEN o_totalprice IS NULL THEN NULL"
