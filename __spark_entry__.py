@@ -1369,7 +1369,7 @@ def _doc_engine(spark, sf_dir) -> SearchEngine:
     # lang / event_type are configured FHIR-string-class params →
     # case-insensitive prefix match (oracle: lower(col) LIKE 'v%')
     configs = {
-        "Document": SearchConfig(string_params={"lang"}),
+        "Document": SearchConfig(string_params={"lang"}, text_search_col="text"),
         "Event": SearchConfig(string_params={"event_type"}),
     }
     return SearchEngine(tables, configs)
@@ -1406,6 +1406,17 @@ def q_fs4_search_sort_page(spark, sf_dir):
     return eng.search(
         "Document",
         {"_sort": "-n_chars,doc_id", "_count": "25", "_elements": "doc_id,n_chars"},
+    )
+
+
+def q_fs5_search_text(spark, sf_dir):
+    """`?_text=window vector` — full-text AND-of-terms through the
+    search frontend (scan-based token membership; the inverted index in
+    textops is the repeated-query scale path)."""
+    _tune(spark)
+    eng = _doc_engine(spark, sf_dir)
+    return eng.search(
+        "Document", {"_text": "window vector", "_elements": "doc_id,lang"}
     )
 
 
@@ -1505,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs2_search_range": q_fs2_search_range,
         "fs3_search_count": q_fs3_search_count,
         "fs4_search_sort_page": q_fs4_search_sort_page,
+        "fs5_search_text": q_fs5_search_text,
     }
 
 
@@ -2242,5 +2254,10 @@ def oracle_sql() -> dict[str, str]:
         "fs4_search_sort_page": (
             "SELECT doc_id, n_chars FROM documents"
             " ORDER BY n_chars DESC, doc_id ASC LIMIT 25"
+        ),
+        "fs5_search_text": (
+            f"SELECT doc_id, lang FROM documents"
+            f" WHERE list_contains({_TOKS_SQL}, 'window')"
+            f" AND list_contains({_TOKS_SQL}, 'vector')"
         ),
     }

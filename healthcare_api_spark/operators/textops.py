@@ -143,6 +143,37 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
 
 
+def build_inverted_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token → document posting table (tok, id), one row per DISTINCT
+    (doc, token) — the pre-built index for repeated multi-token search
+    at scale. Write it partitioned/bucketed by ``tok`` so term lookups
+    partition-prune; per-doc dedup happens narrowly (array_distinct
+    before the explode), never as a distinct shuffle."""
+    from healthcare_api_spark.functions.text import tokens
+
+    return df.select(
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        F.col(id_col),
+    )
+
+
+def search_all_tokens(index: DataFrame, id_col: str, terms: list[str]) -> DataFrame:
+    """AND-of-terms lookup against an inverted index: docs containing
+    EVERY term. One filtered scan (``tok IN terms`` — partition-pruned
+    on a tok-partitioned index) + one count aggregate; no self-joins
+    however many terms."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    lowered = [t.lower() for t in terms]
+    return (
+        index.filter(F.col("tok").isin(lowered))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == len(set(lowered)))
+        .select(id_col)
+    )
+
+
 def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Compression-ratio quality signal: len(zlib(text)) / len(text)
     (RedPajama-style filter — highly repetitive/boilerplate text

@@ -72,6 +72,9 @@ class SearchConfig:
     # array params keep string semantics, the right default for the
     # HumanName shape this registry exists for.
     token_class_params: set[str] = field(default_factory=set)
+    # column for `_text=` full-text search (AND of whitespace terms,
+    # token-level membership). None = _text unsupported for the type.
+    text_search_col: str | None = None
 
 
 def _typed_lit(df: DataFrame, colpath: str, value: str):
@@ -180,6 +183,21 @@ class SearchEngine:
                 count = int(raw)
             elif key == "_page_token":
                 page_token = raw
+            elif key == "_text":
+                # full-text: every whitespace-separated term must appear
+                # as a token of the configured text column (AND). The
+                # scan-based predicate is narrow; for repeated queries at
+                # scale, build the inverted index (textops) instead.
+                if cfg.text_search_col is None:
+                    raise ValueError(
+                        f"_text is not configured for {resource_type}"
+                        " (set SearchConfig.text_search_col)"
+                    )
+                from healthcare_api_spark.functions.text import tokens
+
+                toks = tokens(F.col(cfg.text_search_col))
+                for term in raw.split():
+                    df = df.filter(F.array_contains(toks, term.lower()))
             elif key == "_include":
                 # _include=SourceType:refParam — source must be the
                 # searched type (FHIR R4 form)

@@ -283,3 +283,49 @@ def test_include_revinclude(engine):
     rows = {r["id"]: r for r in rev.collect()}
     assert len(rows["p1"]["revincluded_Observation"]) == 2
     assert rows["p3"]["revincluded_Observation"] is None
+
+
+def test_text_search_and_of_terms(spark):
+    docs = spark.createDataFrame(
+        [("d1", "the spark window vector engine"),
+         ("d2", "window functions only here"),
+         ("d3", "vector store without the other term")],
+        ["id", "body"],
+    )
+    eng = SearchEngine(
+        {"Document": docs},
+        {"Document": SearchConfig(text_search_col="body")},
+    )
+    out = eng.search("Document", {"_text": "window vector"})
+    assert [r["id"] for r in out.collect()] == ["d1"]
+    # single term matches both docs containing it
+    assert eng.search("Document", {"_text": "Window"}).count() == 2  # case-folded
+    with pytest.raises(ValueError, match="_text is not configured"):
+        SearchEngine({"Document": docs}, {"Document": SearchConfig()}).search(
+            "Document", {"_text": "x"}
+        )
+
+
+def test_inverted_index_search(spark):
+    from healthcare_api_spark.operators.textops import (
+        build_inverted_index,
+        search_all_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma alpha"), ("d2", "beta gamma"), ("d3", "alpha")],
+        ["id", "body"],
+    )
+    idx = build_inverted_index(docs, "id", "body")
+    # posting list is per-doc distinct
+    assert idx.filter("tok = 'alpha'").count() == 2
+    got = sorted(r["id"] for r in search_all_tokens(idx, "id", ["beta", "gamma"]).collect())
+    assert got == ["d1", "d2"]
+    # duplicate terms in the query don't over-count
+    assert sorted(
+        r["id"] for r in search_all_tokens(idx, "id", ["ALPHA", "alpha"]).collect()
+    ) == ["d1", "d3"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        search_all_tokens(idx, "id", [])
