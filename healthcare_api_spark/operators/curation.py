@@ -381,6 +381,25 @@ def assign_splits(
     return df.withColumn("split", last if expr is None else expr.otherwise(last))
 
 
+def plan_temperature_mixture(
+    df: DataFrame, strata_col: str, alpha: float, total: int
+) -> dict[str, float]:
+    """Temperature-based mixture rates: target share of stratum i ∝
+    count_i^alpha — the standard multilingual rebalancing rule
+    (alpha=1 keeps natural proportions, alpha→0 approaches uniform;
+    alpha≈0.3 is the usual multilingual-LM compromise). Only the
+    per-stratum counts reach the driver; feed the result to
+    ``stratified_sample``."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
+    weights = {s: c**alpha for s, c in counts.items() if c > 0}
+    z = sum(weights.values())
+    return {
+        s: min(1.0, (w / z) * total / counts[s]) for s, w in weights.items()
+    }
+
+
 def plan_mixture(
     df: DataFrame, strata_col: str, target_props: dict[str, float], total: int
 ) -> dict[str, float]:

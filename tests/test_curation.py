@@ -342,3 +342,23 @@ def test_pack_sequences_global_offsets_contiguous(spark):
     assert (out[1]["first_seq"], out[1]["last_seq"]) == (0, 1)
     with pytest.raises(ValueError, match="requires part_col"):
         curation.pack_sequences(df, "doc_id", "text", 4, global_offsets=True)
+
+
+def test_plan_temperature_mixture(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(900)] + [(i + 1000, "de") for i in range(100)],
+        ["doc_id", "lang"],
+    )
+    # alpha=1: natural proportions (90/10 of the total)
+    nat = curation.plan_temperature_mixture(df, "lang", alpha=1.0, total=100)
+    assert abs(nat["en"] * 900 - 90) < 1e-9 and abs(nat["de"] * 100 - 10) < 1e-9
+    # alpha=0: uniform target (50/50), capped at availability
+    uni = curation.plan_temperature_mixture(df, "lang", alpha=0.0, total=100)
+    assert abs(uni["en"] * 900 - 50) < 1e-9 and abs(uni["de"] * 100 - 50) < 1e-9
+    # alpha=0.3 sits between: de gets MORE than natural, less than uniform
+    mid = curation.plan_temperature_mixture(df, "lang", alpha=0.3, total=100)
+    assert 10 < mid["de"] * 100 < 50
+    with pytest.raises(ValueError, match="alpha"):
+        curation.plan_temperature_mixture(df, "lang", alpha=2.0, total=10)
