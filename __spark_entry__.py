@@ -1362,6 +1362,57 @@ def q_m4_video_frames(spark, sf_dir):
     )
 
 
+# palette for m5's synthetic GIFs: color j = (31j, 57j, 89j) mod 256
+_M5_PAL = [((j * 31) % 256, (j * 57) % 256, (j * 89) % 256) for j in range(8)]
+
+
+def q_m5_gif_decode(spark, sf_dir):
+    """REAL codec-free GIF path: synthesize a palette GIF per doc
+    (engine's own clear-code LZW encoder), run the pure-algorithm LZW
+    decoder, and checksum the RGB pixels — the oracle recomputes the
+    sums analytically from the palette formula, so an LZW or palette
+    bug would hash-mismatch."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_api_spark.operators.multimodal import decode_gif, encode_gif_bytes
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pal = np.array(_M5_PAL, dtype=np.uint8)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 12 + 1, d % 9 + 1
+                idx = ((np.add.outer(np.arange(h), np.arange(w)) + d) % 8).astype(np.uint8)
+                payloads.append(encode_gif_bytes(idx, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    gifs = docs.mapInPandas(_gen, "doc_id long, data binary")
+    px = decode_gif(gifs, "doc_id", "data")
+
+    def _sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "px_sum": [
+                        int(np.frombuffer(p, dtype=np.uint8).sum()) if p is not None else None
+                        for p in pdf["pixels"]
+                    ],
+                }
+            )
+
+    return px.mapInPandas(_sum, "doc_id long, width int, height int, px_sum long")
+
+
 # ------------------------------------------------------ FHIR search front --
 
 def _doc_engine(spark, sf_dir) -> SearchEngine:
@@ -1512,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m2_image_decode": q_m2_image_decode,
         "m3_audio_features": q_m3_audio_features,
         "m4_video_frames": q_m4_video_frames,
+        "m5_gif_decode": q_m5_gif_decode,
         "fs1_search_token": q_fs1_search_token,
         "fs2_search_range": q_fs2_search_range,
         "fs3_search_count": q_fs3_search_count,
@@ -2239,6 +2291,20 @@ def oracle_sql() -> dict[str, str]:
             " CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,"
             " CAST(w * h * ((doc_id + idx) % 256) + (w * h / 2) * 128 AS BIGINT) AS fr_sum"
             " FROM fr"
+        ),
+        "m5_gif_decode": (
+            "WITH dims AS (SELECT doc_id, doc_id % 12 + 1 AS w, doc_id % 9 + 1 AS h"
+            " FROM documents),"
+            " sums AS (SELECT doc_id, sum(CASE CAST((x.i + y.i + doc_id) % 8 AS INTEGER) "
+            + " ".join(
+                f"WHEN {j} THEN {r + g + b}" for j, (r, g, b) in enumerate(_M5_PAL)
+            )
+            + " END) AS s"
+            "  FROM dims, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS i) x,"
+            "  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) y"
+            "  GROUP BY doc_id)"
+            " SELECT d.doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,"
+            " CAST(s AS BIGINT) AS px_sum FROM dims d JOIN sums USING (doc_id)"
         ),
         "fs1_search_token": (
             "SELECT doc_id, lang, n_chars FROM documents"

@@ -244,6 +244,102 @@ def _decode_png_pixels(payload: bytes):
     return (w, h, ch, out.tobytes())
 
 
+def _decode_gif_pixels(payload: bytes):
+    """First-frame GIF decode without any image library: LZW is a pure
+    algorithm (stdlib ints + a numpy palette gather). Supports GIF87a/89a
+    with a global or local color table, non-interlaced. Returns
+    (width, height, 3, rgb_bytes) or a str error code."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return "invalid"
+    _w, _h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                return "truncated"
+            w, h = struct.unpack_from("<HH", payload, pos + 5)
+            ipacked = payload[pos + 9]
+            pos += 10
+            if ipacked & 0x40:
+                return "unsupported:interlaced"
+            if ipacked & 0x80:  # local color table wins
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if palette is None:
+                return "unsupported:no-palette"
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            # ---- LZW decode (12-bit max, little-endian bit packing) ----
+            clear, end = 1 << min_code, (1 << min_code) + 1
+            table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+            code_size = min_code + 1
+            out = bytearray()
+            prev: bytes | None = None
+            acc = nbits = 0
+            for byte in data:
+                acc |= byte << nbits
+                nbits += 8
+                while nbits >= code_size:
+                    code = acc & ((1 << code_size) - 1)
+                    acc >>= code_size
+                    nbits -= code_size
+                    if code == clear:
+                        table = table[: (1 << min_code) + 2]
+                        code_size = min_code + 1
+                        prev = None
+                        continue
+                    if code == end:
+                        acc = nbits = 0
+                        break
+                    if code < len(table):
+                        entry = table[code]
+                    elif code == len(table) and prev is not None:
+                        entry = prev + prev[:1]
+                    else:
+                        return "corrupt-lzw"
+                    out += entry
+                    if prev is not None:
+                        table.append(prev + entry[:1])
+                        if len(table) == (1 << code_size) and code_size < 12:
+                            code_size += 1
+                    prev = entry
+            if len(out) < w * h:
+                return "truncated"
+            idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
+            if idx.max(initial=0) >= palette.shape[0]:
+                return "corrupt-palette-index"
+            return (w, h, 3, palette[idx].tobytes())
+        elif b == 0x3B:  # trailer before any image
+            return "no-image"
+        else:
+            return "invalid"
+    return "truncated"
+
+
 PNG_PIXELS_SCHEMA = StructType(
     [
         StructField("id", LongType()),
@@ -270,6 +366,84 @@ def decode_png(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
                     rows.append(dict(id=rid, status="empty", **null))
                     continue
                 res = _decode_png_pixels(bytes(b))
+                if isinstance(res, str):
+                    rows.append(dict(id=rid, status=res, **null))
+                else:
+                    w, h, ch, px = res
+                    rows.append(dict(id=rid, width=w, height=h, channels=ch,
+                                     pixels=px, status="ok"))
+            yield pd.DataFrame(rows, columns=[f.name for f in PNG_PIXELS_SCHEMA.fields])
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_decode, PNG_PIXELS_SCHEMA)
+
+
+def encode_gif_bytes(indices, palette) -> bytes:
+    """Codec-free GIF89a encoder for tests/synthesis: ``indices`` is a
+    (h, w) uint8 palette-index array, ``palette`` an (n, 3) uint8 RGB
+    table (n a power of two ≥ 4). The LZW stream emits a clear code
+    before every pixel code — larger than real compression but a VALID
+    stream every decoder accepts, and it needs no dictionary logic."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n = pal.shape[0]
+    depth = max((n - 1).bit_length(), 2)
+    min_code = depth
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+
+    bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for p in idx.ravel():
+        emit(clear)  # constant reset: table never grows, size never bumps
+        emit(int(p))
+    emit(end)
+    if nbits:
+        bits.append(acc & 0xFF)
+
+    gct = pal.tobytes() + b"\x00" * (3 * ((1 << depth) - n))
+    out = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+        + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code])
+    )
+    for i in range(0, len(bits), 255):
+        chunk = bytes(bits[i : i + 255])
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00\x3b"
+
+
+def decode_gif(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """REAL first-frame GIF pixel decode (pure-algorithm LZW + numpy
+    palette gather) as an Arrow-batched mapInPandas kernel — same output
+    contract as ``decode_png``: interleaved uint8 RGB, per-row error
+    status, the job never fails."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[data_col]):
+                null = dict(width=None, height=None, channels=None, pixels=None)
+                if b is None or len(b) == 0:
+                    rows.append(dict(id=rid, status="empty", **null))
+                    continue
+                res = _decode_gif_pixels(bytes(b))
                 if isinstance(res, str):
                     rows.append(dict(id=rid, status=res, **null))
                 else:

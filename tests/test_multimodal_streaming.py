@@ -158,6 +158,92 @@ def test_png_full_decode_all_filters(spark):
     assert out[3]["status"] == "invalid" and out[3]["pixels"] is None
 
 
+def _lzw_compress(indices, min_code):
+    """Real GIF-flavor LZW compressor (dictionary growth + code-size
+    bumps) so the decoder's non-trivial paths are pinned, including the
+    KwK case the clear-code-only encoder never produces."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = end + 1
+    code_size = min_code + 1
+    out, acc, nbits = bytearray(), 0, 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for p in bytes(indices):
+        wk = w + bytes([p])
+        if wk in table:
+            w = wk
+        else:
+            emit(table[w])
+            table[wk] = next_code
+            next_code += 1
+            # bump ONE assignment later than the decoder's own add: the
+            # decoder learns entry N only when the code AFTER N's creator
+            # arrives, so its table (and size bump) lags the encoder by 1
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
+            w = bytes([p])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip_and_real_lzw(spark):
+    import struct
+
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import decode_gif, encode_gif_bytes
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(6, 9), dtype=np.uint8)
+
+    # (a) engine encoder (clear-code stream) round trip
+    simple = encode_gif_bytes(idx, pal)
+
+    # (b) REAL LZW stream with dict growth + the KwK pattern (aaaa…)
+    runs = np.zeros((4, 16), dtype=np.uint8)
+    runs[1:, :] = rng.integers(0, 8, size=(3, 16))
+    lzw = _lzw_compress(runs.ravel(), min_code=3)
+    gct = pal.tobytes()
+    real = (
+        b"GIF89a" + struct.pack("<HHBBB", 16, 4, 0x80 | 2, 0, 0) + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 16, 4, 0) + bytes([3])
+    )
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        real += bytes([len(chunk)]) + chunk
+    real += b"\x00\x3b"
+
+    df = spark.createDataFrame(
+        [(1, bytearray(simple)), (2, bytearray(real)), (3, bytearray(b"GIF89ajunk....."))],
+        ["id", "data"],
+    )
+    out = {r["id"]: r for r in decode_gif(df, "id", "data").collect()}
+    assert out[1]["status"] == "ok"
+    assert np.array_equal(
+        np.frombuffer(out[1]["pixels"], dtype=np.uint8).reshape(6, 9, 3), pal[idx])
+    assert out[2]["status"] == "ok"
+    assert np.array_equal(
+        np.frombuffer(out[2]["pixels"], dtype=np.uint8).reshape(4, 16, 3),
+        pal[runs])
+    assert out[3]["status"] in ("invalid", "truncated", "corrupt-lzw")
+
+
 def test_resize_png_nearest_real(spark):
     import numpy as np
 
