@@ -377,6 +377,59 @@ def decode_png(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_decode, PNG_PIXELS_SCHEMA)
 
 
+def _decode_bmp_pixels(payload: bytes):
+    """Uncompressed 24-bpp BMP decode — raw BGR rows, 4-byte padded,
+    bottom-up (or top-down when height < 0). Pure struct + numpy.
+    Returns (width, height, 3, rgb_bytes) or a str error code."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return "invalid"
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        return f"unsupported:bpp{bpp}/c{compression}"
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + stride * h
+    if w < 1 or h < 1 or len(payload) < need:
+        return "truncated"
+    rows = np.frombuffer(
+        payload[data_off : data_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        rows = rows[::-1]  # bottom-up storage
+    return (w, h, 3, rows[:, :, ::-1].tobytes())  # BGR → RGB
+
+
+def decode_bmp(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """REAL uncompressed-BMP pixel decode (no codec needed — raw bytes),
+    same output contract as ``decode_png``/``decode_gif``."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[data_col]):
+                null = dict(width=None, height=None, channels=None, pixels=None)
+                if b is None or len(b) == 0:
+                    rows.append(dict(id=rid, status="empty", **null))
+                    continue
+                res = _decode_bmp_pixels(bytes(b))
+                if isinstance(res, str):
+                    rows.append(dict(id=rid, status=res, **null))
+                else:
+                    w, h, ch, px = res
+                    rows.append(dict(id=rid, width=w, height=h, channels=ch,
+                                     pixels=px, status="ok"))
+            yield pd.DataFrame(rows, columns=[f.name for f in PNG_PIXELS_SCHEMA.fields])
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_decode, PNG_PIXELS_SCHEMA)
+
+
 def encode_gif_bytes(indices, palette) -> bytes:
     """Codec-free GIF89a encoder for tests/synthesis: ``indices`` is a
     (h, w) uint8 palette-index array, ``palette`` an (n, 3) uint8 RGB

@@ -466,3 +466,34 @@ def test_streaming_upsert_foreachbatch(spark, tmp_path):
         q.stop()
     rows = {r["id"]: r["v"] for r in store.table("Patient").collect()}
     assert rows == {"a": 1, "b": 1}  # a upserted, b created
+
+
+def test_bmp_decode_real(spark):
+    import struct
+
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)  # RGB
+    # build a bottom-up 24bpp BMP: BGR rows padded to 4 bytes
+    stride = (5 * 3 + 3) & ~3
+    body = b""
+    for y in range(2, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 5, 3, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    bmp = header + body
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"BM short"))], ["id", "data"]
+    )
+    out = {r["id"]: r for r in decode_bmp(df, "id", "data").collect()}
+    assert out[1]["status"] == "ok" and (out[1]["width"], out[1]["height"]) == (5, 3)
+    got = np.frombuffer(out[1]["pixels"], dtype=np.uint8).reshape(3, 5, 3)
+    assert np.array_equal(got, img)
+    assert out[2]["status"] in ("invalid", "truncated")
