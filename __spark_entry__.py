@@ -33,7 +33,11 @@ from healthcare_api_spark.functions.refs import make_ref, ref_id, ref_type
 from healthcare_api_spark.operators import curation, dedup, relational, similarity, textops
 from healthcare_api_spark.operators.multimodal import attach_payload, decode_image_meta
 from healthcare_api_spark.operators.transforms import transform_document_reference
-from healthcare_api_spark.plans.search import SearchConfig, SearchEngine
+from healthcare_api_spark.plans.search import (
+    SearchConfig,
+    SearchEngine,
+    encode_page_token,
+)
 from healthcare_api_spark.streaming.upsert import sessionize, tumbling_window_counts
 
 
@@ -1420,8 +1424,10 @@ def _doc_engine(spark, sf_dir) -> SearchEngine:
     # lang / event_type are configured FHIR-string-class params →
     # case-insensitive prefix match (oracle: lower(col) LIKE 'v%')
     configs = {
-        "Document": SearchConfig(string_params={"lang"}, text_search_col="text"),
-        "Event": SearchConfig(string_params={"event_type"}),
+        "Document": SearchConfig(
+            string_params={"lang"}, text_search_col="text", id_col="doc_id"
+        ),
+        "Event": SearchConfig(string_params={"event_type"}, id_col="event_id"),
     }
     return SearchEngine(tables, configs)
 
@@ -1458,6 +1464,32 @@ def q_fs4_search_sort_page(spark, sf_dir):
         "Document",
         {"_sort": "-n_chars,doc_id", "_count": "25", "_elements": "doc_id,n_chars"},
     )
+
+
+def q_fs6_page_non_unique(spark, sf_dir):
+    """`?_sort=n_chars&_count=40&_page_token=…` walked for 3 pages and
+    unioned. n_chars is NON-unique (313 distinct over 500 docs at
+    sf0.01), so page boundaries routinely land inside a group of ties —
+    the composite (n_chars, doc_id) keyset token (VERDICT r2 #1) keeps
+    the walk exact: the union of the pages must equal the first 120 rows
+    of the total order, which is what the oracle selects directly."""
+    _tune(spark)
+    eng = _doc_engine(spark, sf_dir)
+    pages, tok = [], None
+    for _ in range(3):
+        params = {"_sort": "n_chars", "_count": "40", "_elements": "doc_id,n_chars"}
+        if tok is not None:
+            params["_page_token"] = tok
+        page = eng.search("Document", params)
+        pages.append(page)
+        last = page.tail(1)  # the real paging protocol: one request per page
+        if not last:
+            break
+        tok = encode_page_token(last[0]["n_chars"], last[0]["doc_id"])
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def q_fs5_search_text(spark, sf_dir):
@@ -1569,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs3_search_count": q_fs3_search_count,
         "fs4_search_sort_page": q_fs4_search_sort_page,
         "fs5_search_text": q_fs5_search_text,
+        "fs6_page_non_unique": q_fs6_page_non_unique,
     }
 
 
@@ -2325,5 +2358,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, lang FROM documents"
             f" WHERE list_contains({_TOKS_SQL}, 'window')"
             f" AND list_contains({_TOKS_SQL}, 'vector')"
+        ),
+        # three keyset pages of 40 over a NON-unique sort key must union
+        # to exactly the first 120 rows of the total order
+        "fs6_page_non_unique": (
+            "SELECT doc_id, n_chars FROM documents"
+            " ORDER BY n_chars ASC, doc_id ASC LIMIT 120"
         ),
     }

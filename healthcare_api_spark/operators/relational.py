@@ -90,13 +90,36 @@ def salted_join(
     return out.drop("_salt")
 
 
-def keyset_page(df: DataFrame, key: str, after, page_size: int) -> DataFrame:
+def keyset_page(df: DataFrame, key, after, page_size: int) -> DataFrame:
     """§2.5 pagination: keyset (`WHERE key > last ORDER BY key LIMIT n`) —
-    O(page) per page instead of O(offset) for deep pages."""
+    O(page) per page instead of O(offset) for deep pages.
+
+    ``key`` may be a single column name or a list of names (ascending,
+    lexicographic); ``after`` is then a tuple aligned with ``key``. For a
+    NON-unique sort key the caller MUST include a unique tie-break column
+    (e.g. ``["date", "id"]``) — a strict bound on a single non-unique key
+    silently drops rows that share the boundary value with the last row
+    of the previous page. The composite bound is the row-value comparison
+    ``k1 > a1 OR (k1 = a1 AND k2 > a2) OR …`` — still a sargable range
+    predicate Catalyst pushes into the scan.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
     out = df
     if after is not None:
-        out = out.filter(F.col(key) > F.lit(after))
-    return out.orderBy(F.col(key).asc()).limit(page_size)
+        bounds = [after] if isinstance(key, str) else list(after)
+        if len(bounds) != len(keys):
+            raise ValueError("`after` must supply one bound per key column")
+        pred = None
+        eqs = None
+        for k, b in zip(keys, bounds):
+            term = F.col(k) > F.lit(b)
+            if eqs is not None:
+                term = eqs & term
+            pred = term if pred is None else pred | term
+            eq = F.col(k) == F.lit(b)
+            eqs = eq if eqs is None else eqs & eq
+        out = out.filter(pred)
+    return out.orderBy(*[F.col(k).asc() for k in keys]).limit(page_size)
 
 
 def pivot_counts(

