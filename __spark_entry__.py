@@ -1506,57 +1506,14 @@ def q_fs5_search_text(spark, sf_dir):
 # ----------------------------------------------------------------- export --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING IS LOAD-BEARING: the driver's correctness sweep verifies
+    # the FIRST 50 entries only (CORRECTNESS_r01/r02 are exactly that
+    # prefix). Rounds 1-2 swept the same legacy 50, so the 45 operators
+    # added since — plus w2, whose keyset_page implementation changed
+    # this round — go first; the union of r02's sweep and this prefix
+    # covers all 95 queries with a driver-issued hash. The remainder
+    # stays oracle-checked locally via tools/check_oracle.py (95/95).
     return {
-        "a3_count_accurate": q_a3_count_accurate,
-        "a4_counts_by_type": q_a4_counts_by_type,
-        "a2_distinct_set": q_a2_distinct_set,
-        "a1_group_collect": q_a1_group_collect,
-        "a5_invariant_counts": q_a5_invariant_counts,
-        "a6_grouping_sets": q_a6_grouping_sets,
-        "a7_profile_table": q_a7_profile_table,
-        "a8_exact_percentiles": q_a8_exact_percentiles,
-        "a9_pivot": q_a9_pivot,
-        "a10_histogram": q_a10_histogram,
-        "l1_zorder_key": q_l1_zorder_key,
-        "x5_mad_anomalies": q_x5_mad_anomalies,
-        "d9_exact_substring": q_d9_exact_substring,
-        "s1_s4_ndjson_roundtrip": q_s1_s4_ndjson_roundtrip,
-        "p1_p3_drop_fields": q_p1_p3_drop_fields,
-        "p4_p6_nested_ops": q_p4_p6_nested_ops,
-        "p10_array_rename": q_p10_array_rename,
-        "p11_rename_flat": q_p11_rename_flat,
-        "p13_p14_projection": q_p13_p14_projection,
-        "p12_choice_type": q_p12_choice_type,
-        "p15_row_filter": q_p15_row_filter,
-        "p9_nested_roundtrip": q_p9_nested_roundtrip,
-        "f3_ref_roundtrip": q_f3_ref_roundtrip,
-        "f6_mime_infer": q_f6_mime_infer,
-        "f1_f2_string_clean": q_f1_f2_string_clean,
-        "f7_uuid5": q_f7_uuid5,
-        "f8_json_extract": q_f8_json_extract,
-        "f9_f11_struct_build": q_f9_f11_struct_build,
-        "f10_f12_cast_append": q_f10_f12_cast_append,
-        "j1_broadcast_join": q_j1_broadcast_join,
-        "j2_docs_by_group": q_j2_docs_by_group,
-        "j3_explode_join": q_j3_explode_join,
-        "j4_anti_join": q_j4_anti_join,
-        "j5_semi_join": q_j5_semi_join,
-        "j7_chained_search": q_j7_chained_search,
-        "x1_asof_join": q_x1_asof_join,
-        "x2_interval_join": q_x2_interval_join,
-        "x3_hierarchical_rollup": q_x3_hierarchical_rollup,
-        "x4_gapfill": q_x4_gapfill,
-        "k1_sketch_distinct": q_k1_sketch_distinct,
-        "k2_sketch_quantiles": q_k2_sketch_quantiles,
-        "w1_latest_per_key": q_w1_latest_per_key,
-        "w2_keyset_page": q_w2_keyset_page,
-        "w3_rank_topn_per_group": q_w3_rank_topn_per_group,
-        "w5_funnel": q_w5_funnel,
-        "w6_cohort_retention": q_w6_cohort_retention,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "q5_local_supplier": q_q5_local_supplier,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
         "s8_upsert_lastwin": q_s8_upsert_lastwin,
         "s9_bucketed_upsert": q_s9_bucketed_upsert,
         "st1_tumbling_window": q_st1_tumbling_window,
@@ -1602,6 +1559,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs4_search_sort_page": q_fs4_search_sort_page,
         "fs5_search_text": q_fs5_search_text,
         "fs6_page_non_unique": q_fs6_page_non_unique,
+        "w2_keyset_page": q_w2_keyset_page,
+        "a3_count_accurate": q_a3_count_accurate,
+        "a4_counts_by_type": q_a4_counts_by_type,
+        "a2_distinct_set": q_a2_distinct_set,
+        "a1_group_collect": q_a1_group_collect,
+        "a5_invariant_counts": q_a5_invariant_counts,
+        "a6_grouping_sets": q_a6_grouping_sets,
+        "a7_profile_table": q_a7_profile_table,
+        "a8_exact_percentiles": q_a8_exact_percentiles,
+        "a9_pivot": q_a9_pivot,
+        "a10_histogram": q_a10_histogram,
+        "l1_zorder_key": q_l1_zorder_key,
+        "x5_mad_anomalies": q_x5_mad_anomalies,
+        "d9_exact_substring": q_d9_exact_substring,
+        "s1_s4_ndjson_roundtrip": q_s1_s4_ndjson_roundtrip,
+        "p1_p3_drop_fields": q_p1_p3_drop_fields,
+        "p4_p6_nested_ops": q_p4_p6_nested_ops,
+        "p10_array_rename": q_p10_array_rename,
+        "p11_rename_flat": q_p11_rename_flat,
+        "p13_p14_projection": q_p13_p14_projection,
+        "p12_choice_type": q_p12_choice_type,
+        "p15_row_filter": q_p15_row_filter,
+        "p9_nested_roundtrip": q_p9_nested_roundtrip,
+        "f3_ref_roundtrip": q_f3_ref_roundtrip,
+        "f6_mime_infer": q_f6_mime_infer,
+        "f1_f2_string_clean": q_f1_f2_string_clean,
+        "f7_uuid5": q_f7_uuid5,
+        "f8_json_extract": q_f8_json_extract,
+        "f9_f11_struct_build": q_f9_f11_struct_build,
+        "f10_f12_cast_append": q_f10_f12_cast_append,
+        "j1_broadcast_join": q_j1_broadcast_join,
+        "j2_docs_by_group": q_j2_docs_by_group,
+        "j3_explode_join": q_j3_explode_join,
+        "j4_anti_join": q_j4_anti_join,
+        "j5_semi_join": q_j5_semi_join,
+        "j7_chained_search": q_j7_chained_search,
+        "x1_asof_join": q_x1_asof_join,
+        "x2_interval_join": q_x2_interval_join,
+        "x3_hierarchical_rollup": q_x3_hierarchical_rollup,
+        "x4_gapfill": q_x4_gapfill,
+        "k1_sketch_distinct": q_k1_sketch_distinct,
+        "k2_sketch_quantiles": q_k2_sketch_quantiles,
+        "w1_latest_per_key": q_w1_latest_per_key,
+        "w3_rank_topn_per_group": q_w3_rank_topn_per_group,
+        "w5_funnel": q_w5_funnel,
+        "w6_cohort_retention": q_w6_cohort_retention,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier": q_q5_local_supplier,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
     }
 
 
