@@ -846,6 +846,9 @@ def q_s9_bucketed_upsert(spark, sf_dir):
     version + shifted balance), return the merged table. IO per upsert is
     bounded to the touched id-hash buckets (tests/test_store_pruning.py).
     """
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from healthcare_api_spark.sources.store import BucketedResourceStore
@@ -860,12 +863,23 @@ def q_s9_bucketed_upsert(spark, sf_dir):
     updates = base.filter(F.col("id") % 10 == 0).select(
         "id", F.lit(2).alias("version"), (F.col("acctbal") + 100.0).alias("acctbal")
     )
-    root = f"{tempfile.gettempdir()}/spark_graft_s9_{abs(hash(sf_dir)) % 10**8}"
-    store = BucketedResourceStore(spark, root, num_buckets=8)
-    store.import_resources(base, "Customer")
-    store.upsert(updates, "Customer", version_col="version")
-    merged = store.table("Customer")
-    return merged.select("id", "version", F.round("acctbal", 2).alias("acctbal"))
+    # stable digest (hash() is PYTHONHASHSEED-randomized → would litter a
+    # new dir per process) + pid so concurrent runs on the same sf_dir
+    # never collide mid-overwrite; prior runs' leftovers are removed
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/spark_graft_s9_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        store = BucketedResourceStore(spark, root, num_buckets=8)
+        store.import_resources(base, "Customer")
+        store.upsert(updates, "Customer", version_col="version")
+        merged = store.table("Customer")
+        out = merged.select(
+            "id", "version", F.round("acctbal", 2).alias("acctbal")
+        ).localCheckpoint(eager=True)  # detach lineage from the store files
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def q_st1_tumbling_window(spark, sf_dir):

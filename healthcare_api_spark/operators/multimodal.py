@@ -300,7 +300,11 @@ def _decode_gif_pixels(payload: bytes):
             out = bytearray()
             prev: bytes | None = None
             acc = nbits = 0
+            done = False  # end code terminates the WHOLE stream — any
+            # trailing padding/corrupt bytes must not decode as pixels
             for byte in data:
+                if done:
+                    break
                 acc |= byte << nbits
                 nbits += 8
                 while nbits >= code_size:
@@ -313,7 +317,7 @@ def _decode_gif_pixels(payload: bytes):
                         prev = None
                         continue
                     if code == end:
-                        acc = nbits = 0
+                        done = True
                         break
                     if code < len(table):
                         entry = table[code]

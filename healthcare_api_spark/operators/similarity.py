@@ -209,9 +209,12 @@ def lsh_bucketed_topk(
     def hamming(b: str) -> int:
         return sum(x != y for x, y in zip(b, qbits))
 
+    # max_hamming is a STRICT radius: buckets beyond it are never probed,
+    # even when every bucket inside it is empty (the result may then be
+    # empty/short — the caller chose precision over recall)
     probe, pool = [], 0
     for b in sorted(counts, key=lambda b: (hamming(b), b)):
-        if probe and (pool >= min_candidates or hamming(b) > max_hamming):
+        if hamming(b) > max_hamming or (probe and pool >= min_candidates):
             break
         probe.append(b)
         pool += counts[b]

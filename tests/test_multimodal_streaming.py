@@ -243,6 +243,20 @@ def test_gif_decode_roundtrip_and_real_lzw(spark):
         pal[runs])
     assert out[3]["status"] in ("invalid", "truncated", "corrupt-lzw")
 
+    # (c) data bytes AFTER the end code (padding/corrupt tail) must be
+    # ignored, not decoded as extra pixels (ADVICE r2: end code only
+    # broke the inner bit loop)
+    tail_junk = encode_gif_bytes(idx, pal)
+    # splice junk sub-blocks between the end-code block and the block
+    # terminator: find the final 0x00 terminator and insert before it
+    term = tail_junk.rindex(b"\x00\x3b")
+    garbled = tail_junk[:term] + bytes([4, 0x12, 0x34, 0x56, 0x78]) + tail_junk[term:]
+    df2 = spark.createDataFrame([(9, bytearray(garbled))], ["id", "data"])
+    row = decode_gif(df2, "id", "data").collect()[0]
+    assert row["status"] == "ok"
+    assert np.array_equal(
+        np.frombuffer(row["pixels"], dtype=np.uint8).reshape(6, 9, 3), pal[idx])
+
 
 def test_resize_png_nearest_real(spark):
     import numpy as np

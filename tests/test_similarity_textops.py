@@ -54,6 +54,26 @@ def test_lsh_underfill_expands_to_adjacent_buckets(spark):
     assert 0 < narrow.count() <= 5
 
 
+def test_lsh_max_hamming_strict_radius(spark):
+    # ADVICE r2: max_hamming must be a strict bound — when the query's
+    # own bucket is EMPTY and radius 0 is requested, nothing is probed
+    # (empty result), never a silent fall-through to the nearest bucket.
+    one = spark.createDataFrame(
+        [(1, [1.0, 1.0, 1.0, 1.0])], ["vec_id", "embedding"]
+    )
+    out = similarity.lsh_bucketed_topk(
+        one, "vec_id", "embedding", [-1.0, -1.0, -1.0, -1.0],
+        dim=4, k=1, n_planes=4, max_hamming=0, min_candidates=1,
+    )
+    assert out.count() == 0
+    # widening the radius to n_planes recovers the opposite-bucket row
+    wide = similarity.lsh_bucketed_topk(
+        one, "vec_id", "embedding", [-1.0, -1.0, -1.0, -1.0],
+        dim=4, k=1, n_planes=4, max_hamming=4, min_candidates=1,
+    )
+    assert wide.count() == 1
+
+
 def test_hyperplane_buckets_deterministic(spark):
     b1 = similarity.hyperplane_buckets(_emb(spark), "embedding", dim=4, n_planes=6).collect()
     b2 = similarity.hyperplane_buckets(_emb(spark), "embedding", dim=4, n_planes=6).collect()

@@ -8,7 +8,11 @@ import json
 from pyspark.sql import functions as F
 
 from healthcare_api_spark.operators.rollup import hierarchical_rollup
-from healthcare_api_spark.streaming.rollup import streaming_rollup_refresh
+from healthcare_api_spark.streaming.rollup import (
+    apply_rollup_batch,
+    read_tier,
+    streaming_rollup_refresh,
+)
 from healthcare_api_spark.streaming.upsert import tumbling_window_counts
 
 
@@ -139,7 +143,71 @@ def test_streaming_rollup_refresh_matches_batch(spark, tmp_path):
     }
     got = {
         str(r["bucket"]): (r["cnt"], r["sum_v"], r["min_v"], r["max_v"])
-        for r in spark.read.parquet(tier_path).collect()
+        for r in read_tier(spark, tier_path).collect()
     }
     assert got == expect
     assert got["2024-01-01 10:00:00"] == (3, 11.0, 1.0, 7.0)  # cross-batch merge
+
+
+def _tier_dict(spark, tier_path):
+    return {
+        str(r["bucket"]): (r["cnt"], r["sum_v"])
+        for r in read_tier(spark, tier_path).collect()
+    }
+
+
+def test_rollup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an already-applied batch
+    must NOT double-count, and a replay after a partial (no _SUCCESS)
+    snapshot must converge to the same totals."""
+    tier_path = str(tmp_path / "tier")
+    b0 = spark.createDataFrame(
+        [("2024-01-01 10:05:00", 1.0), ("2024-01-01 10:40:00", 3.0)], ["ts", "v"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b1 = spark.createDataFrame(
+        [("2024-01-01 10:59:00", 7.0)], ["ts", "v"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    apply_rollup_batch(b0, 0, tier_path, "ts", "v", "hour")
+    apply_rollup_batch(b1, 1, tier_path, "ts", "v", "hour")
+    expect = {"2024-01-01 10:00:00": (3, 11.0)}
+    assert _tier_dict(spark, tier_path) == expect
+
+    # replay of a fully-applied batch: skipped, totals unchanged
+    apply_rollup_batch(b1, 1, tier_path, "ts", "v", "hour")
+    apply_rollup_batch(b0, 0, tier_path, "ts", "v", "hour")
+    assert _tier_dict(spark, tier_path) == expect
+
+    # partial snapshot (crash before _SUCCESS): replay recomputes from
+    # the prior complete snapshot — converges, no double count
+    import os
+
+    os.remove(os.path.join(tier_path, "v1", "_SUCCESS"))
+    assert _tier_dict(spark, tier_path) == {"2024-01-01 10:00:00": (2, 4.0)}
+    apply_rollup_batch(b1, 1, tier_path, "ts", "v", "hour")
+    assert _tier_dict(spark, tier_path) == expect
+
+
+def test_rollup_tier_read_failure_not_swallowed(spark, tmp_path):
+    """A corrupt prior snapshot must raise, never silently reset the
+    tier to one batch's totals (ADVICE r2: bare-except data-loss)."""
+    import os
+
+    import pytest
+
+    tier_path = str(tmp_path / "tier")
+    b0 = spark.createDataFrame(
+        [("2024-01-01 10:05:00", 1.0)], ["ts", "v"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    apply_rollup_batch(b0, 0, tier_path, "ts", "v", "hour")
+    # corrupt the committed snapshot's parquet files in place
+    vdir = os.path.join(tier_path, "v0")
+    for f in os.listdir(vdir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(vdir, f), "wb") as fh:
+                fh.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        apply_rollup_batch(b0, 1, tier_path, "ts", "v", "hour")
+    # the failed batch must NOT have committed a snapshot that would
+    # replace accumulated history with just its own rows
+    assert not os.path.exists(os.path.join(tier_path, "v1", "_SUCCESS"))
