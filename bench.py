@@ -1,26 +1,35 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "cold_total_sec": ..., "runs": 2}.
+"queries": {name: sec}, "sf": ..., "queries_cold": {...},
+"cold_total_sec": ..., "steady_totals": [...], "runs": 4}.
 
 Execution is forced with the noop sink (full computation, no driver
 collect) so timings measure the engine, not result transfer.
 
-Methodology (changed in round 2, both numbers reported): each query runs
-TWICE. The first pass pays one-time JVM costs — Janino compilation of the
-whole-stage-codegen fragments and HotSpot JIT — which measured ~7.6 s
-across the 18 queries at sf0.1, i.e. ~45% of the cold total and a pure
-constant independent of data volume. ``value``/``queries`` report the
-second (steady-state) pass: that is the per-query engine throughput that
-scales with SF and is the number a 1000-executor cluster amortizing
-compile over hours of work would see. ``cold_total_sec`` preserves the
-round-1-comparable cold-run total (first-pass sum) so nothing is hidden.
+Methodology (round 3: median-of-3 steady passes). Measured host variance
+on identical code within round 2 was 9.85→14.7 s — larger than any real
+round-over-round delta — so a single pass is noise. Each query now runs
+FOUR times:
+
+- pass 1 (``queries_cold``/``cold_total_sec``): pays the one-time JVM
+  costs — Janino compilation of whole-stage-codegen fragments and
+  HotSpot JIT (~7.6 s across the 18 queries at sf0.1, a constant
+  independent of data volume). Comparable to round 1's single-pass
+  numbers.
+- passes 2-4: steady state. ``queries`` reports the per-query MEDIAN of
+  the three; ``value`` is the sum of those medians — the per-query
+  engine throughput that scales with SF and the number a 1000-executor
+  cluster amortizing compile over hours of work would see.
+  ``steady_totals`` keeps each pass's raw total so the spread (host
+  noise) is visible next to the median.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -50,6 +59,8 @@ HEADLINE = [
     "a6_grouping_sets",
 ]
 
+N_STEADY = 3
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -65,25 +76,30 @@ def main() -> None:
     force(qs["q6_forecast_revenue"](spark, sf_dir))
 
     cold: dict[str, float] = {}
-    timings: dict[str, float] = {}
-    for pass_timings in (cold, timings):
+    steady: list[dict[str, float]] = [{} for _ in range(N_STEADY)]
+    for pass_timings in [cold, *steady]:
         for name in HEADLINE:
             spark.catalog.clearCache()  # no cross-pass result reuse
             t0 = time.perf_counter()
             force(qs[name](spark, sf_dir))
             pass_timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    medians = {
+        name: round(statistics.median(p[name] for p in steady), 3)
+        for name in HEADLINE
+    }
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": total,
+                "value": round(sum(medians.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
                 "sf": sf,
+                "queries_cold": cold,
                 "cold_total_sec": round(sum(cold.values()), 3),
-                "runs": 2,
+                "steady_totals": [round(sum(p.values()), 3) for p in steady],
+                "runs": 1 + N_STEADY,
             }
         )
     )
