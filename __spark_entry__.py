@@ -1506,6 +1506,51 @@ def q_fs6_page_non_unique(spark, sf_dir):
     return out
 
 
+def _tpch_fhir_engine(spark, sf_dir) -> SearchEngine:
+    """TPC-H tables reshaped as FHIR-style resources (id + Type/id refs)
+    so reverse-chain grammar runs over real reference topology:
+    Order --customer--> Customer --nation--> Nation."""
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("id"), F.col("n_name").alias("name")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.concat(F.lit("Nation/"), F.col("c_nationkey")).alias("nation_ref"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.concat(F.lit("Customer/"), F.col("o_custkey")).alias("customer_ref"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    return SearchEngine(
+        {"Nation": nation, "Customer": cust, "Order": orders},
+        {
+            "Nation": SearchConfig(),
+            "Customer": SearchConfig(
+                reference_params={"nation": ("nation_ref", "Nation")}
+            ),
+            "Order": SearchConfig(
+                reference_params={"customer": ("customer_ref", "Customer")}
+            ),
+        },
+    )
+
+
+def q_fs7_nested_has(spark, sf_dir):
+    """`?_has:Customer:nation:_has:Order:customer:totalprice=ge495000` —
+    nested reverse chaining (VERDICT r2 next-#7): nations having a
+    customer who has an order above the threshold. Each `_has` level is
+    evaluated as a search on its source type (recursion), emitted as a
+    LeftSemi join with no forced broadcast."""
+    _tune(spark)
+    eng = _tpch_fhir_engine(spark, sf_dir)
+    return eng.search(
+        "Nation",
+        {"_has:Customer:nation:_has:Order:customer:totalprice": "ge495000"},
+    )
+
+
 def q_fs5_search_text(spark, sf_dir):
     """`?_text=window vector` — full-text AND-of-terms through the
     search frontend (scan-based token membership; the inverted index in
@@ -1573,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs4_search_sort_page": q_fs4_search_sort_page,
         "fs5_search_text": q_fs5_search_text,
         "fs6_page_non_unique": q_fs6_page_non_unique,
+        "fs7_nested_has": q_fs7_nested_has,
         "w2_keyset_page": q_w2_keyset_page,
         "a3_count_accurate": q_a3_count_accurate,
         "a4_counts_by_type": q_a4_counts_by_type,
@@ -2385,5 +2431,12 @@ def oracle_sql() -> dict[str, str]:
         "fs6_page_non_unique": (
             "SELECT doc_id, n_chars FROM documents"
             " ORDER BY n_chars ASC, doc_id ASC LIMIT 120"
+        ),
+        # nested reverse chain: nations ∋ customer ∋ order ≥ 495000
+        "fs7_nested_has": (
+            "SELECT CAST(n_nationkey AS VARCHAR) AS id, n_name AS name"
+            " FROM nation WHERE n_nationkey IN ("
+            "   SELECT c_nationkey FROM customer WHERE c_custkey IN ("
+            "     SELECT o_custkey FROM orders WHERE o_totalprice >= 495000))"
         ),
     }

@@ -19,7 +19,11 @@ Supported grammar (each an entry in §2.7's capability table):
     code=system|code / |code / code   token search over coding arrays
     field=Type/id              reference filter
     ref_field.sub=value        chained search (join target table)
-    _has:Type:ref:field=value  reverse chain (semi-join)
+    _has:Type:ref:field=value  reverse chain (semi-join); the field part
+                               is itself a full search on Type, so
+                               modifiers, chained sub-params
+                               (_has:Obs:patient:subject.name=v) and
+                               nested _has all compose
     _include=Type:ref          include referenced rows (left join)
     _revinclude=Type:ref       include referencing rows
     _sort=[-]field             sort
@@ -238,23 +242,25 @@ class SearchEngine:
             elif key == "_elements":
                 elements = [self._resolve(resource_type, e) for e in raw.split(",")]
             elif key.startswith("_has:"):
-                # _has:Observation:patient:code=X → semi-join from Observation
-                _, src_type, ref_param, src_param = key.split(":", 3)
-                src = self.tables[src_type]
+                # _has:Observation:patient:code=X → semi-join from Observation.
+                # The remainder after `_has:Type:ref:` is ITSELF a search on
+                # the source type, evaluated by recursion — so modifiers
+                # (`:exact`), token params, chained sub-params
+                # (`_has:Obs:patient:subject.name=eve`) and nested _has
+                # (`_has:Enc:subject:_has:Obs:encounter:code=x`) all work
+                # with exactly the semantics they have as top-level params.
+                _, src_type, ref_param, src_key = key.split(":", 3)
                 src_cfg = self.configs.get(src_type, SearchConfig())
                 ref_col, _target = src_cfg.reference_params[ref_param]
-                pred = _apply_simple(
-                    src, src_cfg.params.get(src_param, src_param), raw, None,
-                    string_class=src_param in src_cfg.string_params,
-                )
+                filtered = self.search(src_type, {src_key: raw})
                 # Semi-join on the filtered source's reference keys. No
                 # broadcast hint and no pre-distinct: left_semi already
                 # dedups matches, and the key set is unbounded (a loose
                 # filter at 100 TB can match millions of rows — a forced
                 # broadcast would OOM the driver). AQE converts to BHJ at
                 # runtime when the filtered side is actually small.
-                keys = src.filter(pred).select(ref_id(F.col(ref_col)).alias("_k"))
-                df = df.join(keys, df["id"] == F.col("_k"), "left_semi")
+                keys = filtered.select(ref_id(F.col(ref_col)).alias("_k"))
+                df = df.join(keys, df[cfg.id_col] == F.col("_k"), "left_semi")
             elif "." in name and name.split(".", 1)[0] in cfg.reference_params:
                 # chained search: subject.name=X → join target table
                 ref_param, sub = name.split(".", 1)
@@ -267,7 +273,7 @@ class SearchEngine:
                 )
                 # Same scale rule as _has: no forced broadcast of the
                 # matched-target id set; AQE picks BHJ iff it is small.
-                keys = target.filter(pred).select(F.col("id").alias("_k"))
+                keys = target.filter(pred).select(F.col(t_cfg.id_col).alias("_k"))
                 df = df.join(keys, ref_id(F.col(ref_col)) == F.col("_k"), "left_semi")
             elif modifier == "missing":
                 colpath = self._resolve(resource_type, name)
@@ -412,8 +418,9 @@ class SearchEngine:
         cfg = self.configs[resource_type]
         ref_col, target_type = cfg.reference_params[ref_param]
         target = self.tables[target_type]
+        t_id = self.configs.get(target_type, SearchConfig()).id_col
         inc = target.select(F.struct(*target.columns).alias(f"included_{ref_param}"))
-        inc = inc.withColumn("_k", F.col(f"included_{ref_param}.id"))
+        inc = inc.withColumn("_k", F.col(f"included_{ref_param}.{t_id}"))
         return df.join(inc, ref_id(F.col(ref_col)) == F.col("_k"), "left").drop("_k")
 
     def revinclude(self, df: DataFrame, source_type: str, ref_param: str) -> DataFrame:
@@ -427,4 +434,5 @@ class SearchEngine:
             .groupBy("_k")
             .agg(F.collect_list(F.struct(*[c for c in src.columns])).alias(f"revincluded_{source_type}"))
         )
-        return df.join(grouped, df["id"] == F.col("_k"), "left").drop("_k")
+        t_id = self.configs.get(_t, SearchConfig()).id_col
+        return df.join(grouped, df[t_id] == F.col("_k"), "left").drop("_k")

@@ -101,6 +101,64 @@ def test_chained_and_has_no_mandatory_broadcast(engine):
     assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_has_chained_subparam_and_nested_has(spark):
+    # NOTES r2 #7 / VERDICT r2 next-#7: the part after `_has:Type:ref:`
+    # is evaluated as a search on the source type, so chained sub-params
+    # and nested _has compose.
+    patients = spark.createDataFrame(
+        [("p1", "everywoman"), ("p2", "smith")], ["id", "family"]
+    )
+    encounters = spark.createDataFrame(
+        [("e1", "Patient/p1"), ("e2", "Patient/p2")], ["id", "subject_ref"]
+    )
+    observations = spark.createDataFrame(
+        [
+            ("o1", "Encounter/e1", "Patient/p1", "8480-6"),
+            ("o2", "Encounter/e2", "Patient/p2", "718-7"),
+        ],
+        ["id", "encounter_ref", "subject_ref", "code"],
+    )
+    eng = SearchEngine(
+        {"Patient": patients, "Encounter": encounters, "Observation": observations},
+        {
+            "Patient": SearchConfig(params={"name": "family"}, string_params={"name"}),
+            "Encounter": SearchConfig(
+                reference_params={"subject": ("subject_ref", "Patient")}
+            ),
+            "Observation": SearchConfig(
+                reference_params={
+                    "encounter": ("encounter_ref", "Encounter"),
+                    "subject": ("subject_ref", "Patient"),
+                }
+            ),
+        },
+    )
+    # chained sub-param: Encounters having an Observation whose subject's
+    # name starts with 'eve'
+    got = eng.search("Encounter", {"_has:Observation:encounter:subject.name": "eve"})
+    assert [r["id"] for r in got.collect()] == ["e1"]
+    # nested _has: Patients having an Encounter that has an Observation
+    # with code 718-7
+    got = eng.search(
+        "Patient", {"_has:Encounter:subject:_has:Observation:encounter:code": "718-7"}
+    )
+    assert [r["id"] for r in got.collect()] == ["p2"]
+    # modifier on the sub-param flows through (`:exact` on a string param
+    # defeats the prefix semantics)
+    assert (
+        eng.search(
+            "Encounter", {"_has:Observation:encounter:subject.name:exact": "eve"}
+        ).count()
+        == 0
+    )
+    # still no forced broadcast anywhere in the composed plan
+    df = eng.search(
+        "Patient", {"_has:Encounter:subject:_has:Observation:encounter:code": "718-7"}
+    )
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "broadcast" not in analyzed.lower()
+
+
 def test_unknown_param_clear_error(engine):
     with pytest.raises(ValueError, match="unknown search parameter 'bogus'"):
         engine.search("Patient", {"bogus": "x"})
