@@ -194,6 +194,28 @@ def q_l1_zorder_key(spark, sf_dir):
     )
 
 
+def q_l2_zorder_ranked(spark, sf_dir):
+    """Rank-normalized Z-order key (VERDICT r2 #6): o_totalprice is
+    high-cardinality continuous and o_custkey is sparse — raw
+    ``pmod``/low-bit Morton scatters locality for both. Each column is
+    first mapped to its exact 16-bit dense rank (distributed: range
+    repartition + per-partition offsets, NO global single-task window),
+    then interleaved. The oracle recomputes the identical integer math
+    via DENSE_RANK()."""
+    from healthcare_api_spark.operators.layout import morton_key, rank_normalize16
+
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    ranked = rank_normalize16(orders, "o_totalprice", "_ra")
+    ranked = rank_normalize16(ranked, "o_custkey", "_rb")
+    return ranked.select(
+        "o_orderkey",
+        F.col("_ra").alias("rank_price"),
+        F.col("_rb").alias("rank_cust"),
+        morton_key(F.col("_ra"), F.col("_rb")).cast("bigint").alias("zkey"),
+    )
+
+
 def q_a10_histogram(spark, sf_dir):
     """Fixed-range histogram with explicit under/overflow buckets —
     O(bins) output regardless of input size."""
@@ -1619,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs5_search_text": q_fs5_search_text,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
+        "l2_zorder_ranked": q_l2_zorder_ranked,
         "w2_keyset_page": q_w2_keyset_page,
         "a3_count_accurate": q_a3_count_accurate,
         "a4_counts_by_type": q_a4_counts_by_type,
@@ -1808,7 +1831,10 @@ def _ds1_case_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from healthcare_api_spark.operators.layout import morton_key_sql
+    from healthcare_api_spark.operators.layout import (
+        morton_key_sql,
+        rank_normalize16_sql,
+    )
 
     mime_case = " ".join(f"WHEN {m} THEN '{v}'" for m, v in _MIME_BY_MOD.items())
     lang_counts = {
@@ -1874,6 +1900,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, CAST("
             + morton_key_sql("o_custkey", "o_orderkey")
             + " AS BIGINT) AS zkey FROM orders"
+        ),
+        "l2_zorder_ranked": (
+            "WITH ranked AS (SELECT o_orderkey,"
+            f" CAST({rank_normalize16_sql('o_totalprice', 'orders')} AS BIGINT)"
+            " AS rank_price,"
+            f" CAST({rank_normalize16_sql('o_custkey', 'orders')} AS BIGINT)"
+            " AS rank_cust FROM orders)"
+            " SELECT o_orderkey, rank_price, rank_cust, CAST("
+            + morton_key_sql("rank_price", "rank_cust")
+            + " AS BIGINT) AS zkey FROM ranked"
         ),
         "a10_histogram": (
             "SELECT CAST(CASE WHEN o_totalprice IS NULL THEN NULL"

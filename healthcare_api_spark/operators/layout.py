@@ -12,7 +12,7 @@ oracle-verifiable and cheap enough to compute at write time for 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # bit-spreading masks for 16-bit → even-bit-position expansion (the
@@ -53,6 +53,98 @@ def zorder_by(
     normalize to a 16-bit rank first)."""
     key = morton_key(F.col(col_a), F.col(col_b))
     return df.withColumn("zkey", key.cast("bigint")).sortWithinPartitions("zkey")
+
+
+def rank_normalize16(
+    df: DataFrame, col: str, out_col: str, bits: int = 16, parts: int | None = None
+) -> DataFrame:
+    """Replace a high-cardinality / skewed column with its exact
+    ``bits``-bit dense rank: ``floor(dense_rank0 * 2^bits / n_distinct)``
+    — a uniform [0, 2^bits) domain, so the Morton key keeps locality
+    where raw ``pmod`` would scatter it (the layout.py caveat VERDICT r2
+    #6 flags).
+
+    NOT a global-window ``dense_rank()`` (a window with no partitionBy
+    pulls the whole table into ONE task — the exact scale-killer this
+    module exists to avoid). Distributed exact rank instead:
+
+    1. distinct values (one shuffle, |distinct| rows — the only data
+       that ever sorts),
+    2. ``repartitionByRange`` so partition *i* holds values strictly
+       below partition *i+1* (materialized via localCheckpoint: range
+       boundaries are sampled, so the frame must be pinned before it is
+       read twice),
+    3. per-partition counts → cumulative offsets on the driver (one int
+       per partition),
+    4. rank = offset[pid] + per-partition row_number (windows are
+       per-partition → parallel), scaled to ``bits`` bits in exact
+       integer arithmetic,
+    5. equi-join the tiny (value → rank) frame back (AQE broadcasts it
+       when small).
+
+    Rows with NULL in ``col`` get NULL rank (filter or coalesce first).
+    """
+    n = 1 << bits
+    spark = df.sparkSession
+    distinct = df.select(col).filter(F.col(col).isNotNull()).distinct()
+    parts = parts or spark.sparkContext.defaultParallelism
+    ranged = (
+        distinct.repartitionByRange(parts, F.col(col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = total
+        total += counts[pid]
+    if total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+    off_map = F.create_map(
+        *[x for pid in sorted(counts) for x in (F.lit(pid), F.lit(offsets[pid]))]
+    )
+    w = Window.partitionBy("_pid").orderBy(col)
+    ranks = (
+        ranged.withColumn("_lr", F.row_number().over(w))
+        .withColumn("_grank", off_map[F.col("_pid")] + F.col("_lr") - 1)
+        .select(
+            F.col(col).alias("_rv"),
+            F.expr(f"(_grank * {n}) DIV {total}").cast("bigint").alias(out_col),
+        )
+    )
+    return df.join(ranks, df[col] == F.col("_rv"), "left").drop("_rv")
+
+
+def rank_normalize16_sql(col: str, table: str, bits: int = 16) -> str:
+    """The identical rank expression as portable SQL (DuckDB) for the
+    correctness oracle — keep in lockstep with ``rank_normalize16``:
+    ``(dense_rank0 * 2^bits) // n_distinct`` in exact integer math."""
+    n = 1 << bits
+    return (
+        f"((DENSE_RANK() OVER (ORDER BY {col}) - 1) * {n})"
+        f" // (SELECT COUNT(DISTINCT {col}) FROM {table} WHERE {col} IS NOT NULL)"
+    )
+
+
+def zorder_by_ranked(
+    df: DataFrame, col_a: str, col_b: str, bits: int = 16
+) -> DataFrame:
+    """``zorder_by`` for high-cardinality / skewed / non-integer keys:
+    both columns are first normalized to their exact 16-bit dense rank
+    (uniform domain → every Morton bit carries information), then the
+    interleaved key is attached as ``zkey`` and rows are sorted within
+    partitions by it."""
+    out = rank_normalize16(df, col_a, "_ra", bits)
+    out = rank_normalize16(out, col_b, "_rb", bits)
+    key = morton_key(F.col("_ra"), F.col("_rb"))
+    return (
+        out.withColumn("zkey", key.cast("bigint"))
+        .drop("_ra", "_rb")
+        .sortWithinPartitions("zkey")
+    )
 
 
 def morton_key_sql(a_expr: str, b_expr: str) -> str:

@@ -163,17 +163,37 @@ class BucketedResourceStore(ResourceStore):
             .parquet(self._type_path(resource_type))
         )
 
-    def compact(self, resource_type: str, target_files: int = 1) -> None:
+    def compact(
+        self,
+        resource_type: str,
+        target_files: int = 1,
+        zorder: tuple[str, str] | None = None,
+    ) -> None:
         """Compaction for the bucketed layout: one pass that rewrites
         every bucket directory down to ~``target_files`` file(s) each.
         The repartition keys rows by their bucket, so each write task
         emits whole buckets — file count drops from O(upserts × tasks)
         to O(buckets) while the id-hash layout (and therefore bounded
-        future upsert IO) is preserved."""
+        future upsert IO) is preserved.
+
+        ``zorder=(col_a, col_b)`` additionally clusters each rewritten
+        bucket by the rank-normalized Morton key of the two columns
+        (``layout.zorder_by_ranked``) — compaction already rewrites the
+        data, so Z-order maintenance rides along for free, exactly like
+        ``OPTIMIZE ... ZORDER BY`` in Delta/Iceberg. Row groups then
+        carry tight min/max on BOTH columns and scans prune on either.
+        """
         existing = self.spark.read.parquet(self._type_path(resource_type))
-        merged_local = existing.repartition(
-            max(self.num_buckets * target_files, 1), "bucket"
-        ).localCheckpoint(eager=True)
+        merged = existing.repartition(max(self.num_buckets * target_files, 1), "bucket")
+        if zorder is not None:
+            from healthcare_api_spark.operators.layout import zorder_by_ranked
+
+            # sort by (bucket, zkey): the partitionBy writer splits by
+            # bucket, and rows inside each bucket file stay z-clustered
+            merged = zorder_by_ranked(merged, *zorder).sortWithinPartitions(
+                "bucket", "zkey"
+            ).drop("zkey")
+        merged_local = merged.localCheckpoint(eager=True)
         (
             merged_local.write.mode("overwrite")
             .partitionBy("bucket")

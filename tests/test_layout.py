@@ -31,6 +31,95 @@ def test_morton_low16_only_and_interleaving(spark):
     assert _key(spark, 0, 3) == 0b1010
 
 
+def test_rank_normalize16_exact_dense_rank(spark):
+    from healthcare_api_spark.operators.layout import rank_normalize16
+
+    # skewed, high-cardinality-ish, duplicated, with a NULL
+    vals = [100.5, 0.25, 7.0, 7.0, 99999.0, -3.5, 0.25, None, 42.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["i", "v"])
+    out = {r["i"]: r["r16"] for r in rank_normalize16(df, "v", "r16", parts=3).collect()}
+    # reference: dense rank0 over distinct values, scaled by 2^16/n
+    distinct = sorted({v for v in vals if v is not None})
+    expect = {
+        i: (None if v is None else distinct.index(v) * 65536 // len(distinct))
+        for i, v in enumerate(vals)
+    }
+    assert out == expect
+    # equal values share a rank; ranks are monotone in value
+    assert out[2] == out[3] and out[1] == out[6]
+    ranked_pairs = sorted((v, out[i]) for i, v in enumerate(vals) if v is not None)
+    ranks_in_value_order = [r for _, r in ranked_pairs]
+    assert ranks_in_value_order == sorted(ranks_in_value_order)
+
+
+def test_zorder_compaction_prunes_row_groups(spark, tmp_path):
+    """compact(zorder=...) must leave each bucket's files clustered so a
+    selective predicate on EITHER z-column materializes row groups from
+    a subset of files (min/max pruning)."""
+    from healthcare_api_spark.operators.layout import zorder_by_ranked
+    from healthcare_api_spark.sources.store import BucketedResourceStore
+
+    root = str(tmp_path / "store")
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 64).cast("double").alias("price"),
+        F.pmod(F.hash(F.col("id")), F.lit(64)).cast("long").alias("cust"),
+    )
+    store = BucketedResourceStore(spark, root, num_buckets=2)
+    store.import_resources(df, "Order")
+    # fragment, then compact with z-order maintenance; several files per
+    # bucket so pruning has something to skip
+    store.upsert(df.limit(50), "Order", version_col=None)
+    # 128 rows/file → ~16 z-contiguous files per bucket → the leading
+    # 4 Morton bits (2 per dimension) decide a file's z-span, so a
+    # narrow range on either dimension overlaps ~1/4 of the row groups
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "128")
+    try:
+        store.compact("Order", target_files=8, zorder=("price", "cust"))
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    tbl = spark.read.parquet(f"{root}/resourceType=Order")
+    all_files = set(tbl.inputFiles())
+    assert len(all_files) >= 8
+    # assert pruning via parquet row-group min/max stats: count groups
+    # whose [min, max] overlaps a narrow range on each dimension
+    import pyarrow.parquet as pq
+
+    def groups_overlapping(col, lo, hi):
+        total = overlap = 0
+        for f in all_files:
+            pf = pq.ParquetFile(f.replace("file:", ""))
+            idx = pf.schema_arrow.get_field_index(col)
+            for g in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(g).column(idx).statistics
+                total += 1
+                if st is None or (st.min <= hi and st.max >= lo):
+                    overlap += 1
+        return overlap, total
+
+    for col in ("price", "cust"):
+        overlap, total = groups_overlapping(col, 0, 1)
+        assert total >= 8
+        # z-clustering: the narrow range hits a minority of row groups
+        assert overlap < total / 2, (col, overlap, total)
+    # data intact
+    assert tbl.count() == n
+
+
+def test_zorder_by_ranked_attaches_key(spark):
+    from healthcare_api_spark.operators.layout import zorder_by_ranked
+
+    df = spark.createDataFrame(
+        [(1, 1000.0, 7), (2, -5.0, 3), (3, 99.0, 7), (4, 1000.0, 1)],
+        ["id", "price", "cust"],
+    ).repartition(1)
+    rows = zorder_by_ranked(df, "price", "cust").collect()
+    keys = [r["zkey"] for r in rows]
+    assert keys == sorted(keys) and len(rows) == 4
+    assert "zkey" in {c for r in rows for c in r.asDict()}
+
+
 def test_zorder_by_sorts_and_attaches_key(spark):
     df = spark.createDataFrame(
         [(3, 3), (0, 0), (1, 1), (2, 0)], ["x", "y"]
