@@ -1528,6 +1528,47 @@ def q_fs6_page_non_unique(spark, sf_dir):
     return out
 
 
+def q_s10_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink parity (columnar alternative to Parquet — Spark
+    ships the reader/writer natively): write documents to ORC, read
+    back, project. The oracle reads the original parquet — a lossy
+    type mapping or value corruption in either direction mismatches."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_s10_{tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        docs.write.mode("overwrite").orc(path)
+        out = spark.read.orc(path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def q_t13_chunk_tokens(spark, sf_dir):
+    """RAG/training-window chunking: 24-token windows advancing by 16
+    (8-token overlap) over normalized text — one row per chunk, zero
+    shuffle (sequence+explode+slice, all codegen)."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return textops.chunk_tokens(docs, "doc_id", "text", chunk_size=24, overlap=8)
+
+
+def q_t14_bpe_pairs(spark, sf_dir):
+    """One BPE merge iteration's pair statistics (Sennrich et al. 2016):
+    adjacent char-pair frequencies weighted by word frequency; the
+    explode runs over the DISTINCT vocabulary, not the token stream."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return textops.bpe_pair_counts(docs, "text", k=20)
+
+
 def q_m6_jpeg_decode(spark, sf_dir):
     """REAL codec-free baseline-JPEG path (VERDICT r2 #3): synthesize a
     true JPEG per doc — grayscale, value constant per 8×8 block
@@ -1699,6 +1740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
         "m6_jpeg_decode": q_m6_jpeg_decode,
+        "s10_orc_roundtrip": q_s10_orc_roundtrip,
+        "t13_chunk_tokens": q_t13_chunk_tokens,
+        "t14_bpe_pairs": q_t14_bpe_pairs,
         "w2_keyset_page": q_w2_keyset_page,
         "a3_count_accurate": q_a3_count_accurate,
         "a4_counts_by_type": q_a4_counts_by_type,
@@ -2524,6 +2568,34 @@ def oracle_sql() -> dict[str, str]:
         "fs6_page_non_unique": (
             "SELECT doc_id, n_chars FROM documents"
             " ORDER BY n_chars ASC, doc_id ASC LIMIT 120"
+        ),
+        # ORC roundtrip: the oracle never sees the ORC path — parity with
+        # the original parquet IS the check
+        "s10_orc_roundtrip": (
+            "SELECT doc_id, lang, source, n_chars FROM documents"
+        ),
+        # token-window chunking: 24-token windows, stride 16, 1-based
+        # DuckDB list slicing clamps the upper bound like Spark's slice
+        "t13_chunk_tokens": (
+            f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),"
+            " nn AS (SELECT doc_id, t, len(t) AS n FROM toks"
+            "        WHERE len(t) > 0 AND t[1] <> '')"
+            " SELECT doc_id, g.i AS chunk_idx,"
+            "   CAST(len(t[g.i*16+1 : g.i*16+24]) AS INTEGER) AS n_chunk_tokens,"
+            "   array_to_string(t[g.i*16+1 : g.i*16+24], ' ') AS chunk_text"
+            " FROM nn, generate_series(0, 15) AS g(i)"
+            " WHERE g.i <= (n - 1) // 16"
+        ),
+        # BPE pair stats: vocabulary first, pairs off distinct words only
+        "t14_bpe_pairs": (
+            f"WITH words AS (SELECT substr(w0, 1, 30) AS w, count(*) AS freq"
+            f"   FROM (SELECT unnest({_TOKS_SQL}) AS w0 FROM documents)"
+            "   GROUP BY 1),"
+            " pairs AS (SELECT substr(w, g.i, 2) AS pair, freq"
+            "   FROM words, generate_series(1, 29) AS g(i)"
+            "   WHERE len(w) >= 2 AND g.i <= len(w) - 1)"
+            " SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs"
+            " GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20"
         ),
         # m6: the decoded-pixel sum recomputed analytically per 8×8 block
         # (constant blocks + uniform quant=8 → lossless JPEG roundtrip;

@@ -298,3 +298,90 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
         .filter(F.col("rk") <= k)
         .select(id_col, "rk", "tok", F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """RAG/training-window chunking: split each document into
+    whitespace-token windows of ``chunk_size`` tokens advancing by
+    ``chunk_size − overlap`` (so consecutive chunks share ``overlap``
+    tokens), re-joined with single spaces. Output one row per chunk:
+    (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Entirely JVM-side Column expressions — split, a tiny
+    ``sequence``+``explode`` (rows = chunks, proportional to document
+    length over stride, never a per-token explosion), ``slice`` +
+    ``array_join``. Zero shuffle, codegen end to end: the shape that
+    chunks 100 TB of text at scan speed. Documents with no tokens
+    produce no rows.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    from healthcare_api_spark.functions.text import tokens as _tokens
+
+    stride = chunk_size - overlap
+    toks = _tokens(F.col(text_col))  # normalized: lowercase, 1-space
+    n = F.size(toks)
+    tokenized = df.select(
+        F.col(id_col), toks.alias("_toks"), n.alias("_n")
+    ).filter((F.col("_n") > 0) & (F.element_at(F.col("_toks"), 1) != ""))
+    chunks = tokenized.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.col("_n"),
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("_n") - 1) / stride).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    sliced = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_size
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.size(sliced).alias("n_chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, k: int = 20, max_word_len: int = 30
+) -> DataFrame:
+    """One BPE training iteration's pair statistics: frequency of each
+    adjacent character pair across the corpus, weighted by word
+    frequency (Sennrich et al. 2016 — the merge step picks the max).
+    Output: top-``k`` (pair, cnt) with deterministic tie-break.
+
+    Shape at scale: words aggregate first (one shuffle keyed on the
+    word — the vocabulary, VASTLY smaller than the token stream thanks
+    to map-side combine), then pairs explode off the vocabulary only
+    (≤ word_len rows per DISTINCT word) and aggregate per pair. The
+    final top-k is a TakeOrdered, O(k) to the driver. Words longer than
+    ``max_word_len`` chars are truncated — bounds the explode and
+    matches the fixed-grid SQL oracle.
+    """
+    from healthcare_api_spark.functions.text import tokens
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .withColumn("w", F.substring(F.col("w"), 1, max_word_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.col("freq"),
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        F.col("w"),
+    ).select(F.expr("substring(w, i, 2)").alias("pair"), "freq")
+    counts = pairs.groupBy("pair").agg(F.sum("freq").alias("cnt"))
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(k)
+        .select("pair", F.col("cnt").cast("bigint").alias("cnt"))
+    )

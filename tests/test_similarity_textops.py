@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from healthcare_api_spark.operators import similarity, textops
@@ -237,3 +239,59 @@ def test_pca_train_empty_raises(spark):
     empty = spark.createDataFrame([], "vid long, vec array<double>")
     with pytest.raises(ValueError, match="empty input"):
         pca_train(empty, "vec", dim=2, k=1)
+
+
+def test_chunk_tokens_overlap_and_edges(spark):
+    from healthcare_api_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # 10 tokens → chunks of 4, stride 2
+            (2, "x y"),                    # shorter than one chunk
+            (3, "   "),                    # whitespace only → no rows
+            (4, None),                     # null → no rows
+        ],
+        ["id", "text"],
+    )
+    out = textops.chunk_tokens(df, "id", "text", chunk_size=4, overlap=2)
+    rows = {(r["id"], r["chunk_idx"]): r for r in out.collect()}
+    assert {k[0] for k in rows} == {1, 2}
+    # doc 1: starts 0,2,4,6,8 → 5 chunks; consecutive chunks share 2 tokens
+    c1 = [rows[(1, i)]["chunk_text"] for i in range(5)]
+    assert c1[0] == "a b c d" and c1[1] == "c d e f"
+    assert c1[4] == "i j"  # final partial chunk
+    assert rows[(1, 4)]["n_chunk_tokens"] == 2
+    # union of chunks covers every token
+    assert set(" ".join(c1).split()) == set("a b c d e f g h i j".split())
+    assert rows[(2, 0)]["chunk_text"] == "x y"
+    with pytest.raises(ValueError, match="overlap"):
+        textops.chunk_tokens(df, "id", "text", chunk_size=4, overlap=4)
+
+
+def test_chunk_tokens_no_shuffle_plan(spark):
+    from healthcare_api_spark.operators import textops
+
+    df = spark.createDataFrame([(1, "a b c")], ["id", "text"])
+    plan = (
+        textops.chunk_tokens(df, "id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # narrow end to end
+
+
+def test_bpe_pair_counts_reference(spark):
+    from collections import Counter
+
+    from healthcare_api_spark.operators import textops
+
+    corpus = ["low low low lower lowest", "new newer newest low"]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    out = {r["pair"]: r["cnt"] for r in textops.bpe_pair_counts(df, "text", k=50).collect()}
+    # independent reference: word-frequency-weighted adjacent pairs
+    words = Counter(w for t in corpus for w in t.lower().split())
+    expect = Counter()
+    for w, f in words.items():
+        for i in range(len(w) - 1):
+            expect[w[i : i + 2]] += f
+    assert out == dict(expect)
+    assert out["lo"] == 6  # low(4) + lower + lowest
