@@ -1528,6 +1528,24 @@ def q_fs6_page_non_unique(spark, sf_dir):
     return out
 
 
+def q_x6_ltob_downsample(spark, sf_dir):
+    """Largest-Triangle-One-Bucket downsampling (Steinarsson 2013):
+    each event_type series reduced to 40 visually-representative points
+    (endpoints + per-bucket max triangle area vs actual neighbors).
+    Pure windows, engine-portable µs-integer/double arithmetic — the
+    oracle recomputes the identical areas and ranks."""
+    from healthcare_api_spark.operators.temporal import ltob_downsample
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = ltob_downsample(ev, ("event_type",), "ts", "value", n_out=40)
+    return out.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.round("value", 4).alias("value"),
+    )
+
+
 def q_s10_orc_roundtrip(spark, sf_dir):
     """ORC source/sink parity (columnar alternative to Parquet — Spark
     ships the reader/writer natively): write documents to ORC, read
@@ -1741,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2_zorder_ranked": q_l2_zorder_ranked,
         "m6_jpeg_decode": q_m6_jpeg_decode,
         "s10_orc_roundtrip": q_s10_orc_roundtrip,
+        "x6_ltob_downsample": q_x6_ltob_downsample,
         "t13_chunk_tokens": q_t13_chunk_tokens,
         "t14_bpe_pairs": q_t14_bpe_pairs,
         "w2_keyset_page": q_w2_keyset_page,
@@ -2568,6 +2587,34 @@ def oracle_sql() -> dict[str, str]:
         "fs6_page_non_unique": (
             "SELECT doc_id, n_chars FROM documents"
             " ORDER BY n_chars ASC, doc_id ASC LIMIT 120"
+        ),
+        # LTOB downsampling: identical window arithmetic — µs-integer x
+        # deltas cast to double, same product order, same tie-breaks
+        "x6_ltob_downsample": (
+            "WITH d AS ("
+            "  SELECT event_type, ts, value,"
+            "    epoch_us(ts) AS x,"
+            "    row_number() OVER w AS rn,"
+            "    count(*) OVER (PARTITION BY event_type) AS n,"
+            "    lag(epoch_us(ts)) OVER w AS px,"
+            "    lead(epoch_us(ts)) OVER w AS nx,"
+            "    lag(value) OVER w AS py,"
+            "    lead(value) OVER w AS ny"
+            "  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, value ASC)"
+            "), a AS ("
+            "  SELECT *,"
+            "    abs(CAST(x - px AS DOUBLE) * (ny - py)"
+            "        - CAST(nx - px AS DOUBLE) * (value - py)) / 2.0 AS area,"
+            "    floor((rn - 2) * 38.0 / (n - 2)) AS b"
+            "  FROM d"
+            "), p AS ("
+            "  SELECT *, row_number() OVER ("
+            "    PARTITION BY event_type, b ORDER BY area DESC, ts ASC, value ASC"
+            "  ) AS pick FROM a)"
+            " SELECT event_type,"
+            "   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,"
+            "   round(value, 4) AS value"
+            " FROM p WHERE n <= 40 OR rn = 1 OR rn = n OR pick = 1"
         ),
         # ORC roundtrip: the oracle never sees the ORC path — parity with
         # the original parquet IS the check

@@ -231,3 +231,72 @@ def _parse_duration_secs(s: str) -> int:
     if int(n) <= 0:
         raise ValueError(f"duration must be positive, got {s!r}")
     return int(n) * _DURATION_UNITS[unit]
+
+
+def ltob_downsample(
+    df: DataFrame,
+    series_cols: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+    n_out: int,
+) -> DataFrame:
+    """Largest-Triangle-One-Bucket time-series downsampling
+    (Steinarsson 2013): keep each series' first and last points; split
+    the interior into ``n_out − 2`` equal-count buckets and keep the
+    point with the largest triangle area against its immediate actual
+    neighbors. Preserves visual extremes far better than striding.
+
+    Pure window expressions (lag/lead + two ranks) — no UDF, no
+    collect, engine-portable arithmetic (µs-integer x deltas, double
+    products), so it is hash-verifiable against a SQL oracle and scales
+    to any number of series (parallelism unit = series; one shuffle).
+    Series with ≤ ``n_out`` points pass through unchanged.
+    """
+    if n_out < 3:
+        raise ValueError("n_out must be ≥ 3")
+    gcols = list(series_cols)
+    # value tie-break makes neighbor/rank assignment deterministic when
+    # a series has duplicate timestamps (mirrored in the SQL oracle)
+    w = Window.partitionBy(*gcols).orderBy(F.col(ts_col).asc(), F.col(value_col).asc())
+    wa = Window.partitionBy(*gcols)
+    # NTZ-safe: with a UTC session the cast keeps the wall clock, so the
+    # µs epoch matches an external engine's epoch_us on the naive value
+    x = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    y = F.col(value_col)
+    d = df.select(
+        *gcols,
+        F.col(ts_col),
+        y.alias("_y"),
+        x.alias("_x"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wa).alias("_n"),
+        F.lag(x).over(w).alias("_px"),
+        F.lead(x).over(w).alias("_nx"),
+        F.lag(y).over(w).alias("_py"),
+        F.lead(y).over(w).alias("_ny"),
+    )
+    # 2A = |(x−px)(ny−py) − (nx−px)(y−py)| — the cross product of the
+    # neighbor-to-neighbor and neighbor-to-point vectors
+    area = (
+        F.abs(
+            (F.col("_x") - F.col("_px")).cast("double")
+            * (F.col("_ny") - F.col("_py"))
+            - (F.col("_nx") - F.col("_px")).cast("double")
+            * (F.col("_y") - F.col("_py"))
+        )
+        / 2.0
+    )
+    bucket = F.floor(
+        (F.col("_rn") - 2) * F.lit(n_out - 2) / (F.col("_n") - 2)
+    )
+    d = d.withColumn("_area", area).withColumn("_b", bucket)
+    wb = Window.partitionBy(*gcols, "_b").orderBy(
+        F.col("_area").desc(), F.col(ts_col).asc(), F.col("_y").asc()
+    )
+    picked = d.withColumn("_pick", F.row_number().over(wb)).filter(
+        (F.col("_n") <= n_out)
+        | (F.col("_rn") == 1)
+        | (F.col("_rn") == F.col("_n"))
+        | (F.col("_pick") == 1)
+    )
+    return picked.select(*gcols, ts_col, F.col("_y").alias(value_col))

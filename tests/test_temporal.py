@@ -180,3 +180,30 @@ def test_mad_anomalies_flags_outlier(spark):
     assert flagged == [("s1", 300.0)]
     # constant series flags nothing (|v - med| = 0 is never > 0)
     assert all(r["anomaly"] == 0 for r in out if r["series"] == "s2")
+
+
+def test_ltob_downsample_keeps_extremes_and_endpoints(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.temporal import ltob_downsample
+
+    # flat series with one huge spike: the spike's bucket must pick it
+    rows = []
+    for i in range(100):
+        v = 500.0 if i == 57 else float(i % 3)
+        rows.append(("s", f"2024-01-01 00:{i//60:02d}:{i%60:02d}", v))
+    df = spark.createDataFrame(rows, ["series", "ts", "v"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = ltob_downsample(df, ("series",), "ts", "v", n_out=10).collect()
+    assert len(out) == 10
+    vals = [r["v"] for r in out]
+    assert 500.0 in vals  # the spike survives
+    tss = sorted(str(r["ts"]) for r in out)
+    assert tss[0].endswith("00:00:00") and tss[-1].endswith("01:39")  # endpoints
+    # short series pass through unchanged
+    short = ltob_downsample(df.limit(5), ("series",), "ts", "v", n_out=10)
+    assert short.count() == 5
+    with pytest.raises(ValueError, match="n_out"):
+        ltob_downsample(df, ("series",), "ts", "v", n_out=2)
