@@ -300,3 +300,59 @@ def ltob_downsample(
         | (F.col("_pick") == 1)
     )
     return picked.select(*gcols, ts_col, F.col("_y").alias(value_col))
+
+
+def lttb_downsample(
+    df: DataFrame,
+    series_cols: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+    n_out: int,
+) -> DataFrame:
+    """Exact Largest-Triangle-Three-Buckets (Steinarsson 2013 §4.2).
+
+    Unlike LTOB, each bucket's pick maximizes the triangle against the
+    PREVIOUS CHOSEN point and the NEXT bucket's average — an inherently
+    sequential recurrence per series, so this is the archetypal
+    ``applyInPandas`` custom operator: the series is the parallelism
+    unit (one shuffle on the series key), the per-series pass is
+    vectorized numpy per bucket. Not SQL-expressible → no hash oracle;
+    pytest pins the algorithm on constructed series. Series with
+    ≤ ``n_out`` points pass through unchanged.
+    """
+    if n_out < 3:
+        raise ValueError("n_out must be ≥ 3")
+    import numpy as np
+
+    gcols = list(series_cols)
+    proj = df.select(*gcols, ts_col, value_col)
+    schema = proj.schema
+
+    def _lttb(pdf):
+        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+        n = len(pdf)
+        if n <= n_out:
+            return pdf
+        x = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64").astype(float)
+        y = pdf[value_col].to_numpy(dtype=float)
+        k = n_out - 2
+        # bucket boundaries over the interior points [1, n-1)
+        edges = (np.arange(k + 1) * (n - 2) / k).astype(int) + 1
+        chosen = [0]
+        a = 0
+        for i in range(k):
+            lo, hi = edges[i], edges[i + 1]
+            if i < k - 1:
+                nlo, nhi = edges[i + 1], edges[i + 2]
+                avg_x, avg_y = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            else:
+                avg_x, avg_y = x[n - 1], y[n - 1]
+            area = np.abs(
+                (x[lo:hi] - x[a]) * (avg_y - y[a]) - (avg_x - x[a]) * (y[lo:hi] - y[a])
+            )
+            a = lo + int(np.argmax(area))  # ties → earliest (argmax first hit)
+            chosen.append(a)
+        chosen.append(n - 1)
+        return pdf.iloc[chosen]
+
+    return proj.groupBy(*gcols).applyInPandas(_lttb, schema)

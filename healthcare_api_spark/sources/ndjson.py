@@ -51,3 +51,42 @@ def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S4: NDJSON sink — one JSON object per line, null fields omitted
     (matches json.dumps of a dict without the absent keys)."""
     df.write.mode(mode).option("ignoreNullFields", "true").json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    keep_corrupt: bool = False,
+    header: bool = True,
+    multiline: bool = False,
+) -> DataFrame:
+    """CSV scan with the same corrupt-capture contract as ``read_ndjson``:
+    PERMISSIVE mode, malformed rows land in ``_corrupt_record`` instead
+    of failing the job. ``multiline=True`` is required when quoted
+    fields contain newlines — note it makes files non-splittable (one
+    task per file), so at 100 TB prefer many medium files or convert to
+    a splittable format at the edge."""
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("header", str(header).lower())
+        .option("multiLine", str(multiline).lower())
+        .option("escape", '"')  # RFC-4180 doubled-quote escaping
+    )
+    if schema is not None:
+        s = schema
+        if keep_corrupt and CORRUPT_COL not in schema.fieldNames():
+            s = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
+        reader = reader.schema(s).option("columnNameOfCorruptRecord", CORRUPT_COL)
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink, RFC-4180 quoting (doubled quotes) so text fields with
+    commas/newlines/quotes round-trip."""
+    (
+        df.write.mode(mode)
+        .option("header", str(header).lower())
+        .option("escape", '"')
+        .csv(path)
+    )

@@ -79,3 +79,34 @@ def test_store_upsert_roundtrip(spark, tmp_path):
                  version_col="v")
     rows = {r["id"]: r["v"] for r in store.table("Patient").collect()}
     assert rows == {"a": 1, "b": 2, "c": 1}
+
+
+def test_csv_corrupt_capture_and_quoting(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from healthcare_api_spark.sources.ndjson import read_csv, write_csv
+
+    # RFC-4180 stress: commas, doubled quotes, embedded newline
+    df = spark.createDataFrame(
+        [(1, 'a,b "quoted"\nsecond line'), (2, "plain")], ["id", "text"]
+    )
+    out = str(tmp_path / "csv")
+    write_csv(df, out)
+    schema = StructType([StructField("id", LongType()), StructField("text", StringType())])
+    back = {r["id"]: r["text"] for r in read_csv(spark, out, schema, multiline=True).collect()}
+    assert back == {1: 'a,b "quoted"\nsecond line', 2: "plain"}
+
+    # malformed row lands in _corrupt_record, job does not fail
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "f.csv").write_text('id,text\n1,ok\nnot-a-long,boom\n')
+    got = read_csv(spark, str(bad), schema, keep_corrupt=True).collect()
+    ok = [r for r in got if r["_corrupt_record"] is None]
+    corrupt = [r for r in got if r["_corrupt_record"] is not None]
+    assert len(ok) == 1 and ok[0]["id"] == 1
+    assert len(corrupt) == 1 and "not-a-long" in corrupt[0]["_corrupt_record"]

@@ -207,3 +207,42 @@ def test_ltob_downsample_keeps_extremes_and_endpoints(spark):
     assert short.count() == 5
     with pytest.raises(ValueError, match="n_out"):
         ltob_downsample(df, ("series",), "ts", "v", n_out=2)
+
+
+def test_lttb_downsample_exact_algorithm(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.temporal import lttb_downsample
+
+    # hand-computed: 6 points → n_out=4 → 2 interior buckets [1,2] [3,4]
+    # bucket1 candidates idx1(y=0),idx2(y=10): vs prev-chosen idx0 and
+    # avg of next bucket ((3.5s, 0.5)): the spike at idx2 wins; bucket2
+    # then picks vs chosen idx2 and the last point.
+    pts = [(0, 0.0), (1, 0.0), (2, 10.0), (3, 0.0), (4, 1.0), (5, 0.0)]
+    rows = [("s", f"2024-01-01 00:00:0{i}", v) for i, v in pts]
+    df = spark.createDataFrame(rows, ["series", "ts", "v"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = lttb_downsample(df, ("series",), "ts", "v", n_out=4).collect()
+    got = sorted((str(r["ts"])[-2:], r["v"]) for r in out)
+    assert [g[1] for g in got] == [0.0, 10.0, 0.0, 0.0]  # 00, 02, 03, 05
+    assert [g[0] for g in got] == ["00", "02", "03", "05"]
+
+    # spike survival + endpoints + count on a longer series
+    rows = []
+    for i in range(100):
+        v = 500.0 if i == 57 else float(i % 3)
+        rows.append(("s", f"2024-01-01 00:{i//60:02d}:{i%60:02d}", v))
+    df = spark.createDataFrame(rows, ["series", "ts", "v"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = lttb_downsample(df, ("series",), "ts", "v", n_out=10).collect()
+    assert len(out) == 10
+    assert 500.0 in [r["v"] for r in out]
+    tss = sorted(str(r["ts"]) for r in out)
+    assert tss[0].endswith("00:00:00") and tss[-1].endswith("01:39")
+    # short series pass through; bad n_out raises
+    assert lttb_downsample(df.limit(4), ("series",), "ts", "v", n_out=10).count() == 4
+    with pytest.raises(ValueError, match="n_out"):
+        lttb_downsample(df, ("series",), "ts", "v", n_out=2)
