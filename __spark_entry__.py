@@ -1653,7 +1653,9 @@ def q_m6_jpeg_decode(spark, sf_dir):
     )
 
     _tune(spark)
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # the SF file is ONE split: spread before the CPU-heavy Python
+    # encode/decode so all cores work (no-op at real scale)
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(32)
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -106,3 +106,28 @@ def test_curation_query_plan_shapes(spark):
         assert plan.count("Exchange hashpartitioning") <= max_ex, q
         assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, q
         assert "CartesianProduct" not in plan, q
+
+
+def test_ltob_downsample_plan_shape(spark):
+    # windows share one series-key shuffle; no join, no extra exchange
+    plan = _plan(entrymod.q_x6_ltob_downsample(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rank_normalize_no_global_window(spark):
+    # the exact dense rank must never degrade to a single-partition
+    # global window (Exchange SinglePartition feeding a Window)
+    plan = _plan(entrymod.q_l2_zorder_ranked(spark, SF_DIR))
+    import re
+
+    assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}?Window", plan)
+
+
+def test_chunk_and_bpe_plan_shapes(spark):
+    # chunking is narrow end to end; BPE pair stats shuffle twice
+    # (vocabulary agg + pair agg) and finish with a TakeOrdered
+    assert "Exchange" not in _plan(entrymod.q_t13_chunk_tokens(spark, SF_DIR))
+    bpe = _plan(entrymod.q_t14_bpe_pairs(spark, SF_DIR))
+    assert bpe.count("Exchange hashpartitioning") <= 2
+    assert "TakeOrderedAndProject" in bpe
