@@ -158,3 +158,18 @@ def morton_key_sql(a_expr: str, b_expr: str) -> str:
         return x
 
     return f"({spread(a_expr)} | ({spread(b_expr)} << 1))"
+
+
+def bloom_filter_options(cols: list[str], ndv: int = 100_000) -> dict[str, str]:
+    """Writer options enabling parquet bloom filters for point-lookup
+    columns (ids, join keys): reader-side, a `col = 'x'` probe skips
+    row groups whose filter proves absence — complementary to min/max
+    stats, which only help on RANGE-clustered data. Cost is
+    ~1.2 bytes/ndv per row group; set ``ndv`` near the expected
+    distinct count per row group (too low inflates false-positive
+    rate, too high wastes space)."""
+    opts = {}
+    for c in cols:
+        opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(ndv)
+    return opts

@@ -27,10 +27,18 @@ class ResourceStore:
     def _type_path(self, resource_type: str) -> str:
         return f"{self.root}/resourceType={resource_type}"
 
-    def import_resources(self, df: DataFrame, resource_type: str, mode: str = "overwrite") -> None:
+    def import_resources(self, df: DataFrame, resource_type: str, mode: str = "overwrite",
+                         bloom_cols: list[str] | None = None) -> None:
         """S7: bulk import one resource type (idempotent overwrite of the
-        type partition; other types untouched — partitioned layout)."""
-        df.write.mode(mode).parquet(self._type_path(resource_type))
+        type partition; other types untouched — partitioned layout).
+        ``bloom_cols`` writes parquet bloom filters for those columns so
+        id point-lookups skip row groups (layout.bloom_filter_options)."""
+        writer = df.write.mode(mode)
+        if bloom_cols:
+            from healthcare_api_spark.operators.layout import bloom_filter_options
+
+            writer = writer.options(**bloom_filter_options(bloom_cols))
+        writer.parquet(self._type_path(resource_type))
 
     def table(self, resource_type: str) -> DataFrame:
         """Type scan = partition-pruned read (§2.7 'type scan')."""

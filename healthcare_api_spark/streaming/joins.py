@@ -46,3 +46,27 @@ def stream_stream_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
     )
     return lf.join(rf, cond, how)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join an unbounded stream against a
+    bounded dimension table (the classic fact-stream × dim shape).
+
+    No watermark and no state store involvement. For a path-based
+    parquet dim the FILE LISTING is captured when the frame is created,
+    so this is snapshot-at-start semantics — an in-place overwrite of
+    the dim path breaks the running query (FILE_NOT_EXIST). A
+    slowly-changing dim needs either a MERGE-capable table format
+    (Delta/Iceberg re-resolve snapshots per batch) or a foreachBatch
+    sink that re-reads the dim each batch and joins there. The static
+    side should be broadcast-sized or bucketed on the key; at
+    100 TB/day stream volume the dim join must never shuffle the
+    stream, so small dims are explicitly broadcast.
+    """
+    b = F.broadcast(dim) if how in ("left", "inner") else dim
+    return stream.join(b, on=key, how=how)

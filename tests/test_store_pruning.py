@@ -166,3 +166,38 @@ def test_whole_store_scan_with_partition_filter(spark, tmp_path):
     counts = {r["resourceType"]: r["cnt"] for r in
               whole.groupBy("resourceType").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert counts == {"Patient": 1, "Observation": 2}
+
+
+def test_bloom_filter_options_write_filters(spark, tmp_path):
+    """bloom_cols grows the files by the serialized filters (pyarrow
+    can't read bloom offsets, so assert behaviorally by size delta on
+    identical data) and the data remains intact."""
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.sources.store import ResourceStore
+
+    df = spark.range(20000).select(
+        F.concat(F.lit("id-"), F.col("id")).alias("id"),
+        (F.col("id") % 7).alias("v"),
+    ).coalesce(1)
+
+    def total_size(root):
+        import os
+
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    plain = ResourceStore(spark, str(tmp_path / "plain"))
+    plain.import_resources(df, "T")
+    bloomy = ResourceStore(spark, str(tmp_path / "bloom"))
+    bloomy.import_resources(df, "T", bloom_cols=["id"])
+    sz_plain, sz_bloom = total_size(str(tmp_path / "plain")), total_size(str(tmp_path / "bloom"))
+    # ndv=100k default → filter blob is tens of KB; data identical
+    assert sz_bloom > sz_plain + 10_000, (sz_plain, sz_bloom)
+    assert bloomy.table("T").count() == 20000
+    got = bloomy.table("T").filter(F.col("id") == "id-137").collect()
+    assert len(got) == 1 and got[0]["v"] == 137 % 7

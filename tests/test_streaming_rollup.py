@@ -211,3 +211,40 @@ def test_rollup_tier_read_failure_not_swallowed(spark, tmp_path):
     # the failed batch must NOT have committed a snapshot that would
     # replace accumulated history with just its own rows
     assert not os.path.exists(os.path.join(tier_path, "v1", "_SUCCESS"))
+
+
+def test_stream_static_enrich_broadcast_across_batches(spark, tmp_path):
+    """Stream-static join: events in every micro-batch are enriched from
+    the dim snapshot via a broadcast join (left rows with no dim match
+    keep nulls)."""
+    import json
+
+    from healthcare_api_spark.streaming.joins import stream_static_enrich
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "bronze"), (2, "gold")], ["user", "tier"]
+    ).write.mode("overwrite").parquet(dim_path)
+    (src / "b1.json").write_text(json.dumps({"user": 1, "event_id": 10}) + "\n")
+    stream = spark.readStream.schema("user long, event_id long").json(str(src))
+    enriched = stream_static_enrich(stream, spark.read.parquet(dim_path), "user")
+    # the static side must be broadcast — the stream is never shuffled
+    assert "ResolvedHint" in enriched._jdf.queryExecution().analyzed().toString()
+    q = (
+        enriched.writeStream.format("memory").queryName("enrich_out")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.json").write_text(
+            json.dumps({"user": 2, "event_id": 20}) + "\n"
+            + json.dumps({"user": 9, "event_id": 30}) + "\n"  # no dim row
+        )
+        q.processAllAvailable()
+        rows = {r["event_id"]: r["tier"] for r in spark.table("enrich_out").collect()}
+    finally:
+        q.stop()
+    assert rows == {10: "bronze", 20: "gold", 30: None}
