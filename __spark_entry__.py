@@ -1575,6 +1575,24 @@ def q_x6_ltob_downsample(spark, sf_dir):
     )
 
 
+def q_w7_hopping_window(spark, sf_dir):
+    """Hopping 1-hour windows sliding every 30 minutes: each event lands
+    in exactly 2 overlapping windows (epoch-aligned starts). The oracle
+    assigns windows via time_bucket minus i·slide over a 2-row grid."""
+    from healthcare_api_spark.streaming.upsert import hopping_window_counts
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    win = hopping_window_counts(
+        ev, "ts", "1 hour", "30 minutes", ("event_type",), watermark=None
+    )
+    return win.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "cnt",
+    )
+
+
 def q_x7_lttb_downsample(spark, sf_dir):
     """Exact LTTB (previous-chosen-point recurrence → applyInPandas with
     the series as parallelism unit). Sequential per series, not
@@ -1768,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_ltob_downsample": q_x6_ltob_downsample,
         "t13_chunk_tokens": q_t13_chunk_tokens,
         "t14_bpe_pairs": q_t14_bpe_pairs,
+        "w7_hopping_window": q_w7_hopping_window,
         "s8_upsert_lastwin": q_s8_upsert_lastwin,
         "s9_bucketed_upsert": q_s9_bucketed_upsert,
         "st1_tumbling_window": q_st1_tumbling_window,
@@ -2638,6 +2657,16 @@ def oracle_sql() -> dict[str, str]:
         "fs6_page_non_unique": (
             "SELECT doc_id, n_chars FROM documents"
             " ORDER BY n_chars ASC, doc_id ASC LIMIT 120"
+        ),
+        # hopping windows: event → 2 epoch-aligned window starts
+        # (time_bucket(30m) − i·30m for i ∈ {0,1})
+        "w7_hopping_window": (
+            "SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)"
+            "         - g.i * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S')"
+            "   AS window_start,"
+            " event_type, CAST(count(*) AS BIGINT) AS cnt"
+            " FROM events, generate_series(0, 1) AS g(i)"
+            " GROUP BY 1, 2"
         ),
         # LTOB downsampling: identical window arithmetic — µs-integer x
         # deltas cast to double, same product order, same tie-breaks

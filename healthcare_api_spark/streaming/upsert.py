@@ -61,6 +61,31 @@ def tumbling_window_counts(
     )
 
 
+def hopping_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "1 hour",
+    slide: str = "30 minutes",
+    group_cols: tuple[str, ...] = ("event_type",),
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Hopping (sliding) window counts — each event contributes to
+    ``window_len / slide`` overlapping windows (epoch-aligned starts at
+    multiples of ``slide``). Identical semantics batch vs streaming;
+    output volume is input × overlap factor, so keep the factor small
+    at scale or pre-aggregate to ``slide``-sized tumbling buckets and
+    roll those up instead (same totals, overlap paid on the tiny
+    per-bucket aggregate, not the event stream)."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_len, slide).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), *group_cols, "cnt")
+    )
+
+
 def sessionize(
     events: DataFrame,
     ts_col: str = "ts",

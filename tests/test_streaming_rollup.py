@@ -248,3 +248,22 @@ def test_stream_static_enrich_broadcast_across_batches(spark, tmp_path):
     finally:
         q.stop()
     assert rows == {10: "bronze", 20: "gold", 30: None}
+
+
+def test_hopping_window_counts_overlap(spark):
+    from healthcare_api_spark.streaming.upsert import hopping_window_counts
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:05:00", "a"), ("2024-01-01 10:40:00", "a")],
+        ["ts", "event_type"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (str(r["window_start"]), r["cnt"])
+        for r in hopping_window_counts(df, "ts", "1 hour", "30 minutes").collect()
+    }
+    # 10:05 → windows starting 09:30 and 10:00; 10:40 → 10:00 and 10:30
+    assert out == {
+        ("2024-01-01 09:30:00", 1),
+        ("2024-01-01 10:00:00", 2),
+        ("2024-01-01 10:30:00", 1),
+    }
