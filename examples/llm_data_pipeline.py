@@ -124,6 +124,10 @@ def main() -> None:
         corpus, "doc_id", "text", budget=512, part_col="pred_lang"
     )
     n_seqs = packed.agg((F.max("last_seq") + 1).alias("m")).collect()[0]["m"]
+    # …or overlapping token windows instead of packing (the RAG shape)
+    n_chunks = textops.chunk_tokens(
+        corpus, "doc_id", "text", chunk_size=64, overlap=16
+    ).count()
 
     # 10. deterministic train/val/test assignment, then write partitioned
     # by (language, split) — appends later never move a row across splits
@@ -144,6 +148,7 @@ def main() -> None:
     print(f"after mixture sample:  {n_mixed}")
     print(f"corpus tokens:         {stats['tokens']} ({stats['subwords']} subwords)")
     print(f"packed sequences/lang: max {n_seqs} @512 tokens")
+    print(f"RAG chunks (64/16):    {n_chunks}")
     print(f"by language:           {langs}")
     print(f"written to:            {out_dir}")
 
