@@ -1575,6 +1575,22 @@ def q_x6_ltob_downsample(spark, sf_dir):
     )
 
 
+def q_d10_quality_canonical(spark, sf_dir):
+    """Policy-driven canonical selection over near-dup clusters (the
+    keep-the-best-duplicate step real dedup pipelines end with): per d6
+    cluster, keep the LONGEST member (ties → min id) instead of the
+    min-id representative. Composition: clustering + ranking join +
+    per-cluster argmax window."""
+    _tune(spark)
+    clusters = q_d6_neardup_clusters(spark, sf_dir)
+    docs = _docs_dup(spark, sf_dir, spread=False).select(
+        "doc_id", F.length(F.col("text")).alias("text_len")
+    )
+    return dedup.canonical_per_cluster(
+        clusters, docs, "doc_id", "cluster_id", "text_len"
+    )
+
+
 def q_w7_hopping_window(spark, sf_dir):
     """Hopping 1-hour windows sliding every 30 minutes: each event lands
     in exactly 2 overlapping windows (epoch-aligned starts). The oracle
@@ -1787,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_chunk_tokens": q_t13_chunk_tokens,
         "t14_bpe_pairs": q_t14_bpe_pairs,
         "w7_hopping_window": q_w7_hopping_window,
+        "d10_quality_canonical": q_d10_quality_canonical,
         "s8_upsert_lastwin": q_s8_upsert_lastwin,
         "s9_bucketed_upsert": q_s9_bucketed_upsert,
         "st1_tumbling_window": q_st1_tumbling_window,
@@ -2657,6 +2674,28 @@ def oracle_sql() -> dict[str, str]:
         "fs6_page_non_unique": (
             "SELECT doc_id, n_chars FROM documents"
             " ORDER BY n_chars ASC, doc_id ASC LIMIT 120"
+        ),
+        # d10: d6's clustering + keep-the-longest policy (ties → min id)
+        "d10_quality_canonical": (
+            f"WITH RECURSIVE docs AS ({_DOCS_DUP_SQL}), {_shingle_cte()},"
+            " sets AS (SELECT doc_id, min(md5('s0:' || s)) AS mh0 FROM sh GROUP BY doc_id),"
+            " pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sets a"
+            "  JOIN sets b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id),"
+            " sym AS (SELECT id_a AS a, id_b AS b FROM pairs"
+            "  UNION SELECT id_b, id_a FROM pairs),"
+            " reach(a, b) AS ("
+            "  SELECT a, b FROM sym"
+            "  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),"
+            " clusters AS (SELECT d.doc_id,"
+            "  least(d.doc_id, coalesce((SELECT min(b) FROM reach WHERE a = d.doc_id),"
+            "  d.doc_id)) AS cluster_id FROM docs d),"
+            " ranked AS (SELECT c.cluster_id, c.doc_id,"
+            "  row_number() OVER (PARTITION BY c.cluster_id"
+            "    ORDER BY length(d.text) DESC, c.doc_id ASC) AS rn,"
+            "  count(*) OVER (PARTITION BY c.cluster_id) AS m"
+            "  FROM clusters c JOIN docs d ON c.doc_id = d.doc_id)"
+            " SELECT cluster_id, doc_id AS canonical_id,"
+            "  CAST(m AS BIGINT) AS n_members FROM ranked WHERE rn = 1"
         ),
         # hopping windows: event → 2 epoch-aligned window starts
         # (time_bucket(30m) − i·30m for i ∈ {0,1})

@@ -456,3 +456,43 @@ def exact_substring_flags(
             (F.coalesce(F.col("n_repeated"), F.lit(0)) > 0).cast("int").alias("flagged"),
         )
     )
+
+
+def canonical_per_cluster(
+    members: DataFrame,
+    ranking: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    rank_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Policy-driven canonical selection over near-dup clusters: instead
+    of the min-id representative the clustering emits, keep the member
+    that maximizes (default) or minimizes ``rank_col`` — e.g. longest
+    text, highest quality score, newest version. Deterministic: rank
+    ties break on the smaller id.
+
+    Output: one row per cluster — (cluster, canonical id, members).
+    One equi-join (rank frame is usually the same table the members came
+    from) and one per-cluster window; both shuffle on keys that dedup
+    already shuffled on, so this composes at the end of the pipeline for
+    one extra exchange at most.
+    """
+    from pyspark.sql import Window
+
+    joined = members.join(ranking, id_col)
+    order = [
+        F.col(rank_col).desc() if descending else F.col(rank_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_m", F.count(F.lit(1)).over(Window.partitionBy(cluster_col)))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(cluster_col),
+            F.col(id_col).alias("canonical_id"),
+            F.col("_m").cast("bigint").alias("n_members"),
+        )
+    )

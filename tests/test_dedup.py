@@ -159,3 +159,30 @@ def test_exact_substring_flags(spark):
     assert rows[1]["flagged"] == 1 and rows[1]["n_repeated"] >= 1
     assert rows[2]["flagged"] == 1
     assert rows[3]["flagged"] == 0 and rows[3]["n_repeated"] == 0
+
+
+def test_canonical_per_cluster_policies(spark):
+    from healthcare_api_spark.operators import dedup
+
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], ["doc_id", "cluster_id"]
+    )
+    ranking = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (9, 5)], ["doc_id", "score"]
+    )
+    # max policy: cluster 1 has a 50/50 tie between ids 2 and 3 → min id
+    out = {
+        r["cluster_id"]: (r["canonical_id"], r["n_members"])
+        for r in dedup.canonical_per_cluster(
+            members, ranking, "doc_id", "cluster_id", "score"
+        ).collect()
+    }
+    assert out == {1: (2, 3), 9: (9, 1)}
+    # min policy flips the pick
+    out_min = {
+        r["cluster_id"]: r["canonical_id"]
+        for r in dedup.canonical_per_cluster(
+            members, ranking, "doc_id", "cluster_id", "score", descending=False
+        ).collect()
+    }
+    assert out_min == {1: 1, 9: 9}
