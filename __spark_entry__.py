@@ -1575,6 +1575,16 @@ def q_x6_ltob_downsample(spark, sf_dir):
     )
 
 
+def q_ds6_weighted_sample(spark, sf_dir):
+    """Quality-weighted sampling: keep probability ∝ n_chars (longest
+    doc keeps at rate 0.5), deterministic md5 draw — partitioning- and
+    append-invariant like ds1, verified bit-exactly against the oracle's
+    identical integer-hash/double-threshold arithmetic."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return curation.weighted_sample(docs, "doc_id", "n_chars", rate=0.5)
+
+
 def q_d10_quality_canonical(spark, sf_dir):
     """Policy-driven canonical selection over near-dup clusters (the
     keep-the-best-duplicate step real dedup pipelines end with): per d6
@@ -1804,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_bpe_pairs": q_t14_bpe_pairs,
         "w7_hopping_window": q_w7_hopping_window,
         "d10_quality_canonical": q_d10_quality_canonical,
+        "ds6_weighted_sample": q_ds6_weighted_sample,
         "s8_upsert_lastwin": q_s8_upsert_lastwin,
         "s9_bucketed_upsert": q_s9_bucketed_upsert,
         "st1_tumbling_window": q_st1_tumbling_window,
@@ -2674,6 +2685,14 @@ def oracle_sql() -> dict[str, str]:
         "fs6_page_non_unique": (
             "SELECT doc_id, n_chars FROM documents"
             " ORDER BY n_chars ASC, doc_id ASC LIMIT 120"
+        ),
+        # ds6: identical integer-hash < rate·w/wmax·2^32 arithmetic
+        "ds6_weighted_sample": (
+            "WITH m AS (SELECT CAST(max(n_chars) AS DOUBLE) AS wmax FROM documents)"
+            " SELECT doc_id, lang, n_chars FROM documents, m"
+            " WHERE CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),"
+            "   1, 8)) AS BIGINT)::DOUBLE"
+            "  < least(1.0, 0.5 * n_chars / wmax) * 4294967296.0"
         ),
         # d10: d6's clustering + keep-the-longest policy (ties → min id)
         "d10_quality_canonical": (

@@ -481,3 +481,33 @@ def pack_sequences(
         F.floor((cum - F.col("n_tokens")) / budget).cast("bigint").alias("first_seq"),
         F.floor((cum - 1) / budget).cast("bigint").alias("last_seq"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    rate: float,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling: keep probability proportional to
+    ``weight_col`` (quality-weighted data selection — the DCLM-style
+    'sample good documents more' primitive), scaled so the max-weight
+    row keeps with probability ``min(1, rate)``.
+
+    Keep iff uniform(salt, id) < rate · w / max(w), where uniform is the
+    first 8 md5 hex chars as an integer — reproducible across engines,
+    cluster sizes, partitionings, and appends (same id+salt → same
+    draw), like ``stratified_sample``. The max aggregate is
+    order-independent (exact for any weight type), so the decision is
+    bit-stable; one scalar broadcast joins it back, the filter itself is
+    narrow.
+    """
+    hx = F.conv(sample_hash(id_col, salt), 16, 10).cast("double")
+    wmax = df.agg(F.max(F.col(weight_col)).cast("double").alias("_wmax"))
+    p = F.least(F.lit(1.0), F.lit(rate) * F.col(weight_col) / F.col("_wmax"))
+    return (
+        df.crossJoin(F.broadcast(wmax))
+        .filter(hx < p * F.lit(4294967296.0))
+        .drop("_wmax")
+    )

@@ -362,3 +362,29 @@ def test_plan_temperature_mixture(spark):
     assert 10 < mid["de"] * 100 < 50
     with pytest.raises(ValueError, match="alpha"):
         curation.plan_temperature_mixture(df, "lang", alpha=2.0, total=10)
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    from healthcare_api_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(i, (i % 10) + 1) for i in range(2000)], ["id", "w"]
+    )
+    kept1 = {r["id"] for r in curation.weighted_sample(df, "id", "w", 0.5).collect()}
+    # partitioning-invariant: same draw regardless of physical layout
+    kept2 = {
+        r["id"]
+        for r in curation.weighted_sample(df.repartition(13), "id", "w", 0.5).collect()
+    }
+    assert kept1 == kept2
+    # monotone in weight: keep rate grows with w (w=10 keeps ~0.5, w=1 ~0.05)
+    by_w = {w: 0 for w in range(1, 11)}
+    for i in kept1:
+        by_w[(i % 10) + 1] += 1
+    assert by_w[10] > by_w[1] * 3
+    assert 0.3 < by_w[10] / 200 < 0.7 and by_w[1] / 200 < 0.15
+    # rate >= 1 with max weight keeps every max-weight row
+    all_max = curation.weighted_sample(
+        df.filter("w = 10"), "id", "w", 1.0
+    ).count()
+    assert all_max == 200
