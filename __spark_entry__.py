@@ -1575,6 +1575,25 @@ def q_x6_ltob_downsample(spark, sf_dir):
     )
 
 
+def q_fs8_chained_sort(spark, sf_dir):
+    """`?totalprice=ge400000&_sort=customer.acctbal&_count=50` — sort by
+    a field of the REFERENCED resource (chained sort key, left-joined
+    in). The page limit makes membership order-dependent, so the hash
+    pins the chained sort + id tie-break end to end; the `_sort_0`
+    column stays in the page so the caller can build the next token."""
+    _tune(spark)
+    eng = _tpch_fhir_engine(spark, sf_dir)
+    return eng.search(
+        "Order",
+        {
+            "totalprice": "ge400000",
+            "_sort": "customer.acctbal",
+            "_count": "50",
+            "_elements": "id,totalprice",
+        },
+    )
+
+
 def q_ds6_weighted_sample(spark, sf_dir):
     """Quality-weighted sampling: keep probability ∝ n_chars (longest
     doc keeps at rate 0.5), deterministic md5 draw — partitioning- and
@@ -1815,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_hopping_window": q_w7_hopping_window,
         "d10_quality_canonical": q_d10_quality_canonical,
         "ds6_weighted_sample": q_ds6_weighted_sample,
+        "fs8_chained_sort": q_fs8_chained_sort,
         "s8_upsert_lastwin": q_s8_upsert_lastwin,
         "s9_bucketed_upsert": q_s9_bucketed_upsert,
         "st1_tumbling_window": q_st1_tumbling_window,
@@ -2685,6 +2705,16 @@ def oracle_sql() -> dict[str, str]:
         "fs6_page_non_unique": (
             "SELECT doc_id, n_chars FROM documents"
             " ORDER BY n_chars ASC, doc_id ASC LIMIT 120"
+        ),
+        # fs8: chained sort key — order by the referenced customer's
+        # acctbal with the string-id tie-break; _count makes order
+        # decide membership, so the hash pins the sort
+        "fs8_chained_sort": (
+            "SELECT CAST(o_orderkey AS VARCHAR) AS id,"
+            " o_totalprice AS totalprice, c_acctbal AS _sort_0"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " WHERE o_totalprice >= 400000"
+            " ORDER BY c_acctbal ASC, CAST(o_orderkey AS VARCHAR) ASC LIMIT 50"
         ),
         # ds6: identical integer-hash < rate·w/wmax·2^32 arithmetic
         "ds6_weighted_sample": (

@@ -26,7 +26,8 @@ Supported grammar (each an entry in §2.7's capability table):
                                nested _has all compose
     _include=Type:ref          include referenced rows (left join)
     _revinclude=Type:ref       include referencing rows
-    _sort=[-]field             sort
+    _sort=[-]field             sort; chained keys (_sort=subject.name)
+                               left-join the referenced field in
     _count=N / _page_token=v   paging (keyset off the sort key)
     _elements=a,b              projection
     _total=accurate            count only
@@ -195,6 +196,9 @@ class SearchEngine:
         page_token: str | None = None
         includes: list[str] = []
         revincludes: list[tuple[str, str]] = []
+        # `_sort_N` columns joined in for chained sort keys — dropped
+        # from the result unless the query pages (tokens need the values)
+        chained_sort_cols: list[str] = []
 
         for key, raw in params.items():
             name, _, modifier = key.partition(":")
@@ -236,9 +240,33 @@ class SearchEngine:
                     revincludes.append((src_t, rp))
             elif key == "_sort":
                 for s in raw.split(","):
-                    sort_fields.append(
-                        (self._resolve(resource_type, s.lstrip("-")), s.startswith("-"))
-                    )
+                    sname, desc = s.lstrip("-"), s.startswith("-")
+                    if (
+                        "." in sname
+                        and sname.split(".", 1)[0] in cfg.reference_params
+                    ):
+                        # chained sort key (`_sort=subject.name`): left-join
+                        # the referenced resource's field in as a
+                        # `_sort_N` column and sort on that. Same
+                        # no-forced-broadcast scale rule as chained
+                        # filters; rows with a dangling reference sort
+                        # with NULL (first asc, per Spark defaults).
+                        ref_param, sub = sname.split(".", 1)
+                        ref_col, target_type = cfg.reference_params[ref_param]
+                        t_cfg = self.configs.get(target_type, SearchConfig())
+                        target = self.tables[target_type]
+                        alias = f"_sort_{len(sort_fields)}"
+                        keymap = target.select(
+                            F.col(t_cfg.id_col).alias("_sk"),
+                            F.col(t_cfg.params.get(sub, sub)).alias(alias),
+                        )
+                        df = df.join(
+                            keymap, ref_id(F.col(ref_col)) == F.col("_sk"), "left"
+                        ).drop("_sk")
+                        sort_fields.append((alias, desc))
+                        chained_sort_cols.append(alias)
+                    else:
+                        sort_fields.append((self._resolve(resource_type, sname), desc))
             elif key == "_elements":
                 elements = [self._resolve(resource_type, e) for e in raw.split(",")]
             elif key.startswith("_has:"):
@@ -404,11 +432,20 @@ class SearchEngine:
             df = self.include(df, resource_type, rp)
         for src_t, rp in revincludes:
             df = self.revinclude(df, src_t, rp)
+        if chained_sort_cols and count is None and page_token is None:
+            # unpaged: the join-in sort keys are an implementation
+            # detail, not part of the resource; paged queries keep them
+            # so the caller can build the next page token from the last
+            # row (encode_page_token needs every effective sort value)
+            df = df.drop(*chained_sort_cols)
         if elements:
             keep = elements + [
                 c for c in df.columns
-                if c.startswith("included_") or c.startswith("revincluded_")
+                if c.startswith("included_")
+                or c.startswith("revincluded_")
+                or c in chained_sort_cols
             ]
+            keep = [c for c in keep if c in df.columns]
             df = df.select(*keep)
         return df
 

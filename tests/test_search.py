@@ -159,6 +159,32 @@ def test_has_chained_subparam_and_nested_has(spark):
     assert "ResolvedHint" not in analyzed and "broadcast" not in analyzed.lower()
 
 
+def test_chained_sort_key(engine):
+    # `_sort=subject.name`: order Observations by the referenced
+    # Patient's name; the join-in sort column is dropped from the result
+    out = engine.search("Observation", {"_sort": "subject.name"})
+    ids = [r["id"] for r in out.collect()]
+    # o1/o2 → p1 (everywoman), o3 → p2 (smith): stable tie-break not
+    # guaranteed unpaged, so assert the group order
+    assert set(ids[:2]) == {"o1", "o2"} and ids[2] == "o3"
+    assert not any(c.startswith("_sort_") for c in out.columns)
+    desc = [r["id"] for r in engine.search(
+        "Observation", {"_sort": "-subject.name"}).collect()]
+    assert desc[0] == "o3"
+    # paged chained sort keeps the sort column so tokens can be built,
+    # and the composite keyset walk loses no rows
+    p1 = engine.search(
+        "Observation", {"_sort": "subject.name", "_count": "2"}
+    ).collect()
+    assert "_sort_0" in p1[0].asDict()
+    tok = encode_page_token(p1[-1]["_sort_0"], p1[-1]["id"])
+    p2 = engine.search(
+        "Observation",
+        {"_sort": "subject.name", "_count": "2", "_page_token": tok},
+    ).collect()
+    assert [r["id"] for r in p1] + [r["id"] for r in p2] == ["o1", "o2", "o3"]
+
+
 def test_unknown_param_clear_error(engine):
     with pytest.raises(ValueError, match="unknown search parameter 'bogus'"):
         engine.search("Patient", {"bogus": "x"})
