@@ -1575,6 +1575,37 @@ def q_x6_ltob_downsample(spark, sf_dir):
     )
 
 
+def q_d11_fuzzy_join(spark, sf_dir):
+    """Approximate string join (entity resolution): 24-char ASCII doc
+    titles vs deterministically typo'd variants (adjacent transposition
+    at doc_id % 8 + 5). Prefix-block candidates, exact Levenshtein ≤ 3
+    verify — candidates-then-verify, never all-pairs. ASCII-stripped
+    because DuckDB's levenshtein is byte-based (operator docstring)."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    title = F.substring(
+        F.regexp_replace(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+            "[^ -~]", "",
+        ),
+        1, 24,
+    )
+    t = docs.select("doc_id", title.alias("title")).filter(F.length("title") >= 12)
+    # adjacent transposition at 1-based position p = doc_id % 8 + 5
+    typo = t.select(
+        "doc_id",
+        F.concat(
+            F.expr("substring(title, 1, doc_id % 8 + 4)"),
+            F.expr("substring(title, doc_id % 8 + 6, 1)"),
+            F.expr("substring(title, doc_id % 8 + 5, 1)"),
+            F.expr("substring(title, doc_id % 8 + 7, 9999)"),
+        ).alias("title"),
+    )
+    return dedup.fuzzy_string_join(
+        t, typo, "doc_id", "title", "doc_id", "title", max_dist=3, block_chars=4
+    )
+
+
 def q_fs8_chained_sort(spark, sf_dir):
     """`?totalprice=ge400000&_sort=customer.acctbal&_count=50` — sort by
     a field of the REFERENCED resource (chained sort key, left-joined
@@ -1835,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d10_quality_canonical": q_d10_quality_canonical,
         "ds6_weighted_sample": q_ds6_weighted_sample,
         "fs8_chained_sort": q_fs8_chained_sort,
+        "d11_fuzzy_join": q_d11_fuzzy_join,
         "s8_upsert_lastwin": q_s8_upsert_lastwin,
         "s9_bucketed_upsert": q_s9_bucketed_upsert,
         "st1_tumbling_window": q_st1_tumbling_window,
@@ -2705,6 +2737,25 @@ def oracle_sql() -> dict[str, str]:
         "fs6_page_non_unique": (
             "SELECT doc_id, n_chars FROM documents"
             " ORDER BY n_chars ASC, doc_id ASC LIMIT 120"
+        ),
+        # d11: same blocking + byte-safe ASCII titles + levenshtein verify
+        "d11_fuzzy_join": (
+            "WITH t0 AS (SELECT doc_id,"
+            " substr(regexp_replace(trim(regexp_replace(lower(text),"
+            "   '\\s+', ' ', 'g')), '[^ -~]', '', 'g'), 1, 24) AS title"
+            " FROM documents),"
+            " t AS (SELECT * FROM t0 WHERE length(title) >= 12),"
+            " typo AS (SELECT doc_id,"
+            "   substr(title, 1, doc_id % 8 + 4)"
+            "   || substr(title, doc_id % 8 + 6, 1)"
+            "   || substr(title, doc_id % 8 + 5, 1)"
+            "   || substr(title, doc_id % 8 + 7) AS title FROM t),"
+            " lb AS (SELECT doc_id AS a, title AS ta, substr(title, 1, 4) AS blk FROM t),"
+            " rb AS (SELECT doc_id AS b, title AS tb, substr(title, 1, 4) AS blk FROM typo)"
+            " SELECT a AS doc_id_l, b AS doc_id_r,"
+            "  CAST(levenshtein(ta, tb) AS INTEGER) AS dist"
+            " FROM lb JOIN rb USING (blk)"
+            " WHERE levenshtein(ta, tb) <= 3"
         ),
         # fs8: chained sort key — order by the referenced customer's
         # acctbal with the string-id tie-break; _count makes order

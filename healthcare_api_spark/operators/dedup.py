@@ -496,3 +496,51 @@ def canonical_per_cluster(
             F.col("_m").cast("bigint").alias("n_members"),
         )
     )
+
+
+def fuzzy_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    max_dist: int = 2,
+    block_chars: int = 4,
+) -> DataFrame:
+    """Approximate string join (entity resolution): candidate pairs via
+    equality on a cheap blocking key (shared ``block_chars`` prefix),
+    then EXACT Levenshtein verification ≤ ``max_dist`` — never an
+    all-pairs product, the same candidates-then-verify shape as the
+    MinHash/LSH dedup family. Output: (left id, right id, dist).
+
+    Prefix blocking misses matches whose edits fall inside the first
+    ``block_chars`` characters — production entity resolution runs
+    multiple blocking passes (prefix, suffix, sorted char n-grams) and
+    unions the candidates; each pass is this same shuffle-on-block-key
+    join. Levenshtein runs JVM-side (codegen) on candidates only.
+
+    Cross-engine note: Levenshtein distance is CHARACTER-based in Spark
+    and BYTE-based in some engines (DuckDB) — oracle comparisons must
+    restrict to ASCII or normalize first.
+    """
+    lb = left.select(
+        F.col(left_id).alias("_la"),
+        F.col(left_col).alias("_ta"),
+        F.substring(F.col(left_col), 1, block_chars).alias("_blk"),
+    )
+    rb = right.select(
+        F.col(right_id).alias("_rb"),
+        F.col(right_col).alias("_tb"),
+        F.substring(F.col(right_col), 1, block_chars).alias("_blk"),
+    )
+    cand = lb.join(rb, "_blk")
+    return (
+        cand.withColumn("_d", F.levenshtein(F.col("_ta"), F.col("_tb")))
+        .filter(F.col("_d") <= max_dist)
+        .select(
+            F.col("_la").alias(left_id + "_l"),
+            F.col("_rb").alias(right_id + "_r"),
+            F.col("_d").cast("int").alias("dist"),
+        )
+    )

@@ -186,3 +186,28 @@ def test_canonical_per_cluster_policies(spark):
         ).collect()
     }
     assert out_min == {1: 1, 9: 9}
+
+
+def test_fuzzy_string_join_blocking_and_verify(spark):
+    from healthcare_api_spark.operators import dedup
+
+    left = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "maria garcia"), (3, "zed")],
+        ["id", "name"],
+    )
+    right = spark.createDataFrame(
+        [(10, "jonathon smith"),   # 1 edit, shares 4-char prefix "jona"
+         (11, "maria garcya"),     # 1 edit, shares "mari"
+         (12, "XXria garcia"),     # close but edits in the BLOCK → missed
+         (13, "jonathan smithers")],  # 3 trailing inserts
+        ["id", "name"],
+    )
+    out = {
+        (r["id_l"], r["id_r"]): r["dist"]
+        for r in dedup.fuzzy_string_join(
+            left, right, "id", "name", "id", "name", max_dist=3
+        ).collect()
+    }
+    assert out == {(1, 10): 1, (2, 11): 1, (1, 13): 3}
+    # blocking documented miss: (2, 12) is dist 2 but the prefix differs
+    assert (2, 12) not in out
