@@ -1575,6 +1575,17 @@ def q_x6_ltob_downsample(spark, sf_dir):
     )
 
 
+def q_v5_knn_join(spark, sf_dir):
+    """Batch exact k-NN join: top-3 cosine neighbors for EACH of the
+    first 20 embedding rows (the retrieval primitive for near-dup
+    mining / hard-negative selection). Broadcast query side, one narrow
+    corpus pass, per-query window top-k."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=3)
+
+
 def q_d11_fuzzy_join(spark, sf_dir):
     """Approximate string join (entity resolution): 24-char ASCII doc
     titles vs deterministically typo'd variants (adjacent transposition
@@ -1867,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds6_weighted_sample": q_ds6_weighted_sample,
         "fs8_chained_sort": q_fs8_chained_sort,
         "d11_fuzzy_join": q_d11_fuzzy_join,
+        "v5_knn_join": q_v5_knn_join,
         "s8_upsert_lastwin": q_s8_upsert_lastwin,
         "s9_bucketed_upsert": q_s9_bucketed_upsert,
         "st1_tumbling_window": q_st1_tumbling_window,
@@ -2737,6 +2749,22 @@ def oracle_sql() -> dict[str, str]:
         "fs6_page_non_unique": (
             "SELECT doc_id, n_chars FROM documents"
             " ORDER BY n_chars ASC, doc_id ASC LIMIT 120"
+        ),
+        # v5: rank on the ROUNDED cosine (matching the operator) so rank
+        # boundaries are tie-broken identically by corpus id
+        "v5_knn_join": (
+            "WITH v AS (SELECT vec_id,"
+            "   list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),"
+            " q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 20),"
+            " scored AS (SELECT q.qid, c.vec_id AS cid,"
+            "   round(list_dot_product(c.e, q.qe) /"
+            "     (sqrt(list_dot_product(c.e, c.e))"
+            "      * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos"
+            "   FROM v c, q WHERE c.vec_id <> q.qid),"
+            " r AS (SELECT *, row_number() OVER"
+            "   (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk FROM scored)"
+            " SELECT qid AS vec_id, CAST(rk AS INTEGER) AS rk,"
+            "  cid AS vec_id_nn, cos FROM r WHERE rk <= 3"
         ),
         # d11: same blocking + byte-safe ASCII titles + levenshtein verify
         "d11_fuzzy_join": (

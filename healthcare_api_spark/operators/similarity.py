@@ -288,3 +288,55 @@ def pca_project(
         offset = float(sum(m * c for m, c in zip(mean, comp)))
         outs.append((dot(F.col(vec_col), w) - F.lit(offset)).alias(f"p{j}"))
     return df.select(F.col(id_col), *outs)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch exact k-NN join: for EVERY query row, the ``k`` most
+    cosine-similar corpus rows — the retrieval primitive behind
+    near-dup mining, eval-set contamination lookups, and hard-negative
+    selection. Output: (query id, rank, corpus id, cos).
+
+    Shape: the query side broadcasts (this exact path is for bounded
+    query sets — eval suites, probe batches; for query sets at corpus
+    scale use the LSH/IVF buckets so candidates stay pruned), the
+    corpus streams through one narrow pass scoring |Q| pairs per row,
+    and a per-query window keeps the top k. Ties break on the corpus
+    id. ``exclude_self`` drops the query row itself when both sides
+    come from the same table (matching ids).
+    """
+    from pyspark.sql import Window
+
+    qb = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qv")
+        )
+    )
+    pairs = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv")
+    ).join(qb, F.lit(True))
+    if exclude_self:
+        pairs = pairs.filter(F.col("_cid") != F.col("_qid"))
+    scored = pairs.select(
+        "_qid",
+        "_cid",
+        F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("cos").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            "rk",
+            F.col("_cid").alias(corpus_id + "_nn"),
+            "cos",
+        )
+    )

@@ -295,3 +295,21 @@ def test_bpe_pair_counts_reference(spark):
             expect[w[i : i + 2]] += f
     assert out == dict(expect)
     assert out["lo"] == 6  # low(4) + lower + lowest
+
+
+def test_knn_join_per_query_topk(spark):
+    out = similarity.knn_join(
+        _emb(spark), _emb(spark), "vec_id", "vec_id", "embedding", k=2
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["vec_id"], []).append((r["rk"], r["vec_id_nn"], r["cos"]))
+    # every query gets exactly 2 neighbors, self excluded, rank ordered
+    assert set(by_q) == {1, 2, 3, 4, 5}
+    for q, rows in by_q.items():
+        assert [r[0] for r in sorted(rows)] == [1, 2]
+        assert all(nn != q for _, nn, _ in rows)
+    # vec 1's nearest is vec 2 (0.9 overlap), then 5
+    assert [nn for _, nn, _ in sorted(by_q[1])] == [2, 5]
+    # opposite vector 4 is never a top neighbor of 1
+    assert all(nn != 4 for _, nn, _ in by_q[1])
