@@ -1575,6 +1575,35 @@ def q_x6_ltob_downsample(spark, sf_dir):
     )
 
 
+def q_s12_snapshot_diff(spark, sf_dir):
+    """CDC between two snapshots: customers vs a derived next version
+    (every 7th id rebalanced = update, every 13th dropped = delete, 50
+    synthetic ids added = insert). One full-outer join; output ∝ churn.
+    Overlapping multiples (7·13) pin the delete-beats-update edge."""
+    from healthcare_api_spark.sources.store import snapshot_diff
+
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("acctbal")
+    )
+    new = (
+        cust.filter(F.col("id") % 13 != 0)
+        .withColumn(
+            "acctbal",
+            F.when(F.col("id") % 7 == 0, F.col("acctbal") + 1.0).otherwise(
+                F.col("acctbal")
+            ),
+        )
+        .unionByName(
+            _t(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= 50)  # deterministic insert set
+            .select((F.col("c_custkey") + 10_000_000).alias("id"),
+                    F.col("c_acctbal").alias("acctbal"))
+        )
+    )
+    return snapshot_diff(cust, new, "id")
+
+
 def q_v5_knn_join(spark, sf_dir):
     """Batch exact k-NN join: top-3 cosine neighbors for EACH of the
     first 20 embedding rows (the retrieval primitive for near-dup
@@ -1879,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs8_chained_sort": q_fs8_chained_sort,
         "d11_fuzzy_join": q_d11_fuzzy_join,
         "v5_knn_join": q_v5_knn_join,
+        "s12_snapshot_diff": q_s12_snapshot_diff,
         "s8_upsert_lastwin": q_s8_upsert_lastwin,
         "s9_bucketed_upsert": q_s9_bucketed_upsert,
         "st1_tumbling_window": q_st1_tumbling_window,
@@ -2749,6 +2779,23 @@ def oracle_sql() -> dict[str, str]:
         "fs6_page_non_unique": (
             "SELECT doc_id, n_chars FROM documents"
             " ORDER BY n_chars ASC, doc_id ASC LIMIT 120"
+        ),
+        # s12: CDC full-outer semantics, null-safe compare
+        "s12_snapshot_diff": (
+            "WITH old AS (SELECT c_custkey AS id, c_acctbal AS acctbal"
+            "   FROM customer),"
+            " new AS (SELECT id, CASE WHEN id % 7 = 0 THEN acctbal + 1.0"
+            "     ELSE acctbal END AS acctbal FROM old WHERE id % 13 != 0"
+            "   UNION ALL SELECT c_custkey + 10000000 AS id, c_acctbal"
+            "     FROM customer WHERE c_custkey <= 50)"
+            " SELECT COALESCE(n.id, o.id) AS id,"
+            "  CASE WHEN o.id IS NULL THEN 'insert'"
+            "       WHEN n.id IS NULL THEN 'delete'"
+            "       WHEN o.acctbal IS DISTINCT FROM n.acctbal THEN 'update'"
+            "  END AS change"
+            " FROM old o FULL OUTER JOIN new n ON o.id = n.id"
+            " WHERE (o.id IS NULL OR n.id IS NULL"
+            "        OR o.acctbal IS DISTINCT FROM n.acctbal)"
         ),
         # v5: rank on the ROUNDED cosine (matching the operator) so rank
         # boundaries are tie-broken identically by corpus id

@@ -247,3 +247,50 @@ def upsert_frames(existing: DataFrame, updates: DataFrame, id_col: str = "id",
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "id",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC between two table snapshots: one row per changed id with
+    ``change ∈ {insert, delete, update}`` — the feed a downstream
+    incremental consumer (index refresh, cache invalidation, reverse
+    ETL) reads instead of re-scanning the table.
+
+    One full-outer join on the id; ``update`` detection compares
+    ``compare_cols`` (default: all shared non-id columns) null-safely
+    via a struct equality, so NULL→value and value→NULL both register.
+    Unchanged rows are filtered out, so output is proportional to the
+    churn, not the table. At lake scale run it per id-hash bucket
+    (BucketedResourceStore layout) so both sides co-partition and the
+    join never shuffles the full snapshots.
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c != id_col and c in set(old.columns)
+        ]
+    o = old.select(
+        F.col(id_col).alias("_oid"),
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_ov"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_nid"),
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_nv"),
+    )
+    j = o.join(n, F.col("_oid") == F.col("_nid"), "full_outer")
+    change = (
+        F.when(F.col("_oid").isNull(), F.lit("insert"))
+        .when(F.col("_nid").isNull(), F.lit("delete"))
+        .when(~F.col("_ov").eqNullSafe(F.col("_nv")), F.lit("update"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            F.coalesce(F.col("_nid"), F.col("_oid")).alias(id_col),
+            "change",
+        )
+    )

@@ -201,3 +201,27 @@ def test_bloom_filter_options_write_filters(spark, tmp_path):
     assert bloomy.table("T").count() == 20000
     got = bloomy.table("T").filter(F.col("id") == "id-137").collect()
     assert len(got) == 1 and got[0]["v"] == 137 % 7
+
+
+def test_snapshot_diff_change_taxonomy(spark):
+    from healthcare_api_spark.sources.store import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        ["id", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),        # unchanged → absent from output
+         (2, "b", 99.0),       # update
+         (3, "c", 3.0),        # NULL → value is an update (null-safe)
+         (5, "e", 5.0)],       # insert; 4 deleted
+        ["id", "s", "v"],
+    )
+    out = {r["id"]: r["change"] for r in snapshot_diff(old, new, "id").collect()}
+    assert out == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+    # compare_cols narrows change detection: only 's' → 2 and 3 unchanged
+    out_s = {
+        r["id"]: r["change"]
+        for r in snapshot_diff(old, new, "id", compare_cols=["s"]).collect()
+    }
+    assert out_s == {4: "delete", 5: "insert"}
