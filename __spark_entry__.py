@@ -1575,6 +1575,20 @@ def q_x6_ltob_downsample(spark, sf_dir):
     )
 
 
+def q_a11_psi_drift(spark, sf_dir):
+    """Distribution drift (PSI) between January and February event
+    values — the data-quality gate a daily ingest runs before accepting
+    a batch. Two O(bins) histograms + an O(bins) join; snapshots never
+    co-shuffle."""
+    from healthcare_api_spark.operators.analytics import drift_psi
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    jan = ev.filter(F.month("ts") == 1).select("value")
+    feb = ev.filter(F.month("ts") == 2).select("value")
+    return drift_psi(jan, feb, "value", 0.0, 100.0, 20)
+
+
 def q_s12_snapshot_diff(spark, sf_dir):
     """CDC between two snapshots: customers vs a derived next version
     (every 7th id rebalanced = update, every 13th dropped = delete, 50
@@ -1909,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d11_fuzzy_join": q_d11_fuzzy_join,
         "v5_knn_join": q_v5_knn_join,
         "s12_snapshot_diff": q_s12_snapshot_diff,
+        "a11_psi_drift": q_a11_psi_drift,
         "s8_upsert_lastwin": q_s8_upsert_lastwin,
         "s9_bucketed_upsert": q_s9_bucketed_upsert,
         "st1_tumbling_window": q_st1_tumbling_window,
@@ -2779,6 +2794,24 @@ def oracle_sql() -> dict[str, str]:
         "fs6_page_non_unique": (
             "SELECT doc_id, n_chars FROM documents"
             " ORDER BY n_chars ASC, doc_id ASC LIMIT 120"
+        ),
+        # a11: identical smoothed-PSI arithmetic over the bucket frame
+        "a11_psi_drift": (
+            "WITH b AS (SELECT CAST(CASE WHEN value IS NULL THEN NULL"
+            "   WHEN value < 0.0 THEN -1 WHEN value >= 100.0 THEN 20"
+            "   ELSE floor(value / 5.0) END AS INTEGER) AS bucket,"
+            "   month(ts) AS m FROM events WHERE month(ts) IN (1, 2)),"
+            " ha AS (SELECT bucket, count(*) AS ca FROM b WHERE m = 1 GROUP BY 1),"
+            " hb AS (SELECT bucket, count(*) AS cb FROM b WHERE m = 2 GROUP BY 1),"
+            " j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb"
+            "   FROM ha FULL OUTER JOIN hb USING (bucket)),"
+            " t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS k FROM j)"
+            " SELECT round(sum(((cb + 1)::DOUBLE / (nb + k)"
+            "     - (ca + 1)::DOUBLE / (na + k))"
+            "   * ln(((cb + 1)::DOUBLE / (nb + k))"
+            "     / ((ca + 1)::DOUBLE / (na + k)))), 6) AS psi,"
+            "  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b"
+            " FROM j, t"
         ),
         # s12: CDC full-outer semantics, null-safe compare
         "s12_snapshot_diff": (

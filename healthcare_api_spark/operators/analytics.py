@@ -96,3 +96,46 @@ def cohort_retention(
         .groupBy(F.col("_cohort").alias("cohort"), "offset")
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+def drift_psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard distribution-drift gate (PSI < 0.1 stable,
+    0.1–0.25 moderate, > 0.25 action). Fixed-range buckets with
+    under/overflow, +1 Laplace smoothing so empty buckets contribute a
+    finite term (and the math stays engine-exact for the oracle).
+
+    Output: one row — (psi, n_a, n_b). Cost is two O(bins)-output
+    histogram aggregates (map-side combined) and an O(bins) join: the
+    snapshots never co-shuffle.
+    """
+    from healthcare_api_spark.operators.relational import histogram
+
+    ha = histogram(df_a, value_col, lo, hi, bins).withColumnRenamed("cnt", "ca")
+    hb = histogram(df_b, value_col, lo, hi, bins).withColumnRenamed("cnt", "cb")
+    j = ha.join(hb, "bucket", "full_outer").select(
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+    )
+    # smoothed proportions: (c + 1) / (n + observed_buckets); totals via
+    # window-free second aggregate over the tiny bucket frame
+    totals = j.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("nbuckets"),
+    )
+    t = j.crossJoin(F.broadcast(totals))
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("nbuckets"))
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("nbuckets"))
+    term = (pb - pa) * F.log(pb / pa)
+    return t.agg(
+        F.round(F.sum(term), 6).alias("psi"),
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+    )

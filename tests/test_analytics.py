@@ -74,3 +74,18 @@ def test_funnel_counts_monotone_nonincreasing(spark):
     ).collect()
     users = [r["users"] for r in sorted(out, key=lambda r: r["stage_idx"])]
     assert users == sorted(users, reverse=True)
+
+
+def test_drift_psi_detects_shift(spark):
+    from healthcare_api_spark.operators.analytics import drift_psi
+
+    base = spark.range(5000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    same = spark.range(5000).selectExpr("CAST((id + 7) % 100 AS DOUBLE) AS v")
+    shifted = spark.range(5000).selectExpr("CAST(id % 100 + 40 AS DOUBLE) AS v")
+    stable = drift_psi(base, same, "v", 0.0, 100.0, 20).collect()[0]
+    drifted = drift_psi(base, shifted, "v", 0.0, 100.0, 20).collect()[0]
+    assert stable["n_a"] == stable["n_b"] == 5000
+    # identical uniform distributions → PSI ~ 0; 40-point shift pushes
+    # 40% of mass into overflow → PSI far above the 0.25 action line
+    assert stable["psi"] < 0.01
+    assert drifted["psi"] > 0.25
