@@ -1575,6 +1575,23 @@ def q_x6_ltob_downsample(spark, sf_dir):
     )
 
 
+def q_l3_zorder3(spark, sf_dir):
+    """3-D Z-order key over lineitem (orderkey, partkey, suppkey) —
+    row-group stats prune on ANY of the three join keys after a sort by
+    this key; pure JVM bit arithmetic, bit-exact vs the oracle."""
+    from healthcare_api_spark.operators.layout import morton_key3
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        morton_key3(
+            F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey")
+        ).cast("bigint").alias("zkey3"),
+    )
+
+
 def q_a11_psi_drift(spark, sf_dir):
     """Distribution drift (PSI) between January and February event
     values — the data-quality gate a daily ingest runs before accepting
@@ -1924,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v5_knn_join": q_v5_knn_join,
         "s12_snapshot_diff": q_s12_snapshot_diff,
         "a11_psi_drift": q_a11_psi_drift,
+        "l3_zorder3": q_l3_zorder3,
         "s8_upsert_lastwin": q_s8_upsert_lastwin,
         "s9_bucketed_upsert": q_s9_bucketed_upsert,
         "st1_tumbling_window": q_st1_tumbling_window,
@@ -2159,6 +2177,7 @@ def _ds1_case_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from healthcare_api_spark.operators.layout import (
+        morton_key3_sql,
         morton_key_sql,
         rank_normalize16_sql,
     )
@@ -2794,6 +2813,11 @@ def oracle_sql() -> dict[str, str]:
         "fs6_page_non_unique": (
             "SELECT doc_id, n_chars FROM documents"
             " ORDER BY n_chars ASC, doc_id ASC LIMIT 120"
+        ),
+        "l3_zorder3": (
+            "SELECT l_orderkey, l_linenumber, CAST("
+            + morton_key3_sql("l_orderkey", "l_partkey", "l_suppkey")
+            + " AS BIGINT) AS zkey3 FROM lineitem"
         ),
         # a11: identical smoothed-PSI arithmetic over the bucket frame
         "a11_psi_drift": (

@@ -173,3 +173,48 @@ def bloom_filter_options(cols: list[str], ndv: int = 100_000) -> dict[str, str]:
         opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
         opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(ndv)
     return opts
+
+
+# 3-D bit-spreading masks: low 10 bits → every 3rd bit of a 30-bit lane
+_SPREAD3 = [
+    (16, 0x030000FF),
+    (8, 0x0300F00F),
+    (4, 0x030C30C3),
+    (2, 0x09249249),
+]
+
+
+def _spread10_3(c: Column) -> Column:
+    """Spread the low 10 bits of ``c`` to every 3rd bit position
+    (0b_abc → 0b_a00b00c)."""
+    x = c.cast("bigint").bitwiseAND(F.lit(0x3FF))
+    for shift, mask in _SPREAD3:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def morton_key3(a: Column, b: Column, c: Column) -> Column:
+    """Interleave the low 10 bits of three non-negative integer columns
+    into one 30-bit 3-D Z-order key — row-group stats then prune on any
+    of the THREE dimensions. Same rank-normalization guidance as the
+    2-D key (use ``rank_normalize16`` with ``bits=10`` for skewed or
+    high-cardinality columns)."""
+    return (
+        _spread10_3(a)
+        .bitwiseOR(F.shiftleft(_spread10_3(b), 1))
+        .bitwiseOR(F.shiftleft(_spread10_3(c), 2))
+    )
+
+
+def morton_key3_sql(a_expr: str, b_expr: str, c_expr: str) -> str:
+    """``morton_key3`` as engine-portable SQL for the oracle."""
+
+    def spread(e: str) -> str:
+        x = f"(CAST({e} AS BIGINT) & 1023)"
+        for shift, mask in _SPREAD3:
+            x = f"(({x} | ({x} << {shift})) & {mask})"
+        return x
+
+    return (
+        f"({spread(a_expr)} | ({spread(b_expr)} << 1) | ({spread(c_expr)} << 2))"
+    )

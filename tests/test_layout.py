@@ -133,3 +133,25 @@ def test_zorder_by_sorts_and_attaches_key(spark):
     # narrow: no Exchange introduced by sortWithinPartitions
     plan = zorder_by(df, "x", "y")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_morton_key3_per_bit_reference(spark):
+    from healthcare_api_spark.operators.layout import morton_key3
+
+    def ref(a, b, c):
+        k = 0
+        for i in range(10):
+            k |= ((a >> i) & 1) << (3 * i)
+            k |= ((b >> i) & 1) << (3 * i + 1)
+            k |= ((c >> i) & 1) << (3 * i + 2)
+        return k
+
+    cases = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1), (1023, 1023, 1023),
+             (5, 700, 123), (1024 + 5, 0, 0)]  # >10 bits masked off
+    df = spark.createDataFrame(cases, ["a", "b", "c"])
+    rows = df.select(
+        "a", "b", "c",
+        morton_key3(F.col("a"), F.col("b"), F.col("c")).alias("k"),
+    ).collect()
+    for r in rows:
+        assert r["k"] == ref(r["a"] & 1023, r["b"] & 1023, r["c"] & 1023)
