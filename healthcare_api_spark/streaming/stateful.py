@@ -69,3 +69,23 @@ def streaming_dedup(
         stream_df.groupBy(key_col)
         .applyInPandasWithState(dedup_fn, out_schema, state_schema, "update", timeout)
     )
+
+
+def streaming_dedup_within_watermark(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str,
+) -> DataFrame:
+    """Engine-native bounded-state streaming dedup: Spark's
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    event-time watermark passes the first-seen row, then evicts — the
+    built-in complement to the custom ``streaming_dedup`` (whose state
+    is processing-time-bounded and hand-managed). Use this when "same
+    key within the late-data horizon" is the dedup contract (exactly
+    the at-least-once-delivery retry window); use the custom operator
+    when the contract is first-ever-occurrence with explicit TTL.
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

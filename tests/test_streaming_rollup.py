@@ -267,3 +267,43 @@ def test_hopping_window_counts_overlap(spark):
         ("2024-01-01 10:00:00", 2),
         ("2024-01-01 10:30:00", 1),
     }
+
+
+def test_dedup_within_watermark_drops_retries(spark, tmp_path):
+    """A retried event (same id) inside the watermark horizon is dropped;
+    state is watermark-bounded, not forever."""
+    import json
+
+    from healthcare_api_spark.streaming.stateful import (
+        streaming_dedup_within_watermark,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        json.dumps({"id": 1, "ts": "2024-01-01 10:00:00"}) + "\n"
+        + json.dumps({"id": 1, "ts": "2024-01-01 10:00:05"}) + "\n"  # retry
+        + json.dumps({"id": 2, "ts": "2024-01-01 10:01:00"}) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("id long, ts string").json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = streaming_dedup_within_watermark(stream, ["id"], "ts", "10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_wm")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # a second batch retries id 1 again within the horizon
+        (src / "b2.json").write_text(
+            json.dumps({"id": 1, "ts": "2024-01-01 10:00:30"}) + "\n"
+            + json.dumps({"id": 3, "ts": "2024-01-01 10:02:00"}) + "\n"
+        )
+        q.processAllAvailable()
+        ids = sorted(r["id"] for r in spark.table("dedup_wm").collect())
+    finally:
+        q.stop()
+    assert ids == [1, 2, 3]
