@@ -176,3 +176,37 @@ def test_pack_sequences_conservation_property(spark, rows):
         assert r["first_seq"] == r["start_tok"] // 7
         assert r["last_seq"] == max(r["start_tok"] + r["n_tokens"] - 1, r["start_tok"]) // 7
         assert r["first_seq"] <= r["last_seq"]
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=30),
+    page=st.integers(min_value=1, max_value=7),
+)
+def test_keyset_pagination_walk_lossless_property(spark, keys, page):
+    """Walking ANY table with heavily duplicated sort keys via composite
+    (key, id) page tokens yields exactly the total order — no row lost,
+    none duplicated, for every page size (the r2 keyset bug class)."""
+    from healthcare_api_spark.plans.search import (
+        SearchConfig,
+        SearchEngine,
+        encode_page_token,
+    )
+
+    rows = [(f"r{i:03d}", k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, ["id", "k"])
+    eng = SearchEngine(
+        {"T": df}, {"T": SearchConfig(params={"key": "k"})}
+    )
+    seen, tok = [], None
+    for _ in range(len(rows) + 2):
+        params = {"_sort": "key", "_count": str(page)}
+        if tok is not None:
+            params["_page_token"] = tok
+        got = eng.search("T", params).collect()
+        if not got:
+            break
+        seen += [(r["id"], r["k"]) for r in got]
+        tok = encode_page_token(got[-1]["k"], got[-1]["id"])
+    expect = sorted(rows, key=lambda r: (r[1], r[0]))
+    assert seen == expect
