@@ -96,32 +96,59 @@ def apply_rollup_batch(
     snapshot strictly older than ``batch_id`` and overwritten — same
     inputs, same output, no double count.
     """
+    apply_versioned_merge(
+        batch_df,
+        batch_id,
+        tier_path,
+        lambda existing, batch: refresh_tier(
+            existing, batch, ts_col, value_col, level, group_cols
+        ),
+        lambda spark: _empty_tier(spark, group_cols),
+        keep_versions=keep_versions,
+    )
+
+
+def apply_versioned_merge(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    merge_fn,
+    empty_fn,
+    keep_versions: int = 2,
+) -> None:
+    """Generic exactly-once micro-batch accumulator: merge ``batch_df``
+    into the versioned state at ``path`` via ``merge_fn(existing,
+    batch) -> DataFrame``, with the same snapshot/_SUCCESS/replay
+    semantics as the rollup tier (this is the shared skeleton —
+    continuous aggregates, heavy-hitter counts, any add-merge state).
+    ``empty_fn(spark)`` supplies the empty state frame for the first
+    batch."""
     from pyspark.errors import AnalysisException
 
     spark = batch_df.sparkSession
-    versions = _complete_versions(spark, tier_path)
+    versions = _complete_versions(spark, path)
     if versions and versions[-1] >= batch_id:
         return  # replayed batch already fully applied — idempotent skip
     prior = [v for v in versions if v < batch_id]
     if prior:
         try:
-            existing = spark.read.parquet(f"{tier_path}/v{prior[-1]}")
+            existing = spark.read.parquet(f"{path}/v{prior[-1]}")
         except AnalysisException as e:
             # Only a vanished path may fall back to empty; any other
             # read failure (corrupt footer, permissions) must NOT
             # silently replace accumulated history with one batch.
             if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
                 raise
-            existing = _empty_tier(spark, group_cols)
+            existing = empty_fn(spark)
     else:
-        existing = _empty_tier(spark, group_cols)
-    merged = refresh_tier(existing, batch_df, ts_col, value_col, level, group_cols)
-    merged.write.mode("overwrite").parquet(f"{tier_path}/v{batch_id}")
+        existing = empty_fn(spark)
+    merged = merge_fn(existing, batch_df)
+    merged.write.mode("overwrite").parquet(f"{path}/v{batch_id}")
     # prune snapshots older than the retained window (never the one
     # just written, and only after its _SUCCESS is down)
     for v in prior[: max(0, len(prior) - (keep_versions - 1))]:
-        fs, _, jvm = _fs_and_path(spark, tier_path)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{tier_path}/v{v}"), True)
+        fs, _, jvm = _fs_and_path(spark, path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/v{v}"), True)
 
 
 def streaming_rollup_refresh(

@@ -307,3 +307,37 @@ def test_dedup_within_watermark_drops_retries(spark, tmp_path):
     finally:
         q.stop()
     assert ids == [1, 2, 3]
+
+
+def test_streaming_top_tokens_matches_batch(spark, tmp_path):
+    """Two micro-batches of continuous heavy-hitter maintenance == the
+    batch top_tokens over the union; replay cannot double-count."""
+    import json
+
+    from healthcare_api_spark.operators.textops import top_tokens
+    from healthcare_api_spark.streaming.topk import (
+        read_top_tokens,
+        streaming_top_tokens,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    b1 = ["the cat and the dog", "the dog barks"]
+    b2 = ["a cat naps", "the cat wins the day"]
+    (src / "b1.json").write_text("\n".join(json.dumps({"text": t}) for t in b1) + "\n")
+    stream = spark.readStream.schema("text string").json(str(src))
+    state = str(tmp_path / "state")
+    q = streaming_top_tokens(stream, "text", state, checkpoint=str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        (src / "b2.json").write_text(
+            "\n".join(json.dumps({"text": t}) for t in b2) + "\n"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [(r["tok"], r["cnt"]) for r in read_top_tokens(spark, state, k=5).collect()]
+    batch = spark.createDataFrame([(t,) for t in b1 + b2], ["text"])
+    expect = [(r["tok"], r["cnt"]) for r in top_tokens(batch, "text", k=5).collect()]
+    assert got == expect
+    assert got[0] == ("the", 5)
