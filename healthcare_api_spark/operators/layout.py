@@ -109,10 +109,14 @@ def rank_normalize16(
     w = Window.partitionBy("_pid").orderBy(col)
     ranks = (
         ranged.withColumn("_lr", F.row_number().over(w))
-        .withColumn("_grank", off_map[F.col("_pid")] + F.col("_lr") - 1)
+        # BIGINT before the scale-up: INT·65536 silently wraps negative
+        # past 32767 distinct values (ANSI off) — only visible at scale
+        .withColumn(
+            "_grank", (off_map[F.col("_pid")] + F.col("_lr") - 1).cast("bigint")
+        )
         .select(
             F.col(col).alias("_rv"),
-            F.expr(f"(_grank * {n}) DIV {total}").cast("bigint").alias(out_col),
+            F.expr(f"(_grank * {n}L) DIV {total}").cast("bigint").alias(out_col),
         )
     )
     return df.join(ranks, df[col] == F.col("_rv"), "left").drop("_rv")
