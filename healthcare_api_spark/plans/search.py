@@ -25,6 +25,8 @@ Supported grammar (each an entry in §2.7's capability table):
                                (_has:Obs:patient:subject.name=v) and
                                nested _has all compose
     _include=Type:ref          include referenced rows (left join)
+    _include:iterate=Type:ref  transitive includes over already-included
+                               resources (depth-capped)
     _revinclude=Type:ref       include referencing rows
     _sort=[-]field             sort; chained keys (_sort=subject.name)
                                left-join the referenced field in
@@ -196,6 +198,7 @@ class SearchEngine:
         page_token: str | None = None
         includes: list[str] = []
         revincludes: list[tuple[str, str]] = []
+        iterate_specs: list[tuple[str, str]] = []
         # `_sort_N` columns joined in for chained sort keys — dropped
         # from the result unless the query pages (tokens need the values)
         chained_sort_cols: list[str] = []
@@ -234,6 +237,14 @@ class SearchEngine:
                             f"type '{resource_type}'"
                         )
                     includes.append(rp)
+            elif key == "_include:iterate":
+                # transitive include (FHIR R4): Type:ref applies to any
+                # ALREADY-INCLUDED resource of that type, repeatedly,
+                # depth-capped — each hop is one more 1:1 left join on
+                # the returned page only
+                for spec in raw.split(","):
+                    src_t, _, rp = spec.partition(":")
+                    iterate_specs.append((src_t, rp))
             elif key == "_revinclude":
                 for spec in raw.split(","):
                     src_t, _, rp = spec.partition(":")
@@ -428,8 +439,38 @@ class SearchEngine:
             df = df.limit(count)
         # includes join AFTER the limit: only the returned page pays the
         # join, and each is a 1:1 left join (no row multiplication)
+        included_types: dict[str, str] = {}
         for rp in includes:
             df = self.include(df, resource_type, rp)
+            included_types[f"included_{rp}"] = cfg.reference_params[rp][1]
+        # _include:iterate — follow references OF included resources,
+        # repeating while new columns appear (depth cap bounds cycles
+        # like Organization.partOf)
+        for _depth in range(3):
+            added: dict[str, str] = {}
+            for col, ctype in included_types.items():
+                t_cfg = self.configs.get(ctype, SearchConfig())
+                for src_t, rp in iterate_specs:
+                    if src_t != ctype or rp not in t_cfg.reference_params:
+                        continue
+                    out_col = f"{col}_{rp}"
+                    if out_col in df.columns:
+                        continue
+                    ref_col, target_type = t_cfg.reference_params[rp]
+                    target = self.tables[target_type]
+                    t_id = self.configs.get(target_type, SearchConfig()).id_col
+                    inc = target.select(
+                        F.struct(*target.columns).alias(out_col)
+                    ).withColumn("_k", F.col(f"{out_col}.{t_id}"))
+                    df = df.join(
+                        inc,
+                        ref_id(F.col(f"{col}.{ref_col}")) == F.col("_k"),
+                        "left",
+                    ).drop("_k")
+                    added[out_col] = target_type
+            if not added:
+                break
+            included_types.update(added)
         for src_t, rp in revincludes:
             df = self.revinclude(df, src_t, rp)
         if chained_sort_cols and count is None and page_token is None:

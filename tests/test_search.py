@@ -453,3 +453,51 @@ def test_inverted_index_search(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         search_all_tokens(idx, "id", [])
+
+
+def test_include_iterate_transitive(spark):
+    # Observation → Patient (_include) → Organization (_include:iterate),
+    # and a self-referential hop (Organization.partOf) stops at the cap
+    patients = spark.createDataFrame(
+        [("p1", "Organization/o1"), ("p2", None)], ["id", "org_ref"]
+    )
+    orgs = spark.createDataFrame(
+        [("o1", "Organization/o2", "Clinic A"),
+         ("o2", None, "Network HQ")],
+        ["id", "partof_ref", "name"],
+    )
+    obs = spark.createDataFrame(
+        [("ob1", "Patient/p1"), ("ob2", "Patient/p2")], ["id", "subject_ref"]
+    )
+    eng = SearchEngine(
+        {"Observation": obs, "Patient": patients, "Organization": orgs},
+        {
+            "Observation": SearchConfig(
+                reference_params={"subject": ("subject_ref", "Patient")}
+            ),
+            "Patient": SearchConfig(
+                reference_params={"organization": ("org_ref", "Organization")}
+            ),
+            "Organization": SearchConfig(
+                reference_params={"partof": ("partof_ref", "Organization")}
+            ),
+        },
+    )
+    out = eng.search(
+        "Observation",
+        {
+            "_include": "Observation:subject",
+            "_include:iterate": "Patient:organization,Organization:partof",
+        },
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["ob1"]["included_subject"]["id"] == "p1"
+    assert rows["ob1"]["included_subject_organization"]["name"] == "Clinic A"
+    # second transitive hop: the org's parent org
+    assert rows["ob1"]["included_subject_organization_partof"]["name"] == "Network HQ"
+    # dangling chains stay null, never drop the row
+    assert rows["ob2"]["included_subject"]["id"] == "p2"
+    assert rows["ob2"]["included_subject_organization"] is None
+    # self-referential iterate is depth-capped, not infinite
+    iter_cols = [c for c in out.columns if "partof" in c]
+    assert 1 <= len(iter_cols) <= 3
