@@ -82,6 +82,11 @@ _DOCS_DUP_SQL = (
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
 
+from healthcare_api_spark.functions.text import ACCENT_FROM as _ACCENTS
+from healthcare_api_spark.functions.text import fold_accents_sql as _fold_sql
+
+_FOLD_SQL = _fold_sql("text")
+
 
 # --------------------------------------------------------- entry (smoke) --
 
@@ -1575,6 +1580,34 @@ def q_x6_ltob_downsample(spark, sf_dir):
     )
 
 
+def q_t15_fold_accents(spark, sf_dir):
+    """Accent folding as a corpus-normalization pass: fold the text,
+    count affected docs/chars — 'naïve'≠'naive' variants defeat exact
+    and shingle dedup unless this runs first. Narrow translate, scan
+    speed at any size."""
+    from healthcare_api_spark.functions.text import ACCENT_FROM, fold_accents
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    # the synthetic corpus is pure ASCII — give every EVEN doc a
+    # doc_id-derived accented prefix (the oracle mirrors the injection)
+    # so the map itself is what the hash pins
+    n = len(ACCENT_FROM)
+    accented = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.expr(f"substring('{ACCENT_FROM}', CAST(doc_id % {n} AS INT) + 1, 1)"),
+            F.lit(" "),
+            F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(fold_accents(accented)).alias("folded_md5"),
+        (accented != fold_accents(accented)).cast("int").alias("had_accents"),
+    )
+
+
 def q_l3_zorder3(spark, sf_dir):
     """3-D Z-order key over lineitem (orderkey, partkey, suppkey) —
     row-group stats prune on ANY of the three join keys after a sort by
@@ -1942,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s12_snapshot_diff": q_s12_snapshot_diff,
         "a11_psi_drift": q_a11_psi_drift,
         "l3_zorder3": q_l3_zorder3,
+        "t15_fold_accents": q_t15_fold_accents,
         "s8_upsert_lastwin": q_s8_upsert_lastwin,
         "s9_bucketed_upsert": q_s9_bucketed_upsert,
         "st1_tumbling_window": q_st1_tumbling_window,
@@ -2813,6 +2847,15 @@ def oracle_sql() -> dict[str, str]:
         "fs6_page_non_unique": (
             "SELECT doc_id, n_chars FROM documents"
             " ORDER BY n_chars ASC, doc_id ASC LIMIT 120"
+        ),
+        "t15_fold_accents": (
+            "WITH a AS (SELECT doc_id,"
+            "  CASE WHEN doc_id % 2 = 0 THEN"
+            f"   substring('{_ACCENTS}', CAST(doc_id % {len(_ACCENTS)} AS INT) + 1, 1)"
+            "    || ' ' || text ELSE text END AS text FROM documents)"
+            " SELECT doc_id, md5(" + _FOLD_SQL + ") AS folded_md5,"
+            " CAST(text != " + _FOLD_SQL + " AS INTEGER) AS had_accents"
+            " FROM a"
         ),
         "l3_zorder3": (
             "SELECT l_orderkey, l_linenumber, CAST("

@@ -67,3 +67,25 @@ def seeded_hash(c: Column, seed: int) -> Column:
 def fingerprint(c: Column) -> Column:
     """Document fingerprint: md5 of normalized text (SURVEY.md §2.10)."""
     return F.md5(normalize_text(c))
+
+
+# accent-folding map (kept FROM/TO aligned; both engines' `translate`
+# is 1:1 char-positional, so the pair must stay in lockstep)
+ACCENT_FROM = "àáâãäåāçćèéêëēìíîïīñòóôõöōùúûüūýÿžšÀÁÂÃÄÅĀÇĆÈÉÊËĒÌÍÎÏĪÑÒÓÔÕÖŌÙÚÛÜŪÝŽŠ"
+ACCENT_TO = "aaaaaaacceeeeeiiiiinoooooouuuuuyyzsAAAAAAACCEEEEEIIIIINOOOOOOUUUUUYZS"
+assert len(ACCENT_FROM) == len(ACCENT_TO)
+
+
+def fold_accents(c: Column) -> Column:
+    """Latin accent folding (café → cafe) — the normalize-before-dedup
+    step that keeps 'naïve'/'naive' variants from defeating exact and
+    shingle dedup. Pure `translate` (narrow, codegen, engine-portable:
+    the identical call runs in any SQL engine for oracle parity). For
+    full Unicode NFKD folding bring ICU at the edge; this map covers
+    the Latin-1/Latin-A accents that dominate European corpora."""
+    return F.translate(c, ACCENT_FROM, ACCENT_TO)
+
+
+def fold_accents_sql(expr: str) -> str:
+    """The identical fold as portable SQL for the correctness oracle."""
+    return f"translate({expr}, '{ACCENT_FROM}', '{ACCENT_TO}')"

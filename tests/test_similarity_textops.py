@@ -313,3 +313,16 @@ def test_knn_join_per_query_topk(spark):
     assert [nn for _, nn, _ in sorted(by_q[1])] == [2, 5]
     # opposite vector 4 is never a top neighbor of 1
     assert all(nn != 4 for _, nn, _ in by_q[1])
+
+
+def test_fold_accents(spark):
+    from healthcare_api_spark.functions.text import fold_accents
+
+    df = spark.createDataFrame(
+        [(1, "café naïve señor Ñandú"), (2, "plain ascii"), (3, None)],
+        ["id", "t"],
+    )
+    out = {r["id"]: r["f"] for r in df.select("id", fold_accents(F.col("t")).alias("f")).collect()}
+    assert out[1] == "cafe naive senor Nandu"
+    assert out[2] == "plain ascii"
+    assert out[3] is None
