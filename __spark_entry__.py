@@ -1187,10 +1187,20 @@ def q_ds2_pack_sequences(spark, sf_dir):
 def q_t8_quality_gate(spark, sf_dir):
     """Composite Gopher-style gate with auditable reasons array; the
     repetitive threshold is tuned to this corpus's dup distribution so
-    multiple rules carry signal."""
+    multiple rules carry signal.
+
+    The operator emits ``reasons`` as array<string>; the QUERY flattens
+    it with array_join so the driver's pandas canonicalizer (which
+    cannot factorize list cells) can hash it — r3 harness error."""
     _tune(spark)
-    return curation.quality_gate(
+    gated = curation.quality_gate(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_dup_ngram_frac=0.08
+    )
+    return gated.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("reasons", "|").alias("reasons"),
+        "passes",
     )
 
 
@@ -2717,7 +2727,8 @@ def oracle_sql() -> dict[str, str]:
             "  || CAST(CASE WHEN stop < 0.01 THEN ['low-stopword'] ELSE [] END AS VARCHAR[])"
             "  || CAST(CASE WHEN dup > 0.08 THEN ['repetitive'] ELSE [] END AS VARCHAR[])"
             "  AS reasons FROM j)"
-            " SELECT doc_id, n_tokens, reasons,"
+            " SELECT doc_id, n_tokens,"
+            " coalesce(array_to_string(reasons, '|'), '') AS reasons,"
             " CASE WHEN len(reasons) = 0 THEN 1 ELSE 0 END AS passes FROM r"
         ),
         "d8_boilerplate_lines": (
