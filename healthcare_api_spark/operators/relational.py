@@ -102,6 +102,12 @@ def keyset_page(df: DataFrame, key, after, page_size: int) -> DataFrame:
     of the previous page. The composite bound is the row-value comparison
     ``k1 > a1 OR (k1 = a1 AND k2 > a2) OR …`` — still a sargable range
     predicate Catalyst pushes into the scan.
+
+    NULL key values are paged through, not dropped: the sort is
+    ascending (Spark asc = NULLs FIRST), so a ``None`` in ``after``
+    means "past the NULL block on this key" (``isNotNull`` term) and
+    the equality chain uses ``eqNullSafe`` so NULL-keyed rows keep
+    advancing on the later (tie-break) keys.
     """
     keys = [key] if isinstance(key, str) else list(key)
     out = df
@@ -112,11 +118,16 @@ def keyset_page(df: DataFrame, key, after, page_size: int) -> DataFrame:
         pred = None
         eqs = None
         for k, b in zip(keys, bounds):
-            term = F.col(k) > F.lit(b)
+            c = F.col(k)
+            if b is None:
+                term = c.isNotNull()
+                eq = c.isNull()
+            else:
+                term = c > F.lit(b)
+                eq = c.eqNullSafe(F.lit(b))
             if eqs is not None:
                 term = eqs & term
             pred = term if pred is None else pred | term
-            eq = F.col(k) == F.lit(b)
             eqs = eq if eqs is None else eqs & eq
         out = out.filter(pred)
     return out.orderBy(*[F.col(k).asc() for k in keys]).limit(page_size)

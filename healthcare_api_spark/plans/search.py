@@ -46,16 +46,26 @@ from healthcare_api_spark.functions.refs import ref_id
 
 # Opaque page-token encoding: one value per sort key (incl. the id
 # tie-break), joined on the ASCII unit separator — a byte that cannot
-# appear in FHIR ids/dates/numbers.
+# appear in FHIR ids/dates/numbers. NULL sort values get their own
+# sentinel byte (NOT ""): "" would be cast to a typed NULL by
+# _typed_lit for numeric/date keys, making the whole composite bound
+# NULL and silently filtering every row — pages after a NULL-keyed row
+# would come back empty. NULLs are reachable via chained sort keys
+# (dangling references sort NULLs-first).
 PAGE_TOKEN_SEP = "\x1f"
+PAGE_TOKEN_NULL = "\x00"
 
 
 def encode_page_token(*values) -> str:
     """Build a ``_page_token`` from the final row of a page: one value
     per effective sort key, in `_sort` order WITH the id tie-break last
     (the engine appends the configured ``id_col`` to `_sort` whenever a
-    page token is used, so a token always carries it)."""
-    return PAGE_TOKEN_SEP.join("" if v is None else str(v) for v in values)
+    page token is used, so a token always carries it). ``None`` values
+    are encoded as the NULL sentinel and paged through null-aware
+    bounds — no rows are lost around NULL-keyed blocks."""
+    return PAGE_TOKEN_SEP.join(
+        PAGE_TOKEN_NULL if v is None else str(v) for v in values
+    )
 
 
 _PREFIX_OPS = {
@@ -413,13 +423,23 @@ class SearchEngine:
             pred = None
             eqs = None
             for (colpath, desc), raw_bound in zip(sort_fields, bounds):
-                b = _typed_lit(df, colpath, raw_bound)
                 c = F.col(colpath)
-                term = (c < b) if desc else (c > b)
+                # Null-aware composite bound, matching Spark's sort-null
+                # placement (asc → NULLs first, desc → NULLs last):
+                #   asc,  bound NULL    → everything non-null is "after"
+                #   asc,  bound non-null→ c > b (NULL c already emitted)
+                #   desc, bound non-null→ c < b OR c IS NULL (NULLs last)
+                #   desc, bound NULL    → nothing after on this key
+                if raw_bound == PAGE_TOKEN_NULL:
+                    term = F.lit(False) if desc else c.isNotNull()
+                    eq = c.isNull()
+                else:
+                    b = _typed_lit(df, colpath, raw_bound)
+                    term = ((c < b) | c.isNull()) if desc else (c > b)
+                    eq = c.eqNullSafe(b)
                 if eqs is not None:
                     term = eqs & term
                 pred = term if pred is None else pred | term
-                eq = c == b
                 eqs = eq if eqs is None else eqs & eq
             df = df.filter(pred)
         elif (

@@ -66,7 +66,17 @@ def read_csv(
     of failing the job. ``multiline=True`` is required when quoted
     fields contain newlines — note it makes files non-splittable (one
     task per file), so at 100 TB prefer many medium files or convert to
-    a splittable format at the edge."""
+    a splittable format at the edge.
+
+    ``keep_corrupt`` requires an explicit ``schema``: Spark only honors
+    ``columnNameOfCorruptRecord`` on the schema branch, so an
+    inferred-schema read would silently drop the corrupt-capture
+    contract instead of honoring it."""
+    if keep_corrupt and schema is None:
+        raise ValueError(
+            "keep_corrupt=True requires an explicit schema — corrupt-record "
+            "capture does not apply to inferred-schema CSV reads"
+        )
     reader = (
         spark.read.option("mode", "PERMISSIVE")
         .option("header", str(header).lower())

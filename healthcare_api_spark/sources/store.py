@@ -192,15 +192,20 @@ class BucketedResourceStore(ResourceStore):
         carry tight min/max on BOTH columns and scans prune on either.
         """
         existing = self.spark.read.parquet(self._type_path(resource_type))
-        merged = existing.repartition(max(self.num_buckets * target_files, 1), "bucket")
+        merged = existing
         if zorder is not None:
             from healthcare_api_spark.operators.layout import zorder_by_ranked
 
+            # attach zkey FIRST: zorder_by_ranked's rank-normalize join
+            # re-shuffles when the distinct-rank frame is not broadcast
+            # sized, which would destroy a prior repartition-by-bucket
+            # and fragment each bucket across O(write-tasks) files
+            merged = zorder_by_ranked(merged, *zorder)
+        merged = merged.repartition(max(self.num_buckets * target_files, 1), "bucket")
+        if zorder is not None:
             # sort by (bucket, zkey): the partitionBy writer splits by
             # bucket, and rows inside each bucket file stay z-clustered
-            merged = zorder_by_ranked(merged, *zorder).sortWithinPartitions(
-                "bucket", "zkey"
-            ).drop("zkey")
+            merged = merged.sortWithinPartitions("bucket", "zkey").drop("zkey")
         merged_local = merged.localCheckpoint(eager=True)
         (
             merged_local.write.mode("overwrite")

@@ -82,6 +82,15 @@ def test_zorder_compaction_prunes_row_groups(spark, tmp_path):
     tbl = spark.read.parquet(f"{root}/resourceType=Order")
     all_files = set(tbl.inputFiles())
     assert len(all_files) >= 8
+    # ADVICE r3: the rank-normalize join inside zorder_by_ranked must
+    # not destroy the bucket distribution — each write task emits whole
+    # buckets, so a bucket's file count is bounded by its rows /
+    # maxRecordsPerFile (~16 at 2048 rows), not O(write-tasks × buckets)
+    from collections import Counter
+
+    per_bucket = Counter(f.rsplit("/", 2)[1] for f in all_files)
+    for bucket, nfiles in per_bucket.items():
+        assert nfiles <= 18, (bucket, nfiles, sorted(per_bucket.items()))
     # assert pruning via parquet row-group min/max stats: count groups
     # whose [min, max] overlaps a narrow range on each dimension
     import pyarrow.parquet as pq

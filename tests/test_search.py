@@ -396,6 +396,68 @@ def test_page_token_non_unique_sort_key(spark):
     assert seen == [f"r{i}" for i in range(7)]
 
 
+def _page_all(eng, sort, count, key_field):
+    seen, tok = [], None
+    for _ in range(20):
+        params = {"_sort": sort, "_count": str(count)}
+        if tok is not None:
+            params["_page_token"] = tok
+        page = eng.search("Observation", params).collect()
+        if not page:
+            break
+        seen += [r["id"] for r in page]
+        tok = encode_page_token(page[-1][key_field], page[-1]["id"])
+    return seen
+
+
+@pytest.mark.parametrize("coltype", ["string", "bigint"])
+def test_page_token_null_sort_values_lossless(spark, coltype):
+    # ADVICE r3 (medium): encode_page_token mapped None → "" which
+    # _typed_lit cast to a typed NULL for numeric/date keys, so the
+    # composite bound became NULL and later pages came back EMPTY.
+    # NULL sort keys are reachable (dangling chained references). Page
+    # size 2 forces boundaries inside the NULL block for both a string
+    # and a numeric sort column; asc (NULLs first) and desc (NULLs
+    # last) must both visit every row exactly once.
+    vals = [None, None, None, "2024-01-01", "2024-01-02", "2024-01-02", None]
+    if coltype == "bigint":
+        vals = [None if v is None else int(v.replace("-", "")) for v in vals]
+    rows = [(f"r{i}", v) for i, v in enumerate(vals)]
+    obs = spark.createDataFrame(rows, f"id string, effective {coltype}")
+    eng = SearchEngine(
+        {"Observation": obs},
+        {"Observation": SearchConfig(params={"date": "effective"})},
+    )
+    asc = _page_all(eng, "date", 2, "effective")
+    assert sorted(asc) == [f"r{i}" for i in range(7)]
+    # NULLs first on asc: the first two pages are the NULL block
+    assert set(asc[:4]) == {"r0", "r1", "r2", "r6"}
+    desc = _page_all(eng, "-date", 2, "effective")
+    assert sorted(desc) == [f"r{i}" for i in range(7)]
+    # NULLs last on desc
+    assert set(desc[3:]) == {"r0", "r1", "r2", "r6"}
+
+
+def test_keyset_page_null_keys_lossless(spark):
+    # ADVICE r3 (low): same NULL-boundary gap in the standalone
+    # relational.keyset_page — strict >/= comparisons dropped NULL-keyed
+    # rows; now a None bound means "past the NULL block".
+    from healthcare_api_spark.operators.relational import keyset_page
+
+    rows = [
+        ("a", None), ("b", None), ("c", 1), ("d", 1), ("e", 2), ("f", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, k bigint")
+    seen, after = [], None
+    for _ in range(10):
+        page = keyset_page(df, ["k", "id"], after, 2).collect()
+        if not page:
+            break
+        seen += [r["id"] for r in page]
+        after = (page[-1]["k"], page[-1]["id"])
+    assert seen == ["a", "b", "f", "c", "d", "e"]
+
+
 def test_include_revinclude(engine):
     obs = engine.search("Observation", {"subject": "Patient/p1"})
     inc = engine.include(obs, "Observation", "subject")

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from healthcare_api_spark.schemas import SCHEMAS
@@ -110,3 +111,8 @@ def test_csv_corrupt_capture_and_quoting(spark, tmp_path):
     corrupt = [r for r in got if r["_corrupt_record"] is not None]
     assert len(ok) == 1 and ok[0]["id"] == 1
     assert len(corrupt) == 1 and "not-a-long" in corrupt[0]["_corrupt_record"]
+
+    # ADVICE r3: corrupt capture is only honored on the schema branch —
+    # keep_corrupt without a schema is a hard error, not a silent no-op
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_csv(spark, str(bad), schema=None, keep_corrupt=True)
