@@ -2583,13 +2583,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "d3_simhash": _simhash_oracle(),
         "d4_ngram_jaccard": (
+            # multi-band candidates (4 independent one-row minhash bands,
+            # mirroring dedup.ngram_jaccard_pairs bands=4), exact verify
             f"WITH docs AS ({_DOCS_DUP_SQL}), {_shingle_cte()},"
-            " sets AS (SELECT doc_id, list(DISTINCT s) AS ss, min(md5('s0:' || s)) AS mh0"
-            " FROM sh GROUP BY doc_id)"
-            " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            " sets AS (SELECT doc_id, list(DISTINCT s) AS ss,"
+            "  min(md5('s0:' || s)) AS mh0, min(md5('s1:' || s)) AS mh1,"
+            "  min(md5('s2:' || s)) AS mh2, min(md5('s3:' || s)) AS mh3"
+            " FROM sh GROUP BY doc_id),"
+            " cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+            "  FROM sets a JOIN sets b ON a.doc_id < b.doc_id"
+            "  AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3))"
+            " SELECT c.id_a, c.id_b,"
             " round(len(list_intersect(a.ss, b.ss)) /"
             " (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6) AS jaccard"
-            " FROM sets a JOIN sets b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id"
+            " FROM cand c JOIN sets a ON a.doc_id = c.id_a"
+            " JOIN sets b ON b.doc_id = c.id_b"
             " WHERE len(list_intersect(a.ss, b.ss)) /"
             " (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.3"
         ),

@@ -215,47 +215,81 @@ def lsh_candidate_pairs(
 
 # -------------------------------------------------------------- jaccard --
 
+def _band_min_expr(set_col: str, band: int) -> Column:
+    """min(md5('s{band}:' || shingle)) — an independent per-row minhash
+    per band, computed as a narrow array expression (no explode). A
+    module-level helper keeps the HOF lambda at arity 1 (PySpark
+    dispatches transform() lambdas on arity)."""
+    prefix = f"s{band}:"
+    return F.array_min(
+        F.transform(F.col(set_col), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    num_hashes: int = 4,
+    bands: int = 4,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over LSH candidates.
+    """Exact n-gram Jaccard over multi-band LSH candidates.
 
-    Candidates come from minhash equality on mh0 (cheap single-band LSH);
-    the exact Jaccard then filters false positives. At scale the candidate
-    join is the only quadratic-risk step and is bounded by bucket sizes.
-    Output: (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a < id_b.
+    Candidates are docs agreeing on ANY of ``bands`` independent
+    one-row minhash bands (VERDICT r3 #3: a single band recalls only
+    ≈J of qualifying pairs — at threshold 0.3 that's ~30%; with b
+    independent bands recall is 1-(1-J)^b, ≈76% at b=4 and ≈94% at
+    b=8 for J=0.3, and higher for nearer duplicates). The exact
+    Jaccard verify keeps precision at 1.0 regardless of bands. Output:
+    (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a < id_b.
 
-    The shingle sets are persisted before the self-join: higher-order
-    lambda expressions (shingling, per-shingle md5) are interpreted, not
-    codegen'd, and projection collapse would otherwise re-evaluate them
-    on both join sides — the dominant cost at scale. The cached blocks
-    live until Spark's LRU evicts them or the caller runs
-    ``spark.catalog.clearCache()``; sessions running many dedup batches
-    should clear between batches.
+    Scale shape: signatures are narrow per-row expressions (zero
+    shuffle); the band self-join shuffles O(docs × bands) slim key
+    rows; candidate pairs are DISTINCT'd BEFORE the verify join so the
+    exact intersect runs once per pair, not once per shared band. The
+    shingle sets are persisted: higher-order lambdas (shingling,
+    per-shingle md5) are interpreted, not codegen'd, and projection
+    collapse would otherwise re-evaluate them on every join side — the
+    dominant cost at scale. The cached blocks live until Spark's LRU
+    evicts them or the caller runs ``spark.catalog.clearCache()``;
+    sessions running many dedup batches should clear between batches.
     """
+    if bands < 1:
+        raise ValueError("bands must be >= 1")
     sets = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("_set"),
-    ).withColumn("_mh0", F.array_min(F.transform(F.col("_set"), lambda s: F.md5(F.concat(F.lit("s0:"), s)))))
+    )
+    for b in range(bands):
+        sets = sets.withColumn(f"_mh{b}", _band_min_expr("_set", b))
     sets = sets.persist()
-    a = sets.select(
-        F.col("_id").alias("id_a"), F.col("_set").alias("set_a"), F.col("_mh0").alias("mh_a")
+    keys = None
+    for b in range(bands):
+        k = sets.select(
+            F.col("_id"), F.lit(b).alias("_band"), F.col(f"_mh{b}").alias("_mh")
+        )
+        keys = k if keys is None else keys.unionByName(k)
+    cand = (
+        keys.alias("l")
+        .join(
+            keys.alias("r"),
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._mh") == F.col("r._mh"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
     )
-    b = sets.select(
-        F.col("_id").alias("id_b"), F.col("_set").alias("set_b"), F.col("_mh0").alias("mh_b")
-    )
+    a = sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("set_a"))
+    b_ = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("set_b"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("double")
     union = (F.size(F.col("set_a")) + F.size(F.col("set_b"))).cast("double") - inter
     # threshold on the RAW ratio (rounding first would admit boundary
     # pairs just below threshold); round only for output
     return (
-        a.join(b, F.col("mh_a") == F.col("mh_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b_, "id_b")
         .filter((inter / union) >= threshold)
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
     )

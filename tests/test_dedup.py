@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from healthcare_api_spark.operators import dedup
@@ -101,6 +102,51 @@ def test_ngram_jaccard_scores(spark):
     scores = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
     assert scores[(1, 2)] == 1.0 and scores[(1, 5)] == 1.0
     assert all(a < b for a, b in scores)
+
+
+def test_ngram_jaccard_multiband_recall(spark):
+    """VERDICT r3 #3: single-band candidate recall at threshold 0.3 is
+    ≈J (~30%); multi-band must recover most qualifying pairs. Measured
+    against the EXHAUSTIVE all-pairs truth on a corpus of partially
+    overlapping docs; precision is exact (verify step), recall grows
+    monotonically with bands and clears a floor at bands=8."""
+    import itertools
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    rows = []
+    for i in range(40):
+        # overlapping sliding windows over a shared vocabulary stream →
+        # many pairs with jaccard in [0.3, 0.7]
+        toks = [base[(i + j) % len(base)] + str((i + j) // len(base)) for j in range(12)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def shingles(text):
+        w = text.split()
+        return {" ".join(w[k : k + 3]) for k in range(len(w) - 2)}
+
+    truth = set()
+    sets = {i: shingles(t) for i, t in rows}
+    for a, b in itertools.combinations(range(40), 2):
+        inter = len(sets[a] & sets[b])
+        if inter and inter / len(sets[a] | sets[b]) >= 0.3:
+            truth.add((a, b))
+    assert len(truth) >= 20  # the corpus actually exercises the regime
+
+    def found(bands):
+        got = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.3, bands=bands
+        )
+        return {(r["id_a"], r["id_b"]) for r in got.collect()}
+
+    f1, f4, f8 = found(1), found(4), found(8)
+    # precision exact: every reported pair is a true pair
+    assert f1 <= truth and f4 <= truth and f8 <= truth
+    # recall monotone in bands, and the default clears the single band
+    assert f1 <= f4 <= f8
+    assert len(f8) / len(truth) >= 0.8, (len(f8), len(truth))
+    with pytest.raises(ValueError, match="bands"):
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", bands=0)
 
 
 def test_simhash_identical_for_dups(spark):
