@@ -1959,14 +1959,26 @@ def q_fs5_search_text(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS LOAD-BEARING: the driver's correctness sweep verifies
-    # the FIRST 50 entries only (CORRECTNESS_r01/r02 are exactly that
-    # prefix). The prefix therefore holds every hash-verifiable query
-    # that has never had a driver-issued hash: the 9 round-3 additions,
-    # then the round-2 cohort (minus its rows-only members — the driver
-    # records no hash for those anyway, so they sit just behind the
-    # prefix with the other no-oracle queries for the judge's replica).
-    # The r02 sweep ∪ this prefix covers every hash-oracle query.
+    # the FIRST 50 entries only (CORRECTNESS_r01-r03 are exactly that
+    # prefix). The r4 prefix leads with the 9 hash queries that have
+    # NEVER had a driver-issued hash (m3/m4/m5, fs1-fs5, v1 — slipped
+    # three rounds behind the cap), the two whose query/oracle changed
+    # this round (t8 driver-hashable flatten, d4 multi-band semantics),
+    # and every new r4 query. tests/test_sweep_union.py now enforces
+    # the union property (r1∪r2∪r3∪r4 sweeps ⊇ all hash queries)
+    # mechanically instead of by NOTES.md discipline.
     return {
+        "m3_audio_features": q_m3_audio_features,
+        "m4_video_frames": q_m4_video_frames,
+        "m5_gif_decode": q_m5_gif_decode,
+        "fs1_search_token": q_fs1_search_token,
+        "fs2_search_range": q_fs2_search_range,
+        "fs3_search_count": q_fs3_search_count,
+        "fs4_search_sort_page": q_fs4_search_sort_page,
+        "fs5_search_text": q_fs5_search_text,
+        "v1_ann_topk": q_v1_ann_topk,
+        "t8_quality_gate": q_t8_quality_gate,
+        "d4_ngram_jaccard": q_d4_ngram_jaccard,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -1993,7 +2005,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_dedup_exact": q_d1_dedup_exact,
         "d2_dedup_minhash": q_d2_dedup_minhash,
         "d3_simhash": q_d3_simhash,
-        "d4_ngram_jaccard": q_d4_ngram_jaccard,
         "d5_embed_neardup": q_d5_embed_neardup,
         "d6_neardup_clusters": q_d6_neardup_clusters,
         "t1_lang_id": q_t1_lang_id,
@@ -2003,7 +2014,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_corpus_stats": q_t5_corpus_stats,
         "t6_repetition": q_t6_repetition,
         "t7_redact_pii": q_t7_redact_pii,
-        "t8_quality_gate": q_t8_quality_gate,
         "t9_top_tokens": q_t9_top_tokens,
         "t10_tfidf": q_t10_tfidf,
         "t11_unigram_logprob": q_t11_unigram_logprob,
@@ -2017,15 +2027,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds5_pack_global": q_ds5_pack_global,
         "m1_attachment_meta": q_m1_attachment_meta,
         "m2_image_decode": q_m2_image_decode,
-        "m3_audio_features": q_m3_audio_features,
-        "m4_video_frames": q_m4_video_frames,
-        "m5_gif_decode": q_m5_gif_decode,
-        "fs1_search_token": q_fs1_search_token,
-        "fs2_search_range": q_fs2_search_range,
-        "fs3_search_count": q_fs3_search_count,
-        "fs4_search_sort_page": q_fs4_search_sort_page,
-        "fs5_search_text": q_fs5_search_text,
-        "v1_ann_topk": q_v1_ann_topk,
         "w2_keyset_page": q_w2_keyset_page,
         "x7_lttb_downsample": q_x7_lttb_downsample,
         "v2_ann_lsh": q_v2_ann_lsh,

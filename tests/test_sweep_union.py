@@ -1,0 +1,64 @@
+"""Mechanical guard for the driver-evidence union property.
+
+The driver's correctness sweep hashes only the FIRST 50 ``queries()``
+entries each round (observed: CORRECTNESS_r01/r02/r03 are exactly that
+prefix). The repo's evidence contract is that every hash-verifiable
+query (one with an ``oracle_sql()`` twin) carries a driver-issued green
+hash in the UNION of all sweeps. Until round 3 that property lived only
+in NOTES.md discipline, and fs1–fs5 slipped through three rounds
+(VERDICT r3, "Next round" #5) — this test makes the slippage a red bar
+BEFORE the driver runs: it fails when some hash query has never been
+hash-green in a recorded sweep AND is not inside the upcoming 50-entry
+prefix.
+
+Caveat it cannot catch mechanically: a query whose SEMANTICS/oracle
+changed after its last green sweep still "looks" covered. Place such
+queries back at the head of the prefix when touching them (r4 does
+this for d4 and t8).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+SWEEP_PREFIX = 50
+
+
+def _load_entry():
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entrymod
+
+    return entrymod
+
+
+def test_every_hash_query_reaches_a_driver_sweep():
+    entrymod = _load_entry()
+    order = list(entrymod.queries().keys())
+    oracles = set(entrymod.oracle_sql().keys())
+    hash_queries = [q for q in order if q in oracles]
+
+    swept_green: set[str] = set()
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rows = json.loads(path.read_text())
+        for name, rec in rows.items():
+            if rec.get("hash_match") is True:
+                swept_green.add(name)
+
+    upcoming = set(order[:SWEEP_PREFIX])
+    missing = [q for q in hash_queries if q not in swept_green and q not in upcoming]
+    assert not missing, (
+        f"{len(missing)} hash-verifiable queries would still lack a "
+        f"driver-issued hash after the next {SWEEP_PREFIX}-entry sweep: "
+        f"{missing} — move them to the head of queries()"
+    )
+
+
+def test_oracle_keys_are_a_subset_of_queries():
+    entrymod = _load_entry()
+    qs = set(entrymod.queries().keys())
+    orphans = set(entrymod.oracle_sql().keys()) - qs
+    assert not orphans, f"oracle_sql entries without a queries() twin: {orphans}"
