@@ -2584,12 +2584,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "d3_simhash": _simhash_oracle(),
         "d4_ngram_jaccard": (
-            # multi-band candidates (4 independent one-row minhash bands,
-            # mirroring dedup.ngram_jaccard_pairs bands=4), exact verify
+            # multi-band candidates (4 independent one-row minhash bands
+            # = 8-hex slices of ONE md5 per shingle, mirroring
+            # dedup.ngram_jaccard_pairs bands=4), exact verify
             f"WITH docs AS ({_DOCS_DUP_SQL}), {_shingle_cte()},"
             " sets AS (SELECT doc_id, list(DISTINCT s) AS ss,"
-            "  min(md5('s0:' || s)) AS mh0, min(md5('s1:' || s)) AS mh1,"
-            "  min(md5('s2:' || s)) AS mh2, min(md5('s3:' || s)) AS mh3"
+            "  min(substr(md5('0:' || s), 1, 8)) AS mh0,"
+            "  min(substr(md5('0:' || s), 9, 8)) AS mh1,"
+            "  min(substr(md5('0:' || s), 17, 8)) AS mh2,"
+            "  min(substr(md5('0:' || s), 25, 8)) AS mh3"
             " FROM sh GROUP BY doc_id),"
             " cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
             "  FROM sets a JOIN sets b ON a.doc_id < b.doc_id"

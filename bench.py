@@ -57,6 +57,10 @@ HEADLINE = [
     "x1_asof_join",
     "x3_hierarchical_rollup",
     "a6_grouping_sets",
+    # round 4: the three heaviest r3 additions tracked round-over-round
+    "d11_fuzzy_join",
+    "v5_knn_join",
+    "t14_bpe_pairs",
 ]
 
 N_STEADY = 3

@@ -215,14 +215,25 @@ def lsh_candidate_pairs(
 
 # -------------------------------------------------------------- jaccard --
 
-def _band_min_expr(set_col: str, band: int) -> Column:
-    """min(md5('s{band}:' || shingle)) — an independent per-row minhash
-    per band, computed as a narrow array expression (no explode). A
-    module-level helper keeps the HOF lambda at arity 1 (PySpark
-    dispatches transform() lambdas on arity)."""
-    prefix = f"s{band}:"
+def _md5_seed_expr(set_col: str, seed: int) -> Column:
+    """transform(set, s -> md5('{seed}:' || s)) — one interpreted md5
+    pass shared by FOUR bands (each band takes an 8-hex slice = 32
+    independent bits). A module-level helper keeps the HOF lambda at
+    arity 1 (PySpark dispatches transform() lambdas on arity)."""
+    prefix = f"{seed}:"
+    return F.transform(
+        F.col(set_col), lambda s: F.md5(F.concat(F.lit(prefix), s))
+    )
+
+
+def _band_min_expr(hashed_col: str, slot: int) -> Column:
+    """min over the slot'th 8-hex slice of the precomputed md5 array —
+    the per-band minhash, at 1/4 the hashing cost of a seeded md5 per
+    band (the dominant d4 cost: HOF lambdas are interpreted, so every
+    extra md5 pass over the shingle arrays is paid at full price)."""
+    start = slot * 8 + 1  # substring() is 1-based
     return F.array_min(
-        F.transform(F.col(set_col), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        F.transform(F.col(hashed_col), lambda m: F.substring(m, start, 8))
     )
 
 
@@ -233,6 +244,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     bands: int = 4,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over multi-band LSH candidates.
 
@@ -254,6 +266,14 @@ def ngram_jaccard_pairs(
     dominant cost at scale. The cached blocks live until Spark's LRU
     evicts them or the caller runs ``spark.catalog.clearCache()``;
     sessions running many dedup batches should clear between batches.
+
+    ``broadcast_candidates`` (default True) broadcasts the slim
+    (id_a, id_b) candidate list into the verify joins — the shingle
+    sets then never shuffle (measured 2× on the whole query). The list
+    is band-collision-bounded, ~tens of bytes per candidate, but it IS
+    corpus-dependent: for corpora whose candidate count exceeds driver
+    memory (billions of near-dup pairs), pass False to fall back to
+    shuffle joins on the id — the plan a 100 TB run wants anyway.
     """
     if bands < 1:
         raise ValueError("bands must be >= 1")
@@ -261,15 +281,20 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("_set"),
     )
+    for seed in range((bands + 3) // 4):
+        sets = sets.withColumn(f"_hs{seed}", _md5_seed_expr("_set", seed))
     for b in range(bands):
-        sets = sets.withColumn(f"_mh{b}", _band_min_expr("_set", b))
+        sets = sets.withColumn(f"_mh{b}", _band_min_expr(f"_hs{b // 4}", b % 4))
+    sets = sets.drop(*[f"_hs{s}" for s in range((bands + 3) // 4)])
     sets = sets.persist()
-    keys = None
-    for b in range(bands):
-        k = sets.select(
-            F.col("_id"), F.lit(b).alias("_band"), F.col(f"_mh{b}").alias("_mh")
-        )
-        keys = k if keys is None else keys.unionByName(k)
+    # one generator pass (not a 4-way union): band = position in the
+    # minhash array — a single scan of the cached sets emits all keys
+    keys = sets.select(
+        F.col("_id"),
+        F.posexplode(F.array(*[F.col(f"_mh{b}") for b in range(bands)])).alias(
+            "_band", "_mh"
+        ),
+    )
     cand = (
         keys.alias("l")
         .join(
@@ -285,11 +310,14 @@ def ngram_jaccard_pairs(
     b_ = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("set_b"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("double")
     union = (F.size(F.col("set_a")) + F.size(F.col("set_b"))).cast("double") - inter
+    verify = (
+        a.join(F.broadcast(cand), "id_a") if broadcast_candidates
+        else cand.join(a, "id_a")
+    )
     # threshold on the RAW ratio (rounding first would admit boundary
     # pairs just below threshold); round only for output
     return (
-        cand.join(a, "id_a")
-        .join(b_, "id_b")
+        verify.join(b_, "id_b")
         .filter((inter / union) >= threshold)
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
     )
