@@ -1899,6 +1899,65 @@ def q_m6_jpeg_decode(spark, sf_dir):
     )
 
 
+def q_m7_progressive_jpeg(spark, sf_dir):
+    """PROGRESSIVE JPEG (SOF2) decode (VERDICT r3 #4): synthesize a
+    spectral-selection + successive-approximation payload per doc (DC
+    Al=1 first scan + DC refinement, two AC bands Al=1 + AC refinement
+    scans — all four progressive decode paths), then run the full
+    multi-scan decoder and checksum the pixels. Same analytic
+    constant-block trick as m6: uniform quant=8 makes the pipeline
+    bit-exact, so the oracle recomputes px_sum per block grid; any
+    EOB-run, correction-bit, refinement or band-ordering bug
+    hash-mismatches."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_api_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_progressive_jpeg_bytes,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 48 + 8, d % 32 + 8
+                bx, by = np.arange(w) // 8, np.arange(h) // 8
+                img = ((7 * bx[None, :] + 11 * by[:, None] + d) % 256).astype(np.uint8)
+                payloads.append(
+                    encode_progressive_jpeg_bytes(img, quant=8, successive=True)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    jpgs = docs.mapInPandas(_gen, "doc_id long, data binary")
+    px = decode_jpeg(jpgs, "doc_id", "data")
+
+    def _sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "channels": pdf["channels"],
+                    "px_sum": [
+                        int(np.frombuffer(p, dtype=np.uint8).sum()) if p is not None else None
+                        for p in pdf["pixels"]
+                    ],
+                }
+            )
+
+    return px.mapInPandas(
+        _sum, "doc_id long, width int, height int, channels int, px_sum long"
+    )
+
+
 def _tpch_fhir_engine(spark, sf_dir) -> SearchEngine:
     """TPC-H tables reshaped as FHIR-style resources (id + Type/id refs)
     so reverse-chain grammar runs over real reference topology:
@@ -1979,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_ann_topk": q_v1_ann_topk,
         "t8_quality_gate": q_t8_quality_gate,
         "d4_ngram_jaccard": q_d4_ngram_jaccard,
+        "m7_progressive_jpeg": q_m7_progressive_jpeg,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3077,6 +3137,20 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT doc_id, doc_id % 56 + 8 AS w, doc_id % 40 + 8 AS h"
             "       FROM documents) d,"
             " generate_series(0, 7) AS gx(bx), generate_series(0, 5) AS gy(by)"
+            " WHERE gx.bx <= (d.w - 1) // 8 AND gy.by <= (d.h - 1) // 8"
+            " GROUP BY d.doc_id, d.w, d.h"
+        ),
+        # m7: same analytic trick for the PROGRESSIVE decoder (w ≤ 55,
+        # h ≤ 39 → block grid 0..6 × 0..4)
+        "m7_progressive_jpeg": (
+            "SELECT d.doc_id, CAST(d.w AS INTEGER) AS width,"
+            " CAST(d.h AS INTEGER) AS height, CAST(1 AS INTEGER) AS channels,"
+            " CAST(SUM(((7*gx.bx + 11*gy.by + d.doc_id) % 256)"
+            "   * LEAST(8, d.w - 8*gx.bx) * LEAST(8, d.h - 8*gy.by)) AS BIGINT)"
+            " AS px_sum"
+            " FROM (SELECT doc_id, doc_id % 48 + 8 AS w, doc_id % 32 + 8 AS h"
+            "       FROM documents) d,"
+            " generate_series(0, 6) AS gx(bx), generate_series(0, 4) AS gy(by)"
             " WHERE gx.bx <= (d.w - 1) // 8 AND gy.by <= (d.h - 1) // 8"
             " GROUP BY d.doc_id, d.w, d.h"
         ),

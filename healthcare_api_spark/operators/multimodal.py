@@ -537,6 +537,32 @@ def _quantized_blocks(plane, bh8: int, bw8: int, qtab):
     return np.round(coef / qtab).astype(np.int32)
 
 
+def _jpeg_plane_prep(a, subsampling: str):
+    """Shared encoder front: RGB→YCbCr (BT.601), optional 4:2:0 chroma
+    downsample. Returns (planes float64, sampling factors)."""
+    import numpy as np
+
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    if a.ndim == 2:
+        return [a.astype(np.float64)], [(1, 1)]
+    rgb = a.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+    y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
+    if subsampling == "420":
+        # downsample chroma by 2×2 mean over the edge-padded-to-even plane
+        def down2(p):
+            pe = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+            return (
+                pe.reshape(pe.shape[0] // 2, 2, pe.shape[1] // 2, 2).mean(axis=(1, 3))
+            )
+
+        return [y, down2(cb), down2(cr)], [(2, 2), (1, 1), (1, 1)]
+    return [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+
+
 def encode_jpeg_bytes(
     arr, quant: int = 8, subsampling: str = "444", restart_interval: int = 0
 ) -> bytes:
@@ -552,34 +578,9 @@ def encode_jpeg_bytes(
 
     import numpy as np
 
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     a = np.asarray(arr, dtype=np.uint8)
-    gray = a.ndim == 2
     h, w = a.shape[:2]
-    if gray:
-        planes = [a.astype(np.float64)]
-        samp = [(1, 1)]
-    else:
-        rgb = a.astype(np.float64)
-        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
-        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
-        y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
-        if subsampling == "420":
-            # downsample chroma by 2×2 mean over the edge-padded-to-even plane
-            def down2(p):
-                pe = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
-                return (
-                    pe.reshape(pe.shape[0] // 2, 2, pe.shape[1] // 2, 2).mean(axis=(1, 3))
-                )
-
-            planes = [y, down2(cb), down2(cr)]
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            planes = [y, cb, cr]
-            samp = [(1, 1), (1, 1), (1, 1)]
-
+    planes, samp = _jpeg_plane_prep(a, subsampling)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -661,6 +662,222 @@ def encode_jpeg_bytes(
     return bytes(out)
 
 
+# Progressive-encoder AC table: EOBn (n 0-14) + ZRL + (run × size),
+# 176 symbols, all 8-bit flat (valid canonical set, distinct from the
+# baseline table so baseline byte streams are untouched).
+_ENC_ACP_VALS = [n << 4 for n in range(15)] + [0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_ENC_ACP_BITS = [0, 0, 0, 0, 0, 0, 0, len(_ENC_ACP_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def encode_progressive_jpeg_bytes(
+    arr, quant: int = 8, subsampling: str = "444", successive: bool = True
+) -> bytes:
+    """Codec-free PROGRESSIVE JPEG (SOF2) encoder for tests/synthesis
+    — the counterpart that lets the progressive decode path be
+    exercised without any codec library in the environment.
+
+    Scan script: interleaved DC first scan, then per component two
+    spectral-selection AC bands ([1..5], [6..63]). With ``successive``
+    (default) every scan uses point transform Al=1 and is followed by
+    the matching refinement scan (DC: one raw bit per block; AC:
+    correction bits + EOB-run bookkeeping per T.81 G.1.2.3), so all
+    four progressive decode paths are exercised. The quantized
+    coefficients are identical to ``encode_jpeg_bytes`` at the same
+    ``quant``/``subsampling`` — a fully decoded progressive payload
+    must reproduce the baseline pixels byte-for-byte."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    planes, samp = _jpeg_plane_prep(a, subsampling)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    qtab = np.full((8, 8), quant, dtype=np.int32)
+    comps = [
+        _quantized_blocks(p, mcuy * sv, mcux * sh, qtab)
+        for p, (sh, sv) in zip(planes, samp)
+    ]
+    ncomp = len(planes)
+    frame = (w, h, [(ci + 1, sh, sv, 0) for ci, (sh, sv) in enumerate(samp)])
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_ACP_BITS, _ENC_ACP_VALS)
+    al = 1 if successive else 0
+
+    def sos(comp_idxs, ss, se, ah, al_):
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_idxs), len(comp_idxs))
+        for ci in comp_idxs:
+            hdr += struct.pack("BB", ci + 1, 0x00)  # DC table 0, AC table 0
+        return hdr + bytes((ss, se, (ah << 4) | al_))
+
+    def zz_of(qb, by, bx):
+        return qb[by, bx].ravel()[_ZIGZAG]
+
+    scans: list[bytes] = []
+
+    # --- DC first scan: interleaved, diffs of (DC >> al) ---------------
+    wr = _BitWriter()
+    pred = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (qb, (sh, sv)) in enumerate(zip(comps, samp)):
+                for byy in range(sv):
+                    for bxx in range(sh):
+                        dc = int(qb[my * sv + byy, mx * sh + bxx, 0, 0]) >> al
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        size = _jpeg_category(diff)
+                        code, ln = dc_codes[size]
+                        wr.write(code, ln)
+                        if size:
+                            wr.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    scans.append(sos(list(range(ncomp)), 0, 0, 0, al) + wr.flush())
+
+    # --- AC first scans: two spectral bands per component --------------
+    def ac_first(qb, ci, s0, s1):
+        wr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                c, ln = ac_codes[n << 4]
+                wr.write(c, ln)
+                if n:
+                    wr.write(eobrun - (1 << n), n)
+                eobrun = 0
+
+        bh, bw = _comp_block_dims(frame, ci)
+        for by in range(bh):
+            for bx in range(bw):
+                zz = zz_of(qb, by, bx)
+                r = 0
+                for k in range(s0, s1 + 1):
+                    v = int(zz[k])
+                    v = (v >> al) if v >= 0 else -((-v) >> al)
+                    if v == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        c, ln = ac_codes[0xF0]
+                        wr.write(c, ln)
+                        r -= 16
+                    size = _jpeg_category(v)
+                    c, ln = ac_codes[(r << 4) | size]
+                    wr.write(c, ln)
+                    wr.write(v if v > 0 else v + (1 << size) - 1, size)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob()
+        flush_eob()
+        return wr.flush()
+
+    bands = [(1, 5), (6, 63)]
+    for ci, qb in enumerate(comps):
+        for s0, s1 in bands:
+            scans.append(sos([ci], s0, s1, 0, al) + ac_first(qb, ci, s0, s1))
+
+    if successive:
+        # --- DC refinement: one raw bit (bit 0 of DC) per block --------
+        wr = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (qb, (sh, sv)) in enumerate(zip(comps, samp)):
+                    for byy in range(sv):
+                        for bxx in range(sh):
+                            wr.write(int(qb[my * sv + byy, mx * sh + bxx, 0, 0]) & 1, 1)
+        scans.append(sos(list(range(ncomp)), 0, 0, 1, 0) + wr.flush())
+
+        # --- AC refinement scans (T.81 G.1.2.3) ------------------------
+        def ac_refine(qb, ci, s0, s1):
+            wr = _BitWriter()
+            eobrun = 0
+            be: list[int] = []  # correction bits of completed EOB-run blocks
+
+            def flush_eob():
+                nonlocal eobrun, be
+                if eobrun:
+                    n = eobrun.bit_length() - 1
+                    c, ln = ac_codes[n << 4]
+                    wr.write(c, ln)
+                    if n:
+                        wr.write(eobrun - (1 << n), n)
+                    eobrun = 0
+                for b in be:
+                    wr.write(b, 1)
+                be = []
+
+            bh, bw = _comp_block_dims(frame, ci)
+            for by in range(bh):
+                for bx in range(bw):
+                    zz = zz_of(qb, by, bx)
+                    absv = [abs(int(zz[k])) for k in range(s0, s1 + 1)]
+                    eobk = -1  # last NEWLY-nonzero (magnitude 1) position
+                    for i, v in enumerate(absv):
+                        if v == 1:
+                            eobk = i
+                    r = 0
+                    br: list[int] = []  # bits since the last emitted symbol
+                    for i, k in enumerate(range(s0, s1 + 1)):
+                        temp = absv[i]
+                        if temp == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i <= eobk:
+                            flush_eob()
+                            c, ln = ac_codes[0xF0]
+                            wr.write(c, ln)
+                            r -= 16
+                            for b in br:
+                                wr.write(b, 1)
+                            br = []
+                        if temp > 1:  # history-nonzero → correction bit
+                            br.append(temp & 1)
+                            continue
+                        flush_eob()
+                        c, ln = ac_codes[(r << 4) | 1]
+                        wr.write(c, ln)
+                        wr.write(1 if int(zz[k]) > 0 else 0, 1)
+                        for b in br:
+                            wr.write(b, 1)
+                        br = []
+                        r = 0
+                    if r > 0 or br:
+                        eobrun += 1
+                        be.extend(br)
+                        if eobrun == 32767:
+                            flush_eob()
+            flush_eob()
+            return wr.flush()
+
+        for ci, qb in enumerate(comps):
+            for s0, s1 in bands:
+                scans.append(sos([ci], s0, s1, 1, 0) + ac_refine(qb, ci, s0, s1))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+    out += bytes(int(qtab.ravel()[z]) for z in _ZIGZAG)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid, (sh, sv) in zip(range(1, ncomp + 1), samp):
+        out += struct.pack("BBB", cid, (sh << 4) | sv, 0)
+    for cls, bits, vals in ((0, _ENC_DC_BITS, _ENC_DC_VALS), (1, _ENC_ACP_BITS, _ENC_ACP_VALS)):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), cls << 4)
+        out += bytes(bits) + bytes(vals)
+    for s in scans:
+        out += s
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 un-stuffing; stops at any
     real marker (restart handling is the caller's job)."""
@@ -737,9 +954,12 @@ def _extend(v: int, size: int) -> int:
 
 
 def _decode_jpeg_pixels(payload: bytes):
-    """REAL baseline-JPEG decode (pure numpy — huffman, dequant,
-    vectorized IDCT, chroma upsample, YCbCr→RGB). Returns
-    (width, height, channels, pixel_bytes) or a str error code."""
+    """REAL JPEG decode (pure numpy — huffman, dequant, vectorized
+    IDCT, chroma upsample, YCbCr→RGB): baseline/extended-sequential
+    (SOF0/SOF1) AND progressive (SOF2 — spectral-selection and
+    successive-approximation scans, DC+AC refinement, EOB runs).
+    Returns (width, height, channels, pixel_bytes) or a str error
+    code."""
     import struct
 
     import numpy as np
@@ -751,15 +971,21 @@ def _decode_jpeg_pixels(payload: bytes):
     htabs: dict[tuple[int, int], dict] = {}
     restart_interval = 0
     frame = None
-    while pos + 4 <= len(payload):
+    progressive = False
+    comp_grids = None
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             return "invalid"
         marker = payload[pos + 1]
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        if marker == 0xD9:
+        if marker == 0xD9:  # EOI (may be the final 2 bytes)
+            if progressive and comp_grids is not None:
+                return _jpeg_reconstruct(frame, comp_grids, qtabs)
             return "no-scan"
+        if pos + 4 > len(payload):
+            return "truncated"
         seglen = struct.unpack_from(">H", payload, pos + 2)[0]
         seg = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT: one or more tables
@@ -802,7 +1028,7 @@ def _decode_jpeg_pixels(payload: bytes):
                 i += 17 + nvals
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential SOF
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential or progressive SOF
             depth = seg[0]
             h, w = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
@@ -813,8 +1039,9 @@ def _decode_jpeg_pixels(payload: bytes):
                 cid, hv, qid = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, qid))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return "unsupported:progressive"
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return "unsupported:coding"
         elif marker == 0xDA:  # SOS → entropy-coded data follows
             if frame is None:
                 return "no-frame"
@@ -827,9 +1054,32 @@ def _decode_jpeg_pixels(payload: bytes):
                     return "bad-scan-component"
                 scan.append((cid_index[cid], tsel >> 4, tsel & 0x0F))
             data_start = pos + 2 + seglen
-            return _jpeg_scan_decode(
-                payload, data_start, frame, scan, qtabs, htabs, restart_interval
+            if not progressive:
+                return _jpeg_scan_decode(
+                    payload, data_start, frame, scan, qtabs, htabs, restart_interval
+                )
+            w_, h_, comps_ = frame
+            hmax = max(c[1] for c in comps_)
+            vmax = max(c[2] for c in comps_)
+            if hmax > 2 or vmax > 2 or hmax < 1 or vmax < 1:
+                return f"unsupported:sampling{hmax}{vmax}"
+            if comp_grids is None:
+                mcux = (w_ + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h_ + 8 * vmax - 1) // (8 * vmax)
+                comp_grids = [
+                    np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+                    for (_cid, ch, cv, _qid) in comps_
+                ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            res = _progressive_scan_decode(
+                payload, data_start, frame, scan, ss, se,
+                ahal >> 4, ahal & 0x0F, comp_grids, htabs, restart_interval,
             )
+            if isinstance(res, str):
+                return res
+            pos = res
+            continue
         pos += 2 + seglen
     return "truncated"
 
@@ -902,10 +1152,30 @@ def _jpeg_scan_decode(payload, data_start, frame, scan, qtabs, htabs, restart_in
                             blk[k] = _extend(raw, sz)
                             k += 1
             mcu_count += 1
+    comp_grids: list = [None] * len(comps)
+    for (cidx, _dct, _act), grid in zip(scan, grids):
+        comp_grids[cidx] = grid
+    for cidx, (_, ch, cv, _qid) in enumerate(comps):
+        if comp_grids[cidx] is None:  # component absent from the scan
+            comp_grids[cidx] = np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+    return _jpeg_reconstruct(frame, comp_grids, qtabs)
+
+
+def _jpeg_reconstruct(frame, comp_grids, qtabs):
+    """Shared tail of baseline and progressive decode: dequantize the
+    per-component zigzag coefficient grids, de-zigzag, vectorized IDCT,
+    chroma upsample, YCbCr→RGB. ``comp_grids`` aligns with the frame
+    component order."""
+    import numpy as np
+
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     A = _dct_matrix()
     planes = []
-    for (cidx, dct, act), grid in zip(scan, grids):
-        _, ch, cv, qid = comps[cidx]
+    for (_cid, ch, cv, qid), grid in zip(comps, comp_grids):
+        if qid not in qtabs:
+            return "missing-table"
         # grid holds zigzag-order quantized coefficients: dequantize with
         # the quant table gathered into zigzag order, then de-zigzag
         qz = qtabs[qid].ravel()[_ZIGZAG].astype(np.float64)
@@ -918,8 +1188,7 @@ def _jpeg_scan_decode(payload, data_start, frame, scan, qtabs, htabs, restart_in
         plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
         # upsample to full resolution by replication, crop to (h, w)
         plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
-        planes.append((cidx, plane[:h, :w]))
-    planes = [p for _, p in sorted(planes, key=lambda t: t[0])]  # frame order
+        planes.append(plane[:h, :w])
     if len(planes) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return (w, h, 1, out.tobytes())
@@ -933,6 +1202,245 @@ def _jpeg_scan_decode(payload, data_start, frame, scan, qtabs, htabs, restart_in
         [np.clip(np.round(c), 0, 255).astype(np.uint8) for c in (r, g, b)], axis=-1
     )
     return (w, h, 3, rgb.tobytes())
+
+
+def _comp_block_dims(frame, cidx):
+    """True (rows, cols) of a component's block sub-grid for
+    NON-interleaved scans (T.81 A.2.2): ceil(comp samples / 8) on each
+    axis, which can be smaller than the MCU-padded grid."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _, ch, cv, _ = comps[cidx]
+    cw = (w * ch + hmax - 1) // hmax
+    chh = (h * cv + vmax - 1) // vmax
+    return (chh + 7) // 8, (cw + 7) // 8
+
+
+def _next_marker_pos(payload: bytes, pos: int) -> int:
+    """First offset ≥ pos of a real (non-stuffed) marker's 0xFF."""
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    return len(payload)
+
+
+def _progressive_scan_decode(
+    payload, data_start, frame, scan, ss, se, ah, al,
+    comp_grids, htabs, restart_interval,
+):
+    """Decode ONE progressive-JPEG scan (T.81 G.2) into the persistent
+    per-component zigzag coefficient grids: DC first/refinement scans
+    (interleaved or not) and AC first/refinement scans (spectral
+    selection + successive approximation — EOB runs, ZRL over
+    zero-history positions, correction bits). Returns the payload
+    offset of the next marker, or an error string."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    reader = _BitReader(payload, data_start)
+
+    def restart(unit_count, state_reset):
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            m = reader.align_to_marker()
+            if m is None or not (0xD0 <= m <= 0xD7):
+                return "bad-restart"
+            state_reset()
+        return None
+
+    if ss == 0:  # DC scan (first or refinement); Se must be 0
+        if se != 0:
+            return "bad-scan-band"
+        pred = [0] * len(scan)
+
+        def reset():
+            for i in range(len(pred)):
+                pred[i] = 0
+
+        def dc_block(ci, blk):
+            if ah == 0:
+                dc_tab = htabs.get((0, scan[ci][1]))
+                if dc_tab is None:
+                    return "missing-table"
+                size = _decode_huffman(reader, dc_tab)
+                if size is None:
+                    return "truncated-scan"
+                diff = 0
+                if size:
+                    raw = reader.bits(size)
+                    if raw is None:
+                        return "truncated-scan"
+                    diff = _extend(raw, size)
+                pred[ci] += diff
+                blk[0] = pred[ci] << al
+            else:  # refinement: one raw bit appended at position al
+                b = reader.bit()
+                if b is None:
+                    return "truncated-scan"
+                if b:
+                    blk[0] = int(blk[0]) | (1 << al)
+            return None
+
+        if len(scan) > 1:  # interleaved over MCUs
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    err = restart(unit, reset)
+                    if err:
+                        return err
+                    for ci, (cidx, _dct, _act) in enumerate(scan):
+                        _, ch, cv, _ = comps[cidx]
+                        for byy in range(cv):
+                            for bxx in range(ch):
+                                err = dc_block(
+                                    ci, comp_grids[cidx][my * cv + byy, mx * ch + bxx]
+                                )
+                                if err:
+                                    return err
+                    unit += 1
+        else:  # single component: its own block raster order
+            cidx = scan[0][0]
+            bh, bw = _comp_block_dims(frame, cidx)
+            unit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    err = restart(unit, reset)
+                    if err:
+                        return err
+                    err = dc_block(0, comp_grids[cidx][by, bx])
+                    if err:
+                        return err
+                    unit += 1
+        return _next_marker_pos(payload, reader.pos)
+
+    # AC scan: always non-interleaved (T.81: Ns must be 1 when Ss > 0)
+    if len(scan) != 1:
+        return "bad-scan-ac-interleaved"
+    cidx, _dct, act = scan[0]
+    ac_tab = htabs.get((1, act))
+    if ac_tab is None:
+        return "missing-table"
+    bh, bw = _comp_block_dims(frame, cidx)
+    grid = comp_grids[cidx]
+    state = {"eobrun": 0}
+
+    def reset():
+        state["eobrun"] = 0
+
+    p1 = 1 << al
+
+    def ac_first(blk):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return None
+        k = ss
+        while k <= se:
+            rs = _decode_huffman(reader, ac_tab)
+            if rs is None:
+                return "truncated-scan"
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                run = 1 << r
+                if r:
+                    ext = reader.bits(r)
+                    if ext is None:
+                        return "truncated-scan"
+                    run += ext
+                state["eobrun"] = run - 1  # current block consumes one
+                break
+            k += r
+            if k > se:
+                return "corrupt-scan"
+            raw = reader.bits(s)
+            if raw is None:
+                return "truncated-scan"
+            blk[k] = _extend(raw, s) << al
+            k += 1
+        return None
+
+    def refine_nonzero(blk, k):
+        """Read one correction bit for a nonzero-history coefficient."""
+        b = reader.bit()
+        if b is None:
+            return "truncated-scan"
+        if b:
+            cur = int(blk[k])
+            if (cur & p1) == 0:
+                blk[k] = cur + (p1 if cur >= 0 else -p1)
+        return None
+
+    def ac_refine(blk):
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _decode_huffman(reader, ac_tab)
+                if rs is None:
+                    return "truncated-scan"
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:  # EOBn: run of (1<<r)+ext blocks
+                        run = 1 << r
+                        if r:
+                            ext = reader.bits(r)
+                            if ext is None:
+                                return "truncated-scan"
+                            run += ext
+                        state["eobrun"] = run
+                        break
+                    # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        return "corrupt-scan"
+                    b = reader.bit()
+                    if b is None:
+                        return "truncated-scan"
+                    newval = p1 if b else -p1
+                # advance over r zero-history positions, refining the
+                # nonzero-history coefficients passed along the way
+                while k <= se:
+                    if int(blk[k]) != 0:
+                        err = refine_nonzero(blk, k)
+                        if err:
+                            return err
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            # tail of the current block inside an EOB run: corrections
+            # only, then consume one unit of the run
+            while k <= se:
+                if int(blk[k]) != 0:
+                    err = refine_nonzero(blk, k)
+                    if err:
+                        return err
+                k += 1
+            state["eobrun"] -= 1
+        return None
+
+    step = ac_first if ah == 0 else ac_refine
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            err = restart(unit, reset)
+            if err:
+                return err
+            err = step(grid[by, bx])
+            if err:
+                return err
+            unit += 1
+    return _next_marker_pos(payload, reader.pos)
 
 
 def decode_jpeg(df: DataFrame, id_col: str, data_col: str) -> DataFrame:

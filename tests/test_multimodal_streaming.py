@@ -343,14 +343,17 @@ def test_jpeg_error_statuses(spark):
     )
 
     good = encode_jpeg_bytes(np.full((8, 8), 99, dtype=np.uint8))
-    progressive = bytearray(good)
-    sof = progressive.index(b"\xff\xc0")
-    progressive[sof + 1] = 0xC2  # rewrite SOF0 → SOF2
+    # a baseline stream with SOF0 flipped to SOF2 is NOT valid
+    # progressive (its single scan claims the 0..63 band with Ss=0,
+    # which a progressive DC scan forbids) — typed error, not a decode
+    fake_prog = bytearray(good)
+    sof = fake_prog.index(b"\xff\xc0")
+    fake_prog[sof + 1] = 0xC2  # rewrite SOF0 → SOF2
     rows = [
         (1, bytearray(good)),
         (2, bytearray(b"\x00\x01not-a-jpeg")),
         (3, bytearray(good[: len(good) // 2])),  # truncated mid-scan
-        (4, bytearray(progressive)),
+        (4, bytearray(fake_prog)),
         (5, None),
     ]
     df = spark.createDataFrame(rows, "id long, data binary")
@@ -358,8 +361,71 @@ def test_jpeg_error_statuses(spark):
     assert out[1] == "ok"
     assert out[2] == "invalid"
     assert out[3] in ("truncated", "truncated-scan")
-    assert out[4] == "unsupported:progressive"
+    assert out[4] == "bad-scan-band"
     assert out[5] == "empty"
+
+
+def test_progressive_jpeg_matches_baseline_exactly():
+    """Progressive (SOF2) decode: spectral selection AND successive
+    approximation (DC+AC refinement scans, EOB runs, correction bits)
+    must reproduce the baseline pixels byte-for-byte — both encoders
+    quantize identically, so a full progressive decode has the same
+    coefficients."""
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        encode_jpeg_bytes,
+        encode_progressive_jpeg_bytes,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        ((16, 24), "444"),   # gray, block-aligned
+        ((17, 9), "444"),    # gray, ragged edges
+        ((32, 16, 3), "444"),
+        ((21, 19, 3), "420"),  # color, subsampled, ragged
+        ((8, 8), "444"),
+    ]
+    for shape, sub in cases:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = _decode_jpeg_pixels(encode_jpeg_bytes(img, quant=8, subsampling=sub))
+        assert not isinstance(base, str), base
+        for successive in (False, True):
+            prog = _decode_jpeg_pixels(
+                encode_progressive_jpeg_bytes(
+                    img, quant=8, subsampling=sub, successive=successive
+                )
+            )
+            assert not isinstance(prog, str), (shape, sub, successive, prog)
+            assert prog == base, (shape, sub, successive)
+
+
+def test_progressive_jpeg_constant_blocks_exact(spark):
+    """The m7 oracle shape: constant 8×8 blocks at uniform quant=8
+    survive the full progressive pipeline bit-exactly, through the
+    Spark operator."""
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_progressive_jpeg_bytes,
+    )
+
+    rows = []
+    for d in (3, 12):
+        w, h = 24 + d, 17
+        bx, by = np.arange(w) // 8, np.arange(h) // 8
+        img = ((3 * bx[None, :] + 5 * by[:, None] + d) % 256).astype(np.uint8)
+        rows.append((d, bytearray(encode_progressive_jpeg_bytes(img, quant=8)), img))
+    df = spark.createDataFrame([(d, b) for d, b, _ in rows], "id long, data binary")
+    out = {r["id"]: r for r in decode_jpeg(df, "id", "data").collect()}
+    for d, _, img in rows:
+        r = out[d]
+        assert r["status"] == "ok"
+        assert (r["width"], r["height"], r["channels"]) == (img.shape[1], img.shape[0], 1)
+        got = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(img.shape)
+        assert np.array_equal(got, img)
 
 
 def test_resize_png_nearest_real(spark):
