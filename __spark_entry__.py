@@ -1500,6 +1500,25 @@ def q_fs2_search_range(spark, sf_dir):
     )
 
 
+def q_fs9_filter_grammar(spark, sf_dir):
+    """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
+    not(source co "web")` — the FHIR advanced-search `_filter`
+    expression grammar (VERDICT r3 #8, reference README.md:105):
+    and/or/not with parens over string-eq, range and contains
+    comparators, compiled to ONE pushdown-eligible Column predicate
+    (no joins, same scan cost as a plain filter)."""
+    _tune(spark)
+    eng = _doc_engine(spark, sf_dir)
+    return eng.search(
+        "Document",
+        {
+            "_filter": '(lang eq "es" or lang eq "de") and n_chars ge 300'
+                       ' and not(source co "web")',
+            "_elements": "doc_id,lang,source,n_chars",
+        },
+    )
+
+
 def q_fs3_search_count(spark, sf_dir):
     _tune(spark)
     eng = _doc_engine(spark, sf_dir)
@@ -2039,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_quality_gate": q_t8_quality_gate,
         "d4_ngram_jaccard": q_d4_ngram_jaccard,
         "m7_progressive_jpeg": q_m7_progressive_jpeg,
+        "fs9_filter_grammar": q_fs9_filter_grammar,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3153,6 +3173,15 @@ def oracle_sql() -> dict[str, str]:
             " generate_series(0, 6) AS gx(bx), generate_series(0, 4) AS gy(by)"
             " WHERE gx.bx <= (d.w - 1) // 8 AND gy.by <= (d.h - 1) // 8"
             " GROUP BY d.doc_id, d.w, d.h"
+        ),
+        # fs9: the _filter grammar lowered to plain SQL; string-class eq
+        # keeps FHIR string semantics (case-insensitive prefix), not()
+        # is null-safe (a NULL source must not drop the row)
+        "fs9_filter_grammar": (
+            "SELECT doc_id, lang, source, n_chars FROM documents"
+            " WHERE (lower(lang) LIKE 'es%' OR lower(lang) LIKE 'de%')"
+            " AND n_chars >= 300"
+            " AND NOT coalesce(lower(source) LIKE '%web%', FALSE)"
         ),
         # nested reverse chain: nations ∋ customer ∋ order ≥ 495000
         "fs7_nested_has": (

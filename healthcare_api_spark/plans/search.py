@@ -33,6 +33,8 @@ Supported grammar (each an entry in §2.7's capability table):
     _count=N / _page_token=v   paging (keyset off the sort key)
     _elements=a,b              projection
     _total=accurate            count only
+    _filter=expr               boolean expression grammar: and/or/not,
+                               parens, eq ne gt lt ge le co sw ew pr
 """
 
 from __future__ import annotations
@@ -169,6 +171,122 @@ def _apply_simple(
     return out
 
 
+def _tokenize_filter(s: str) -> list[tuple[str, str]]:
+    """Lex a ``_filter`` expression: parens, double-quoted strings
+    (backslash escapes), bare words. Returns (kind, text) pairs with
+    kind ∈ {'(', ')', 'str', 'word'}."""
+    toks: list[tuple[str, str]] = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            toks.append((c, c))
+            i += 1
+        elif c == '"':
+            j, buf = i + 1, []
+            while j < len(s) and s[j] != '"':
+                if s[j] == "\\" and j + 1 < len(s):
+                    j += 1
+                buf.append(s[j])
+                j += 1
+            if j >= len(s):
+                raise ValueError("_filter: unterminated quoted string")
+            toks.append(("str", "".join(buf)))
+            i = j + 1
+        else:
+            j = i
+            while j < len(s) and not s[j].isspace() and s[j] not in '()"':
+                j += 1
+            toks.append(("word", s[i:j]))
+            i = j
+    return toks
+
+
+class _FilterParser:
+    """Recursive-descent parser for the FHIR ``_filter`` grammar
+    (http://hl7.org/fhir/search_filter.html — public spec):
+
+        filter   = paramExp | logExp | "not" "(" filter ")" | "(" filter ")"
+        logExp   = filter ("and" | "or") filter       (and binds tighter)
+        paramExp = paramPath compareOp compValue
+
+    Supported compareOps: eq ne gt lt ge le co (contains) sw
+    (starts-with) ew (ends-with) pr (property present). ``make_pred``
+    maps (param, op, value) → Column, so the parser stays independent
+    of the catalog."""
+
+    def __init__(self, toks: list[tuple[str, str]], make_pred):
+        self.toks = toks
+        self.pos = 0
+        self.make_pred = make_pred
+
+    def _peek_word(self) -> str | None:
+        if self.pos < len(self.toks) and self.toks[self.pos][0] == "word":
+            return self.toks[self.pos][1]
+        return None
+
+    def _expect(self, kind: str) -> None:
+        if self.pos >= len(self.toks) or self.toks[self.pos][0] != kind:
+            raise ValueError(f"_filter: expected '{kind}' at token {self.pos}")
+        self.pos += 1
+
+    def parse(self) -> Column:
+        e = self._or_expr()
+        if self.pos != len(self.toks):
+            raise ValueError(
+                f"_filter: trailing tokens from {self.toks[self.pos:]}"
+            )
+        return e
+
+    def _or_expr(self) -> Column:
+        left = self._and_expr()
+        while self._peek_word() == "or":
+            self.pos += 1
+            left = left | self._and_expr()
+        return left
+
+    def _and_expr(self) -> Column:
+        left = self._unary()
+        while self._peek_word() == "and":
+            self.pos += 1
+            left = left & self._unary()
+        return left
+
+    def _unary(self) -> Column:
+        if self._peek_word() == "not":
+            self.pos += 1
+            self._expect("(")
+            e = self._or_expr()
+            self._expect(")")
+            # FHIR not(): rows where the inner test is NOT satisfied —
+            # including rows where the field is absent (null-safe, like
+            # the :not modifier; a bare ~ would 3VL-drop nulls)
+            return ~F.coalesce(e, F.lit(False))
+        if self.pos < len(self.toks) and self.toks[self.pos][0] == "(":
+            self.pos += 1
+            e = self._or_expr()
+            self._expect(")")
+            return e
+        return self._param_exp()
+
+    def _param_exp(self) -> Column:
+        if self._peek_word() is None:
+            raise ValueError("_filter: expected a parameter expression")
+        name = self.toks[self.pos][1]
+        self.pos += 1
+        op = self._peek_word()
+        if op is None:
+            raise ValueError(f"_filter: missing operator after '{name}'")
+        self.pos += 1
+        if self.pos >= len(self.toks) or self.toks[self.pos][0] not in ("word", "str"):
+            raise ValueError(f"_filter: missing value for '{name} {op}'")
+        value = self.toks[self.pos][1]
+        self.pos += 1
+        return self.make_pred(name, op, value)
+
+
 class SearchEngine:
     """Executes FHIR-search-style queries over a catalog of DataFrames."""
 
@@ -194,6 +312,41 @@ class SearchEngine:
                 f"unknown search parameter '{param}' for {rtype}: no column "
                 f"'{colpath}' (configure it in SearchConfig.params)"
             ) from e
+
+    def _filter_pred(self, df: DataFrame, rtype: str, expr: str) -> Column:
+        """``_filter`` grammar → one Column predicate (README.md:105's
+        advanced-search envelope). Everything stays a pure expression —
+        pushdown-eligible, no joins — so arbitrarily nested and/or/not
+        combinations over token + range params cost the same scan as a
+        plain filter."""
+        cfg = self.configs.get(rtype, SearchConfig())
+
+        def make_pred(name: str, op: str, value: str) -> Column:
+            colpath = self._resolve(rtype, name)
+            self._check_column(df, rtype, name, colpath)
+            c = F.col(colpath)
+            if op == "pr":  # property present
+                return c.isNotNull() if value == "true" else c.isNull()
+            if op in _PREFIX_OPS:
+                return _PREFIX_OPS[op](c, _typed_lit(df, colpath, value))
+            if op == "co":
+                return F.lower(c).contains(value.lower())
+            if op == "sw":
+                return F.lower(c).startswith(value.lower())
+            if op == "ew":
+                return F.lower(c).endswith(value.lower())
+            raise ValueError(f"_filter: unsupported operator '{op}'")
+
+        # string-class params keep FHIR string semantics under eq: the
+        # spec maps `name eq "eve"` to the same match as `?name=eve`
+        def make_pred_stringaware(name: str, op: str, value: str) -> Column:
+            if op == "eq" and name in cfg.string_params:
+                colpath = self._resolve(rtype, name)
+                self._check_column(df, rtype, name, colpath)
+                return F.lower(F.col(colpath)).startswith(value.lower())
+            return make_pred(name, op, value)
+
+        return _FilterParser(_tokenize_filter(expr), make_pred_stringaware).parse()
 
     def search(self, resource_type: str, params: dict[str, str]) -> DataFrame:
         """Translate ``params`` into a DataFrame plan over the catalog."""
@@ -221,6 +374,8 @@ class SearchEngine:
                 count = int(raw)
             elif key == "_page_token":
                 page_token = raw
+            elif key == "_filter":
+                df = df.filter(self._filter_pred(df, resource_type, raw))
             elif key == "_text":
                 # full-text: every whitespace-separated term must appear
                 # as a token of the configured text column (AND). The

@@ -458,6 +458,58 @@ def test_keyset_page_null_keys_lossless(spark):
     assert seen == ["a", "b", "f", "c", "d", "e"]
 
 
+def test_filter_grammar(spark):
+    # FHIR _filter expression grammar (advanced-search envelope):
+    # and/or precedence, parens, null-safe not(), typed comparators,
+    # co/sw/ew string ops, pr presence, quoted strings with spaces
+    docs = spark.createDataFrame(
+        [
+            ("d1", "es", 400, "wiki source"),
+            ("d2", "es", 100, "webcrawl"),
+            ("d3", "de", 350, None),
+            ("d4", "fr", 900, "books"),
+            ("d5", "es", 500, "the web"),
+        ],
+        "doc_id string, lang string, n_chars bigint, source string",
+    )
+    eng = SearchEngine(
+        {"Document": docs},
+        {"Document": SearchConfig(string_params={"lang"}, id_col="doc_id")},
+    )
+
+    def ids(expr):
+        return sorted(
+            r["doc_id"]
+            for r in eng.search("Document", {"_filter": expr}).collect()
+        )
+
+    assert ids('lang eq "es" and n_chars ge 300') == ["d1", "d5"]
+    # or binds looser than and
+    assert ids('lang eq "fr" or lang eq "de" and n_chars ge 300') == ["d3", "d4"]
+    assert ids('(lang eq "fr" or lang eq "de") and n_chars lt 400') == ["d3"]
+    # null-safe not(): d3's NULL source must be kept
+    assert ids('not(source co "web")') == ["d1", "d3", "d4"]
+    assert ids('source pr false') == ["d3"]
+    assert ids('source sw "WIKI"') == ["d1"]
+    assert ids('source ew "crawl"') == ["d2"]
+    # quoted value containing a space
+    assert ids('source eq "the web"') == ["d5"]
+    assert ids('n_chars gt 100 and n_chars le 500 and not(lang eq "de")') == ["d1", "d5"]
+
+    import pytest as _pytest
+
+    for bad in (
+        'lang eq',                     # missing value
+        'lang eq "es" garbage extra',  # trailing tokens
+        '(lang eq "es"',               # unbalanced paren
+        'lang zz "es"',                # unknown operator
+        'lang eq "unterminated',       # bad string
+        'nope eq "x"',                 # unknown parameter
+    ):
+        with _pytest.raises(ValueError):
+            eng.search("Document", {"_filter": bad}).collect()
+
+
 def test_include_revinclude(engine):
     obs = engine.search("Observation", {"subject": "Patient/p1"})
     inc = engine.include(obs, "Observation", "subject")
