@@ -1500,6 +1500,60 @@ def q_fs2_search_range(spark, sf_dir):
     )
 
 
+def q_m8_adam7_png(spark, sf_dir):
+    """Adam7-INTERLACED PNG decode: synthesize a real interlaced PNG
+    per doc (7-pass layout, filter-0 scanlines), run the full
+    chunk-walk → inflate → per-pass unfilter → scatter decoder, and
+    checksum the pixels. PNG is lossless, so the oracle recomputes the
+    sum analytically over the pixel grid; any pass-dimension,
+    scanline-offset or scatter bug hash-mismatches."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_api_spark.operators.multimodal import (
+        decode_png,
+        encode_png_bytes,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(32)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 33 + 4, d % 21 + 4
+                x, y = np.arange(w), np.arange(h)
+                img = ((3 * x[None, :] + 7 * y[:, None] + d) % 256).astype(np.uint8)
+                payloads.append(encode_png_bytes(img, interlace=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    pngs = docs.mapInPandas(_gen, "doc_id long, data binary")
+    px = decode_png(pngs, "doc_id", "data")
+
+    def _sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "channels": pdf["channels"],
+                    "px_sum": [
+                        int(np.frombuffer(p, dtype=np.uint8).sum()) if p is not None else None
+                        for p in pdf["pixels"]
+                    ],
+                }
+            )
+
+    return px.mapInPandas(
+        _sum, "doc_id long, width int, height int, channels int, px_sum long"
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2059,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_ngram_jaccard": q_d4_ngram_jaccard,
         "m7_progressive_jpeg": q_m7_progressive_jpeg,
         "fs9_filter_grammar": q_fs9_filter_grammar,
+        "m8_adam7_png": q_m8_adam7_png,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3182,6 +3237,18 @@ def oracle_sql() -> dict[str, str]:
             " WHERE (lower(lang) LIKE 'es%' OR lower(lang) LIKE 'de%')"
             " AND n_chars >= 300"
             " AND NOT coalesce(lower(source) LIKE '%web%', FALSE)"
+        ),
+        # m8: PNG is lossless → px_sum is the plain analytic sum over
+        # the pixel grid (w ≤ 36, h ≤ 24)
+        "m8_adam7_png": (
+            "SELECT d.doc_id, CAST(d.w AS INTEGER) AS width,"
+            " CAST(d.h AS INTEGER) AS height, CAST(1 AS INTEGER) AS channels,"
+            " CAST(SUM((3*gx.x + 7*gy.y + d.doc_id) % 256) AS BIGINT) AS px_sum"
+            " FROM (SELECT doc_id, doc_id % 33 + 4 AS w, doc_id % 21 + 4 AS h"
+            "       FROM documents) d,"
+            " generate_series(0, 35) AS gx(x), generate_series(0, 23) AS gy(y)"
+            " WHERE gx.x < d.w AND gy.y < d.h"
+            " GROUP BY d.doc_id, d.w, d.h"
         ),
         # nested reverse chain: nations ∋ customer ∋ order ≥ 495000
         "fs7_nested_has": (

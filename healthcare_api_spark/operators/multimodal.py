@@ -145,11 +145,19 @@ def decode_image_meta(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
     )
 
 
-def encode_png_bytes(arr) -> bytes:
+# Adam7 interlacing: per-pass (x_start, x_step, y_start, y_step)
+_ADAM7 = [
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+]
+
+
+def encode_png_bytes(arr, interlace: bool = False) -> bytes:
     """Codec-free PNG encoder (stdlib zlib): uint8 array (h, w) or
-    (h, w, ch) with ch ∈ {1,2,3,4} → non-interlaced 8-bit PNG, filter 0
-    scanlines. The inverse of ``_decode_png_pixels`` — used by tests and
-    the driver contract to synthesize real decodable payloads."""
+    (h, w, ch) with ch ∈ {1,2,3,4} → 8-bit PNG, filter 0 scanlines.
+    ``interlace`` emits the Adam7 seven-pass layout. The inverse of
+    ``_decode_png_pixels`` — used by tests and the driver contract to
+    synthesize real decodable payloads."""
     import struct
     import zlib
 
@@ -167,8 +175,17 @@ def encode_png_bytes(arr) -> bytes:
             + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, xs, y0, ys in _ADAM7:
+            sub = a[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass contributes no bytes (PNG spec)
+            parts += [b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])]
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -177,43 +194,12 @@ def encode_png_bytes(arr) -> bytes:
     )
 
 
-def _decode_png_pixels(payload: bytes):
-    """Full PNG decode without any image library: chunk walk → zlib
-    (stdlib) inflate → per-scanline unfiltering (the 5 PNG filter types)
-    → interleaved uint8 pixel bytes. Supports bit depth 8, color types
-    0/2/4/6 (gray / RGB / gray+alpha / RGBA), non-interlaced — the subset
-    generable without a codec. Returns (width, height, channels, bytes)
-    or a str error code.
-    """
-    import struct
-    import zlib
-
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
+    """Unfilter ``h`` scanlines of ``w``×``ch`` bytes (the 5 PNG filter
+    types). Returns an (h, w·ch) uint8 array or a str error code."""
     import numpy as np
 
-    hdr = _parse_image_header(payload)
-    if hdr is None or hdr[0] != "png":
-        return "invalid"
-    _, w, h, ch, depth = hdr
-    color_type = payload[25]
-    interlace = payload[28]
-    if depth != 8 or color_type not in (0, 2, 4, 6) or interlace != 0:
-        return f"unsupported:ct{color_type}/d{depth}/i{interlace}"
-    idat, pos = b"", 8
-    while pos + 8 <= len(payload):
-        clen = struct.unpack_from(">I", payload, pos)[0]
-        cid = payload[pos + 4 : pos + 8]
-        if cid == b"IDAT":
-            idat += payload[pos + 8 : pos + 8 + clen]
-        elif cid == b"IEND":
-            break
-        pos += 12 + clen  # len + id + crc
-    try:
-        raw = zlib.decompress(idat)
-    except zlib.error:
-        return "corrupt-idat"
     stride = w * ch
-    if len(raw) != h * (stride + 1):
-        return "truncated"
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
@@ -243,7 +229,71 @@ def _decode_png_pixels(payload: bytes):
                 rec[x] = (row[x] + pred) & 0xFF
         out[y] = rec
         prev = out[y].astype(np.int32)
-    return (w, h, ch, out.tobytes())
+    return out
+
+
+def _decode_png_pixels(payload: bytes):
+    """Full PNG decode without any image library: chunk walk → zlib
+    (stdlib) inflate → per-scanline unfiltering (the 5 PNG filter types)
+    → interleaved uint8 pixel bytes. Supports bit depth 8, color types
+    0/2/4/6 (gray / RGB / gray+alpha / RGBA), non-interlaced AND Adam7
+    interlaced (each of the 7 passes unfiltered independently, then
+    scattered into the output raster). Returns
+    (width, height, channels, bytes) or a str error code.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    hdr = _parse_image_header(payload)
+    if hdr is None or hdr[0] != "png":
+        return "invalid"
+    _, w, h, ch, depth = hdr
+    color_type = payload[25]
+    interlace = payload[28]
+    if depth != 8 or color_type not in (0, 2, 4, 6) or interlace not in (0, 1):
+        return f"unsupported:ct{color_type}/d{depth}/i{interlace}"
+    idat, pos = b"", 8
+    while pos + 8 <= len(payload):
+        clen = struct.unpack_from(">I", payload, pos)[0]
+        cid = payload[pos + 4 : pos + 8]
+        if cid == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + clen]
+        elif cid == b"IEND":
+            break
+        pos += 12 + clen  # len + id + crc
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return "corrupt-idat"
+    if interlace == 0:
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            return "truncated"
+        out = _png_unfilter(raw, h, w, ch)
+        if isinstance(out, str):
+            return out
+        return (w, h, ch, out.tobytes())
+    # Adam7: 7 sub-images, each its own filtered scanline run
+    full = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, xs, y0, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw == 0 or ph == 0:
+            continue
+        nbytes = ph * (pw * ch + 1)
+        if off + nbytes > len(raw):
+            return "truncated"
+        sub = _png_unfilter(raw[off : off + nbytes], ph, pw, ch)
+        if isinstance(sub, str):
+            return sub
+        off += nbytes
+        full[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
+    if off != len(raw):
+        return "truncated"
+    return (w, h, ch, full.tobytes())
 
 
 def _decode_gif_pixels(payload: bytes):

@@ -365,6 +365,28 @@ def test_jpeg_error_statuses(spark):
     assert out[5] == "empty"
 
 
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 decode: every pass unfiltered independently and scattered
+    back must reproduce the image exactly (PNG is lossless), including
+    shapes where some passes are empty (w or h < pass origin)."""
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        _decode_png_pixels,
+        encode_png_bytes,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape in [(16, 16), (17, 9), (7, 5, 3), (1, 1), (3, 3, 4), (8, 1), (1, 9, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        res = _decode_png_pixels(encode_png_bytes(img, interlace=True))
+        assert not isinstance(res, str), (shape, res)
+        exp = img if img.ndim == 3 else img[:, :, None]
+        w, h, ch, px = res
+        assert (h, w, ch) == exp.shape
+        assert np.array_equal(np.frombuffer(px, np.uint8).reshape(exp.shape), exp)
+
+
 def test_progressive_jpeg_matches_baseline_exactly():
     """Progressive (SOF2) decode: spectral selection AND successive
     approximation (DC+AC refinement scans, EOB runs, correction bits)
