@@ -1554,6 +1554,55 @@ def q_m8_adam7_png(spark, sf_dir):
     )
 
 
+def q_s13_scd2_history(spark, sf_dir):
+    """Type-2 SCD dimension history from the events change log: per
+    user, each run of consecutive identical event_type values collapses
+    into one version row with [effective_from, effective_to) bounds,
+    version number, and is_current. One shuffle (both windows share the
+    (user_id; ts) partitioning) — the standard warehouse dimension
+    build at any scale."""
+    from healthcare_api_spark.operators.temporal import scd2_history
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    hist = scd2_history(ev, "user_id", "ts", ["event_type"])
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("effective_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "effective_from"
+        ),
+        F.date_format("effective_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "effective_to"
+        ),
+        "version",
+        "is_current",
+    )
+
+
+def q_t16_inverted_index(spark, sf_dir):
+    """Posting-table stats off the pre-built inverted index
+    (textops.build_inverted_index): the 30 highest-document-frequency
+    tokens with their full sorted posting lists (joined to a string —
+    the driver canonicalizer cannot hash array cells). One narrow
+    explode + one agg; the index itself is what `_text` search would
+    be served from at scale."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = textops.build_inverted_index(docs, "doc_id", "text")
+    return (
+        idx.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("tok"))
+        .limit(30)
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2114,6 +2163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m7_progressive_jpeg": q_m7_progressive_jpeg,
         "fs9_filter_grammar": q_fs9_filter_grammar,
         "m8_adam7_png": q_m8_adam7_png,
+        "s13_scd2_history": q_s13_scd2_history,
+        "t16_inverted_index": q_t16_inverted_index,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3249,6 +3300,37 @@ def oracle_sql() -> dict[str, str]:
             " generate_series(0, 35) AS gx(x), generate_series(0, 23) AS gy(y)"
             " WHERE gx.x < d.w AND gy.y < d.h"
             " GROUP BY d.doc_id, d.w, d.h"
+        ),
+        # s13: SCD2 via lag-collapse + lead bounds (ties on ts broken
+        # by the attribute value in BOTH engines)
+        "s13_scd2_history": (
+            "WITH chg AS (SELECT user_id, ts, event_type,"
+            "  lag(event_type) OVER"
+            "   (PARTITION BY user_id ORDER BY ts, event_type) AS prev"
+            "  FROM events),"
+            " newv AS (SELECT user_id, ts, event_type FROM chg"
+            "  WHERE prev IS NULL OR event_type IS DISTINCT FROM prev)"
+            " SELECT user_id, event_type,"
+            " strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS effective_from,"
+            " strftime(lead(ts) OVER"
+            "   (PARTITION BY user_id ORDER BY ts, event_type),"
+            "  '%Y-%m-%d %H:%M:%S.%f') AS effective_to,"
+            " CAST(row_number() OVER"
+            "   (PARTITION BY user_id ORDER BY ts, event_type) AS INTEGER)"
+            "  AS version,"
+            " CASE WHEN lead(ts) OVER"
+            "   (PARTITION BY user_id ORDER BY ts, event_type) IS NULL"
+            "  THEN 1 ELSE 0 END AS is_current"
+            " FROM newv"
+        ),
+        # t16: df-ranked posting lists off the inverted index
+        "t16_inverted_index": (
+            f"WITH toks AS (SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS tok"
+            "  FROM documents)"
+            " SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,"
+            " string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings"
+            " FROM toks GROUP BY tok"
+            " ORDER BY n_docs DESC, tok LIMIT 30"
         ),
         # nested reverse chain: nations ∋ customer ∋ order ≥ 495000
         "fs7_nested_has": (

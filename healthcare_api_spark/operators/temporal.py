@@ -219,6 +219,55 @@ _DURATION_UNITS = {
 }
 
 
+def scd2_history(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change log: one
+    output row per (id, attribute-change) with ``effective_from`` /
+    ``effective_to`` validity bounds (half-open; NULL ``effective_to``
+    = current) and an ``is_current`` flag. Consecutive log rows whose
+    tracked attributes are unchanged are collapsed — a no-op update
+    does not open a new version. Ties on ``ts_col`` within an id are
+    broken by the attribute struct so the result is deterministic.
+
+    Scale shape: everything is two windows over the SAME
+    (partition=id, order=ts) key — one shuffle total; the second
+    window reuses the first's distribution. No joins, no driver state;
+    at 100 TB this is the standard one-pass dimension-history build.
+    """
+    if not attr_cols:
+        raise ValueError("attr_cols must be non-empty")
+    cur = F.struct(*[F.col(a) for a in attr_cols])
+    order = [F.col(ts_col).asc(), *[F.col(a).asc() for a in attr_cols]]
+    w = Window.partitionBy(id_col).orderBy(*order)
+    changed = (
+        df.withColumn("_prev", F.lag(cur).over(w))
+        .withColumn(
+            "_new", F.col("_prev").isNull() | ~cur.eqNullSafe(F.col("_prev"))
+        )
+        .filter(F.col("_new"))
+        .drop("_prev", "_new")
+    )
+    w2 = Window.partitionBy(id_col).orderBy(*order)
+    return (
+        changed.withColumn("effective_from", F.col(ts_col))
+        .withColumn("effective_to", F.lead(ts_col).over(w2))
+        .withColumn(
+            "version", F.row_number().over(w2)
+        )
+        .withColumn(
+            "is_current", F.col("effective_to").isNull().cast("int")
+        )
+        .select(
+            id_col, *attr_cols, "effective_from", "effective_to",
+            "version", "is_current",
+        )
+    )
+
+
 def _parse_duration_secs(s: str) -> int:
     parts = s.split()
     if len(parts) != 2 or not parts[0].lstrip("-").isdigit():

@@ -246,3 +246,39 @@ def test_lttb_downsample_exact_algorithm(spark):
     assert lttb_downsample(df.limit(4), ("series",), "ts", "v", n_out=10).count() == 4
     with pytest.raises(ValueError, match="n_out"):
         lttb_downsample(df, ("series",), "ts", "v", n_out=2)
+
+
+def test_scd2_history_collapses_and_bounds(spark):
+    from datetime import datetime
+
+    from healthcare_api_spark.operators.temporal import scd2_history
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: A, A (no-op), B, B (no-op), A  → 3 versions A/B/A
+        (1, t(0), "A"), (1, t(1), "A"), (1, t(2), "B"),
+        (1, t(3), "B"), (1, t(4), "A"),
+        # user 2: single row → one current version
+        (2, t(0), "X"),
+        # user 3: NULL attr then value (NULL-safe change detection)
+        (3, t(0), None), (3, t(1), "Y"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, state string")
+    out = scd2_history(df, "user_id", "ts", ["state"]).collect()
+    byu = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["version"])):
+        byu.setdefault(r["user_id"], []).append(r)
+    u1 = byu[1]
+    assert [r["state"] for r in u1] == ["A", "B", "A"]
+    assert [r["version"] for r in u1] == [1, 2, 3]
+    assert u1[0]["effective_from"] == t(0) and u1[0]["effective_to"] == t(2)
+    assert u1[1]["effective_to"] == t(4)
+    assert u1[2]["effective_to"] is None and u1[2]["is_current"] == 1
+    assert [r["is_current"] for r in u1] == [0, 0, 1]
+    assert byu[2][0]["is_current"] == 1
+    assert [r["state"] for r in byu[3]] == [None, "Y"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="attr_cols"):
+        scd2_history(df, "user_id", "ts", [])
