@@ -1603,6 +1603,36 @@ def q_t16_inverted_index(spark, sf_dir):
     )
 
 
+def q_k3_cms_heavy_hitters(spark, sf_dir):
+    """φ-heavy-hitters (φ=1/256) via a count-min sketch whose state is
+    pure md5 arithmetic — unlike k1/k2 (engine-opaque HLL/KLL binaries,
+    rows-only), the WHOLE sketch is replicated cell-for-cell by the SQL
+    oracle, so the estimates hash-match. N comes from the sketch itself
+    (sum of hash-row 0 = total token count), so the threshold scales
+    with SF. CMS never underestimates → exact heavy-hitter recall."""
+    from healthcare_api_spark.functions.text import tokens
+    from healthcare_api_spark.operators import sketches
+
+    _tune(spark)
+    depth, width = 4, 512
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    sketch = sketches.cms_build(toks, "tok", depth=depth, width=width)
+    total = sketch.filter(F.col("r") == 0).agg(
+        F.sum("n").cast("bigint").alias("total")
+    )
+    est = sketches.cms_lookup(
+        sketch, toks.distinct(), "tok", depth=depth, width=width
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est") >= F.col("total") / F.lit(256.0))
+        .select("tok", "est")
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2165,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m8_adam7_png": q_m8_adam7_png,
         "s13_scd2_history": q_s13_scd2_history,
         "t16_inverted_index": q_t16_inverted_index,
+        "k3_cms_heavy_hitters": q_k3_cms_heavy_hitters,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3331,6 +3362,24 @@ def oracle_sql() -> dict[str, str]:
             " string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings"
             " FROM toks GROUP BY tok"
             " ORDER BY n_docs DESC, tok LIMIT 30"
+        ),
+        # cell-for-cell CMS replica: same md5 bucket arithmetic as
+        # operators/sketches.py (depth=4, width=512, φ=1/256)
+        "k3_cms_heavy_hitters": (
+            f"WITH toks AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),"
+            " rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),"
+            " cells AS (SELECT r,"
+            "   ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT"
+            "     % 512 AS bucket, count(*) AS n"
+            "  FROM toks CROSS JOIN rows_ GROUP BY 1, 2),"
+            " total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells WHERE r = 0),"
+            " probe AS (SELECT DISTINCT tok FROM toks),"
+            " est AS (SELECT p.tok, CAST(min(c.n) AS BIGINT) AS est"
+            "  FROM probe p CROSS JOIN rows_ rr JOIN cells c ON c.r = rr.r"
+            "   AND c.bucket = ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' ||"
+            "     p.tok), 1, 8))::BIGINT % 512"
+            "  GROUP BY p.tok)"
+            " SELECT tok, est FROM est, total WHERE est >= total / 256.0"
         ),
         # nested reverse chain: nations ∋ customer ∋ order ≥ 495000
         "fs7_nested_has": (

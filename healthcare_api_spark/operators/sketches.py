@@ -1,0 +1,123 @@
+"""Engine-portable frequency sketches.
+
+The reference's analytics surface (SURVEY.md §2.6) carries approximate
+aggregates; k1/k2 cover Spark's built-in HLL++ / KLL sketches, whose
+binary state is engine-specific (rows-only checks). This module adds a
+**count-min sketch** (Cormode & Muthukrishnan 2005) built from md5
+arithmetic only, so the *entire sketch state* — not just the estimates —
+is bit-identical across engines and hash-verifiable against a SQL
+oracle.
+
+Scale shape: the sketch build is ONE ``groupBy`` whose output is bounded
+by ``depth × width`` cells regardless of input volume — map-side combine
+reduces each partition to ≤ d·w partial cells before the shuffle, so the
+exchange moves O(d·w × partitions) tiny rows for any input size. Lookups
+broadcast the (tiny) sketch to the probe side. This is the standard
+"sketch on 100 TB, query on a laptop" decomposition: heavy pass emits a
+fixed-size summary; estimation never rescans the data.
+
+Error bound: est(x) ∈ [c(x), c(x) + εN] with ε = e/width at confidence
+1 − (1/e)^depth; the overestimate-only property is asserted in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: F.Column, row: int, width: int) -> F.Column:
+    """Hash row ``row``'s bucket for ``key``: first 8 hex chars of
+    md5('<row>:<key>') as an integer, mod width. Pure md5+conv — the SQL
+    twin is ``('0x' || substr(md5(r || ':' || key), 1, 8))::BIGINT % w``."""
+    h = F.md5(F.concat_ws(":", F.lit(str(row)), key))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % width).alias(
+        f"_b{row}"
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a count-min sketch over ``key_col``: one output row per
+    non-empty cell ``(r, bucket, n)`` where ``n`` is the (weighted) count
+    of keys hashing into that cell on hash-row ``r``.
+
+    ``weight_col``: optional pre-aggregated counts (sketch of a frequency
+    table instead of raw rows).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be ≥ 1")
+    key = F.col(key_col).cast("string")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = df.select(
+        F.posexplode(F.array(*[_bucket(key, r, width) for r in range(depth)])).alias(
+            "r", "bucket"
+        ),
+        w.alias("_w"),
+    )
+    return (
+        cells.groupBy("r", "bucket")
+        .agg(F.sum("_w").cast("bigint").alias("n"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """Point-estimate each probe key against a built sketch:
+    ``est = min over rows r of sketch[r][h_r(key)]`` (the classic CMS
+    overestimate-only estimator). The sketch side is ≤ depth×width rows —
+    broadcast explicitly so the probe side never shuffles."""
+    key = F.col(key_col).cast("string")
+    probed = probes.select(
+        key_col,
+        F.posexplode(
+            F.array(*[_bucket(key, r, width) for r in range(depth)])
+        ).alias("r", "bucket"),
+    )
+    joined = probed.join(F.broadcast(sketch), ["r", "bucket"], "left")
+    # a missing cell means nothing ever hashed there → true count 0
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    threshold: int = 100,
+) -> DataFrame:
+    """Keys whose CMS estimate ≥ ``threshold``, with the estimate.
+
+    The candidate set is the distinct keys of ``df`` itself (exact
+    heavy-hitter recall: CMS never underestimates, so every true heavy
+    hitter survives; some near-threshold keys may overshoot in — the
+    documented CMS false-positive direction). Build and probe are two
+    aggregations sharing the input scan."""
+    sketch = cms_build(df, key_col, depth=depth, width=width)
+    probes = df.select(key_col).distinct()
+    est = cms_lookup(sketch, probes, key_col, depth=depth, width=width)
+    return est.filter(F.col("est") >= threshold)
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the SAME (depth, width): cell-wise
+    sum — the property that makes CMS distributable (partition sketches
+    union into the corpus sketch; used by the streaming rollup path)."""
+    return (
+        a.unionByName(b)
+        .groupBy("r", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )

@@ -1,0 +1,95 @@
+"""Count-min sketch: overestimate-only bound, exactness when wide,
+merge associativity, heavy-hitter recall."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from healthcare_api_spark.operators import sketches
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key k appears k times, k = 1..40  →  N = 820, heavy tail is exact
+    rows = [(k,) for k in range(1, 41) for _ in range(k)]
+    return spark.createDataFrame(rows, "key int")
+
+
+def _exact(spark, skewed):
+    return {
+        r["key"]: r["c"]
+        for r in skewed.groupBy("key").agg(F.count("*").alias("c")).collect()
+    }
+
+
+def test_cms_never_underestimates(spark, skewed):
+    sketch = sketches.cms_build(skewed, "key", depth=3, width=32)
+    est = sketches.cms_lookup(
+        sketch, skewed.select("key").distinct(), "key", depth=3, width=32
+    )
+    exact = _exact(spark, skewed)
+    for r in est.collect():
+        assert r["est"] >= exact[r["key"]], (r, exact[r["key"]])
+
+
+def test_cms_exact_when_wide(spark, skewed):
+    # width ≫ distinct keys → collisions vanish, estimates are exact
+    sketch = sketches.cms_build(skewed, "key", depth=4, width=4096)
+    est = sketches.cms_lookup(
+        sketch, skewed.select("key").distinct(), "key", depth=4, width=4096
+    )
+    exact = _exact(spark, skewed)
+    assert {r["key"]: r["est"] for r in est.collect()} == exact
+
+
+def test_cms_error_bound(spark, skewed):
+    # ε = e/width; N = 820 → overshoot ≤ εN with prob 1-(1/e)^depth;
+    # assert the *average* overshoot respects the bound (prob. guarantee)
+    import math
+
+    depth, width = 4, 64
+    sketch = sketches.cms_build(skewed, "key", depth=depth, width=width)
+    est = sketches.cms_lookup(
+        sketch, skewed.select("key").distinct(), "key", depth=depth, width=width
+    )
+    exact = _exact(spark, skewed)
+    n_total = sum(exact.values())
+    bound = math.e / width * n_total
+    overs = [r["est"] - exact[r["key"]] for r in est.collect()]
+    assert sum(overs) / len(overs) <= bound
+
+
+def test_cms_merge_equals_whole(spark, skewed):
+    half_a = skewed.filter(F.col("key") <= 20)
+    half_b = skewed.filter(F.col("key") > 20)
+    merged = sketches.cms_merge(
+        sketches.cms_build(half_a, "key", depth=3, width=64),
+        sketches.cms_build(half_b, "key", depth=3, width=64),
+    )
+    whole = sketches.cms_build(skewed, "key", depth=3, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_heavy_hitters_full_recall(spark, skewed):
+    # CMS never underestimates → every key with true count ≥ T is present
+    hh = sketches.cms_heavy_hitters(skewed, "key", depth=3, width=64, threshold=25)
+    got = {r["key"] for r in hh.collect()}
+    assert got >= {k for k in range(25, 41)}
+
+
+def test_sketch_size_bounded(spark, skewed):
+    sketch = sketches.cms_build(skewed, "key", depth=3, width=16)
+    assert sketch.count() <= 3 * 16
+
+
+def test_weighted_build(spark):
+    freq = spark.createDataFrame([("a", 10), ("b", 5)], "key string, c int")
+    sketch = sketches.cms_build(freq, "key", depth=2, width=256, weight_col="c")
+    est = sketches.cms_lookup(sketch, freq.select("key"), "key", depth=2, width=256)
+    assert {r["key"]: r["est"] for r in est.collect()} == {"a": 10, "b": 5}
+
+
+def test_bad_params(spark, skewed):
+    with pytest.raises(ValueError):
+        sketches.cms_build(skewed, "key", depth=0)
