@@ -1633,6 +1633,14 @@ def q_k3_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_t17_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM perplexity proxy (λ=0.7 bigram MLE backed
+    off to the corpus unigram) — the order-2 upgrade of t11: scrambled
+    word order now costs probability mass."""
+    _tune(spark)
+    return textops.bigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2196,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s13_scd2_history": q_s13_scd2_history,
         "t16_inverted_index": q_t16_inverted_index,
         "k3_cms_heavy_hitters": q_k3_cms_heavy_hitters,
+        "t17_bigram_logprob": q_t17_bigram_logprob,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3380,6 +3389,26 @@ def oracle_sql() -> dict[str, str]:
             "     p.tok), 1, 8))::BIGINT % 512"
             "  GROUP BY p.tok)"
             " SELECT tok, est FROM est, total WHERE est >= total / 256.0"
+        ),
+        # λ·c2/c1 + (1−λ)·cu/N — arithmetic shape mirrors
+        # textops.bigram_logprob exactly; per-doc sums rounded at 6 dp
+        "t17_bigram_logprob": (
+            f"WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok,"
+            f"  generate_subscripts({_TOKS_SQL}, 1) AS i FROM documents),"
+            " big AS (SELECT a.doc_id, a.tok AS prev, b.tok AS cur"
+            "  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),"
+            " tf2 AS (SELECT doc_id, prev, cur, count(*) AS tf FROM big"
+            "  GROUP BY doc_id, prev, cur),"
+            " c2 AS (SELECT prev, cur, sum(tf) AS c2 FROM tf2 GROUP BY prev, cur),"
+            " c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev),"
+            " uni AS (SELECT tok AS cur, count(*) AS cu FROM toks GROUP BY 1),"
+            " n AS (SELECT count(*) AS n FROM toks),"
+            " sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,"
+            "  sum(-tf * ln(0.7 * c2 / c1 + 0.3 * cu / n)) AS nll"
+            "  FROM tf2 JOIN c2 USING (prev, cur) JOIN c1 USING (prev)"
+            "   JOIN uni USING (cur), n GROUP BY doc_id)"
+            " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
+            " FROM sc"
         ),
         # nested reverse chain: nations ∋ customer ∋ order ≥ 495000
         "fs7_nested_has": (

@@ -266,6 +266,79 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated-bigram LM scoring (the CCNet/Gopher perplexity-filter
+    shape, one model order up from ``unigram_logprob``): score each doc
+    by the average negative log-probability of its token transitions
+    under the corpus's own bigram model, backed off to the unigram:
+
+        P(cur|prev) = lam · c(prev,cur)/c(prev·) + (1−lam) · c(cur)/N
+
+    where c(prev·) is the history count (Σ_cur c(prev,cur), so the
+    bigram MLE is properly normalized) and N the corpus token total.
+    Repetitive/templated text scores low, token-soup scores high —
+    and unlike the unigram, scrambled word order is penalized.
+    Output: (id, n_bigrams, avg_neg_logprob); docs with < 2 tokens
+    have no transitions and drop out.
+
+    Shape at scale: per-doc bigram pairs come from ONE narrow
+    ``transform`` over the token array (zero shuffle to form pairs —
+    no positional self-join); then a (doc,prev,cur) tf aggregate, a
+    (prev,cur) corpus aggregate, its (prev) rollup, the unigram
+    aggregate, and equi-joins back — every aggregate map-side combined,
+    N a one-row broadcast. Identical join topology to tfidf/unigram,
+    one key wider."""
+    from healthcare_api_spark.functions.text import tokens
+
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    # pairs[(i)] = (prev=_toks[i], cur=_toks[i+1]) — built array-side so
+    # forming transitions never shuffles; the CASE guards size<2 (Spark's
+    # sequence() would count DOWN for start>stop)
+    pairs = F.expr(
+        "CASE WHEN size(_toks) >= 2 THEN"
+        " transform(slice(_toks, 2, size(_toks) - 1),"
+        "   (t, i) -> struct(_toks[i] AS prev, t AS cur))"
+        " ELSE CAST(array() AS array<struct<prev:string,cur:string>>) END"
+    )
+    tf2 = (
+        toked.select(F.col(id_col), F.explode(pairs).alias("_p"))
+        .select(id_col, F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur"))
+        .groupBy(id_col, "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    c2 = tf2.groupBy("prev", "cur").agg(F.sum("tf").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("cur"))
+        .groupBy("cur")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    n_total = uni.agg(F.sum("cu").alias("n"))
+    p = F.lit(lam) * F.col("c2") / F.col("c1") + F.lit(1.0 - lam) * F.col(
+        "cu"
+    ) / F.col("n")
+    scored = (
+        tf2.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .join(uni, "cur")
+        .crossJoin(F.broadcast(n_total))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.sum(-F.col("tf") * F.log(p)).alias("_nll"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        F.round(F.col("_nll") / F.col("n_bigrams"), 6).alias("avg_neg_logprob"),
+    )
+
+
 def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Per-document top-k terms by tf·idf (idf = ln(N/df), the classic
     unsmoothed form). Output: (id, rk, tok, tfidf) with deterministic

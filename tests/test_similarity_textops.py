@@ -183,6 +183,43 @@ def test_unigram_logprob_ranks_rare_text_higher(spark):
     assert rows[1]["n_tokens"] == 4 and rows[2]["n_tokens"] == 2
 
 
+def test_bigram_logprob_hand_computed(spark):
+    from healthcare_api_spark.operators.textops import bigram_logprob
+
+    # corpus: "a b a b" + "a b" → bigrams: (a,b)×3, (b,a)×1
+    # c2(a,b)=3 c1(a)=3 → P_bi=1; c2(b,a)=1 c1(b)=1 → P_bi=1
+    # unigrams: a=3, b=3, N=6 → P_uni = 0.5 everywhere
+    # P = 0.7·1 + 0.3·0.5 = 0.85 for every transition
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+    expect = round(-math.log(0.85), 6)
+    assert rows[1]["n_bigrams"] == 3 and rows[2]["n_bigrams"] == 1
+    assert abs(rows[1]["avg_neg_logprob"] - expect) < 1e-6
+    assert abs(rows[2]["avg_neg_logprob"] - expect) < 1e-6
+
+
+def test_bigram_logprob_penalizes_scrambled_order(spark):
+    from healthcare_api_spark.operators.textops import bigram_logprob
+
+    base = "the cat sat on the mat " * 5
+    scrambled = "mat the on sat the cat " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base), (4, scrambled)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+    # same unigram distribution, different transitions → the scrambled
+    # doc must score strictly higher (the unigram model cannot do this)
+    assert rows[4]["avg_neg_logprob"] > rows[1]["avg_neg_logprob"]
+
+
+def test_bigram_logprob_drops_single_token_docs(spark):
+    from healthcare_api_spark.operators.textops import bigram_logprob
+
+    df = spark.createDataFrame([(1, "solo"), (2, "two tokens")], ["doc_id", "text"])
+    out = bigram_logprob(df, "doc_id", "text").collect()
+    assert [r["doc_id"] for r in out] == [2]
+
+
 def test_compression_ratio_signal(spark):
     import random
 
