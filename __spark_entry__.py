@@ -1641,6 +1641,39 @@ def q_t17_bigram_logprob(spark, sf_dir):
     return textops.bigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_ds7_interleave_sources(spark, sf_dir):
+    """Round-robin serving order over an explicit 4-source curriculum —
+    the data-loader ordering primitive (sorted-by-serve_order reads
+    alternate src3,src1,src7,src0,…)."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return curation.interleave_sources(
+        docs, "doc_id", "source", ["src3", "src1", "src7", "src0"]
+    )
+
+
+def q_a12_incremental_agg(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance: per-user value
+    stats built as state-before-cutoff merged with the delta batch —
+    the append-cost-∝-delta contract, hash-checked against a full
+    recompute oracle."""
+    from healthcare_api_spark.operators import relational
+
+    _tune(spark)
+    specs = {"value": "sum", "event_id": "count", "ts": "max"}
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    base = relational.agg_state(ev.filter(F.col("ts") < cutoff), ["user_id"], specs)
+    delta = relational.agg_state(ev.filter(F.col("ts") >= cutoff), ["user_id"], specs)
+    merged = relational.merge_agg_state(base, delta, ["user_id"], specs)
+    return merged.select(
+        "user_id",
+        F.round("value_sum", 4).alias("value_sum"),
+        "event_id_count",
+        F.date_format("ts_max", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_max"),
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2205,6 +2238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t16_inverted_index": q_t16_inverted_index,
         "k3_cms_heavy_hitters": q_k3_cms_heavy_hitters,
         "t17_bigram_logprob": q_t17_bigram_logprob,
+        "ds7_interleave_sources": q_ds7_interleave_sources,
+        "a12_incremental_agg": q_a12_incremental_agg,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3409,6 +3444,23 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # serve_order = (rank_in_source - 1)·4 + curriculum index
+        "ds7_interleave_sources": (
+            "WITH r AS (SELECT doc_id, source, row_number() OVER ("
+            "  PARTITION BY source ORDER BY"
+            "  substr(md5('serve:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk"
+            " FROM documents WHERE source IN ('src3', 'src1', 'src7', 'src0'))"
+            " SELECT doc_id, source, CAST((rk - 1) * 4 +"
+            "  CASE source WHEN 'src3' THEN 0 WHEN 'src1' THEN 1"
+            "   WHEN 'src7' THEN 2 ELSE 3 END AS BIGINT) AS serve_order FROM r"
+        ),
+        # full recompute — must equal base-state ⊕ delta-state merge
+        "a12_incremental_agg": (
+            "SELECT user_id, round(sum(value), 4) AS value_sum,"
+            " CAST(count(event_id) AS BIGINT) AS event_id_count,"
+            " strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS ts_max"
+            " FROM events GROUP BY user_id"
         ),
         # nested reverse chain: nations ∋ customer ∋ order ≥ 495000
         "fs7_nested_has": (

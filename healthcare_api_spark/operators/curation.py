@@ -359,6 +359,48 @@ def exact_k_sample(
     )
 
 
+def interleave_sources(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    source_order: list[str],
+    salt: str = "serve",
+) -> DataFrame:
+    """Deterministic round-robin serving order across sources — the
+    data-loader-side complement of mixture sampling: rather than drawing
+    a mixed corpus, assign every row a global ``serve_order`` such that
+    reading in that order alternates sources a,b,c,a,b,c,… (training
+    batches see every source at its interleave cadence instead of long
+    single-source runs, which destabilize training).
+
+    ``serve_order = (rank_within_source − 1) · n_sources + source_idx``
+    — collision-free by construction, stable under re-partitioning and
+    appends-with-new-salt. Within each source the order is the salted
+    md5 shuffle (same determinism contract as ``stratified_sample``).
+    Rows whose stratum is not in ``source_order`` are dropped (explicit
+    curriculum). One shuffle (the per-source window); writing the
+    corpus sorted by ``serve_order`` makes the training scan sequential.
+    """
+    if not source_order:
+        raise ValueError("source_order must be non-empty")
+    n = len(source_order)
+    idx = F.create_map(
+        *[x for i, s in enumerate(source_order) for x in (F.lit(s), F.lit(i))]
+    )[F.col(strata_col)]
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(strata_col).isin(source_order))
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "serve_order",
+            ((F.col("_rk") - 1).cast("bigint") * n + idx).cast("bigint"),
+        )
+        .drop("_rk")
+    )
+
+
 def assign_splits(
     df: DataFrame, id_col: str, splits: dict[str, float], salt: str = "split"
 ) -> DataFrame:

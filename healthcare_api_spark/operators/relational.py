@@ -214,3 +214,75 @@ def profile_table(
         ),
         F.col("n_rows"),
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+# ------------------------------------------- incremental view maintenance --
+
+MERGEABLE_AGGS = ("sum", "count", "min", "max")
+
+
+def agg_state(df: DataFrame, key_cols: list[str], specs: dict[str, str]) -> DataFrame:
+    """Build mergeable aggregate state per key: for each ``col: agg`` in
+    ``specs`` (sum/count/min/max — the decomposable aggregates; avg is
+    finalized from sum+count), emit a ``<col>_<agg>`` column. The state
+    is a partial in the algebraic-aggregate sense: states from disjoint
+    batches merge into the state of the union (see ``merge_agg_state``),
+    which is what makes a materialized aggregate incrementally
+    maintainable instead of recomputed from 100 TB on every append."""
+    aggs = []
+    for col, how in _spec_pairs(specs):
+        fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[how]
+        src = F.lit(1) if how == "count" else F.col(col)
+        out = fn(src)
+        if how == "count":
+            out = out.cast("bigint")
+        aggs.append(out.alias(f"{col}_{how}"))
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def _spec_pairs(specs: dict[str, str | list[str]]) -> list[tuple[str, str]]:
+    """Flatten ``{col: agg}`` / ``{col: [aggs]}`` into (col, agg) pairs,
+    validating mergeability (avg is NOT here: finalize it from
+    sum+count with ``finalize_avg``)."""
+    pairs: list[tuple[str, str]] = []
+    for col, hows in specs.items():
+        for how in [hows] if isinstance(hows, str) else hows:
+            if how not in MERGEABLE_AGGS:
+                raise ValueError(
+                    f"agg {how!r} on {col!r} is not mergeable; use {MERGEABLE_AGGS}"
+                )
+            pairs.append((col, how))
+    return pairs
+
+
+def merge_agg_state(
+    state: DataFrame, delta_state: DataFrame, key_cols: list[str], specs: dict[str, str]
+) -> DataFrame:
+    """Merge two aggregate states (same ``specs``): union ∪ one keyed
+    re-aggregate, where each partial column re-aggregates under its own
+    merge function (sum+sum, count+count→sum, min/min, max/max).
+
+    Scale shape: the ONLY shuffle is keyed by ``key_cols`` over
+    |state keys| + |delta keys| rows — independent of the fact volume
+    that produced them. With the state stored bucketed by key (see
+    sources/store.py) the merge is co-partitioned and shuffle-free;
+    this is the classic incremental-MV contract: append cost ∝ delta,
+    never ∝ history."""
+    merged = state.unionByName(delta_state)
+    aggs = []
+    for col, how in _spec_pairs(specs):
+        c = f"{col}_{how}"
+        merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}[how]
+        out = merge_fn(F.col(c))
+        if how == "count":
+            out = out.cast("bigint")
+        aggs.append(out.alias(c))
+    return merged.groupBy(*key_cols).agg(*aggs)
+
+
+def finalize_avg(state: DataFrame, col: str, out_col: str | None = None) -> DataFrame:
+    """Derive avg from (sum, count) state columns — the non-mergeable
+    aggregate finalized at read time."""
+    return state.withColumn(
+        out_col or f"{col}_avg", F.col(f"{col}_sum") / F.col(f"{col}_count")
+    )

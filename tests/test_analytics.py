@@ -89,3 +89,56 @@ def test_drift_psi_detects_shift(spark):
     # 40% of mass into overflow → PSI far above the 0.25 action line
     assert stable["psi"] < 0.01
     assert drifted["psi"] > 0.25
+
+
+# ------------------------------------------- incremental agg maintenance --
+
+
+def test_agg_state_merge_equals_full(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.relational import (
+        agg_state,
+        finalize_avg,
+        merge_agg_state,
+    )
+
+    rows = [(k % 5, float(k), k) for k in range(100)]
+    df = spark.createDataFrame(rows, ["k", "v", "i"])
+    specs = {"v": ["sum", "count"], "i": "max"}
+    a = agg_state(df.filter("i < 60"), ["k"], specs)
+    b = agg_state(df.filter("i >= 60"), ["k"], specs)
+    merged = merge_agg_state(a, b, ["k"], specs)
+    full = agg_state(df, ["k"], specs)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+    # avg finalization
+    got = {r["k"]: r["v_avg"] for r in finalize_avg(merged, "v").collect()}
+    want = {
+        r["k"]: r["a"]
+        for r in df.groupBy("k").agg(F.avg("v").alias("a")).collect()
+    }
+    assert got == want
+
+
+def test_agg_state_min_max_merge(spark):
+    from healthcare_api_spark.operators.relational import agg_state, merge_agg_state
+
+    df = spark.createDataFrame([(1, 5), (1, -3), (2, 9)], ["k", "v"])
+    specs = {"v": "min"}
+    m = merge_agg_state(
+        agg_state(df.filter("v > 0"), ["k"], specs),
+        agg_state(df.filter("v <= 0"), ["k"], specs),
+        ["k"],
+        specs,
+    )
+    assert {r["k"]: r["v_min"] for r in m.collect()} == {1: -3, 2: 9}
+
+
+def test_agg_state_rejects_non_mergeable(spark):
+    import pytest as _pytest
+
+    from healthcare_api_spark.operators.relational import agg_state
+
+    df = spark.createDataFrame([(1, 2)], ["k", "v"])
+    with _pytest.raises(ValueError):
+        agg_state(df, ["k"], {"v": "avg"})

@@ -388,3 +388,41 @@ def test_weighted_sample_deterministic_and_monotone(spark):
         df.filter("w = 10"), "id", "w", 1.0
     ).count()
     assert all_max == 200
+
+
+# ------------------------------------------------------------ interleave --
+
+
+def test_interleave_round_robin_order(spark):
+    from healthcare_api_spark.operators.curation import interleave_sources
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = interleave_sources(df, "doc_id", "source", ["a", "b"]).collect()
+    by_order = sorted(out, key=lambda r: r["serve_order"])
+    # equal-sized sources → strict alternation a,b,a,b,...
+    assert [r["source"] for r in by_order] == ["a", "b"] * 10
+    # serve_order is collision-free
+    assert len({r["serve_order"] for r in out}) == len(out)
+
+
+def test_interleave_drops_unlisted_and_is_stable(spark):
+    from healthcare_api_spark.operators.curation import interleave_sources
+
+    rows = [(i, f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out1 = interleave_sources(df, "doc_id", "source", ["s0", "s2"])
+    assert out1.filter("source = 's1'").count() == 0
+    # repartitioning does not move anything
+    out2 = interleave_sources(df.repartition(7), "doc_id", "source", ["s0", "s2"])
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_interleave_empty_order_raises(spark):
+    from healthcare_api_spark.operators.curation import interleave_sources
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interleave_sources(df, "doc_id", "source", [])
