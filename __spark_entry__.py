@@ -1674,6 +1674,34 @@ def q_a12_incremental_agg(spark, sf_dir):
     )
 
 
+def q_x8_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition of the hourly per-type event
+    series: 25-bucket centered-MA trend, hour-of-day seasonal indices
+    (mean-centered), residual anomaly signal."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(F.sum("value").alias("v"))
+        .withColumn("phase", F.hour("bucket"))
+    )
+    out = temporal.seasonal_decompose(
+        hourly, ("event_type",), "bucket", "v", "phase", ma_window=25
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.round("v", 4).alias("v"),
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round("resid", 4).alias("resid"),
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2240,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t17_bigram_logprob": q_t17_bigram_logprob,
         "ds7_interleave_sources": q_ds7_interleave_sources,
         "a12_incremental_agg": q_a12_incremental_agg,
+        "x8_seasonal_decompose": q_x8_seasonal_decompose,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3454,6 +3483,28 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, source, CAST((rk - 1) * 4 +"
             "  CASE source WHEN 'src3' THEN 0 WHEN 'src1' THEN 1"
             "   WHEN 'src7' THEN 2 ELSE 3 END AS BIGINT) AS serve_order FROM r"
+        ),
+        # same decomposition: 25-row centered MA (full windows only),
+        # per-phase detrended means centered per series
+        "x8_seasonal_decompose": (
+            "WITH s AS (SELECT event_type, date_trunc('hour', ts) AS bucket,"
+            "  sum(value) AS v, extract(hour FROM date_trunc('hour', ts)) AS ph"
+            "  FROM events GROUP BY 1, 2),"
+            " t AS (SELECT *,"
+            "  CASE WHEN count(*) OVER w = 25 THEN avg(v) OVER w END AS trend"
+            "  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY bucket"
+            "   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),"
+            " d AS (SELECT *, v - trend AS det FROM t),"
+            " se AS (SELECT event_type, ph, avg(det) AS sraw FROM d"
+            "  WHERE det IS NOT NULL GROUP BY 1, 2),"
+            " ce AS (SELECT event_type, avg(sraw) AS smean FROM se GROUP BY 1),"
+            " sa AS (SELECT se.event_type, ph, sraw - smean AS seasonal"
+            "  FROM se JOIN ce USING (event_type))"
+            " SELECT d.event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,"
+            "  round(v, 4) AS v, round(trend, 4) AS trend,"
+            "  round(seasonal, 4) AS seasonal,"
+            "  round(v - trend - seasonal, 4) AS resid"
+            " FROM d LEFT JOIN sa ON d.event_type = sa.event_type AND d.ph = sa.ph"
         ),
         # full recompute — must equal base-state ⊕ delta-state merge
         "a12_incremental_agg": (

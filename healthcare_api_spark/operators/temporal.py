@@ -213,6 +213,62 @@ def mad_anomalies(
     return out.withColumn("anomaly", flag).drop("_med", "_mad")
 
 
+def seasonal_decompose(
+    df: DataFrame,
+    series_cols: tuple[str, ...],
+    bucket_col: str,
+    value_col: str,
+    phase_col: str,
+    ma_window: int = 25,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per series:
+    ``value = trend + seasonal + resid``.
+
+    - ``trend``: centered moving average over ``ma_window`` buckets
+      (rows-based frame; NULL where the window is not full — the
+      classical edge behavior, no half-window bias).
+    - ``seasonal``: the per-phase mean of the detrended values
+      (``phase_col`` is the caller's seasonality key, e.g. hour-of-day),
+      mean-centered within each series so the components are
+      identifiable (Σ seasonal ≈ 0).
+    - ``resid``: what's left — the anomaly signal.
+
+    Input is an already-aggregated (series, bucket, value) frame.
+    Shape at scale: ONE window over (series, bucket-order) for the
+    trend, one small per-(series, phase) aggregate and its per-series
+    rollup joined back — both tiny relative to the series, both
+    equi-joins. Parallelism unit = series; no driver state."""
+    if ma_window < 3 or ma_window % 2 == 0:
+        raise ValueError("ma_window must be an odd integer ≥ 3")
+    half = ma_window // 2
+    gcols = list(series_cols)
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(bucket_col)
+        .rowsBetween(-half, half)
+    )
+    trended = df.withColumn(
+        "trend",
+        F.when(
+            F.count(F.col(value_col)).over(w) == ma_window,
+            F.avg(F.col(value_col)).over(w),
+        ),
+    ).withColumn("_det", F.col(value_col) - F.col("trend"))
+    per_phase = (
+        trended.filter(F.col("_det").isNotNull())
+        .groupBy(*gcols, phase_col)
+        .agg(F.avg("_det").alias("_sraw"))
+    )
+    centers = per_phase.groupBy(*gcols).agg(F.avg("_sraw").alias("_smean"))
+    seasonal = per_phase.join(centers, gcols).select(
+        *gcols, phase_col, (F.col("_sraw") - F.col("_smean")).alias("seasonal")
+    )
+    out = trended.join(seasonal, [*gcols, phase_col], "left")
+    return out.withColumn(
+        "resid", F.col(value_col) - F.col("trend") - F.col("seasonal")
+    ).drop("_det")
+
+
 _DURATION_UNITS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600,
     "hours": 3600, "day": 86400, "days": 86400, "week": 604800, "weeks": 604800,

@@ -282,3 +282,44 @@ def test_scd2_history_collapses_and_bounds(spark):
 
     with _pytest.raises(ValueError, match="attr_cols"):
         scd2_history(df, "user_id", "ts", [])
+
+
+# --------------------------------------------------- seasonal decompose --
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.temporal import seasonal_decompose
+
+    # series = linear trend + exact period-4 cycle (+2,0,-2,0)
+    cyc = [2.0, 0.0, -2.0, 0.0]
+    rows = [(0, i, 0.5 * i + cyc[i % 4], i % 4) for i in range(40)]
+    df = spark.createDataFrame(rows, ["s", "bucket", "v", "phase"])
+    # ma_window = 5 (one full cycle + 1) keeps the cycle out of the trend
+    out = seasonal_decompose(df, ("s",), "bucket", "v", "phase", ma_window=5).collect()
+    by_bucket = {r["bucket"]: r for r in out}
+    # interior points: trend ≈ 0.5·i + cycle MA bias; with window 5 the
+    # cycle contributes (2+0-2+0+v_i)/5 — check residuals are tiny
+    for i in range(10, 30):
+        r = by_bucket[i]
+        assert r["trend"] is not None
+        assert abs(r["resid"]) < 0.5, (i, r)
+    # edges have no full window → trend/resid null
+    assert by_bucket[0]["trend"] is None and by_bucket[39]["trend"] is None
+    # seasonal sums to ~0 over one period
+    season = {r["phase"]: r["seasonal"] for r in out if r["seasonal"] is not None}
+    assert abs(sum(season.values())) < 1e-9
+    assert season[0] > season[2]  # +2 phase above -2 phase
+
+
+def test_seasonal_decompose_rejects_even_window(spark):
+    import pytest as _pytest
+
+    from healthcare_api_spark.operators.temporal import seasonal_decompose
+
+    df = spark.createDataFrame([(0, 1, 1.0, 0)], ["s", "bucket", "v", "phase"])
+    with _pytest.raises(ValueError):
+        seasonal_decompose(df, ("s",), "bucket", "v", "phase", ma_window=4)
