@@ -1702,6 +1702,41 @@ def q_x8_seasonal_decompose(spark, sf_dir):
     )
 
 
+def q_d12_sorted_neighborhood(spark, sf_dir):
+    """Entity resolution via sorted-neighborhood blocking (the sort-
+    based alternative to d11's prefix blocks): originals ∪ typo'd
+    variants, one global (title, id) order, window-6 candidate pairs,
+    exact Levenshtein ≤ 3 verify. Same title/typo construction as d11,
+    so the two blocking strategies are directly comparable."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    title = F.substring(
+        F.regexp_replace(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+            "[^ -~]", "",
+        ),
+        1, 24,
+    )
+    t = docs.select("doc_id", title.alias("title")).filter(F.length("title") >= 12)
+    typo = t.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.expr("substring(title, 1, doc_id % 8 + 4)"),
+            F.expr("substring(title, doc_id % 8 + 6, 1)"),
+            F.expr("substring(title, doc_id % 8 + 5, 1)"),
+            F.expr("substring(title, doc_id % 8 + 7, 9999)"),
+        ).alias("title"),
+    )
+    pairs = dedup.sorted_neighborhood_pairs(
+        t.unionByName(typo), "doc_id", "title", window=6
+    )
+    return pairs.filter(F.levenshtein("key_a", "key_b") <= 3).select(
+        "id_a",
+        "id_b",
+        F.levenshtein("key_a", "key_b").cast("int").alias("dist"),
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2269,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds7_interleave_sources": q_ds7_interleave_sources,
         "a12_incremental_agg": q_a12_incremental_agg,
         "x8_seasonal_decompose": q_x8_seasonal_decompose,
+        "d12_sorted_neighborhood": q_d12_sorted_neighborhood,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3473,6 +3509,27 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # d12: one global (title, id) order, rank-difference ≤ 5 window
+        "d12_sorted_neighborhood": (
+            "WITH t0 AS (SELECT doc_id,"
+            " substr(regexp_replace(trim(regexp_replace(lower(text),"
+            "   '\\s+', ' ', 'g')), '[^ -~]', '', 'g'), 1, 24) AS title"
+            " FROM documents),"
+            " t AS (SELECT * FROM t0 WHERE length(title) >= 12),"
+            " typo AS (SELECT doc_id + 100000 AS doc_id,"
+            "   substr(title, 1, doc_id % 8 + 4)"
+            "   || substr(title, doc_id % 8 + 6, 1)"
+            "   || substr(title, doc_id % 8 + 5, 1)"
+            "   || substr(title, doc_id % 8 + 7) AS title FROM t),"
+            " u AS (SELECT * FROM t UNION ALL SELECT * FROM typo),"
+            " r AS (SELECT doc_id, title,"
+            "   row_number() OVER (ORDER BY title, doc_id) - 1 AS rk FROM u),"
+            " p AS (SELECT a.doc_id AS id_a, a.title AS ka,"
+            "   b.doc_id AS id_b, b.title AS kb"
+            "  FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 5)"
+            " SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS INTEGER) AS dist"
+            " FROM p WHERE levenshtein(ka, kb) <= 3"
         ),
         # serve_order = (rank_in_source - 1)·4 + curriculum index
         "ds7_interleave_sources": (

@@ -606,3 +606,92 @@ def fuzzy_string_join(
             F.col("_d").cast("int").alias("dist"),
         )
     )
+
+
+# ------------------------------------------------- sorted neighborhood --
+
+
+def global_row_rank(
+    df: DataFrame, order_cols: list[str], out_col: str = "rank", parts: int | None = None
+) -> DataFrame:
+    """Exact 0-based global rank of every ROW under ``order_cols`` —
+    without the single-task global window (`row_number() OVER (ORDER BY
+    …)` with no partition pulls the whole table through one task; the
+    scale-killer). Same decomposition as layout.rank_normalize16 but
+    over rows, not distinct values:
+
+    1. ``repartitionByRange(order_cols)`` — partition *i* sorts strictly
+       before partition *i+1* (localCheckpoint pins the SAMPLED range
+       boundaries before the frame is read twice),
+    2. per-partition counts → cumulative offsets on the driver (one int
+       per partition — the only driver traffic),
+    3. rank = offset[pid] + per-partition row_number (parallel windows).
+
+    ``order_cols`` must be a total order (append a unique id) or ranks
+    within ties are partition-dependent."""
+    spark = df.sparkSession
+    parts = parts or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = total
+        total += counts[pid]
+    if total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+    off_map = F.create_map(
+        *[x for pid in sorted(counts) for x in (F.lit(pid), F.lit(offsets[pid]))]
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return ranged.withColumn(
+        out_col,
+        (off_map[F.col("_pid")] + F.row_number().over(w) - 1).cast("bigint"),
+    ).drop("_pid")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood entity blocking (Hernández & Stolfo 1995),
+    the sort-based alternative to LSH banding: order all records by the
+    blocking key, slide a ``window``-record window, and emit every pair
+    that co-occurs — O(n·window) candidates instead of O(n²), and unlike
+    prefix blocking it tolerates typos ANYWHERE after the first sort-
+    significant characters (near records stay near in sort order).
+
+    Output: (id_a, key_a, id_b, key_b) with rank(a) < rank(b) ≤
+    rank(a)+window−1 — candidates only; compose with an exact verifier
+    (levenshtein/jaccard) downstream. Deterministic: ordering is
+    (key, id), a total order.
+
+    Shape at scale: one range-repartition (the global sort SNM is named
+    for), driver traffic = one int per partition, then an equi-join of
+    the ranked frame against itself on ``rank + δ`` (δ exploded 1..w−1)
+    — never a cross join; skew-free because ranks are unique."""
+    if window < 2:
+        raise ValueError("window must be ≥ 2")
+    ranked = global_row_rank(
+        df.select(F.col(id_col), F.col(key_col)), [key_col, id_col], "_r"
+    )
+    left = ranked.select(
+        F.col(id_col).alias("id_a"), F.col(key_col).alias("key_a"),
+        F.explode(
+            F.array(*[F.col("_r") + d for d in range(1, window)])
+        ).alias("_rb"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_b"), F.col(key_col).alias("key_b"),
+        F.col("_r").alias("_rb"),
+    )
+    return left.join(right, "_rb").drop("_rb")

@@ -257,3 +257,56 @@ def test_fuzzy_string_join_blocking_and_verify(spark):
     assert out == {(1, 10): 1, (2, 11): 1, (1, 13): 3}
     # blocking documented miss: (2, 12) is dist 2 but the prefix differs
     assert (2, 12) not in out
+
+
+# ------------------------------------------------- sorted neighborhood --
+
+
+def test_global_row_rank_is_exact(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.dedup import global_row_rank
+
+    rows = [(i, f"k{i % 7:02d}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "key"]).repartition(5)
+    ranked = global_row_rank(df, ["key", "id"], "rank")
+    got = [(r["key"], r["id"]) for r in ranked.orderBy("rank").collect()]
+    assert got == sorted(got)
+    assert ranked.agg(F.min("rank"), F.max("rank")).first() == (0, 49)
+    assert ranked.select("rank").distinct().count() == 50
+
+
+def test_sorted_neighborhood_finds_adjacent_near_dups(spark):
+    from healthcare_api_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # near-dups share a long prefix → adjacent in sort order even though
+    # the difference is mid-string (prefix blocking on 8 chars would
+    # still pair these; difference at char 9)
+    rows = [
+        (1, "alpha-document-one"),
+        (2, "alpha-docXment-one"),   # 1 sub vs id 1
+        (3, "zulu-record-42"),
+        (4, "zulu-recXrd-42"),       # 1 sub vs id 3
+        (5, "middle-unrelated-aaaa"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    pairs = sorted_neighborhood_pairs(df, "id", "key", window=2).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # window=2 → only rank-adjacent pairs; both planted pairs are adjacent
+    assert (1, 2) in got or (2, 1) in got
+    assert (3, 4) in got or (4, 3) in got
+    # candidate volume is O(n·(w-1)) = 4 here
+    assert len(pairs) == 4
+
+
+def test_sorted_neighborhood_candidate_bound_and_window(spark):
+    import pytest as _pytest
+
+    from healthcare_api_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(i, f"key{i:03d}") for i in range(30)], ["id", "key"])
+    w4 = sorted_neighborhood_pairs(df, "id", "key", window=4)
+    # exactly Σ_{δ=1..3} (n-δ) pairs
+    assert w4.count() == (29 + 28 + 27)
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "id", "key", window=1)
