@@ -1737,6 +1737,16 @@ def q_d12_sorted_neighborhood(spark, sf_dir):
     )
 
 
+def q_v6_sq8_topk(spark, sf_dir):
+    """int8 scalar-quantized ANN (faiss-SQ8 shape): integer dot-product
+    ranking over normalized-and-quantized embeddings — exact integer
+    scores make this the one hash-verifiable ANN variant."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    return similarity.scalar_quantized_topk(emb, "vec_id", "embedding", qvec, k=10)
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2305,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_incremental_agg": q_a12_incremental_agg,
         "x8_seasonal_decompose": q_x8_seasonal_decompose,
         "d12_sorted_neighborhood": q_d12_sorted_neighborhood,
+        "v6_sq8_topk": q_v6_sq8_topk,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3509,6 +3520,18 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # v6: same normalize→round(x·127)→int dot pipeline; integer
+        # scores, so no float rounding in the comparison at all
+        "v6_sq8_topk": (
+            "WITH nv AS (SELECT vec_id, list_transform(embedding,"
+            "  x -> CAST(round(CAST(x AS DOUBLE) / sqrt(list_dot_product("
+            "   list_transform(embedding, y -> y::DOUBLE),"
+            "   list_transform(embedding, y -> y::DOUBLE))) * 127) AS INTEGER))"
+            "  AS qv FROM embeddings),"
+            " q AS (SELECT qv AS qq FROM nv WHERE vec_id = 0)"
+            " SELECT vec_id, CAST(list_dot_product(qv, qq) AS BIGINT) AS qdot"
+            " FROM nv, q ORDER BY qdot DESC, vec_id ASC LIMIT 10"
         ),
         # d12: one global (title, id) order, rank-difference ≤ 5 window
         "d12_sorted_neighborhood": (

@@ -363,3 +363,39 @@ def test_fold_accents(spark):
     assert out[1] == "cafe naive senor Nandu"
     assert out[2] == "plain ascii"
     assert out[3] is None
+
+
+def test_sq8_topk_recall_vs_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    exact = {
+        r["vec_id"]
+        for r in similarity.brute_force_topk(
+            emb, "vec_id", "embedding", qvec, k=10
+        ).collect()
+    }
+    sq = {
+        r["vec_id"]
+        for r in similarity.scalar_quantized_topk(
+            emb, "vec_id", "embedding", qvec, k=10
+        ).collect()
+    }
+    # int8 quantization of normalized vectors: recall@10 ≥ 0.8 on this data
+    assert len(exact & sq) >= 8, (exact, sq)
+
+
+def test_sq8_scores_are_integers_and_self_top(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    top = similarity.scalar_quantized_topk(emb, "vec_id", "embedding", qvec, k=3).collect()
+    # the query vector itself ranks first; scores are exact ints
+    assert top[0]["vec_id"] == 0
+    assert all(isinstance(r["qdot"], int) for r in top)
+
+
+def test_sq8_zero_norm_query_raises(spark):
+    import pytest as _pytest
+
+    emb = spark.createDataFrame([(1, [0.1, 0.2])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError):
+        similarity.scalar_quantized_topk(emb, "vec_id", "embedding", [0.0, 0.0])
