@@ -106,3 +106,43 @@ def sessionize(
             "n_events",
         )
     )
+
+
+def streaming_agg_maintenance(
+    stream_df: DataFrame,
+    state_dir: str,
+    key_cols: list[str],
+    specs: dict[str, str | list[str]],
+    checkpoint: str | None = None,
+):
+    """Streaming materialized-aggregate maintenance: each micro-batch is
+    reduced to its mergeable partials (relational.agg_state) and merged
+    into the parquet state at ``state_dir`` via merge_agg_state — the
+    streaming twin of the a12 batch path, and the foreachBatch
+    alternative to an unbounded `complete`-mode aggregation (whose
+    in-memory state a 100 TB key space would blow past; here state
+    lives columnar on disk and each merge touches |state|+|delta| rows).
+
+    The read→merge→overwrite cycle pins the previous state with
+    ``localCheckpoint(eager=True)`` before the directory it came from is
+    overwritten (the repo-wide read-own-input rule). Returns the
+    StreamingQuery; the maintained view is ``spark.read.parquet(state_dir)``.
+    """
+    from healthcare_api_spark.operators.relational import agg_state, merge_agg_state
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = agg_state(batch_df, key_cols, specs)
+        try:
+            prev = spark.read.parquet(state_dir).localCheckpoint(eager=True)
+        except Exception as e:  # first batch: no state yet
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            prev = None
+        merged = delta if prev is None else merge_agg_state(prev, delta, key_cols, specs)
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

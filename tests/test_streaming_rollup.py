@@ -341,3 +341,39 @@ def test_streaming_top_tokens_matches_batch(spark, tmp_path):
     expect = [(r["tok"], r["cnt"]) for r in top_tokens(batch, "text", k=5).collect()]
     assert got == expect
     assert got[0] == ("the", 5)
+
+
+def test_streaming_agg_maintenance_matches_batch(spark, tmp_path):
+    """Two micro-batches through streaming_agg_maintenance == one batch
+    agg_state over the union — the live-stream twin of a12."""
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.relational import agg_state
+    from healthcare_api_spark.streaming.upsert import streaming_agg_maintenance
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(k % 5, float(k)) for k in range(40)]
+    rows2 = [(k % 5, float(k)) for k in range(40, 100)]
+    schema = "k int, v double"
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+
+    specs = {"v": ["sum", "count", "max"]}
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming_agg_maintenance(stream, state, ["k"], specs, checkpoint=ckpt)
+    q.processAllAvailable()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    want = sorted(
+        map(
+            tuple,
+            agg_state(
+                spark.createDataFrame(rows1 + rows2, schema), ["k"], specs
+            ).collect(),
+        )
+    )
+    assert got == want
