@@ -1747,6 +1747,21 @@ def q_v6_sq8_topk(spark, sf_dir):
     return similarity.scalar_quantized_topk(emb, "vec_id", "embedding", qvec, k=10)
 
 
+def q_l4_hilbert_key(spark, sf_dir):
+    """2-D Hilbert index over lineitem (partkey, suppkey) — the
+    locality-optimal alternative to l1's Morton key (no diagonal
+    jumps), bit-exact vs the chained-CTE xy2d oracle."""
+    from healthcare_api_spark.operators.layout import hilbert_key_cols
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return hilbert_key_cols(li, "l_partkey", "l_suppkey", bits=16).select(
+        "l_orderkey", "l_linenumber", "hkey"
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2316,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_seasonal_decompose": q_x8_seasonal_decompose,
         "d12_sorted_neighborhood": q_d12_sorted_neighborhood,
         "v6_sq8_topk": q_v6_sq8_topk,
+        "l4_hilbert_key": q_l4_hilbert_key,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -2559,6 +2575,7 @@ def _ds1_case_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from healthcare_api_spark.operators.layout import (
+        hilbert_key_sql,
         morton_key3_sql,
         morton_key_sql,
         rank_normalize16_sql,
@@ -3520,6 +3537,11 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # l4: the same 16-level xy2d walk as chained CTE levels
+        "l4_hilbert_key": hilbert_key_sql(
+            "l_partkey", "l_suppkey", 16,
+            ["l_orderkey", "l_linenumber"], "lineitem",
         ),
         # v6: same normalize→round(x·127)→int dot pipeline; integer
         # scores, so no float rounding in the comparison at all

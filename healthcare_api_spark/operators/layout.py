@@ -222,3 +222,95 @@ def morton_key3_sql(a_expr: str, b_expr: str, c_expr: str) -> str:
     return (
         f"({spread(a_expr)} | ({spread(b_expr)} << 1) | ({spread(c_expr)} << 2))"
     )
+
+
+# ------------------------------------------------------------- Hilbert --
+
+
+def hilbert_key_cols(
+    df: DataFrame, col_a: str, col_b: str, bits: int = 16, out_col: str = "hkey"
+) -> DataFrame:
+    """Attach the 2-D Hilbert-curve index of ``(col_a, col_b)`` (low
+    ``bits`` bits each) as ``out_col`` — the locality-optimal layout
+    key: unlike Morton/Z-order (l1/l2), the Hilbert curve has NO long
+    diagonal jumps, so a range predicate on either column touches
+    strictly fewer row groups after sorting by this key (the curve is
+    a single unbroken path; every consecutive pair of keys is a grid
+    neighbor — asserted exhaustively in tests).
+
+    The classic iterative xy2d walk (one rotation per bit level,
+    Wikipedia "Hilbert curve"), unrolled as ``withColumn`` steps: each
+    level is a SMALL named projection over the previous level's
+    columns. Building it as one nested expression triples the tree per
+    level (3^16 nodes — Py4J OOMs before Catalyst even sees it);
+    named steps keep construction linear and let codegen reuse the
+    per-level subexpressions. Pure JVM bit arithmetic, zero shuffle,
+    bit-exact vs the chained-CTE SQL twin (hilbert_key_sql)."""
+    n = 1 << bits
+    d = df.withColumn("_hx", F.col(col_a).cast("bigint").bitwiseAND(F.lit(n - 1)))
+    d = d.withColumn("_hy", F.col(col_b).cast("bigint").bitwiseAND(F.lit(n - 1)))
+    d = d.withColumn("_hd", F.lit(0).cast("bigint"))
+    s = n >> 1
+    while s > 0:
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        d = d.withColumn("_rx", rx).withColumn("_ry", ry)
+        d = d.withColumn(
+            "_hd",
+            F.col("_hd")
+            + F.lit(s) * F.lit(s) * ((F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry"))),
+        )
+        # rotate: ry=0 → (maybe reflect) then swap x/y
+        nx = F.when(
+            F.col("_ry") == 0,
+            F.when(F.col("_rx") == 1, F.lit(n) - 1 - F.col("_hy")).otherwise(
+                F.col("_hy")
+            ),
+        ).otherwise(F.col("_hx"))
+        ny = F.when(
+            F.col("_ry") == 0,
+            F.when(F.col("_rx") == 1, F.lit(n) - 1 - F.col("_hx")).otherwise(
+                F.col("_hx")
+            ),
+        ).otherwise(F.col("_hy"))
+        d = d.withColumn("_nx", nx).withColumn("_ny", ny)
+        d = d.withColumn("_hx", F.col("_nx")).withColumn("_hy", F.col("_ny"))
+        s >>= 1
+    return d.withColumn(out_col, F.col("_hd")).drop(
+        "_hx", "_hy", "_hd", "_rx", "_ry", "_nx", "_ny"
+    )
+
+
+def hilbert_key_sql(
+    xcol: str, ycol: str, bits: int, carry_cols: list[str], table: str,
+    out_col: str = "hkey",
+) -> str:
+    """The identical xy2d walk as portable SQL for the DuckDB oracle —
+    one chained subquery per bit level with NUMBERED columns (SQL
+    lateral alias resolution would otherwise read the new value where
+    the algorithm needs the old one). Keep in lockstep with
+    ``hilbert_key_cols``."""
+    n = 1 << bits
+    carry = ", ".join(carry_cols)
+    sql = (
+        f"SELECT {carry},"
+        f" CAST({xcol} AS BIGINT) & {n - 1} AS hx0,"
+        f" CAST({ycol} AS BIGINT) & {n - 1} AS hy0,"
+        f" CAST(0 AS BIGINT) AS hd0 FROM {table}"
+    )
+    s, i = n >> 1, 0
+    while s > 0:
+        x, y, d, j = f"hx{i}", f"hy{i}", f"hd{i}", i + 1
+        rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+        sql = (
+            f"SELECT {carry},"
+            f" CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+            f"  THEN {n} - 1 - {y} ELSE {y} END ELSE {x} END AS hx{j},"
+            f" CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+            f"  THEN {n} - 1 - {x} ELSE {x} END ELSE {y} END AS hy{j},"
+            f" {d} + {s * s} * xor(3 * {rx}, {ry}) AS hd{j}"
+            f" FROM ({sql})"
+        )
+        s, i = s >> 1, j
+    return f"SELECT {carry}, hd{i} AS {out_col} FROM ({sql})"

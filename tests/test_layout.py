@@ -164,3 +164,69 @@ def test_morton_key3_per_bit_reference(spark):
     ).collect()
     for r in rows:
         assert r["k"] == ref(r["a"] & 1023, r["b"] & 1023, r["c"] & 1023)
+
+
+# -------------------------------------------------------------- Hilbert --
+
+
+def test_hilbert_is_a_bijective_unbroken_path(spark):
+    """Exhaustive bits=4: the 16×16 grid maps to a permutation of
+    0..255 AND every consecutive pair of indices is a grid NEIGHBOR
+    (|Δx|+|Δy| = 1) — the defining Hilbert property Morton lacks.
+    This pins the rotation logic completely (any sign/swap mistake
+    breaks adjacency somewhere on the path)."""
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.layout import hilbert_key_cols
+
+    grid = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("int").alias("y")
+    )
+    rows = hilbert_key_cols(grid, "x", "y", bits=4, out_col="h").collect()
+    path = sorted((r["h"], r["x"], r["y"]) for r in rows)
+    assert [p[0] for p in path] == list(range(256))
+    for (_, x0, y0), (_, x1, y1) in zip(path, path[1:]):
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, ((x0, y0), (x1, y1))
+
+
+def test_hilbert_matches_sql_twin(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.layout import hilbert_key_cols, hilbert_key_sql
+
+    rows = [(i, i * 37 % 1000, i * 101 % 997) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "a", "b"])
+    got = {
+        r["id"]: r["h"]
+        for r in hilbert_key_cols(df, "a", "b", bits=16, out_col="h").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES %s) v(id, a, b)"
+                % ",".join(str(r) for r in rows))
+    sql = hilbert_key_sql("a", "b", 16, ["id"], "t", out_col="h")
+    want = {i: h for i, h in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_hilbert_locality_beats_morton_on_column_ranges(spark):
+    """The layout claim, measured: sort a 32×32 grid by each key and
+    count how many CONTIGUOUS key runs a narrow column-range predicate
+    (x in [8,11]) shatters into. Fewer runs = fewer row groups touched
+    after pruning. Hilbert must not be worse than Morton."""
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.layout import hilbert_key_cols, morton_key
+
+    grid = spark.range(0, 1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("int").alias("y")
+    )
+    h = hilbert_key_cols(grid, "x", "y", bits=5, out_col="k").collect()
+    m = grid.select("x", "y", morton_key(F.col("x"), F.col("y")).alias("k")).collect()
+
+    def runs(rows):
+        keys = sorted(r["k"] for r in rows if 8 <= r["x"] <= 11)
+        return 1 + sum(1 for a, b in zip(keys, keys[1:]) if b != a + 1)
+
+    assert runs(h) <= runs(m)
