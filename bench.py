@@ -61,6 +61,10 @@ HEADLINE = [
     "d11_fuzzy_join",
     "v5_knn_join",
     "t14_bpe_pairs",
+    # round 4 additions: global-sort blocking, bigram-LM joins, CMS
+    "d12_sorted_neighborhood",
+    "t17_bigram_logprob",
+    "k3_cms_heavy_hitters",
 ]
 
 N_STEADY = 3
