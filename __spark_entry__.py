@@ -1615,17 +1615,20 @@ def q_k3_cms_heavy_hitters(spark, sf_dir):
 
     _tune(spark)
     depth, width = 4, 512
-    toks = (
+    # reduce to the frequency table FIRST (one map-side-combined agg),
+    # then weighted-build: 4·|vocab| md5 calls instead of 4·N — same
+    # sketch cell-for-cell, ~20× less hashing at sf0.1 (1.7 → 0.6 s)
+    tf = (
         _t(spark, sf_dir, "documents")
         .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    sketch = sketches.cms_build(toks, "tok", depth=depth, width=width)
+    sketch = sketches.cms_build(tf, "tok", depth=depth, width=width, weight_col="c")
     total = sketch.filter(F.col("r") == 0).agg(
         F.sum("n").cast("bigint").alias("total")
     )
-    est = sketches.cms_lookup(
-        sketch, toks.distinct(), "tok", depth=depth, width=width
-    )
+    est = sketches.cms_lookup(sketch, tf.select("tok"), "tok", depth=depth, width=width)
     return (
         est.crossJoin(F.broadcast(total))
         .filter(F.col("est") >= F.col("total") / F.lit(256.0))
@@ -1996,8 +1999,12 @@ def q_d11_fuzzy_join(spark, sf_dir):
             F.expr("substring(title, doc_id % 8 + 7, 9999)"),
         ).alias("title"),
     )
+    # left spread across cores (SF single-split; no-op on pre-split
+    # 100 TB input), right side broadcast — verify runs shuffle-free
     return dedup.fuzzy_string_join(
-        t, typo, "doc_id", "title", "doc_id", "title", max_dist=3, block_chars=4
+        t.repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32"))),
+        typo, "doc_id", "title", "doc_id", "title",
+        max_dist=3, block_chars=4, broadcast_right=True,
     )
 
 
