@@ -322,15 +322,20 @@ def bigram_logprob(
     p = F.lit(lam) * F.col("c2") / F.col("c1") + F.lit(1.0 - lam) * F.col(
         "cu"
     ) / F.col("n")
-    scored = (
-        tf2.join(c2, ["prev", "cur"])
-        .join(c1, "prev")
+    # score each DISTINCT bigram once (|vocab²∩corpus| rows), then one
+    # equi-join back to the per-doc tf — the heavy frame (tf2) passes
+    # through a single join instead of three (AQE broadcasts the scored
+    # pair table when it is small)
+    scored_pairs = (
+        c2.join(c1, "prev")
         .join(uni, "cur")
         .crossJoin(F.broadcast(n_total))
+        .select("prev", "cur", p.alias("_p"))
     )
+    scored = tf2.join(scored_pairs, ["prev", "cur"]).withColumn("_lp", F.log("_p"))
     per_doc = scored.groupBy(id_col).agg(
         F.sum("tf").cast("bigint").alias("n_bigrams"),
-        F.sum(-F.col("tf") * F.log(p)).alias("_nll"),
+        F.sum(-F.col("tf") * F.col("_lp")).alias("_nll"),
     )
     return per_doc.select(
         F.col(id_col),
