@@ -1765,6 +1765,44 @@ def q_l4_hilbert_key(spark, sf_dir):
     )
 
 
+def q_x9_series_correlation(spark, sf_dir):
+    """Pairwise Pearson correlation across the per-type hourly series
+    (the feature-redundancy matrix) — one bucket equi-join + one
+    map-side-combined corr aggregate."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.sum("value").alias("v"))
+    )
+    out = temporal.series_correlation(hourly, "event_type", "bucket", "v")
+    return out.select(
+        "series_a", "series_b", "n", F.round("corr", 6).alias("corr")
+    )
+
+
+def q_x10_rolling_median(spark, sf_dir):
+    """Exact centered rolling median (window 11) over the hourly
+    per-type series — the robust smoother; JVM percentile window."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.sum("value").alias("v"))
+    )
+    out = temporal.rolling_median(hourly, ("event_type",), "bucket", "v", window=11)
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.round("v", 4).alias("v"),
+        F.round("med", 4).alias("med"),
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2339,6 +2377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d12_sorted_neighborhood": q_d12_sorted_neighborhood,
         "v6_sq8_topk": q_v6_sq8_topk,
         "l4_hilbert_key": q_l4_hilbert_key,
+        "x9_series_correlation": q_x9_series_correlation,
+        "x10_rolling_median": q_x10_rolling_median,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3544,6 +3584,26 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # x9: DuckDB corr == Spark corr == sample Pearson
+        "x9_series_correlation": (
+            "WITH s AS (SELECT event_type, date_trunc('hour', ts) AS bucket,"
+            "  sum(value) AS v FROM events GROUP BY 1, 2)"
+            " SELECT a.event_type AS series_a, b.event_type AS series_b,"
+            "  CAST(count(*) AS BIGINT) AS n, round(corr(a.v, b.v), 6) AS corr"
+            " FROM s a JOIN s b ON a.bucket = b.bucket"
+            "  AND a.event_type < b.event_type"
+            " GROUP BY 1, 2"
+        ),
+        # x10: median == quantile_cont(0.5) == Spark percentile(…, 0.5)
+        "x10_rolling_median": (
+            "WITH s AS (SELECT event_type, date_trunc('hour', ts) AS bucket,"
+            "  sum(value) AS v FROM events GROUP BY 1, 2)"
+            " SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,"
+            "  round(v, 4) AS v,"
+            "  round(median(v) OVER (PARTITION BY event_type ORDER BY bucket"
+            "   ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING), 4) AS med"
+            " FROM s"
         ),
         # l4: the same 16-level xy2d walk as chained CTE levels
         "l4_hilbert_key": hilbert_key_sql(

@@ -461,3 +461,72 @@ def lttb_downsample(
         return pdf.iloc[chosen]
 
     return proj.groupBy(*gcols).applyInPandas(_lttb, schema)
+
+
+def series_correlation(
+    df: DataFrame,
+    series_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pairwise Pearson correlation between every pair of series
+    (series_col values) over their aligned buckets — the metric-drift /
+    redundancy matrix a feature store computes across thousands of
+    signals. Output: (series_a, series_b, n, corr) for a < b, buckets
+    present in both series.
+
+    Shape at scale: self-equi-join on the bucket key (the only
+    shuffle; series count ≪ bucket count so the join fans out
+    |series|² per bucket — fine while the series set is bounded), then
+    ONE map-side-combined aggregate computing corr from the running
+    sums (Σx, Σy, Σxy, Σx², Σy², n) — no per-pair collect, no pivot to
+    the driver."""
+    a = df.select(
+        F.col(series_col).alias("series_a"),
+        F.col(bucket_col).alias("_b"),
+        F.col(value_col).alias("_x"),
+    )
+    b = df.select(
+        F.col(series_col).alias("series_b"),
+        F.col(bucket_col).alias("_b"),
+        F.col(value_col).alias("_y"),
+    )
+    joined = a.join(b, "_b").filter(F.col("series_a") < F.col("series_b"))
+    return (
+        joined.groupBy("series_a", "series_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.corr("_x", "_y").alias("corr"),
+        )
+    )
+
+
+def rolling_median(
+    df: DataFrame,
+    series_cols: tuple[str, ...],
+    order_col: str,
+    value_col: str,
+    window: int = 11,
+    out_col: str = "med",
+) -> DataFrame:
+    """Exact rolling median over the trailing+leading ``window`` rows
+    (centered, rows-based) per series — the robust smoother (immune to
+    the spikes a moving average chases; pairs with mad_anomalies).
+    Edges use the partial window (standard rolling-median behavior:
+    median of whatever rows the frame holds).
+
+    Exact ``percentile`` as a WINDOW aggregate — stays in the JVM, one
+    shuffle on the series key, O(window log window) per row. For
+    windows in the thousands switch to a two-heap applyInPandas; at
+    the typical smoothing widths (≤ 101) the built-in wins."""
+    if window < 1 or window % 2 == 0:
+        raise ValueError("window must be an odd integer ≥ 1")
+    half = window // 2
+    w = (
+        Window.partitionBy(*[F.col(c) for c in series_cols])
+        .orderBy(order_col)
+        .rowsBetween(-half, half)
+    )
+    return df.withColumn(
+        out_col, F.expr(f"percentile({value_col}, 0.5)").over(w)
+    )

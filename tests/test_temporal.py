@@ -323,3 +323,48 @@ def test_seasonal_decompose_rejects_even_window(spark):
     df = spark.createDataFrame([(0, 1, 1.0, 0)], ["s", "bucket", "v", "phase"])
     with _pytest.raises(ValueError):
         seasonal_decompose(df, ("s",), "bucket", "v", "phase", ma_window=4)
+
+
+def test_series_correlation_known_values(spark):
+    from healthcare_api_spark.operators.temporal import series_correlation
+
+    rows = []
+    for i in range(20):
+        rows += [("up", i, float(i)), ("up2", i, 2.0 * i + 5), ("down", i, float(-i))]
+    df = spark.createDataFrame(rows, ["s", "bucket", "v"])
+    out = {(r["series_a"], r["series_b"]): r for r in
+           series_correlation(df, "s", "bucket", "v").collect()}
+    # perfectly correlated / anti-correlated pairs; pairs emitted a < b once
+    assert abs(out[("up", "up2")]["corr"] - 1.0) < 1e-12
+    assert abs(out[("down", "up")]["corr"] + 1.0) < 1e-12
+    assert len(out) == 3 and all(r["n"] == 20 for r in out.values())
+
+
+def test_series_correlation_aligns_buckets(spark):
+    from healthcare_api_spark.operators.temporal import series_correlation
+
+    rows = [("a", 1, 1.0), ("a", 2, 2.0), ("a", 9, 5.0),
+            ("b", 1, 3.0), ("b", 2, 1.0)]
+    df = spark.createDataFrame(rows, ["s", "bucket", "v"])
+    out = series_correlation(df, "s", "bucket", "v").collect()
+    # only buckets present in BOTH series count
+    assert out[0]["n"] == 2
+
+
+def test_rolling_median_exact_and_edges(spark):
+    from healthcare_api_spark.operators.temporal import rolling_median
+
+    vals = [1.0, 100.0, 2.0, 3.0, 2.0]  # spike at index 1
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)], ["s", "bucket", "v"]
+    )
+    out = {r["bucket"]: r["med"] for r in
+           rolling_median(df, ("s",), "bucket", "v", window=3).collect()}
+    # interior: median of the 3-row frame suppresses the spike
+    assert out[1] == 2.0 and out[2] == 3.0
+    # edges: partial frame (2 rows) → interpolated median
+    assert out[0] == 50.5 and out[4] == 2.5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rolling_median(df, ("s",), "bucket", "v", window=4)
