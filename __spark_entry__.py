@@ -1803,6 +1803,21 @@ def q_x10_rolling_median(spark, sf_dir):
     )
 
 
+def q_u2_domain_stats(spark, sf_dir):
+    """Per-domain corpus health over the duplicated corpus (every doc
+    has one exact copy → dup_rate ≈ 0.5 per domain) with deterministic
+    5-domain URL assignment — the blocklist-decision aggregate."""
+    _tune(spark)
+    docs = _docs_dup(spark, sf_dir, spread=False)
+    url = F.concat(
+        F.lit("https://WWW.Site"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/d/"), F.col("doc_id").cast("string"),
+    )
+    return curation.domain_stats(
+        docs.withColumn("url", url), "doc_id", "url", "text"
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2379,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l4_hilbert_key": q_l4_hilbert_key,
         "x9_series_correlation": q_x9_series_correlation,
         "x10_rolling_median": q_x10_rolling_median,
+        "u2_domain_stats": q_u2_domain_stats,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3584,6 +3600,20 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # u2: same host-extraction + md5-content aggregate over the
+        # duplicated corpus; 100000 % 5 = 0 keeps copies in-domain
+        "u2_domain_stats": (
+            f"WITH docs AS ({_DOCS_DUP_SQL}),"
+            " d AS (SELECT lower('site' || CAST(doc_id % 5 AS VARCHAR)"
+            "   || '.example.com') AS domain,"
+            "  md5(text) AS h, length(text) AS len FROM docs)"
+            " SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,"
+            "  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,"
+            "  round(1.0 - count(DISTINCT h) / CAST(count(*) AS DOUBLE), 6)"
+            "   AS dup_rate,"
+            "  round(avg(len), 4) AS avg_chars"
+            " FROM d GROUP BY domain"
         ),
         # x9: DuckDB corr == Spark corr == sample Pearson
         "x9_series_correlation": (

@@ -231,6 +231,41 @@ def canonicalize_urls(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.col(url_col).alias("url"), u.alias("canonical_url"))
 
 
+def domain_stats(
+    df: DataFrame, id_col: str, url_col: str, text_col: str
+) -> DataFrame:
+    """Per-domain corpus health: the aggregation a web-pipeline's
+    domain blocklist/allowlist decisions read. For each registrable
+    host (lowercased, leading ``www.`` stripped): document count,
+    distinct-content count (md5 of the raw text), the exact-duplicate
+    rate, and mean document length. High dup_rate → mirror/SEO spam;
+    tiny avg_chars → link farms.
+
+    Shape at scale: one narrow projection (host regexp + content md5)
+    then ONE aggregate keyed by domain using count-distinct on the
+    hash — map-side combine keeps the shuffle at
+    O(domains × partitions) partial rows. No joins."""
+    # lower BEFORE extracting so 'WWW.' strips too (hosts are
+    # case-insensitive; the extraction never touches the path)
+    host = F.regexp_extract(F.lower(F.col(url_col)), r"://(?:www\.)?([^/?#:]+)", 1)
+    return (
+        df.select(
+            host.alias("domain"),
+            F.md5(F.col(text_col)).alias("_h"),
+            F.length(F.col(text_col)).alias("_len"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_h").alias("n_distinct"),
+            F.round(
+                1.0 - F.countDistinct("_h") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+            F.round(F.avg("_len"), 4).alias("avg_chars"),
+        )
+    )
+
+
 # ------------------------------------------------ boilerplate line removal --
 
 

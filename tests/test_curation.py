@@ -426,3 +426,19 @@ def test_interleave_empty_order_raises(spark):
 
     with _pytest.raises(ValueError):
         interleave_sources(df, "doc_id", "source", [])
+
+
+def test_domain_stats_counts_and_dup_rate(spark):
+    from healthcare_api_spark.operators.curation import domain_stats
+
+    rows = [
+        (1, "https://WWW.A.com/x", "same"),
+        (2, "https://a.com/y", "same"),       # exact dup content, same domain
+        (3, "http://a.com:80/z", "other"),
+        (4, "https://b.org/", "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    out = {r["domain"]: r for r in domain_stats(df, "doc_id", "url", "text").collect()}
+    assert out["a.com"]["n_docs"] == 3 and out["a.com"]["n_distinct"] == 2
+    assert abs(out["a.com"]["dup_rate"] - (1 - 2 / 3)) < 1e-6
+    assert out["b.org"]["n_docs"] == 1 and out["b.org"]["dup_rate"] == 0.0
