@@ -131,3 +131,60 @@ def test_chunk_and_bpe_plan_shapes(spark):
     bpe = _plan(entrymod.q_t14_bpe_pairs(spark, SF_DIR))
     assert bpe.count("Exchange hashpartitioning") <= 2
     assert "TakeOrderedAndProject" in bpe
+
+
+def test_hilbert_key_is_narrow_and_codegen(spark):
+    # l4: pure bit arithmetic — no Exchange, and the 16 unrolled levels
+    # stay inside whole-stage codegen (one fused stage, not 16)
+    df = entrymod.q_l4_hilbert_key(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+
+
+def test_sorted_neighborhood_no_global_window(spark):
+    # d12's global rank must come from the range-repartition trick, not
+    # a single-partition window (the scale-killer global_row_rank avoids)
+    df = entrymod.q_d12_sorted_neighborhood(spark, SF_DIR)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+
+
+def test_cms_sketch_cells_bounded(spark):
+    # k3: the sketch side of the lookup join is ≤ depth×width rows no
+    # matter the corpus size, and travels as a broadcast
+    from healthcare_api_spark.operators import sketches
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from healthcare_api_spark.functions.text import tokens
+
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    sketch = sketches.cms_build(toks, "tok", depth=4, width=64)
+    assert sketch.count() <= 4 * 64
+    probe = sketches.cms_lookup(sketch, toks.distinct(), "tok", depth=4, width=64)
+    assert "BroadcastHashJoin" in _plan(probe)
+
+
+def test_sq8_topk_is_take_ordered_no_join(spark):
+    # v6: constant query literal — TakeOrderedAndProject over one scan,
+    # no join/exchange beyond the top-k reduction
+    df = entrymod.q_v6_sq8_topk(spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_seasonal_decompose_single_window_per_series(spark):
+    # x8: trend window + two small aggregates — the hourly series frame
+    # shuffles on the series key once for the window
+    df = entrymod.q_x8_seasonal_decompose(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Window") >= 1 and "SinglePartition" not in plan
+
+
+def test_fuzzy_join_broadcast_verify(spark):
+    # d11 (r4 shape): right side broadcast → the candidate generation +
+    # levenshtein verify runs with NO shuffle of the candidate pairs
+    df = entrymod.q_d11_fuzzy_join(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
