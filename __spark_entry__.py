@@ -1818,6 +1818,24 @@ def q_u2_domain_stats(spark, sf_dir):
     )
 
 
+def q_g1_pagerank(spark, sf_dir):
+    """PageRank (5 power iterations, d=0.85) over the bipartite
+    part↔supplier supply graph — the canonical iterative-join operator,
+    hash-verified because the iteration count is fixed and the oracle
+    unrolls the same 5 steps as chained CTEs."""
+    from healthcare_api_spark.operators import graph
+
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = li.select(p.alias("src"), s.alias("dst")).unionByName(
+        li.select(s.alias("src"), p.alias("dst"))
+    )
+    out = graph.pagerank(edges, "src", "dst", iters=5, damping=0.85)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2395,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_series_correlation": q_x9_series_correlation,
         "x10_rolling_median": q_x10_rolling_median,
         "u2_domain_stats": q_u2_domain_stats,
+        "g1_pagerank": q_g1_pagerank,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -2637,6 +2656,7 @@ def _ds1_case_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from healthcare_api_spark.operators.graph import pagerank_sql
     from healthcare_api_spark.operators.layout import (
         hilbert_key_sql,
         morton_key3_sql,
@@ -3600,6 +3620,15 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # g1: 5 unrolled power-iteration CTEs (graph.pagerank_sql)
+        "g1_pagerank": pagerank_sql(
+            "SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,"
+            " 's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem"
+            " UNION ALL"
+            " SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,"
+            " 'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem",
+            iters=5, damping=0.85,
         ),
         # u2: same host-extraction + md5-content aggregate over the
         # duplicated corpus; 100000 % 5 = 0 keeps copies in-domain

@@ -1,0 +1,56 @@
+"""PageRank: hand-computed small cases, invariants, dangling mass."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_api_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def test_pagerank_one_iteration_hand_computed(spark):
+    # a→b, c→b, b→a ; n=3, d=0.85, no dangling
+    # after 1 iter: rank(b) = 0.05 + 0.85·(1/3 + 1/3) = 0.616667
+    #               rank(a) = 0.05 + 0.85·(1/3)       = 0.333333
+    #               rank(c) = 0.05 + 0.85·0           = 0.05
+    e = _edges(spark, [("a", "b"), ("c", "b"), ("b", "a")])
+    r = {x["node"]: x["rank"] for x in pagerank(e, iters=1).collect()}
+    assert abs(r["b"] - (0.05 + 0.85 * (2 / 3))) < 1e-12
+    assert abs(r["a"] - (0.05 + 0.85 / 3)) < 1e-12
+    assert abs(r["c"] - 0.05) < 1e-12
+
+
+def test_pagerank_mass_conserved_and_symmetry(spark):
+    # undirected 4-cycle (each node degree 2, symmetric) → uniform ranks
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    pairs += [(y, x) for x, y in pairs]
+    r = pagerank(_edges(spark, pairs), iters=4).collect()
+    total = sum(x["rank"] for x in r)
+    assert abs(total - 1.0) < 1e-9  # mass conservation (no dangling)
+    for x in r:
+        assert abs(x["rank"] - 0.25) < 1e-12  # symmetry → uniform
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # a→b and b has NO out-edges: b's mass must be recycled, not lost
+    e = _edges(spark, [("a", "b")])
+    r = {x["node"]: x["rank"] for x in pagerank(e, iters=3).collect()}
+    total = sum(r.values())
+    assert abs(total - 1.0) < 1e-9
+    assert r["b"] > r["a"]  # b receives a's full share
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # star: spokes all point at the hub (and hub points back at one)
+    e = _edges(spark, [("s1", "h"), ("s2", "h"), ("s3", "h"), ("h", "s1")])
+    r = {x["node"]: x["rank"] for x in pagerank(e, iters=5).collect()}
+    assert r["h"] == max(r.values())
+
+
+def test_pagerank_rejects_zero_iters(spark):
+    with pytest.raises(ValueError):
+        pagerank(_edges(spark, [("a", "b")]), iters=0)
