@@ -1836,6 +1836,16 @@ def q_g1_pagerank(spark, sf_dir):
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_a13_equi_depth_hist(spark, sf_dir):
+    """Equi-depth histogram of order totals (12 exact-percentile bins)
+    — optimizer-statistics-style binning that adapts to skew."""
+    from healthcare_api_spark.operators import relational
+
+    _tune(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return relational.equi_depth_histogram(orders, "o_totalprice", bins=12)
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2414,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x10_rolling_median": q_x10_rolling_median,
         "u2_domain_stats": q_u2_domain_stats,
         "g1_pagerank": q_g1_pagerank,
+        "a13_equi_depth_hist": q_a13_equi_depth_hist,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3620,6 +3631,16 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # a13: quantile_cont == Spark percentile (same interpolation);
+        # strict v > edge counting puts edge-valued rows in the lower bin
+        "a13_equi_depth_hist": (
+            "WITH e AS (SELECT quantile_cont(o_totalprice, ["
+            + ", ".join(str(i / 12) for i in range(1, 12))
+            + "]) AS edges FROM orders)"
+            " SELECT CAST(len(list_filter(e.edges, x -> o_totalprice > x))"
+            "  AS INTEGER) AS bin, CAST(count(*) AS BIGINT) AS cnt"
+            " FROM orders, e GROUP BY 1"
         ),
         # g1: 5 unrolled power-iteration CTEs (graph.pagerank_sql)
         "g1_pagerank": pagerank_sql(

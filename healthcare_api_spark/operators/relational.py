@@ -177,6 +177,36 @@ def histogram(
     )
 
 
+def equi_depth_histogram(df: DataFrame, value_col: str, bins: int = 10) -> DataFrame:
+    """Equi-depth (quantile) histogram: bin edges are the EXACT
+    ``i/bins`` percentiles, so each bin holds ≈ n/bins rows — the
+    binning an optimizer's column statistics and drift monitors use
+    (fixed-range ``histogram`` starves when the data is skewed; this
+    one adapts). A value equal to an edge goes to the LOWER bin
+    (strict ``v > edge`` counting). Output: (bin, cnt).
+
+    Shape at scale: one exact-percentile aggregate (single-row result,
+    broadcast back via crossJoin), then the same one hash-aggregate as
+    the fixed histogram — the bin index is ``size(filter(edges, e →
+    v > e))``, a narrow array expression, not a join."""
+    if bins < 2:
+        raise ValueError("need bins >= 2")
+    ps = ", ".join(str(i / bins) for i in range(1, bins))
+    edges = df.agg(
+        F.expr(f"percentile({value_col}, array({ps}))").alias("_edges")
+    )
+    c = F.col(value_col)
+    bin_idx = F.when(
+        c.isNull(), None
+    ).otherwise(F.size(F.filter(F.col("_edges"), lambda e: c > e)))
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .select(bin_idx.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def profile_table(
     df: DataFrame, columns: list[str] | None = None, exact: bool = False
 ) -> DataFrame:

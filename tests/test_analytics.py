@@ -142,3 +142,33 @@ def test_agg_state_rejects_non_mergeable(spark):
     df = spark.createDataFrame([(1, 2)], ["k", "v"])
     with _pytest.raises(ValueError):
         agg_state(df, ["k"], {"v": "avg"})
+
+
+def test_equi_depth_histogram_balanced_bins(spark):
+    from healthcare_api_spark.operators.relational import equi_depth_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    out = {r["bin"]: r["cnt"] for r in equi_depth_histogram(df, "v", bins=4).collect()}
+    # uniform data → 4 bins of 25 each
+    assert out == {0: 25, 1: 25, 2: 25, 3: 25}
+
+
+def test_equi_depth_histogram_adapts_to_skew(spark):
+    from healthcare_api_spark.operators.relational import equi_depth_histogram
+
+    # 90% of mass at v=0; a fixed-range histogram would put 90% in bin 0
+    rows = [(0.0,)] * 90 + [(float(i),) for i in range(1, 11)]
+    out = {r["bin"]: r["cnt"] for r in
+           equi_depth_histogram(spark.createDataFrame(rows, ["v"]), "v", bins=4).collect()}
+    # all the zeros collapse into bin 0 (edges are also 0 → strict >)
+    assert out[0] == 90 and sum(out.values()) == 100
+
+
+def test_equi_depth_histogram_rejects_one_bin(spark):
+    import pytest as _pytest
+
+    from healthcare_api_spark.operators.relational import equi_depth_histogram
+
+    df = spark.createDataFrame([(1.0,)], ["v"])
+    with _pytest.raises(ValueError):
+        equi_depth_histogram(df, "v", bins=1)
