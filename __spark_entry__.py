@@ -1419,6 +1419,64 @@ def q_m4_video_frames(spark, sf_dir):
 
 # palette for m5's synthetic GIFs: color j = (31j, 57j, 89j) mod 256
 _M5_PAL = [((j * 31) % 256, (j * 57) % 256, (j * 89) % 256) for j in range(8)]
+_M9_PAL = [((j * 23) % 256, (j * 47) % 256, (j * 71) % 256) for j in range(16)]
+_M9_TRNS = [(j * 17) % 256 for j in range(16)]
+
+
+def q_m9_palette_png(spark, sf_dir):
+    """REAL palette-PNG path (color type 3 + tRNS): synthesize an
+    indexed PNG per doc, decode through the PLTE/tRNS gather → RGBA,
+    checksum the pixels. The oracle recomputes the sums analytically
+    from the palette formula, so a PLTE parse or alpha-gather bug
+    hash-mismatches."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_api_spark.operators.multimodal import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pal = np.array(_M9_PAL, dtype=np.uint8)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 11 + 2, d % 7 + 2
+                idx = (
+                    (np.arange(w)[None, :] + 2 * np.arange(h)[:, None] + d) % 16
+                ).astype(np.uint8)
+                payloads.append(encode_png_palette(idx, pal, trns=_M9_TRNS))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    pngs = docs.mapInPandas(_gen, "doc_id long, data binary")
+    px = decode_png(pngs, "doc_id", "data")
+
+    def _sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = [
+                int(np.frombuffer(p, dtype=np.uint8).sum()) if p is not None else None
+                for p in pdf["pixels"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "channels": pdf["channels"],
+                    "px_sum": sums,
+                }
+            )
+
+    return px.mapInPandas(
+        _sum, "doc_id long, width int, height int, channels int, px_sum long"
+    )
 
 
 def q_m5_gif_decode(spark, sf_dir):
@@ -2425,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u2_domain_stats": q_u2_domain_stats,
         "g1_pagerank": q_g1_pagerank,
         "a13_equi_depth_hist": q_a13_equi_depth_hist,
+        "m9_palette_png": q_m9_palette_png,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3631,6 +3690,24 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # m9: analytic RGBA sums from the palette/tRNS formula
+        "m9_palette_png": (
+            "WITH dims AS (SELECT doc_id, doc_id % 11 + 2 AS w, doc_id % 7 + 2 AS h"
+            " FROM documents),"
+            " sums AS (SELECT doc_id, sum(CASE CAST((x.i + 2 * y.i + doc_id) % 16"
+            "  AS INTEGER) "
+            + " ".join(
+                f"WHEN {j} THEN {r + g + b + a}"
+                for j, ((r, g, b), a) in enumerate(zip(_M9_PAL, _M9_TRNS))
+            )
+            + " END) AS s"
+            "  FROM dims, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS i) x,"
+            "  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) y"
+            "  GROUP BY doc_id)"
+            " SELECT d.doc_id, CAST(w AS INTEGER) AS width,"
+            " CAST(h AS INTEGER) AS height, 4 AS channels,"
+            " CAST(s AS BIGINT) AS px_sum FROM dims d JOIN sums USING (doc_id)"
         ),
         # a13: quantile_cont == Spark percentile (same interpolation);
         # strict v > edge counting puts edge-valued rows in the lower bin

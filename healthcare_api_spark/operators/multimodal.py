@@ -194,6 +194,48 @@ def encode_png_bytes(arr, interlace: bool = False) -> bytes:
     )
 
 
+def _unpack_bits(rows, w: int, depth: int):
+    """Unpack ``depth``-bit samples (1/2/4) from byte rows (h, row_bytes)
+    → (h, w) uint8 sample values, big-endian within each byte (PNG bit
+    order). Vectorized shifts — no per-pixel Python."""
+    import numpy as np
+
+    per = 8 // depth
+    shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+    mask = (1 << depth) - 1
+    # (h, row_bytes, per) → (h, row_bytes·per) → trim to w
+    expanded = (rows[:, :, None] >> shifts[None, None, :]) & mask
+    return expanded.reshape(rows.shape[0], -1)[:, :w].astype(np.uint8)
+
+
+def encode_png_palette(indices, palette, trns=None) -> bytes:
+    """Palette-PNG encoder (color type 3, depth 8): (h, w) uint8 index
+    array + (n, 3) palette (+ optional per-entry alpha) → PNG with
+    PLTE/tRNS chunks, filter-0 scanlines. The inverse of the ct-3 path
+    in ``_decode_png_pixels``; tests and m9 synthesize payloads here."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(bytearray(trns)))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
 def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
     """Unfilter ``h`` scanlines of ``w``×``ch`` bytes (the 5 PNG filter
     types). Returns an (h, w·ch) uint8 array or a str error code."""
@@ -235,11 +277,14 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
 def _decode_png_pixels(payload: bytes):
     """Full PNG decode without any image library: chunk walk → zlib
     (stdlib) inflate → per-scanline unfiltering (the 5 PNG filter types)
-    → interleaved uint8 pixel bytes. Supports bit depth 8, color types
-    0/2/4/6 (gray / RGB / gray+alpha / RGBA), non-interlaced AND Adam7
-    interlaced (each of the 7 passes unfiltered independently, then
-    scattered into the output raster). Returns
-    (width, height, channels, bytes) or a str error code.
+    → interleaved uint8 pixel bytes. Supports bit depth 8 for color
+    types 0/2/4/6 (gray / RGB / gray+alpha / RGBA — non-interlaced AND
+    Adam7, each of the 7 passes unfiltered independently then scattered
+    into the raster), PLUS palette images (color type 3, PLTE gather,
+    optional tRNS → RGBA) and sub-byte depths 1/2/4 for gray & palette
+    (big-endian bit unpacking, gray samples scaled to 8-bit).
+    Interlaced palette/sub-byte stays a typed unsupported status.
+    Returns (width, height, channels, bytes) or a str error code.
     """
     import struct
     import zlib
@@ -252,28 +297,63 @@ def _decode_png_pixels(payload: bytes):
     _, w, h, ch, depth = hdr
     color_type = payload[25]
     interlace = payload[28]
-    if depth != 8 or color_type not in (0, 2, 4, 6) or interlace not in (0, 1):
+    if color_type not in (0, 2, 3, 4, 6) or interlace not in (0, 1):
         return f"unsupported:ct{color_type}/d{depth}/i{interlace}"
-    idat, pos = b"", 8
+    sub_byte_ok = color_type in (0, 3) and depth in (1, 2, 4)
+    if depth != 8 and not sub_byte_ok:
+        return f"unsupported:ct{color_type}/d{depth}/i{interlace}"
+    if interlace == 1 and (depth != 8 or color_type == 3):
+        # Adam7 with palette / sub-byte rows: out of scope (documented)
+        return f"unsupported:ct{color_type}/d{depth}/i{interlace}"
+    idat, pos, palette, trns = b"", 8, None, None
     while pos + 8 <= len(payload):
         clen = struct.unpack_from(">I", payload, pos)[0]
         cid = payload[pos + 4 : pos + 8]
         if cid == b"IDAT":
             idat += payload[pos + 8 : pos + 8 + clen]
+        elif cid == b"PLTE":
+            if clen % 3:
+                return "bad-plte"
+            palette = np.frombuffer(
+                payload[pos + 8 : pos + 8 + clen], dtype=np.uint8
+            ).reshape(-1, 3)
+        elif cid == b"tRNS" and color_type == 3:
+            trns = np.frombuffer(payload[pos + 8 : pos + 8 + clen], dtype=np.uint8)
         elif cid == b"IEND":
             break
         pos += 12 + clen  # len + id + crc
+    if color_type == 3 and palette is None:
+        return "missing-plte"
     try:
         raw = zlib.decompress(idat)
     except zlib.error:
         return "corrupt-idat"
     if interlace == 0:
-        stride = w * ch
-        if len(raw) != h * (stride + 1):
+        # filters operate on BYTES (bpp = max(1, depth·ch/8) = 1 here
+        # for every sub-byte / palette case)
+        row_bytes = (w * depth * ch + 7) // 8 if depth < 8 else w * ch
+        if len(raw) != h * (row_bytes + 1):
             return "truncated"
-        out = _png_unfilter(raw, h, w, ch)
+        out = _png_unfilter(raw, h, row_bytes, 1 if depth < 8 else ch)
         if isinstance(out, str):
             return out
+        if depth < 8:
+            out = _unpack_bits(out, w, depth)
+            if color_type == 0:
+                # scale to full 8-bit range (PNG sample scaling)
+                out = (out.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+                    np.uint8
+                )
+        if color_type == 3:
+            idx = out.reshape(h, w)
+            if idx.max() >= len(palette):
+                return "palette-overflow"
+            rgb = palette[idx]
+            if trns is not None:
+                alpha = np.full(len(palette), 255, dtype=np.uint8)
+                alpha[: len(trns)] = trns
+                return (w, h, 4, np.dstack([rgb, alpha[idx]]).tobytes())
+            return (w, h, 3, rgb.tobytes())
         return (w, h, ch, out.tobytes())
     # Adam7: 7 sub-images, each its own filtered scanline run
     full = np.zeros((h, w, ch), dtype=np.uint8)

@@ -703,3 +703,88 @@ def test_bmp_decode_real(spark):
     got = np.frombuffer(out[1]["pixels"], dtype=np.uint8).reshape(3, 5, 3)
     assert np.array_equal(got, img)
     assert out[2]["status"] in ("invalid", "truncated")
+
+
+def test_png_palette_roundtrip_and_trns():
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        _decode_png_pixels,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 13), dtype=np.uint8)
+    w, h, ch, data = _decode_png_pixels(encode_png_palette(idx, pal))
+    assert (w, h, ch) == (13, 9, 3)
+    assert np.array_equal(
+        np.frombuffer(data, dtype=np.uint8).reshape(9, 13, 3), pal[idx]
+    )
+    # tRNS: entry 0 transparent → RGBA output with per-pixel alpha
+    w, h, ch, data = _decode_png_pixels(
+        encode_png_palette(idx, pal, trns=[0] + [255] * 15)
+    )
+    assert ch == 4
+    rgba = np.frombuffer(data, dtype=np.uint8).reshape(9, 13, 4)
+    assert np.array_equal(rgba[..., :3], pal[idx])
+    assert np.array_equal(rgba[..., 3], np.where(idx == 0, 0, 255))
+
+
+def test_png_sub_byte_depths_gray_and_palette():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import _decode_png_pixels
+
+    def make_png(depth, color_type, w, h, packed_rows, plte=None):
+        def chunk(cid, body):
+            return (struct.pack(">I", len(body)) + cid + body
+                    + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in packed_rows)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # depth 1 gray, 10 px wide: bits 1010101010 → bytes 0xAA, 0x80
+    png = make_png(1, 0, 10, 2, [b"\xaa\x80", b"\xaa\x80"])
+    w, h, ch, data = _decode_png_pixels(png)
+    row = np.frombuffer(data, dtype=np.uint8).reshape(2, 10)[0]
+    assert list(row) == [255, 0] * 5  # 1-bit scaled ×255, trimmed to w
+
+    # depth 2 gray: samples 0,1,2,3 in one byte = 0b00011011
+    png = make_png(2, 0, 4, 1, [bytes([0b00011011])])
+    _, _, _, data = _decode_png_pixels(png)
+    assert list(np.frombuffer(data, dtype=np.uint8)) == [0, 85, 170, 255]
+
+    # depth 4 palette: samples 0..3, palette maps i → (i, 2i, 3i)
+    plte = bytes(b for i in range(16) for b in (i, 2 * i, 3 * i))
+    png = make_png(4, 3, 4, 1, [bytes([0x01, 0x23])], plte=plte)
+    w, h, ch, data = _decode_png_pixels(png)
+    px = np.frombuffer(data, dtype=np.uint8).reshape(1, 4, 3)
+    assert [tuple(p) for p in px[0]] == [(0, 0, 0), (1, 2, 3), (2, 4, 6), (3, 6, 9)]
+
+
+def test_png_palette_error_statuses():
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        _decode_png_pixels,
+        encode_png_palette,
+    )
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.full((2, 2), 9, dtype=np.uint8)  # out of palette range
+    assert _decode_png_pixels(encode_png_palette(idx, pal)) == "palette-overflow"
+    # ct3 without PLTE
+    ok = encode_png_palette(np.zeros((2, 2), dtype=np.uint8), pal)
+    import re
+
+    no_plte = re.sub(b"PLTE", b"plXe", ok)  # corrupt the chunk id
+    out = _decode_png_pixels(no_plte)
+    assert isinstance(out, str)
