@@ -1904,6 +1904,22 @@ def q_a13_equi_depth_hist(spark, sf_dir):
     return relational.equi_depth_histogram(orders, "o_totalprice", bins=12)
 
 
+def q_w8_time_weighted_avg(spark, sf_dir):
+    """TimescaleDB-style LOCF time-weighted average per hourly bucket —
+    the honest mean for irregularly-sampled gauges."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = temporal.time_weighted_avg(ev, ("event_type",), "ts", "value", "1 hour")
+    return out.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        F.round("twa", 6).alias("twa"),
+        "n_points",
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2484,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1_pagerank": q_g1_pagerank,
         "a13_equi_depth_hist": q_a13_equi_depth_hist,
         "m9_palette_png": q_m9_palette_png,
+        "w8_time_weighted_avg": q_w8_time_weighted_avg,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3690,6 +3707,20 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # w8: LOCF segments — lead() to next point else bucket end
+        "w8_time_weighted_avg": (
+            "WITH d AS (SELECT event_type, ts, value,"
+            "  time_bucket(INTERVAL '1 hour', ts) AS bkt FROM events),"
+            " s AS (SELECT *, lead(epoch_us(ts)) OVER ("
+            "  PARTITION BY event_type, bkt ORDER BY ts, value) AS nxt FROM d),"
+            " seg AS (SELECT event_type, bkt, value,"
+            "  CAST(coalesce(nxt, epoch_us(bkt) + 3600000000) - epoch_us(ts)"
+            "   AS DOUBLE) AS w FROM s)"
+            " SELECT event_type, strftime(bkt, '%Y-%m-%d %H:%M:%S') AS bucket_start,"
+            "  round(sum(value * w) / sum(w), 6) AS twa,"
+            "  CAST(count(*) AS BIGINT) AS n_points"
+            " FROM seg GROUP BY 1, 2"
         ),
         # m9: analytic RGBA sums from the palette/tRNS formula
         "m9_palette_png": (

@@ -530,3 +530,43 @@ def rolling_median(
     return df.withColumn(
         out_col, F.expr(f"percentile({value_col}, 0.5)").over(w)
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    series_cols: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+    bucket_len: str = "1 hour",
+) -> DataFrame:
+    """TimescaleDB-style ``time_weight('locf')`` per bucket: the average
+    of ``value_col`` weighted by how LONG each observation held (carry
+    each value forward until the next observation or the bucket end) —
+    the honest mean for irregularly-sampled gauges, where the plain avg
+    over-weights chatty periods. The first observation of a bucket
+    starts at its own timestamp (no back-extrapolation); a bucket's
+    last segment ends at the bucket boundary. Output: (series…,
+    bucket_start, twa, n_points).
+
+    One window (lead over the series+bucket key) + one hash aggregate —
+    a single shuffle, same cost shape as any windowed rollup."""
+    gcols = list(series_cols)
+    secs = _parse_duration_secs(bucket_len)
+    bucket = F.window(F.col(ts_col), bucket_len).getField("start")
+    d = df.withColumn("_bkt", bucket)
+    w = Window.partitionBy(*gcols, "_bkt").orderBy(
+        F.col(ts_col).asc(), F.col(value_col).asc()
+    )
+    nxt = F.lead(F.unix_micros(F.col(ts_col).cast("timestamp"))).over(w)
+    end = F.unix_micros(F.col("_bkt").cast("timestamp")) + F.lit(secs * 1_000_000)
+    weight = (F.coalesce(nxt, end) - F.unix_micros(F.col(ts_col).cast("timestamp"))).cast(
+        "double"
+    )
+    seg = d.withColumn("_w", weight)
+    return (
+        seg.groupBy(*gcols, F.col("_bkt").alias("bucket_start"))
+        .agg(
+            (F.sum(F.col(value_col) * F.col("_w")) / F.sum("_w")).alias("twa"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )

@@ -368,3 +368,37 @@ def test_rolling_median_exact_and_edges(spark):
 
     with _pytest.raises(ValueError):
         rolling_median(df, ("s",), "bucket", "v", window=4)
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.temporal import time_weighted_avg
+
+    # one bucket [10:00, 11:00): v=10 holds 00:00→00:30 (1800 s),
+    # v=20 holds 00:30→bucket end (1800 s) → TWA = 15
+    rows = [
+        ("s", "2024-01-01 10:00:00", 10.0),
+        ("s", "2024-01-01 10:30:00", 20.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = time_weighted_avg(df, ("k",), "ts", "value", "1 hour").collect()
+    assert len(out) == 1 and abs(out[0]["twa"] - 15.0) < 1e-9
+
+
+def test_time_weighted_avg_ignores_sampling_density(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.temporal import time_weighted_avg
+
+    # v=0 sampled 10× in the first minute, v=60 once at 10:01 holding
+    # 59 min: plain avg ≈ 5.45, TWA must weight by TIME ≈ 59
+    rows = [("s", f"2024-01-01 10:00:{i:02d}", 0.0) for i in range(0, 60, 6)]
+    rows.append(("s", "2024-01-01 10:01:00", 60.0))
+    df = spark.createDataFrame(rows, ["k", "ts", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = time_weighted_avg(df, ("k",), "ts", "value", "1 hour").collect()[0]
+    assert out["twa"] > 55.0 and out["n_points"] == 11
