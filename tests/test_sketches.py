@@ -93,3 +93,44 @@ def test_weighted_build(spark):
 def test_bad_params(spark, skewed):
     with pytest.raises(ValueError):
         sketches.cms_build(skewed, "key", depth=0)
+
+
+def test_streaming_cms_merge_matches_batch(spark, tmp_path):
+    """foreachBatch cms_merge over two micro-batches == one batch build
+    — the sketch as streaming state (bounded at depth×width cells)."""
+    import pyspark.sql.functions as F
+
+    from healthcare_api_spark.operators.sketches import cms_build, cms_merge
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(f"k{i % 7}",) for i in range(50)]
+    rows2 = [(f"k{i % 11}",) for i in range(60)]
+    spark.createDataFrame(rows1, "key string").write.mode("append").parquet(src)
+
+    def _merge(batch_df, batch_id):
+        s = batch_df.sparkSession
+        delta = cms_build(batch_df, "key", depth=3, width=32)
+        try:
+            prev = s.read.parquet(state).localCheckpoint(eager=True)
+            merged = cms_merge(prev, delta)
+        except Exception as e:
+            if "Path does not exist" not in str(e) and "PATH_NOT_FOUND" not in str(e):
+                raise
+            merged = delta
+        merged.write.mode("overwrite").parquet(state)
+
+    stream = spark.readStream.schema("key string").parquet(src)
+    q = (stream.writeStream.foreachBatch(_merge).outputMode("update")
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    spark.createDataFrame(rows2, "key string").write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    want = sorted(map(tuple, cms_build(
+        spark.createDataFrame(rows1 + rows2, "key string"), "key", depth=3, width=32
+    ).collect()))
+    assert got == want

@@ -116,3 +116,24 @@ def test_csv_corrupt_capture_and_quoting(spark, tmp_path):
     # keep_corrupt without a schema is a hard error, not a silent no-op
     with pytest.raises(ValueError, match="explicit schema"):
         read_csv(spark, str(bad), schema=None, keep_corrupt=True)
+
+
+def test_upsert_schema_evolution_new_column(spark, tmp_path):
+    """A later batch may carry a NEW column (FHIR extensions appear over
+    time): upsert_frames unions by name, old rows surface NULL for the
+    new field, and the store read-back exposes the evolved schema."""
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.sources.store import ResourceStore, upsert_frames
+
+    store = ResourceStore(spark, str(tmp_path / "store"))
+    v1 = spark.createDataFrame([("a", 1), ("b", 1)], "id string, version int")
+    store.import_resources(v1, "Thing")
+    v2 = spark.createDataFrame(
+        [("b", 2, "new"), ("c", 1, "new")], "id string, version int, extra string"
+    )
+    merged = upsert_frames(store.table("Thing"), v2, version_col="version")
+    rows = {r["id"]: r for r in merged.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"]["extra"] is None          # evolved: old rows null-fill
+    assert rows["b"]["extra"] == "new" and rows["b"]["version"] == 2
