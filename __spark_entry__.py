@@ -1939,6 +1939,24 @@ def q_fs9_filter_grammar(spark, sf_dir):
     )
 
 
+def q_fs10_text_bm25(spark, sf_dir):
+    """`?_text=window vector&_sort=-_score` — RANKED full-text search:
+    BM25 relevance (corpus-level df/N/avgdl stats, k1=1.2 b=0.75)
+    attached by the engine, top-20 by score with id tie-break."""
+    _tune(spark)
+    eng = _doc_engine(spark, sf_dir)
+    out = eng.search(
+        "Document",
+        {
+            "_text": "window vector",
+            "_sort": "-_score,doc_id",
+            "_count": "20",
+            "_elements": "doc_id,lang,_score",
+        },
+    )
+    return out.withColumn("_score", F.round("_score", 6))
+
+
 def q_fs3_search_count(spark, sf_dir):
     _tune(spark)
     eng = _doc_engine(spark, sf_dir)
@@ -2501,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_equi_depth_hist": q_a13_equi_depth_hist,
         "m9_palette_png": q_m9_palette_png,
         "w8_time_weighted_avg": q_w8_time_weighted_avg,
+        "fs10_text_bm25": q_fs10_text_bm25,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3707,6 +3726,28 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # fs10: identical BM25 arithmetic (expression order matters for
+        # bit-equal doubles: idf·tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)))
+        "fs10_text_bm25": (
+            f"WITH d AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),"
+            " st AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl,"
+            "  sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS df1,"
+            "  sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS df2"
+            "  FROM d),"
+            " sc AS (SELECT doc_id, lang, toks,"
+            "  CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf1,"
+            "  CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf2,"
+            "  CAST(len(toks) AS DOUBLE) AS dl, n, avgdl, df1, df2 FROM d, st),"
+            " s2 AS (SELECT doc_id, lang,"
+            "  ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2"
+            "   / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+            "  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2"
+            "   / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS score"
+            "  FROM sc WHERE list_contains(toks, 'window')"
+            "   AND list_contains(toks, 'vector'))"
+            " SELECT doc_id, lang, round(score, 6) AS _score FROM s2"
+            " ORDER BY score DESC, doc_id LIMIT 20"
         ),
         # w8: LOCF segments — lead() to next point else bucket end
         "w8_time_weighted_avg": (

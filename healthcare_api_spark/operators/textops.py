@@ -463,3 +463,69 @@ def bpe_pair_counts(
         .limit(k)
         .select("pair", F.col("cnt").cast("bigint").alias("cnt"))
     )
+
+
+def bm25_score_col(
+    df: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    out_col: str = "_score",
+) -> DataFrame:
+    """Attach the BM25 relevance of each row for ``terms`` (Robertson/
+    Sparck Jones, the default ranking function of every search engine):
+
+        Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+            · tf_t·(k1+1) / (tf_t + k1·(1 − b + b·dl/avgdl))
+
+    Document-frequency/N/avgdl stats come from ``corpus`` (the FULL
+    table — relevance is corpus-relative even when the scored frame is
+    already filtered); tf and dl come from the row itself.
+
+    Shape at scale: ONE corpus aggregate producing a single stats row
+    (map-side combined: a count, an avg, and one sum per term),
+    broadcast back via crossJoin; scoring is a narrow array expression
+    per row. Cost is O(terms) per row — no joins, no explode."""
+    from healthcare_api_spark.functions.text import tokens
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    lowered = [t.lower() for t in terms]
+    ctoks = tokens(F.col(text_col))
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.size(ctoks)).alias("_avgdl"),
+        *[
+            F.sum(F.array_contains(ctoks, t).cast("int")).alias(f"_df_{i}")
+            for i, t in enumerate(lowered)
+        ],
+    )
+    rtoks = tokens(F.col(text_col))
+    dl = F.size(rtoks).cast("double")
+
+    def _eq(term: str):
+        # unary closure — a default-arg lambda would have arity 2 and
+        # pyspark would dispatch the (element, index) HOF form
+        def pred(x):
+            return x == term
+
+        return pred
+
+    score = F.lit(0.0)
+    for i, t in enumerate(lowered):
+        tf = F.size(F.filter(rtoks, _eq(t))).cast("double")
+        dfreq = F.col(f"_df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (F.col("_n") - dfreq + 0.5) / (dfreq + 0.5)
+        )
+        score = score + idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * dl / F.col("_avgdl"))
+        )
+    drop = ["_n", "_avgdl"] + [f"_df_{i}" for i in range(len(lowered))]
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(out_col, score)
+        .drop(*drop)
+    )

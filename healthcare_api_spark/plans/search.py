@@ -388,6 +388,19 @@ class SearchEngine:
                     )
                 from healthcare_api_spark.functions.text import tokens
 
+                if "_score" in (params.get("_sort") or ""):
+                    # ranked full-text: attach the BM25 relevance BEFORE
+                    # the AND filters. Stats (df_t, N, avgdl) come from
+                    # the FULL table — relevance is corpus-relative, not
+                    # filtered-subset-relative.
+                    from healthcare_api_spark.operators.textops import (
+                        bm25_score_col,
+                    )
+
+                    df = bm25_score_col(
+                        df, self.tables[resource_type],
+                        cfg.text_search_col, raw.split(),
+                    )
                 toks = tokens(F.col(cfg.text_search_col))
                 for term in raw.split():
                     df = df.filter(F.array_contains(toks, term.lower()))
@@ -417,7 +430,11 @@ class SearchEngine:
             elif key == "_sort":
                 for s in raw.split(","):
                     sname, desc = s.lstrip("-"), s.startswith("-")
-                    if (
+                    if sname == "_score":
+                        # BM25 relevance rank (attached by the _text
+                        # branch; existence checked at sort time)
+                        sort_fields.append(("_score", desc))
+                    elif (
                         "." in sname
                         and sname.split(".", 1)[0] in cfg.reference_params
                     ):
@@ -607,6 +624,8 @@ class SearchEngine:
             # so page boundaries are deterministic under non-unique keys
             sort_fields.append((cfg.id_col, False))
         if sort_fields:
+            if any(c == "_score" for c, _ in sort_fields) and "_score" not in df.columns:
+                raise ValueError("_sort=_score requires a _text parameter")
             df = df.orderBy(
                 *[F.col(c).desc() if d else F.col(c).asc() for c, d in sort_fields]
             )

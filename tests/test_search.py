@@ -615,3 +615,44 @@ def test_include_iterate_transitive(spark):
     # self-referential iterate is depth-capped, not infinite
     iter_cols = [c for c in out.columns if "partof" in c]
     assert 1 <= len(iter_cols) <= 3
+
+
+def test_text_bm25_ranking(spark):
+    from healthcare_api_spark.plans.search import SearchConfig, SearchEngine
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple pie"),       # tf=3, short → top
+            (2, "apple and a very long tail of many other words here now"),
+            (3, "apple pie"),                   # tf=1 but shortest doc
+            (4, "no match at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    eng = SearchEngine(
+        tables={"Doc": docs},
+        configs={"Doc": SearchConfig(id_col="doc_id", text_search_col="text")},
+    )
+    out = eng.search(
+        "Doc", {"_text": "apple", "_sort": "-_score,doc_id", "_count": "10"}
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 4 not in ids                      # _text still filters
+    assert ids[0] == 1                       # highest tf, short doc
+    scores = [r["_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_sort_score_without_text_raises(spark):
+    from healthcare_api_spark.plans.search import SearchConfig, SearchEngine
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    eng = SearchEngine(
+        tables={"Doc": docs},
+        configs={"Doc": SearchConfig(id_col="doc_id", text_search_col="text")},
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_score"):
+        eng.search("Doc", {"_sort": "-_score"}).collect()
