@@ -5,7 +5,7 @@ embeddings and produce a cleaned, deduplicated, quality-filtered corpus
 with stats — every stage a distributed operator from this package:
 
   1. language-ID + quality scoring (textops)
-  2. quality + repetition gates (declarative filters; Gopher-style)
+  2. quality + repetition + bigram-LM perplexity gates (Gopher/CCNet)
   3. PII redaction (curation; narrow regexp chain)
   4. benchmark decontamination (curation; broadcast n-gram overlap)
   5. exact dedup (normalized-content fingerprints)
@@ -15,7 +15,8 @@ with stats — every stage a distributed operator from this package:
   8. mixture sampling to target language proportions (deterministic
      md5-threshold; reproducible across engines/cluster sizes)
   9. token accounting + sequence packing (concat-and-chunk)
- 10. write the cleaned corpus partitioned by language
+ 10. deterministic splits + round-robin source interleave, written
+     partitioned by language/split in serve order
 
 Run: python examples/llm_data_pipeline.py [sf_dir]
 """
@@ -57,6 +58,14 @@ def main() -> None:
         .filter((F.col("score") >= 0.5) & (F.col("dup_ngram_frac") < 0.9))
     )
     n_gated = gated.count()
+
+    # 2b. perplexity gate: drop the worst-quintile under the corpus's
+    # own interpolated bigram LM (the CCNet filter, model-free)
+    ppl = textops.bigram_logprob(gated, "doc_id", "text")
+    cut = ppl.approxQuantile("avg_neg_logprob", [0.8], 0.01)[0]
+    gated = gated.join(
+        ppl.filter(F.col("avg_neg_logprob") <= cut).select("doc_id"), "doc_id"
+    )
 
     # 3. PII redaction: downstream stages consume the scrubbed text
     redacted = curation.redact_pii(gated, "doc_id", "text")
@@ -129,14 +138,35 @@ def main() -> None:
         corpus, "doc_id", "text", chunk_size=64, overlap=16
     ).count()
 
-    # 10. deterministic train/val/test assignment, then write partitioned
-    # by (language, split) — appends later never move a row across splits
+    # 9b. vocabulary heavy hitters off a count-min sketch (fixed-size
+    # summary — the corpus-stats report a 100 TB run can afford)
+    from healthcare_api_spark.functions.text import tokens as _tok_expr
+    from healthcare_api_spark.operators import sketches
+
+    tf = (
+        corpus.select(F.explode(_tok_expr(F.col("text"))).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    )
+    hh = sketches.cms_lookup(
+        sketches.cms_build(tf, "tok", weight_col="c"),
+        tf.select("tok"), "tok", depth=4, width=1024,
+    ).orderBy(F.col("est").desc(), "tok").limit(5)
+    top_vocab = [(r["tok"], r["est"]) for r in hh.collect()]
+
+    # 10. deterministic train/val/test assignment + round-robin source
+    # interleave: the written order alternates languages so training
+    # batches never see long single-source runs; appends never move a
+    # row across splits
     corpus = curation.assign_splits(
         corpus, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="splits-v1"
     )
-    corpus.select("doc_id", "text", "pred_lang", "score", "split").write.mode(
-        "overwrite"
-    ).partitionBy("pred_lang", "split").parquet(out_dir)
+    order = sorted(langs_ for (langs_,) in corpus.select("pred_lang").distinct().collect())
+    corpus = curation.interleave_sources(corpus, "doc_id", "pred_lang", order)
+    corpus.select(
+        "doc_id", "text", "pred_lang", "score", "split", "serve_order"
+    ).sortWithinPartitions("serve_order").write.mode("overwrite").partitionBy(
+        "pred_lang", "split"
+    ).parquet(out_dir)
 
     langs = {r["pred_lang"]: r["cnt"] for r in corpus.groupBy("pred_lang").agg(
         F.count(F.lit(1)).alias("cnt")).collect()}
@@ -150,6 +180,7 @@ def main() -> None:
     print(f"packed sequences/lang: max {n_seqs} @512 tokens")
     print(f"RAG chunks (64/16):    {n_chunks}")
     print(f"by language:           {langs}")
+    print(f"top vocab (CMS est):   {top_vocab}")
     print(f"written to:            {out_dir}")
 
 
