@@ -334,7 +334,13 @@ def _decode_png_pixels(payload: bytes):
         row_bytes = (w * depth * ch + 7) // 8 if depth < 8 else w * ch
         if len(raw) != h * (row_bytes + 1):
             return "truncated"
-        out = _png_unfilter(raw, h, row_bytes, 1 if depth < 8 else ch)
+        # sub-byte rows unfilter as (row_bytes × 1-byte) units; depth 8
+        # keeps the (w × ch) shape so the left-pixel offset is ch bytes
+        out = (
+            _png_unfilter(raw, h, row_bytes, 1)
+            if depth < 8
+            else _png_unfilter(raw, h, w, ch)
+        )
         if isinstance(out, str):
             return out
         if depth < 8:
