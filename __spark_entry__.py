@@ -1920,6 +1920,37 @@ def q_w8_time_weighted_avg(spark, sf_dir):
     )
 
 
+def q_d13_passjoin(spark, sf_dir):
+    """EXACT-recall edit-distance join (PassJoin pigeonhole blocking):
+    unlike d11 (prefix blocks, documented misses) the oracle here is
+    the NAIVE ALL-PAIRS join — hash equality proves the blocking
+    scheme loses nothing."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    title = F.substring(
+        F.regexp_replace(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+            "[^ -~]", "",
+        ),
+        1, 24,
+    )
+    t = docs.select("doc_id", title.alias("title")).filter(F.length("title") >= 12)
+    typo = t.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.expr("substring(title, 1, doc_id % 8 + 4)"),
+            F.expr("substring(title, doc_id % 8 + 6, 1)"),
+            F.expr("substring(title, doc_id % 8 + 5, 1)"),
+            F.expr("substring(title, doc_id % 8 + 7, 9999)"),
+        ).alias("title"),
+    )
+    spread = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return dedup.passjoin_pairs(
+        t.repartition(spread), typo, "doc_id", "title", "doc_id", "title",
+        max_dist=2,
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2520,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m9_palette_png": q_m9_palette_png,
         "w8_time_weighted_avg": q_w8_time_weighted_avg,
         "fs10_text_bm25": q_fs10_text_bm25,
+        "d13_passjoin": q_d13_passjoin,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3726,6 +3758,25 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # d13: the oracle is NAIVE ALL-PAIRS — equality proves the
+        # PassJoin blocking has exact recall
+        "d13_passjoin": (
+            "WITH t0 AS (SELECT doc_id,"
+            " substr(regexp_replace(trim(regexp_replace(lower(text),"
+            "   '\\s+', ' ', 'g')), '[^ -~]', '', 'g'), 1, 24) AS title"
+            " FROM documents),"
+            " t AS (SELECT * FROM t0 WHERE length(title) >= 12),"
+            " typo AS (SELECT doc_id + 100000 AS doc_id,"
+            "   substr(title, 1, doc_id % 8 + 4)"
+            "   || substr(title, doc_id % 8 + 6, 1)"
+            "   || substr(title, doc_id % 8 + 5, 1)"
+            "   || substr(title, doc_id % 8 + 7) AS title FROM t)"
+            " SELECT a.doc_id AS doc_id_l, b.doc_id AS doc_id_r,"
+            "  CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist"
+            " FROM t a JOIN typo b"
+            "  ON abs(length(a.title) - length(b.title)) <= 2"
+            " WHERE levenshtein(a.title, b.title) <= 2"
         ),
         # fs10: identical BM25 arithmetic (expression order matters for
         # bit-equal doubles: idf·tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)))

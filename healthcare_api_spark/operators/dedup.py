@@ -705,3 +705,125 @@ def sorted_neighborhood_pairs(
         F.col("_r").alias("_rb"),
     )
     return left.join(right, "_rb").drop("_rb")
+
+
+# --------------------------------------------------------- PassJoin --
+
+
+def passjoin_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """EXACT-recall edit-distance join (PassJoin, Li/Deng/Feng 2011
+    simplified): every pair with levenshtein ≤ ``max_dist`` is found —
+    unlike prefix blocking (documented misses) or sorted-neighborhood
+    (window misses), this is the blocking scheme with a proof.
+
+    Pigeonhole: partition each RIGHT string into k+1 segments; any
+    left string within k edits must contain at least one segment
+    VERBATIM, displaced by at most k positions (≤ k edits shift any
+    alignment by ≤ k). So the left side probes substrings at every
+    (target-length ∈ ±k, segment j, shift δ ∈ ±k) — a fixed
+    O((2k+1)²·(k+1)) ≈ 75 probes per row at k=2, generated as one
+    narrow array-explode. Candidates equi-join on (length, segment#,
+    substring) and only candidates pay the (threshold'd, banded-DP)
+    Levenshtein verify. Never all-pairs; shuffle keys are short
+    substrings.
+
+    Output: (left_id+'_l', right_id+'_r', dist), distinct pairs.
+    NULL/empty strings never match (levenshtein needs content).
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be ≥ 1")
+    k = max_dist
+    n = k + 1
+
+    def seg_start(ls, j):  # 1-based start of segment j for length ls
+        base, rem = F.floor(ls / n), ls % n
+        # the first (n - rem) segments are short (length = base)
+        return (j * base + F.greatest(F.lit(0), F.lit(j) - (F.lit(n) - rem)) + 1)
+
+    def seg_len(ls, j):
+        base, rem = F.floor(ls / n), ls % n
+        return base + F.when(F.lit(j) >= F.lit(n) - rem, 1).otherwise(0)
+
+    rlen = F.length(F.col(right_col))
+    rsegs = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            seg_start(rlen, j).cast("int").alias("p"),
+            seg_len(rlen, j).cast("int").alias("l"),
+        )
+        for j in range(n)
+    ])
+    rx = (
+        right.filter(F.length(F.col(right_col)) >= 1)
+        .select(
+            F.col(right_id).alias("_rb"),
+            F.col(right_col).alias("_tb"),
+            rlen.cast("int").alias("_ls"),
+            F.explode(rsegs).alias("_s"),
+        )
+        .select(
+            "_rb", "_tb", "_ls", F.col("_s.j").alias("_j"),
+            F.expr(f"substring(_tb, _s.p, _s.l)").alias("_seg"),
+        )
+        .filter(F.length("_seg") >= 1)
+    )
+
+    llen = F.length(F.col(left_col))
+    probes = []
+    for dl in range(-k, k + 1):
+        ls = llen + dl
+        for j in range(n):
+            p = seg_start(ls, j)
+            sl = seg_len(ls, j)
+            for delta in range(-k, k + 1):
+                start = p + delta
+                probes.append(
+                    F.struct(
+                        ls.cast("int").alias("ls"),
+                        F.lit(j).alias("j"),
+                        start.cast("int").alias("p"),
+                        sl.cast("int").alias("l"),
+                    )
+                )
+    lx = (
+        left.filter(F.length(F.col(left_col)) >= 1)
+        .select(
+            F.col(left_id).alias("_la"),
+            F.col(left_col).alias("_ta"),
+            llen.cast("int").alias("_lt"),
+            F.explode(F.array(*probes)).alias("_p"),
+        )
+        .filter(
+            (F.col("_p.ls") >= 1)
+            & (F.col("_p.l") >= 1)
+            & (F.col("_p.p") >= 1)
+            & (F.col("_p.p") + F.col("_p.l") - 1 <= F.col("_lt"))
+        )
+        .select(
+            "_la", "_ta",
+            F.col("_p.ls").alias("_ls"), F.col("_p.j").alias("_j"),
+            F.expr("substring(_ta, _p.p, _p.l)").alias("_seg"),
+        )
+    )
+    cand = (
+        lx.join(rx, ["_ls", "_j", "_seg"])
+        .select("_la", "_ta", "_rb", "_tb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("_d", F.levenshtein(F.col("_ta"), F.col("_tb"), k))
+        .filter((F.col("_d") >= 0) & (F.col("_d") <= k))
+        .select(
+            F.col("_la").alias(left_id + "_l"),
+            F.col("_rb").alias(right_id + "_r"),
+            F.col("_d").cast("int").alias("dist"),
+        )
+    )

@@ -310,3 +310,84 @@ def test_sorted_neighborhood_candidate_bound_and_window(spark):
     assert w4.count() == (29 + 28 + 27)
     with _pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "id", "key", window=1)
+
+
+# -------------------------------------------------------------- PassJoin --
+
+
+def test_passjoin_exact_recall_vs_brute_force(spark):
+    """The whole point: PassJoin must find EVERY pair within k — compare
+    against exhaustive all-pairs Levenshtein on randomized strings with
+    planted edits (substitutions, insertions, deletions, transposes)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.dedup import passjoin_pairs
+
+    rng = random.Random(42)
+    alphabet = "abcdef"
+    base = ["".join(rng.choice(alphabet) for _ in range(rng.randint(6, 14)))
+            for _ in range(25)]
+
+    def mutate(s):
+        ops = rng.randint(0, 3)
+        s = list(s)
+        for _ in range(ops):
+            kind = rng.choice(["sub", "ins", "del", "swap"])
+            if kind == "sub" and s:
+                i = rng.randrange(len(s)); s[i] = rng.choice(alphabet)
+            elif kind == "ins":
+                i = rng.randrange(len(s) + 1); s.insert(i, rng.choice(alphabet))
+            elif kind == "del" and len(s) > 1:
+                i = rng.randrange(len(s)); del s[i]
+            elif kind == "swap" and len(s) > 1:
+                i = rng.randrange(len(s) - 1); s[i], s[i + 1] = s[i + 1], s[i]
+        return "".join(s)
+
+    lrows = [(i, s) for i, s in enumerate(base)]
+    rrows = [(100 + i, mutate(rng.choice(base))) for i in range(40)]
+    left = spark.createDataFrame(lrows, ["id", "s"])
+    right = spark.createDataFrame(rrows, ["id", "s"])
+
+    got = {
+        (r["id_l"], r["id_r"], r["dist"])
+        for r in passjoin_pairs(left, right, "id", "s", "id", "s", max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (li, ri, lev(ls, rs))
+        for li, ls in lrows for ri, rs in rrows
+        if lev(ls, rs) <= 2
+    }
+    assert got == want, (got - want, want - got)
+
+
+def test_passjoin_identical_and_empty(spark):
+    from healthcare_api_spark.operators.dedup import passjoin_pairs
+
+    left = spark.createDataFrame([(1, "hello"), (2, "")], ["id", "s"])
+    right = spark.createDataFrame([(3, "hello"), (4, "hellx")], ["id", "s"])
+    got = {(r["id_l"], r["id_r"], r["dist"]) for r in
+           passjoin_pairs(left, right, "id", "s", "id", "s", max_dist=1).collect()}
+    # empty strings are excluded (no segments); exact + 1-sub matches found
+    assert got == {(1, 3, 0), (1, 4, 1)}
+
+
+def test_passjoin_rejects_zero_dist(spark):
+    import pytest as _pytest
+
+    from healthcare_api_spark.operators.dedup import passjoin_pairs
+
+    df = spark.createDataFrame([(1, "x")], ["id", "s"])
+    with _pytest.raises(ValueError):
+        passjoin_pairs(df, df, "id", "s", "id", "s", max_dist=0)
