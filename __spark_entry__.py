@@ -1951,6 +1951,20 @@ def q_d13_passjoin(spark, sf_dir):
     )
 
 
+def q_d14_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-scoped embedding dedup over
+    the corpus ∪ an exact-duplicate copy — every copy pair must collapse
+    to one survivor. Rows-only check (k-means isn't SQL-expressible);
+    pytest pins the group/keep semantics on planted geometry."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    out = dedup.semdedup(dup, "vec_id", "embedding", k=8, threshold=0.999, iters=2)
+    return out.select("vec_id", "cluster", "semantic_group", "keep")
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2552,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_time_weighted_avg": q_w8_time_weighted_avg,
         "fs10_text_bm25": q_fs10_text_bm25,
         "d13_passjoin": q_d13_passjoin,
+        "d14_semdedup": q_d14_semdedup,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,

@@ -65,6 +65,7 @@ HEADLINE = [
     "d12_sorted_neighborhood",
     "t17_bigram_logprob",
     "k3_cms_heavy_hitters",
+    "d13_passjoin",
 ]
 
 N_STEADY = 3

@@ -827,3 +827,57 @@ def passjoin_pairs(
             F.col("_d").cast("int").alias("dist"),
         )
     )
+
+
+# --------------------------------------------------------- SemDeDup --
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    threshold: float = 0.95,
+    iters: int = 3,
+    keep: str = "min_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by embedding —
+    k-means-cluster the embedding space, find cosine-≥ θ pairs WITHIN
+    each cluster only, connected-component them, keep one document per
+    semantic group. The cluster scoping is what makes it tractable: the
+    pair join is bounded by cluster populations, never corpus² (the
+    paper's observation: semantic dups land in the same k-means cell).
+
+    Output: (id, cluster, semantic_group, keep) for every input row —
+    ``keep = 1`` on the per-group representative (lowest id; plug a
+    quality rank in via canonical_per_cluster for keep-best).
+
+    Scale shape: ivf_train moves only k×dim floats to the driver per
+    iteration; assignment is a narrow expression; the in-cluster pair
+    join shuffles on the cluster key (write the table partitioned by
+    cluster and it co-locates); component labels come from the
+    iterative min-label propagation (cluster_pairs).
+    """
+    from healthcare_api_spark.operators.similarity import ivf_assign, ivf_train
+
+    cents = ivf_train(df, id_col, vec_col, k=k, iters=iters)
+    assigned = ivf_assign(df, vec_col, cents)
+    pairs = embedding_neardup_pairs(
+        assigned, id_col, vec_col, "cluster", threshold=threshold
+    ).select("id_a", "id_b")
+    labels = cluster_pairs(
+        pairs, assigned.select(F.col(id_col).alias("id")), "id"
+    )
+    out = assigned.select(F.col(id_col), "cluster").join(
+        labels.select(
+            F.col("id").alias(id_col), F.col("cluster_id").alias("semantic_group")
+        ),
+        id_col,
+    )
+    if keep != "min_id":
+        raise ValueError("keep='min_id' is the only built-in policy; compose"
+                         " canonical_per_cluster for quality-aware selection")
+    w = Window.partitionBy("semantic_group")
+    return out.withColumn(
+        "keep", (F.col(id_col) == F.min(F.col(id_col)).over(w)).cast("int")
+    )

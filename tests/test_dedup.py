@@ -391,3 +391,54 @@ def test_passjoin_rejects_zero_dist(spark):
     df = spark.createDataFrame([(1, "x")], ["id", "s"])
     with _pytest.raises(ValueError):
         passjoin_pairs(df, df, "id", "s", "id", "s", max_dist=0)
+
+
+def test_semdedup_removes_planted_semantic_dups(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.dedup import semdedup
+
+    rng = random.Random(3)
+    rows = []
+    # two well-separated semantic regions; ids 0-19 around axis-x,
+    # ids 100+ around axis-y; planted near-dups: i and i+1000 (tiny noise)
+    for i in range(20):
+        v = [1.0 + rng.uniform(-0.01, 0.01), rng.uniform(-0.05, 0.05), 0.0, 0.0]
+        rows.append((i, v))
+        rows.append((1000 + i, [x + rng.uniform(-1e-4, 1e-4) for x in v]))
+    for i in range(100, 110):
+        # widely separated directions (≈0.29 rad apart) — no near-dups
+        rows.append((i, [(i - 105) * 0.3, 1.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, ["id", "vec"])
+    out = semdedup(df, "id", "vec", k=2, threshold=0.999, iters=3).collect()
+    by_id = {r["id"]: r for r in out}
+    # every planted pair lands in the same semantic group (groups may
+    # chain further — cosine 0.999 is transitive-ish in a tight region)
+    for i in range(20):
+        assert by_id[i]["semantic_group"] == by_id[1000 + i]["semantic_group"]
+        # at most one of the planted pair survives
+        assert by_id[i]["keep"] + by_id[1000 + i]["keep"] <= 1
+    # dedup actually removed things in the x-region
+    assert sum(by_id[i]["keep"] for i in list(range(20)) + [1000 + i for i in range(20)]) < 20
+    # the separated docs are nobody's near-dup — all survive
+    assert all(by_id[i]["keep"] == 1 for i in range(100, 110))
+    # exactly one keeper per semantic group
+    import collections
+
+    per_group = collections.Counter(
+        r["semantic_group"] for r in out if r["keep"] == 1
+    )
+    groups = {r["semantic_group"] for r in out}
+    assert all(per_group[g] == 1 for g in groups)
+
+
+def test_semdedup_rejects_unknown_keep(spark):
+    import pytest as _pytest
+
+    from healthcare_api_spark.operators.dedup import semdedup
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["id", "vec"])
+    with _pytest.raises(ValueError):
+        semdedup(df, "id", "vec", k=1, keep="best")
