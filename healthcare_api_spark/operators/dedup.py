@@ -881,3 +881,53 @@ def semdedup(
     return out.withColumn(
         "keep", (F.col(id_col) == F.min(F.col(id_col)).over(w)).cast("int")
     )
+
+
+def cluster_pairs_incremental(
+    prev_labels: DataFrame,
+    delta_pairs: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Incrementally maintain connected-component labels as NEW edges
+    arrive — without re-propagating over the historical edge set.
+    Contraction: the previous labeling already collapses every old
+    component to one representative, so it suffices to run CC over the
+    delta edges PROJECTED onto label space (old_label ↔ old_label),
+    then compose the two mappings. Appending a day's worth of near-dup
+    pairs to a 100 TB corpus costs O(delta + |labels|), never a rescan
+    of every historical edge — the same contract as a12's aggregate
+    maintenance, for graphs.
+
+    ``prev_labels``: (id, cluster_id) from a prior cluster_pairs run.
+    ``delta_pairs``: (id_a, id_b) new edges; endpoints absent from
+    ``prev_labels`` enter as singletons. Output: the updated full
+    (id, cluster_id) — identical to a from-scratch run on old∪new edges
+    (labels are min-ids, and min is associative over the merge).
+    """
+    prev = prev_labels.select(
+        F.col(id_col).alias("_id"), F.col("cluster_id").alias("_lab")
+    )
+    new_ids = (
+        delta_pairs.select(F.col("id_a").alias("_id"))
+        .unionByName(delta_pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+        .join(prev, "_id", "left_anti")
+        .select("_id", F.col("_id").alias("_lab"))
+    )
+    full = prev.unionByName(new_ids).localCheckpoint(eager=True)
+    # project delta edges into label space (contract old components)
+    la = full.select(F.col("_id").alias("id_a"), F.col("_lab").alias("_la"))
+    lb = full.select(F.col("_id").alias("id_b"), F.col("_lab").alias("_lb"))
+    meta_edges = (
+        delta_pairs.join(la, "id_a").join(lb, "id_b")
+        .select(F.col("_la").alias("id_a"), F.col("_lb").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    meta_nodes = full.select(F.col("_lab").alias("id")).distinct()
+    meta = cluster_pairs(meta_edges, meta_nodes, "id", max_iter=max_iter)
+    return (
+        full.join(meta, full["_lab"] == meta["id"])
+        .select(F.col("_id").alias(id_col), F.col("cluster_id"))
+    )

@@ -442,3 +442,50 @@ def test_semdedup_rejects_unknown_keep(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], ["id", "vec"])
     with _pytest.raises(ValueError):
         semdedup(df, "id", "vec", k=1, keep="best")
+
+
+def test_cluster_pairs_incremental_equals_full_recompute(spark):
+    from healthcare_api_spark.operators.dedup import (
+        cluster_pairs,
+        cluster_pairs_incremental,
+    )
+
+    old_edges = [(1, 2), (3, 4), (6, 7)]
+    # delta merges components {1,2}+{3,4}, extends {6,7}, adds new node 9
+    delta = [(2, 3), (7, 8), (9, 9)]
+    all_old = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 7]], ["id"])
+    prev = cluster_pairs(
+        spark.createDataFrame(old_edges, ["id_a", "id_b"]), all_old
+    )
+    inc = cluster_pairs_incremental(
+        prev, spark.createDataFrame(delta, ["id_a", "id_b"])
+    )
+    full = cluster_pairs(
+        spark.createDataFrame(old_edges + delta, ["id_a", "id_b"]),
+        spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 7, 8, 9]], ["id"]),
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_cluster_pairs_incremental_chain_of_merges(spark):
+    # successive deltas each merging previously separate components
+    from healthcare_api_spark.operators.dedup import (
+        cluster_pairs,
+        cluster_pairs_incremental,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    labels = cluster_pairs(
+        spark.createDataFrame([(i, i + 1) for i in range(0, 10, 2)][:0] or [(0, 1)], ["id_a", "id_b"]),
+        ids,
+    )
+    edges_so_far = [(0, 1)]
+    for step_edges in [[(2, 3)], [(1, 2)], [(4, 5), (3, 4)]]:
+        labels = cluster_pairs_incremental(
+            labels, spark.createDataFrame(step_edges, ["id_a", "id_b"])
+        )
+        edges_so_far += step_edges
+    want = cluster_pairs(
+        spark.createDataFrame(edges_so_far, ["id_a", "id_b"]), ids
+    )
+    assert sorted(map(tuple, labels.collect())) == sorted(map(tuple, want.collect()))
