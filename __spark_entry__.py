@@ -1965,6 +1965,32 @@ def q_d14_semdedup(spark, sf_dir):
     return out.select("vec_id", "cluster", "semantic_group", "keep")
 
 
+def q_d15_incremental_cc(spark, sf_dir):
+    """Incrementally maintained dedup clusters: labels built from half
+    the candidate edges, then the other half applied as a DELTA through
+    component contraction — the oracle is CC over ALL edges at once, so
+    the hash proves incremental == full recompute."""
+    _tune(spark)
+    docs = _docs_dup(spark, sf_dir)
+    sets = docs.select(
+        "doc_id", dedup.seeded_hash_min(F.col("text"), 0, 3).alias("mh0")
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("mh0").alias("ma"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("mh0").alias("mb"))
+    pairs = (
+        a.join(b, F.col("ma") == F.col("mb"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    old = pairs.filter(F.col("id_a") % 2 == 0)
+    delta = pairs.filter(F.col("id_a") % 2 == 1)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    prev = dedup.cluster_pairs(old, ids, "id", max_iter=6)
+    out = dedup.cluster_pairs_incremental(prev, delta, "id", max_iter=6)
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2567,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs10_text_bm25": q_fs10_text_bm25,
         "d13_passjoin": q_d13_passjoin,
         "d14_semdedup": q_d14_semdedup,
+        "d15_incremental_cc": q_d15_incremental_cc,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3773,6 +3800,22 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # d15: CC over ALL edges — equality proves the incremental
+        # contraction path reconstructs the full labeling
+        "d15_incremental_cc": (
+            f"WITH RECURSIVE docs AS ({_DOCS_DUP_SQL}), {_shingle_cte()},"
+            " sets AS (SELECT doc_id, min(md5('s0:' || s)) AS mh0 FROM sh GROUP BY doc_id),"
+            " pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sets a"
+            "  JOIN sets b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id),"
+            " sym AS (SELECT id_a AS a, id_b AS b FROM pairs"
+            "  UNION SELECT id_b, id_a FROM pairs),"
+            " reach(a, b) AS ("
+            "  SELECT a, b FROM sym"
+            "  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)"
+            " SELECT d.doc_id,"
+            " least(d.doc_id, coalesce((SELECT min(b) FROM reach WHERE a = d.doc_id),"
+            " d.doc_id)) AS cluster_id FROM docs d"
         ),
         # d13: the oracle is NAIVE ALL-PAIRS — equality proves the
         # PassJoin blocking has exact recall
