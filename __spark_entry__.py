@@ -1991,6 +1991,24 @@ def q_d15_incremental_cc(spark, sf_dir):
     return out.withColumnRenamed("id", "doc_id")
 
 
+def q_k4_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct-count sketch per event type — like k3, the
+    sketch state is pure md5 arithmetic, so the k1-style approximate
+    distinct gets a full hash oracle instead of a rows-only check."""
+    from healthcare_api_spark.operators import sketches
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    sk = sketches.kmv_build(ev, ["event_type"], "user_id", k=64)
+    est = sketches.kmv_distinct(sk, k=64)
+    return est.select(
+        "event_type",
+        "n_seen",
+        "est_distinct",
+        F.array_join(F.col("kmv"), ",").alias("kmv_str"),
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2594,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d13_passjoin": q_d13_passjoin,
         "d14_semdedup": q_d14_semdedup,
         "d15_incremental_cc": q_d15_incremental_cc,
+        "k4_kmv_distinct": q_k4_kmv_distinct,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3800,6 +3819,20 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # k4: identical bottom-k md5 sketch; (k−1)/h_k estimator
+        "k4_kmv_distinct": (
+            "WITH d AS (SELECT DISTINCT event_type,"
+            "  substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS h FROM events),"
+            " r AS (SELECT event_type, h, row_number() OVER ("
+            "  PARTITION BY event_type ORDER BY h) AS rn FROM d),"
+            " s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen,"
+            "  string_agg(h, ',' ORDER BY h) AS kmv_str, max(h) AS hk"
+            "  FROM r WHERE rn <= 64 GROUP BY event_type)"
+            " SELECT event_type, n_seen,"
+            "  CAST(round(CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)"
+            "   ELSE 63.0 / (('0x' || hk)::BIGINT / 4294967296.0) END)"
+            "   AS BIGINT) AS est_distinct, kmv_str FROM s"
         ),
         # d15: CC over ALL edges — equality proves the incremental
         # contraction path reconstructs the full labeling

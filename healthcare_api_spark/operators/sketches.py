@@ -121,3 +121,71 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("r", "bucket")
         .agg(F.sum("n").cast("bigint").alias("n"))
     )
+
+
+# ------------------------------------------------------------------ KMV --
+
+
+def kmv_build(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int = 64
+) -> DataFrame:
+    """Bottom-k (KMV) sketch per group: the k smallest md5 draws over
+    DISTINCT keys, as a sorted array — the classic k-minimum-values
+    distinct-count summary (Bar-Yossef et al. 2002). Like the CMS, the
+    state is pure md5 arithmetic, so the whole sketch (and therefore
+    the estimate) is engine-portable and hash-verifiable — unlike the
+    opaque HLL++ binary behind k1.
+
+    Output: (group…, n_seen ≤ k, kmv array<string of 8 hex>).
+
+    Shape at scale: one distinct on (group, key) — the only shuffle a
+    distinct-counter can avoid only by sketching *per partition* and
+    merging (see kmv_merge, which exists exactly for that + streaming);
+    then a per-group top-k window. State per group is k hashes.
+    """
+    if k < 2:
+        raise ValueError("k must be ≥ 2")
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    distinct = df.select(*group_cols, h.alias("_h")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+    kept = distinct.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seen"),
+        F.sort_array(F.collect_list("_h")).alias("kmv"),
+    )
+
+
+def kmv_distinct(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: with fewer than k
+    hashes the count is exact (= n_seen); otherwise n̂ = (k − 1) /
+    h_(k) with h_(k) the k-th smallest hash scaled to (0, 1]. The
+    estimate is a pure function of the (portable) sketch → identical in
+    every engine. Appends ``est_distinct`` (rounded bigint)."""
+    hk = F.conv(F.element_at(F.col("kmv"), -1), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    est = F.when(F.col("n_seen") < k, F.col("n_seen").cast("double")).otherwise(
+        F.lit(float(k - 1)) / hk
+    )
+    return sketch.withColumn("est_distinct", F.round(est).cast("bigint"))
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge two KMV sketches (same k): bottom-k of the concatenated
+    hash sets — the property that lets partition-local sketches union
+    into the global one (and micro-batches fold into streaming state).
+    """
+    both = a.select(*group_cols, "kmv").unionByName(b.select(*group_cols, "kmv"))
+    merged = both.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))),
+            1, k,
+        ).alias("kmv")
+    )
+    return merged.withColumn("n_seen", F.size("kmv").cast("bigint")).select(
+        *group_cols, "n_seen", "kmv"
+    )

@@ -134,3 +134,44 @@ def test_streaming_cms_merge_matches_batch(spark, tmp_path):
         spark.createDataFrame(rows1 + rows2, "key string"), "key", depth=3, width=32
     ).collect()))
     assert got == want
+
+
+# ------------------------------------------------------------------ KMV --
+
+
+def test_kmv_exact_below_k(spark):
+    from healthcare_api_spark.operators.sketches import kmv_build, kmv_distinct
+
+    rows = [("g", i % 10) for i in range(200)]  # 10 distinct, heavy repeats
+    df = spark.createDataFrame(rows, ["g", "u"])
+    est = kmv_distinct(kmv_build(df, ["g"], "u", k=64), k=64).collect()[0]
+    assert est["n_seen"] == 10 and est["est_distinct"] == 10
+
+
+def test_kmv_estimate_within_bound(spark):
+    from healthcare_api_spark.operators.sketches import kmv_build, kmv_distinct
+
+    n = 2000
+    df = spark.createDataFrame([("g", i) for i in range(n)], ["g", "u"])
+    est = kmv_distinct(kmv_build(df, ["g"], "u", k=64), k=64).collect()[0]
+    # standard error ≈ n/sqrt(k) = 12.5%; allow 3σ
+    assert abs(est["est_distinct"] - n) < 0.375 * n, est["est_distinct"]
+
+
+def test_kmv_merge_equals_whole(spark):
+    from healthcare_api_spark.operators.sketches import kmv_build, kmv_merge
+
+    df = spark.createDataFrame([("g", i) for i in range(500)], ["g", "u"])
+    a = kmv_build(df.filter("u < 300"), ["g"], "u", k=32)
+    b = kmv_build(df.filter("u >= 200"), ["g"], "u", k=32)  # overlap on purpose
+    merged = kmv_merge(a, b, ["g"], k=32).collect()[0]
+    whole = kmv_build(df, ["g"], "u", k=32).collect()[0]
+    assert merged["kmv"] == whole["kmv"] and merged["n_seen"] == whole["n_seen"]
+
+
+def test_kmv_rejects_tiny_k(spark):
+    from healthcare_api_spark.operators.sketches import kmv_build
+
+    df = spark.createDataFrame([("g", 1)], ["g", "u"])
+    with pytest.raises(ValueError):
+        kmv_build(df, ["g"], "u", k=1)
