@@ -784,6 +784,15 @@ def passjoin_pairs(
             p = seg_start(ls, j)
             sl = seg_len(ls, j)
             for delta in range(-k, k + 1):
+                # joint bound: δ = net shift BEFORE the matched segment,
+                # and the net shift AFTER it must make up the remaining
+                # length difference lt − ls = −dl, i.e. equals −dl − δ;
+                # each consumes at least that many edits, their sum may
+                # not exceed k. Trims probes ~2× (75 → 39 at k=2); exact
+                # recall re-proven by the brute-force test (which caught
+                # the sign of this very bound once).
+                if abs(delta) + abs(dl + delta) > k:
+                    continue
                 start = p + delta
                 probes.append(
                     F.struct(
