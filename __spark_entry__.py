@@ -2009,6 +2009,64 @@ def q_k4_kmv_distinct(spark, sf_dir):
     )
 
 
+def q_m10_gif_frames(spark, sf_dir):
+    """REAL animated-GIF decode: doc_id%3+1 frames per doc, one output
+    row per frame (the frame_sample fan-out contract) — oracle
+    recomputes every frame's RGB sum analytically from the palette
+    formula, so a frame-walk or per-frame-LZW bug hash-mismatches."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_api_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pal = np.array(_M5_PAL, dtype=np.uint8)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 10 + 2, d % 6 + 2
+                frames = [
+                    ((np.add.outer(np.arange(h), np.arange(w)) + d + f) % 8).astype(
+                        np.uint8
+                    )
+                    for f in range(d % 3 + 1)
+                ]
+                payloads.append(encode_gif_frames(frames, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    gifs = docs.mapInPandas(_gen, "doc_id long, data binary")
+    px = decode_gif_frames(gifs, "doc_id", "data")
+
+    def _sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = [
+                int(np.frombuffer(p, dtype=np.uint8).sum()) if p is not None else None
+                for p in pdf["pixels"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "px_sum": sums,
+                }
+            )
+
+    return px.mapInPandas(
+        _sum, "doc_id long, frame_idx int, width int, height int, px_sum long"
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2613,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d14_semdedup": q_d14_semdedup,
         "d15_incremental_cc": q_d15_incremental_cc,
         "k4_kmv_distinct": q_k4_kmv_distinct,
+        "m10_gif_frames": q_m10_gif_frames,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3819,6 +3878,25 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # m10: analytic per-frame sums, frames = doc_id%3+1
+        "m10_gif_frames": (
+            "WITH dims AS (SELECT doc_id, doc_id % 10 + 2 AS w,"
+            "  doc_id % 6 + 2 AS h, doc_id % 3 + 1 AS nf FROM documents),"
+            " fr AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS f"
+            "  FROM dims),"
+            " sums AS (SELECT doc_id, f, w, h,"
+            "  sum(CASE CAST((x.i + y.i + doc_id + f) % 8 AS INTEGER) "
+            + " ".join(
+                f"WHEN {j} THEN {r + g + b}" for j, (r, g, b) in enumerate(_M5_PAL)
+            )
+            + " END) AS s"
+            "  FROM fr, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS i) x,"
+            "  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) y"
+            "  GROUP BY doc_id, f, w, h)"
+            " SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,"
+            " CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,"
+            " CAST(s AS BIGINT) AS px_sum FROM sums"
         ),
         # k4: identical bottom-k md5 sketch; (k−1)/h_k estimator
         "k4_kmv_distinct": (

@@ -788,3 +788,44 @@ def test_png_palette_error_statuses():
     no_plte = re.sub(b"PLTE", b"plXe", ok)  # corrupt the chunk id
     out = _decode_png_pixels(no_plte)
     assert isinstance(out, str)
+
+
+def test_gif_multiframe_roundtrip(spark):
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 8, (5, 7), dtype=np.uint8) for _ in range(3)]
+    gif = encode_gif_frames(frames, pal)
+    df = spark.createDataFrame([(1, bytearray(gif)), (2, bytearray(b"nope"))],
+                               ["id", "data"])
+    out = decode_gif_frames(df, "id", "data").collect()
+    ok = [r for r in out if r["id"] == 1]
+    assert [r["frame_idx"] for r in sorted(ok, key=lambda r: r["frame_idx"])] == [0, 1, 2]
+    for r in ok:
+        assert (r["width"], r["height"]) == (7, 5)
+        got = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(5, 7, 3)
+        assert np.array_equal(got, pal[frames[r["frame_idx"]]])
+    bad = [r for r in out if r["id"] == 2]
+    assert len(bad) == 1 and bad[0]["status"] == "invalid"
+
+
+def test_gif_multiframe_max_frames_cap(spark):
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    frames = [np.zeros((2, 2), dtype=np.uint8)] * 5
+    df = spark.createDataFrame([(1, bytearray(encode_gif_frames(frames, pal)))],
+                               ["id", "data"])
+    out = decode_gif_frames(df, "id", "data", max_frames=2).collect()
+    assert len(out) == 2
