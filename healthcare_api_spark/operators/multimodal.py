@@ -208,11 +208,12 @@ def _unpack_bits(rows, w: int, depth: int):
     return expanded.reshape(rows.shape[0], -1)[:, :w].astype(np.uint8)
 
 
-def encode_png_palette(indices, palette, trns=None) -> bytes:
+def encode_png_palette(indices, palette, trns=None, interlace: bool = False) -> bytes:
     """Palette-PNG encoder (color type 3, depth 8): (h, w) uint8 index
     array + (n, 3) palette (+ optional per-entry alpha) → PNG with
-    PLTE/tRNS chunks, filter-0 scanlines. The inverse of the ct-3 path
-    in ``_decode_png_pixels``; tests and m9 synthesize payloads here."""
+    PLTE/tRNS chunks, filter-0 scanlines; ``interlace`` emits the Adam7
+    seven-pass layout. The inverse of the ct-3 path in
+    ``_decode_png_pixels``; tests and m9 synthesize payloads here."""
     import struct
     import zlib
 
@@ -228,8 +229,17 @@ def encode_png_palette(indices, palette, trns=None) -> bytes:
             + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
-    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, xs, y0, ys in _ADAM7:
+            sub = idx[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts += [b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])]
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
     if trns is not None:
         out += chunk(b"tRNS", bytes(bytearray(trns)))
@@ -302,8 +312,8 @@ def _decode_png_pixels(payload: bytes):
     sub_byte_ok = color_type in (0, 3) and depth in (1, 2, 4)
     if depth != 8 and not sub_byte_ok:
         return f"unsupported:ct{color_type}/d{depth}/i{interlace}"
-    if interlace == 1 and (depth != 8 or color_type == 3):
-        # Adam7 with palette / sub-byte rows: out of scope (documented)
+    if interlace == 1 and depth != 8:
+        # Adam7 with sub-byte rows: out of scope (documented)
         return f"unsupported:ct{color_type}/d{depth}/i{interlace}"
     idat, pos, palette, trns = b"", 8, None, None
     while pos + 8 <= len(payload):
@@ -379,6 +389,19 @@ def _decode_png_pixels(payload: bytes):
         full[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
     if off != len(raw):
         return "truncated"
+    if color_type == 3:
+        # interlaced palette: the pass walk ran on 1-byte indices
+        # (ch = 1); gather through PLTE/tRNS exactly like the
+        # non-interlaced path
+        idx = full.reshape(h, w)
+        if idx.max(initial=0) >= len(palette):
+            return "palette-overflow"
+        rgb = palette[idx]
+        if trns is not None:
+            alpha = np.full(len(palette), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return (w, h, 4, np.dstack([rgb, alpha[idx]]).tobytes())
+        return (w, h, 3, rgb.tobytes())
     return (w, h, ch, full.tobytes())
 
 

@@ -829,3 +829,26 @@ def test_gif_multiframe_max_frames_cap(spark):
                                ["id", "data"])
     out = decode_gif_frames(df, "id", "data", max_frames=2).collect()
     assert len(out) == 2
+
+
+def test_png_interlaced_palette_roundtrip():
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        _decode_png_pixels,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (11, 9), dtype=np.uint8)
+    w, h, ch, data = _decode_png_pixels(encode_png_palette(idx, pal, interlace=True))
+    assert (w, h, ch) == (9, 11, 3)
+    assert np.array_equal(
+        np.frombuffer(data, dtype=np.uint8).reshape(11, 9, 3), pal[idx]
+    )
+    # with tRNS too
+    w, h, ch, data = _decode_png_pixels(
+        encode_png_palette(idx, pal, trns=[0] + [255] * 15, interlace=True)
+    )
+    assert ch == 4
