@@ -2067,6 +2067,34 @@ def q_m10_gif_frames(spark, sf_dir):
     )
 
 
+def q_w9_ohlc_bars(spark, sf_dir):
+    """OHLC (open/high/low/close) bars per type per hour — the
+    canonical financial first/last-by-time aggregate: min_by/max_by on
+    (ts, event_id) pin open/close deterministically under duplicate
+    timestamps."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    bars = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return bars.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.round("open", 4).alias("open"),
+        F.round("high", 4).alias("high"),
+        F.round("low", 4).alias("low"),
+        F.round("close", 4).alias("close"),
+        "n",
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2672,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d15_incremental_cc": q_d15_incremental_cc,
         "k4_kmv_distinct": q_k4_kmv_distinct,
         "m10_gif_frames": q_m10_gif_frames,
+        "w9_ohlc_bars": q_w9_ohlc_bars,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3878,6 +3907,23 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # w9: first/last by (ts, id) via two window ranks (DuckDB's
+        # arg_min has no composite-key overload)
+        "w9_ohlc_bars": (
+            "WITH r AS (SELECT event_type, value,"
+            "  date_trunc('hour', ts) AS bucket,"
+            "  row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)"
+            "   ORDER BY ts, event_id) AS ra,"
+            "  row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)"
+            "   ORDER BY ts DESC, event_id DESC) AS rd"
+            "  FROM events)"
+            " SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,"
+            "  round(max(CASE WHEN ra = 1 THEN value END), 4) AS open,"
+            "  round(max(value), 4) AS high, round(min(value), 4) AS low,"
+            "  round(max(CASE WHEN rd = 1 THEN value END), 4) AS close,"
+            "  CAST(count(*) AS BIGINT) AS n"
+            " FROM r GROUP BY 1, 2"
         ),
         # m10: analytic per-frame sums, frames = doc_id%3+1
         "m10_gif_frames": (

@@ -588,3 +588,35 @@ def weighted_sample(
         .filter(hx < p * F.lit(4294967296.0))
         .drop("_wmax")
     )
+
+
+def plan_token_mixture(
+    df: DataFrame,
+    strata_col: str,
+    text_col: str,
+    target_props: dict[str, float],
+    total_tokens: int,
+) -> dict[str, float]:
+    """Token-budget mixture planning: real LM data mixes are specified
+    in TOKENS, not documents — a stratum of long documents needs fewer
+    docs for the same share. Computes per-stratum doc-sampling rates so
+    the EXPECTED token counts hit ``target_props`` of ``total_tokens``
+    (rates capped at 1.0; a stratum smaller than its token target
+    contributes everything). Feed the result to ``stratified_sample``.
+
+    Only the per-stratum token totals (a handful of rows) reach the
+    driver — one map-side-combined aggregate over token_count."""
+    from healthcare_api_spark.functions.text import token_count
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(token_count(F.col(text_col))).alias("toks"))
+        .collect()
+    }
+    z = sum(target_props.values())
+    return {
+        s: min(1.0, (w / z) * total_tokens / counts[s])
+        for s, w in target_props.items()
+        if s in counts and counts[s] > 0
+    }

@@ -442,3 +442,15 @@ def test_domain_stats_counts_and_dup_rate(spark):
     assert out["a.com"]["n_docs"] == 3 and out["a.com"]["n_distinct"] == 2
     assert abs(out["a.com"]["dup_rate"] - (1 - 2 / 3)) < 1e-6
     assert out["b.org"]["n_docs"] == 1 and out["b.org"]["dup_rate"] == 0.0
+
+
+def test_plan_token_mixture_hits_token_budget(spark):
+    from healthcare_api_spark.operators.curation import plan_token_mixture
+
+    rows = [(i, "long", "tok " * 100) for i in range(10)]        # 1000 tokens
+    rows += [(100 + i, "short", "tok " * 10) for i in range(10)]  # 100 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    rates = plan_token_mixture(df, "src", "text", {"long": 1.0, "short": 1.0}, 200)
+    # equal token shares of 100 each: long needs rate 0.1, short rate 1.0 (capped)
+    assert abs(rates["long"] - 0.1) < 1e-9
+    assert rates["short"] == 1.0
