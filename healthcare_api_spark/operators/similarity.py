@@ -385,3 +385,126 @@ def knn_join(
             "cos",
         )
     )
+
+
+# ------------------------------------------------------------------- PQ --
+
+
+def _l2_expr(a: Column, lit_vec: list[float]) -> Column:
+    b = F.array(*[F.lit(float(x)) for x in lit_vec])
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_l2(df: DataFrame, id_col: str, vec_col: str, k: int, iters: int):
+    """Deterministic Lloyd's k-means under L2 (init = k lowest-id
+    vectors) — the subspace trainer for PQ. Same driver contract as
+    ivf_train: only k×sub_dim floats ever leave the cluster."""
+    init_rows = df.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    cents = [list(map(float, r[0])) for r in init_rows]
+    for _ in range(iters):
+        cands = F.array(
+            *[
+                F.struct(_l2_expr(F.col(vec_col), c).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(cents)
+            ]
+        )
+        assigned = df.withColumn("_c", F.array_min(cands).getField("cid"))
+        comp = assigned.select("_c", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        means = (
+            comp.groupBy("_c", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("_c")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .collect()
+        )
+        new = {r["_c"]: [s["m"] for s in r["ms"]] for r in means}
+        cents = [new.get(i, c) for i, c in enumerate(cents)]
+    return cents
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 3,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011, the
+    faiss PQ shape): split the dimension into ``m`` subspaces, k-means
+    each independently. Returns m codebooks of ksub sub-centroids.
+
+    Compression: a dim-float32 vector becomes m uint8 codes — 64-dim ×
+    4 B = 256 B down to 4 B at m=4 (64×), while ADC distances stay
+    useful. The memory/bandwidth lever that makes billion-vector ANN
+    fit a cluster at all; SQ8 (v6) is the gentler 4× sibling.
+    """
+    first = df.select(vec_col).head()
+    if first is None:
+        raise ValueError("empty input")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sub")
+        )
+        books.append(_kmeans_l2(sliced, id_col, "_sub", ksub, iters))
+    return books
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, codebooks: list[list[list[float]]],
+    out_col: str = "codes",
+) -> DataFrame:
+    """Encode vectors to their PQ codes: per subspace, the L2-nearest
+    sub-centroid id (ties → lowest id via the struct compare). Pure
+    narrow expression — encoding 100 TB of embeddings is scan-bound."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    parts = []
+    for j, book in enumerate(codebooks):
+        piece = F.slice(F.col(vec_col), j * sub + 1, sub)
+        cands = F.array(
+            *[
+                F.struct(_l2_expr(piece, c).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(book)
+            ]
+        )
+        parts.append(F.array_min(cands).getField("cid"))
+    return df.withColumn(out_col, F.array(*parts))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    id_col: str,
+    codes_col: str,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays full-precision;
+    each subspace contributes a PRECOMPUTED lookup-table entry
+    lut[j][code] = ‖query_sub_j − centroid‖², so scoring a vector is m
+    array-index adds — no per-row vector math at all. The m×ksub table
+    is computed driver-side (tiny) and inlined as literals; the scan
+    reads ONLY the m-byte codes column. Ties → lowest id."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    score = F.lit(0.0)
+    for j, book in enumerate(codebooks):
+        q = query_vec[j * sub : (j + 1) * sub]
+        lut = [sum((float(a) - float(b)) ** 2 for a, b in zip(q, c)) for c in book]
+        score = score + F.array(*[F.lit(v) for v in lut])[
+            F.col(codes_col)[j]
+        ]
+    scored = encoded.select(
+        F.col(id_col), F.round(score, 6).alias("adc_dist")
+    )
+    return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
