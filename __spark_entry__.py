@@ -2095,6 +2095,19 @@ def q_w9_ohlc_bars(spark, sf_dir):
     )
 
 
+def q_v7_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou 2011): m=4 subspace codebooks,
+    codes = 4 bytes per 64-dim vector (64× compression), ADC top-10
+    via inlined lookup tables. Rows-only (k-means isn't
+    SQL-expressible); recall pinned in tests on clustered geometry."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    books = similarity.pq_train(emb, "vec_id", "embedding", m=4, ksub=16, iters=2)
+    enc = similarity.pq_encode(emb, "embedding", books)
+    return similarity.pq_topk(enc, "vec_id", "codes", qvec, books, k=10)
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2701,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k4_kmv_distinct": q_k4_kmv_distinct,
         "m10_gif_frames": q_m10_gif_frames,
         "w9_ohlc_bars": q_w9_ohlc_bars,
+        "v7_pq_topk": q_v7_pq_topk,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
