@@ -210,3 +210,59 @@ def test_keyset_pagination_walk_lossless_property(spark, keys, page):
         tok = encode_page_token(got[-1]["k"], got[-1]["id"])
     expect = sorted(rows, key=lambda r: (r[1], r[0]))
     assert seen == expect
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.floats(-1e6, 1e6)),
+        min_size=1, max_size=60,
+    ),
+    cut1=st.integers(0, 59),
+    cut2=st.integers(0, 59),
+)
+def test_agg_state_merge_associative_property(spark, rows, cut1, cut2):
+    """Any 3-way split of the input merges (in any grouping) to the
+    state of the whole — the algebraic fact incremental MV maintenance
+    rests on."""
+    from healthcare_api_spark.operators.relational import agg_state, merge_agg_state
+
+    a, b = sorted((cut1 % (len(rows) + 1), cut2 % (len(rows) + 1)))
+    parts = [rows[:a], rows[a:b], rows[b:]]
+    specs = {"v": ["sum", "count", "min", "max"]}
+    df_all = spark.createDataFrame(rows, "k int, v double")
+    states = [
+        agg_state(spark.createDataFrame(p, "k int, v double"), ["k"], specs)
+        for p in parts if p
+    ]
+    merged = states[0]
+    for sdf in states[1:]:
+        merged = merge_agg_state(merged, sdf, ["k"], specs)
+    want = sorted(map(tuple, agg_state(df_all, ["k"], specs).collect()))
+    assert sorted(map(tuple, merged.collect())) == want
+
+
+@_slow
+@given(
+    keys=st.lists(st.integers(0, 500), min_size=1, max_size=80),
+    cut=st.integers(0, 79),
+)
+def test_kmv_merge_associative_property(spark, keys, cut):
+    """bottom-k(union) == merge(bottom-k, bottom-k) for any split —
+    the distributed/streaming-foldability of the KMV sketch."""
+    from healthcare_api_spark.operators.sketches import kmv_build, kmv_merge
+
+    c = cut % (len(keys) + 1)
+    left, right = keys[:c], keys[c:]
+    df_all = spark.createDataFrame([("g", k) for k in keys], "g string, u int")
+    whole = kmv_build(df_all, ["g"], "u", k=8).collect()
+    parts = [p for p in (left, right) if p]
+    sketches_ = [
+        kmv_build(spark.createDataFrame([("g", k) for k in p], "g string, u int"),
+                  ["g"], "u", k=8)
+        for p in parts
+    ]
+    merged = sketches_[0]
+    if len(sketches_) == 2:
+        merged = kmv_merge(sketches_[0], sketches_[1], ["g"], k=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole))
