@@ -822,11 +822,17 @@ def passjoin_pairs(
             F.expr("substring(_ta, _p.p, _p.l)").alias("_seg"),
         )
     )
-    cand = (
+    # dedup candidates on the ID PAIR only (a pair can match on several
+    # segments) — the distinct shuffle then carries two ids, not two
+    # full strings; the strings rejoin from the compact per-side frames
+    cand_ids = (
         lx.join(rx, ["_ls", "_j", "_seg"])
-        .select("_la", "_ta", "_rb", "_tb")
+        .select("_la", "_rb")
         .distinct()
     )
+    lstr = left.select(F.col(left_id).alias("_la"), F.col(left_col).alias("_ta"))
+    rstr = right.select(F.col(right_id).alias("_rb"), F.col(right_col).alias("_tb"))
+    cand = cand_ids.join(lstr, "_la").join(rstr, "_rb")
     return (
         cand.withColumn("_d", F.levenshtein(F.col("_ta"), F.col("_tb"), k))
         .filter((F.col("_d") >= 0) & (F.col("_d") <= k))
