@@ -508,3 +508,34 @@ def pq_topk(
         F.col(id_col), F.round(score, 6).alias("adc_dist")
     )
     return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF + PQ composed (the faiss IVFPQ shape): coarse-quantize to
+    prune the scan to ``nprobe`` clusters, then rank the survivors by
+    PQ ADC distance — the two memory/compute levers multiplied: the
+    cluster filter skips (1 − nprobe/k_coarse) of the data (partition
+    pruning when stored partitioned by cluster) and the ADC pass reads
+    only m-byte codes. In a real deployment codes are PRECOMPUTED at
+    ingest (pq_encode once, stored beside the cluster id); this
+    convenience wrapper encodes on the fly for ad-hoc queries."""
+    q = np.asarray(query_vec, dtype=float)
+
+    def cos(c):
+        c = np.asarray(c, dtype=float)
+        denom = (np.linalg.norm(c) * np.linalg.norm(q)) or 1.0
+        return float(np.dot(c, q) / denom)
+
+    probe = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[:nprobe]
+    cands = ivf_assign(df, vec_col, centroids).filter(F.col("cluster").isin(probe))
+    enc = pq_encode(cands, vec_col, codebooks)
+    return pq_topk(enc, id_col, "codes", query_vec, codebooks, k)

@@ -485,3 +485,21 @@ def test_pq_compression_recall_on_embeddings(spark):
         )
     }
     assert len(got & exact30) >= 3, (got, exact30)
+
+
+def test_ivfpq_prunes_then_recovers_cluster(spark):
+    from healthcare_api_spark.operators.similarity import (
+        ivf_train,
+        ivfpq_topk,
+        pq_train,
+    )
+
+    df, protos = _pq_clustered(spark)
+    cents = ivf_train(df, "vec_id", "vec", k=3, iters=3)
+    books = pq_train(df, "vec_id", "vec", m=4, ksub=4, iters=3)
+    top = ivfpq_topk(
+        df, "vec_id", "vec", cents, books,
+        [float(x) for x in protos[2]], k=10, nprobe=1,
+    )
+    ids = {r["vec_id"] for r in top.collect()}
+    assert ids == {200 + i for i in range(10)}
