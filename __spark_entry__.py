@@ -2108,6 +2108,65 @@ def q_v7_pq_topk(spark, sf_dir):
     return similarity.pq_topk(enc, "vec_id", "codes", qvec, books, k=10)
 
 
+def q_a14_co_occurrence(spark, sf_dir):
+    """Market-basket co-occurrence mining: part pairs ordered together
+    in ≥ 3 orders (the pairwise-support core of FP-growth). The pair
+    join is keyed by the basket id — candidates are per-order item
+    pairs, never a global cross product; map-side combine collapses
+    repeat pairs before the count shuffle."""
+    _tune(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "o").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+def q_w10_rolling_distinct(spark, sf_dir):
+    """Rolling 7-day distinct users per event type WITHOUT rescanning
+    raw events per window: daily KMV sketches (bottom-32 md5) merged
+    over a rows-based 7-day window — the sketch-algebra composition
+    (bottom-k of a union = bottom-k of concatenated bottom-ks), and
+    because the state is md5-portable the whole rolling estimate
+    hash-matches the oracle."""
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    kk = 32
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8).alias("_h"),
+        )
+        .distinct()
+        .groupBy("event_type", "day")
+        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, kk).alias("kmv"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    merged = daily.withColumn(
+        "_kmv7",
+        F.slice(F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv").over(w)))), 1, kk),
+    )
+    n_seen = F.size("_kmv7")
+    hk = F.conv(F.element_at(F.col("_kmv7"), -1), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    est = F.when(n_seen < kk, n_seen.cast("double")).otherwise(F.lit(float(kk - 1)) / hk)
+    return merged.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(est).cast("bigint").alias("est_rolling_users"),
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2715,6 +2774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m10_gif_frames": q_m10_gif_frames,
         "w9_ohlc_bars": q_w9_ohlc_bars,
         "v7_pq_topk": q_v7_pq_topk,
+        "a14_co_occurrence": q_a14_co_occurrence,
+        "w10_rolling_distinct": q_w10_rolling_distinct,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3921,6 +3982,32 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # a14: same basket-keyed pair join
+        "a14_co_occurrence": (
+            "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey FROM lineitem)"
+            " SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,"
+            "  CAST(count(*) AS BIGINT) AS n_orders"
+            " FROM li a JOIN li b ON a.o = b.o AND a.l_partkey < b.l_partkey"
+            " GROUP BY 1, 2 HAVING count(*) >= 3"
+        ),
+        # w10: identical daily bottom-32 sketches merged over the same
+        # 7-row window; (k−1)/h_k estimator
+        "w10_rolling_distinct": (
+            "WITH d AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,"
+            "  substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS h FROM events),"
+            " daily AS (SELECT event_type, day,"
+            "  list_slice(list_sort(list(DISTINCT h)), 1, 32) AS kmv"
+            "  FROM d GROUP BY 1, 2),"
+            " roll AS (SELECT event_type, day, flatten(list(kmv) OVER ("
+            "  PARTITION BY event_type ORDER BY day"
+            "  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS all7 FROM daily),"
+            " k7 AS (SELECT event_type, day,"
+            "  list_slice(list_sort(list_distinct(all7)), 1, 32) AS kmv7 FROM roll)"
+            " SELECT event_type, strftime(day, '%Y-%m-%d') AS day,"
+            "  CAST(round(CASE WHEN len(kmv7) < 32 THEN len(kmv7)::DOUBLE"
+            "   ELSE 31.0 / (('0x' || kmv7[-1])::BIGINT / 4294967296.0) END)"
+            "   AS BIGINT) AS est_rolling_users FROM k7"
         ),
         # w9: first/last by (ts, id) via two window ranks (DuckDB's
         # arg_min has no composite-key overload)
