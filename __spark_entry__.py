@@ -2167,6 +2167,34 @@ def q_w10_rolling_distinct(spark, sf_dir):
     )
 
 
+def q_u3_url_dedup_groups(spark, sf_dir):
+    """Canonical-URL dedup groups — the web-crawl first-pass dedup:
+    tracking-param/fragment/port variants of one page collapse to one
+    canonical key; groups with >1 member are the re-crawl waste
+    report. Composition: canonicalize_urls → group."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # 3 deterministic variants of the same page per doc
+    variant = F.concat(
+        F.lit("https://Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"), (F.col("doc_id") / 3).cast("int").cast("string"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit("?utm_source=x")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    canon = curation.canonicalize_urls(
+        docs.withColumn("url", variant), "doc_id", "url"
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2776,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v7_pq_topk": q_v7_pq_topk,
         "a14_co_occurrence": q_a14_co_occurrence,
         "w10_rolling_distinct": q_w10_rolling_distinct,
+        "u3_url_dedup_groups": q_u3_url_dedup_groups,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -3982,6 +4011,18 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # u3: ANALYTIC oracle — the three variants of page p must
+        # canonicalize to exactly 'https://example.com/page/p', so the
+        # expected groups are computable without replicating the regex
+        # chain (a canonicalization bug breaks the group hash)
+        "u3_url_dedup_groups": (
+            "WITH c AS (SELECT doc_id,"
+            "  'https://example.com/page/' || CAST(doc_id // 3 AS VARCHAR) AS cu"
+            "  FROM documents)"
+            " SELECT cu AS canonical_url, CAST(count(*) AS BIGINT) AS n_docs,"
+            "  min(doc_id) AS canonical_doc"
+            " FROM c GROUP BY cu HAVING count(*) > 1"
         ),
         # a14: same basket-keyed pair join
         "a14_co_occurrence": (
