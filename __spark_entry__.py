@@ -909,6 +909,50 @@ def q_s9_bucketed_upsert(spark, sf_dir):
     return out
 
 
+def q_st3_stream_agg_maintenance(spark, sf_dir):
+    """A REAL Structured-Streaming run inside the correctness gate: the
+    events table is re-written as two micro-batch files, streamed with
+    readStream + foreachBatch into parquet agg state via
+    merge_agg_state, and the FINAL STATE is the result — hash-checked
+    against a full batch recompute in SQL. Proves the streaming MV
+    path end-to-end, not just its batch twin."""
+    import shutil
+    import tempfile
+
+    from healthcare_api_spark.streaming.upsert import streaming_agg_maintenance
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("value").cast("double").alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="st3_")
+    src, state, ckpt = f"{root}/src", f"{root}/state", f"{root}/ckpt"
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, value double"
+        ).parquet(src)
+        specs = {"value": ["sum", "count"], "event_id": "max"}
+        q = streaming_agg_maintenance(stream, state, ["user_id"], specs, checkpoint=ckpt)
+        q.processAllAvailable()
+        ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+        out = (
+            spark.read.parquet(state)
+            .select(
+                "user_id",
+                F.round("value_sum", 4).alias("value_sum"),
+                "value_count",
+                "event_id_max",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_st1_tumbling_window(spark, sf_dir):
     _tune(spark)
     ev = _t(spark, sf_dir, "events")
@@ -2805,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_co_occurrence": q_a14_co_occurrence,
         "w10_rolling_distinct": q_w10_rolling_distinct,
         "u3_url_dedup_groups": q_u3_url_dedup_groups,
+        "st3_stream_agg_maintenance": q_st3_stream_agg_maintenance,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -4011,6 +4056,13 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # st3: the streamed state must equal a one-shot recompute
+        "st3_stream_agg_maintenance": (
+            "SELECT user_id, round(sum(value), 4) AS value_sum,"
+            " CAST(count(value) AS BIGINT) AS value_count,"
+            " max(event_id) AS event_id_max"
+            " FROM events GROUP BY user_id"
         ),
         # u3: ANALYTIC oracle — the three variants of page p must
         # canonicalize to exactly 'https://example.com/page/p', so the
