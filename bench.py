@@ -66,6 +66,7 @@ HEADLINE = [
     "t17_bigram_logprob",
     "k3_cms_heavy_hitters",
     "d13_passjoin",
+    "a14_co_occurrence",
 ]
 
 N_STEADY = 3
