@@ -74,6 +74,34 @@ def _cmd_count(args) -> int:
     return 0
 
 
+def _cmd_search(args) -> int:
+    from healthcare_api_spark.plans.search import SearchConfig, SearchEngine
+    from healthcare_api_spark.sources.ndjson import write_ndjson
+
+    spark = get_spark("cli-search")
+    table = spark.read.parquet(args.parquet)
+    cfg = SearchConfig(
+        id_col=args.id_col,
+        text_search_col=args.text_col,
+    )
+    eng = SearchEngine(tables={args.type: table}, configs={args.type: cfg})
+    params = {}
+    for kv in args.param or []:
+        k, _, v = kv.partition("=")
+        if not _:
+            print(f"bad --param (need key=value): {kv!r}", file=sys.stderr)
+            return 2
+        params[k] = v
+    out = eng.search(args.type, params)
+    if args.output:
+        write_ndjson(out, args.output)
+        print(f"wrote {args.output}")
+    else:
+        for r in out.limit(args.limit).collect():
+            print(r.asDict())
+    return 0
+
+
 def _cmd_profile(args) -> int:
     from healthcare_api_spark.operators.relational import profile_table
 
@@ -118,6 +146,25 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--columns", default=None, help="comma-separated subset")
     pr.add_argument("--exact", action="store_true", help="exact COUNT(DISTINCT)")
     pr.set_defaults(fn=_cmd_profile)
+
+    se = sub.add_parser(
+        "search",
+        help="FHIR-search-style query over a parquet table "
+             "(token/range/modifiers/_filter/_sort/_count/_elements/"
+             "_text/_page_token — the reference's delegated surface, native)",
+    )
+    se.add_argument("--parquet", required=True)
+    se.add_argument("--type", default="Resource", help="resource type name")
+    se.add_argument("--id-col", default="id")
+    se.add_argument("--text-col", default=None, help="column for _text/_score")
+    se.add_argument(
+        "--param", action="append",
+        help="search parameter key=value (repeatable), e.g. "
+             "--param lang=es --param '_sort=-n_chars' --param _count=10",
+    )
+    se.add_argument("--output", default=None, help="NDJSON output dir (else print)")
+    se.add_argument("--limit", type=int, default=20, help="print limit without --output")
+    se.set_defaults(fn=_cmd_search)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -656,3 +656,31 @@ def test_sort_score_without_text_raises(spark):
 
     with _pytest.raises(ValueError, match="_score"):
         eng.search("Doc", {"_sort": "-_score"}).collect()
+
+
+def test_cli_search_subcommand(spark, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "es", 100), (2, "de", 300), (3, "es", 400)],
+        ["doc_id", "lang", "n_chars"],
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, "-m", "healthcare_api_spark.cli", "search",
+         "--parquet", src, "--type", "Doc", "--id-col", "doc_id",
+         "--param", "lang=es", "--param", "_sort=-n_chars",
+         "--output", out],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import glob
+
+    rows = []
+    for f in glob.glob(f"{out}/part-*"):
+        with open(f) as fh:
+            rows += [json.loads(l) for l in fh if l.strip()]
+    assert [x["doc_id"] for x in rows] == [3, 1]
