@@ -2239,6 +2239,25 @@ def q_u3_url_dedup_groups(spark, sf_dir):
     )
 
 
+def q_d16_sparse_cosine(spark, sf_dir):
+    """Sparse tf-idf cosine join over posting lists (the IR text-
+    similarity workhorse — no embeddings): rare doc-class tokens
+    appended deterministically give the corpus real sparse structure;
+    the ubiquitous word-soup vocabulary is pruned by max_df (the
+    stop-token/skew fix), so surviving pairs share BOTH rare tokens."""
+    _tune(spark)
+    docs = _docs_dup(spark, sf_dir, spread=True)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" t"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(" u"), (F.col("doc_id") % 8).cast("string"),
+    )
+    return dedup.sparse_cosine_pairs(
+        docs.withColumn("text", aug), "doc_id", "text",
+        threshold=0.95, max_df_frac=0.3,
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2850,6 +2869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w10_rolling_distinct": q_w10_rolling_distinct,
         "u3_url_dedup_groups": q_u3_url_dedup_groups,
         "st3_stream_agg_maintenance": q_st3_stream_agg_maintenance,
+        "d16_sparse_cosine": q_d16_sparse_cosine,
         "fs6_page_non_unique": q_fs6_page_non_unique,
         "fs7_nested_has": q_fs7_nested_has,
         "l2_zorder_ranked": q_l2_zorder_ranked,
@@ -4056,6 +4076,28 @@ def oracle_sql() -> dict[str, str]:
             "   JOIN uni USING (cur), n GROUP BY doc_id)"
             " SELECT doc_id, n_bigrams, round(nll / n_bigrams, 6) AS avg_neg_logprob"
             " FROM sc"
+        ),
+        # d16: identical tf-idf weights, df/N prune, posting-list dot
+        "d16_sparse_cosine": (
+            f"WITH docs AS ({_DOCS_DUP_SQL}),"
+            " d AS (SELECT doc_id, text || ' t' || CAST(doc_id % 50 AS VARCHAR)"
+            "  || ' u' || CAST(doc_id % 8 AS VARCHAR) AS text FROM docs),"
+            " tok AS (SELECT doc_id,"
+            "  unnest(string_split(trim(regexp_replace(lower(text),"
+            "   '\\s+', ' ', 'g')), ' ')) AS tk FROM d),"
+            " tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),"
+            " dfq AS (SELECT tk, count(*) AS dfc FROM tf GROUP BY tk),"
+            " n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),"
+            " w AS (SELECT doc_id, tk, tf * ln(n / dfc) AS w"
+            "  FROM tf JOIN dfq USING (tk), n WHERE dfc <= n * 0.3),"
+            " nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),"
+            " dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "  sum(a.w * b.w) AS dt FROM w a JOIN w b ON a.tk = b.tk"
+            "  AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+            " SELECT id_a, id_b, round(dt / (na.nrm * nb.nrm), 6) AS cos"
+            " FROM dots JOIN nrm na ON na.doc_id = id_a"
+            " JOIN nrm nb ON nb.doc_id = id_b"
+            " WHERE dt / (na.nrm * nb.nrm) >= 0.95"
         ),
         # st3: the streamed state must equal a one-shot recompute
         "st3_stream_agg_maintenance": (

@@ -946,3 +946,74 @@ def cluster_pairs_incremental(
         full.join(meta, full["_lab"] == meta["id"])
         .select(F.col("_id").alias(id_col), F.col("cluster_id"))
     )
+
+
+# ------------------------------------------------- sparse cosine join --
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Document-to-document cosine similarity over SPARSE tf-idf
+    vectors via posting lists — the IR workhorse for text near-dup at
+    corpus scale: no embeddings needed, candidates arise only from
+    SHARED TOKENS (the inverted index IS the blocker), and the score
+    is exact for every emitted pair.
+
+        cos(a,b) = Σ_t w_at·w_bt / (‖a‖‖b‖),  w = tf·ln(N/df)
+
+    ``max_df_frac`` drops tokens present in more than that fraction of
+    documents — the classic stop-token prune: ubiquitous tokens add
+    ~nothing to cosine but quadratic join volume (they are also the
+    join-skew risk; pruning is the scale fix AND the semantics fix).
+    Dropped tokens are excluded from norms too, so the reported cosine
+    is exact over the retained vocabulary.
+
+    Output: (id_a, id_b, cos) with id_a < id_b, cos ≥ threshold.
+    Shape at scale: tf (doc,tok) aggregate → df/N (token aggregate,
+    broadcast N) → posting-list self-join keyed by token (shuffle ∝
+    Σ_t df_t², bounded by the prune) → pair aggregate (map-side
+    combine) → one join to per-doc norms. Every step keyed, no
+    cartesian anything."""
+    from healthcare_api_spark.functions.text import tokens
+
+    if not 0 < max_df_frac <= 1:
+        raise ValueError("max_df_frac must be in (0, 1]")
+    tf = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t"))
+        .groupBy("_id", "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    w = (
+        tf.join(dfreq, "_t")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("_df") <= F.col("_n") * max_df_frac)
+        .select(
+            "_id", "_t",
+            (F.col("_tf") * F.log(F.col("_n") / F.col("_df"))).alias("_w"),
+        )
+    )
+    norms = w.groupBy("_id").agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nrm"))
+    a = w.select(F.col("_id").alias("id_a"), "_t", F.col("_w").alias("_wa"))
+    b = w.select(F.col("_id").alias("id_b"), "_t", F.col("_w").alias("_wb"))
+    dots = (
+        a.join(b, "_t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("_nrm").alias("_na"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("_nrm").alias("_nb"))
+    cos = F.col("_dot") / (F.col("_na") * F.col("_nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+    )

@@ -489,3 +489,46 @@ def test_cluster_pairs_incremental_chain_of_merges(spark):
         spark.createDataFrame(edges_so_far, ["id_a", "id_b"]), ids
     )
     assert sorted(map(tuple, labels.collect())) == sorted(map(tuple, want.collect()))
+
+
+# ------------------------------------------------- sparse cosine join --
+
+
+def test_sparse_cosine_identical_and_disjoint(spark):
+    import math
+
+    from healthcare_api_spark.operators.dedup import sparse_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "z w q"), (4, "x q")],
+        ["doc_id", "text"],
+    )
+    out = {(r["id_a"], r["id_b"]): r["cos"] for r in
+           sparse_cosine_pairs(df, "doc_id", "text", threshold=0.1).collect()}
+    assert out[(1, 2)] == 1.0                      # identical vectors
+    assert (1, 3) not in out and (2, 3) not in out  # disjoint
+    # hand-check (3,4): 'x' (df 3/4 > 0.5) is PRUNED by the default
+    # max_df_frac, so doc4's retained vector is just {q}; share q:
+    # cos = wq²/(√(2·wz²+wq²)·wq) with w(q)=ln(4/2), w(z)=w(w)=ln 4
+    wq, wz = math.log(2.0), math.log(4.0)
+    expect = wq * wq / (math.sqrt(2 * wz * wz + wq * wq) * wq)
+    assert abs(out[(3, 4)] - expect) < 1e-6
+
+
+def test_sparse_cosine_max_df_prunes_stop_tokens(spark):
+    from healthcare_api_spark.operators.dedup import sparse_cosine_pairs
+
+    # 'the' is in EVERY doc; without pruning all pairs look similar
+    df = spark.createDataFrame(
+        [(1, "the alpha"), (2, "the beta"), (3, "the gamma"), (4, "the alpha")],
+        ["doc_id", "text"],
+    )
+    out = {(r["id_a"], r["id_b"]) for r in
+           sparse_cosine_pairs(df, "doc_id", "text", threshold=0.5,
+                               max_df_frac=0.5).collect()}
+    assert out == {(1, 4)}  # only the true alpha-pair survives
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sparse_cosine_pairs(df, "doc_id", "text", max_df_frac=0.0)
