@@ -453,9 +453,10 @@ def _decode_gif_frames(payload: bytes, max_frames: int | None = None):
     """ALL-frames GIF decode without any image library: walks every
     image descriptor (animated GIF89a), LZW-decodes each frame's own
     stream, gathers through the global or per-frame local color table.
-    Returns a list of (x0, y0, w, h, rgb_bytes) — per-frame sub-images
-    with their logical-screen offsets (disposal-method compositing is a
-    renderer concern, not a decode concern) — or a str error code.
+    Returns a list of (x0, y0, w, h, rgb_bytes, disposal, transparent_idx,
+    index_bytes) — per-frame sub-images with their logical-screen offsets
+    and graphic-control state (``composite_gif_frames`` renders them
+    into full-raster animation states) — or a str error code.
     Supports GIF87a/89a, non-interlaced."""
     import struct
 
@@ -472,9 +473,15 @@ def _decode_gif_frames(payload: bytes, max_frames: int | None = None):
         gpalette = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
     frames = []
+    disposal, transparent = 0, None  # from the preceding GCE, if any
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # extension: label + sub-blocks
+            if pos + 1 < len(payload) and payload[pos + 1] == 0xF9:
+                # graphic control: packed(disposal/transparency), delay, tidx
+                gpk = payload[pos + 3]
+                disposal = (gpk >> 2) & 0x07
+                transparent = payload[pos + 6] if gpk & 0x01 else None
             pos += 2
             while pos < len(payload) and payload[pos] != 0:
                 pos += 1 + payload[pos]
@@ -512,7 +519,11 @@ def _decode_gif_frames(payload: bytes, max_frames: int | None = None):
             idx = np.frombuffer(out[: w * h], dtype=np.uint8)
             if idx.max(initial=0) >= palette.shape[0]:
                 return "corrupt-palette-index"
-            frames.append((x0, y0, w, h, palette[idx].tobytes()))
+            frames.append(
+                (x0, y0, w, h, palette[idx].tobytes(), disposal, transparent,
+                 idx.tobytes())
+            )
+            disposal, transparent = 0, None  # GCE applies to ONE image
             if max_frames is not None and len(frames) >= max_frames:
                 return frames
         elif b == 0x3B:  # trailer
@@ -529,7 +540,7 @@ def _decode_gif_pixels(payload: bytes):
     frames = _decode_gif_frames(payload, max_frames=1)
     if isinstance(frames, str):
         return frames
-    _x0, _y0, w, h, px = frames[0]
+    _x0, _y0, w, h, px = frames[0][:5]
     return (w, h, 3, px)
 
 
@@ -1743,7 +1754,8 @@ def decode_gif_frames(
                 if isinstance(frames, str):
                     rows.append(dict(id=rid, status=frames, **null))
                     continue
-                for i, (x0, y0, w, h, px) in enumerate(frames):
+                for i, fr in enumerate(frames):
+                    x0, y0, w, h, px = fr[:5]
                     rows.append(dict(id=rid, frame_idx=i, x0=x0, y0=y0,
                                      width=w, height=h, pixels=px, status="ok"))
             yield pd.DataFrame(rows, columns=[f.name for f in GIF_FRAMES_SCHEMA.fields])
@@ -1753,12 +1765,71 @@ def decode_gif_frames(
     )
 
 
-def encode_gif_frames(frames, palette) -> bytes:
+def composite_gif_frames(payload: bytes, max_frames: int | None = None):
+    """Render a GIF's frames into FULL-RASTER animation states honoring
+    the graphic-control disposal methods — what a viewer actually shows
+    (frames are often small dirty-rectangle patches):
+
+    - disposal 0/1: leave the canvas as drawn (next frame paints over),
+    - disposal 2: restore the frame's region to the background color,
+    - disposal 3: restore the canvas as it was BEFORE the frame,
+
+    with transparent pixels (GCE transparency index) leaving the canvas
+    pixel untouched. Returns (screen_w, screen_h, [rgb_bytes per
+    frame]) or a str error code. Pure numpy compositing over the
+    all-frames decode."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return "invalid"
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed, bg_idx = payload[10], payload[11]
+    frames = _decode_gif_frames(payload, max_frames=max_frames)
+    if isinstance(frames, str):
+        return frames
+    # background color from the global table (black if none/out of range)
+    bg = np.zeros(3, dtype=np.uint8)
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[13 : 13 + 3 * n], dtype=np.uint8).reshape(n, 3)
+        if bg_idx < n:
+            bg = gct[bg_idx]
+    canvas = np.tile(bg, (sh, sw, 1)).astype(np.uint8)
+    out = []
+    for x0, y0, w, h, px, disposal, transparent, idx_bytes in frames:
+        if x0 + w > sw or y0 + h > sh:
+            return "frame-out-of-bounds"
+        before = canvas[y0 : y0 + h, x0 : x0 + w].copy() if disposal == 3 else None
+        rgb = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+        region = canvas[y0 : y0 + h, x0 : x0 + w]
+        if transparent is not None:
+            idx = np.frombuffer(idx_bytes, dtype=np.uint8).reshape(h, w)
+            mask = idx != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        out.append(canvas.tobytes())
+        if disposal == 2:
+            canvas[y0 : y0 + h, x0 : x0 + w] = bg
+        elif disposal == 3:
+            canvas[y0 : y0 + h, x0 : x0 + w] = before
+    return (sw, sh, out)
+
+
+def encode_gif_frames(
+    frames, palette, offsets=None, disposals=None, transparent=None,
+    screen=None, background: int = 0,
+) -> bytes:
     """Multi-frame GIF89a encoder: ``frames`` is a list of (h, w) uint8
-    index arrays (equal dims, drawn at origin), one image descriptor per
-    frame with a graphic-control extension between — a structurally
-    real animated GIF every decoder accepts. Same clear-code-per-pixel
-    LZW as ``encode_gif_bytes``."""
+    index arrays, one image descriptor per frame with a graphic-control
+    extension between — a structurally real animated GIF every decoder
+    accepts. Optional per-frame ``offsets`` [(x0, y0)…], ``disposals``
+    [0-3…], a ``transparent`` palette index, and an explicit logical
+    ``screen`` (w, h) let tests exercise the dirty-rectangle/disposal
+    compositing path. Same clear-code-per-pixel LZW as
+    ``encode_gif_bytes``."""
     import struct
 
     import numpy as np
@@ -1769,14 +1840,22 @@ def encode_gif_frames(frames, palette) -> bytes:
     min_code = depth
     clear, end = 1 << min_code, (1 << min_code) + 1
     code_size = min_code + 1
-    h, w = np.asarray(frames[0]).shape
+    offsets = offsets or [(0, 0)] * len(frames)
+    disposals = disposals or [0] * len(frames)
+    if screen is None:
+        h0, w0 = np.asarray(frames[0]).shape
+        screen = (
+            max(x + np.asarray(f).shape[1] for (x, _), f in zip(offsets, frames)),
+            max(y + np.asarray(f).shape[0] for (_, y), f in zip(offsets, frames)),
+        )
+    sw, sh = screen
     gct = pal.tobytes() + b"\x00" * (3 * ((1 << depth) - n))
     out = (
         b"GIF89a"
-        + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+        + struct.pack("<HHBBB", sw, sh, 0x80 | (depth - 1), background, 0)
         + gct
     )
-    for fr in frames:
+    for fr, (x0, y0), disp in zip(frames, offsets, disposals):
         idx = np.asarray(fr, dtype=np.uint8)
         bits = bytearray()
         acc = nbits = 0
@@ -1796,9 +1875,13 @@ def encode_gif_frames(frames, palette) -> bytes:
         emit(end)
         if nbits:
             bits.append(acc & 0xFF)
-        # graphic control extension (delay 10cs) + image descriptor
-        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([min_code])
+        # graphic control extension (disposal/transparency) + descriptor
+        gpk = (disp & 0x07) << 2 | (0x01 if transparent is not None else 0)
+        out += (b"\x21\xf9\x04" + bytes([gpk]) + b"\x0a\x00"
+                + bytes([transparent or 0]) + b"\x00")
+        fh, fw = idx.shape
+        out += (b"\x2c" + struct.pack("<HHHHB", x0, y0, fw, fh, 0)
+                + bytes([min_code]))
         for i in range(0, len(bits), 255):
             chunk = bytes(bits[i : i + 255])
             out += bytes([len(chunk)]) + chunk

@@ -852,3 +852,77 @@ def test_png_interlaced_palette_roundtrip():
         encode_png_palette(idx, pal, trns=[0] + [255] * 15, interlace=True)
     )
     assert ch == 4
+
+
+def test_gif_disposal_compositing(spark):
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        composite_gif_frames,
+        encode_gif_frames,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    # frame0: full 4x4 of color 1; frame1: 2x2 patch of color 2 at (1,1)
+    # with disposal 2 (restore background=0 after); frame2: 1x1 color 3
+    f0 = np.full((4, 4), 1, np.uint8)
+    f1 = np.full((2, 2), 2, np.uint8)
+    f2 = np.full((1, 1), 3, np.uint8)
+    gif = encode_gif_frames(
+        [f0, f1, f2], pal,
+        offsets=[(0, 0), (1, 1), (0, 0)],
+        disposals=[0, 2, 0],
+        screen=(4, 4),
+    )
+    sw, sh, states = composite_gif_frames(gif)
+    assert (sw, sh) == (4, 4) and len(states) == 3
+    s0 = np.frombuffer(states[0], np.uint8).reshape(4, 4, 3)
+    assert (s0 == pal[1]).all()
+    s1 = np.frombuffer(states[1], np.uint8).reshape(4, 4, 3)
+    assert (s1[1:3, 1:3] == pal[2]).all() and (s1[0, 0] == pal[1]).all()
+    # disposal 2 restored the patch region to BACKGROUND (index 0 = black)
+    s2 = np.frombuffer(states[2], np.uint8).reshape(4, 4, 3)
+    assert (s2[1:3, 1:3] == pal[0]).all()      # restored
+    assert (s2[0, 0] == pal[3]).all()          # frame2's own pixel
+    assert (s2[3, 3] == pal[1]).all()          # untouched canvas
+
+
+def test_gif_transparency_leaves_canvas(spark):
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        composite_gif_frames,
+        encode_gif_frames,
+    )
+
+    pal = np.array([[9, 9, 9], [255, 0, 0], [0, 255, 0], [7, 7, 7]], np.uint8)
+    f0 = np.full((2, 2), 1, np.uint8)
+    f1 = np.array([[2, 3], [3, 2]], np.uint8)  # 3 = transparent index
+    gif = encode_gif_frames([f0, f1], pal, transparent=3, screen=(2, 2))
+    _, _, states = composite_gif_frames(gif)
+    s1 = np.frombuffer(states[1], np.uint8).reshape(2, 2, 3)
+    assert (s1[0, 0] == pal[2]).all() and (s1[1, 1] == pal[2]).all()
+    # transparent pixels keep frame0's red underneath
+    assert (s1[0, 1] == pal[1]).all() and (s1[1, 0] == pal[1]).all()
+
+
+def test_gif_disposal_restore_previous(spark):
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        composite_gif_frames,
+        encode_gif_frames,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    f0 = np.full((2, 2), 1, np.uint8)
+    f1 = np.full((2, 2), 2, np.uint8)   # disposal 3: undo after showing
+    f2 = np.full((1, 1), 3, np.uint8)
+    gif = encode_gif_frames(
+        [f0, f1, f2], pal, disposals=[0, 3, 0], screen=(2, 2)
+    )
+    _, _, states = composite_gif_frames(gif)
+    s2 = np.frombuffer(states[2], np.uint8).reshape(2, 2, 3)
+    # frame1 fully undone; frame2 paints one pixel over frame0's state
+    assert (s2[0, 0] == pal[3]).all()
+    assert (s2[0, 1] == pal[1]).all() and (s2[1, 1] == pal[1]).all()
