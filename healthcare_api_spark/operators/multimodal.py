@@ -1843,7 +1843,6 @@ def encode_gif_frames(
     offsets = offsets or [(0, 0)] * len(frames)
     disposals = disposals or [0] * len(frames)
     if screen is None:
-        h0, w0 = np.asarray(frames[0]).shape
         screen = (
             max(x + np.asarray(f).shape[1] for (x, _), f in zip(offsets, frames)),
             max(y + np.asarray(f).shape[0] for (_, y), f in zip(offsets, frames)),
