@@ -2258,6 +2258,32 @@ def q_d16_sparse_cosine(spark, sf_dir):
     )
 
 
+def q_d17_sentence_dedup(spark, sf_dir):
+    """Corpus-wide sentence-level exact dedup (MassiveText/CCNet line
+    dedup): boilerplate sentences are planted (shared header + a footer
+    rotating over 3 variants) and whole docs duplicated, then every
+    sentence keeps only its globally-first occurrence and docs are
+    reassembled. One md5-keyed shuffle decides survivors; one shuffle
+    reassembles — nothing O(corpus²)."""
+    _tune(spark)
+    docs = _docs_dup(spark, sf_dir, spread=True)
+    footer = F.element_at(
+        F.array(
+            F.lit("all rights reserved"),
+            F.lit("click here to read more"),
+            F.lit("terms of service apply"),
+        ),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("subscribe to our newsletter. "), F.col("text"), F.lit(". "), footer
+        ).alias("text"),
+    )
+    return dedup.sentence_dedup(planted, "doc_id", "text")
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2826,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the union property (r1∪r2∪r3∪r4 sweeps ⊇ all hash queries)
     # mechanically instead of by NOTES.md discipline.
     return {
+        "d17_sentence_dedup": q_d17_sentence_dedup,
         "m3_audio_features": q_m3_audio_features,
         "m4_video_frames": q_m4_video_frames,
         "m5_gif_decode": q_m5_gif_decode,
@@ -3705,6 +3732,26 @@ def oracle_sql() -> dict[str, str]:
             " CAST(ch AS INTEGER) AS channels, CAST(8 AS INTEGER) AS bit_depth,"
             " 'png' AS format, CAST(ch * s AS BIGINT) AS px_sum"
             " FROM dims d JOIN sums USING (doc_id)"
+        ),
+        "d17_sentence_dedup": (
+            "WITH planted AS ("
+            " SELECT doc_id, 'subscribe to our newsletter. ' || text || '. ' ||"
+            "  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'all rights reserved'"
+            "   WHEN 1 THEN 'click here to read more'"
+            "   ELSE 'terms of service apply' END AS text"
+            f" FROM ({_DOCS_DUP_SQL})),"
+            " parts AS (SELECT doc_id, unnest(s) AS sent,"
+            "  generate_subscripts(s, 1) - 1 AS pos"
+            "  FROM (SELECT doc_id, str_split_regex(text, '\\. ') AS s FROM planted)),"
+            " ranked AS (SELECT doc_id, pos, sent,"
+            "  row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rn"
+            "  FROM parts)"
+            " SELECT doc_id,"
+            "  coalesce(string_agg(CASE WHEN rn = 1 THEN sent END, '. ' ORDER BY pos),"
+            "   '') AS text_deduped,"
+            "  CAST(count(*) AS BIGINT) AS n_sentences,"
+            "  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept"
+            " FROM ranked GROUP BY doc_id"
         ),
         "m3_audio_features": (
             "SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,"

@@ -1017,3 +1017,70 @@ def sparse_cosine_pairs(
         .filter(cos >= threshold)
         .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
     )
+
+
+# ------------------------------------------------ sentence-level dedup --
+
+def sentence_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = r"\. ",
+    joiner: str = ". ",
+) -> DataFrame:
+    """Corpus-wide sentence-level exact dedup (MassiveText / CCNet line
+    dedup, adapted to this corpus's single-line documents): split every
+    document into sentences, keep only the globally FIRST occurrence of
+    each distinct sentence (first = smallest ``(doc_id, position)``),
+    and reassemble each document from its surviving sentences in their
+    original order.
+
+    Reference parity: the reference pipeline dedups whole resources by
+    id (upload.sh / the store's update-create semantics); sub-document
+    dedup is the LLM-pipeline extension (SURVEY.md §2.10) — removing
+    boilerplate sentences repeated across crawled pages is standard
+    pre-training curation (Rae et al. 2021 §A1.2; Lee et al. 2022).
+
+    Output: (id, text_deduped, n_sentences, n_kept) — one row per input
+    doc, ``text_deduped`` empty when every sentence was seen earlier.
+
+    Scale shape: posexplode is narrow; the survivor decision is ONE
+    shuffle keyed by sentence fingerprint (md5, uniform — no skew from
+    long docs; identical boilerplate sentences land in one group whose
+    size AQE handles); reassembly is ONE shuffle back on doc id with
+    map-side partial collect. Nothing is O(corpus²) and no driver-side
+    state: the seen-set IS the fingerprint partitioning.
+    """
+    parts = (
+        df.select(F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)))
+        .withColumnRenamed("pos", "_pos")
+        .withColumnRenamed("col", "_sent")
+    )
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc(), F.col("_pos").asc())
+    kept = (
+        parts.withColumn("_fp", F.md5(F.col("_sent")))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    # reassemble: sort surviving (pos, sentence) structs per doc — the
+    # collect_list order is nondeterministic across partitions, the
+    # array_sort makes it exact
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_rn") == 1, F.struct(F.col("_pos"), F.col("_sent")))
+                )
+            ).alias("_kept"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(F.transform(F.col("_kept"), lambda s: s["_sent"]), joiner)
+            .alias("text_deduped"),
+            F.col("n_sentences").cast("bigint").alias("n_sentences"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+        )
+    )
+    return rebuilt

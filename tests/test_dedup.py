@@ -532,3 +532,31 @@ def test_sparse_cosine_max_df_prunes_stop_tokens(spark):
 
     with _pytest.raises(ValueError):
         sparse_cosine_pairs(df, "doc_id", "text", max_df_frac=0.0)
+
+
+def test_sentence_dedup_keeps_first_occurrence_and_rebuilds(spark):
+    rows = [
+        (1, "alpha beta. shared footer. unique one"),
+        (2, "gamma delta. shared footer. unique two"),
+        (3, "alpha beta. shared footer. unique one"),  # full dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.sentence_dedup(df, "doc_id", "text").collect()}
+    # doc 1 keeps everything (all its sentences are globally first)
+    assert out[1]["text_deduped"] == "alpha beta. shared footer. unique one"
+    assert (out[1]["n_sentences"], out[1]["n_kept"]) == (3, 3)
+    # doc 2 loses only the shared footer, order preserved
+    assert out[2]["text_deduped"] == "gamma delta. unique two"
+    assert (out[2]["n_sentences"], out[2]["n_kept"]) == (3, 2)
+    # doc 3 is entirely shadowed by doc 1
+    assert out[3]["text_deduped"] == ""
+    assert (out[3]["n_sentences"], out[3]["n_kept"]) == (3, 0)
+
+
+def test_sentence_dedup_no_global_single_partition(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i} common. tail {i % 3}") for i in range(40)], ["doc_id", "text"]
+    )
+    plan = dedup.sentence_dedup(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    # survivor choice partitions by sentence, never a SinglePartition window
+    assert "SinglePartition" not in plan
