@@ -2284,6 +2284,38 @@ def q_d17_sentence_dedup(spark, sf_dir):
     return dedup.sentence_dedup(planted, "doc_id", "text")
 
 
+def q_k5_sample_quantiles(spark, sf_dir):
+    """Engine-portable quantile sketch (k5): bottom-k-by-md5 value
+    sample per language (KMV pointed at quantiles), then exact
+    interpolated percentiles over the sample. The ENTIRE sketch state
+    is verified, not just the estimates — the sorted (hash, value)
+    pairs are digested to one md5 per group, so the oracle proves the
+    sample itself is identical. k=32 < group size, so this exercises
+    the estimation path, not the exact-small-group path."""
+    from healthcare_api_spark.operators import sketches
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    sk = sketches.hash_sample_build(docs, ["lang"], "doc_id", "n_chars", k=32)
+    est = sketches.hash_sample_quantiles(sk, [0.25, 0.5, 0.9])
+    digest = F.md5(
+        F.array_join(
+            F.transform(
+                F.col("sample"),
+                lambda s: F.concat(
+                    s["h"], F.lit(":"), s["v"].cast("bigint").cast("string")
+                ),
+            ),
+            "|",
+        )
+    )
+    return est.select(
+        "lang", "n_seen", "n_total",
+        digest.alias("sample_digest"),
+        "q_0_25", "q_0_5", "q_0_9",
+    )
+
+
 def q_fs9_filter_grammar(spark, sf_dir):
     """`?_filter=(lang eq "es" or lang eq "de") and n_chars ge 300 and
     not(source co "web")` — the FHIR advanced-search `_filter`
@@ -2852,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the union property (r1∪r2∪r3∪r4 sweeps ⊇ all hash queries)
     # mechanically instead of by NOTES.md discipline.
     return {
+        "k5_sample_quantiles": q_k5_sample_quantiles,
         "d17_sentence_dedup": q_d17_sentence_dedup,
         "m3_audio_features": q_m3_audio_features,
         "m4_video_frames": q_m4_video_frames,
@@ -3732,6 +3765,24 @@ def oracle_sql() -> dict[str, str]:
             " CAST(ch AS INTEGER) AS channels, CAST(8 AS INTEGER) AS bit_depth,"
             " 'png' AS format, CAST(ch * s AS BIGINT) AS px_sum"
             " FROM dims d JOIN sums USING (doc_id)"
+        ),
+        "k5_sample_quantiles": (
+            "WITH ranked AS ("
+            " SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h,"
+            "  CAST(n_chars AS DOUBLE) AS v, doc_id,"
+            "  count(*) OVER (PARTITION BY lang) AS n_total"
+            " FROM documents),"
+            " rn AS (SELECT *, row_number() OVER"
+            "  (PARTITION BY lang ORDER BY h, doc_id) AS r FROM ranked),"
+            " samp AS (SELECT lang, h, v, n_total FROM rn WHERE r <= 32)"
+            " SELECT lang, CAST(count(*) AS BIGINT) AS n_seen,"
+            "  CAST(any_value(n_total) AS BIGINT) AS n_total,"
+            "  md5(string_agg(h || ':' || CAST(CAST(v AS BIGINT) AS VARCHAR),"
+            "   '|' ORDER BY h, v)) AS sample_digest,"
+            "  round(quantile_cont(v, 0.25), 6) AS q_0_25,"
+            "  round(quantile_cont(v, 0.5), 6) AS q_0_5,"
+            "  round(quantile_cont(v, 0.9), 6) AS q_0_9"
+            " FROM samp GROUP BY lang"
         ),
         "d17_sentence_dedup": (
             "WITH planted AS ("

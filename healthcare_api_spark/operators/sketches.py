@@ -189,3 +189,93 @@ def kmv_merge(a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 64) ->
     return merged.withColumn("n_seen", F.size("kmv").cast("bigint")).select(
         *group_cols, "n_seen", "kmv"
     )
+
+
+def hash_sample_build(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Bottom-k-by-hash VALUE sample per group — the KMV idea pointed at
+    quantiles: keep the rows whose md5(id) draws are the k smallest,
+    with their values. Because md5 is a fixed uniform draw per row, the
+    kept rows are a uniform k-sample of the group, and the state
+    (sorted (hash, value) pairs) is engine-portable — the whole sketch,
+    not just the estimate, is hash-verifiable against a SQL oracle
+    (unlike the opaque KLL binary behind k2).
+
+    Output: (group…, n_seen = k-capped sample size, n_total, sample
+    array<struct<h: 8-hex string, v: double>> sorted by hash).
+
+    Scale shape: one per-group top-k window (map-side partial top-k via
+    the rank filter), state bounded at k rows per group. Merge with
+    ``hash_sample_merge`` — bottom-k of the union of two samples is
+    exactly the sample of the union (same draw function), so
+    partition-local / micro-batch sketches fold associatively.
+    Quantile error is the sampling error ~ O(1/√k).
+    """
+    if k < 2:
+        raise ValueError("k must be ≥ 2")
+    from pyspark.sql import Window
+
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    kept = (
+        df.select(*group_cols, F.col(id_col), F.col(value_col).cast("double").alias("_v"))
+        .withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    return (
+        kept.groupBy(*group_cols)
+        .agg(
+            F.sum(F.when(F.col("_rn") <= k, 1).otherwise(0)).cast("bigint").alias("n_seen"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_rn") <= k, F.struct(F.col("_h").alias("h"), F.col("_v").alias("v")))
+                )
+            ).alias("sample"),
+        )
+    )
+
+
+def hash_sample_merge(a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 256) -> DataFrame:
+    """Merge two hash-sample sketches (same k, disjoint row sets):
+    bottom-k by hash of the concatenated samples; n_total adds."""
+    cols = [*group_cols, "n_total", "sample"]
+    both = a.select(*cols).unionByName(b.select(*cols))
+    merged = both.groupBy(*group_cols).agg(
+        F.sum("n_total").cast("bigint").alias("n_total"),
+        F.slice(F.array_sort(F.flatten(F.collect_list("sample"))), 1, k).alias("sample"),
+    )
+    return merged.select(
+        *group_cols,
+        F.size("sample").cast("bigint").alias("n_seen"),
+        "n_total",
+        "sample",
+    )
+
+
+def hash_sample_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
+    """Quantile estimates from a hash-sample sketch: exact
+    linear-interpolated percentiles (the percentile_cont / Spark
+    ``percentile`` definition) over the sampled values — a pure array
+    expression, no explode, identical arithmetic in any engine.
+    Appends ``q_<p>`` (rounded 6 dp) per requested probability."""
+    vals = F.array_sort(F.transform(F.col("sample"), lambda s: s["v"]))
+    n = F.size(vals)
+    out = sketch
+    for p in probs:
+        pos = (n - 1).cast("double") * F.lit(float(p))
+        lo = F.floor(pos).cast("int")
+        frac = pos - F.floor(pos)
+        est = (
+            F.element_at(vals, lo + 1) * (F.lit(1.0) - frac)
+            + F.element_at(vals, F.least(lo + F.lit(2), n)) * frac
+        )
+        out = out.withColumn(
+            f"q_{str(p).replace('.', '_')}", F.round(est, 6)
+        )
+    return out

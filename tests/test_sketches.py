@@ -175,3 +175,53 @@ def test_kmv_rejects_tiny_k(spark):
     df = spark.createDataFrame([("g", 1)], ["g", "u"])
     with pytest.raises(ValueError):
         kmv_build(df, ["g"], "u", k=1)
+
+
+def test_hash_sample_exact_below_k(spark):
+    from healthcare_api_spark.operators.sketches import (
+        hash_sample_build,
+        hash_sample_quantiles,
+    )
+
+    df = spark.createDataFrame([("g", i, float(i)) for i in range(9)], ["g", "id", "v"])
+    sk = hash_sample_build(df, ["g"], "id", "v", k=64)
+    r = hash_sample_quantiles(sk, [0.5]).collect()[0]
+    # below k the sample IS the group → exact median
+    assert r["n_seen"] == 9 and r["n_total"] == 9
+    assert r["q_0_5"] == 4.0
+
+
+def test_hash_sample_quantile_accuracy(spark):
+    from healthcare_api_spark.operators.sketches import (
+        hash_sample_build,
+        hash_sample_quantiles,
+    )
+
+    n, k = 4000, 256
+    df = spark.createDataFrame([("g", i, float(i)) for i in range(n)], ["g", "id", "v"])
+    r = hash_sample_quantiles(
+        hash_sample_build(df, ["g"], "id", "v", k=k), [0.25, 0.5, 0.9]
+    ).collect()[0]
+    assert r["n_seen"] == k and r["n_total"] == n
+    # sampling error on the p-quantile rank ≈ sqrt(p(1-p)/k); allow 4σ
+    for p, got in [(0.25, r["q_0_25"]), (0.5, r["q_0_5"]), (0.9, r["q_0_9"])]:
+        tol = 4 * (p * (1 - p) / k) ** 0.5 * n
+        assert abs(got - p * (n - 1)) < tol, (p, got, tol)
+
+
+def test_hash_sample_merge_equals_whole(spark):
+    from healthcare_api_spark.operators.sketches import (
+        hash_sample_build,
+        hash_sample_merge,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, float(i * 7 % 101)) for i in range(600)], ["g", "id", "v"]
+    )
+    a = hash_sample_build(df.filter("id < 300"), ["g"], "id", "v", k=48)
+    b = hash_sample_build(df.filter("id >= 300"), ["g"], "id", "v", k=48)
+    merged = hash_sample_merge(a, b, ["g"], k=48).collect()[0]
+    whole = hash_sample_build(df, ["g"], "id", "v", k=48).collect()[0]
+    assert merged["sample"] == whole["sample"]
+    assert merged["n_seen"] == whole["n_seen"] == 48
+    assert merged["n_total"] == whole["n_total"] == 600
