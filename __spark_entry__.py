@@ -2284,6 +2284,29 @@ def q_d17_sentence_dedup(spark, sf_dir):
     return dedup.sentence_dedup(planted, "doc_id", "text")
 
 
+def q_x11_ewma(spark, sf_dir):
+    """EWMA (α=0.3, adjust=False recursion) over the hourly per-type
+    series. The applyInPandas recursion is hash-verified because the
+    oracle replays the identical recurrence as a recursive CTE; inputs
+    are rounded to 6 dp BEFORE the recursion so both engines compound
+    bit-identical series (the hourly sum's float order differs)."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    out = temporal.ewma(hourly, ("event_type",), "bucket", "v", alpha=0.3)
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "v",
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
 def q_k5_sample_quantiles(spark, sf_dir):
     """Engine-portable quantile sketch (k5): bottom-k-by-md5 value
     sample per language (KMV pointed at quantiles), then exact
@@ -2884,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the union property (r1∪r2∪r3∪r4 sweeps ⊇ all hash queries)
     # mechanically instead of by NOTES.md discipline.
     return {
+        "x11_ewma": q_x11_ewma,
         "k5_sample_quantiles": q_k5_sample_quantiles,
         "d17_sentence_dedup": q_d17_sentence_dedup,
         "m3_audio_features": q_m3_audio_features,
@@ -3173,6 +3197,7 @@ def _ds1_case_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from healthcare_api_spark.operators.graph import pagerank_sql
+    from healthcare_api_spark.operators.temporal import ewma_sql
     from healthcare_api_spark.operators.layout import (
         hilbert_key_sql,
         morton_key3_sql,
@@ -3765,6 +3790,16 @@ def oracle_sql() -> dict[str, str]:
             " CAST(ch AS INTEGER) AS channels, CAST(8 AS INTEGER) AS bit_depth,"
             " 'png' AS format, CAST(ch * s AS BIGINT) AS px_sum"
             " FROM dims d JOIN sums USING (doc_id)"
+        ),
+        "x11_ewma": (
+            "SELECT k AS event_type, strftime(t, '%Y-%m-%d %H:%M:%S') AS bucket,"
+            " x AS v, round(s, 6) AS ewma FROM ("
+            + ewma_sql(
+                "SELECT event_type, date_trunc('hour', ts) AS bucket,"
+                " round(sum(value), 6) AS v FROM events GROUP BY 1, 2",
+                "event_type", "bucket", "v", 0.3,
+            )
+            + ")"
         ),
         "k5_sample_quantiles": (
             "WITH ranked AS ("

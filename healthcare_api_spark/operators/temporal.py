@@ -570,3 +570,68 @@ def time_weighted_avg(
             F.count(F.lit(1)).alias("n_points"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    series_cols: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Exponentially weighted moving average per series: s₁ = x₁,
+    sᵢ = α·xᵢ + (1−α)·sᵢ₋₁ (the ``adjust=False`` recursive form — the
+    streaming-friendly definition every monitoring system uses).
+
+    The recurrence is inherently sequential per series, so like LTTB
+    this is an ``applyInPandas`` custom operator: ONE shuffle on the
+    series key, then a vectorized C-loop (pandas ``ewm``) per series —
+    never a driver-side loop, never row-at-a-time Python. 100 TB shape:
+    the series count is the parallelism; a single pathological
+    mega-series is the same skew story as any per-key operator (split
+    by time range and stitch with a carried seed if it ever matters).
+
+    Unlike most applyInPandas operators this one IS hash-verifiable:
+    the recursion unrolls into a recursive CTE (see the x11 oracle), so
+    the oracle replays the exact same float recurrence.
+
+    Output: input columns + ``ewma``.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    import pyspark.sql.types as T
+
+    gcols = list(series_cols)
+    proj = df.select(*gcols, ts_col, value_col)
+    schema = T.StructType(
+        list(proj.schema.fields) + [T.StructField("ewma", T.DoubleType())]
+    )
+
+    def _ewma(pdf):
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        pdf["ewma"] = (
+            pdf[value_col].astype(float).ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    return proj.groupBy(*gcols).applyInPandas(_ewma, schema)
+
+
+def ewma_sql(series_sql: str, key_col: str, ts_col: str, value_col: str, alpha: float) -> str:
+    """DuckDB oracle twin for :func:`ewma`: the same recurrence as a
+    recursive CTE stepping on ``row_number`` — one UNION ALL iteration
+    per series position, replaying α·x + (1−α)·s in the same IEEE
+    order (±1 ulp; callers round outputs)."""
+    a, b = repr(float(alpha)), repr(1.0 - float(alpha))
+    return (
+        f"WITH RECURSIVE ser AS (SELECT {key_col} AS k, {ts_col} AS t,"
+        f"  CAST({value_col} AS DOUBLE) AS x,"
+        f"  row_number() OVER (PARTITION BY {key_col} ORDER BY {ts_col}) AS rn"
+        f"  FROM ({series_sql})),"
+        " rec AS ("
+        "  SELECT k, t, x, rn, x AS s FROM ser WHERE rn = 1"
+        "  UNION ALL"
+        f"  SELECT ser.k, ser.t, ser.x, ser.rn, {a} * ser.x + {b} * rec.s"
+        "  FROM rec JOIN ser ON ser.k = rec.k AND ser.rn = rec.rn + 1)"
+        " SELECT k, t, x, s FROM rec"
+    )

@@ -402,3 +402,55 @@ def test_time_weighted_avg_ignores_sampling_density(spark):
     )
     out = time_weighted_avg(df, ("k",), "ts", "value", "1 hour").collect()[0]
     assert out["twa"] > 55.0 and out["n_points"] == 11
+
+
+def test_ewma_pinned_recursion(spark):
+    from healthcare_api_spark.operators.temporal import ewma
+
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 0.0), ("b", 1, 4.0)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = {(r["k"], r["t"]): r["ewma"] for r in ewma(df, ("k",), "t", "v", 0.5).collect()}
+    # s1=10; s2=.5*20+.5*10=15; s3=.5*0+.5*15=7.5; series b independent
+    assert out[("a", 1)] == 10.0
+    assert out[("a", 2)] == 15.0
+    assert out[("a", 3)] == 7.5
+    assert out[("b", 1)] == 4.0
+
+
+def test_ewma_alpha_one_is_identity(spark):
+    from healthcare_api_spark.operators.temporal import ewma
+
+    df = spark.createDataFrame([("a", i, float(i * 3)) for i in range(10)], ["k", "t", "v"])
+    out = ewma(df, ("k",), "t", "v", 1.0)
+    assert all(r["ewma"] == r["v"] for r in out.collect())
+
+
+def test_ewma_rejects_bad_alpha(spark):
+    import pytest as _pytest
+
+    from healthcare_api_spark.operators.temporal import ewma
+
+    df = spark.createDataFrame([("a", 1, 1.0)], ["k", "t", "v"])
+    with _pytest.raises(ValueError):
+        ewma(df, ("k",), "t", "v", 0.0)
+
+
+def test_ewma_sql_twin_matches(spark):
+    import duckdb
+
+    from healthcare_api_spark.operators.temporal import ewma, ewma_sql
+
+    rows = [("a", i, float((i * 17) % 23)) for i in range(50)] + [
+        ("b", i, float(i)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    got = {
+        (r["k"], r["t"]): round(r["ewma"], 6)
+        for r in ewma(df, ("k",), "t", "v", 0.3).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src (k VARCHAR, t INT, v DOUBLE)")
+    con.executemany("INSERT INTO src VALUES (?, ?, ?)", rows)
+    sql = ewma_sql("SELECT k, t, v FROM src", "k", "t", "v", 0.3)
+    want = {(k, t): round(s, 6) for k, t, _x, s in con.execute(sql).fetchall()}
+    assert got == want
