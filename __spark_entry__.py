@@ -2284,6 +2284,33 @@ def q_d17_sentence_dedup(spark, sf_dir):
     return dedup.sentence_dedup(planted, "doc_id", "text")
 
 
+def q_g2_triangle_count(spark, sf_dir):
+    """Per-node triangle count + clustering coefficient over a k-NN
+    similarity graph (each customer linked to its 3 nearest
+    acctbal-neighbors within its nation) — degree-ordered orientation
+    bounds the wedge join's fan-out at O(√E) per node. The k-NN edges
+    are built with an explode + equi-join on (nation, rank+offset),
+    never a range join."""
+    from healthcare_api_spark.operators import graph
+
+    _tune(spark)
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    r = c.select("c_nationkey", "c_custkey", F.row_number().over(w).alias("rn"))
+    probes = r.select(
+        "c_nationkey",
+        F.col("c_custkey").alias("s"),
+        F.explode(
+            F.array(F.col("rn") + 1, F.col("rn") + 2, F.col("rn") + 3)
+        ).alias("rnb"),
+    )
+    edges = probes.join(
+        r.select("c_nationkey", F.col("c_custkey").alias("d"), F.col("rn").alias("rnb")),
+        ["c_nationkey", "rnb"],
+    ).select("s", "d")
+    return graph.triangle_count(edges, "s", "d")
+
+
 def q_x11_ewma(spark, sf_dir):
     """EWMA (α=0.3, adjust=False recursion) over the hourly per-type
     series. The applyInPandas recursion is hash-verified because the
@@ -2907,6 +2934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the union property (r1∪r2∪r3∪r4 sweeps ⊇ all hash queries)
     # mechanically instead of by NOTES.md discipline.
     return {
+        "g2_triangle_count": q_g2_triangle_count,
         "x11_ewma": q_x11_ewma,
         "k5_sample_quantiles": q_k5_sample_quantiles,
         "d17_sentence_dedup": q_d17_sentence_dedup,
@@ -3197,6 +3225,7 @@ def _ds1_case_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from healthcare_api_spark.operators.graph import pagerank_sql
+    from healthcare_api_spark.operators.graph import triangle_count_sql
     from healthcare_api_spark.operators.temporal import ewma_sql
     from healthcare_api_spark.operators.layout import (
         hilbert_key_sql,
@@ -3790,6 +3819,14 @@ def oracle_sql() -> dict[str, str]:
             " CAST(ch AS INTEGER) AS channels, CAST(8 AS INTEGER) AS bit_depth,"
             " 'png' AS format, CAST(ch * s AS BIGINT) AS px_sum"
             " FROM dims d JOIN sums USING (doc_id)"
+        ),
+        "g2_triangle_count": triangle_count_sql(
+            "WITH r AS (SELECT c_nationkey, c_custkey, row_number() OVER"
+            " (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn"
+            " FROM customer)"
+            " SELECT a.c_custkey AS s, b.c_custkey AS d FROM r a JOIN r b"
+            " ON a.c_nationkey = b.c_nationkey"
+            " AND b.rn BETWEEN a.rn + 1 AND a.rn + 3"
         ),
         "x11_ewma": (
             "SELECT k AS event_type, strftime(t, '%Y-%m-%d %H:%M:%S') AS bucket,"

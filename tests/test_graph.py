@@ -54,3 +54,34 @@ def test_pagerank_hub_ranks_highest(spark):
 def test_pagerank_rejects_zero_iters(spark):
     with pytest.raises(ValueError):
         pagerank(_edges(spark, [("a", "b")]), iters=0)
+
+
+def test_triangle_count_k4_plus_tail(spark):
+    from healthcare_api_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5-1
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1)]
+    # feed duplicates + reversed + self-loop to exercise normalization
+    edges += [(2, 1), (3, 3), (1, 2)]
+    df = spark.createDataFrame(edges, ["s", "d"])
+    out = {r["node"]: r for r in triangle_count(df, "s", "d").collect()}
+    assert out[1]["degree"] == 4 and out[1]["triangles"] == 3
+    for n in (2, 3, 4):
+        assert out[n]["degree"] == 3 and out[n]["triangles"] == 3
+        assert out[n]["clustering"] == 1.0
+    assert out[5]["degree"] == 1 and out[5]["triangles"] == 0
+    assert out[5]["clustering"] == 0.0
+    # K4 node 1 has deg 4 (tail): C = 2*3/(4*3) = 0.5
+    assert out[1]["clustering"] == 0.5
+
+
+def test_triangle_count_triangle_free(spark):
+    from healthcare_api_spark.operators.graph import triangle_count
+
+    # bipartite C6 cycle — triangle-free
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1)], ["s", "d"]
+    )
+    rows = triangle_count(df, "s", "d").collect()
+    assert all(r["triangles"] == 0 for r in rows)
+    assert all(r["degree"] == 2 for r in rows)
