@@ -2284,6 +2284,23 @@ def q_d17_sentence_dedup(spark, sf_dir):
     return dedup.sentence_dedup(planted, "doc_id", "text")
 
 
+def q_fs11_repeat_and(spark, sf_dir):
+    """FHIR repeated-parameter AND: `?n_chars=ge200&n_chars=le400&
+    lang=en,es` — repetition is the only way FHIR expresses a closed
+    range (each occurrence ANDs; the comma inside one value ORs).
+    List-valued params are the dict form of repetition."""
+    _tune(spark)
+    eng = _doc_engine(spark, sf_dir)
+    return eng.search(
+        "Document",
+        {
+            "n_chars": ["ge200", "le400"],
+            "lang": "en,es",
+            "_elements": "doc_id,lang,n_chars",
+        },
+    )
+
+
 def q_g2_triangle_count(spark, sf_dir):
     """Per-node triangle count + clustering coefficient over a k-NN
     similarity graph (each customer linked to its 3 nearest
@@ -2934,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the union property (r1∪r2∪r3∪r4 sweeps ⊇ all hash queries)
     # mechanically instead of by NOTES.md discipline.
     return {
+        "fs11_repeat_and": q_fs11_repeat_and,
         "g2_triangle_count": q_g2_triangle_count,
         "x11_ewma": q_x11_ewma,
         "k5_sample_quantiles": q_k5_sample_quantiles,
@@ -3819,6 +3837,11 @@ def oracle_sql() -> dict[str, str]:
             " CAST(ch AS INTEGER) AS channels, CAST(8 AS INTEGER) AS bit_depth,"
             " 'png' AS format, CAST(ch * s AS BIGINT) AS px_sum"
             " FROM dims d JOIN sums USING (doc_id)"
+        ),
+        "fs11_repeat_and": (
+            "SELECT doc_id, lang, n_chars FROM documents"
+            " WHERE n_chars >= 200 AND n_chars <= 400"
+            " AND (lower(lang) LIKE 'en%' OR lower(lang) LIKE 'es%')"
         ),
         "g2_triangle_count": triangle_count_sql(
             "WITH r AS (SELECT c_nationkey, c_custkey, row_number() OVER"

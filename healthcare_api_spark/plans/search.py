@@ -366,7 +366,22 @@ class SearchEngine:
         # from the result unless the query pages (tokens need the values)
         chained_sort_cols: list[str] = []
 
-        for key, raw in params.items():
+        # FHIR repeated-parameter AND semantics: a query string may
+        # repeat a param (`?date=ge2020-01-01&date=le2020-12-31`) and
+        # every occurrence must hold (comma inside ONE value is OR;
+        # repetition is AND — the only way to express a closed range).
+        # dicts can't repeat keys, so a list value is the repetition:
+        # {"date": ["ge2020-01-01", "le2020-12-31"]}. Each occurrence
+        # contributes its own filter, so modifiers/chains/_has compose
+        # unchanged; for control params (_sort, _elements, …) repeats
+        # apply in order (last-wins where the param is single-valued).
+        expanded: list[tuple[str, str]] = []
+        for key, val in params.items():
+            if isinstance(val, (list, tuple)):
+                expanded.extend((key, v) for v in val)
+            else:
+                expanded.append((key, val))
+        for key, raw in expanded:
             name, _, modifier = key.partition(":")
             if key == "_total":
                 total_only = raw == "accurate"

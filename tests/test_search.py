@@ -684,3 +684,23 @@ def test_cli_search_subcommand(spark, tmp_path):
         with open(f) as fh:
             rows += [json.loads(l) for l in fh if l.strip()]
     assert [x["doc_id"] for x in rows] == [3, 1]
+
+
+def test_repeated_param_and_closed_range(engine):
+    # ?date=ge2024-01-15&date=le2024-02-15 — both must hold (FHIR
+    # repetition = AND; the only way to express a closed range)
+    rows = engine.search(
+        "Observation", {"date": ["ge2024-01-15", "le2024-02-15"]}
+    ).collect()
+    assert [r["id"] for r in rows] == ["o2"]
+    # single occurrence stays a half-open range
+    lo = engine.search("Observation", {"date": "ge2024-01-15"}).count()
+    assert lo == 2
+
+
+def test_repeated_param_composes_with_or_lists(engine):
+    # first occurrence ORs two names, second ANDs name=smith
+    rows = engine.search(
+        "Patient", {"name": ["everywoman,smith", "smith"]}
+    ).collect()
+    assert sorted(r["id"] for r in rows) == ["p2", "p3"]
