@@ -2284,6 +2284,30 @@ def q_d17_sentence_dedup(spark, sf_dir):
     return dedup.sentence_dedup(planted, "doc_id", "text")
 
 
+def q_t18_phrase_search(spark, sf_dir):
+    """Exact-phrase search via a positional inverted index: a 3-word
+    phrase is planted (twice in every doc_id%3==0 doc; a 2-word decoy
+    prefix in %3==1 docs proves adjacency is really checked), the index
+    is built once, and the phrase resolves as 2 posting-list joins with
+    array-intersect position chaining — never a text rescan."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" spark streaming engine rocks spark streaming engine"),
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit(" spark streaming unrelated"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    idx = textops.positional_index(planted, "doc_id", "text")
+    return textops.phrase_counts(idx, "doc_id", ["spark", "streaming", "engine"])
+
+
 def q_fs11_repeat_and(spark, sf_dir):
     """FHIR repeated-parameter AND: `?n_chars=ge200&n_chars=le400&
     lang=en,es` — repetition is the only way FHIR expresses a closed
@@ -2951,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the union property (r1∪r2∪r3∪r4 sweeps ⊇ all hash queries)
     # mechanically instead of by NOTES.md discipline.
     return {
+        "t18_phrase_search": q_t18_phrase_search,
         "fs11_repeat_and": q_fs11_repeat_and,
         "g2_triangle_count": q_g2_triangle_count,
         "x11_ewma": q_x11_ewma,
@@ -3837,6 +3862,19 @@ def oracle_sql() -> dict[str, str]:
             " CAST(ch AS INTEGER) AS channels, CAST(8 AS INTEGER) AS bit_depth,"
             " 'png' AS format, CAST(ch * s AS BIGINT) AS px_sum"
             " FROM dims d JOIN sums USING (doc_id)"
+        ),
+        "t18_phrase_search": (
+            "WITH planted AS (SELECT doc_id, text || CASE CAST(doc_id % 3 AS INT)"
+            "  WHEN 0 THEN ' spark streaming engine rocks spark streaming engine'"
+            "  WHEN 1 THEN ' spark streaming unrelated' ELSE '' END AS text"
+            "  FROM documents),"
+            f" toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok,"
+            f"  generate_subscripts({_TOKS_SQL}, 1) AS i FROM planted)"
+            " SELECT a.doc_id, CAST(count(*) AS BIGINT) AS phrase_count"
+            " FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1"
+            " JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2"
+            " WHERE a.tok = 'spark' AND b.tok = 'streaming' AND c.tok = 'engine'"
+            " GROUP BY a.doc_id"
         ),
         "fs11_repeat_and": (
             "SELECT doc_id, lang, n_chars FROM documents"

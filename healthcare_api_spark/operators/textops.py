@@ -529,3 +529,62 @@ def bm25_score_col(
         .withColumn(out_col, score)
         .drop(*drop)
     )
+
+
+def positional_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional inverted index: (tok, id, positions array<int>, tf) —
+    the structure phrase and proximity queries need (a plain posting
+    list can only AND terms; positions let the engine check adjacency
+    without rescanning text). Narrow explode + ONE shuffle on
+    (tok, id); write partitioned/bucketed by ``tok`` so term lookups
+    partition-prune. Positions are 0-based token offsets in the
+    normalized token stream."""
+    from healthcare_api_spark.functions.text import tokens
+
+    return (
+        df.select(F.col(id_col), F.posexplode(tokens(F.col(text_col))))
+        .groupBy("col", id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+        )
+        .withColumnRenamed("col", "tok")
+    )
+
+
+def phrase_counts(index: DataFrame, id_col: str, phrase: list[str]) -> DataFrame:
+    """Exact-phrase occurrence count per document from a positional
+    index: fetch each phrase term's posting list (a partition-pruned
+    point lookup on a tok-partitioned index), then fold left-to-right —
+    the carried positions are the offsets where the prefix of the
+    phrase ENDS; each step is `(carried + 1) ∩ next term's positions`,
+    a pure array intersect inside a doc-id equi-join of two posting
+    lists. n-term phrase = n−1 posting-list joins, never a text rescan.
+
+    Output: (id, phrase_count ≥ 1) — docs where the full phrase occurs.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase must have ≥ 2 terms")
+    terms = [t.lower() for t in phrase]
+    cur = (
+        index.filter(F.col("tok") == terms[0])
+        .select(F.col(id_col), F.col("positions").alias("_carry"))
+    )
+    for i, term in enumerate(terms[1:], start=1):
+        nxt = index.filter(F.col("tok") == term).select(
+            F.col(id_col), F.col("positions").alias(f"_p{i}")
+        )
+        cur = (
+            cur.join(nxt, id_col)
+            .select(
+                F.col(id_col),
+                F.array_intersect(
+                    F.transform(F.col("_carry"), lambda p: p + 1),
+                    F.col(f"_p{i}"),
+                ).alias("_carry"),
+            )
+            .filter(F.size("_carry") > 0)
+        )
+    return cur.select(
+        F.col(id_col), F.size("_carry").cast("bigint").alias("phrase_count")
+    )

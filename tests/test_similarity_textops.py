@@ -503,3 +503,45 @@ def test_ivfpq_prunes_then_recovers_cluster(spark):
     )
     ids = {r["vec_id"] for r in top.collect()}
     assert ids == {200 + i for i in range(10)}
+
+
+def test_phrase_counts_checks_adjacency(spark):
+    from healthcare_api_spark.operators.textops import phrase_counts, positional_index
+
+    rows = [
+        (1, "big data spark streaming engine wins"),          # 1 occurrence
+        (2, "spark streaming engine and spark streaming engine"),  # 2
+        (3, "spark engine streaming"),                        # words, wrong order
+        (4, "spark streaming nothing engine"),                # gap breaks phrase
+        (5, "no relevant words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = positional_index(df, "doc_id", "text")
+    got = {
+        r["doc_id"]: r["phrase_count"]
+        for r in phrase_counts(idx, "doc_id", ["spark", "streaming", "engine"]).collect()
+    }
+    assert got == {1: 1, 2: 2}
+
+
+def test_phrase_counts_repeated_term(spark):
+    from healthcare_api_spark.operators.textops import phrase_counts, positional_index
+
+    df = spark.createDataFrame(
+        [(1, "go go go stop"), (2, "go stop go")], ["doc_id", "text"]
+    )
+    idx = positional_index(df, "doc_id", "text")
+    got = {
+        r["doc_id"]: r["phrase_count"]
+        for r in phrase_counts(idx, "doc_id", ["go", "go"]).collect()
+    }
+    assert got == {1: 2}
+
+
+def test_positional_index_positions_sorted(spark):
+    from healthcare_api_spark.operators.textops import positional_index
+
+    df = spark.createDataFrame([(1, "b a b a b")], ["doc_id", "text"])
+    rows = {r["tok"]: r for r in positional_index(df, "doc_id", "text").collect()}
+    assert rows["b"]["positions"] == [0, 2, 4] and rows["b"]["tf"] == 3
+    assert rows["a"]["positions"] == [1, 3]
