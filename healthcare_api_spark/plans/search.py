@@ -171,6 +171,43 @@ def _apply_simple(
     return out
 
 
+def _parse_text_query(raw: str) -> list[list[str]]:
+    """Split a ``_text`` value into match units: a double-quoted group
+    is one phrase unit (list of its lowercased words, matched as
+    adjacent tokens); everything else contributes single-word units.
+    ``spark "structured streaming" engine`` →
+    ``[["spark"], ["structured", "streaming"], ["engine"]]``."""
+    units: list[list[str]] = []
+    for i, seg in enumerate(raw.split('"')):
+        words = seg.lower().split()
+        if i % 2 == 1:  # inside quotes
+            if words:
+                units.append(words)
+        else:
+            units.extend([w] for w in words)
+    return units
+
+
+def _phrase_pred(toks: Column, phrase: list[str]) -> Column:
+    """Exact-phrase predicate over a token array: true when the phrase
+    occurs as ADJACENT tokens in order. Narrow expression — an exists
+    over candidate start offsets with per-offset equality of the next
+    ``len(phrase)`` tokens. ``F.get`` (not element_at) so out-of-range
+    probes yield NULL instead of an ANSI error."""
+
+    def _at_offset(i: Column) -> Column:
+        pred = None
+        for j, term in enumerate(phrase):
+            eq = F.get(toks, i + F.lit(j)) == F.lit(term)
+            pred = eq if pred is None else (pred & eq)
+        return pred
+
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - F.lit(len(phrase)), F.lit(0))
+    )
+    return F.exists(starts, _at_offset)
+
+
 def _tokenize_filter(s: str) -> list[tuple[str, str]]:
     """Lex a ``_filter`` expression: parens, double-quoted strings
     (backslash escapes), bare words. Returns (kind, text) pairs with
@@ -393,9 +430,11 @@ class SearchEngine:
                 df = df.filter(self._filter_pred(df, resource_type, raw))
             elif key == "_text":
                 # full-text: every whitespace-separated term must appear
-                # as a token of the configured text column (AND). The
-                # scan-based predicate is narrow; for repeated queries at
-                # scale, build the inverted index (textops) instead.
+                # as a token of the configured text column (AND), and a
+                # double-quoted group must appear as an EXACT PHRASE
+                # (adjacent tokens, in order). The scan-based predicates
+                # are narrow; for repeated queries at scale, build the
+                # inverted index (textops.positional_index) instead.
                 if cfg.text_search_col is None:
                     raise ValueError(
                         f"_text is not configured for {resource_type}"
@@ -403,22 +442,28 @@ class SearchEngine:
                     )
                 from healthcare_api_spark.functions.text import tokens
 
+                units = _parse_text_query(raw)
                 if "_score" in (params.get("_sort") or ""):
                     # ranked full-text: attach the BM25 relevance BEFORE
                     # the AND filters. Stats (df_t, N, avgdl) come from
                     # the FULL table — relevance is corpus-relative, not
-                    # filtered-subset-relative.
+                    # filtered-subset-relative. Phrase terms score as
+                    # their individual words (phrase is a filter, not a
+                    # scoring unit).
                     from healthcare_api_spark.operators.textops import (
                         bm25_score_col,
                     )
 
                     df = bm25_score_col(
                         df, self.tables[resource_type],
-                        cfg.text_search_col, raw.split(),
+                        cfg.text_search_col, [w for u in units for w in u],
                     )
                 toks = tokens(F.col(cfg.text_search_col))
-                for term in raw.split():
-                    df = df.filter(F.array_contains(toks, term.lower()))
+                for unit in units:
+                    if len(unit) == 1:
+                        df = df.filter(F.array_contains(toks, unit[0]))
+                    else:
+                        df = df.filter(_phrase_pred(toks, unit))
             elif key == "_include":
                 # _include=SourceType:refParam — source must be the
                 # searched type (FHIR R4 form)

@@ -704,3 +704,47 @@ def test_repeated_param_composes_with_or_lists(engine):
         "Patient", {"name": ["everywoman,smith", "smith"]}
     ).collect()
     assert sorted(r["id"] for r in rows) == ["p2", "p3"]
+
+
+@pytest.fixture(scope="module")
+def text_engine(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "big data spark streaming engine wins"),
+            (2, "spark engine streaming out of order"),
+            (3, "streaming spark data"),
+            (4, "spark streaming at the end spark streaming"),
+        ],
+        ["doc_id", "text"],
+    )
+    return SearchEngine(
+        {"Doc": docs},
+        {"Doc": SearchConfig(text_search_col="text", id_col="doc_id")},
+    )
+
+
+def test_text_quoted_phrase_requires_adjacency(text_engine):
+    got = {
+        r["doc_id"]
+        for r in text_engine.search("Doc", {"_text": '"spark streaming"'}).collect()
+    }
+    assert got == {1, 4}  # doc 2 has both words, wrong order
+
+
+def test_text_phrase_composes_with_bare_terms(text_engine):
+    got = {
+        r["doc_id"]
+        for r in text_engine.search(
+            "Doc", {"_text": '"spark streaming" wins'}
+        ).collect()
+    }
+    assert got == {1}
+
+
+def test_text_phrase_longer_than_doc_matches_nothing(text_engine):
+    assert (
+        text_engine.search(
+            "Doc", {"_text": '"streaming spark data plus more words than the doc has"'}
+        ).count()
+        == 0
+    )
