@@ -67,6 +67,11 @@ HEADLINE = [
     "k3_cms_heavy_hitters",
     "d13_passjoin",
     "a14_co_occurrence",
+    # round 4 late wave: corpus-wide sentence dedup, triangle counting,
+    # positional-index phrase search
+    "d17_sentence_dedup",
+    "g2_triangle_count",
+    "t18_phrase_search",
 ]
 
 N_STEADY = 3

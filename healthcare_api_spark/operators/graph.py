@@ -139,16 +139,23 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """
     u = F.least(F.col(src), F.col(dst))
     v = F.greatest(F.col(src), F.col(dst))
+    # The edge set and its derivatives are each read by MULTIPLE
+    # downstream branches (deg ×3, oriented ×3); Spark re-executes the
+    # full lineage per branch, so pin the bounded intermediates with
+    # localCheckpoint — without the barriers the wedge stage re-derives
+    # the input graph ~10× (observed: 238 Exchanges → ~15).
     und = (
         edges.select(u.alias("u"), v.alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("n"))
         .unionByName(und.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint(eager=True)
     )
     # total order (deg, node): orient from smaller to larger
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
@@ -162,7 +169,7 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lower_first, F.col("du")).otherwise(F.col("dv")).alias("da"),
         F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).localCheckpoint(eager=True)
     e1 = oriented.select(F.col("a"), F.col("b"), F.col("db").alias("ob"))
     e2 = oriented.select(
         F.col("a"), F.col("b").alias("c"), F.col("db").alias("oc")
