@@ -2284,6 +2284,40 @@ def q_d17_sentence_dedup(spark, sf_dir):
     return dedup.sentence_dedup(planted, "doc_id", "text")
 
 
+def q_t19_proximity_rank(spark, sf_dir):
+    """Unordered-proximity scoring (min covering window) for 3 corpus
+    terms from the positional index — the IR relevance feature phrase
+    search can't express. Hash oracle QUEUED for the r5 sweep prefix
+    (_R5_ORACLE_QUEUE); pytest pins the sweep algorithm exactly."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    idx = textops.positional_index(docs, "doc_id", "text")
+    return textops.proximity_min_span(idx, "doc_id", ["spark", "window", "vector"])
+
+
+# Oracle SQL for queries added AFTER the r4 sweep prefix filled (the
+# driver hashes only the first 50 queries() entries; every unswept
+# hash query must sit in that prefix — tests/test_sweep_union.py).
+# At round-5 start: move these queries to the HEAD of queries() and
+# merge this dict into oracle_sql().
+_R5_ORACLE_QUEUE: dict[str, str] = {
+    "t19_proximity_rank": (
+        "WITH toks AS (SELECT doc_id, unnest({TOKS}) AS tok,"
+        "  generate_subscripts({TOKS}, 1) - 1 AS i FROM documents),"
+        " occ AS (SELECT doc_id, tok, i FROM toks"
+        "  WHERE tok IN ('spark', 'window', 'vector')),"
+        " nxt AS (SELECT a.doc_id, a.i AS start, o.tok, min(o.i) AS nx"
+        "  FROM (SELECT doc_id, i FROM occ) a JOIN occ o"
+        "  ON o.doc_id = a.doc_id AND o.i >= a.i"
+        "  GROUP BY a.doc_id, a.i, o.tok),"
+        " spans AS (SELECT doc_id, start, max(nx) - start + 1 AS span"
+        "  FROM nxt GROUP BY doc_id, start HAVING count(*) = 3)"
+        " SELECT doc_id, CAST(min(span) AS INT) AS min_span,"
+        "  CAST(3 AS INT) AS n_terms FROM spans GROUP BY doc_id"
+    ),
+}
+
+
 def q_t18_phrase_search(spark, sf_dir):
     """Exact-phrase search via a positional inverted index: a 3-word
     phrase is planted (twice in every doc_id%3==0 doc; a 2-word decoy
@@ -3128,6 +3162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier": q_q5_local_supplier,
         "q6_forecast_revenue": q_q6_forecast_revenue,
+        # --- post-prefix r4 additions: hash oracles queued for the r5
+        # sweep prefix (_R5_ORACLE_QUEUE); rows-only until then ---
+        "t19_proximity_rank": q_t19_proximity_rank,
     }
 
 

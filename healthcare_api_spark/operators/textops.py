@@ -588,3 +588,71 @@ def phrase_counts(index: DataFrame, id_col: str, phrase: list[str]) -> DataFrame
     return cur.select(
         F.col(id_col), F.size("_carry").cast("bigint").alias("phrase_count")
     )
+
+
+def proximity_min_span(index: DataFrame, id_col: str, terms: list[str]) -> DataFrame:
+    """Unordered-proximity scoring from a positional index: for docs
+    containing ALL ``terms``, the length (in tokens, inclusive) of the
+    smallest window covering at least one occurrence of each — the
+    classic IR proximity feature (smaller = tighter = more relevant).
+
+    Plan: n posting-list point lookups joined on doc id (tiny,
+    partition-pruned on a tok-partitioned index), then the min-window
+    sweep runs NARROWLY per doc over the merged position lists — an
+    explode of the candidate anchor positions with a per-anchor
+    array-min probe per term, all JVM expressions. For k terms with
+    positions P₁…P_k: span(anchor a ∈ P₁…) is not minimal in general —
+    the exact sweep instead evaluates every occurrence position p of
+    any term as the window START: the window must reach, for each term
+    t, the smallest position ≥ p in P_t; the span is max over terms of
+    that "next occurrence" minus p + 1. Min over all starts is the
+    exact smallest covering window (every optimal window starts at
+    some term occurrence).
+
+    Output: (id, min_span, n_terms). Docs missing any term are absent.
+    """
+    if len(terms) < 2:
+        raise ValueError("terms must have ≥ 2 entries")
+    lowered = [t.lower() for t in terms]
+    if len(set(lowered)) != len(lowered):
+        raise ValueError("terms must be distinct")
+    base = index.filter(F.col("tok") == lowered[0]).select(
+        F.col(id_col), F.col("positions").alias("_p0")
+    )
+    joined = base
+    for i, term in enumerate(lowered[1:], start=1):
+        nxt = index.filter(F.col("tok") == term).select(
+            F.col(id_col), F.col("positions").alias(f"_p{i}")
+        )
+        joined = joined.join(nxt, id_col)
+    # candidate window starts: every occurrence of every term. Explode
+    # anchors to rows so the per-term "next occurrence ≥ start" probe is
+    # a SINGLE-level lambda over a column (nested HOF lambdas mis-bind
+    # the outer variable — observed, not hypothetical), then fold back
+    # with a min per doc. Fan-out = Σ tf(term, doc) — bounded by the
+    # posting lists already fetched, not by corpus size.
+    all_pos = F.flatten(F.array([F.col(f"_p{i}") for i in range(len(lowered))]))
+    anchors = joined.select(
+        F.col(id_col),
+        *[F.col(f"_p{i}") for i in range(len(lowered))],
+        F.explode(all_pos).alias("_start"),
+    )
+    start = F.col("_start")
+    # smallest position ≥ start per term; a NULL (no such occurrence)
+    # must invalidate the whole window — greatest() SKIPS nulls, so
+    # guard explicitly instead of relying on null propagation
+    nxts = [
+        F.array_min(F.filter(F.col(f"_p{i}"), lambda p: p >= start))
+        for i in range(len(lowered))
+    ]
+    valid = nxts[0].isNotNull()
+    for n in nxts[1:]:
+        valid = valid & n.isNotNull()
+    reach = F.greatest(*nxts) if len(nxts) > 1 else nxts[0]
+    spans = anchors.select(
+        id_col, F.when(valid, reach - start + 1).alias("_span")
+    )
+    return spans.groupBy(id_col).agg(
+        F.min("_span").cast("int").alias("min_span"),
+        F.lit(len(lowered)).cast("int").alias("n_terms"),
+    )

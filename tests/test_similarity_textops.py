@@ -545,3 +545,57 @@ def test_positional_index_positions_sorted(spark):
     rows = {r["tok"]: r for r in positional_index(df, "doc_id", "text").collect()}
     assert rows["b"]["positions"] == [0, 2, 4] and rows["b"]["tf"] == 3
     assert rows["a"]["positions"] == [1, 3]
+
+
+def test_proximity_min_span_exact(spark):
+    from healthcare_api_spark.operators.textops import (
+        positional_index,
+        proximity_min_span,
+    )
+
+    rows = [
+        (1, "alpha x x beta"),           # window alpha..beta = 4
+        (2, "beta alpha"),               # unordered: window = 2
+        (3, "alpha x beta x x alpha beta"),  # tightest = positions 5..6 → 2
+        (4, "alpha only here"),          # missing beta → absent
+        (5, "x alpha x x beta x alpha"), # unordered: beta(4)..alpha(6) → 3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = positional_index(df, "doc_id", "text")
+    got = {
+        r["doc_id"]: r["min_span"]
+        for r in proximity_min_span(idx, "doc_id", ["alpha", "beta"]).collect()
+    }
+    assert got == {1: 4, 2: 2, 3: 2, 5: 3}
+
+
+def test_proximity_min_span_three_terms(spark):
+    from healthcare_api_spark.operators.textops import (
+        positional_index,
+        proximity_min_span,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c x a b x x c"), (3, "a c b a x b c a")], ["doc_id", "text"]
+    )
+    idx = positional_index(df, "doc_id", "text")
+    got = {
+        r["doc_id"]: r["min_span"]
+        for r in proximity_min_span(idx, "doc_id", ["a", "b", "c"]).collect()
+    }
+    # doc2: best window a(2) b(3) ... c(6) → 5; window starting c(0)..b(3) → 4
+    assert got == {1: 3, 2: 4, 3: 3}
+
+
+def test_proximity_rejects_dup_terms(spark):
+    import pytest as _pytest
+
+    from healthcare_api_spark.operators.textops import (
+        positional_index,
+        proximity_min_span,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    idx = positional_index(df, "doc_id", "text")
+    with _pytest.raises(ValueError):
+        proximity_min_span(idx, "doc_id", ["a", "a"])

@@ -62,3 +62,34 @@ def test_oracle_keys_are_a_subset_of_queries():
     qs = set(entrymod.queries().keys())
     orphans = set(entrymod.oracle_sql().keys()) - qs
     assert not orphans, f"oracle_sql entries without a queries() twin: {orphans}"
+
+
+def test_r5_queued_oracles_match_at_sf0001():
+    """Queries added after the r4 sweep prefix filled carry their hash
+    oracle in _R5_ORACLE_QUEUE (merged into oracle_sql() at r5 start).
+    Verify them against DuckDB NOW so the queue never rots."""
+    import duckdb
+
+    entrymod = _load_entry()
+    queue = getattr(entrymod, "_R5_ORACLE_QUEUE", {})
+    if not queue:
+        return
+    from healthcare_api_spark import get_spark
+    from healthcare_api_spark.tables import TABLE_NAMES
+
+    sf = "/root/testdata/sf0.001"
+    spark = get_spark("r5-queue-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    toks = (
+        "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+    )
+    for name, sql in queue.items():
+        sdf = entrymod.queries()[name](spark, sf).toPandas()
+        odf = con.execute(sql.replace("{TOKS}", toks)).df()
+        assert sorted(sdf.columns) == sorted(odf.columns), name
+        cols = sorted(sdf.columns)
+        got = sorted(map(tuple, sdf[cols].itertuples(index=False)))
+        want = sorted(map(tuple, odf[cols].itertuples(index=False)))
+        assert got == want, f"{name}: spark != oracle"
