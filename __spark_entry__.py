@@ -2301,6 +2301,36 @@ def q_t19_proximity_rank(spark, sf_dir):
 # At round-5 start: move these queries to the HEAD of queries() and
 # merge this dict into oracle_sql().
 _R5_ORACLE_QUEUE: dict[str, str] = {
+    "t20_quality_logistic": (
+        "WITH f AS (SELECT doc_id,"
+        " CAST(len({NORM}) AS DOUBLE) AS n_chars,"
+        " CAST(len({TOKS}) AS DOUBLE) AS n_tokens,"
+        " CAST(len(regexp_extract_all({NORM}, '[^\\w\\s]')) AS DOUBLE) AS punct,"
+        " CAST(len(regexp_extract_all(lower(text),"
+        "  '\\b(the|and|of|to|is|that)\\b')) AS DOUBLE) AS stop"
+        " FROM documents),"
+        # term order mirrors the sorted-weight fold in quality_logistic
+        # exactly (float addition order matters at the 6-dp boundary)
+        " lg AS (SELECT doc_id, -1.0"
+        "  + (-0.2) * (n_chars / greatest(n_tokens, 1.0))"
+        "  + 0.01 * n_tokens"
+        "  + (-8.0) * (punct / greatest(n_chars, 1.0))"
+        "  + 4.0 * (stop / greatest(n_tokens, 1.0)) AS logit FROM f)"
+        " SELECT doc_id, round(logit, 6) AS logit,"
+        "  round(1.0 / (1.0 + exp(-logit)), 6) AS prob,"
+        "  CAST(1.0 / (1.0 + exp(-logit)) >= 0.5 AS INT) AS keep FROM lg"
+    ),
+    "v8_pooled_embeddings": (
+        "WITH d AS (SELECT vec_id % 100 AS grp, unnest(embedding) AS x,"
+        "  generate_subscripts(embedding, 1) AS i FROM embeddings),"
+        " m AS (SELECT grp, i, avg(CAST(x AS DOUBLE)) AS mu FROM d GROUP BY grp, i),"
+        " n AS (SELECT grp, sqrt(sum(mu * mu)) AS nrm FROM m GROUP BY grp)"
+        " SELECT CAST(m.grp AS BIGINT) AS grp,"
+        "  md5(string_agg(CAST(CAST(round(mu / nrm * 1e6) AS BIGINT) AS VARCHAR),"
+        "   '|' ORDER BY i)) AS pooled_digest,"
+        "  round(any_value(nrm), 6) AS l2_norm"
+        " FROM m JOIN n ON m.grp = n.grp GROUP BY m.grp"
+    ),
     "t19_proximity_rank": (
         "WITH toks AS (SELECT doc_id, unnest({TOKS}) AS tok,"
         "  generate_subscripts({TOKS}, 1) - 1 AS i FROM documents),"
@@ -2316,6 +2346,55 @@ _R5_ORACLE_QUEUE: dict[str, str] = {
         "  CAST(3 AS INT) AS n_terms FROM spans GROUP BY doc_id"
     ),
 }
+
+
+def q_t20_quality_logistic(spark, sf_dir):
+    """Linear quality classifier (fasttext-style): fixed offline-trained
+    weights over the deterministic quality features, sigmoid to a keep
+    probability — a pure narrow expression, zero shuffles. Oracle
+    queued for r5 (_R5_ORACLE_QUEUE)."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return textops.quality_logistic(
+        docs,
+        "doc_id",
+        "text",
+        weights={
+            "avg_token_len": -0.2,
+            "n_tokens": 0.01,
+            "punct_ratio": -8.0,
+            "stopword_ratio": 4.0,
+        },
+        bias=-1.0,
+    )
+
+
+def q_v8_pooled_embeddings(spark, sf_dir):
+    """Chunk→document embedding pooling: mean-pool each 'document's'
+    chunk vectors (vec_id % 100 groups) and L2-normalize — ONE hash
+    aggregate with 64 map-side-combined avg columns, never an explode
+    of n·dim rows. The pooled vector is digested (scaled-int md5) so
+    the whole vector is verified without an array column reaching the
+    driver. Oracle queued for r5."""
+    from healthcare_api_spark.operators.similarity import pool_embeddings
+
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    pooled = pool_embeddings(emb, F.col("vec_id") % 100, "embedding", dim=64)
+    digest = F.md5(
+        F.array_join(
+            F.transform(
+                F.col("pooled"),
+                lambda x: F.round(x * 1e6).cast("bigint").cast("string"),
+            ),
+            "|",
+        )
+    )
+    return pooled.select(
+        F.col("group").cast("bigint").alias("grp"),
+        digest.alias("pooled_digest"),
+        "l2_norm",
+    )
 
 
 def q_t18_phrase_search(spark, sf_dir):
@@ -3165,6 +3244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- post-prefix r4 additions: hash oracles queued for the r5
         # sweep prefix (_R5_ORACLE_QUEUE); rows-only until then ---
         "t19_proximity_rank": q_t19_proximity_rank,
+        "t20_quality_logistic": q_t20_quality_logistic,
+        "v8_pooled_embeddings": q_v8_pooled_embeddings,
     }
 
 

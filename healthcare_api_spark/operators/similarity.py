@@ -539,3 +539,44 @@ def ivfpq_topk(
     cands = ivf_assign(df, vec_col, centroids).filter(F.col("cluster").isin(probe))
     enc = pq_encode(cands, vec_col, codebooks)
     return pq_topk(enc, id_col, "codes", query_vec, codebooks, k)
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col,
+    vec_col: str,
+    dim: int,
+    normalize: bool = True,
+) -> DataFrame:
+    """Mean-pool chunk embeddings into one vector per group (the
+    multi-vector → document representation step: chunk a long doc,
+    embed each chunk, pool back) with optional L2 normalization.
+
+    Plan shape: ONE hash aggregate with ``dim`` map-side-combined
+    ``avg`` columns — never an explode of n·dim rows, so the shuffle
+    carries one partial row per (group, partition) regardless of chunk
+    count. The array is assembled AFTER the agg from the dim scalar
+    averages.
+
+    Output: (group, pooled array<double>, l2_norm).
+    """
+    if dim < 1:
+        raise ValueError("dim must be ≥ 1")
+    v = F.col(vec_col)
+    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
+    aggs = [
+        F.avg(F.element_at(v, i + 1).cast("double")).alias(f"_d{i}")
+        for i in range(dim)
+    ]
+    g = df.groupBy(gcol.alias("group")).agg(*aggs)
+    arr = F.array(*[F.col(f"_d{i}") for i in range(dim)])
+    norm = F.sqrt(
+        sum((F.col(f"_d{i}") * F.col(f"_d{i}") for i in range(dim)), F.lit(0.0))
+    )
+    pooled = (
+        F.transform(arr, lambda x: x / F.col("l2_norm")) if normalize else arr
+    )
+    return (
+        g.withColumn("l2_norm", norm)
+        .select("group", pooled.alias("pooled"), F.round("l2_norm", 6).alias("l2_norm"))
+    )

@@ -656,3 +656,34 @@ def proximity_min_span(index: DataFrame, id_col: str, terms: list[str]) -> DataF
         F.min("_span").cast("int").alias("min_span"),
         F.lit(len(lowered)).cast("int").alias("n_terms"),
     )
+
+
+def quality_logistic(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    bias: float = 0.0,
+) -> DataFrame:
+    """Linear quality classifier (the fasttext-style scorer every
+    curation pipeline ends up with): logit = b + Σ wᵢ·featureᵢ over the
+    deterministic :func:`quality_features`, prob = σ(logit). Weights
+    come from offline training; scoring is a pure narrow expression —
+    zero shuffles, pushdown-friendly, identical math in any engine.
+
+    Output: (id, logit, prob, keep) with keep = prob ≥ 0.5.
+    """
+    feats = quality_features(F.col(text_col))
+    unknown = set(weights) - set(feats)
+    if unknown:
+        raise ValueError(f"unknown feature(s): {sorted(unknown)}")
+    logit: Column = F.lit(float(bias))
+    for name, w in sorted(weights.items()):
+        logit = logit + F.lit(float(w)) * feats[name]
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return df.select(
+        F.col(id_col),
+        F.round(logit, 6).alias("logit"),
+        F.round(prob, 6).alias("prob"),
+        (prob >= 0.5).cast("int").alias("keep"),
+    )

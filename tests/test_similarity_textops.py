@@ -599,3 +599,69 @@ def test_proximity_rejects_dup_terms(spark):
     idx = positional_index(df, "doc_id", "text")
     with _pytest.raises(ValueError):
         proximity_min_span(idx, "doc_id", ["a", "a"])
+
+
+def test_quality_logistic_monotone_in_stopwords(spark):
+    from healthcare_api_spark.operators.textops import quality_logistic
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and that is fine"),  # stopword-rich
+            (2, "zxqv wrtk plmn vbgh jklo qwer asdf zxcv"),  # gibberish
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality_logistic(
+            df, "doc_id", "text", weights={"stopword_ratio": 4.0}, bias=-1.0
+        ).collect()
+    }
+    assert out[1]["prob"] > out[2]["prob"]
+    assert out[2]["keep"] == 0
+    # sigma(-1 + 4*stop_ratio); doc2 has zero stopwords -> logit -1
+    assert out[2]["logit"] == -1.0
+
+
+def test_quality_logistic_rejects_unknown_feature(spark):
+    import pytest as _pytest
+
+    from healthcare_api_spark.operators.textops import quality_logistic
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        quality_logistic(df, "doc_id", "text", weights={"bogus": 1.0})
+
+
+def test_pool_embeddings_mean_and_norm(spark):
+    from healthcare_api_spark.operators.similarity import pool_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (0, [0.0, 1.0]),
+            (1, [2.0, 0.0]),
+        ],
+        ["g", "vec"],
+    )
+    out = {r["group"]: r for r in pool_embeddings(df, "g", "vec", dim=2).collect()}
+    # group 0: mean (0.5, 0.5), norm sqrt(0.5); normalized → (1/√2, 1/√2)
+    import math
+
+    assert out[0]["l2_norm"] == round(math.sqrt(0.5), 6)
+    assert abs(out[0]["pooled"][0] - 1 / math.sqrt(2)) < 1e-12
+    assert out[1]["pooled"] == [1.0, 0.0]
+
+
+def test_pool_embeddings_plan_single_agg(spark):
+    from healthcare_api_spark.operators.similarity import pool_embeddings
+
+    df = spark.createDataFrame([(0, [1.0] * 8)], ["g", "vec"])
+    plan = (
+        pool_embeddings(df, "g", "vec", dim=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1  # one hash agg, no explode shuffle
+    assert "Generate" not in plan  # no posexplode

@@ -82,12 +82,11 @@ def test_r5_queued_oracles_match_at_sf0001():
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    toks = (
-        "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
-    )
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    toks = f"string_split({norm}, ' ')"
     for name, sql in queue.items():
         sdf = entrymod.queries()[name](spark, sf).toPandas()
-        odf = con.execute(sql.replace("{TOKS}", toks)).df()
+        odf = con.execute(sql.replace("{TOKS}", toks).replace("{NORM}", norm)).df()
         assert sorted(sdf.columns) == sorted(odf.columns), name
         cols = sorted(sdf.columns)
         got = sorted(map(tuple, sdf[cols].itertuples(index=False)))
