@@ -2301,6 +2301,38 @@ def q_t19_proximity_rank(spark, sf_dir):
 # At round-5 start: move these queries to the HEAD of queries() and
 # merge this dict into oracle_sql().
 _R5_ORACLE_QUEUE: dict[str, str] = {
+    "w11_rolling_quantiles": (
+        "WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,"
+        "  substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS h,"
+        "  CAST(value AS DOUBLE) AS v FROM events),"
+        " rk AS (SELECT *, row_number() OVER (PARTITION BY event_type, day"
+        "  ORDER BY h, v) AS r FROM ev),"
+        " daily AS (SELECT event_type, day,"
+        "  list({'h': h, 'v': v} ORDER BY h, v) AS sample"
+        "  FROM rk WHERE r <= 24 GROUP BY event_type, day),"
+        " roll AS (SELECT event_type, day, flatten(list(sample) OVER ("
+        "  PARTITION BY event_type ORDER BY day"
+        "  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS all7 FROM daily),"
+        " k7 AS (SELECT event_type, day,"
+        "  list_slice(list_sort(all7), 1, 24) AS s7 FROM roll),"
+        " vx AS (SELECT event_type, day, s7,"
+        "  list_sort(list_transform(s7, x -> x.v)) AS vals,"
+        "  len(s7) AS n FROM k7)"
+        " SELECT event_type, strftime(day, '%Y-%m-%d') AS day,"
+        "  CAST(n AS BIGINT) AS n_seen,"
+        "  md5(array_to_string(list_transform(s7, x -> x.h || ':' ||"
+        "   CAST(CAST(round(x.v * 1e6) AS BIGINT) AS VARCHAR)), '|'))"
+        "   AS sample_digest,"
+        "  round(vals[CAST(floor((n - 1) * 0.5) AS INT) + 1]"
+        "   * (1.0 - ((n - 1) * 0.5 - floor((n - 1) * 0.5)))"
+        "   + vals[least(CAST(floor((n - 1) * 0.5) AS INT) + 2, n)]"
+        "   * ((n - 1) * 0.5 - floor((n - 1) * 0.5)), 6) AS q_0_5,"
+        "  round(vals[CAST(floor((n - 1) * 0.9) AS INT) + 1]"
+        "   * (1.0 - ((n - 1) * 0.9 - floor((n - 1) * 0.9)))"
+        "   + vals[least(CAST(floor((n - 1) * 0.9) AS INT) + 2, n)]"
+        "   * ((n - 1) * 0.9 - floor((n - 1) * 0.9)), 6) AS q_0_9"
+        " FROM vx"
+    ),
     "t20_quality_logistic": (
         "WITH f AS (SELECT doc_id,"
         " CAST(len({NORM}) AS DOUBLE) AS n_chars,"
@@ -2346,6 +2378,62 @@ _R5_ORACLE_QUEUE: dict[str, str] = {
         "  CAST(3 AS INT) AS n_terms FROM spans GROUP BY doc_id"
     ),
 }
+
+
+def q_w11_rolling_quantiles(spark, sf_dir):
+    """Rolling 7-day value quantiles per event type WITHOUT rescanning
+    raw events per window: daily bottom-24-by-md5 value samples
+    (hash-sample sketch) merged over a rows-based 7-day window —
+    bottom-k of a union == bottom-k of concatenated bottom-ks, so the
+    window carries k-bounded sketch state, not 7 days of rows. State
+    digested + interpolated p50/p90 verified. Oracle queued for r5."""
+    from healthcare_api_spark.operators import sketches
+
+    _tune(spark)
+    k = 24
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8).alias("_h"),
+        F.col("value").cast("double").alias("_v"),
+    )
+    wd = Window.partitionBy("event_type", "day").orderBy("_h", "_v")
+    daily = (
+        ev.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") <= k)
+        .groupBy("event_type", "day")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_h").alias("h"), F.col("_v").alias("v")))
+            ).alias("sample")
+        )
+    )
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    merged = daily.withColumn(
+        "sample",
+        F.slice(F.array_sort(F.flatten(F.collect_list("sample").over(w7))), 1, k),
+    )
+    est = sketches.hash_sample_quantiles(merged, [0.5, 0.9])
+    digest = F.md5(
+        F.array_join(
+            F.transform(
+                F.col("sample"),
+                lambda s: F.concat(
+                    s["h"], F.lit(":"),
+                    F.round(s["v"] * 1e6).cast("bigint").cast("string"),
+                ),
+            ),
+            "|",
+        )
+    )
+    return est.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.size("sample").cast("bigint").alias("n_seen"),
+        digest.alias("sample_digest"),
+        "q_0_5",
+        "q_0_9",
+    )
 
 
 def q_t20_quality_logistic(spark, sf_dir):
@@ -3246,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t19_proximity_rank": q_t19_proximity_rank,
         "t20_quality_logistic": q_t20_quality_logistic,
         "v8_pooled_embeddings": q_v8_pooled_embeddings,
+        "w11_rolling_quantiles": q_w11_rolling_quantiles,
     }
 
 
