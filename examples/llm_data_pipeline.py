@@ -75,6 +75,20 @@ def main() -> None:
         .withColumnRenamed("clean_text", "text")
     )
 
+    # 3b. corpus-wide sentence dedup: sentences seen earlier (by
+    # (doc_id, position)) are removed everywhere else — the
+    # MassiveText/CCNet boilerplate pass; docs left empty drop out
+    sent = dedup.sentence_dedup(gated, "doc_id", "text")
+    gated = (
+        gated.drop("text")
+        .join(
+            sent.filter(F.col("n_kept") > 0).select(
+                "doc_id", F.col("text_deduped").alias("text")
+            ),
+            "doc_id",
+        )
+    )
+
     # 4. decontamination vs a benchmark slice (stand-in for an eval suite)
     bench = docs.filter(F.col("doc_id") % 101 == 0)
     contam = curation.decontaminate(gated, bench, "doc_id", "text", shingle_n=5)

@@ -85,13 +85,18 @@ def _cmd_search(args) -> int:
         text_search_col=args.text_col,
     )
     eng = SearchEngine(tables={args.type: table}, configs={args.type: cfg})
-    params = {}
+    params: dict[str, object] = {}
     for kv in args.param or []:
         k, _, v = kv.partition("=")
         if not _:
             print(f"bad --param (need key=value): {kv!r}", file=sys.stderr)
             return 2
-        params[k] = v
+        if k in params:
+            # repeated --param = FHIR repeated-parameter AND semantics
+            prev = params[k]
+            params[k] = [*prev, v] if isinstance(prev, list) else [prev, v]
+        else:
+            params[k] = v
     out = eng.search(args.type, params)
     if args.output:
         write_ndjson(out, args.output)
@@ -99,6 +104,46 @@ def _cmd_search(args) -> int:
     else:
         for r in out.limit(args.limit).collect():
             print(r.asDict())
+    return 0
+
+
+def _cmd_dedup(args) -> int:
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators import dedup
+    from healthcare_api_spark.sources.ndjson import write_ndjson
+
+    spark = get_spark("cli-dedup")
+    df = spark.read.parquet(args.parquet)
+    idc, txt = args.id_col, args.text_col
+    if args.mode == "exact":
+        out = dedup.exact_dedup_by_content(df, idc, txt)
+        if not args.keep_all:
+            out = out.filter(F.col(idc) == F.col("canonical_id"))
+    elif args.mode == "minhash":
+        pairs = dedup.lsh_candidate_pairs(
+            df, idc, txt, num_hashes=args.num_hashes, rows_per_band=args.rows_per_band
+        )
+        clusters = dedup.cluster_pairs(
+            pairs, df.select(F.col(idc).alias("id")), "id", max_iter=8
+        )
+        out = df.join(
+            clusters.filter(F.col("id") == F.col("cluster_id")).select(
+                F.col("id").alias(idc)
+            ),
+            idc,
+        )
+    elif args.mode == "sentence":
+        out = dedup.sentence_dedup(df, idc, txt)
+        if not args.keep_all:
+            out = out.filter(F.col("n_kept") > 0)
+    else:  # pragma: no cover - argparse choices guard
+        raise AssertionError(args.mode)
+    if args.output:
+        write_ndjson(out, args.output)
+        print(f"wrote {args.output}")
+    else:
+        print(out.count())
     return 0
 
 
@@ -165,6 +210,26 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--output", default=None, help="NDJSON output dir (else print)")
     se.add_argument("--limit", type=int, default=20, help="print limit without --output")
     se.set_defaults(fn=_cmd_search)
+
+    dd = sub.add_parser(
+        "dedup",
+        help="corpus dedup: exact (content fingerprints), minhash "
+        "(LSH candidates → connected components → representatives), "
+        "or sentence (corpus-wide first-occurrence sentence dedup)",
+    )
+    dd.add_argument("--parquet", required=True)
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--mode", choices=["exact", "minhash", "sentence"], default="exact")
+    dd.add_argument("--num-hashes", type=int, default=8)
+    dd.add_argument("--rows-per-band", type=int, default=2)
+    dd.add_argument(
+        "--keep-all", action="store_true",
+        help="keep non-survivor rows too (exact: with canonical_id; "
+        "sentence: docs whose every sentence was seen earlier)",
+    )
+    dd.add_argument("--output", default=None, help="NDJSON output dir (else count)")
+    dd.set_defaults(fn=_cmd_dedup)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -74,3 +74,23 @@ def test_cli_transform_and_count(tmp_path, capsys):
     rc = main(["transform", "--input-ndjson", str(src), "--output-ndjson", str(out),
                "--type", "Bogus"])
     assert rc == 2
+
+
+def test_cli_dedup_modes(tmp_path, capsys):
+    from healthcare_api_spark.cli import main
+
+    rc = main([
+        "dedup", "--parquet", "/root/testdata/sf0.001/documents.parquet",
+        "--mode", "exact",
+    ])
+    assert rc == 0
+    n_exact = int(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < n_exact <= 500
+
+    out = tmp_path / "sent"
+    rc = main([
+        "dedup", "--parquet", "/root/testdata/sf0.001/documents.parquet",
+        "--mode", "sentence", "--output", str(out),
+    ])
+    assert rc == 0
+    assert any(out.glob("part-*.json"))
