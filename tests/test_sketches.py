@@ -225,3 +225,48 @@ def test_hash_sample_merge_equals_whole(spark):
     assert merged["sample"] == whole["sample"]
     assert merged["n_seen"] == whole["n_seen"] == 48
     assert merged["n_total"] == whole["n_total"] == 600
+
+
+def test_streaming_hash_sample_merge_matches_batch(spark, tmp_path):
+    """foreachBatch hash_sample_merge over two micro-batches == one
+    batch build — the quantile sketch as streaming state (bounded at k
+    (hash, value) pairs per group), same MV shape as the CMS test."""
+    from healthcare_api_spark.operators.sketches import (
+        hash_sample_build,
+        hash_sample_merge,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [("g", i, float(i * 13 % 97)) for i in range(120)]
+    rows2 = [("g", i, float(i * 7 % 89)) for i in range(120, 300)]
+    schema = "g string, id long, v double"
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+
+    def _merge(batch_df, batch_id):
+        s = batch_df.sparkSession
+        delta = hash_sample_build(batch_df, ["g"], "id", "v", k=32)
+        try:
+            prev = s.read.parquet(state).localCheckpoint(eager=True)
+            merged = hash_sample_merge(prev, delta, ["g"], k=32)
+        except Exception as e:
+            if "Path does not exist" not in str(e) and "PATH_NOT_FOUND" not in str(e):
+                raise
+            merged = delta
+        merged.write.mode("overwrite").parquet(state)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream.writeStream.foreachBatch(_merge).outputMode("update")
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(state).collect()[0]
+    want = hash_sample_build(
+        spark.createDataFrame(rows1 + rows2, schema), ["g"], "id", "v", k=32
+    ).collect()[0]
+    assert sorted(map(tuple, got["sample"])) == sorted(map(tuple, want["sample"]))
+    assert got["n_total"] == want["n_total"] == 300
