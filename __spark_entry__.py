@@ -2301,6 +2301,21 @@ def q_t19_proximity_rank(spark, sf_dir):
 # At round-5 start: move these queries to the HEAD of queries() and
 # merge this dict into oracle_sql().
 _R5_ORACLE_QUEUE: dict[str, str] = {
+    "m11_scene_cuts": (
+        "WITH docs AS (SELECT doc_id, CAST(doc_id % 6 + 4 AS INT) AS n,"
+        "  CAST(doc_id % 4 + 1 AS INT) AS cut FROM documents),"
+        " idx AS (SELECT doc_id, cut, unnest(generate_series(1, n - 1)) AS i"
+        "  FROM docs),"
+        " l AS (SELECT doc_id, i,"
+        "  (doc_id * 7 + 40 + (i % 3) + CASE WHEN i >= cut THEN 80 ELSE 0 END)"
+        "   % 200 AS li,"
+        "  (doc_id * 7 + 40 + ((i - 1) % 3)"
+        "   + CASE WHEN (i - 1) >= cut THEN 80 ELSE 0 END) % 200 AS lp"
+        "  FROM idx)"
+        " SELECT doc_id, CAST(i AS INT) AS frame_idx,"
+        "  CAST(abs(li - lp) AS DOUBLE) AS mad,"
+        "  CAST(abs(li - lp) > 24.0 AS INT) AS is_cut, 'y4m' AS mode FROM l"
+    ),
     "w11_rolling_quantiles": (
         "WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,"
         "  substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS h,"
@@ -2378,6 +2393,49 @@ _R5_ORACLE_QUEUE: dict[str, str] = {
         "  CAST(3 AS INT) AS n_terms FROM spans GROUP BY doc_id"
     ),
 }
+
+
+def q_m11_scene_cuts(spark, sf_dir):
+    """Scene-cut detection on REAL Y4M pixels: per doc a synthetic
+    uncompressed video with a small within-scene luma wiggle (≤2) and
+    one hard +80 jump at a doc-derived cut frame; the MAD series and
+    cut flags are recomputed analytically by the oracle (constant
+    frames → MAD is exactly |Δluma|). Oracle queued for r5."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from healthcare_api_spark.operators.multimodal import scene_cuts
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4, 4
+                n, cut = d % 6 + 4, d % 4 + 1
+                head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+                body = b"".join(
+                    b"FRAME\n"
+                    + bytes(
+                        [(d * 7 + 40 + (i % 3) + (80 if i >= cut else 0)) % 200]
+                    ) * (w * h)
+                    + bytes([128]) * (w * h // 2)
+                    for i in range(n)
+                )
+                payloads.append(head + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    vids = docs.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ).mapInPandas(_gen, "doc_id long, data binary")
+    out = scene_cuts(vids, "doc_id", "data", threshold=24.0)
+    return out.select(
+        F.col("id").alias("doc_id"), "frame_idx", "mad", "is_cut", "mode"
+    )
 
 
 def q_w11_rolling_quantiles(spark, sf_dir):
@@ -3335,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t20_quality_logistic": q_t20_quality_logistic,
         "v8_pooled_embeddings": q_v8_pooled_embeddings,
         "w11_rolling_quantiles": q_w11_rolling_quantiles,
+        "m11_scene_cuts": q_m11_scene_cuts,
     }
 
 

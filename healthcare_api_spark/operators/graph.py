@@ -92,12 +92,16 @@ def pagerank_sql(
     lockstep with ``pagerank``. Emits round(rank, 6) to absorb the
     engines' differing float-sum orders."""
     d = damping
+    # Every CTE that is referenced more than once is MATERIALIZED:
+    # DuckDB inlines plain CTEs per reference, so the r0→r5 chain would
+    # otherwise re-evaluate the whole prefix exponentially (observed:
+    # 30 GB of spill at sf0.1 before the hint; sub-second after).
     parts = [
-        f"WITH e AS ({edges_sql}),",
-        " nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        f"WITH e AS MATERIALIZED ({edges_sql}),",
+        " nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
         " nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
-        " deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),",
-        " r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),",
+        " deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),",
+        " r0 AS MATERIALIZED (SELECT node, 1.0 / n AS rank FROM nodes, nn),",
     ]
     for i in range(iters):
         p, q = f"r{i}", f"r{i + 1}"
@@ -107,7 +111,7 @@ def pagerank_sql(
             f" c{i} AS (SELECT e.dst AS node, sum({p}.rank / deg.deg) AS cin"
             f"  FROM {p} JOIN deg ON {p}.node = deg.src"
             f"  JOIN e ON e.src = {p}.node GROUP BY e.dst),",
-            f" {q} AS (SELECT nodes.node,"
+            f" {q} AS MATERIALIZED (SELECT nodes.node,"
             f"  (1.0 - {d}) / n + {d} * (coalesce(c{i}.cin, 0.0) + dm{i}.dm / n)"
             f"  AS rank FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node,"
             f"  nn, dm{i}),",
@@ -214,18 +218,19 @@ def triangle_count_sql(edges_sql: str, src: str = "s", dst: str = "d") -> str:
     """DuckDB oracle twin of :func:`triangle_count` — the same
     degree-ordered orientation, wedge join, and closing-edge
     semi-join, expressed as CTEs over ``edges_sql`` (columns
-    ``src``/``dst``)."""
+    ``src``/``dst``). Multiply-referenced CTEs are MATERIALIZED —
+    DuckDB inlines plain CTEs per reference (see pagerank_sql)."""
     lower = "(du < dv OR (du = dv AND u < v))"
     return (
-        f"WITH e0 AS ({edges_sql}),"
-        f" und AS (SELECT DISTINCT least({src}, {dst}) AS u,"
+        f"WITH e0 AS MATERIALIZED ({edges_sql}),"
+        f" und AS MATERIALIZED (SELECT DISTINCT least({src}, {dst}) AS u,"
         f"  greatest({src}, {dst}) AS v FROM e0 WHERE {src} <> {dst}),"
-        " degs AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM"
+        " degs AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM"
         "  (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)"
         "  GROUP BY n),"
         " ed AS (SELECT u, v, d1.deg AS du, d2.deg AS dv FROM und"
         "  JOIN degs d1 ON und.u = d1.n JOIN degs d2 ON und.v = d2.n),"
-        f" ori AS (SELECT CASE WHEN {lower} THEN u ELSE v END AS a,"
+        f" ori AS MATERIALIZED (SELECT CASE WHEN {lower} THEN u ELSE v END AS a,"
         f"  CASE WHEN {lower} THEN v ELSE u END AS b,"
         f"  CASE WHEN {lower} THEN dv ELSE du END AS db FROM ed),"
         " w AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c FROM ori e1"

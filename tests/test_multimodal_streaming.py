@@ -926,3 +926,25 @@ def test_gif_disposal_restore_previous(spark):
     # frame1 fully undone; frame2 paints one pixel over frame0's state
     assert (s2[0, 0] == pal[3]).all()
     assert (s2[0, 1] == pal[1]).all() and (s2[1, 1] == pal[1]).all()
+
+
+def test_scene_cuts_y4m_and_unsupported(spark):
+    from healthcare_api_spark.operators.multimodal import scene_cuts
+
+    w, h = 4, 2
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+
+    def frame(luma):
+        return b"FRAME\n" + bytes([luma]) * (w * h) + bytes([128]) * (w * h // 2)
+
+    # lumas 50, 52, 140, 141 → diffs 2, 88, 1 → one cut at idx 2
+    vid = head + frame(50) + frame(52) + frame(140) + frame(141)
+    df = spark.createDataFrame([(1, bytearray(vid)), (2, bytearray(b"mp4x" * 8))],
+                               "doc_id long, data binary")
+    rows = scene_cuts(df, "doc_id", "data", threshold=24.0).collect()
+    y4m = sorted(
+        [(r["frame_idx"], r["mad"], r["is_cut"]) for r in rows if r["id"] == 1]
+    )
+    assert y4m == [(1, 2.0, 0), (2, 88.0, 1), (3, 1.0, 0)]
+    other = [r for r in rows if r["id"] == 2]
+    assert len(other) == 1 and other[0]["mode"] == "unsupported"
