@@ -266,3 +266,55 @@ def test_kmv_merge_associative_property(spark, keys, cut):
     if len(sketches_) == 2:
         merged = kmv_merge(sketches_[0], sketches_[1], ["g"], k=8)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole))
+
+
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_sentence = st.lists(_words, min_size=1, max_size=4).map(" ".join)
+_doc = st.lists(_sentence, min_size=1, max_size=5).map(". ".join)
+
+
+@_slow
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_sentence_dedup_matches_python_reference(spark, docs):
+    rows = [(i, t) for i, t in enumerate(docs)]
+    got = {
+        r["doc_id"]: (r["text_deduped"], r["n_sentences"], r["n_kept"])
+        for r in dedup.sentence_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text"
+        ).collect()
+    }
+    seen: set[str] = set()
+    for i, t in rows:
+        parts = t.split(". ")
+        kept = []
+        for s in parts:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        want = (". ".join(kept), len(parts), len(kept))
+        assert got[i] == want, (i, got[i], want)
+
+
+@_slow
+@given(
+    st.lists(st.lists(_words, min_size=1, max_size=12).map(" ".join),
+             min_size=1, max_size=8),
+    st.lists(_words, min_size=2, max_size=3),
+)
+def test_phrase_counts_matches_python_reference(spark, docs, phrase):
+    rows = [(i, t) for i, t in enumerate(docs)]
+    idx = textops.positional_index(
+        spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text"
+    )
+    got = {
+        r["doc_id"]: r["phrase_count"]
+        for r in textops.phrase_counts(idx, "doc_id", phrase).collect()
+    }
+    want = {}
+    n = len(phrase)
+    for i, t in rows:
+        toks = t.split()
+        c = sum(1 for j in range(len(toks) - n + 1) if toks[j : j + n] == phrase)
+        if c:
+            want[i] = c
+    assert got == want
