@@ -2301,6 +2301,27 @@ def q_t19_proximity_rank(spark, sf_dir):
 # At round-5 start: move these queries to the HEAD of queries() and
 # merge this dict into oracle_sql().
 _R5_ORACLE_QUEUE: dict[str, str] = {
+    "x12_cusum_changepoint": (
+        "WITH s AS (SELECT event_type, date_trunc('hour', ts) AS bucket,"
+        "  round(sum(value), 6) + CASE WHEN date_trunc('hour', ts) >="
+        "   TIMESTAMP '2024-01-20' THEN 50.0 ELSE 0.0 END AS v"
+        "  FROM events GROUP BY 1, 2),"
+        " m AS (SELECT *, round(avg(v) OVER (PARTITION BY event_type), 6) AS mu"
+        "  FROM s),"
+        " cs AS (SELECT *,"
+        "  sum(v - mu - 5.0) OVER (PARTITION BY event_type ORDER BY bucket"
+        "   ROWS UNBOUNDED PRECEDING) AS csp,"
+        "  sum(mu - 5.0 - v) OVER (PARTITION BY event_type ORDER BY bucket"
+        "   ROWS UNBOUNDED PRECEDING) AS csn FROM m),"
+        " r AS (SELECT *,"
+        "  round(csp - least(0.0, min(csp) OVER (PARTITION BY event_type"
+        "   ORDER BY bucket ROWS UNBOUNDED PRECEDING)), 6) AS cusum_pos,"
+        "  round(csn - least(0.0, min(csn) OVER (PARTITION BY event_type"
+        "   ORDER BY bucket ROWS UNBOUNDED PRECEDING)), 6) AS cusum_neg FROM cs)"
+        " SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,"
+        "  v, cusum_pos, cusum_neg,"
+        "  CAST(cusum_pos > 200.0 OR cusum_neg > 200.0 AS INT) AS alarm FROM r"
+    ),
     "m11_scene_cuts": (
         "WITH docs AS (SELECT doc_id, CAST(doc_id % 6 + 4 AS INT) AS n,"
         "  CAST(doc_id % 4 + 1 AS INT) AS cut FROM documents),"
@@ -2393,6 +2414,37 @@ _R5_ORACLE_QUEUE: dict[str, str] = {
         "  CAST(3 AS INT) AS n_terms FROM spans GROUP BY doc_id"
     ),
 }
+
+
+def q_x12_cusum_changepoint(spark, sf_dir):
+    """Two-sided CUSUM change-point flags over the hourly per-type
+    series with a planted +50 level shift on Jan 20 — the max(0,·)
+    recursion folds into pure windows (cs − running-min identity), so
+    unlike EWMA this is all JVM window expressions. Oracle queued for
+    r5."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    shift = F.when(
+        F.date_trunc("hour", F.col("ts")) >= F.lit("2024-01-20").cast("timestamp"),
+        50.0,
+    ).otherwise(0.0)
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg((F.round(F.sum("value"), 6) + F.max(shift)).alias("v"))
+    )
+    out = temporal.cusum_flags(
+        hourly, ("event_type",), "bucket", "v", slack=5.0, threshold=200.0
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "v",
+        "cusum_pos",
+        "cusum_neg",
+        "alarm",
+    )
 
 
 def q_m11_scene_cuts(spark, sf_dir):
@@ -3394,6 +3446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v8_pooled_embeddings": q_v8_pooled_embeddings,
         "w11_rolling_quantiles": q_w11_rolling_quantiles,
         "m11_scene_cuts": q_m11_scene_cuts,
+        "x12_cusum_changepoint": q_x12_cusum_changepoint,
     }
 
 

@@ -635,3 +635,60 @@ def ewma_sql(series_sql: str, key_col: str, ts_col: str, value_col: str, alpha: 
         "  FROM rec JOIN ser ON ser.k = rec.k AND ser.rn = rec.rn + 1)"
         " SELECT k, t, x, s FROM rec"
     )
+
+
+def cusum_flags(
+    df: DataFrame,
+    series_cols: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per series (Page 1954):
+    S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − μ − slack)), S⁻ mirrored, alarm when
+    either exceeds ``threshold``. μ is the per-series mean (rounded to
+    6 dp so the oracle's group-avg float order can't diverge).
+
+    The max(0, …) recursion LOOKS sequential but folds into pure
+    windows via the running-minimum identity
+    ``Sᵢ = csᵢ − min(0, min_{j≤i} csⱼ)`` with cs the prefix sum of the
+    drifts — so unlike EWMA this needs no applyInPandas and no
+    recursive-CTE oracle: two ordered window sums + two running mins,
+    one shuffle on the series key, every expression JVM-side.
+
+    Output: input series/ts/value + cusum_pos, cusum_neg, alarm.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(series_cols)
+    wmean = Window.partitionBy(*gcols)
+    wrun = (
+        Window.partitionBy(*gcols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.col(value_col).cast("double")
+    mu = F.round(F.avg(v).over(wmean), 6)
+    base = df.select(
+        *gcols, F.col(ts_col), v.alias("_v"), mu.alias("_mu")
+    )
+    dpos = F.col("_v") - F.col("_mu") - F.lit(float(slack))
+    dneg = F.col("_mu") - F.lit(float(slack)) - F.col("_v")
+    with_cs = base.select(
+        *gcols, ts_col, "_v", "_mu",
+        F.sum(dpos).over(wrun).alias("_csp"),
+        F.sum(dneg).over(wrun).alias("_csn"),
+    )
+    sp = F.col("_csp") - F.least(F.lit(0.0), F.min("_csp").over(wrun))
+    sn = F.col("_csn") - F.least(F.lit(0.0), F.min("_csn").over(wrun))
+    return with_cs.select(
+        *gcols,
+        F.col(ts_col),
+        F.col("_v").alias(value_col),
+        F.round(sp, 6).alias("cusum_pos"),
+        F.round(sn, 6).alias("cusum_neg"),
+        (
+            (F.round(sp, 6) > float(threshold)) | (F.round(sn, 6) > float(threshold))
+        ).cast("int").alias("alarm"),
+    )

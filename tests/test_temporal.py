@@ -454,3 +454,42 @@ def test_ewma_sql_twin_matches(spark):
     sql = ewma_sql("SELECT k, t, v FROM src", "k", "t", "v", 0.3)
     want = {(k, t): round(s, 6) for k, t, _x, s in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_cusum_flags_hand_computed(spark):
+    from healthcare_api_spark.operators.temporal import cusum_flags
+
+    # v = [1,1,1,9,9] → μ=4.2; slack .5 → dpos = v−4.7, dneg = 3.7−v
+    # S⁺ = [0,0,0,4.3,8.6]; S⁻ = [2.7,5.4,8.1,2.8,0]; h=5
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate([1.0, 1.0, 1.0, 9.0, 9.0])],
+        ["k", "t", "v"],
+    )
+    rows = sorted(
+        cusum_flags(df, ("k",), "t", "v", slack=0.5, threshold=5.0).collect(),
+        key=lambda r: r["t"],
+    )
+    assert [r["cusum_pos"] for r in rows] == [0.0, 0.0, 0.0, 4.3, 8.6]
+    assert [r["cusum_neg"] for r in rows] == [2.7, 5.4, 8.1, 2.8, 0.0]
+    assert [r["alarm"] for r in rows] == [0, 1, 1, 0, 1]
+
+
+def test_cusum_no_alarm_on_stationary_series(spark):
+    from healthcare_api_spark.operators.temporal import cusum_flags
+
+    df = spark.createDataFrame(
+        [("a", i, float(i % 2)) for i in range(50)], ["k", "t", "v"]
+    )
+    out = cusum_flags(df, ("k",), "t", "v", slack=0.5, threshold=5.0)
+    assert out.filter("alarm = 1").count() == 0
+
+
+def test_cusum_no_single_partition_window(spark):
+    from healthcare_api_spark.operators.temporal import cusum_flags
+
+    df = spark.createDataFrame([("a", 1, 1.0), ("b", 1, 2.0)], ["k", "t", "v"])
+    plan = (
+        cusum_flags(df, ("k",), "t", "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
