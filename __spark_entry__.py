@@ -2303,15 +2303,15 @@ def q_t19_proximity_rank(spark, sf_dir):
 _R5_ORACLE_QUEUE: dict[str, str] = {
     "x12_cusum_changepoint": (
         "WITH s AS (SELECT event_type, date_trunc('hour', ts) AS bucket,"
-        "  round(sum(value), 6) + CASE WHEN date_trunc('hour', ts) >="
-        "   TIMESTAMP '2024-01-20' THEN 50.0 ELSE 0.0 END AS v"
+        "  round(avg(value), 6) + CASE WHEN date_trunc('hour', ts) >="
+        "   TIMESTAMP '2024-01-20' THEN 100.0 ELSE 0.0 END AS v"
         "  FROM events GROUP BY 1, 2),"
-        " m AS (SELECT *, round(avg(v) OVER (PARTITION BY event_type), 6) AS mu"
-        "  FROM s),"
+        " m AS (SELECT *, round(avg(CASE WHEN bucket < TIMESTAMP '2024-01-08'"
+        "  THEN v END) OVER (PARTITION BY event_type), 6) AS mu FROM s),"
         " cs AS (SELECT *,"
-        "  sum(v - mu - 5.0) OVER (PARTITION BY event_type ORDER BY bucket"
+        "  sum(v - mu - 35.0) OVER (PARTITION BY event_type ORDER BY bucket"
         "   ROWS UNBOUNDED PRECEDING) AS csp,"
-        "  sum(mu - 5.0 - v) OVER (PARTITION BY event_type ORDER BY bucket"
+        "  sum(mu - 35.0 - v) OVER (PARTITION BY event_type ORDER BY bucket"
         "   ROWS UNBOUNDED PRECEDING) AS csn FROM m),"
         " r AS (SELECT *,"
         "  round(csp - least(0.0, min(csp) OVER (PARTITION BY event_type"
@@ -2320,7 +2320,7 @@ _R5_ORACLE_QUEUE: dict[str, str] = {
         "   ORDER BY bucket ROWS UNBOUNDED PRECEDING)), 6) AS cusum_neg FROM cs)"
         " SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,"
         "  v, cusum_pos, cusum_neg,"
-        "  CAST(cusum_pos > 200.0 OR cusum_neg > 200.0 AS INT) AS alarm FROM r"
+        "  CAST(cusum_pos > 250.0 OR cusum_neg > 250.0 AS INT) AS alarm FROM r"
     ),
     "m11_scene_cuts": (
         "WITH docs AS (SELECT doc_id, CAST(doc_id % 6 + 4 AS INT) AS n,"
@@ -2427,15 +2427,16 @@ def q_x12_cusum_changepoint(spark, sf_dir):
     _tune(spark)
     shift = F.when(
         F.date_trunc("hour", F.col("ts")) >= F.lit("2024-01-20").cast("timestamp"),
-        50.0,
+        100.0,
     ).otherwise(0.0)
     hourly = (
         _t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
-        .agg((F.round(F.sum("value"), 6) + F.max(shift)).alias("v"))
+        .agg((F.round(F.avg("value"), 6) + F.max(shift)).alias("v"))
     )
     out = temporal.cusum_flags(
-        hourly, ("event_type",), "bucket", "v", slack=5.0, threshold=200.0
+        hourly, ("event_type",), "bucket", "v", slack=35.0, threshold=250.0,
+        baseline=F.col("bucket") < F.lit("2024-01-08").cast("timestamp"),
     )
     return out.select(
         "event_type",

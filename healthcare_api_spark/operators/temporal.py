@@ -644,11 +644,16 @@ def cusum_flags(
     value_col: str,
     slack: float = 0.5,
     threshold: float = 5.0,
+    baseline=None,
 ) -> DataFrame:
     """Two-sided CUSUM change-point detection per series (Page 1954):
     S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − μ − slack)), S⁻ mirrored, alarm when
     either exceeds ``threshold``. μ is the per-series mean (rounded to
-    6 dp so the oracle's group-avg float order can't diverge).
+    6 dp so the oracle's group-avg float order can't diverge) — over
+    ALL rows by default, or over the rows matching the ``baseline``
+    boolean Column (the in-control period): with a global mean, a real
+    level shift drags μ between the regimes and BOTH sides alarm
+    everywhere; a pre-change baseline is how CUSUM is actually run.
 
     The max(0, …) recursion LOOKS sequential but folds into pure
     windows via the running-minimum identity
@@ -669,7 +674,8 @@ def cusum_flags(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     v = F.col(value_col).cast("double")
-    mu = F.round(F.avg(v).over(wmean), 6)
+    mu_src = F.when(baseline, v) if baseline is not None else v
+    mu = F.round(F.avg(mu_src).over(wmean), 6)
     base = df.select(
         *gcols, F.col(ts_col), v.alias("_v"), mu.alias("_mu")
     )
