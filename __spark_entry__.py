@@ -2301,6 +2301,23 @@ def q_t19_proximity_rank(spark, sf_dir):
 # At round-5 start: move these queries to the HEAD of queries() and
 # merge this dict into oracle_sql().
 _R5_ORACLE_QUEUE: dict[str, str] = {
+    "t21_zipf_fit": (
+        "WITH tf AS (SELECT tok, count(*) AS cnt FROM"
+        "  (SELECT unnest({TOKS}) AS tok FROM documents) GROUP BY tok),"
+        " tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,"
+        "  CAST(sum(cnt) AS BIGINT) AS total_tokens FROM tf),"
+        " top AS (SELECT * FROM (SELECT cnt,"
+        "  row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk FROM tf)"
+        "  WHERE rk <= 200),"
+        " sums AS (SELECT CAST(count(*) AS DOUBLE) AS n,"
+        "  sum(ln(rk)) AS sx, sum(ln(cnt)) AS sy,"
+        "  sum(ln(rk) * ln(cnt)) AS sxy, sum(ln(rk) * ln(rk)) AS sxx FROM top)"
+        " SELECT vocab_size, total_tokens,"
+        "  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,"
+        "  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)"
+        "   AS intercept,"
+        "  CAST(n AS INT) AS top_n FROM tot, sums"
+    ),
     "x12_cusum_changepoint": (
         "WITH s AS (SELECT event_type, date_trunc('hour', ts) AS bucket,"
         "  round(avg(value), 6) + CASE WHEN date_trunc('hour', ts) >="
@@ -2414,6 +2431,14 @@ _R5_ORACLE_QUEUE: dict[str, str] = {
         "  CAST(3 AS INT) AS n_terms FROM spans GROUP BY doc_id"
     ),
 }
+
+
+def q_t21_zipf_fit(spark, sf_dir):
+    """Zipf's-law slope over the corpus vocabulary (ln freq vs ln rank,
+    closed-form least squares — engine-portable sums). One-number
+    corpus-health signal. Oracle queued for r5."""
+    _tune(spark)
+    return textops.zipf_fit(_t(spark, sf_dir, "documents"), "doc_id", "text", top_n=200)
 
 
 def q_x12_cusum_changepoint(spark, sf_dir):
@@ -3448,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w11_rolling_quantiles": q_w11_rolling_quantiles,
         "m11_scene_cuts": q_m11_scene_cuts,
         "x12_cusum_changepoint": q_x12_cusum_changepoint,
+        "t21_zipf_fit": q_t21_zipf_fit,
     }
 
 

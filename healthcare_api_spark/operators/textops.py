@@ -687,3 +687,56 @@ def quality_logistic(
         F.round(prob, 6).alias("prob"),
         (prob >= 0.5).cast("int").alias("keep"),
     )
+
+
+def zipf_fit(df: DataFrame, id_col: str, text_col: str, top_n: int = 200) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope of
+    ln(freq) vs ln(rank) across the ``top_n`` most frequent tokens —
+    natural text sits near slope −1; heavily duplicated or synthetic
+    corpora drift off it, making the slope a one-number corpus-health
+    signal (alongside u2's per-domain stats).
+
+    Plan: one map-side-combined token count, one top-n rank (single
+    partition of n rows AFTER the aggregate — the only global step
+    touches top_n rows, not the corpus), then closed-form regression
+    sums. Ties rank deterministically (count desc, token asc). Output
+    one row: (vocab_size, total_tokens, top_n, zipf_slope, intercept).
+    """
+    from pyspark.sql import Window
+
+    from healthcare_api_spark.functions.text import tokens
+
+    if top_n < 3:
+        raise ValueError("top_n must be ≥ 3")
+    tf = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = tf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    top = tf.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= top_n)
+    xy = top.select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    fitted = sums.select(
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.col("n").cast("int").alias("top_n"),
+    )
+    return totals.crossJoin(fitted)

@@ -665,3 +665,30 @@ def test_pool_embeddings_plan_single_agg(spark):
     )
     assert plan.count("Exchange") == 1  # one hash agg, no explode shuffle
     assert "Generate" not in plan  # no posexplode
+
+
+def test_zipf_fit_exact_power_law(spark):
+    from healthcare_api_spark.operators.textops import zipf_fit
+
+    # construct freq(rank r) = 5040 / r exactly → slope −1, intercept ln 5040
+    words = []
+    for r in range(1, 9):
+        words += [f"tok{r}"] * (5040 // r)  # exact 1/r profile × 5040
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    row = zipf_fit(df, "doc_id", "text", top_n=8).collect()[0]
+    import math
+
+    assert row["top_n"] == 8 and row["vocab_size"] == 8
+    assert abs(row["zipf_slope"] + 1.0) < 1e-6  # exact −1 (5040 divisible by 1..8)
+    assert abs(row["intercept"] - math.log(5040.0)) < 1e-6
+    assert row["total_tokens"] == sum(5040 // r for r in range(1, 9))
+
+
+def test_zipf_fit_rejects_tiny_top_n(spark):
+    import pytest as _pytest
+
+    from healthcare_api_spark.operators.textops import zipf_fit
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        zipf_fit(df, "doc_id", "text", top_n=2)
