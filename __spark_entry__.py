@@ -2301,6 +2301,19 @@ def q_t19_proximity_rank(spark, sf_dir):
 # At round-5 start: move these queries to the HEAD of queries() and
 # merge this dict into oracle_sql().
 _R5_ORACLE_QUEUE: dict[str, str] = {
+    "ds8_token_mixture": (
+        "WITH toks AS (SELECT lang, CAST(sum(len({TOKS})) AS DOUBLE) AS t"
+        "  FROM documents GROUP BY lang),"
+        " r AS (SELECT lang,"
+        "  (CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.3 ELSE 0.2 END"
+        "   / 1.0) * 3000 / t AS rate"
+        "  FROM toks WHERE lang IN ('en', 'es', 'de') AND t > 0),"
+        " thr AS (SELECT lang, CASE WHEN rate >= 1.0 THEN 'g'"
+        "  ELSE printf('%08x', CAST(floor(rate * 4294967296) AS BIGINT)) END"
+        "  AS th FROM r)"
+        " SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang"
+        " WHERE substr(md5('tokmix:' || CAST(doc_id AS VARCHAR)), 1, 8) < th"
+    ),
     "t21_zipf_fit": (
         "WITH tf AS (SELECT tok, count(*) AS cnt FROM"
         "  (SELECT unnest({TOKS}) AS tok FROM documents) GROUP BY tok),"
@@ -2431,6 +2444,27 @@ _R5_ORACLE_QUEUE: dict[str, str] = {
         "  CAST(3 AS INT) AS n_terms FROM spans GROUP BY doc_id"
     ),
 }
+
+
+def q_ds8_token_mixture(spark, sf_dir):
+    """Token-budget mixture END-TO-END: plan per-language doc-sampling
+    rates that hit token-share targets (LM mixes are token-budgeted,
+    not doc-budgeted), then apply them with the deterministic
+    md5-threshold sampler. The oracle recomputes the rates from the
+    same token totals and mirrors Python's hex-threshold encoding with
+    printf('%08x', floor(rate·2³²)) — the whole plan→sample pipeline
+    is hash-verified, not just the sampler. Oracle queued for r5."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    rates = curation.plan_token_mixture(
+        docs, "lang", "text",
+        {"en": 0.5, "es": 0.3, "de": 0.2},
+        total_tokens=3000,
+    )
+    out = curation.stratified_sample(
+        docs, "doc_id", "lang", rates, salt="tokmix"
+    )
+    return out.select("doc_id", "lang")
 
 
 def q_t21_zipf_fit(spark, sf_dir):
@@ -3474,6 +3508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m11_scene_cuts": q_m11_scene_cuts,
         "x12_cusum_changepoint": q_x12_cusum_changepoint,
         "t21_zipf_fit": q_t21_zipf_fit,
+        "ds8_token_mixture": q_ds8_token_mixture,
     }
 
 
