@@ -2696,16 +2696,11 @@ def q_fs11_repeat_and(spark, sf_dir):
     )
 
 
-def q_g2_triangle_count(spark, sf_dir):
-    """Per-node triangle count + clustering coefficient over a k-NN
-    similarity graph (each customer linked to its 3 nearest
-    acctbal-neighbors within its nation) — degree-ordered orientation
-    bounds the wedge join's fan-out at O(√E) per node. The k-NN edges
-    are built with an explode + equi-join on (nation, rank+offset),
-    never a range join."""
-    from healthcare_api_spark.operators import graph
-
-    _tune(spark)
+def _knn_customer_edges(spark, sf_dir):
+    """k-NN similarity graph: each customer linked to its 3 nearest
+    acctbal-neighbors within its nation — built with an explode +
+    equi-join on (nation, rank+offset), never a range join. Shared by
+    the graph-analytics queries (g2 triangles, g3 k-core)."""
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     r = c.select("c_nationkey", "c_custkey", F.row_number().over(w).alias("rn"))
@@ -2716,11 +2711,42 @@ def q_g2_triangle_count(spark, sf_dir):
             F.array(F.col("rn") + 1, F.col("rn") + 2, F.col("rn") + 3)
         ).alias("rnb"),
     )
-    edges = probes.join(
+    return probes.join(
         r.select("c_nationkey", F.col("c_custkey").alias("d"), F.col("rn").alias("rnb")),
         ["c_nationkey", "rnb"],
     ).select("s", "d")
-    return graph.triangle_count(edges, "s", "d")
+
+
+_KNN_EDGES_SQL = (
+    "WITH r AS (SELECT c_nationkey, c_custkey, row_number() OVER"
+    " (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn"
+    " FROM customer)"
+    " SELECT a.c_custkey AS s, b.c_custkey AS d FROM r a JOIN r b"
+    " ON a.c_nationkey = b.c_nationkey"
+    " AND b.rn BETWEEN a.rn + 1 AND a.rn + 3"
+)
+
+
+def q_g2_triangle_count(spark, sf_dir):
+    """Per-node triangle count + clustering coefficient over the k-NN
+    similarity graph — degree-ordered orientation bounds the wedge
+    join's fan-out at O(√E) per node."""
+    from healthcare_api_spark.operators import graph
+
+    _tune(spark)
+    return graph.triangle_count(_knn_customer_edges(spark, sf_dir), "s", "d")
+
+
+def q_g3_kcore(spark, sf_dir):
+    """5-core of the k-NN similarity graph by fixed-round peeling —
+    interior nodes have degree 6 (3 ahead + 3 behind), so k=5 peels
+    the rank-boundary customers of every nation and the removals
+    cascade inward a few rounds before stabilizing. Oracle queued for
+    r5 (unrolled MATERIALIZED-CTE rounds)."""
+    from healthcare_api_spark.operators import graph
+
+    _tune(spark)
+    return graph.kcore(_knn_customer_edges(spark, sf_dir), "s", "d", k=5, iters=6)
 
 
 def q_x11_ewma(spark, sf_dir):
@@ -3509,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_cusum_changepoint": q_x12_cusum_changepoint,
         "t21_zipf_fit": q_t21_zipf_fit,
         "ds8_token_mixture": q_ds8_token_mixture,
+        "g3_kcore": q_g3_kcore,
     }
 
 
@@ -4262,14 +4289,7 @@ def oracle_sql() -> dict[str, str]:
             " WHERE n_chars >= 200 AND n_chars <= 400"
             " AND (lower(lang) LIKE 'en%' OR lower(lang) LIKE 'es%')"
         ),
-        "g2_triangle_count": triangle_count_sql(
-            "WITH r AS (SELECT c_nationkey, c_custkey, row_number() OVER"
-            " (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn"
-            " FROM customer)"
-            " SELECT a.c_custkey AS s, b.c_custkey AS d FROM r a JOIN r b"
-            " ON a.c_nationkey = b.c_nationkey"
-            " AND b.rn BETWEEN a.rn + 1 AND a.rn + 3"
-        ),
+        "g2_triangle_count": triangle_count_sql(_KNN_EDGES_SQL),
         "x11_ewma": (
             "SELECT k AS event_type, strftime(t, '%Y-%m-%d %H:%M:%S') AS bucket,"
             " x AS v, round(s, 6) AS ewma FROM ("
@@ -5033,3 +5053,13 @@ def oracle_sql() -> dict[str, str]:
             "     SELECT o_custkey FROM orders WHERE o_totalprice >= 495000))"
         ),
     }
+
+
+def _queue_kcore_sql() -> str:
+    from healthcare_api_spark.operators.graph import kcore_sql
+
+    return kcore_sql(_KNN_EDGES_SQL, k=5, iters=6)
+
+
+# appended at module end: _KNN_EDGES_SQL is defined mid-module
+_R5_ORACLE_QUEUE["g3_kcore"] = _queue_kcore_sql()

@@ -247,3 +247,85 @@ def triangle_count_sql(edges_sql: str, src: str = "s", dst: str = "d") -> str:
         "   / (degs.deg * (degs.deg - 1)) ELSE 0.0 END, 6) AS clustering"
         " FROM degs LEFT JOIN pn ON degs.n = pn.n"
     )
+
+
+def kcore(
+    edges: DataFrame, src: str, dst: str, k: int, iters: int = 8
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (fixed ``iters``
+    rounds — the deterministic variant, same rationale as pagerank's
+    fixed power iterations): repeatedly drop nodes whose degree in the
+    SURVIVING subgraph is < k. After enough rounds the survivor set is
+    the k-core; a fixed count keeps the result engine-reproducible and
+    lets the oracle unroll the same rounds as chained CTEs.
+
+    Scale shape per round: one degree aggregate (map-side combined) +
+    two semi-joins restricting edges to surviving endpoints — all
+    equi-joins on node ids; localCheckpoint pins each round so lineage
+    stays O(1). Peeling converges in ≤ O(max core number) effective
+    rounds; extra rounds are no-ops (stable degrees).
+
+    Output: (node, degree) for nodes alive after ``iters`` rounds,
+    with their degree in the surviving subgraph.
+    """
+    if k < 1:
+        raise ValueError("k must be ≥ 1")
+    if iters < 1:
+        raise ValueError("iters must be ≥ 1")
+    u = F.least(F.col(src), F.col(dst))
+    v = F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = None
+    for _ in range(iters):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionByName(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        )
+        alive = deg.filter(F.col("degree") >= k).select("n")
+        e = (
+            e.join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return final_deg.filter(F.col("degree") >= k).select(
+        F.col("n").alias("node"), "degree"
+    )
+
+
+def kcore_sql(edges_sql: str, k: int, iters: int = 8, src: str = "s", dst: str = "d") -> str:
+    """DuckDB oracle twin of :func:`kcore` — the same fixed peeling
+    rounds as chained CTEs, every multiply-referenced CTE MATERIALIZED
+    (DuckDB inlines per reference; see pagerank_sql)."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT DISTINCT least({src}, {dst}) AS u,"
+        f" greatest({src}, {dst}) AS v FROM ({edges_sql}) WHERE {src} <> {dst}),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f" d{i} AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS degree"
+            f"  FROM (SELECT u AS n FROM e{i} UNION ALL SELECT v AS n FROM e{i})"
+            f"  GROUP BY n),"
+            f" a{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE degree >= {k}),"
+            f" e{i + 1} AS MATERIALIZED (SELECT u, v FROM e{i}"
+            f"  WHERE u IN (SELECT n FROM a{i}) AND v IN (SELECT n FROM a{i})),"
+        )
+    body = "".join(parts).rstrip(",")
+    return (
+        f"{body} SELECT n AS node, degree FROM"
+        f" (SELECT n, CAST(count(*) AS BIGINT) AS degree FROM"
+        f"  (SELECT u AS n FROM e{iters} UNION ALL SELECT v AS n FROM e{iters})"
+        f"  GROUP BY n) WHERE degree >= {k}"
+    )

@@ -85,3 +85,43 @@ def test_triangle_count_triangle_free(spark):
     rows = triangle_count(df, "s", "d").collect()
     assert all(r["triangles"] == 0 for r in rows)
     assert all(r["degree"] == 2 for r in rows)
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    from healthcare_api_spark.operators.graph import kcore
+
+    # K4 {1,2,3,4} + chain 4-5-6: the 3-core is exactly the K4 (the
+    # chain peels away over two rounds)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["s", "d"])
+    out = {r["node"]: r["degree"] for r in kcore(df, "s", "d", k=3, iters=4).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 1-core of the same graph keeps everything
+    assert kcore(df, "s", "d", k=1, iters=4).count() == 6
+
+
+def test_kcore_cascading_peel_needs_iterations(spark):
+    from healthcare_api_spark.operators.graph import kcore
+
+    # path 1-2-3-4-5: 2-core is empty, but only after cascading peels
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], ["s", "d"])
+    assert kcore(df, "s", "d", k=2, iters=4).count() == 0
+    # a single peel round would NOT empty it (interior degrees are 2)
+    assert kcore(df, "s", "d", k=2, iters=1).count() > 0
+
+
+def test_kcore_sql_twin_matches(spark):
+    import duckdb
+
+    from healthcare_api_spark.operators.graph import kcore, kcore_sql
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 4)]
+    df = spark.createDataFrame(edges, ["s", "d"])
+    got = sorted(
+        (r["node"], r["degree"]) for r in kcore(df, "s", "d", k=2, iters=5).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (s BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    want = sorted(map(tuple, con.execute(kcore_sql("SELECT s, d FROM e", 2, 5)).fetchall()))
+    assert got == want and got
