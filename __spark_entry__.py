@@ -2301,6 +2301,20 @@ def q_t19_proximity_rank(spark, sf_dir):
 # At round-5 start: move these queries to the HEAD of queries() and
 # merge this dict into oracle_sql().
 _R5_ORACLE_QUEUE: dict[str, str] = {
+    "fs12_text_phrase": (
+        "WITH planted AS (SELECT doc_id, lang, text || CASE CAST(doc_id % 4 AS INT)"
+        "  WHEN 0 THEN ' spark streaming on' WHEN 1 THEN ' streaming spark off'"
+        "  ELSE '' END AS text FROM documents),"
+        f" toks AS (SELECT doc_id, unnest({{TOKS}}) AS tok,"
+        f"  generate_subscripts({{TOKS}}, 1) AS i FROM planted),"
+        " phrase AS (SELECT DISTINCT a.doc_id FROM toks a JOIN toks b"
+        "  ON a.doc_id = b.doc_id AND b.i = a.i + 1"
+        "  WHERE a.tok = 'spark' AND b.tok = 'streaming'),"
+        " term AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'window')"
+        " SELECT p.doc_id, d.lang FROM planted d"
+        " JOIN phrase p ON d.doc_id = p.doc_id"
+        " JOIN term t ON d.doc_id = t.doc_id"
+    ),
     "ds8_token_mixture": (
         "WITH toks AS (SELECT lang, CAST(sum(len({TOKS})) AS DOUBLE) AS t"
         "  FROM documents GROUP BY lang),"
@@ -2444,6 +2458,34 @@ _R5_ORACLE_QUEUE: dict[str, str] = {
         "  CAST(3 AS INT) AS n_terms FROM spans GROUP BY doc_id"
     ),
 }
+
+
+def q_fs12_text_phrase(spark, sf_dir):
+    """`?_text=window "spark streaming" ` through the SearchEngine —
+    the quoted group must match as ADJACENT tokens while the bare term
+    ANDs as usual; phrases are planted with an out-of-order decoy so
+    adjacency is load-bearing. Oracle queued for r5."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" spark streaming on"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(" streaming spark off"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    eng = SearchEngine(
+        {"Document": planted},
+        {"Document": SearchConfig(
+            string_params={"lang"}, text_search_col="text", id_col="doc_id"
+        )},
+    )
+    return eng.search(
+        "Document",
+        {"_text": 'window "spark streaming"', "_elements": "doc_id,lang"},
+    )
 
 
 def q_ds8_token_mixture(spark, sf_dir):
@@ -3536,6 +3578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t21_zipf_fit": q_t21_zipf_fit,
         "ds8_token_mixture": q_ds8_token_mixture,
         "g3_kcore": q_g3_kcore,
+        "fs12_text_phrase": q_fs12_text_phrase,
     }
 
 
