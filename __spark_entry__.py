@@ -953,6 +953,61 @@ def q_st3_stream_agg_maintenance(spark, sf_dir):
     return out
 
 
+def q_st4_stream_stream_join(spark, sf_dir):
+    """A REAL watermarked stream-stream join inside the gate: events
+    split into a click stream (even ids) and a purchase stream (odd
+    ids), each fed as TWO micro-batch files through readStream, joined
+    on user within (click_ts, click_ts + 30 min] with watermarks, and
+    the append-sink output is the result — hash-checked against the
+    equivalent batch join in SQL (inner stream-stream joins emit every
+    match; watermarks bound state, not the final row set). Oracle
+    queued for r5."""
+    import shutil
+    import tempfile
+
+    from healthcare_api_spark.streaming.joins import stream_stream_join
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_id") % 2 == 0)
+    buys = ev.filter(F.col("event_id") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="st4_")
+    csrc, bsrc, sink, ckpt = (
+        f"{root}/c", f"{root}/b", f"{root}/out", f"{root}/ckpt"
+    )
+    try:
+        # micro-batches split by TIME (first half of the month, then the
+        # rest): an id-based split would feed rows BEHIND the advancing
+        # watermark in batch 2 and the join would (correctly) drop them
+        cutoff = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+        clicks.filter(cutoff).write.mode("append").parquet(csrc)
+        buys.filter(cutoff).write.mode("append").parquet(bsrc)
+        schema = "event_id long, user_id long, ts timestamp"
+        cs = spark.readStream.schema(schema).parquet(csrc)
+        bs = spark.readStream.schema(schema).parquet(bsrc)
+        joined = stream_stream_join(
+            cs.withColumnRenamed("event_id", "click_id").withColumnRenamed("ts", "cts"),
+            bs.withColumnRenamed("event_id", "buy_id").withColumnRenamed("ts", "bts"),
+            "user_id", "cts", "bts", within="30 minutes",
+        ).select(F.col("l.user_id").alias("user_id"), "click_id", "buy_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        clicks.filter(~cutoff).write.mode("append").parquet(csrc)
+        buys.filter(~cutoff).write.mode("append").parquet(bsrc)
+        q.processAllAvailable()
+        q.stop()
+        out = spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_st1_tumbling_window(spark, sf_dir):
     _tune(spark)
     ev = _t(spark, sf_dir, "events")
@@ -2301,6 +2356,12 @@ def q_t19_proximity_rank(spark, sf_dir):
 # At round-5 start: move these queries to the HEAD of queries() and
 # merge this dict into oracle_sql().
 _R5_ORACLE_QUEUE: dict[str, str] = {
+    "st4_stream_stream_join": (
+        "SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id"
+        " FROM events c JOIN events b ON c.user_id = b.user_id"
+        " AND c.event_id % 2 = 0 AND b.event_id % 2 = 1"
+        " AND b.ts > c.ts AND b.ts <= c.ts + INTERVAL 30 MINUTE"
+    ),
     "fs12_text_phrase": (
         "WITH planted AS (SELECT doc_id, lang, text || CASE CAST(doc_id % 4 AS INT)"
         "  WHEN 0 THEN ' spark streaming on' WHEN 1 THEN ' streaming spark off'"
@@ -3579,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds8_token_mixture": q_ds8_token_mixture,
         "g3_kcore": q_g3_kcore,
         "fs12_text_phrase": q_fs12_text_phrase,
+        "st4_stream_stream_join": q_st4_stream_stream_join,
     }
 
 
