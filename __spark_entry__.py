@@ -2356,6 +2356,22 @@ def q_t19_proximity_rank(spark, sf_dir):
 # At round-5 start: move these queries to the HEAD of queries() and
 # merge this dict into oracle_sql().
 _R5_ORACLE_QUEUE: dict[str, str] = {
+    "m12_image_ahash": (
+        "WITH px AS (SELECT doc_id, CAST(doc_id % 40 AS BIGINT) AS d,"
+        "  unnest(generate_series(0, 63)) AS i FROM documents),"
+        " v AS (SELECT doc_id, i,"
+        "  CAST((d * 13 + i * 7) % 251 AS DOUBLE) AS p FROM px),"
+        " m AS (SELECT doc_id, avg(p) AS mu FROM v GROUP BY doc_id),"
+        " bits AS (SELECT v.doc_id, i,"
+        "  CASE WHEN p > mu THEN 1 ELSE 0 END AS b"
+        "  FROM v JOIN m ON v.doc_id = m.doc_id),"
+        " bytes AS (SELECT doc_id, i // 8 AS byte_idx,"
+        "  sum(b * (1 << (7 - (i % 8)))) AS byte FROM bits GROUP BY doc_id, i // 8)"
+        " SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,"
+        "  string_agg(printf('%02x', CAST(byte AS INT)), '' ORDER BY byte_idx)"
+        "   AS ahash, 'ok' AS status"
+        " FROM bytes GROUP BY doc_id"
+    ),
     "st4_stream_stream_join": (
         "SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id"
         " FROM events c JOIN events b ON c.user_id = b.user_id"
@@ -2546,6 +2562,45 @@ def q_fs12_text_phrase(spark, sf_dir):
     return eng.search(
         "Document",
         {"_text": 'window "spark streaming"', "_elements": "doc_id,lang"},
+    )
+
+
+def q_m12_image_ahash(spark, sf_dir):
+    """Perceptual average-hash on REAL decoded pixels: 8×8 grayscale
+    PNGs synthesized from a doc-derived formula (doc_id % 40 → groups
+    of visually identical images, i.e. the image-dedup join key is
+    demonstrably shared), full encode→decode→hash round trip; the
+    oracle recomputes the bits analytically from the pixel formula.
+    Oracle queued for r5."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_api_spark.operators.multimodal import (
+        encode_png_bytes,
+        image_ahash,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id) % 40
+                i = np.arange(64)
+                arr = ((d * 13 + i * 7) % 251).astype(np.uint8).reshape(8, 8)
+                payloads.append(encode_png_bytes(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    imgs = docs.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ).mapInPandas(_gen, "doc_id long, data binary")
+    out = image_ahash(imgs, "doc_id", "data", hash_size=8)
+    return out.select(
+        F.col("id").alias("doc_id"), "width", "height", "ahash", "status"
     )
 
 
@@ -3641,6 +3696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_kcore": q_g3_kcore,
         "fs12_text_phrase": q_fs12_text_phrase,
         "st4_stream_stream_join": q_st4_stream_stream_join,
+        "m12_image_ahash": q_m12_image_ahash,
     }
 
 

@@ -2258,3 +2258,67 @@ def scene_cuts(
             yield pd.DataFrame(rows)
 
     return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_cuts, schema)
+
+
+def image_ahash(
+    df: DataFrame, id_col: str, data_col: str, hash_size: int = 8
+) -> DataFrame:
+    """Perceptual average-hash over REAL decoded image pixels (the
+    image near-dup primitive: join on the hash — or Hamming-bucket it
+    like SimHash — to find visually identical/near-identical images):
+    decode (PNG via the codec-free decoder), grayscale by channel
+    mean, downsample to hash_size² by block mean (block-divisible
+    dims) or nearest-neighbor index sampling otherwise, threshold at
+    the global mean, pack bits row-major to a hex string.
+
+    Arrow-batched mapInPandas; per-row decode errors surface as a
+    typed ``status`` instead of failing the job. Output:
+    (id, width, height, ahash hex string of hash_size²/4 chars,
+    status).
+    """
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("ahash", StringType()),
+            StructField("status", StringType()),
+        ]
+    )
+    hs = int(hash_size)
+    if hs < 2 or hs % 2:
+        raise ValueError("hash_size must be an even integer ≥ 2")
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("id", "width", "height", "ahash", "status")}
+            for rid, b in zip(pdf[id_col], pdf[data_col]):
+                payload = bytes(b) if b is not None else b""
+                dec = _decode_png_pixels(payload)
+                if isinstance(dec, str):
+                    rows["id"].append(rid)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["ahash"].append(None)
+                    rows["status"].append(dec)
+                    continue
+                w, h, ch, raw = dec
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+                gray = px.astype(np.float64).mean(axis=2)
+                if h % hs == 0 and w % hs == 0:
+                    small = gray.reshape(hs, h // hs, hs, w // hs).mean(axis=(1, 3))
+                else:
+                    yi = (np.arange(hs) * h) // hs
+                    xi = (np.arange(hs) * w) // hs
+                    small = gray[np.ix_(yi, xi)]
+                bits = (small > small.mean()).flatten()
+                rows["id"].append(rid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["ahash"].append(np.packbits(bits).tobytes().hex())
+                rows["status"].append("ok")
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_hash, schema)

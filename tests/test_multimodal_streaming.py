@@ -948,3 +948,46 @@ def test_scene_cuts_y4m_and_unsupported(spark):
     assert y4m == [(1, 2.0, 0), (2, 88.0, 1), (3, 1.0, 0)]
     other = [r for r in rows if r["id"] == 2]
     assert len(other) == 1 and other[0]["mode"] == "unsupported"
+
+
+def test_image_ahash_identical_and_inverted(spark):
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        encode_png_bytes,
+        image_ahash,
+    )
+
+    grad = (np.arange(64).reshape(8, 8) * 4).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_png_bytes(grad))),
+        (2, bytearray(encode_png_bytes(grad))),          # exact visual dup
+        (3, bytearray(encode_png_bytes(255 - grad))),     # inverted
+        (4, bytearray(b"not a png")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    out = {r["id"]: r for r in image_ahash(df, "doc_id", "data").collect()}
+    assert out[1]["ahash"] == out[2]["ahash"] and out[1]["status"] == "ok"
+    # inverted image flips every bit → bitwise complement of the hash
+    a, inv = int(out[1]["ahash"], 16), int(out[3]["ahash"], 16)
+    assert a ^ inv == (1 << 64) - 1
+    assert out[4]["status"] != "ok" and out[4]["ahash"] is None
+
+
+def test_image_ahash_block_mean_downsample(spark):
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        encode_png_bytes,
+        image_ahash,
+    )
+
+    # 16×16 built by 2×2-upsampling an 8×8 pattern → same hash as the 8×8
+    base = ((np.arange(64).reshape(8, 8) * 37) % 251).astype(np.uint8)
+    up = np.kron(base, np.ones((2, 2), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png_bytes(base))), (2, bytearray(encode_png_bytes(up)))],
+        "doc_id long, data binary",
+    )
+    out = {r["id"]: r["ahash"] for r in image_ahash(df, "doc_id", "data").collect()}
+    assert out[1] == out[2]
