@@ -2896,15 +2896,22 @@ def q_g2_triangle_count(spark, sf_dir):
 
 
 def q_g3_kcore(spark, sf_dir):
-    """5-core of the k-NN similarity graph by fixed-round peeling —
-    interior nodes have degree 6 (3 ahead + 3 behind), so k=5 peels
-    the rank-boundary customers of every nation and the removals
-    cascade inward a few rounds before stabilizing. Oracle queued for
-    r5 (unrolled MATERIALIZED-CTE rounds)."""
+    """8-core of the co-supply graph (suppliers connected when they
+    ship the same part) by fixed-round peeling. The banded k-NN graph
+    is the WRONG substrate here — its bandwidth-3 paths cascade to an
+    empty core for any k above the minimum degree (the unit tests pin
+    that cascade); the co-supply graph has a dense k-core at every SF.
+    Oracle queued for r5 (unrolled MATERIALIZED-CTE rounds)."""
     from healthcare_api_spark.operators import graph
 
     _tune(spark)
-    return graph.kcore(_knn_customer_edges(spark, sf_dir), "s", "d", k=5, iters=6)
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+    b = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("d"))
+    edges = (
+        a.join(b, "p").filter(F.col("s") < F.col("d")).select("s", "d").distinct()
+    )
+    return graph.kcore(edges, "s", "d", k=8, iters=4)
 
 
 def q_x11_ewma(spark, sf_dir):
@@ -5219,7 +5226,13 @@ def oracle_sql() -> dict[str, str]:
 def _queue_kcore_sql() -> str:
     from healthcare_api_spark.operators.graph import kcore_sql
 
-    return kcore_sql(_KNN_EDGES_SQL, k=5, iters=6)
+    return kcore_sql(
+        "SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS d"
+        " FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a"
+        " JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b"
+        " ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey",
+        k=8, iters=4,
+    )
 
 
 # appended at module end: _KNN_EDGES_SQL is defined mid-module
