@@ -1051,8 +1051,14 @@ def sentence_dedup(
     map-side partial collect. Nothing is O(corpus²) and no driver-side
     state: the seen-set IS the fingerprint partitioning.
     """
+    # NULL text would explode to zero rows and silently DROP the doc
+    # from the output — normalize to the empty string instead (one
+    # empty sentence, doc retained with n_kept ∈ {0, 1})
     parts = (
-        df.select(F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)))
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)),
+        )
         .withColumnRenamed("pos", "_pos")
         .withColumnRenamed("col", "_sent")
     )

@@ -654,6 +654,9 @@ def cusum_flags(
     boolean Column (the in-control period): with a global mean, a real
     level shift drags μ between the regimes and BOTH sides alarm
     everywhere; a pre-change baseline is how CUSUM is actually run.
+    A series with NO baseline-matching rows gets a NULL μ and NULL
+    cusum columns (visible, not silently wrong) — pick a baseline
+    predicate that covers every series.
 
     The max(0, …) recursion LOOKS sequential but folds into pure
     windows via the running-minimum identity

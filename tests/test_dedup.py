@@ -560,3 +560,12 @@ def test_sentence_dedup_no_global_single_partition(spark):
     plan = dedup.sentence_dedup(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     # survivor choice partitions by sentence, never a SinglePartition window
     assert "SinglePartition" not in plan
+
+
+def test_sentence_dedup_null_text_keeps_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.sentence_dedup(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}  # null-text doc is retained, not dropped
+    assert out[2]["text_deduped"] == "" and out[2]["n_sentences"] == 1
