@@ -2356,6 +2356,35 @@ def q_t19_proximity_rank(spark, sf_dir):
 # At round-5 start: move these queries to the HEAD of queries() and
 # merge this dict into oracle_sql().
 _R5_ORACLE_QUEUE: dict[str, str] = {
+    "k6_sketch_rollup": (
+        "WITH d AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,"
+        "  substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS h FROM events),"
+        " td AS (SELECT event_type, day, h, row_number() OVER"
+        "  (PARTITION BY event_type, day ORDER BY h) AS r FROM d),"
+        " td_s AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_seen,"
+        "  max(h) AS hk FROM td WHERE r <= 32 GROUP BY event_type, day),"
+        " t0 AS (SELECT DISTINCT event_type, h FROM d),"
+        " t AS (SELECT event_type, h, row_number() OVER"
+        "  (PARTITION BY event_type ORDER BY h) AS r FROM t0),"
+        " t_s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen,"
+        "  max(h) AS hk FROM t WHERE r <= 32 GROUP BY event_type),"
+        " a0 AS (SELECT DISTINCT h FROM d),"
+        " a AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM a0),"
+        " a_s AS (SELECT CAST(count(*) AS BIGINT) AS n_seen, max(h) AS hk"
+        "  FROM a WHERE r <= 32)"
+        " SELECT 'type_day' AS level, event_type, strftime(day, '%Y-%m-%d') AS day,"
+        "  n_seen, CAST(round(CASE WHEN n_seen < 32 THEN n_seen::DOUBLE"
+        "   ELSE 31.0 / (('0x' || hk)::BIGINT / 4294967296.0) END) AS BIGINT)"
+        "   AS est_distinct FROM td_s"
+        " UNION ALL SELECT 'type', event_type, NULL, n_seen,"
+        "  CAST(round(CASE WHEN n_seen < 32 THEN n_seen::DOUBLE"
+        "   ELSE 31.0 / (('0x' || hk)::BIGINT / 4294967296.0) END) AS BIGINT)"
+        "  FROM t_s"
+        " UNION ALL SELECT 'all', NULL, NULL, n_seen,"
+        "  CAST(round(CASE WHEN n_seen < 32 THEN n_seen::DOUBLE"
+        "   ELSE 31.0 / (('0x' || hk)::BIGINT / 4294967296.0) END) AS BIGINT)"
+        "  FROM a_s"
+    ),
     "m12_image_ahash": (
         "WITH px AS (SELECT doc_id, CAST(doc_id % 40 AS BIGINT) AS d,"
         "  unnest(generate_series(0, 63)) AS i FROM documents),"
@@ -2562,6 +2591,46 @@ def q_fs12_text_phrase(spark, sf_dir):
     return eng.search(
         "Document",
         {"_text": 'window "spark streaming"', "_elements": "doc_id,lang"},
+    )
+
+
+def q_k6_sketch_rollup(spark, sf_dir):
+    """Multi-granularity distinct-user counts from ONE sketch pass:
+    daily KMV sketches built once, then every coarser level —
+    per-type, global — derived by merging the k-bounded states
+    (kmv_rollup), never rescanning events. The 100 TB rollup pattern;
+    all three levels' states AND estimates hash-verified. Oracle
+    queued for r5."""
+    from healthcare_api_spark.operators import sketches
+
+    _tune(spark)
+    kk = 32
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = sketches.kmv_build(ev, ["event_type", "day"], "user_id", k=kk)
+    by_type = sketches.kmv_rollup(daily, ["event_type"], k=kk)
+    overall = sketches.kmv_rollup(daily, [], k=kk)
+
+    def fmt(df, level, with_day):
+        est = sketches.kmv_distinct(df, k=kk)
+        return est.select(
+            F.lit(level).alias("level"),
+            (F.col("event_type") if level != "all" else F.lit(None).cast("string"))
+            .alias("event_type"),
+            (
+                F.date_format("day", "yyyy-MM-dd")
+                if with_day
+                else F.lit(None).cast("string")
+            ).alias("day"),
+            "n_seen",
+            "est_distinct",
+        )
+
+    return (
+        fmt(daily, "type_day", True)
+        .unionByName(fmt(by_type, "type", False))
+        .unionByName(fmt(overall, "all", False))
     )
 
 
@@ -3704,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs12_text_phrase": q_fs12_text_phrase,
         "st4_stream_stream_join": q_st4_stream_stream_join,
         "m12_image_ahash": q_m12_image_ahash,
+        "k6_sketch_rollup": q_k6_sketch_rollup,
     }
 
 

@@ -279,3 +279,27 @@ def hash_sample_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
             f"q_{str(p).replace('.', '_')}", F.round(est, 6)
         )
     return out
+
+
+def kmv_rollup(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge KMV sketches UP a grouping hierarchy: collapse a
+    finer-grained sketch table to ``group_cols`` by taking the bottom-k
+    of the union of each group's sketches — the reason sketches beat
+    exact distinct at 100 TB: count once at the finest grain, then
+    derive every coarser rollup level from the k-bounded states
+    without ever rescanning raw data. (bottom-k of a union ==
+    bottom-k of concatenated bottom-ks, the kmv_merge property.)
+
+    One map-side-combined aggregate over sketch rows (already tiny).
+    Output: (group…, n_seen, kmv) — same shape as kmv_build, so
+    kmv_distinct and further rollups compose.
+    """
+    merged = sketch.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))),
+            1, k,
+        ).alias("kmv")
+    )
+    return merged.withColumn("n_seen", F.size("kmv").cast("bigint")).select(
+        *group_cols, "n_seen", "kmv"
+    )

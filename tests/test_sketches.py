@@ -270,3 +270,18 @@ def test_streaming_hash_sample_merge_matches_batch(spark, tmp_path):
     ).collect()[0]
     assert sorted(map(tuple, got["sample"])) == sorted(map(tuple, want["sample"]))
     assert got["n_total"] == want["n_total"] == 300
+
+
+def test_kmv_rollup_equals_direct_build(spark):
+    from healthcare_api_spark.operators.sketches import kmv_build, kmv_rollup
+
+    rows = [("a", d, u) for d in range(4) for u in range(d * 40, d * 40 + 60)] + [
+        ("b", d, u) for d in range(2) for u in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["g", "day", "u"])
+    daily = kmv_build(df, ["g", "day"], "u", k=32)
+    rolled = {r["g"]: r for r in kmv_rollup(daily, ["g"], k=32).collect()}
+    direct = {r["g"]: r for r in kmv_build(df, ["g"], "u", k=32).collect()}
+    for g in ("a", "b"):
+        assert rolled[g]["kmv"] == direct[g]["kmv"]
+        assert rolled[g]["n_seen"] == direct[g]["n_seen"]

@@ -89,6 +89,22 @@ def test_r5_queued_oracles_match_at_sf0001():
         odf = con.execute(sql.replace("{TOKS}", toks).replace("{NORM}", norm)).df()
         assert sorted(sdf.columns) == sorted(odf.columns), name
         cols = sorted(sdf.columns)
-        got = sorted(map(tuple, sdf[cols].itertuples(index=False)))
-        want = sorted(map(tuple, odf[cols].itertuples(index=False)))
+
+        def canon(frame):
+            import math
+
+            out = []
+            for tup in frame[cols].itertuples(index=False):
+                row = []
+                for v in tup:
+                    if v is None or (isinstance(v, float) and math.isnan(v)):
+                        row.append("\x00")
+                    elif isinstance(v, float):
+                        row.append(f"{v:.9g}")
+                    else:
+                        row.append(str(v))
+                out.append(tuple(row))
+            return sorted(out)
+
+        got, want = canon(sdf), canon(odf)
         assert got == want, f"{name}: spark != oracle"
