@@ -68,10 +68,13 @@ HEADLINE = [
     "d13_passjoin",
     "a14_co_occurrence",
     # round 4 late wave: corpus-wide sentence dedup, triangle counting,
-    # positional-index phrase search
+    # positional-index phrase search, pixel perceptual hashing,
+    # sketch rollup
     "d17_sentence_dedup",
     "g2_triangle_count",
     "t18_phrase_search",
+    "m12_image_ahash",
+    "k6_sketch_rollup",
 ]
 
 N_STEADY = 3
