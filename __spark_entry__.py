@@ -3606,6 +3606,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the union property (r1∪r2∪r3∪r4 sweeps ⊇ all hash queries)
     # mechanically instead of by NOTES.md discipline.
     return {
+        # --- r5 prefix head: the 13 queries whose hash oracles were
+        # QUEUED in r4 (_R5_ORACLE_QUEUE, now merged into oracle_sql())
+        # — pytest-verified vs DuckDB every run, but the driver has
+        # never issued a hash for them. VERDICT r4 "Next round" #1. ---
+        "t19_proximity_rank": q_t19_proximity_rank,
+        "t20_quality_logistic": q_t20_quality_logistic,
+        "v8_pooled_embeddings": q_v8_pooled_embeddings,
+        "w11_rolling_quantiles": q_w11_rolling_quantiles,
+        "m11_scene_cuts": q_m11_scene_cuts,
+        "x12_cusum_changepoint": q_x12_cusum_changepoint,
+        "t21_zipf_fit": q_t21_zipf_fit,
+        "ds8_token_mixture": q_ds8_token_mixture,
+        "g3_kcore": q_g3_kcore,
+        "fs12_text_phrase": q_fs12_text_phrase,
+        "st4_stream_stream_join": q_st4_stream_stream_join,
+        "m12_image_ahash": q_m12_image_ahash,
+        "k6_sketch_rollup": q_k6_sketch_rollup,
+        # --- r4 prefix (all driver-hash-green in CORRECTNESS_r04) ---
         "t18_phrase_search": q_t18_phrase_search,
         "fs11_repeat_and": q_fs11_repeat_and,
         "g2_triangle_count": q_g2_triangle_count,
@@ -3759,21 +3777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier": q_q5_local_supplier,
         "q6_forecast_revenue": q_q6_forecast_revenue,
-        # --- post-prefix r4 additions: hash oracles queued for the r5
-        # sweep prefix (_R5_ORACLE_QUEUE); rows-only until then ---
-        "t19_proximity_rank": q_t19_proximity_rank,
-        "t20_quality_logistic": q_t20_quality_logistic,
-        "v8_pooled_embeddings": q_v8_pooled_embeddings,
-        "w11_rolling_quantiles": q_w11_rolling_quantiles,
-        "m11_scene_cuts": q_m11_scene_cuts,
-        "x12_cusum_changepoint": q_x12_cusum_changepoint,
-        "t21_zipf_fit": q_t21_zipf_fit,
-        "ds8_token_mixture": q_ds8_token_mixture,
-        "g3_kcore": q_g3_kcore,
-        "fs12_text_phrase": q_fs12_text_phrase,
-        "st4_stream_stream_join": q_st4_stream_stream_join,
-        "m12_image_ahash": q_m12_image_ahash,
-        "k6_sketch_rollup": q_k6_sketch_rollup,
     }
 
 
@@ -3935,7 +3938,7 @@ def oracle_sql() -> dict[str, str]:
     en_stop = lang_counts["en"]
     punct = f"len(regexp_extract_all({_NORM_SQL}, '[^\\w\\s]'))"
 
-    return {
+    out = {
         "a3_count_accurate": "SELECT count(*) AS cnt FROM customer",
         "a4_counts_by_type": (
             "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus"
@@ -5291,6 +5294,12 @@ def oracle_sql() -> dict[str, str]:
             "     SELECT o_custkey FROM orders WHERE o_totalprice >= 495000))"
         ),
     }
+    # r4's _R5_ORACLE_QUEUE, exported for the r5 driver sweep. Queue
+    # entries carry {TOKS}/{NORM} placeholders (shared tokenizer SQL);
+    # inline them here so the driver can run the strings verbatim.
+    for _name, _sql in _R5_ORACLE_QUEUE.items():
+        out[_name] = _sql.replace("{TOKS}", _TOKS_SQL).replace("{NORM}", _NORM_SQL)
+    return out
 
 
 def _queue_kcore_sql() -> str:
