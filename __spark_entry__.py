@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 
 from healthcare_api_spark.functions.mime import guess_mime
 from healthcare_api_spark.functions.refs import make_ref, ref_id, ref_type
-from healthcare_api_spark.operators import curation, dedup, relational, similarity, textops
+from healthcare_api_spark.operators import (
+    analytics,
+    curation,
+    dedup,
+    relational,
+    similarity,
+    textops,
+)
 from healthcare_api_spark.operators.multimodal import attach_payload, decode_image_meta
 from healthcare_api_spark.operators.transforms import transform_document_reference
 from healthcare_api_spark.plans.search import (
@@ -2194,34 +2201,55 @@ def q_w9_ohlc_bars(spark, sf_dir):
     )
 
 
+
+
+# Frozen PQ codebooks for v7 — a SHIPPED model artifact, like t20's
+# fixed logistic weights: trained offline ONCE with similarity.pq_train
+# (sf0.01 embeddings, m=4, ksub=16, iters=2, deterministic lowest-id
+# init), coordinates rounded to round(x*1000) ints. Freezing makes the
+# query hash-exact (integer encode + ADC on both engines) — runtime
+# retraining would re-introduce float-summation-order noise, which is
+# exactly why v7 was rows-only through r5 (VERDICT r5 task #6).
+_V7_SCALE = 1000
+_V7_BOOKS: list[list[list[int]]] = [[[3,50,11,-124,73,-39,-19,-8,105,-6,-44,-8,-74,-21,-33,11],[-92,10,69,9,14,-16,-85,33,-67,7,-62,11,74,-71,67,3],[-3,-41,-94,31,-24,-14,90,32,-27,-130,-5,10,-40,78,4,99],[-21,62,49,9,69,-23,67,40,-74,40,-39,88,24,188,-13,16],[-21,-42,45,-6,-14,-213,104,68,-41,115,60,-11,21,-31,101,57],[26,-102,61,3,56,-11,-9,92,-31,69,106,-51,35,-25,-61,-43],[-130,-10,-2,-98,-101,98,-17,45,45,116,120,60,-57,121,-18,-20],[159,67,-15,31,-6,4,-8,124,-71,-54,-41,-7,-51,-28,28,-111],[6,-76,-7,18,30,95,-158,5,31,115,-83,85,103,10,-57,152],[36,-25,-4,31,-44,96,6,-38,-26,31,-21,41,-117,-6,-88,-31],[95,19,-140,-47,-44,53,9,-39,12,-56,67,-12,96,-21,73,-74],[-62,-19,-59,43,67,-18,-91,-172,0,2,75,-23,-24,75,-44,-12],[72,20,78,-16,82,150,-91,12,46,-74,103,38,93,5,27,106],[31,47,13,95,-19,33,-80,-17,-4,-98,77,-89,-12,-165,-32,74],[-8,-17,-16,-52,36,73,-5,14,115,112,-70,-4,19,-53,171,0],[-63,1,30,-11,-130,-134,-77,-34,-9,-119,-13,-53,-18,63,-52,-129]],[[13,-8,9,26,-177,-43,8,-7,63,87,105,-78,39,162,33,81],[-39,53,-14,-45,49,106,23,-142,28,70,-97,-65,-59,100,-156,87],[-117,-80,-132,-43,9,38,46,-7,-13,-27,-61,-57,62,99,-47,-116],[-22,23,34,59,3,46,-27,5,-43,-28,-4,-123,-112,-23,-60,4],[52,81,46,-28,-66,101,-9,34,-14,-32,86,-30,95,-53,46,34],[93,-61,-89,53,9,-43,-16,13,133,58,8,-6,71,73,73,-123],[-24,99,-51,10,74,-62,-22,-29,-4,-76,19,85,45,9,19,-58],[66,-26,-57,58,-62,21,79,65,30,-60,-70,89,-25,31,116,57],[26,-14,71,43,63,-58,154,-13,-86,131,24,8,9,-174,-65,24],[15,3,66,-89,-39,-7,84,176,20,-91,-76,13,-66,-118,16,-62],[-33,82,48,-18,-65,21,20,-21,83,118,-70,95,-22,50,-104,-11],[118,1,-46,-85,-22,-51,61,-93,72,41,77,17,-91,0,-62,68],[-29,-114,-95,-58,-6,82,-11,-37,-56,153,-16,22,-5,-83,106,-93],[-10,21,84,-121,134,35,49,-182,18,-50,16,2,11,-69,12,7],[15,-58,32,41,32,-34,-78,51,-95,30,-23,50,57,40,-66,53],[-89,30,50,67,-39,-42,-8,-46,-7,30,-15,0,-98,-36,117,-62]],[[-68,-79,-25,-16,-13,11,69,12,52,25,-72,-32,-19,92,19,-87],[12,-27,-24,33,-76,-60,38,-155,-48,-38,74,50,21,17,-56,-88],[-4,-10,-1,51,17,70,14,55,15,41,150,62,-68,16,1,-74],[137,16,-23,30,-19,-42,42,-86,17,-76,-150,39,-3,27,24,-10],[-83,-15,54,-81,-56,6,-88,-93,42,5,-83,-12,28,39,-81,99],[0,-29,-68,99,56,70,-21,16,-63,102,-86,35,-83,-42,74,11],[-52,-69,-29,119,144,48,15,31,48,-95,11,-117,84,20,59,87],[-36,-39,-43,-4,-68,-47,10,57,-16,-105,21,24,-30,63,20,99],[-33,37,141,-14,2,46,74,-43,-53,-93,3,-18,19,-71,14,-24],[-47,10,108,91,-310,-24,-56,205,-26,14,230,42,-117,17,-19,-105],[135,-9,52,-8,52,71,-66,97,-93,-126,-82,-29,-21,9,66,-104],[67,-71,-29,45,29,-102,-146,-7,132,-5,41,-23,21,-20,-73,-34],[37,87,-14,-67,0,-35,-52,107,15,20,-16,112,30,-67,-60,68],[109,77,18,-58,11,134,18,-40,-32,-35,-10,-125,-131,19,-150,25],[67,195,12,21,68,-90,-27,-69,-8,21,95,-61,34,-52,90,72],[55,-31,45,-143,-55,-109,67,33,-36,131,65,-77,14,-27,47,49]],[[81,1,-20,64,78,-59,-3,-35,-6,-81,-149,-26,-26,22,2,-129],[-78,-87,-6,2,6,63,9,75,89,-42,9,75,-73,7,-71,-52],[81,2,103,-48,57,-142,131,112,-21,-30,17,81,35,91,40,43],[189,-240,6,-36,-31,128,-66,9,-58,-117,-17,-16,37,-9,46,-63],[-25,-37,11,51,67,35,73,-38,91,-87,-4,-89,-32,76,49,88],[-34,24,58,21,-8,137,-191,-150,-29,-111,-28,78,10,46,-41,40],[-14,-18,-86,88,7,15,-36,113,-45,12,-12,31,-29,20,79,-20],[-84,-25,87,60,-33,-92,-33,100,43,107,-148,-84,59,-103,-14,-69],[-89,-55,15,61,-63,51,45,-94,-76,86,34,-108,-17,-51,18,-18],[56,-25,-28,-121,-43,-2,-4,19,16,13,40,-91,10,30,2,-30],[65,106,86,4,64,3,-26,-5,110,41,25,48,117,-59,-21,29],[145,-31,-56,-58,54,50,54,3,-157,54,-65,-29,33,-8,23,156],[-92,51,45,7,127,7,22,45,-47,-75,89,-40,84,43,-120,-95],[-114,-49,37,27,-65,1,-13,13,-64,18,-11,68,92,31,-114,93],[-99,34,-6,-7,18,-63,57,-22,-50,14,-132,73,-64,-34,85,15],[39,27,22,-30,-33,-89,-29,-125,37,12,78,61,-91,-2,-31,-89]]]
+
+
 def q_v7_pq_topk(spark, sf_dir):
     """Product-quantization ANN (Jégou 2011): m=4 subspace codebooks,
     codes = 4 bytes per 64-dim vector (64× compression), ADC top-10
-    via inlined lookup tables. Rows-only (k-means isn't
-    SQL-expressible); recall pinned in tests on clustered geometry."""
+    via inlined integer lookup tables. Hash-exact since r6: the
+    codebooks are the FROZEN offline-trained artifact (_V7_BOOKS) and
+    encode + ADC run entirely in integers (pq_adc_topk_int), so the
+    DuckDB oracle reproduces the ranking bit-for-bit. The float
+    training pipeline (pq_train/pq_encode/pq_topk) keeps its own
+    recall-pinned tests."""
     _tune(spark)
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    books = similarity.pq_train(emb, "vec_id", "embedding", m=4, ksub=16, iters=2)
-    enc = similarity.pq_encode(emb, "embedding", books)
-    return similarity.pq_topk(enc, "vec_id", "codes", qvec, books, k=10)
+    return similarity.pq_adc_topk_int(
+        emb, "vec_id", "embedding", _V7_BOOKS, qvec, k=10, scale=_V7_SCALE
+    )
 
 
 def q_a14_co_occurrence(spark, sf_dir):
     """Market-basket co-occurrence mining: part pairs ordered together
-    in ≥ 3 orders (the pairwise-support core of FP-growth). The pair
-    join is keyed by the basket id — candidates are per-order item
-    pairs, never a global cross product; map-side combine collapses
-    repeat pairs before the count shuffle."""
+    in ≥ 3 orders (the pairwise-support core of FP-growth), via the
+    packaged :func:`analytics.co_occurrence` operator. Guards (r6):
+    a lossless min-support a-priori item prune plus a max_basket=1000
+    drop cap — one pathological basket would emit |b|² pairs in a
+    single join group AQE cannot split; the cap bounds it. On TPC-H
+    (baskets ≤ 7) neither guard changes a row; the oracle mirrors both
+    steps exactly."""
     _tune(spark)
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
-    pairs = a.join(b, "o").filter(F.col("part_a") < F.col("part_b"))
-    return (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 3)
+    li = _t(spark, sf_dir, "lineitem")
+    out = analytics.co_occurrence(
+        li, "l_orderkey", "l_partkey",
+        min_support=3, max_basket=1000, on_exceed="drop",
+    )
+    return out.select(
+        F.col("item_a").alias("part_a"),
+        F.col("item_b").alias("part_b"),
+        F.col("n_baskets").alias("n_orders"),
     )
 
 
@@ -3364,18 +3392,29 @@ def q_w7_hopping_window(spark, sf_dir):
 
 def q_x7_lttb_downsample(spark, sf_dir):
     """Exact LTTB (previous-chosen-point recurrence → applyInPandas with
-    the series as parallelism unit). Sequential per series, not
-    SQL-expressible — rows-only check; the algorithm is pytest-pinned
-    (spike survival, hand-computed example, endpoint invariants)."""
+    the series as parallelism unit). Hash-verifiable since r6: the
+    fixed bucket count (n_out−2 = 38) unrolls the recurrence into 38
+    chained argmax CTEs on the DuckDB side (_x7_oracle), and every
+    quantity entering a triangle area is bit-portable — x is
+    series-relative µs (ints, exact float64 sums), y is the value
+    quantized to round(value·10⁴) ints (events carry 2 decimals, so
+    this is exact), means are exact-sum/count. The pick indices are
+    therefore identical across engines; the algorithm itself stays
+    pytest-pinned (spike survival, hand-computed example, endpoint
+    invariants)."""
     from healthcare_api_spark.operators.temporal import lttb_downsample
 
     _tune(spark)
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 10000).cast("long").cast("double").alias("value"),
+    )
     out = lttb_downsample(ev, ("event_type",), "ts", "value", n_out=40)
     return out.select(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-        F.round("value", 4).alias("value"),
+        F.round(F.col("value") / 10000.0, 4).alias("value"),
     )
 
 
@@ -3606,10 +3645,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the union property (r1∪r2∪r3∪r4 sweeps ⊇ all hash queries)
     # mechanically instead of by NOTES.md discipline.
     return {
+        # --- r6 prefix head: queries whose semantics/oracle changed
+        # this round (t21 plan fix, a14 basket guard, m11 short-video
+        # marker, v8 zero-guard, m12 validation) or whose hash oracle
+        # is NEW (v7 frozen-integer PQ, x7 unrolled LTTB) — all must be
+        # re-hashed inside the 50-entry driver sweep
+        # (tests/test_sweep_union.py's caveat). ---
+        "v7_pq_topk": q_v7_pq_topk,
+        "x7_lttb_downsample": q_x7_lttb_downsample,
+        "a14_co_occurrence": q_a14_co_occurrence,
         # --- r5 prefix head: the 13 queries whose hash oracles were
         # QUEUED in r4 (_R5_ORACLE_QUEUE, now merged into oracle_sql())
-        # — pytest-verified vs DuckDB every run, but the driver has
-        # never issued a hash for them. VERDICT r4 "Next round" #1. ---
+        # — pytest-verified vs DuckDB every run; t21/g3/m11/v8/m12 in
+        # this block also changed in r6 and re-hash in this sweep. ---
         "t19_proximity_rank": q_t19_proximity_rank,
         "t20_quality_logistic": q_t20_quality_logistic,
         "v8_pooled_embeddings": q_v8_pooled_embeddings,
@@ -3668,8 +3716,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k4_kmv_distinct": q_k4_kmv_distinct,
         "m10_gif_frames": q_m10_gif_frames,
         "w9_ohlc_bars": q_w9_ohlc_bars,
-        "v7_pq_topk": q_v7_pq_topk,
-        "a14_co_occurrence": q_a14_co_occurrence,
         "w10_rolling_distinct": q_w10_rolling_distinct,
         "u3_url_dedup_groups": q_u3_url_dedup_groups,
         "st3_stream_agg_maintenance": q_st3_stream_agg_maintenance,
@@ -3723,7 +3769,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_attachment_meta": q_m1_attachment_meta,
         "m2_image_decode": q_m2_image_decode,
         "w2_keyset_page": q_w2_keyset_page,
-        "x7_lttb_downsample": q_x7_lttb_downsample,
         "v2_ann_lsh": q_v2_ann_lsh,
         "v3_ivf_topk": q_v3_ivf_topk,
         "v4_pca_project": q_v4_pca_project,
@@ -4992,11 +5037,18 @@ def oracle_sql() -> dict[str, str]:
             " FROM c GROUP BY cu HAVING count(*) > 1"
         ),
         # a14: same basket-keyed pair join
+        # a14: mirrors co_occurrence's guards — lossless min-support
+        # item prune, then max_basket=1000 drop (no-ops on TPC-H)
         "a14_co_occurrence": (
-            "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey FROM lineitem)"
-            " SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,"
+            "WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i"
+            "  FROM lineitem),"
+            " freq AS (SELECT i FROM li0 GROUP BY i HAVING count(*) >= 3),"
+            " li1 AS (SELECT o, i FROM li0 WHERE i IN (SELECT i FROM freq)),"
+            " ok AS (SELECT o FROM li1 GROUP BY o HAVING count(*) <= 1000),"
+            " li AS (SELECT o, i FROM li1 WHERE o IN (SELECT o FROM ok))"
+            " SELECT a.i AS part_a, b.i AS part_b,"
             "  CAST(count(*) AS BIGINT) AS n_orders"
-            " FROM li a JOIN li b ON a.o = b.o AND a.l_partkey < b.l_partkey"
+            " FROM li a JOIN li b ON a.o = b.o AND a.i < b.i"
             " GROUP BY 1, 2 HAVING count(*) >= 3"
         ),
         # w10: identical daily bottom-32 sketches merged over the same
@@ -5299,7 +5351,119 @@ def oracle_sql() -> dict[str, str]:
     # inline them here so the driver can run the strings verbatim.
     for _name, _sql in _R5_ORACLE_QUEUE.items():
         out[_name] = _sql.replace("{TOKS}", _TOKS_SQL).replace("{NORM}", _NORM_SQL)
+    # r6: v7 graduates from rows-only — integer encode + ADC over the
+    # frozen _V7_BOOKS artifact is engine-portable (VERDICT r5 task #6)
+    out["v7_pq_topk"] = _v7_oracle()
+    # r6: x7 graduates from rows-only — the LTTB recurrence unrolled as
+    # 38 chained argmax CTEs with bit-portable arithmetic (task #8)
+    out["x7_lttb_downsample"] = _x7_oracle()
     return out
+
+
+def _x7_oracle(n_out: int = 40) -> str:
+    """DuckDB twin of q_x7_lttb_downsample: the sequential LTTB pick
+    recurrence unrolled into ``n_out − 2`` chained CTE steps (the
+    ewma_sql route). Every CTE is MATERIALIZED — each step is
+    referenced twice (next step + final selection), so DuckDB's
+    per-reference inlining would otherwise double the tree per level
+    (2³⁸ blowup). Bucket edges mirror numpy's
+    ``(arange(k+1)·(n−2)/k).astype(int)+1`` exactly (float64 division
+    then truncation — the closed-form floor inverse is NOT equivalent,
+    verified by brute force); x is series-relative µs and y the
+    10⁴-quantized value, so every mean is an exact integer sum divided
+    once and the argmax picks are bit-identical to numpy's."""
+    k = n_out - 2
+    parts = [
+        # quantized, ranked base (sort mirrors numpy [ts, value-quantized])
+        "WITH base AS MATERIALIZED ("
+        " SELECT event_type AS g, ts,"
+        "  CAST(round(CAST(value AS DOUBLE) * 10000) AS BIGINT) AS yq,"
+        "  row_number() OVER w AS rn,"
+        "  count(*) OVER (PARTITION BY event_type) AS n"
+        " FROM events WINDOW w AS (PARTITION BY event_type"
+        "  ORDER BY ts ASC, CAST(round(CAST(value AS DOUBLE) * 10000) AS BIGINT) ASC)),"
+        " big AS MATERIALIZED ("
+        " SELECT g, ts, rn, n,"
+        "  CAST(epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY g) AS DOUBLE) AS x,"
+        "  CAST(yq AS DOUBLE) AS y"
+        f" FROM base WHERE n > {n_out}),"
+        # numpy bucket edges: i0 = rn-1 ∈ [trunc(j·(n−2)/k)+1, trunc((j+1)·(n−2)/k)+1)
+        " bk AS MATERIALIZED ("
+        f" SELECT g, n, j, CAST(trunc(CAST(j * (n - 2) AS DOUBLE) / {k}.0) AS BIGINT) + 1 AS lo,"
+        f"  CAST(trunc(CAST((j + 1) * (n - 2) AS DOUBLE) / {k}.0) AS BIGINT) + 1 AS hi"
+        f" FROM (SELECT DISTINCT g, n FROM big), (SELECT unnest(generate_series(0, {k - 1})) AS j)),"
+        " ib AS MATERIALIZED ("
+        " SELECT big.g, big.rn, big.x, big.y, bk.j"
+        " FROM big JOIN bk ON bk.g = big.g AND big.rn - 1 >= bk.lo AND big.rn - 1 < bk.hi),"
+        " av AS MATERIALIZED ("
+        " SELECT g, j, avg(x) AS ax, avg(y) AS ay FROM ib GROUP BY g, j),"
+        " lastp AS MATERIALIZED (SELECT g, x AS ax, y AS ay FROM big WHERE rn = n),"
+        " p0 AS MATERIALIZED (SELECT g, rn, x, y FROM big WHERE rn = 1),"
+    ]
+    for j in range(k):
+        nxt = (
+            f"av a ON a.g = i.g AND a.j = {j + 1}"
+            if j < k - 1
+            else "lastp a ON a.g = i.g"
+        )
+        parts.append(
+            f" p{j + 1} AS MATERIALIZED (SELECT g, rn, x, y FROM ("
+            f" SELECT i.g, i.rn, i.x, i.y, row_number() OVER (PARTITION BY i.g"
+            f"  ORDER BY abs((i.x - p.x) * (a.ay - p.y) - (a.ax - p.x) * (i.y - p.y)) DESC,"
+            f"  i.rn ASC) AS rk"
+            f" FROM ib i JOIN p{j} p ON p.g = i.g JOIN {nxt}"
+            f" WHERE i.j = {j}) WHERE rk = 1),"
+        )
+    picks = " UNION ALL ".join(f"SELECT g, rn FROM p{j}" for j in range(k + 1))
+    parts.append(
+        " sel AS MATERIALIZED ("
+        f" {picks}"
+        " UNION ALL SELECT g, n AS rn FROM (SELECT DISTINCT g, n FROM big))"
+        " SELECT b.g AS event_type,"
+        " strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,"
+        " round(CAST(b.yq AS DOUBLE) / 10000.0, 4) AS value"
+        " FROM base b LEFT JOIN sel s ON s.g = b.g AND s.rn = b.rn"
+        f" WHERE b.n <= {n_out} OR s.rn IS NOT NULL"
+    )
+    return "".join(parts)
+
+
+def _v7_oracle() -> str:
+    """DuckDB twin of q_v7_pq_topk: the same frozen integer codebooks
+    as literals, vectors quantized with the same round(x·1000), encode
+    = list_position of the list_min (first min → lowest code id, the
+    struct-compare tie-break mirrored), ADC distance recomputed as
+    ‖q_sub − chosen_centroid‖² — definitionally equal to the lookup-
+    table entry the Spark side inlines. All integer arithmetic."""
+    m = len(_V7_BOOKS)
+    sub = len(_V7_BOOKS[0][0])
+    sq = "s -> (s[1]-s[2])*(s[1]-s[2])"
+    dl_cols, p_cols, terms = [], [], []
+    for j in range(m):
+        cb = (
+            "[" + ",".join("[" + ",".join(str(c) for c in cent) + "]"
+                           for cent in _V7_BOOKS[j]) + "]"
+        )
+        lo, hi = j * sub + 1, (j + 1) * sub
+        dl_cols.append(
+            f"list_transform({cb}, c -> list_sum(list_transform("
+            f"list_zip(e[{lo}:{hi}], c), {sq}))) AS dl{j}"
+        )
+        p_cols.append(f"list_position(dl{j}, list_min(dl{j})) AS p{j}")
+        terms.append(
+            f"list_sum(list_transform(list_zip(qv[{lo}:{hi}], ({cb})[p{j}]), {sq}))"
+        )
+    score = " + ".join(terms)
+    return (
+        f"WITH qe AS (SELECT vec_id, list_transform(embedding,"
+        f" x -> CAST(round(CAST(x AS DOUBLE) * {_V7_SCALE}) AS BIGINT)) AS e"
+        f" FROM embeddings),"
+        f" q AS (SELECT e AS qv FROM qe WHERE vec_id = 0),"
+        f" d AS (SELECT vec_id, {', '.join(dl_cols)}, qv FROM qe, q),"
+        f" c AS (SELECT vec_id, {', '.join(p_cols)}, qv FROM d)"
+        f" SELECT vec_id, CAST({score} AS BIGINT) AS adc_dist FROM c"
+        f" ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"
+    )
 
 
 def _queue_kcore_sql() -> str:

@@ -38,6 +38,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from healthcare_api_spark import get_spark
 
+# The r3 18-query set, frozen: its steady-median subtotal is emitted as
+# ``comparable_subtotal_sec`` every round so round-over-round totals stay
+# directly comparable as the headline set grows (VERDICT r4 task #5).
+R3_COMPARABLE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "j1_broadcast_join",
+    "j3_explode_join",
+    "w1_latest_per_key",
+    "s8_upsert_lastwin",
+    "st1_tumbling_window",
+    "d1_dedup_exact",
+    "d2_dedup_minhash",
+    "d4_ngram_jaccard",
+    "v1_ann_topk",
+    "t2_quality_score",
+    "t4_fingerprints",
+    "x1_asof_join",
+    "x3_hierarchical_rollup",
+    "a6_grouping_sets",
+]
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -117,6 +141,10 @@ def main() -> None:
                 "queries_cold": cold,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "steady_totals": [round(sum(p.values()), 3) for p in steady],
+                "comparable_subtotal_sec": round(
+                    sum(medians[n] for n in R3_COMPARABLE), 3
+                ),
+                "comparable_set": "r3_18_query",
                 "runs": 1 + N_STEADY,
             }
         )

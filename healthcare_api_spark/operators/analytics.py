@@ -139,3 +139,82 @@ def drift_psi(
         F.max("na").cast("bigint").alias("n_a"),
         F.max("nb").cast("bigint").alias("n_b"),
     )
+
+
+def co_occurrence(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket: int | None = None,
+    on_exceed: str = "raise",
+) -> DataFrame:
+    """Market-basket pairwise co-occurrence (the pairwise-support core
+    of FP-growth): item pairs appearing together in ≥ ``min_support``
+    baskets. Output: (item_a, item_b, n_baskets) with item_a < item_b.
+
+    Scale guards — the per-basket pair self-join costs Σ|basket|², and
+    AQE cannot split a single join key's OUTPUT, so one pathological
+    basket (10⁵ items → 10¹⁰ pairs in one join group) sinks the stage.
+    Two defenses, applied BEFORE the pair join:
+
+    1. **Min-support item prune (lossless, always on).** A pair with
+       support ≥ s needs both items in ≥ s baskets individually, so
+       items below ``min_support`` distinct baskets are dropped up
+       front — the classic a-priori/FP-growth prune. On long-tailed
+       corpora this removes most of the Σ|basket|² mass without
+       changing one output row.
+    2. **``max_basket`` cap (opt-in).** After the prune, baskets still
+       larger than the cap are handled per ``on_exceed``: ``"raise"``
+       (default — surface the pathology), or ``"drop"`` (exclude those
+       baskets entirely; documented semantics change, mirrored in the
+       oracle with a HAVING-count filter).
+
+    Plan: distinct → two bounded aggregates (map-side combined) → one
+    equi-join keyed by basket id → pair count. Never a global cross
+    product.
+    """
+    if min_support < 1:
+        raise ValueError("min_support must be ≥ 1")
+    if on_exceed not in ("raise", "drop"):
+        raise ValueError("on_exceed must be 'raise' or 'drop'")
+    bi = df.select(
+        F.col(basket_col).alias("o"), F.col(item_col).alias("i")
+    ).distinct()
+    # lossless a-priori prune: item must reach min_support on its own
+    if min_support > 1:
+        freq = (
+            bi.groupBy("i")
+            .agg(F.count(F.lit(1)).alias("_nb"))
+            .filter(F.col("_nb") >= min_support)
+            .select("i")
+        )
+        # semi-join, no forced broadcast: the frequent-item set can be
+        # arbitrarily large at corpus scale; AQE broadcasts when small
+        bi = bi.join(freq, "i", "left_semi")
+    if max_basket is not None:
+        sizes = bi.groupBy("o").agg(F.count(F.lit(1)).alias("_sz"))
+        if on_exceed == "raise":
+            worst = sizes.agg(F.max("_sz").alias("m")).head()["m"]
+            if worst is not None and worst > max_basket:
+                raise RuntimeError(
+                    f"co_occurrence: basket of size {worst} exceeds "
+                    f"max_basket={max_basket}; the pair join would emit "
+                    f"~{worst * (worst - 1) // 2} pairs in ONE join group "
+                    f"(AQE cannot split a single key's output). Raise the "
+                    f"cap, use on_exceed='drop', or raise min_support."
+                )
+        else:
+            # anti-join against the OVERSIZED baskets — by construction a
+            # tiny set (the pathology), so AQE broadcasts it; the ok-side
+            # semi-join would carry the full basket dimension instead
+            bad = sizes.filter(F.col("_sz") > max_basket).select("o")
+            bi = bi.join(bad, "o", "left_anti")
+    a = bi.select("o", F.col("i").alias("item_a"))
+    b = bi.select("o", F.col("i").alias("item_b"))
+    pairs = a.join(b, "o").filter(F.col("item_a") < F.col("item_b"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_support)
+    )

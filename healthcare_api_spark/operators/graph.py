@@ -250,20 +250,35 @@ def triangle_count_sql(edges_sql: str, src: str = "s", dst: str = "d") -> str:
 
 
 def kcore(
-    edges: DataFrame, src: str, dst: str, k: int, iters: int = 8
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int,
+    iters: int = 8,
+    on_nonconverged: str = "warn",
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (fixed ``iters``
     rounds — the deterministic variant, same rationale as pagerank's
     fixed power iterations): repeatedly drop nodes whose degree in the
-    SURVIVING subgraph is < k. After enough rounds the survivor set is
-    the k-core; a fixed count keeps the result engine-reproducible and
-    lets the oracle unroll the same rounds as chained CTEs.
+    SURVIVING subgraph is < k. A fixed round count keeps the result
+    engine-reproducible and lets the oracle unroll the same rounds as
+    chained CTEs.
+
+    Convergence is NOT guaranteed in ``iters`` rounds: peeling can need
+    up to O(n) rounds (a length-n path at k=2 strips only its two
+    endpoints per round), so a fixed budget can return nodes that are
+    not in the true k-core. That is why this operator checks the fixed
+    point explicitly: the surviving edge count of the final two rounds
+    is compared (peeling is monotone, so equal counts ⇒ identical edge
+    sets ⇒ fixed point). When they differ the behavior follows
+    ``on_nonconverged``: ``"warn"`` (default — result still matches the
+    same-round-count oracle), ``"raise"``, or ``"ignore"``.
 
     Scale shape per round: one degree aggregate (map-side combined) +
     two semi-joins restricting edges to surviving endpoints — all
     equi-joins on node ids; localCheckpoint pins each round so lineage
-    stays O(1). Peeling converges in ≤ O(max core number) effective
-    rounds; extra rounds are no-ops (stable degrees).
+    stays O(1). The convergence check costs two counts on already-
+    checkpointed data — no extra shuffles.
 
     Output: (node, degree) for nodes alive after ``iters`` rounds,
     with their degree in the surviving subgraph.
@@ -272,6 +287,8 @@ def kcore(
         raise ValueError("k must be ≥ 1")
     if iters < 1:
         raise ValueError("iters must be ≥ 1")
+    if on_nonconverged not in ("warn", "raise", "ignore"):
+        raise ValueError("on_nonconverged must be 'warn', 'raise', or 'ignore'")
     u = F.least(F.col(src), F.col(dst))
     v = F.greatest(F.col(src), F.col(dst))
     e = (
@@ -280,8 +297,13 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = None
-    for _ in range(iters):
+    # Edge counts of the last two materialized rounds (plus the initial
+    # edge set when iters == 1) — peeling only ever removes edges, so
+    # count-stable ⇒ set-stable ⇒ true fixed point.
+    tail_counts: list[int] = []
+    if on_nonconverged != "ignore" and iters == 1:
+        tail_counts.append(e.count())
+    for i in range(iters):
         deg = (
             e.select(F.col("u").alias("n"))
             .unionByName(e.select(F.col("v").alias("n")))
@@ -294,6 +316,20 @@ def kcore(
             .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
+        if on_nonconverged != "ignore" and i >= iters - 2:
+            tail_counts.append(e.count())
+    if len(tail_counts) == 2 and tail_counts[0] != tail_counts[1]:
+        msg = (
+            f"kcore(k={k}, iters={iters}) did NOT reach a fixed point: "
+            f"the final round still removed edges "
+            f"({tail_counts[0]} -> {tail_counts[1]}); survivors may not "
+            f"be in the true k-core. Increase iters."
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     final_deg = (
         e.select(F.col("u").alias("n"))
         .unionByName(e.select(F.col("v").alias("n")))
@@ -308,7 +344,13 @@ def kcore(
 def kcore_sql(edges_sql: str, k: int, iters: int = 8, src: str = "s", dst: str = "d") -> str:
     """DuckDB oracle twin of :func:`kcore` — the same fixed peeling
     rounds as chained CTEs, every multiply-referenced CTE MATERIALIZED
-    (DuckDB inlines per reference; see pagerank_sql)."""
+    (DuckDB inlines per reference; see pagerank_sql).
+
+    Deliberately mirrors the FIXED round budget, including any
+    under-peeling when ``iters`` rounds don't reach the fixed point —
+    the oracle checks the engine computed the declared rounds exactly;
+    :func:`kcore`'s own convergence check is what flags an insufficient
+    budget."""
     parts = [
         f"WITH e0 AS MATERIALIZED (SELECT DISTINCT least({src}, {dst}) AS u,"
         f" greatest({src}, {dst}) AS v FROM ({edges_sql}) WHERE {src} <> {dst}),",

@@ -2199,9 +2199,12 @@ def scene_cuts(
 
     Arrow-batched mapInPandas; numpy vectorizes the |ΔY| per pair. One
     output row per frame transition: (id, frame_idx, mad, is_cut,
-    mode). Videos are the parallelism unit — the per-video pass is
-    sequential by nature (each diff needs the previous frame) but
-    holds only TWO frames in memory at a time.
+    mode). A valid Y4M with 0 or 1 frames (no transitions) emits one
+    ``mode='y4m_short'`` marker row (frame_idx = frame count, NULL
+    mad/is_cut) so it is distinguishable from a dropped input. Videos
+    are the parallelism unit — the per-video pass is sequential by
+    nature (each diff needs the previous frame) but holds only TWO
+    frames in memory at a time.
     """
     import numpy as np
     from pyspark.sql.types import DoubleType
@@ -2255,6 +2258,12 @@ def scene_cuts(
                     prev = luma
                     idx += 1
                     pos = start + fsize
+                if idx < 2:
+                    # a valid 0- or 1-frame video has no transitions; emit
+                    # a marker row (frame_idx = decoded frame count, NULL
+                    # mad/is_cut) so "no cuts" is distinguishable from a
+                    # silently dropped input (ADVICE r5)
+                    emit(rid, idx, None, None, "y4m_short")
             yield pd.DataFrame(rows)
 
     return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_cuts, schema)
@@ -2288,8 +2297,14 @@ def image_ahash(
         ]
     )
     hs = int(hash_size)
-    if hs < 2 or hs % 2:
-        raise ValueError("hash_size must be an even integer ≥ 2")
+    # hs² bits must pack to whole bytes or np.packbits zero-pads and the
+    # hex string is LONGER than the documented hs²/4 chars (hash_size=2
+    # → 4 bits → 2 hex chars, not 1). hs ≡ 0 (mod 4) ⟺ hs² ≡ 0 (mod 8).
+    if hs < 4 or hs % 4:
+        raise ValueError(
+            "hash_size must be a multiple of 4 and ≥ 4 (hash_size² bits "
+            "must fill whole bytes for the documented hex length)"
+        )
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

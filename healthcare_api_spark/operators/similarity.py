@@ -510,6 +510,85 @@ def pq_topk(
     return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
 
 
+def pq_adc_topk_int(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks_int: list[list[list[int]]],
+    query_vec: list[float],
+    k: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """Hash-exact PQ ADC top-k over FROZEN integer codebooks — the v6
+    SQ8 trick lifted to product quantization: every arithmetic step is
+    integer, so the ranking is bit-portable across engines and the
+    query graduates from rows-only to a DuckDB hash oracle.
+
+    The deployment shape this mirrors is the real one: codebooks are a
+    SHIPPED model artifact (trained offline once with :func:`pq_train`,
+    coordinates rounded to ``round(x·scale)`` ints), while the
+    production path — encode + ADC scoring — runs at ingest/query time.
+    Per row: quantize the vector to ``round(x·scale)`` ints, pick the
+    L2-nearest sub-centroid per subspace in integer space (ties →
+    lowest code id via the struct compare), and score as the sum of
+    the per-subspace integer lookup-table entries
+    ``lut[j][code] = ‖q_int_sub − centroid_int‖²`` (computed
+    driver-side from the full-precision query, m×ksub ints inlined as
+    literals). Pure narrow expression + TakeOrderedAndProject — the
+    scan reads only the vector column, no join, no shuffle beyond the
+    top-k reduction.
+    """
+    import math
+
+    m = len(codebooks_int)
+    sub = len(codebooks_int[0][0])
+    # half-away-from-zero, matching Spark's F.round and DuckDB's round —
+    # Python's built-in round is banker's and would flip exact-.5 cases
+    qint = [
+        int(math.floor(abs(float(x) * scale) + 0.5))
+        * (1 if float(x) >= 0 else -1)
+        for x in query_vec
+    ]
+    if len(qint) != m * sub:
+        raise ValueError(f"query dim {len(qint)} != m*sub = {m * sub}")
+    score = F.lit(0).cast("long")
+    for j, book in enumerate(codebooks_int):
+        piece = F.slice(F.col(vec_col), j * sub + 1, sub)
+        ip = F.transform(
+            piece, lambda x: F.round(x.cast("double") * scale).cast("long")
+        )
+        cands = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            ip,
+                            F.array(*[F.lit(int(ci)).cast("long") for ci in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(book)
+            ]
+        )
+        code = F.array_min(cands).getField("cid")
+        q = qint[j * sub : (j + 1) * sub]
+        lut = [
+            sum((qi - int(ci)) ** 2 for qi, ci in zip(q, c)) for c in book
+        ]
+        score = score + F.element_at(
+            F.array(*[F.lit(int(v)).cast("long") for v in lut]), code + 1
+        )
+    return (
+        df.select(F.col(id_col), score.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     id_col: str,
@@ -558,7 +637,9 @@ def pool_embeddings(
     count. The array is assembled AFTER the agg from the dim scalar
     averages.
 
-    Output: (group, pooled array<double>, l2_norm).
+    Output: (group, pooled array<double>, l2_norm). An all-zero mean
+    vector (l2_norm = 0) is returned unnormalized rather than divided
+    by zero into NULL elements.
     """
     if dim < 1:
         raise ValueError("dim must be ≥ 1")
@@ -573,9 +654,15 @@ def pool_embeddings(
     norm = F.sqrt(
         sum((F.col(f"_d{i}") * F.col(f"_d{i}") for i in range(dim)), F.lit(0.0))
     )
-    pooled = (
-        F.transform(arr, lambda x: x / F.col("l2_norm")) if normalize else arr
-    )
+    if normalize:
+        # zero-guard: x / 0.0 is NULL in Spark SQL — an all-zero mean
+        # vector must pool to itself, not to an array of NULLs
+        pooled = F.when(
+            F.col("l2_norm") > 0.0,
+            F.transform(arr, lambda x: x / F.col("l2_norm")),
+        ).otherwise(arr)
+    else:
+        pooled = arr
     return (
         g.withColumn("l2_norm", norm)
         .select("group", pooled.alias("pooled"), F.round("l2_norm", 6).alias("l2_norm"))

@@ -421,9 +421,20 @@ def lttb_downsample(
     sequential recurrence per series, so this is the archetypal
     ``applyInPandas`` custom operator: the series is the parallelism
     unit (one shuffle on the series key), the per-series pass is
-    vectorized numpy per bucket. Not SQL-expressible → no hash oracle;
-    pytest pins the algorithm on constructed series. Series with
-    ≤ ``n_out`` points pass through unchanged.
+    vectorized numpy per bucket.
+
+    The recurrence is not expressible as a single SQL window pass, but
+    with a FIXED ``n_out`` it unrolls into n_out−2 chained CTE steps
+    (one argmax per bucket against the previous step's pick — the
+    ewma_sql route), which is how q_x7's DuckDB hash oracle mirrors it
+    since r6. For bit-portability the x axis is shifted to
+    series-relative µs (x − x[0]) before any arithmetic: triangle
+    areas are translation-invariant, and the shift keeps bucket sums
+    of integer µs below 2⁵³ so numpy's pairwise summation and an SQL
+    engine's sequential summation produce the SAME exact sums (raw
+    epoch-µs sums exceed float64's exact-integer range and would make
+    the means summation-order-dependent). Series with ≤ ``n_out``
+    points pass through unchanged.
     """
     if n_out < 3:
         raise ValueError("n_out must be ≥ 3")
@@ -438,7 +449,8 @@ def lttb_downsample(
         n = len(pdf)
         if n <= n_out:
             return pdf
-        x = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64").astype(float)
+        x = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
+        x = (x - x[0]).astype(float)  # series-relative µs: exact sums
         y = pdf[value_col].to_numpy(dtype=float)
         k = n_out - 2
         # bucket boundaries over the interior points [1, n-1)

@@ -696,10 +696,16 @@ def zipf_fit(df: DataFrame, id_col: str, text_col: str, top_n: int = 200) -> Dat
     corpora drift off it, making the slope a one-number corpus-health
     signal (alongside u2's per-domain stats).
 
-    Plan: one map-side-combined token count, one top-n rank (single
-    partition of n rows AFTER the aggregate — the only global step
-    touches top_n rows, not the corpus), then closed-form regression
-    sums. Ties rank deterministically (count desc, token asc). Output
+    Plan: one map-side-combined token count, then
+    ``orderBy(...).limit(top_n)`` → ``TakeOrderedAndProject`` (per-
+    partition top-n heaps, NO unpartitioned window over the full
+    vocabulary), and only the resulting ≤ top_n rows pass through a
+    single-partition ``row_number`` to assign ranks before the
+    closed-form regression sums. The only global step therefore
+    touches top_n rows, not the corpus — at 100 TB the vocabulary is
+    billions of tokens, and ranking it through one WindowExec task
+    (the pre-r6 implementation) would be the job's bottleneck.
+    Ties rank deterministically (count desc, token asc). Output
     one row: (vocab_size, total_tokens, top_n, zipf_slope, intercept).
     """
     from pyspark.sql import Window
@@ -717,8 +723,13 @@ def zipf_fit(df: DataFrame, id_col: str, text_col: str, top_n: int = 200) -> Dat
         F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
         F.sum("cnt").cast("bigint").alias("total_tokens"),
     )
+    # TakeOrderedAndProject: per-partition heaps, merged on the driver
+    # side of the exchange — the full vocab is never globally sorted.
+    topn = tf.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(top_n)
+    # Rank only the surviving ≤ top_n rows; the unpartitioned window is
+    # bounded by construction (top_n, default 200).
     w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-    top = tf.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= top_n)
+    top = topn.withColumn("rk", F.row_number().over(w))
     xy = top.select(
         F.log(F.col("rk").cast("double")).alias("x"),
         F.log(F.col("cnt").cast("double")).alias("y"),

@@ -443,7 +443,14 @@ class SearchEngine:
                 from healthcare_api_spark.functions.text import tokens
 
                 units = _parse_text_query(raw)
-                if "_score" in (params.get("_sort") or ""):
+                # _sort may arrive list-valued ({"_sort": ["_score,-date"]},
+                # the repeated-param form); normalize before the substring
+                # check or the BM25 score is never attached while the sort
+                # handler still sorts by _score (ADVICE r5).
+                _sort_raw = params.get("_sort") or ""
+                if not isinstance(_sort_raw, str):
+                    _sort_raw = ",".join(_sort_raw)
+                if "_score" in _sort_raw:
                     # ranked full-text: attach the BM25 relevance BEFORE
                     # the AND filters. Stats (df_t, N, avgdl) come from
                     # the FULL table — relevance is corpus-relative, not

@@ -172,3 +172,79 @@ def test_equi_depth_histogram_rejects_one_bin(spark):
     df = spark.createDataFrame([(1.0,)], ["v"])
     with _pytest.raises(ValueError):
         equi_depth_histogram(df, "v", bins=1)
+
+
+def _baskets(spark, rows):
+    return spark.createDataFrame(rows, ["basket", "item"])
+
+
+def test_co_occurrence_hand_example(spark):
+    from healthcare_api_spark.operators.analytics import co_occurrence
+
+    df = _baskets(spark, [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "c"),
+        (3, "c"),  # duplicate item in basket counted once
+    ])
+    out = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in co_occurrence(df, "basket", "item", min_support=2).collect()
+    }
+    assert out == {("a", "b"): 3, ("a", "c"): 2, ("b", "c"): 2}
+
+
+def test_co_occurrence_min_support_prune_is_lossless(spark):
+    from healthcare_api_spark.operators.analytics import co_occurrence
+
+    # rare items ("x" appears once) are pruned before the pair join but
+    # could never reach min_support anyway — outputs must be identical
+    rows = [
+        (1, "a"), (1, "b"), (1, "x"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "y"),
+    ]
+    df = _baskets(spark, rows)
+    got = sorted(
+        map(tuple, co_occurrence(df, "basket", "item", min_support=3).collect())
+    )
+    # brute-force reference without any prune
+    brute = {}
+    baskets = {}
+    for o, i in rows:
+        baskets.setdefault(o, set()).add(i)
+    for items in baskets.values():
+        s = sorted(items)
+        for ai in range(len(s)):
+            for bi in range(ai + 1, len(s)):
+                brute[(s[ai], s[bi])] = brute.get((s[ai], s[bi]), 0) + 1
+    want = sorted((a, b, n) for (a, b), n in brute.items() if n >= 3)
+    assert got == want == [("a", "b", 3)]
+
+
+def test_co_occurrence_max_basket_raise_and_drop(spark):
+    from healthcare_api_spark.operators.analytics import co_occurrence
+
+    big = [(99, f"i{k}") for k in range(50)]
+    small = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = _baskets(spark, small + big)
+    with pytest.raises(RuntimeError, match="max_basket"):
+        co_occurrence(df, "basket", "item", min_support=1, max_basket=10)
+    # drop mode: the pathological basket is excluded, the rest intact
+    out = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in co_occurrence(
+            df, "basket", "item", min_support=2, max_basket=10, on_exceed="drop"
+        ).collect()
+    }
+    assert out == {("a", "b"): 2}
+
+
+def test_co_occurrence_rejects_bad_args(spark):
+    from healthcare_api_spark.operators.analytics import co_occurrence
+
+    df = _baskets(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        co_occurrence(df, "basket", "item", min_support=0)
+    with pytest.raises(ValueError):
+        co_occurrence(df, "basket", "item", on_exceed="maybe")

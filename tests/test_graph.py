@@ -125,3 +125,50 @@ def test_kcore_sql_twin_matches(spark):
     con.executemany("INSERT INTO e VALUES (?, ?)", edges)
     want = sorted(map(tuple, con.execute(kcore_sql("SELECT s, d FROM e", 2, 5)).fetchall()))
     assert got == want and got
+
+
+def test_kcore_detects_underpeel_on_long_path(spark):
+    import warnings
+
+    from healthcare_api_spark.operators.graph import kcore
+
+    # path 1-2-...-12 at k=2: true 2-core is EMPTY, but each peel round
+    # only strips the two endpoints, so iters=2 leaves interior nodes —
+    # the fixed-point check must flag the under-peel (VERDICT r5 #3)
+    edges = [(i, i + 1) for i in range(1, 12)]
+    df = spark.createDataFrame(edges, ["s", "d"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = kcore(df, "s", "d", k=2, iters=2)
+        assert out.count() > 0  # under-peeled survivors exist
+    assert any("fixed point" in str(w.message) for w in caught)
+
+    with pytest.raises(RuntimeError, match="fixed point"):
+        kcore(df, "s", "d", k=2, iters=2, on_nonconverged="raise").count()
+
+
+def test_kcore_converged_emits_no_warning(spark):
+    import warnings
+
+    from healthcare_api_spark.operators.graph import kcore
+
+    # K4 + short tail converges well inside 4 rounds: no warning, and
+    # 'raise' mode must not raise either
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["s", "d"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = {
+            r["node"]
+            for r in kcore(df, "s", "d", k=3, iters=4, on_nonconverged="raise").collect()
+        }
+    assert out == {1, 2, 3, 4}
+    assert not any(isinstance(w.message, RuntimeWarning) for w in caught)
+
+
+def test_kcore_rejects_bad_on_nonconverged(spark):
+    from healthcare_api_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2)], ["s", "d"])
+    with pytest.raises(ValueError, match="on_nonconverged"):
+        kcore(df, "s", "d", k=1, iters=1, on_nonconverged="explode")

@@ -94,3 +94,60 @@ def test_cli_dedup_modes(tmp_path, capsys):
     ])
     assert rc == 0
     assert any(out.glob("part-*.json"))
+
+
+def test_cli_search_filter_grammar(capsys):
+    # VERDICT r4 task #7 / r5 #9: drive the _filter grammar through the
+    # CLI search subcommand, not just the engine API
+    from healthcare_api_spark.cli import main
+
+    rc = main([
+        "search", "--parquet", "/root/testdata/sf0.001/documents.parquet",
+        "--type", "Document", "--id-col", "doc_id",
+        "--param", '_filter=lang eq "es" and n_chars ge 300',
+        "--param", "_count=500",
+        "--limit", "500",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert lines
+    rows = [eval(l) for l in lines]  # Row.asDict() printed as a python dict
+    assert all(r["lang"] == "es" and r["n_chars"] >= 300 for r in rows)
+
+    # a malformed expression surfaces as an error, not silence
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        main([
+            "search", "--parquet", "/root/testdata/sf0.001/documents.parquet",
+            "--type", "Document", "--id-col", "doc_id",
+            "--param", '_filter=lang eq',
+        ])
+
+
+def test_cli_search_text_quoted_phrase(tmp_path, capsys):
+    import json as _json
+
+    from healthcare_api_spark.cli import main
+
+    # build a tiny parquet with a known phrase layout
+    import duckdb
+
+    pq = str(tmp_path / "docs.parquet")
+    duckdb.connect().execute(
+        "COPY (SELECT * FROM (VALUES "
+        " (1, 'big data spark streaming engine'),"
+        " (2, 'spark engine streaming out of order'),"
+        " (3, 'streaming spark data')"
+        ") t(doc_id, text)) TO '" + pq + "' (FORMAT PARQUET)"
+    )
+    rc = main([
+        "search", "--parquet", pq, "--type", "Doc",
+        "--id-col", "doc_id", "--text-col", "text",
+        "--param", '_text="spark streaming"',
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    rows = [eval(l) for l in lines]
+    # only doc 1 has the ADJACENT in-order phrase
+    assert sorted(r["doc_id"] for r in rows) == [1]

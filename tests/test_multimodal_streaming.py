@@ -991,3 +991,47 @@ def test_image_ahash_block_mean_downsample(spark):
     )
     out = {r["id"]: r["ahash"] for r in image_ahash(df, "doc_id", "data").collect()}
     assert out[1] == out[2]
+
+
+def test_scene_cuts_short_videos_emit_marker(spark):
+    # ADVICE r5: a VALID 0- or 1-frame Y4M must be distinguishable from
+    # a dropped input — one 'y4m_short' marker row, frame_idx = frame
+    # count, NULL mad/is_cut
+    from healthcare_api_spark.operators.multimodal import scene_cuts
+
+    w, h = 4, 2
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+
+    def frame(luma):
+        return b"FRAME\n" + bytes([luma]) * (w * h) + bytes([128]) * (w * h // 2)
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(head)),                       # 0 frames
+            (1, bytearray(head + frame(50))),           # 1 frame
+            (2, bytearray(head + frame(50) + frame(60))),  # 1 transition
+        ],
+        "doc_id long, data binary",
+    )
+    rows = scene_cuts(df, "doc_id", "data").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id[0]) == 1 and by_id[0][0]["mode"] == "y4m_short"
+    assert by_id[0][0]["frame_idx"] == 0 and by_id[0][0]["mad"] is None
+    assert len(by_id[1]) == 1 and by_id[1][0]["mode"] == "y4m_short"
+    assert by_id[1][0]["frame_idx"] == 1 and by_id[1][0]["is_cut"] is None
+    assert len(by_id[2]) == 1 and by_id[2][0]["mode"] == "y4m"
+
+
+def test_image_ahash_rejects_unpackable_hash_size(spark):
+    # ADVICE r5: hash_size² bits must fill whole bytes or the hex string
+    # is longer than the documented hash_size²/4 chars
+    import pytest as _pytest
+
+    from healthcare_api_spark.operators.multimodal import image_ahash
+
+    df = spark.createDataFrame([(1, bytearray(b""))], "doc_id long, data binary")
+    for bad in (2, 6, 3, 0):
+        with _pytest.raises(ValueError, match="multiple of 4"):
+            image_ahash(df, "doc_id", "data", hash_size=bad)

@@ -150,6 +150,20 @@ def test_sorted_neighborhood_no_global_window(spark):
     assert "SinglePartition" not in plan
 
 
+def test_zipf_fit_window_only_over_topn(spark):
+    # t21 (VERDICT r5 "What's wrong" #1): the vocabulary must reach the
+    # rank step through TakeOrderedAndProject (per-partition top-n
+    # heaps), never an unpartitioned Window over the full token table —
+    # at 100 TB the vocab is billions of rows in one task otherwise.
+    import re
+
+    plan = _plan(entrymod.q_t21_zipf_fit(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # exactly one Window, and its direct child is the bounded top-n heap
+    assert plan.count("Window ") == 1
+    assert re.search(r"Window \[row_number\(\)[^\n]*\n\s*\+- TakeOrderedAndProject", plan)
+
+
 def test_cms_sketch_cells_bounded(spark):
     # k3: the sketch side of the lookup join is ≤ depth×width rows no
     # matter the corpus size, and travels as a broadcast

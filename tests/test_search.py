@@ -748,3 +748,31 @@ def test_text_phrase_longer_than_doc_matches_nothing(text_engine):
         ).count()
         == 0
     )
+
+
+def test_text_bm25_ranking_list_valued_sort(spark):
+    # ADVICE r5: {"_sort": ["-_score,doc_id"]} (the repeated-param list
+    # form) must attach the BM25 score exactly like the string form —
+    # previously the substring check read the raw list and never
+    # attached _score while the sort handler still sorted by it.
+    from healthcare_api_spark.plans.search import SearchConfig, SearchEngine
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple pie"),
+            (2, "apple and a very long tail of many other words here now"),
+            (3, "apple pie"),
+            (4, "no match at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    eng = SearchEngine(
+        tables={"Doc": docs},
+        configs={"Doc": SearchConfig(id_col="doc_id", text_search_col="text")},
+    )
+    out = eng.search(
+        "Doc", {"_text": "apple", "_sort": ["-_score,doc_id"], "_count": "10"}
+    ).collect()
+    assert [r["doc_id"] for r in out][0] == 1
+    scores = [r["_score"] for r in out]
+    assert scores == sorted(scores, reverse=True) and all(s > 0 for s in scores)

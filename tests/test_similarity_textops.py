@@ -692,3 +692,22 @@ def test_zipf_fit_rejects_tiny_top_n(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         zipf_fit(df, "doc_id", "text", top_n=2)
+
+
+def test_pool_embeddings_zero_vector_guard(spark):
+    # ADVICE r5: an all-zero mean vector (l2_norm = 0) must pool to
+    # itself, not divide by zero into NULL elements
+    from healthcare_api_spark.operators.similarity import pool_embeddings
+
+    df = spark.createDataFrame(
+        [("g0", [0.0, 0.0]), ("g0", [0.0, 0.0]), ("g1", [3.0, 4.0])],
+        ["g", "vec"],
+    )
+    out = {r["group"]: r for r in pool_embeddings(df, "g", "vec", dim=2).collect()}
+    assert out["g0"]["pooled"] == [0.0, 0.0]
+    assert out["g0"]["l2_norm"] == 0.0
+    # non-zero groups still normalize
+    import math
+
+    assert math.isclose(out["g1"]["l2_norm"], 5.0)
+    assert all(math.isclose(a, b) for a, b in zip(out["g1"]["pooled"], [0.6, 0.8]))
