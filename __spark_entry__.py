@@ -1107,36 +1107,74 @@ def q_v1_ann_topk(spark, sf_dir):
 
 
 def q_v2_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate variant — rows-only check (recall<1 by
-    design, no SQL oracle)."""
+    """LSH-bucketed approximate top-k. Hash-verified since r6 even
+    though recall < 1 by design: the RandomState(42) hyperplanes are a
+    fixed artifact, sign bits come from sequential double dots, and
+    the bucket-widening loop is a monotone cumsum — so the oracle
+    reproduces the exact same approximate answer (_v2_oracle)."""
     _tune(spark)
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return similarity.lsh_bucketed_topk(emb, "vec_id", "embedding", list(qvec), dim=64, k=10)
 
 
+
+
+# Frozen ANN/PCA model artifacts (r6) — like _V7_BOOKS: trained offline
+# ONCE at sf0.01 (ivf_train k=8 iters=3; pca_train dim=64 k=4) and
+# shipped as full-precision repr() literals (shortest round-tripping
+# decimal → both engines parse back the identical double). Freezing is
+# what makes v3/v4 hash-verifiable: runtime retraining would tie the
+# result to float-summation order across partitions.
+_V3_CENTROIDS: list[list[float]] = [
+    [0.00650735268641685, 0.0024689771070250505, 0.042721909093055524, -0.08721902587820056, 0.008662219493175452, -0.019056664281173277, -0.011316377693734501, 0.009095389931902008, 0.054521837715171544, -0.020930819407232844, -0.01649593185185332, 0.00970081514063871, -0.042452592587203915, -0.013403870270780797, -0.014253333623890044, -0.004749725010456904, 0.05847920848162107, 0.038466905863112154, 0.019353656381597074, 0.030434173066169024, -0.05696175753507974, 0.012387822839027306, -0.0113780430698205, -0.019260694980094174, 0.004439458513483053, 0.07415501444758672, 0.09028643819081755, -0.0064108993447350585, -0.014405935853368268, 0.06716494332946274, -0.028989989231428447, 0.06118664800257802, 0.005102871820541486, -0.038297350386614505, 0.013235593360699361, -0.04974584534483136, -0.0043405830455979085, 0.02020366880712555, 0.024030293513722014, 0.005032710570683879, 0.0004937567051833952, -0.0024873475738546266, 0.0038212863376961563, 0.0017518135060046642, 0.017225845076609403, 0.028719949149438796, 0.028598949295591633, -0.0517637748293192, 0.00553687005567382, -0.04663196874712155, 0.0019673507875885886, 0.023722474831200362, 0.008823272042890202, -0.05443872417376008, 0.022624554059837224, 0.018301935563355964, -0.009806485620397582, 0.006020852629279823, -0.06798545416457719, -0.015591408584029678, -0.016445612824820686, 0.03644129394812791, 0.0401438236201428, -0.042955788415812726],
+    [-0.01613594889492979, -0.0170791586047955, 0.009740684588905424, -0.0007122633793938255, 0.010227168900966054, 0.03373737380440746, -0.08950209196302153, -0.017650392244658655, -0.002881481060906062, -0.0035122232825776176, -0.057561674790959506, 0.043419123945077735, 0.0681763080462429, -0.08348948740407765, 0.034890460460686994, -0.001066916692902201, -0.008856285614745012, -0.018458199169900682, 0.03809030622517365, -0.03988306394349488, 0.03330634363616506, 0.0164964529029685, -0.0014393367649366458, -0.02353304039893879, 0.040473418354633306, 0.0686155352150164, -0.012041704444628622, -0.022283515479001734, -0.00500334906465714, 0.010817395552756294, -0.014075126454588912, 0.006656452034053112, 0.008388613817159139, -0.003536037514947118, 0.006859470841600486, 0.0014909684384566925, -0.04866948074084662, 0.0157023864809335, 0.01727105225094535, -0.07326455124550396, 0.009392154761516149, -0.04041647041098229, 0.020017631783481364, 0.013780405906598188, 0.027156975785536424, 0.01747297245680192, -0.03463771722708193, -0.013598667563027925, -0.06066988556764074, -0.08343092246823722, -0.02094321306203566, 0.010100168838915933, -0.020357395470556285, 0.003545168676369247, -0.01852175678008251, 0.03673306706597999, 0.04680360562980197, -0.0033751073633394545, 0.03811521577234897, 0.0102572834584862, -0.018858717081861362, -0.006650565755701373, -0.043003852481007694, -0.009079402194373191],
+    [0.0032108165323734283, 0.0065154584931562945, -0.04548835970365025, 0.04833903944883536, 0.03961693657690595, -0.007299678697218669, -0.009703669050740528, 0.015739869725778056, -0.0027462689623493574, -0.06811794586246833, -0.013638080503181394, -0.02088236991027049, -0.05433030237628404, 0.06498446521762727, 0.0007547239756918159, 0.006660363548595844, -0.025145340048515333, 0.03868209566933039, -0.006395247210909067, -0.02784484265982334, -0.0026300875550328657, 0.008140969543782031, 0.06893744553712293, -0.022037336602807045, 0.005533001232081382, -0.04802030702683561, 0.005465416406313407, -0.0018374556514980465, 0.0071922903760047304, 0.0021681260108819297, -0.015029306358914694, -0.08923288168192937, 0.006004423230228111, -0.0005134500659488399, 0.007809519928334088, 0.0007753460106022399, 0.014793474773137734, 0.05745632408246005, 0.04977668133154833, 0.055217028259056826, -0.004757629929748685, -0.012433397274560713, 0.008901088081043342, 0.022310509967641775, -0.00987665761006391, -0.01665884528935341, -0.011886967061055374, -0.004451500388376158, 0.04681681587906747, 0.040423755754780924, 0.05046585118618858, -0.06012939268337755, -0.012014372172039845, -0.031456186303644086, 0.04709393318325024, -0.000276019925187374, 0.02023900529883545, -0.01820169321807294, 0.017258810286624918, 0.050545088107826125, 0.04480178762580557, 0.0065802337164219855, 0.016696303633266484, 0.0014929344700970527],
+    [-0.026801444221443187, 0.019701586672895108, -0.012446141527933914, -0.013401133001245784, -0.014890480585480955, 0.014401515642406814, 0.026407648089595816, 0.011431867842364943, -0.02758879503446885, 0.004528356236264561, 0.0024636002313910108, 0.04152832109354098, 0.015140655890608094, 0.09344490483106876, 0.010065883369834133, -0.0017597154135618246, -0.039909446883636214, -0.048287111672283514, 0.006615801476238465, 0.029528934603810987, 0.007201591581564791, -0.006207729097117077, -0.02097077864296311, 0.01577130417254838, -0.018188797194108538, 0.02714145737329752, -0.02511708769430477, -0.00975594204271946, -0.06315028666215243, -0.041972855550490996, -0.010273684500575517, -0.01204680711045071, 0.0707709772977978, -0.005173226178158075, 0.005941556609644921, -0.02001281685520415, 0.011423403961640415, -0.03681819588492737, -0.03303726753140588, -0.02802517566173761, -0.003446948487015272, -0.03267800564539026, -0.07172357867768203, -0.03164355907321089, -3.413178704001687e-05, 0.006798023806010006, -0.01051540523732194, -0.03602407440352677, 0.06732725904845266, -0.049699594718263004, 0.017647568983110516, -0.014919216829267416, 0.015838318996512415, 0.022242056424588416, -0.04231017534479951, -0.033648722955011624, 0.010963329409467846, -0.004029984388387565, 0.02430117135218373, -0.0510696781037206, 0.023742451487729948, 0.008110681780112138, -0.010986972658870262, -0.0512745735574175],
+    [0.026298942253122043, 0.002650935969572386, 0.06345860895215019, -0.02313209259240278, -0.034888528287410736, -0.06185216270387173, 0.03740682035427669, -0.0006653418009779576, 0.009694630714185568, 0.03178971971320952, 0.01983023123767484, -0.06439780370143627, 0.03176763233054301, -0.03807599234378672, 0.016254582137254805, -0.02278652261332448, 0.049370599895563166, 0.016046008091130905, 0.009119239755191615, 0.029918800080034495, -0.017025481211021543, 0.034842534655110974, -0.022330248130260612, 0.008122719904600546, -0.0223681495436126, 0.0027057955499160393, 0.016109781813454526, 0.006958754861663128, 0.03309982055035452, -0.041893662017738, 0.03697240552543823, -0.02593958892975934, 0.013327430468052626, 0.022969590817128533, 0.037408139669047345, -0.05691031933408873, 0.015977779114297753, -0.07304165774860003, -0.03465808534747339, 0.01456242515344237, 0.017649069861990625, 0.0015415236040757134, -0.009482896653935313, 0.00868864044062728, -0.026854821350345195, -0.01316638450652104, -0.038331857010328756, 0.05493848210457584, -0.029229182497084397, -0.0016805178903300188, -0.007559792162722041, -0.004377196631986439, 0.02524137126024941, 0.007527559722175597, 0.08871093887337965, -0.01920927890600508, -0.00219788548440255, -0.017242185026808673, 0.02965909037096747, -0.0011237518016875175, -0.058368259462816964, -0.012836304330668444, 0.03301576415783372, 0.0035960253705431162],
+    [-0.032571695925695685, -0.015110946142239802, 0.028224083037226837, 0.003973298125775225, 0.05296702666986567, -0.011140188594946443, -0.05074021562655046, 0.06464420030685837, -0.02209989957636528, 0.014549373489206851, 0.02825522592374638, -0.012043760557756272, 0.003649122675936391, 0.010235017183568649, -0.016667125190594302, 0.0076723294193620116, -0.0010945017773392194, -0.043503219635337036, -0.014278008666848625, 0.0316189648596563, 0.007093730193229198, -0.022733252832610438, 0.031389291486841865, -0.007729687079884556, 0.02226773514968357, 0.04665241073191499, -0.02857722191195657, 0.0023640090175695828, 0.005089929433358805, 0.022177057662186448, 0.010662840828716533, -0.024151680678296, 0.0016246736327658838, -0.006579043266342592, -0.0070516712782876705, 0.05319430762398015, 0.009347544889202091, 0.05914495365847069, -0.02371127096546897, 0.013832885749401775, -0.04405961101097159, 0.056301111199045135, 0.011053616014211926, 0.026796380752947793, -0.08648844054246795, -0.04348049477027701, 0.013652095410003284, -0.023255730304978232, -0.018119799091355568, 0.025263231268514003, 0.03656261771354379, 0.04098545412929145, 0.00886422226817083, 0.03259565100185017, -0.03990258026951507, -0.07428057776475604, 0.031178600703880413, -0.03938335881554591, 0.005174900774771014, -0.007294528707583893, -0.0023328932141190146, 0.04502869241718036, -0.0372741957848419, 0.02703770188399271],
+    [-0.02318140308776031, -0.04203337444399129, -0.010110463074762637, -0.014824367980931846, 0.04574430775566315, 0.0679272690191078, -0.02764700651685314, -0.04698762161539159, 0.00827939938557085, 0.04432530936942449, 0.05391917318600873, 0.016860611107147917, 0.00797146881445193, 0.044136154826100865, -0.015273651029442397, 0.042175775761945616, 0.023525240801563357, 0.05480353841246565, -0.058827595037578694, -0.044405440478520075, 0.0022941889884081526, -0.01092022702648816, -0.0025019952305920527, -0.054522080222328365, -0.042892107867937485, -0.014697335926081303, -0.008877441407555163, 0.04602067491439709, 0.028275442142433053, -0.03812978043168468, 0.002974724106844777, 0.00388591443549212, -0.013328193097447478, -0.046201056220345725, -0.02368723246282045, 0.04472923738895063, 0.018446846087922304, -0.01368689706178487, -0.012021501380728859, -0.0036986913356473372, 0.029930048876337077, -0.037024832061741134, 0.002154915702191483, -0.0240545498836838, 0.0028623603235169407, 0.01255247703077875, 0.028944608799680333, 0.04569362550826323, 0.010188343696350324, 0.01969368185054406, -0.027438687650867228, -0.001799128647946136, 0.04531203727746173, -0.002226904777979169, 0.022331426597305273, 0.03350996973097954, -0.060665924331619284, 0.0498735430985722, -0.019898020138498396, -0.03625335183624231, 0.016570224183454576, -0.01115958435824928, -0.0038025512779787394, 0.024570161925996065],
+    [0.08811785266152583, 0.01306377199216513, -0.036044483129444416, 0.03874486638051167, -0.03468724438062054, 0.02741685059163501, -0.013506776184840419, 0.040855162593288696, -0.02517366239862895, -0.020188678930935566, 0.02305633036303334, 0.003791684784118843, -0.06055749342567651, -0.0710970251220715, -0.015620576377841644, 0.012765751434926642, -0.019411621506151278, 0.01677445650966547, 0.013791876564937411, 0.007509312963520642, -0.015192897156339313, -0.005150127726665232, -0.007292810510989511, 0.0411125584578258, -6.230746294022538e-06, -0.04834716149252927, -0.029277309740336932, 0.06215316949828775, -0.00024246677457995247, 0.03514977923396145, 0.05789548148459289, 0.03529318190282993, -0.024780753081358853, 0.026170119823291316, 0.009119832058786415, 0.015126068661629688, -0.06009572734183166, -0.039280234450416174, 0.014073908691898396, 0.014323423994937912, -0.018487891531549394, -0.024905072700221353, 0.04010984255364747, -0.016242976012790677, -0.010311935395293403, 0.040570519096945645, 0.015693010054746992, 0.06732149541858234, -0.05186108750058338, 0.00840027656613529, 0.02732639882924559, -0.008231792162405327, -0.014432010852033272, -0.02191857260731922, -0.026150137466174783, 0.013683162196684862, 0.006349995277560083, 0.0012145626642450225, -0.0699900225699821, -0.009587062932723711, 0.001856332914030645, -0.02198992794296828, 0.009551269962685183, -0.0664296481081692],
+]
+_V4_PCA_MEAN: list[float] = [0.0021647098540561274, -0.004547794351470656, 0.003930154383007902, -0.004793201057444094, 0.009943076466443017, 0.007772532952541951, -0.01823135569485021, 0.009217355088097975, -0.0024274034147092607, -0.0006178791260463186, 0.006436078068451025, 0.0033540127822197976, -0.0026588912964216433, 0.0020540317017294003, -0.00021456623025005683, 0.005910249243548606, 0.0033342206680827074, 0.005826121678226628, -0.00046127636556047945, 0.0012317155191558413, -0.0038391390424221752, 0.0023021840666187926, 0.004168265111627988, -0.008054586122045293, -0.0018911654613621067, 0.012808142676018179, -0.0015970649567898362, 0.01062632681982359, -0.0011532765734009445, 0.0003903653704910539, 0.0056047214816790075, -0.005792685562460974, 0.008335300238788477, -0.0066753798398422074, 0.005155627750558779, 0.001177179405814968, -0.0053353315424174074, -0.0015937965741213702, -0.0009667016767925815, -0.001140981935830496, -0.0017442115085141267, -0.01183411476330366, 0.00031351819908741164, -0.0005631569666620635, -0.011520562025547406, 0.003832613509031944, -0.000598060307384003, 0.005890298187849112, -0.003749661162350094, -0.010264404615503736, 0.009377152467495762, -0.001481992187706055, 0.007770042697302415, -0.003917563282562696, 0.00470978261413984, -0.003577291431953199, 0.004773866848874604, -0.0024703639050130733, -0.004844514904165408, -0.00872118095526821, -0.0002811656921039685, 0.005004184705336229, -0.0011590625974931754, -0.013266222528531216]
+_V4_PCA_COMPS: list[list[float]] = [
+    [-0.20963933002020263, -0.1205727153272369, 0.03654785815761169, 0.011819566733676123, 0.07567008238652115, 0.013214628819759475, 0.09058411852537614, 0.28661879235153376, 0.049546962198392414, 0.4140565264810961, 0.06530498182357536, 0.18207885387703387, 0.06513224150018736, -0.0365320547459101, 0.17114897510631674, -0.18534977731552335, 0.08898987448653026, -0.15702655458925827, -0.03013668633728844, 0.03217896951211637, 0.061213204086392886, -0.11068832311424662, -0.0834751278586723, -0.05543746864805472, 0.019550012020347243, 0.19912542853516987, -0.037517252450218655, 0.14950769892188992, -0.17287963096364797, -0.0061231140854599506, -0.05871572670347004, 0.062037717979427316, 0.29653854353776926, 0.10616457882139803, -0.03204193889380907, 0.10414385148185482, 0.04453875953671127, 0.06146405309394934, 0.013006698200673, 0.02177120565591298, -0.1166789877982281, 0.005524586419046754, -0.24083692028370887, 0.09570759064865952, -0.028307708356162253, -0.2251274447351685, 0.008731835914196177, -0.07903750804624511, -0.08368084414987483, -0.11845091153313833, 0.12045949820882237, 0.07248325157918467, -0.017186482157174776, 0.08160437407065245, -0.015031355628749826, -0.06676477469561926, -0.05565063627860233, -0.05137605781699009, 0.06019601767570988, -0.0911391434804866, 0.12198699564215819, 0.05064983387891667, -0.21821146492315463, -0.1020138863625454],
+    [-0.0038371272115919207, -0.054430245767026396, -0.012567933480760235, -0.08813365797648647, 0.17485769775042587, 0.02521436579704586, 0.07494656338562249, -0.06998070108596383, 0.07744817020896047, 0.03069605619526231, 0.10575814459049898, -0.017882873012907797, 0.012975656331248885, 0.1336968174275522, 0.014559198307485274, 0.0413919193393411, 0.1484110007875093, 0.36030985112615593, -0.054188651414568224, -0.05076477591726299, 0.0325431697347876, 0.03539112685064588, 0.0653346737809236, -0.30912280550529725, -0.2576821382583778, -0.23906586362939533, -0.020637632793311832, -0.00022331337887693866, -0.08628570371767158, -0.174532922271437, -0.024067927226899034, -0.21754493603557093, 0.029463935144021423, 0.06153867890849662, 0.033753328418451474, 0.07921967482014433, 0.05946710015971113, 0.03649840257323427, 0.18210698156722896, 0.04667388480869408, 8.62650770177241e-06, 0.04698675564095891, -0.06276704622858947, -0.17918979594373377, 0.1726864902093713, -0.18883522294696747, -0.04694587131589557, 0.1457794821148023, 0.11292397757725808, -0.11328063222737901, -0.15743104350111628, -0.08197501074018407, 0.012979946743257966, -0.01609235374980244, 0.23803515091895147, 0.023384317388539508, -0.30282027552250745, 0.01638284010820818, 0.13543364301205768, -0.12158606610327058, -0.08367049603064611, 0.08483882908899533, -0.0004431848647374094, -0.07861586992416256],
+    [-0.1480440375560094, -0.08512440644804567, -0.06394747372242257, -0.0004575970141687813, -0.2043746650888016, -0.043741735016669454, 0.1177552992559725, -0.2844978534972139, 0.044402396330875844, 0.02371733799578124, -0.05117952761431056, 0.03570203353525804, -0.06017956430904916, -0.034550607201453414, 0.009449519103828345, -0.2345457561419716, 0.17137352710244058, -0.08492758806239495, 0.11604706769064463, 0.07732840317313172, 0.013131626731480245, 0.17530755090022201, -0.10064801517013929, 0.05337470423494539, 0.09255730930451009, 0.1000839500217562, 0.09063736311928089, -0.13414209861498202, 0.010277697050368434, -0.10540482797763873, -0.12285966843393387, 0.09091210819168744, 0.048252166284898666, -0.1806613022525169, -0.029769890425384835, -0.1021625821320833, 0.13907849924247323, -0.21255244175464394, -0.06345652309131432, -0.10392899603893646, 0.18947963434480808, 0.19011010111192714, -0.12585555807026313, -0.2089327787438259, 0.16586568222613343, 0.052836276337072774, 0.04279757474764927, 0.018020015397847818, -0.06832009323144841, -0.05127551297793735, -0.12949844497534765, -0.10645450056137472, 0.2278003158994222, -0.15329476793534827, -0.1791520941574073, -0.0019200152180245973, -0.005381095587602906, 0.10972460099815194, 0.1827952415741985, -0.052685084587981885, -0.0695577938690163, 0.28843060582385804, -0.09008107781606549, -0.07553050141369674],
+    [0.06808659692680415, 0.06269221088043923, 0.008780757117712729, 0.1725269858508099, -0.25796105063051816, 0.10712924747585241, -0.023209209767688924, 0.17754309288336817, -0.11522019045334299, 0.13620195798666804, 0.007640884150524177, 0.20195047574510397, -0.06077544466797296, -0.1402193539405953, -0.0931136789054182, 0.04930806575221013, 0.09682486295850985, 0.07142426949944401, -0.00931947755332961, -0.20316848780447688, -0.2254729514027413, 0.15765898138963427, -0.011856441212723898, 0.07323162375884038, 0.027470748399647266, -0.11908308267720824, 0.11645429213298858, -0.003835251858129069, 0.12892448335584775, -0.1045231273232316, 0.15211656493727235, 0.20057539618764572, -0.0814131812802903, -0.017677469085165078, -0.11650295044832855, 0.31619012196984514, -0.11671862239948005, -0.14843441728736442, -0.010252064348209983, -0.04828886542029645, -0.014507537293042633, -0.00017919674515719936, -0.08565322476917948, -0.017434761707989157, -0.07573379923511667, -0.04152082543951982, -0.01362043137291578, 0.3694044748348243, -0.10851089306172935, -0.15344609942067938, 0.0664723391092144, -0.019778009359074696, 0.00932962309855507, 0.005401021761514877, -0.021917540538556195, 0.10147291470472783, -0.17091025495876283, 0.09292951416465928, -0.1707204274332764, -0.07391767730726498, -0.19206043423473712, -0.09621918574006363, -0.08404634246068618, 0.026296885848709275],
+]
+
+
 def q_v3_ivf_topk(spark, sf_dir):
-    """IVF scale path: deterministic k-means train (k lowest-id init),
-    nprobe-cluster probe, exact cosine top-k inside the probed clusters.
-    Rows-only check (k-means isn't SQL-expressible); pytest pins the
-    IVF pieces and recall-vs-brute-force separately (test_ivf_cli)."""
+    """IVF scale path: nprobe-cluster probe over the FROZEN offline-
+    trained centroid artifact (_V3_CENTROIDS), exact cosine top-k
+    inside the probed clusters. Hash-verified since r6: the centroids
+    are full-precision literals, probe selection uses sequential
+    double sums (ivf_topk r6), and every dot product runs left-to-
+    right on both engines — the v1 portability precedent extended to
+    the pruned path. The training pipeline (ivf_train) keeps its own
+    recall tests (test_ivf_cli)."""
     _tune(spark)
     emb = _t(spark, sf_dir, "embeddings")
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
-    centroids = similarity.ivf_train(emb, "vec_id", "embedding", k=8, iters=3)
     return similarity.ivf_topk(
-        emb, "vec_id", "embedding", centroids, qvec, k=10, nprobe=3
+        emb, "vec_id", "embedding", _V3_CENTROIDS, qvec, k=10, nprobe=3
     )
 
 
 def q_v4_pca_project(spark, sf_dir):
-    """Distributed PCA: one-pass covariance partials → driver eigh of the
-    64×64 matrix → narrow JVM projection. Rows-only check (no SQL eigen);
-    pytest pins direction recovery + centering + narrow plan."""
+    """PCA projection onto the FROZEN offline-trained basis
+    (_V4_PCA_MEAN/_V4_PCA_COMPS — one-pass covariance partials →
+    driver eigh, shipped as literals). Hash-verified since r6: the
+    projection is p_j = dot(x, W_j) − offset_j with sequential double
+    dots and a Python-precomputed offset literal, all reproducible by
+    the oracle. The training pass (pca_train) keeps its own tests
+    (direction recovery, centering, narrow plan)."""
     _tune(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    mean, comps, _ratios = similarity.pca_train(emb, "embedding", dim=64, k=4)
-    proj = similarity.pca_project(emb, "vec_id", "embedding", mean, comps)
+    proj = similarity.pca_project(
+        emb, "vec_id", "embedding", _V4_PCA_MEAN, _V4_PCA_COMPS
+    )
     return proj.select(
         "vec_id", *[F.round(f"p{j}", 6).alias(f"p{j}") for j in range(4)]
     )
@@ -2057,17 +2095,43 @@ def q_d13_passjoin(spark, sf_dir):
     )
 
 
+
+
+# Frozen SemDeDup centroid artifact (r6): ivf_train k=8 iters=2 on the
+# sf0.01 dup-union (corpus ∪ +10⁶-shifted copy), same provenance rules
+# as _V3_CENTROIDS — freezing makes the whole semdedup pipeline
+# (assign → in-cluster cosine pairs → min-label CC → keep-min) engine-
+# reproducible and therefore hash-verifiable.
+_D14_CENTROIDS: list[list[float]] = [
+    [0.01701881701592356, -0.011116592940578068, 0.028736375737935305, -0.08935685609043999, 0.020072753185575658, -0.01574162337294018, -0.009399912698956375, 0.015412481273101134, 0.047793219242488374, -0.027847753922899506, -0.006815635609779169, -0.0029680911112915384, -0.03608385914597999, 0.0017215981740843166, -0.007604022535749457, 0.0013730769638310779, 0.041724861667237496, 0.038583813307129525, 0.027969500644725153, 0.031988626083528454, -0.06120950410311872, 0.011392892236736687, -0.008417190986008129, -0.013161518987776203, 0.0073798917223360724, 0.08503730844028971, 0.07341491950845176, -0.005388549106745896, -0.02210281215269457, 0.06051481478339569, -0.013223868964070623, 0.06617932984485048, 0.0032236212779852475, -0.04887727415189147, 0.01670467075150968, -0.052640504711730915, -0.01220125946300951, 0.006493692953683256, 0.012863670306449587, 0.01054424092554572, -0.0012555422949266028, 0.0029036344298881225, -0.00038558355617252264, 0.001721629212525758, 0.010555425058753991, 0.022455756095322695, 0.030492586303840986, -0.05374877938196402, 0.01768070240081711, -0.0356112015010281, 0.0009945004416460341, 0.011780479303772816, 0.01095210796391422, -0.05486489177935503, 0.02975066548044031, 0.00456037099303847, -0.019769465129568495, 0.008470256598031318, -0.04709633313944902, -0.02793555104025555, -0.010138846298849041, 0.028579168257684532, 0.03678551382300529, -0.04855991981352087],
+    [-0.017981309283641167, -0.013755264020801405, 0.000432082110819465, 0.001631162656849483, 0.0008113804851745954, 0.02798387002258096, -0.08526168564276304, -0.013581792916738777, 0.0015124699712032452, 0.00625944665625866, -0.0531188598179142, 0.04263958221417852, 0.06163878615734575, -0.06571075909414503, 0.0333542201592536, 0.0018444963748152077, -0.0010516513393667992, -0.010706673849199433, 0.030874981053784722, -0.046470371205941774, 0.021132976158696692, 0.02876619073595066, 0.006695862091874005, -0.03594165141839767, 0.03429748269991251, 0.05697651218724786, -0.01517286236048676, -0.026259111895342357, -0.016275844936899375, 0.02328003324510064, -0.022762673630495556, 0.008590474313677987, -0.005381779780805118, -0.005423684886409319, 0.007459209085936891, 0.0023690662674198393, -0.04371360371442279, 0.0011546480445758789, 0.014070143397475476, -0.06888880275073461, -0.00016587126810918562, -0.04092222739564022, 0.029209383373256514, 0.017311564838564664, 0.023796760753612034, 0.013400846421973256, -0.02869988173188176, -0.007577810176371713, -0.05592235972653725, -0.08661939542434993, -0.011372426517482381, 0.0014044585573174118, -0.0002973209302581381, 0.010868939589272486, -0.01887351904588286, 0.04138232647164841, 0.03839081698765767, 0.0021975394774926826, 0.037454941750183934, 0.013084175861877156, -0.02640852302283747, -0.0019805248575721635, -0.039142744166383636, -0.01881757436785847],
+    [0.00025110983600219093, 0.001557564908095325, -0.042481282050721346, 0.046131578965044655, 0.04014133256860077, -0.005159965724063417, -0.010234903544187546, 0.012304146809037774, -0.0006510875653475523, -0.06995021010710237, -0.021581126116992286, -0.017999338156854113, -0.055817493677993, 0.04913123300357256, 0.007059255188020567, 0.020704248217710605, -0.03000893129889543, 0.042612587407347746, -0.015932364443627497, -0.024656390002928675, 0.00858777241470913, -0.0026141592650674285, 0.059042915158594646, -0.013255811544756095, 0.0018568673549452797, -0.03742714045026029, -0.0045339958043769, 6.400378576169412e-06, 0.017848089682714393, 0.01260231623115639, -0.014678478454394886, -0.07525287593404452, 0.01493666441917109, 0.004359442957987388, 0.008368926044204273, 0.003675104184852292, 0.018687226126591364, 0.05990574961858026, 0.04747923673130572, 0.047943472230448, 0.0008621401488198899, -0.009915476917133978, 0.029474940352762737, 0.013112189212309507, -0.01545324193190633, -0.007962567770543197, -0.017000487761106343, -0.011864682449959219, 0.0508738963243862, 0.039403318237358084, 0.04443677495097897, -0.05493328516022302, -0.011062378027054365, -0.036584462691098454, 0.050872455587765826, 0.008674083867420752, 0.018570655320460597, -0.017057484997591625, 0.007221275030315155, 0.041058024189745385, 0.03793650045214842, 0.003959237487288192, 0.012109889183193445, 0.014397683188629646],
+    [-0.0313572998302767, 0.038438667448991465, -0.00571275252011782, -0.00609477333694933, -0.010555304878849595, 0.01302574212027211, 0.02420743253629004, 0.009866962054123482, -0.03392747412287882, 0.005791006905455438, -0.003934862210400521, 0.03687628621368536, 0.014338130917629257, 0.09115341957288957, 0.01216310647035402, 0.0003102603442375622, -0.0385480533050935, -0.04973293771405542, 0.011078872178341187, 0.03007634269029257, 0.0026820435841006063, -0.002612291510024714, -0.02157730405636516, 0.01854155191944705, -0.018685237990529645, 0.023074669976873945, -0.017790421556648135, -0.018002001601936563, -0.05919853315710844, -0.04555011319646996, -0.007374649394362691, -0.01889924885749462, 0.07422524768238266, 0.0011343204634382375, -0.0036558194163565836, -0.014375996347221117, 0.009749227661698584, -0.026966540382191952, -0.028301137948079803, -0.02642697018075971, -0.0037502481746265574, -0.02670248370942852, -0.06915683100842648, -0.024733165149680443, -0.0005040431602133645, 0.0081498560584372, -0.017124186955495842, -0.032225908558180055, 0.0678713565566651, -0.04754101623973203, 0.006954702570857037, -0.011476397477386017, 0.010691800962261383, 0.023272495916379348, -0.04292297271627282, -0.03699982335739252, 0.01823719465155302, -0.005941520149390849, 0.02233903712430407, -0.04862980708657276, 0.02196778892169869, 0.002286959001919188, -0.006042583034806219, -0.053906068930195436],
+    [0.0222776559509199, 0.005015171982382459, 0.057653250214773126, -0.024284155056294467, -0.03934115985477412, -0.07383324442155383, 0.03759399284091261, 0.00621736664497466, 0.01123318314192282, 0.01645027197621487, 0.015268217655830085, -0.05888663632234697, 0.02672050731187617, -0.04943059059291112, 0.017978033223361882, -0.0282715907001316, 0.04432807305689763, 0.01636080896154184, 0.003977569827973774, 0.020039402470165106, -0.008118477520636387, 0.034874359247084985, -0.01981083618873661, 0.016109834890812635, -0.02303157426083797, -0.0003333655487814987, 0.02370222160351221, -0.00407202555625527, 0.034480436120820405, -0.04977986371765534, 0.03400492358573333, -0.027379110219448596, 0.017213455082296773, 0.018711578855463477, 0.029364387616860093, -0.060442052609114734, 0.008483034938021942, -0.06512113133713784, -0.026801741071755748, 0.005908942589519062, 0.02468260895046923, -0.0008935913728136155, -0.018654160908664816, 0.0008253508336835053, -0.023642397069596446, -0.0036049651723631003, -0.044212838689822495, 0.05872664348808704, -0.04182318967542852, -0.006288718897849321, -0.010408797887740311, -0.002724279365793336, 0.01806625672098663, 0.010441124938855259, 0.07816153715140428, -0.017849342731534743, 0.005228333157935628, -0.024342574250315212, 0.026034164087225992, -0.01000921323753169, -0.055853921851074254, -0.0027029244035171964, 0.034018388397439765, 0.005459979853454839],
+    [-0.02584060128512127, -0.02088150122602071, 0.036748835562528774, 0.0032986647482695325, 0.05574787222514195, -0.008906878986661988, -0.05049231466982747, 0.05246136691088655, -0.019260692147405018, 0.016413177736103533, 0.03480753181502223, -0.012009613374747069, 0.00976044689637742, 0.01027697957116678, -0.021829916882727826, 0.000517365662381053, 0.0036431483077259534, -0.0446327766253879, -0.011677917114658548, 0.03638868865548699, 0.010814408051581787, -0.0184199779793354, 0.02823625101009384, -0.010320092316916479, 0.025929048989200964, 0.03260288704186678, -0.018285245415089385, 0.014206753787584602, 0.01032523224961811, 0.020051098044496028, 0.014764953334815801, -0.03387652753320124, 0.0026219131425023077, -0.00459478978383621, 0.00267260067297944, 0.04772166706804585, 0.013494812953285872, 0.05617765433354569, -0.026659569430298038, 0.011628441118435667, -0.05166538421783896, 0.05102259042074105, 0.004740407450922898, 0.022266597353986332, -0.07608790721611253, -0.04519716716936922, 0.014211133646728871, -0.025055575989452857, -0.015725336842504996, 0.01886703678007637, 0.03819377045313429, 0.041419950035300905, 0.004845557953896267, 0.03521272320566433, -0.034099103517032096, -0.0715989210551405, 0.023976327139618142, -0.040040439167725185, 0.005003686430115652, 0.002220092394522258, 0.000538183855158942, 0.040254011005163196, -0.03693020571289318, 0.03143106033260535],
+    [-0.02373361782233139, -0.034703653853412876, -0.003628742021941383, -0.02265445187582936, 0.02801625640131533, 0.07139419542927243, -0.025004917724159692, -0.05043615934825962, -3.136894796830668e-05, 0.05405327698386366, 0.05056009859315605, 0.01108225156933489, 0.013790659855683925, 0.03829499788608559, -0.015782773507837678, 0.03746762813452605, 0.023461505596880133, 0.04968064614984823, -0.047120029631424955, -0.04049318837998828, 0.004592089874433799, -0.021570794192523186, -0.010739985040166008, -0.048332295111629744, -0.042184874740048825, -0.013211943238685039, -0.007525331238251914, 0.0484297617394346, 0.031636675632834226, -0.043877336908210544, -0.005209408098713718, 0.005648059549111821, -0.009575640888471472, -0.03505734813032331, -0.01858313600729469, 0.04722932357878857, 0.01881327773575527, -0.010798225913878898, -0.00457360553756048, -0.0048506660290078005, 0.045357073491609744, -0.04689030060019921, -0.0020636822597917275, -0.018624315156378378, 0.002550019484183843, 0.013358080656346406, 0.0316738473746637, 0.04481667107295796, 0.0037079470432576605, 0.01770006802136367, -0.031205199840872114, 0.008292015104121725, 0.03937703111900909, -0.012866355172750638, 0.018561569916438574, 0.03273297808933216, -0.05492300053887909, 0.04718909530226521, -0.025855840289552078, -0.02628411093241417, 0.015050170345743873, -0.008109033792312453, -0.003964911654434153, 0.019116107515439813],
+    [0.08807147013407851, 0.005676311300328326, -0.03432301134573266, 0.043152572260060834, -0.026904284410799544, 0.03161195432628682, -0.012272591001376332, 0.04513162276005402, -0.01617058673374621, -0.01937711596792002, 0.02673796709212992, 0.017488632296648113, -0.06268641053530802, -0.06860006996615244, -0.021201677428233246, 0.005238175078014296, -0.010252243805942791, 0.012160045529035704, 0.007320649918198349, 0.010489544897739376, -0.019594309824733213, -0.000911426649148029, -0.003315481689891645, 0.030288181378550473, -0.0009041274398831385, -0.038947707477269604, -0.030763616247217185, 0.06683749812220903, -0.007803509719595905, 0.03000461270003432, 0.0608230417978669, 0.032835644547294436, -0.02652056516510331, 0.01849093600656719, 0.007245910176563831, 0.009324617646930237, -0.05829879818927674, -0.04400988061365391, 0.007635959925773065, 0.01996941991623432, -0.024516415028345017, -0.02182009025330892, 0.027285193643784, -0.015772294788759956, -0.007667956836817283, 0.034888019482235584, 0.017514188010762963, 0.07189036384298807, -0.0555651722520235, 0.012113229002958784, 0.03748319984879345, -0.012711367327793842, -0.012995126317181284, -0.016240069241676893, -0.0249737675176076, 0.012291370820815838, 0.010998718810105135, 0.005126670827083881, -0.06333411892595155, -0.012858144557131232, 0.005665321590467578, -0.022551149687229006, 0.00930350161497555, -0.06473057670888328],
+]
+
+
 def q_d14_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means-scoped embedding dedup over
     the corpus ∪ an exact-duplicate copy — every copy pair must collapse
-    to one survivor. Rows-only check (k-means isn't SQL-expressible);
-    pytest pins the group/keep semantics on planted geometry."""
+    to one survivor. Hash-verified since r6 via the frozen
+    _D14_CENTROIDS artifact: with the cells fixed, assignment is
+    portable double math (v3 precedent), the in-cluster cosine pairs
+    mirror the d5 oracle, and the min-label CC mirrors the d6
+    RECURSIVE-closure oracle. The planted-geometry pytest coverage of
+    the trained path stays."""
     _tune(spark)
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dup = emb.unionByName(
         emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     )
-    out = dedup.semdedup(dup, "vec_id", "embedding", k=8, threshold=0.999, iters=2)
+    out = dedup.semdedup(
+        dup, "vec_id", "embedding", k=8, threshold=0.999, iters=2,
+        centroids=_D14_CENTROIDS,
+    )
     return out.select("vec_id", "cluster", "semantic_group", "keep")
 
 
@@ -3654,6 +3718,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v7_pq_topk": q_v7_pq_topk,
         "x7_lttb_downsample": q_x7_lttb_downsample,
         "a14_co_occurrence": q_a14_co_occurrence,
+        "v3_ivf_topk": q_v3_ivf_topk,
+        "v4_pca_project": q_v4_pca_project,
+        "v2_ann_lsh": q_v2_ann_lsh,
+        "d14_semdedup": q_d14_semdedup,
         # --- r5 prefix head: the 13 queries whose hash oracles were
         # QUEUED in r4 (_R5_ORACLE_QUEUE, now merged into oracle_sql())
         # — pytest-verified vs DuckDB every run; t21/g3/m11/v8/m12 in
@@ -3711,7 +3779,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_time_weighted_avg": q_w8_time_weighted_avg,
         "fs10_text_bm25": q_fs10_text_bm25,
         "d13_passjoin": q_d13_passjoin,
-        "d14_semdedup": q_d14_semdedup,
         "d15_incremental_cc": q_d15_incremental_cc,
         "k4_kmv_distinct": q_k4_kmv_distinct,
         "m10_gif_frames": q_m10_gif_frames,
@@ -3769,9 +3836,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_attachment_meta": q_m1_attachment_meta,
         "m2_image_decode": q_m2_image_decode,
         "w2_keyset_page": q_w2_keyset_page,
-        "v2_ann_lsh": q_v2_ann_lsh,
-        "v3_ivf_topk": q_v3_ivf_topk,
-        "v4_pca_project": q_v4_pca_project,
         "t12_compression_ratio": q_t12_compression_ratio,
         "a3_count_accurate": q_a3_count_accurate,
         "a4_counts_by_type": q_a4_counts_by_type,
@@ -5357,7 +5421,165 @@ def oracle_sql() -> dict[str, str]:
     # r6: x7 graduates from rows-only — the LTTB recurrence unrolled as
     # 38 chained argmax CTEs with bit-portable arithmetic (task #8)
     out["x7_lttb_downsample"] = _x7_oracle()
+    # r6: v3/v4 graduate — frozen centroid/basis artifacts + sequential
+    # double dots (the v1 float-portability precedent)
+    out["v3_ivf_topk"] = _v3_oracle()
+    out["v4_pca_project"] = _v4_oracle()
+    # r6: v2 graduates — the RandomState(42) hyperplanes are a fixed
+    # artifact (regenerated at build time, inlined as literals) and the
+    # probe-widening loop is a monotone cumsum, expressible as a window
+    out["v2_ann_lsh"] = _v2_oracle()
+    # r6: d14 graduates — frozen cells + d5 pair oracle + d6 CC oracle
+    out["d14_semdedup"] = _d14_oracle()
     return out
+
+
+def _d14_oracle(threshold: float = 0.999) -> str:
+    """DuckDB twin of q_d14_semdedup: frozen _D14_CENTROIDS assignment
+    (the v3 argmin shape), in-cluster raw-cosine pairs at ≥ threshold
+    (the d5 shape), RECURSIVE transitive closure for the semantic
+    groups (the d6 shape — full CC equals the engine's min-label
+    propagation once converged), keep = min id per group."""
+    cb = "[" + ",".join(_flist_sql(c) for c in _D14_CENTROIDS) + "]"
+    dl = (
+        f"list_transform({cb}, c -> -(list_dot_product(e, c) /"
+        f" (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(c, c)))))"
+    )
+    cos = (
+        "list_dot_product(a.e, b.e) /"
+        " (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+    )
+    return (
+        f"WITH RECURSIVE all_v AS ("
+        f" SELECT vec_id, embedding FROM embeddings"
+        f" UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),"
+        f" v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
+        f" FROM all_v),"
+        f" a0 AS (SELECT vec_id, e, {dl} AS dl FROM v),"
+        f" c AS (SELECT vec_id, e, list_position(dl, list_min(dl)) - 1 AS cluster"
+        f" FROM a0),"
+        f" pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM c a JOIN c b"
+        f"  ON a.cluster = b.cluster AND a.vec_id < b.vec_id"
+        f"  WHERE {cos} >= {threshold!r}),"
+        f" sym AS (SELECT ia AS x, ib AS y FROM pairs"
+        f"  UNION SELECT ib, ia FROM pairs),"
+        f" reach(x, y) AS (SELECT x, y FROM sym"
+        f"  UNION SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),"
+        f" lab AS (SELECT c.vec_id, c.cluster,"
+        f"  least(c.vec_id, coalesce((SELECT min(y) FROM reach WHERE x = c.vec_id),"
+        f"   c.vec_id)) AS semantic_group FROM c)"
+        f" SELECT vec_id, cluster, semantic_group,"
+        f" CAST(vec_id = min(vec_id) OVER (PARTITION BY semantic_group) AS INT)"
+        f" AS keep FROM lab"
+    )
+
+
+def _v2_oracle(n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 10) -> str:
+    """DuckDB twin of q_v2_ann_lsh: the deterministic RandomState(seed)
+    hyperplanes inlined as literals; sign-bit buckets via sequential
+    dots (≡ Spark's zip_with+aggregate ≡ lsh_bucketed_topk's qbits
+    loop); the bucket-underfill widening loop mirrored as a window
+    cumsum — include bucket b (h ≤ max_hamming, nearest-first, lex
+    ties) iff it is the first or the pool BEFORE it is still under
+    min_candidates (the Python loop's break condition is monotone in
+    the cumsum, so a WHERE filter is equivalent); exact cosine top-k
+    among the candidates (the v1 oracle shape)."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(e, {_flist_sql(p)}) >= 0"
+        f" THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    ham = " + ".join(
+        f"(CASE WHEN substr(o.bucket, {i + 1}, 1) <> substr(qb.qbucket, {i + 1}, 1)"
+        f" THEN 1 ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return (
+        f"WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe"
+        f" FROM embeddings WHERE vec_id = 0),"
+        f" v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
+        f" FROM embeddings),"
+        f" b AS (SELECT vec_id, e, {bits} AS bucket FROM v),"
+        f" qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),"
+        f" occ AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),"
+        f" hd AS (SELECT o.bucket, o.n, {ham} AS h FROM occ o, qb),"
+        f" ord AS (SELECT bucket, n, h, row_number() OVER (ORDER BY h, bucket) AS rn,"
+        f"  sum(n) OVER (ORDER BY h, bucket"
+        f"   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum"
+        f"  FROM hd WHERE h <= {n_planes}),"
+        f" probe AS (SELECT bucket FROM ord WHERE rn = 1 OR cum - n < {k}),"
+        f" cand AS (SELECT vec_id, e FROM b"
+        f"  WHERE bucket IN (SELECT bucket FROM probe))"
+        f" SELECT vec_id, round(list_dot_product(e, qe) /"
+        f" (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cos"
+        f" FROM cand, q"
+        f" ORDER BY round(list_dot_product(e, qe) /"
+        f" (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) DESC,"
+        f" vec_id ASC LIMIT {k}"
+    )
+
+
+def _flist_sql(xs) -> str:
+    return "[" + ",".join(repr(float(x)) for x in xs) + "]"
+
+
+def _v3_oracle(nprobe: int = 3, k: int = 10) -> str:
+    """DuckDB twin of q_v3_ivf_topk: the frozen _V3_CENTROIDS as
+    full-precision literals; probe selection and cluster assignment
+    both rank by -cosine with sequential double dots (list_dot_product
+    ≡ Spark's zip_with+aggregate ≡ ivf_topk's Python loop), ties →
+    lowest cluster id; exact cosine top-k inside the probed clusters
+    (the v1 oracle shape)."""
+    cb = "[" + ",".join(_flist_sql(c) for c in _V3_CENTROIDS) + "]"
+    ncent = len(_V3_CENTROIDS)
+    # per-row negcos list over the centroid literal: Spark's ivf_assign
+    # computes dot(e,c) / (norm(e) * norm(c))
+    dl = (
+        f"list_transform({cb}, c -> -(list_dot_product(e, c) /"
+        f" (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(c, c)))))"
+    )
+    return (
+        f"WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe"
+        f" FROM embeddings WHERE vec_id = 0),"
+        f" v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
+        f" FROM embeddings),"
+        f" pj AS (SELECT unnest(generate_series(0, {ncent - 1})) AS j),"
+        f" pc AS (SELECT j, -(list_dot_product(({cb})[j + 1], qe) /"
+        f"  (sqrt(list_dot_product(({cb})[j + 1], ({cb})[j + 1]))"
+        f"   * sqrt(list_dot_product(qe, qe)))) AS negcos FROM pj, q),"
+        f" probe AS (SELECT j FROM pc ORDER BY negcos ASC, j ASC LIMIT {nprobe}),"
+        f" a AS (SELECT vec_id, e, {dl} AS dl FROM v),"
+        f" c AS (SELECT vec_id, e, list_position(dl, list_min(dl)) - 1 AS cluster"
+        f"  FROM a),"
+        f" cand AS (SELECT vec_id, e FROM c WHERE cluster IN (SELECT j FROM probe))"
+        f" SELECT vec_id, round(list_dot_product(e, qe) /"
+        f" (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cos"
+        f" FROM cand, q"
+        f" ORDER BY round(list_dot_product(e, qe) /"
+        f" (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) DESC,"
+        f" vec_id ASC LIMIT {k}"
+    )
+
+
+def _v4_oracle() -> str:
+    """DuckDB twin of q_v4_pca_project: p_j = dot(x, W_j) − offset_j
+    with the frozen basis as literals and offset_j precomputed with the
+    SAME Python sequential sum pca_project uses (identical double →
+    identical repr literal)."""
+    cols = []
+    for j, comp in enumerate(_V4_PCA_COMPS):
+        offset = float(sum(m * c for m, c in zip(_V4_PCA_MEAN, comp)))
+        cols.append(
+            f"round(list_dot_product(e, {_flist_sql(comp)}) - {offset!r}, 6) AS p{j}"
+        )
+    return (
+        "WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
+        " FROM embeddings)"
+        f" SELECT vec_id, {', '.join(cols)} FROM v"
+    )
 
 
 def _x7_oracle(n_out: int = 40) -> str:

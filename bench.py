@@ -99,6 +99,10 @@ HEADLINE = [
     "t18_phrase_search",
     "m12_image_ahash",
     "k6_sketch_rollup",
+    # round 6: the two new frozen-artifact graduates — integer PQ ADC
+    # (scan reads only codes-width data) and the 38-step LTTB pipeline
+    "v7_pq_topk",
+    "x7_lttb_downsample",
 ]
 
 N_STEADY = 3

@@ -178,24 +178,26 @@ def co_occurrence(
         raise ValueError("min_support must be ≥ 1")
     if on_exceed not in ("raise", "drop"):
         raise ValueError("on_exceed must be 'raise' or 'drop'")
+    from pyspark.sql import Window
+
     bi = df.select(
         F.col(basket_col).alias("o"), F.col(item_col).alias("i")
     ).distinct()
-    # lossless a-priori prune: item must reach min_support on its own
+    # Guards as WINDOW counts, not agg+semi-join round trips: each guard
+    # is one shuffle (on i, then on o) instead of an aggregate plus a
+    # join back, and the final o-partitioning feeds the pair self-join
+    # (both sides are the same subplan → the exchange is reused).
     if min_support > 1:
-        freq = (
-            bi.groupBy("i")
-            .agg(F.count(F.lit(1)).alias("_nb"))
-            .filter(F.col("_nb") >= min_support)
-            .select("i")
-        )
-        # semi-join, no forced broadcast: the frequent-item set can be
-        # arbitrarily large at corpus scale; AQE broadcasts when small
-        bi = bi.join(freq, "i", "left_semi")
+        # lossless a-priori prune: item must reach min_support on its own
+        ni = F.count(F.lit(1)).over(Window.partitionBy("i"))
+        bi = bi.withColumn("_ni", ni).filter(
+            F.col("_ni") >= min_support
+        ).drop("_ni")
     if max_basket is not None:
-        sizes = bi.groupBy("o").agg(F.count(F.lit(1)).alias("_sz"))
+        sz = F.count(F.lit(1)).over(Window.partitionBy("o"))
+        sized = bi.withColumn("_sz", sz)
         if on_exceed == "raise":
-            worst = sizes.agg(F.max("_sz").alias("m")).head()["m"]
+            worst = sized.agg(F.max("_sz").alias("m")).head()["m"]
             if worst is not None and worst > max_basket:
                 raise RuntimeError(
                     f"co_occurrence: basket of size {worst} exceeds "
@@ -204,12 +206,9 @@ def co_occurrence(
                     f"(AQE cannot split a single key's output). Raise the "
                     f"cap, use on_exceed='drop', or raise min_support."
                 )
+            bi = sized.drop("_sz")
         else:
-            # anti-join against the OVERSIZED baskets — by construction a
-            # tiny set (the pathology), so AQE broadcasts it; the ok-side
-            # semi-join would carry the full basket dimension instead
-            bad = sizes.filter(F.col("_sz") > max_basket).select("o")
-            bi = bi.join(bad, "o", "left_anti")
+            bi = sized.filter(F.col("_sz") <= max_basket).drop("_sz")
     a = bi.select("o", F.col("i").alias("item_a"))
     b = bi.select("o", F.col("i").alias("item_b"))
     pairs = a.join(b, "o").filter(F.col("item_a") < F.col("item_b"))

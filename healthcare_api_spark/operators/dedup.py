@@ -855,6 +855,7 @@ def semdedup(
     threshold: float = 0.95,
     iters: int = 3,
     keep: str = "min_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by embedding —
     k-means-cluster the embedding space, find cosine-≥ θ pairs WITHIN
@@ -875,7 +876,14 @@ def semdedup(
     """
     from healthcare_api_spark.operators.similarity import ivf_assign, ivf_train
 
-    cents = ivf_train(df, id_col, vec_col, k=k, iters=iters)
+    # precomputed centroids (a frozen offline-trained artifact) make the
+    # whole pipeline engine-reproducible — every remaining step is
+    # deterministic double math / integer min-propagation
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_train(df, id_col, vec_col, k=k, iters=iters)
+    )
     assigned = ivf_assign(df, vec_col, cents)
     pairs = embedding_neardup_pairs(
         assigned, id_col, vec_col, "cluster", threshold=threshold

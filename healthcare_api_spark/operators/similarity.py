@@ -13,6 +13,7 @@ aggregate), so scores are deterministic and engine-reproducible.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -180,13 +181,26 @@ def ivf_topk(
     Driver picks the probe clusters from the tiny centroid matrix; the
     cluster filter prunes the scan (partition pruning when the table is
     written partitioned by cluster), then exact cosine top-k inside.
+
+    The probe cosines use plain left-to-right double sums (not BLAS
+    np.dot, whose unrolled/pairwise accumulation is not IEEE-sequential)
+    so a SQL engine's sequential list_dot_product reproduces the probe
+    choice bit-for-bit — what lets q_v3 carry a hash oracle over frozen
+    centroids. Ties → lowest cluster id (stable sort / ORDER BY j).
     """
-    q = np.asarray(query_vec, dtype=float)
+    import math
+
+    def _seqdot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    q = [float(x) for x in query_vec]
 
     def cos(c):
-        c = np.asarray(c, dtype=float)
-        denom = (np.linalg.norm(c) * np.linalg.norm(q)) or 1.0
-        return float(np.dot(c, q) / denom)
+        denom = (math.sqrt(_seqdot(c, c)) * math.sqrt(_seqdot(q, q))) or 1.0
+        return _seqdot(c, q) / denom
 
     probe = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[:nprobe]
     assigned = ivf_assign(df, vec_col, centroids)
@@ -243,7 +257,17 @@ def lsh_bucketed_topk(
     max_hamming = n_planes if max_hamming is None else max_hamming
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
-    qbits = "".join("1" if float(np.dot(plane, query_vec)) >= 0 else "0" for plane in planes)
+
+    # sequential double dot (not BLAS np.dot) so the query's sign bits
+    # match the engine-side zip_with+aggregate / a SQL engine's
+    # list_dot_product bit-for-bit — the hash-oracle portability rule
+    def _seqdot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    qbits = "".join("1" if _seqdot(plane, query_vec) >= 0 else "0" for plane in planes)
     bucketed = hyperplane_buckets(df, vec_col, dim, n_planes, seed)
 
     counts = {
@@ -551,39 +575,47 @@ def pq_adc_topk_int(
     ]
     if len(qint) != m * sub:
         raise ValueError(f"query dim {len(qint)} != m*sub = {m * sub}")
-    score = F.lit(0).cast("long")
-    for j, book in enumerate(codebooks_int):
-        piece = F.slice(F.col(vec_col), j * sub + 1, sub)
-        ip = F.transform(
-            piece, lambda x: F.round(x.cast("double") * scale).cast("long")
-        )
-        cands = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            ip,
-                            F.array(*[F.lit(int(ci)).cast("long") for ci in c]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(book)
+    # Encode + ADC as ONE vectorized Arrow batch kernel. This is the
+    # sanctioned Pandas-UDF case: the exact argmin needs m·ksub·sub
+    # (here 1024) squared-diff terms per row, which as a Column tree
+    # costs seconds of py4j construction per query build and falls out
+    # of whole-stage codegen (interpreted eval measured ~1 ms/row); as
+    # a zip_with/aggregate HOF chain it's per-element lambda dispatch.
+    # numpy broadcasting does the same integer math at memory bandwidth
+    # (µs per row), stays bit-exact (int64 throughout), and the plan
+    # stays narrow: scan → ArrowEval → TakeOrderedAndProject. In a real
+    # deployment the codes are precomputed at ingest (pq_encode); this
+    # kernel is the query-time path over raw vectors.
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks_int, dtype=np.int64)  # (m, ksub, sub)
+    luts = np.array(
+        [
+            [
+                sum((qi - int(ci)) ** 2 for qi, ci in zip(qint[j * sub :], c))
+                for c in codebooks_int[j]
             ]
-        )
-        code = F.array_min(cands).getField("cid")
-        q = qint[j * sub : (j + 1) * sub]
-        lut = [
-            sum((qi - int(ci)) ** 2 for qi, ci in zip(q, c)) for c in book
-        ]
-        score = score + F.element_at(
-            F.array(*[F.lit(int(v)).cast("long") for v in lut]), code + 1
-        )
+            for j in range(m)
+        ],
+        dtype=np.int64,
+    )  # (m, ksub)
+
+    @pandas_udf("long")
+    def _adc(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs]) * scale
+        # half-away-from-zero (np.round is banker's)
+        q = (np.floor(np.abs(mat) + 0.5) * np.sign(mat)).astype(np.int64)
+        total = np.zeros(len(vecs), dtype=np.int64)
+        for j in range(m):
+            piece = q[:, j * sub : (j + 1) * sub]  # (n, sub)
+            diff = piece[:, None, :] - books[j][None, :, :]  # (n, ksub, sub)
+            dists = np.einsum("nks,nks->nk", diff, diff)
+            codes = np.argmin(dists, axis=1)  # first min = lowest cid
+            total += luts[j][codes]
+        return pd.Series(total)
+
     return (
-        df.select(F.col(id_col), score.alias("adc_dist"))
+        df.select(F.col(id_col), _adc(F.col(vec_col)).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -179,6 +179,24 @@ def test_cms_sketch_cells_bounded(spark):
     assert "BroadcastHashJoin" in _plan(probe)
 
 
+def test_pq_adc_topk_is_narrow_take_ordered(spark):
+    # v7 (r6): frozen integer codebooks — encode + ADC is one narrow
+    # expression over the scan, top-k via per-partition heaps; no join,
+    # no shuffle at all (the 64×-compressed ANN read path at 100 TB)
+    plan = _plan(entrymod.q_v7_pq_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pca_project_fully_narrow(spark):
+    # v4 (r6): frozen basis — four literal-dot projections, zero
+    # shuffle, zero join: projecting 100 TB of embeddings is scan-bound
+    plan = _plan(entrymod.q_v4_pca_project(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
 def test_sq8_topk_is_take_ordered_no_join(spark):
     # v6: constant query literal — TakeOrderedAndProject over one scan,
     # no join/exchange beyond the top-k reduction

@@ -108,3 +108,48 @@ def test_r5_queued_oracles_match_at_sf0001():
 
         got, want = canon(sdf), canon(odf)
         assert got == want, f"{name}: spark != oracle"
+
+
+def test_r6_graduated_oracles_match_at_sf0001():
+    """Queries that gained their FIRST hash oracle in r6 (v7 frozen-int
+    PQ, x7 unrolled LTTB, v2 LSH, v3 IVF, v4 PCA, d14 SemDeDup) have no
+    driver hash yet — verify them against DuckDB now, exactly like the
+    r5 queue test, so regressions surface before the sweep."""
+    import math
+
+    import duckdb
+
+    entrymod = _load_entry()
+    from healthcare_api_spark import get_spark
+    from healthcare_api_spark.tables import TABLE_NAMES
+
+    sf = "/root/testdata/sf0.001"
+    spark = get_spark("r6-graduation-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+
+    def canon(frame):
+        cols = sorted(frame.columns)
+        out = []
+        for tup in frame[cols].itertuples(index=False):
+            row = []
+            for v in tup:
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    row.append("\x00")
+                elif isinstance(v, float):
+                    row.append(f"{v:.9g}")
+                else:
+                    row.append(str(v))
+            out.append(tuple(row))
+        return sorted(out)
+
+    for name in (
+        "v7_pq_topk", "x7_lttb_downsample", "v2_ann_lsh",
+        "v3_ivf_topk", "v4_pca_project", "d14_semdedup",
+    ):
+        sdf = qs[name](spark, sf).toPandas()
+        odf = con.execute(osql[name]).df()
+        assert sorted(sdf.columns) == sorted(odf.columns), name
+        assert canon(sdf) == canon(odf), f"{name}: spark != oracle"
