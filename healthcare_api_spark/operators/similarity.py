@@ -557,10 +557,10 @@ def pq_adc_topk_int(
     lowest code id via the struct compare), and score as the sum of
     the per-subspace integer lookup-table entries
     ``lut[j][code] = ‖q_int_sub − centroid_int‖²`` (computed
-    driver-side from the full-precision query, m×ksub ints inlined as
-    literals). Pure narrow expression + TakeOrderedAndProject — the
-    scan reads only the vector column, no join, no shuffle beyond the
-    top-k reduction.
+    driver-side from the full-precision query). The kernel is one
+    vectorized Arrow batch (see inline note) — the plan is
+    scan → ArrowEval → TakeOrderedAndProject: reads only the vector
+    column, no join, no shuffle beyond the top-k reduction.
     """
     import math
 
@@ -638,13 +638,23 @@ def ivfpq_topk(
     pruning when stored partitioned by cluster) and the ADC pass reads
     only m-byte codes. In a real deployment codes are PRECOMPUTED at
     ingest (pq_encode once, stored beside the cluster id); this
-    convenience wrapper encodes on the fly for ad-hoc queries."""
-    q = np.asarray(query_vec, dtype=float)
+    convenience wrapper encodes on the fly for ad-hoc queries.
+
+    Probe cosines use sequential double sums (see ivf_topk) so the
+    probe choice is engine-reproducible."""
+    import math
+
+    def _seqdot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    q = [float(x) for x in query_vec]
 
     def cos(c):
-        c = np.asarray(c, dtype=float)
-        denom = (np.linalg.norm(c) * np.linalg.norm(q)) or 1.0
-        return float(np.dot(c, q) / denom)
+        denom = (math.sqrt(_seqdot(c, c)) * math.sqrt(_seqdot(q, q))) or 1.0
+        return _seqdot(c, q) / denom
 
     probe = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[:nprobe]
     cands = ivf_assign(df, vec_col, centroids).filter(F.col("cluster").isin(probe))

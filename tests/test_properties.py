@@ -318,3 +318,94 @@ def test_phrase_counts_matches_python_reference(spark, docs, phrase):
         if c:
             want[i] = c
     assert got == want
+
+
+@_slow
+@given(
+    baskets=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 9)),
+        min_size=1, max_size=60,
+    ),
+    min_support=st.integers(1, 4),
+)
+def test_co_occurrence_matches_brute_force_property(spark, baskets, min_support):
+    # the packaged pair miner (with its a-priori prune) must equal the
+    # definitionally-correct brute force on arbitrary basket shapes —
+    # the prune's losslessness is the property under test
+    from healthcare_api_spark.operators.analytics import co_occurrence
+
+    df = spark.createDataFrame(
+        [(o, f"i{i}") for o, i in baskets], ["basket", "item"]
+    )
+    got = sorted(
+        map(tuple, co_occurrence(df, "basket", "item", min_support).collect())
+    )
+    sets: dict[int, set] = {}
+    for o, i in baskets:
+        sets.setdefault(o, set()).add(f"i{i}")
+    brute: dict[tuple, int] = {}
+    for items in sets.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                brute[(s[x], s[y])] = brute.get((s[x], s[y]), 0) + 1
+    want = sorted(
+        (a, b, n) for (a, b), n in brute.items() if n >= min_support
+    )
+    assert got == want
+
+
+@_slow
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False, allow_infinity=False, width=32),
+            min_size=8, max_size=8,
+        ),
+        min_size=2, max_size=24,
+    ),
+)
+def test_pq_adc_kernel_matches_python_reference_property(spark, vecs):
+    # the Arrow batch kernel's integer encode+ADC must equal a plain
+    # Python reference (same rounding, same tie-breaks) on arbitrary
+    # float inputs — pins the numpy vectorization against the spec
+    import math
+
+    from healthcare_api_spark.operators.similarity import pq_adc_topk_int
+
+    books = [
+        [[(i * 7 + j * 3 + t) % 11 - 5 for t in range(4)] for i in range(4)]
+        for j in range(2)
+    ]
+    query = [0.1 * i - 0.3 for i in range(8)]
+    df = spark.createDataFrame(
+        [(n, [float(x) for x in v]) for n, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_adc_topk_int(
+            df, "vec_id", "embedding", books, query, k=len(vecs), scale=1000
+        ).collect()
+    }
+
+    def rnd(v):
+        return int(math.floor(abs(v * 1000) + 0.5)) * (1 if v >= 0 else -1)
+
+    qint = [rnd(float(x)) for x in query]
+    for n, v in enumerate(vecs):
+        # float32 storage: round-trip through float32 like the table does
+        import struct as _struct
+
+        v32 = [_struct.unpack("f", _struct.pack("f", x))[0] for x in v]
+        e = [rnd(x) for x in v32]
+        total = 0
+        for j, book in enumerate(books):
+            piece = e[j * 4 : (j + 1) * 4]
+            dists = [
+                sum((a - b) ** 2 for a, b in zip(piece, c)) for c in book
+            ]
+            code = dists.index(min(dists))
+            q = qint[j * 4 : (j + 1) * 4]
+            total += sum((a - b) ** 2 for a, b in zip(q, book[code]))
+        assert got[n] == total, n
