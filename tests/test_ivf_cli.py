@@ -151,3 +151,28 @@ def test_cli_search_text_quoted_phrase(tmp_path, capsys):
     rows = [eval(l) for l in lines]
     # only doc 1 has the ADJACENT in-order phrase
     assert sorted(r["doc_id"] for r in rows) == [1]
+
+
+def test_ivf_assign_arrow_kernel_bit_identical(spark):
+    # the two ivf_assign implementations must agree EXACTLY — the arrow
+    # kernel claims the same float64 arithmetic in the same order, and
+    # the frozen-artifact hash oracles (v3/d14) depend on it
+    import numpy as np
+
+    from healthcare_api_spark.operators.similarity import ivf_assign, ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_train(emb, "vec_id", "embedding", k=16, iters=2)
+    a = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, "embedding", cents, method="expr").collect()
+    }
+    b = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, "embedding", cents, method="arrow").collect()
+    }
+    assert a == b and len(a) > 0
+    # and the auto threshold: k=16 → arrow plan carries an ArrowEval
+    df = ivf_assign(emb, "embedding", cents)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
