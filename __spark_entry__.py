@@ -2543,13 +2543,17 @@ _R5_ORACLE_QUEUE: dict[str, str] = {
         "   AS intercept,"
         "  CAST(n AS INT) AS top_n FROM tot, sums"
     ),
+    # r6: both means over scaled-integer sums (hourly cents, μ micros)
+    # — exact in any accumulation order, so no 6-dp boundary flips
     "x12_cusum_changepoint": (
         "WITH s AS (SELECT event_type, date_trunc('hour', ts) AS bucket,"
-        "  round(avg(value), 6) + CASE WHEN date_trunc('hour', ts) >="
+        "  round(avg(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) / 100.0, 6)"
+        "   + CASE WHEN date_trunc('hour', ts) >="
         "   TIMESTAMP '2024-01-20' THEN 100.0 ELSE 0.0 END AS v"
         "  FROM events GROUP BY 1, 2),"
         " m AS (SELECT *, round(avg(CASE WHEN bucket < TIMESTAMP '2024-01-08'"
-        "  THEN v END) OVER (PARTITION BY event_type), 6) AS mu FROM s),"
+        "  THEN CAST(round(v * 1000000) AS BIGINT) END)"
+        "  OVER (PARTITION BY event_type) / 1000000.0, 6) AS mu FROM s),"
         " cs AS (SELECT *,"
         "  sum(v - mu - 35.0) OVER (PARTITION BY event_type ORDER BY bucket"
         "   ROWS UNBOUNDED PRECEDING) AS csp,"
@@ -2798,8 +2802,13 @@ def q_x12_cusum_changepoint(spark, sf_dir):
     """Two-sided CUSUM change-point flags over the hourly per-type
     series with a planted +50 level shift on Jan 20 — the max(0,·)
     recursion folds into pure windows (cs − running-min identity), so
-    unlike EWMA this is all JVM window expressions. Oracle queued for
-    r5."""
+    unlike EWMA this is all JVM window expressions. Bit-portability
+    (r6): both means run over SCALED-INTEGER sums — the hourly avg
+    over round(value·100) (events carry 2 decimals) and the baseline
+    μ over round(v·10⁶) — because a plain double mean is summation-
+    order-dependent and flipped a 6-dp rounding boundary at sf0.1
+    (43.4728125 → …12 vs …13). With exact integer sums every division
+    and round is one correctly-rounded op on identical inputs."""
     from healthcare_api_spark.operators import temporal
 
     _tune(spark)
@@ -2807,14 +2816,16 @@ def q_x12_cusum_changepoint(spark, sf_dir):
         F.date_trunc("hour", F.col("ts")) >= F.lit("2024-01-20").cast("timestamp"),
         100.0,
     ).otherwise(0.0)
+    cents = F.round(F.col("value") * 100).cast("long")
     hourly = (
         _t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
-        .agg((F.round(F.avg("value"), 6) + F.max(shift)).alias("v"))
+        .agg((F.round(F.avg(cents) / 100.0, 6) + F.max(shift)).alias("v"))
     )
     out = temporal.cusum_flags(
         hourly, ("event_type",), "bucket", "v", slack=35.0, threshold=250.0,
         baseline=F.col("bucket") < F.lit("2024-01-08").cast("timestamp"),
+        mu_quantize=1_000_000,
     )
     return out.select(
         "event_type",

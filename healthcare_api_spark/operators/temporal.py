@@ -657,6 +657,7 @@ def cusum_flags(
     slack: float = 0.5,
     threshold: float = 5.0,
     baseline=None,
+    mu_quantize: int | None = None,
 ) -> DataFrame:
     """Two-sided CUSUM change-point detection per series (Page 1954):
     S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − μ − slack)), S⁻ mirrored, alarm when
@@ -669,6 +670,13 @@ def cusum_flags(
     A series with NO baseline-matching rows gets a NULL μ and NULL
     cusum columns (visible, not silently wrong) — pick a baseline
     predicate that covers every series.
+
+    ``mu_quantize=q`` computes μ as ``round(avg(round(v·q))/q, 6)`` —
+    the mean of SCALED-INTEGER values, whose sum is exact in float64
+    regardless of accumulation order, where a plain double mean can
+    wobble by an ulp between engines/partitionings and flip a 6-dp
+    rounding boundary (observed once at sf0.1: 43.4728125 rounding to
+    …12 vs …13). Use it when v carries a known decimal quantum.
 
     The max(0, …) recursion LOOKS sequential but folds into pure
     windows via the running-minimum identity
@@ -689,8 +697,14 @@ def cusum_flags(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     v = F.col(value_col).cast("double")
-    mu_src = F.when(baseline, v) if baseline is not None else v
-    mu = F.round(F.avg(mu_src).over(wmean), 6)
+    if mu_quantize is not None:
+        q = float(mu_quantize)
+        vq = F.round(v * q).cast("long")
+        mu_src = F.when(baseline, vq) if baseline is not None else vq
+        mu = F.round(F.avg(mu_src).over(wmean) / q, 6)
+    else:
+        mu_src = F.when(baseline, v) if baseline is not None else v
+        mu = F.round(F.avg(mu_src).over(wmean), 6)
     base = df.select(
         *gcols, F.col(ts_col), v.alias("_v"), mu.alias("_mu")
     )
