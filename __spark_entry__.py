@@ -2769,6 +2769,28 @@ def q_m12_image_ahash(spark, sf_dir):
     )
 
 
+def q_m13_image_neardup(spark, sf_dir):
+    """Image near-dup GROUPS by perceptual hash (r6): the m12 pipeline
+    (real PNG encode → decode → average-hash) joined on identical
+    hashes — the image analogue of d1's content dedup, and the join
+    m12's docstring promises (doc_id % 40 makes visually identical
+    groups). Canonical = lowest doc_id per hash; output
+    (doc_id, ahash, canonical_id, group_size, keep). At corpus scale
+    this is one hash shuffle on an 16-char key — the same shape as
+    exact text dedup; Hamming-adjacent bucketing (SimHash-style) is
+    the recall extension when near-identical, not identical, images
+    matter."""
+    base = q_m12_image_ahash(spark, sf_dir).select("doc_id", "ahash")
+    w = Window.partitionBy("ahash")
+    return (
+        base.withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn(
+            "keep", (F.col("doc_id") == F.col("canonical_id")).cast("int")
+        )
+    )
+
+
 def q_ds8_token_mixture(spark, sf_dir):
     """Token-budget mixture END-TO-END: plan per-language doc-sampling
     rates that hit token-share targets (LM mixes are token-budgeted,
@@ -3733,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v4_pca_project": q_v4_pca_project,
         "v2_ann_lsh": q_v2_ann_lsh,
         "d14_semdedup": q_d14_semdedup,
+        "m13_image_neardup": q_m13_image_neardup,
         # --- r5 prefix head: the 13 queries whose hash oracles were
         # QUEUED in r4 (_R5_ORACLE_QUEUE, now merged into oracle_sql())
         # — pytest-verified vs DuckDB every run; t21/g3/m11/v8/m12 in
@@ -5442,6 +5465,16 @@ def oracle_sql() -> dict[str, str]:
     out["v2_ann_lsh"] = _v2_oracle()
     # r6: d14 graduates — frozen cells + d5 pair oracle + d6 CC oracle
     out["d14_semdedup"] = _d14_oracle()
+    # r6: m13 composes the m12 analytic-ahash oracle with a hash-group
+    # window (image near-dup groups)
+    out["m13_image_neardup"] = (
+        f"WITH m12 AS ({_R5_ORACLE_QUEUE['m12_image_ahash']})"
+        " SELECT doc_id, ahash,"
+        " min(doc_id) OVER (PARTITION BY ahash) AS canonical_id,"
+        " CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS group_size,"
+        " CAST(doc_id = min(doc_id) OVER (PARTITION BY ahash) AS INT) AS keep"
+        " FROM m12"
+    )
     return out
 
 
