@@ -2791,6 +2791,52 @@ def q_m13_image_neardup(spark, sf_dir):
     )
 
 
+def q_m14_image_hamming_pairs(spark, sf_dir):
+    """Image near-dup PAIRS within Hamming ≤ 3 of the perceptual hash
+    (r6): the m12 pixel formula with a +1 perturbation on pixel 0 for
+    every other id-block, so each visual group carries two
+    near-identical variants — then dedup.hamming_neardup_pairs (banded
+    blocking, pigeonhole-exact recall at max_hamming < bands, never
+    all-pairs). The oracle recomputes the hashes analytically and runs
+    naive all-pairs — independently validating that the blocking is
+    lossless, the d13/PassJoin argument in bit space."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_api_spark.operators.dedup import hamming_neardup_pairs
+    from healthcare_api_spark.operators.multimodal import (
+        encode_png_bytes,
+        image_ahash,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id) % 40
+                var = (int(doc_id) // 40) % 2
+                i = np.arange(64)
+                arr = ((d * 13 + i * 7) % 251).astype(np.int64)
+                arr[0] += var
+                payloads.append(
+                    encode_png_bytes(arr.astype(np.uint8).reshape(8, 8))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    imgs = docs.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ).mapInPandas(_gen, "doc_id long, data binary")
+    hashed = image_ahash(imgs, "doc_id", "data", hash_size=8).select(
+        F.col("id").alias("doc_id"), "ahash"
+    )
+    return hamming_neardup_pairs(hashed, "doc_id", "ahash", max_hamming=3)
+
+
 def q_ds8_token_mixture(spark, sf_dir):
     """Token-budget mixture END-TO-END: plan per-language doc-sampling
     rates that hit token-share targets (LM mixes are token-budgeted,
@@ -3756,6 +3802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v2_ann_lsh": q_v2_ann_lsh,
         "d14_semdedup": q_d14_semdedup,
         "m13_image_neardup": q_m13_image_neardup,
+        "m14_image_hamming_pairs": q_m14_image_hamming_pairs,
         # --- r5 prefix head: the 13 queries whose hash oracles were
         # QUEUED in r4 (_R5_ORACLE_QUEUE, now merged into oracle_sql())
         # — pytest-verified vs DuckDB every run; t21/g3/m11/v8/m12 in
@@ -5465,6 +5512,31 @@ def oracle_sql() -> dict[str, str]:
     out["v2_ann_lsh"] = _v2_oracle()
     # r6: d14 graduates — frozen cells + d5 pair oracle + d6 CC oracle
     out["d14_semdedup"] = _d14_oracle()
+    # r6: m14 — analytic perturbed hashes + NAIVE ALL-PAIRS Hamming
+    # (the oracle is deliberately unblocked: it independently proves
+    # the banded blocking lossless, as d13's all-pairs oracle does)
+    out["m14_image_hamming_pairs"] = (
+        "WITH px AS (SELECT doc_id, CAST(doc_id % 40 AS BIGINT) AS d,"
+        "  CAST((doc_id // 40) % 2 AS BIGINT) AS var,"
+        "  unnest(generate_series(0, 63)) AS i FROM documents),"
+        " v AS (SELECT doc_id, i, CAST((d * 13 + i * 7) % 251"
+        "  + CASE WHEN i = 0 THEN var ELSE 0 END AS DOUBLE) AS p FROM px),"
+        " m AS (SELECT doc_id, avg(p) AS mu FROM v GROUP BY doc_id),"
+        " bits AS (SELECT v.doc_id, i,"
+        "  CASE WHEN p > mu THEN 1 ELSE 0 END AS b"
+        "  FROM v JOIN m ON v.doc_id = m.doc_id),"
+        " bytes AS (SELECT doc_id, i // 8 AS byte_idx,"
+        "  sum(b * (1 << (7 - (i % 8)))) AS byte FROM bits GROUP BY doc_id, i // 8),"
+        " h AS (SELECT doc_id, string_agg(printf('%02x', CAST(byte AS INT)), ''"
+        "  ORDER BY byte_idx) AS ahash FROM bytes GROUP BY doc_id),"
+        " hx AS (SELECT doc_id, ('0x' || substr(ahash, 1, 8))::BIGINT AS x1,"
+        "  ('0x' || substr(ahash, 9, 8))::BIGINT AS x2 FROM h)"
+        " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        "  CAST(bit_count(xor(a.x1, b.x1)) + bit_count(xor(a.x2, b.x2)) AS INT)"
+        "   AS hamming"
+        " FROM hx a JOIN hx b ON a.doc_id < b.doc_id"
+        " WHERE bit_count(xor(a.x1, b.x1)) + bit_count(xor(a.x2, b.x2)) <= 3"
+    )
     # r6: m13 composes the m12 analytic-ahash oracle with a hash-group
     # window (image near-dup groups)
     out["m13_image_neardup"] = (

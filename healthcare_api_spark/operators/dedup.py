@@ -1098,3 +1098,73 @@ def sentence_dedup(
         )
     )
     return rebuilt
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    allow_lossy: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over a 64-bit hex hash
+    column (16 hex chars: a perceptual image ahash, a SimHash, any
+    64-bit fingerprint) — banded blocking, never all-pairs.
+
+    Pigeonhole recall guarantee: a pair with Hamming ≤ ``bands − 1``
+    differs in fewer bits than there are bands, so at least one band
+    is IDENTICAL and the pair surfaces from that band's equi-join —
+    exact recall at ``max_hamming < bands`` (the d13/PassJoin
+    argument, in bit space). ``max_hamming ≥ bands`` silently loses
+    pairs, so it raises unless ``allow_lossy=True``.
+
+    Scale shape: ``bands`` equi-joins on 16-bit band keys (bounded
+    fan-out per bucket for hash-like inputs), union → distinct, then
+    an exact Hamming verify via two 32-bit xor+bit_count halves (the
+    full 64-bit value overflows a signed BIGINT) — all JVM-side, no
+    UDF. Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if not 1 <= bands <= 16 or 16 % bands:
+        raise ValueError("bands must divide the 16 hex chars")
+    if max_hamming >= bands and not allow_lossy:
+        raise ValueError(
+            f"max_hamming={max_hamming} ≥ bands={bands} loses pairs "
+            f"(pigeonhole guarantee needs max_hamming < bands); raise "
+            f"bands or pass allow_lossy=True"
+        )
+    band_w = 16 // bands
+    h = F.col(hash_col)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        h.alias("_h"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("_x1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("_x2"),
+    )
+    cand = None
+    for b in range(bands):
+        key = F.substring(F.col("_h"), b * band_w + 1, band_w)
+        a = base.select(
+            F.col("_id").alias("id_a"),
+            F.col("_x1").alias("_a1"),
+            F.col("_x2").alias("_a2"),
+            key.alias("_k"),
+        )
+        bb = base.select(
+            F.col("_id").alias("id_b"),
+            F.col("_x1").alias("_b1"),
+            F.col("_x2").alias("_b2"),
+            key.alias("_k"),
+        )
+        p = a.join(bb, "_k").filter(F.col("id_a") < F.col("id_b")).drop("_k")
+        cand = p if cand is None else cand.unionByName(p)
+    ham = (
+        F.bit_count(F.col("_a1").bitwiseXOR(F.col("_b1")))
+        + F.bit_count(F.col("_a2").bitwiseXOR(F.col("_b2")))
+    )
+    return (
+        cand.distinct()
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

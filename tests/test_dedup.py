@@ -569,3 +569,64 @@ def test_sentence_dedup_null_text_keeps_doc(spark):
     out = {r["doc_id"]: r for r in dedup.sentence_dedup(df, "doc_id", "text").collect()}
     assert set(out) == {1, 2}  # null-text doc is retained, not dropped
     assert out[2]["text_deduped"] == "" and out[2]["n_sentences"] == 1
+
+
+def test_hamming_neardup_pairs_exact_recall(spark):
+    from healthcare_api_spark.operators.dedup import hamming_neardup_pairs
+
+    rows = [
+        (0, "0000000000000000"),
+        (1, "0000000000000001"),  # 1 bit from id 0
+        (3, "0000000000000007"),  # 3 bits from id 0, 2 from id 1
+        (4, "000000000000000f"),  # 4 bits from id 0 (must be dropped)
+    ]
+    df = spark.createDataFrame(rows, ["id", "h"])
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_neardup_pairs(df, "id", "h").collect()
+    }
+    assert out == {(0, 1): 1, (0, 3): 3, (1, 3): 2, (1, 4): 3, (3, 4): 1}
+
+
+def test_hamming_neardup_pairs_matches_brute_force(spark):
+    # banded blocking must be lossless at max_hamming < bands — compare
+    # against all-pairs on hashes spread across every band
+    import itertools
+    import random
+
+    from healthcare_api_spark.operators.dedup import hamming_neardup_pairs
+
+    rng = random.Random(7)
+    base = rng.getrandbits(64)
+    hashes = [base]
+    for _ in range(30):
+        h = hashes[rng.randrange(len(hashes))]
+        for _ in range(rng.randrange(0, 5)):  # 0-4 bit flips
+            h ^= 1 << rng.randrange(64)
+        hashes.append(h)
+    rows = [(i, f"{h:016x}") for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, ["id", "h"])
+    got = sorted(
+        map(tuple, hamming_neardup_pairs(df, "id", "h", max_hamming=3).collect())
+    )
+    want = sorted(
+        (a, b, bin(ha ^ hb).count("1"))
+        for (a, ha), (b, hb) in itertools.combinations(enumerate(hashes), 2)
+        if bin(ha ^ hb).count("1") <= 3
+    )
+    assert got == want and len(want) > 0
+
+
+def test_hamming_neardup_pairs_rejects_lossy(spark):
+    import pytest as _pytest
+
+    from healthcare_api_spark.operators.dedup import hamming_neardup_pairs
+
+    df = spark.createDataFrame([(1, "0" * 16)], ["id", "h"])
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        hamming_neardup_pairs(df, "id", "h", max_hamming=4, bands=4)
+    # explicit opt-in works
+    assert (
+        hamming_neardup_pairs(df, "id", "h", max_hamming=4, allow_lossy=True).count()
+        == 0
+    )

@@ -148,7 +148,7 @@ def test_r6_graduated_oracles_match_at_sf0001():
     for name in (
         "v7_pq_topk", "x7_lttb_downsample", "v2_ann_lsh",
         "v3_ivf_topk", "v4_pca_project", "d14_semdedup",
-        "m13_image_neardup",
+        "m13_image_neardup", "m14_image_hamming_pairs",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
