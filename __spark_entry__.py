@@ -1861,19 +1861,25 @@ def q_a12_incremental_agg(spark, sf_dir):
     """Incremental materialized-aggregate maintenance: per-user value
     stats built as state-before-cutoff merged with the delta batch —
     the append-cost-∝-delta contract, hash-checked against a full
-    recompute oracle."""
+    recompute oracle. The value sum runs over SCALED-INTEGER cents
+    (r6): split+merged double sums can differ from a one-pass sum in
+    the last ulp (float reassociation — the x12 lesson), which a
+    4-dp rounding boundary would amplify into a hash flip; integer
+    sums are exact in any merge order."""
     from healthcare_api_spark.operators import relational
 
     _tune(spark)
     specs = {"value": "sum", "event_id": "count", "ts": "max"}
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 100).cast("long")
+    )
     cutoff = F.lit("2024-01-21").cast("timestamp")
     base = relational.agg_state(ev.filter(F.col("ts") < cutoff), ["user_id"], specs)
     delta = relational.agg_state(ev.filter(F.col("ts") >= cutoff), ["user_id"], specs)
     merged = relational.merge_agg_state(base, delta, ["user_id"], specs)
     return merged.select(
         "user_id",
-        F.round("value_sum", 4).alias("value_sum"),
+        F.round(F.col("value_sum") / 100.0, 4).alias("value_sum"),
         "event_id_count",
         F.date_format("ts_max", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_max"),
     )
@@ -5477,8 +5483,11 @@ def oracle_sql() -> dict[str, str]:
             " FROM d LEFT JOIN sa ON d.event_type = sa.event_type AND d.ph = sa.ph"
         ),
         # full recompute — must equal base-state ⊕ delta-state merge
+        # r6: sum over integer cents — exact in any merge order
         "a12_incremental_agg": (
-            "SELECT user_id, round(sum(value), 4) AS value_sum,"
+            "SELECT user_id,"
+            " round(sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) / 100.0, 4)"
+            "  AS value_sum,"
             " CAST(count(event_id) AS BIGINT) AS event_id_count,"
             " strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS ts_max"
             " FROM events GROUP BY user_id"

@@ -224,7 +224,14 @@ def test_keyset_pagination_walk_lossless_property(spark, keys, page):
 def test_agg_state_merge_associative_property(spark, rows, cut1, cut2):
     """Any 3-way split of the input merges (in any grouping) to the
     state of the whole — the algebraic fact incremental MV maintenance
-    rests on."""
+    rests on. count/min/max must match EXACTLY; float sums are
+    associative only up to IEEE reassociation (hypothesis found
+    (63.0 + 0.99999) + 1/3 differing from the one-pass sum in the
+    last ulp), so sums compare within 1 ulp-scale relative tolerance —
+    the same contract every distributed engine gives for double sums.
+    """
+    import math
+
     from healthcare_api_spark.operators.relational import agg_state, merge_agg_state
 
     a, b = sorted((cut1 % (len(rows) + 1), cut2 % (len(rows) + 1)))
@@ -238,8 +245,19 @@ def test_agg_state_merge_associative_property(spark, rows, cut1, cut2):
     merged = states[0]
     for sdf in states[1:]:
         merged = merge_agg_state(merged, sdf, ["k"], specs)
-    want = sorted(map(tuple, agg_state(df_all, ["k"], specs).collect()))
-    assert sorted(map(tuple, merged.collect())) == want
+    want = {r["k"]: r.asDict() for r in agg_state(df_all, ["k"], specs).collect()}
+    got = {r["k"]: r.asDict() for r in merged.collect()}
+    assert set(got) == set(want)
+    for k, g in got.items():
+        w = want[k]
+        assert set(g) == set(w)
+        for col, gv in g.items():
+            if col.endswith("_sum"):
+                assert math.isclose(gv, w[col], rel_tol=1e-12, abs_tol=1e-12), (
+                    k, col, gv, w[col],
+                )
+            else:
+                assert gv == w[col], (k, col, gv, w[col])
 
 
 @_slow
