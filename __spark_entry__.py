@@ -787,18 +787,33 @@ def q_w3_rank_topn_per_group(spark, sf_dir):
 # ------------------------------------------------------- TPC-H benchmarks --
 
 def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 over SCALED-INTEGER sums (r7 hardening): the source
+    columns carry a known decimal quantum (quantity integer, price in
+    cents, discount 2 dp, price·(1−disc) exactly 4 dp), so every sum is
+    an exact bigint regardless of partial-sum order — a plain double
+    sum can wobble an ulp between partitionings and flip a rounding
+    boundary (observed once on x12; the mu_quantize precedent,
+    temporal.py cusum_flags). Exact while |Σ| < 2⁶³ (sf ≲ 10⁴); the
+    final /scale and /count divisions are single double ops mirrored
+    verbatim in the oracle."""
     _tune(spark)
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_t = F.round(F.col("l_discount") * 10000).cast("long")
+    dp_t = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    cnt = F.count(F.lit(1)).cast("double")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(qty_c).cast("double") / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(price_c).cast("double") / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(dp_t).cast("double") / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(qty_c).cast("double") / 100.0 / cnt, 4).alias("avg_qty"),
+            F.round(F.sum(disc_t).cast("double") / 10000.0 / cnt, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -817,9 +832,12 @@ def q_q3_shipping_priority(spark, sf_dir):
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
     )
+    dp_t = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
     return (
         joined.groupBy("l_orderkey", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(dp_t).cast("double") / 10000.0, 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -840,9 +858,12 @@ def q_q5_local_supplier(spark, sf_dir):
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
+    dp_t = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
     return (
         joined.groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(dp_t).cast("double") / 10000.0, 2).alias("revenue"))
     )
 
 
@@ -857,7 +878,17 @@ def q_q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10000
+                    ).cast("long")
+                ).cast("double")
+                / 10000.0,
+                2,
+            ).alias("revenue")
+        )
     )
 
 
@@ -1888,7 +1919,11 @@ def q_a12_incremental_agg(spark, sf_dir):
 def q_x8_seasonal_decompose(spark, sf_dir):
     """Classical additive decomposition of the hourly per-type event
     series: 25-bucket centered-MA trend, hour-of-day seasonal indices
-    (mean-centered), residual anomaly signal."""
+    (mean-centered), residual anomaly signal. r7 hardening: the hourly
+    series is exact cents (bigint sum / 100.0) and the decomposition
+    runs in quantize mode so every internal mean is an exact-bigint-sum
+    ``(Σ/scale)/count`` — no accumulation-order ulp can flip a 4-dp
+    output boundary (the x12 mu_quantize treatment)."""
     from healthcare_api_spark.operators import temporal
 
     _tune(spark)
@@ -1897,11 +1932,16 @@ def q_x8_seasonal_decompose(spark, sf_dir):
         ev.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
         )
-        .agg(F.sum("value").alias("v"))
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("v")
+        )
         .withColumn("phase", F.hour("bucket"))
     )
     out = temporal.seasonal_decompose(
-        hourly, ("event_type",), "bucket", "v", "phase", ma_window=25
+        hourly, ("event_type",), "bucket", "v", "phase", ma_window=25, quantize=100
     )
     return out.select(
         "event_type",
@@ -1976,16 +2016,19 @@ def q_l4_hilbert_key(spark, sf_dir):
 def q_x9_series_correlation(spark, sf_dir):
     """Pairwise Pearson correlation across the per-type hourly series
     (the feature-redundancy matrix) — one bucket equi-join + one
-    map-side-combined corr aggregate."""
+    map-side-combined exact-moment aggregate. r7 hardening: the hourly
+    series is an exact cents bigint and corr runs in quantize mode
+    (exact integer moments → one fixed double expression; r is scale-
+    invariant so cents vs dollars doesn't change it)."""
     from healthcare_api_spark.operators import temporal
 
     _tune(spark)
     hourly = (
         _t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
-        .agg(F.sum("value").alias("v"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
     )
-    out = temporal.series_correlation(hourly, "event_type", "bucket", "v")
+    out = temporal.series_correlation(hourly, "event_type", "bucket", "v", quantize=1)
     return out.select(
         "series_a", "series_b", "n", F.round("corr", 6).alias("corr")
     )
@@ -2061,7 +2104,9 @@ def q_w8_time_weighted_avg(spark, sf_dir):
 
     _tune(spark)
     ev = _t(spark, sf_dir, "events")
-    out = temporal.time_weighted_avg(ev, ("event_type",), "ts", "value", "1 hour")
+    out = temporal.time_weighted_avg(
+        ev, ("event_type",), "ts", "value", "1 hour", value_quantize=100
+    )
     return out.select(
         "event_type",
         F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
@@ -2841,6 +2886,78 @@ def q_m14_image_hamming_pairs(spark, sf_dir):
         F.col("id").alias("doc_id"), "ahash"
     )
     return hamming_neardup_pairs(hashed, "doc_id", "ahash", max_hamming=3)
+
+
+def _m15_probe_hex() -> str:
+    """Probe fingerprint for m15: the analytic average-hash of a QUERY
+    image that is NOT in the corpus — the m12/m14 pixel formula for
+    d=0 with a +2 perturbation on pixel 0. Pure integer math (sum is
+    exact, /64 is a power-of-two division), so the hash is identical
+    everywhere it's computed. Lands at Hamming 0 from the d∈{0,39}
+    corpus groups and Hamming 1 from d=20 — the retrieval exercises
+    both the exact band bucket and the adjacent ones."""
+    import numpy as np
+
+    i = np.arange(64)
+    p = ((i * 7) % 251).astype(np.int64)
+    p[0] += 2
+    mu = p.sum() / 64.0
+    val = 0
+    for b in (p > mu).astype(int):
+        val = (val << 1) | int(b)
+    return f"{val:016x}"
+
+
+def q_m15_image_hash_retrieval(spark, sf_dir):
+    """Hamming-adjacent IMAGE RETRIEVAL (r7, VERDICT r6 task #8): probe
+    the corpus of m14's perturbed perceptual hashes with a query image
+    NOT in the corpus, via dedup.hamming_topk — the probe's band keys
+    are literals, so the candidate filter pushes into the scan and the
+    only exchange is the final TakeOrderedAndProject (composing m12's
+    real encode→decode→ahash pipeline with the v2-style bucket-probe
+    idea in bit space). The oracle recomputes the hashes analytically
+    and ranks by NAIVE full-scan Hamming — independently proving the
+    probe-sided band filter lossless at max_hamming < bands."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_api_spark.operators.dedup import hamming_topk
+    from healthcare_api_spark.operators.multimodal import (
+        encode_png_bytes,
+        image_ahash,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id) % 40
+                var = (int(doc_id) // 40) % 2
+                i = np.arange(64)
+                arr = ((d * 13 + i * 7) % 251).astype(np.int64)
+                arr[0] += var
+                payloads.append(
+                    encode_png_bytes(arr.astype(np.uint8).reshape(8, 8))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    imgs = docs.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ).mapInPandas(_gen, "doc_id long, data binary")
+    hashed = image_ahash(imgs, "doc_id", "data", hash_size=8).select(
+        F.col("id").alias("doc_id"), "ahash"
+    )
+    out = hamming_topk(
+        hashed, "doc_id", "ahash", _m15_probe_hex(), k=40, max_hamming=3
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("hash").alias("ahash"), "hamming"
+    )
 
 
 def q_ds8_token_mixture(spark, sf_dir):
@@ -3794,28 +3911,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the union property (r1∪r2∪r3∪r4 sweeps ⊇ all hash queries)
     # mechanically instead of by NOTES.md discipline.
     return {
-        # --- r6 prefix head: queries whose semantics/oracle changed
-        # this round (t21 plan fix, a14 basket guard, m11 short-video
-        # marker, v8 zero-guard, m12 validation) or whose hash oracle
-        # is NEW (v7 frozen-integer PQ, x7 unrolled LTTB) — all must be
-        # re-hashed inside the 50-entry driver sweep
+        # --- r7 prefix head: the float-boundary-hardened queries
+        # (q1/q3/q5/q6 money sums, w8 TWA, x8 decompose, x9 corr — all
+        # moved to scaled-integer sums with mirrored oracles), the
+        # operator-internals-touched near-dup queries (m14 distinct-
+        # hash banding, d14 cell guard + max_iter), v8 (oracle zero-
+        # guard mirror), and the NEW m15 hash-adjacent image retrieval
+        # — all must be re-hashed inside the 50-entry driver sweep
         # (tests/test_sweep_union.py's caveat). ---
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier": q_q5_local_supplier,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "w8_time_weighted_avg": q_w8_time_weighted_avg,
+        "x8_seasonal_decompose": q_x8_seasonal_decompose,
+        "x9_series_correlation": q_x9_series_correlation,
+        "m14_image_hamming_pairs": q_m14_image_hamming_pairs,
+        "d14_semdedup": q_d14_semdedup,
+        "v8_pooled_embeddings": q_v8_pooled_embeddings,
+        "m15_image_hash_retrieval": q_m15_image_hash_retrieval,
+        # --- r6 prefix head (all driver-hash-green in
+        # CORRECTNESS_r06) ---
         "v7_pq_topk": q_v7_pq_topk,
         "x7_lttb_downsample": q_x7_lttb_downsample,
         "a14_co_occurrence": q_a14_co_occurrence,
         "v3_ivf_topk": q_v3_ivf_topk,
         "v4_pca_project": q_v4_pca_project,
         "v2_ann_lsh": q_v2_ann_lsh,
-        "d14_semdedup": q_d14_semdedup,
         "m13_image_neardup": q_m13_image_neardup,
-        "m14_image_hamming_pairs": q_m14_image_hamming_pairs,
         # --- r5 prefix head: the 13 queries whose hash oracles were
         # QUEUED in r4 (_R5_ORACLE_QUEUE, now merged into oracle_sql())
         # — pytest-verified vs DuckDB every run; t21/g3/m11/v8/m12 in
         # this block also changed in r6 and re-hash in this sweep. ---
         "t19_proximity_rank": q_t19_proximity_rank,
         "t20_quality_logistic": q_t20_quality_logistic,
-        "v8_pooled_embeddings": q_v8_pooled_embeddings,
         "w11_rolling_quantiles": q_w11_rolling_quantiles,
         "m11_scene_cuts": q_m11_scene_cuts,
         "x12_cusum_changepoint": q_x12_cusum_changepoint,
@@ -3853,17 +3982,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t17_bigram_logprob": q_t17_bigram_logprob,
         "ds7_interleave_sources": q_ds7_interleave_sources,
         "a12_incremental_agg": q_a12_incremental_agg,
-        "x8_seasonal_decompose": q_x8_seasonal_decompose,
         "d12_sorted_neighborhood": q_d12_sorted_neighborhood,
         "v6_sq8_topk": q_v6_sq8_topk,
         "l4_hilbert_key": q_l4_hilbert_key,
-        "x9_series_correlation": q_x9_series_correlation,
         "x10_rolling_median": q_x10_rolling_median,
         "u2_domain_stats": q_u2_domain_stats,
         "g1_pagerank": q_g1_pagerank,
         "a13_equi_depth_hist": q_a13_equi_depth_hist,
         "m9_palette_png": q_m9_palette_png,
-        "w8_time_weighted_avg": q_w8_time_weighted_avg,
         "fs10_text_bm25": q_fs10_text_bm25,
         "d13_passjoin": q_d13_passjoin,
         "d15_incremental_cc": q_d15_incremental_cc,
@@ -3969,10 +4095,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_rank_topn_per_group": q_w3_rank_topn_per_group,
         "w5_funnel": q_w5_funnel,
         "w6_cohort_retention": q_w6_cohort_retention,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "q5_local_supplier": q_q5_local_supplier,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
     }
 
 
@@ -4402,18 +4524,29 @@ def oracle_sql() -> dict[str, str]:
             " CAST(count(*) AS BIGINT) AS active_users FROM j"
             ' WHERE "offset" >= 0 AND "offset" <= 8 GROUP BY 1, 2'
         ),
+        # q1/q3/q5/q6 (r7): scaled-integer sums — exact bigints in any
+        # accumulation order, then the SAME /scale (/count) double ops
+        # as the engine. See q_q1_pricing_summary docstring.
         "q1_pricing_summary": (
-            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,"
-            " round(sum(l_extendedprice), 2) AS sum_base_price,"
-            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,"
-            " round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 4) AS avg_disc,"
+            "SELECT l_returnflag, l_linestatus,"
+            " round(sum(CAST(round(l_quantity * 100) AS BIGINT))::DOUBLE / 100.0, 2)"
+            "  AS sum_qty,"
+            " round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE / 100.0, 2)"
+            "  AS sum_base_price,"
+            " round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)"
+            "  AS BIGINT))::DOUBLE / 10000.0, 2) AS sum_disc_price,"
+            " round(sum(CAST(round(l_quantity * 100) AS BIGINT))::DOUBLE / 100.0"
+            "  / count(*)::DOUBLE, 4) AS avg_qty,"
+            " round(sum(CAST(round(l_discount * 10000) AS BIGINT))::DOUBLE / 10000.0"
+            "  / count(*)::DOUBLE, 4) AS avg_disc,"
             " count(*) AS count_order FROM lineitem"
             " WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
             " GROUP BY l_returnflag, l_linestatus"
         ),
         "q3_shipping_priority": (
             "SELECT l_orderkey, o_orderpriority,"
-            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            " round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)"
+            "  AS BIGINT))::DOUBLE / 10000.0, 2) AS revenue"
             " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
             " JOIN customer ON o_custkey = c_custkey"
             " WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-07-01'"
@@ -4422,7 +4555,9 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
         ),
         "q5_local_supplier": (
-            "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            "SELECT n_name,"
+            " round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)"
+            "  AS BIGINT))::DOUBLE / 10000.0, 2) AS revenue"
             " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
             " JOIN customer ON o_custkey = c_custkey"
             " JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
@@ -4431,7 +4566,8 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY n_name"
         ),
         "q6_forecast_revenue": (
-            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem"
+            "SELECT round(sum(CAST(round(l_extendedprice * l_discount * 10000)"
+            "  AS BIGINT))::DOUBLE / 10000.0, 2) AS revenue FROM lineitem"
             " WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"
             " AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
         ),
@@ -5328,16 +5464,20 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY score DESC, doc_id LIMIT 20"
         ),
         # w8: LOCF segments — lead() to next point else bucket end
+        # w8 (r7): value_quantize=100 — Σ(cents·micros) / Σmicros as
+        # exact bigint sums, then (S/100)/W double ops, matching the
+        # engine bit-for-bit in any accumulation order.
         "w8_time_weighted_avg": (
             "WITH d AS (SELECT event_type, ts, value,"
             "  time_bucket(INTERVAL '1 hour', ts) AS bkt FROM events),"
             " s AS (SELECT *, lead(epoch_us(ts)) OVER ("
             "  PARTITION BY event_type, bkt ORDER BY ts, value) AS nxt FROM d),"
-            " seg AS (SELECT event_type, bkt, value,"
-            "  CAST(coalesce(nxt, epoch_us(bkt) + 3600000000) - epoch_us(ts)"
-            "   AS DOUBLE) AS w FROM s)"
+            " seg AS (SELECT event_type, bkt,"
+            "  CAST(round(value * 100) AS BIGINT) AS vq,"
+            "  coalesce(nxt, epoch_us(bkt) + 3600000000) - epoch_us(ts) AS w"
+            "  FROM s)"
             " SELECT event_type, strftime(bkt, '%Y-%m-%d %H:%M:%S') AS bucket_start,"
-            "  round(sum(value * w) / sum(w), 6) AS twa,"
+            "  round(sum(vq * w)::DOUBLE / 100.0 / sum(w)::DOUBLE, 6) AS twa,"
             "  CAST(count(*) AS BIGINT) AS n_points"
             " FROM seg GROUP BY 1, 2"
         ),
@@ -5393,14 +5533,25 @@ def oracle_sql() -> dict[str, str]:
             " FROM d GROUP BY domain"
         ),
         # x9: DuckDB corr == Spark corr == sample Pearson
+        # x9 (r7): exact integer moments over the cents series, then
+        # the closed-form r as one fixed double expression — mirrors
+        # series_correlation(quantize=1) bit-for-bit.
         "x9_series_correlation": (
             "WITH s AS (SELECT event_type, date_trunc('hour', ts) AS bucket,"
-            "  sum(value) AS v FROM events GROUP BY 1, 2)"
-            " SELECT a.event_type AS series_a, b.event_type AS series_b,"
-            "  CAST(count(*) AS BIGINT) AS n, round(corr(a.v, b.v), 6) AS corr"
-            " FROM s a JOIN s b ON a.bucket = b.bucket"
-            "  AND a.event_type < b.event_type"
-            " GROUP BY 1, 2"
+            "  sum(CAST(round(value * 100) AS BIGINT)) AS v FROM events GROUP BY 1, 2),"
+            " j AS (SELECT a.event_type AS series_a, b.event_type AS series_b,"
+            "  a.v AS x, b.v AS y FROM s a JOIN s b ON a.bucket = b.bucket"
+            "  AND a.event_type < b.event_type),"
+            " m AS (SELECT series_a, series_b, count(*) AS n, sum(x) AS sx,"
+            "  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy"
+            "  FROM j GROUP BY 1, 2)"
+            " SELECT series_a, series_b, CAST(n AS BIGINT) AS n,"
+            "  round(CASE WHEN sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+            "   * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0"
+            "  THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+            "   / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+            "   * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) END, 6)"
+            "  AS corr FROM m"
         ),
         # x10: median == quantile_cont(0.5) == Spark percentile(…, 0.5)
         "x10_rolling_median": (
@@ -5461,19 +5612,28 @@ def oracle_sql() -> dict[str, str]:
             "   WHEN 'src7' THEN 2 ELSE 3 END AS BIGINT) AS serve_order FROM r"
         ),
         # same decomposition: 25-row centered MA (full windows only),
-        # per-phase detrended means centered per series
+        # per-phase detrended means centered per series. r7: quantize
+        # mode — every mean is an exact bigint sum then (Σ/scale)/count,
+        # mirroring seasonal_decompose(quantize=100) bit-for-bit.
         "x8_seasonal_decompose": (
             "WITH s AS (SELECT event_type, date_trunc('hour', ts) AS bucket,"
-            "  sum(value) AS v, extract(hour FROM date_trunc('hour', ts)) AS ph"
-            "  FROM events GROUP BY 1, 2),"
+            "  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS v,"
+            "  extract(hour FROM date_trunc('hour', ts)) AS ph"
+            "  FROM events GROUP BY event_type, date_trunc('hour', ts)),"
             " t AS (SELECT *,"
-            "  CASE WHEN count(*) OVER w = 25 THEN avg(v) OVER w END AS trend"
+            "  CASE WHEN count(*) OVER w = 25 THEN"
+            "   CAST(sum(CAST(round(v * 100) AS BIGINT)) OVER w AS DOUBLE)"
+            "   / 100.0 / 25.0 END AS trend"
             "  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY bucket"
             "   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),"
             " d AS (SELECT *, v - trend AS det FROM t),"
-            " se AS (SELECT event_type, ph, avg(det) AS sraw FROM d"
-            "  WHERE det IS NOT NULL GROUP BY 1, 2),"
-            " ce AS (SELECT event_type, avg(sraw) AS smean FROM se GROUP BY 1),"
+            " se AS (SELECT event_type, ph,"
+            "  CAST(sum(CAST(round(det * 1000000.0) AS BIGINT)) AS DOUBLE)"
+            "   / 1000000.0 / count(*)::DOUBLE AS sraw"
+            "  FROM d WHERE det IS NOT NULL GROUP BY 1, 2),"
+            " ce AS (SELECT event_type,"
+            "  CAST(sum(CAST(round(sraw * 1000000.0) AS BIGINT)) AS DOUBLE)"
+            "   / 1000000.0 / count(*)::DOUBLE AS smean FROM se GROUP BY 1),"
             " sa AS (SELECT se.event_type, ph, sraw - smean AS seasonal"
             "  FROM se JOIN ce USING (event_type))"
             " SELECT d.event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,"
@@ -5555,6 +5715,35 @@ def oracle_sql() -> dict[str, str]:
         " CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS group_size,"
         " CAST(doc_id = min(doc_id) OVER (PARTITION BY ahash) AS INT) AS keep"
         " FROM m12"
+    )
+    # r7: m15 — the m14 analytic perturbed hashes ranked by NAIVE
+    # full-scan Hamming to the probe literal (deliberately unfiltered:
+    # independently proves hamming_topk's probe-sided band filter
+    # lossless at max_hamming < bands)
+    _p = _m15_probe_hex()
+    _p1, _p2 = int(_p[:8], 16), int(_p[8:], 16)
+    out["m15_image_hash_retrieval"] = (
+        "WITH px AS (SELECT doc_id, CAST(doc_id % 40 AS BIGINT) AS d,"
+        "  CAST((doc_id // 40) % 2 AS BIGINT) AS var,"
+        "  unnest(generate_series(0, 63)) AS i FROM documents),"
+        " v AS (SELECT doc_id, i, CAST((d * 13 + i * 7) % 251"
+        "  + CASE WHEN i = 0 THEN var ELSE 0 END AS DOUBLE) AS p FROM px),"
+        " m AS (SELECT doc_id, avg(p) AS mu FROM v GROUP BY doc_id),"
+        " bits AS (SELECT v.doc_id, i,"
+        "  CASE WHEN p > mu THEN 1 ELSE 0 END AS b"
+        "  FROM v JOIN m ON v.doc_id = m.doc_id),"
+        " bytes AS (SELECT doc_id, i // 8 AS byte_idx,"
+        "  sum(b * (1 << (7 - (i % 8)))) AS byte FROM bits GROUP BY doc_id, i // 8),"
+        " h AS (SELECT doc_id, string_agg(printf('%02x', CAST(byte AS INT)), ''"
+        "  ORDER BY byte_idx) AS ahash FROM bytes GROUP BY doc_id),"
+        " hx AS (SELECT doc_id, ahash,"
+        "  ('0x' || substr(ahash, 1, 8))::BIGINT AS x1,"
+        "  ('0x' || substr(ahash, 9, 8))::BIGINT AS x2 FROM h)"
+        f" SELECT doc_id, ahash, CAST(bit_count(xor(x1, {_p1}))"
+        f"  + bit_count(xor(x2, {_p2})) AS INT) AS hamming"
+        " FROM hx"
+        f" WHERE bit_count(xor(x1, {_p1})) + bit_count(xor(x2, {_p2})) <= 3"
+        " ORDER BY hamming, doc_id LIMIT 40"
     )
     return out
 

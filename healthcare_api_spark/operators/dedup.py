@@ -1119,11 +1119,26 @@ def hamming_neardup_pairs(
     argument, in bit space). ``max_hamming ≥ bands`` silently loses
     pairs, so it raises unless ``allow_lossy=True``.
 
-    Scale shape: ``bands`` equi-joins on 16-bit band keys (bounded
-    fan-out per bucket for hash-like inputs), union → distinct, then
-    an exact Hamming verify via two 32-bit xor+bit_count halves (the
-    full 64-bit value overflows a signed BIGINT) — all JVM-side, no
-    UDF. Output: (id_a, id_b, hamming) with id_a < id_b.
+    Scale shape (r7 rework): the bands equi-join over the DISTINCT
+    hash set, not raw rows — on duplicate-heavy corpora (the near-dup
+    use case: image groups share one identical ahash) banding raw rows
+    makes every identical-hash group of size g contribute g² candidate
+    rows PER BAND before the verify; banding distinct hashes caps each
+    band bucket's fan-out at the number of distinct near hashes, and
+    identical-hash groups expand to pairs only AFTER the verify — so
+    total work is candidate-bounded + OUTPUT-bounded (the emitted
+    pairs themselves), never band-amplified. ``bands`` equi-joins on
+    16-bit band keys, union → distinct hash pairs, exact Hamming
+    verify via two 32-bit xor+bit_count halves (the full 64-bit value
+    overflows a signed BIGINT), then two output expansions: verified
+    cross-hash pairs × their id groups, and C(g,2) Hamming-0 pairs
+    within each identical-hash group — all JVM-side, no UDF.
+
+    Input hex is case-normalized with ``lower()`` (the band keys are
+    string-equality while the Hamming verify is numeric — without
+    normalization an 'A' vs 'a' fingerprint would silently fail the
+    band join but pass the verify). Output: (id_a, id_b, hamming)
+    with id_a < id_b.
     """
     if not 1 <= bands <= 16 or 16 % bands:
         raise ValueError("bands must divide the 16 hex chars")
@@ -1134,37 +1149,131 @@ def hamming_neardup_pairs(
             f"bands or pass allow_lossy=True"
         )
     band_w = 16 // bands
-    h = F.col(hash_col)
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        h.alias("_h"),
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("_x1"),
-        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("_x2"),
+    members = df.select(
+        F.col(id_col).alias("_id"), F.lower(F.col(hash_col)).alias("_h")
+    )
+    hashes = members.select("_h").distinct().select(
+        "_h",
+        F.conv(F.substring("_h", 1, 8), 16, 10).cast("long").alias("_x1"),
+        F.conv(F.substring("_h", 9, 8), 16, 10).cast("long").alias("_x2"),
     )
     cand = None
     for b in range(bands):
         key = F.substring(F.col("_h"), b * band_w + 1, band_w)
-        a = base.select(
-            F.col("_id").alias("id_a"),
+        a = hashes.select(
+            F.col("_h").alias("_ha"),
             F.col("_x1").alias("_a1"),
             F.col("_x2").alias("_a2"),
             key.alias("_k"),
         )
-        bb = base.select(
-            F.col("_id").alias("id_b"),
+        bb = hashes.select(
+            F.col("_h").alias("_hb"),
             F.col("_x1").alias("_b1"),
             F.col("_x2").alias("_b2"),
             key.alias("_k"),
         )
-        p = a.join(bb, "_k").filter(F.col("id_a") < F.col("id_b")).drop("_k")
+        p = a.join(bb, "_k").filter(F.col("_ha") < F.col("_hb")).drop("_k")
         cand = p if cand is None else cand.unionByName(p)
     ham = (
         F.bit_count(F.col("_a1").bitwiseXOR(F.col("_b1")))
         + F.bit_count(F.col("_a2").bitwiseXOR(F.col("_b2")))
     )
-    return (
+    hpairs = (
         cand.distinct()
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("_ha", "_hb", "hamming")
+    )
+    cross = (
+        hpairs.join(
+            members.select(F.col("_id").alias("_ia"), F.col("_h").alias("_ha")),
+            "_ha",
+        )
+        .join(
+            members.select(F.col("_id").alias("_ib"), F.col("_h").alias("_hb")),
+            "_hb",
+        )
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    same = (
+        members.select(F.col("_id").alias("id_a"), "_h")
+        .join(members.select(F.col("_id").alias("id_b"), "_h"), "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(same)
+
+
+def hamming_topk(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    probe_hex: str,
+    k: int = 10,
+    max_hamming: int = 3,
+    bands: int = 4,
+    allow_lossy: bool = False,
+) -> DataFrame:
+    """Hash-adjacent RETRIEVAL: the closest ``k`` rows to a probe
+    64-bit fingerprint by Hamming distance (perceptual image ahash,
+    SimHash, any 16-hex-char hash) — the point-lookup twin of
+    :func:`hamming_neardup_pairs` (pairs within a corpus) and the
+    Hamming analogue of the v2 LSH probe (reference has no native
+    image retrieval at all; this rounds out multimodal similarity as
+    a first-class retrieval path).
+
+    The probe's band keys are LITERALS, so the candidate filter
+    ``OR_b substring(hash, off_b, w) = probe_band_b`` needs no join
+    and no shuffle: it pushes into the scan, and the only exchange in
+    the plan is the final TakeOrderedAndProject. Pigeonhole recall:
+    any row within Hamming ≤ ``bands − 1`` matches the probe exactly
+    in ≥ 1 band, so recall is EXACT at ``max_hamming < bands`` (the
+    hamming_neardup_pairs guarantee, probe-sided); ``max_hamming ≥
+    bands`` raises unless ``allow_lossy=True``. The verify is the
+    same two 32-bit xor+bit_count halves, all JVM-side.
+
+    Output: (id, hash, hamming) ordered by (hamming, id), ≤ k rows.
+    """
+    probe = probe_hex.lower()
+    if len(probe) != 16 or any(c not in "0123456789abcdef" for c in probe):
+        raise ValueError(f"probe_hex must be 16 hex chars, got {probe_hex!r}")
+    if not 1 <= bands <= 16 or 16 % bands:
+        raise ValueError("bands must divide the 16 hex chars")
+    if max_hamming >= bands and not allow_lossy:
+        raise ValueError(
+            f"max_hamming={max_hamming} ≥ bands={bands} loses matches "
+            f"(pigeonhole guarantee needs max_hamming < bands); raise "
+            f"bands or pass allow_lossy=True"
+        )
+    band_w = 16 // bands
+    h = F.lower(F.col(hash_col))
+    cand = None
+    for b in range(bands):
+        m = F.substring(h, b * band_w + 1, band_w) == F.lit(
+            probe[b * band_w : (b + 1) * band_w]
+        )
+        cand = m if cand is None else (cand | m)
+    p1, p2 = int(probe[:8], 16), int(probe[8:], 16)
+    ham = (
+        F.bit_count(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").bitwiseXOR(F.lit(p1))
+        )
+        + F.bit_count(
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").bitwiseXOR(F.lit(p2))
+        )
+    )
+    return (
+        df.filter(cand)
+        .select(
+            F.col(id_col).alias("id"),
+            h.alias("hash"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy(F.col("hamming").asc(), F.col("id").asc())
+        .limit(k)
     )

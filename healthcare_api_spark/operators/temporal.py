@@ -220,6 +220,8 @@ def seasonal_decompose(
     value_col: str,
     phase_col: str,
     ma_window: int = 25,
+    quantize: int | None = None,
+    det_quantize: int = 1_000_000,
 ) -> DataFrame:
     """Classical additive seasonal decomposition per series:
     ``value = trend + seasonal + resid``.
@@ -237,7 +239,18 @@ def seasonal_decompose(
     Shape at scale: ONE window over (series, bucket-order) for the
     trend, one small per-(series, phase) aggregate and its per-series
     rollup joined back — both tiny relative to the series, both
-    equi-joins. Parallelism unit = series; no driver state."""
+    equi-joins. Parallelism unit = series; no driver state.
+
+    ``quantize=q`` makes every mean in the decomposition order-
+    independent (the x12 ``mu_quantize`` treatment): the trend window
+    sums ``round(v·q)`` bigints, the per-phase and per-series means sum
+    ``round(det·det_quantize)`` bigints, and each mean is then a fixed
+    ``(Σ/scale)/count`` pair of double ops mirrored verbatim in the
+    DuckDB oracle — where a plain double ``avg`` can drift an ulp with
+    accumulation order (window sliding-frame vs segment-tree, partial-
+    agg merge order) and flip an output rounding boundary. The
+    detrended quantum ``det_quantize`` (default 10⁻⁶) is a documented
+    part of the quantized semantics, well below any output rounding."""
     if ma_window < 3 or ma_window % 2 == 0:
         raise ValueError("ma_window must be an odd integer ≥ 3")
     half = ma_window // 2
@@ -247,19 +260,58 @@ def seasonal_decompose(
         .orderBy(bucket_col)
         .rowsBetween(-half, half)
     )
-    trended = df.withColumn(
-        "trend",
-        F.when(
-            F.count(F.col(value_col)).over(w) == ma_window,
-            F.avg(F.col(value_col)).over(w),
-        ),
-    ).withColumn("_det", F.col(value_col) - F.col("trend"))
-    per_phase = (
-        trended.filter(F.col("_det").isNotNull())
-        .groupBy(*gcols, phase_col)
-        .agg(F.avg("_det").alias("_sraw"))
-    )
-    centers = per_phase.groupBy(*gcols).agg(F.avg("_sraw").alias("_smean"))
+    if quantize is not None:
+        q = float(quantize)
+        q2 = float(det_quantize)
+        vq = F.round(F.col(value_col).cast("double") * q).cast("long")
+        trended = (
+            df.withColumn("_vq", vq)
+            .withColumn(
+                "trend",
+                F.when(
+                    F.count(F.col("_vq")).over(w) == ma_window,
+                    F.sum("_vq").over(w).cast("double")
+                    / F.lit(q)
+                    / F.lit(float(ma_window)),
+                ),
+            )
+            .withColumn("_det", F.col(value_col) - F.col("trend"))
+            .drop("_vq")
+        )
+        detq = F.round(F.col("_det") * F.lit(q2)).cast("long")
+        per_phase = (
+            trended.filter(F.col("_det").isNotNull())
+            .groupBy(*gcols, phase_col)
+            .agg(
+                (
+                    F.sum(detq).cast("double")
+                    / F.lit(q2)
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("_sraw")
+            )
+        )
+        sq = F.round(F.col("_sraw") * F.lit(q2)).cast("long")
+        centers = per_phase.groupBy(*gcols).agg(
+            (
+                F.sum(sq).cast("double")
+                / F.lit(q2)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_smean")
+        )
+    else:
+        trended = df.withColumn(
+            "trend",
+            F.when(
+                F.count(F.col(value_col)).over(w) == ma_window,
+                F.avg(F.col(value_col)).over(w),
+            ),
+        ).withColumn("_det", F.col(value_col) - F.col("trend"))
+        per_phase = (
+            trended.filter(F.col("_det").isNotNull())
+            .groupBy(*gcols, phase_col)
+            .agg(F.avg("_det").alias("_sraw"))
+        )
+        centers = per_phase.groupBy(*gcols).agg(F.avg("_sraw").alias("_smean"))
     seasonal = per_phase.join(centers, gcols).select(
         *gcols, phase_col, (F.col("_sraw") - F.col("_smean")).alias("seasonal")
     )
@@ -480,6 +532,7 @@ def series_correlation(
     series_col: str,
     bucket_col: str,
     value_col: str,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Pairwise Pearson correlation between every pair of series
     (series_col values) over their aligned buckets — the metric-drift /
@@ -492,7 +545,17 @@ def series_correlation(
     |series|² per bucket — fine while the series set is bounded), then
     ONE map-side-combined aggregate computing corr from the running
     sums (Σx, Σy, Σxy, Σx², Σy², n) — no per-pair collect, no pivot to
-    the driver."""
+    the driver.
+
+    ``quantize=q`` computes Pearson r from EXACT integer moments:
+    values scale to ``round(v·q)`` bigints, the six sums are order-
+    independent bigint sums, and r is the closed form
+    ``(n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²̄) · √(n·Σy² − Σy²̄))`` evaluated
+    as one fixed double expression — bit-identical across engines and
+    partitionings where ``F.corr``'s streaming co-moment accumulation
+    can drift an ulp (the x12 ``mu_quantize`` treatment; r is scale-
+    invariant so the quantum only needs to cover the value's decimal
+    precision). Exact while Σ(vq²) < 2⁶³."""
     a = df.select(
         F.col(series_col).alias("series_a"),
         F.col(bucket_col).alias("_b"),
@@ -504,6 +567,31 @@ def series_correlation(
         F.col(value_col).alias("_y"),
     )
     joined = a.join(b, "_b").filter(F.col("series_a") < F.col("series_b"))
+    if quantize is not None:
+        q = float(quantize)
+        xq = F.round(F.col("_x").cast("double") * q).cast("long")
+        yq = F.round(F.col("_y").cast("double") * q).cast("long")
+        m = joined.groupBy("series_a", "series_b").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xq).alias("_sx"),
+            F.sum(yq).alias("_sy"),
+            F.sum(xq * yq).alias("_sxy"),
+            F.sum(xq * xq).alias("_sxx"),
+            F.sum(yq * yq).alias("_syy"),
+        )
+        nd = F.col("n").cast("double")
+        sx = F.col("_sx").cast("double")
+        sy = F.col("_sy").cast("double")
+        sxy = F.col("_sxy").cast("double")
+        sxx = F.col("_sxx").cast("double")
+        syy = F.col("_syy").cast("double")
+        den = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+        return m.select(
+            "series_a",
+            "series_b",
+            "n",
+            F.when(den > 0, (nd * sxy - sx * sy) / den).alias("corr"),
+        )
     return (
         joined.groupBy("series_a", "series_b")
         .agg(
@@ -550,6 +638,7 @@ def time_weighted_avg(
     ts_col: str,
     value_col: str,
     bucket_len: str = "1 hour",
+    value_quantize: int | None = None,
 ) -> DataFrame:
     """TimescaleDB-style ``time_weight('locf')`` per bucket: the average
     of ``value_col`` weighted by how LONG each observation held (carry
@@ -561,7 +650,16 @@ def time_weighted_avg(
     bucket_start, twa, n_points).
 
     One window (lead over the series+bucket key) + one hash aggregate —
-    a single shuffle, same cost shape as any windowed rollup."""
+    a single shuffle, same cost shape as any windowed rollup.
+
+    ``value_quantize=q`` makes the bucket aggregate EXACT: values are
+    scaled to integers (``round(v·q)``), weights stay integer micros,
+    and the numerator Σ(vq·w) / denominator Σw are bigint sums — order-
+    independent, so the twa double is bit-identical across engines and
+    partitionings (the x12 ``mu_quantize`` treatment). twa is then
+    ``(Σ(vq·w)/q) / Σw`` as two double ops, mirrored verbatim in the
+    DuckDB oracle. Exact while Σ(vq·w) < 2⁶³ — at 2-dp gauge values
+    ≤ 10⁵ and hourly buckets that is ~10⁷ points per bucket."""
     gcols = list(series_cols)
     secs = _parse_duration_secs(bucket_len)
     bucket = F.window(F.col(ts_col), bucket_len).getField("start")
@@ -571,10 +669,22 @@ def time_weighted_avg(
     )
     nxt = F.lead(F.unix_micros(F.col(ts_col).cast("timestamp"))).over(w)
     end = F.unix_micros(F.col("_bkt").cast("timestamp")) + F.lit(secs * 1_000_000)
-    weight = (F.coalesce(nxt, end) - F.unix_micros(F.col(ts_col).cast("timestamp"))).cast(
-        "double"
-    )
-    seg = d.withColumn("_w", weight)
+    weight_us = F.coalesce(nxt, end) - F.unix_micros(F.col(ts_col).cast("timestamp"))
+    if value_quantize is not None:
+        q = float(value_quantize)
+        vq = F.round(F.col(value_col).cast("double") * q).cast("long")
+        seg = d.withColumn("_w", weight_us)
+        return (
+            seg.groupBy(*gcols, F.col("_bkt").alias("bucket_start"))
+            .agg(
+                (
+                    F.sum(vq * F.col("_w")).cast("double") / F.lit(q)
+                    / F.sum("_w").cast("double")
+                ).alias("twa"),
+                F.count(F.lit(1)).alias("n_points"),
+            )
+        )
+    seg = d.withColumn("_w", weight_us.cast("double"))
     return (
         seg.groupBy(*gcols, F.col("_bkt").alias("bucket_start"))
         .agg(
