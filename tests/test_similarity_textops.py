@@ -711,3 +711,20 @@ def test_pool_embeddings_zero_vector_guard(spark):
 
     assert math.isclose(out["g1"]["l2_norm"], 5.0)
     assert all(math.isclose(a, b) for a, b in zip(out["g1"]["pooled"], [0.6, 0.8]))
+
+
+def test_ivf_assign_arrow_null_tolerant(spark):
+    # ADVICE r6: the arrow kernel must match the expr path's NULL
+    # semantics — None or wrong-length vectors get a NULL cluster, not
+    # an object-dtype IndexError
+    from healthcare_api_spark.operators.similarity import ivf_assign
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(1, [1.0, 0.1]), (2, None), (3, [0.1, 1.0, 0.5]), (4, [0.1, 1.0])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = {
+        r["id"]: r["cluster"]
+        for r in ivf_assign(df, "vec", cents, method="arrow").collect()
+    }
+    assert got[1] == 0 and got[4] == 1
+    assert got[2] is None and got[3] is None
