@@ -103,6 +103,15 @@ HEADLINE = [
     # (scan reads only codes-width data) and the 38-step LTTB pipeline
     "v7_pq_topk",
     "x7_lttb_downsample",
+    # round 7 (VERDICT r6 #7): the multimodal/ANN surface was thin on
+    # longitudinal perf coverage — image near-dup grouping + Hamming
+    # pairs + hash retrieval, the IVF probe, and SemDeDup (the suite's
+    # heaviest query, k frozen at 8 for oracle portability)
+    "m13_image_neardup",
+    "m14_image_hamming_pairs",
+    "m15_image_hash_retrieval",
+    "v3_ivf_topk",
+    "d14_semdedup",
 ]
 
 N_STEADY = 3

@@ -154,3 +154,52 @@ def test_r6_graduated_oracles_match_at_sf0001():
         odf = con.execute(osql[name]).df()
         assert sorted(sdf.columns) == sorted(odf.columns), name
         assert canon(sdf) == canon(odf), f"{name}: spark != oracle"
+
+
+def test_r7_changed_oracles_match_at_sf0001():
+    """Queries whose semantics or oracle changed in r7 (scaled-integer
+    hardening of q1/q3/q5/q6/w8/x8/x9, the v8 zero-guard mirror, the
+    m14 distinct-hash banding, the d14 guard rework) plus the NEW m15
+    retrieval query have no r7 driver hash yet — verify them against
+    DuckDB now, exactly like the r5/r6 queue tests."""
+    import math
+
+    import duckdb
+
+    entrymod = _load_entry()
+    from healthcare_api_spark import get_spark
+    from healthcare_api_spark.tables import TABLE_NAMES
+
+    sf = "/root/testdata/sf0.001"
+    spark = get_spark("r7-changed-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+
+    def canon(frame):
+        cols = sorted(frame.columns)
+        out = []
+        for tup in frame[cols].itertuples(index=False):
+            row = []
+            for v in tup:
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    row.append("\x00")
+                elif isinstance(v, float):
+                    row.append(f"{v:.9g}")
+                else:
+                    row.append(str(v))
+            out.append(tuple(row))
+        return sorted(out)
+
+    for name in (
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+        "q6_forecast_revenue", "w8_time_weighted_avg",
+        "x8_seasonal_decompose", "x9_series_correlation",
+        "v8_pooled_embeddings", "m14_image_hamming_pairs",
+        "m15_image_hash_retrieval", "d14_semdedup",
+    ):
+        sdf = qs[name](spark, sf).toPandas()
+        odf = con.execute(osql[name]).df()
+        assert sorted(sdf.columns) == sorted(odf.columns), name
+        assert canon(sdf) == canon(odf), f"{name}: spark != oracle"
