@@ -444,20 +444,53 @@ def embedding_neardup_pairs(
     vec_col: str,
     bucket_col: str,
     threshold: float = 0.95,
+    method: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine within a bucket column
     (pre-clustering key: LSH bucket, shard, or label). The bucket bounds
     the pair join; cosine is exact double math in array order, so results
     are reproducible bit-for-bit. Output: (id_a, id_b, cos) id_a < id_b.
-    """
-    from healthcare_api_spark.operators.similarity import cosine
 
-    v = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.col(bucket_col).alias("_b")
+    r7 perf rework (bit-identical by construction, pinned by tests):
+    norms are computed ONCE PER VECTOR before the pair join — the same
+    sequential fold on the same array yields the same double whether it
+    runs per-vector or per-pair, and a cell of size g needs g norms,
+    not g² — and the per-pair dot runs through the Arrow batch kernel
+    (``pair_dot_arrow``: dimension-ordered accumulation vectorized over
+    pairs, the ivf_assign precedent) instead of the interpreted
+    zip_with+aggregate fold. ``method``: ``"auto"``/``"arrow"`` use the
+    kernel, ``"expr"`` keeps the pure-JVM fold (the conservative
+    baseline the kernel is pinned against). This is SemDeDup's hot
+    loop: Σ|cell|² pair cosines.
+    """
+    from healthcare_api_spark.operators.similarity import (
+        dot as _dot,
+        norm as _norm,
+        pair_dot_arrow,
     )
-    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_b").alias("ba"))
-    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_b").alias("bb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+
+    if method not in ("auto", "expr", "arrow"):
+        raise ValueError("method must be 'auto', 'expr', or 'arrow'")
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(bucket_col).alias("_b"),
+        _norm(F.col(vec_col)).alias("_n"),
+    )
+    a = v.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+        F.col("_b").alias("ba"), F.col("_n").alias("na"),
+    )
+    b = v.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_b").alias("bb"), F.col("_n").alias("nb"),
+    )
+    dot_pair = (
+        _dot(F.col("va"), F.col("vb"))
+        if method == "expr"
+        else pair_dot_arrow(F.col("va"), F.col("vb"))
+    )
+    cos = dot_pair / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
         .withColumn("cos", cos)

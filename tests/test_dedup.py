@@ -788,3 +788,28 @@ def test_hamming_topk_plan_no_join(spark):
     txt = plan._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in txt
     assert "TakeOrderedAndProject" in txt
+
+
+def test_embedding_neardup_arrow_matches_expr(spark):
+    # r7: the pair_dot_arrow kernel must reproduce the interpreted
+    # zip_with fold bit-for-bit on real embeddings (the ivf_assign
+    # pinning precedent) — cos values compared EXACTLY, not approx
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding", (F.col("vec_id") % 5).alias("bkt"))
+        .limit(300)
+    )
+    kw = dict(threshold=-1.0, bucket_col="bkt")  # keep every pair
+    expr = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_neardup_pairs(
+            emb, "vec_id", "embedding", method="expr", **kw
+        ).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_neardup_pairs(
+            emb, "vec_id", "embedding", method="arrow", **kw
+        ).collect()
+    }
+    assert expr == arrow and len(expr) > 0
