@@ -474,6 +474,7 @@ def knn_join(
     vec_col: str,
     k: int = 10,
     exclude_self: bool = True,
+    method: str = "auto",
 ) -> DataFrame:
     """Batch exact k-NN join: for EVERY query row, the ``k`` most
     cosine-similar corpus rows — the retrieval primitive behind
@@ -487,23 +488,38 @@ def knn_join(
     and a per-query window keeps the top k. Ties break on the corpus
     id. ``exclude_self`` drops the query row itself when both sides
     come from the same table (matching ids).
+
+    r7: norms are computed once per SIDE (|Q| + |C| folds instead of
+    |Q|·|C|·2) and the per-pair dot defaults to the ``pair_dot_arrow``
+    batch kernel — both bit-identical to the interpreted fold (the
+    embedding_neardup_pairs rework; ``method='expr'`` keeps the pure-
+    JVM baseline the kernel is pinned against).
     """
     from pyspark.sql import Window
 
+    if method not in ("auto", "expr", "arrow"):
+        raise ValueError("method must be 'auto', 'expr', or 'arrow'")
     qb = F.broadcast(
         queries.select(
-            F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qv")
+            F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qv"),
+            norm(F.col(vec_col)).alias("_qn"),
         )
     )
     pairs = corpus.select(
-        F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv")
+        F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
     ).join(qb, F.lit(True))
     if exclude_self:
         pairs = pairs.filter(F.col("_cid") != F.col("_qid"))
+    dot_pair = (
+        dot(F.col("_cv"), F.col("_qv"))
+        if method == "expr"
+        else pair_dot_arrow(F.col("_cv"), F.col("_qv"))
+    )
     scored = pairs.select(
         "_qid",
         "_cid",
-        F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("cos"),
+        F.round(dot_pair / (F.col("_cn") * F.col("_qn")), 6).alias("cos"),
     )
     w = Window.partitionBy("_qid").orderBy(F.col("cos").desc(), F.col("_cid").asc())
     return (

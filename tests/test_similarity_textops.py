@@ -728,3 +728,24 @@ def test_ivf_assign_arrow_null_tolerant(spark):
     }
     assert got[1] == 0 and got[4] == 1
     assert got[2] is None and got[3] is None
+
+
+def test_knn_join_arrow_matches_expr(spark):
+    # r7: the pair_dot_arrow path must reproduce the interpreted fold
+    # bit-for-bit on real embeddings (exact equality, not approx)
+    from healthcare_api_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(10)
+
+    def run(method):
+        return sorted(
+            map(
+                tuple,
+                knn_join(q, emb, "vec_id", "vec_id", "embedding", k=5,
+                         method=method).collect(),
+            )
+        )
+
+    expr, arrow = run("expr"), run("arrow")
+    assert expr == arrow and len(expr) == 50
