@@ -933,7 +933,13 @@ def semdedup(
         if centroids is not None
         else ivf_train(df, id_col, vec_col, k=k, iters=iters)
     )
-    assigned = ivf_assign(df, vec_col, cents)
+    # pin the assignment once: it feeds the guard, BOTH sides of the
+    # in-cluster pair join, the label id set, and the final join — five
+    # consumers that would otherwise each recompute the argmin pass.
+    # At corpus scale this is the "write the assigned table partitioned
+    # by cluster" step; localCheckpoint is its in-session equivalent
+    # (executor storage, disk overflow).
+    assigned = ivf_assign(df, vec_col, cents).localCheckpoint(eager=True)
     if on_oversized != "ignore":
         stats = (
             assigned.groupBy("cluster")
@@ -1221,9 +1227,15 @@ def hamming_neardup_pairs(
             f"bands or pass allow_lossy=True"
         )
     band_w = 16 // bands
+    # pin the narrow (id, hash) projection: it feeds the distinct-hash
+    # band set, both expansion joins, and the same-hash self-join — if
+    # the hash column is itself computed (m14: a full PNG decode →
+    # ahash pipeline), every consumer would otherwise recompute it.
+    # Two columns wide, so the cache is fingerprint-sized, not corpus-
+    # sized.
     members = df.select(
         F.col(id_col).alias("_id"), F.lower(F.col(hash_col)).alias("_h")
-    )
+    ).localCheckpoint(eager=True)
     hashes = members.select("_h").distinct().select(
         "_h",
         F.conv(F.substring("_h", 1, 8), 16, 10).cast("long").alias("_x1"),
