@@ -209,6 +209,13 @@ def co_occurrence(
             bi = sized.drop("_sz")
         else:
             bi = sized.filter(F.col("_sz") <= max_basket).drop("_sz")
+    # pin the pruned basket-item set: it feeds BOTH sides of the pair
+    # self-join (and the guard count when max_basket raises) — without
+    # it each side re-runs the distinct + window prunes (measured: no
+    # ReusedExchange under AQE, 2 full scans). Two narrow columns, so
+    # the cache is item-pair-key-sized, the same shape the join
+    # shuffles anyway.
+    bi = bi.localCheckpoint(eager=True)
     a = bi.select("o", F.col("i").alias("item_a"))
     b = bi.select("o", F.col("i").alias("item_b"))
     pairs = a.join(b, "o").filter(F.col("item_a") < F.col("item_b"))

@@ -305,6 +305,15 @@ def bigram_logprob(
         "   (t, i) -> struct(_toks[i] AS prev, t AS cur))"
         " ELSE CAST(array() AS array<struct<prev:string,cur:string>>) END"
     )
+    # NOTE (r7): deliberately NO persist/checkpoint here, although the
+    # plan shows 5 Scan+Generate chains (tf2/c2/uni each feed two
+    # consumers). Measured at sf0.1: caching tf2 (corpus-sized) costs
+    # more than its recompute (1.96 → 2.60 s), and even model-sized
+    # c2/uni caches regress to 2.95 s — the InMemoryRelation barrier
+    # loses AQE's runtime broadcast of the scored-pair table, which is
+    # worth more than the duplicate tokenize. Recompute wins when the
+    # duplicated chain is cheap codegen and caching changes join
+    # strategy.
     tf2 = (
         toked.select(F.col(id_col), F.explode(pairs).alias("_p"))
         .select(id_col, F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur"))
