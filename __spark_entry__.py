@@ -2984,6 +2984,25 @@ def q_ds8_token_mixture(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_t22_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality filter over the corpus (Rae et
+    al. 2021 §A1.1): per-doc token stats, top token/bigram with
+    deterministic tie-breaks, duplicate-5-gram occurrence mass, and an
+    integer-arithmetic keep/drop flag. Docs with doc_id % 7 == 0 are
+    planted with their text doubled so the duplicate-n-gram branch is
+    exercised (organic 5-grams never repeat in the synthetic streams).
+    All outputs integers/strings — hash-exact with no float boundary."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat_ws(" ", "text", "text")
+        ).otherwise(F.col("text")),
+    )
+    return textops.repetition_signals(planted, "doc_id", "text")
+
+
 def q_t21_zipf_fit(spark, sf_dir):
     """Zipf's-law slope over the corpus vocabulary (ln freq vs ln rank,
     closed-form least squares — engine-portable sums). One-number
@@ -3933,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d14_semdedup": q_d14_semdedup,
         "v8_pooled_embeddings": q_v8_pooled_embeddings,
         "m15_image_hash_retrieval": q_m15_image_hash_retrieval,
+        "t22_repetition_filter": q_t22_repetition_filter,
         # --- r6 prefix head (all driver-hash-green in
         # CORRECTNESS_r06) ---
         "v7_pq_topk": q_v7_pq_topk,
@@ -5747,6 +5767,49 @@ def oracle_sql() -> dict[str, str]:
         " FROM hx"
         f" WHERE bit_count(xor(x1, {_p1})) + bit_count(xor(x2, {_p2})) <= 3"
         " ORDER BY hamming, doc_id LIMIT 40"
+    )
+    # r7: t22 — Gopher-style repetition filter. Every output column is
+    # an integer or a string (argmax tie-break = count desc, gram asc),
+    # so the hash is float-free by construction. Docs with doc_id%7==0
+    # are planted with text||' '||text so the duplicate-5-gram branch
+    # of the flag is live on this corpus (organic 5-grams never repeat
+    # in the synthetic word streams).
+    out["t22_repetition_filter"] = (
+        "WITH planted AS (SELECT doc_id,"
+        "  CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text"
+        "  FROM documents),"
+        f" t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM planted),"
+        " tk AS (SELECT doc_id, unnest(w) AS tok FROM t),"
+        " tok1 AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),"
+        " toka AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,"
+        "   CAST(count(*) AS BIGINT) AS n_distinct FROM tok1 GROUP BY 1),"
+        " tokt AS (SELECT doc_id, tok AS top_token,"
+        "   CAST(cnt AS BIGINT) AS top_token_cnt FROM"
+        "   (SELECT *, row_number() OVER (PARTITION BY doc_id"
+        "     ORDER BY cnt DESC, tok ASC) AS rn FROM tok1) WHERE rn = 1),"
+        " bg AS (SELECT doc_id, concat_ws(' ', w[i], w[i+1]) AS g"
+        "   FROM t, LATERAL (SELECT unnest(generate_series(1,"
+        "     greatest(len(w) - 1, 1))) AS i)),"
+        " bg1 AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2),"
+        " bgt AS (SELECT doc_id, g AS top_bigram,"
+        "   CAST(cnt AS BIGINT) AS top_bigram_cnt FROM"
+        "   (SELECT *, row_number() OVER (PARTITION BY doc_id"
+        "     ORDER BY cnt DESC, g ASC) AS rn FROM bg1) WHERE rn = 1),"
+        " ng AS (SELECT doc_id,"
+        "   concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS g"
+        "   FROM t, LATERAL (SELECT unnest(generate_series(1,"
+        "     greatest(len(w) - 4, 1))) AS i)),"
+        " ng1 AS (SELECT doc_id, g, count(*) AS cnt FROM ng GROUP BY 1, 2),"
+        " nga AS (SELECT doc_id,"
+        "   CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)"
+        "     AS dup_ngram_occ,"
+        "   CAST(sum(cnt) AS BIGINT) AS n_grams FROM ng1 GROUP BY 1)"
+        " SELECT a.doc_id, a.n_tokens, a.n_distinct, tt.top_token,"
+        "  tt.top_token_cnt, bt.top_bigram, bt.top_bigram_cnt, na.dup_ngram_occ,"
+        "  CAST((bt.top_bigram_cnt * 10 >= a.n_tokens AND bt.top_bigram_cnt > 1)"
+        "    OR na.dup_ngram_occ * 2 >= na.n_grams AS INT) AS repetitive"
+        " FROM toka a JOIN tokt tt USING (doc_id) JOIN bgt bt USING (doc_id)"
+        " JOIN nga na USING (doc_id)"
     )
     return out
 

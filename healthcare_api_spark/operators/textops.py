@@ -766,3 +766,112 @@ def zipf_fit(df: DataFrame, id_col: str, text_col: str, top_n: int = 200) -> Dat
         F.col("n").cast("int").alias("top_n"),
     )
     return totals.crossJoin(fitted)
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, dup_n: int = 5
+) -> DataFrame:
+    """Gopher-style word-level repetition signals per document (Rae et
+    al. 2021, §A1.1, adapted to single-line corpora: the line/paragraph
+    duplicate fractions collapse onto word n-gram statistics here).
+
+    Output, ALL integers / strings (bit-exact across engines — no float
+    fraction can flip a rounding boundary):
+
+      ``n_tokens``       whitespace tokens after normalization
+      ``n_distinct``     distinct tokens
+      ``top_token``      most frequent token (ties → lexicographically
+                         smallest), ``top_token_cnt`` its count
+      ``top_bigram``     most frequent word bigram (same tie-break),
+                         ``top_bigram_cnt`` its count
+      ``dup_ngram_occ``  number of ``dup_n``-gram occurrences whose
+                         gram appears more than once in the document —
+                         the Gopher "duplicate n-gram" mass as a raw
+                         occurrence count
+      ``repetitive``     1 when the top bigram repeats AND covers
+                         ≥ 10% of token positions, OR duplicated
+                         ``dup_n``-grams cover ≥ 50% of gram positions
+                         (integer-arithmetic thresholds: ``cnt·10 ≥ n``
+                         style, no division)
+
+    Scale shape: three explode→groupBy chains, each a map-side-combined
+    hash aggregate keyed by (doc, gram) then (doc) — the argmax uses
+    ``min(struct(-cnt, gram))`` so there is NO per-doc window and both
+    aggregate levels partial-combine. The three per-doc aggregates join
+    on the id (equi-join, AQE-planned). Candidate volume is linear in
+    corpus tokens; nothing is quadratic in document count or length.
+
+    Reference scope: the reference's quality filtering delegates to its
+    hosted search service; repetition filtering is part of this repo's
+    §2.10 LLM-curation surface (SURVEY.md), not a reference port.
+    """
+    from healthcare_api_spark.functions.text import tokens, word_shingles
+
+    c = F.col(text_col)
+
+    def _top_agg(gram_col: Column, out_prefix: str, extra: bool) -> DataFrame:
+        per = (
+            df.select(F.col(id_col), F.explode(gram_col).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        aggs = [
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("g").alias("t"))
+            ).alias("m")
+        ]
+        if extra:
+            aggs += [
+                F.sum("cnt").cast("bigint").alias("n_tokens"),
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            ]
+        else:
+            aggs += [
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias(f"_{out_prefix}_dup")
+            ]
+        out = per.groupBy(id_col).agg(*aggs)
+        sel = [
+            F.col(id_col),
+            F.col("m.t").alias(f"{out_prefix}"),
+            (-F.col("m.nc")).cast("bigint").alias(f"{out_prefix}_cnt"),
+        ]
+        if extra:
+            sel += [F.col("n_tokens"), F.col("n_distinct")]
+        else:
+            sel += [F.col(f"_{out_prefix}_dup")]
+        return out.select(*sel)
+
+    tok_agg = _top_agg(tokens(c), "top_token", extra=True)
+    bi_agg = _top_agg(word_shingles(c, 2), "top_bigram", extra=False).drop(
+        "_top_bigram_dup"
+    )
+    ng_agg = (
+        df.select(F.col(id_col), F.explode(word_shingles(c, dup_n)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("dup_ngram_occ"),
+            F.sum("cnt").cast("bigint").alias("_n_grams"),
+        )
+    )
+    joined = tok_agg.join(bi_agg, id_col).join(ng_agg, id_col)
+    rep = (
+        ((F.col("top_bigram_cnt") * 10 >= F.col("n_tokens")) & (F.col("top_bigram_cnt") > 1))
+        | (F.col("dup_ngram_occ") * 2 >= F.col("_n_grams"))
+    ).cast("int")
+    return joined.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct",
+        "top_token",
+        "top_token_cnt",
+        "top_bigram",
+        "top_bigram_cnt",
+        "dup_ngram_occ",
+        rep.alias("repetitive"),
+    )

@@ -749,3 +749,43 @@ def test_knn_join_arrow_matches_expr(spark):
 
     expr, arrow = run("expr"), run("arrow")
     assert expr == arrow and len(expr) == 50
+
+
+def test_repetition_signals_integer_exact(spark):
+    """Counts, argmax tie-breaks, and the two flag branches on a tiny
+    hand-computable corpus (r7 t22)."""
+    df = spark.createDataFrame(
+        [
+            # "a b a b a b a b a b": top bigram "a b" covers 5/10 tokens
+            # → bigram branch fires; 5-grams "a b a b a"/"b a b a b"
+            # each appear 3×, all 6 occurrences duplicated → ngram
+            # branch fires too
+            (1, "a b a b a b a b a b"),
+            # all-distinct tokens: nothing repeats, no flag
+            (2, "u v w x y z p q r s"),
+            # tie between 'b' and 'a' counts → lexicographically
+            # smallest token wins
+            (3, "b a b a c"),
+            # shorter than 5 tokens: one whole-text 5-gram (the
+            # word_shingles fallback), never duplicated
+            (4, "k k"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textops.repetition_signals(df, "doc_id", "text").collect()
+    }
+    r1 = rows[1]
+    assert (r1["n_tokens"], r1["n_distinct"]) == (10, 2)
+    assert (r1["top_token"], r1["top_token_cnt"]) == ("a", 5)
+    assert (r1["top_bigram"], r1["top_bigram_cnt"]) == ("a b", 5)
+    assert r1["dup_ngram_occ"] == 6 and r1["repetitive"] == 1
+    r2 = rows[2]
+    assert r2["n_distinct"] == 10 and r2["dup_ngram_occ"] == 0
+    assert r2["repetitive"] == 0
+    r3 = rows[3]
+    assert (r3["top_token"], r3["top_token_cnt"]) == ("a", 2)
+    r4 = rows[4]
+    assert (r4["n_tokens"], r4["top_bigram"], r4["top_bigram_cnt"]) == (2, "k k", 1)
+    assert r4["dup_ngram_occ"] == 0
