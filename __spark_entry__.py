@@ -2963,6 +2963,51 @@ def q_m15_image_hash_retrieval(spark, sf_dir):
     )
 
 
+def q_v9_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (r7): BM25 lexical top-30 for 'window vector'
+    (the fs10 ranking) ⊕ dense cosine top-30 to vec_id 0's embedding
+    (the v1 ranking), fused with exact-rational reciprocal-rank fusion
+    (similarity.rrf_fuse, c=60) — the standard two-tower hybrid search
+    composition; documents.doc_id and embeddings.vec_id are 1:1.
+    Ranks come from 6-dp-rounded scores (already engine-portable per
+    fs10/v1), the fused score is an integer rational (rrf_num/rrf_den)
+    so every output column is an integer, and each row_number window
+    ranks an already-LIMITed ≤30-row frame — bounded by construction,
+    like zipf_fit's top-n rank."""
+    from pyspark.sql import Window
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = textops.bm25_score_col(docs, docs, "text", ["window", "vector"])
+    s6 = F.round(F.col("_score"), 6)
+    bm_top = (
+        scored.select(F.col("doc_id"), s6.alias("s"))
+        .filter(F.col("s") > 0)
+        .orderBy(F.col("s").desc(), F.col("doc_id"))
+        .limit(30)
+    )
+    wb = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    bm_rank = bm_top.withColumn("rank", F.row_number().over(wb)).select(
+        "doc_id", "rank"
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    an_top = similarity.brute_force_topk(
+        emb, "vec_id", "embedding", list(qvec), k=30
+    )
+    wa = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    an_rank = an_top.withColumn("rank", F.row_number().over(wa)).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return similarity.rrf_fuse([bm_rank, an_rank], "doc_id", c=60, k=15).select(
+        "doc_id",
+        F.col("rank_1").alias("bm25_rank"),
+        F.col("rank_2").alias("cos_rank"),
+        "rrf_num",
+        "rrf_den",
+    )
+
+
 def q_ds8_token_mixture(spark, sf_dir):
     """Token-budget mixture END-TO-END: plan per-language doc-sampling
     rates that hit token-share targets (LM mixes are token-budgeted,
@@ -3953,6 +3998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v8_pooled_embeddings": q_v8_pooled_embeddings,
         "m15_image_hash_retrieval": q_m15_image_hash_retrieval,
         "t22_repetition_filter": q_t22_repetition_filter,
+        "v9_hybrid_rrf": q_v9_hybrid_rrf,
         # --- r6 prefix head (all driver-hash-green in
         # CORRECTNESS_r06) ---
         "v7_pq_topk": q_v7_pq_topk,
@@ -5767,6 +5813,54 @@ def oracle_sql() -> dict[str, str]:
         " FROM hx"
         f" WHERE bit_count(xor(x1, {_p1})) + bit_count(xor(x2, {_p2})) <= 3"
         " ORDER BY hamming, doc_id LIMIT 40"
+    )
+    # r7: v9 — hybrid retrieval. BM25 ranking reuses the fs10 scoring
+    # shape (OR-semantics: any doc with score > 0), dense ranking the
+    # v1 cosine shape; both rank 6-dp-rounded scores so the rank lists
+    # are engine-portable, and the RRF score is the exact integer
+    # rational (a/b + 1/(c+r) stepwise) — ordering is the single
+    # correctly-rounded division num/den, identical in both engines.
+    out["v9_hybrid_rrf"] = (
+        f"WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),"
+        " st AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl,"
+        "  sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS df1,"
+        "  sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS df2"
+        "  FROM d),"
+        " sc AS (SELECT doc_id,"
+        "  CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf1,"
+        "  CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf2,"
+        "  CAST(len(toks) AS DOUBLE) AS dl, n, avgdl, df1, df2 FROM d, st),"
+        " s2 AS (SELECT doc_id, round("
+        "  ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2"
+        "   / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+        "  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2"
+        "   / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS s"
+        "  FROM sc),"
+        " bm AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id)"
+        "   AS r FROM (SELECT * FROM s2 WHERE s > 0"
+        "   ORDER BY s DESC, doc_id LIMIT 30)),"
+        " q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe"
+        "  FROM embeddings WHERE vec_id = 0),"
+        " v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
+        "  FROM embeddings),"
+        " c0 AS (SELECT vec_id, round(list_dot_product(e, qe) /"
+        "  (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6)"
+        "   AS cs FROM v, q),"
+        " an AS (SELECT vec_id, row_number() OVER (ORDER BY cs DESC, vec_id)"
+        "   AS r FROM (SELECT * FROM c0 ORDER BY cs DESC, vec_id LIMIT 30)),"
+        " j AS (SELECT coalesce(bm.doc_id, an.vec_id) AS doc_id,"
+        "  bm.r AS bm25_rank, an.r AS cos_rank"
+        "  FROM bm FULL JOIN an ON bm.doc_id = an.vec_id),"
+        " f AS (SELECT doc_id, bm25_rank, cos_rank,"
+        "  CAST(CASE WHEN bm25_rank IS NOT NULL AND cos_rank IS NOT NULL"
+        "   THEN (60 + bm25_rank) + (60 + cos_rank) ELSE 1 END AS BIGINT)"
+        "   AS rrf_num,"
+        "  CAST(CASE WHEN bm25_rank IS NOT NULL AND cos_rank IS NOT NULL"
+        "   THEN (60 + bm25_rank) * (60 + cos_rank)"
+        "   WHEN bm25_rank IS NOT NULL THEN 60 + bm25_rank"
+        "   ELSE 60 + cos_rank END AS BIGINT) AS rrf_den FROM j)"
+        " SELECT doc_id, bm25_rank, cos_rank, rrf_num, rrf_den FROM f"
+        " ORDER BY rrf_num::DOUBLE / rrf_den::DOUBLE DESC, doc_id LIMIT 15"
     )
     # r7: t22 — Gopher-style repetition filter. Every output column is
     # an integer or a string (argmax tie-break = count desc, gram asc),

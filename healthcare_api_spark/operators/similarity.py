@@ -832,3 +832,55 @@ def pool_embeddings(
         g.withColumn("l2_norm", norm)
         .select("group", pooled.alias("pooled"), F.round("l2_norm", 6).alias("l2_norm"))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    c: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke 2009) of N ranked lists:
+    score(d) = Σ_present 1/(c + rank_i(d)), the standard hybrid-retrieval
+    combiner (BM25 ⊕ dense ANN).
+
+    Bit-portability: the score is kept as an EXACT integer rational —
+    ``rrf_num / rrf_den`` accumulated stepwise (a/b + 1/(c+r) =
+    (a·(c+r) + b) / (b·(c+r))), so the output columns are all integers
+    and the only float op is the final ordering division, a single
+    correctly-rounded IEEE op identical in any engine. Denominator
+    magnitude is Π(c+rankᵢ) ≤ (c+len)ᴺ — int64-safe for any sane N.
+
+    Scale shape: each ranking is already a bounded top-N list (the
+    expensive scoring happened upstream); fusion is N−1 full-outer
+    equi-joins on bounded inputs plus one TakeOrderedAndProject — at
+    cluster scale every input broadcasts. Missing ranks contribute
+    nothing (the rational simply skips the step).
+
+    Output: (id, rank_1..rank_N nullable, rrf_num, rrf_den), top-``k``
+    by score with id tie-break.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if c < 1:
+        raise ValueError("c must be >= 1")
+    fused = None
+    for i, r in enumerate(rankings, start=1):
+        side = r.select(
+            F.col(id_col), F.col(rank_col).cast("bigint").alias(f"rank_{i}")
+        )
+        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+    num, den = F.lit(0).cast("bigint"), F.lit(1).cast("bigint")
+    for i in range(1, len(rankings) + 1):
+        step = F.col(f"rank_{i}") + F.lit(c)
+        num = F.when(step.isNotNull(), num * step + den).otherwise(num)
+        den = F.when(step.isNotNull(), den * step).otherwise(den)
+    scored = fused.select(
+        F.col(id_col),
+        *[F.col(f"rank_{i}") for i in range(1, len(rankings) + 1)],
+        num.alias("rrf_num"),
+        den.alias("rrf_den"),
+    )
+    order = F.col("rrf_num").cast("double") / F.col("rrf_den").cast("double")
+    return scored.orderBy(order.desc(), F.col(id_col).asc()).limit(k)

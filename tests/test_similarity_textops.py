@@ -789,3 +789,32 @@ def test_repetition_signals_integer_exact(spark):
     r4 = rows[4]
     assert (r4["n_tokens"], r4["top_bigram"], r4["top_bigram_cnt"]) == (2, "k k", 1)
     assert r4["dup_ngram_occ"] == 0
+
+
+def test_rrf_fuse_exact_rationals(spark):
+    """RRF num/den arithmetic on hand-checkable lists (r7 v9): both
+    present, one-sided presence, ordering, and the k cut."""
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["id", "rank"])
+    b = spark.createDataFrame([(2, 1), (4, 2)], ["id", "rank"])
+    out = {
+        r["id"]: r
+        for r in similarity.rrf_fuse([a, b], "id", c=60, k=10).collect()
+    }
+    # id 2: 1/62 + 1/61 = (61 + 62) / (62 * 61)
+    assert (out[2]["rrf_num"], out[2]["rrf_den"]) == (123, 62 * 61)
+    assert (out[2]["rank_1"], out[2]["rank_2"]) == (2, 1)
+    # id 1: bm-only 1/61
+    assert (out[1]["rrf_num"], out[1]["rrf_den"]) == (1, 61)
+    assert out[1]["rank_2"] is None
+    # ordering: 2 (two hits) beats all single-hit docs; 1 (rank 1)
+    # beats 4 (rank 2) beats 3 (rank 3)
+    ordered = [
+        r["id"] for r in similarity.rrf_fuse([a, b], "id", c=60, k=3).collect()
+    ]
+    assert ordered == [2, 1, 4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.rrf_fuse([], "id")
+    with _pytest.raises(ValueError):
+        similarity.rrf_fuse([a], "id", c=0)

@@ -198,7 +198,7 @@ def test_r7_changed_oracles_match_at_sf0001():
         "x8_seasonal_decompose", "x9_series_correlation",
         "v8_pooled_embeddings", "m14_image_hamming_pairs",
         "m15_image_hash_retrieval", "d14_semdedup",
-        "t22_repetition_filter",
+        "t22_repetition_filter", "v9_hybrid_rrf",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
