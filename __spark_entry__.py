@@ -3315,6 +3315,22 @@ _KNN_EDGES_SQL = (
 )
 
 
+def q_g4_label_propagation(spark, sf_dir):
+    """Community detection over the k-NN similarity graph (g2's
+    substrate) by 8 synchronous label-propagation rounds with
+    self-vote (empirically the fixed point at every test SF; the
+    operator's convergence check would warn otherwise) — the bandwidth-3 per-nation chains fragment into
+    balance-ordered communities, a curation primitive (domain/near-dup
+    grouping). Oracle unrolls the identical rounds as chained
+    MATERIALIZED CTEs (label_propagation_sql)."""
+    from healthcare_api_spark.operators import graph
+
+    _tune(spark)
+    return graph.label_propagation(
+        _knn_customer_edges(spark, sf_dir), "s", "d", iters=8
+    )
+
+
 def q_g2_triangle_count(spark, sf_dir):
     """Per-node triangle count + clustering coefficient over the k-NN
     similarity graph — degree-ordered orientation bounds the wedge
@@ -3999,6 +4015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m15_image_hash_retrieval": q_m15_image_hash_retrieval,
         "t22_repetition_filter": q_t22_repetition_filter,
         "v9_hybrid_rrf": q_v9_hybrid_rrf,
+        "g4_label_propagation": q_g4_label_propagation,
         # --- r6 prefix head (all driver-hash-green in
         # CORRECTNESS_r06) ---
         "v7_pq_topk": q_v7_pq_topk,
@@ -5814,6 +5831,11 @@ def oracle_sql() -> dict[str, str]:
         f" WHERE bit_count(xor(x1, {_p1})) + bit_count(xor(x2, {_p2})) <= 3"
         " ORDER BY hamming, doc_id LIMIT 40"
     )
+    # r7: g4 — synchronous LPA with self-vote, fixed 8 rounds unrolled
+    # (the pagerank/kcore fixed-budget precedent); all-integer output
+    from healthcare_api_spark.operators.graph import label_propagation_sql
+
+    out["g4_label_propagation"] = label_propagation_sql(_KNN_EDGES_SQL, iters=8)
     # r7: v9 — hybrid retrieval. BM25 ranking reuses the fs10 scoring
     # shape (OR-semantics: any doc with score > 0), dense ranking the
     # v1 cosine shape; both rank 6-dp-rounded scores so the rank lists

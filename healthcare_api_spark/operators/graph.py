@@ -371,3 +371,117 @@ def kcore_sql(edges_sql: str, k: int, iters: int = 8, src: str = "s", dst: str =
         f"  (SELECT u AS n FROM e{iters} UNION ALL SELECT v AS n FROM e{iters})"
         f"  GROUP BY n) WHERE degree >= {k}"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    on_nonconverged: str = "warn",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), the deterministic variant: every node starts with its
+    own id as label; each round every node adopts the most frequent
+    label among its neighbors PLUS one self-vote (the self-vote damps
+    the 2-cycle oscillation synchronous LPA exhibits on bipartite-ish
+    structures), ties broken by the smallest label. A FIXED round
+    budget keeps the output engine-reproducible — the oracle unrolls
+    the identical rounds as chained CTEs
+    (:func:`label_propagation_sql`), the pagerank/kcore pattern.
+
+    Convergence is not guaranteed in ``iters`` rounds; like
+    :func:`kcore` the final two label frames are compared and
+    ``on_nonconverged`` ("warn"/"raise"/"ignore") governs what happens
+    when labels were still moving — the result still matches the
+    same-round-count oracle either way.
+
+    Scale shape per round: one labels ⋈ symmetrized-edges equi-join
+    keyed by neighbor id, a (node, label) count aggregate (map-side
+    combined), and an argmax via ``min(struct(-cnt, label))`` — NO
+    per-node window. localCheckpoint pins each round so lineage stays
+    O(1). Skewed hub nodes cost their degree in the count aggregate,
+    not a cross product.
+
+    Output: (node, label) — nodes sharing a label form one community.
+    """
+    if iters < 1:
+        raise ValueError("iters must be ≥ 1")
+    if on_nonconverged not in ("warn", "raise", "ignore"):
+        raise ValueError("on_nonconverged must be 'warn', 'raise', or 'ignore'")
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("a").alias("node"), F.col("a").alias("lab")).distinct()
+    prev = None
+    for _ in range(iters):
+        prev = labels
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "lab")
+            .unionByName(labels.select("node", "lab"))  # self-vote
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("lab").alias("l"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    if on_nonconverged != "ignore":
+        moved = (
+            labels.join(
+                prev.withColumnRenamed("lab", "_prev"), "node"
+            )
+            .filter(F.col("lab") != F.col("_prev"))
+            .count()
+        )
+        if moved:
+            msg = (
+                f"label_propagation(iters={iters}) did NOT reach a fixed "
+                f"point: {moved} labels changed in the final round. "
+                f"Increase iters."
+            )
+            if on_nonconverged == "raise":
+                raise RuntimeError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return labels.select("node", F.col("lab").alias("label"))
+
+
+def label_propagation_sql(
+    edges_sql: str, iters: int = 4, src: str = "s", dst: str = "d"
+) -> str:
+    """DuckDB oracle twin of :func:`label_propagation` — the same fixed
+    rounds unrolled as chained MATERIALIZED CTEs (DuckDB inlines CTEs
+    per reference; see pagerank_sql), identical self-vote and
+    (count desc, label asc) tie-break."""
+    parts = [
+        f"WITH sym AS MATERIALIZED (SELECT DISTINCT a, b FROM ("
+        f"SELECT {src} AS a, {dst} AS b FROM ({edges_sql})"
+        f" UNION ALL SELECT {dst} AS a, {src} AS b FROM ({edges_sql}))"
+        f" WHERE a <> b),"
+        f" l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM sym),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f" c{i} AS MATERIALIZED (SELECT node, lab, count(*) AS cnt FROM ("
+            f"  SELECT s.a AS node, l.lab FROM sym s"
+            f"  JOIN l{i} l ON s.b = l.node"
+            f"  UNION ALL SELECT node, lab FROM l{i}) GROUP BY 1, 2),"
+            f" l{i + 1} AS MATERIALIZED (SELECT node, lab FROM"
+            f"  (SELECT node, lab, row_number() OVER (PARTITION BY node"
+            f"   ORDER BY cnt DESC, lab ASC) AS rn FROM c{i}) WHERE rn = 1),"
+        )
+    body = "".join(parts).rstrip(",")
+    return f"{body} SELECT node, lab AS label FROM l{iters}"

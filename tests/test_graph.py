@@ -172,3 +172,67 @@ def test_kcore_rejects_bad_on_nonconverged(spark):
     df = spark.createDataFrame([(1, 2)], ["s", "d"])
     with pytest.raises(ValueError, match="on_nonconverged"):
         kcore(df, "s", "d", k=1, iters=1, on_nonconverged="explode")
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """Two triangles joined by one bridge edge resolve to two
+    communities labeled by each triangle's smallest id (r7 g4)."""
+    from healthcare_api_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, ["s", "d"])
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, "s", "d", iters=4).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == got[6] == 4
+
+
+def test_label_propagation_sql_twin_matches(spark):
+    import duckdb
+
+    from healthcare_api_spark.operators.graph import (
+        label_propagation,
+        label_propagation_sql,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (3, 5), (6, 7), (7, 8), (6, 8)]
+    df = spark.createDataFrame(edges, ["s", "d"])
+    got = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation(df, "s", "d", iters=3, on_nonconverged="ignore").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (s BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    want = sorted(
+        map(tuple, con.execute(label_propagation_sql("SELECT s, d FROM e", 3)).fetchall())
+    )
+    assert got == want and got
+
+
+def test_label_propagation_nonconvergence_warn_and_raise(spark):
+    """A long path with 1 round must still be moving; warn fires,
+    raise raises, ignore stays silent (the kcore on_nonconverged
+    contract)."""
+    import warnings
+
+    from healthcare_api_spark.operators.graph import label_propagation
+
+    edges = [(i, i + 1) for i in range(1, 12)]
+    df = spark.createDataFrame(edges, ["s", "d"])
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        label_propagation(df, "s", "d", iters=1).count()
+    assert any("fixed point" in str(w.message) for w in wlist)
+    with pytest.raises(RuntimeError, match="fixed point"):
+        label_propagation(df, "s", "d", iters=1, on_nonconverged="raise").count()
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        label_propagation(df, "s", "d", iters=1, on_nonconverged="ignore").count()
+    assert not any("fixed point" in str(w.message) for w in wlist)
+    with pytest.raises(ValueError):
+        label_propagation(df, "s", "d", iters=0)
+    with pytest.raises(ValueError):
+        label_propagation(df, "s", "d", on_nonconverged="bogus")
