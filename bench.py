@@ -112,6 +112,11 @@ HEADLINE = [
     "m15_image_hash_retrieval",
     "v3_ivf_topk",
     "d14_semdedup",
+    # round 7 additions: Gopher repetition filter, hybrid BM25⊕ANN
+    # RRF retrieval, label-propagation communities
+    "t22_repetition_filter",
+    "v9_hybrid_rrf",
+    "g4_label_propagation",
 ]
 
 N_STEADY = 3

