@@ -3048,6 +3048,37 @@ def q_t22_repetition_filter(spark, sf_dir):
     return textops.repetition_signals(planted, "doc_id", "text")
 
 
+def q_t23_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING (r7): learn 8 merge rules over the corpus
+    — one corpus-wide token-frequency aggregate, then vocabulary-sized
+    merge rounds (textops.bpe_train), the standard distinct-word trick
+    that keeps tokenizer training off the corpus critical path. The
+    oracle replays the identical fixed rounds as ~48 chained
+    MATERIALIZED CTEs (textops.bpe_train_sql). Output = the merge
+    table, all ints/strings — exact."""
+    _tune(spark)
+    merges = textops.bpe_train(_t(spark, sf_dir, "documents"), "text", n_merges=8)
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("merge_rank", IntegerType()),
+            StructField("x", StringType()),
+            StructField("y", StringType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(r), x, y, int(c)) for r, x, y, c in merges], schema
+    )
+
+
 def q_t21_zipf_fit(spark, sf_dir):
     """Zipf's-law slope over the corpus vocabulary (ln freq vs ln rank,
     closed-form least squares — engine-portable sums). One-number
@@ -4016,6 +4047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t22_repetition_filter": q_t22_repetition_filter,
         "v9_hybrid_rrf": q_v9_hybrid_rrf,
         "g4_label_propagation": q_g4_label_propagation,
+        "t23_bpe_train": q_t23_bpe_train,
         # --- r6 prefix head (all driver-hash-green in
         # CORRECTNESS_r06) ---
         "v7_pq_topk": q_v7_pq_topk,
@@ -5831,6 +5863,10 @@ def oracle_sql() -> dict[str, str]:
         f" WHERE bit_count(xor(x1, {_p1})) + bit_count(xor(x2, {_p2})) <= 3"
         " ORDER BY hamming, doc_id LIMIT 40"
     )
+    # r7: t23 — BPE training, 8 fixed merge rounds unrolled (~48
+    # MATERIALIZED CTEs, the x7/g4 pattern); merge_rank aliased to
+    # avoid the RANK keyword, x/y to avoid LEFT/RIGHT
+    out["t23_bpe_train"] = textops.bpe_train_sql(8, _TOKS_SQL)
     # r7: g4 — synchronous LPA with self-vote, fixed 8 rounds unrolled
     # (the pagerank/kcore fixed-budget precedent); all-integer output
     from healthcare_api_spark.operators.graph import label_propagation_sql

@@ -875,3 +875,166 @@ def repetition_signals(
         "dup_ngram_occ",
         rep.alias("repetitive"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 8,
+) -> "list[tuple[int, str, str, int]]":
+    """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016)
+    over the corpus, distributed: learn ``n_merges`` merge rules, most
+    frequent adjacent symbol pair first, ties broken by (left asc,
+    right asc).
+
+    Follows the standard scaling shape: the corpus is touched ONCE (a
+    token-frequency aggregate); every merge round then operates on the
+    distinct-WORD table (vocabulary-sized, ≪ corpus — the trick that
+    makes BPE training tractable on any corpus). Merge application is
+    the textbook left-to-right non-overlapping scan, expressed as
+    windows per word: match flag (lead), match-run islands (cumulative
+    count gaps-and-islands), even-offset-within-island selection, and
+    a lag to drop consumed positions — no UDFs, no per-row Python.
+
+    Each round collects exactly ONE row to the driver (the argmax
+    pair) — that row IS the training decision, the same bounded
+    driver-side step as pagerank's node count. The word table is
+    localCheckpoint'ed per round (it is vocabulary-sized).
+
+    Returns the learned merge table as a list of
+    ``(rank, left, right, pair_freq)`` — all ints/strings, exact.
+    Raises if the corpus runs out of pairs before ``n_merges``.
+    """
+    from pyspark.sql import Window
+
+    from healthcare_api_spark.functions.text import tokens
+
+    if n_merges < 1:
+        raise ValueError("n_merges must be ≥ 1")
+    wf = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(n_merges):
+        ex = wf.select(
+            "word",
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms)), i -> "
+                    "struct(i AS i, element_at(syms, i) AS s))"
+                )
+            ).alias("e"),
+        ).select("word", "freq", F.col("e.i").alias("i"), F.col("e.s").alias("s"))
+        w = Window.partitionBy("word").orderBy("i")
+        ex = ex.withColumn("nxt", F.lead("s").over(w))
+        top = (
+            ex.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("s").alias("x"), F.col("nxt").alias("y"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("x").asc(), F.col("y").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError(
+                f"corpus exhausted after {r} merges; lower n_merges"
+            )
+        x, y, cnt = top[0]["x"], top[0]["y"], int(top[0]["cnt"])
+        merges.append((r + 1, x, y, cnt))
+        # textbook left-to-right non-overlapping merge application
+        m = (F.col("s") == F.lit(x)) & (F.col("nxt") == F.lit(y))
+        run = Window.partitionBy("word").orderBy("i").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        stepped = ex.withColumn("m", m.cast("int")).withColumn(
+            "rn", F.sum("m").over(run)
+        )
+        stepped = stepped.withColumn(
+            "grp", F.when(F.col("m") == 1, F.col("i") - F.col("rn"))
+        )
+        gw = Window.partitionBy("word", "grp")
+        stepped = stepped.withColumn(
+            "take",
+            (F.col("m") == 1)
+            & ((F.col("rn") - F.min("rn").over(gw)) % 2 == 0),
+        )
+        stepped = stepped.withColumn(
+            "consumed", F.coalesce(F.lag("take").over(w), F.lit(False))
+        )
+        rebuilt = (
+            stepped.withColumn(
+                "ns",
+                F.when(F.col("take"), F.concat(F.col("s"), F.col("nxt")))
+                .when(F.col("consumed"), F.lit(None))
+                .otherwise(F.col("s")),
+            )
+            .filter(F.col("ns").isNotNull())
+            .groupBy("word", "freq")
+            .agg(
+                F.expr("transform(array_sort(collect_list(struct(i, ns))), p -> p.ns)").alias(
+                    "syms"
+                )
+            )
+        )
+        wf = rebuilt.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_train_sql(n_merges: int = 8, toks_sql: str = "{TOKS}") -> str:
+    """DuckDB oracle twin of :func:`bpe_train` — the same fixed merge
+    rounds unrolled as chained MATERIALIZED CTEs (the kcore /
+    label_propagation / x7-LTTB pattern): per round a pair-count
+    aggregate, a deterministic argmax, and the identical windowed
+    left-to-right merge application. Final SELECT unions the N argmax
+    rows into the merge table (rank, x, y, cnt)."""
+    parts = [
+        f"WITH w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT)"
+        f" AS freq, list_transform(generate_series(1, length(word)),"
+        f" i -> substr(word, i, 1)) AS syms FROM"
+        f" (SELECT unnest({toks_sql}) AS word FROM documents) GROUP BY word),",
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f" e{r} AS MATERIALIZED (SELECT word, freq, i, syms[i] AS s,"
+            f"  syms[i + 1] AS nxt FROM w{r}, LATERAL"
+            f"  (SELECT unnest(generate_series(1, len(syms))) AS i)),"
+            f" a{r} AS MATERIALIZED (SELECT x, y, cnt FROM"
+            f"  (SELECT s AS x, nxt AS y, CAST(sum(freq) AS BIGINT) AS cnt"
+            f"   FROM e{r} WHERE nxt IS NOT NULL GROUP BY 1, 2)"
+            f"  ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),"
+            f" s{r} AS MATERIALIZED (SELECT e.word, e.freq, e.i, e.s, e.nxt,"
+            f"  CASE WHEN e.s = a.x AND e.nxt = a.y THEN 1 ELSE 0 END AS m"
+            f"  FROM e{r} e, a{r} a),"
+            f" t{r} AS MATERIALIZED (SELECT *,"
+            f"  sum(m) OVER (PARTITION BY word ORDER BY i"
+            f"   ROWS UNBOUNDED PRECEDING) AS rn FROM s{r}),"
+            f" u{r} AS MATERIALIZED (SELECT *,"
+            f"  CASE WHEN m = 1 THEN i - rn END AS grp FROM t{r}),"
+            f" v{r} AS MATERIALIZED (SELECT *,"
+            f"  (m = 1 AND (rn - min(rn) OVER (PARTITION BY word, grp)) % 2 = 0)"
+            f"   AS take FROM u{r}),"
+            f" x{r} AS MATERIALIZED (SELECT *, coalesce(lag(take) OVER"
+            f"  (PARTITION BY word ORDER BY i), false) AS consumed FROM v{r}),"
+            f" w{r + 1} AS MATERIALIZED (SELECT word, freq,"
+            f"  list(ns ORDER BY i) AS syms FROM"
+            f"  (SELECT word, freq, i, CASE WHEN take THEN s || nxt"
+            f"    WHEN consumed THEN NULL ELSE s END AS ns FROM x{r})"
+            f"  WHERE ns IS NOT NULL GROUP BY word, freq),"
+        )
+    body = "".join(parts).rstrip(",")
+    sel = " UNION ALL ".join(
+        f"SELECT {r + 1} AS merge_rank, x, y, cnt FROM a{r}"
+        for r in range(n_merges)
+    )
+    return f"{body} {sel}"

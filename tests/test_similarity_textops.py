@@ -818,3 +818,38 @@ def test_rrf_fuse_exact_rationals(spark):
         similarity.rrf_fuse([], "id")
     with _pytest.raises(ValueError):
         similarity.rrf_fuse([a], "id", c=0)
+
+
+def test_bpe_train_hand_computed(spark):
+    """Merge decisions and textbook left-to-right application on a tiny
+    corpus (r7 t23): 'abab abab ab' → pair (a,b) dominates; second
+    round merges (ab,ab)."""
+    df = spark.createDataFrame([(1, "abab abab ab")], ["doc_id", "text"])
+    merges = textops.bpe_train(df, "text", n_merges=2)
+    # words: abab (freq 2), ab (freq 1) → pairs: (a,b) 2*2+1=5,
+    # (b,a) 2 → merge 1 = (a, b, 5)
+    assert merges[0] == (1, "a", "b", 5)
+    # after merge: abab → [ab, ab], ab → [ab] → pair (ab,ab) freq 2
+    assert merges[1] == (2, "ab", "ab", 2)
+
+
+def test_bpe_train_run_parity(spark):
+    """A run of identical symbols merges left-to-right non-overlapping:
+    'aaaa' → (a,a) count 3 (pair occurrences), applied as [aa, aa];
+    'aaa' → [aa, a]."""
+    df = spark.createDataFrame([(1, "aaaa aaa")], ["doc_id", "text"])
+    merges = textops.bpe_train(df, "text", n_merges=2)
+    assert merges[0] == (1, "a", "a", 5)  # 3 in aaaa + 2 in aaa
+    # round 2: aaaa → [aa, aa] gives (aa,aa); aaa → [aa, a] gives (aa,a)
+    # counts: (aa,aa) 1, (aa,a) 1 → tie → lexicographic: (aa, a)
+    assert merges[1] == (2, "aa", "a", 1)
+
+
+def test_bpe_train_exhaustion_and_validation(spark):
+    df = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exhausted"):
+        textops.bpe_train(df, "text", n_merges=3)
+    with _pytest.raises(ValueError):
+        textops.bpe_train(df, "text", n_merges=0)
