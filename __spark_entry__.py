@@ -3057,7 +3057,14 @@ def q_t23_bpe_train(spark, sf_dir):
     MATERIALIZED CTEs (textops.bpe_train_sql). Output = the merge
     table, all ints/strings — exact."""
     _tune(spark)
-    merges = textops.bpe_train(_t(spark, sf_dir, "documents"), "text", n_merges=8)
+    # vocab_partitions=1: the synthetic corpus has a FIXED ~30-word
+    # vocabulary at every SF — 32 window partitions for 30 rows is pure
+    # scheduling overhead (6.1 → 5.0 s at sf0.1, identical merges,
+    # parity pinned by test). A real corpus sizes this to its measured
+    # vocabulary.
+    merges = textops.bpe_train(
+        _t(spark, sf_dir, "documents"), "text", n_merges=8, vocab_partitions=1
+    )
     from pyspark.sql.types import (
         IntegerType,
         LongType,

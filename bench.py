@@ -117,6 +117,7 @@ HEADLINE = [
     "t22_repetition_filter",
     "v9_hybrid_rrf",
     "g4_label_propagation",
+    "t23_bpe_train",
 ]
 
 N_STEADY = 3

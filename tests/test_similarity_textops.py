@@ -853,3 +853,17 @@ def test_bpe_train_exhaustion_and_validation(spark):
         textops.bpe_train(df, "text", n_merges=3)
     with _pytest.raises(ValueError):
         textops.bpe_train(df, "text", n_merges=0)
+
+
+def test_bpe_train_vocab_partitions_parity(spark):
+    """vocab_partitions only repartitions — merges are identical."""
+    df = spark.createDataFrame(
+        [(1, "abab abab ab ba"), (2, "ba ab abab")], ["doc_id", "text"]
+    )
+    assert textops.bpe_train(df, "text", 3) == textops.bpe_train(
+        df, "text", 3, vocab_partitions=1
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textops.bpe_train(df, "text", 3, vocab_partitions=0)
