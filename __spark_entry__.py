@@ -3086,6 +3086,17 @@ def q_t23_bpe_train(spark, sf_dir):
     )
 
 
+def q_t24_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity tiering (r7): bigram-LM score per doc
+    (the t17 surface), exact-percentile cuts at 1/3 and 2/3, and a
+    head/middle/tail label — the quality-tiering step before sampling
+    a training mixture (composes with ds8's mixture rates)."""
+    _tune(spark)
+    return textops.perplexity_buckets(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def q_t21_zipf_fit(spark, sf_dir):
     """Zipf's-law slope over the corpus vocabulary (ln freq vs ln rank,
     closed-form least squares — engine-portable sums). One-number
@@ -4055,6 +4066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v9_hybrid_rrf": q_v9_hybrid_rrf,
         "g4_label_propagation": q_g4_label_propagation,
         "t23_bpe_train": q_t23_bpe_train,
+        "t24_perplexity_buckets": q_t24_perplexity_buckets,
         # --- r6 prefix head (all driver-hash-green in
         # CORRECTNESS_r06) ---
         "v7_pq_topk": q_v7_pq_topk,
@@ -5869,6 +5881,34 @@ def oracle_sql() -> dict[str, str]:
         " FROM hx"
         f" WHERE bit_count(xor(x1, {_p1})) + bit_count(xor(x2, {_p2})) <= 3"
         " ORDER BY hamming, doc_id LIMIT 40"
+    )
+    # r7: t24 — CCNet perplexity tiers: the t17 LM CTE chain, one
+    # quantile_cont over the ROUNDED scores (a13 interpolation
+    # precedent), strict v > edge bucket count
+    out["t24_perplexity_buckets"] = (
+        f"WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok,"
+        f"  generate_subscripts({_TOKS_SQL}, 1) AS i FROM documents),"
+        " big AS (SELECT a.doc_id, a.tok AS prev, b.tok AS cur"
+        "  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),"
+        " tf2 AS (SELECT doc_id, prev, cur, count(*) AS tf FROM big"
+        "  GROUP BY doc_id, prev, cur),"
+        " c2 AS (SELECT prev, cur, sum(tf) AS c2 FROM tf2 GROUP BY prev, cur),"
+        " c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev),"
+        " uni AS (SELECT tok AS cur, count(*) AS cu FROM toks GROUP BY 1),"
+        " n AS (SELECT count(*) AS n FROM toks),"
+        " sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,"
+        "  round(sum(-tf * ln(0.7 * c2 / c1 + 0.3 * cu / n))"
+        "   / sum(tf), 6) AS avg_neg_logprob"
+        "  FROM tf2 JOIN c2 USING (prev, cur) JOIN c1 USING (prev)"
+        "   JOIN uni USING (cur), n GROUP BY doc_id),"
+        " e AS (SELECT quantile_cont(avg_neg_logprob,"
+        "  [1.0/3.0, 2.0/3.0]) AS edges FROM sc)"
+        " SELECT doc_id, n_bigrams, avg_neg_logprob,"
+        "  CAST(len(list_filter(e.edges, x -> avg_neg_logprob > x)) AS INTEGER)"
+        "   AS bucket,"
+        "  CASE len(list_filter(e.edges, x -> avg_neg_logprob > x))"
+        "   WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS tier"
+        " FROM sc, e"
     )
     # r7: t23 — BPE training, 8 fixed merge rounds unrolled (~48
     # MATERIALIZED CTEs, the x7/g4 pattern); merge_rank aliased to

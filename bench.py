@@ -118,6 +118,7 @@ HEADLINE = [
     "v9_hybrid_rrf",
     "g4_label_propagation",
     "t23_bpe_train",
+    "t24_perplexity_buckets",
 ]
 
 N_STEADY = 3

@@ -1052,3 +1052,54 @@ def bpe_train_sql(n_merges: int = 8, toks_sql: str = "{TOKS}") -> str:
         for r in range(n_merges)
     )
     return f"{body} {sel}"
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fractions: "tuple[float, float]" = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus bigram LM (:func:`bigram_logprob`),
+    cut the corpus at the exact ``fractions`` percentiles of the score,
+    and label each doc ``head`` (lowest perplexity — cleanest),
+    ``middle``, or ``tail`` — the standard quality-tiering step before
+    sampling a training mix.
+
+    Bit-portability: buckets are computed over the LM score AFTER its
+    6-dp round (the hash-stable t17 surface), the cuts are one exact
+    ``percentile`` interpolation on those identical doubles (the a13
+    equi-depth precedent), and the bucket index is a strict ``v > edge``
+    count — every engine sees the same doubles, so the same labels.
+
+    Shape at scale: the LM pass (corpus-linear), ONE single-row
+    percentile aggregate broadcast back via crossJoin, then a narrow
+    label expression — no window, no extra shuffle beyond the LM's own.
+    """
+    f1, f2 = fractions
+    if not (0.0 < f1 < f2 < 1.0):
+        raise ValueError("fractions must satisfy 0 < f1 < f2 < 1")
+    lp = bigram_logprob(df, id_col, text_col)
+    edges = lp.agg(
+        F.expr(
+            f"percentile(avg_neg_logprob, array({f1!r}D, {f2!r}D))"
+        ).alias("_edges")
+    )
+    v = F.col("avg_neg_logprob")
+    bucket = F.size(F.filter(F.col("_edges"), lambda e: v > e)).cast("int")
+    label = (
+        F.when(bucket == 0, F.lit("head"))
+        .when(bucket == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        lp.crossJoin(F.broadcast(edges))
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            "avg_neg_logprob",
+            bucket.alias("bucket"),
+            label.alias("tier"),
+        )
+    )

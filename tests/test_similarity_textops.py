@@ -867,3 +867,26 @@ def test_bpe_train_vocab_partitions_parity(spark):
 
     with _pytest.raises(ValueError):
         textops.bpe_train(df, "text", 3, vocab_partitions=0)
+
+
+def test_perplexity_buckets_tiers(spark):
+    """Tier sizes ≈ n/3, labels ordered by score, fractions validated
+    (r7 t24)."""
+    rows = [(i, "the quick brown fox " * (1 + i % 5) + f"tok{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textops.perplexity_buckets(df, "doc_id", "text").collect()
+    assert len(out) == 30
+    by_tier = {}
+    for r in out:
+        by_tier.setdefault(r["tier"], []).append(r["avg_neg_logprob"])
+        assert r["bucket"] in (0, 1, 2)
+        assert {0: "head", 1: "middle", 2: "tail"}[r["bucket"]] == r["tier"]
+    # every head score <= every middle score <= every tail score
+    assert max(by_tier["head"]) <= min(by_tier["middle"])
+    assert max(by_tier["middle"]) <= min(by_tier["tail"])
+    # roughly balanced tiers
+    assert all(5 <= len(v) <= 15 for v in by_tier.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textops.perplexity_buckets(df, "doc_id", "text", fractions=(0.7, 0.3))
