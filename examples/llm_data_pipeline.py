@@ -5,7 +5,8 @@ embeddings and produce a cleaned, deduplicated, quality-filtered corpus
 with stats — every stage a distributed operator from this package:
 
   1. language-ID + quality scoring (textops)
-  2. quality + repetition + bigram-LM perplexity gates (Gopher/CCNet)
+  2. quality + repetition + bigram-LM perplexity TIER gates
+     (Gopher / CCNet head-middle-tail)
   3. PII redaction (curation; narrow regexp chain)
   4. benchmark decontamination (curation; broadcast n-gram overlap)
   5. exact dedup (normalized-content fingerprints)
@@ -14,7 +15,8 @@ with stats — every stage a distributed operator from this package:
   7. embedding near-dup sweep within LSH buckets (similarity)
   8. mixture sampling to target language proportions (deterministic
      md5-threshold; reproducible across engines/cluster sizes)
-  9. token accounting + sequence packing (concat-and-chunk)
+  9. BPE tokenizer training on the cleaned corpus + token
+     accounting + sequence packing (concat-and-chunk)
  10. deterministic splits + round-robin source interleave, written
      partitioned by language/split in serve order
 
@@ -59,12 +61,14 @@ def main() -> None:
     )
     n_gated = gated.count()
 
-    # 2b. perplexity gate: drop the worst-quintile under the corpus's
-    # own interpolated bigram LM (the CCNet filter, model-free)
-    ppl = textops.bigram_logprob(gated, "doc_id", "text")
-    cut = ppl.approxQuantile("avg_neg_logprob", [0.8], 0.01)[0]
+    # 2b. perplexity tiers: drop the 'tail' tier under the corpus's
+    # own interpolated bigram LM (the CCNet head/middle/tail filter —
+    # exact-percentile cuts, fully deterministic, r7)
+    tiers = textops.perplexity_buckets(
+        gated, "doc_id", "text", fractions=(0.4, 0.8)
+    )
     gated = gated.join(
-        ppl.filter(F.col("avg_neg_logprob") <= cut).select("doc_id"), "doc_id"
+        tiers.filter(F.col("tier") != "tail").select("doc_id"), "doc_id"
     )
 
     # 3. PII redaction: downstream stages consume the scrubbed text
@@ -152,6 +156,11 @@ def main() -> None:
         corpus, "doc_id", "text", chunk_size=64, overlap=16
     ).count()
 
+    # 9a. train a BPE tokenizer ON the cleaned corpus (r7): one corpus
+    # token-frequency pass, then vocabulary-sized merge rounds — the
+    # tokenizer artifact ships WITH the dataset it was trained on
+    bpe_merges = textops.bpe_train(corpus, "text", n_merges=6)
+
     # 9b. vocabulary heavy hitters off a count-min sketch (fixed-size
     # summary — the corpus-stats report a 100 TB run can afford)
     from healthcare_api_spark.functions.text import tokens as _tok_expr
@@ -195,6 +204,7 @@ def main() -> None:
     print(f"RAG chunks (64/16):    {n_chunks}")
     print(f"by language:           {langs}")
     print(f"top vocab (CMS est):   {top_vocab}")
+    print(f"BPE merges:            {[(x, y) for _, x, y, _ in bpe_merges]}")
     print(f"written to:            {out_dir}")
 
 

@@ -775,6 +775,13 @@ def repetition_signals(
     al. 2021, §A1.1, adapted to single-line corpora: the line/paragraph
     duplicate fractions collapse onto word n-gram statistics here).
 
+    Sibling of :func:`curation.repetition_features`, by design: that
+    one emits the two classic FRACTIONS for a single n (cheap gate
+    inputs); this one emits the multi-granularity INTEGER evidence —
+    the identity of the top token/bigram (deterministic argmax), the
+    duplicate-``dup_n``-gram occurrence mass, and an integer-arithmetic
+    flag — the hash-exact, auditable variant.
+
     Output, ALL integers / strings (bit-exact across engines — no float
     fraction can flip a rounding boundary):
 
