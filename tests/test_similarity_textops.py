@@ -890,3 +890,25 @@ def test_perplexity_buckets_tiers(spark):
 
     with _pytest.raises(ValueError):
         textops.perplexity_buckets(df, "doc_id", "text", fractions=(0.7, 0.3))
+
+
+def test_rrf_fuse_three_rankings(spark):
+    """N=3 generality: stepwise rational accumulation across three
+    lists, including a doc present in all three."""
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["id", "rank"])
+    b = spark.createDataFrame([(1, 2), (3, 1)], ["id", "rank"])
+    c = spark.createDataFrame([(1, 3), (4, 1)], ["id", "rank"])
+    out = {
+        r["id"]: r
+        for r in similarity.rrf_fuse([a, b, c], "id", c=60, k=10).collect()
+    }
+    # id 1: 1/61 + 1/62 + 1/63; stepwise num/den:
+    # (1,61) -> (1*62+61, 61*62) = (123, 3782)
+    # -> (123*63 + 3782, 3782*63) = (11531, 238266)
+    assert (out[1]["rrf_num"], out[1]["rrf_den"]) == (11531, 238266)
+    assert (out[1]["rank_1"], out[1]["rank_2"], out[1]["rank_3"]) == (1, 2, 3)
+    # single-hit docs carry (1, 60+rank)
+    assert (out[3]["rrf_num"], out[3]["rrf_den"]) == (1, 61)
+    # id 1 (three hits) must rank first
+    first = similarity.rrf_fuse([a, b, c], "id", c=60, k=1).collect()[0]
+    assert first["id"] == 1
