@@ -991,6 +991,49 @@ def q_st3_stream_agg_maintenance(spark, sf_dir):
     return out
 
 
+def q_st5_streaming_neardup(spark, sf_dir):
+    """A REAL streaming near-dup admission run inside the gate (r7):
+    the corpus streams in as TWO micro-batches — the original docs,
+    then near-identical copies at id+100001 — through readStream +
+    foreachBatch into a banded-MinHash band-owner state table
+    (streaming/neardup.py). Every copy arrives a batch AFTER its
+    original, so admission exercises the CROSS-BATCH state path (and
+    any same-batch band collisions the within-batch min-id path). The
+    oracle recomputes the verdicts as one window over an explicit batch
+    column — lexicographic (batch, id) bucket ownership — proving the
+    incremental state machinery equals the batch semantics."""
+    import shutil
+    import tempfile
+
+    from healthcare_api_spark.streaming.neardup import streaming_neardup
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="st5_")
+    src, state, ckpt = f"{root}/src", f"{root}/state", f"{root}/ckpt"
+    try:
+        docs.write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = streaming_neardup(
+            stream, state, "doc_id", "text",
+            num_hashes=4, rows_per_band=2, checkpoint=ckpt,
+        )
+        q.processAllAvailable()
+        docs.select(
+            (F.col("doc_id") + 100001).alias("doc_id"), "text"
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+        out = (
+            spark.read.parquet(f"{state}/verdicts")
+            .select("doc_id", "admitted")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_st4_stream_stream_join(spark, sf_dir):
     """A REAL watermarked stream-stream join inside the gate: events
     split into a click stream (even ids) and a purchase stream (odd
@@ -4067,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_label_propagation": q_g4_label_propagation,
         "t23_bpe_train": q_t23_bpe_train,
         "t24_perplexity_buckets": q_t24_perplexity_buckets,
+        "st5_streaming_neardup": q_st5_streaming_neardup,
         # --- r6 prefix head (all driver-hash-green in
         # CORRECTNESS_r06) ---
         "v7_pq_topk": q_v7_pq_topk,
@@ -5881,6 +5925,31 @@ def oracle_sql() -> dict[str, str]:
         " FROM hx"
         f" WHERE bit_count(xor(x1, {_p1})) + bit_count(xor(x2, {_p2})) <= 3"
         " ORDER BY hamming, doc_id LIMIT 40"
+    )
+    # r7: st5 — streaming near-dup admission replayed as ONE window:
+    # lexicographic (batch, id) bucket ownership over the d2 rotation
+    # minhash bands; batch column = id >= 100001 (the copies arrive a
+    # micro-batch after the originals)
+    out["st5_streaming_neardup"] = (
+        "WITH docs AS (SELECT doc_id, text FROM documents"
+        " UNION ALL SELECT doc_id + 100001 AS doc_id, text FROM documents),"
+        f"{_shingle_cte()},"
+        " dig AS (SELECT doc_id, md5(s) AS d FROM sh),"
+        " sig AS (SELECT doc_id, min(d) AS mh0,"
+        "  min(substr(d, 9, 24) || substr(d, 1, 8)) AS mh1,"
+        "  min(substr(d, 17, 16) || substr(d, 1, 16)) AS mh2,"
+        "  min(substr(d, 25, 8) || substr(d, 1, 24)) AS mh3"
+        "  FROM dig GROUP BY doc_id),"
+        " bands AS (SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket"
+        "  FROM sig UNION ALL"
+        "  SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig),"
+        " k AS (SELECT doc_id, band, bucket,"
+        "  (CASE WHEN doc_id >= 100001 THEN 1 ELSE 0 END) * 10000000 + doc_id"
+        "   AS key FROM bands),"
+        " o AS (SELECT doc_id, key,"
+        "  min(key) OVER (PARTITION BY band, bucket) AS mk FROM k)"
+        " SELECT doc_id, CAST(min(CASE WHEN key = mk THEN 1 ELSE 0 END) AS INT)"
+        "  AS admitted FROM o GROUP BY doc_id"
     )
     # r7: t24 — CCNet perplexity tiers: the t17 LM CTE chain, one
     # quantile_cont over the ROUNDED scores (a13 interpolation

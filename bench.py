@@ -119,6 +119,7 @@ HEADLINE = [
     "g4_label_propagation",
     "t23_bpe_train",
     "t24_perplexity_buckets",
+    "st5_streaming_neardup",
 ]
 
 N_STEADY = 3

@@ -167,6 +167,42 @@ def minhash_dedup(
     )
 
 
+def band_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    family: str = "rotation",
+) -> DataFrame:
+    """Banded MinHash bucket keys per doc: (id, band, bucket) — the
+    shared blocking surface of :func:`lsh_candidate_pairs` and the
+    streaming near-dup filter (streaming/neardup.py). One row per
+    (doc, band); with the md5 families the bucket is the md5 of the
+    '|'-joined band minhashes (oracle-reproducible), with ``xxhash``
+    a native 64-bit key (production fast path, Spark-only)."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, family)
+    n_bands = num_hashes // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        cols = [
+            F.col(f"mh{i}")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        bucket = (
+            F.xxhash64(*cols) if family == "xxhash"
+            else F.md5(F.concat_ws("|", *cols))
+        )
+        bands.append(
+            sig.select(F.col(id_col), F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    return banded
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -184,21 +220,9 @@ def lsh_candidate_pairs(
     the bucket key is a native 64-bit hash too — long join keys instead
     of 32-char hex, the production fast path.
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, family)
-    n_bands = num_hashes // rows_per_band
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        bucket = (
-            F.xxhash64(*cols) if family == "xxhash"
-            else F.md5(F.concat_ws("|", *cols))
-        )
-        bands.append(
-            sig.select(F.col(id_col), F.lit(b).alias("band"), bucket.alias("bucket"))
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    banded = band_signatures(
+        df, id_col, text_col, num_hashes, rows_per_band, shingle_n, family
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -1035,3 +1035,46 @@ def test_image_ahash_rejects_unpackable_hash_size(spark):
     for bad in (2, 6, 3, 0):
         with _pytest.raises(ValueError, match="multiple of 4"):
             image_ahash(df, "doc_id", "data", hash_size=bad)
+
+
+def test_streaming_neardup_cross_and_within_batch(spark, tmp_path):
+    """st5 machinery on a hand-built corpus: within-batch min-id wins;
+    a later-batch doc loses to an earlier-batch owner EVEN with a
+    smaller id (lexicographic (batch, id) ownership); distinct docs
+    pass (r7)."""
+    from healthcare_api_spark.streaming.neardup import streaming_neardup
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    t_dup = "the quick brown fox jumps over the lazy dog again and again"
+    t_other = "completely different content about spark shuffle partitions"
+    batch1 = [(10, t_dup), (20, t_dup), (30, t_other)]
+    batch2 = [(5, t_dup), (40, t_other)]
+    spark.createDataFrame(batch1, ["doc_id", "text"]).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming_neardup(
+        stream, state, "doc_id", "text", num_hashes=4, rows_per_band=2,
+        checkpoint=ckpt,
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, ["doc_id", "text"]).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: r["admitted"]
+        for r in spark.read.parquet(f"{state}/verdicts").collect()
+    }
+    # batch 1: 10 wins the dup bucket (min id), 20 loses, 30 distinct
+    assert got[10] == 1 and got[20] == 0 and got[30] == 1
+    # batch 2: 5 shares the dup bucket with batch-1 owner 10 — DROPPED
+    # despite the smaller id (cross-batch state path); 40 shares with
+    # batch-1 doc 30 — also dropped
+    assert got[5] == 0 and got[40] == 0
+    assert len(got) == 5
