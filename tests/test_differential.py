@@ -184,3 +184,126 @@ def test_spark_matches_row_model(spark, write_ndjson_file, rtype, gen, row_fn):
     got = [json.loads(r) for r in out_df.toJSON().collect()]
 
     assert canon(got) == canon(expected)
+
+
+# ---------------------------------------------------------------- r7 ops --
+# Differential checks of the r7 operators against independent Python
+# reference implementations on randomized inputs (the same philosophy
+# as the transform row-model above: semantics the SQL oracle pins only
+# on the fixed corpus get re-verified here on adversarial shapes).
+
+
+def _bpe_reference(texts: list[str], n_merges: int):
+    """Textbook BPE trainer (Sennrich 2016) — independent row-at-a-time
+    implementation: dict word-freqs, pair counts, left-to-right
+    non-overlapping merge application."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            wf[w] += 1
+    seqs = {w: list(w) for w in wf}
+    merges = []
+    for r in range(n_merges):
+        pc = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            return merges
+        (x, y), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r + 1, x, y, cnt))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_on_random_corpora(spark):
+    rng = random.Random(1234)
+    alphabet = "abcd"
+    for trial in range(3):
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 12))
+            )
+            for _ in range(15)
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        from healthcare_api_spark.operators import textops
+
+        got = textops.bpe_train(df, "text", n_merges=4)
+        want = _bpe_reference(texts, 4)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_rrf_fuse_matches_fraction_arithmetic(spark):
+    """rrf_num/rrf_den must equal the exact Fraction sum of
+    1/(c+rank) and the ordering must follow it."""
+    from fractions import Fraction
+
+    from healthcare_api_spark.operators import similarity
+
+    rng = random.Random(77)
+    lists = []
+    for _ in range(3):
+        ids = rng.sample(range(1, 30), rng.randint(3, 8))
+        lists.append([(i, r + 1) for r, i in enumerate(ids)])
+    dfs = [spark.createDataFrame(lst, ["id", "rank"]) for lst in lists]
+    out = similarity.rrf_fuse(dfs, "id", c=60, k=50).collect()
+    want = {}
+    for lst in lists:
+        for i, r in lst:
+            want[i] = want.get(i, Fraction(0)) + Fraction(1, 60 + r)
+    for row in out:
+        assert Fraction(row["rrf_num"], row["rrf_den"]) == want[row["id"]]
+    got_order = [r["id"] for r in out]
+    want_order = sorted(want, key=lambda i: (-want[i], i))
+    assert got_order == want_order
+
+
+def test_repetition_signals_matches_reference(spark):
+    from collections import Counter
+
+    from healthcare_api_spark.operators import textops
+
+    rng = random.Random(9)
+    texts = [
+        " ".join(rng.choice(["a", "b", "c", "ab"]) for _ in range(rng.randint(5, 25)))
+        for _ in range(10)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in textops.repetition_signals(df, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        tc = Counter(toks)
+        top_tok, top_cnt = min(tc.items(), key=lambda kv: (-kv[1], kv[0]))
+        bigs = Counter(" ".join(p) for p in zip(toks, toks[1:])) if len(toks) > 1 else Counter({t: 1})
+        top_big, top_big_cnt = min(bigs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if len(toks) >= 5:
+            fives = Counter(
+                " ".join(toks[j : j + 5]) for j in range(len(toks) - 4)
+            )
+        else:
+            fives = Counter({t: 1})
+        dup5 = sum(c for c in fives.values() if c > 1)
+        r = rows[i]
+        assert r["n_tokens"] == len(toks) and r["n_distinct"] == len(tc)
+        assert (r["top_token"], r["top_token_cnt"]) == (top_tok, top_cnt)
+        assert (r["top_bigram"], r["top_bigram_cnt"]) == (top_big, top_big_cnt)
+        assert r["dup_ngram_occ"] == dup5
