@@ -3148,6 +3148,39 @@ def q_t21_zipf_fit(spark, sf_dir):
     return textops.zipf_fit(_t(spark, sf_dir, "documents"), "doc_id", "text", top_n=200)
 
 
+def q_x13_matrix_profile(spark, sf_dir):
+    """Lag-banded matrix profile over the hourly per-type series (r7):
+    nearest-neighbor z-normalized window distance (w=8, band 24,
+    exclusion w) — motifs score low, discords high. The hourly series
+    is integer-quantized at 1e-4 (one division+round over exact cents
+    sums, the x12 convention), so every window sum/dot inside the
+    distance is an exact int64 and the d-expression is one fixed
+    double formula — bit-identical in both engines."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value").cast("double") * 100).cast("bigint")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.round(
+            F.sum(cents).cast("double") * 100.0 / F.count(F.lit(1))
+        ).cast("bigint").alias("vq")
+    )
+    from pyspark.sql import Window as _W
+
+    idx = F.row_number().over(
+        _W.partitionBy("event_type").orderBy("bucket")
+    )
+    series = hourly.select("event_type", idx.alias("i"), "vq")
+    return temporal.matrix_profile(
+        series, "event_type", "i", "vq", w=8, max_lag=24
+    ).select(
+        "event_type", F.col("i").alias("idx"), "nn_idx", "dist"
+    )
+
+
 def q_x12_cusum_changepoint(spark, sf_dir):
     """Two-sided CUSUM change-point flags over the hourly per-type
     series with a planted +50 level shift on Jan 20 — the max(0,·)
@@ -4111,6 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t23_bpe_train": q_t23_bpe_train,
         "t24_perplexity_buckets": q_t24_perplexity_buckets,
         "st5_streaming_neardup": q_st5_streaming_neardup,
+        "x13_matrix_profile": q_x13_matrix_profile,
         # --- r6 prefix head (all driver-hash-green in
         # CORRECTNESS_r06) ---
         "v7_pq_topk": q_v7_pq_topk,
@@ -5925,6 +5959,39 @@ def oracle_sql() -> dict[str, str]:
         " FROM hx"
         f" WHERE bit_count(xor(x1, {_p1})) + bit_count(xor(x2, {_p2})) <= 3"
         " ORDER BY hamming, doc_id LIMIT 40"
+    )
+    # r7: x13 — lag-banded matrix profile: window sums/dots as exact
+    # int64 over the 1e-4-quantized hourly series; one fixed double
+    # distance expression; argmin tie-break (dist, j)
+    out["x13_matrix_profile"] = (
+        "WITH s AS (SELECT event_type, date_trunc('hour', ts) AS bucket,"
+        "  CAST(round(CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100)"
+        "   AS BIGINT)) AS DOUBLE) * 100.0 / count(*)) AS BIGINT) AS vq"
+        "  FROM events GROUP BY 1, 2),"
+        " x AS (SELECT event_type, row_number() OVER (PARTITION BY event_type"
+        "   ORDER BY bucket) AS i, vq FROM s),"
+        " arr AS (SELECT event_type, list(vq ORDER BY i) AS a FROM x GROUP BY 1),"
+        " wnd AS (SELECT event_type, i, a[i:i+7] AS v FROM arr,"
+        "  LATERAL (SELECT unnest(generate_series(1, len(a) - 7)) AS i)),"
+        " st AS (SELECT event_type, i, v, CAST(list_sum(v) AS BIGINT) AS s1,"
+        "  CAST(list_sum(list_transform(v, e -> e * e)) AS BIGINT) AS q1"
+        "  FROM wnd),"
+        " pr AS (SELECT p.event_type, p.i, o.i AS j,"
+        "  CAST(8 * p.q1 - p.s1 * p.s1 AS DOUBLE) AS da,"
+        "  CAST(8 * o.q1 - o.s1 * o.s1 AS DOUBLE) AS db,"
+        "  CAST(8 * CAST(list_dot_product(p.v, o.v) AS BIGINT)"
+        "   - p.s1 * o.s1 AS DOUBLE) AS num"
+        "  FROM st p JOIN st o ON p.event_type = o.event_type"
+        "   AND abs(p.i - o.i) BETWEEN 8 AND 24),"
+        " e AS (SELECT event_type, i, j, CASE"
+        "  WHEN da = 0 AND db = 0 THEN 0.0"
+        "  WHEN da = 0 OR db = 0 THEN sqrt(16.0)"
+        "  ELSE sqrt(greatest(16.0 * (1.0 - num / sqrt(da * db)), 0.0))"
+        "  END AS d FROM pr),"
+        " r AS (SELECT event_type, i, j, d, row_number() OVER"
+        "  (PARTITION BY event_type, i ORDER BY d, j) AS rn FROM e)"
+        " SELECT event_type, CAST(i AS INT) AS idx, CAST(j AS INT) AS nn_idx,"
+        "  round(d, 6) AS dist FROM r WHERE rn = 1"
     )
     # r7: st5 — streaming near-dup admission replayed as ONE window:
     # lexicographic (batch, id) bucket ownership over the d2 rotation

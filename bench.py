@@ -120,6 +120,7 @@ HEADLINE = [
     "t23_bpe_train",
     "t24_perplexity_buckets",
     "st5_streaming_neardup",
+    "x13_matrix_profile",
 ]
 
 N_STEADY = 3

@@ -837,3 +837,119 @@ def cusum_flags(
             (F.round(sp, 6) > float(threshold)) | (F.round(sn, 6) > float(threshold))
         ).cast("int").alias("alarm"),
     )
+
+
+def matrix_profile(
+    df: DataFrame,
+    series_col: str,
+    idx_col: str,
+    value_col: str,
+    w: int = 8,
+    max_lag: int = 24,
+) -> DataFrame:
+    """Lag-banded matrix profile (Yeh et al. 2016): for every length-
+    ``w`` window of each series, the z-normalized Euclidean distance to
+    its nearest neighboring window within ``max_lag`` positions (and an
+    exclusion zone of ``w`` — overlapping windows are trivial matches).
+    Low profile values = repeated motifs; high values = discords
+    (anomalies). The modern time-series analytics flagship
+    (SCAMP/STUMPY lineage).
+
+    Input contract: ``value_col`` must be an INTEGER-quantized series
+    (the x12 ``mu_quantize`` convention — e.g. cents) and ``idx_col``
+    consecutive integer positions per series. That makes every window
+    sum Σv, Σv² and every cross dot Σ vᵢvⱼ an EXACT int64, so
+    d²(i,j) = 2w·(1 − (w·D − SᵢSⱼ)/√((w·Qᵢ−Sᵢ²)·(w·Qⱼ−Sⱼ²))) is one
+    fixed double expression over exact integers — bit-identical in any
+    engine. Constant-window convention: both windows constant → d = 0;
+    exactly one constant → d = √(2w) (z-norm undefined; pinned).
+
+    Scale shape: window arrays come from ONE ``collect_list`` over a
+    bounded following frame (w rows) per series; candidates are an
+    EQUI-join — each window explodes its ±[w, max_lag] offset list and
+    joins on (series, j) — so candidate volume is n · 2(max_lag−w+1)
+    per series, LINEAR in series length, never the full n² profile
+    (max_lag is the scale knob; the exact full profile is max_lag =
+    series length, the FFT-based MASS recurrences being unavailable
+    bit-portably). The argmin is ``min(struct(dist, j))`` — map-side
+    combined, no per-series window over candidates.
+
+    Output: (series, idx, nn_idx, dist) for every window with ≥ 1
+    in-band neighbor; dist rounded to 6 dp.
+    """
+    if w < 2:
+        raise ValueError("w must be ≥ 2")
+    if max_lag < w:
+        raise ValueError("max_lag must be ≥ w (the exclusion zone)")
+    from pyspark.sql import Window
+
+    s, i, v = F.col(series_col), F.col(idx_col), F.col(value_col)
+    frame = (
+        Window.partitionBy("_s")
+        .orderBy("_i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    win = (
+        df.select(s.alias("_s"), i.alias("_i"), v.cast("bigint").alias("_v"))
+        .withColumn("_vals", F.collect_list("_v").over(frame))
+        .filter(F.size("_vals") == w)
+        .withColumn(
+            "_suma", F.aggregate("_vals", F.lit(0).cast("bigint"), lambda a, x: a + x)
+        )
+        .withColumn(
+            "_qa",
+            F.aggregate("_vals", F.lit(0).cast("bigint"), lambda a, x: a + x * x),
+        )
+        # pinned: the windowed stats feed BOTH sides of the banded
+        # self-join (probe and neighbor) — one materialization instead
+        # of two window passes, and no self-join lineage ambiguity
+        .localCheckpoint(eager=True)
+    )
+    offsets = list(range(-max_lag, -w + 1)) + list(range(w, max_lag + 1))
+    probes = win.select(
+        "_s",
+        "_i",
+        "_vals",
+        "_suma",
+        "_qa",
+        F.explode(F.array(*[F.lit(o) for o in offsets])).alias("_o"),
+    ).select(
+        "_s", "_i", "_vals", "_suma", "_qa", (F.col("_i") + F.col("_o")).alias("_j")
+    )
+    other = win.select(
+        F.col("_s").alias("_sb"),
+        F.col("_i").alias("_j"),
+        F.col("_vals").alias("_valsb"),
+        F.col("_suma").alias("_sumb"),
+        F.col("_qa").alias("_qb"),
+    )
+    joined = probes.join(
+        other, (F.col("_s") == F.col("_sb")) & (probes["_j"] == other["_j"])
+    )
+    dot = F.aggregate(
+        F.zip_with("_vals", "_valsb", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    da = (F.lit(w) * F.col("_qa") - F.col("_suma") * F.col("_suma")).cast("double")
+    db = (F.lit(w) * F.col("_qb") - F.col("_sumb") * F.col("_sumb")).cast("double")
+    num = (F.lit(w) * dot - F.col("_suma") * F.col("_sumb")).cast("double")
+    corr = num / F.sqrt(da * db)
+    d2 = F.lit(2.0 * w) * (F.lit(1.0) - corr)
+    dist = F.when((da == 0) & (db == 0), F.lit(0.0)).when(
+        (da == 0) | (db == 0), F.sqrt(F.lit(2.0 * w))
+    ).otherwise(F.sqrt(F.greatest(d2, F.lit(0.0))))
+    scored = joined.select(
+        "_s", "_i", probes["_j"].alias("_jj"), dist.alias("_d")
+    )
+    best = (
+        scored.groupBy("_s", "_i")
+        .agg(F.min(F.struct(F.col("_d").alias("d"), F.col("_jj").alias("j"))).alias("m"))
+        .select(
+            F.col("_s").alias(series_col),
+            F.col("_i").alias(idx_col),
+            F.col("m.j").alias("nn_idx"),
+            F.round(F.col("m.d"), 6).alias("dist"),
+        )
+    )
+    return best

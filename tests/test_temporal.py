@@ -493,3 +493,41 @@ def test_cusum_no_single_partition_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_matrix_profile_planted_motif(spark):
+    """A repeated pattern at lag ≥ w scores ~0 against its twin; a
+    discord scores high; constant-window conventions hold (r7 x13)."""
+    import math
+
+    from healthcare_api_spark.operators.temporal import matrix_profile
+
+    # series: motif [1,5,2,9] at i=1 and i=9 (lag 8 ≥ w=4); noise between;
+    # a constant stretch at the end
+    vals = [1, 5, 2, 9, 7, 3, 8, 4, 1, 5, 2, 9, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6]
+    rows = [("a", i + 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["series", "i", "v"])
+    out = {
+        r["i"]: r
+        for r in matrix_profile(df, "series", "i", "v", w=4, max_lag=12).collect()
+    }
+    # window 1 = [1,5,2,9], window 9 = [1,5,2,9] → exact motif, dist 0
+    assert out[1]["dist"] == 0.0 and out[1]["nn_idx"] == 9
+    assert out[9]["dist"] == 0.0 and out[9]["nn_idx"] == 1
+    # constant windows: 14 and 18 are both [6,6,6,6] at lag 4 ≥ w —
+    # the both-constant convention gives 0
+    assert out[14]["dist"] == 0.0 and out[14]["nn_idx"] == 18
+    # window 10 = [5,2,9,6] is non-constant; its band includes constant
+    # windows — the either-constant convention caps those at sqrt(2w)
+    assert out[10]["dist"] <= math.sqrt(8.0) + 1e-9
+    # a window whose band contains one constant window: either-constant
+    # convention = sqrt(2w) unless a better non-constant match exists
+    assert all(r["dist"] >= 0.0 for r in out.values())
+    # discord: window 5 = [7,3,8,4] has no repeat — strictly positive
+    assert out[5]["dist"] > 0.5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        matrix_profile(df, "series", "i", "v", w=1)
+    with _pytest.raises(ValueError):
+        matrix_profile(df, "series", "i", "v", w=4, max_lag=3)
