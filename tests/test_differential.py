@@ -307,3 +307,57 @@ def test_repetition_signals_matches_reference(spark):
         assert (r["top_token"], r["top_token_cnt"]) == (top_tok, top_cnt)
         assert (r["top_bigram"], r["top_bigram_cnt"]) == (top_big, top_big_cnt)
         assert r["dup_ngram_occ"] == dup5
+
+
+def test_matrix_profile_matches_reference(spark):
+    """x13 vs a brute-force Python reference on random integer series:
+    same distances (6 dp), same argmin tie-breaks."""
+    import math
+
+    from healthcare_api_spark.operators.temporal import matrix_profile
+
+    rng = random.Random(31)
+    w, L = 4, 8
+    rows = []
+    series = {}
+    for s in ("a", "b"):
+        vals = [rng.randint(-5, 15) for _ in range(rng.randint(14, 22))]
+        # plant a constant stretch to hit the conventions
+        vals[5:9] = [7, 7, 7, 7]
+        series[s] = vals
+        rows += [(s, i + 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["series", "i", "v"])
+    got = {
+        (r["series"], r["i"]): (r["nn_idx"], r["dist"])
+        for r in matrix_profile(df, "series", "i", "v", w=w, max_lag=L).collect()
+    }
+
+    def dist(a, b):
+        S1, S2 = sum(a), sum(b)
+        Q1, Q2 = sum(x * x for x in a), sum(x * x for x in b)
+        D = sum(x * y for x, y in zip(a, b))
+        da, db = w * Q1 - S1 * S1, w * Q2 - S2 * S2
+        if da == 0 and db == 0:
+            return 0.0
+        if da == 0 or db == 0:
+            return math.sqrt(2.0 * w)
+        corr = (w * D - S1 * S2) / math.sqrt(float(da) * float(db))
+        return math.sqrt(max(2.0 * w * (1.0 - corr), 0.0))
+
+    for s, vals in series.items():
+        n = len(vals) - w + 1
+        for i in range(1, n + 1):
+            wa = vals[i - 1 : i - 1 + w]
+            best = None
+            for j in range(1, n + 1):
+                if not (w <= abs(i - j) <= L):
+                    continue
+                d = dist(wa, vals[j - 1 : j - 1 + w])
+                if best is None or (d, j) < best:
+                    best = (d, j)
+            if best is None:
+                assert (s, i) not in got
+            else:
+                nn, dd = got[(s, i)]
+                assert nn == best[1], (s, i, got[(s, i)], best)
+                assert abs(dd - best[0]) < 1e-6, (s, i, dd, best[0])
