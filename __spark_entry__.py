@@ -2112,6 +2112,26 @@ def q_u2_domain_stats(spark, sf_dir):
     )
 
 
+def q_u4_domain_quota(spark, sf_dir):
+    """Per-domain quota (r7): cap each host at 30 docs, best quality
+    first (t2's score, ties by id) — the Common-Crawl curation cut,
+    with the full audit trail (domain, rank, kept). One window keyed
+    by domain; oracle = the identical window in SQL."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW.Site"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/d/"), F.col("doc_id").cast("string"),
+    )
+    scored = textops.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "score"
+    )
+    base = docs.withColumn("url", url).join(scored, "doc_id")
+    return curation.domain_quota(
+        base, "doc_id", "url", max_per_domain=30, rank_col="score"
+    )
+
+
 def q_g1_pagerank(spark, sf_dir):
     """PageRank (5 power iterations, d=0.85) over the bipartite
     part↔supplier supply graph — the canonical iterative-join operator,
@@ -4145,6 +4165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t24_perplexity_buckets": q_t24_perplexity_buckets,
         "st5_streaming_neardup": q_st5_streaming_neardup,
         "x13_matrix_profile": q_x13_matrix_profile,
+        "u4_domain_quota": q_u4_domain_quota,
         # --- r6 prefix head (all driver-hash-green in
         # CORRECTNESS_r06) ---
         "v7_pq_topk": q_v7_pq_topk,
@@ -5959,6 +5980,26 @@ def oracle_sql() -> dict[str, str]:
         " FROM hx"
         f" WHERE bit_count(xor(x1, {_p1})) + bit_count(xor(x2, {_p2})) <= 3"
         " ORDER BY hamming, doc_id LIMIT 40"
+    )
+    # r7: u4 — per-domain quota: the t2 score formula + one window,
+    # (score DESC, doc_id) tie-break mirrored exactly
+    out["u4_domain_quota"] = (
+        f"WITH f AS (SELECT doc_id,"
+        f" CAST(len({_NORM_SQL}) AS DOUBLE) AS n_chars,"
+        f" CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tokens,"
+        f" CAST({punct} AS DOUBLE) AS punct,"
+        f" CAST({en_stop} AS DOUBLE) AS stop FROM documents),"
+        " sc AS (SELECT doc_id, round(least(n_tokens / 100.0, 1.0) * 0.4"
+        "  + least((stop / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.4"
+        "  + (1.0 - least((punct / greatest(n_chars, 1.0)) * 10.0, 1.0)) * 0.2,"
+        "  6) AS score FROM f),"
+        " u AS (SELECT doc_id, score,"
+        "  'site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS domain"
+        "  FROM sc),"
+        " r AS (SELECT doc_id, domain, row_number() OVER (PARTITION BY domain"
+        "  ORDER BY score DESC, doc_id) AS rk FROM u)"
+        " SELECT doc_id, domain, CAST(rk AS INT) AS domain_rank,"
+        "  CAST(rk <= 30 AS INT) AS kept FROM r"
     )
     # r7: x13 — lag-banded matrix profile: window sums/dots as exact
     # int64 over the 1e-4-quantized hourly series; one fixed double

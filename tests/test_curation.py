@@ -454,3 +454,33 @@ def test_plan_token_mixture_hits_token_budget(spark):
     # equal token shares of 100 each: long needs rate 0.1, short rate 1.0 (capped)
     assert abs(rates["long"] - 0.1) < 1e-9
     assert rates["short"] == 1.0
+
+
+def test_domain_quota_caps_and_ranks(spark):
+    """u4 machinery: per-host cap, quality-desc rank with id tie-break,
+    default id ordering, validation (r7)."""
+    from healthcare_api_spark.operators.curation import domain_quota
+
+    rows = [
+        (1, "https://a.com/x", 0.9),
+        (2, "https://WWW.A.com/y", 0.9),   # same host as 1 (www+case)
+        (3, "https://a.com/z", 0.5),
+        (4, "https://b.com/only", 0.1),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url", "q"])
+    out = {
+        r["id"]: r
+        for r in domain_quota(df, "id", "url", 2, rank_col="q").collect()
+    }
+    assert out[1]["domain"] == out[2]["domain"] == out[3]["domain"] == "a.com"
+    # tie on q=0.9 → id asc: 1 then 2; 3 ranks third and is cut
+    assert (out[1]["domain_rank"], out[2]["domain_rank"], out[3]["domain_rank"]) == (1, 2, 3)
+    assert (out[1]["kept"], out[2]["kept"], out[3]["kept"]) == (1, 1, 0)
+    assert out[4]["kept"] == 1
+    # default ordering: id asc
+    out2 = {r["id"]: r for r in domain_quota(df, "id", "url", 1).collect()}
+    assert out2[1]["kept"] == 1 and out2[2]["kept"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        domain_quota(df, "id", "url", 0)
