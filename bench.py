@@ -147,6 +147,19 @@ def main() -> None:
             t0 = time.perf_counter()
             force(qs[name](spark, sf_dir))
             pass_timings[name] = round(time.perf_counter() - t0, 3)
+        # GC barrier between passes: the iterative queries (BPE rounds,
+        # LPA, SemDeDup, streaming state) pin localCheckpoint RDD
+        # blocks until their Python refs die AND the JVM GCs; collect
+        # both sides so block-manager occupancy stays flat across
+        # passes. (The r7 cross-query slowdown this was first aimed at
+        # turned out to be codegen-cache thrash — fixed for real by
+        # spark.sql.codegen.cache.maxEntries in session.py: comparable
+        # subtotal 13.3 s → 9.96 s.)
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
 
     medians = {
         name: round(statistics.median(p[name] for p in steady), 3)

@@ -54,6 +54,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # whole-stage-codegen compiled-class cache (static conf, default
+        # 100): a workload cycling through >100 distinct plan fragments
+        # (this suite: 45 headline queries/pass) evicts and re-Janinos
+        # every fragment every pass — measured +0.04..0.3 s per query,
+        # +2.5 s on the 18-query comparable subtotal. Same math applies
+        # per-executor on a cluster running a varied query mix.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE", "/tmp/spark-warehouse"))
         .config("spark.ui.enabled", "false")
