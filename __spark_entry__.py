@@ -3026,6 +3026,63 @@ def q_m15_image_hash_retrieval(spark, sf_dir):
     )
 
 
+def q_m16_audio_vad_windows(spark, sf_dir):
+    """Windowed audio energy/ZCR features (r7): synthesize a PCM16 WAV
+    per doc whose samples are an integer congruential waveform
+    v_i = (doc_id·31 + 7i² + 13i) mod 65536 − 32768 (Arrow-batched
+    generator, REAL RIFF containers through the stdlib wave writer),
+    then run multimodal.audio_windowed_features — the VAD/silence-gate
+    primitive: per 128-sample window, EXACT int64 energy (Σv²),
+    zero-crossing count and peak |v|. Every output column is an
+    integer computed from raw int16 samples, so the DuckDB oracle
+    recomputes the waveform itself with generate_series and must match
+    bit-for-bit — pinning the RIFF parse, the de-interleave, the
+    window split AND the feature math."""
+    import io
+    import wave
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_api_spark.operators.multimodal import (
+        audio_windowed_features,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 * (d % 8) + 160
+                i = np.arange(n, dtype=np.int64)
+                v = (d * 31 + 7 * i * i + 13 * i) % 65536 - 32768
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(v.astype("<i2").tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    wavs = docs.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ).mapInPandas(_gen, "doc_id long, data binary")
+    feats = audio_windowed_features(wavs, "doc_id", "data", window_samples=128)
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        "window_idx",
+        "n",
+        "energy",
+        "zero_crossings",
+        "peak",
+    )
+
+
 def q_v9_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval (r7): BM25 lexical top-30 for 'window vector'
     (the fs10 ranking) ⊕ dense cosine top-30 to vec_id 0's embedding
@@ -4139,6 +4196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the union property (r1∪r2∪r3∪r4 sweeps ⊇ all hash queries)
     # mechanically instead of by NOTES.md discipline.
     return {
+        # --- r7 second-wave additions (new queries, need first
+        # driver hashes) ---
+        "m16_audio_vad_windows": q_m16_audio_vad_windows,
         # --- r7 prefix head: the float-boundary-hardened queries
         # (q1/q3/q5/q6 money sums, w8 TWA, x8 decompose, x9 corr — all
         # moved to scaled-integer sums with mirrored oracles), the
@@ -6186,6 +6246,26 @@ def oracle_sql() -> dict[str, str]:
         "    OR na.dup_ngram_occ * 2 >= na.n_grams AS INT) AS repetitive"
         " FROM toka a JOIN tokt tt USING (doc_id) JOIN bgt bt USING (doc_id)"
         " JOIN nga na USING (doc_id)"
+    )
+    # r7: m16 — windowed audio energy/ZCR: the oracle recomputes the
+    # synthetic integer waveform with generate_series; all columns are
+    # exact integers (energy = Σv² fits int64: 128·32768² ≈ 1.4e11),
+    # zero crossings pair i with lag(i) inside the same 128-window
+    out["m16_audio_vad_windows"] = (
+        "WITH d AS (SELECT doc_id, 64 * (doc_id % 8) + 160 AS nn"
+        "  FROM documents),"
+        " s AS (SELECT doc_id, i,"
+        "  (doc_id * 31 + 7 * i * i + 13 * i) % 65536 - 32768 AS v"
+        "  FROM d, LATERAL (SELECT unnest(generate_series(0, nn - 1)) AS i)),"
+        " p AS (SELECT doc_id, i, v,"
+        "  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)"
+        " SELECT doc_id, CAST(i // 128 AS INT) AS window_idx,"
+        "  CAST(count(*) AS INT) AS n,"
+        "  CAST(sum(v * v) AS BIGINT) AS energy,"
+        "  CAST(sum(CASE WHEN i % 128 <> 0 AND ((v >= 0) <> (pv >= 0))"
+        "   THEN 1 ELSE 0 END) AS INT) AS zero_crossings,"
+        "  CAST(max(abs(v)) AS INT) AS peak"
+        " FROM p GROUP BY doc_id, i // 128"
     )
     return out
 

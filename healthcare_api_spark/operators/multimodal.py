@@ -2187,6 +2187,95 @@ def audio_features(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_extract, schema)
 
 
+def audio_windowed_features(
+    df: DataFrame, id_col: str, data_col: str, window_samples: int = 128
+) -> DataFrame:
+    """Per-window VAD-style features over integer-PCM WAV payloads: the
+    payload's FIRST channel is cut into non-overlapping windows of
+    ``window_samples`` raw samples and each window yields its EXACT
+    integer statistics — ``energy`` (sum of squared raw sample values,
+    int64), ``zero_crossings`` (count of adjacent sign(v>=0) flips
+    inside the window), ``peak`` (max |v|) and ``n`` (samples in the
+    window; the tail window may be short). This is the
+    energy-gate/silence-trim primitive an audio corpus pipeline runs
+    before anything expensive — windows below an energy threshold are
+    silence, and a downstream filter is one JVM-side comparison.
+
+    Unlike :func:`audio_features` (normalized float mono-mix summary),
+    the math here stays in int64 on the RAW sample values, so results
+    are bit-exact and engine-portable — the m16 gate query hashes them
+    against a DuckDB twin that recomputes the synthetic waveform with
+    ``generate_series``. Arrow-batched ``mapInPandas``; payloads are the
+    parallelism unit and only one payload's samples are resident per
+    row. Non-integer-PCM payloads (float WAV, compressed codecs,
+    malformed containers) surface as a single ``codec``-tagged marker
+    row with NULL features — per-row error capture, never a job
+    failure. Reference multimodal surface: assay.py:123-140
+    (Attachment); the feature math has no reference counterpart.
+    """
+    import numpy as np
+
+    if window_samples < 1:
+        raise ValueError(f"window_samples must be >= 1, got {window_samples}")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("window_idx", IntegerType()),
+            StructField("n", IntegerType()),
+            StructField("energy", LongType()),
+            StructField("zero_crossings", IntegerType()),
+            StructField("peak", IntegerType()),
+            StructField("codec", StringType()),
+        ]
+    )
+    _DTYPES = {(1, 8): np.uint8, (1, 16): np.int16, (1, 32): np.int32}
+
+    def _rows(rid, payload):
+        null = dict(window_idx=None, n=None, energy=None, zero_crossings=None, peak=None)
+        if payload is None or len(payload) == 0:
+            return [dict(id=rid, codec="empty", **null)]
+        parsed = _parse_wav(bytes(payload))
+        if parsed is None:
+            return [dict(id=rid, codec="invalid", **null)]
+        fmt_tag, channels, _rate, bits, data = parsed
+        key = (fmt_tag, bits)
+        if key not in _DTYPES or channels < 1:
+            return [dict(id=rid, codec=f"unsupported:{fmt_tag}/{bits}", **null)]
+        frame = (bits // 8) * channels
+        raw = np.frombuffer(data[: len(data) - len(data) % frame], dtype=_DTYPES[key])
+        s = raw[::channels].astype(np.int64)  # first channel, exact int64
+        if key == (1, 8):
+            s -= 128  # 8-bit PCM is unsigned, center it
+        if s.size == 0:
+            return [dict(id=rid, codec="pcm", **null)]
+        out = []
+        for w0 in range(0, s.size, window_samples):
+            win = s[w0 : w0 + window_samples]
+            nonneg = win >= 0
+            out.append(
+                dict(
+                    id=rid,
+                    window_idx=w0 // window_samples,
+                    n=int(win.size),
+                    energy=int(np.dot(win, win)),
+                    zero_crossings=int(np.count_nonzero(nonneg[1:] != nonneg[:-1])),
+                    peak=int(np.max(np.abs(win))),
+                    codec="pcm",
+                )
+            )
+        return out
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[data_col]):
+                rows.extend(_rows(rid, b))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_extract, schema)
+
+
 def scene_cuts(
     df: DataFrame, id_col: str, data_col: str, threshold: float = 24.0
 ) -> DataFrame:

@@ -591,6 +591,67 @@ def test_audio_features_unsupported_codec_captured_per_row(spark):
     assert row["codec"] == "unsupported:85/16" and row["duration_sec"] is None
 
 
+def test_audio_windowed_features_exact_integers(spark):
+    # the VAD-window primitive must be EXACTLY the int64 math on the
+    # raw samples: known waveform -> hand-computed windows, including
+    # the short tail window, stereo first-channel pick, 8-bit
+    # centering and per-row error capture
+    import io
+    import struct
+    import wave
+
+    from healthcare_api_spark.operators.multimodal import (
+        audio_windowed_features,
+    )
+
+    mono = [100, -50, 0, -1, 30000, -30000, 7, 3, -3]  # 9 samples, win=4
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+        w.writeframes(struct.pack("<9h", *mono))
+    # stereo: first channel [10, -20], second channel junk
+    sbuf = io.BytesIO()
+    with wave.open(sbuf, "wb") as w:
+        w.setnchannels(2); w.setsampwidth(2); w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 10, 999, -20, -999))
+    # 8-bit PCM is unsigned: bytes [128, 130, 126] -> centered [0, 2, -2]
+    bbuf = io.BytesIO()
+    with wave.open(bbuf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+        w.writeframes(bytes([128, 130, 126]))
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(sbuf.getvalue())),
+         (3, bytearray(bbuf.getvalue())), (4, bytearray(b"xx")), (5, None)],
+        "id long, data binary",
+    )
+    rows = [
+        r.asDict()
+        for r in audio_windowed_features(df, "id", "data", window_samples=4)
+        .orderBy("id", "window_idx").collect()
+    ]
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    w0, w1, w2 = by_id[1]
+    # window [100,-50,0,-1]: sign pattern + - + - -> 3 crossings
+    assert (w0["n"], w0["energy"], w0["zero_crossings"], w0["peak"]) == (
+        4, 100 * 100 + 50 * 50 + 0 + 1, 3, 100)
+    # window [30000,-30000,7,3]: crossings at 0-1 and 1-2
+    assert (w1["n"], w1["energy"], w1["zero_crossings"], w1["peak"]) == (
+        4, 2 * 30000 * 30000 + 49 + 9, 2, 30000)
+    # tail window [-3]: one sample, no pairs
+    assert (w2["n"], w2["energy"], w2["zero_crossings"], w2["peak"]) == (
+        1, 9, 0, 3)
+    (s0,) = by_id[2]  # stereo: [10, -20] only (channel 0)
+    assert (s0["n"], s0["energy"], s0["zero_crossings"], s0["peak"]) == (
+        2, 100 + 400, 1, 20)
+    (b0,) = by_id[3]  # 8-bit centered: [0, 2, -2]; sign(0>=0)=+
+    assert (b0["n"], b0["energy"], b0["zero_crossings"], b0["peak"]) == (
+        3, 8, 1, 2)
+    assert by_id[4][0]["codec"] == "invalid" and by_id[4][0]["energy"] is None
+    assert by_id[5][0]["codec"] == "empty" and by_id[5][0]["n"] is None
+
+
 def test_tumbling_window_counts_batch(spark):
     ev = spark.createDataFrame(
         [(1, "2024-01-01 10:05:00", "click"), (2, "2024-01-01 10:55:00", "click"),
