@@ -3083,6 +3083,23 @@ def q_m16_audio_vad_windows(spark, sf_dir):
     )
 
 
+def q_v10_prefix_rerank(spark, sf_dir):
+    """Two-stage dimension-truncated retrieval (r7): coarse top-100 by
+    the 8-dim prefix dot product, exact full-dim cosine rerank to
+    top-10 (similarity.prefix_rerank_topk — the Matryoshka pattern).
+    Both stages rank 6-dp-rounded scores with id tiebreaks, so the
+    approximate answer is deterministic and the oracle reproduces it
+    with list slicing + list_dot_product; both stages are
+    TakeOrderedAndProject, never a global sort."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.prefix_rerank_topk(
+        emb, "vec_id", "embedding", list(qvec),
+        prefix_dims=8, candidates=100, k=10,
+    )
+
+
 def q_v9_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval (r7): BM25 lexical top-30 for 'window vector'
     (the fs10 ranking) ⊕ dense cosine top-30 to vec_id 0's embedding
@@ -4199,6 +4216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r7 second-wave additions (new queries, need first
         # driver hashes) ---
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
+        "v10_prefix_rerank": q_v10_prefix_rerank,
         # --- r7 prefix head: the float-boundary-hardened queries
         # (q1/q3/q5/q6 money sums, w8 TWA, x8 decompose, x9 corr — all
         # moved to scaled-integer sums with mirrored oracles), the
@@ -6246,6 +6264,22 @@ def oracle_sql() -> dict[str, str]:
         "    OR na.dup_ngram_occ * 2 >= na.n_grams AS INT) AS repetitive"
         " FROM toka a JOIN tokt tt USING (doc_id) JOIN bgt bt USING (doc_id)"
         " JOIN nga na USING (doc_id)"
+    )
+    # r7: v10 — prefix-dot coarse top-100 then exact cosine rerank;
+    # both stages rank 6-dp-rounded scores (id tiebreak), mirrored
+    out["v10_prefix_rerank"] = (
+        "WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe"
+        " FROM embeddings WHERE vec_id = 0),"
+        " v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
+        " FROM embeddings),"
+        " coarse AS (SELECT vec_id, e,"
+        "  round(list_dot_product(e[1:8], qe[1:8]), 6) AS coarse_dot"
+        "  FROM v, q ORDER BY coarse_dot DESC, vec_id ASC LIMIT 100)"
+        " SELECT vec_id, round(list_dot_product(e, qe) /"
+        "  (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6)"
+        "   AS cos, coarse_dot"
+        " FROM coarse, q"
+        " ORDER BY cos DESC, vec_id ASC LIMIT 10"
     )
     # r7: m16 — windowed audio energy/ZCR: the oracle recomputes the
     # synthetic integer waveform with generate_series; all columns are

@@ -92,6 +92,61 @@ def brute_force_topk(
     return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
 
 
+def prefix_rerank_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    prefix_dims: int = 8,
+    candidates: int = 100,
+    k: int = 10,
+) -> DataFrame:
+    """Two-stage dimension-truncated rerank (the Matryoshka-retrieval
+    pattern): stage 1 scores EVERY vector by the raw dot product of
+    only the first ``prefix_dims`` dimensions against the query and
+    keeps the top ``candidates`` (a cheap coarse pass — with
+    MRL-trained embeddings the leading dims carry most of the signal,
+    and at 100 TB a dimension-chunked layout would let the coarse scan
+    read prefix/dim of the bytes); stage 2 computes the EXACT full-dim
+    cosine only on those candidates and returns the top ``k``.
+
+    Both stages end in TakeOrderedAndProject (per-partition heaps,
+    driver merge of ``candidates`` rows — never a global sort), and
+    stage 2's input is ``candidates`` rows, so the expensive full-dim
+    math runs on a constant-size frame regardless of corpus size.
+    Recall < 1 by design, bounded by how informative the prefix is;
+    ties break by id in both stages so the approximate answer is
+    deterministic and oracle-reproducible (coarse scores are
+    sequential in-order double sums, the v1 precedent).
+    """
+    if prefix_dims < 1 or candidates < k:
+        raise ValueError("need prefix_dims >= 1 and candidates >= k")
+    qp = F.array(*[F.lit(float(x)) for x in query_vec[:prefix_dims]])
+    qf = F.array(*[F.lit(float(x)) for x in query_vec])
+    coarse = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            # 6-dp rounding BEFORE ranking: sub-ulp engine differences
+            # collapse onto the id tiebreak instead of reordering
+            F.round(
+                dot(F.slice(F.col(vec_col), 1, prefix_dims), qp), 6
+            ).alias("coarse_dot"),
+        )
+        .orderBy(F.col("coarse_dot").desc(), F.col(id_col).asc())
+        .limit(candidates)
+    )
+    return (
+        coarse.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qf), 6).alias("cos"),
+            F.col("coarse_dot"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def normalize_vec(a: Column) -> Column:
     """L2-normalize an embedding column (JVM-side)."""
     n = norm(a)

@@ -210,6 +210,17 @@ def test_sq8_topk_is_take_ordered_no_join(spark):
     assert "Join" not in plan
 
 
+def test_prefix_rerank_two_take_ordered_no_sort(spark):
+    # v10: both the coarse cut and the final rerank must be
+    # TakeOrderedAndProject (per-partition heaps) — a global Sort on
+    # either stage would shuffle the whole corpus at 100 TB
+    df = entrymod.q_v10_prefix_rerank(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert "Sort " not in plan
+    assert "Join" not in plan
+
+
 def test_seasonal_decompose_single_window_per_series(spark):
     # x8: trend window + two small aggregates — the hourly series frame
     # shuffles on the series key once for the window

@@ -30,6 +30,49 @@ def test_brute_force_topk_order_and_scores(spark):
     assert abs(rows[1]["cos"] - 0.9 / math.sqrt(0.82)) < 1e-6
 
 
+def test_prefix_rerank_full_prefix_equals_brute_force(spark):
+    # with prefix_dims = full dim and candidates >= corpus, the coarse
+    # pass keeps everything and the rerank IS exact top-k
+    q = [1.0, 0.0, 0.0, 0.0]
+    exact = [
+        r["vec_id"]
+        for r in similarity.brute_force_topk(
+            _emb(spark), "vec_id", "embedding", q, k=3
+        ).collect()
+    ]
+    out = similarity.prefix_rerank_topk(
+        _emb(spark), "vec_id", "embedding", q,
+        prefix_dims=4, candidates=5, k=3,
+    ).collect()
+    assert [r["vec_id"] for r in out] == exact
+
+
+def test_prefix_rerank_candidate_cut_is_coarse_ranked(spark):
+    # prefix_dims=1 ranks candidates by the first component only, so a
+    # query aligned with v5 makes the cut lossy: coarse keeps v1/v2
+    # while v5 (exact cosine 1.0) is cut — the documented recall trade
+    q = [0.7, 0.7, 0.0, 0.0]
+    out = similarity.prefix_rerank_topk(
+        _emb(spark), "vec_id", "embedding", q,
+        prefix_dims=1, candidates=2, k=2,
+    ).collect()
+    # coarse (first-dim dot): v1 0.7, v2 0.63, v5 0.49 → candidates
+    # {1, 2}; full-cosine rerank orders v2 (0.781) above v1 (0.707)
+    assert [r["vec_id"] for r in out] == [2, 1]
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.prefix_rerank_topk(
+            _emb(spark), "vec_id", "embedding", q,
+            prefix_dims=0, candidates=2, k=2,
+        )
+    with pytest.raises(ValueError):
+        similarity.prefix_rerank_topk(
+            _emb(spark), "vec_id", "embedding", q,
+            prefix_dims=2, candidates=1, k=2,
+        )
+
+
 def test_lsh_bucketed_topk_recall_on_exact_match(spark):
     # the query vector itself is always in its own bucket → top-1 recall
     out = similarity.lsh_bucketed_topk(
