@@ -2293,6 +2293,22 @@ def q_k4_kmv_distinct(spark, sf_dir):
     )
 
 
+def q_k7_kmv_set_ops(spark, sf_dir):
+    """KMV set algebra (r7): per event-type pair, estimate the union /
+    intersection cardinalities and Jaccard of their DISTINCT-user sets
+    from the k=64 sketches ALONE (sketches.kmv_set_ops, Beyer et al.
+    2007) — the raw table is scanned once to build the per-type
+    sketches and never again; the pair math is a broadcast self-join
+    over one row per type. Both the exact (merged hashes < k) and the
+    estimated branch are pure md5 arithmetic, hash-verified."""
+    from healthcare_api_spark.operators import sketches
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    sk = sketches.kmv_build(ev, ["event_type"], "user_id", k=64)
+    return sketches.kmv_set_ops(sk, "event_type", k=64)
+
+
 def q_m10_gif_frames(spark, sf_dir):
     """REAL animated-GIF decode: doc_id%3+1 frames per doc, one output
     row per frame (the frame_sample fan-out contract) — oracle
@@ -4217,6 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver hashes) ---
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
         "v10_prefix_rerank": q_v10_prefix_rerank,
+        "k7_kmv_set_ops": q_k7_kmv_set_ops,
         # --- r7 prefix head: the float-boundary-hardened queries
         # (q1/q3/q5/q6 money sums, w8 TWA, x8 decompose, x9 corr — all
         # moved to scaled-integer sums with mirrored oracles), the
@@ -6264,6 +6281,36 @@ def oracle_sql() -> dict[str, str]:
         "    OR na.dup_ngram_occ * 2 >= na.n_grams AS INT) AS repetitive"
         " FROM toka a JOIN tokt tt USING (doc_id) JOIN bgt bt USING (doc_id)"
         " JOIN nga na USING (doc_id)"
+    )
+    # r7: k7 — KMV set algebra over the k4 sketch state: union sketch
+    # = bottom-64 of merged hashes, intersection rate = fraction of the
+    # union's bottom-k in both; exact branch when merged hashes < k
+    out["k7_kmv_set_ops"] = (
+        "WITH d AS (SELECT DISTINCT event_type,"
+        "  substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS h FROM events),"
+        " r AS (SELECT event_type, h, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY h) AS rn FROM d),"
+        " s AS (SELECT event_type, list(h ORDER BY h) AS kmv"
+        "  FROM r WHERE rn <= 64 GROUP BY event_type),"
+        " p AS (SELECT a.event_type AS group_a, b.event_type AS group_b,"
+        "  a.kmv AS ka, b.kmv AS kb FROM s a JOIN s b"
+        "  ON a.event_type < b.event_type),"
+        " uu AS (SELECT group_a, group_b, ka, kb,"
+        "  list_sort(list_distinct(list_concat(ka, kb)))[1:64] AS u FROM p),"
+        " c AS (SELECT group_a, group_b, len(u) AS n_union,"
+        "  len(list_filter(u, h -> list_contains(ka, h)"
+        "   AND list_contains(kb, h))) AS n_inter,"
+        "  ('0x' || u[len(u)])::BIGINT / 4294967296.0 AS hk01 FROM uu)"
+        " SELECT group_a, group_b, CAST(n_union AS INT) AS n_union,"
+        "  CAST(round(CASE WHEN n_union < 64 THEN CAST(n_union AS DOUBLE)"
+        "   ELSE 63.0 / hk01 END) AS BIGINT) AS est_union,"
+        "  CAST(n_inter AS INT) AS n_inter_topk,"
+        "  CAST(round(CASE WHEN n_union < 64 THEN CAST(n_inter AS DOUBLE)"
+        "   ELSE CAST(n_inter AS DOUBLE) * (63.0 / hk01) / 64.0 END)"
+        "   AS BIGINT) AS est_intersection,"
+        "  round(CASE WHEN n_union < 64 THEN CAST(n_inter AS DOUBLE) / n_union"
+        "   ELSE CAST(n_inter AS DOUBLE) / 64.0 END, 6) AS jaccard"
+        " FROM c"
     )
     # r7: v10 — prefix-dot coarse top-100 then exact cosine rerank;
     # both stages rank 6-dp-rounded scores (id tiebreak), mirrored

@@ -191,6 +191,72 @@ def kmv_merge(a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 64) ->
     )
 
 
+def kmv_set_ops(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Pairwise set-operation estimates between groups from their KMV
+    sketches alone (Beyer et al. 2007 multiset synopses): for every
+    unordered group pair, estimate |A∪B|, |A∩B| and the Jaccard
+    similarity WITHOUT touching the raw data again — the union sketch
+    is the bottom-k of the merged hash arrays, the intersection rate is
+    the fraction of the union's bottom-k present in both inputs, and
+    everything is a pure function of the (md5-portable) sketch state,
+    so the estimates are engine-reproducible and hash-verifiable.
+
+    When the merged hash set has fewer than k entries both sketches
+    were complete and every output is EXACT; otherwise
+    D̂(A∪B) = (k−1)/h_(k) and D̂(A∩B) = ρ·D̂(A∪B) with ρ = |bottom-k ∩
+    A ∩ B| / k. Output per pair: (group_a, group_b, n_union ≤ k,
+    est_union, n_inter_topk, est_intersection, jaccard 6dp).
+
+    Scale shape: the input is one sketch ROW per group (k hashes), so
+    the pair join is a broadcast self-join over #groups² sketch rows —
+    the raw corpus is never rescanned; this is exactly why mergeable
+    sketches exist at 100 TB.
+    """
+    a = sketch.select(
+        F.col(group_col).alias("group_a"), F.col("kmv").alias("_ka")
+    )
+    b = sketch.select(
+        F.col(group_col).alias("group_b"), F.col("kmv").alias("_kb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    u = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("_ka"), F.col("_kb")))),
+        1, k,
+    )
+    paired = pairs.select("group_a", "group_b", "_ka", "_kb", u.alias("_u"))
+    n_union = F.size("_u")
+    inter = F.filter(
+        F.col("_u"),
+        lambda h: F.array_contains(F.col("_ka"), h)
+        & F.array_contains(F.col("_kb"), h),
+    )
+    n_inter = F.size(inter)
+    hk01 = F.conv(F.element_at(F.col("_u"), -1), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    est_u_raw = F.lit(float(k - 1)) / hk01
+    exact = n_union < k
+    return paired.select(
+        "group_a",
+        "group_b",
+        n_union.cast("int").alias("n_union"),
+        F.when(exact, n_union.cast("double"))
+        .otherwise(F.round(est_u_raw))
+        .cast("bigint")
+        .alias("est_union"),
+        n_inter.cast("int").alias("n_inter_topk"),
+        F.when(exact, n_inter.cast("double"))
+        .otherwise(F.round(n_inter.cast("double") * est_u_raw / F.lit(float(k))))
+        .cast("bigint")
+        .alias("est_intersection"),
+        F.round(
+            F.when(exact, n_inter.cast("double") / n_union.cast("double"))
+            .otherwise(n_inter.cast("double") / F.lit(float(k))),
+            6,
+        ).alias("jaccard"),
+    )
+
+
 def hash_sample_build(
     df: DataFrame,
     group_cols: list[str],

@@ -169,6 +169,54 @@ def test_kmv_merge_equals_whole(spark):
     assert merged["kmv"] == whole["kmv"] and merged["n_seen"] == whole["n_seen"]
 
 
+def test_kmv_set_ops_exact_branch(spark):
+    # below-k sketches are complete sets → union/intersection/jaccard
+    # must be EXACT, not estimates
+    from healthcare_api_spark.operators.sketches import kmv_build, kmv_set_ops
+
+    rows = [("a", i) for i in range(20)] + [("b", i) for i in range(10, 40)]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    out = kmv_set_ops(kmv_build(df, ["g"], "u", k=64), "g", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    # |A|=20, |B|=30, A∩B={10..19} → union 40, intersection 10
+    assert r["n_union"] == 40 and r["est_union"] == 40
+    assert r["n_inter_topk"] == 10 and r["est_intersection"] == 10
+    assert abs(r["jaccard"] - 0.25) < 1e-9
+
+
+def test_kmv_set_ops_estimate_within_bound(spark):
+    # two 3000-element sets with 1500 shared → union 4500, inter 1500,
+    # jaccard 1/3; k=256 → se ≈ 1/sqrt(k) ≈ 6.25%, allow 3σ
+    from healthcare_api_spark.operators.sketches import kmv_build, kmv_set_ops
+
+    rows = [("a", i) for i in range(3000)] + [
+        ("b", i) for i in range(1500, 4500)
+    ]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    r = kmv_set_ops(kmv_build(df, ["g"], "u", k=256), "g", k=256).collect()[0]
+    assert abs(r["est_union"] - 4500) < 0.19 * 4500, r["est_union"]
+    assert abs(r["est_intersection"] - 1500) < 0.3 * 1500 + 200, (
+        r["est_intersection"]
+    )
+    assert abs(r["jaccard"] - 1 / 3) < 0.15
+
+
+def test_kmv_set_ops_all_pairs(spark):
+    # 3 groups → 3 unordered pairs, lexicographic (group_a < group_b)
+    from healthcare_api_spark.operators.sketches import kmv_build, kmv_set_ops
+
+    rows = [(g, i) for g in ("x", "y", "z") for i in range(5)]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    out = kmv_set_ops(kmv_build(df, ["g"], "u", k=8), "g", k=8).collect()
+    assert sorted((r["group_a"], r["group_b"]) for r in out) == [
+        ("x", "y"), ("x", "z"), ("y", "z")
+    ]
+    # identical membership → jaccard exactly 1 on every pair
+    assert all(r["jaccard"] == 1.0 and r["est_intersection"] == 5 for r in out)
+
+
 def test_kmv_rejects_tiny_k(spark):
     from healthcare_api_spark.operators.sketches import kmv_build
 

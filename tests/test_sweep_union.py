@@ -202,7 +202,7 @@ def test_r7_changed_oracles_match_at_sf0001():
         "g4_label_propagation", "t23_bpe_train",
         "t24_perplexity_buckets", "st5_streaming_neardup",
         "x13_matrix_profile", "u4_domain_quota",
-        "m16_audio_vad_windows", "v10_prefix_rerank",
+        "m16_audio_vad_windows", "v10_prefix_rerank", "k7_kmv_set_ops",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
