@@ -1034,6 +1034,51 @@ def q_st5_streaming_neardup(spark, sf_dir):
     return out
 
 
+def q_st6_streaming_kmv(spark, sf_dir):
+    """Streaming KMV maintenance (r7): events stream in as TWO
+    micro-batches (time-split like st4); each batch is sketched
+    independently and kmv_merge folds it into the state table
+    (streaming/sketches.streaming_kmv). Because bottom-k merge is
+    associative and duplicate-idempotent, the final state must be
+    BIT-IDENTICAL to one batch build over the whole table — so this
+    REAL 2-batch streaming run hash-checks against the plain k4
+    oracle, proving the cross-batch fold exact (the st5/st6 contract:
+    streaming machinery equals batch semantics)."""
+    import shutil
+    import tempfile
+
+    from healthcare_api_spark.operators.sketches import kmv_distinct
+    from healthcare_api_spark.streaming.sketches import streaming_kmv
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    root = tempfile.mkdtemp(prefix="st6_")
+    src, state, ckpt = f"{root}/src", f"{root}/state", f"{root}/ckpt"
+    try:
+        cutoff = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+        ev.filter(cutoff).drop("ts").write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "event_type string, user_id long"
+        ).parquet(src)
+        q = streaming_kmv(
+            stream, state, ["event_type"], "user_id", k=64, checkpoint=ckpt
+        )
+        q.processAllAvailable()
+        ev.filter(~cutoff).drop("ts").write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+        est = kmv_distinct(spark.read.parquet(f"{state}/kmv"), k=64)
+        out = est.select(
+            "event_type",
+            "n_seen",
+            "est_distinct",
+            F.array_join(F.col("kmv"), ",").alias("kmv_str"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_st4_stream_stream_join(spark, sf_dir):
     """A REAL watermarked stream-stream join inside the gate: events
     split into a click stream (even ids) and a purchase stream (odd
@@ -4234,6 +4279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
         "v10_prefix_rerank": q_v10_prefix_rerank,
         "k7_kmv_set_ops": q_k7_kmv_set_ops,
+        "st6_streaming_kmv": q_st6_streaming_kmv,
         # --- r7 prefix head: the float-boundary-hardened queries
         # (q1/q3/q5/q6 money sums, w8 TWA, x8 decompose, x9 corr — all
         # moved to scaled-integer sums with mirrored oracles), the
@@ -6282,6 +6328,10 @@ def oracle_sql() -> dict[str, str]:
         " FROM toka a JOIN tokt tt USING (doc_id) JOIN bgt bt USING (doc_id)"
         " JOIN nga na USING (doc_id)"
     )
+    # r7: st6 — streaming KMV fold: bottom-k merge is associative and
+    # duplicate-idempotent, so the 2-micro-batch state must equal the
+    # one-shot batch build — the k4 oracle verbatim IS the check
+    out["st6_streaming_kmv"] = out["k4_kmv_distinct"]
     # r7: k7 — KMV set algebra over the k4 sketch state: union sketch
     # = bottom-64 of merged hashes, intersection rate = fraction of the
     # union's bottom-k in both; exact branch when merged hashes < k

@@ -136,6 +136,45 @@ def test_streaming_cms_merge_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_kmv_state_equals_batch(spark, tmp_path):
+    """streaming/sketches.streaming_kmv over two micro-batches must
+    leave a state BIT-IDENTICAL to one batch build (bottom-k merge is
+    associative + duplicate-idempotent), and sketch algebra must work
+    on the streaming state unchanged."""
+    from healthcare_api_spark.operators.sketches import (
+        kmv_build,
+        kmv_set_ops,
+    )
+    from healthcare_api_spark.streaming.sketches import streaming_kmv
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [("a", i) for i in range(150)] + [("b", i) for i in range(40)]
+    rows2 = [("a", i) for i in range(100, 250)] + [("b", i) for i in range(20, 60)]
+    schema = "g string, u long"
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming_kmv(stream, state, ["g"], "u", k=32, checkpoint=ckpt)
+    q.processAllAvailable()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["g"]: (r["n_seen"], list(r["kmv"]))
+        for r in spark.read.parquet(f"{state}/kmv").collect()
+    }
+    whole = kmv_build(
+        spark.createDataFrame(rows1 + rows2, schema), ["g"], "u", k=32
+    )
+    want = {r["g"]: (r["n_seen"], list(r["kmv"])) for r in whole.collect()}
+    assert got == want
+    # downstream algebra on the live state: one pair row, sane jaccard
+    pairs = kmv_set_ops(spark.read.parquet(f"{state}/kmv"), "g", k=32).collect()
+    assert len(pairs) == 1 and 0.0 <= pairs[0]["jaccard"] <= 1.0
+
+
 # ------------------------------------------------------------------ KMV --
 
 
