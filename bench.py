@@ -121,6 +121,12 @@ HEADLINE = [
     "t24_perplexity_buckets",
     "st5_streaming_neardup",
     "x13_matrix_profile",
+    # round 7 second wave: windowed audio features, prefix-dim rerank,
+    # KMV set algebra, streaming KMV fold
+    "m16_audio_vad_windows",
+    "v10_prefix_rerank",
+    "k7_kmv_set_ops",
+    "st6_streaming_kmv",
 ]
 
 N_STEADY = 3

@@ -176,6 +176,19 @@ def main() -> None:
     ).orderBy(F.col("est").desc(), "tok").limit(5)
     top_vocab = [(r["tok"], r["est"]) for r in hh.collect()]
 
+    # 9c. cross-language vocabulary overlap from KMV sketches alone
+    # (r7): per-language distinct-token sketches, then pairwise
+    # union/intersection/Jaccard WITHOUT rescanning the corpus — the
+    # mixture-diversity report at sketch cost
+    vocab_sk = sketches.kmv_build(
+        corpus.select("pred_lang", F.explode(_tok_expr(F.col("text"))).alias("tok")),
+        ["pred_lang"], "tok", k=64,
+    )
+    vocab_overlap = [
+        (r["group_a"], r["group_b"], r["jaccard"])
+        for r in sketches.kmv_set_ops(vocab_sk, "pred_lang", k=64).collect()
+    ]
+
     # 10. deterministic train/val/test assignment + round-robin source
     # interleave: the written order alternates languages so training
     # batches never see long single-source runs; appends never move a
@@ -204,6 +217,7 @@ def main() -> None:
     print(f"RAG chunks (64/16):    {n_chunks}")
     print(f"by language:           {langs}")
     print(f"top vocab (CMS est):   {top_vocab}")
+    print(f"vocab overlap (KMV):   {vocab_overlap}")
     print(f"BPE merges:            {[(x, y) for _, x, y, _ in bpe_merges]}")
     print(f"written to:            {out_dir}")
 

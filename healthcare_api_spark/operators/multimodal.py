@@ -2210,8 +2210,12 @@ def audio_windowed_features(
     row. Non-integer-PCM payloads (float WAV, compressed codecs,
     malformed containers) surface as a single ``codec``-tagged marker
     row with NULL features — per-row error capture, never a job
-    failure. Reference multimodal surface: assay.py:123-140
-    (Attachment); the feature math has no reference counterpart.
+    failure. 32-bit PCM lands in that bucket deliberately: Σv² over
+    2³¹-magnitude samples overflows int64, so the exact-integer
+    contract only holds for 8/16-bit samples (use
+    :func:`audio_features` for a float summary of 32-bit payloads).
+    Reference multimodal surface: assay.py:123-140 (Attachment); the
+    feature math has no reference counterpart.
     """
     import numpy as np
 
@@ -2228,7 +2232,8 @@ def audio_windowed_features(
             StructField("codec", StringType()),
         ]
     )
-    _DTYPES = {(1, 8): np.uint8, (1, 16): np.int16, (1, 32): np.int32}
+    # (1, 32) excluded on purpose: Σv² would overflow int64 (docstring)
+    _DTYPES = {(1, 8): np.uint8, (1, 16): np.int16}
 
     def _rows(rid, payload):
         null = dict(window_idx=None, n=None, energy=None, zero_crossings=None, peak=None)

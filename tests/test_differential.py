@@ -361,3 +361,112 @@ def test_matrix_profile_matches_reference(spark):
                 nn, dd = got[(s, i)]
                 assert nn == best[1], (s, i, got[(s, i)], best)
                 assert abs(dd - best[0]) < 1e-6, (s, i, dd, best[0])
+
+
+def test_kmv_set_ops_matches_reference(spark):
+    """k7 vs an independent hashlib/set-math reference on random group
+    memberships: both the exact (union < k) and the estimated branch,
+    with the estimator recomputed from first principles."""
+    import hashlib
+    import math
+
+    from healthcare_api_spark.operators.sketches import kmv_build, kmv_set_ops
+
+    rng = random.Random(77)
+    k = 8
+    groups = {
+        "small1": rng.sample(range(1000), 3),          # below-k pair
+        "small2": rng.sample(range(1000), 4),
+        "big1": rng.sample(range(100000), 400),        # estimated pair
+        "big2": rng.sample(range(100000), 500),
+    }
+    rows = [(g, u) for g, us in groups.items() for u in us]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in kmv_set_ops(kmv_build(df, ["g"], "u", k=k), "g", k=k).collect()
+    }
+
+    def h8(u):
+        return hashlib.md5(str(u).encode()).hexdigest()[:8]
+
+    sk = {g: sorted({h8(u) for u in us})[:k] for g, us in groups.items()}
+    names = sorted(groups)
+    assert set(got) == {(a, b) for a in names for b in names if a < b}
+    for (a, b), r in got.items():
+        u = sorted(set(sk[a]) | set(sk[b]))[:k]
+        n_union = len(u)
+        inter = set(sk[a]) & set(sk[b])
+        n_inter = sum(1 for h in u if h in inter)
+        assert r["n_union"] == n_union and r["n_inter_topk"] == n_inter
+        if n_union < k:
+            assert r["est_union"] == n_union
+            assert r["est_intersection"] == n_inter
+            assert abs(r["jaccard"] - n_inter / n_union) < 5e-7
+        else:
+            hk01 = int(u[-1], 16) / 2**32
+            est_u_raw = (k - 1) / hk01
+            # Spark round() is half-up for positives, Python's is
+            # banker's — compare via floor(x + 0.5)
+            assert r["est_union"] == math.floor(est_u_raw + 0.5)
+            assert r["est_intersection"] == math.floor(
+                n_inter * est_u_raw / k + 0.5
+            )
+            assert abs(r["jaccard"] - n_inter / k) < 5e-7
+
+
+def test_audio_windowed_features_matches_reference(spark):
+    """m16's operator vs a plain-Python reference on random PCM16
+    payloads (random lengths, channel counts and window sizes) — every
+    output is exact integer math, so equality is bitwise."""
+    import io
+    import struct
+    import wave
+
+    from healthcare_api_spark.operators.multimodal import (
+        audio_windowed_features,
+    )
+
+    rng = random.Random(55)
+    win = 7
+    payloads, expect = [], {}
+    for rid in range(8):
+        ch = rng.choice([1, 1, 2, 3])
+        n = rng.randint(1, 40)
+        samples = [
+            [rng.randint(-32768, 32767) for _ in range(ch)] for _ in range(n)
+        ]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(
+                b"".join(struct.pack(f"<{ch}h", *fr) for fr in samples)
+            )
+        payloads.append((rid, bytearray(buf.getvalue())))
+        first = [fr[0] for fr in samples]
+        wins = [first[o : o + win] for o in range(0, n, win)]
+        expect[rid] = [
+            (
+                idx,
+                len(wv),
+                sum(v * v for v in wv),
+                sum(
+                    1
+                    for x, y in zip(wv, wv[1:])
+                    if (x >= 0) != (y >= 0)
+                ),
+                max(abs(v) for v in wv),
+            )
+            for idx, wv in enumerate(wins)
+        ]
+    df = spark.createDataFrame(payloads, "id long, data binary")
+    rows = audio_windowed_features(df, "id", "data", window_samples=win).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["id"], []).append(
+            (r["window_idx"], r["n"], r["energy"], r["zero_crossings"], r["peak"])
+        )
+    for rid in expect:
+        assert sorted(got[rid]) == expect[rid], rid

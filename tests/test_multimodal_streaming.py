@@ -619,9 +619,15 @@ def test_audio_windowed_features_exact_integers(spark):
     with wave.open(bbuf, "wb") as w:
         w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
         w.writeframes(bytes([128, 130, 126]))
+    # 32-bit PCM: Σv² would overflow int64 → must be rejected per-row
+    ibuf = io.BytesIO()
+    with wave.open(ibuf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(4); w.setframerate(8000)
+        w.writeframes(struct.pack("<2i", 2**30, -(2**30)))
     df = spark.createDataFrame(
         [(1, bytearray(buf.getvalue())), (2, bytearray(sbuf.getvalue())),
-         (3, bytearray(bbuf.getvalue())), (4, bytearray(b"xx")), (5, None)],
+         (3, bytearray(bbuf.getvalue())), (4, bytearray(b"xx")), (5, None),
+         (6, bytearray(ibuf.getvalue()))],
         "id long, data binary",
     )
     rows = [
@@ -650,6 +656,7 @@ def test_audio_windowed_features_exact_integers(spark):
         3, 8, 1, 2)
     assert by_id[4][0]["codec"] == "invalid" and by_id[4][0]["energy"] is None
     assert by_id[5][0]["codec"] == "empty" and by_id[5][0]["n"] is None
+    assert by_id[6][0]["codec"] == "unsupported:1/32" and by_id[6][0]["n"] is None
 
 
 def test_tumbling_window_counts_batch(spark):
