@@ -185,6 +185,18 @@ def main() -> None:
                 "comparable_subtotal_sec": round(
                     sum(medians[n] for n in R3_COMPARABLE), 3
                 ),
+                # noise-floor companion (r7): the same frozen set summed
+                # over per-query MINIMA across the steady passes. Host
+                # variance on this VM swings medians ±15% on identical
+                # code (measured within single sessions in r2, r6, r7);
+                # the min is the standard noise-robust floor and lets a
+                # reader separate "host was slow" from a real regression.
+                "comparable_subtotal_min_sec": round(
+                    sum(
+                        min(p[n] for p in steady) for n in R3_COMPARABLE
+                    ),
+                    3,
+                ),
                 "comparable_set": "r3_18_query",
                 "runs": 1 + N_STEADY,
             }
