@@ -3336,6 +3336,32 @@ def q_x13_matrix_profile(spark, sf_dir):
     )
 
 
+def q_x14_sax_symbols(spark, sf_dir):
+    """SAX symbolization of the hourly per-type series (r7): PAA over
+    6-point frames, per-series z-normalization, 8-letter alphabet
+    (temporal.sax_symbols, Lin 2003). The series is integer-quantized
+    (the x13 source), so frame sums and series Σv, Σv² are exact int64
+    and z is ONE fixed double expression — the strict z > breakpoint
+    comparisons run on bit-identical doubles in both engines, no
+    rounding tricks. Breakpoint literals come from the SAME
+    sax_breakpoints table the oracle SQL is built from."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value").cast("double") * 100).cast("bigint")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.round(
+            F.sum(cents).cast("double") * 100.0 / F.count(F.lit(1))
+        ).cast("bigint").alias("vq")
+    )
+    return temporal.sax_symbols(
+        hourly, "event_type", "bucket", "vq", frame=6, alphabet=8
+    )
+
+
 def q_x12_cusum_changepoint(spark, sf_dir):
     """Two-sided CUSUM change-point flags over the hourly per-type
     series with a planted +50 level shift on Jan 20 — the max(0,·)
@@ -4280,6 +4306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v10_prefix_rerank": q_v10_prefix_rerank,
         "k7_kmv_set_ops": q_k7_kmv_set_ops,
         "st6_streaming_kmv": q_st6_streaming_kmv,
+        "x14_sax_symbols": q_x14_sax_symbols,
         # --- r7 prefix head: the float-boundary-hardened queries
         # (q1/q3/q5/q6 money sums, w8 TWA, x8 decompose, x9 corr — all
         # moved to scaled-integer sums with mirrored oracles), the
@@ -6327,6 +6354,47 @@ def oracle_sql() -> dict[str, str]:
         "    OR na.dup_ngram_occ * 2 >= na.n_grams AS INT) AS repetitive"
         " FROM toka a JOIN tokt tt USING (doc_id) JOIN bgt bt USING (doc_id)"
         " JOIN nga na USING (doc_id)"
+    )
+    # r7: x14 — SAX symbols: the x13 quantized hourly series, frame
+    # sums / series stats exact int64, z one fixed double expression,
+    # strict > comparisons against the SHARED breakpoint literals
+    from healthcare_api_spark.operators.temporal import sax_breakpoints
+
+    _bps = sax_breakpoints(8)
+    _sym_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN z > {bp!r} THEN '{chr(ord('a') + i + 1)}'"
+            for i, bp in sorted(
+                enumerate(_bps), key=lambda t: -t[1]
+            )
+        )
+        + " ELSE 'a' END"
+    )
+    out["x14_sax_symbols"] = (
+        "WITH s AS (SELECT event_type, date_trunc('hour', ts) AS bucket,"
+        "  CAST(round(CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100)"
+        "   AS BIGINT)) AS DOUBLE) * 100.0 / count(*)) AS BIGINT) AS vq"
+        "  FROM events GROUP BY 1, 2),"
+        " x AS (SELECT event_type, row_number() OVER (PARTITION BY event_type"
+        "   ORDER BY bucket) AS rn, vq FROM s),"
+        " st AS (SELECT event_type, count(*) AS n,"
+        "  CAST(sum(vq) AS BIGINT) AS sv,"
+        "  CAST(sum(vq * vq) AS BIGINT) AS qv FROM x GROUP BY 1),"
+        " fr AS (SELECT event_type, CAST((rn - 1) // 6 AS INT) AS frame_idx,"
+        "  count(*) AS m, CAST(sum(vq) AS BIGINT) AS fs FROM x GROUP BY 1, 2),"
+        " zs AS (SELECT f.event_type, frame_idx, m, fs,"
+        "  CASE WHEN sqrt(greatest(CAST(qv AS DOUBLE) / n"
+        "    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 0.0)) = 0.0"
+        "   THEN 0.0"
+        "   ELSE (CAST(fs AS DOUBLE) / m - CAST(sv AS DOUBLE) / n)"
+        "    / sqrt(greatest(CAST(qv AS DOUBLE) / n"
+        "    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 0.0)) END AS z"
+        "  FROM fr f JOIN st USING (event_type))"
+        " SELECT event_type, frame_idx, CAST(m AS INT) AS m,"
+        "  round(CAST(fs AS DOUBLE) / m, 6) AS paa,"
+        f"  {_sym_case} AS symbol"
+        " FROM zs"
     )
     # r7: st6 — streaming KMV fold: bottom-k merge is associative and
     # duplicate-idempotent, so the 2-micro-batch state must equal the

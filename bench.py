@@ -127,6 +127,7 @@ HEADLINE = [
     "v10_prefix_rerank",
     "k7_kmv_set_ops",
     "st6_streaming_kmv",
+    "x14_sax_symbols",
 ]
 
 N_STEADY = 3

@@ -953,3 +953,108 @@ def matrix_profile(
         )
     )
     return best
+
+
+# N(0,1) quantile breakpoints for SAX alphabets (Lin et al. 2003,
+# table 3): alphabet a splits the Gaussian into a equiprobable bins.
+# Hardcoded full-precision literals so engine and oracle share the
+# exact same doubles (the frozen-artifact rule).
+_SAX_BREAKPOINTS: dict[int, list[float]] = {
+    2: [0.0],
+    3: [-0.4307272992954576, 0.4307272992954576],
+    4: [-0.6744897501960817, 0.0, 0.6744897501960817],
+    5: [-0.8416212335729143, -0.2533471031357997, 0.2533471031357997,
+        0.8416212335729143],
+    6: [-0.9674215661017014, -0.4307272992954576, 0.0,
+        0.4307272992954576, 0.9674215661017014],
+    7: [-1.0675705238469317, -0.5659488219378826, -0.18001236936615665,
+        0.18001236936615665, 0.5659488219378826, 1.0675705238469317],
+    8: [-1.1503493803760079, -0.6744897501960817, -0.3186393639643751,
+        0.0, 0.3186393639643751, 0.6744897501960817,
+        1.1503493803760079],
+}
+
+
+def sax_breakpoints(alphabet: int) -> list[float]:
+    """The N(0,1) equiprobable-bin breakpoints for ``alphabet`` symbols
+    (shared by the engine expression and the x14 oracle SQL — single
+    source of truth for the literals)."""
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be in {sorted(_SAX_BREAKPOINTS)}")
+    return _SAX_BREAKPOINTS[alphabet]
+
+
+def sax_symbols(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    frame: int = 4,
+    alphabet: int = 4,
+) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003): per series, Piecewise
+    Aggregate Approximation over consecutive ``frame``-point frames,
+    then each frame mean z-normalized against the SERIES mean/stddev
+    and mapped to one of ``alphabet`` letters via the N(0,1)
+    equiprobable breakpoints — the classic symbolic time-series
+    representation (feeds motif mining, SAX-VSM classification, and
+    cheap discord screens ahead of the full matrix profile).
+
+    Input contract: ``value_col`` must be an INTEGER-quantized series
+    (the x12/x13 convention), so the frame sums and the per-series
+    Σv, Σv² are EXACT int64 and z is ONE fixed double expression —
+    bit-identical in any engine, which is what makes the symbol
+    assignment (strict ``z > breakpoint`` comparisons on identical
+    doubles) hash-verifiable without rounding tricks. Conventions
+    pinned: a constant series (σ = 0) symbolizes every frame at z = 0;
+    the tail frame may hold fewer than ``frame`` points and is kept.
+
+    Shape at scale: one per-series row_number window, two map-side-
+    combined hash aggregates (frame sums; series stats), and a
+    broadcast join of the one-row-per-series stats back onto frames.
+    Output: (series, frame_idx, m, paa 6dp, symbol).
+    """
+    if frame < 1:
+        raise ValueError("frame must be >= 1")
+    bps = sax_breakpoints(alphabet)
+    from pyspark.sql import Window
+
+    s, o, v = F.col(series_col), F.col(order_col), F.col(value_col)
+    rn = F.row_number().over(Window.partitionBy("_s").orderBy("_o"))
+    pts = (
+        df.select(s.alias("_s"), o.alias("_o"), v.cast("bigint").alias("_v"))
+        .withColumn("_rn", rn)
+        .withColumn("_f", ((F.col("_rn") - 1) / frame).cast("int"))
+    )
+    frames = pts.groupBy("_s", "_f").agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum("_v").cast("bigint").alias("_fs"),
+    )
+    stats = pts.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_v").cast("bigint").alias("_sv"),
+        F.sum(F.col("_v") * F.col("_v")).cast("bigint").alias("_qv"),
+    )
+    j = frames.join(F.broadcast(stats), "_s")
+    mu = F.col("_sv").cast("double") / F.col("_n")
+    sd = F.sqrt(
+        F.greatest(
+            F.col("_qv").cast("double") / F.col("_n") - mu * mu, F.lit(0.0)
+        )
+    )
+    z = F.when(sd == 0.0, F.lit(0.0)).otherwise(
+        (F.col("_fs").cast("double") / F.col("_m") - mu) / sd
+    )
+    # symbol = letter(#breakpoints strictly below z): each wrap puts a
+    # LARGER breakpoint on the outside, so the final chain tests from
+    # the top bin down
+    sym = F.lit("a")
+    for idx, bp in enumerate(bps):
+        sym = F.when(z > F.lit(bp), F.lit(chr(ord("a") + idx + 1))).otherwise(sym)
+    return j.select(
+        F.col("_s").alias(series_col),
+        F.col("_f").alias("frame_idx"),
+        F.col("_m").cast("int").alias("m"),
+        F.round(F.col("_fs").cast("double") / F.col("_m"), 6).alias("paa"),
+        sym.alias("symbol"),
+    )

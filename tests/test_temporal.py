@@ -531,3 +531,58 @@ def test_matrix_profile_planted_motif(spark):
         matrix_profile(df, "series", "i", "v", w=1)
     with _pytest.raises(ValueError):
         matrix_profile(df, "series", "i", "v", w=4, max_lag=3)
+
+
+def test_sax_symbols_hand_computed(spark):
+    """Known series -> known PAA frames, z-scores and letters,
+    including the short tail frame and the frame-mean rounding."""
+    import math
+
+    from healthcare_api_spark.operators.temporal import sax_symbols
+
+    # series: [0, 0, 10, 10, 20, 20, 100]  (frame=2, alphabet=4)
+    vals = [0, 0, 10, 10, 20, 20, 100]
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)], ["g", "o", "v"]
+    )
+    out = {
+        r["frame_idx"]: r
+        for r in sax_symbols(df, "g", "o", "v", frame=2, alphabet=4).collect()
+    }
+    n = len(vals)
+    mu = sum(vals) / n
+    sd = math.sqrt(sum(v * v for v in vals) / n - mu * mu)
+    bps = [-0.6744897501960817, 0.0, 0.6744897501960817]
+    for fi, frame_vals in enumerate([[0, 0], [10, 10], [20, 20], [100]]):
+        r = out[fi]
+        paa = sum(frame_vals) / len(frame_vals)
+        z = (paa - mu) / sd
+        want = chr(ord("a") + sum(1 for b in bps if z > b))
+        assert r["m"] == len(frame_vals)
+        assert abs(r["paa"] - paa) < 1e-9
+        assert r["symbol"] == want, (fi, z, r["symbol"], want)
+    # the letters must actually spread: min frame 'a', max frame 'd'
+    assert out[0]["symbol"] == "a" and out[3]["symbol"] == "d"
+
+
+def test_sax_symbols_constant_series_and_validation(spark):
+    import pytest as _pytest
+
+    from healthcare_api_spark.operators.temporal import (
+        sax_breakpoints,
+        sax_symbols,
+    )
+
+    df = spark.createDataFrame(
+        [("c", i, 7) for i in range(6)], ["g", "o", "v"]
+    )
+    rows = sax_symbols(df, "g", "o", "v", frame=3, alphabet=4).collect()
+    # sigma = 0 -> z pinned to 0 -> one breakpoint (-0.674) strictly
+    # below -> 'b' everywhere
+    assert {r["symbol"] for r in rows} == {"b"}
+    assert all(r["paa"] == 7.0 for r in rows)
+    with _pytest.raises(ValueError):
+        sax_symbols(df, "g", "o", "v", frame=0)
+    with _pytest.raises(ValueError):
+        sax_breakpoints(9)
+    assert len(sax_breakpoints(8)) == 7
