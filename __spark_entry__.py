@@ -3336,6 +3336,22 @@ def q_x13_matrix_profile(spark, sf_dir):
     )
 
 
+def q_w12_sessionize(spark, sf_dir):
+    """Batch sessionization (r7): per-user gaps-and-islands over the
+    events stream with a 30-minute inactivity gap
+    (analytics.session_stats) — session bounds, event counts and
+    exact-microsecond durations. The gap test and the running-sum
+    session numbering are integer math on epoch micros; tied
+    timestamps are safe under the RANGE cumsum (documented in the
+    operator), so the whole result is engine-portable without
+    rounding tricks."""
+    from healthcare_api_spark.operators import analytics
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return analytics.session_stats(ev, "user_id", "ts", gap_minutes=30)
+
+
 def q_x14_sax_symbols(spark, sf_dir):
     """SAX symbolization of the hourly per-type series (r7): PAA over
     6-point frames, per-series z-normalization, 8-letter alphabet
@@ -4307,6 +4323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k7_kmv_set_ops": q_k7_kmv_set_ops,
         "st6_streaming_kmv": q_st6_streaming_kmv,
         "x14_sax_symbols": q_x14_sax_symbols,
+        "w12_sessionize": q_w12_sessionize,
         # --- r7 prefix head: the float-boundary-hardened queries
         # (q1/q3/q5/q6 money sums, w8 TWA, x8 decompose, x9 corr — all
         # moved to scaled-integer sums with mirrored oracles), the
@@ -6354,6 +6371,23 @@ def oracle_sql() -> dict[str, str]:
         "    OR na.dup_ngram_occ * 2 >= na.n_grams AS INT) AS repetitive"
         " FROM toka a JOIN tokt tt USING (doc_id) JOIN bgt bt USING (doc_id)"
         " JOIN nga na USING (doc_id)"
+    )
+    # r7: w12 — sessionization: break flags + running sum on exact
+    # epoch micros; RANGE cumsum makes timestamp ties order-safe
+    out["w12_sessionize"] = (
+        "WITH l AS (SELECT user_id, ts, epoch_us(ts) AS us,"
+        "  lag(epoch_us(ts)) OVER (PARTITION BY user_id"
+        "   ORDER BY epoch_us(ts)) AS pus FROM events),"
+        " f AS (SELECT user_id, ts, us, CASE WHEN pus IS NULL"
+        "   OR us - pus > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),"
+        " s AS (SELECT user_id, ts, us, sum(brk) OVER ("
+        "   PARTITION BY user_id ORDER BY us) AS sid FROM f)"
+        " SELECT user_id, CAST(sid AS INT) AS session_idx,"
+        "  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,"
+        "  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,"
+        "  CAST(count(*) AS BIGINT) AS n_events,"
+        "  CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec"
+        " FROM s GROUP BY user_id, sid"
     )
     # r7: x14 — SAX symbols: the x13 quantized hourly series, frame
     # sums / series stats exact int64, z one fixed double expression,

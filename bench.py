@@ -128,6 +128,7 @@ HEADLINE = [
     "k7_kmv_set_ops",
     "st6_streaming_kmv",
     "x14_sax_symbols",
+    "w12_sessionize",
 ]
 
 N_STEADY = 3

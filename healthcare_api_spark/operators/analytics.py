@@ -13,6 +13,87 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): assign every event a
+    per-key ``session_idx``, where a NEW session starts when the gap
+    to the previous event strictly exceeds ``gap_minutes`` — the
+    batch twin of the streaming session window (st2), and the op
+    behind every DAU/engagement metric.
+
+    The gap test runs on EXACT epoch microseconds (integer compare —
+    no float, no truncation), so the flags and the running-sum session
+    numbering are engine-portable. Same-timestamp ties are safe by
+    construction: tied events have gap 0 (same session), and the
+    running sum uses the default RANGE frame, so every tied row sees
+    the same cumulative break count regardless of physical order.
+
+    One shuffle on ``key_col`` (both windows share the partitioning);
+    per-key session numbering never needs a global ordering. A
+    pathological mega-key is the standard per-key skew story — split
+    by time range and stitch on the boundary sessions.
+    """
+    if gap_minutes < 1:
+        raise ValueError("gap_minutes must be >= 1")
+    from pyspark.sql import Window
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("_k").orderBy("_us")
+    pts = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        # NTZ-safe: cast through TIMESTAMP (sessions run UTC, so the
+        # wall-clock epoch equals DuckDB's epoch_us of the naive value)
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        "*",
+    )
+    brk = F.when(
+        F.lag("_us").over(w).isNull()
+        | ((F.col("_us") - F.lag("_us").over(w)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy("_k").orderBy("_us")
+    return (
+        pts.withColumn("_brk", brk)
+        .withColumn("session_idx", F.sum("_brk").over(cum).cast("int"))
+        .drop("_k", "_ts", "_us", "_brk")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session rollup of :func:`sessionize`: (key, session_idx,
+    session_start, session_end, n_events, duration_sec) — start/end
+    formatted to seconds for display, duration computed on exact
+    epoch-microsecond bounds with integer floor division."""
+    sess = sessionize(df, key_col, ts_col, gap_minutes)
+    return (
+        sess.groupBy(F.col(key_col), "session_idx")
+        .agg(
+            F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.expr(
+                f"(max(unix_micros(cast({ts_col} as timestamp)))"
+                f" - min(unix_micros(cast({ts_col} as timestamp))))"
+                " div 1000000"
+            ).cast("bigint").alias("duration_sec"),
+        )
+    )
+
+
 def funnel_counts(
     events: DataFrame,
     user_col: str,

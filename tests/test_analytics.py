@@ -248,3 +248,51 @@ def test_co_occurrence_rejects_bad_args(spark):
         co_occurrence(df, "basket", "item", min_support=0)
     with pytest.raises(ValueError):
         co_occurrence(df, "basket", "item", on_exceed="maybe")
+
+
+def test_sessionize_gap_semantics(spark):
+    """Strictly-greater-than-gap starts a new session; an exact-gap
+    event stays; same-timestamp ties share a session; numbering is
+    1-based per key in time order."""
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.analytics import (
+        session_stats,
+        sessionize,
+    )
+
+    rows = [
+        # user 1: s1 = {10:00, 10:30 (exactly 30min -> same)},
+        #         s2 = {11:00:01 (30min+1s after 10:30 -> new), 11:05}
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:30:00"),
+        (1, "2024-01-01 11:00:01"),
+        (1, "2024-01-01 11:05:00"),
+        # user 2: tied timestamps -> one session
+        (2, "2024-01-01 09:00:00"),
+        (2, "2024-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    ev = {
+        (r["user_id"], str(r["ts"])): r["session_idx"]
+        for r in sessionize(df, "user_id", "ts", gap_minutes=30).collect()
+    }
+    assert ev[(1, "2024-01-01 10:00:00")] == 1
+    assert ev[(1, "2024-01-01 10:30:00")] == 1
+    assert ev[(1, "2024-01-01 11:00:01")] == 2
+    assert ev[(1, "2024-01-01 11:05:00")] == 2
+    assert ev[(2, "2024-01-01 09:00:00")] == 1
+    st = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_stats(df, "user_id", "ts", gap_minutes=30).collect()
+    }
+    assert st[(1, 1)]["n_events"] == 2 and st[(1, 1)]["duration_sec"] == 1800
+    assert st[(1, 2)]["n_events"] == 2
+    assert st[(1, 2)]["session_start"] == "2024-01-01 11:00:01"
+    assert st[(2, 1)]["n_events"] == 2 and st[(2, 1)]["duration_sec"] == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        sessionize(df, "user_id", "ts", gap_minutes=0)

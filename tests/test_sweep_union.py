@@ -203,7 +203,7 @@ def test_r7_changed_oracles_match_at_sf0001():
         "t24_perplexity_buckets", "st5_streaming_neardup",
         "x13_matrix_profile", "u4_domain_quota",
         "m16_audio_vad_windows", "v10_prefix_rerank", "k7_kmv_set_ops",
-        "st6_streaming_kmv", "x14_sax_symbols",
+        "st6_streaming_kmv", "x14_sax_symbols", "w12_sessionize",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
