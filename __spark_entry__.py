@@ -3352,6 +3352,22 @@ def q_w12_sessionize(spark, sf_dir):
     return analytics.session_stats(ev, "user_id", "ts", gap_minutes=30)
 
 
+def q_w13_session_flows(spark, sf_dir):
+    """Session transition matrix (r7): within w12's 30-minute sessions,
+    count consecutive event-type transitions and derive per-source
+    probabilities (analytics.session_flows) — the Markov-flow / Sankey
+    primitive. In-session order is (epoch micros, event_type), a total
+    order up to interchangeable duplicates, so the transition multiset
+    is deterministic; the matrix is ≤ |event_types|² rows."""
+    from healthcare_api_spark.operators import analytics
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return analytics.session_flows(
+        ev, "user_id", "ts", "event_type", gap_minutes=30
+    )
+
+
 def q_x14_sax_symbols(spark, sf_dir):
     """SAX symbolization of the hourly per-type series (r7): PAA over
     6-point frames, per-series z-normalization, 8-letter alphabet
@@ -4324,6 +4340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st6_streaming_kmv": q_st6_streaming_kmv,
         "x14_sax_symbols": q_x14_sax_symbols,
         "w12_sessionize": q_w12_sessionize,
+        "w13_session_flows": q_w13_session_flows,
         # --- r7 prefix head: the float-boundary-hardened queries
         # (q1/q3/q5/q6 money sums, w8 TWA, x8 decompose, x9 corr — all
         # moved to scaled-integer sums with mirrored oracles), the
@@ -6388,6 +6405,24 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(count(*) AS BIGINT) AS n_events,"
         "  CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec"
         " FROM s GROUP BY user_id, sid"
+    )
+    # r7: w13 — session flows: the w12 session CTEs + an in-session
+    # lag ordered by (us, event_type), then the global matrix
+    out["w13_session_flows"] = (
+        "WITH l AS (SELECT user_id, ts, epoch_us(ts) AS us, event_type,"
+        "  lag(epoch_us(ts)) OVER (PARTITION BY user_id"
+        "   ORDER BY epoch_us(ts)) AS pus FROM events),"
+        " f AS (SELECT user_id, us, event_type, CASE WHEN pus IS NULL"
+        "   OR us - pus > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),"
+        " s AS (SELECT user_id, us, event_type, sum(brk) OVER ("
+        "   PARTITION BY user_id ORDER BY us) AS sid FROM f),"
+        " st AS (SELECT event_type AS dst, lag(event_type) OVER ("
+        "   PARTITION BY user_id, sid ORDER BY us, event_type) AS src FROM s),"
+        " c AS (SELECT src, dst, count(*) AS n FROM st"
+        "  WHERE src IS NOT NULL GROUP BY 1, 2)"
+        " SELECT src, dst, CAST(n AS BIGINT) AS n_transitions,"
+        "  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6)"
+        "   AS prob FROM c"
     )
     # r7: x14 — SAX symbols: the x13 quantized hourly series, frame
     # sums / series stats exact int64, z one fixed double expression,

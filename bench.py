@@ -129,6 +129,7 @@ HEADLINE = [
     "st6_streaming_kmv",
     "x14_sax_symbols",
     "w12_sessionize",
+    "w13_session_flows",
 ]
 
 N_STEADY = 3

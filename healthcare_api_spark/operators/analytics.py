@@ -94,6 +94,56 @@ def session_stats(
     )
 
 
+def session_flows(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """First-order transition matrix over sessionized event streams
+    (the Markov-flow / Sankey primitive): within each
+    :func:`sessionize` session, count consecutive ``state_col``
+    transitions, then aggregate globally to (src, dst, n_transitions,
+    prob) with ``prob`` = n / Σ_dst n per source, 6 dp.
+
+    Tie discipline: consecutive order inside a session is (epoch
+    micros, state) — a total order whenever tied timestamps carry
+    distinct states, which makes the transition multiset deterministic
+    (same-state ties are interchangeable, so any residual ambiguity
+    cannot change counts either).
+
+    Scale shape: the lag runs in the SAME per-key window partitioning
+    the sessionizer used (one shuffle on the key), and the global
+    matrix is a map-side-combined count over at most |states|² rows.
+    """
+    from pyspark.sql import Window
+
+    sess = sessionize(df, key_col, ts_col, gap_minutes)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(F.col(key_col), F.col("session_idx")).orderBy(
+        us, F.col(state_col)
+    )
+    steps = sess.select(
+        F.lag(F.col(state_col)).over(w).alias("src"),
+        F.col(state_col).alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    counts = steps.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    tot = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(tot),
+            6,
+        ).alias("prob"),
+    )
+
+
 def funnel_counts(
     events: DataFrame,
     user_col: str,

@@ -296,3 +296,33 @@ def test_sessionize_gap_semantics(spark):
 
     with pytest.raises(ValueError):
         sessionize(df, "user_id", "ts", gap_minutes=0)
+
+
+def test_session_flows_hand_computed(spark):
+    """Two sessions -> transitions only WITHIN sessions; probabilities
+    normalize per source."""
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.analytics import session_flows
+
+    rows = [
+        # session 1: a -> b -> a   (a->b, b->a)
+        (1, "2024-01-01 10:00:00", "a"),
+        (1, "2024-01-01 10:01:00", "b"),
+        (1, "2024-01-01 10:02:00", "a"),
+        # session 2 (gap > 30min): a -> c — no cross-session a->a edge
+        (1, "2024-01-01 12:00:00", "a"),
+        (1, "2024-01-01 12:01:00", "c"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        (r["src"], r["dst"]): (r["n_transitions"], r["prob"])
+        for r in session_flows(df, "user_id", "ts", "event_type").collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("a", "c"): (1, 0.5),
+        ("b", "a"): (1, 1.0),
+    }
