@@ -470,3 +470,119 @@ def test_audio_windowed_features_matches_reference(spark):
         )
     for rid in expect:
         assert sorted(got[rid]) == expect[rid], rid
+
+
+def test_sax_symbols_matches_reference(spark):
+    """x14 vs a plain-Python SAX reference on random integer series —
+    same frame means, same letters (the z math is the same IEEE ops)."""
+    import math
+
+    from healthcare_api_spark.operators.temporal import (
+        sax_breakpoints,
+        sax_symbols,
+    )
+
+    rng = random.Random(13)
+    frame, alphabet = 3, 5
+    bps = sax_breakpoints(alphabet)
+    series = {
+        s: [rng.randint(-50, 50) for _ in range(rng.randint(4, 23))]
+        for s in ("a", "b", "c")
+    }
+    series["const"] = [9] * 7  # sigma = 0 convention
+    rows = [(s, i, v) for s, vs in series.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, ["g", "o", "v"])
+    got = {
+        (r["g"], r["frame_idx"]): (r["m"], r["paa"], r["symbol"])
+        for r in sax_symbols(df, "g", "o", "v", frame=frame, alphabet=alphabet).collect()
+    }
+    for s, vs in series.items():
+        n = len(vs)
+        mu = sum(vs) / n
+        sd = math.sqrt(max(sum(v * v for v in vs) / n - mu * mu, 0.0))
+        for fi in range((n + frame - 1) // frame):
+            fv = vs[fi * frame : (fi + 1) * frame]
+            paa = sum(fv) / len(fv)
+            z = 0.0 if sd == 0.0 else (paa - mu) / sd
+            sym = chr(ord("a") + sum(1 for b in bps if z > b))
+            m, gp, gs = got[(s, fi)]
+            assert m == len(fv) and gs == sym, (s, fi, z, gs, sym)
+            assert abs(gp - paa) < 1e-6
+
+
+def test_session_flows_matches_reference(spark):
+    """w12/w13 vs a plain-Python sessionizer on random event streams
+    (forced timestamp ties with distinct states, gaps straddling the
+    threshold both ways)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.analytics import (
+        session_flows,
+        session_stats,
+    )
+
+    rng = random.Random(21)
+    gap_min = 10
+    gap_us = gap_min * 60 * 1_000_000
+    base = 1_700_000_000_000_000
+    events = []
+    for user in range(4):
+        t = base
+        for _ in range(rng.randint(5, 30)):
+            step = rng.choice([1, 30, 599, 600, 601, 1800]) * 1_000_000
+            t += step
+            st = rng.choice("xyz")
+            events.append((user, t, st))
+            if rng.random() < 0.3:  # tie with a DISTINCT state
+                other = rng.choice([c for c in "xyz" if c != st])
+                events.append((user, t, other))
+    df = spark.createDataFrame(events, ["user_id", "us", "event_type"]).select(
+        "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "event_type",
+    )
+
+    # reference sessionizer: per user, order by (us, state); break on
+    # strict > gap vs the previous event in that order
+    sessions = {}
+    trans = Counter()
+    for user in {e[0] for e in events}:
+        evs = sorted(
+            [(t, s) for (u, t, s) in events if u == user],
+            key=lambda e: (e[0], e[1]),
+        )
+        sid, prev_t = 0, None
+        per = []
+        for t, s in evs:
+            if prev_t is None or t - prev_t > gap_us:
+                sid += 1
+            per.append((sid, t, s))
+            prev_t = t
+        sessions[user] = per
+        for (s1, t1, a), (s2, t2, b) in zip(per, per[1:]):
+            if s1 == s2:
+                trans[(a, b)] += 1
+
+    got_stats = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_sec"])
+        for r in session_stats(df, "user_id", "ts", gap_minutes=gap_min).collect()
+    }
+    for user, per in sessions.items():
+        by_sid = {}
+        for sid, t, s in per:
+            by_sid.setdefault(sid, []).append(t)
+        for sid, ts_list in by_sid.items():
+            assert got_stats[(user, sid)] == (
+                len(ts_list),
+                (max(ts_list) - min(ts_list)) // 1_000_000,
+            ), (user, sid)
+
+    got_trans = {
+        (r["src"], r["dst"]): r["n_transitions"]
+        for r in session_flows(
+            df, "user_id", "ts", "event_type", gap_minutes=gap_min
+        ).collect()
+    }
+    assert got_trans == dict(trans)
