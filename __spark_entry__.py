@@ -3352,6 +3352,44 @@ def q_w12_sessionize(spark, sf_dir):
     return analytics.session_stats(ev, "user_id", "ts", gap_minutes=30)
 
 
+def q_u6_winsorize(spark, sf_dir):
+    """Order-statistic winsorization (r7): clip the 100 lowest / 100
+    highest event values (in exact integer cents) to the boundary
+    order statistics, flags kept per row (curation.winsorize). Cuts
+    are ACTUAL data values from TakeOrdered-k heaps — no interpolated
+    quantiles, hence no cross-engine ulp surface — broadcast as two
+    1-row frames onto the data."""
+    from healthcare_api_spark.operators import curation
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return curation.winsorize(ev, "cents", k_low=100, k_high=100)
+
+
+def q_v11_ann_recall(spark, sf_dir):
+    """ANN evaluation harness (r7): recall@10 of the v10 prefix-rerank
+    retrieval against the exact v1 top-10 on the same probe
+    (similarity.recall_at_k) — the metric every ANN deployment tracks
+    next to its latency knob. Both inputs are deterministic top-k
+    frames, so the 1-row eval result is hash-verifiable; the oracle
+    recomputes both rankings and intersects them."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    exact = similarity.brute_force_topk(emb, "vec_id", "embedding", qvec, k=10)
+    approx = similarity.prefix_rerank_topk(
+        emb, "vec_id", "embedding", qvec, prefix_dims=8, candidates=100, k=10
+    )
+    return similarity.recall_at_k(exact, approx, "vec_id", k=10)
+
+
 def q_w13_session_flows(spark, sf_dir):
     """Session transition matrix (r7): within w12's 30-minute sessions,
     count consecutive event-type transitions and derive per-source
@@ -4341,6 +4379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x14_sax_symbols": q_x14_sax_symbols,
         "w12_sessionize": q_w12_sessionize,
         "w13_session_flows": q_w13_session_flows,
+        "u6_winsorize": q_u6_winsorize,
+        "v11_ann_recall": q_v11_ann_recall,
         # --- r7 prefix head: the float-boundary-hardened queries
         # (q1/q3/q5/q6 money sums, w8 TWA, x8 decompose, x9 corr — all
         # moved to scaled-integer sums with mirrored oracles), the
@@ -6406,6 +6446,25 @@ def oracle_sql() -> dict[str, str]:
         "  CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec"
         " FROM s GROUP BY user_id, sid"
     )
+    # r7: u6 — winsorization: cuts are order statistics (max of the
+    # 100 smallest / min of the 100 largest cents), exact integers —
+    # tie-safe because max-of-k-smallest is invariant to which tied
+    # rows the LIMIT keeps
+    out["u6_winsorize"] = (
+        "WITH c AS (SELECT event_id,"
+        "  CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents"
+        "  FROM events),"
+        " lo AS (SELECT max(cents) AS cl FROM"
+        "  (SELECT cents FROM c ORDER BY cents ASC LIMIT 100)),"
+        " hi AS (SELECT min(cents) AS ch FROM"
+        "  (SELECT cents FROM c ORDER BY cents DESC LIMIT 100))"
+        " SELECT event_id, cents,"
+        "  CAST(cents < cl AS INT) AS clipped_low,"
+        "  CAST(cents > ch AS INT) AS clipped_high,"
+        "  CAST(greatest(least(cents, ch), cl) AS BIGINT)"
+        "   AS cents_winsorized"
+        " FROM c, lo, hi"
+    )
     # r7: w13 — session flows: the w12 session CTEs + an in-session
     # lag ordered by (us, event_type), then the global matrix
     out["w13_session_flows"] = (
@@ -6534,6 +6593,17 @@ def oracle_sql() -> dict[str, str]:
         "   THEN 1 ELSE 0 END) AS INT) AS zero_crossings,"
         "  CAST(max(abs(v)) AS INT) AS peak"
         " FROM p GROUP BY doc_id, i // 128"
+    )
+    # r7: v11 — ANN recall eval: the v1 and v10 oracles as subqueries
+    # (defined last so both referenced entries exist), intersected on
+    # vec_id into a one-row metric
+    out["v11_ann_recall"] = (
+        f"WITH exact AS (SELECT vec_id FROM ({out['v1_ann_topk']})),"
+        f" approx AS (SELECT vec_id FROM ({out['v10_prefix_rerank']}))"
+        " SELECT CAST(10 AS INT) AS k,"
+        "  CAST(count(*) AS INT) AS n_overlap,"
+        "  round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall"
+        " FROM exact JOIN approx USING (vec_id)"
     )
     return out
 

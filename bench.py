@@ -130,6 +130,8 @@ HEADLINE = [
     "x14_sax_symbols",
     "w12_sessionize",
     "w13_session_flows",
+    "u6_winsorize",
+    "v11_ann_recall",
 ]
 
 N_STEADY = 3

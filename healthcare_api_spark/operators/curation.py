@@ -669,3 +669,50 @@ def domain_quota(
         F.col("domain_rank").cast("int").alias("domain_rank"),
         (F.col("domain_rank") <= max_per_domain).cast("int").alias("kept"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    k_low: int = 100,
+    k_high: int = 100,
+) -> DataFrame:
+    """Order-statistic winsorization (outlier clipping for numeric
+    cleanup before stats/training): values below the ``k_low``-th
+    smallest are raised to it, values above the ``k_high``-th largest
+    are lowered to it, and every row carries its clip flag so the cut
+    is auditable. Count-based cuts (not percent-based) are deliberate:
+    each cut is a per-partition-heap TakeOrdered of k rows followed by
+    a 1-row aggregate — no global sort, no second pass to count n (a
+    percent-based cut needs n first; compute it and pass ceil(p·n)).
+
+    Exactness: the cuts are ACTUAL data values (order statistics, not
+    interpolated quantiles), so on integer-quantized inputs every
+    output is exact integer math — engine-portable without the
+    interpolation ulp risk that makes interpolated-cut winsorizing
+    unverifiable. The two 1-row cut frames broadcast onto the data.
+    """
+    if k_low < 1 or k_high < 1:
+        raise ValueError("k_low and k_high must be >= 1")
+    v = F.col(value_col)
+    lo = (
+        df.select(v.alias("_v"))
+        .orderBy(F.col("_v").asc())
+        .limit(k_low)
+        .agg(F.max("_v").alias("_cut_low"))
+    )
+    hi = (
+        df.select(v.alias("_v"))
+        .orderBy(F.col("_v").desc())
+        .limit(k_high)
+        .agg(F.min("_v").alias("_cut_high"))
+    )
+    out = df.join(F.broadcast(lo)).join(F.broadcast(hi))
+    return out.select(
+        "*",
+        (v < F.col("_cut_low")).cast("int").alias("clipped_low"),
+        (v > F.col("_cut_high")).cast("int").alias("clipped_high"),
+        F.greatest(F.least(v, F.col("_cut_high")), F.col("_cut_low")).alias(
+            f"{value_col}_winsorized"
+        ),
+    ).drop("_cut_low", "_cut_high")

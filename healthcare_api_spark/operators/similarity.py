@@ -939,3 +939,27 @@ def rrf_fuse(
     )
     order = F.col("rrf_num").cast("double") / F.col("rrf_den").cast("double")
     return scored.orderBy(order.desc(), F.col(id_col).asc()).limit(k)
+
+
+def recall_at_k(
+    exact: DataFrame, approx: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """ANN evaluation harness: recall@k of an approximate top-k result
+    against the exact one — |approx ∩ exact| / k, as a 1-row frame
+    (k, n_overlap, recall 6dp). Both inputs are top-k frames (≤ k
+    rows), so the intersection is a broadcast join of two k-row sides;
+    at corpus scale the cost is producing the inputs, never the eval.
+    The recall metric every ANN deployment tracks next to its latency
+    knob (nprobe, prefix dims, bucket widening)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    hits = exact.select(F.col(id_col).alias("_id")).join(
+        F.broadcast(approx.select(F.col(id_col).alias("_id"))), "_id"
+    )
+    return hits.agg(
+        F.lit(k).alias("k"),
+        F.count(F.lit(1)).cast("int").alias("n_overlap"),
+        F.round(F.count(F.lit(1)).cast("double") / F.lit(float(k)), 6).alias(
+            "recall"
+        ),
+    )

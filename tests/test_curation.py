@@ -484,3 +484,26 @@ def test_domain_quota_caps_and_ranks(spark):
 
     with _pytest.raises(ValueError):
         domain_quota(df, "id", "url", 0)
+
+
+def test_winsorize_order_statistic_cuts(spark):
+    """k=2 cuts: values below the 2nd-smallest rise to it, above the
+    2nd-largest fall to it; flags audit the clip; ties at the cut are
+    invariant to which tied rows the heap keeps."""
+    from healthcare_api_spark.operators.curation import winsorize
+
+    vals = [1, 5, 5, 7, 9, 100, 100, 1000]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    rows = {r["id"]: r for r in winsorize(df, "v", k_low=2, k_high=2).collect()}
+    # cut_low = max of {1, 5} = 5; cut_high = min of {1000, 100} = 100
+    for i, v in enumerate(vals):
+        r = rows[i]
+        assert r["v_winsorized"] == max(min(v, 100), 5), (i, v)
+        assert r["clipped_low"] == (1 if v < 5 else 0)
+        assert r["clipped_high"] == (1 if v > 100 else 0)
+    import pytest
+
+    with pytest.raises(ValueError):
+        winsorize(df, "v", k_low=0)

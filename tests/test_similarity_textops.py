@@ -955,3 +955,20 @@ def test_rrf_fuse_three_rankings(spark):
     # id 1 (three hits) must rank first
     first = similarity.rrf_fuse([a, b, c], "id", c=60, k=1).collect()[0]
     assert first["id"] == 1
+
+
+def test_recall_at_k_eval(spark):
+    from healthcare_api_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    approx = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 4, 50, 51, 52, 53, 54]], ["id"]
+    )
+    r = recall_at_k(exact, approx, "id", k=10).collect()[0]
+    assert (r["k"], r["n_overlap"], r["recall"]) == (10, 5, 0.5)
+    full = recall_at_k(exact, exact, "id", k=10).collect()[0]
+    assert full["recall"] == 1.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        recall_at_k(exact, approx, "id", k=0)

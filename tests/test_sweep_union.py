@@ -204,7 +204,7 @@ def test_r7_changed_oracles_match_at_sf0001():
         "x13_matrix_profile", "u4_domain_quota",
         "m16_audio_vad_windows", "v10_prefix_rerank", "k7_kmv_set_ops",
         "st6_streaming_kmv", "x14_sax_symbols", "w12_sessionize",
-        "w13_session_flows",
+        "w13_session_flows", "u6_winsorize", "v11_ann_recall",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
