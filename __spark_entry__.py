@@ -3352,6 +3352,26 @@ def q_w12_sessionize(spark, sf_dir):
     return analytics.session_stats(ev, "user_id", "ts", gap_minutes=30)
 
 
+def q_d18_prefix_jaccard(spark, sf_dir):
+    """Exact-recall set-similarity self-join (r7): every doc pair
+    with distinct-3-shingle Jaccard ≥ 0.6 via prefix filtering
+    (dedup.prefix_jaccard_pairs — AllPairs/PPJoin lineage; rarest-
+    first global element order, prefix equi-join, lossless
+    length-ratio prune, exact-integer verify). Shingle sets, not
+    unigrams: this corpus's unigram vocabularies nearly all overlap
+    (59% of pairs above J=0.6!), while 3-shingle Jaccard isolates the
+    28 planted near-dup pairs. The oracle is the NAIVE ALL-PAIRS
+    join — equality proves the prefix prune lossless, the d13
+    pattern applied to sets instead of edit distance."""
+    from healthcare_api_spark.operators import dedup
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.prefix_jaccard_pairs(
+        docs, "doc_id", "text", 3, 5, shingle_n=3
+    )
+
+
 def q_u6_winsorize(spark, sf_dir):
     """Order-statistic winsorization (r7): clip the 100 lowest / 100
     highest event values (in exact integer cents) to the boundary
@@ -4381,6 +4401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w13_session_flows": q_w13_session_flows,
         "u6_winsorize": q_u6_winsorize,
         "v11_ann_recall": q_v11_ann_recall,
+        "d18_prefix_jaccard": q_d18_prefix_jaccard,
         # --- r7 prefix head: the float-boundary-hardened queries
         # (q1/q3/q5/q6 money sums, w8 TWA, x8 decompose, x9 corr — all
         # moved to scaled-integer sums with mirrored oracles), the
@@ -6445,6 +6466,24 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(count(*) AS BIGINT) AS n_events,"
         "  CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec"
         " FROM s GROUP BY user_id, sid"
+    )
+    # r7: d18 — exact-recall Jaccard pairs: the oracle is the NAIVE
+    # all-pairs join (with only the lossless length-ratio prune) —
+    # equality proves the engine's prefix filter drops nothing
+    out["d18_prefix_jaccard"] = (
+        f"WITH docs AS (SELECT doc_id, text FROM documents),"
+        f"{_shingle_cte()},"
+        " tok AS (SELECT DISTINCT doc_id, s AS t FROM sh WHERE s <> ''),"
+        " s AS (SELECT doc_id, list(DISTINCT t) AS l, count(*) AS n"
+        "  FROM tok GROUP BY doc_id),"
+        " p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        "  a.n AS n_a, b.n AS n_b,"
+        "  len(list_intersect(a.l, b.l)) AS overlap"
+        "  FROM s a JOIN s b ON a.doc_id < b.doc_id"
+        "   AND a.n * 3 <= b.n * 5 AND b.n * 3 <= a.n * 5)"
+        " SELECT id_a, id_b, CAST(n_a AS INT) AS n_a,"
+        "  CAST(n_b AS INT) AS n_b, CAST(overlap AS INT) AS overlap"
+        " FROM p WHERE overlap * 5 >= (n_a + n_b - overlap) * 3"
     )
     # r7: u6 — winsorization: cuts are order statistics (max of the
     # 100 smallest / min of the 100 largest cents), exact integers —

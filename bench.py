@@ -132,6 +132,7 @@ HEADLINE = [
     "w13_session_flows",
     "u6_winsorize",
     "v11_ann_recall",
+    "d18_prefix_jaccard",
 ]
 
 N_STEADY = 3

@@ -1385,3 +1385,154 @@ def hamming_topk(
         .orderBy(F.col("hamming").asc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau_num: int = 3,
+    tau_den: int = 5,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """EXACT-recall token-set Jaccard self-join via prefix filtering
+    (AllPairs / PPJoin lineage — Bayardo et al. 2007, Xiao et al.
+    2008): emit every unordered doc pair whose DISTINCT-token Jaccard
+    is ≥ τ = ``tau_num / tau_den``, without the all-pairs cross
+    product. The banded-MinHash path (d2/d6) trades recall for speed;
+    this is its exact sibling, the d13-for-sets.
+
+    How the prune stays lossless: tokens are globally ordered by
+    (document frequency asc, token) — rarest first; a doc's PREFIX is
+    its first |x| − ⌈τ·|x|⌉ + 1 tokens in that order. The prefix
+    lemma guarantees two docs with J ≥ τ share a prefix token, so the
+    candidate join is an equi-join on prefix tokens (bounded: rare
+    tokens by construction), plus the lossless length-ratio prune
+    τ·max ≤ min. Verification is EXACT INTEGER arithmetic —
+    ``tau_den·overlap ≥ tau_num·(nx+ny−overlap)`` — so the output
+    hashes identically in any engine, and the d18 oracle is the NAIVE
+    all-pairs join: equality proves exact recall, the d13 pattern.
+
+    Scale shape: one token-frequency aggregate, one frequency join,
+    one per-doc sort+collect, a prefix-token equi-join (skew-immune by
+    design: frequent tokens never land in prefixes), and a verify join
+    on doc ids. Output: (id_a, id_b, n_a, n_b, overlap).
+
+    ``shingle_n`` picks the set elements: 1 = distinct unigrams (the
+    classic AllPairs setting), ≥ 2 = distinct word n-shingles (the d2
+    convention) — on homogeneous corpora whose unigram vocabularies
+    all overlap, shingles are what makes Jaccard (and therefore the
+    prefix prune) discriminative at all.
+    """
+    if not (0 < tau_num <= tau_den):
+        raise ValueError("need 0 < tau_num <= tau_den (tau in (0, 1])")
+    if shingle_n < 1:
+        raise ValueError("shingle_n must be >= 1")
+    elems = (
+        tokens(F.col(text_col))
+        if shingle_n == 1
+        else word_shingles(F.col(text_col), shingle_n)
+    )
+    toks = (
+        df.select(F.col(id_col).alias("_id"), F.explode(elems).alias("_t"))
+        .filter(F.col("_t") != "")
+        .distinct()
+        # feeds BOTH the frequency agg and the join back onto it —
+        # without the pin the shingle regex + explode + distinct runs
+        # twice inside one action (measured 8.8 → 6.4 s at sf0.1)
+        .localCheckpoint(eager=True)
+    )
+    freq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # per-doc token array in global (df, token) order — rarest first
+    arrs = (
+        toks.join(freq, "_t")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_df", "_t"))),
+                lambda s: s["_t"],
+            ).alias("_arr")
+        )
+        .withColumn("_n", F.size("_arr"))
+        # prefix length |x| − ⌈τ|x|⌉ + 1, exact integer ceil
+        .withColumn(
+            "_plen",
+            F.col("_n")
+            - F.floor(
+                (F.col("_n") * tau_num + tau_den - 1) / tau_den
+            ).cast("int")
+            + 1,
+        )
+        .localCheckpoint(eager=True)  # feeds both sides of two self-joins
+    )
+    pref = arrs.select(
+        "_id",
+        "_n",
+        F.posexplode(F.slice("_arr", 1, F.col("_plen"))).alias("_p", "_t"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin positional filter (also lossless): each array's prefix is
+    # a DOWN-SET of the same global order, so no shared token can
+    # precede the pair's FIRST shared prefix token c* (a smaller
+    # shared token would itself be a prefix-prefix match) — hence
+    # overlap ≤ 1 + min(nx − i*, ny − j*) with i*, j* the 1-based
+    # positions of c*. Candidates whose bound misses the required
+    # overlap t = τ/(1+τ)·(nx+ny) never reach the array_intersect
+    # verify (measured at sf0.1: 193k candidates → the verify sees
+    # only hundreds; 8.8 → 4.3 s end-to-end).
+    cand = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._id") < F.col("b._id"))
+            # lossless length-ratio prune: J ≥ τ ⟹ τ·max ≤ min
+            & (F.col("a._n") * tau_num <= F.col("b._n") * tau_den)
+            & (F.col("b._n") * tau_num <= F.col("a._n") * tau_den),
+        )
+        .groupBy(
+            F.col("a._id").alias("_ia"),
+            F.col("b._id").alias("_ib"),
+        )
+        .agg(
+            # c* = the lexicographically-first shared (pos_x, pos_y):
+            # positions of a given token agree with the global order on
+            # both sides, so min over pairs IS the first shared token
+            F.min(
+                F.struct(
+                    F.col("a._p").alias("pi"), F.col("b._p").alias("pj")
+                )
+            ).alias("_m"),
+            F.first("a._n").alias("_na"),
+            F.first("b._n").alias("_nb"),
+        )
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("_na") - F.col("_m.pi") - 1,
+                    F.col("_nb") - F.col("_m.pj") - 1,
+                )
+            )
+            * (tau_num + tau_den)
+            >= (F.col("_na") + F.col("_nb")) * tau_num
+        )
+        .select("_ia", "_ib")
+    )
+    va = arrs.select(F.col("_id").alias("_ia"), F.col("_arr").alias("_aa"), F.col("_n").alias("n_a"))
+    vb = arrs.select(F.col("_id").alias("_ib"), F.col("_arr").alias("_ab"), F.col("_n").alias("n_b"))
+    verified = (
+        cand.join(va, "_ia")
+        .join(vb, "_ib")
+        .withColumn("overlap", F.size(F.array_intersect("_aa", "_ab")))
+        .filter(
+            F.col("overlap") * tau_den
+            >= (F.col("n_a") + F.col("n_b") - F.col("overlap")) * tau_num
+        )
+    )
+    return verified.select(
+        F.col("_ia").alias("id_a"),
+        F.col("_ib").alias("id_b"),
+        F.col("n_a").cast("int").alias("n_a"),
+        F.col("n_b").cast("int").alias("n_b"),
+        F.col("overlap").cast("int").alias("overlap"),
+    )

@@ -813,3 +813,87 @@ def test_embedding_neardup_arrow_matches_expr(spark):
         ).collect()
     }
     assert expr == arrow and len(expr) > 0
+
+
+def test_prefix_jaccard_exact_recall_vs_brute_force(spark):
+    """d18: the prefix-filtered join must emit EXACTLY the pairs the
+    naive all-pairs computation does, on a randomized corpus with
+    planted near-dups — the lossless-prune contract."""
+    import random
+
+    from healthcare_api_spark.operators import dedup
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = {}
+    for i in range(30):
+        texts[i] = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 15)))
+    # planted near-dups: copy with a one-word tweak
+    for i in range(30, 36):
+        base = texts[i - 30].split()
+        if len(base) > 1:
+            base[rng.randrange(len(base))] = rng.choice(vocab)
+        texts[i] = " ".join(base)
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    def brute(tau_num, tau_den):
+        sets = {
+            i: {t for t in " ".join(t2.lower().split()).split(" ") if t}
+            for i, t2 in texts.items()
+        }
+        out = set()
+        ids = sorted(sets)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                if not sets[a] or not sets[b]:
+                    continue
+                o = len(sets[a] & sets[b])
+                if o * tau_den >= (len(sets[a]) + len(sets[b]) - o) * tau_num:
+                    out.add((a, b))
+        return out
+
+    for tn, td in [(3, 5), (4, 5), (9, 10)]:
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.prefix_jaccard_pairs(
+                df, "doc_id", "text", tn, td
+            ).collect()
+        }
+        assert got == brute(tn, td), (tn, td)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.prefix_jaccard_pairs(df, "doc_id", "text", 0, 5)
+    with pytest.raises(ValueError):
+        dedup.prefix_jaccard_pairs(df, "doc_id", "text", 6, 5)
+    with pytest.raises(ValueError):
+        dedup.prefix_jaccard_pairs(df, "doc_id", "text", 3, 5, shingle_n=0)
+
+
+def test_prefix_jaccard_shingle_mode_isolates_neardups(spark):
+    # with a shared unigram vocabulary, unigram Jaccard conflates
+    # everything; 2-shingle Jaccard only pairs the true near-dups
+    from healthcare_api_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),   # near-dup of 1 (shares 4 of the 2-shingles)
+            (3, "f e d c b a"),   # same unigrams, reversed order
+        ],
+        ["doc_id", "text"],
+    )
+    uni = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.prefix_jaccard_pairs(df, "doc_id", "text", 3, 5).collect()
+    }
+    assert (1, 3) in uni  # unigram sets identical
+    sh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.prefix_jaccard_pairs(
+            df, "doc_id", "text", 3, 5, shingle_n=2
+        ).collect()
+    }
+    assert sh == {(1, 2)}  # only the true near-dup survives
