@@ -42,25 +42,26 @@ def sessionize(
     from pyspark.sql import Window
 
     gap_us = gap_minutes * 60 * 1_000_000
-    w = Window.partitionBy("_k").orderBy("_us")
-    pts = df.select(
-        F.col(key_col).alias("_k"),
-        F.col(ts_col).alias("_ts"),
+    # windows partition on the ORIGINAL key attribute (not an alias):
+    # downstream per-(key, session_idx) aggregations then satisfy
+    # their distribution from this same exchange — one shuffle total
+    # (plan-pinned by tests/test_plans.py)
+    w = Window.partitionBy(F.col(key_col)).orderBy("_us")
+    pts = df.withColumn(
         # NTZ-safe: cast through TIMESTAMP (sessions run UTC, so the
         # wall-clock epoch equals DuckDB's epoch_us of the naive value)
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
-        "*",
+        "_us",
+        F.unix_micros(F.col(ts_col).cast("timestamp")),
     )
     brk = F.when(
         F.lag("_us").over(w).isNull()
         | ((F.col("_us") - F.lag("_us").over(w)) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
-    cum = Window.partitionBy("_k").orderBy("_us")
     return (
         pts.withColumn("_brk", brk)
-        .withColumn("session_idx", F.sum("_brk").over(cum).cast("int"))
-        .drop("_k", "_ts", "_us", "_brk")
+        .withColumn("session_idx", F.sum("_brk").over(w).cast("int"))
+        .drop("_us", "_brk")
     )
 
 

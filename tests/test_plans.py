@@ -221,6 +221,15 @@ def test_prefix_rerank_two_take_ordered_no_sort(spark):
     assert "Join" not in plan
 
 
+def test_sessionize_single_shuffle(spark):
+    # w12: the lag window, the running-sum window and the per-session
+    # aggregation must all reuse ONE exchange on the user key — the
+    # windows partition on the original attribute, not an alias
+    df = entrymod.q_w12_sessionize(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+
+
 def test_seasonal_decompose_single_window_per_series(spark):
     # x8: trend window + two small aggregates — the hourly series frame
     # shuffles on the series key once for the window
