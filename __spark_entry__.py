@@ -3336,6 +3336,33 @@ def q_x13_matrix_profile(spark, sf_dir):
     )
 
 
+def q_x15_sax_motifs(spark, sf_dir):
+    """SAX motif screen (r7): slide a 4-frame word window over x14's
+    per-series symbol stream and report repeated words — motif
+    CANDIDATES, the cheap discrete prune that runs before the exact
+    matrix profile (x13) confirms (temporal.sax_motif_candidates,
+    HOT-SAX precursor). Downstream of the symbols everything is
+    strings and ints, so the output is exact by construction; the
+    oracle rebuilds the words by list-slicing the x14 symbol
+    arrays."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value").cast("double") * 100).cast("bigint")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.round(
+            F.sum(cents).cast("double") * 100.0 / F.count(F.lit(1))
+        ).cast("bigint").alias("vq")
+    )
+    return temporal.sax_motif_candidates(
+        hourly, "event_type", "bucket", "vq",
+        frame=6, alphabet=8, word_len=4,
+    )
+
+
 def q_w12_sessionize(spark, sf_dir):
     """Batch sessionization (r7): per-user gaps-and-islands over the
     events stream with a 30-minute inactivity gap
@@ -4402,6 +4429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u6_winsorize": q_u6_winsorize,
         "v11_ann_recall": q_v11_ann_recall,
         "d18_prefix_jaccard": q_d18_prefix_jaccard,
+        "x15_sax_motifs": q_x15_sax_motifs,
         # --- r7 prefix head: the float-boundary-hardened queries
         # (q1/q3/q5/q6 money sums, w8 TWA, x8 decompose, x9 corr — all
         # moved to scaled-integer sums with mirrored oracles), the
@@ -6643,6 +6671,20 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(count(*) AS INT) AS n_overlap,"
         "  round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall"
         " FROM exact JOIN approx USING (vec_id)"
+    )
+    # r7: x15 — SAX motif screen: the x14 oracle as a subquery, words
+    # by list-slicing the per-series symbol arrays, repeated words only
+    out["x15_sax_motifs"] = (
+        f"WITH x14 AS ({out['x14_sax_symbols']}),"
+        " arrs AS (SELECT event_type, list(symbol ORDER BY frame_idx) AS a"
+        "  FROM x14 GROUP BY 1),"
+        " wd AS (SELECT event_type, i - 1 AS s,"
+        "  array_to_string(a[i:i+3], '') AS word"
+        "  FROM arrs, LATERAL (SELECT unnest(generate_series(1, len(a) - 3))"
+        "   AS i))"
+        " SELECT event_type, word, CAST(count(*) AS INT) AS n_occ,"
+        "  CAST(min(s) AS INT) AS first_idx, CAST(max(s) AS INT) AS last_idx"
+        " FROM wd GROUP BY 1, 2 HAVING count(*) >= 2"
     )
     return out
 

@@ -133,6 +133,7 @@ HEADLINE = [
     "u6_winsorize",
     "v11_ann_recall",
     "d18_prefix_jaccard",
+    "x15_sax_motifs",
 ]
 
 N_STEADY = 3

@@ -1058,3 +1058,60 @@ def sax_symbols(
         F.round(F.col("_fs").cast("double") / F.col("_m"), 6).alias("paa"),
         sym.alias("symbol"),
     )
+
+
+def sax_motif_candidates(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    frame: int = 4,
+    alphabet: int = 4,
+    word_len: int = 4,
+) -> DataFrame:
+    """SAX motif screen (Lin et al. 2003 §4; the HOT-SAX precursor):
+    slide a ``word_len``-frame window over each series' SAX symbol
+    stream and report every word that repeats — repeated words are
+    motif CANDIDATES, the cheap discrete pass that prunes the series
+    before an exact pass (the matrix profile, x13) confirms. Composes
+    :func:`sax_symbols`; everything downstream of the symbols is
+    strings and ints, so the result is exact by construction.
+
+    Output: (series, word, n_occ ≥ 2, first_idx, last_idx) with idx =
+    frame index of the window start. Shape at scale: the word build is
+    a bounded-following collect over the per-series frame stream (the
+    same key partitioning the symbolization already created), and the
+    candidate agg is map-side combined on (series, word).
+    """
+    if word_len < 2:
+        raise ValueError("word_len must be >= 2")
+    from pyspark.sql import Window
+
+    sym = sax_symbols(df, series_col, order_col, value_col, frame, alphabet)
+    w = (
+        Window.partitionBy(F.col(series_col))
+        .orderBy("frame_idx")
+        .rowsBetween(Window.currentRow, word_len - 1)
+    )
+    words = (
+        sym.select(
+            F.col(series_col),
+            "frame_idx",
+            F.collect_list("symbol").over(w).alias("_w"),
+        )
+        .filter(F.size("_w") == word_len)
+        .select(
+            F.col(series_col),
+            F.col("frame_idx").alias("_start"),
+            F.array_join("_w", "").alias("word"),
+        )
+    )
+    return (
+        words.groupBy(F.col(series_col), "word")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_occ"),
+            F.min("_start").cast("int").alias("first_idx"),
+            F.max("_start").cast("int").alias("last_idx"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )

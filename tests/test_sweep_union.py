@@ -205,7 +205,7 @@ def test_r7_changed_oracles_match_at_sf0001():
         "m16_audio_vad_windows", "v10_prefix_rerank", "k7_kmv_set_ops",
         "st6_streaming_kmv", "x14_sax_symbols", "w12_sessionize",
         "w13_session_flows", "u6_winsorize", "v11_ann_recall",
-        "d18_prefix_jaccard",
+        "d18_prefix_jaccard", "x15_sax_motifs",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()

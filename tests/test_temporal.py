@@ -586,3 +586,33 @@ def test_sax_symbols_constant_series_and_validation(spark):
     with _pytest.raises(ValueError):
         sax_breakpoints(9)
     assert len(sax_breakpoints(8)) == 7
+
+
+def test_sax_motif_candidates_repeats_only(spark):
+    """A series with an embedded repeated pattern yields that word
+    (twice) and nothing else; word windows never cross series."""
+    from healthcare_api_spark.operators.temporal import sax_motif_candidates
+
+    # pattern P = [0, 0, 9, 9] (2 frames of 2) repeated at frames 0-1
+    # and 4-5, separated by a distinct middle
+    vals = [0, 0, 9, 9, 50, 50, -50, -50, 0, 0, 9, 9]
+    rows = [("s", i, v) for i, v in enumerate(vals)]
+    rows += [("t", i, v) for i, v in enumerate([1, 2, 3, 4])]  # too short
+    df = spark.createDataFrame(rows, ["g", "o", "v"])
+    out = sax_motif_candidates(
+        df, "g", "o", "v", frame=2, alphabet=4, word_len=2
+    ).collect()
+    by = {(r["g"], r["word"]): r for r in out}
+    assert all(g == "s" for g, _ in by)  # 't' has < word_len+1 frames
+    assert len(by) >= 1
+    for r in out:
+        assert r["n_occ"] >= 2 and r["first_idx"] < r["last_idx"]
+    # the repeated 2-frame pattern: frames 0,1 == frames 4,5 as symbols
+    # -> the word starting at frame 0 repeats at frame 4
+    rep = [r for r in out if r["first_idx"] == 0]
+    assert rep and rep[0]["last_idx"] == 4
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        sax_motif_candidates(df, "g", "o", "v", word_len=1)
