@@ -695,15 +695,18 @@ def winsorize(
     if k_low < 1 or k_high < 1:
         raise ValueError("k_low and k_high must be >= 1")
     v = F.col(value_col)
+    # NULL values are excluded from the cut heaps (Spark sorts nulls
+    # first ASC, other engines last — without the filter the low cut
+    # would be engine-dependent); null rows pass through with null
+    # flags and a null winsorized value
+    nn = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
     lo = (
-        df.select(v.alias("_v"))
-        .orderBy(F.col("_v").asc())
+        nn.orderBy(F.col("_v").asc())
         .limit(k_low)
         .agg(F.max("_v").alias("_cut_low"))
     )
     hi = (
-        df.select(v.alias("_v"))
-        .orderBy(F.col("_v").desc())
+        nn.orderBy(F.col("_v").desc())
         .limit(k_high)
         .agg(F.min("_v").alias("_cut_high"))
     )
@@ -712,7 +715,11 @@ def winsorize(
         "*",
         (v < F.col("_cut_low")).cast("int").alias("clipped_low"),
         (v > F.col("_cut_high")).cast("int").alias("clipped_high"),
-        F.greatest(F.least(v, F.col("_cut_high")), F.col("_cut_low")).alias(
-            f"{value_col}_winsorized"
-        ),
+        # least/greatest skip nulls in Spark (and DuckDB), which would
+        # silently clamp a NULL to a cut — keep nulls null explicitly
+        F.when(
+            v.isNull(), F.lit(None)
+        ).otherwise(
+            F.greatest(F.least(v, F.col("_cut_high")), F.col("_cut_low"))
+        ).alias(f"{value_col}_winsorized"),
     ).drop("_cut_low", "_cut_high")

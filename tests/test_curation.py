@@ -507,3 +507,19 @@ def test_winsorize_order_statistic_cuts(spark):
 
     with pytest.raises(ValueError):
         winsorize(df, "v", k_low=0)
+
+
+def test_winsorize_null_values_pass_through(spark):
+    # nulls must not poison the cut heaps (Spark sorts nulls first
+    # ASC) and must pass through with null flags
+    from healthcare_api_spark.operators.curation import winsorize
+
+    df = spark.createDataFrame(
+        [(0, None), (1, 1), (2, 5), (3, 9), (4, 1000)],
+        "id long, v long",
+    )
+    rows = {r["id"]: r for r in winsorize(df, "v", k_low=1, k_high=1).collect()}
+    assert rows[0]["v_winsorized"] is None and rows[0]["clipped_low"] is None
+    # cut_low = 1 (not null), cut_high = 1000
+    assert rows[1]["clipped_low"] == 0 and rows[1]["v_winsorized"] == 1
+    assert rows[3]["v_winsorized"] == 9
