@@ -427,3 +427,35 @@ def test_pq_adc_kernel_matches_python_reference_property(spark, vecs):
             q = qint[j * 4 : (j + 1) * 4]
             total += sum((a - b) ** 2 for a, b in zip(q, book[code]))
         assert got[n] == total, n
+
+
+@_slow
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([(1, 2), (3, 5), (4, 5), (1, 1)]),
+)
+def test_prefix_jaccard_lossless_property(spark, token_lists, tau):
+    """d18's prefix + positional + length prunes must be LOSSLESS on
+    arbitrary token multisets (duplicates, empty docs, single tokens,
+    all-identical corpora) at several thresholds, including tau = 1."""
+    tn, td = tau
+    texts = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in dedup.prefix_jaccard_pairs(df, "doc_id", "text", tn, td).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(token_lists)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            o = len(sets[a] & sets[b])
+            if o * td >= (len(sets[a]) + len(sets[b]) - o) * tn:
+                want[(a, b)] = o
+    assert got == want
