@@ -690,7 +690,10 @@ def winsorize(
     interpolated quantiles), so on integer-quantized inputs every
     output is exact integer math — engine-portable without the
     interpolation ulp risk that makes interpolated-cut winsorizing
-    unverifiable. The two 1-row cut frames broadcast onto the data.
+    unverifiable. The two cut values come back to the driver (bounded
+    1-value fetches) and are folded into the clamp as literals — no
+    join in the output plan, and a crossed-cut request (k_low + k_high
+    > non-null rows) raises instead of producing values above cut_high.
     """
     if k_low < 1 or k_high < 1:
         raise ValueError("k_low and k_high must be >= 1")
@@ -700,26 +703,42 @@ def winsorize(
     # would be engine-dependent); null rows pass through with null
     # flags and a null winsorized value
     nn = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
-    lo = (
+    # The cuts are fetched to the driver (two bounded TakeOrdered jobs,
+    # ONE value each — never data-proportional) so a degenerate request
+    # can be rejected: when k_low + k_high exceeds the non-null count
+    # the order-statistic cuts can CROSS (cut_low > cut_high), and
+    # greatest(least(v, hi), lo) would then silently raise every value
+    # to cut_low — outputs ABOVE cut_high. That is never what the
+    # caller meant, so it raises instead of clamping garbage.
+    cut_low = (
         nn.orderBy(F.col("_v").asc())
         .limit(k_low)
         .agg(F.max("_v").alias("_cut_low"))
+        .first()[0]
     )
-    hi = (
+    cut_high = (
         nn.orderBy(F.col("_v").desc())
         .limit(k_high)
         .agg(F.min("_v").alias("_cut_high"))
+        .first()[0]
     )
-    out = df.join(F.broadcast(lo)).join(F.broadcast(hi))
-    return out.select(
+    if cut_low is not None and cut_high is not None and cut_low > cut_high:
+        raise ValueError(
+            f"winsorize: cuts crossed (cut_low={cut_low!r} > "
+            f"cut_high={cut_high!r}) — k_low={k_low} + k_high={k_high} "
+            "exceeds the non-null row count; lower k_low/k_high"
+        )
+    lo_lit = F.lit(cut_low)
+    hi_lit = F.lit(cut_high)
+    return df.select(
         "*",
-        (v < F.col("_cut_low")).cast("int").alias("clipped_low"),
-        (v > F.col("_cut_high")).cast("int").alias("clipped_high"),
+        (v < lo_lit).cast("int").alias("clipped_low"),
+        (v > hi_lit).cast("int").alias("clipped_high"),
         # least/greatest skip nulls in Spark (and DuckDB), which would
         # silently clamp a NULL to a cut — keep nulls null explicitly
         F.when(
             v.isNull(), F.lit(None)
         ).otherwise(
-            F.greatest(F.least(v, F.col("_cut_high")), F.col("_cut_low"))
+            F.greatest(F.least(v, hi_lit), lo_lit)
         ).alias(f"{value_col}_winsorized"),
-    ).drop("_cut_low", "_cut_high")
+    )

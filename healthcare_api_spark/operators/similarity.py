@@ -895,6 +895,7 @@ def rrf_fuse(
     rank_col: str = "rank",
     c: int = 60,
     k: int = 10,
+    score_mode: str = "exact",
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack & Clarke 2009) of N ranked lists:
     score(d) = Σ_present 1/(c + rank_i(d)), the standard hybrid-retrieval
@@ -905,7 +906,14 @@ def rrf_fuse(
     (a·(c+r) + b) / (b·(c+r))), so the output columns are all integers
     and the only float op is the final ordering division, a single
     correctly-rounded IEEE op identical in any engine. Denominator
-    magnitude is Π(c+rankᵢ) ≤ (c+len)ᴺ — int64-safe for any sane N.
+    magnitude is Π(c+rankᵢ) ≤ (c+max_rank)ᴺ, which overflows int64
+    silently for enough deep lists (10 lists of rank ~1000 ≈ 10³⁰) and
+    would corrupt the ordering — so the bound is CHECKED eagerly: the
+    actual max rank of each list is fetched (one 1-value agg per list,
+    the lists are bounded top-N frames) and the call raises if
+    Σ log2(c+max_rankᵢ) could reach 63 bits, directing the caller to
+    ``score_mode="double"`` (plain Σ 1/(c+rankᵢ) as a double ``rrf_score``
+    column — not bit-portable across engines, but overflow-free).
 
     Scale shape: each ranking is already a bounded top-N list (the
     expensive scoring happened upstream); fusion is N−1 full-outer
@@ -914,18 +922,54 @@ def rrf_fuse(
     nothing (the rational simply skips the step).
 
     Output: (id, rank_1..rank_N nullable, rrf_num, rrf_den), top-``k``
-    by score with id tie-break.
+    by score with id tie-break. With ``score_mode="double"`` the two
+    rational columns are replaced by one ``rrf_score`` double.
     """
+    import math
+
     if not rankings:
         raise ValueError("rankings must be non-empty")
     if c < 1:
         raise ValueError("c must be >= 1")
+    if score_mode not in ("exact", "double"):
+        raise ValueError("score_mode must be 'exact' or 'double'")
     fused = None
     for i, r in enumerate(rankings, start=1):
         side = r.select(
             F.col(id_col), F.col(rank_col).cast("bigint").alias(f"rank_{i}")
         )
         fused = side if fused is None else fused.join(side, id_col, "full_outer")
+    if score_mode == "double":
+        score = sum(
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.col(f"rank_{i}") + F.lit(c)).cast("double"),
+                    F.lit(0.0),
+                )
+                for i in range(1, len(rankings) + 1)
+            ),
+            F.lit(0.0),
+        )
+        scored = fused.select(
+            F.col(id_col),
+            *[F.col(f"rank_{i}") for i in range(1, len(rankings) + 1)],
+            score.alias("rrf_score"),
+        )
+        return scored.orderBy(
+            F.col("rrf_score").desc(), F.col(id_col).asc()
+        ).limit(k)
+    # overflow guard for the exact rational: each list is a bounded
+    # top-N frame, so its true max rank is one 1-value agg away —
+    # fetch them and refuse if Π(c+max_rankᵢ) could reach 2⁶³
+    bits = 0.0
+    for r in rankings:
+        mr = r.agg(F.max(F.col(rank_col).cast("bigint"))).first()[0]
+        bits += math.log2(c + int(mr if mr is not None else 1))
+    if bits >= 63.0:
+        raise ValueError(
+            f"rrf_fuse: exact rational denominator needs ~{bits:.1f} bits "
+            "(> int64) for these list depths — pass score_mode='double'"
+        )
     num, den = F.lit(0).cast("bigint"), F.lit(1).cast("bigint")
     for i in range(1, len(rankings) + 1):
         step = F.col(f"rank_{i}") + F.lit(c)
@@ -945,21 +989,32 @@ def recall_at_k(
     exact: DataFrame, approx: DataFrame, id_col: str, k: int
 ) -> DataFrame:
     """ANN evaluation harness: recall@k of an approximate top-k result
-    against the exact one — |approx ∩ exact| / k, as a 1-row frame
-    (k, n_overlap, recall 6dp). Both inputs are top-k frames (≤ k
+    against the exact one — |approx ∩ exact| / min(k, |exact|), as a
+    1-row frame (k, n_overlap, recall 6dp). The denominator is the
+    ACHIEVABLE overlap: on a corpus smaller than k the exact frame has
+    fewer than k rows and dividing by the literal k would understate
+    recall and cap it below 1.0. Both inputs are top-k frames (≤ k
     rows), so the intersection is a broadcast join of two k-row sides;
     at corpus scale the cost is producing the inputs, never the eval.
     The recall metric every ANN deployment tracks next to its latency
     knob (nprobe, prefix dims, bucket widening)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    hits = exact.select(F.col(id_col).alias("_id")).join(
+    ex = exact.select(F.col(id_col).alias("_id"))
+    hits = ex.join(
         F.broadcast(approx.select(F.col(id_col).alias("_id"))), "_id"
     )
-    return hits.agg(
-        F.lit(k).alias("k"),
-        F.count(F.lit(1)).cast("int").alias("n_overlap"),
-        F.round(F.count(F.lit(1)).cast("double") / F.lit(float(k)), 6).alias(
-            "recall"
-        ),
+    n_exact = ex.agg(F.count(F.lit(1)).cast("int").alias("_n_exact"))
+    return (
+        hits.agg(F.count(F.lit(1)).cast("int").alias("n_overlap"))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            F.lit(k).alias("k"),
+            F.col("n_overlap"),
+            F.round(
+                F.col("n_overlap").cast("double")
+                / F.least(F.lit(k), F.col("_n_exact")).cast("double"),
+                6,
+            ).alias("recall"),
+        )
     )

@@ -523,3 +523,20 @@ def test_winsorize_null_values_pass_through(spark):
     # cut_low = 1 (not null), cut_high = 1000
     assert rows[1]["clipped_low"] == 0 and rows[1]["v_winsorized"] == 1
     assert rows[3]["v_winsorized"] == 9
+
+
+def test_winsorize_crossed_cuts_raise(spark):
+    """k_low + k_high > non-null rows can cross the cuts (cut_low >
+    cut_high); the old clamp silently raised every value to cut_low —
+    now it raises (ADVICE r7). Equal cuts (exactly meeting in the
+    middle) remain legal."""
+    import pytest
+    from healthcare_api_spark.operators.curation import winsorize
+
+    df = spark.createDataFrame([(0, 1), (1, 9)], ["id", "v"])
+    with pytest.raises(ValueError, match="crossed"):
+        winsorize(df, "v", k_low=2, k_high=2).collect()
+    # 3 rows, k=2/2: cut_low = 5, cut_high = 5 — equal, not crossed
+    df3 = spark.createDataFrame([(0, 1), (1, 5), (2, 9)], ["id", "v"])
+    rows = {r["id"]: r for r in winsorize(df3, "v", k_low=2, k_high=2).collect()}
+    assert [rows[i]["v_winsorized"] for i in range(3)] == [5, 5, 5]

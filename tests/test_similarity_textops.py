@@ -863,6 +863,51 @@ def test_rrf_fuse_exact_rationals(spark):
         similarity.rrf_fuse([a], "id", c=0)
 
 
+def test_rrf_fuse_overflow_guard_and_double_mode(spark):
+    """Exact-rational mode refuses list depths whose Π(c+rank) would
+    overflow int64 (ADVICE r7) and directs to score_mode='double',
+    which must still order correctly."""
+    import pytest
+
+    deep_a = spark.createDataFrame(
+        [(1, 10**18), (2, 1)], ["id", "rank"]
+    )
+    deep_b = spark.createDataFrame(
+        [(1, 10**18), (3, 2)], ["id", "rank"]
+    )
+    with pytest.raises(ValueError, match="score_mode='double'"):
+        similarity.rrf_fuse([deep_a, deep_b], "id")
+    out = similarity.rrf_fuse(
+        [deep_a, deep_b], "id", score_mode="double", k=3
+    ).collect()
+    # id 2 (rank 1, one list) > id 3 (rank 2) > id 1 (two huge ranks)
+    assert [r["id"] for r in out] == [2, 3, 1]
+    assert out[0]["rrf_score"] == 1.0 / 61.0
+    # double mode on shallow lists agrees with exact-mode ordering
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["id", "rank"])
+    b = spark.createDataFrame([(2, 1), (4, 2)], ["id", "rank"])
+    dbl = [
+        r["id"]
+        for r in similarity.rrf_fuse(
+            [a, b], "id", score_mode="double", k=3
+        ).collect()
+    ]
+    assert dbl == [2, 1, 4]
+
+
+def test_recall_at_k_short_exact_list(spark):
+    """recall@k divides by min(k, |exact|): a 3-doc corpus probed with
+    k=10 must be able to reach recall 1.0 (ADVICE r7)."""
+    exact = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    approx = spark.createDataFrame([(3,), (1,), (2,)], ["id"])
+    r = similarity.recall_at_k(exact, approx, "id", k=10).first()
+    assert (r["k"], r["n_overlap"], r["recall"]) == (10, 3, 1.0)
+    # partial overlap on a short list: 2/3, not 2/10
+    approx2 = spark.createDataFrame([(1,), (2,), (99,)], ["id"])
+    r2 = similarity.recall_at_k(exact, approx2, "id", k=10).first()
+    assert r2["n_overlap"] == 2 and abs(r2["recall"] - 2 / 3) < 1e-6
+
+
 def test_bpe_train_hand_computed(spark):
     """Merge decisions and textbook left-to-right application on a tiny
     corpus (r7 t23): 'abab abab ab' → pair (a,b) dominates; second
