@@ -1048,7 +1048,10 @@ def q_st6_streaming_kmv(spark, sf_dir):
     import tempfile
 
     from healthcare_api_spark.operators.sketches import kmv_distinct
-    from healthcare_api_spark.streaming.sketches import streaming_kmv
+    from healthcare_api_spark.streaming.sketches import (
+        read_kmv_state,
+        streaming_kmv,
+    )
 
     _tune(spark)
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
@@ -1067,7 +1070,7 @@ def q_st6_streaming_kmv(spark, sf_dir):
         ev.filter(~cutoff).drop("ts").write.mode("append").parquet(src)
         q.processAllAvailable()
         q.stop()
-        est = kmv_distinct(spark.read.parquet(f"{state}/kmv"), k=64)
+        est = kmv_distinct(read_kmv_state(spark, state, ["event_type"]), k=64)
         out = est.select(
             "event_type",
             "n_seen",

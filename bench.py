@@ -23,6 +23,19 @@ FOUR times:
   cluster amortizing compile over hours of work would see.
   ``steady_totals`` keeps each pass's raw total so the spread (host
   noise) is visible next to the median.
+
+Round 8 (VERDICT r7 #1): the frozen r3 comparable-18 set additionally
+runs as its OWN ISOLATED first loop — fresh JVM state, before any of
+the other 38 headline queries have compiled or cached anything — and
+that subtotal is emitted as ``comparable_subtotal_isolated_sec`` (with
+a per-query-min floor beside it). Rationale: in r7 the interleaved
+subtotal "regressed" 10.85 → 12.74 s purely because the sweep grew to
+56 queries sharing one JVM (codegen-cache and GC pressure from
+neighbors); isolated re-measures showed 9.96–11.0 s. The isolated field
+is the longitudinal code-performance signal; the interleaved
+``comparable_subtotal_sec`` stays for continuity and as a measure of
+sweep crosstalk. ``queries_cold`` for the 18 comes from the isolated
+loop's first pass (the only true cold).
 """
 
 from __future__ import annotations
@@ -152,6 +165,33 @@ def main() -> None:
     # warm the JVM + file cache once with the cheapest query
     force(qs["q6_forecast_revenue"](spark, sf_dir))
 
+    def gc_barrier() -> None:
+        # GC barrier between passes: the iterative queries (BPE rounds,
+        # LPA, SemDeDup, streaming state) pin localCheckpoint RDD
+        # blocks until their Python refs die AND the JVM GCs; collect
+        # both sides so block-manager occupancy stays flat.
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+
+    # --- isolated comparable-18 loop (r8): the longitudinal signal ---
+    iso_cold: dict[str, float] = {}
+    iso_steady: list[dict[str, float]] = [{} for _ in range(N_STEADY)]
+    for pass_timings in [iso_cold, *iso_steady]:
+        for name in R3_COMPARABLE:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            force(qs[name](spark, sf_dir))
+            pass_timings[name] = round(time.perf_counter() - t0, 3)
+        gc_barrier()
+    iso_medians = {
+        name: round(statistics.median(p[name] for p in iso_steady), 3)
+        for name in R3_COMPARABLE
+    }
+
+    # --- full interleaved sweep (cold + 3 steady over all 56) ---
     cold: dict[str, float] = {}
     steady: list[dict[str, float]] = [{} for _ in range(N_STEADY)]
     for pass_timings in [cold, *steady]:
@@ -160,19 +200,11 @@ def main() -> None:
             t0 = time.perf_counter()
             force(qs[name](spark, sf_dir))
             pass_timings[name] = round(time.perf_counter() - t0, 3)
-        # GC barrier between passes: the iterative queries (BPE rounds,
-        # LPA, SemDeDup, streaming state) pin localCheckpoint RDD
-        # blocks until their Python refs die AND the JVM GCs; collect
-        # both sides so block-manager occupancy stays flat across
-        # passes. (The r7 cross-query slowdown this was first aimed at
-        # turned out to be codegen-cache thrash — fixed for real by
-        # spark.sql.codegen.cache.maxEntries in session.py: comparable
-        # subtotal 13.3 s → 9.96 s.)
-        import gc as _gc
+        gc_barrier()
 
-        _gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(1.0)
+    # the 18's only TRUE cold numbers come from the isolated loop (in
+    # the sweep they run pre-warmed by it)
+    cold.update(iso_cold)
 
     medians = {
         name: round(statistics.median(p[name] for p in steady), 3)
@@ -204,6 +236,20 @@ def main() -> None:
                     ),
                     3,
                 ),
+                # r8: the isolated-loop numbers — compare THESE round
+                # over round; the interleaved subtotal above measures
+                # sweep crosstalk on top of code perf
+                "comparable_subtotal_isolated_sec": round(
+                    sum(iso_medians.values()), 3
+                ),
+                "comparable_subtotal_isolated_min_sec": round(
+                    sum(
+                        min(p[n] for p in iso_steady)
+                        for n in R3_COMPARABLE
+                    ),
+                    3,
+                ),
+                "queries_comparable_isolated": iso_medians,
                 "comparable_set": "r3_18_query",
                 "runs": 1 + N_STEADY,
             }

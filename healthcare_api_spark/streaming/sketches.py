@@ -11,14 +11,31 @@ final state is bit-identical to a single batch build over the whole
 corpus — which is what makes the st6 gate query hash-checkable against
 the plain k4 oracle: the cross-batch machinery must EQUAL the batch
 semantics, not approximate it.
+
+State layout (r8, VERDICT r7 #3 + ADVICE r7): the per-group sketches
+live in a ``BucketedVersionedState`` keyed by the group columns —
+per batch only the touched groups' hash buckets are read and
+rewritten, each batch writes an immutable ``v{batch_id}`` snapshot
+(``_SUCCESS``-gated), and the previous state survives any mid-write
+crash. The old single-directory ``mode("overwrite")`` deleted the only
+copy of the accumulated state before the new files committed. Read the
+live sketch with ``read_kmv_state``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
-from pyspark.sql import functions as F  # noqa: F401  (re-export convention)
+from pyspark.sql import DataFrame, SparkSession
 
 from healthcare_api_spark.operators.sketches import kmv_build, kmv_merge
+from healthcare_api_spark.streaming.state import BucketedVersionedState
+
+
+def _store(state_root: str, group_cols: list[str], num_state_buckets: int):
+    return BucketedVersionedState(
+        f"{state_root}/kmv",
+        key_cols=list(group_cols),
+        num_buckets=num_state_buckets,
+    )
 
 
 def streaming_kmv(
@@ -28,37 +45,32 @@ def streaming_kmv(
     key_col: str,
     k: int = 64,
     checkpoint: str | None = None,
+    num_state_buckets: int = 16,
 ):
     """Start a foreachBatch KMV maintainer. Per micro-batch:
 
     1. sketch the batch (``kmv_build`` — distinct + bottom-k on batch
        rows only),
-    2. merge into ``{state_root}/kmv`` (previous state pinned with
-       localCheckpoint before the overwrite — the repo-wide
-       read-own-input rule),
-    3. overwrite the state table.
+    2. merge into the touched groups' state buckets (``kmv_merge``
+       against the pre-batch snapshot — replay-idempotent, crash-safe),
+    3. commit as the immutable ``v{batch_id}`` snapshot.
 
     Returns the StreamingQuery; read the live sketch with
-    ``spark.read.parquet(f"{state_root}/kmv")`` (feed it to
+    ``read_kmv_state(spark, state_root, group_cols)`` (feed it to
     ``kmv_distinct`` / ``kmv_set_ops`` for estimates — sketch algebra
     works on the streaming state unchanged).
     """
-    state_dir = f"{state_root}/kmv"
+    store = _store(state_root, group_cols, num_state_buckets)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         delta = kmv_build(batch_df, group_cols, key_col, k)
-        try:
-            prev = spark.read.parquet(state_dir).localCheckpoint(eager=True)
-            merged = kmv_merge(prev, delta, group_cols, k)
-        except Exception as e:  # first batch: no state yet
-            if (
-                "Path does not exist" not in str(e)
-                and "PATH_NOT_FOUND" not in str(e)
-            ):
-                raise
-            merged = delta
-        merged.write.mode("overwrite").parquet(state_dir)
+
+        def _merge(prev, d):
+            if prev is None:
+                return d
+            return kmv_merge(prev, d, group_cols, k)
+
+        store.merge_batch(delta, batch_id, _merge)
 
     writer = (
         stream_df.writeStream.foreachBatch(_fold).outputMode("update")
@@ -66,3 +78,14 @@ def streaming_kmv(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def read_kmv_state(
+    spark: SparkSession,
+    state_root: str,
+    group_cols: list[str],
+    num_state_buckets: int = 16,
+) -> DataFrame | None:
+    """Newest complete per-group sketch state (None before the first
+    commit)."""
+    return _store(state_root, group_cols, num_state_buckets).read(spark)

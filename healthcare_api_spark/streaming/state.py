@@ -1,0 +1,220 @@
+"""Bucketed, versioned micro-batch state store (VERDICT r7 #3).
+
+The r7 streaming operators (near-dup admission, KMV fold, heavy-hitter
+counts) kept their cross-batch state as ONE parquet table rewritten
+whole every micro-batch. Correct — but the per-batch IO was
+O(|state| + |delta|), and at a 100 TB corpus the band-owner state is
+corpus-scale: rewriting it per batch is the bottleneck. Worse, the
+in-place ``mode("overwrite")`` deleted the only copy before the new
+files committed (a mid-write crash lost all state) and a foreachBatch
+REPLAY after a partial failure read its own output (ADVICE r7: every
+doc then collided with itself).
+
+This store fixes all three with the two patterns the repo already
+owns, composed:
+
+- **bucketing** (``BucketedResourceStore.upsert``, sources/store.py:140)
+  — state rows live in ``num_buckets`` hash-of-key buckets; a batch
+  reads and rewrites ONLY the buckets its delta touches;
+- **immutable versioned snapshots** (``apply_versioned_merge``,
+  streaming/rollup.py:111) — each batch writes a NEW directory
+  ``v{batch_id}/`` containing just its touched buckets, with Spark's
+  ``_SUCCESS`` marking completeness. Prior versions are never mutated,
+  so a crash mid-write loses nothing and a replay reads the exact
+  pre-batch state (versions strictly older than the replayed batch).
+
+Layout::
+
+    {path}/v{batch_id}/_pt={bucket}/part-*.parquet
+    {path}/v{batch_id}/_SUCCESS
+
+The CURRENT state of bucket b is its newest complete version's
+``_pt=b`` directory (a version's bucket dir always holds that bucket's
+FULL merged state, because the merge folds the previous copy in).
+Reads resolve bucket → newest-version once from a directory listing
+(O(versions × buckets) driver-side names, never data) and issue one
+multi-path parquet scan. Retention is per BUCKET: an old version is
+deleted only when every bucket in it has ``keep_versions`` newer
+complete copies — so the pre-batch state needed by an in-flight replay
+always survives pruning.
+
+Exactly-once contract (same as the rollup tier): foreachBatch is
+at-least-once; ``merge_batch`` skips a batch whose complete snapshot
+already exists, and a replayed/crashed batch recomputes from versions
+strictly older than it — same inputs, same output, no double count and
+no read-own-output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_api_spark.streaming.rollup import _fs_and_path
+
+_BUCKET_SEED = 42
+
+
+class BucketedVersionedState:
+    """Keyed micro-batch state partitioned into hash buckets and
+    persisted as immutable per-batch versioned snapshots."""
+
+    def __init__(
+        self,
+        path: str,
+        key_cols: list[str],
+        num_buckets: int = 16,
+        keep_versions: int = 2,
+    ) -> None:
+        if num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.num_buckets = num_buckets
+        self.keep_versions = keep_versions
+
+    # -- bucket assignment (deterministic across sessions: xxhash64
+    # with a fixed seed, the same family the batch stores use) --------
+    def bucket_expr(self):
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.key_cols], F.lit(_BUCKET_SEED)),
+            F.lit(self.num_buckets),
+        ).cast("int")
+
+    # -- directory census (driver-side NAMES only, never data) --------
+    def _census(self, spark: SparkSession) -> dict[int, list[int]]:
+        """bucket -> ascending batch_ids of complete versions containing
+        it."""
+        fs, root, jvm = _fs_and_path(spark, self.path)
+        out: dict[int, list[int]] = {}
+        if not fs.exists(root):
+            return out
+        for vstat in fs.listStatus(root):
+            name = vstat.getPath().getName()
+            if not name.startswith("v"):
+                continue
+            try:
+                vid = int(name[1:])
+            except ValueError:
+                continue
+            if not fs.exists(
+                jvm.org.apache.hadoop.fs.Path(vstat.getPath(), "_SUCCESS")
+            ):
+                continue
+            for bstat in fs.listStatus(vstat.getPath()):
+                bname = bstat.getPath().getName()
+                if bname.startswith("_pt="):
+                    out.setdefault(int(bname[4:]), []).append(vid)
+        for versions in out.values():
+            versions.sort()
+        return out
+
+    def complete_versions(self, spark: SparkSession) -> list[int]:
+        census = self._census(spark)
+        return sorted({v for vs in census.values() for v in vs})
+
+    # -- reads --------------------------------------------------------
+    def _paths_before(
+        self,
+        spark: SparkSession,
+        before_batch: int | None,
+        buckets: set[int] | None,
+    ) -> list[str]:
+        census = self._census(spark)
+        paths = []
+        for b, versions in census.items():
+            if buckets is not None and b not in buckets:
+                continue
+            eligible = [
+                v
+                for v in versions
+                if before_batch is None or v < before_batch
+            ]
+            if eligible:
+                paths.append(f"{self.path}/v{eligible[-1]}/_pt={b}")
+        return sorted(paths)
+
+    def read(
+        self,
+        spark: SparkSession,
+        before_batch: int | None = None,
+        buckets: set[int] | None = None,
+    ) -> DataFrame | None:
+        """Current state (or the state as of strictly-before
+        ``before_batch``, optionally restricted to ``buckets``).
+        Returns None when no complete state exists — the first-batch
+        signal."""
+        paths = self._paths_before(spark, before_batch, buckets)
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    # -- the per-batch merge ------------------------------------------
+    def touched_buckets(self, delta: DataFrame) -> set[int]:
+        """Distinct bucket ids of the delta's keys — a bounded fetch
+        (≤ num_buckets values), the store's only collect."""
+        return {
+            r[0]
+            for r in delta.select(self.bucket_expr().alias("_pt"))
+            .distinct()
+            .collect()
+        }
+
+    def is_batch_complete(self, spark: SparkSession, batch_id: int) -> bool:
+        fs, _, jvm = _fs_and_path(spark, self.path)
+        return fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{self.path}/v{batch_id}/_SUCCESS"
+            )
+        )
+
+    def merge_batch(
+        self,
+        delta: DataFrame,
+        batch_id: int,
+        merge_fn,
+        touched: set[int] | None = None,
+    ) -> None:
+        """Fold ``delta`` into the state: read the touched buckets'
+        pre-batch state, ``merge_fn(prev_or_None, delta) -> DataFrame``
+        (full post-merge state for those buckets), write them as
+        version ``v{batch_id}``, prune shadowed versions. Idempotent:
+        a complete ``v{batch_id}`` short-circuits."""
+        spark = delta.sparkSession
+        if self.is_batch_complete(spark, batch_id):
+            return
+        if touched is None:
+            touched = self.touched_buckets(delta)
+        if not touched:
+            return
+        prev = self.read(spark, before_batch=batch_id, buckets=touched)
+        merged = merge_fn(prev, delta)
+        (
+            merged.withColumn("_pt", self.bucket_expr())
+            .write.partitionBy("_pt")
+            .mode("overwrite")
+            .parquet(f"{self.path}/v{batch_id}")
+        )
+        self._prune(spark, batch_id)
+
+    def _prune(self, spark: SparkSession, batch_id: int) -> None:
+        """Delete complete versions older than ``batch_id`` whose every
+        bucket already has ``keep_versions`` newer complete copies —
+        per-bucket retention, so no bucket's only (or replay-needed)
+        copy is ever removed."""
+        census = self._census(spark)
+        versions = sorted({v for vs in census.values() for v in vs})
+        fs, _, jvm = _fs_and_path(spark, self.path)
+        for v in versions:
+            if v >= batch_id:
+                continue
+            if all(
+                sum(1 for x in vs if x > v) >= self.keep_versions
+                for vs in census.values()
+                if v in vs
+            ):
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{self.path}/v{v}"), True
+                )

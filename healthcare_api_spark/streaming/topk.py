@@ -3,10 +3,18 @@ with top-k reads (SURVEY.md §2.9 composed with the §2.10 heavy-hitter
 operator).
 
 Per micro-batch: tokenize ONLY the batch, aggregate its counts, and
-add-merge into the versioned state (`apply_versioned_merge` — the same
-exactly-once snapshot skeleton the rollup tier uses, so replays never
-double-count). State size is the vocabulary, not the stream; the top-k
-read is an O(k) TakeOrdered over it.
+add-merge into the state. Since r8 the state is a
+``BucketedVersionedState`` keyed by token (VERDICT r7 #3): counts live
+in hash-of-token buckets and each batch rewrites only the buckets its
+batch-vocabulary touches, as an immutable ``_SUCCESS``-gated
+``v{batch_id}`` snapshot — replay-idempotent (a committed batch is
+skipped; a partial one recomputes from the pre-batch versions) and
+crash-safe (prior versions are never mutated). Note the natural-
+language caveat: common tokens hash everywhere, so a big batch touches
+most buckets — the bound is real but the win over full rewrite grows
+as batches get small relative to the accumulated vocabulary, exactly
+the steady-state regime. State size is the vocabulary, not the stream;
+the top-k read is an O(k) TakeOrdered over it.
 """
 
 from __future__ import annotations
@@ -14,10 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from healthcare_api_spark.streaming.rollup import (
-    _complete_versions,
-    apply_versioned_merge,
-)
+from healthcare_api_spark.streaming.state import BucketedVersionedState
+
+
+def _store(state_path: str, num_state_buckets: int) -> BucketedVersionedState:
+    return BucketedVersionedState(
+        state_path, key_cols=["tok"], num_buckets=num_state_buckets
+    )
 
 
 def _batch_counts(batch_df: DataFrame, text_col: str) -> DataFrame:
@@ -31,7 +42,9 @@ def _batch_counts(batch_df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _merge_counts(existing: DataFrame, batch_counts: DataFrame) -> DataFrame:
+def _merge_counts(existing: DataFrame | None, batch_counts: DataFrame) -> DataFrame:
+    if existing is None:
+        return batch_counts.select("tok", F.col("cnt").cast("bigint").alias("cnt"))
     return (
         existing.unionByName(batch_counts)
         .groupBy("tok")
@@ -45,22 +58,17 @@ def streaming_top_tokens(
     state_path: str,
     checkpoint: str | None = None,
     keep_versions: int = 2,
+    num_state_buckets: int = 16,
 ):
     """readStream → continuously maintained corpus token counts.
     Returns the StreamingQuery; read the current top-k any time with
     ``read_top_tokens``."""
+    store = _store(state_path, num_state_buckets)
+    store.keep_versions = keep_versions
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        apply_versioned_merge(
-            batch_df,
-            batch_id,
-            state_path,
-            lambda existing, batch: _merge_counts(
-                existing, _batch_counts(batch, text_col)
-            ),
-            lambda spark: spark.createDataFrame([], "tok string, cnt bigint"),
-            keep_versions=keep_versions,
-        )
+        delta = _batch_counts(batch_df, text_col)
+        store.merge_batch(delta, batch_id, _merge_counts)
 
     writer = stream_df.writeStream.foreachBatch(_apply).outputMode("update")
     if checkpoint:
@@ -68,11 +76,15 @@ def streaming_top_tokens(
     return writer.start()
 
 
-def read_top_tokens(spark: SparkSession, state_path: str, k: int = 20) -> DataFrame:
-    """Current top-k heavy hitters from the newest complete snapshot
-    (deterministic tie-break: cnt desc, token asc)."""
-    versions = _complete_versions(spark, state_path)
-    if not versions:
+def read_top_tokens(
+    spark: SparkSession,
+    state_path: str,
+    k: int = 20,
+    num_state_buckets: int = 16,
+) -> DataFrame:
+    """Current top-k heavy hitters from the newest complete per-bucket
+    snapshots (deterministic tie-break: cnt desc, token asc)."""
+    counts = _store(state_path, num_state_buckets).read(spark)
+    if counts is None:
         return spark.createDataFrame([], "tok string, cnt bigint")
-    counts = spark.read.parquet(f"{state_path}/v{versions[-1]}")
     return counts.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(k)

@@ -145,7 +145,10 @@ def test_streaming_kmv_state_equals_batch(spark, tmp_path):
         kmv_build,
         kmv_set_ops,
     )
-    from healthcare_api_spark.streaming.sketches import streaming_kmv
+    from healthcare_api_spark.streaming.sketches import (
+        read_kmv_state,
+        streaming_kmv,
+    )
 
     src = str(tmp_path / "src")
     state = str(tmp_path / "state")
@@ -163,7 +166,7 @@ def test_streaming_kmv_state_equals_batch(spark, tmp_path):
 
     got = {
         r["g"]: (r["n_seen"], list(r["kmv"]))
-        for r in spark.read.parquet(f"{state}/kmv").collect()
+        for r in read_kmv_state(spark, state, ["g"]).collect()
     }
     whole = kmv_build(
         spark.createDataFrame(rows1 + rows2, schema), ["g"], "u", k=32
@@ -171,7 +174,7 @@ def test_streaming_kmv_state_equals_batch(spark, tmp_path):
     want = {r["g"]: (r["n_seen"], list(r["kmv"])) for r in whole.collect()}
     assert got == want
     # downstream algebra on the live state: one pair row, sane jaccard
-    pairs = kmv_set_ops(spark.read.parquet(f"{state}/kmv"), "g", k=32).collect()
+    pairs = kmv_set_ops(read_kmv_state(spark, state, ["g"]), "g", k=32).collect()
     assert len(pairs) == 1 and 0.0 <= pairs[0]["jaccard"] <= 1.0
 
 
