@@ -2259,40 +2259,65 @@ def q_d13_passjoin(spark, sf_dir):
 
 
 
-# Frozen SemDeDup centroid artifact (r6): ivf_train k=8 iters=2 on the
-# sf0.01 dup-union (corpus ∪ +10⁶-shifted copy), same provenance rules
-# as _V3_CENTROIDS — freezing makes the whole semdedup pipeline
-# (assign → in-cluster cosine pairs → min-label CC → keep-min) engine-
-# reproducible and therefore hash-verifiable.
-_D14_CENTROIDS: list[list[float]] = [
-    [0.01701881701592356, -0.011116592940578068, 0.028736375737935305, -0.08935685609043999, 0.020072753185575658, -0.01574162337294018, -0.009399912698956375, 0.015412481273101134, 0.047793219242488374, -0.027847753922899506, -0.006815635609779169, -0.0029680911112915384, -0.03608385914597999, 0.0017215981740843166, -0.007604022535749457, 0.0013730769638310779, 0.041724861667237496, 0.038583813307129525, 0.027969500644725153, 0.031988626083528454, -0.06120950410311872, 0.011392892236736687, -0.008417190986008129, -0.013161518987776203, 0.0073798917223360724, 0.08503730844028971, 0.07341491950845176, -0.005388549106745896, -0.02210281215269457, 0.06051481478339569, -0.013223868964070623, 0.06617932984485048, 0.0032236212779852475, -0.04887727415189147, 0.01670467075150968, -0.052640504711730915, -0.01220125946300951, 0.006493692953683256, 0.012863670306449587, 0.01054424092554572, -0.0012555422949266028, 0.0029036344298881225, -0.00038558355617252264, 0.001721629212525758, 0.010555425058753991, 0.022455756095322695, 0.030492586303840986, -0.05374877938196402, 0.01768070240081711, -0.0356112015010281, 0.0009945004416460341, 0.011780479303772816, 0.01095210796391422, -0.05486489177935503, 0.02975066548044031, 0.00456037099303847, -0.019769465129568495, 0.008470256598031318, -0.04709633313944902, -0.02793555104025555, -0.010138846298849041, 0.028579168257684532, 0.03678551382300529, -0.04855991981352087],
-    [-0.017981309283641167, -0.013755264020801405, 0.000432082110819465, 0.001631162656849483, 0.0008113804851745954, 0.02798387002258096, -0.08526168564276304, -0.013581792916738777, 0.0015124699712032452, 0.00625944665625866, -0.0531188598179142, 0.04263958221417852, 0.06163878615734575, -0.06571075909414503, 0.0333542201592536, 0.0018444963748152077, -0.0010516513393667992, -0.010706673849199433, 0.030874981053784722, -0.046470371205941774, 0.021132976158696692, 0.02876619073595066, 0.006695862091874005, -0.03594165141839767, 0.03429748269991251, 0.05697651218724786, -0.01517286236048676, -0.026259111895342357, -0.016275844936899375, 0.02328003324510064, -0.022762673630495556, 0.008590474313677987, -0.005381779780805118, -0.005423684886409319, 0.007459209085936891, 0.0023690662674198393, -0.04371360371442279, 0.0011546480445758789, 0.014070143397475476, -0.06888880275073461, -0.00016587126810918562, -0.04092222739564022, 0.029209383373256514, 0.017311564838564664, 0.023796760753612034, 0.013400846421973256, -0.02869988173188176, -0.007577810176371713, -0.05592235972653725, -0.08661939542434993, -0.011372426517482381, 0.0014044585573174118, -0.0002973209302581381, 0.010868939589272486, -0.01887351904588286, 0.04138232647164841, 0.03839081698765767, 0.0021975394774926826, 0.037454941750183934, 0.013084175861877156, -0.02640852302283747, -0.0019805248575721635, -0.039142744166383636, -0.01881757436785847],
-    [0.00025110983600219093, 0.001557564908095325, -0.042481282050721346, 0.046131578965044655, 0.04014133256860077, -0.005159965724063417, -0.010234903544187546, 0.012304146809037774, -0.0006510875653475523, -0.06995021010710237, -0.021581126116992286, -0.017999338156854113, -0.055817493677993, 0.04913123300357256, 0.007059255188020567, 0.020704248217710605, -0.03000893129889543, 0.042612587407347746, -0.015932364443627497, -0.024656390002928675, 0.00858777241470913, -0.0026141592650674285, 0.059042915158594646, -0.013255811544756095, 0.0018568673549452797, -0.03742714045026029, -0.0045339958043769, 6.400378576169412e-06, 0.017848089682714393, 0.01260231623115639, -0.014678478454394886, -0.07525287593404452, 0.01493666441917109, 0.004359442957987388, 0.008368926044204273, 0.003675104184852292, 0.018687226126591364, 0.05990574961858026, 0.04747923673130572, 0.047943472230448, 0.0008621401488198899, -0.009915476917133978, 0.029474940352762737, 0.013112189212309507, -0.01545324193190633, -0.007962567770543197, -0.017000487761106343, -0.011864682449959219, 0.0508738963243862, 0.039403318237358084, 0.04443677495097897, -0.05493328516022302, -0.011062378027054365, -0.036584462691098454, 0.050872455587765826, 0.008674083867420752, 0.018570655320460597, -0.017057484997591625, 0.007221275030315155, 0.041058024189745385, 0.03793650045214842, 0.003959237487288192, 0.012109889183193445, 0.014397683188629646],
-    [-0.0313572998302767, 0.038438667448991465, -0.00571275252011782, -0.00609477333694933, -0.010555304878849595, 0.01302574212027211, 0.02420743253629004, 0.009866962054123482, -0.03392747412287882, 0.005791006905455438, -0.003934862210400521, 0.03687628621368536, 0.014338130917629257, 0.09115341957288957, 0.01216310647035402, 0.0003102603442375622, -0.0385480533050935, -0.04973293771405542, 0.011078872178341187, 0.03007634269029257, 0.0026820435841006063, -0.002612291510024714, -0.02157730405636516, 0.01854155191944705, -0.018685237990529645, 0.023074669976873945, -0.017790421556648135, -0.018002001601936563, -0.05919853315710844, -0.04555011319646996, -0.007374649394362691, -0.01889924885749462, 0.07422524768238266, 0.0011343204634382375, -0.0036558194163565836, -0.014375996347221117, 0.009749227661698584, -0.026966540382191952, -0.028301137948079803, -0.02642697018075971, -0.0037502481746265574, -0.02670248370942852, -0.06915683100842648, -0.024733165149680443, -0.0005040431602133645, 0.0081498560584372, -0.017124186955495842, -0.032225908558180055, 0.0678713565566651, -0.04754101623973203, 0.006954702570857037, -0.011476397477386017, 0.010691800962261383, 0.023272495916379348, -0.04292297271627282, -0.03699982335739252, 0.01823719465155302, -0.005941520149390849, 0.02233903712430407, -0.04862980708657276, 0.02196778892169869, 0.002286959001919188, -0.006042583034806219, -0.053906068930195436],
-    [0.0222776559509199, 0.005015171982382459, 0.057653250214773126, -0.024284155056294467, -0.03934115985477412, -0.07383324442155383, 0.03759399284091261, 0.00621736664497466, 0.01123318314192282, 0.01645027197621487, 0.015268217655830085, -0.05888663632234697, 0.02672050731187617, -0.04943059059291112, 0.017978033223361882, -0.0282715907001316, 0.04432807305689763, 0.01636080896154184, 0.003977569827973774, 0.020039402470165106, -0.008118477520636387, 0.034874359247084985, -0.01981083618873661, 0.016109834890812635, -0.02303157426083797, -0.0003333655487814987, 0.02370222160351221, -0.00407202555625527, 0.034480436120820405, -0.04977986371765534, 0.03400492358573333, -0.027379110219448596, 0.017213455082296773, 0.018711578855463477, 0.029364387616860093, -0.060442052609114734, 0.008483034938021942, -0.06512113133713784, -0.026801741071755748, 0.005908942589519062, 0.02468260895046923, -0.0008935913728136155, -0.018654160908664816, 0.0008253508336835053, -0.023642397069596446, -0.0036049651723631003, -0.044212838689822495, 0.05872664348808704, -0.04182318967542852, -0.006288718897849321, -0.010408797887740311, -0.002724279365793336, 0.01806625672098663, 0.010441124938855259, 0.07816153715140428, -0.017849342731534743, 0.005228333157935628, -0.024342574250315212, 0.026034164087225992, -0.01000921323753169, -0.055853921851074254, -0.0027029244035171964, 0.034018388397439765, 0.005459979853454839],
-    [-0.02584060128512127, -0.02088150122602071, 0.036748835562528774, 0.0032986647482695325, 0.05574787222514195, -0.008906878986661988, -0.05049231466982747, 0.05246136691088655, -0.019260692147405018, 0.016413177736103533, 0.03480753181502223, -0.012009613374747069, 0.00976044689637742, 0.01027697957116678, -0.021829916882727826, 0.000517365662381053, 0.0036431483077259534, -0.0446327766253879, -0.011677917114658548, 0.03638868865548699, 0.010814408051581787, -0.0184199779793354, 0.02823625101009384, -0.010320092316916479, 0.025929048989200964, 0.03260288704186678, -0.018285245415089385, 0.014206753787584602, 0.01032523224961811, 0.020051098044496028, 0.014764953334815801, -0.03387652753320124, 0.0026219131425023077, -0.00459478978383621, 0.00267260067297944, 0.04772166706804585, 0.013494812953285872, 0.05617765433354569, -0.026659569430298038, 0.011628441118435667, -0.05166538421783896, 0.05102259042074105, 0.004740407450922898, 0.022266597353986332, -0.07608790721611253, -0.04519716716936922, 0.014211133646728871, -0.025055575989452857, -0.015725336842504996, 0.01886703678007637, 0.03819377045313429, 0.041419950035300905, 0.004845557953896267, 0.03521272320566433, -0.034099103517032096, -0.0715989210551405, 0.023976327139618142, -0.040040439167725185, 0.005003686430115652, 0.002220092394522258, 0.000538183855158942, 0.040254011005163196, -0.03693020571289318, 0.03143106033260535],
-    [-0.02373361782233139, -0.034703653853412876, -0.003628742021941383, -0.02265445187582936, 0.02801625640131533, 0.07139419542927243, -0.025004917724159692, -0.05043615934825962, -3.136894796830668e-05, 0.05405327698386366, 0.05056009859315605, 0.01108225156933489, 0.013790659855683925, 0.03829499788608559, -0.015782773507837678, 0.03746762813452605, 0.023461505596880133, 0.04968064614984823, -0.047120029631424955, -0.04049318837998828, 0.004592089874433799, -0.021570794192523186, -0.010739985040166008, -0.048332295111629744, -0.042184874740048825, -0.013211943238685039, -0.007525331238251914, 0.0484297617394346, 0.031636675632834226, -0.043877336908210544, -0.005209408098713718, 0.005648059549111821, -0.009575640888471472, -0.03505734813032331, -0.01858313600729469, 0.04722932357878857, 0.01881327773575527, -0.010798225913878898, -0.00457360553756048, -0.0048506660290078005, 0.045357073491609744, -0.04689030060019921, -0.0020636822597917275, -0.018624315156378378, 0.002550019484183843, 0.013358080656346406, 0.0316738473746637, 0.04481667107295796, 0.0037079470432576605, 0.01770006802136367, -0.031205199840872114, 0.008292015104121725, 0.03937703111900909, -0.012866355172750638, 0.018561569916438574, 0.03273297808933216, -0.05492300053887909, 0.04718909530226521, -0.025855840289552078, -0.02628411093241417, 0.015050170345743873, -0.008109033792312453, -0.003964911654434153, 0.019116107515439813],
-    [0.08807147013407851, 0.005676311300328326, -0.03432301134573266, 0.043152572260060834, -0.026904284410799544, 0.03161195432628682, -0.012272591001376332, 0.04513162276005402, -0.01617058673374621, -0.01937711596792002, 0.02673796709212992, 0.017488632296648113, -0.06268641053530802, -0.06860006996615244, -0.021201677428233246, 0.005238175078014296, -0.010252243805942791, 0.012160045529035704, 0.007320649918198349, 0.010489544897739376, -0.019594309824733213, -0.000911426649148029, -0.003315481689891645, 0.030288181378550473, -0.0009041274398831385, -0.038947707477269604, -0.030763616247217185, 0.06683749812220903, -0.007803509719595905, 0.03000461270003432, 0.0608230417978669, 0.032835644547294436, -0.02652056516510331, 0.01849093600656719, 0.007245910176563831, 0.009324617646930237, -0.05829879818927674, -0.04400988061365391, 0.007635959925773065, 0.01996941991623432, -0.024516415028345017, -0.02182009025330892, 0.027285193643784, -0.015772294788759956, -0.007667956836817283, 0.034888019482235584, 0.017514188010762963, 0.07189036384298807, -0.0555651722520235, 0.012113229002958784, 0.03748319984879345, -0.012711367327793842, -0.012995126317181284, -0.016240069241676893, -0.0249737675176076, 0.012291370820815838, 0.010998718810105135, 0.005126670827083881, -0.06333411892595155, -0.012858144557131232, 0.005665321590467578, -0.022551149687229006, 0.00930350161497555, -0.06473057670888328],
-]
+# Frozen SemDeDup centroid artifact (r8): per-TIER ivf_train iters=2 on
+# the dup-union (corpus ∪ +10⁶-shifted copy), k SCALED TO n so the
+# expected cell size (~31 rows) — and with it the Σ|cell|² in-cluster
+# pair cost — stays constant across SFs (VERDICT r7 #2; the r6 k=8
+# freeze made the gate query superlinear by construction: sf0.01→sf0.1
+# was 6.2→25.3 s). Trained and frozen by tools/train_d14_centroids.py
+# into artifacts/d14_centroids.parquet (tier, cluster, vec double[]);
+# BOTH engines read the same parquet doubles — Spark via pyarrow here,
+# DuckDB via read_parquet in _d14_oracle — so the pipeline stays
+# hash-verifiable with no literals in source. The tier gate is the
+# embeddings-table row count (the only corpus signal a static oracle
+# can also see): ≤ 1000 → k=32 (both small SFs carry 500-row tables),
+# else k=128.
+_D14_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "artifacts",
+    "d14_centroids.parquet",
+)
+_D14_SMALL_MAX = 1000
+
+
+def _d14_tier(n_embeddings: int) -> int:
+    return 32 if n_embeddings <= _D14_SMALL_MAX else 128
+
+
+def _d14_centroids(tier: int) -> list[list[float]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_D14_ARTIFACT).to_pydict()
+    picked = sorted(
+        (c, v)
+        for tt, c, v in zip(t["tier"], t["cluster"], t["vec"])
+        if tt == tier
+    )
+    return [[float(x) for x in v] for _, v in picked]
 
 
 def q_d14_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means-scoped embedding dedup over
     the corpus ∪ an exact-duplicate copy — every copy pair must collapse
-    to one survivor. Hash-verified since r6 via the frozen
-    _D14_CENTROIDS artifact: with the cells fixed, assignment is
-    portable double math (v3 precedent), the in-cluster cosine pairs
-    mirror the d5 oracle, and the min-label CC mirrors the d6
-    RECURSIVE-closure oracle. The planted-geometry pytest coverage of
-    the trained path stays."""
+    to one survivor. Hash-verified since r6 via frozen centroids; since
+    r8 the frozen artifact is per-TIER with k scaled to corpus size
+    (tools/train_d14_centroids.py), so the gate models the
+    constant-cell-size deployment its own oversize guard demands
+    (on_oversized='raise' — the guard must stay SILENT) instead of the
+    Σ|cell|² anti-pattern the old k=8 freeze demonstrated. With the
+    cells fixed, assignment is portable double math (v3 precedent), the
+    in-cluster cosine pairs mirror the d5 oracle, and the min-label CC
+    mirrors the d6 RECURSIVE-closure oracle. The planted-geometry
+    pytest coverage of the trained path stays."""
     _tune(spark)
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tier = _d14_tier(emb.count())
     dup = emb.unionByName(
         emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     )
     out = dedup.semdedup(
-        dup, "vec_id", "embedding", k=8, threshold=0.999, iters=2,
-        centroids=_D14_CENTROIDS,
+        dup, "vec_id", "embedding", k=tier, threshold=0.999, iters=2,
+        centroids=_d14_centroids(tier), on_oversized="raise",
     )
     return out.select("vec_id", "cluster", "semantic_group", "keep")
 
@@ -6693,29 +6718,38 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _d14_oracle(threshold: float = 0.999) -> str:
-    """DuckDB twin of q_d14_semdedup: frozen _D14_CENTROIDS assignment
-    (the v3 argmin shape), in-cluster raw-cosine pairs at ≥ threshold
-    (the d5 shape), RECURSIVE transitive closure for the semantic
-    groups (the d6 shape — full CC equals the engine's min-label
-    propagation once converged), keep = min id per group."""
-    cb = "[" + ",".join(_flist_sql(c) for c in _D14_CENTROIDS) + "]"
-    dl = (
-        f"list_transform({cb}, c -> -(list_dot_product(e, c) /"
-        f" (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(c, c)))))"
-    )
+    """DuckDB twin of q_d14_semdedup: the SAME frozen per-tier centroid
+    parquet (artifacts/d14_centroids.parquet, tier picked by the
+    embeddings row count exactly as _d14_tier does) drives the argmin
+    assignment (the v3 shape — sequential double dots, ties → lowest
+    cluster id via (negcos, cluster) ordering ≡ Spark's first-index-of-
+    min), then in-cluster raw-cosine pairs at ≥ threshold (the d5
+    shape), RECURSIVE transitive closure for the semantic groups (the
+    d6 shape — full CC equals the engine's min-label propagation once
+    converged), keep = min id per group."""
     cos = (
         "list_dot_product(a.e, b.e) /"
         " (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
     )
     return (
-        f"WITH RECURSIVE all_v AS ("
+        f"WITH RECURSIVE cents AS ("
+        f" SELECT cluster, list_transform(vec, x -> x::DOUBLE) AS cv"
+        f" FROM read_parquet('{_D14_ARTIFACT}')"
+        f" WHERE tier = (CASE WHEN (SELECT count(*) FROM embeddings)"
+        f"  <= {_D14_SMALL_MAX} THEN 32 ELSE 128 END)),"
+        f" all_v AS ("
         f" SELECT vec_id, embedding FROM embeddings"
         f" UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),"
         f" v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
         f" FROM all_v),"
-        f" a0 AS (SELECT vec_id, e, {dl} AS dl FROM v),"
-        f" c AS (SELECT vec_id, e, list_position(dl, list_min(dl)) - 1 AS cluster"
-        f" FROM a0),"
+        f" a0 AS (SELECT v.vec_id, v.e, cents.cluster,"
+        f"  -(list_dot_product(v.e, cents.cv) /"
+        f"   (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cents.cv, cents.cv))))"
+        f"  AS negcos FROM v CROSS JOIN cents),"
+        f" c AS (SELECT vec_id, e, cluster FROM ("
+        f"  SELECT vec_id, e, cluster, row_number() OVER ("
+        f"   PARTITION BY vec_id ORDER BY negcos ASC, cluster ASC) AS rn"
+        f"  FROM a0) WHERE rn = 1),"
         f" pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM c a JOIN c b"
         f"  ON a.cluster = b.cluster AND a.vec_id < b.vec_id"
         f"  WHERE {cos} >= {threshold!r}),"
