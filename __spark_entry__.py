@@ -1284,6 +1284,36 @@ def q_v3_ivf_topk(spark, sf_dir):
     )
 
 
+def q_v12_ivf_pruned(spark, sf_dir):
+    """Partition-PRUNED IVF probe (r8, VERDICT r7 #4 — the 100 TB
+    retrieval story): the embeddings are first MATERIALIZED partitioned
+    by their IVF cell (write_ivf_partitioned → one directory per
+    cluster), then the probe's ``cluster IN (...)`` predicate prunes
+    the SCAN — only the nprobe probed directories are listed and read
+    (PartitionFilters in the plan, pinned by test_plans), the other
+    cells' bytes never open. Semantics are identical to v3's in-memory
+    probe on the same frozen _V3_CENTROIDS, so the v3 oracle verifies
+    this path too — proving pruning changed the IO, not the answer."""
+    import shutil
+    import tempfile
+
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    root = tempfile.mkdtemp(prefix="v12_")
+    try:
+        similarity.write_ivf_partitioned(
+            emb, f"{root}/ivf", "embedding", _V3_CENTROIDS
+        )
+        out = similarity.ivf_topk_pruned(
+            spark, f"{root}/ivf", "vec_id", "embedding",
+            _V3_CENTROIDS, qvec, k=10, nprobe=3,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_v4_pca_project(spark, sf_dir):
     """PCA projection onto the FROZEN offline-trained basis
     (_V4_PCA_MEAN/_V4_PCA_COMPS — one-pass covariance partials →
@@ -4491,6 +4521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_lttb_downsample": q_x7_lttb_downsample,
         "a14_co_occurrence": q_a14_co_occurrence,
         "v3_ivf_topk": q_v3_ivf_topk,
+        "v12_ivf_pruned": q_v12_ivf_pruned,
         "v4_pca_project": q_v4_pca_project,
         "v2_ann_lsh": q_v2_ann_lsh,
         "m13_image_neardup": q_m13_image_neardup,
@@ -6229,6 +6260,11 @@ def oracle_sql() -> dict[str, str]:
     # r6: v3/v4 graduate — frozen centroid/basis artifacts + sequential
     # double dots (the v1 float-portability precedent)
     out["v3_ivf_topk"] = _v3_oracle()
+    # v12 probes a cell-PARTITIONED materialization of the same table
+    # with the same frozen centroids/nprobe — identical semantics by
+    # construction, so the v3 oracle verifies the pruned path too
+    # (pruning must change the IO, not the answer)
+    out["v12_ivf_pruned"] = _v3_oracle()
     out["v4_pca_project"] = _v4_oracle()
     # r6: v2 graduates — the RandomState(42) hyperplanes are a fixed
     # artifact (regenerated at build time, inlined as literals) and the

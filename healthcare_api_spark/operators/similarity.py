@@ -350,6 +350,18 @@ def ivf_topk(
     choice bit-for-bit — what lets q_v3 carry a hash oracle over frozen
     centroids. Ties → lowest cluster id (stable sort / ORDER BY j).
     """
+    probe = _probe_cells(centroids, query_vec, nprobe)
+    assigned = ivf_assign(df, vec_col, centroids)
+    cands = assigned.filter(F.col("cluster").isin(probe))
+    return brute_force_topk(cands, id_col, vec_col, query_vec, k)
+
+
+def _probe_cells(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cluster ids nearest the query by cosine —
+    driver-side over the tiny centroid matrix, sequential double sums
+    (the ivf_topk bit-portability contract), ties → lowest id."""
     import math
 
     def _seqdot(a, b):
@@ -364,9 +376,55 @@ def ivf_topk(
         denom = (math.sqrt(_seqdot(c, c)) * math.sqrt(_seqdot(q, q))) or 1.0
         return _seqdot(c, q) / denom
 
-    probe = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[:nprobe]
+    return sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[
+        :nprobe
+    ]
+
+
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    mode: str = "overwrite",
+) -> None:
+    """Materialize an embeddings table PARTITIONED BY its IVF cell —
+    the layout half of the 100 TB retrieval story. ``ivf_assign`` adds
+    the ``cluster`` column and ``partitionBy("cluster")`` lays each
+    cell out as its own directory, so a probe's cluster filter becomes
+    a PARTITION filter: Spark's scan lists only the probed
+    directories and never opens the rest (see ``ivf_topk_pruned``).
+    One write job; at cluster scale add ``.option("maxRecordsPerFile",
+    …)`` sizing to taste."""
     assigned = ivf_assign(df, vec_col, centroids)
-    cands = assigned.filter(F.col("cluster").isin(probe))
+    assigned.write.partitionBy("cluster").mode(mode).parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF probe over a cell-partitioned table (``write_ivf_partitioned``):
+    the driver picks the probe cells from the centroid matrix (tiny,
+    sequential double math — identical choice to ``ivf_topk``), and the
+    ``cluster IN (...)`` predicate on the partition column prunes the
+    SCAN itself — ``nprobe/k`` of the directories are listed and read,
+    the rest never open. This is the difference that matters at 100 TB:
+    ``ivf_topk`` scores fewer rows but still READS the corpus;
+    this probe reads only the probed cells' bytes. Semantics are
+    identical to ``ivf_topk`` on the same centroids (same probe set,
+    same exact-cosine top-k inside), so the same oracle verifies both.
+    """
+    probe = _probe_cells(centroids, query_vec, nprobe)
+    cands = spark.read.parquet(path).where(
+        F.col("cluster").isin([int(p) for p in probe])
+    )
     return brute_force_topk(cands, id_col, vec_col, query_vec, k)
 
 

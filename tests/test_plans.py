@@ -244,3 +244,47 @@ def test_fuzzy_join_broadcast_verify(spark):
     df = entrymod.q_d11_fuzzy_join(spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_pruned_probe_partition_filters(spark, tmp_path):
+    # v12 (r8): probing an IVF-cell-partitioned table must prune the
+    # SCAN — the cluster IN-list shows up as PartitionFilters and only
+    # the probed cells' directories are opened
+    from healthcare_api_spark.operators import similarity
+    from healthcare_api_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = entrymod._V3_CENTROIDS
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_partitioned(emb, path, "embedding", cents)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    probe = similarity._probe_cells(cents, qvec, nprobe=3)
+
+    cands = spark.read.parquet(path).where(
+        F.col("cluster").isin([int(p) for p in probe])
+    )
+    plan = _plan(cands)
+    assert "PartitionFilters" in plan and "cluster" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+    # only the probed directories are read — the pruning is real IO,
+    # not a post-scan filter. (inputFiles() reads the UNPRUNED file
+    # index, so measure with the executed scan's own metrics.)
+    def scanned_partitions(df):
+        leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        leaf.selectedPartitions()  # force the lazy pruned file listing
+        return int(leaf.metrics().apply("numPartitions").value())
+
+    assert scanned_partitions(cands) == 3
+    assert scanned_partitions(spark.read.parquet(path)) == len(cents)
+    # and the pruned probe returns the exact ivf_topk answer
+    got = similarity.ivf_topk_pruned(
+        spark, path, "vec_id", "embedding", cents, qvec, k=10, nprobe=3
+    ).collect()
+    want = similarity.ivf_topk(
+        emb, "vec_id", "embedding", cents, qvec, k=10, nprobe=3
+    ).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [
+        (r["vec_id"], r["cos"]) for r in want
+    ]
