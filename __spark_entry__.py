@@ -3317,9 +3317,14 @@ def q_t23_bpe_train(spark, sf_dir):
     # vocabulary at every SF — 32 window partitions for 30 rows is pure
     # scheduling overhead (6.1 → 5.0 s at sf0.1, identical merges,
     # parity pinned by test). A real corpus sizes this to its measured
-    # vocabulary.
+    # vocabulary. batch_merges=4 (r8): up to 4 symbol-disjoint merges
+    # learned per Spark round — EXACTLY equal to sequential by the
+    # prefix-disjoint rule (differential-pinned), so the same
+    # sequential-CTE oracle still verifies it while the driver
+    # round-trips drop from 8 to the measured ~3-4.
     merges = textops.bpe_train(
-        _t(spark, sf_dir, "documents"), "text", n_merges=8, vocab_partitions=1
+        _t(spark, sf_dir, "documents"), "text", n_merges=8,
+        vocab_partitions=1, batch_merges=4,
     )
     from pyspark.sql.types import (
         IntegerType,

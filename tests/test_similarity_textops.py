@@ -957,6 +957,55 @@ def test_bpe_train_vocab_partitions_parity(spark):
         textops.bpe_train(df, "text", 3, vocab_partitions=0)
 
 
+def test_bpe_train_batched_equals_sequential(spark):
+    """batch_merges (r8): prefix-disjoint batching must produce the
+    EXACT sequential merge table — same pairs, same order, same counts
+    — on random corpora (the differential pin for the ~n/m driver
+    round-trip saving)."""
+    import random
+
+    for seed in (7, 41, 1234):
+        rng = random.Random(seed)
+        alphabet = "abcd"
+        docs = [
+            (
+                i,
+                " ".join(
+                    "".join(
+                        rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 6))
+                    )
+                    for _ in range(rng.randint(3, 10))
+                ),
+            )
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        seq = textops.bpe_train(df, "text", n_merges=6)
+        for m in (2, 3, 6):
+            assert (
+                textops.bpe_train(df, "text", n_merges=6, batch_merges=m)
+                == seq
+            ), (seed, m)
+
+
+def test_bpe_train_batched_prefix_stop_on_conflict(spark):
+    """The batch must STOP at the first conflicting candidate, not
+    skip it: in 'ababx...' the top pairs (a,b) and (b,a)/(b,x) share
+    symbols, so even batch_merges=4 must fall back to one merge for
+    that round and still match sequential exactly."""
+    df = spark.createDataFrame(
+        [(1, "abab abab ab bx bx")], ["doc_id", "text"]
+    )
+    seq = textops.bpe_train(df, "text", n_merges=3)
+    bat = textops.bpe_train(df, "text", n_merges=3, batch_merges=4)
+    assert bat == seq
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textops.bpe_train(df, "text", 1, batch_merges=0)
+
+
 def test_perplexity_buckets_tiers(spark):
     """Tier sizes ≈ n/3, labels ordered by score, fractions validated
     (r7 t24)."""
