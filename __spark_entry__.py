@@ -4480,17 +4480,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the union property (r1∪r2∪r3∪r4 sweeps ⊇ all hash queries)
     # mechanically instead of by NOTES.md discipline.
     return {
-        # --- r7 second-wave additions (new queries, need first
-        # driver hashes) ---
+        # --- r8 head (VERDICT r7 #6): the 4 rows-only queries lead so
+        # the driver's own ledger finally records them — t12 has NEVER
+        # appeared in a CORRECTNESS round and f7/k1/k2 were last seen
+        # r02; their pytest/sweep status is green, the driver's record
+        # should say so too. (They are rows-only by documented DuckDB
+        # impossibility: no sha1 for uuid5, sketch state is
+        # implementation-defined for k1/k2, t12 measures zlib.) ---
+        "f7_uuid5": q_f7_uuid5,
+        "k1_sketch_distinct": q_k1_sketch_distinct,
+        "k2_sketch_quantiles": q_k2_sketch_quantiles,
+        "t12_compression_ratio": q_t12_compression_ratio,
+        # --- r8 new + changed-in-r8 (need fresh driver hashes):
+        # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
+        # centroid artifact, t23 batched merges, st5/st6 bucketed
+        # versioned state, u6 crossed-cut guard (eager literal cuts),
+        # v9 overflow-guarded RRF, v11 min(k,|exact|) denominator ---
+        "v12_ivf_pruned": q_v12_ivf_pruned,
+        "d14_semdedup": q_d14_semdedup,
+        "t23_bpe_train": q_t23_bpe_train,
+        "st5_streaming_neardup": q_st5_streaming_neardup,
+        "st6_streaming_kmv": q_st6_streaming_kmv,
+        "u6_winsorize": q_u6_winsorize,
+        "v9_hybrid_rrf": q_v9_hybrid_rrf,
+        "v11_ann_recall": q_v11_ann_recall,
+        # --- r7 second-wave additions (driver-hash-green in
+        # CORRECTNESS_r07) ---
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
         "v10_prefix_rerank": q_v10_prefix_rerank,
         "k7_kmv_set_ops": q_k7_kmv_set_ops,
-        "st6_streaming_kmv": q_st6_streaming_kmv,
         "x14_sax_symbols": q_x14_sax_symbols,
         "w12_sessionize": q_w12_sessionize,
         "w13_session_flows": q_w13_session_flows,
-        "u6_winsorize": q_u6_winsorize,
-        "v11_ann_recall": q_v11_ann_recall,
         "d18_prefix_jaccard": q_d18_prefix_jaccard,
         "x15_sax_motifs": q_x15_sax_motifs,
         # --- r7 prefix head: the float-boundary-hardened queries
@@ -4509,15 +4530,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_seasonal_decompose": q_x8_seasonal_decompose,
         "x9_series_correlation": q_x9_series_correlation,
         "m14_image_hamming_pairs": q_m14_image_hamming_pairs,
-        "d14_semdedup": q_d14_semdedup,
         "v8_pooled_embeddings": q_v8_pooled_embeddings,
         "m15_image_hash_retrieval": q_m15_image_hash_retrieval,
         "t22_repetition_filter": q_t22_repetition_filter,
-        "v9_hybrid_rrf": q_v9_hybrid_rrf,
         "g4_label_propagation": q_g4_label_propagation,
-        "t23_bpe_train": q_t23_bpe_train,
         "t24_perplexity_buckets": q_t24_perplexity_buckets,
-        "st5_streaming_neardup": q_st5_streaming_neardup,
         "x13_matrix_profile": q_x13_matrix_profile,
         "u4_domain_quota": q_u4_domain_quota,
         # --- r6 prefix head (all driver-hash-green in
@@ -4526,7 +4543,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_lttb_downsample": q_x7_lttb_downsample,
         "a14_co_occurrence": q_a14_co_occurrence,
         "v3_ivf_topk": q_v3_ivf_topk,
-        "v12_ivf_pruned": q_v12_ivf_pruned,
         "v4_pca_project": q_v4_pca_project,
         "v2_ann_lsh": q_v2_ann_lsh,
         "m13_image_neardup": q_m13_image_neardup,
@@ -4640,7 +4656,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_attachment_meta": q_m1_attachment_meta,
         "m2_image_decode": q_m2_image_decode,
         "w2_keyset_page": q_w2_keyset_page,
-        "t12_compression_ratio": q_t12_compression_ratio,
         "a3_count_accurate": q_a3_count_accurate,
         "a4_counts_by_type": q_a4_counts_by_type,
         "a2_distinct_set": q_a2_distinct_set,
@@ -4666,7 +4681,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_ref_roundtrip": q_f3_ref_roundtrip,
         "f6_mime_infer": q_f6_mime_infer,
         "f1_f2_string_clean": q_f1_f2_string_clean,
-        "f7_uuid5": q_f7_uuid5,
         "f8_json_extract": q_f8_json_extract,
         "f9_f11_struct_build": q_f9_f11_struct_build,
         "f10_f12_cast_append": q_f10_f12_cast_append,
@@ -4680,8 +4694,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_interval_join": q_x2_interval_join,
         "x3_hierarchical_rollup": q_x3_hierarchical_rollup,
         "x4_gapfill": q_x4_gapfill,
-        "k1_sketch_distinct": q_k1_sketch_distinct,
-        "k2_sketch_quantiles": q_k2_sketch_quantiles,
         "w1_latest_per_key": q_w1_latest_per_key,
         "w3_rank_topn_per_group": q_w3_rank_topn_per_group,
         "w5_funnel": q_w5_funnel,

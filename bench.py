@@ -147,6 +147,9 @@ HEADLINE = [
     "v11_ann_recall",
     "d18_prefix_jaccard",
     "x15_sax_motifs",
+    # round 8: the partition-pruned IVF probe (scan-pruning is the
+    # longitudinal claim — watch it stay near the nprobe/k floor)
+    "v12_ivf_pruned",
 ]
 
 N_STEADY = 3

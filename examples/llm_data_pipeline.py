@@ -6,7 +6,7 @@ with stats — every stage a distributed operator from this package:
 
   1. language-ID + quality scoring (textops)
   2. quality + repetition + bigram-LM perplexity TIER gates
-     (Gopher / CCNet head-middle-tail)
+     (Gopher / CCNet head-middle-tail) + per-domain quota capping
   3. PII redaction (curation; narrow regexp chain)
   4. benchmark decontamination (curation; broadcast n-gram overlap)
   5. exact dedup (normalized-content fingerprints)
@@ -69,6 +69,26 @@ def main() -> None:
     )
     gated = gated.join(
         tiers.filter(F.col("tier") != "tail").select("doc_id"), "doc_id"
+    )
+
+    # 2c. per-domain quota (r8 wiring): cap any single host's
+    # contribution BEFORE the expensive dedup/mixture stages so mirror
+    # farms can't dominate the mix — best quality first, full audit
+    # trail kept. (The synthetic corpus has no URL column; derive a
+    # stand-in host from the source field, which is what it models.)
+    with_url = gated.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    quota = curation.domain_quota(
+        with_url, "doc_id", "url", max_per_domain=max(20, n_gated // 4),
+        rank_col="score",
+    )
+    gated = gated.join(
+        quota.filter(F.col("kept") == 1).select("doc_id"), "doc_id"
     )
 
     # 3. PII redaction: downstream stages consume the scrubbed text
@@ -140,12 +160,24 @@ def main() -> None:
     ).persist()
     n_mixed = corpus.count()
 
-    # 9. token accounting + sequence packing on the survivors
+    # 9. token accounting + sequence packing on the survivors. Doc
+    # lengths are WINSORIZED first (r8 wiring): order-statistic cuts
+    # clip the length outliers so the mean-tokens-per-doc stat the
+    # mixture planner consumes isn't dragged by a handful of giants —
+    # clip flags kept for the report.
     tokens = textops.token_counts(corpus, "doc_id", "text")
-    stats = tokens.agg(
+    wins = curation.winsorize(
+        tokens, "n_tokens",
+        k_low=max(1, n_mixed // 20), k_high=max(1, n_mixed // 20),
+    )
+    n_clipped = wins.agg(
+        (F.sum("clipped_low") + F.sum("clipped_high")).alias("c")
+    ).collect()[0]["c"]
+    stats = wins.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").alias("tokens"),
         F.sum("n_subwords").alias("subwords"),
+        F.round(F.avg("n_tokens_winsorized"), 2).alias("mean_tokens_wins"),
     ).collect()[0]
     packed = curation.pack_sequences(
         corpus, "doc_id", "text", budget=512, part_col="pred_lang"
@@ -156,10 +188,12 @@ def main() -> None:
         corpus, "doc_id", "text", chunk_size=64, overlap=16
     ).count()
 
-    # 9a. train a BPE tokenizer ON the cleaned corpus (r7): one corpus
-    # token-frequency pass, then vocabulary-sized merge rounds — the
-    # tokenizer artifact ships WITH the dataset it was trained on
-    bpe_merges = textops.bpe_train(corpus, "text", n_merges=6)
+    # 9a. train a BPE tokenizer ON the cleaned corpus (r7; r8 batched):
+    # one corpus token-frequency pass, then vocabulary-sized merge
+    # rounds learning up to 3 symbol-disjoint merges per round
+    # (exactly equal to sequential) — the tokenizer artifact ships
+    # WITH the dataset it was trained on
+    bpe_merges = textops.bpe_train(corpus, "text", n_merges=6, batch_merges=3)
 
     # 9b. vocabulary heavy hitters off a count-min sketch (fixed-size
     # summary — the corpus-stats report a 100 TB run can afford)
@@ -213,6 +247,7 @@ def main() -> None:
     print(f"embedding near-dups:   {n_emb_dups}")
     print(f"after mixture sample:  {n_mixed}")
     print(f"corpus tokens:         {stats['tokens']} ({stats['subwords']} subwords)")
+    print(f"winsorized lengths:    mean {stats['mean_tokens_wins']} ({n_clipped} clipped)")
     print(f"packed sequences/lang: max {n_seqs} @512 tokens")
     print(f"RAG chunks (64/16):    {n_chunks}")
     print(f"by language:           {langs}")

@@ -156,12 +156,15 @@ def test_r6_graduated_oracles_match_at_sf0001():
         assert canon(sdf) == canon(odf), f"{name}: spark != oracle"
 
 
-def test_r7_changed_oracles_match_at_sf0001():
-    """Queries whose semantics or oracle changed in r7 (scaled-integer
-    hardening of q1/q3/q5/q6/w8/x8/x9, the v8 zero-guard mirror, the
-    m14 distinct-hash banding, the d14 guard rework) plus the NEW m15
-    retrieval query have no r7 driver hash yet — verify them against
-    DuckDB now, exactly like the r5/r6 queue tests."""
+def test_r8_changed_oracles_match_at_sf0001():
+    """Queries new or changed in r8 (v12 partition-pruned probe, the
+    d14 per-tier scaled-k centroid artifact, t23 batched merges,
+    st5/st6 bucketed versioned state, u6 eager-literal cuts, v9
+    overflow-guarded RRF, v11 min(k,|exact|) denominator) have no r8
+    driver hash yet — verify them against DuckDB now, exactly like the
+    r5/r6/r7 queue tests. (The r7 edition retired once
+    CORRECTNESS_r07 recorded every entry green — the NOTES.md
+    precedent.)"""
     import math
 
     import duckdb
@@ -171,7 +174,7 @@ def test_r7_changed_oracles_match_at_sf0001():
     from healthcare_api_spark.tables import TABLE_NAMES
 
     sf = "/root/testdata/sf0.001"
-    spark = get_spark("r7-changed-check")
+    spark = get_spark("r8-changed-check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
@@ -193,21 +196,12 @@ def test_r7_changed_oracles_match_at_sf0001():
         return sorted(out)
 
     for name in (
-        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-        "q6_forecast_revenue", "w8_time_weighted_avg",
-        "x8_seasonal_decompose", "x9_series_correlation",
-        "v8_pooled_embeddings", "m14_image_hamming_pairs",
-        "m15_image_hash_retrieval", "d14_semdedup",
-        "t22_repetition_filter", "v9_hybrid_rrf",
-        "g4_label_propagation", "t23_bpe_train",
-        "t24_perplexity_buckets", "st5_streaming_neardup",
-        "x13_matrix_profile", "u4_domain_quota",
-        "m16_audio_vad_windows", "v10_prefix_rerank", "k7_kmv_set_ops",
-        "st6_streaming_kmv", "x14_sax_symbols", "w12_sessionize",
-        "w13_session_flows", "u6_winsorize", "v11_ann_recall",
-        "d18_prefix_jaccard", "x15_sax_motifs",
+        "v12_ivf_pruned", "d14_semdedup", "t23_bpe_train",
+        "st5_streaming_neardup", "st6_streaming_kmv", "u6_winsorize",
+        "v9_hybrid_rrf", "v11_ann_recall",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
         assert sorted(sdf.columns) == sorted(odf.columns), name
         assert canon(sdf) == canon(odf), f"{name}: spark != oracle"
+
