@@ -1240,6 +1240,33 @@ def q_v2_ann_lsh(spark, sf_dir):
     return similarity.lsh_bucketed_topk(emb, "vec_id", "embedding", list(qvec), dim=64, k=10)
 
 
+def q_v13_lsh_pruned(spark, sf_dir):
+    """Partition-pruned LSH probe (r8 — the v12 contract extended to
+    the hyperplane path): embeddings materialized one-directory-per-
+    sign-bucket (write_lsh_partitioned), bucket occupancies read off
+    the partition column, the same widening loop as v2 picks the probe
+    set driver-side, and the bucket IN-list prunes the scan to the
+    probed directories. Identical answer to v2 by construction, so the
+    v2 oracle verifies the pruned path."""
+    import shutil
+    import tempfile
+
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    root = tempfile.mkdtemp(prefix="v13_")
+    try:
+        similarity.write_lsh_partitioned(
+            emb, f"{root}/lsh", "embedding", dim=64
+        )
+        out = similarity.lsh_topk_pruned(
+            spark, f"{root}/lsh", "vec_id", "embedding", qvec, dim=64, k=10
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 
 
 # Frozen ANN/PCA model artifacts (r6) — like _V7_BOOKS: trained offline
@@ -4504,6 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u6_winsorize": q_u6_winsorize,
         "v9_hybrid_rrf": q_v9_hybrid_rrf,
         "v11_ann_recall": q_v11_ann_recall,
+        "v13_lsh_pruned": q_v13_lsh_pruned,
         # --- r7 second-wave additions (driver-hash-green in
         # CORRECTNESS_r07) ---
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
@@ -6287,6 +6315,10 @@ def oracle_sql() -> dict[str, str]:
     # artifact (regenerated at build time, inlined as literals) and the
     # probe-widening loop is a monotone cumsum, expressible as a window
     out["v2_ann_lsh"] = _v2_oracle()
+    # v13 probes a bucket-PARTITIONED materialization with the same
+    # planes and widening loop — identical semantics, same oracle
+    # (the v12 precedent on the hyperplane path)
+    out["v13_lsh_pruned"] = _v2_oracle()
     # r6: d14 graduates — frozen cells + d5 pair oracle + d6 CC oracle
     out["d14_semdedup"] = _d14_oracle()
     # r6: m14 — analytic perturbed hashes + NAIVE ALL-PAIRS Hamming

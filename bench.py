@@ -147,9 +147,11 @@ HEADLINE = [
     "v11_ann_recall",
     "d18_prefix_jaccard",
     "x15_sax_motifs",
-    # round 8: the partition-pruned IVF probe (scan-pruning is the
-    # longitudinal claim — watch it stay near the nprobe/k floor)
+    # round 8: the partition-pruned probes (scan-pruning is the
+    # longitudinal claim — watch them stay near the probed-fraction
+    # floor)
     "v12_ivf_pruned",
+    "v13_lsh_pruned",
 ]
 
 N_STEADY = 3

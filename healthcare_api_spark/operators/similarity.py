@@ -475,39 +475,124 @@ def lsh_bucketed_topk(
     """
     min_candidates = k if min_candidates is None else min_candidates
     max_hamming = n_planes if max_hamming is None else max_hamming
+    qbits = _query_sign_bits(query_vec, dim, n_planes, seed)
+    bucketed = hyperplane_buckets(df, vec_col, dim, n_planes, seed)
+    counts = {
+        r["bucket"]: r["n"]
+        for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    probe = _lsh_probe_set(counts, qbits, min_candidates, max_hamming)
+    candidates = bucketed.filter(F.col("bucket").isin(probe))
+    return brute_force_topk(candidates, id_col, vec_col, query_vec, k)
+
+
+def _query_sign_bits(
+    query_vec: list[float], dim: int, n_planes: int, seed: int
+) -> str:
+    """The query's hyperplane sign-bit string — sequential double dots
+    (not BLAS np.dot) so the bits match the engine-side
+    zip_with+aggregate / a SQL engine's list_dot_product bit-for-bit:
+    the hash-oracle portability rule."""
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
 
-    # sequential double dot (not BLAS np.dot) so the query's sign bits
-    # match the engine-side zip_with+aggregate / a SQL engine's
-    # list_dot_product bit-for-bit — the hash-oracle portability rule
     def _seqdot(a, b):
         s = 0.0
         for x, y in zip(a, b):
             s += float(x) * float(y)
         return s
 
-    qbits = "".join("1" if _seqdot(plane, query_vec) >= 0 else "0" for plane in planes)
-    bucketed = hyperplane_buckets(df, vec_col, dim, n_planes, seed)
+    return "".join(
+        "1" if _seqdot(plane, query_vec) >= 0 else "0" for plane in planes
+    )
 
-    counts = {
-        r["bucket"]: r["n"]
-        for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    # occupied buckets, nearest sign-pattern first (ties lexicographic)
+
+def _lsh_probe_set(
+    counts: dict[str, int], qbits: str, min_candidates: int, max_hamming: int
+) -> list[str]:
+    """Occupied buckets to probe, nearest sign-pattern first (ties
+    lexicographic), widening until the candidate pool reaches
+    ``min_candidates``. ``max_hamming`` is a STRICT radius: buckets
+    beyond it are never probed, even when every bucket inside it is
+    empty (the result may then be empty/short — the caller chose
+    precision over recall)."""
+
     def hamming(b: str) -> int:
         return sum(x != y for x, y in zip(b, qbits))
 
-    # max_hamming is a STRICT radius: buckets beyond it are never probed,
-    # even when every bucket inside it is empty (the result may then be
-    # empty/short — the caller chose precision over recall)
-    probe, pool = [], 0
+    probe: list[str] = []
+    pool = 0
     for b in sorted(counts, key=lambda b: (hamming(b), b)):
         if hamming(b) > max_hamming or (probe and pool >= min_candidates):
             break
         probe.append(b)
         pool += counts[b]
-    candidates = bucketed.filter(F.col("bucket").isin(probe))
+    return probe
+
+
+def write_lsh_partitioned(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize an embeddings table PARTITIONED BY its LSH sign-bit
+    bucket — the hyperplane twin of ``write_ivf_partitioned``. The
+    partition value is prefixed ``b`` (``b01100101``) so Spark's
+    partition-type inference can never mis-read a bitstring as an
+    integer and drop leading zeros; readers re-derive the plain
+    ``bucket`` column by stripping it."""
+    bucketed = hyperplane_buckets(df, vec_col, dim, n_planes, seed)
+    (
+        bucketed.withColumn(
+            "bucket_pt", F.concat(F.lit("b"), F.col("bucket"))
+        )
+        .drop("bucket")
+        .write.partitionBy("bucket_pt")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def lsh_topk_pruned(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    min_candidates: int | None = None,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """LSH probe over a bucket-partitioned table
+    (``write_lsh_partitioned``): bucket occupancies come from an
+    aggregate over the PARTITION column only (directory metadata, no
+    vector bytes), the widening loop picks the probe set driver-side
+    exactly as ``lsh_bucketed_topk`` does, and the ``bucket_pt IN``
+    predicate prunes the scan to the probed directories. Identical
+    answer to ``lsh_bucketed_topk`` on the same planes/knobs (same
+    probe set, same exact-cosine top-k), so the same oracle verifies
+    both — the v12 contract extended to the hyperplane path."""
+    min_candidates = k if min_candidates is None else min_candidates
+    max_hamming = n_planes if max_hamming is None else max_hamming
+    qbits = _query_sign_bits(query_vec, dim, n_planes, seed)
+    table = spark.read.parquet(path)
+    counts = {
+        r["bucket_pt"][1:]: r["n"]
+        for r in table.groupBy("bucket_pt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    probe = _lsh_probe_set(counts, qbits, min_candidates, max_hamming)
+    candidates = table.filter(
+        F.col("bucket_pt").isin([f"b{b}" for b in probe])
+    )
     return brute_force_topk(candidates, id_col, vec_col, query_vec, k)
 
 

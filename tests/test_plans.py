@@ -288,3 +288,51 @@ def test_ivf_pruned_probe_partition_filters(spark, tmp_path):
     assert [(r["vec_id"], r["cos"]) for r in got] == [
         (r["vec_id"], r["cos"]) for r in want
     ]
+
+
+def test_lsh_pruned_probe_partition_filters(spark, tmp_path):
+    # v13 (r8): the hyperplane twin of the v12 pruning pin — bucket
+    # partition dirs, PartitionFilters on bucket_pt, scan reads only
+    # the probed directories, answer equals the in-memory probe
+    from healthcare_api_spark.operators import similarity
+    from healthcare_api_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "lsh")
+    similarity.write_lsh_partitioned(emb, path, "embedding", dim=64)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    got = similarity.lsh_topk_pruned(
+        spark, path, "vec_id", "embedding", qvec, dim=64, k=10
+    )
+    plan = _plan(got)
+    assert "PartitionFilters" in plan and "bucket_pt" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+    qbits = similarity._query_sign_bits(qvec, 64, 8, 42)
+    table = spark.read.parquet(path)
+    counts = {
+        r["bucket_pt"][1:]: r["n"]
+        for r in table.groupBy("bucket_pt").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    probe = similarity._lsh_probe_set(counts, qbits, 10, 8)
+
+    def scanned_partitions(df):
+        leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        leaf.selectedPartitions()
+        return int(leaf.metrics().apply("numPartitions").value())
+
+    pruned = table.filter(
+        F.col("bucket_pt").isin([f"b{b}" for b in probe])
+    )
+    assert scanned_partitions(pruned) == len(probe) < len(counts)
+    # and the answer is exactly the in-memory widening probe's
+    want = similarity.lsh_bucketed_topk(
+        emb, "vec_id", "embedding", qvec, dim=64, k=10
+    ).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got.collect()] == [
+        (r["vec_id"], r["cos"]) for r in want
+    ]
