@@ -3508,6 +3508,25 @@ def q_u6_winsorize(spark, sf_dir):
     return curation.winsorize(ev, "cents", k_low=100, k_high=100)
 
 
+def q_u7_winsorize_pct(spark, sf_dir):
+    """Percent-based winsorization (r8): clip the lowest/highest 2% of
+    the non-null cents values — pass 1 is one count, the cut depths
+    are max(1, ceil(0.02·n)) and the clamp reuses u6's order-statistic
+    machinery (actual data values, no interpolation ulp). The oracle
+    computes the identical k from its own count — the ceil runs the
+    same IEEE double multiply in both engines."""
+    from healthcare_api_spark.operators import curation
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return curation.winsorize_pct(ev, "cents", p_low=0.02, p_high=0.02)
+
+
 def q_v11_ann_recall(spark, sf_dir):
     """ANN evaluation harness (r7): recall@10 of the v10 prefix-rerank
     retrieval against the exact v1 top-10 on the same probe
@@ -4529,6 +4548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st5_streaming_neardup": q_st5_streaming_neardup,
         "st6_streaming_kmv": q_st6_streaming_kmv,
         "u6_winsorize": q_u6_winsorize,
+        "u7_winsorize_pct": q_u7_winsorize_pct,
         "v9_hybrid_rrf": q_v9_hybrid_rrf,
         "v11_ann_recall": q_v11_ann_recall,
         "v13_lsh_pruned": q_v13_lsh_pruned,
@@ -6638,6 +6658,30 @@ def oracle_sql() -> dict[str, str]:
         "  (SELECT cents FROM c ORDER BY cents ASC LIMIT 100)),"
         " hi AS (SELECT min(cents) AS ch FROM"
         "  (SELECT cents FROM c ORDER BY cents DESC LIMIT 100))"
+        " SELECT event_id, cents,"
+        "  CAST(cents < cl AS INT) AS clipped_low,"
+        "  CAST(cents > ch AS INT) AS clipped_high,"
+        "  CAST(greatest(least(cents, ch), cl) AS BIGINT)"
+        "   AS cents_winsorized"
+        " FROM c, lo, hi"
+    )
+    # r8: u7 — percent-based cuts: k = max(1, ceil(p·n)) from the
+    # oracle's own non-null count (row_number instead of LIMIT so the
+    # depth can be an expression), then the u6 clamp shape
+    out["u7_winsorize_pct"] = (
+        "WITH c AS (SELECT event_id,"
+        "  CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents"
+        "  FROM events),"
+        " kk AS (SELECT greatest(1,"
+        "   CAST(ceil(0.02 * count(cents)) AS BIGINT)) AS k FROM c),"
+        " lo AS (SELECT max(cents) AS cl FROM"
+        "  (SELECT cents, row_number() OVER (ORDER BY cents ASC) AS rn"
+        "   FROM c WHERE cents IS NOT NULL)"
+        "  WHERE rn <= (SELECT k FROM kk)),"
+        " hi AS (SELECT min(cents) AS ch FROM"
+        "  (SELECT cents, row_number() OVER (ORDER BY cents DESC) AS rn"
+        "   FROM c WHERE cents IS NOT NULL)"
+        "  WHERE rn <= (SELECT k FROM kk))"
         " SELECT event_id, cents,"
         "  CAST(cents < cl AS INT) AS clipped_low,"
         "  CAST(cents > ch AS INT) AS clipped_high,"

@@ -742,3 +742,34 @@ def winsorize(
             F.greatest(F.least(v, hi_lit), lo_lit)
         ).alias(f"{value_col}_winsorized"),
     )
+
+
+def winsorize_pct(
+    df: DataFrame,
+    value_col: str,
+    p_low: float = 0.01,
+    p_high: float = 0.01,
+) -> DataFrame:
+    """Percent-based winsorization (r8 — the two-pass variant the
+    count-based ``winsorize`` docstring points at): clip the lowest
+    ``p_low`` and highest ``p_high`` fractions of the NON-NULL values.
+    Pass 1 is one count aggregate (n non-null); the cut depths are
+    then ``max(1, ceil(p · n))`` and the rest delegates to the
+    order-statistic ``winsorize`` — so the cuts remain ACTUAL data
+    values (engine-portable exact math on quantized inputs, no
+    interpolation ulp), and the crossed-cut guard still applies when
+    p_low + p_high rounds past the row count.
+    """
+    import math
+
+    if not (0.0 < p_low < 1.0) or not (0.0 < p_high < 1.0):
+        raise ValueError("p_low and p_high must be in (0, 1)")
+    n = df.filter(F.col(value_col).isNotNull()).count()
+    if n == 0:
+        raise ValueError(f"winsorize_pct: no non-null {value_col} rows")
+    return winsorize(
+        df,
+        value_col,
+        k_low=max(1, math.ceil(p_low * n)),
+        k_high=max(1, math.ceil(p_high * n)),
+    )

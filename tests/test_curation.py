@@ -525,6 +525,41 @@ def test_winsorize_null_values_pass_through(spark):
     assert rows[3]["v_winsorized"] == 9
 
 
+def test_winsorize_pct_two_pass(spark):
+    """Percent cuts resolve to max(1, ceil(p·n)) order statistics over
+    the NON-NULL count (r8 u7); invalid fractions raise."""
+    import pytest
+    from healthcare_api_spark.operators.curation import winsorize_pct
+
+    vals = list(range(1, 101))  # 1..100, n=100
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)] + [(999, None)],
+        "id long, v long",
+    )
+    # p=0.05 → k=5: cut_low = 5th smallest = 5, cut_high = 5th largest = 96
+    rows = {
+        r["id"]: r
+        for r in winsorize_pct(df, "v", p_low=0.05, p_high=0.05).collect()
+    }
+    assert rows[0]["v_winsorized"] == 5 and rows[0]["clipped_low"] == 1
+    assert rows[99]["v_winsorized"] == 96 and rows[99]["clipped_high"] == 1
+    assert rows[49]["v_winsorized"] == 50
+    assert rows[999]["v_winsorized"] is None
+    # tiny p still clips at least the extremes (k floors at 1)
+    r2 = {
+        r["id"]: r
+        for r in winsorize_pct(df, "v", p_low=0.001, p_high=0.001).collect()
+    }
+    assert r2[0]["v_winsorized"] == 1 and r2[99]["v_winsorized"] == 100
+    for bad in (0.0, 1.0, -0.1):
+        with pytest.raises(ValueError):
+            winsorize_pct(df, "v", p_low=bad)
+    with pytest.raises(ValueError, match="no non-null"):
+        winsorize_pct(
+            spark.createDataFrame([(1, None)], "id long, v long"), "v"
+        )
+
+
 def test_winsorize_crossed_cuts_raise(spark):
     """k_low + k_high > non-null rows can cross the cuts (cut_low >
     cut_high); the old clamp silently raised every value to cut_low —

@@ -198,7 +198,8 @@ def test_r8_changed_oracles_match_at_sf0001():
     for name in (
         "v12_ivf_pruned", "v13_lsh_pruned", "d14_semdedup",
         "t23_bpe_train", "st5_streaming_neardup", "st6_streaming_kmv",
-        "u6_winsorize", "v9_hybrid_rrf", "v11_ann_recall",
+        "u6_winsorize", "u7_winsorize_pct", "v9_hybrid_rrf",
+        "v11_ann_recall",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
