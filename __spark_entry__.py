@@ -1082,6 +1082,48 @@ def q_st6_streaming_kmv(spark, sf_dir):
     return out
 
 
+def q_st7_streaming_session_flows(spark, sf_dir):
+    """Streaming session Markov flows (r8): events stream in as TWO
+    time-split micro-batches; each batch stitches its sessions onto
+    the carried last-event-per-user state and add-merges its (src,
+    dst) transition counts — both states in the r8 bucketed versioned
+    store (streaming/flows.py). Because the carried row is strictly
+    earliest per user, the boundary transition is computed exactly
+    once, and the final matrix must EQUAL the batch w13 computation —
+    this gate hash-checks the streaming run against the w13 oracle
+    VERBATIM (the st5/st6 contract on a third operator family)."""
+    import shutil
+    import tempfile
+
+    from healthcare_api_spark.streaming.flows import (
+        read_session_flows,
+        streaming_session_flows,
+    )
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    root = tempfile.mkdtemp(prefix="st7_")
+    src, state, ckpt = f"{root}/src", f"{root}/state", f"{root}/ckpt"
+    try:
+        cutoff = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+        ev.filter(cutoff).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        ).parquet(src)
+        q = streaming_session_flows(
+            stream, state, "user_id", "ts", "event_type",
+            gap_minutes=30, checkpoint=ckpt,
+        )
+        q.processAllAvailable()
+        ev.filter(~cutoff).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+        out = read_session_flows(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_st4_stream_stream_join(spark, sf_dir):
     """A REAL watermarked stream-stream join inside the gate: events
     split into a click stream (even ids) and a purchase stream (odd
@@ -4552,6 +4594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v9_hybrid_rrf": q_v9_hybrid_rrf,
         "v11_ann_recall": q_v11_ann_recall,
         "v13_lsh_pruned": q_v13_lsh_pruned,
+        "st7_streaming_session_flows": q_st7_streaming_session_flows,
         # --- r7 second-wave additions (driver-hash-green in
         # CORRECTNESS_r07) ---
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
@@ -6707,6 +6750,10 @@ def oracle_sql() -> dict[str, str]:
         "  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6)"
         "   AS prob FROM c"
     )
+    # r8: st7 — the REAL 2-micro-batch streaming session-flow run must
+    # equal the batch w13 computation (the st5/st6 contract), so the
+    # w13 oracle verifies it verbatim
+    out["st7_streaming_session_flows"] = out["w13_session_flows"]
     # r7: x14 — SAX symbols: the x13 quantized hourly series, frame
     # sums / series stats exact int64, z one fixed double expression,
     # strict > comparisons against the SHARED breakpoint literals

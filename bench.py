@@ -152,6 +152,9 @@ HEADLINE = [
     # floor)
     "v12_ivf_pruned",
     "v13_lsh_pruned",
+    # round 8: streaming session flows — a third real streaming run in
+    # the headline (state churn on the bucketed versioned store)
+    "st7_streaming_session_flows",
 ]
 
 N_STEADY = 3

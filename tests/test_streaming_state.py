@@ -164,3 +164,59 @@ def test_neardup_admit_batch_replay_idempotent(spark, tmp_path):
     # and replay batch 0 too (an older uncommitted offset rewind)
     admit_batch(b0, 0, root, "doc_id", "text")
     assert set(verdicts()) == want and len(verdicts()) == 5
+
+
+def test_streaming_session_flows_cross_batch_and_replay(spark, tmp_path):
+    """st7 machinery on a hand-built stream: a session spanning the
+    batch boundary contributes exactly ONE boundary transition, a gap
+    larger than the window contributes none, and a replayed batch
+    changes nothing (r8)."""
+    from datetime import datetime
+
+    from healthcare_api_spark.operators.analytics import session_flows
+    from healthcare_api_spark.streaming.flows import (
+        flows_batch,
+        read_session_flows,
+    )
+
+    def t(minute):
+        return datetime(2024, 1, 1, 10 + minute // 60, minute % 60)
+
+    schema = "user_id long, ts timestamp, event_type string"
+    # user 1: a->b in batch 0; ->c 5 min later in batch 1 (same
+    # session: boundary transition b->c); user 2: x in batch 0, ->y
+    # 45 min later in batch 1 (gap > 30 min: NO boundary transition)
+    b0 = spark.createDataFrame(
+        [(1, t(0), "a"), (1, t(1), "b"), (2, t(2), "x")], schema
+    )
+    b1 = spark.createDataFrame(
+        [(1, t(6), "c"), (2, t(47), "y"), (2, t(48), "z")], schema
+    )
+    root = str(tmp_path / "flows")
+    flows_batch(b0, 0, root, "user_id", "ts", "event_type")
+    flows_batch(b1, 1, root, "user_id", "ts", "event_type")
+
+    def matrix():
+        return {
+            (r["src"], r["dst"]): (r["n_transitions"], r["prob"])
+            for r in read_session_flows(spark, root).collect()
+        }
+
+    got = matrix()
+    assert got == {
+        ("a", "b"): (1, 1.0),
+        ("b", "c"): (1, 1.0),   # the cross-batch stitch
+        ("y", "z"): (1, 1.0),   # within batch 1; x->y gap-broken
+    }
+    # equals the batch operator over the union (the st7 contract)
+    whole = {
+        (r["src"], r["dst"]): (r["n_transitions"], r["prob"])
+        for r in session_flows(
+            b0.unionByName(b1), "user_id", "ts", "event_type", 30
+        ).collect()
+    }
+    assert got == whole
+    # replay either batch: counts must NOT double
+    flows_batch(b1, 1, root, "user_id", "ts", "event_type")
+    flows_batch(b0, 0, root, "user_id", "ts", "event_type")
+    assert matrix() == got

@@ -199,7 +199,7 @@ def test_r8_changed_oracles_match_at_sf0001():
         "v12_ivf_pruned", "v13_lsh_pruned", "d14_semdedup",
         "t23_bpe_train", "st5_streaming_neardup", "st6_streaming_kmv",
         "u6_winsorize", "u7_winsorize_pct", "v9_hybrid_rrf",
-        "v11_ann_recall",
+        "v11_ann_recall", "st7_streaming_session_flows",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
