@@ -2481,6 +2481,23 @@ def q_k7_kmv_set_ops(spark, sf_dir):
     return sketches.kmv_set_ops(sk, "event_type", k=64)
 
 
+def q_k8_hll_distinct(spark, sf_dir):
+    """Engine-portable HyperLogLog (r8): per event-type distinct-user
+    estimate from an md5-arithmetic register table (sketches.hll_build
+    / hll_distinct, Flajolet 2007 estimator + linear-counting
+    correction). Unlike the opaque HLL++ binary behind k1 (rows-only
+    forever), EVERYTHING here is hash-verified — the full register
+    state via a canonical checksum AND the estimate, whose only float
+    ops are one division of exact integers and one ln of an exact
+    rational (Σ2^(-rho) is accumulated as exact integer shifts)."""
+    from healthcare_api_spark.operators import sketches
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    regs = sketches.hll_build(ev, ["event_type"], "user_id", p=9)
+    return sketches.hll_distinct(regs, ["event_type"], p=9)
+
+
 def q_m10_gif_frames(spark, sf_dir):
     """REAL animated-GIF decode: doc_id%3+1 frames per doc, one output
     row per frame (the frame_sample fan-out contract) — oracle
@@ -4595,6 +4612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v11_ann_recall": q_v11_ann_recall,
         "v13_lsh_pruned": q_v13_lsh_pruned,
         "st7_streaming_session_flows": q_st7_streaming_session_flows,
+        "k8_hll_distinct": q_k8_hll_distinct,
         # --- r7 second-wave additions (driver-hash-green in
         # CORRECTNESS_r07) ---
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
@@ -6828,6 +6846,36 @@ def oracle_sql() -> dict[str, str]:
         "  round(CASE WHEN n_union < 64 THEN CAST(n_inter AS DOUBLE) / n_union"
         "   ELSE CAST(n_inter AS DOUBLE) / 64.0 END, 6) AS jaccard"
         " FROM c"
+    )
+    # r8: k8 — portable HLL: 60-bit md5 hash, reg = h mod 512, rho =
+    # first-1-bit position in the 51-bit remainder (binary-string
+    # exact, no float log), Σ2^(-rho) as EXACT integer shifts; the
+    # alpha·m²·2^52 numerator is ONE shared Python double literal
+    _k8_m = 512
+    _k8_a = (0.7213 / (1.0 + 1.079 / _k8_m)) * _k8_m * _k8_m * float(1 << 52)
+    out["k8_hll_distinct"] = (
+        f"WITH h AS (SELECT event_type,"
+        f"  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)"
+        f"   AS BIGINT) AS h FROM events),"
+        f" b AS (SELECT event_type, CAST(h % {_k8_m} AS INT) AS reg,"
+        f"  h // {_k8_m} AS w FROM h),"
+        f" r0 AS (SELECT event_type, reg, CAST(CASE WHEN w = 0 THEN 52"
+        f"  ELSE 52 - length(format('{{:b}}', w)) END AS INT) AS rho FROM b),"
+        f" regs AS (SELECT event_type, reg, CAST(max(rho) AS INT) AS rho"
+        f"  FROM r0 GROUP BY 1, 2),"
+        f" per AS (SELECT event_type, CAST(count(*) AS INT) AS n_regs,"
+        f"  CAST(sum(CAST(1 AS BIGINT) << (52 - rho)) AS BIGINT) AS sp,"
+        f"  md5(string_agg(reg || ':' || rho, ',' ORDER BY reg))"
+        f"   AS reg_checksum FROM regs GROUP BY 1),"
+        f" e AS (SELECT event_type, n_regs, reg_checksum,"
+        f"  CAST({_k8_m} - n_regs AS INT) AS n_zero_regs,"
+        f"  {_k8_a!r} / CAST(sp + CAST({_k8_m} - n_regs AS BIGINT)"
+        f"   * {1 << 52} AS DOUBLE) AS e_raw FROM per)"
+        f" SELECT event_type, n_regs, n_zero_regs, reg_checksum,"
+        f"  round(CASE WHEN e_raw <= {2.5 * _k8_m!r} AND n_zero_regs > 0"
+        f"   THEN {_k8_m}.0 * ln({_k8_m}.0 / CAST(n_zero_regs AS DOUBLE))"
+        f"   ELSE e_raw END, 4) AS est_distinct"
+        f" FROM e"
     )
     # r7: v10 — prefix-dot coarse top-100 then exact cosine rerank;
     # both stages rank 6-dp-rounded scores (id tiebreak), mirrored

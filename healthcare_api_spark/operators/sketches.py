@@ -369,3 +369,123 @@ def kmv_rollup(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFra
     return merged.withColumn("n_seen", F.size("kmv").cast("bigint")).select(
         *group_cols, "n_seen", "kmv"
     )
+
+
+# ------------------------------------------------------------------ HLL --
+
+# The HLL state is pure md5/integer arithmetic (like the CMS/KMV
+# above), so — unlike Spark's opaque HLL++ binary behind k1 — the
+# whole register table AND the estimate are engine-portable and
+# hash-verifiable. Hash layout: the first 15 md5 hex chars parse to a
+# 60-bit non-negative integer h; bucket = h mod 2^p, and rho is the
+# position of the first 1-bit in the remaining (60-p)-bit field w
+# (counted from the MSB, 1-based; w = 0 maps to width+1). The
+# estimator is Flajolet et al. 2007: E = alpha_m·m²/Σ2^(-rho_j) with
+# the linear-counting small-range correction E = m·ln(m/V) when
+# E ≤ 2.5m and V (= zero registers) > 0.
+#
+# Bit-portability: Σ2^(-rho) is accumulated as the EXACT integer
+# Σ2^(width+1-rho) (integer shifts, ≤ m·2^(width+1) — bigint-safe for
+# p ≥ 4), so the only float ops are one division of exact values and
+# (in the corrected branch) one ln of an exact rational — both single
+# IEEE ops, identical in any engine at the rounded output precision.
+
+_HLL_HEX_CHARS = 15  # 60 hash bits: bigint-safe through conv/CAST
+
+
+def _hll_width(p: int) -> int:
+    return 4 * _HLL_HEX_CHARS - p
+
+
+def hll_build(
+    df: DataFrame, group_cols: list[str], key_col: str, p: int = 9
+) -> DataFrame:
+    """Per-group HLL register table: (group…, reg, rho) with one row
+    per OCCUPIED register (absent registers are zeros — the sparse
+    representation; ≤ 2^p rows per group no matter the input).
+    One distinct-free aggregate: groupBy (group, reg) max(rho) with
+    map-side combine, the lightest possible distinct-count pass."""
+    if not 4 <= p <= 14:
+        raise ValueError("p must be in [4, 14]")
+    m = 1 << p
+    width = _hll_width(p)
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, _HLL_HEX_CHARS),
+        16,
+        10,
+    ).cast("bigint")
+    base = df.select(*group_cols, h.alias("_h"))
+    base = base.select(
+        *group_cols,
+        (F.col("_h") % m).cast("int").alias("reg"),
+        F.expr(f"_h div {m}").alias("_w"),
+    )
+    bitlen = F.length(F.bin(F.col("_w")))
+    rho = (
+        F.when(F.col("_w") == 0, F.lit(width + 1))
+        .otherwise(F.lit(width + 1) - bitlen)
+        .cast("int")
+    )
+    return (
+        base.withColumn("rho", rho)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union two register tables: max rho per (group, reg) — the HLL
+    merge, associative/commutative/idempotent like the KMV bottom-k."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+
+
+def hll_distinct(
+    registers: DataFrame, group_cols: list[str], p: int = 9
+) -> DataFrame:
+    """Estimate from the register table. Output per group:
+    (group…, n_regs, n_zero_regs, reg_checksum, est_distinct 4 dp) —
+    the checksum is md5 over the canonical ``reg:rho`` register string,
+    so a hash oracle verifies the full state, not just the estimate."""
+    m = 1 << p
+    width = _hll_width(p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # alpha·m²·2^(width+1): ONE shared Python double literal — both
+    # engines divide it by the exact integer S
+    a_scaled = alpha * m * m * float(1 << (width + 1))
+    per = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {width + 1} - rho)"))
+        .cast("bigint")
+        .alias("_s_present"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("reg", "rho"))),
+                    lambda x: F.concat(
+                        x["reg"].cast("string"), F.lit(":"), x["rho"].cast("string")
+                    ),
+                ),
+                ",",
+            )
+        ).alias("reg_checksum"),
+    )
+    zeros = (F.lit(m) - F.col("n_regs")).cast("int")
+    s_int = F.col("_s_present") + zeros.cast("bigint") * F.lit(
+        1 << (width + 1)
+    ).cast("bigint")
+    e_raw = F.lit(a_scaled) / s_int.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return per.select(
+        *group_cols,
+        "n_regs",
+        zeros.alias("n_zero_regs"),
+        "reg_checksum",
+        F.round(est, 4).alias("est_distinct"),
+    )

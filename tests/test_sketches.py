@@ -375,3 +375,71 @@ def test_kmv_rollup_equals_direct_build(spark):
     for g in ("a", "b"):
         assert rolled[g]["kmv"] == direct[g]["kmv"]
         assert rolled[g]["n_seen"] == direct[g]["n_seen"]
+
+
+# ------------------------------------------------------------------ HLL --
+
+
+def test_hll_estimate_within_bound(spark):
+    """p=9 standard error ≈ 1.04/√512 ≈ 4.6%; allow 3σ on 5000 keys
+    (r8 k8 — the portable HLL behind the hash oracle)."""
+    from healthcare_api_spark.operators.sketches import (
+        hll_build,
+        hll_distinct,
+    )
+
+    n = 5000
+    df = spark.createDataFrame([("g", i) for i in range(n)], ["g", "u"])
+    est = hll_distinct(hll_build(df, ["g"], "u", p=9), ["g"], p=9).collect()[0]
+    assert abs(est["est_distinct"] - n) < 0.14 * n, est["est_distinct"]
+    assert est["n_regs"] + est["n_zero_regs"] == 512
+
+
+def test_hll_linear_counting_small_range(spark):
+    """With most registers empty the linear-counting branch fires and
+    tracks small cardinalities closely."""
+    from healthcare_api_spark.operators.sketches import (
+        hll_build,
+        hll_distinct,
+    )
+
+    df = spark.createDataFrame([("g", i) for i in range(50)], ["g", "u"])
+    est = hll_distinct(hll_build(df, ["g"], "u"), ["g"]).collect()[0]
+    assert abs(est["est_distinct"] - 50) < 10
+    assert est["n_zero_regs"] > 400
+
+
+def test_hll_merge_equals_whole(spark):
+    """max-register merge of overlapping halves == one whole build —
+    bit-identical state (checksum) AND estimate; duplicates are
+    absorbed (idempotent)."""
+    from healthcare_api_spark.operators.sketches import (
+        hll_build,
+        hll_distinct,
+        hll_merge,
+    )
+
+    a = spark.createDataFrame([("g", i) for i in range(3000)], ["g", "u"])
+    b = spark.createDataFrame(
+        [("g", i) for i in range(2000, 5000)], ["g", "u"]
+    )
+    whole = spark.createDataFrame([("g", i) for i in range(5000)], ["g", "u"])
+    em = hll_distinct(
+        hll_merge(
+            hll_build(a, ["g"], "u"), hll_build(b, ["g"], "u"), ["g"]
+        ),
+        ["g"],
+    ).collect()[0]
+    ew = hll_distinct(hll_build(whole, ["g"], "u"), ["g"]).collect()[0]
+    assert em["reg_checksum"] == ew["reg_checksum"]
+    assert em["est_distinct"] == ew["est_distinct"]
+
+
+def test_hll_validation(spark):
+    import pytest
+    from healthcare_api_spark.operators.sketches import hll_build
+
+    df = spark.createDataFrame([("g", 1)], ["g", "u"])
+    for bad in (3, 15):
+        with pytest.raises(ValueError):
+            hll_build(df, ["g"], "u", p=bad)

@@ -200,6 +200,7 @@ def test_r8_changed_oracles_match_at_sf0001():
         "t23_bpe_train", "st5_streaming_neardup", "st6_streaming_kmv",
         "u6_winsorize", "u7_winsorize_pct", "v9_hybrid_rrf",
         "v11_ann_recall", "st7_streaming_session_flows",
+        "k8_hll_distinct",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
