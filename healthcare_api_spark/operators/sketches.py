@@ -489,3 +489,17 @@ def hll_distinct(
         "reg_checksum",
         F.round(est, 4).alias("est_distinct"),
     )
+
+
+def hll_rollup(
+    registers: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge HLL register tables UP a grouping hierarchy (the
+    kmv_rollup twin): max rho per (coarser group, reg) — count once at
+    the finest grain, derive every coarser distinct estimate from the
+    ≤ 2^p-row states without rescanning raw data. One map-side-combined
+    aggregate; output composes with hll_distinct / further rollups."""
+    return (
+        registers.groupBy(*group_cols, "reg")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )

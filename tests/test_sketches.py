@@ -443,3 +443,22 @@ def test_hll_validation(spark):
     for bad in (3, 15):
         with pytest.raises(ValueError):
             hll_build(df, ["g"], "u", p=bad)
+
+
+def test_hll_rollup_equals_direct_build(spark):
+    """Rolling fine-grained registers up a hierarchy == building at the
+    coarse grain directly — bit-identical state and estimate."""
+    from healthcare_api_spark.operators.sketches import (
+        hll_build,
+        hll_distinct,
+        hll_rollup,
+    )
+
+    rows = [(f"d{i % 3}", f"h{i % 7}", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["day", "host", "u"])
+    fine = hll_build(df, ["day", "host"], "u")
+    rolled = hll_distinct(hll_rollup(fine, ["day"]), ["day"])
+    direct = hll_distinct(hll_build(df, ["day"], "u"), ["day"])
+    got = {r["day"]: (r["reg_checksum"], r["est_distinct"]) for r in rolled.collect()}
+    want = {r["day"]: (r["reg_checksum"], r["est_distinct"]) for r in direct.collect()}
+    assert got == want
