@@ -4572,6 +4572,90 @@ def q_fs5_search_text(spark, sf_dir):
     )
 
 
+def q_g5_connected_components(spark, sf_dir):
+    """Connected components with pointer jumping (r8): component labels
+    over the k-NN similarity graph in 8 accelerated rounds
+    (graph.connected_components — neighbor-min + label-of-label jump,
+    O(log diameter); plain propagation like dedup.cluster_pairs would
+    need ~200 rounds on these band-3 rank chains at sf0.1). Converges
+    to one component per nation; the oracle unrolls the IDENTICAL
+    rounds as chained MATERIALIZED CTEs, the pagerank/kcore/LPA
+    pattern."""
+    from healthcare_api_spark.operators import graph
+
+    _tune(spark)
+    return graph.connected_components(
+        _knn_customer_edges(spark, sf_dir), "s", "d", iters=8
+    )
+
+
+def q_d19_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup (r8): 25-token chunks deduplicated
+    corpus-wide, each occurrence kept iff it is the first by (doc_id,
+    idx) — the CCNet/C4 passage-removal pass that document-level dedup
+    can't express (dedup.paragraph_dedup). Chunks shuffle once keyed by
+    md5(chunk) for the first-occurrence window and once by doc to
+    reassemble the surviving text in order; planted exact-dup docs and
+    the doubled-text repetition plants exercise both the cross-doc and
+    within-doc drop paths."""
+    from healthcare_api_spark.operators import dedup
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.paragraph_dedup(docs, "doc_id", "text", chunk_tokens=25)
+
+
+def q_k9_bloom_filter(spark, sf_dir):
+    """Portable Bloom filter (r8): build a 4096-bit / 4-hash filter
+    over the delinquent-customer denylist (c_acctbal < 0), probe EVERY
+    customer, and report the packed state digest + the measured
+    false-positive rate in one row (sketches.bloom_build/bloom_probe/
+    bloom_state_digest). Like the KMV/HLL sketches the state is pure
+    md5 arithmetic — 32-bit words as exact integer sums — so the
+    filter ITSELF (not just the verdicts) is hash-verified
+    cross-engine; the probe side broadcasts the ≤128-word state and
+    never shuffles."""
+    from healthcare_api_spark.operators import sketches
+
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    members = cust.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    probes = cust.select(F.col("c_custkey").alias("k"))
+    state = sketches.bloom_build(members, "k", m_bits=4096, k_hashes=4)
+    state = state.localCheckpoint(eager=True)  # feeds digest AND probe
+    probed = sketches.bloom_probe(state, probes, "k", m_bits=4096, k_hashes=4)
+    truth = members.distinct().withColumn("_mem", F.lit(1))
+    ev = probed.join(truth, "k", "left").select(
+        "contained", F.coalesce(F.col("_mem"), F.lit(0)).alias("m")
+    )
+    stats = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("contained").cast("bigint").alias("n_positive"),
+        F.sum(F.col("contained") * F.col("m")).cast("bigint").alias(
+            "n_true_pos"
+        ),
+        F.sum(F.col("contained") * (1 - F.col("m"))).cast("bigint").alias(
+            "n_false_pos"
+        ),
+        F.sum(1 - F.col("m")).cast("bigint").alias("n_nonmembers"),
+    )
+    digest = sketches.bloom_state_digest(state)
+    return digest.crossJoin(stats).select(
+        "n_words",
+        "n_set_bits",
+        "state_md5",
+        "n_probes",
+        "n_positive",
+        "n_true_pos",
+        "n_false_pos",
+        F.round(
+            F.col("n_false_pos").cast("double") / F.col("n_nonmembers"), 6
+        ).alias("fpp_measured"),
+    )
+
+
 # ----------------------------------------------------------------- export --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4613,6 +4697,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v13_lsh_pruned": q_v13_lsh_pruned,
         "st7_streaming_session_flows": q_st7_streaming_session_flows,
         "k8_hll_distinct": q_k8_hll_distinct,
+        # --- r8 third wave: pointer-jumping connected components,
+        # paragraph-level dedup, portable Bloom filter ---
+        "g5_connected_components": q_g5_connected_components,
+        "d19_paragraph_dedup": q_d19_paragraph_dedup,
+        "k9_bloom_filter": q_k9_bloom_filter,
         # --- r7 second-wave additions (driver-hash-green in
         # CORRECTNESS_r07) ---
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
@@ -6749,6 +6838,80 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(greatest(least(cents, ch), cl) AS BIGINT)"
         "   AS cents_winsorized"
         " FROM c, lo, hi"
+    )
+    # r8: g5 — pointer-jumping connected components: identical
+    # neighbor-min + jump rounds unrolled as MATERIALIZED CTEs
+    from healthcare_api_spark.operators.graph import connected_components_sql
+
+    out["g5_connected_components"] = connected_components_sql(
+        _KNN_EDGES_SQL, iters=8
+    )
+    # r8: d19 — paragraph dedup: chunks via 1-based inclusive list
+    # slices, first-occurrence via row_number partitioned by the chunk
+    # text (the engine partitions by md5(chunk) — same grouping),
+    # surviving text re-joined in chunk order
+    out["d19_paragraph_dedup"] = (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w"
+        "  FROM documents),"
+        " ch AS (SELECT doc_id, i,"
+        "   array_to_string(w[(i*25+1):(i*25+25)], ' ') AS chunk"
+        "  FROM t, LATERAL (SELECT unnest(generate_series(0,"
+        "   CAST(ceil(len(w) / 25.0) AS BIGINT) - 1)) AS i)"
+        "  WHERE len(w) > 0),"
+        " r AS (SELECT doc_id, i, chunk, row_number() OVER ("
+        "   PARTITION BY chunk ORDER BY doc_id, i) AS rn FROM ch)"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,"
+        "  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_kept,"
+        "  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '"
+        "   ORDER BY i), '') AS text_dedup"
+        " FROM r GROUP BY doc_id"
+    )
+    # r8: k9 — Bloom filter: positions are the cms md5 family
+    # ('j:key'), words are exact sums of 2^bit over distinct
+    # coordinates, digest over the sorted idx:word strings — the whole
+    # sketch state is checked, not just the verdicts
+    out["k9_bloom_filter"] = (
+        "WITH b AS (SELECT c_custkey AS k FROM customer"
+        "  WHERE c_acctbal < 0),"
+        " hs AS (SELECT unnest([0, 1, 2, 3]) AS r),"
+        " pos AS (SELECT DISTINCT"
+        "   ('0x' || substr(md5(CAST(hs.r AS VARCHAR) || ':' ||"
+        "    CAST(b.k AS VARCHAR)), 1, 8))::BIGINT % 4096 AS p"
+        "  FROM b, hs),"
+        " coords AS (SELECT DISTINCT p // 32 AS word_idx,"
+        "   CAST(p % 32 AS INT) AS bit FROM pos),"
+        " words AS (SELECT word_idx,"
+        "   CAST(sum(CAST(1 AS BIGINT) << bit) AS BIGINT) AS word"
+        "  FROM coords GROUP BY 1),"
+        " dig AS (SELECT CAST(count(*) AS BIGINT) AS n_words,"
+        "   CAST(sum(bit_count(word)) AS BIGINT) AS n_set_bits,"
+        "   md5(string_agg(CAST(word_idx AS VARCHAR) || ':' ||"
+        "    CAST(word AS VARCHAR), ','"
+        "    ORDER BY CAST(word_idx AS VARCHAR) || ':' ||"
+        "    CAST(word AS VARCHAR))) AS state_md5 FROM words),"
+        " pr AS (SELECT c_custkey AS k FROM customer),"
+        " ppos AS (SELECT pr.k,"
+        "   ('0x' || substr(md5(CAST(hs.r AS VARCHAR) || ':' ||"
+        "    CAST(pr.k AS VARCHAR)), 1, 8))::BIGINT % 4096 AS p"
+        "  FROM pr, hs),"
+        " ph AS (SELECT k, min(CASE WHEN"
+        "    (w.word >> CAST(p % 32 AS INT)) & 1 = 1"
+        "    THEN 1 ELSE 0 END) AS contained"
+        "  FROM ppos LEFT JOIN words w ON w.word_idx = p // 32"
+        "  GROUP BY k),"
+        " ev AS (SELECT ph.contained, CASE WHEN b2.k IS NULL THEN 0"
+        "   ELSE 1 END AS m FROM ph LEFT JOIN b b2 ON ph.k = b2.k),"
+        " st AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,"
+        "   CAST(sum(contained) AS BIGINT) AS n_positive,"
+        "   CAST(sum(contained * m) AS BIGINT) AS n_true_pos,"
+        "   CAST(sum(contained * (1 - m)) AS BIGINT) AS n_false_pos,"
+        "   sum(1 - m) AS n_nonmem FROM ev)"
+        " SELECT dig.n_words, dig.n_set_bits, dig.state_md5,"
+        "  st.n_probes, st.n_positive, st.n_true_pos, st.n_false_pos,"
+        "  round(CAST(st.n_false_pos AS DOUBLE) / st.n_nonmem, 6)"
+        "   AS fpp_measured"
+        " FROM dig, st"
     )
     # r7: w13 — session flows: the w12 session CTEs + an in-session
     # lag ordered by (us, event_type), then the global matrix

@@ -155,6 +155,12 @@ HEADLINE = [
     # round 8: streaming session flows — a third real streaming run in
     # the headline (state churn on the bucketed versioned store)
     "st7_streaming_session_flows",
+    # round 8 third wave: pointer-jumping CC (8 accelerated iterative
+    # rounds), corpus-wide paragraph dedup (two text shuffles), and the
+    # broadcast Bloom probe
+    "g5_connected_components",
+    "d19_paragraph_dedup",
+    "k9_bloom_filter",
 ]
 
 N_STEADY = 3

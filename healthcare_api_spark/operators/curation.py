@@ -773,3 +773,4 @@ def winsorize_pct(
         k_low=max(1, math.ceil(p_low * n)),
         k_high=max(1, math.ceil(p_high * n)),
     )
+

@@ -1536,3 +1536,76 @@ def prefix_jaccard_pairs(
         F.col("n_b").cast("int").alias("n_b"),
         F.col("overlap").cast("int").alias("overlap"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 25,
+) -> DataFrame:
+    """Paragraph-level exact deduplication — the CCNet/C4 pre-pass that
+    removes REPEATED PASSAGES across a corpus (boilerplate, mirrored
+    articles, licence blocks) while keeping each document's unique
+    remainder, where document-level dedup (exact_dedup) would keep or
+    drop whole docs only.
+
+    "Paragraph" here is a fixed window of ``chunk_tokens`` consecutive
+    whitespace tokens (the corpus has no newline structure; with real
+    paragraphs, split on them instead — the machinery is identical).
+    Each chunk occurrence is kept iff it is the corpus-wide FIRST
+    occurrence of its content, first = lexicographic min (doc id,
+    chunk idx) — deterministic, order-independent. Output per doc:
+    (id, n_chunks, n_kept, text_dedup = surviving chunks rejoined in
+    order; '' when everything was seen before).
+
+    Scale shape: chunks shuffle ONCE keyed by md5(chunk) for the
+    first-occurrence window (16-byte keys; the window needs no global
+    order, only per-hash), then once by doc id to reassemble — both
+    plain hash exchanges, no self-join and no candidate blow-up, so
+    the cost is O(corpus tokens) end to end at any corpus size. md5
+    equality stands in for string equality (collision odds ~2^-64 at
+    corpus scale; swap in the raw chunk as grouping key if that is
+    ever unacceptable).
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.when(
+                F.size(toks) > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("idx", "chunk"),
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("_id", "idx")
+    flagged = chunks.withColumn(
+        "_kept", (F.row_number().over(w) == 1).cast("int")
+    )
+    kept_struct = F.when(
+        F.col("_kept") == 1, F.struct(F.col("idx"), F.col("chunk"))
+    )
+    return (
+        flagged.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("_kept").cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )

@@ -503,3 +503,111 @@ def hll_rollup(
         registers.groupBy(*group_cols, "reg")
         .agg(F.max("rho").cast("int").alias("rho"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — the classic membership sketch, built like the
+# CMS/KMV/HLL above from pure md5 arithmetic so the packed state itself is
+# engine-portable and hash-verifiable. Layout: m_bits bit positions packed
+# into 32-bit words stored in BIGINTs (shift amounts stay < 32, so no sign
+# games); position j of key x = _bucket(x, j, m_bits), the cms hash family.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(
+    df: DataFrame, key_col: str, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """Distinct (word_idx, bit) coordinates hit by any key — the
+    pre-packing form shared by build and probe."""
+    key = F.col(key_col).cast("string")
+    pos = df.select(
+        F.col(key_col).alias("_key"),
+        F.explode(
+            F.array(*[_bucket(key, j, m_bits) for j in range(k_hashes)])
+        ).alias("_pos"),
+    )
+    return pos.select(
+        "_key",
+        (F.col("_pos") / 32).cast("int").alias("word_idx"),
+        (F.col("_pos") % 32).cast("int").alias("bit"),
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 4096, k_hashes: int = 4
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col``: output one row per
+    NON-ZERO 32-bit word, ``(word_idx, word)`` — at m_bits=4096 the
+    whole state is ≤ 128 rows / ~2 KB, broadcastable to any probe
+    side regardless of how many billions of rows built it.
+
+    Packing: each distinct (word, bit) coordinate contributes
+    ``2^bit`` exactly once, so the word is a plain exact SUM — the
+    same value as a bitwise OR but expressible identically in any
+    engine (the portable-sketch discipline of cms/kmv/hll). Build
+    cost: one map-side-combined distinct + one tiny aggregate; the
+    shuffle carries (word_idx, bit) int pairs, never keys.
+    """
+    if m_bits < 32 or m_bits % 32:
+        raise ValueError("m_bits must be a positive multiple of 32")
+    if k_hashes < 1:
+        raise ValueError("k_hashes must be >= 1")
+    coords = (
+        _bloom_positions(df, key_col, m_bits, k_hashes)
+        .select("word_idx", "bit")
+        .distinct()
+    )
+    mask = F.expr("shiftleft(cast(1 as bigint), bit)")
+    return (
+        coords.groupBy("word_idx")
+        .agg(F.sum(mask).cast("bigint").alias("word"))
+    )
+
+
+def bloom_probe(
+    state: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe a :func:`bloom_build` state: per probe key, ``contained``
+    = 1 iff ALL ``k_hashes`` bit positions are set (the one-sided
+    Bloom contract — no false negatives, false-positive rate set by
+    the load factor). The probe side joins the ≤ m_bits/32-row state
+    broadcast on word_idx and never shuffles itself beyond its own
+    positions — the shape that lets a 100 TB probe stream filter
+    against a sketch of an equally large build side.
+    """
+    coords = _bloom_positions(probes, key_col, m_bits, k_hashes)
+    mask = F.expr("shiftleft(cast(1 as bigint), bit)")
+    hit = (
+        F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(mask) > 0
+    ).cast("int")
+    per_pos = coords.join(F.broadcast(state), "word_idx", "left").select(
+        F.col("_key").alias(key_col), hit.alias("_hit")
+    )
+    return per_pos.groupBy(key_col).agg(
+        F.min("_hit").cast("int").alias("contained")
+    )
+
+
+def bloom_state_digest(state: DataFrame) -> DataFrame:
+    """One-row canonical digest of a Bloom state: (n_words,
+    n_set_bits, state_md5) with state_md5 = md5 over the sorted
+    'idx:word' list — the register-checksum convention the HLL sketch
+    uses, so two engines can prove they built the identical filter."""
+    return state.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_set_bits"),
+        F.md5(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.format_string("%d:%d", "word_idx", "word")
+                    )
+                ),
+                ",",
+            )
+        ).alias("state_md5"),
+    )

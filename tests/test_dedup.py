@@ -897,3 +897,61 @@ def test_prefix_jaccard_shingle_mode_isolates_neardups(spark):
         ).collect()
     }
     assert sh == {(1, 2)}  # only the true near-dup survives
+
+
+# ------------------------------------------------------- d19 paragraph --
+
+
+def test_paragraph_dedup_cross_and_within_doc(spark):
+    from healthcare_api_spark.operators.dedup import paragraph_dedup
+
+    # chunk_tokens=2: doc 0 = [a b][c d]; doc 1 repeats [a b] twice and
+    # adds [x y]; doc 2 is entirely doc 0's first chunk
+    rows = [
+        (0, "a b c d"),
+        (1, "a b a b x y"),
+        (2, "a b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_dedup"])
+        for r in paragraph_dedup(df, "doc_id", "text", chunk_tokens=2).collect()
+    }
+    assert out[0] == (2, 2, "a b c d")
+    # doc 1: both 'a b' occurrences lose to doc 0's, 'x y' survives
+    assert out[1] == (3, 1, "x y")
+    assert out[2] == (1, 0, "")
+
+
+def test_paragraph_dedup_first_occurrence_is_positional(spark):
+    from healthcare_api_spark.operators.dedup import paragraph_dedup
+
+    # within one doc the EARLIER index wins; order of input rows is
+    # irrelevant (lexicographic (doc_id, idx) winner)
+    df = spark.createDataFrame(
+        [(7, "p q p q"), (3, "p q z z")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["n_kept"], r["text_dedup"])
+        for r in paragraph_dedup(df, "doc_id", "text", chunk_tokens=2).collect()
+    }
+    assert out[3] == (2, "p q z z")
+    assert out[7] == (0, "")
+
+
+def test_paragraph_dedup_ragged_tail_and_validation(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.dedup import paragraph_dedup
+
+    # 5 tokens at width 2 → chunks [a b][c d][e]; the short tail is its
+    # own chunk and dedups independently of any full-width 'e ...'
+    df = spark.createDataFrame([(1, "a b c d e"), (2, "e")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"])
+        for r in paragraph_dedup(df, "doc_id", "text", chunk_tokens=2).collect()
+    }
+    assert out[1] == (3, 3)
+    assert out[2] == (1, 0)  # 'e' tail already seen as doc 1's chunk 2
+    with pytest.raises(ValueError):
+        paragraph_dedup(df, "doc_id", "text", chunk_tokens=0)

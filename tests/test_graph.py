@@ -236,3 +236,80 @@ def test_label_propagation_nonconvergence_warn_and_raise(spark):
         label_propagation(df, "s", "d", iters=0)
     with pytest.raises(ValueError):
         label_propagation(df, "s", "d", on_nonconverged="bogus")
+
+
+# ---------------------------------------------------------------- g5 CC --
+
+
+def test_connected_components_two_components(spark):
+    from healthcare_api_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)], ["s", "d"]
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "s", "d", iters=4).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_long_chain_logarithmic(spark):
+    # a 64-node path has diameter 63; plain min-propagation needs 63
+    # rounds, pointer jumping must finish (and pass the convergence
+    # check silently) in 8
+    import warnings
+
+    from healthcare_api_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["s", "d"]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = connected_components(edges, "s", "d", iters=8).collect()
+    assert all(r["component"] == 0 for r in out)
+    assert len(out) == 64
+
+
+def test_connected_components_sql_twin_matches(spark):
+    import duckdb
+
+    from healthcare_api_spark.operators.graph import (
+        connected_components,
+        connected_components_sql,
+    )
+
+    rows = [(1, 5), (5, 9), (2, 9), (7, 3), (3, 8), (20, 21)]
+    edges = spark.createDataFrame(rows, ["s", "d"])
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, "s", "d", iters=4).collect()
+    }
+    vals = ", ".join(f"({s}, {d})" for s, d in rows)
+    sql = connected_components_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(s, d)", iters=4
+    )
+    want = set(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want
+
+
+def test_connected_components_nonconvergence_warn_and_raise(spark):
+    import warnings
+
+    import pytest
+
+    from healthcare_api_spark.operators.graph import connected_components
+
+    # a 64-path cannot finish in 1 round
+    edges = spark.createDataFrame([(i, i + 1) for i in range(63)], ["s", "d"])
+    with pytest.raises(RuntimeError, match="did NOT reach a fixed point"):
+        connected_components(edges, "s", "d", iters=1, on_nonconverged="raise")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(edges, "s", "d", iters=1, on_nonconverged="warn")
+    assert any("fixed point" in str(x.message) for x in w)
+    with pytest.raises(ValueError):
+        connected_components(edges, "s", "d", iters=0)
+    with pytest.raises(ValueError):
+        connected_components(edges, "s", "d", on_nonconverged="nope")

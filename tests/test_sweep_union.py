@@ -200,7 +200,8 @@ def test_r8_changed_oracles_match_at_sf0001():
         "t23_bpe_train", "st5_streaming_neardup", "st6_streaming_kmv",
         "u6_winsorize", "u7_winsorize_pct", "v9_hybrid_rrf",
         "v11_ann_recall", "st7_streaming_session_flows",
-        "k8_hll_distinct",
+        "k8_hll_distinct", "g5_connected_components",
+        "d19_paragraph_dedup", "k9_bloom_filter",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
