@@ -4656,6 +4656,33 @@ def q_k9_bloom_filter(spark, sf_dir):
     )
 
 
+def q_x16_sax_similarity(spark, sf_dir):
+    """Cross-series SAX similarity join (r8): the five hourly
+    event-type series joined pairwise through an inverted index over
+    their sliding 4-frame SAX words (temporal.sax_similarity_join) —
+    the discrete screen that finds which SERIES share motif vocabulary
+    before an exact per-pair measure (x13) confirms. Downstream of
+    x14's symbols everything is strings and exact ints (one rounded
+    division for the word-set jaccard); the oracle composes the pinned
+    x14 oracle and slices its symbol arrays, the x15 pattern."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value").cast("double") * 100).cast("bigint")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.round(
+            F.sum(cents).cast("double") * 100.0 / F.count(F.lit(1))
+        ).cast("bigint").alias("vq")
+    )
+    return temporal.sax_similarity_join(
+        hourly, "event_type", "bucket", "vq",
+        frame=6, alphabet=8, word_len=4,
+    )
+
+
 # ----------------------------------------------------------------- export --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4702,6 +4729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g5_connected_components": q_g5_connected_components,
         "d19_paragraph_dedup": q_d19_paragraph_dedup,
         "k9_bloom_filter": q_k9_bloom_filter,
+        "x16_sax_similarity": q_x16_sax_similarity,
         # --- r7 second-wave additions (driver-hash-green in
         # CORRECTNESS_r07) ---
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
@@ -7100,6 +7128,29 @@ def oracle_sql() -> dict[str, str]:
         " SELECT event_type, word, CAST(count(*) AS INT) AS n_occ,"
         "  CAST(min(s) AS INT) AS first_idx, CAST(max(s) AS INT) AS last_idx"
         " FROM wd GROUP BY 1, 2 HAVING count(*) >= 2"
+    )
+    # r8: x16 — cross-series SAX word similarity: the x14 oracle as a
+    # CTE (the x15 pattern), DISTINCT words per series, inverted-index
+    # pair join + one rounded division
+    out["x16_sax_similarity"] = (
+        f"WITH x14 AS ({out['x14_sax_symbols']}),"
+        " arrs AS (SELECT event_type, list(symbol ORDER BY frame_idx)"
+        "  AS a FROM x14 GROUP BY 1),"
+        " wd AS (SELECT DISTINCT event_type,"
+        "  array_to_string(a[i:i+3], '') AS word"
+        "  FROM arrs, LATERAL (SELECT unnest(generate_series(1,"
+        "   len(a) - 3)) AS i)),"
+        " voc AS (SELECT event_type, CAST(count(*) AS INT) AS n"
+        "  FROM wd GROUP BY 1),"
+        " pr AS (SELECT x.event_type AS series_a, y.event_type AS"
+        "  series_b, CAST(count(*) AS INT) AS n_shared"
+        "  FROM wd x JOIN wd y ON x.word = y.word"
+        "   AND x.event_type < y.event_type GROUP BY 1, 2)"
+        " SELECT series_a, series_b, n_shared, va.n AS n_a,"
+        "  vb.n AS n_b, round(CAST(n_shared AS DOUBLE) /"
+        "  (va.n + vb.n - n_shared), 6) AS jaccard"
+        " FROM pr JOIN voc va ON va.event_type = pr.series_a"
+        " JOIN voc vb ON vb.event_type = pr.series_b"
     )
     return out
 

@@ -161,6 +161,7 @@ HEADLINE = [
     "g5_connected_components",
     "d19_paragraph_dedup",
     "k9_bloom_filter",
+    "x16_sax_similarity",
 ]
 
 N_STEADY = 3

@@ -611,3 +611,24 @@ def bloom_state_digest(state: DataFrame) -> DataFrame:
             )
         ).alias("state_md5"),
     )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two Bloom states built with the SAME (m_bits, k_hashes):
+    the union filter is the bitwise OR of the word arrays — the
+    property that lets partition-local / per-day filters fold into a
+    global one without touching the raw keys (the cms_merge/kmv_merge/
+    hll_merge contract, for membership). Implemented as a union +
+    per-word bit_or aggregate over ≤ m_bits/32 rows; merging N states
+    costs O(N · words), independent of how much data built them.
+
+    ``bloom_merge(build(A), build(B))`` is bit-identical to
+    ``build(A ∪ B)``: positions are a pure function of the key, OR is
+    idempotent, and absent words stay absent on both sides.
+    """
+    both = a.select("word_idx", "word").unionByName(
+        b.select("word_idx", "word")
+    )
+    return both.groupBy("word_idx").agg(
+        F.bit_or("word").cast("bigint").alias("word")
+    )

@@ -1115,3 +1115,85 @@ def sax_motif_candidates(
         )
         .filter(F.col("n_occ") >= 2)
     )
+
+
+def sax_similarity_join(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    frame: int = 4,
+    alphabet: int = 4,
+    word_len: int = 4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-SERIES symbolic similarity join (Lin et al. 2003's SAX
+    bag-of-words reading): two series are similar when their symbol
+    streams share sliding ``word_len``-frame SAX words. Where
+    :func:`sax_motif_candidates` finds repeats WITHIN one series, this
+    joins the whole collection pairwise THROUGH an inverted word index
+    — the discrete, shuffle-cheap screen that runs before an exact
+    per-pair measure (x13's profile / DTW) confirms.
+
+    Output per co-occurring pair (series_a < series_b): the distinct
+    shared-word count, each side's distinct vocabulary size, and the
+    word-set ``jaccard`` (one exact-integer division rounded to 6 dp).
+
+    Scale shape: candidates come from the word-keyed equi-join of
+    DISTINCT (series, word) rows — pairs cost Σ_word df(word)², never
+    |series|², the a14 co-occurrence shape applied to symbol words.
+    ``max_df`` drops words seen in more than that many series before
+    the join (the classic document-frequency cut; stop-words in symbol
+    space carry no discriminative signal but dominate the fan-out) —
+    a LOSSY, documented knob, mirrored in any oracle via HAVING.
+    """
+    if word_len < 2:
+        raise ValueError("word_len must be >= 2")
+    if max_df is not None and max_df < 2:
+        raise ValueError("max_df must be >= 2 (pairs need two series)")
+    from pyspark.sql import Window
+
+    sym = sax_symbols(df, series_col, order_col, value_col, frame, alphabet)
+    w = (
+        Window.partitionBy(F.col(series_col))
+        .orderBy("frame_idx")
+        .rowsBetween(Window.currentRow, word_len - 1)
+    )
+    words = (
+        sym.select(
+            F.col(series_col),
+            F.collect_list("symbol").over(w).alias("_w"),
+        )
+        .filter(F.size("_w") == word_len)
+        .select(F.col(series_col), F.array_join("_w", "").alias("word"))
+        .distinct()
+    )
+    # vocab sizes BEFORE any df cut: the normalization denominator is a
+    # property of the series, not of the candidate-generation knob
+    vocab = words.groupBy(series_col).agg(
+        F.count(F.lit(1)).cast("int").alias("_n")
+    )
+    if max_df is not None:
+        dfc = F.count(F.lit(1)).over(Window.partitionBy("word"))
+        words = words.withColumn("_df", dfc).filter(
+            F.col("_df") <= max_df
+        ).drop("_df")
+    a = words.select(F.col(series_col).alias("series_a"), "word")
+    b = words.select(F.col(series_col).alias("series_b"), "word")
+    shared = (
+        a.join(b, "word")
+        .filter(F.col("series_a") < F.col("series_b"))
+        .groupBy("series_a", "series_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+    )
+    va = vocab.select(F.col(series_col).alias("series_a"), F.col("_n").alias("n_a"))
+    vb = vocab.select(F.col(series_col).alias("series_b"), F.col("_n").alias("n_b"))
+    out = shared.join(va, "series_a").join(vb, "series_b")
+    jac = F.round(
+        F.col("n_shared").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        6,
+    )
+    return out.select(
+        "series_a", "series_b", "n_shared", "n_a", "n_b", jac.alias("jaccard")
+    )

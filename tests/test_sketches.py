@@ -553,3 +553,26 @@ def test_bloom_validation(spark):
         bloom_build(df, "key", m_bits=0)
     with pytest.raises(ValueError):
         bloom_build(df, "key", k_hashes=0)
+
+
+def test_bloom_merge_equals_whole(spark):
+    from healthcare_api_spark.operators.sketches import bloom_build, bloom_merge
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(25)], ["key"])
+    b = spark.createDataFrame(
+        [(f"b{i}",) for i in range(25)] + [("a3",), ("a7",)], ["key"]
+    )
+    merged = {
+        (r["word_idx"], r["word"])
+        for r in bloom_merge(
+            bloom_build(a, "key", m_bits=256, k_hashes=3),
+            bloom_build(b, "key", m_bits=256, k_hashes=3),
+        ).collect()
+    }
+    whole = {
+        (r["word_idx"], r["word"])
+        for r in bloom_build(
+            a.unionByName(b), "key", m_bits=256, k_hashes=3
+        ).collect()
+    }
+    assert merged == whole

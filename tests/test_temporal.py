@@ -616,3 +616,48 @@ def test_sax_motif_candidates_repeats_only(spark):
 
     with pytest.raises(ValueError):
         sax_motif_candidates(df, "g", "o", "v", word_len=1)
+
+
+def test_sax_similarity_join_identical_and_disjoint(spark):
+    """Two copies of one shape share their whole vocabulary (jaccard
+    1.0); a structurally different third series pairs with neither or
+    with low overlap; output is symmetric-free (a < b only)."""
+    from healthcare_api_spark.operators.temporal import sax_similarity_join
+
+    shape = [0, 0, 9, 9, 0, 0, 9, 9, 0, 0, 9, 9]
+    rows = [("a", i, v) for i, v in enumerate(shape)]
+    rows += [("b", i, v * 3) for i, v in enumerate(shape)]  # same z-shape
+    rows += [("c", i, v) for i, v in enumerate(range(12))]  # ramp
+    df = spark.createDataFrame(rows, ["g", "o", "v"])
+    out = sax_similarity_join(
+        df, "g", "o", "v", frame=2, alphabet=4, word_len=2
+    ).collect()
+    pairs = {(r["series_a"], r["series_b"]): r for r in out}
+    assert ("a", "b") in pairs
+    ab = pairs[("a", "b")]
+    # z-normalization makes b identical to a symbol-wise
+    assert ab["n_shared"] == ab["n_a"] == ab["n_b"]
+    assert ab["jaccard"] == 1.0
+    for (x, y) in pairs:
+        assert x < y
+
+
+def test_sax_similarity_join_max_df_cut_and_validation(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.temporal import sax_similarity_join
+
+    shape = [0, 0, 9, 9, 0, 0, 9, 9]
+    rows = []
+    for g in ("a", "b", "c"):
+        rows += [(g, i, v) for i, v in enumerate(shape)]
+    df = spark.createDataFrame(rows, ["g", "o", "v"])
+    # every word is shared by all 3 series; max_df=2 removes them all
+    out = sax_similarity_join(
+        df, "g", "o", "v", frame=2, alphabet=4, word_len=2, max_df=2
+    ).collect()
+    assert out == []
+    with pytest.raises(ValueError):
+        sax_similarity_join(df, "g", "o", "v", word_len=1)
+    with pytest.raises(ValueError):
+        sax_similarity_join(df, "g", "o", "v", max_df=1)
