@@ -4573,14 +4573,16 @@ def q_fs5_search_text(spark, sf_dir):
 
 
 def q_g5_connected_components(spark, sf_dir):
-    """Connected components with pointer jumping (r8): component labels
-    over the k-NN similarity graph in 8 accelerated rounds
-    (graph.connected_components — neighbor-min + label-of-label jump,
-    O(log diameter); plain propagation like dedup.cluster_pairs would
-    need ~200 rounds on these band-3 rank chains at sf0.1). Converges
-    to one component per nation; the oracle unrolls the IDENTICAL
-    rounds as chained MATERIALIZED CTEs, the pagerank/kcore/LPA
-    pattern."""
+    """Connected components by alternating large-star / small-star
+    contraction (r8; Kiveris et al. 2014): component labels over the
+    k-NN similarity graph in 8 rounds (graph.connected_components).
+    Plain min-propagation (dedup.cluster_pairs) would need ~200 rounds
+    on these band-3 rank chains at sf0.1, and naive pointer jumping
+    stalls past 30 once node ids sit PERMUTED along the chain (they
+    do — ranks order by acctbal, ids don't); alternating star
+    converges in 7, measured. One component per nation; the oracle
+    unrolls the IDENTICAL edge-rewrite rounds as chained MATERIALIZED
+    CTEs, the pagerank/kcore/LPA pattern."""
     from healthcare_api_spark.operators import graph
 
     _tune(spark)
