@@ -70,6 +70,11 @@ def main() -> None:
     gated = gated.join(
         tiers.filter(F.col("tier") != "tail").select("doc_id"), "doc_id"
     )
+    # pin after each gating phase: every downstream stage (and its
+    # count) otherwise REPLAYS the whole annotate→gate lineage — the
+    # example ran ~20 min at sf0.001 from exactly that O(stages²)
+    # recompute before these barriers
+    gated = gated.localCheckpoint(eager=True)
 
     # 2c. per-domain quota (r8 wiring): cap any single host's
     # contribution BEFORE the expensive dedup/mixture stages so mirror
@@ -89,7 +94,7 @@ def main() -> None:
     )
     gated = gated.join(
         quota.filter(F.col("kept") == 1).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=True)
 
     # 3. PII redaction: downstream stages consume the scrubbed text
     redacted = curation.redact_pii(gated, "doc_id", "text")
@@ -97,7 +102,7 @@ def main() -> None:
         gated.join(redacted.select("doc_id", "clean_text"), "doc_id")
         .drop("text")
         .withColumnRenamed("clean_text", "text")
-    )
+    ).localCheckpoint(eager=True)
 
     # 3b. corpus-wide sentence dedup: sentences seen earlier (by
     # (doc_id, position)) are removed everywhere else — the
@@ -111,14 +116,30 @@ def main() -> None:
             ),
             "doc_id",
         )
-    )
+    ).localCheckpoint(eager=True)
+
+    # 3c. paragraph-level passage removal (r8): fixed 25-token chunks
+    # deduplicated corpus-wide, first occurrence kept — catches the
+    # repeated license blocks / mirrored passages that line-level
+    # dedup (3b) misses when surrounding text differs; docs left empty
+    # drop out
+    para = dedup.paragraph_dedup(gated, "doc_id", "text", chunk_tokens=25)
+    gated = (
+        gated.drop("text")
+        .join(
+            para.filter(F.col("n_kept") > 0).select(
+                "doc_id", F.col("text_dedup").alias("text")
+            ),
+            "doc_id",
+        )
+    ).localCheckpoint(eager=True)
 
     # 4. decontamination vs a benchmark slice (stand-in for an eval suite)
     bench = docs.filter(F.col("doc_id") % 101 == 0)
     contam = curation.decontaminate(gated, bench, "doc_id", "text", shingle_n=5)
     gated = gated.join(
         contam.filter(F.col("contaminated") == 0).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=True)
     n_decontam = gated.count()
 
     # 5. exact dedup on normalized content (persisted: feeds candidate
@@ -126,16 +147,40 @@ def main() -> None:
     exact = dedup.exact_dedup_by_content(gated, "doc_id", "text")
     exact_survivors = exact.filter(F.col("doc_id") == F.col("canonical_id")).persist()
 
-    # 6. near-dup clusters: minhash band candidates → components → reps
+    # 5b. Bloom screen vs the PREVIOUS release (r8): a 4096-bit filter
+    # over the prior corpus's content hashes — the probe side never
+    # joins (or even reads) the old corpus, it broadcasts a ~2 KB
+    # sketch; the price is a known false-positive rate (docs wrongly
+    # treated as already-shipped), measured here against exact truth
+    from healthcare_api_spark.operators import sketches as _sk
+
+    prior = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5(F.col("text")).alias("h")
+    )
+    bloom = _sk.bloom_build(prior, "h", m_bits=4096, k_hashes=4)
+    screened = _sk.bloom_probe(
+        bloom,
+        gated.select(F.md5(F.col("text")).alias("h")).distinct(),
+        "h", m_bits=4096, k_hashes=4,
+    )
+    n_screened = screened.filter(F.col("contained") == 1).count()
+
+    # 6. near-dup clusters: minhash band candidates → components
+    # (alternating large-star/small-star, r8 — O(log² n) rounds where
+    # plain propagation costs the component diameter) → keep the
+    # cluster minimum as representative; docs in no pair are their own
+    # singleton cluster
+    from healthcare_api_spark.operators import graph
+
     pairs = dedup.lsh_candidate_pairs(
         exact_survivors, "doc_id", "text", num_hashes=8, rows_per_band=2
     )
-    clusters = dedup.cluster_pairs(
-        pairs, exact_survivors.select("doc_id").withColumnRenamed("doc_id", "id"),
-        "id", max_iter=8,
-    )
-    reps = clusters.filter(F.col("id") == F.col("cluster_id")).select(
-        F.col("id").alias("doc_id")
+    cc = graph.connected_components(pairs, "id_a", "id_b", iters=6)
+    reps = (
+        exact_survivors.select("doc_id")
+        .join(cc, exact_survivors["doc_id"] == cc["node"], "left")
+        .filter(F.col("node").isNull() | (F.col("node") == F.col("component")))
+        .select("doc_id")
     )
     # persisted: four downstream actions (count, token stats, the
     # partitioned write, the per-language report) would otherwise re-run
@@ -245,6 +290,7 @@ def main() -> None:
     print(f"after decontamination: {n_decontam}")
     print(f"after exact+near dedup:{n_corpus}")
     print(f"embedding near-dups:   {n_emb_dups}")
+    print(f"bloom already-shipped: {n_screened} (incl. measured FPs)")
     print(f"after mixture sample:  {n_mixed}")
     print(f"corpus tokens:         {stats['tokens']} ({stats['subwords']} subwords)")
     print(f"winsorized lengths:    mean {stats['mean_tokens_wins']} ({n_clipped} clipped)")

@@ -336,3 +336,37 @@ def test_lsh_pruned_probe_partition_filters(spark, tmp_path):
     assert [(r["vec_id"], r["cos"]) for r in got.collect()] == [
         (r["vec_id"], r["cos"]) for r in want
     ]
+
+
+def test_bloom_probe_broadcasts_state_no_shuffle_join(spark):
+    # k9 (r8): the probe side must join the ≤m_bits/32-row state as a
+    # BROADCAST — a shuffle join would defeat the whole sketch contract
+    # (the probe stream never repartitions to meet the filter)
+    from healthcare_api_spark.operators import sketches
+    from healthcare_api_spark.tables import load_table
+
+    cust = load_table(spark, SF_DIR, "customer")
+    members = cust.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    state = sketches.bloom_build(members, "k", m_bits=4096, k_hashes=4)
+    probed = sketches.bloom_probe(
+        state, cust.select(F.col("c_custkey").alias("k")), "k",
+        m_bits=4096, k_hashes=4,
+    )
+    plan = _plan(probed)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_paragraph_dedup_no_join_no_single_partition(spark):
+    # d19 (r8): the whole operator is window + reassembly aggregates —
+    # no join at all, and nothing collapses to a SinglePartition
+    from healthcare_api_spark.operators import dedup
+    from healthcare_api_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = dedup.paragraph_dedup(docs, "doc_id", "text", chunk_tokens=25)
+    plan = _plan(out)
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
