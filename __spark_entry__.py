@@ -4685,6 +4685,78 @@ def q_x16_sax_similarity(spark, sf_dir):
     )
 
 
+def q_st8_streaming_bloom(spark, sf_dir):
+    """Streaming Bloom maintenance (r8): the denylist keys stream in as
+    TWO micro-batches (custkey-parity split); each batch builds its own
+    filter and bloom_merge ORs it into the versioned state
+    (streaming/sketches.streaming_bloom). Word-OR is associative,
+    commutative and idempotent, so the final state must be
+    BIT-IDENTICAL to one batch build over the whole denylist — this
+    REAL 2-batch streaming run therefore emits EXACTLY the k9 output
+    (state digest + full-probe FP accounting) and the k9 oracle
+    verifies it VERBATIM (the st5/st6/st7 contract: streaming
+    machinery equals batch semantics)."""
+    import shutil
+    import tempfile
+
+    from healthcare_api_spark.operators import sketches
+    from healthcare_api_spark.streaming.sketches import (
+        read_bloom_state,
+        streaming_bloom,
+    )
+
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    members = cust.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    root = tempfile.mkdtemp(prefix="st8_")
+    src, state, ckpt = f"{root}/src", f"{root}/state", f"{root}/ckpt"
+    try:
+        members.filter(F.col("k") % 2 == 0).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("k long").parquet(src)
+        q = streaming_bloom(
+            stream, state, "k", m_bits=4096, k_hashes=4, checkpoint=ckpt
+        )
+        q.processAllAvailable()
+        members.filter(F.col("k") % 2 == 1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+        bloom = read_bloom_state(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    probes = cust.select(F.col("c_custkey").alias("k"))
+    probed = sketches.bloom_probe(bloom, probes, "k", m_bits=4096, k_hashes=4)
+    truth = members.distinct().withColumn("_mem", F.lit(1))
+    ev = probed.join(truth, "k", "left").select(
+        "contained", F.coalesce(F.col("_mem"), F.lit(0)).alias("m")
+    )
+    stats = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("contained").cast("bigint").alias("n_positive"),
+        F.sum(F.col("contained") * F.col("m")).cast("bigint").alias(
+            "n_true_pos"
+        ),
+        F.sum(F.col("contained") * (1 - F.col("m"))).cast("bigint").alias(
+            "n_false_pos"
+        ),
+        F.sum(1 - F.col("m")).cast("bigint").alias("n_nonmembers"),
+    )
+    digest = sketches.bloom_state_digest(bloom)
+    return digest.crossJoin(stats).select(
+        "n_words",
+        "n_set_bits",
+        "state_md5",
+        "n_probes",
+        "n_positive",
+        "n_true_pos",
+        "n_false_pos",
+        F.round(
+            F.col("n_false_pos").cast("double") / F.col("n_nonmembers"), 6
+        ).alias("fpp_measured"),
+    )
+
+
 # ----------------------------------------------------------------- export --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4732,6 +4804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d19_paragraph_dedup": q_d19_paragraph_dedup,
         "k9_bloom_filter": q_k9_bloom_filter,
         "x16_sax_similarity": q_x16_sax_similarity,
+        "st8_streaming_bloom": q_st8_streaming_bloom,
         # --- r7 second-wave additions (driver-hash-green in
         # CORRECTNESS_r07) ---
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
@@ -6943,6 +7016,10 @@ def oracle_sql() -> dict[str, str]:
         "   AS fpp_measured"
         " FROM dig, st"
     )
+    # r8: st8 — the REAL 2-micro-batch streaming Bloom fold must be
+    # bit-identical to the batch build (word-OR is associative +
+    # idempotent), so the k9 oracle verifies it verbatim
+    out["st8_streaming_bloom"] = out["k9_bloom_filter"]
     # r7: w13 — session flows: the w12 session CTEs + an in-session
     # lag ordered by (us, event_type), then the global matrix
     out["w13_session_flows"] = (

@@ -155,13 +155,15 @@ HEADLINE = [
     # round 8: streaming session flows — a third real streaming run in
     # the headline (state churn on the bucketed versioned store)
     "st7_streaming_session_flows",
-    # round 8 third wave: pointer-jumping CC (8 accelerated iterative
-    # rounds), corpus-wide paragraph dedup (two text shuffles), and the
-    # broadcast Bloom probe
+    # round 8 third wave: alternating-star CC (8 edge-rewrite rounds),
+    # corpus-wide paragraph dedup (two text shuffles), the broadcast
+    # Bloom probe, SAX word-similarity pairs, and a fourth real
+    # streaming run (Bloom fold on the versioned store)
     "g5_connected_components",
     "d19_paragraph_dedup",
     "k9_bloom_filter",
     "x16_sax_similarity",
+    "st8_streaming_bloom",
 ]
 
 N_STEADY = 3

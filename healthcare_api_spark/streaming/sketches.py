@@ -89,3 +89,70 @@ def read_kmv_state(
     """Newest complete per-group sketch state (None before the first
     commit)."""
     return _store(state_root, group_cols, num_state_buckets).read(spark)
+
+
+def _bloom_store(state_root: str, num_state_buckets: int):
+    from healthcare_api_spark.streaming.state import BucketedVersionedState
+
+    return BucketedVersionedState(
+        f"{state_root}/bloom",
+        key_cols=["word_idx"],
+        num_buckets=num_state_buckets,
+    )
+
+
+def streaming_bloom(
+    stream_df: DataFrame,
+    state_root: str,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+    checkpoint: str | None = None,
+    num_state_buckets: int = 4,
+):
+    """Start a foreachBatch Bloom-filter maintainer — the online
+    membership screen an ingest pipeline keeps while it crawls ("have
+    we shipped this content hash before?"). Per micro-batch:
+
+    1. build the batch's filter (``bloom_build`` — distinct
+       coordinates + exact word sums over batch rows only),
+    2. OR it into the touched words' state buckets (``bloom_merge``
+       against the pre-batch snapshot — replay-idempotent because OR
+       is idempotent, crash-safe via the versioned store),
+    3. commit as the immutable ``v{batch_id}`` snapshot.
+
+    Because word-OR is associative, commutative and idempotent, the
+    final state is BIT-IDENTICAL to one batch build over the whole
+    stream — the st6 contract that makes a real streaming run
+    hash-checkable against the plain batch oracle. State size is
+    ≤ m_bits/32 words forever; probe the live filter with
+    ``bloom_probe(read_bloom_state(...), ...)``.
+    """
+    from healthcare_api_spark.operators.sketches import bloom_build, bloom_merge
+
+    store = _bloom_store(state_root, num_state_buckets)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = bloom_build(batch_df, key_col, m_bits, k_hashes)
+
+        def _merge(prev, d):
+            if prev is None:
+                return d
+            return bloom_merge(prev, d)
+
+        store.merge_batch(delta, batch_id, _merge)
+
+    writer = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_bloom_state(
+    spark: SparkSession,
+    state_root: str,
+    num_state_buckets: int = 4,
+) -> DataFrame | None:
+    """Newest complete Bloom word state (None before the first
+    commit)."""
+    return _bloom_store(state_root, num_state_buckets).read(spark)

@@ -220,3 +220,42 @@ def test_streaming_session_flows_cross_batch_and_replay(spark, tmp_path):
     flows_batch(b1, 1, root, "user_id", "ts", "event_type")
     flows_batch(b0, 0, root, "user_id", "ts", "event_type")
     assert matrix() == got
+
+
+def test_streaming_bloom_state_equals_batch_build(spark, tmp_path):
+    """st8: folding two micro-batches through bloom_merge must leave a
+    state BIT-IDENTICAL to one bloom_build over everything (OR is
+    associative + idempotent), incl. a key repeated across batches."""
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.sketches import bloom_build
+    from healthcare_api_spark.streaming.sketches import (
+        read_bloom_state,
+        streaming_bloom,
+    )
+
+    all_keys = [f"k{i}" for i in range(30)] + ["k3"]  # dup across batches
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(k,) for k in all_keys[:15]], ["key"])
+    b2 = spark.createDataFrame([(k,) for k in all_keys[15:]], ["key"])
+    b1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("key string").parquet(src)
+    q = streaming_bloom(
+        stream, state, "key", m_bits=256, k_hashes=3, checkpoint=ckpt
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["word_idx"], r["word"])
+        for r in read_bloom_state(spark, state).collect()
+    }
+    whole = spark.createDataFrame([(k,) for k in all_keys], ["key"])
+    want = {
+        (r["word_idx"], r["word"])
+        for r in bloom_build(whole, "key", m_bits=256, k_hashes=3).collect()
+    }
+    assert got == want
