@@ -4757,6 +4757,25 @@ def q_st8_streaming_bloom(spark, sf_dir):
     )
 
 
+def q_t25_substring_search(spark, sf_dir):
+    """Trigram-indexed exact substring search (r8): which documents
+    contain the literal string 'batch stream'
+    (textops.substring_search — the Google Code Search / pg_trgm
+    design: candidates must hit EVERY needle trigram in the inverted
+    char-trigram index, then one exact contains() verify over the
+    candidates, never the corpus). The decontamination primitive at
+    100 TB: the needle grams are a literal IN-filter on a gram-keyed
+    index. The oracle takes the opposite route — a full-scan
+    position() filter — so equality proves the trigram prefilter
+    admits no misses and the verify kills every false candidate."""
+    from healthcare_api_spark.operators import textops
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    out = textops.substring_search(docs, "doc_id", "text", "batch stream")
+    return out.select("doc_id", "n_chars")
+
+
 # ----------------------------------------------------------------- export --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4805,6 +4824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k9_bloom_filter": q_k9_bloom_filter,
         "x16_sax_similarity": q_x16_sax_similarity,
         "st8_streaming_bloom": q_st8_streaming_bloom,
+        "t25_substring_search": q_t25_substring_search,
         # --- r7 second-wave additions (driver-hash-green in
         # CORRECTNESS_r07) ---
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
@@ -7020,6 +7040,13 @@ def oracle_sql() -> dict[str, str]:
     # bit-identical to the batch build (word-OR is associative +
     # idempotent), so the k9 oracle verifies it verbatim
     out["st8_streaming_bloom"] = out["k9_bloom_filter"]
+    # r8: t25 — substring search: the oracle is the FULL-SCAN
+    # position() filter, the engine goes through the trigram index —
+    # two disjoint routes to the same exact answer
+    out["t25_substring_search"] = (
+        "SELECT doc_id, n_chars FROM documents"
+        " WHERE position('batch stream' IN text) > 0"
+    )
     # r7: w13 — session flows: the w12 session CTEs + an in-session
     # lag ordered by (us, event_type), then the global matrix
     out["w13_session_flows"] = (

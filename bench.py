@@ -164,6 +164,7 @@ HEADLINE = [
     "k9_bloom_filter",
     "x16_sax_similarity",
     "st8_streaming_bloom",
+    "t25_substring_search",
 ]
 
 N_STEADY = 3

@@ -1149,3 +1149,70 @@ def perplexity_buckets(
             label.alias("tier"),
         )
     )
+
+
+def char_trigram_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-trigram inverted index: one (id, gram) row per DISTINCT
+    3-char substring of each document — the classic substring-search
+    index (Google Code Search, PostgreSQL pg_trgm). Built once at
+    ingest; every substring query then joins its handful of needle
+    grams instead of scanning text.
+
+    Pure codegen (sequence + substring + array_distinct + explode) —
+    no shuffle at build time beyond the write; the exploded index is
+    ≤ |chars| rows before distinct and is the thing you'd bucket by
+    gram on disk at 100 TB.
+    """
+    t = F.col(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))),
+            lambda i: F.substring(t, i, 3),
+        )
+    )
+    return df.select(F.col(id_col), F.explode(grams).alias("gram")).filter(
+        F.length("gram") == 3
+    )
+
+
+def substring_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    needle: str,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Exact substring search accelerated by the trigram index: a doc
+    can contain ``needle`` only if it contains EVERY trigram of the
+    needle, so candidates = index rows matching the needle's gram set,
+    grouped to ids that hit all of them — a multiplicatively shrinking
+    prefilter — then ONE exact ``contains`` verify over the candidates
+    (never the corpus). The decontamination / code-search primitive:
+    "which documents contain this exact string" at corpus scale.
+
+    The needle-gram list is a literal IN-filter (pushed to the index
+    scan; at 100 TB a gram-bucketed index makes it partition pruning);
+    the verify join is a semi-join on ids. Needles shorter than 3
+    chars have no trigrams — the operator falls back to the full-scan
+    ``contains`` filter and says so in the plan (documented, the
+    pg_trgm behavior).
+
+    Output: the matching rows of ``df`` (exact, no false positives —
+    the verify step closes the trigram filter's gap).
+    """
+    if not needle:
+        raise ValueError("needle must be non-empty")
+    if len(needle) < 3:
+        return df.filter(F.instr(F.col(text_col), needle) > 0)
+    grams = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+    idx = index if index is not None else char_trigram_index(df, id_col, text_col)
+    hits = (
+        idx.filter(F.col("gram").isin(grams))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_ng"))
+        .filter(F.col("_ng") == len(grams))
+        .select(id_col)
+    )
+    return df.join(hits, id_col, "left_semi").filter(
+        F.instr(F.col(text_col), needle) > 0
+    )

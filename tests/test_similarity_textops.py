@@ -1066,3 +1066,37 @@ def test_recall_at_k_eval(spark):
 
     with pytest.raises(ValueError):
         recall_at_k(exact, approx, "id", k=0)
+
+
+def test_substring_search_exactness_and_false_candidates(spark):
+    """The trigram prefilter admits docs holding all needle grams
+    NON-contiguously; the verify must kill them. Short needles fall
+    back to a full scan."""
+    import pytest
+
+    from healthcare_api_spark.operators.textops import (
+        char_trigram_index,
+        substring_search,
+    )
+
+    rows = [
+        (1, "hello world"),        # contains 'lo wo'
+        (2, "wolo hello ld"),      # has grams of 'lo wo' scattered, no match
+        (3, "xxlo woyy"),          # contains 'lo wo'
+        (4, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"] for r in substring_search(df, "doc_id", "text", "lo wo").collect()}
+    assert got == {1, 3}
+    # prebuilt index path gives the same answer
+    idx = char_trigram_index(df, "doc_id", "text")
+    got2 = {
+        r["doc_id"]
+        for r in substring_search(df, "doc_id", "text", "lo wo", index=idx).collect()
+    }
+    assert got2 == {1, 3}
+    # short-needle fallback = plain contains
+    got3 = {r["doc_id"] for r in substring_search(df, "doc_id", "text", "ld").collect()}
+    assert got3 == {1, 2}
+    with pytest.raises(ValueError):
+        substring_search(df, "doc_id", "text", "")

@@ -202,7 +202,7 @@ def test_r8_changed_oracles_match_at_sf0001():
         "v11_ann_recall", "st7_streaming_session_flows",
         "k8_hll_distinct", "g5_connected_components",
         "d19_paragraph_dedup", "k9_bloom_filter", "x16_sax_similarity",
-        "st8_streaming_bloom",
+        "st8_streaming_bloom", "t25_substring_search",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
