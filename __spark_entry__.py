@@ -4776,6 +4776,156 @@ def q_t25_substring_search(spark, sf_dir):
     return out.select("doc_id", "n_chars")
 
 
+def q_st9_streaming_cms(spark, sf_dir):
+    """Streaming count-min maintenance (r8): the documents' token
+    stream arrives as TWO micro-batches (doc-id-parity split); each
+    batch is sketched independently (cms_build — md5 cells over batch
+    tokens only) and cms_merge cell-wise-sums it into the versioned
+    state (streaming/sketches.streaming_cms). Integer cell sums
+    reassociate exactly, so the final state must be CELL-FOR-CELL
+    IDENTICAL to one batch build over the whole corpus — this REAL
+    2-batch streaming run therefore emits EXACTLY the k3 φ-heavy-hitter
+    output and the k3 oracle verifies it VERBATIM (the st5-st8
+    contract: streaming machinery equals batch semantics). Unlike
+    KMV/Bloom, cell-sum is NOT replay-idempotent — safety rests on the
+    versioned store's pre-batch-snapshot merge, which is exactly what
+    this gate proves end-to-end."""
+    import shutil
+    import tempfile
+
+    from healthcare_api_spark.functions.text import tokens
+    from healthcare_api_spark.operators import sketches
+    from healthcare_api_spark.streaming.sketches import (
+        read_cms_state,
+        streaming_cms,
+    )
+
+    _tune(spark)
+    depth, width = 4, 512
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    root = tempfile.mkdtemp(prefix="st9_")
+    src, state, ckpt = f"{root}/src", f"{root}/state", f"{root}/ckpt"
+    try:
+        toks.filter(F.col("doc_id") % 2 == 0).select("tok").write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema("tok string").parquet(src)
+        q = streaming_cms(
+            stream, state, "tok", depth=depth, width=width, checkpoint=ckpt
+        )
+        q.processAllAvailable()
+        toks.filter(F.col("doc_id") % 2 == 1).select("tok").write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        q.stop()
+        sketch = read_cms_state(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    total = sketch.filter(F.col("r") == 0).agg(
+        F.sum("n").cast("bigint").alias("total")
+    )
+    est = sketches.cms_lookup(
+        sketch, toks.select("tok").distinct(), "tok", depth=depth, width=width
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est") >= F.col("total") / F.lit(256.0))
+        .select("tok", "est")
+    )
+
+
+def q_v14_rank_metrics(spark, sf_dir):
+    """Order-sensitive ANN evaluation (r8): MRR and average precision
+    of a DELIBERATELY coarse retrieval (6-dim prefix, 30 candidates)
+    against the exact top-10 (similarity.ranking_eval) — recall@k says
+    whether the right ids were found, MRR/AP say whether they were
+    ranked FIRST, which is what retrieval-augmented pipelines actually
+    tune. Both metrics are exact-integer constructions (AP terms
+    hits·(lcm(1..10) div i) are int64, MRR is one division), so the
+    1-row result is hash-verifiable; the oracle replays both rankings
+    and the same scaled arithmetic."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    exact = similarity.brute_force_topk(emb, "vec_id", "embedding", qvec, k=10)
+    approx = similarity.prefix_rerank_topk(
+        emb, "vec_id", "embedding", qvec, prefix_dims=6, candidates=30, k=10
+    )
+    return similarity.ranking_eval(exact, approx, "vec_id", k=10)
+
+
+def q_t26_gopher_rules(spark, sf_dir):
+    """Gopher-style quality rules (r8): the published MassiveWeb
+    row-level charter filters (Rae 2021) — word-count band, mean word
+    length, '#'/'...' symbol ratio, bullet/ellipsis line ratios,
+    alphabetic-word ratio, stopword hits (textops.gopher_quality).
+    The corpus is single-line word soup, so each rule is EXERCISED by
+    planting deterministic decoration on doc-id residue classes
+    (bullet lines on %7, '#' runs on %5, an ellipsis line on %11,
+    numeric words on %13 — the d16 planting precedent), with
+    thresholds tightened to the corpus register so `keep` splits.
+    Every ratio is one 6-dp division of exact int64 counts — no float
+    accumulation anywhere."""
+    from healthcare_api_spark.operators import textops
+
+    _tune(spark)
+    deco = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\n- item one\n- item two\n* item three"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" ## #")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("\nto be continued...")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit(" 1234 5678 9012 3456 7890")
+        ).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", deco.alias("dtext")
+    )
+    return textops.gopher_quality(
+        docs,
+        "doc_id",
+        "dtext",
+        min_words=20,
+        max_words=120,
+        min_mean_len=3.0,
+        max_mean_len=6.0,
+        max_symbol_ratio=0.05,
+        max_bullet_ratio=0.5,
+        max_ellipsis_ratio=0.3,
+        min_alpha_ratio=0.9,
+        min_stop_hits=1,
+    )
+
+
+def q_u8_importance_weights(spark, sf_dir):
+    """DSIR importance weights (r8): hashed-unigram log-likelihood
+    ratio of the English subset (the "target" reference) vs the raw
+    corpus (curation.importance_weights, Xie 2023) — the selection
+    signal that skews a 100 TB crawl toward a quality reference
+    without training a model. Bucket log-ratios are ln of ONE exact
+    int64 rational (Laplace-smoothed), per-doc scores are tf-weighted
+    sums rounded 6 dp (the t17 precedent); bucket tables broadcast,
+    the corpus is scanned once."""
+    from healthcare_api_spark.operators import curation
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return curation.importance_weights(
+        docs, "doc_id", "text", F.col("lang") == "en", num_buckets=256
+    )
+
+
 # ----------------------------------------------------------------- export --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4825,6 +4975,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x16_sax_similarity": q_x16_sax_similarity,
         "st8_streaming_bloom": q_st8_streaming_bloom,
         "t25_substring_search": q_t25_substring_search,
+        "st9_streaming_cms": q_st9_streaming_cms,
+        "v14_rank_metrics": q_v14_rank_metrics,
+        "t26_gopher_rules": q_t26_gopher_rules,
+        "u8_importance_weights": q_u8_importance_weights,
         # --- r7 second-wave additions (driver-hash-green in
         # CORRECTNESS_r07) ---
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
@@ -7040,6 +7194,121 @@ def oracle_sql() -> dict[str, str]:
     # bit-identical to the batch build (word-OR is associative +
     # idempotent), so the k9 oracle verifies it verbatim
     out["st8_streaming_bloom"] = out["k9_bloom_filter"]
+    # r8: st9 — the 2-micro-batch streaming CMS fold must equal the
+    # batch k3 build cell-for-cell (integer sums reassociate exactly),
+    # so the k3 heavy-hitter oracle verifies the streaming run verbatim
+    out["st9_streaming_cms"] = out["k3_cms_heavy_hitters"]
+    # r8: v14 — MRR/AP ranking eval: replay the exact top-10 and the
+    # coarse 6-dim/30-candidate rerank, then the same lcm-scaled
+    # integer arithmetic (2520 = lcm(1..10); 2520 // i is exact)
+    out["v14_rank_metrics"] = (
+        f"WITH exact AS (SELECT vec_id FROM ({out['v1_ann_topk']})),"
+        " q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe"
+        "  FROM embeddings WHERE vec_id = 0),"
+        " v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
+        "  AS e FROM embeddings),"
+        " coarse AS (SELECT vec_id, e,"
+        "  round(list_dot_product(e[1:6], qe[1:6]), 6) AS coarse_dot"
+        "  FROM v, q ORDER BY coarse_dot DESC, vec_id ASC LIMIT 30),"
+        " approx AS (SELECT vec_id, round(list_dot_product(e, qe) /"
+        "  (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))"
+        "  , 6) AS cos FROM coarse, q"
+        "  ORDER BY cos DESC, vec_id ASC LIMIT 10),"
+        " rk AS (SELECT vec_id, row_number() OVER"
+        "  (ORDER BY cos DESC, vec_id ASC) AS i FROM approx),"
+        " mk AS (SELECT rk.i, CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1"
+        "  END AS rel FROM rk LEFT JOIN exact e USING (vec_id)),"
+        " h AS (SELECT i, rel, sum(rel) OVER (ORDER BY i ROWS BETWEEN"
+        "  UNBOUNDED PRECEDING AND CURRENT ROW) AS hits FROM mk),"
+        " ne AS (SELECT count(*) AS n_exact FROM exact)"
+        " SELECT CAST(10 AS INT) AS k, CAST(sum(rel) AS INT) AS n_rel,"
+        "  round(CASE WHEN min(CASE WHEN rel = 1 THEN i END) IS NOT NULL"
+        "   THEN 1.0 / min(CASE WHEN rel = 1 THEN i END)"
+        "   ELSE 0.0 END, 6) AS mrr,"
+        "  round(CAST(sum(rel * hits * (2520 // i)) AS DOUBLE)"
+        "   / (2520.0 * least(10, n_exact)), 6) AS avg_precision"
+        " FROM h, ne GROUP BY n_exact"
+    )
+    # r8: t26 — Gopher rules: identical decoration, whitespace-run
+    # words, newline lines, non-overlapping replace counts, and one
+    # 6-dp integer division per ratio
+    out["t26_gopher_rules"] = (
+        "WITH d AS (SELECT doc_id, text"
+        "  || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- item one' ||"
+        "   chr(10) || '- item two' || chr(10) || '* item three'"
+        "   ELSE '' END"
+        "  || CASE WHEN doc_id % 5 = 0 THEN ' ## #' ELSE '' END"
+        "  || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||"
+        "   'to be continued...' ELSE '' END"
+        "  || CASE WHEN doc_id % 13 = 0 THEN ' 1234 5678 9012 3456 7890'"
+        "   ELSE '' END AS t FROM documents),"
+        " f AS (SELECT doc_id, t,"
+        "  list_filter(regexp_split_to_array(t, '\\s+'), w -> w <> '')"
+        "   AS ws,"
+        "  list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS ls"
+        "  FROM d),"
+        " g AS (SELECT doc_id,"
+        "  CAST(len(ws) AS BIGINT) AS nw,"
+        "  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)"
+        "   AS wlen,"
+        "  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))"
+        "   AS BIGINT) AS nalpha,"
+        "  CAST(len(ls) AS BIGINT) AS nl,"
+        "  CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '-')"
+        "   OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))"
+        "   AS BIGINT) AS nbullet,"
+        "  CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')))"
+        "   AS BIGINT) AS nell,"
+        "  CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)"
+        "   AS nhash,"
+        "  CAST((length(t) - length(replace(t, '...', ''))) // 3"
+        "   AS BIGINT) AS ndots,"
+        "  (" + " + ".join(
+            "CASE WHEN list_contains(list_transform(ws, w -> lower(w)),"
+            f" '{sw}') THEN 1 ELSE 0 END"
+            for sw in (
+                "the", "be", "to", "of", "and", "that", "have", "with"
+            )
+        ) + ") AS nstop FROM f),"
+        " r AS (SELECT doc_id, nw AS n_words,"
+        "  round(CAST(wlen AS DOUBLE) / greatest(nw, 1), 6)"
+        "   AS mean_word_len,"
+        "  round(CAST(nhash + ndots AS DOUBLE) / greatest(nw, 1), 6)"
+        "   AS symbol_ratio,"
+        "  round(CAST(nbullet AS DOUBLE) / greatest(nl, 1), 6)"
+        "   AS bullet_ratio,"
+        "  round(CAST(nell AS DOUBLE) / greatest(nl, 1), 6)"
+        "   AS ellipsis_ratio,"
+        "  round(CAST(nalpha AS DOUBLE) / greatest(nw, 1), 6)"
+        "   AS alpha_ratio,"
+        "  CAST(nstop AS INT) AS n_stop_hits FROM g)"
+        " SELECT *, CAST(n_words BETWEEN 20 AND 120"
+        "  AND mean_word_len BETWEEN 3.0 AND 6.0"
+        "  AND symbol_ratio < 0.05 AND bullet_ratio < 0.5"
+        "  AND ellipsis_ratio < 0.3 AND alpha_ratio >= 0.9"
+        "  AND n_stop_hits >= 1 AS INT) AS keep FROM r"
+    )
+    # r8: u8 — DSIR importance weights: identical md5 buckets, the
+    # same one-rational Laplace log-ratio, tf-weighted 6-dp sums
+    out["u8_importance_weights"] = (
+        f"WITH toks AS (SELECT doc_id,"
+        "  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,"
+        f"  unnest({_TOKS_SQL}) AS tok FROM documents),"
+        " tb AS (SELECT doc_id, tgt,"
+        "  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b FROM toks),"
+        " dtf AS (SELECT doc_id, tgt, b, count(*) AS tf FROM tb"
+        "  GROUP BY 1, 2, 3),"
+        " bk AS (SELECT b, sum(tf) AS r, sum(tf * tgt) AS t FROM dtf"
+        "  GROUP BY 1),"
+        " tot AS (SELECT CAST(sum(r) AS BIGINT) AS rr,"
+        "  CAST(sum(t) AS BIGINT) AS tt FROM bk),"
+        " w AS (SELECT b, ln(CAST((t + 1) * (rr + 256) AS DOUBLE)"
+        "  / CAST((r + 1) * (tt + 256) AS DOUBLE)) AS w FROM bk, tot)"
+        " SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,"
+        "  CAST(max(tgt) AS INT) AS is_target,"
+        "  round(sum(tf * w), 6) AS log_weight"
+        " FROM dtf JOIN w USING (b) GROUP BY doc_id"
+    )
     # r8: t25 — substring search: the oracle is the FULL-SCAN
     # position() filter, the engine goes through the trigram index —
     # two disjoint routes to the same exact answer

@@ -165,6 +165,13 @@ HEADLINE = [
     "x16_sax_similarity",
     "st8_streaming_bloom",
     "t25_substring_search",
+    # round 8 fourth wave: streaming CMS fold (fifth real streaming
+    # run), the MRR/AP ranking eval, and the Gopher rule filter (one
+    # map-only projection — the row-level charter pass)
+    "st9_streaming_cms",
+    "v14_rank_metrics",
+    "t26_gopher_rules",
+    "u8_importance_weights",
 ]
 
 N_STEADY = 3

@@ -774,3 +774,95 @@ def winsorize_pct(
         k_high=max(1, math.ceil(p_high * n)),
     )
 
+
+
+# ------------------------------------------------------ importance (DSIR) --
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public paper):
+    score every document by how much more likely its hashed-unigram
+    features are under the TARGET distribution (rows matching
+    ``target_pred``, e.g. curated/high-quality docs) than under the raw
+    corpus. The selection signal a pretraining pipeline uses to skew a
+    web crawl toward a quality reference without training a model.
+
+    Features are hashed unigrams: bucket = md5(token) % num_buckets
+    (the cms md5 convention — engine-portable). Both distributions are
+    Laplace-smoothed, and each bucket's log-ratio is computed as the ln
+    of ONE exact rational::
+
+        w_b = ln( ((t_b + 1) * (R + B)) / ((r_b + 1) * (T + B)) )
+
+    — numerator and denominator are exact int64 products, the division
+    is one correctly-rounded double op, and ln of a bit-identical
+    double is bit-identical in any libm (the t17 logprob precedent).
+    Per-doc score = Σ_b tf_doc(b) · w_b, rounded 6 dp.
+
+    Shape at scale: the bucket tables are ≤ num_buckets rows (broadcast
+    back), the doc-side aggregate is one map-side-combined groupBy on
+    (id, bucket), and the corpus is scanned once. Output:
+    (id, n_tokens, is_target, log_weight).
+    """
+    from healthcare_api_spark.functions.text import tokens
+
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
+    toks = df.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("_tgt"),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    ).withColumn(
+        "_b",
+        (
+            F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % num_buckets
+        ),
+    )
+    doc_tf = toks.groupBy(id_col, "_tgt", "_b").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    bucket = doc_tf.groupBy("_b").agg(
+        F.sum("_tf").alias("_r"),
+        F.sum(F.col("_tf") * F.col("_tgt")).alias("_t"),
+    )
+    totals = bucket.agg(
+        F.sum("_r").cast("bigint").alias("_rtot"),
+        F.sum("_t").cast("bigint").alias("_ttot"),
+    )
+    w = (
+        bucket.crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            F.log(
+                (
+                    (F.col("_t") + 1)
+                    * (F.col("_rtot") + num_buckets)
+                ).cast("double")
+                / (
+                    (F.col("_r") + 1)
+                    * (F.col("_ttot") + num_buckets)
+                ).cast("double")
+            ).alias("_w"),
+        )
+    )
+    return (
+        doc_tf.join(F.broadcast(w), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_tf").cast("bigint").alias("n_tokens"),
+            F.max("_tgt").cast("int").alias("is_target"),
+            F.round(F.sum(F.col("_tf") * F.col("_w")), 6).alias(
+                "log_weight"
+            ),
+        )
+    )

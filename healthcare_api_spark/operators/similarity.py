@@ -1161,3 +1161,100 @@ def recall_at_k(
             ).alias("recall"),
         )
     )
+
+
+def _lcm_1_to(k: int) -> int:
+    from math import gcd
+
+    out = 1
+    for i in range(2, k + 1):
+        out = out * i // gcd(out, i)
+    return out
+
+
+def ranking_eval(
+    exact: DataFrame,
+    approx: DataFrame,
+    id_col: str,
+    k: int,
+    score_col: str = "cos",
+) -> DataFrame:
+    """Order-sensitive ANN evaluation: MRR and average precision of an
+    approximate top-k ranking against the exact top-k as (binary)
+    relevance — the metrics that distinguish "found the right ids" from
+    "ranked them first", next to :func:`recall_at_k`'s set overlap.
+
+    The approximate order is (``score_col`` desc, id asc) — the same
+    tie rule every top-k builder here emits — and both metrics are
+    computed in EXACT integer arithmetic so the result is
+    bit-reproducible by a SQL oracle: with L = lcm(1..k), each AP term
+    hits(i)·(L div i) is an exact int64 (i divides L), so
+    AP = Σterms / (L·R) with R = min(k, |exact|) is ONE correctly
+    rounded division of two integers, and MRR = 1/first-relevant-rank
+    likewise. k is capped at 30 to keep Σterms ≤ k²·lcm(1..k) < 2⁶³
+    (lcm(1..30) ≈ 2.3e12). Both inputs are ≤k-row frames, so the
+    single-partition rank window and the broadcast membership join are
+    constant-size regardless of corpus scale — at 100 TB the cost is
+    producing the rankings, never the eval.
+
+    Output (1 row): k, n_rel, mrr, avg_precision.
+    """
+    from pyspark.sql import Window
+
+    if not 1 <= k <= 30:
+        raise ValueError("k must be in [1, 30] for exact-integer AP")
+    lcm = _lcm_1_to(k)
+    ranked = approx.select(
+        F.col(id_col).alias("_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+        .alias("_i"),
+    )
+    marked = ranked.join(
+        F.broadcast(
+            exact.select(F.col(id_col).alias("_id"), F.lit(1).alias("_rel"))
+        ),
+        "_id",
+        "left",
+    ).select(
+        "_i",
+        F.coalesce(F.col("_rel"), F.lit(0)).alias("_rel"),
+    )
+    hits = marked.select(
+        "_i",
+        "_rel",
+        F.sum("_rel")
+        .over(Window.orderBy("_i").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_hits"),
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("_n_exact"))
+    agg = hits.agg(
+        F.sum("_rel").cast("int").alias("n_rel"),
+        F.min(F.when(F.col("_rel") == 1, F.col("_i"))).alias("_first"),
+        F.sum(
+            F.col("_rel")
+            * F.col("_hits")
+            * F.expr(f"CAST({lcm} DIV _i AS BIGINT)")
+        ).cast("long").alias("_ap_scaled"),
+    )
+    return agg.crossJoin(F.broadcast(n_exact)).select(
+        F.lit(k).alias("k"),
+        F.col("n_rel"),
+        F.round(
+            F.when(
+                F.col("_first").isNotNull(),
+                F.lit(1.0) / F.col("_first").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.col("_ap_scaled").cast("double")
+            / (
+                F.lit(lcm).cast("double")
+                * F.least(F.lit(k).cast("long"), F.col("_n_exact")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("avg_precision"),
+    )

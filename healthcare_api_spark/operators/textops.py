@@ -1216,3 +1216,125 @@ def substring_search(
     return df.join(hits, id_col, "left_semi").filter(
         F.instr(F.col(text_col), needle) > 0
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1 —
+    the MassiveWeb repetition-free filter set; thresholds are the
+    published defaults, every one a keyword knob): word-count bounds,
+    mean-word-length band, symbol-to-word ratio ('#' and '...'),
+    bullet-started and ellipsis-ended line ratios, alphabetic-word
+    ratio, and required-stopword hits. The row-level charter filter a
+    CommonCrawl-scale curation pipeline runs before any model-based
+    scoring.
+
+    Every feature is an exact integer count over the RAW text (words =
+    whitespace runs; '#'/'...' occurrences by non-overlapping replace
+    — both engines scan left-to-right; lines = newline split, blank
+    lines dropped), and every ratio is ONE correctly-rounded division
+    of two int64s at 6 dp, so rule comparisons run on bit-identical
+    doubles in any engine — no floats accumulate. One narrow
+    projection, no shuffle, no UDFs: at 100 TB this is a map-only pass
+    whose cost is the scan itself.
+
+    Output: (id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+    ellipsis_ratio, alpha_ratio, n_stop_hits, keep).
+    """
+    if min_stop_hits > len(stopwords):
+        raise ValueError("min_stop_hits exceeds the stopword list")
+    t = F.col(text_col)
+    words = F.expr(
+        f"filter(split({text_col}, '\\\\s+'), w -> w <> '')"
+    )
+    lines = F.expr(
+        f"filter(split({text_col}, '\\n'), l -> trim(l) <> '')"
+    )
+    d = df.select(
+        F.col(id_col),
+        F.size(words).cast("bigint").alias("_nw"),
+        F.expr(
+            f"aggregate(filter(split({text_col}, '\\\\s+'), w -> w <> ''),"
+            " 0L, (acc, w) -> acc + length(w))"
+        ).alias("_wlen"),
+        F.size(
+            F.expr(
+                f"filter(filter(split({text_col}, '\\\\s+'), w -> w <> ''),"
+                " w -> w rlike '[A-Za-z]')"
+            )
+        ).cast("bigint").alias("_nalpha"),
+        F.size(lines).cast("bigint").alias("_nl"),
+        F.size(
+            F.expr(
+                f"filter(filter(split({text_col}, '\\n'), l -> trim(l) <> ''),"
+                " l -> startswith(ltrim(l), '-') or startswith(ltrim(l), '*')"
+                " or startswith(ltrim(l), '•'))"
+            )
+        ).cast("bigint").alias("_nbullet"),
+        F.size(
+            F.expr(
+                f"filter(filter(split({text_col}, '\\n'), l -> trim(l) <> ''),"
+                " l -> endswith(rtrim(l), '...'))"
+            )
+        ).cast("bigint").alias("_nell"),
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast(
+            "bigint"
+        ).alias("_nhash"),
+        F.expr(
+            f"CAST((length({text_col}) -"
+            f" length(replace({text_col}, '...', ''))) DIV 3 AS BIGINT)"
+        ).alias("_ndots"),
+        sum(
+            [
+                F.array_contains(
+                    F.expr(
+                        f"transform(filter(split({text_col}, '\\\\s+'),"
+                        " w -> w <> ''), w -> lower(w))"
+                    ),
+                    F.lit(sw),
+                ).cast("int")
+                for sw in stopwords
+            ],
+            F.lit(0),
+        ).alias("_nstop"),
+    )
+    nw = F.greatest(F.col("_nw"), F.lit(1)).cast("double")
+    nl = F.greatest(F.col("_nl"), F.lit(1)).cast("double")
+    feats = d.select(
+        F.col(id_col),
+        F.col("_nw").alias("n_words"),
+        F.round(F.col("_wlen").cast("double") / nw, 6).alias("mean_word_len"),
+        F.round(
+            (F.col("_nhash") + F.col("_ndots")).cast("double") / nw, 6
+        ).alias("symbol_ratio"),
+        F.round(F.col("_nbullet").cast("double") / nl, 6).alias("bullet_ratio"),
+        F.round(F.col("_nell").cast("double") / nl, 6).alias("ellipsis_ratio"),
+        F.round(F.col("_nalpha").cast("double") / nw, 6).alias("alpha_ratio"),
+        F.col("_nstop").alias("n_stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_len, max_mean_len)
+        & (F.col("symbol_ratio") < max_symbol_ratio)
+        & (F.col("bullet_ratio") < max_bullet_ratio)
+        & (F.col("ellipsis_ratio") < max_ellipsis_ratio)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("n_stop_hits") >= min_stop_hits)
+    )
+    return feats.withColumn("keep", keep.cast("int"))

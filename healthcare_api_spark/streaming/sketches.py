@@ -91,6 +91,76 @@ def read_kmv_state(
     return _store(state_root, group_cols, num_state_buckets).read(spark)
 
 
+def _cms_store(state_root: str, num_state_buckets: int):
+    return BucketedVersionedState(
+        f"{state_root}/cms",
+        key_cols=["r", "bucket"],
+        num_buckets=num_state_buckets,
+    )
+
+
+def streaming_cms(
+    stream_df: DataFrame,
+    state_root: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+    checkpoint: str | None = None,
+    num_state_buckets: int = 8,
+):
+    """Start a foreachBatch count-min-sketch maintainer — the online
+    frequency screen beside the KMV (distinct) and Bloom (membership)
+    maintainers. Per micro-batch:
+
+    1. sketch the batch (``cms_build`` — md5 cells over batch rows
+       only, ≤ depth×width cells regardless of batch size),
+    2. cell-wise-sum into the touched cells' state buckets
+       (``cms_merge`` against the pre-batch snapshot),
+    3. commit as the immutable ``v{batch_id}`` snapshot.
+
+    Cell-wise sum is associative and commutative but — unlike KMV
+    bottom-k and Bloom OR — NOT idempotent, so replay safety here
+    rests entirely on the versioned store's contract: a replayed batch
+    either short-circuits on its complete ``v{batch_id}`` or re-merges
+    against the strictly-pre-batch snapshot, never double-counting.
+    That makes the final state bit-identical to one batch build over
+    the whole stream (integer sums reassociate exactly), which is what
+    lets the st9 gate hash-check a REAL 2-batch streaming run against
+    the plain batch SQL oracle. State size is ≤ depth×width cells
+    forever; estimate with ``cms_lookup(read_cms_state(...), ...)``.
+    """
+    from healthcare_api_spark.operators.sketches import cms_build, cms_merge
+
+    store = _cms_store(state_root, num_state_buckets)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = cms_build(
+            batch_df, key_col, depth=depth, width=width, weight_col=weight_col
+        )
+
+        def _merge(prev, d):
+            if prev is None:
+                return d
+            return cms_merge(prev, d)
+
+        store.merge_batch(delta, batch_id, _merge)
+
+    writer = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_cms_state(
+    spark: SparkSession,
+    state_root: str,
+    num_state_buckets: int = 8,
+) -> DataFrame | None:
+    """Newest complete CMS cell state (None before the first commit)."""
+    return _cms_store(state_root, num_state_buckets).read(spark)
+
+
 def _bloom_store(state_root: str, num_state_buckets: int):
     from healthcare_api_spark.streaming.state import BucketedVersionedState
 

@@ -575,3 +575,80 @@ def test_winsorize_crossed_cuts_raise(spark):
     df3 = spark.createDataFrame([(0, 1), (1, 5), (2, 9)], ["id", "v"])
     rows = {r["id"]: r for r in winsorize(df3, "v", k_low=2, k_high=2).collect()}
     assert [rows[i]["v_winsorized"] for i in range(3)] == [5, 5, 5]
+
+
+def test_importance_weights_orders_by_target_likeness(spark):
+    """Docs made of target-only tokens must outscore docs of
+    non-target tokens; a doc mixing both lands between."""
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.curation import importance_weights
+
+    rows = (
+        [(i, "alpha beta gamma", 1) for i in range(5)]
+        + [(10 + i, "delta epsilon zeta", 0) for i in range(5)]
+        + [(20, "alpha beta gamma", 0), (21, "delta epsilon zeta", 1),
+           (22, "alpha delta", 0)]
+    )
+    df = spark.createDataFrame(rows, ["id", "text", "tgt"])
+    out = {
+        r["id"]: r
+        for r in importance_weights(
+            df, "id", "text", F.col("tgt") == 1, num_buckets=64
+        ).collect()
+    }
+    assert out[0]["is_target"] == 1 and out[10]["is_target"] == 0
+    # target-token doc > mixed doc > raw-token doc
+    assert out[20]["log_weight"] > out[22]["log_weight"] > out[10]["log_weight"]
+    assert out[0]["n_tokens"] == 3
+
+
+def test_importance_weights_python_reference(spark):
+    """Exact parity with a NumPy-free python reference on a tiny
+    corpus (hashed buckets, Laplace smoothing, one-rational ln)."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.curation import importance_weights
+
+    rows = [(0, "a b a", 1), (1, "b c", 0), (2, "a c c", 0)]
+    B = 8
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    dtf = {i: Counter(bucket(t) for t in txt.split()) for i, txt, _ in rows}
+    r = defaultdict(int)
+    t = defaultdict(int)
+    for i, _, tgt in rows:
+        for b, c in dtf[i].items():
+            r[b] += c
+            if tgt:
+                t[b] += c
+    R, T = sum(r.values()), sum(t.values())
+    want = {
+        i: round(
+            sum(
+                c * math.log(((t[b] + 1) * (R + B)) / ((r[b] + 1) * (T + B)))
+                for b, c in dtf[i].items()
+            ),
+            6,
+        )
+        for i, _, _ in rows
+    }
+    df = spark.createDataFrame(rows, ["id", "text", "tgt"])
+    got = {
+        rr["id"]: rr["log_weight"]
+        for rr in importance_weights(
+            df, "id", "text", F.col("tgt") == 1, num_buckets=B
+        ).collect()
+    }
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        importance_weights(df, "id", "text", F.col("tgt") == 1, num_buckets=0)

@@ -1100,3 +1100,101 @@ def test_substring_search_exactness_and_false_candidates(spark):
     assert got3 == {1, 2}
     with pytest.raises(ValueError):
         substring_search(df, "doc_id", "text", "")
+
+
+def test_ranking_eval_hand_computed(spark):
+    """rel pattern [1,0,1,0] at k=4: AP = (1/1 + 2/3)/min(4,|exact|),
+    MRR = 1. lcm(1..4)=12; terms 1·12 + 2·4 = 20 → 20/(12·4)."""
+    from healthcare_api_spark.operators.similarity import ranking_eval
+
+    exact = spark.createDataFrame([(10,), (30,), (99,), (98,)], ["id"])
+    approx = spark.createDataFrame(
+        [(10, 0.9), (20, 0.8), (30, 0.7), (40, 0.6)], ["id", "cos"]
+    )
+    row = ranking_eval(exact, approx, "id", k=4).collect()[0]
+    assert row["k"] == 4 and row["n_rel"] == 2
+    assert row["mrr"] == 1.0
+    assert row["avg_precision"] == round(20 / 48, 6)
+
+
+def test_ranking_eval_no_overlap_and_perfect(spark):
+    from healthcare_api_spark.operators.similarity import ranking_eval
+
+    exact = spark.createDataFrame([(1,), (2,)], ["id"])
+    miss = spark.createDataFrame([(8, 0.9), (9, 0.8)], ["id", "cos"])
+    row = ranking_eval(exact, miss, "id", k=2).collect()[0]
+    assert row["mrr"] == 0.0 and row["avg_precision"] == 0.0
+
+    hit = spark.createDataFrame([(1, 0.9), (2, 0.8)], ["id", "cos"])
+    row = ranking_eval(exact, hit, "id", k=2).collect()[0]
+    assert row["mrr"] == 1.0 and row["avg_precision"] == 1.0
+
+
+def test_ranking_eval_short_exact_denominator(spark):
+    """Corpus smaller than k: R = min(k, |exact|) keeps AP reachable
+    at 1.0 (the recall_at_k ADVICE r7 rule, applied here from birth)."""
+    from healthcare_api_spark.operators.similarity import ranking_eval
+
+    exact = spark.createDataFrame([(1,), (2,)], ["id"])
+    approx = spark.createDataFrame([(1, 0.9), (2, 0.8)], ["id", "cos"])
+    row = ranking_eval(exact, approx, "id", k=5).collect()[0]
+    assert row["avg_precision"] == 1.0
+
+
+def test_ranking_eval_k_guard(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.similarity import ranking_eval
+
+    df = spark.createDataFrame([(1, 0.5)], ["id", "cos"])
+    with pytest.raises(ValueError):
+        ranking_eval(df, df, "id", k=31)
+    with pytest.raises(ValueError):
+        ranking_eval(df, df, "id", k=0)
+
+
+def test_gopher_quality_rules(spark):
+    """Each rule trips on a purpose-built doc; the clean doc passes."""
+    from healthcare_api_spark.operators.textops import gopher_quality
+
+    clean = "the quick brown fox jumps with energy over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [
+            (0, clean),
+            (1, "too short to have enough words"),
+            (2, "- one\n- two\n- three\nthe end with that"),  # bullets
+            (3, clean + " ###### ##### ####"),  # symbols
+            (4, clean + "\nthe story continues..."),  # ellipsis line ok ratio
+            (5, ("1234 5678 " * 30) + "the end with that"),  # non-alpha
+            (6, "zzz qqq xxx vvv www yyy " * 10),  # no stopwords
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality(
+            docs,
+            "doc_id",
+            "text",
+            min_words=20,
+            max_words=1000,
+            min_mean_len=2.0,
+            max_mean_len=10.0,
+            max_symbol_ratio=0.1,
+            max_bullet_ratio=0.5,
+            max_ellipsis_ratio=0.3,
+            min_alpha_ratio=0.8,
+            min_stop_hits=2,
+        ).collect()
+    }
+    assert out[0]["keep"] == 1
+    assert out[1]["keep"] == 0  # word count
+    assert out[2]["keep"] == 0  # bullet ratio 3/4 > 0.5
+    assert out[2]["bullet_ratio"] == 0.75
+    assert out[3]["keep"] == 0  # symbol ratio
+    assert out[3]["symbol_ratio"] > 0.1
+    assert out[4]["keep"] == 0  # 1 of 2 lines ends '...' → 0.5 > 0.3
+    assert out[4]["ellipsis_ratio"] == 0.5
+    assert out[5]["keep"] == 0  # alpha ratio 4/64
+    assert out[6]["keep"] == 0  # stopword hits 0
+    assert out[6]["n_stop_hits"] == 0

@@ -259,3 +259,63 @@ def test_streaming_bloom_state_equals_batch_build(spark, tmp_path):
         for r in bloom_build(whole, "key", m_bits=256, k_hashes=3).collect()
     }
     assert got == want
+
+
+def test_streaming_cms_state_equals_batch_build(spark, tmp_path):
+    """st9: folding two micro-batches through cms_merge must leave a
+    state CELL-FOR-CELL identical to one cms_build over everything
+    (integer cell sums reassociate exactly) — including keys repeated
+    across batches, which a replay-unsafe fold would double-count."""
+    from healthcare_api_spark.operators.sketches import cms_build
+    from healthcare_api_spark.streaming.sketches import (
+        read_cms_state,
+        streaming_cms,
+    )
+
+    keys = [f"k{i % 7}" for i in range(40)]  # heavy repetition
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(k,) for k in keys[:23]], ["key"])
+    b2 = spark.createDataFrame([(k,) for k in keys[23:]], ["key"])
+    b1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("key string").parquet(src)
+    q = streaming_cms(
+        stream, state, "key", depth=3, width=64, checkpoint=ckpt
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["r"], r["bucket"], r["n"])
+        for r in read_cms_state(spark, state).collect()
+    }
+    whole = spark.createDataFrame([(k,) for k in keys], ["key"])
+    want = {
+        (r["r"], r["bucket"], r["n"])
+        for r in cms_build(whole, "key", depth=3, width=64).collect()
+    }
+    assert got == want
+
+
+def test_streaming_cms_replay_does_not_double_count(spark, tmp_path):
+    """Cell-sum is NOT idempotent, so replay safety rests on the
+    versioned store: re-running a committed batch id must leave the
+    state unchanged (short-circuit on the complete version)."""
+    from healthcare_api_spark.operators.sketches import cms_build, cms_merge
+    from healthcare_api_spark.streaming.sketches import _cms_store
+
+    store = _cms_store(str(tmp_path / "s"), 4)
+    d1 = cms_build(
+        spark.createDataFrame([("a",), ("b",)], ["key"]), "key", 2, 32
+    )
+
+    def merge(prev, d):
+        return d if prev is None else cms_merge(prev, d)
+
+    store.merge_batch(d1, 0, merge)
+    before = {(r["r"], r["bucket"], r["n"]) for r in store.read(spark).collect()}
+    store.merge_batch(d1, 0, merge)  # replay
+    after = {(r["r"], r["bucket"], r["n"]) for r in store.read(spark).collect()}
+    assert before == after

@@ -203,6 +203,8 @@ def test_r8_changed_oracles_match_at_sf0001():
         "k8_hll_distinct", "g5_connected_components",
         "d19_paragraph_dedup", "k9_bloom_filter", "x16_sax_similarity",
         "st8_streaming_bloom", "t25_substring_search",
+        "st9_streaming_cms", "v14_rank_metrics", "t26_gopher_rules",
+        "u8_importance_weights",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
