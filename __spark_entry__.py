@@ -4926,6 +4926,43 @@ def q_u8_importance_weights(spark, sf_dir):
     )
 
 
+def q_t27_bpe_encode(spark, sf_dir):
+    """BPE tokenizer ENCODE (r8): train 8 merges (t23's settings —
+    vocab_partitions=1 on the fixed ~30-word synthetic vocabulary,
+    batch_merges=4), then apply them rank-by-rank to the distinct-word
+    table and bill every document in trained-vocabulary tokens
+    (textops.bpe_encode) — the token accounting that sequence packing
+    and mixture planning consume. Each word is encoded ONCE regardless
+    of frequency; the encode rounds have no driver round-trips (rules
+    are literals). The oracle reuses the t23 unrolled training CTEs —
+    whose final CTE IS the encoded word table — plus one doc join."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    merges = textops.bpe_train(
+        docs, "text", n_merges=8, vocab_partitions=1, batch_merges=4
+    )
+    return textops.bpe_encode(
+        docs, "doc_id", "text", merges, vocab_partitions=1
+    )
+
+
+def q_v15_kmeans_stats(spark, sf_dir):
+    """Distributed k-means round (r8): assignment against the frozen
+    per-tier centroid artifact (the d14 machinery) plus the exact
+    per-(cluster, dim) sufficient statistics the next Lloyd round is
+    formed from (similarity.kmeans_update_stats) — member counts and
+    round(x·10⁶) scaled-integer coordinate sums, so the update half of
+    k-means is hash-verifiable (float centroid means never are: their
+    sums reassociate). The driver round-trip of a real corpus-scale
+    k-means is exactly these k·dim rows."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    tier = _d14_tier(emb.count())
+    return similarity.kmeans_update_stats(
+        emb, "embedding", _d14_centroids(tier)
+    )
+
+
 # ----------------------------------------------------------------- export --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4979,6 +5016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v14_rank_metrics": q_v14_rank_metrics,
         "t26_gopher_rules": q_t26_gopher_rules,
         "u8_importance_weights": q_u8_importance_weights,
+        "t27_bpe_encode": q_t27_bpe_encode,
+        "v15_kmeans_stats": q_v15_kmeans_stats,
         # --- r7 second-wave additions (driver-hash-green in
         # CORRECTNESS_r07) ---
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
@@ -7308,6 +7347,40 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(max(tgt) AS INT) AS is_target,"
         "  round(sum(tf * w), 6) AS log_weight"
         " FROM dtf JOIN w USING (b) GROUP BY doc_id"
+    )
+    # r8: t27 — BPE encode: the t23 training CTEs' final word table
+    # joined back onto per-doc word frequencies (textops.bpe_encode_sql)
+    out["t27_bpe_encode"] = textops.bpe_encode_sql(8, _TOKS_SQL)
+    # r8: v15 — k-means sufficient statistics: the d14 assignment CTEs
+    # (same artifact, same tier rule, no dup union) + per-(cluster,dim)
+    # scaled-integer sums and ONE integer division for the mean
+    out["v15_kmeans_stats"] = (
+        f"WITH cents AS ("
+        f" SELECT cluster, list_transform(vec, x -> x::DOUBLE) AS cv"
+        f" FROM read_parquet('{_D14_ARTIFACT}')"
+        f" WHERE tier = (CASE WHEN (SELECT count(*) FROM embeddings)"
+        f"  <= {_D14_SMALL_MAX} THEN 32 ELSE 128 END)),"
+        f" v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
+        f"  AS e FROM embeddings),"
+        f" a0 AS (SELECT v.vec_id, v.e, cents.cluster,"
+        f"  -(list_dot_product(v.e, cents.cv) /"
+        f"   (sqrt(list_dot_product(v.e, v.e)) *"
+        f"    sqrt(list_dot_product(cents.cv, cents.cv))))"
+        f"  AS negcos FROM v CROSS JOIN cents),"
+        f" c AS (SELECT vec_id, e, cluster FROM ("
+        f"  SELECT vec_id, e, cluster, row_number() OVER ("
+        f"   PARTITION BY vec_id ORDER BY negcos ASC, cluster ASC) AS rn"
+        f"  FROM a0) WHERE rn = 1),"
+        f" ex AS (SELECT cluster, i - 1 AS dim,"
+        f"  CAST(round(e[i] * 1000000) AS BIGINT) AS q"
+        f"  FROM c, LATERAL (SELECT unnest(generate_series(1, len(e)))"
+        f"   AS i))"
+        f" SELECT cluster, CAST(dim AS INT) AS dim,"
+        f"  CAST(count(*) AS BIGINT) AS n_members,"
+        f"  CAST(sum(q) AS BIGINT) AS sum_scaled,"
+        f"  round(CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)"
+        f"   AS mean_scaled"
+        f" FROM ex GROUP BY cluster, dim"
     )
     # r8: t25 — substring search: the oracle is the FULL-SCAN
     # position() filter, the engine goes through the trigram index —

@@ -172,6 +172,11 @@ HEADLINE = [
     "v14_rank_metrics",
     "t26_gopher_rules",
     "u8_importance_weights",
+    # round 8 fifth wave: train-then-encode BPE accounting (16
+    # vocabulary-sized rounds, encode half driver-round-trip-free) and
+    # the exact-integer k-means sufficient-statistics round
+    "t27_bpe_encode",
+    "v15_kmeans_stats",
 ]
 
 N_STEADY = 3

@@ -1258,3 +1258,69 @@ def ranking_eval(
             6,
         ).alias("avg_precision"),
     )
+
+
+def kmeans_update_stats(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    scale: int = 1_000_000,
+    method: str = "auto",
+) -> DataFrame:
+    """One distributed Lloyd (k-means) round in EXACT arithmetic: the
+    argmin assignment (:func:`ivf_assign` — the d14-proven portable
+    double path, ties → lowest cluster id) followed by the per-
+    (cluster, dimension) sufficient statistics the next round's
+    centroids are formed from — member counts and scaled-integer
+    coordinate sums.
+
+    Coordinates are quantized ``round(x·scale)`` BEFORE summing, so the
+    sums are exact int64 regardless of partition order (float sums
+    reassociate, integer sums don't — the q1/x8 scaled-integer rule
+    applied to clustering), and the emitted mean is ONE correctly
+    rounded division of two int64s. int64 headroom: |x|·scale ≲ 1e9
+    leaves ~9·10⁹ safe rows per (cluster, dim) cell.
+
+    Scale shape: assignment is a broadcast-literal map pass (k·dim
+    literals, no join); the stats are one map-side-combined groupBy
+    with exactly k·dim output cells — the driver round-trip of a real
+    distributed k-means is these k·dim rows, never the corpus. Iterate:
+    form next centroids from (sum_scaled / scale / n) driver-side and
+    call again (ivf_train owns the float fast path; this is the
+    hash-verifiable audit round).
+
+    Output: (cluster, dim, n_members, sum_scaled, mean_scaled).
+    """
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    assigned = ivf_assign(df.select(vec_col), vec_col, centroids, method)
+    ex = assigned.select(
+        "cluster",
+        F.posexplode(F.col(vec_col)).alias("dim", "_v"),
+    ).select(
+        "cluster",
+        "dim",
+        F.round(F.col("_v").cast("double") * scale).cast("bigint").alias(
+            "_q"
+        ),
+    )
+    return (
+        ex.groupBy("cluster", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("_q").cast("bigint").alias("sum_scaled"),
+        )
+        .select(
+            "cluster",
+            "dim",
+            "n_members",
+            "sum_scaled",
+            F.round(
+                F.col("sum_scaled").cast("double")
+                / F.col("n_members").cast("double"),
+                6,
+            ).alias("mean_scaled"),
+        )
+    )

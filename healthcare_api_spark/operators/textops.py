@@ -884,6 +884,74 @@ def repetition_signals(
     )
 
 
+def _explode_word_syms(wf: DataFrame, passthrough: tuple[str, ...]) -> DataFrame:
+    """Explode a (word, *passthrough, syms) frame to one row per symbol
+    position with its right neighbor — the shared input of BPE pair
+    counting and merge application (train and encode both start here)."""
+    from pyspark.sql import Window
+
+    ex = wf.select(
+        "word",
+        *passthrough,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms)), i -> "
+                "struct(i AS i, element_at(syms, i) AS s))"
+            )
+        ).alias("e"),
+    ).select(
+        "word", *passthrough, F.col("e.i").alias("i"), F.col("e.s").alias("s")
+    )
+    w = Window.partitionBy("word").orderBy("i")
+    return ex.withColumn("nxt", F.lead("s").over(w))
+
+
+def _apply_merge_match(
+    ex: DataFrame, match, passthrough: tuple[str, ...]
+) -> DataFrame:
+    """Textbook left-to-right non-overlapping merge application over an
+    exploded symbol frame: match-run islands (gaps-and-islands on the
+    cumulative match count), even-offset-within-island selection, a lag
+    to drop consumed positions, then rebuild the symbol array in
+    position order. All window expressions partitioned by word — no
+    UDFs, no per-row Python. ``match`` may OR several pairwise
+    symbol-disjoint rules (disjoint rules cannot share a match-run)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("word").orderBy("i")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepped = ex.withColumn("m", match.cast("int")).withColumn(
+        "rn", F.sum("m").over(run)
+    )
+    stepped = stepped.withColumn(
+        "grp", F.when(F.col("m") == 1, F.col("i") - F.col("rn"))
+    )
+    gw = Window.partitionBy("word", "grp")
+    stepped = stepped.withColumn(
+        "take",
+        (F.col("m") == 1)
+        & ((F.col("rn") - F.min("rn").over(gw)) % 2 == 0),
+    )
+    stepped = stepped.withColumn(
+        "consumed", F.coalesce(F.lag("take").over(w), F.lit(False))
+    )
+    return (
+        stepped.withColumn(
+            "ns",
+            F.when(F.col("take"), F.concat(F.col("s"), F.col("nxt")))
+            .when(F.col("consumed"), F.lit(None))
+            .otherwise(F.col("s")),
+        )
+        .filter(F.col("ns").isNotNull())
+        .groupBy("word", *passthrough)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, ns))), p -> p.ns)"
+            ).alias("syms")
+        )
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
@@ -968,18 +1036,7 @@ def bpe_train(
     wf = wf.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     while len(merges) < n_merges:
-        ex = wf.select(
-            "word",
-            "freq",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(syms)), i -> "
-                    "struct(i AS i, element_at(syms, i) AS s))"
-                )
-            ).alias("e"),
-        ).select("word", "freq", F.col("e.i").alias("i"), F.col("e.s").alias("s"))
-        w = Window.partitionBy("word").orderBy("i")
-        ex = ex.withColumn("nxt", F.lead("s").over(w))
+        ex = _explode_word_syms(wf, ("freq",))
         want = min(batch_merges, n_merges - len(merges))
         top = (
             ex.filter(F.col("nxt").isNotNull())
@@ -1012,39 +1069,7 @@ def bpe_train(
         m = F.lit(False)
         for x, y, _ in accepted:
             m = m | ((F.col("s") == F.lit(x)) & (F.col("nxt") == F.lit(y)))
-        run = Window.partitionBy("word").orderBy("i").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        stepped = ex.withColumn("m", m.cast("int")).withColumn(
-            "rn", F.sum("m").over(run)
-        )
-        stepped = stepped.withColumn(
-            "grp", F.when(F.col("m") == 1, F.col("i") - F.col("rn"))
-        )
-        gw = Window.partitionBy("word", "grp")
-        stepped = stepped.withColumn(
-            "take",
-            (F.col("m") == 1)
-            & ((F.col("rn") - F.min("rn").over(gw)) % 2 == 0),
-        )
-        stepped = stepped.withColumn(
-            "consumed", F.coalesce(F.lag("take").over(w), F.lit(False))
-        )
-        rebuilt = (
-            stepped.withColumn(
-                "ns",
-                F.when(F.col("take"), F.concat(F.col("s"), F.col("nxt")))
-                .when(F.col("consumed"), F.lit(None))
-                .otherwise(F.col("s")),
-            )
-            .filter(F.col("ns").isNotNull())
-            .groupBy("word", "freq")
-            .agg(
-                F.expr("transform(array_sort(collect_list(struct(i, ns))), p -> p.ns)").alias(
-                    "syms"
-                )
-            )
-        )
+        rebuilt = _apply_merge_match(ex, m, ("freq",))
         if vocab_partitions is not None:
             rebuilt = rebuilt.coalesce(vocab_partitions)
         wf = rebuilt.localCheckpoint(eager=True)
@@ -1338,3 +1363,100 @@ def gopher_quality(
         & (F.col("n_stop_hits") >= min_stop_hits)
     )
     return feats.withColumn("keep", keep.cast("int"))
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: "list[tuple]",
+    vocab_partitions: int | None = None,
+) -> DataFrame:
+    """Apply a learned BPE merge table (:func:`bpe_train` output) to
+    the corpus — the ENCODE half of the tokenizer: per document, how
+    many tokens the trained vocabulary produces. The per-doc token
+    count is what a training pipeline actually bills by (sequence
+    packing, mixture planning, context budgeting all consume it).
+
+    Scaling shape mirrors training: merges are applied rank-by-rank to
+    the DISTINCT-word table (vocabulary-sized, ≪ corpus — each word is
+    encoded exactly once no matter how often it occurs), then one
+    broadcast-join maps per-doc word frequencies onto encoded lengths.
+    Unlike training there are NO driver round-trips: the rules are
+    literals, so the whole encode is one lazy plan per round. Each
+    round is the same windowed left-to-right non-overlapping
+    application as training (`_apply_merge_match`), applied strictly
+    in rank order — a later rule may consume symbols an earlier rule
+    created, so rounds cannot be fused across non-disjoint rules.
+
+    Output: (id, n_words, n_tokens, tokens_per_word 6dp).
+    """
+    from healthcare_api_spark.functions.text import tokens
+
+    if not merges:
+        raise ValueError("merges must be non-empty (use bpe_train)")
+    doc_tf = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+        )
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    wf = doc_tf.select("word").distinct().select(
+        "word",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("syms"),
+    )
+    if vocab_partitions is not None:
+        if vocab_partitions < 1:
+            raise ValueError("vocab_partitions must be ≥ 1")
+        wf = wf.coalesce(vocab_partitions)
+    for rule in sorted(merges, key=lambda r: r[0]):
+        x, y = str(rule[1]), str(rule[2])
+        ex = _explode_word_syms(wf, ())
+        match = (F.col("s") == F.lit(x)) & (F.col("nxt") == F.lit(y))
+        wf = _apply_merge_match(ex, match, ())
+        if vocab_partitions is not None:
+            wf = wf.coalesce(vocab_partitions)
+        wf = wf.localCheckpoint(eager=True)
+    enc = wf.select("word", F.size("syms").cast("bigint").alias("_len"))
+    return (
+        doc_tf.join(F.broadcast(enc), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_words"),
+            F.sum(F.col("tf") * F.col("_len")).cast("bigint").alias(
+                "n_tokens"
+            ),
+            F.round(
+                F.sum(F.col("tf") * F.col("_len")).cast("double")
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("tokens_per_word"),
+        )
+    )
+
+
+def bpe_encode_sql(n_merges: int = 8, toks_sql: str = "{TOKS}") -> str:
+    """DuckDB oracle twin of training-then-encoding: reuses
+    :func:`bpe_train_sql`'s unrolled merge rounds — whose final CTE
+    ``w{n}`` IS the fully-encoded word table — and joins it back onto
+    per-document word frequencies. Token counts are exact integers;
+    tokens_per_word is one 6-dp division."""
+    body = bpe_train_sql(n_merges, toks_sql)
+    # keep the CTE chain, swap the UNION-ALL merge-table SELECT for
+    # the per-doc encode join
+    cte_end = body.rindex(" SELECT 1 AS merge_rank")
+    ctes = body[:cte_end]
+    return (
+        f"{ctes},"
+        f" dtf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf"
+        f"  FROM (SELECT doc_id, unnest({toks_sql}) AS word"
+        f"   FROM documents) GROUP BY 1, 2)"
+        f" SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,"
+        f"  CAST(sum(tf * len(syms)) AS BIGINT) AS n_tokens,"
+        f"  round(CAST(sum(tf * len(syms)) AS DOUBLE) /"
+        f"   CAST(sum(tf) AS DOUBLE), 6) AS tokens_per_word"
+        f" FROM dtf JOIN w{n_merges} USING (word) GROUP BY doc_id"
+    )

@@ -586,3 +586,80 @@ def test_session_flows_matches_reference(spark):
         ).collect()
     }
     assert got_trans == dict(trans)
+
+
+def _bpe_encode_reference(texts: list[str], merges):
+    """Apply a merge table to each doc with the same left-to-right
+    non-overlapping scan — per-doc (n_words, n_tokens)."""
+    import re
+
+    out = {}
+    for i, t in enumerate(texts):
+        words = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        n_tokens = 0
+        for w in words:
+            syms = list(w)
+            for _, x, y, *rest in merges:
+                nxt, j = [], 0
+                while j < len(syms):
+                    if j + 1 < len(syms) and syms[j] == x and syms[j + 1] == y:
+                        nxt.append(x + y)
+                        j += 2
+                    else:
+                        nxt.append(syms[j])
+                        j += 1
+                syms = nxt
+            n_tokens += len(syms)
+        out[i] = (len(words), n_tokens)
+    return out
+
+
+def test_bpe_encode_matches_reference_on_random_corpora(spark):
+    """Train-then-encode parity with the independent python scan —
+    including rules that consume earlier rules' outputs (rank order)."""
+    rng = random.Random(99)
+    alphabet = "abc"
+    for trial in range(2):
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 6)))
+                for _ in range(rng.randint(1, 10))
+            )
+            for _ in range(12)
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        from healthcare_api_spark.operators import textops
+
+        merges = textops.bpe_train(df, "text", n_merges=4)
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_tokens"])
+            for r in textops.bpe_encode(
+                df, "doc_id", "text", merges
+            ).collect()
+        }
+        want = _bpe_encode_reference(texts, merges)
+        assert got == want, f"trial {trial}"
+
+
+def test_bpe_encode_rank_order_and_validation(spark):
+    """A rank-2 rule consuming a rank-1 product must apply after it:
+    merges [(1,'a','b'),(2,'ab','c')] on 'abc' → 1 token."""
+    import pytest
+
+    from healthcare_api_spark.operators import textops
+
+    df = spark.createDataFrame([(0, "abc abc xyz")], ["doc_id", "text"])
+    out = textops.bpe_encode(
+        df, "doc_id", "text", [(1, "a", "b"), (2, "ab", "c")]
+    ).collect()[0]
+    # 'abc' → ['ab','c'] → ['abc'] (1 tok, twice); 'xyz' stays 3 syms
+    assert out["n_words"] == 3 and out["n_tokens"] == 5
+
+    with pytest.raises(ValueError):
+        textops.bpe_encode(df, "doc_id", "text", [])
+    with pytest.raises(ValueError):
+        textops.bpe_encode(
+            df, "doc_id", "text", [(1, "a", "b")], vocab_partitions=0
+        )

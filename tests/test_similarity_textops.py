@@ -1198,3 +1198,62 @@ def test_gopher_quality_rules(spark):
     assert out[5]["keep"] == 0  # alpha ratio 4/64
     assert out[6]["keep"] == 0  # stopword hits 0
     assert out[6]["n_stop_hits"] == 0
+
+
+def test_kmeans_update_stats_hand_computed(spark):
+    """Two well-separated centroids: assignment and the exact scaled
+    sums/counts per (cluster, dim) are hand-checkable."""
+    from healthcare_api_spark.operators.similarity import kmeans_update_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = {
+        (r["cluster"], r["dim"]): r
+        for r in kmeans_update_stats(
+            df, "embedding", cents, method="expr"
+        ).collect()
+    }
+    assert out[(0, 0)]["n_members"] == 2
+    assert out[(0, 0)]["sum_scaled"] == 1_900_000  # 1.0 + 0.9 scaled
+    assert out[(0, 1)]["sum_scaled"] == 100_000
+    assert out[(1, 0)]["n_members"] == 1
+    assert out[(1, 1)]["sum_scaled"] == 1_000_000
+    assert out[(0, 0)]["mean_scaled"] == 950_000.0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        kmeans_update_stats(df, "embedding", [])
+    with pytest.raises(ValueError):
+        kmeans_update_stats(df, "embedding", cents, scale=0)
+
+
+def test_kmeans_update_stats_iterates_toward_centroids(spark):
+    """Forming next-round centroids from the emitted stats and
+    re-running moves means onto the true cluster centers — the Lloyd
+    loop a driver would run."""
+    from healthcare_api_spark.operators.similarity import kmeans_update_stats
+
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.0]) for i in range(9)] + [
+        (100 + i, [0.0, 5.0 + (i % 3) * 0.1]) for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0.1], [0.1, 1.0]]
+    stats = kmeans_update_stats(df, "embedding", cents, method="expr").collect()
+    by_c = {}
+    for r in stats:
+        by_c.setdefault(r["cluster"], {})[r["dim"]] = (
+            r["sum_scaled"] / 1_000_000 / r["n_members"]
+        )
+    nxt = [
+        [by_c[c][d] for d in sorted(by_c[c])] for c in sorted(by_c)
+    ]
+    assert abs(nxt[0][0] - 10.1) < 1e-6 and abs(nxt[0][1]) < 1e-9
+    assert abs(nxt[1][1] - 5.1) < 1e-6 and abs(nxt[1][0]) < 1e-9

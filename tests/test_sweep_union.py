@@ -204,7 +204,7 @@ def test_r8_changed_oracles_match_at_sf0001():
         "d19_paragraph_dedup", "k9_bloom_filter", "x16_sax_similarity",
         "st8_streaming_bloom", "t25_substring_search",
         "st9_streaming_cms", "v14_rank_metrics", "t26_gopher_rules",
-        "u8_importance_weights",
+        "u8_importance_weights", "t27_bpe_encode", "v15_kmeans_stats",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
