@@ -221,15 +221,24 @@ def main() -> None:
         for name in R3_COMPARABLE
     }
 
-    # --- full interleaved sweep (cold + 3 steady over all 56) ---
+    # --- full interleaved sweep (cold + 3 steady over all 71) ---
     cold: dict[str, float] = {}
     steady: list[dict[str, float]] = [{} for _ in range(N_STEADY)]
     for pass_timings in [cold, *steady]:
-        for name in HEADLINE:
+        for qi, name in enumerate(HEADLINE):
             spark.catalog.clearCache()  # no cross-pass result reuse
             t0 = time.perf_counter()
             force(qs[name](spark, sf_dir))
             pass_timings[name] = round(time.perf_counter() - t0, 3)
+            # r8: the pass-level barrier wasn't enough once the sweep
+            # grew past ~60 queries — WITHIN one pass the iterative /
+            # streaming queries accumulate localCheckpoint blocks and
+            # shuffle files faster than the JVM collects them, and the
+            # queries that follow pay (measured: d18 4.0 s steady vs
+            # 38 s late in a churned cold pass). Collect every 12
+            # queries; ~5 s of barrier per pass buys back far more.
+            if (qi + 1) % 12 == 0:
+                gc_barrier()
         gc_barrier()
 
     # the 18's only TRUE cold numbers come from the isolated loop (in

@@ -5,8 +5,9 @@ embeddings and produce a cleaned, deduplicated, quality-filtered corpus
 with stats — every stage a distributed operator from this package:
 
   1. language-ID + quality scoring (textops)
-  2. quality + repetition + bigram-LM perplexity TIER gates
-     (Gopher / CCNet head-middle-tail) + per-domain quota capping
+  2. quality + repetition + Gopher charter rules + bigram-LM
+     perplexity TIER gates (CCNet head-middle-tail) + per-domain
+     quota capping + DSIR importance annotation
   3. PII redaction (curation; narrow regexp chain)
   4. benchmark decontamination (curation; broadcast n-gram overlap)
   5. exact dedup (normalized-content fingerprints)
@@ -61,6 +62,20 @@ def main() -> None:
     )
     n_gated = gated.count()
 
+    # 2a'. Gopher charter rules (r8 wiring): the published row-level
+    # filters (word band, mean word length, symbol/bullet/ellipsis
+    # ratios, alpha-word ratio, stopword hits) — thresholds tuned to
+    # the corpus register; one map-only pass, applied before anything
+    # that shuffles
+    goph = textops.gopher_quality(
+        gated, "doc_id", "text",
+        min_words=10, max_words=100_000, min_mean_len=2.0,
+        max_mean_len=10.0, min_alpha_ratio=0.5, min_stop_hits=0,
+    )
+    gated = gated.join(
+        goph.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+    )
+
     # 2b. perplexity tiers: drop the 'tail' tier under the corpus's
     # own interpolated bigram LM (the CCNet head/middle/tail filter —
     # exact-percentile cuts, fully deterministic, r7)
@@ -94,6 +109,19 @@ def main() -> None:
     )
     gated = gated.join(
         quota.filter(F.col("kept") == 1).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=True)
+
+    # 2d. DSIR importance annotation (r8 wiring): hashed-unigram
+    # log-likelihood ratio of the English subset vs the raw corpus —
+    # the model-free signal for skewing the crawl toward a quality
+    # reference; kept as a column so the mixture stage could weight by
+    # it, and reported per language at the end
+    dsir = curation.importance_weights(
+        gated, "doc_id", "text", F.col("pred_lang") == "en",
+        num_buckets=256,
+    )
+    gated = gated.join(
+        dsir.select("doc_id", "log_weight"), "doc_id"
     ).localCheckpoint(eager=True)
 
     # 3. PII redaction: downstream stages consume the scrubbed text
@@ -196,6 +224,20 @@ def main() -> None:
     )
     n_emb_dups = emb_pairs.count()
 
+    # 7b. embedding-space balance audit (r8): one exact-arithmetic
+    # k-means statistics round against fixed probe centroids — the
+    # cluster occupancy report (how concentrated is the corpus in
+    # embedding space) at k·dim driver cost
+    probe_cents = [
+        [1.0 if d == (c * 7) % 64 else 0.0 for d in range(64)]
+        for c in range(8)
+    ]
+    km = similarity.kmeans_update_stats(emb, "embedding", probe_cents)
+    cluster_sizes = {
+        r["cluster"]: r["n_members"]
+        for r in km.filter(F.col("dim") == 0).collect()
+    }
+
     # 8. mixture sampling: rebalance toward an even language mix
     # (deterministic — rerunning with the same salt reproduces the draw)
     props = {lang: 1.0 for (lang,) in corpus.select("pred_lang").distinct().collect()}
@@ -239,6 +281,13 @@ def main() -> None:
     # (exactly equal to sequential) — the tokenizer artifact ships
     # WITH the dataset it was trained on
     bpe_merges = textops.bpe_train(corpus, "text", n_merges=6, batch_merges=3)
+
+    # 9a'. bill the corpus in TRAINED-vocabulary tokens (r8): encode
+    # the distinct-word table once through the learned merges and join
+    # lengths back per doc — the token count sequence packing and
+    # budget planning actually consume
+    billed = textops.bpe_encode(corpus, "doc_id", "text", bpe_merges)
+    bpe_tokens = billed.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"]
 
     # 9b. vocabulary heavy hitters off a count-min sketch (fixed-size
     # summary — the corpus-stats report a 100 TB run can afford)
@@ -285,6 +334,12 @@ def main() -> None:
 
     langs = {r["pred_lang"]: r["cnt"] for r in corpus.groupBy("pred_lang").agg(
         F.count(F.lit(1)).alias("cnt")).collect()}
+    dsir_by_lang = {
+        r["pred_lang"]: r["w"]
+        for r in corpus.groupBy("pred_lang")
+        .agg(F.round(F.avg("log_weight"), 3).alias("w"))
+        .collect()
+    }
     print(f"input docs:            {n0}")
     print(f"after quality gates:   {n_gated}")
     print(f"after decontamination: {n_decontam}")
@@ -293,10 +348,13 @@ def main() -> None:
     print(f"bloom already-shipped: {n_screened} (incl. measured FPs)")
     print(f"after mixture sample:  {n_mixed}")
     print(f"corpus tokens:         {stats['tokens']} ({stats['subwords']} subwords)")
+    print(f"BPE-billed tokens:     {bpe_tokens} (trained vocab)")
+    print(f"embedding clusters:    {cluster_sizes}")
     print(f"winsorized lengths:    mean {stats['mean_tokens_wins']} ({n_clipped} clipped)")
     print(f"packed sequences/lang: max {n_seqs} @512 tokens")
     print(f"RAG chunks (64/16):    {n_chunks}")
     print(f"by language:           {langs}")
+    print(f"DSIR weight by lang:   {dsir_by_lang}")
     print(f"top vocab (CMS est):   {top_vocab}")
     print(f"vocab overlap (KMV):   {vocab_overlap}")
     print(f"BPE merges:            {[(x, y) for _, x, y, _ in bpe_merges]}")

@@ -370,3 +370,40 @@ def test_paragraph_dedup_no_join_no_single_partition(spark):
     plan = _plan(out)
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_gopher_quality_map_only_no_exchange(spark):
+    """t26: the Gopher charter filter must be a pure map pass — no
+    shuffle, whole-stage codegen over the scan."""
+    df = entrymod.q_t26_gopher_rules(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+
+
+def test_importance_weights_broadcast_bucket_tables(spark):
+    """u8: the ≤256-row bucket-weight table must broadcast back onto
+    the doc-side aggregate — never shuffle the corpus against it."""
+    df = entrymod.q_u8_importance_weights(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_stats_single_aggregate_no_join(spark):
+    """v15: assignment is broadcast-literal (no join at all); the only
+    exchange is the (cluster, dim) aggregate's hash partitioning —
+    map-side combined, k·dim cells."""
+    df = entrymod.q_v15_kmeans_stats(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_ranking_eval_windows_on_k_row_frames_only(spark):
+    """v14: the rank/cumsum windows run on ≤k-row frames AFTER the
+    TakeOrderedAndProject top-k cuts — constant-size eval regardless
+    of corpus size (the single-partition window is over 10 rows)."""
+    df = entrymod.q_v14_rank_metrics(spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
