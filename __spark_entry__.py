@@ -4963,6 +4963,27 @@ def q_v15_kmeans_stats(spark, sf_dir):
     )
 
 
+def q_t28_multi_substring(spark, sf_dir):
+    """Multi-needle exact substring search (r8): four benchmark
+    phrases screened against the corpus through ONE shared trigram
+    index (textops.substring_search_multi) — the real decontamination
+    deployment, where the benchmark suite is hundreds of needles and
+    the corpus must not be rescanned per needle. A 2-char needle
+    exercises the documented full-scan fallback. The oracle takes the
+    per-needle full-scan position() route — equality proves the
+    shared-index prefilter admits no misses for ANY needle."""
+    from healthcare_api_spark.operators import textops
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.substring_search_multi(
+        docs,
+        "doc_id",
+        "text",
+        ["batch stream", "spark window", "join order", "zz"],
+    )
+
+
 # ----------------------------------------------------------------- export --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5018,6 +5039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u8_importance_weights": q_u8_importance_weights,
         "t27_bpe_encode": q_t27_bpe_encode,
         "v15_kmeans_stats": q_v15_kmeans_stats,
+        "t28_multi_substring": q_t28_multi_substring,
         # --- r7 second-wave additions (driver-hash-green in
         # CORRECTNESS_r07) ---
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
@@ -7351,6 +7373,14 @@ def oracle_sql() -> dict[str, str]:
     # r8: t27 — BPE encode: the t23 training CTEs' final word table
     # joined back onto per-doc word frequencies (textops.bpe_encode_sql)
     out["t27_bpe_encode"] = textops.bpe_encode_sql(8, _TOKS_SQL)
+    # r8: t28 — multi-needle substring search: the oracle is the
+    # per-needle FULL-SCAN position() route, one UNION ALL arm per
+    # needle (incl. the short-needle fallback arm)
+    out["t28_multi_substring"] = " UNION ALL ".join(
+        f"SELECT '{n}' AS needle, doc_id FROM documents"
+        f" WHERE position('{n}' IN text) > 0"
+        for n in ("batch stream", "spark window", "join order", "zz")
+    )
     # r8: v15 — k-means sufficient statistics: the d14 assignment CTEs
     # (same artifact, same tier rule, no dup union) + per-(cluster,dim)
     # scaled-integer sums and ONE integer division for the mean

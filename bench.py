@@ -177,6 +177,7 @@ HEADLINE = [
     # the exact-integer k-means sufficient-statistics round
     "t27_bpe_encode",
     "v15_kmeans_stats",
+    "t28_multi_substring",
 ]
 
 N_STEADY = 3

@@ -161,6 +161,58 @@ def _cmd_profile(args) -> int:
     return 0
 
 
+def _cmd_quality(args) -> int:
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators import textops
+    from healthcare_api_spark.sources.ndjson import write_ndjson
+
+    spark = get_spark("cli-quality")
+    df = spark.read.parquet(args.parquet)
+    idc, txt = args.id_col, args.text_col
+    if args.mode == "gopher":
+        out = textops.gopher_quality(df, idc, txt)
+        if not args.keep_all:
+            out = out.filter(F.col("keep") == 1)
+    elif args.mode == "score":
+        out = textops.quality_score(df, idc, txt)
+    elif args.mode == "tiers":
+        out = textops.perplexity_buckets(df, idc, txt)
+        if not args.keep_all:
+            out = out.filter(F.col("tier") != "tail")
+    else:  # pragma: no cover - argparse choices guard
+        raise AssertionError(args.mode)
+    if args.output:
+        write_ndjson(out, args.output)
+        print(f"wrote {args.output}")
+    else:
+        print(out.count())
+    return 0
+
+
+def _cmd_contains(args) -> int:
+    from healthcare_api_spark.operators import textops
+    from healthcare_api_spark.sources.ndjson import write_ndjson
+
+    spark = get_spark("cli-contains")
+    df = spark.read.parquet(args.parquet)
+    needles = [n for n in (args.needles or "").split(args.sep) if n]
+    if args.needles_file:
+        with open(args.needles_file) as fh:
+            needles += [ln.rstrip("\n") for ln in fh if ln.strip()]
+    out = textops.substring_search_multi(
+        df, args.id_col, args.text_col, needles
+    )
+    if args.output:
+        write_ndjson(out, args.output)
+        print(f"wrote {args.output}")
+    else:
+        for r in out.orderBy("needle", args.id_col).limit(args.limit).collect():
+            print(f"{r['needle']}\t{r[args.id_col]}")
+        print(out.count())
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="healthcare_api_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -230,6 +282,37 @@ def main(argv: list[str] | None = None) -> int:
     )
     dd.add_argument("--output", default=None, help="NDJSON output dir (else count)")
     dd.set_defaults(fn=_cmd_dedup)
+
+    q = sub.add_parser(
+        "quality",
+        help="row-level quality: gopher (charter rules), score "
+        "(composite 0-1), tiers (CCNet perplexity head/middle/tail)",
+    )
+    q.add_argument("--parquet", required=True)
+    q.add_argument("--id-col", default="doc_id")
+    q.add_argument("--text-col", default="text")
+    q.add_argument("--mode", choices=["gopher", "score", "tiers"], default="gopher")
+    q.add_argument(
+        "--keep-all", action="store_true",
+        help="emit every row with its features/tier instead of survivors",
+    )
+    q.add_argument("--output", default=None, help="NDJSON output dir (else count)")
+    q.set_defaults(fn=_cmd_quality)
+
+    ct = sub.add_parser(
+        "contains",
+        help="exact multi-needle substring screen through one shared "
+        "trigram index (decontamination: which docs contain which needle)",
+    )
+    ct.add_argument("--parquet", required=True)
+    ct.add_argument("--id-col", default="doc_id")
+    ct.add_argument("--text-col", default="text")
+    ct.add_argument("--needles", default=None, help="separator-joined needles")
+    ct.add_argument("--needles-file", default=None, help="one needle per line")
+    ct.add_argument("--sep", default=",", help="separator for --needles")
+    ct.add_argument("--limit", type=int, default=20)
+    ct.add_argument("--output", default=None, help="NDJSON output dir (else print)")
+    ct.set_defaults(fn=_cmd_contains)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -176,3 +176,38 @@ def test_ivf_assign_arrow_kernel_bit_identical(spark):
     df = ivf_assign(emb, "embedding", cents)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
+
+
+def test_cli_quality_modes(capsys):
+    from healthcare_api_spark.cli import main
+
+    rc = main([
+        "quality", "--parquet", "/root/testdata/sf0.001/documents.parquet",
+        "--mode", "score",
+    ])
+    assert rc == 0
+    n = int(capsys.readouterr().out.strip().splitlines()[-1])
+    assert n == 500  # score mode annotates every row
+
+    rc = main([
+        "quality", "--parquet", "/root/testdata/sf0.001/documents.parquet",
+        "--mode", "tiers",
+    ])
+    assert rc == 0
+    n_kept = int(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < n_kept < 500  # tail tier dropped
+
+
+def test_cli_contains_needles(tmp_path, capsys):
+    from healthcare_api_spark.cli import main
+
+    nf = tmp_path / "needles.txt"
+    nf.write_text("batch stream\nzz\n")
+    rc = main([
+        "contains", "--parquet", "/root/testdata/sf0.001/documents.parquet",
+        "--needles-file", str(nf), "--limit", "3",
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert int(lines[-1]) > 0  # total matches
+    assert all("\t" in ln for ln in lines[:-1])

@@ -1257,3 +1257,62 @@ def test_kmeans_update_stats_iterates_toward_centroids(spark):
     ]
     assert abs(nxt[0][0] - 10.1) < 1e-6 and abs(nxt[0][1]) < 1e-9
     assert abs(nxt[1][1] - 5.1) < 1e-6 and abs(nxt[1][0]) < 1e-9
+
+
+def test_substring_search_multi_vs_single_and_fallback(spark):
+    """Multi-needle result == union of single-needle results; short
+    needles route through the full-scan fallback; validation."""
+    from healthcare_api_spark.operators.textops import (
+        substring_search,
+        substring_search_multi,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "quick silver fox den"),
+            (2, "nothing relevant here zz"),
+        ],
+        ["doc_id", "text"],
+    )
+    needles = ["quick", "fox den", "zz"]
+    got = {
+        (r["needle"], r["doc_id"])
+        for r in substring_search_multi(df, "doc_id", "text", needles).collect()
+    }
+    want = set()
+    for n in needles:
+        for r in substring_search(df, "doc_id", "text", n).collect():
+            want.add((n, r["doc_id"]))
+    assert got == want
+    assert ("quick", 0) in got and ("quick", 1) in got
+    assert ("fox den", 1) in got and ("zz", 2) in got
+    assert not any(n == "fox den" and d == 0 for n, d in got)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        substring_search_multi(df, "doc_id", "text", [])
+    with pytest.raises(ValueError):
+        substring_search_multi(df, "doc_id", "text", ["ok", ""])
+
+
+def test_substring_search_multi_shared_prebuilt_index(spark):
+    """A prebuilt index is reused across all needles (no rebuild)."""
+    from healthcare_api_spark.operators.textops import (
+        char_trigram_index,
+        substring_search_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    idx = char_trigram_index(df, "doc_id", "text")
+    got = {
+        (r["needle"], r["doc_id"])
+        for r in substring_search_multi(
+            df, "doc_id", "text", ["beta gamma", "delta"], index=idx
+        ).collect()
+    }
+    assert got == {("beta gamma", 0), ("beta gamma", 1), ("delta", 1)}
