@@ -4984,6 +4984,43 @@ def q_t28_multi_substring(spark, sf_dir):
     )
 
 
+def q_t29_char_entropy(spark, sf_dir):
+    """Character-distribution entropy (r8): per-doc Shannon bits over
+    exact integer char counts (textops.char_entropy) — the cheap
+    machine-noise screen (base64/hex blobs ride the uniform ceiling,
+    natural text ~4.2 bits, filler ~0) run beside the Gopher rules.
+    H = log2(n) − Σc·log2(c)/n: every log on a bit-identical integer,
+    one narrow explode + one map-side-combined aggregate."""
+    from healthcare_api_spark.operators import textops
+
+    _tune(spark)
+    return textops.char_entropy(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def q_d20_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (r8): corpus ∪ a PREFIX-SHIFTED
+    copy of every doc ('% ' prepended — the edit that breaks every
+    fixed-stride chunker), split at md5-masked content boundaries
+    (dedup.cdc_chunks, LBFS/FastCDC lineage) and deduped on chunk
+    hashes. Because boundaries are content-decided, the shifted
+    copy's chunks RE-SYNCHRONIZE after the first boundary and dedup
+    against the original despite the offset — the property the d19
+    fixed-window chunker cannot have. All boundary math is array
+    expressions; the only corpus-wide work is the md5(chunk)
+    first-occurrence window (the d19 shape)."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("% "), F.col("text")).alias("text"),
+        )
+    )
+    return dedup.cdc_chunks(dup, "doc_id", "text", window=16, mask_bits=5)
+
+
 # ----------------------------------------------------------------- export --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5040,6 +5077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t27_bpe_encode": q_t27_bpe_encode,
         "v15_kmeans_stats": q_v15_kmeans_stats,
         "t28_multi_substring": q_t28_multi_substring,
+        "t29_char_entropy": q_t29_char_entropy,
+        "d20_cdc_chunks": q_d20_cdc_chunks,
         # --- r7 second-wave additions (driver-hash-green in
         # CORRECTNESS_r07) ---
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
@@ -7380,6 +7419,46 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT '{n}' AS needle, doc_id FROM documents"
         f" WHERE position('{n}' IN text) > 0"
         for n in ("batch stream", "spark window", "join order", "zz")
+    )
+    # r8: t29 — char entropy: same substr explode, same
+    # exact-integer-log arithmetic, 6-dp round
+    out["t29_char_entropy"] = (
+        "WITH ch AS (SELECT doc_id, substr(text, i, 1) AS c"
+        "  FROM documents, LATERAL (SELECT"
+        "   unnest(generate_series(1, length(text))) AS i)),"
+        " cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n"
+        "  FROM ch GROUP BY 1, 2)"
+        " SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,"
+        "  CAST(count(*) AS INT) AS n_distinct_chars,"
+        "  round((ln(CAST(sum(n) AS DOUBLE))"
+        "   - sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))"
+        "    / CAST(sum(n) AS DOUBLE)) / ln(2.0), 6) AS entropy_bits"
+        " FROM cnt GROUP BY doc_id"
+    )
+    # r8: d20 — CDC chunking: same md5-masked boundary rule as list
+    # expressions, same first-occurrence window
+    out["d20_cdc_chunks"] = (
+        "WITH docs AS (SELECT doc_id, text FROM documents"
+        " UNION ALL SELECT doc_id + 100000, '% ' || text FROM documents),"
+        " d AS (SELECT doc_id, text, greatest(length(text), 1) AS n"
+        "  FROM docs),"
+        " b AS (SELECT doc_id, text, list_sort(list_distinct(list_append("
+        "  list_filter(generate_series(1, n), i -> i >= 16"
+        "   AND i <= length(text)"
+        "   AND ('0x' || substr(md5(substr(text, i - 15, 16)), 1, 8))"
+        "    ::BIGINT % 32 = 0), length(text)))) AS ends FROM d),"
+        " z AS (SELECT doc_id, text, ends,"
+        "  list_prepend(0, ends[1:len(ends) - 1]) AS starts FROM b),"
+        " ch AS (SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,"
+        "  CAST(starts[i] AS INT) AS start_pos,"
+        "  CAST(ends[i] - starts[i] AS INT) AS chunk_len,"
+        "  md5(substr(text, starts[i] + 1, ends[i] - starts[i]))"
+        "   AS chunk_md5"
+        "  FROM z, LATERAL (SELECT unnest(generate_series(1, len(ends)))"
+        "   AS i) WHERE ends[i] - starts[i] > 0)"
+        " SELECT doc_id, chunk_idx, start_pos, chunk_len, chunk_md5,"
+        "  CAST(row_number() OVER (PARTITION BY chunk_md5"
+        "   ORDER BY doc_id, chunk_idx) = 1 AS INT) AS keep FROM ch"
     )
     # r8: v15 — k-means sufficient statistics: the d14 assignment CTEs
     # (same artifact, same tier rule, no dup union) + per-(cluster,dim)

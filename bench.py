@@ -178,6 +178,8 @@ HEADLINE = [
     "t27_bpe_encode",
     "v15_kmeans_stats",
     "t28_multi_substring",
+    "t29_char_entropy",
+    "d20_cdc_chunks",
 ]
 
 N_STEADY = 3

@@ -1609,3 +1609,89 @@ def paragraph_dedup(
             ).alias("text_dedup"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 16,
+    mask_bits: int = 6,
+) -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC/LBFS idea, public:
+    Muthitacharoen et al. 2001): split each document at positions where
+    a hash of the TRAILING ``window`` characters has ``mask_bits``
+    trailing zero... i.e. ``h % 2^mask_bits == 0`` — so chunk
+    boundaries are decided by CONTENT, not offsets. Insert one
+    character into a doc and fixed-stride chunking (d19) shifts every
+    later chunk; CDC re-synchronizes at the next content boundary
+    (~2^mask_bits chars), which is what makes chunk-level dedup
+    robust to edits — the backup/dedup-storage trick applied to
+    corpus curation.
+
+    Engine-portable formulation: the boundary hash is md5 of the
+    window substring (first 8 hex digits as int) — each position is
+    INDEPENDENT, so the whole split is array expressions (sequence →
+    filter → slice/zip), no window functions, no UDFs, no recurrence.
+    Expected chunk length is 2^mask_bits characters; docs shorter than
+    ``window`` are one chunk. A production 100 TB variant swaps the
+    per-position md5 for an incremental gear hash inside mapInPandas
+    (same boundaries-by-content contract); the declarative form here
+    trades that CPU for bit-portability — the corpus-level work
+    (ONE md5(chunk)-keyed first-occurrence window, the d19 shape) is
+    identical in both.
+
+    Output: (id, chunk_idx, start_pos, chunk_len, chunk_md5, keep) —
+    keep = 1 on the corpus-wide FIRST occurrence of the chunk content
+    (by (id, chunk_idx) order), 0 on every later copy.
+    """
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if mask_bits < 1:
+        raise ValueError("mask_bits must be >= 1")
+    mask = 1 << mask_bits
+    t = text_col
+    ends = F.expr(
+        f"array_sort(array_distinct(concat(filter("
+        f" sequence(1, greatest(length({t}), 1)),"
+        f" i -> i >= {window} AND i <= length({t}) AND"
+        f"  conv(substring(md5(substring({t}, i - {window} + 1,"
+        f"   {window})), 1, 8), 16, 10) % {mask} == 0),"
+        f" array(length({t})))))"
+    )
+    with_bounds = df.select(
+        F.col(id_col), F.col(t), ends.alias("_ends")
+    ).withColumn(
+        "_starts",
+        F.concat(
+            F.array(F.lit(0)),
+            F.slice(F.col("_ends"), 1, F.size("_ends") - 1),
+        ),
+    )
+    chunks = (
+        with_bounds.select(
+            F.col(id_col),
+            F.col(t),
+            F.posexplode(
+                F.arrays_zip(
+                    F.col("_starts").alias("s"), F.col("_ends").alias("e")
+                )
+            ).alias("chunk_idx", "_z"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.col("_z.s").alias("start_pos"),
+            (F.col("_z.e") - F.col("_z.s")).alias("chunk_len"),
+            F.md5(
+                F.expr(f"substring({t}, _z.s + 1, _z.e - _z.s)")
+            ).alias("chunk_md5"),
+        )
+        .filter(F.col("chunk_len") > 0)
+    )
+    w = Window.partitionBy("chunk_md5").orderBy(id_col, "chunk_idx")
+    return chunks.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    )

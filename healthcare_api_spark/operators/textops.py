@@ -1529,3 +1529,56 @@ def substring_search_multi(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (bits) — the
+    cheap screen for machine-generated noise a curation pipeline runs
+    beside length/punctuation rules: base64/hex blobs and key dumps sit
+    near the uniform ceiling, natural language near ~4.2 bits, repeated
+    filler near 0. Computed as
+
+        H = log2(n) − (Σ c·log2(c)) / n
+
+    over exact integer character counts c (Σc = n), so every log2 runs
+    on a bit-identical integer in any engine and the only float
+    accumulation is the ≤|alphabet| per-doc term sum (the t17
+    precedent), rounded 6 dp. One narrow explode + one (id, char)
+    map-side-combined aggregate; nothing corpus-wide.
+
+    Output: (id, n_chars, n_distinct_chars, entropy_bits).
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col})),"
+                f" i -> substr({text_col}, i, 1))"
+            )
+        ).alias("_c"),
+    )
+    counts = chars.groupBy(id_col, "_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    ln2 = F.log(F.lit(2.0))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("int").alias("n_distinct_chars"),
+            F.sum(F.col("_n").cast("double") * F.log(F.col("_n").cast("double"))).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_chars",
+            "n_distinct_chars",
+            F.round(
+                (
+                    F.log(F.col("n_chars").cast("double"))
+                    - F.col("_s") / F.col("n_chars").cast("double")
+                )
+                / ln2,
+                6,
+            ).alias("entropy_bits"),
+        )
+    )

@@ -955,3 +955,56 @@ def test_paragraph_dedup_ragged_tail_and_validation(spark):
     assert out[2] == (1, 0)  # 'e' tail already seen as doc 1's chunk 2
     with pytest.raises(ValueError):
         paragraph_dedup(df, "doc_id", "text", chunk_tokens=0)
+
+
+def test_cdc_chunks_reassemble_and_resync(spark):
+    """Chunks reassemble to the original text in index order, and a
+    prefix-shifted copy re-synchronizes: most of its chunks dedup
+    against the original (the property fixed-stride chunking lacks)."""
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.dedup import cdc_chunks
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the spark engine chunks content at md5 mask boundaries "
+        "so edits only perturb one chunk not the whole tail of the doc "
+    ) * 4
+    df = spark.createDataFrame(
+        [(0, base), (1, "XY" + base)], ["doc_id", "text"]
+    )
+    out = cdc_chunks(df, "doc_id", "text", window=16, mask_bits=4)
+    rows = out.collect()
+    # reassembly: concat chunks of doc 0 in chunk_idx order == base
+    got = "".join(
+        base[r["start_pos"]: r["start_pos"] + r["chunk_len"]]
+        for r in sorted(
+            (r for r in rows if r["doc_id"] == 0),
+            key=lambda r: r["chunk_idx"],
+        )
+    )
+    assert got == base
+    # resync: the shifted doc shares most chunk hashes with doc 0
+    kept1 = [r for r in rows if r["doc_id"] == 1 and r["keep"] == 1]
+    all1 = [r for r in rows if r["doc_id"] == 1]
+    assert len(all1) >= 4
+    assert len(kept1) <= max(2, len(all1) // 2), (
+        f"shifted copy kept {len(kept1)}/{len(all1)} chunks — no resync"
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cdc_chunks(df, "doc_id", "text", window=0)
+    with pytest.raises(ValueError):
+        cdc_chunks(df, "doc_id", "text", mask_bits=0)
+
+
+def test_cdc_chunks_short_doc_single_chunk(spark):
+    """Docs shorter than the window are one whole-doc chunk."""
+    from healthcare_api_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame([(0, "tiny")], ["doc_id", "text"])
+    rows = cdc_chunks(df, "doc_id", "text", window=16).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_len"] == 4 and rows[0]["start_pos"] == 0

@@ -1316,3 +1316,23 @@ def test_substring_search_multi_shared_prebuilt_index(spark):
         ).collect()
     }
     assert got == {("beta gamma", 0), ("beta gamma", 1), ("delta", 1)}
+
+
+def test_char_entropy_reference_values(spark):
+    """Hand-checkable entropies: uniform 4-char alphabet → 2 bits,
+    single repeated char → 0, and parity with a python reference."""
+    import math
+    from collections import Counter
+
+    from healthcare_api_spark.operators.textops import char_entropy
+
+    texts = {0: "abcd" * 8, 1: "aaaaaaa", 2: "the quick brown fox"}
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in char_entropy(df, "doc_id", "text").collect()}
+    assert out[0]["entropy_bits"] == 2.0 and out[0]["n_distinct_chars"] == 4
+    assert out[1]["entropy_bits"] == 0.0
+    c = Counter(texts[2])
+    n = len(texts[2])
+    want = round(-sum(v / n * math.log2(v / n) for v in c.values()), 6)
+    assert abs(out[2]["entropy_bits"] - want) < 1e-6
+    assert out[2]["n_chars"] == n

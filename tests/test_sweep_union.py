@@ -205,7 +205,7 @@ def test_r8_changed_oracles_match_at_sf0001():
         "st8_streaming_bloom", "t25_substring_search",
         "st9_streaming_cms", "v14_rank_metrics", "t26_gopher_rules",
         "u8_importance_weights", "t27_bpe_encode", "v15_kmeans_stats",
-        "t28_multi_substring",
+        "t28_multi_substring", "t29_char_entropy", "d20_cdc_chunks",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
