@@ -5021,6 +5021,25 @@ def q_d20_cdc_chunks(spark, sf_dir):
     return dedup.cdc_chunks(dup, "doc_id", "text", window=16, mask_bits=5)
 
 
+def q_v16_ivfpq_topk(spark, sf_dir):
+    """IVFPQ composed and hash-exact (r8): coarse probe over the
+    frozen v3 centroid artifact prunes the scan to nprobe=3 of 8
+    clusters, then the survivors rank by the frozen v7 integer
+    codebooks' all-integer ADC distance
+    (similarity.ivfpq_adc_topk_int) — the faiss-IVFPQ deployment shape
+    (partition pruning × 64× code compression) with a bit-portable
+    ranking the float composition cannot give. The oracle composes the
+    v3 probe/assignment CTEs with the v7 ADC ranking over exactly the
+    probed candidates."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return similarity.ivfpq_adc_topk_int(
+        emb, "vec_id", "embedding", _V3_CENTROIDS, _V7_BOOKS, qvec,
+        k=10, nprobe=3, scale=_V7_SCALE,
+    )
+
+
 # ----------------------------------------------------------------- export --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5079,6 +5098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t28_multi_substring": q_t28_multi_substring,
         "t29_char_entropy": q_t29_char_entropy,
         "d20_cdc_chunks": q_d20_cdc_chunks,
+        "v16_ivfpq_topk": q_v16_ivfpq_topk,
         # --- r7 second-wave additions (driver-hash-green in
         # CORRECTNESS_r07) ---
         "m16_audio_vad_windows": q_m16_audio_vad_windows,
@@ -6852,6 +6872,8 @@ def oracle_sql() -> dict[str, str]:
     # r6: v3/v4 graduate — frozen centroid/basis artifacts + sequential
     # double dots (the v1 float-portability precedent)
     out["v3_ivf_topk"] = _v3_oracle()
+    # r8: v16 — IVFPQ composed: v3 probe CTEs × v7 integer ADC
+    out["v16_ivfpq_topk"] = _v16_oracle()
     # v12 probes a cell-PARTITIONED materialization of the same table
     # with the same frozen centroids/nprobe — identical semantics by
     # construction, so the v3 oracle verifies the pruned path too
@@ -7972,6 +7994,66 @@ def _v7_oracle() -> str:
         f" c AS (SELECT vec_id, {', '.join(p_cols)}, qv FROM d)"
         f" SELECT vec_id, CAST({score} AS BIGINT) AS adc_dist FROM c"
         f" ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"
+    )
+
+
+def _v16_oracle(nprobe: int = 3, k: int = 10) -> str:
+    """DuckDB twin of q_v16_ivfpq_topk: the v3 probe/assignment CTEs
+    (sequential double cosines over the frozen centroid literals, ties
+    → lowest cluster id) select the candidate vec_ids; the v7 integer
+    ADC ranking (same frozen codebooks, same round(x·1000) quantize,
+    same exact ‖q_sub − c‖² integers) runs over exactly those
+    candidates."""
+    cb = "[" + ",".join(_flist_sql(c) for c in _V3_CENTROIDS) + "]"
+    ncent = len(_V3_CENTROIDS)
+    dl = (
+        f"list_transform({cb}, c -> -(list_dot_product(e, c) /"
+        f" (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(c, c)))))"
+    )
+    m = len(_V7_BOOKS)
+    sub = len(_V7_BOOKS[0][0])
+    sq = "s -> (s[1]-s[2])*(s[1]-s[2])"
+    dl_cols, p_cols, terms = [], [], []
+    for j in range(m):
+        bj = (
+            "[" + ",".join("[" + ",".join(str(c) for c in cent) + "]"
+                           for cent in _V7_BOOKS[j]) + "]"
+        )
+        lo, hi = j * sub + 1, (j + 1) * sub
+        dl_cols.append(
+            f"list_transform({bj}, c -> list_sum(list_transform("
+            f"list_zip(ei[{lo}:{hi}], c), {sq}))) AS dl{j}"
+        )
+        p_cols.append(f"list_position(dl{j}, list_min(dl{j})) AS p{j}")
+        terms.append(
+            f"list_sum(list_transform(list_zip(qv[{lo}:{hi}], ({bj})[p{j}]), {sq}))"
+        )
+    score = " + ".join(terms)
+    return (
+        f"WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe"
+        f" FROM embeddings WHERE vec_id = 0),"
+        f" v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
+        f" FROM embeddings),"
+        f" pj AS (SELECT unnest(generate_series(0, {ncent - 1})) AS j),"
+        f" pc AS (SELECT j, -(list_dot_product(({cb})[j + 1], qe) /"
+        f"  (sqrt(list_dot_product(({cb})[j + 1], ({cb})[j + 1]))"
+        f"   * sqrt(list_dot_product(qe, qe)))) AS negcos FROM pj, q),"
+        f" probe AS (SELECT j FROM pc ORDER BY negcos ASC, j ASC LIMIT {nprobe}),"
+        f" a AS (SELECT vec_id, e, {dl} AS dl FROM v),"
+        f" c AS (SELECT vec_id, list_position(dl, list_min(dl)) - 1 AS cluster"
+        f"  FROM a),"
+        f" candidx AS (SELECT vec_id FROM c"
+        f"  WHERE cluster IN (SELECT j FROM probe)),"
+        f" qi AS (SELECT vec_id, list_transform(embedding,"
+        f"  x -> CAST(round(CAST(x AS DOUBLE) * {_V7_SCALE}) AS BIGINT)) AS ei"
+        f"  FROM embeddings WHERE vec_id IN (SELECT vec_id FROM candidx)),"
+        f" qq AS (SELECT list_transform(embedding,"
+        f"  x -> CAST(round(CAST(x AS DOUBLE) * {_V7_SCALE}) AS BIGINT)) AS qv"
+        f"  FROM embeddings WHERE vec_id = 0),"
+        f" d2 AS (SELECT vec_id, {', '.join(dl_cols)}, qv FROM qi, qq),"
+        f" c2 AS (SELECT vec_id, {', '.join(p_cols)}, qv FROM d2)"
+        f" SELECT vec_id, CAST({score} AS BIGINT) AS adc_dist FROM c2"
+        f" ORDER BY adc_dist ASC, vec_id ASC LIMIT {k}"
     )
 
 

@@ -180,6 +180,7 @@ HEADLINE = [
     "t28_multi_substring",
     "t29_char_entropy",
     "d20_cdc_chunks",
+    "v16_ivfpq_topk",
 ]
 
 N_STEADY = 3

@@ -1324,3 +1324,53 @@ def kmeans_update_stats(
             ).alias("mean_scaled"),
         )
     )
+
+
+def ivfpq_adc_topk_int(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    int_codebooks,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVFPQ with the HASH-EXACT integer ADC ranker — the two scale
+    levers composed and still bit-portable: the coarse probe prunes the
+    scan to ``nprobe`` clusters (partition pruning when the table is
+    stored cluster-partitioned — the v12 layout), and the survivors are
+    ranked by :func:`pq_adc_topk_int`'s all-integer asymmetric distance
+    (quantize → per-subspace argmin → exact integer ‖q_sub − c‖²), so
+    unlike the float :func:`ivfpq_topk` the full pruned ranking is
+    reproducible by a SQL oracle. Probe selection uses the same
+    sequential double cosines as ``ivf_topk`` (engine-reproducible,
+    ties → lowest cluster id)."""
+    import math
+
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+
+    def _seqdot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(_seqdot(q, q))
+
+    def negcos(c):
+        denom = (math.sqrt(_seqdot(c, c)) * qn) or 1.0
+        return -(_seqdot(c, q) / denom)
+
+    probe = sorted(
+        range(len(centroids)), key=lambda i: (negcos(centroids[i]), i)
+    )[:nprobe]
+    cands = ivf_assign(df, vec_col, centroids, method="expr").filter(
+        F.col("cluster").isin(probe)
+    ).drop("cluster")
+    return pq_adc_topk_int(
+        cands, id_col, vec_col, int_codebooks, query_vec, k=k, scale=scale
+    )

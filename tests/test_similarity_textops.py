@@ -1336,3 +1336,78 @@ def test_char_entropy_reference_values(spark):
     want = round(-sum(v / n * math.log2(v / n) for v in c.values()), 6)
     assert abs(out[2]["entropy_bits"] - want) < 1e-6
     assert out[2]["n_chars"] == n
+
+
+def test_ivfpq_adc_int_probe_prunes_and_ranks(spark):
+    """The pruned integer-ADC ranking equals the unpruned pq_adc
+    ranking restricted to the probed clusters, and nprobe=k_coarse
+    recovers the full ADC ranking; validation."""
+    from healthcare_api_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_adc_topk_int,
+        pq_adc_topk_int,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) / 5.0 for d in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [rows[0][1], rows[13][1], rows[27][1]]
+    books = [
+        [[(c * 5 + d) % 7 - 3 for d in range(4)] for c in range(8)]
+        for _ in range(2)
+    ]
+    q = rows[5][1]
+    full = pq_adc_topk_int(df, "vec_id", "embedding", books, q, k=40, scale=100)
+    pruned = ivfpq_adc_topk_int(
+        df, "vec_id", "embedding", cents, books, q,
+        k=10, nprobe=1, scale=100,
+    )
+    got = [(r["vec_id"], r["adc_dist"]) for r in pruned.collect()]
+    # reference: restrict the full ranking to cluster-0-probe members
+    from pyspark.sql import functions as F
+    assigned = ivf_assign(df, "embedding", cents, method="expr")
+    # probe cluster for q is its own nearest centroid
+    import math
+
+    def seqdot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    probe = min(
+        range(len(cents)),
+        key=lambda i: (
+            -(seqdot(cents[i], q)
+              / (math.sqrt(seqdot(cents[i], cents[i])) * math.sqrt(seqdot(q, q)))),
+            i,
+        ),
+    )
+    members = {
+        r["vec_id"]
+        for r in assigned.filter(F.col("cluster") == probe).collect()
+    }
+    want = [
+        (r["vec_id"], r["adc_dist"])
+        for r in full.collect()
+        if r["vec_id"] in members
+    ][:10]
+    assert got == want
+    assert all(v in members for v, _ in got)
+
+    # nprobe = all clusters → identical to the unpruned top-10
+    all_probe = ivfpq_adc_topk_int(
+        df, "vec_id", "embedding", cents, books, q, k=10, nprobe=3, scale=100
+    )
+    assert [(r["vec_id"], r["adc_dist"]) for r in all_probe.collect()] == [
+        (r["vec_id"], r["adc_dist"]) for r in full.collect()
+    ][:10]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ivfpq_adc_topk_int(
+            df, "vec_id", "embedding", cents, books, q, nprobe=0
+        )

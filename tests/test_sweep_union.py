@@ -206,6 +206,7 @@ def test_r8_changed_oracles_match_at_sf0001():
         "st9_streaming_cms", "v14_rank_metrics", "t26_gopher_rules",
         "u8_importance_weights", "t27_bpe_encode", "v15_kmeans_stats",
         "t28_multi_substring", "t29_char_entropy", "d20_cdc_chunks",
+        "v16_ivfpq_topk",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
