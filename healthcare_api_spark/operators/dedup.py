@@ -1653,22 +1653,51 @@ def cdc_chunks(
         raise ValueError("mask_bits must be >= 1")
     mask = 1 << mask_bits
     t = text_col
-    ends = F.expr(
-        f"array_sort(array_distinct(concat(filter("
-        f" sequence(1, greatest(length({t}), 1)),"
-        f" i -> i >= {window} AND i <= length({t}) AND"
-        f"  conv(substring(md5(substring({t}, i - {window} + 1,"
-        f"   {window})), 1, 8), 16, 10) % {mask} == 0),"
-        f" array(length({t})))))"
-    )
-    with_bounds = df.select(
-        F.col(id_col), F.col(t), ends.alias("_ends")
-    ).withColumn(
-        "_starts",
-        F.concat(
-            F.array(F.lit(0)),
-            F.slice(F.col("_ends"), 1, F.size("_ends") - 1),
-        ),
+    # Boundary detection runs md5 as a PLAIN column expression over
+    # exploded positions, NOT inside an array-lambda: higher-order
+    # lambdas evaluate interpreted (outside whole-stage codegen), and
+    # an interpreted md5 per character position costs ~10 µs — 29 s at
+    # sf0.1 measured. Exploding first keeps the hash in codegen
+    # (<1 s same data); the price is ONE id-keyed re-aggregation of
+    # boundary ints — a shuffle of (id, int) pairs, never text.
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"sequence({window}, greatest(length({t}), {window}))")
+        ).alias("_junk", "_i"),
+        F.col(t).alias("_txt"),
+    ).filter(F.col("_i") <= F.length("_txt"))
+    hits = pos.filter(
+        F.conv(
+            F.substring(
+                F.md5(F.expr(f"substring(_txt, _i - {window} + 1, {window})")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % mask
+        == 0
+    ).groupBy(id_col).agg(F.sort_array(F.collect_set("_i")).alias("_bnds"))
+    with_bounds = (
+        df.select(F.col(id_col), F.col(t))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(t),
+            F.expr(
+                f"array_sort(array_distinct(concat("
+                f" coalesce(_bnds, array()), array(length({t})))))"
+            ).alias("_ends"),
+        )
+        .withColumn(
+            "_starts",
+            F.concat(
+                F.array(F.lit(0)),
+                F.slice(F.col("_ends"), 1, F.size("_ends") - 1),
+            ),
+        )
     )
     chunks = (
         with_bounds.select(

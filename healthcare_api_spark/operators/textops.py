@@ -1188,15 +1188,25 @@ def char_trigram_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ≤ |chars| rows before distinct and is the thing you'd bucket by
     gram on disk at 100 TB.
     """
-    t = F.col(text_col)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))),
-            lambda i: F.substring(t, i, 3),
+    # positions exploded first, the gram substring as a plain codegen
+    # expression (an interpreted substr-in-lambda per position was the
+    # d20 lesson); per-doc gram dedup becomes a distinct() — an
+    # (id, gram) shuffle the one-time index build pays instead of
+    # interpreted CPU on every row, and the 100 TB build writes the
+    # index gram-bucketed right after this anyway
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"sequence(1, greatest(length({text_col}) - 2, 1))"
+                )
+            ).alias("_p", "_i"),
+            F.col(text_col).alias("_txt"),
         )
-    )
-    return df.select(F.col(id_col), F.explode(grams).alias("gram")).filter(
-        F.length("gram") == 3
+        .filter(F.col("_i") <= F.length("_txt") - 2)
+        .select(F.col(id_col), F.expr("substring(_txt, _i, 3)").alias("gram"))
+        .distinct()
     )
 
 
@@ -1548,14 +1558,17 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Output: (id, n_chars, n_distinct_chars, entropy_bits).
     """
+    # positions exploded FIRST, substr as a plain (codegen) column
+    # expression — a substr inside an array-lambda evaluates
+    # interpreted per character (the d20 lesson)
     chars = df.select(
         F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length({text_col})),"
-                f" i -> substr({text_col}, i, 1))"
-            )
-        ).alias("_c"),
+        F.posexplode(
+            F.expr(f"sequence(1, greatest(length({text_col}), 1))")
+        ).alias("_p", "_i"),
+        F.col(text_col).alias("_txt"),
+    ).filter(F.col("_i") <= F.length("_txt")).select(
+        F.col(id_col), F.expr("substring(_txt, _i, 1)").alias("_c")
     )
     counts = chars.groupBy(id_col, "_c").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n")
