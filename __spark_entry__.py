@@ -5040,6 +5040,108 @@ def q_v16_ivfpq_topk(spark, sf_dir):
     )
 
 
+def q_t30_hashed_classifier(spark, sf_dir):
+    """Hashing-trick linear text classifier (r8 wave 7): the
+    fastText-style scorer (Weinberger 2009 sign-hashed features,
+    Joulin 2016 mean-pooled linear head) every curation pipeline runs
+    over the full crawl, with integer-quantized weights so the
+    admission bit can never flip on an ulp (the cents-quantization
+    pattern from the start): score_num is an exact int64 Σ stf·w,
+    the logit is ONE double division of exact integers, and keep is
+    decided on the integer sign. The weight table is the
+    md5-derived deterministic stand-in (hashed_feature_weights) so the
+    oracle rebuilds the whole artifact — scoring plumbing identical to
+    a trained table shipped to the same schema. One explode, one
+    map-side-combined (doc, bucket) agg, one ≤256-row broadcast join,
+    one (doc) agg."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = textops.hashed_feature_weights(spark, dim=256, scale=1_000_000)
+    return textops.hashed_classifier_score(
+        docs, "doc_id", "text", w, dim=256, scale=1_000_000
+    )
+
+
+def q_st10_streaming_hll(spark, sf_dir):
+    """Streaming HLL maintenance (r8 wave 7): the events stream
+    arrives as TWO micro-batches (user-parity split); each batch is
+    sketched independently (hll_build — groupBy (group, reg) max(rho)
+    over batch rows only) and hll_merge register-wise-maxes it into
+    the bucketed versioned state (streaming/sketches.streaming_hll).
+    Register max is associative, commutative AND idempotent, so the
+    final state must be ROW-FOR-ROW IDENTICAL to one batch build over
+    the whole corpus — this REAL 2-batch streaming run therefore emits
+    EXACTLY the k8 output (register checksum included) and the k8
+    oracle verifies it VERBATIM (the st5-st9 contract: streaming
+    machinery equals batch semantics). This completes the mergeable-
+    sketch maintenance matrix: KMV (bottom-k), Bloom (bit-OR), CMS
+    (cell-sum), HLL (register-max) over the same crash-safe store."""
+    import shutil
+    import tempfile
+
+    from healthcare_api_spark.operators import sketches
+    from healthcare_api_spark.streaming.sketches import (
+        read_hll_state,
+        streaming_hll,
+    )
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    root = tempfile.mkdtemp(prefix="st10_")
+    src, state, ckpt = f"{root}/src", f"{root}/state", f"{root}/ckpt"
+    try:
+        ev.filter(F.col("user_id") % 2 == 0).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "event_type string, user_id long"
+        ).parquet(src)
+        q = streaming_hll(
+            stream, state, ["event_type"], "user_id", p=9, checkpoint=ckpt
+        )
+        q.processAllAvailable()
+        ev.filter(F.col("user_id") % 2 == 1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+        regs = read_hll_state(spark, state, ["event_type"]).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return sketches.hll_distinct(regs, ["event_type"], p=9)
+
+
+def q_v17_filtered_ann(spark, sf_dir):
+    """FILTERED vector search over the pruned layout (r8 wave 7): the
+    "top-k nearest among rows WHERE label IN (2,5)" query every
+    production vector store serves, as pre-filter semantics — the
+    predicate restricts candidates BEFORE the top-k, so the answer is
+    the true top-k of the filtered set. On the v12 cell-partitioned
+    materialization the cluster probe prunes DIRECTORIES and the label
+    predicate pushes into the parquet reader of the survivors —
+    PartitionFilters and PushedFilters in the SAME scan node (pinned
+    by test_plans) — so the probe reads the probed cells' bytes and
+    row-group-skips inside them. The oracle is the v3 probe CTEs with
+    the same label predicate on the candidate set."""
+    import shutil
+    import tempfile
+
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    root = tempfile.mkdtemp(prefix="v17_")
+    try:
+        similarity.write_ivf_partitioned(
+            emb, f"{root}/ivf", "embedding", _V3_CENTROIDS
+        )
+        out = similarity.ivf_topk_pruned(
+            spark, f"{root}/ivf", "vec_id", "embedding",
+            _V3_CENTROIDS, qvec, k=10, nprobe=3,
+            where=F.col("label").isin(2, 5),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # ----------------------------------------------------------------- export --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5064,6 +5166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_sketch_distinct": q_k1_sketch_distinct,
         "k2_sketch_quantiles": q_k2_sketch_quantiles,
         "t12_compression_ratio": q_t12_compression_ratio,
+        # --- r8 wave 7 (new — need first driver hashes) ---
+        "t30_hashed_classifier": q_t30_hashed_classifier,
+        "st10_streaming_hll": q_st10_streaming_hll,
+        "v17_filtered_ann": q_v17_filtered_ann,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -6879,6 +6985,11 @@ def oracle_sql() -> dict[str, str]:
     # construction, so the v3 oracle verifies the pruned path too
     # (pruning must change the IO, not the answer)
     out["v12_ivf_pruned"] = _v3_oracle()
+    # r8 wave 7: v17 probes the SAME partitioned layout with a label
+    # pre-filter — the v3 CTEs with the predicate on the row side;
+    # equality proves the filter composed with pruning changed the IO,
+    # not the semantics
+    out["v17_filtered_ann"] = _v3_oracle(row_filter="label IN (2, 5)")
     out["v4_pca_project"] = _v4_oracle()
     # r6: v2 graduates — the RandomState(42) hyperplanes are a fixed
     # artifact (regenerated at build time, inlined as literals) and the
@@ -7431,6 +7542,43 @@ def oracle_sql() -> dict[str, str]:
         "  round(sum(tf * w), 6) AS log_weight"
         " FROM dtf JOIN w USING (b) GROUP BY doc_id"
     )
+    # r8 wave 7: t30 — hashing-trick classifier: weight table, bucket
+    # and sign hash all rebuilt from md5; score_num/keep exact int64,
+    # the logit one division of exact integers (the engine's float
+    # discipline mirrored clause for clause)
+    out["t30_hashed_classifier"] = (
+        f"WITH w AS (SELECT CAST(i AS INT) AS bucket,"
+        f"  CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT)"
+        f"   % 2000001 - 1000000 AS w_scaled"
+        f"  FROM (SELECT unnest(generate_series(0, 255)) AS i)),"
+        f" toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok"
+        f"  FROM documents),"
+        f" h AS (SELECT doc_id,"
+        f"  CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256"
+        f"   AS INT) AS bucket,"
+        f"  1 - 2 * CAST(CAST('0x' || substr(md5(tok), 9, 1) AS BIGINT) % 2"
+        f"   AS INT) AS sgn FROM toks),"
+        f" g AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS stf,"
+        f"  CAST(count(*) AS BIGINT) AS tf FROM h GROUP BY 1, 2),"
+        f" s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,"
+        f"  CAST(sum(stf * w_scaled) AS BIGINT) AS num"
+        f"  FROM g JOIN w USING (bucket) GROUP BY 1),"
+        # 6-dp logit rounded in EXACT integer arithmetic (half away
+        # from zero on the true rational) — the rational hits exact
+        # decimal ties where double-round tie rules disagree
+        f" p AS (SELECT doc_id, n_tokens, num,"
+        f"  CASE WHEN num >= 0 THEN"
+        f"   (2 * num * 1000000 + n_tokens * 1000000)"
+        f"    // (2 * n_tokens * 1000000)"
+        f"  ELSE -((2 * -num * 1000000 + n_tokens * 1000000)"
+        f"    // (2 * n_tokens * 1000000)) END AS ppm FROM s)"
+        f" SELECT doc_id, n_tokens,"
+        f"  CAST(ppm AS DOUBLE) / 1000000.0 AS logit,"
+        f"  round(1.0 / (1.0 + exp(-(CAST(num AS DOUBLE)"
+        f"   / CAST(n_tokens * 1000000 AS DOUBLE)))), 6) AS prob,"
+        f"  CAST(CASE WHEN num >= 0 THEN 1 ELSE 0 END AS INT) AS keep"
+        f" FROM p"
+    )
     # r8: t27 — BPE encode: the t23 training CTEs' final word table
     # joined back onto per-doc word frequencies (textops.bpe_encode_sql)
     out["t27_bpe_encode"] = textops.bpe_encode_sql(8, _TOKS_SQL)
@@ -7647,6 +7795,12 @@ def oracle_sql() -> dict[str, str]:
         f"   ELSE e_raw END, 4) AS est_distinct"
         f" FROM e"
     )
+    # r8 wave 7: st10 — streaming HLL maintenance. Register max is
+    # associative/commutative/idempotent, so the 2-batch streaming
+    # state must be row-for-row identical to one batch build and the
+    # k8 oracle (checksum included) verifies it verbatim — the
+    # st5-st9 streaming-equals-batch contract
+    out["st10_streaming_hll"] = out["k8_hll_distinct"]
     # r7: v10 — prefix-dot coarse top-100 then exact cosine rerank;
     # both stages rank 6-dp-rounded scores (id tiebreak), mirrored
     out["v10_prefix_rerank"] = (
@@ -7835,15 +7989,18 @@ def _flist_sql(xs) -> str:
     return "[" + ",".join(repr(float(x)) for x in xs) + "]"
 
 
-def _v3_oracle(nprobe: int = 3, k: int = 10) -> str:
+def _v3_oracle(nprobe: int = 3, k: int = 10, row_filter: str | None = None) -> str:
     """DuckDB twin of q_v3_ivf_topk: the frozen _V3_CENTROIDS as
     full-precision literals; probe selection and cluster assignment
     both rank by -cosine with sequential double dots (list_dot_product
     ≡ Spark's zip_with+aggregate ≡ ivf_topk's Python loop), ties →
     lowest cluster id; exact cosine top-k inside the probed clusters
-    (the v1 oracle shape)."""
+    (the v1 oracle shape). ``row_filter`` (v17) restricts the ROW side
+    before probing — filtered-search pre-filter semantics; the probe
+    cells stay query-decided, exactly like the engine path."""
     cb = "[" + ",".join(_flist_sql(c) for c in _V3_CENTROIDS) + "]"
     ncent = len(_V3_CENTROIDS)
+    where = f" WHERE {row_filter}" if row_filter else ""
     # per-row negcos list over the centroid literal: Spark's ivf_assign
     # computes dot(e,c) / (norm(e) * norm(c))
     dl = (
@@ -7854,7 +8011,7 @@ def _v3_oracle(nprobe: int = 3, k: int = 10) -> str:
         f"WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe"
         f" FROM embeddings WHERE vec_id = 0),"
         f" v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
-        f" FROM embeddings),"
+        f" FROM embeddings{where}),"
         f" pj AS (SELECT unnest(generate_series(0, {ncent - 1})) AS j),"
         f" pc AS (SELECT j, -(list_dot_product(({cb})[j + 1], qe) /"
         f"  (sqrt(list_dot_product(({cb})[j + 1], ({cb})[j + 1]))"

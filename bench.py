@@ -181,6 +181,13 @@ HEADLINE = [
     "t29_char_entropy",
     "d20_cdc_chunks",
     "v16_ivfpq_topk",
+    # round 8 seventh wave: the hashing-trick classifier (one corpus
+    # scan + ≤256-row broadcast), streaming HLL fold (sixth real
+    # streaming run — completes the mergeable-sketch matrix), and
+    # filtered vector search (PartitionFilters × PushedFilters)
+    "t30_hashed_classifier",
+    "st10_streaming_hll",
+    "v17_filtered_ann",
 ]
 
 N_STEADY = 3

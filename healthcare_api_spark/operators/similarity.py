@@ -409,6 +409,7 @@ def ivf_topk_pruned(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 2,
+    where: Column | None = None,
 ) -> DataFrame:
     """IVF probe over a cell-partitioned table (``write_ivf_partitioned``):
     the driver picks the probe cells from the centroid matrix (tiny,
@@ -420,11 +421,24 @@ def ivf_topk_pruned(
     this probe reads only the probed cells' bytes. Semantics are
     identical to ``ivf_topk`` on the same centroids (same probe set,
     same exact-cosine top-k inside), so the same oracle verifies both.
-    """
+
+    ``where`` (optional) is a metadata predicate — FILTERED vector
+    search, the "top-k among rows matching an attribute filter" query
+    every production vector store serves. Pre-filter semantics: the
+    predicate restricts the candidate set BEFORE the top-k, so the
+    result is the true top-k of the filtered set (never k minus
+    casualties of a post-filter). Because it is applied at the scan it
+    composes with the partition pruning — the cluster filter prunes
+    DIRECTORIES, the row predicate pushes into the parquet reader of
+    the survivors (PushedFilters beside PartitionFilters in the same
+    scan node) — so a filtered probe reads the probed cells' bytes and
+    row-group-skips inside them, nothing else."""
     probe = _probe_cells(centroids, query_vec, nprobe)
     cands = spark.read.parquet(path).where(
         F.col("cluster").isin([int(p) for p in probe])
     )
+    if where is not None:
+        cands = cands.where(where)
     return brute_force_topk(cands, id_col, vec_col, query_vec, k)
 
 

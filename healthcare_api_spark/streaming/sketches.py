@@ -161,6 +161,77 @@ def read_cms_state(
     return _cms_store(state_root, num_state_buckets).read(spark)
 
 
+def _hll_store(state_root: str, group_cols: list[str], num_state_buckets: int):
+    return BucketedVersionedState(
+        f"{state_root}/hll",
+        key_cols=[*group_cols, "reg"],
+        num_buckets=num_state_buckets,
+    )
+
+
+def streaming_hll(
+    stream_df: DataFrame,
+    state_root: str,
+    group_cols: list[str],
+    key_col: str,
+    p: int = 9,
+    checkpoint: str | None = None,
+    num_state_buckets: int = 8,
+):
+    """Start a foreachBatch HyperLogLog maintainer — the online
+    per-group distinct-count screen beside the KMV (bottom-k), Bloom
+    (membership) and CMS (frequency) maintainers, completing the
+    mergeable-sketch matrix over the same versioned state store. Per
+    micro-batch:
+
+    1. sketch the batch (``hll_build`` — one map-side-combined
+       groupBy (group, reg) max(rho) over batch rows only,
+       ≤ #groups × 2^p rows regardless of batch size),
+    2. register-wise-max into the touched registers' state buckets
+       (``hll_merge`` against the pre-batch snapshot),
+    3. commit as the immutable ``v{batch_id}`` snapshot.
+
+    Register max is associative, commutative AND idempotent (the
+    KMV/Bloom class, not the CMS sum class), so the final state is
+    ROW-FOR-ROW IDENTICAL to one batch build over the whole stream —
+    the contract that lets the st10 gate hash-check a real 2-batch
+    streaming run against the plain k8 batch oracle, register checksum
+    included. State size is ≤ #groups × 2^p rows forever; estimate
+    with ``hll_distinct(read_hll_state(...), group_cols, p)`` or roll
+    up with ``hll_rollup`` — sketch algebra works on the streaming
+    state unchanged.
+    """
+    from healthcare_api_spark.operators.sketches import hll_build, hll_merge
+
+    store = _hll_store(state_root, group_cols, num_state_buckets)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = hll_build(batch_df, group_cols, key_col, p)
+
+        def _merge(prev, d):
+            if prev is None:
+                return d
+            return hll_merge(prev, d, group_cols)
+
+        store.merge_batch(delta, batch_id, _merge)
+
+    writer = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_hll_state(
+    spark: SparkSession,
+    state_root: str,
+    group_cols: list[str],
+    num_state_buckets: int = 8,
+) -> DataFrame | None:
+    """Newest complete per-group register state (None before the first
+    commit)."""
+    return _hll_store(state_root, group_cols, num_state_buckets).read(spark)
+
+
 def _bloom_store(state_root: str, num_state_buckets: int):
     from healthcare_api_spark.streaming.state import BucketedVersionedState
 

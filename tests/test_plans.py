@@ -407,3 +407,58 @@ def test_ranking_eval_windows_on_k_row_frames_only(spark):
     df = entrymod.q_v14_rank_metrics(spark, SF_DIR)
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_filtered_ann_partition_and_pushed_filters(spark, tmp_path):
+    # v17 (r8 wave 7): the filtered probe must compose BOTH pruning
+    # layers in the SAME scan node — the cluster probe as
+    # PartitionFilters (directories never listed) and the label
+    # predicate as PushedFilters (row groups skipped inside the
+    # survivors). A post-scan label Filter would still be correct but
+    # reads the probed cells' full bytes — the 100 TB difference.
+    from healthcare_api_spark.operators import similarity
+    from healthcare_api_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = entrymod._V3_CENTROIDS
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_partitioned(emb, path, "embedding", cents)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    got = similarity.ivf_topk_pruned(
+        spark, path, "vec_id", "embedding", cents, qvec,
+        k=10, nprobe=3, where=F.col("label").isin(2, 5),
+    )
+    plan = _plan(got)
+    scan = plan.split("PartitionFilters")[1]
+    assert "cluster" in scan.split("]")[0]
+    assert "PushedFilters" in scan
+    assert "In(label" in scan.split("PushedFilters")[1].split("]")[0]
+
+    # pre-filter semantics: identical to brute-force top-k over the
+    # filtered probed candidate set computed in memory
+    assigned = similarity.ivf_assign(emb, "embedding", cents)
+    probe = similarity._probe_cells(cents, qvec, nprobe=3)
+    cands = assigned.filter(
+        F.col("cluster").isin([int(p) for p in probe])
+        & F.col("label").isin(2, 5)
+    )
+    want = similarity.brute_force_topk(
+        cands, "vec_id", "embedding", qvec, k=10
+    ).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got.collect()] == [
+        (r["vec_id"], r["cos"]) for r in want
+    ]
+
+
+def test_hashed_classifier_plan_broadcast_and_pruned_scan(spark):
+    # t30 (r8 wave 7): the ≤dim-row weight table must broadcast (no
+    # shuffle of the corpus-sized (doc, bucket) frame for the join)
+    # and the documents scan must read only (doc_id, text)
+    df = entrymod.q_t30_hashed_classifier(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "documents" in plan]
+    assert scan, plan
+    rs = scan[0].split("ReadSchema:")[1]
+    assert "doc_id" in rs and "text" in rs and "lang" not in rs

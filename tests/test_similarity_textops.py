@@ -1411,3 +1411,133 @@ def test_ivfpq_adc_int_probe_prunes_and_ranks(spark):
         ivfpq_adc_topk_int(
             df, "vec_id", "embedding", cents, books, q, nprobe=0
         )
+
+
+def _hashed_bucket_sign(tok: str, dim: int):
+    """The classifier's md5 bucket/sign hashes recomputed in pure
+    Python — the portable-convention contract the oracle relies on."""
+    import hashlib
+
+    h = hashlib.md5(tok.encode()).hexdigest()
+    return int(h[:8], 16) % dim, 1 - 2 * (int(h[8], 16) % 2)
+
+
+def test_hashed_classifier_hand_computed(spark):
+    # t30: score a two-token doc against a hand-built weight table and
+    # check num/n_tokens/logit/prob/keep against pure-Python math
+    import math
+
+    dim, scale = 4, 1000
+    docs = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+    w = {b: (b + 1) * 100 for b in range(dim)}
+    wdf = spark.createDataFrame(
+        [(b, wv) for b, wv in w.items()], ["bucket", "w_scaled"]
+    )
+    out = textops.hashed_classifier_score(
+        docs, "doc_id", "text", wdf, dim=dim, scale=scale
+    ).collect()[0]
+    num = sum(
+        sgn * w[b]
+        for b, sgn in (
+            _hashed_bucket_sign("alpha", dim),
+            _hashed_bucket_sign("beta", dim),
+        )
+    )
+    assert out["n_tokens"] == 2
+    assert out["keep"] == (1 if num >= 0 else 0)
+    x = num / (2 * scale)
+    assert abs(out["prob"] - round(1 / (1 + math.exp(-x)), 6)) < 1e-9
+    # logit: integer half-away-from-zero rounding of num·1e6/(n·scale)
+    n_, d_ = abs(num) * 1_000_000, 2 * scale
+    want_ppm = (2 * n_ + d_) // (2 * d_) * (1 if num >= 0 else -1)
+    assert out["logit"] == want_ppm / 1_000_000
+
+
+def test_hashed_classifier_decimal_tie_rounds_half_away(spark):
+    # t30 regression: the logit rational CAN land exactly on a 6-dp
+    # boundary (sf0.001 doc 321 hit −65227.5 ppm), where Spark's
+    # shortest-repr round() and an oracle's double-round disagree.
+    # Craft an exact tie: one token, n=1, scale=2, w_scaled=±1 →
+    # logit = ±0.5·1e6 ppm... use n=2,scale=1000,num=±1 →
+    # ppm = ±(1e6/2000) = ±500 exactly — no tie. Tie needs
+    # num·1e6/(n·scale) = k + 1/2: n=2, scale=1_000_000, num odd →
+    # ppm_true = num/2, a half-integer for every odd num.
+    dim, scale = 2, 1_000_000
+    # two tokens with DIFFERENT buckets so the weight table can give
+    # an odd num; find two such tokens deterministically
+    toks, seen = [], {}
+    cand = iter("abcdefghijklmnopqrstuvwxyz")
+    while len(seen) < 2:
+        t = next(cand)
+        b, s = _hashed_bucket_sign(t, dim)
+        if b not in seen:
+            seen[b] = (t, s)
+            toks.append((t, b, s))
+    (t0, b0, s0), (t1, b1, s1) = toks
+    # pick weights so num = s0·w0 + s1·w1 = 3 (odd → tie at 1.5 ppm)
+    w0 = s0 * 2
+    w1 = s1 * 1
+    docs = spark.createDataFrame([(1, f"{t0} {t1}")], ["doc_id", "text"])
+    wdf = spark.createDataFrame(
+        [(b0, w0), (b1, w1)], ["bucket", "w_scaled"]
+    )
+    out = textops.hashed_classifier_score(
+        docs, "doc_id", "text", wdf, dim=dim, scale=scale
+    ).collect()[0]
+    # num=3, n·scale=2e6 → ppm_true = 1.5 → half AWAY from zero = 2
+    assert out["logit"] == 2 / 1_000_000
+    assert out["keep"] == 1
+    # and the mirrored negative tie rounds to −2, not −1
+    wdf_neg = spark.createDataFrame(
+        [(b0, -w0), (b1, -w1)], ["bucket", "w_scaled"]
+    )
+    out_neg = textops.hashed_classifier_score(
+        docs, "doc_id", "text", wdf_neg, dim=dim, scale=scale
+    ).collect()[0]
+    assert out_neg["logit"] == -2 / 1_000_000
+    assert out_neg["keep"] == 0
+
+
+def test_hashed_feature_weights_deterministic_and_bounded(spark):
+    dim, scale = 16, 1000
+    a = textops.hashed_feature_weights(spark, dim=dim, scale=scale).collect()
+    b = textops.hashed_feature_weights(spark, dim=dim, scale=scale).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == dim
+    assert all(-scale <= r["w_scaled"] <= scale for r in a)
+    # md5 convention: spot-check bucket 0 against pure Python
+    import hashlib
+
+    w0 = int(hashlib.md5(b"0").hexdigest()[:15], 16) % (2 * scale + 1) - scale
+    assert dict((r["bucket"], r["w_scaled"]) for r in a)[0] == w0
+
+
+def test_filtered_ann_prefilter_semantics(spark):
+    # v17: the filtered probe must return the true top-k OF THE
+    # FILTERED SET (pre-filter), not filter the unfiltered top-k
+    # (post-filter) — on a corpus where the globally-nearest rows all
+    # fail the predicate, post-filter would return their survivors
+    # short/wrong while pre-filter finds the best matching rows
+    import shutil
+    import tempfile
+
+    rows = [
+        # label-0 rows: nearest to the query
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.01], 0),
+        # label-1 rows: further away — but the filtered answer
+        (3, [0.5, 0.5], 1),
+        (4, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    root = tempfile.mkdtemp(prefix="v17_test_")
+    try:
+        similarity.write_ivf_partitioned(emb, root, "embedding", cents)
+        got = similarity.ivf_topk_pruned(
+            spark, root, "vec_id", "embedding", cents, [1.0, 0.0],
+            k=2, nprobe=2, where=F.col("label") == 1,
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    assert [r["vec_id"] for r in got] == [3, 4]

@@ -319,3 +319,41 @@ def test_streaming_cms_replay_does_not_double_count(spark, tmp_path):
     store.merge_batch(d1, 0, merge)  # replay
     after = {(r["r"], r["bucket"], r["n"]) for r in store.read(spark).collect()}
     assert before == after
+
+
+def test_streaming_hll_state_equals_batch_build(spark, tmp_path):
+    """st10: folding two micro-batches through hll_merge must leave a
+    state ROW-FOR-ROW identical to one hll_build over everything
+    (register max is associative + idempotent) — including keys
+    repeated across batches and register collisions across batches."""
+    from healthcare_api_spark.operators.sketches import hll_build
+    from healthcare_api_spark.streaming.sketches import (
+        read_hll_state,
+        streaming_hll,
+    )
+
+    rows = [(f"g{i % 2}", i % 37) for i in range(80)]  # dups everywhere
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(rows[:45], ["grp", "key"])
+    b2 = spark.createDataFrame(rows[45:], ["grp", "key"])
+    b1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("grp string, key long").parquet(src)
+    q = streaming_hll(
+        stream, state, ["grp"], "key", p=5, checkpoint=ckpt
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["grp"], r["reg"], r["rho"])
+        for r in read_hll_state(spark, state, ["grp"]).collect()
+    }
+    whole = spark.createDataFrame(rows, ["grp", "key"])
+    want = {
+        (r["grp"], r["reg"], r["rho"])
+        for r in hll_build(whole, ["grp"], "key", p=5).collect()
+    }
+    assert got == want
