@@ -5142,6 +5142,67 @@ def q_v17_filtered_ann(spark, sf_dir):
     return out
 
 
+def q_u9_curation_pipeline(spark, sf_dir):
+    """Composed curation pipeline (r8 wave 7) — the four-stage cut a
+    training-data build actually runs, chained as ONE lazy plan and
+    hash-verified END-TO-END (each stage has its own gate; this one
+    proves the composition): corpus ∪ exact duplicates → (1) Gopher
+    word-count charter band [30, 90] (other knobs permissive) →
+    (2) exact content dedup, lowest-id canonical (provably removes the
+    planted copies) → (3) hashing-trick classifier admission
+    (integer-sign keep) → (4) per-source quota, top-10 by classifier
+    logit. Catalyst fuses the stages — the corpus is scanned once, and
+    the only corpus-sized shuffles are the dedup fingerprint window,
+    the (doc, bucket) agg and the per-source quota window. Output:
+    (doc_id, domain, domain_rank, n_tokens, logit)."""
+    from healthcare_api_spark.operators import curation, dedup as dedup_ops
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dup = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+        )
+    )
+    g = textops.gopher_quality(
+        dup, "doc_id", "text", min_words=30, max_words=90,
+        min_mean_len=0.0, max_mean_len=1e9, max_symbol_ratio=1e9,
+        max_bullet_ratio=1e9, max_ellipsis_ratio=1e9,
+        min_alpha_ratio=0.0, min_stop_hits=0,
+    )
+    kept1 = dup.join(
+        g.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+    )
+    dd = (
+        dedup_ops.exact_dedup_by_content(kept1, "doc_id", "text")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .drop("canonical_id")
+    )
+    w = textops.hashed_feature_weights(spark, dim=256, scale=1_000_000)
+    scored = textops.hashed_classifier_score(
+        dd, "doc_id", "text", w, dim=256, scale=1_000_000
+    )
+    adm = dd.join(
+        scored.filter(F.col("keep") == 1).select(
+            "doc_id", "n_tokens", "logit"
+        ),
+        "doc_id",
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    quota = curation.domain_quota(
+        adm.withColumn("url", url), "doc_id", "url",
+        max_per_domain=10, rank_col="logit",
+    )
+    return (
+        quota.filter(F.col("kept") == 1)
+        .join(adm.select("doc_id", "n_tokens", "logit"), "doc_id")
+        .select("doc_id", "domain", "domain_rank", "n_tokens", "logit")
+    )
+
+
 # ----------------------------------------------------------------- export --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5170,6 +5231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t30_hashed_classifier": q_t30_hashed_classifier,
         "st10_streaming_hll": q_st10_streaming_hll,
         "v17_filtered_ann": q_v17_filtered_ann,
+        "u9_curation_pipeline": q_u9_curation_pipeline,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -7578,6 +7640,50 @@ def oracle_sql() -> dict[str, str]:
         f"   / CAST(n_tokens * 1000000 AS DOUBLE)))), 6) AS prob,"
         f"  CAST(CASE WHEN num >= 0 THEN 1 ELSE 0 END AS INT) AS keep"
         f" FROM p"
+    )
+    # r8 wave 7: u9 — the composed pipeline: band filter on the RAW
+    # whitespace word count (the gopher convention), dedup canonical
+    # on md5 of NORMALIZED text, the t30 classifier CTEs over the
+    # survivors, quota window per source
+    out["u9_curation_pipeline"] = (
+        f"WITH dup AS (SELECT doc_id, text, source FROM documents"
+        f"  UNION ALL SELECT doc_id + 100000 AS doc_id, text, source"
+        f"   FROM documents),"
+        f" band AS (SELECT * FROM dup WHERE"
+        f"  len(list_filter(regexp_split_to_array(text, '\\s+'),"
+        f"   w -> w <> '')) BETWEEN 30 AND 90),"
+        f" dd AS (SELECT doc_id, text, source FROM ("
+        f"  SELECT *, min(doc_id) OVER (PARTITION BY md5({_NORM_SQL}))"
+        f"   AS canon FROM band) WHERE doc_id = canon),"
+        f" w AS (SELECT CAST(i AS INT) AS bucket,"
+        f"  CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT)"
+        f"   % 2000001 - 1000000 AS w_scaled"
+        f"  FROM (SELECT unnest(generate_series(0, 255)) AS i)),"
+        f" toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM dd),"
+        f" h AS (SELECT doc_id,"
+        f"  CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256"
+        f"   AS INT) AS bucket,"
+        f"  1 - 2 * CAST(CAST('0x' || substr(md5(tok), 9, 1) AS BIGINT) % 2"
+        f"   AS INT) AS sgn FROM toks),"
+        f" gr AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS stf,"
+        f"  CAST(count(*) AS BIGINT) AS tf FROM h GROUP BY 1, 2),"
+        f" s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,"
+        f"  CAST(sum(stf * w_scaled) AS BIGINT) AS num"
+        f"  FROM gr JOIN w USING (bucket) GROUP BY 1),"
+        f" p AS (SELECT doc_id, n_tokens, num,"
+        f"  CASE WHEN num >= 0 THEN"
+        f"   (2 * num * 1000000 + n_tokens * 1000000)"
+        f"    // (2 * n_tokens * 1000000)"
+        f"  ELSE -((2 * -num * 1000000 + n_tokens * 1000000)"
+        f"    // (2 * n_tokens * 1000000)) END AS ppm FROM s),"
+        f" adm AS (SELECT d.doc_id, d.source, p.n_tokens,"
+        f"  CAST(p.ppm AS DOUBLE) / 1000000.0 AS logit"
+        f"  FROM p JOIN dd d USING (doc_id) WHERE p.num >= 0),"
+        f" r AS (SELECT *, row_number() OVER (PARTITION BY source"
+        f"  ORDER BY logit DESC, doc_id ASC) AS domain_rank FROM adm)"
+        f" SELECT doc_id, source || '.example.com' AS domain,"
+        f"  CAST(domain_rank AS INT) AS domain_rank, n_tokens, logit"
+        f" FROM r WHERE domain_rank <= 10"
     )
     # r8: t27 — BPE encode: the t23 training CTEs' final word table
     # joined back onto per-doc word frequencies (textops.bpe_encode_sql)

@@ -188,6 +188,7 @@ HEADLINE = [
     "t30_hashed_classifier",
     "st10_streaming_hll",
     "v17_filtered_ann",
+    "u9_curation_pipeline",
 ]
 
 N_STEADY = 3

@@ -462,3 +462,14 @@ def test_hashed_classifier_plan_broadcast_and_pruned_scan(spark):
     assert scan, plan
     rs = scan[0].split("ReadSchema:")[1]
     assert "doc_id" in rs and "text" in rs and "lang" not in rs
+
+
+def test_curation_pipeline_composed_plan(spark):
+    # u9 (r8 wave 7): the four-stage composition must stay fully
+    # keyed — every exchange hash-partitioned (dedup fingerprint
+    # window, (doc,bucket) agg, per-source quota window), the weight
+    # join broadcast, nothing single-partition
+    df = entrymod.q_u9_curation_pipeline(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan

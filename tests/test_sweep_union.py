@@ -207,7 +207,7 @@ def test_r8_changed_oracles_match_at_sf0001():
         "u8_importance_weights", "t27_bpe_encode", "v15_kmeans_stats",
         "t28_multi_substring", "t29_char_entropy", "d20_cdc_chunks",
         "v16_ivfpq_topk", "t30_hashed_classifier",
-        "st10_streaming_hll", "v17_filtered_ann",
+        "st10_streaming_hll", "v17_filtered_ann", "u9_curation_pipeline",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
