@@ -5151,9 +5151,14 @@ def q_u9_curation_pipeline(spark, sf_dir):
     (2) exact content dedup, lowest-id canonical (provably removes the
     planted copies) → (3) hashing-trick classifier admission
     (integer-sign keep) → (4) per-source quota, top-10 by classifier
-    logit. Catalyst fuses the stages — the corpus is scanned once, and
-    the only corpus-sized shuffles are the dedup fingerprint window,
-    the (doc, bucket) agg and the per-source quota window. Output:
+    logit. The stages chain through PASSTHROUGH columns (classifier
+    and quota carry source/n_tokens/logit through their aggregates and
+    window) so the whole pipeline is ONE linear lineage — the first
+    draft joined each stage's output back onto its input and the plan
+    re-scanned documents 32×; this shape scans it 4× (the union and
+    the charter join account for all four), with the only corpus-sized
+    shuffles being the dedup fingerprint window, the (doc, bucket) agg
+    and the per-source quota window. Output:
     (doc_id, domain, domain_rank, n_tokens, logit)."""
     from healthcare_api_spark.operators import curation, dedup as dedup_ops
 
@@ -5180,14 +5185,10 @@ def q_u9_curation_pipeline(spark, sf_dir):
     )
     w = textops.hashed_feature_weights(spark, dim=256, scale=1_000_000)
     scored = textops.hashed_classifier_score(
-        dd, "doc_id", "text", w, dim=256, scale=1_000_000
+        dd, "doc_id", "text", w, dim=256, scale=1_000_000,
+        passthrough=("source",),
     )
-    adm = dd.join(
-        scored.filter(F.col("keep") == 1).select(
-            "doc_id", "n_tokens", "logit"
-        ),
-        "doc_id",
-    )
+    adm = scored.filter(F.col("keep") == 1)
     url = F.concat(
         F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
         F.col("doc_id").cast("string"),
@@ -5195,11 +5196,10 @@ def q_u9_curation_pipeline(spark, sf_dir):
     quota = curation.domain_quota(
         adm.withColumn("url", url), "doc_id", "url",
         max_per_domain=10, rank_col="logit",
+        passthrough=("n_tokens", "logit"),
     )
-    return (
-        quota.filter(F.col("kept") == 1)
-        .join(adm.select("doc_id", "n_tokens", "logit"), "doc_id")
-        .select("doc_id", "domain", "domain_rank", "n_tokens", "logit")
+    return quota.filter(F.col("kept") == 1).select(
+        "doc_id", "domain", "domain_rank", "n_tokens", "logit"
     )
 
 

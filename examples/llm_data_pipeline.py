@@ -76,6 +76,21 @@ def main() -> None:
         goph.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
     )
 
+    # 2a''. model-based scoring (r8 wave 7): the hashing-trick linear
+    # classifier every curation pipeline runs after the rule charter —
+    # sign-hashed token buckets, integer-quantized weights broadcast.
+    # The md5-derived stand-in weights score content-neutrally here
+    # (a trained table drops in at the same schema), so the example
+    # ANNOTATES with the score and keeps it for the quota ranking
+    # below instead of gating on placeholder weights.
+    clf_w = textops.hashed_feature_weights(spark, dim=256, scale=1_000_000)
+    clf = textops.hashed_classifier_score(
+        gated, "doc_id", "text", clf_w, dim=256, scale=1_000_000
+    )
+    gated = gated.join(
+        clf.select("doc_id", F.col("logit").alias("clf_logit")), "doc_id"
+    )
+
     # 2b. perplexity tiers: drop the 'tail' tier under the corpus's
     # own interpolated bigram LM (the CCNet head/middle/tail filter —
     # exact-percentile cuts, fully deterministic, r7)
@@ -105,7 +120,7 @@ def main() -> None:
     )
     quota = curation.domain_quota(
         with_url, "doc_id", "url", max_per_domain=max(20, n_gated // 4),
-        rank_col="score",
+        rank_col="clf_logit",
     )
     gated = gated.join(
         quota.filter(F.col("kept") == 1).select("doc_id"), "doc_id"

@@ -628,6 +628,7 @@ def domain_quota(
     url_col: str,
     max_per_domain: int,
     rank_col: str | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-domain document quota (the Common-Crawl curation practice:
     cap any single host's contribution so mirror farms can't dominate
@@ -636,9 +637,11 @@ def domain_quota(
     first — or by id alone when no rank column is given; ranks beyond
     ``max_per_domain`` are flagged dropped.
 
-    Output: (id, domain, domain_rank, kept) — all selection evidence
-    kept so the cut is auditable, ints/strings plus the caller's own
-    rank values.
+    Output: (id, domain, domain_rank, kept, *passthrough) — all
+    selection evidence kept so the cut is auditable, ints/strings plus
+    the caller's own rank values; ``passthrough`` columns ride the
+    window unchanged (windows preserve columns — passing them through
+    costs nothing and saves the caller a lineage-replaying join-back).
 
     Shape at scale: ONE window keyed by domain. A mega-domain makes
     that window's partition large; for truly pathological hosts run
@@ -668,6 +671,7 @@ def domain_quota(
         "domain",
         F.col("domain_rank").cast("int").alias("domain_rank"),
         (F.col("domain_rank") <= max_per_domain).cast("int").alias("kept"),
+        *passthrough,
     )
 
 

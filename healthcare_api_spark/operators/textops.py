@@ -1632,6 +1632,7 @@ def hashed_classifier_score(
     weights: DataFrame,
     dim: int = 256,
     scale: int = 1_000_000,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Hashing-trick linear text classifier (Weinberger et al. 2009
     "Feature Hashing for Large Scale Multitask Learning"; the fastText
@@ -1660,7 +1661,12 @@ def hashed_classifier_score(
     (id, bucket) aggregate, one broadcast join against the ≤ dim-row
     weight table, one (id) aggregate — the corpus is scanned once and
     nothing corpus-sized shuffles except the (id, bucket) pairs.
-    Output: (id, n_tokens, logit, prob, keep).
+    ``passthrough`` names columns functionally dependent on the id
+    (source, lang, …) carried through the aggregates, so a pipeline
+    keeps ONE linear lineage instead of joining the scores back onto
+    the input (a join-back replays the whole upstream lineage — the
+    u9 composition measured 32 corpus scans before this knob).
+    Output: (id, *passthrough, n_tokens, logit, prob, keep).
     """
     from healthcare_api_spark.functions.text import tokens
 
@@ -1670,10 +1676,12 @@ def hashed_classifier_score(
         raise ValueError("scale must be >= 1")
     toks = df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         F.explode(tokens(F.col(text_col))).alias("_tok"),
     )
     hashed = toks.select(
         id_col,
+        *passthrough,
         (
             F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast(
                 "bigint"
@@ -1693,13 +1701,13 @@ def hashed_classifier_score(
             ).cast("int")
         ).alias("_sgn"),
     )
-    per_bucket = hashed.groupBy(id_col, "bucket").agg(
+    per_bucket = hashed.groupBy(id_col, *passthrough, "bucket").agg(
         F.sum("_sgn").cast("bigint").alias("_stf"),
         F.count(F.lit(1)).cast("bigint").alias("_tf"),
     )
     scored = (
         per_bucket.join(F.broadcast(weights), "bucket")
-        .groupBy(id_col)
+        .groupBy(id_col, *passthrough)
         .agg(
             F.sum("_tf").cast("bigint").alias("n_tokens"),
             F.sum(F.col("_stf") * F.col("w_scaled"))
@@ -1729,6 +1737,7 @@ def hashed_classifier_score(
     logit_exact = F.col("_num").cast("double") / den.cast("double")
     return scored.select(
         F.col(id_col),
+        *passthrough,
         "n_tokens",
         (ppm.cast("double") / F.lit(1_000_000.0)).alias("logit"),
         F.round(
