@@ -4591,6 +4591,24 @@ def q_g5_connected_components(spark, sf_dir):
     )
 
 
+def q_g6_adamic_adar(spark, sf_dir):
+    """Common-neighbor / Adamic-Adar link prediction (r8) over the
+    k-NN similarity graph: the top-100 NON-edges by Σ 1/ln(deg(w))
+    over shared neighbors w (graph.adamic_adar) — the near-dup-graph
+    densifier that proposes pairs the banding missed. Candidates come
+    from one adjacency self-join on the wedge center (Σ C(deg, 2),
+    never |V|²; the band-3 chains bound every degree at 6), each wedge
+    term is exact int64 micros (ln on the small integer degree domain,
+    the t17 precedent), and the cut is a TakeOrderedAndProject over a
+    (aa, cn, u, v) total order."""
+    from healthcare_api_spark.operators import graph
+
+    _tune(spark)
+    return graph.adamic_adar(
+        _knn_customer_edges(spark, sf_dir), "s", "d", top_n=100
+    )
+
+
 def q_d19_paragraph_dedup(spark, sf_dir):
     """Paragraph-level exact dedup (r8): 25-token chunks deduplicated
     corpus-wide, each occurrence kept iff it is the first by (doc_id,
@@ -5232,6 +5250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st10_streaming_hll": q_st10_streaming_hll,
         "v17_filtered_ann": q_v17_filtered_ann,
         "u9_curation_pipeline": q_u9_curation_pipeline,
+        # --- r8 wave 8 (new — need first driver hashes) ---
+        "g6_adamic_adar": q_g6_adamic_adar,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -7418,6 +7438,11 @@ def oracle_sql() -> dict[str, str]:
     out["g5_connected_components"] = connected_components_sql(
         _KNN_EDGES_SQL, iters=8
     )
+    # r8: g6 — Adamic-Adar link prediction: identical adjacency
+    # self-join + anti-join + int64-micros term arithmetic
+    from healthcare_api_spark.operators.graph import adamic_adar_sql
+
+    out["g6_adamic_adar"] = adamic_adar_sql(_KNN_EDGES_SQL, top_n=100)
     # r8: d19 — paragraph dedup: chunks via 1-based inclusive list
     # slices, first-occurrence via row_number partitioned by the chunk
     # text (the engine partitions by md5(chunk) — same grouping),

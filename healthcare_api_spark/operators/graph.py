@@ -669,3 +669,126 @@ def connected_components_sql(
         f" UNION ALL SELECT b AS u, a AS v FROM e{iters}) f"
         f" ON f.u = n.node GROUP BY n.node"
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    top_n: int | None = None,
+    max_wedge_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor / Adamic-Adar link prediction over an undirected
+    graph (Adamic & Adar 2003; the standard similarity-graph "suggest
+    an edge" primitive — in a curation pipeline, the near-dup-graph
+    densifier that proposes pairs LSH banding missed).
+
+    For every NON-edge pair (u, v) with at least one shared neighbor:
+
+    - ``common_neighbors`` — |Γ(u) ∩ Γ(v)| (exact integer), and
+    - ``aa`` — Σ_w 1/ln(deg(w)) over the shared neighbors w, the
+      Adamic-Adar weight that discounts promiscuous hubs.
+
+    Distributed shape: one adjacency self-join on the wedge center
+    (candidates = Σ_w C(deg(w), 2) — NEVER |V|² pair enumeration),
+    one anti-join against the edge set, one map-side-combined
+    aggregate. Engine-portability: each wedge term is quantized to
+    exact int64 micros (round(1e6/ln(deg)) — ln on a small-integer
+    domain, the t17/u8 precedent) so the per-pair sum is exact integer
+    arithmetic and ``aa`` is ONE correctly-rounded int64/1e6 division.
+
+    Skew: a degree-D hub contributes C(D, 2) wedge pairs; at corpus
+    scale cap it with ``max_wedge_degree`` — hubs are exactly the
+    neighbors Adamic-Adar down-weights toward zero, so the cut is
+    lossy only in the scores the metric already considers noise
+    (documented, like sax_similarity_join's ``max_df``).
+
+    ``top_n`` keeps the strongest proposals by (aa, cn, u, v) —
+    a TakeOrderedAndProject, never a global sort.
+    """
+    if top_n is not None and top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    if max_wedge_degree is not None and max_wedge_degree < 2:
+        raise ValueError("max_wedge_degree must be >= 2")
+    u = F.least(F.col(src), F.col(dst))
+    v = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # read by adj (x2) and the anti-join
+    )
+    adj = und.select(F.col("u").alias("w"), F.col("v").alias("x")).unionByName(
+        und.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    centers = deg if max_wedge_degree is None else deg.filter(
+        F.col("deg") <= F.lit(max_wedge_degree)
+    )
+    a = adj.select("w", F.col("x").alias("u"))
+    b = adj.select("w", F.col("x").alias("v"))
+    wedges = (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .join(centers.select("w", "deg"), "w")
+    )
+    non_edge = wedges.join(und, ["u", "v"], "left_anti")
+    term = F.round(F.lit(1000000.0) / F.log(F.col("deg").cast("double"))).cast(
+        "bigint"
+    )
+    scored = non_edge.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        F.sum(term).cast("bigint").alias("aa_micros"),
+    )
+    out = scored.select(
+        "u",
+        "v",
+        "common_neighbors",
+        (F.col("aa_micros") / F.lit(1000000.0)).alias("aa"),
+    )
+    if top_n is not None:
+        out = out.orderBy(
+            F.col("aa").desc(),
+            F.col("common_neighbors").desc(),
+            F.col("u"),
+            F.col("v"),
+        ).limit(top_n)
+    return out
+
+
+def adamic_adar_sql(
+    edges_sql: str,
+    src: str = "s",
+    dst: str = "d",
+    top_n: int | None = None,
+    max_wedge_degree: int | None = None,
+) -> str:
+    """DuckDB oracle twin of :func:`adamic_adar` — identical adjacency
+    self-join, hub cap, anti-join, and int64-micros term arithmetic."""
+    cap = (
+        ""
+        if max_wedge_degree is None
+        else f" WHERE deg <= {int(max_wedge_degree)}"
+    )
+    tail = (
+        ""
+        if top_n is None
+        else f" ORDER BY aa DESC, common_neighbors DESC, u, v LIMIT {int(top_n)}"
+    )
+    return (
+        f"WITH e0 AS MATERIALIZED (SELECT DISTINCT least({src}, {dst}) AS u,"
+        f" greatest({src}, {dst}) AS v FROM ({edges_sql}) WHERE {src} <> {dst}),"
+        " adj AS MATERIALIZED (SELECT u AS w, v AS x FROM e0"
+        "  UNION ALL SELECT v AS w, u AS x FROM e0),"
+        " degs AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS deg"
+        f"  FROM adj GROUP BY w),"
+        f" ctr AS (SELECT * FROM degs{cap}),"
+        " wed AS (SELECT a.x AS u, b.x AS v, c.deg AS deg FROM adj a"
+        "  JOIN adj b ON a.w = b.w AND a.x < b.x JOIN ctr c ON c.w = a.w),"
+        " nw AS (SELECT u, v, deg FROM wed WHERE NOT EXISTS"
+        "  (SELECT 1 FROM e0 WHERE e0.u = wed.u AND e0.v = wed.v))"
+        " SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,"
+        "  CAST(sum(CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT))"
+        "   AS BIGINT) / 1000000.0 AS aa"
+        f" FROM nw GROUP BY u, v{tail}"
+    )

@@ -313,3 +313,74 @@ def test_connected_components_nonconvergence_warn_and_raise(spark):
         connected_components(edges, "s", "d", iters=0)
     with pytest.raises(ValueError):
         connected_components(edges, "s", "d", on_nonconverged="nope")
+
+
+def test_adamic_adar_hand_computed(spark):
+    import math
+
+    from healthcare_api_spark.operators.graph import adamic_adar
+
+    # K1,3 star 0-{1,2,3} plus edge 1-2: non-edges through shared
+    # neighbors are (1,3) and (2,3) via hub 0 (deg 3), and 0 has no
+    # non-neighbor. (1,2) IS an edge -> excluded.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], ["s", "d"]
+    )
+    got = {
+        (r["u"], r["v"]): (r["common_neighbors"], r["aa"])
+        for r in adamic_adar(edges, "s", "d").collect()
+    }
+    term = round(1e6 / math.log(3.0)) / 1e6
+    assert got == {(1, 3): (1, term), (2, 3): (1, term)}
+
+
+def test_adamic_adar_multi_witness_and_top_n(spark):
+    import math
+
+    from healthcare_api_spark.operators.graph import adamic_adar
+
+    # square 1-2-3-4-1: (1,3) share {2,4}, (2,4) share {1,3}; all
+    # degrees 2 so each term is 1/ln 2
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], ["s", "d"])
+    rows = adamic_adar(edges, "s", "d", top_n=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # tie on score -> (u, v) tiebreak picks (1, 3)
+    assert (r["u"], r["v"], r["common_neighbors"]) == (1, 3, 2)
+    assert r["aa"] == 2 * round(1e6 / math.log(2.0)) / 1e6
+
+
+def test_adamic_adar_hub_cap_and_validation(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.graph import adamic_adar
+
+    # hub 0 with 3 leaves: capping wedge degree below 3 removes every
+    # candidate (the hub is the only shared neighbor)
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["s", "d"])
+    assert adamic_adar(edges, "s", "d").count() == 3
+    assert adamic_adar(edges, "s", "d", max_wedge_degree=2).count() == 0
+    with pytest.raises(ValueError):
+        adamic_adar(edges, "s", "d", top_n=0)
+    with pytest.raises(ValueError):
+        adamic_adar(edges, "s", "d", max_wedge_degree=1)
+
+
+def test_adamic_adar_sql_twin_parity(spark):
+    import duckdb
+
+    from healthcare_api_spark.operators.graph import adamic_adar, adamic_adar_sql
+
+    rows = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (2, 5), (6, 7)]
+    edges = spark.createDataFrame(rows, ["s", "d"])
+    got = {
+        (r["u"], r["v"]): (r["common_neighbors"], r["aa"])
+        for r in adamic_adar(edges, "s", "d").collect()
+    }
+    vals = ", ".join(f"({s}, {d})" for s, d in rows)
+    sql = adamic_adar_sql(f"SELECT * FROM (VALUES {vals}) AS t(s, d)")
+    want = {
+        (u, v): (cn, aa)
+        for u, v, cn, aa in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == want
