@@ -3305,6 +3305,25 @@ def q_v10_prefix_rerank(spark, sf_dir):
     )
 
 
+def q_v18_mmr_topk(spark, sf_dir):
+    """Maximal-Marginal-Relevance diversified top-10 (r8): one corpus
+    scan scores every embedding against vec_id 0, a
+    TakeOrderedAndProject keeps 30 candidates, and the λ=7/10 greedy
+    (similarity.mmr_topk) re-ranks them trading relevance against
+    redundancy — the RAG context-packing standard. Everything past
+    the scan is bounded by constants (C candidates, C² pair sims,
+    k picks); relevance/pair sims are cosine micros and λ an exact
+    rational, so the greedy is pure int64 arithmetic and the oracle
+    replays it as k unrolled argmax CTEs (mmr_topk_sql)."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.mmr_topk(
+        emb, "vec_id", "embedding", list(qvec), k=10, candidates=30,
+        lambda_num=7, lambda_den=10,
+    )
+
+
 def q_v9_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval (r7): BM25 lexical top-30 for 'window vector'
     (the fs10 ranking) ⊕ dense cosine top-30 to vec_id 0's embedding
@@ -5252,6 +5271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u9_curation_pipeline": q_u9_curation_pipeline,
         # --- r8 wave 8 (new — need first driver hashes) ---
         "g6_adamic_adar": q_g6_adamic_adar,
+        "v18_mmr_topk": q_v18_mmr_topk,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -7443,6 +7463,17 @@ def oracle_sql() -> dict[str, str]:
     from healthcare_api_spark.operators.graph import adamic_adar_sql
 
     out["g6_adamic_adar"] = adamic_adar_sql(_KNN_EDGES_SQL, top_n=100)
+    # r8: v18 — MMR diversified retrieval: the integer-micros greedy
+    # unrolled as k argmax CTEs over the same candidate/sim frames
+    from healthcare_api_spark.operators.similarity import mmr_topk_sql
+
+    out["v18_mmr_topk"] = mmr_topk_sql(
+        "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
+        " FROM embeddings",
+        "SELECT list_transform(embedding, x -> x::DOUBLE) AS qe"
+        " FROM embeddings WHERE vec_id = 0",
+        id_col="vec_id", k=10, candidates=30, lambda_num=7, lambda_den=10,
+    )
     # r8: d19 — paragraph dedup: chunks via 1-based inclusive list
     # slices, first-occurrence via row_number partitioned by the chunk
     # text (the engine partitions by md5(chunk) — same grouping),

@@ -1388,3 +1388,167 @@ def ivfpq_adc_topk_int(
     return pq_adc_topk_int(
         cands, id_col, vec_col, int_codebooks, query_vec, k=k, scale=scale
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    candidates: int = 30,
+    lambda_num: int = 7,
+    lambda_den: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the retrieval answer that balances relevance to
+    the query against redundancy among the results: greedily pick
+
+        argmax_u  λ·rel(u) − (1−λ)·max_{s∈S} sim(u, s)
+
+    over the unpicked candidates, k times. The RAG/context-window
+    standard when near-duplicate passages would waste the prompt.
+
+    Distributed shape: ONE corpus scan scores every vector and a
+    TakeOrderedAndProject keeps the top ``candidates`` — from there
+    everything is bounded by constants, not corpus size: the
+    candidate×candidate similarity matrix is ≤ C² rows and the greedy
+    runs driver-side over that bounded fetch (the winsorize-cut-literal
+    precedent; at 100 TB only the coarse scan grows).
+
+    Engine-portability: relevance and pair similarities are cosine
+    micros (round(cos·1e6) int64, sequential in-order dots — the v1
+    precedent), λ is the exact rational ``lambda_num/lambda_den``, so
+    every greedy comparison is EXACT int64 arithmetic
+    (num·rel − (den−num)·maxsim) with an id tiebreak — the selection is
+    deterministic and a DuckDB oracle replays it as unrolled argmax
+    CTEs. Reported ``relevance``/``mmr`` are single correctly-rounded
+    integer divisions.
+    """
+    if k < 1 or candidates < k:
+        raise ValueError("need 1 <= k <= candidates")
+    if not (0 <= lambda_num <= lambda_den) or lambda_den < 1:
+        raise ValueError("lambda must be a rational in [0, 1]")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_vec"),
+            F.round(cosine(F.col(vec_col), q) * 1e6).cast("bigint").alias(
+                "rel_micros"
+            ),
+        )
+        .orderBy(F.col("rel_micros").desc(), F.col(id_col).asc())
+        .limit(candidates)
+        .localCheckpoint(eager=True)  # feeds the pair join twice + the result
+    )
+    a = cand.select(F.col(id_col).alias("_a"), F.col("_vec").alias("_va"))
+    b = cand.select(F.col(id_col).alias("_b"), F.col("_vec").alias("_vb"))
+    sims = (
+        a.join(b, F.col("_a") < F.col("_b"))
+        .select(
+            "_a",
+            "_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")) * 1e6)
+            .cast("bigint")
+            .alias("sim_micros"),
+        )
+    )
+    # bounded fetches: <= C and <= C(C-1)/2 rows by construction
+    cand_rows = [
+        (r[id_col], r["rel_micros"]) for r in cand.select(id_col, "rel_micros").collect()
+    ]
+    sim = {}
+    for r in sims.collect():
+        sim[(r["_a"], r["_b"])] = r["sim_micros"]
+        sim[(r["_b"], r["_a"])] = r["sim_micros"]
+    rel = dict(cand_rows)
+    dn = lambda_den - lambda_num
+    selected: list[tuple[int, object, int]] = []  # (rank, id, score_scaled)
+    chosen: set = set()
+    for rank in range(1, k + 1):
+        best = None
+        for cid, rm in cand_rows:
+            if cid in chosen:
+                continue
+            ms = max((sim[(cid, s)] for s in chosen), default=0)
+            score = lambda_num * rm - dn * ms
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, score)
+        selected.append((rank, best[1], best[2]))
+        chosen.add(best[1])
+    spark = df.sparkSession
+    sel = spark.createDataFrame(
+        [(r, i, s) for r, i, s in selected], ["rank", "_sid", "score_scaled"]
+    )
+    return (
+        sel.join(cand, sel["_sid"] == cand[id_col])
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col(id_col),
+            (F.col("rel_micros") / F.lit(1e6)).alias("relevance"),
+            (
+                F.col("score_scaled") / F.lit(float(lambda_den) * 1e6)
+            ).alias("mmr"),
+        )
+        .orderBy("rank")
+    )
+
+
+def mmr_topk_sql(
+    vectors_sql: str,
+    query_sql: str,
+    id_col: str = "vec_id",
+    k: int = 10,
+    candidates: int = 30,
+    lambda_num: int = 7,
+    lambda_den: int = 10,
+) -> str:
+    """DuckDB oracle twin of :func:`mmr_topk` — the greedy unrolled as
+    k chained argmax CTEs over the same integer-micros arithmetic.
+
+    ``vectors_sql`` must yield (``id_col``, e DOUBLE[]); ``query_sql``
+    must yield one row (qe DOUBLE[]).
+    """
+    dn = lambda_den - lambda_num
+    parts = [
+        f"WITH v AS MATERIALIZED ({vectors_sql}),"
+        f" q AS MATERIALIZED ({query_sql}),"
+        " cand AS MATERIALIZED (SELECT"
+        f"  {id_col} AS id, e,"
+        "  CAST(round(list_dot_product(e, qe) /"
+        "   (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))"
+        "   * 1e6) AS BIGINT) AS rel_micros"
+        f"  FROM v, q ORDER BY rel_micros DESC, id ASC LIMIT {candidates}),"
+        " sims AS MATERIALIZED (SELECT a.id AS sa, b.id AS sb,"
+        "  CAST(round(list_dot_product(a.e, b.e) /"
+        "   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+        "   * 1e6) AS BIGINT) AS sim_micros"
+        "  FROM cand a JOIN cand b ON a.id <> b.id),",
+        f" pick1 AS MATERIALIZED (SELECT 1 AS rank, id,"
+        f"  {lambda_num} * rel_micros AS score_scaled"
+        f"  FROM cand ORDER BY rel_micros DESC, id ASC LIMIT 1),"
+        f" sel1 AS MATERIALIZED (SELECT id FROM pick1),",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(
+            f" p{i} AS (SELECT c.id,"
+            f"  {lambda_num} * c.rel_micros - {dn} * coalesce("
+            f"   (SELECT max(s.sim_micros) FROM sims s WHERE s.sa = c.id"
+            f"    AND s.sb IN (SELECT id FROM sel{p})), 0) AS score_scaled"
+            f"  FROM cand c WHERE c.id NOT IN (SELECT id FROM sel{p})),"
+            f" pick{i} AS MATERIALIZED (SELECT {i} AS rank, id, score_scaled"
+            f"  FROM p{i} ORDER BY score_scaled DESC, id ASC LIMIT 1),"
+            f" sel{i} AS MATERIALIZED (SELECT id FROM sel{p}"
+            f"  UNION ALL SELECT id FROM pick{i}),",
+        )
+    picks = " UNION ALL ".join(f"SELECT * FROM pick{i}" for i in range(1, k + 1))
+    body = "".join(parts).rstrip(",")
+    return (
+        f"{body} SELECT CAST(pk.rank AS INT) AS rank, pk.id AS {id_col},"
+        " cand.rel_micros / 1e6 AS relevance,"
+        f" pk.score_scaled / {float(lambda_den) * 1e6} AS mmr"
+        f" FROM ({picks}) pk JOIN cand ON cand.id = pk.id ORDER BY pk.rank"
+    )

@@ -1541,3 +1541,86 @@ def test_filtered_ann_prefilter_semantics(spark):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     assert [r["vec_id"] for r in got] == [3, 4]
+
+
+def test_mmr_diversifies_vs_pure_relevance(spark):
+    # docs 1 and 2 are exact duplicates (sim 1.0) and tie for most
+    # relevant; pure top-3 would take both, MMR (λ=0.5) swaps the
+    # duplicate for doc 3 (equally relevant, OPPOSITE in the dim the
+    # query ignores) and then prefers orthogonal doc 4 over the dup
+    rows = [
+        (1, [0.6, 0.8, 0.0]),
+        (2, [0.6, 0.8, 0.0]),
+        (3, [0.6, -0.8, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = similarity.mmr_topk(
+        emb, "vec_id", "embedding", [1.0, 0.0, 0.0],
+        k=3, candidates=4, lambda_num=1, lambda_den=2,
+    ).collect()
+    assert [r["vec_id"] for r in got] == [1, 3, 4]
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    # rank 1 mmr = λ·rel = 0.5·0.6
+    assert got[0]["relevance"] == 0.6 and got[0]["mmr"] == 0.3
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    rows = [(i, [1.0 - 0.01 * i, 0.01 * i]) for i in range(8)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = similarity.mmr_topk(
+        emb, "vec_id", "embedding", [1.0, 0.0],
+        k=4, candidates=8, lambda_num=1, lambda_den=1,
+    ).collect()
+    want = [
+        r["vec_id"]
+        for r in similarity.brute_force_topk(
+            emb, "vec_id", "embedding", [1.0, 0.0], k=4
+        ).collect()
+    ]
+    assert [r["vec_id"] for r in got] == want
+
+
+def test_mmr_sql_twin_parity_random(spark):
+    import random
+
+    import duckdb
+
+    rng = random.Random(81)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(6)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qv = rows[7][1]
+    got = [
+        (r["rank"], r["vec_id"], r["relevance"], r["mmr"])
+        for r in similarity.mmr_topk(
+            emb, "vec_id", "embedding", qv, k=6, candidates=20,
+            lambda_num=3, lambda_den=4,
+        ).collect()
+    ]
+    vals = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(x) for x in v))
+        for i, v in rows
+    )
+    qsql = "SELECT [%s]::DOUBLE[] AS qe" % ", ".join(repr(x) for x in qv)
+    sql = similarity.mmr_topk_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(vec_id, e)", qsql,
+        id_col="vec_id", k=6, candidates=20, lambda_num=3, lambda_den=4,
+    )
+    want = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    assert got == want
+
+
+def test_mmr_validation(spark):
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        similarity.mmr_topk(emb, "vec_id", "embedding", [1.0, 0.0], k=0)
+    with pytest.raises(ValueError):
+        similarity.mmr_topk(
+            emb, "vec_id", "embedding", [1.0, 0.0], k=5, candidates=3
+        )
+    with pytest.raises(ValueError):
+        similarity.mmr_topk(
+            emb, "vec_id", "embedding", [1.0, 0.0], lambda_num=11, lambda_den=10
+        )
