@@ -5021,6 +5021,22 @@ def q_t28_multi_substring(spark, sf_dir):
     )
 
 
+def q_t31_ngram_novelty(spark, sf_dir):
+    """Cross-document n-gram novelty (r8): fraction of each doc's
+    distinct word 3-grams appearing in NO other document
+    (textops.ngram_novelty) — the memorization/template screen; the
+    corpus's planted duplicate and doubled-text docs land near 0 while
+    unique prose sits near 1. One gram-keyed aggregate + one join back
+    + one doc-keyed aggregate, linear in token volume; the ratio is
+    rounded in exact integer arithmetic (the t30 decimal-tie rule)."""
+    from healthcare_api_spark.operators import textops
+
+    _tune(spark)
+    return textops.ngram_novelty(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3
+    )
+
+
 def q_t29_char_entropy(spark, sf_dir):
     """Character-distribution entropy (r8): per-doc Shannon bits over
     exact integer char counts (textops.char_entropy) — the cheap
@@ -5272,6 +5288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r8 wave 8 (new — need first driver hashes) ---
         "g6_adamic_adar": q_g6_adamic_adar,
         "v18_mmr_topk": q_v18_mmr_topk,
+        "t31_ngram_novelty": q_t31_ngram_novelty,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -7467,6 +7484,25 @@ def oracle_sql() -> dict[str, str]:
     # unrolled as k argmax CTEs over the same candidate/sim frames
     from healthcare_api_spark.operators.similarity import mmr_topk_sql
 
+    # r8: t31 — n-gram novelty: distinct (doc, 3-shingle) pairs →
+    # gram df → per-doc novel fraction, rounded via integer DIV (the
+    # t30 decimal-tie rule — novel/n_grams is a small-denominator
+    # rational)
+    out["t31_ngram_novelty"] = (
+        f"WITH docs AS (SELECT doc_id, text FROM documents),"
+        f"{_shingle_cte()},"
+        " g AS (SELECT DISTINCT doc_id, s FROM sh WHERE s <> ''),"
+        " dfq AS (SELECT s, CAST(count(*) AS BIGINT) AS gdf"
+        "  FROM g GROUP BY s),"
+        " per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,"
+        "  CAST(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS novel_grams"
+        "  FROM g JOIN dfq USING (s) GROUP BY doc_id)"
+        " SELECT doc_id, n_grams, novel_grams,"
+        "  CAST((2 * novel_grams * 1000000 + n_grams) // (2 * n_grams)"
+        "   AS BIGINT) / 1000000.0 AS novelty"
+        " FROM per"
+    )
     out["v18_mmr_topk"] = mmr_topk_sql(
         "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
         " FROM embeddings",

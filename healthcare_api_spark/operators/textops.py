@@ -1745,3 +1745,58 @@ def hashed_classifier_score(
         ).alias("prob"),
         (F.col("_num") >= 0).cast("int").alias("keep"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Cross-document n-gram novelty per document — the memorization /
+    template screen: what fraction of a document's distinct word
+    n-grams appears in NO other document? Boilerplate, mirrored pages
+    and templated spam sit near 0; genuinely fresh text near 1. (The
+    complement of this ratio is the "n-gram overlap with the rest of
+    the corpus" statistic used in memorization studies and C4-style
+    template analyses.)
+
+    Shape: distinct (doc, gram) pairs → one gram-keyed map-side-combined
+    aggregate for document frequency → join back → one doc-keyed
+    aggregate. Work is linear in corpus token volume; grams shuffle as
+    strings once each way (at 100 TB, md5 the gram for a 16-byte key —
+    the paragraph_dedup precedent).
+
+    Output: (id, n_grams, novel_grams, novelty) — counts exact int64;
+    ``novelty`` is the rational novel/n_grams rounded to 6 dp IN EXACT
+    INTEGER ARITHMETIC (half away from zero via DIV — the t30 rule:
+    small-denominator rationals land on decimal ties where engines'
+    double rounding disagrees) then divided by 1e6, one
+    correctly-rounded op in both engines.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from healthcare_api_spark.functions.text import word_shingles
+
+    grams = (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        .filter(F.col("g") != "")
+        .distinct()
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("gdf"))
+    per = (
+        grams.join(dfreq, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("gdf") == 1, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("novel_grams"),
+        )
+    )
+    micros = F.expr(
+        "(2 * novel_grams * 1000000 + n_grams) DIV (2 * n_grams)"
+    )
+    return per.select(
+        F.col(id_col),
+        "n_grams",
+        "novel_grams",
+        (micros.cast("double") / F.lit(1_000_000.0)).alias("novelty"),
+    )

@@ -1624,3 +1624,57 @@ def test_mmr_validation(spark):
         similarity.mmr_topk(
             emb, "vec_id", "embedding", [1.0, 0.0], lambda_num=11, lambda_den=10
         )
+
+
+def test_ngram_novelty_hand_computed(spark):
+    # doc 1/2 identical -> every gram shared -> novelty 0;
+    # doc 3 unique -> 1.0; doc 4 shares its first gram with doc 5
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),           # grams: "a b c", "b c d"
+            (2, "a b c d"),
+            (3, "x y z w"),           # "x y z", "y z w" unique
+            (4, "p q r s"),           # "p q r" shared with 5, "q r s" novel
+            (5, "p q r t"),           # "p q r" shared, "q r t" novel
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novel_grams"], r["novelty"])
+        for r in textops.ngram_novelty(docs, "doc_id", "text", n=3).collect()
+    }
+    assert got[1] == (2, 0, 0.0) and got[2] == (2, 0, 0.0)
+    assert got[3] == (2, 2, 1.0)
+    assert got[4] == (2, 1, 0.5) and got[5] == (2, 1, 0.5)
+
+
+def test_ngram_novelty_short_doc_whole_text_shingle(spark):
+    # <n tokens -> one whole-text shingle (word_shingles contract)
+    docs = spark.createDataFrame(
+        [(1, "hello there"), (2, "hello there"), (3, "only me")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novel_grams"])
+        for r in textops.ngram_novelty(docs, "doc_id", "text", n=3).collect()
+    }
+    assert got == {1: (1, 0), 2: (1, 0), 3: (1, 1)}
+
+
+def test_ngram_novelty_integer_tie_rounding(spark):
+    import math
+
+    # force a decimal-tie denominator: 1 novel gram of 16 -> 0.0625
+    # exact; and the DIV formula must equal round-half-away on the
+    # true rational for every (novel, n) pair we see
+    words = " ".join(f"w{i}" for i in range(18))  # 16 distinct 3-grams
+    docs = spark.createDataFrame(
+        [(1, words), (2, " ".join(f"w{i}" for i in range(15)))],
+        ["doc_id", "text"],
+    )
+    for r in textops.ngram_novelty(docs, "doc_id", "text", n=3).collect():
+        frac = r["novel_grams"] / r["n_grams"]
+        want = math.floor(r["novel_grams"] * 1e6 / r["n_grams"] + 0.5) / 1e6
+        assert abs(r["novelty"] - want) < 1e-12, (r, frac)
+    with pytest.raises(ValueError):
+        textops.ngram_novelty(docs, "doc_id", "text", n=0)
