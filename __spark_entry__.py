@@ -5256,6 +5256,36 @@ def q_u9_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_u10_leakage_safe_splits(spark, sf_dir):
+    """Leakage-safe train/val/test assignment (r8): near-dup clusters
+    (the d6 minhash-band pairs over corpus ∪ planted duplicates →
+    alternating-star connected components, convergence ENFORCED with
+    on_nonconverged='raise') are split atomically — the hash bucket is
+    salted md5 of the CLUSTER's canonical id, so a doc and its planted
+    copy can never land on opposite sides of the train/eval fence
+    (curation.leakage_safe_splits). The oracle recomputes clusters by
+    recursive reach closure (valid precisely because the engine RAISES
+    if its fixed rounds didn't converge) and mirrors the cumulative
+    hex-threshold split CASE."""
+    _tune(spark)
+    docs = _docs_dup(spark, sf_dir)
+    sets = docs.select(
+        "doc_id", dedup.seeded_hash_min(F.col("text"), 0, 3).alias("mh0")
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("mh0").alias("ma"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("mh0").alias("mb"))
+    pairs = (
+        a.join(b, F.col("ma") == F.col("mb"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return curation.leakage_safe_splits(
+        docs, "doc_id", pairs, "id_a", "id_b",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split", iters=8, on_nonconverged="raise",
+    )
+
+
 # ----------------------------------------------------------------- export --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5289,6 +5319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_adamic_adar": q_g6_adamic_adar,
         "v18_mmr_topk": q_v18_mmr_topk,
         "t31_ngram_novelty": q_t31_ngram_novelty,
+        "u10_leakage_safe_splits": q_u10_leakage_safe_splits,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -7484,6 +7515,25 @@ def oracle_sql() -> dict[str, str]:
     # unrolled as k argmax CTEs over the same candidate/sim frames
     from healthcare_api_spark.operators.similarity import mmr_topk_sql
 
+    # r8: u10 — leakage-safe splits: the d6 recursive-reach clusters
+    # (valid because the engine RAISES on non-convergence) + the ds4
+    # cumulative hex-threshold CASE keyed on the CLUSTER id
+    from healthcare_api_spark.operators.curation import (
+        sample_threshold as _thr,
+    )
+
+    _u10_splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    _u10_h = "substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8)"
+    _u10_whens = []
+    _u10_cum = 0.0
+    for _nm in list(_u10_splits)[:-1]:
+        _u10_cum += _u10_splits[_nm]
+        _u10_whens.append(f"WHEN {_u10_h} < '{_thr(_u10_cum)}' THEN '{_nm}'")
+    out["u10_leakage_safe_splits"] = (
+        f"WITH cl AS (SELECT * FROM ({out['d6_neardup_clusters']}))"
+        f" SELECT doc_id, cluster_id,"
+        f" CASE {' '.join(_u10_whens)} ELSE 'test' END AS split FROM cl"
+    )
     # r8: t31 — n-gram novelty: distinct (doc, 3-shingle) pairs →
     # gram df → per-doc novel fraction, rounded via integer DIV (the
     # t30 decimal-tie rule — novel/n_grams is a small-denominator

@@ -870,3 +870,48 @@ def importance_weights(
             ),
         )
     )
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    pair_src: str,
+    pair_dst: str,
+    splits: dict[str, float],
+    salt: str = "split",
+    iters: int = 8,
+    on_nonconverged: str = "warn",
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment — the leakage-safe
+    split: rows are bucketed by a salted hash of their NEAR-DUP
+    CLUSTER's canonical id, not their own, so two near-duplicate
+    documents can never straddle train and eval (the standard
+    contamination failure a plain ``assign_splits`` on doc ids allows:
+    the model trains on one copy and is scored on the other).
+
+    ``pairs`` is any near-dup pair frame (MinHash/LSH candidates,
+    SimHash, embedding pairs …); clusters come from
+    :func:`graph.connected_components` (alternating-star, O(log² n)
+    rounds), rows with no pair form singleton clusters under their own
+    id. Assignment inherits every ``assign_splits`` property —
+    deterministic under re-runs, appends and repartitioning — PLUS
+    cluster atomicity.
+
+    Output: (id, cluster_id, split). One CC run over the pair set +
+    one left join; the splits hash is a narrow expression.
+    """
+    from healthcare_api_spark.operators.graph import connected_components
+
+    cc = connected_components(
+        pairs, pair_src, pair_dst, iters=iters, on_nonconverged=on_nonconverged
+    ).withColumnRenamed("node", id_col)
+    comp = (
+        df.select(F.col(id_col))
+        .join(cc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return assign_splits(comp, "cluster_id", splits, salt=salt)

@@ -652,3 +652,52 @@ def test_importance_weights_python_reference(spark):
 
     with pytest.raises(ValueError):
         importance_weights(df, "id", "text", F.col("tgt") == 1, num_buckets=0)
+
+
+def test_leakage_safe_splits_cluster_atomic(spark):
+    # chain 1-2-3 plus pair (10, 11); 20 is a singleton
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in curation.leakage_safe_splits(
+            docs, "doc_id", pairs, "id_a", "id_b",
+            {"train": 0.5, "val": 0.25, "test": 0.25},
+        ).collect()
+    }
+    assert got[1][0] == got[2][0] == got[3][0] == 1
+    assert got[10][0] == got[11][0] == 10
+    assert got[20][0] == 20
+    # atomicity: same cluster -> same split
+    assert got[1][1] == got[2][1] == got[3][1]
+    assert got[10][1] == got[11][1]
+
+
+def test_leakage_safe_splits_match_python_md5(spark):
+    from healthcare_api_spark.operators.curation import sample_threshold
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 20) for i in range(20)], ["id_a", "id_b"]
+    )
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    t_train = sample_threshold(0.8)
+    t_val = sample_threshold(0.9)
+
+    def want_split(cid: int) -> str:
+        h = hashlib.md5(f"split:{cid}".encode()).hexdigest()[:8]
+        if h < t_train:
+            return "train"
+        if h < t_val:
+            return "val"
+        return "test"
+
+    for r in curation.leakage_safe_splits(
+        docs, "doc_id", pairs, "id_a", "id_b", splits
+    ).collect():
+        assert r["cluster_id"] == r["doc_id"] % 20
+        assert r["split"] == want_split(r["cluster_id"])
