@@ -3993,6 +3993,35 @@ def q_x11_ewma(spark, sf_dir):
     )
 
 
+def q_x17_holt_linear(spark, sf_dir):
+    """Holt linear-trend smoothing (r8): level + trend + one-step
+    forecast (α=0.3, β=0.2) over the hourly per-type series
+    (temporal.holt_linear) — the double-exponential sibling of x11,
+    the classic capacity forecaster. Inputs rounded to 6 dp BEFORE the
+    recursion, outputs after; the oracle replays the identical
+    two-state recurrence as a recursive CTE in the same IEEE op
+    order."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    out = temporal.holt_linear(
+        hourly, ("event_type",), "bucket", "v", alpha=0.3, beta=0.2
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "v",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
 def q_k5_sample_quantiles(spark, sf_dir):
     """Engine-portable quantile sketch (k5): bottom-k-by-md5 value
     sample per language (KMV pointed at quantiles), then exact
@@ -5282,7 +5311,10 @@ def q_u10_leakage_safe_splits(spark, sf_dir):
     return curation.leakage_safe_splits(
         docs, "doc_id", pairs, "id_a", "id_b",
         {"train": 0.8, "val": 0.1, "test": 0.1},
-        salt="split", iters=8, on_nonconverged="raise",
+        # minhash-equality components are small cliques — 4 alternating
+        # rounds is 2× the measured fixed point; 'raise' keeps the
+        # reach-closure oracle sound if the data ever changes shape
+        salt="split", iters=4, on_nonconverged="raise",
     )
 
 
@@ -5320,6 +5352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v18_mmr_topk": q_v18_mmr_topk,
         "t31_ngram_novelty": q_t31_ngram_novelty,
         "u10_leakage_safe_splits": q_u10_leakage_safe_splits,
+        "x17_holt_linear": q_x17_holt_linear,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -5690,7 +5723,7 @@ def _ds1_case_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from healthcare_api_spark.operators.graph import pagerank_sql
     from healthcare_api_spark.operators.graph import triangle_count_sql
-    from healthcare_api_spark.operators.temporal import ewma_sql
+    from healthcare_api_spark.operators.temporal import ewma_sql, holt_linear_sql
     from healthcare_api_spark.operators.layout import (
         hilbert_key_sql,
         morton_key3_sql,
@@ -6324,6 +6357,19 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT event_type, date_trunc('hour', ts) AS bucket,"
                 " round(sum(value), 6) AS v FROM events GROUP BY 1, 2",
                 "event_type", "bucket", "v", 0.3,
+            )
+            + ")"
+        ),
+        # r8: x17 — Holt linear trend: the same hourly substrate, the
+        # two-state recurrence replayed as a recursive CTE (x11's twin)
+        "x17_holt_linear": (
+            "SELECT k AS event_type, strftime(t, '%Y-%m-%d %H:%M:%S') AS bucket,"
+            " x AS v, round(l, 6) AS level, round(b, 6) AS trend,"
+            " round(f, 6) AS forecast FROM ("
+            + holt_linear_sql(
+                "SELECT event_type, date_trunc('hour', ts) AS bucket,"
+                " round(sum(value), 6) AS v FROM events GROUP BY 1, 2",
+                "event_type", "bucket", "v", 0.3, 0.2,
             )
             + ")"
         ),

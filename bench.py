@@ -189,6 +189,14 @@ HEADLINE = [
     "st10_streaming_hll",
     "v17_filtered_ann",
     "u9_curation_pipeline",
+    # round 8 eighth wave: Adamic-Adar wedge join, the bounded-frame
+    # MMR greedy, corpus-wide n-gram novelty (two gram shuffles), and
+    # the cluster-atomic split composition (CC + hash buckets)
+    "g6_adamic_adar",
+    "v18_mmr_topk",
+    "t31_ngram_novelty",
+    "u10_leakage_safe_splits",
+    "x17_holt_linear",
 ]
 
 N_STEADY = 3

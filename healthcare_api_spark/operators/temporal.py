@@ -1197,3 +1197,107 @@ def sax_similarity_join(
     return out.select(
         "series_a", "series_b", "n_shared", "n_a", "n_b", jac.alias("jaccard")
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    series_cols: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+) -> DataFrame:
+    """Holt's linear-trend (double-exponential) smoothing per series
+    (Holt 1957) — the level+trend sibling of :func:`ewma`, the
+    classic short-horizon forecaster for capacity/traffic series:
+
+        l₁ = x₁,  b₁ = x₂ − x₁ (0 for a single-point series)
+        lᵢ = α·xᵢ + (1−α)·(lᵢ₋₁ + bᵢ₋₁)
+        bᵢ = β·(lᵢ − lᵢ₋₁) + (1−β)·bᵢ₋₁
+
+    Like EWMA/LTTB the recurrence is inherently sequential per series,
+    so it is an ``applyInPandas`` custom operator: ONE shuffle on the
+    series key, then a per-series state loop over the already-sorted
+    numpy arrays. Series count is the parallelism unit at 100 TB.
+
+    Hash-verifiable: :func:`holt_linear_sql` replays the recurrence as
+    a recursive CTE stepping on row_number, with every float op in the
+    SAME IEEE order (α·x + (1−α)·(l+b); β·(l−lp) + (1−β)·b). Round
+    inputs BEFORE and outputs AFTER, the x11 contract.
+
+    Output: input columns + ``level``, ``trend``, ``forecast``
+    (one-step-ahead l + b).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError("beta must be in [0, 1]")
+    import pyspark.sql.types as T
+
+    gcols = list(series_cols)
+    proj = df.select(*gcols, ts_col, value_col)
+    schema = T.StructType(
+        list(proj.schema.fields)
+        + [
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+    a, am = float(alpha), 1.0 - float(alpha)
+    bt, bm = float(beta), 1.0 - float(beta)
+
+    def _holt(pdf):
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        xs = pdf[value_col].astype(float).to_list()
+        ls, bs = [], []
+        lp = bp = 0.0
+        for i, x in enumerate(xs):
+            if i == 0:
+                lv = x
+                bv = xs[1] - xs[0] if len(xs) > 1 else 0.0
+            else:
+                lv = a * x + am * (lp + bp)
+                bv = bt * (lv - lp) + bm * bp
+            ls.append(lv)
+            bs.append(bv)
+            lp, bp = lv, bv
+        pdf["level"] = ls
+        pdf["trend"] = bs
+        pdf["forecast"] = [l + b for l, b in zip(ls, bs)]
+        return pdf
+
+    return proj.groupBy(*gcols).applyInPandas(_holt, schema)
+
+
+def holt_linear_sql(
+    series_sql: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+) -> str:
+    """DuckDB oracle twin of :func:`holt_linear` — the same two-state
+    recurrence as a recursive CTE on row_number, identical IEEE op
+    order (see x11's ewma_sql)."""
+    a, am = repr(float(alpha)), repr(1.0 - float(alpha))
+    bt, bm = repr(float(beta)), repr(1.0 - float(beta))
+    return (
+        f"WITH RECURSIVE ser AS (SELECT {key_col} AS k, {ts_col} AS t,"
+        f"  CAST({value_col} AS DOUBLE) AS x,"
+        f"  row_number() OVER (PARTITION BY {key_col} ORDER BY {ts_col}) AS rn"
+        f"  FROM ({series_sql})),"
+        " n2 AS (SELECT k, x AS x2 FROM ser WHERE rn = 2),"
+        " rec AS ("
+        "  SELECT ser.k, ser.t, ser.x, ser.rn, ser.x AS l,"
+        "   coalesce(n2.x2 - ser.x, 0.0) AS b"
+        "  FROM ser LEFT JOIN n2 ON n2.k = ser.k WHERE ser.rn = 1"
+        "  UNION ALL"
+        f"  SELECT ser.k, ser.t, ser.x, ser.rn,"
+        f"   {a} * ser.x + {am} * (rec.l + rec.b),"
+        f"   {bt} * (({a} * ser.x + {am} * (rec.l + rec.b)) - rec.l)"
+        f"    + {bm} * rec.b"
+        "  FROM rec JOIN ser ON ser.k = rec.k AND ser.rn = rec.rn + 1)"
+        " SELECT k, t, x, l, b, l + b AS f FROM rec"
+    )

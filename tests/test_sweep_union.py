@@ -208,6 +208,8 @@ def test_r8_changed_oracles_match_at_sf0001():
         "t28_multi_substring", "t29_char_entropy", "d20_cdc_chunks",
         "v16_ivfpq_topk", "t30_hashed_classifier",
         "st10_streaming_hll", "v17_filtered_ann", "u9_curation_pipeline",
+        "g6_adamic_adar", "v18_mmr_topk", "t31_ngram_novelty",
+        "u10_leakage_safe_splits", "x17_holt_linear",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()

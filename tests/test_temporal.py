@@ -661,3 +661,79 @@ def test_sax_similarity_join_max_df_cut_and_validation(spark):
         sax_similarity_join(df, "g", "o", "v", word_len=1)
     with pytest.raises(ValueError):
         sax_similarity_join(df, "g", "o", "v", max_df=1)
+
+
+def test_holt_linear_hand_computed(spark):
+    from healthcare_api_spark.operators.temporal import holt_linear
+
+    rows = [("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 15.0)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    got = {
+        r["t"]: (r["level"], r["trend"], r["forecast"])
+        for r in holt_linear(df, ("k",), "t", "v", alpha=0.5, beta=0.5).collect()
+    }
+    # l1=10, b1=x2-x1=2
+    assert got[1] == (10.0, 2.0, 12.0)
+    # l2 = .5*12 + .5*(10+2) = 12; b2 = .5*(12-10) + .5*2 = 2
+    assert got[2] == (12.0, 2.0, 14.0)
+    # l3 = .5*15 + .5*14 = 14.5; b3 = .5*2.5 + .5*2 = 2.25
+    assert got[3] == (14.5, 2.25, 16.75)
+
+
+def test_holt_linear_perfectly_linear_series_stays_on_line(spark):
+    from healthcare_api_spark.operators.temporal import holt_linear
+
+    rows = [("a", i, 1.0 + 2.0 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    for r in holt_linear(df, ("k",), "t", "v", alpha=0.3, beta=0.2).collect():
+        # α·x + (1−α)·x reassociates (0.3·3 + 0.7·3 = 2.9999999999999996)
+        # so on-the-line is a 1e-9 property, not bit equality
+        assert abs(r["level"] - r["v"]) < 1e-9
+        assert abs(r["trend"] - 2.0) < 1e-9
+        assert abs(r["forecast"] - (r["v"] + 2.0)) < 1e-9
+
+
+def test_holt_linear_single_point_and_validation(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.temporal import holt_linear
+
+    df = spark.createDataFrame([("a", 1, 7.0)], ["k", "t", "v"])
+    r = holt_linear(df, ("k",), "t", "v", alpha=0.4, beta=0.4).collect()[0]
+    assert (r["level"], r["trend"], r["forecast"]) == (7.0, 0.0, 7.0)
+    with pytest.raises(ValueError):
+        holt_linear(df, ("k",), "t", "v", alpha=0.0, beta=0.5)
+    with pytest.raises(ValueError):
+        holt_linear(df, ("k",), "t", "v", alpha=0.5, beta=1.5)
+
+
+def test_holt_linear_sql_twin_parity(spark):
+    import random
+
+    import duckdb
+
+    from healthcare_api_spark.operators.temporal import (
+        holt_linear,
+        holt_linear_sql,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        (k, i, round(rng.uniform(-50, 50), 6))
+        for k in ("a", "b")
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    got = {
+        (r["k"], r["t"]): (r["level"], r["trend"], r["forecast"])
+        for r in holt_linear(df, ("k",), "t", "v", alpha=0.3, beta=0.2).collect()
+    }
+    vals = ", ".join(f"('{k}', {t}, {v!r})" for k, t, v in rows)
+    sql = holt_linear_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(k, t, v)", "k", "t", "v", 0.3, 0.2
+    )
+    want = {
+        (k, t): (l, b, f)
+        for k, t, _x, l, b, f in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == want
