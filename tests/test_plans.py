@@ -473,3 +473,44 @@ def test_curation_pipeline_composed_plan(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SinglePartition" not in plan
+
+
+def test_adamic_adar_no_single_partition(spark):
+    # g6 (r8 wave 8): wedge self-join + anti-join + agg must stay
+    # hash-partitioned end to end; the top-100 cut is a TakeOrdered,
+    # never a global Sort
+    df = entrymod.q_g6_adamic_adar(spark, SF_DIR)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mmr_result_assembly_is_bounded(spark):
+    # v18 (r8 wave 8): the corpus pays exactly ONE scan — the coarse
+    # top-C heap, pinned by the candidates' localCheckpoint. The final
+    # assembly plan must therefore read only the checkpointed ≤C-row
+    # frame (Scan ExistingRDD), never the embeddings parquet again;
+    # its rank sort is over ≤k rows (bounded by construction)
+    df = entrymod.q_v18_mmr_topk(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan
+    assert "embeddings" not in plan  # no second corpus scan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_two_keyed_shuffles_no_single_partition(spark):
+    # t31 (r8 wave 8): gram-df aggregate + join back + doc aggregate,
+    # all hash-partitioned
+    df = entrymod.q_t31_ngram_novelty(spark, SF_DIR)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_leakage_safe_splits_no_cartesian_no_single_partition(spark):
+    # u10 (r8 wave 8): CC rounds are equi-joins + keyed aggs; the
+    # split hash is a narrow expression on the joined frame
+    df = entrymod.q_u10_leakage_safe_splits(spark, SF_DIR)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
