@@ -5309,7 +5309,9 @@ def q_u10_leakage_safe_splits(spark, sf_dir):
         .select("id_a", "id_b")
     )
     return curation.leakage_safe_splits(
-        docs, "doc_id", pairs, "id_a", "id_b",
+        # id-only frame: the operator passes EVERY input column
+        # through; the gate hashes the (id, cluster, split) core
+        docs.select("doc_id"), "doc_id", pairs, "id_a", "id_b",
         {"train": 0.8, "val": 0.1, "test": 0.1},
         # minhash-equality components are small cliques — 4 alternating
         # rounds is 2× the measured fixed point; 'raise' keeps the

@@ -332,12 +332,26 @@ def main() -> None:
         for r in sketches.kmv_set_ops(vocab_sk, "pred_lang", k=64).collect()
     ]
 
-    # 10. deterministic train/val/test assignment + round-robin source
-    # interleave: the written order alternates languages so training
-    # batches never see long single-source runs; appends never move a
-    # row across splits
-    corpus = curation.assign_splits(
-        corpus, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="splits-v1"
+    # 9d. cross-document n-gram novelty (r8): what fraction of each
+    # kept doc's 3-grams is unique to it? a low corpus-wide mean says
+    # the dedup stages left templated text behind — the memorization
+    # screen as a release-quality metric
+    novelty = textops.ngram_novelty(corpus, "doc_id", "text", n=3)
+    mean_novelty = novelty.agg(
+        F.round(F.avg("novelty"), 4).alias("m")
+    ).collect()[0]["m"]
+
+    # 10. LEAKAGE-SAFE train/val/test assignment (r8) + round-robin
+    # source interleave: the split hash is keyed on the stage-6
+    # near-dup CLUSTER canonical, not the doc id — so if a near-copy
+    # of a kept doc is ever re-admitted by a later append, it lands in
+    # the SAME split as its cluster instead of contaminating eval;
+    # interleaving alternates languages so training batches never see
+    # long single-source runs
+    corpus = curation.leakage_safe_splits(
+        corpus, "doc_id", pairs, "id_a", "id_b",
+        {"train": 0.9, "val": 0.05, "test": 0.05}, salt="splits-v1",
+        iters=6,
     )
     order = sorted(langs_ for (langs_,) in corpus.select("pred_lang").distinct().collect())
     corpus = curation.interleave_sources(corpus, "doc_id", "pred_lang", order)
@@ -368,6 +382,12 @@ def main() -> None:
     print(f"winsorized lengths:    mean {stats['mean_tokens_wins']} ({n_clipped} clipped)")
     print(f"packed sequences/lang: max {n_seqs} @512 tokens")
     print(f"RAG chunks (64/16):    {n_chunks}")
+    splits_out = {
+        r["split"]: r["cnt"]
+        for r in corpus.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    print(f"mean 3-gram novelty:   {mean_novelty}")
+    print(f"leakage-safe splits:   {splits_out}")
     print(f"by language:           {langs}")
     print(f"DSIR weight by lang:   {dsir_by_lang}")
     print(f"top vocab (CMS est):   {top_vocab}")

@@ -898,8 +898,11 @@ def leakage_safe_splits(
     deterministic under re-runs, appends and repartitioning — PLUS
     cluster atomicity.
 
-    Output: (id, cluster_id, split). One CC run over the pair set +
-    one left join; the splits hash is a narrow expression.
+    Output: EVERY input column + ``cluster_id`` + ``split`` — the
+    passthrough shape (the u9 lesson: an operator returning only
+    (id, result) forces callers into lineage-replaying join-backs).
+    One CC run over the pair set + one left join; the splits hash is
+    a narrow expression.
     """
     from healthcare_api_spark.operators.graph import connected_components
 
@@ -907,11 +910,11 @@ def leakage_safe_splits(
         pairs, pair_src, pair_dst, iters=iters, on_nonconverged=on_nonconverged
     ).withColumnRenamed("node", id_col)
     comp = (
-        df.select(F.col(id_col))
-        .join(cc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        df.join(cc, id_col, "left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("component"), F.col(id_col)),
         )
+        .drop("component")
     )
     return assign_splits(comp, "cluster_id", splits, salt=salt)
