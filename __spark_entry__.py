@@ -1682,6 +1682,47 @@ def q_m2_image_decode(spark, sf_dir):
     return meta.join(sums, "doc_id")
 
 
+def q_m17_image_patches(spark, sf_dir):
+    """ViT-style patch extraction (r8): the m2 synthetic PNGs cut into
+    non-overlapping 8×8 patches (multimodal.image_patches — REAL
+    decode, crop to the patch multiple, partial edges dropped), one
+    row per patch with exact-integer stats. The oracle regenerates the
+    (x+y+doc_id)%256 pixel grid with generate_series, crops to the
+    8-multiples, and groups by (y//8, x//8) — a wrong crop, stride or
+    channel expansion would hash-mismatch. Patch BYTES are projected
+    away (DuckDB has no uint8 tensors); their stats stand in."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_api_spark.operators.multimodal import (
+        encode_png_bytes,
+        image_patches,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 64 + 1, d % 48 + 1
+                ch = (1, 3, 4)[d % 3]
+                v = ((np.add.outer(np.arange(h), np.arange(w)) + d) % 256).astype(np.uint8)
+                payloads.append(encode_png_bytes(np.repeat(v[:, :, None], ch, axis=2)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    pngs = docs.mapInPandas(_gen, "doc_id long, data binary")
+    out = image_patches(pngs, "doc_id", "data", patch=8)
+    return out.filter(F.col("status") == "ok").select(
+        F.col("id").alias("doc_id"),
+        "patch_row", "patch_col", "channels", "px_sum", "px_min", "px_max",
+    )
+
+
 def q_m3_audio_features(spark, sf_dir):
     """REAL codec-free audio path: synthesize a PCM16 WAV per doc with
     doc-derived params (Arrow-batched generator UDF), then run the RIFF
@@ -5355,6 +5396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t31_ngram_novelty": q_t31_ngram_novelty,
         "u10_leakage_safe_splits": q_u10_leakage_safe_splits,
         "x17_holt_linear": q_x17_holt_linear,
+        "m17_image_patches": q_m17_image_patches,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -7563,6 +7605,24 @@ def oracle_sql() -> dict[str, str]:
     # unrolled as k argmax CTEs over the same candidate/sim frames
     from healthcare_api_spark.operators.similarity import mmr_topk_sql
 
+    # r8: m17 — image patches: the m2 pixel grid cropped to 8-multiples
+    # and grouped by patch cell; channel replication multiplies the sum
+    # and leaves min/max unchanged
+    out["m17_image_patches"] = (
+        "WITH dims AS (SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,"
+        " CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch"
+        " FROM documents),"
+        " px AS (SELECT doc_id, ch, x.i AS xx, y.i AS yy,"
+        "  (x.i + y.i + doc_id) % 256 AS v"
+        "  FROM dims, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS i) x,"
+        "  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) y"
+        "  WHERE x.i < (w // 8) * 8 AND y.i < (h // 8) * 8)"
+        " SELECT doc_id, CAST(yy // 8 AS INT) AS patch_row,"
+        "  CAST(xx // 8 AS INT) AS patch_col, CAST(ch AS INT) AS channels,"
+        "  CAST(ch * sum(v) AS BIGINT) AS px_sum,"
+        "  CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max"
+        " FROM px GROUP BY doc_id, ch, yy // 8, xx // 8"
+    )
     # r8: u10 — leakage-safe splits: the d6 recursive-reach clusters
     # (valid because the engine RAISES on non-convergence) + the ds4
     # cumulative hex-threshold CASE keyed on the CLUSTER id

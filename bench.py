@@ -197,6 +197,7 @@ HEADLINE = [
     "t31_ngram_novelty",
     "u10_leakage_safe_splits",
     "x17_holt_linear",
+    "m17_image_patches",
 ]
 
 N_STEADY = 3

@@ -2431,3 +2431,81 @@ def image_ahash(
             yield pd.DataFrame(rows)
 
     return df.select(F.col(id_col), F.col(data_col)).mapInPandas(_hash, schema)
+
+
+IMAGE_PATCHES_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("patch_row", IntegerType()),
+        StructField("patch_col", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("patch", BinaryType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def image_patches(
+    df: DataFrame, id_col: str, data_col: str, patch: int = 16
+) -> DataFrame:
+    """Non-overlapping ``patch``×``patch`` patch extraction from PNG
+    payloads — the ViT/image-tokenizer prep step: one output row per
+    patch carrying the raw interleaved-uint8 patch bytes plus
+    EXACT-integer stats (sum across all channels, min, max — the
+    normalization inputs a patch embedder needs and the columns a
+    DuckDB oracle can recompute analytically).
+
+    Decode is the REAL codec-free PNG kernel (zlib + numpy
+    unfiltering, shared with :func:`decode_png`); the image is cropped
+    to the largest patch multiple (partial edge patches are DROPPED —
+    the standard ViT convention is resize-to-multiple upstream;
+    images smaller than one patch yield no rows). Undecodable rows
+    surface as ONE row with null patch fields and the error ``status``
+    (the per-row capture contract every multimodal kernel here
+    follows). Arrow-batched ``mapInPandas``; each image's patches are
+    emitted from the partition that decoded it — no shuffle.
+    """
+    if patch < 1:
+        raise ValueError("patch must be >= 1")
+    import numpy as np
+
+    P = int(patch)
+    cols = [f.name for f in IMAGE_PATCHES_SCHEMA.fields]
+
+    def _patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[data_col]):
+                null = dict(
+                    patch_row=None, patch_col=None, channels=None,
+                    patch=None, px_sum=None, px_min=None, px_max=None,
+                )
+                if b is None or len(b) == 0:
+                    rows.append(dict(id=rid, status="empty", **null))
+                    continue
+                res = _decode_png_pixels(bytes(b))
+                if isinstance(res, str):
+                    rows.append(dict(id=rid, status=res, **null))
+                    continue
+                w, h, ch, px = res
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                for py in range(h // P):
+                    for pxi in range(w // P):
+                        tile = arr[py * P:(py + 1) * P, pxi * P:(pxi + 1) * P, :]
+                        rows.append(
+                            dict(
+                                id=rid, patch_row=py, patch_col=pxi,
+                                channels=ch, patch=tile.tobytes(),
+                                px_sum=int(tile.sum(dtype=np.int64)),
+                                px_min=int(tile.min()), px_max=int(tile.max()),
+                                status="ok",
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(F.col(id_col), F.col(data_col)).mapInPandas(
+        _patches, IMAGE_PATCHES_SCHEMA
+    )

@@ -1146,3 +1146,59 @@ def test_streaming_neardup_cross_and_within_batch(spark, tmp_path):
     # batch-1 doc 30 — also dropped
     assert got[5] == 0 and got[40] == 0
     assert len(got) == 5
+
+
+def test_image_patches_hand_computed(spark):
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        encode_png_bytes,
+        image_patches,
+    )
+
+    # 8x8 grayscale ramp 0..63, P=4 -> 4 patches
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8, 1)
+    df = spark.createDataFrame([(1, bytearray(encode_png_bytes(arr)))], ["id", "data"])
+    got = {
+        (r["patch_row"], r["patch_col"]): r
+        for r in image_patches(df, "id", "data", patch=4).collect()
+    }
+    assert set(got) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    for (py, px), r in got.items():
+        tile = arr[py * 4:(py + 1) * 4, px * 4:(px + 1) * 4, :]
+        assert r["px_sum"] == int(tile.sum())
+        assert r["px_min"] == int(tile.min())
+        assert r["px_max"] == int(tile.max())
+        assert bytes(r["patch"]) == tile.tobytes()
+        assert r["channels"] == 1 and r["status"] == "ok"
+
+
+def test_image_patches_edges_dropped_and_errors(spark):
+    import numpy as np
+    import pytest
+
+    from healthcare_api_spark.operators.multimodal import (
+        encode_png_bytes,
+        image_patches,
+    )
+
+    # 10x6 RGB, P=4 -> only a 2-wide x 1-tall full-patch grid
+    arr = np.zeros((6, 10, 3), dtype=np.uint8)
+    ok = bytearray(encode_png_bytes(arr))
+    df = spark.createDataFrame(
+        [(1, ok), (2, bytearray(b"notapng")), (3, bytearray(b""))],
+        ["id", "data"],
+    )
+    rows = image_patches(df, "id", "data", patch=4).collect()
+    ok_rows = [r for r in rows if r["status"] == "ok"]
+    assert {(r["patch_row"], r["patch_col"]) for r in ok_rows} == {(0, 0), (0, 1)}
+    by_status = {r["id"]: r["status"] for r in rows if r["status"] != "ok"}
+    assert by_status[2] != "ok" and by_status[3] == "empty"
+    # 3x3 image smaller than one patch -> zero rows, silently
+    tiny = spark.createDataFrame(
+        [(9, bytearray(encode_png_bytes(np.zeros((3, 3, 1), dtype=np.uint8))))],
+        ["id", "data"],
+    )
+    assert image_patches(tiny, "id", "data", patch=4).count() == 0
+    with pytest.raises(ValueError):
+        image_patches(df, "id", "data", patch=0)
