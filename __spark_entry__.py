@@ -3608,6 +3608,34 @@ def q_d18_prefix_jaccard(spark, sf_dir):
     )
 
 
+def q_d21_containment(spark, sf_dir):
+    """Exact-recall set-CONTAINMENT join (r8): ordered pairs with
+    |A∩B| ≥ 0.9·|A| over distinct 3-shingles — the quote/subset
+    detector Jaccard structurally misses (a 30-token quote inside a
+    500-token doc has J ≈ 0.06 but containment 1.0). Substrate:
+    documents ∪ a planted 30-token "quote" of every ≥30-token doc
+    (id + 200000), so every quote must be found inside its parent.
+    Asymmetric prefix filter (A-prefix × B-full equi-join — lossless
+    by the prefix lemma, skew-safe because prefix tokens are globally
+    rare); oracle = the any-shared-shingle join + the same integer
+    verify, a disjoint route proving exact recall."""
+    from healthcare_api_spark.functions.text import tokens as _toks
+
+    _tune(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = (
+        d.select(F.col("doc_id"), _toks(F.col("text")).alias("_w"))
+        .filter(F.size("_w") >= 30)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat_ws(" ", F.slice("_w", 1, 30)).alias("text"),
+        )
+    )
+    return dedup.containment_pairs(
+        d.unionByName(quotes), "doc_id", "text", 9, 10, shingle_n=3
+    )
+
+
 def q_u6_winsorize(spark, sf_dir):
     """Order-statistic winsorization (r7): clip the 100 lowest / 100
     highest event values (in exact integer cents) to the boundary
@@ -5397,6 +5425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u10_leakage_safe_splits": q_u10_leakage_safe_splits,
         "x17_holt_linear": q_x17_holt_linear,
         "m17_image_patches": q_m17_image_patches,
+        "d21_containment": q_d21_containment,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -7605,6 +7634,27 @@ def oracle_sql() -> dict[str, str]:
     # unrolled as k argmax CTEs over the same candidate/sim frames
     from healthcare_api_spark.operators.similarity import mmr_topk_sql
 
+    # r8: d21 — containment join: quotes planted as 30-token prefixes;
+    # the oracle candidate route is ANY shared shingle (lossless for
+    # τ > 0) where the engine prunes by A-prefixes — disjoint routes
+    out["d21_containment"] = (
+        "WITH base AS (SELECT doc_id, text FROM documents),"
+        f" docs AS (SELECT doc_id, text FROM base"
+        f"  UNION ALL SELECT doc_id + 200000,"
+        f"  array_to_string(({_TOKS_SQL})[1:30], ' ') AS text"
+        f"  FROM base WHERE len({_TOKS_SQL}) >= 30),"
+        f"{_shingle_cte()},"
+        " tok AS (SELECT DISTINCT doc_id, s FROM sh WHERE s <> ''),"
+        " st AS (SELECT doc_id, list(DISTINCT s) AS l,"
+        "  CAST(count(*) AS INT) AS n FROM tok GROUP BY doc_id),"
+        " cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib"
+        "  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id <> b.doc_id)"
+        " SELECT ia AS id_a, ib AS id_b, sa.n AS n_a, sb.n AS n_b,"
+        "  CAST(len(list_intersect(sa.l, sb.l)) AS INT) AS overlap"
+        " FROM cand JOIN st sa ON sa.doc_id = ia"
+        "  JOIN st sb ON sb.doc_id = ib"
+        " WHERE len(list_intersect(sa.l, sb.l)) * 10 >= sa.n * 9"
+    )
     # r8: m17 — image patches: the m2 pixel grid cropped to 8-multiples
     # and grouped by patch cell; channel replication multiplies the sum
     # and leaves min/max unchanged

@@ -198,6 +198,7 @@ HEADLINE = [
     "u10_leakage_safe_splits",
     "x17_holt_linear",
     "m17_image_patches",
+    "d21_containment",
 ]
 
 N_STEADY = 3

@@ -1724,3 +1724,101 @@ def cdc_chunks(
     return chunks.withColumn(
         "keep", (F.row_number().over(w) == 1).cast("int")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau_num: int = 9,
+    tau_den: int = 10,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT-recall set-CONTAINMENT join: every ORDERED pair (a, b),
+    a ≠ b, with |A∩B| ≥ τ·|A| over distinct token/shingle sets — the
+    asymmetric sibling of :func:`prefix_jaccard_pairs`. Jaccard misses
+    the quote/subset case by construction (a short doc fully contained
+    in a long one has tiny J); containment is the metric behind
+    "B quotes A", nested mirrors, and training-data plagiarism sweeps.
+
+    Losslessness: with required overlap t = ⌈τ·n_a⌉ ≥ 1, the prefix
+    lemma says A's first n_a − t + 1 elements in ANY global order must
+    include a shared element — so joining A-prefixes (global
+    rarest-first order, the d18 machinery) against B's FULL element
+    set is exact. There is no length-ratio prune (B may be arbitrarily
+    large — that asymmetry is the point). Skew: the B side fans out
+    only where a PREFIX token matches, and prefix tokens are globally
+    rare by construction (frequent tokens never enter prefixes — the
+    d18 argument), so candidates stay Σ prefix_count(t)·df(t) over
+    rare t, never |A|·|B|.
+
+    Verification is exact integer arithmetic
+    (``tau_den·overlap ≥ tau_num·n_a``); the oracle is the
+    any-shared-element join (lossless for τ > 0) + the same verify —
+    two disjoint routes, equality proves exact recall.
+
+    Output: (id_a, id_b, n_a, n_b, overlap) with A = id_a contained
+    in B = id_b.
+    """
+    if not (0 < tau_num <= tau_den):
+        raise ValueError("need 0 < tau_num <= tau_den (tau in (0, 1])")
+    if shingle_n < 1:
+        raise ValueError("shingle_n must be >= 1")
+    elems = (
+        tokens(F.col(text_col))
+        if shingle_n == 1
+        else word_shingles(F.col(text_col), shingle_n)
+    )
+    toks = (
+        df.select(F.col(id_col).alias("_id"), F.explode(elems).alias("_t"))
+        .filter(F.col("_t") != "")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds freq agg, the B side, and arrs
+    )
+    freq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    arrs = (
+        toks.join(freq, "_t")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_df", "_t"))),
+                lambda s: s["_t"],
+            ).alias("_arr")
+        )
+        .withColumn("_n", F.size("_arr"))
+        # prefix length n − ⌈τn⌉ + 1 (exact integer ceil)
+        .withColumn(
+            "_plen",
+            F.col("_n")
+            - F.floor(
+                (F.col("_n") * tau_num + tau_den - 1) / tau_den
+            ).cast("int")
+            + 1,
+        )
+        .localCheckpoint(eager=True)  # feeds the prefix side and both verifies
+    )
+    pref = arrs.select(
+        F.col("_id").alias("_ia"),
+        F.explode(F.slice("_arr", 1, F.col("_plen"))).alias("_t"),
+    )
+    cand = (
+        pref.join(toks.select(F.col("_id").alias("_ib"), "_t"), "_t")
+        .filter(F.col("_ia") != F.col("_ib"))
+        .select("_ia", "_ib")
+        .distinct()
+    )
+    va = arrs.select(F.col("_id").alias("_ia"), F.col("_arr").alias("_aa"), F.col("_n").alias("n_a"))
+    vb = arrs.select(F.col("_id").alias("_ib"), F.col("_arr").alias("_ab"), F.col("_n").alias("n_b"))
+    verified = (
+        cand.join(va, "_ia")
+        .join(vb, "_ib")
+        .withColumn("overlap", F.size(F.array_intersect("_aa", "_ab")))
+        .filter(F.col("overlap") * tau_den >= F.col("n_a") * tau_num)
+    )
+    return verified.select(
+        F.col("_ia").alias("id_a"),
+        F.col("_ib").alias("id_b"),
+        F.col("n_a").cast("int").alias("n_a"),
+        F.col("n_b").cast("int").alias("n_b"),
+        F.col("overlap").cast("int").alias("overlap"),
+    )

@@ -1008,3 +1008,70 @@ def test_cdc_chunks_short_doc_single_chunk(spark):
     rows = cdc_chunks(df, "doc_id", "text", window=16).collect()
     assert len(rows) == 1
     assert rows[0]["chunk_len"] == 4 and rows[0]["start_pos"] == 0
+
+
+def test_containment_quote_found_jaccard_blind(spark):
+    from healthcare_api_spark.operators.dedup import (
+        containment_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    long = " ".join(f"w{i}" for i in range(200))
+    quote = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"z{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, long), (2, quote), (3, other)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in containment_pairs(docs, "doc_id", "text", 9, 10, 3).collect()
+    }
+    # quote (28 shingles) fully inside long (198); NOT vice versa
+    assert got == {(2, 1): 28}
+    # Jaccard at the same strictness misses it: J = 28/198 ≈ 0.14
+    j = prefix_jaccard_pairs(docs, "doc_id", "text", 9, 10, shingle_n=3)
+    assert j.count() == 0
+
+
+def test_containment_brute_force_parity_random(spark):
+    import random
+
+    from healthcare_api_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(55)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = []
+    for i in range(30):
+        n = rng.randint(3, 20)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for tn, td in ((1, 2), (7, 10), (1, 1)):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in containment_pairs(docs, "doc_id", "text", tn, td, 1).collect()
+        }
+        sets = {
+            i: set(t.lower().split())
+            for i, t in rows
+        }
+        want = {
+            (a, b)
+            for a in sets
+            for b in sets
+            if a != b and len(sets[a] & sets[b]) * td >= len(sets[a]) * tn
+        }
+        assert got == want, (tn, td)
+
+
+def test_containment_validation(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        containment_pairs(docs, "doc_id", "text", 0, 10)
+    with pytest.raises(ValueError):
+        containment_pairs(docs, "doc_id", "text", 11, 10)
+    with pytest.raises(ValueError):
+        containment_pairs(docs, "doc_id", "text", 1, 2, shingle_n=0)
