@@ -5119,6 +5119,21 @@ def q_t28_multi_substring(spark, sf_dir):
     )
 
 
+def q_t32_readability(spark, sf_dir):
+    """Flesch readability scores (r8): Reading Ease + grade level per
+    doc (textops.readability) from exact-integer regexp counts
+    (words/sentence-runs/vowel-group syllables), map-only. Both scores
+    are small-denominator rationals rounded in exact integer
+    arithmetic (the t30 decimal-tie rule) — with integer counts, exact
+    .0005 ties DO occur and a double round() would diverge."""
+    from healthcare_api_spark.operators import textops
+
+    _tune(spark)
+    return textops.readability(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def q_t31_ngram_novelty(spark, sf_dir):
     """Cross-document n-gram novelty (r8): fraction of each doc's
     distinct word 3-grams appearing in NO other document
@@ -5426,6 +5441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x17_holt_linear": q_x17_holt_linear,
         "m17_image_patches": q_m17_image_patches,
         "d21_containment": q_d21_containment,
+        "t32_readability": q_t32_readability,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -7634,6 +7650,36 @@ def oracle_sql() -> dict[str, str]:
     # unrolled as k argmax CTEs over the same candidate/sim frames
     from healthcare_api_spark.operators.similarity import mmr_topk_sql
 
+    # r8: t32 — readability: the same exact-integer counts + the
+    # integer-DIV milli rounding, negatives via the t30 CASE
+    _t32_milli = (
+        "CASE WHEN {n} >= 0 THEN (2 * ({n}) + {d}) // (2 * ({d}))"
+        " ELSE -((2 * -({n}) + {d}) // (2 * ({d}))) END"
+    )
+    _t32_w = f"greatest(len({_TOKS_SQL}), 1)"
+    _t32_s = f"greatest(len(regexp_extract_all({_NORM_SQL}, '[.!?]+')), 1)"
+    _t32_sy = f"greatest(len(regexp_extract_all({_NORM_SQL}, '[aeiouy]+')), 1)"
+    _t32_fre = (
+        "206835 * n_sentences * n_words - 1015 * n_words * n_words"
+        " - 84600 * n_syllables * n_sentences"
+    )
+    _t32_fk = (
+        "390 * n_words * n_words + 11800 * n_syllables * n_sentences"
+        " - 15590 * n_sentences * n_words"
+    )
+    _t32_d = "n_sentences * n_words"
+    out["t32_readability"] = (
+        f"WITH base AS (SELECT doc_id,"
+        f" CAST({_t32_w} AS BIGINT) AS n_words,"
+        f" CAST({_t32_s} AS BIGINT) AS n_sentences,"
+        f" CAST({_t32_sy} AS BIGINT) AS n_syllables FROM documents)"
+        f" SELECT doc_id, n_words, n_sentences, n_syllables,"
+        f" CAST({_t32_milli.format(n=_t32_fre, d=_t32_d)} AS BIGINT)"
+        f"  / 1000.0 AS fre,"
+        f" CAST({_t32_milli.format(n=_t32_fk, d=_t32_d)} AS BIGINT)"
+        f"  / 1000.0 AS fkgl"
+        f" FROM base"
+    )
     # r8: d21 — containment join: quotes planted as 30-token prefixes;
     # the oracle candidate route is ANY shared shingle (lossless for
     # τ > 0) where the engine prunes by A-prefixes — disjoint routes

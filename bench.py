@@ -199,6 +199,7 @@ HEADLINE = [
     "x17_holt_linear",
     "m17_image_patches",
     "d21_containment",
+    "t32_readability",
 ]
 
 N_STEADY = 3

@@ -1800,3 +1800,72 @@ def ngram_novelty(
         "novel_grams",
         (micros.cast("double") / F.lit(1_000_000.0)).alias("novelty"),
     )
+
+
+def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade level per document —
+    the classic readability gate (Flesch 1948 / Kincaid 1975), a
+    standard feature column in quality-classifier stacks beside the
+    Gopher charter rules.
+
+    Deterministic proxy features, all EXACT integer counts from narrow
+    regexp_count expressions (no shuffle, map-only):
+
+      ``n_words``      whitespace tokens of the normalized text
+      ``n_sentences``  runs of sentence punctuation ``[.!?]+``
+                       (min 1 — fragment convention)
+      ``n_syllables``  vowel-group runs ``[aeiouy]+`` across the text
+                       (the standard cheap syllable proxy; min 1)
+
+    Both scores are rationals over the common denominator
+    s·w with integer-constant numerators:
+
+      FRE  = (206835·s·w − 1015·w² − 84600·sy·s) / (s·w)   [milli]
+      FKGL = (390·w² + 11800·sy·s − 15590·s·w) / (s·w)     [milli]
+
+    and are rounded to 3 dp IN EXACT INTEGER ARITHMETIC (half away
+    from zero via DIV — the t30 decimal-tie rule; these
+    small-denominator rationals DO land on decimal ties) then divided
+    by 1e3: one correctly-rounded op in both engines.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    w = F.greatest(F.size(F.split(norm, " ")), F.lit(1)).cast("bigint")
+    s = F.greatest(
+        F.regexp_count(norm, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    sy = F.greatest(
+        F.regexp_count(norm, F.lit(r"[aeiouy]+")), F.lit(1)
+    ).cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        sy.alias("n_syllables"),
+    )
+    milli = (
+        "CASE WHEN {n} >= 0 THEN (2 * ({n}) + {d}) DIV (2 * ({d}))"
+        " ELSE -((2 * -({n}) + {d}) DIV (2 * ({d}))) END"
+    )
+    fre_n = (
+        "206835 * n_sentences * n_words - 1015 * n_words * n_words"
+        " - 84600 * n_syllables * n_sentences"
+    )
+    fk_n = (
+        "390 * n_words * n_words + 11800 * n_syllables * n_sentences"
+        " - 15590 * n_sentences * n_words"
+    )
+    den = "n_sentences * n_words"
+    return base.select(
+        F.col(id_col),
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.expr(milli.format(n=fre_n, d=den)).cast("double")
+            / F.lit(1000.0)
+        ).alias("fre"),
+        (
+            F.expr(milli.format(n=fk_n, d=den)).cast("double")
+            / F.lit(1000.0)
+        ).alias("fkgl"),
+    )

@@ -1678,3 +1678,58 @@ def test_ngram_novelty_integer_tie_rounding(spark):
         assert abs(r["novelty"] - want) < 1e-12, (r, frac)
     with pytest.raises(ValueError):
         textops.ngram_novelty(docs, "doc_id", "text", n=0)
+
+
+def test_readability_hand_computed(spark):
+    # "the cat sat. it ran fast!" -> 6 words, 2 sentences;
+    # vowel groups: e,a,a,i,a,a -> 6 syllables
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. It ran fast!")], ["doc_id", "text"]
+    )
+    r = textops.readability(docs, "doc_id", "text").collect()[0]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    w, s, sy = 6, 2, 6
+    fre_milli = round((206835 * s * w - 1015 * w * w - 84600 * sy * s) / (s * w))
+    fk_milli = round((390 * w * w + 11800 * sy * s - 15590 * s * w) / (s * w))
+    assert r["fre"] == fre_milli / 1000.0
+    assert r["fkgl"] == fk_milli / 1000.0
+
+
+def test_readability_fragment_and_monotonicity(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "go"),                                  # no sentence punct -> s=1
+            (2, "Antidisestablishmentarianism notwithstanding, "
+                "heterogeneous organizations intercommunicate."),
+            (3, "I go. He is. We sit."),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in textops.readability(docs, "doc_id", "text").collect()}
+    assert got[1]["n_sentences"] == 1
+    # polysyllabic prose must read harder (lower FRE, higher grade)
+    assert got[2]["fre"] < got[3]["fre"]
+    assert got[2]["fkgl"] > got[3]["fkgl"]
+
+
+def test_readability_integer_tie_rounding_matches_python(spark):
+    import random
+    from fractions import Fraction
+
+    rng = random.Random(3)
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(["cat", "ran", "institution", "a.", "no!"]) 
+                          for _ in range(rng.randint(1, 30))))
+            for i in range(50)
+        ],
+        ["doc_id", "text"],
+    )
+    for r in textops.readability(docs, "doc_id", "text").collect():
+        w, s, sy = r["n_words"], r["n_sentences"], r["n_syllables"]
+        fre = Fraction(206835 * s * w - 1015 * w * w - 84600 * sy * s, s * w)
+        # round half away from zero on the exact rational
+        m = fre.numerator * 2
+        d = fre.denominator * 2
+        want = (m + fre.denominator) // d if fre >= 0 else -((-m + fre.denominator) // d)
+        assert r["fre"] == want / 1000.0, (w, s, sy)

@@ -210,7 +210,7 @@ def test_r8_changed_oracles_match_at_sf0001():
         "st10_streaming_hll", "v17_filtered_ann", "u9_curation_pipeline",
         "g6_adamic_adar", "v18_mmr_topk", "t31_ngram_novelty",
         "u10_leakage_safe_splits", "x17_holt_linear",
-        "m17_image_patches", "d21_containment",
+        "m17_image_patches", "d21_containment", "t32_readability",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
