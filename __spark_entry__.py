@@ -905,6 +905,49 @@ def q_s8_upsert_lastwin(spark, sf_dir):
     )
 
 
+def q_s14_soft_delete(spark, sf_dir):
+    """Soft-delete / merge-on-read lifecycle (r8): import customers
+    into the bucketed store, tombstone every 7th id
+    (BucketedResourceStore.delete — O(batch) appended deletion
+    vectors, NO data rewrite), then upsert every 14th id (update-create
+    RESURRECTS a deleted id by clearing its tombstone), and read back.
+    Final state: %14 ids live at version 2 with the shifted balance,
+    remaining %7 ids gone, everyone else untouched — the oracle states
+    exactly that in one CASE/filter over the base table."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from healthcare_api_spark.sources.store import BucketedResourceStore
+
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.lit(1).alias("version"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    doomed = base.filter(F.col("id") % 7 == 0).select("id")
+    revived = base.filter(F.col("id") % 14 == 0).select(
+        "id", F.lit(2).alias("version"), (F.col("acctbal") + 500.0).alias("acctbal")
+    )
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/spark_graft_s14_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        store = BucketedResourceStore(spark, root, num_buckets=8)
+        store.import_resources(base, "Customer")
+        store.delete(doomed, "Customer")
+        store.upsert(revived, "Customer", version_col="version")
+        out = store.table("Customer").select(
+            "id", "version", F.round("acctbal", 2).alias("acctbal")
+        ).localCheckpoint(eager=True)  # detach lineage from the store files
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_s9_bucketed_upsert(spark, sf_dir):
     """S8 production path: copy-on-write bucketed store — import the
     customer table, upsert a derived batch (every 10th id gets a higher
@@ -5442,6 +5485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m17_image_patches": q_m17_image_patches,
         "d21_containment": q_d21_containment,
         "t32_readability": q_t32_readability,
+        "s14_soft_delete": q_s14_soft_delete,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -7650,6 +7694,16 @@ def oracle_sql() -> dict[str, str]:
     # unrolled as k argmax CTEs over the same candidate/sim frames
     from healthcare_api_spark.operators.similarity import mmr_topk_sql
 
+    # r8: s14 — soft-delete lifecycle: the oracle states the final
+    # store contents directly (delete %7, resurrect %14 at v2)
+    out["s14_soft_delete"] = (
+        "SELECT c_custkey AS id,"
+        " CASE WHEN c_custkey % 14 = 0 THEN 2 ELSE 1 END AS version,"
+        " round(CASE WHEN c_custkey % 14 = 0 THEN c_acctbal + 500.0"
+        "  ELSE c_acctbal END, 2) AS acctbal"
+        " FROM customer"
+        " WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 14 <> 0)"
+    )
     # r8: t32 — readability: the same exact-integer counts + the
     # integer-DIV milli rounding, negatives via the t30 CASE
     _t32_milli = (

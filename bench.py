@@ -200,6 +200,7 @@ HEADLINE = [
     "m17_image_patches",
     "d21_containment",
     "t32_readability",
+    "s14_soft_delete",
 ]
 
 N_STEADY = 3

@@ -141,14 +141,92 @@ class BucketedResourceStore(ResourceStore):
             .parquet(self._type_path(resource_type))
         )
 
+    def _tombstone_path(self, resource_type: str) -> str:
+        # leading underscore: Hadoop/Spark file listing skips _-prefixed
+        # directories, so the data scan never sees tombstones
+        return f"{self._type_path(resource_type)}/_tombstones"
+
+    def _tombstones(self, resource_type: str) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self._tombstone_path(resource_type))
+        except AnalysisException as e:
+            # UNABLE_TO_INFER_SCHEMA: the dir exists but every bucket
+            # partition was cleared (all tombstones consumed) — same as
+            # no tombstones at all
+            ok = (
+                "PATH_NOT_FOUND" in str(e)
+                or "Path does not exist" in str(e)
+                or "UNABLE_TO_INFER_SCHEMA" in str(e)
+            )
+            if not ok:
+                raise
+            return None
+
+    def delete(self, ids: DataFrame, resource_type: str, id_col: str = "id") -> None:
+        """Soft delete by id — the deletion-vector idea (Delta/Iceberg
+        merge-on-read), table-format-free: APPEND tombstone rows under
+        ``_tombstones/bucket=NN`` instead of rewriting any data file.
+        IO per delete batch is O(batch), not O(touched data); readers
+        anti-join the (bucket-aligned, usually broadcast-sized)
+        tombstone set; ``compact()`` physically applies and clears
+        them — the vacuum step. Deleting an absent id is a no-op
+        tombstone; a later ``upsert`` of a deleted id RESURRECTS it
+        (update-create semantics — the upsert clears matching
+        tombstones in its touched buckets)."""
+        (
+            ids.select(F.col(id_col)).distinct()
+            .withColumn("bucket", self._bucket_expr(id_col))
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(self._tombstone_path(resource_type))
+        )
+
     def table(self, resource_type: str) -> DataFrame:
-        return super().table(resource_type).drop("bucket")
+        live = super().table(resource_type).drop("bucket")
+        tomb = self._tombstones(resource_type)
+        if tomb is None:
+            return live
+        cols = [c for c in tomb.columns if c != "bucket"]
+        id_col = cols[0]
+        return live.join(
+            tomb.select(id_col).distinct(), id_col, "left_anti"
+        )
 
     def upsert(self, updates: DataFrame, resource_type: str, id_col: str = "id",
                version_col: str | None = None) -> None:
         from pyspark.errors import AnalysisException
 
         updates_b = updates.withColumn("bucket", self._bucket_expr(id_col))
+        # update-create beats delete: clear tombstones for upserted ids
+        # (touched tombstone partitions only — same bounded-IO contract)
+        tomb = self._tombstones(resource_type)
+        if tomb is not None and id_col in tomb.columns:
+            t_touched = [
+                r["bucket"]
+                for r in updates_b.select("bucket").distinct().collect()
+            ]
+            kept = (
+                tomb.filter(F.col("bucket").isin(t_touched))
+                .join(updates.select(id_col).distinct(), id_col, "left_anti")
+                .localCheckpoint(eager=True)  # we rewrite what we read
+            )
+            # NOT dynamic partition overwrite: a touched bucket whose
+            # tombstones ALL clear yields zero rows, and dynamic mode
+            # skips row-less partitions — the stale tombstones would
+            # survive and the resurrection silently fail. Remove the
+            # touched partition dirs explicitly, then append survivors.
+            for b in t_touched:
+                self._remove_dir(
+                    f"{self._tombstone_path(resource_type)}/bucket={b}"
+                )
+            if kept.take(1):
+                (
+                    kept.write.mode("append")
+                    .partitionBy("bucket")
+                    .parquet(self._tombstone_path(resource_type))
+                )
         try:
             existing = self.spark.read.parquet(self._type_path(resource_type))
         except AnalysisException as e:
@@ -193,6 +271,15 @@ class BucketedResourceStore(ResourceStore):
         """
         existing = self.spark.read.parquet(self._type_path(resource_type))
         merged = existing
+        # apply tombstones physically (the vacuum half of merge-on-read):
+        # compaction rewrites everything anyway, so the anti-join rides
+        # along for free and the tombstone set resets to empty below
+        tomb = self._tombstones(resource_type)
+        if tomb is not None:
+            t_id = [c for c in tomb.columns if c != "bucket"][0]
+            merged = merged.join(
+                tomb.select(t_id).distinct(), t_id, "left_anti"
+            )
         if zorder is not None:
             from healthcare_api_spark.operators.layout import zorder_by_ranked
 
@@ -212,6 +299,14 @@ class BucketedResourceStore(ResourceStore):
             .partitionBy("bucket")
             .parquet(self._type_path(resource_type))
         )
+        if tomb is not None:
+            self._remove_dir(self._tombstone_path(resource_type))
+
+    def _remove_dir(self, path: str) -> None:
+        sc = self.spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
 
 
 def import_bucketed(

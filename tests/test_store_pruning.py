@@ -225,3 +225,60 @@ def test_snapshot_diff_change_taxonomy(spark):
         for r in snapshot_diff(old, new, "id", compare_cols=["s"]).collect()
     }
     assert out_s == {4: "delete", 5: "insert"}
+
+
+def test_soft_delete_hides_rows_without_touching_data_files(spark, tmp_path):
+    root = str(tmp_path / "store")
+    store = BucketedResourceStore(spark, root, num_buckets=4)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], ["id", "val"]
+    )
+    store.import_resources(base, "T")
+    before = _bucket_files(f"{root}/resourceType=T")
+    store.delete(base.filter(F.col("id") % 5 == 0).select("id"), "T")
+    after = _bucket_files(f"{root}/resourceType=T")
+    # deletion vectors: NOT ONE data file rewritten
+    assert before == after
+    got = {r["id"] for r in store.table("T").collect()}
+    assert got == {i for i in range(40) if i % 5 != 0}
+    # deleting an absent id is a no-op
+    store.delete(spark.createDataFrame([(999,)], ["id"]), "T")
+    assert store.table("T").count() == 32
+
+
+def test_upsert_resurrects_deleted_ids_even_when_bucket_fully_clears(spark, tmp_path):
+    root = str(tmp_path / "store")
+    store = BucketedResourceStore(spark, root, num_buckets=4)
+    base = spark.createDataFrame(
+        [(i, 1, f"v{i}") for i in range(20)], ["id", "version", "val"]
+    )
+    store.import_resources(base, "T")
+    # delete exactly one id -> its bucket holds exactly one tombstone;
+    # the resurrecting upsert clears ALL tombstones of that bucket
+    # (the dynamic-overwrite-skips-empty-partitions trap, pinned)
+    store.delete(spark.createDataFrame([(7,)], ["id"]), "T")
+    assert store.table("T").filter(F.col("id") == 7).count() == 0
+    store.upsert(
+        spark.createDataFrame([(7, 2, "reborn")], ["id", "version", "val"]),
+        "T", version_col="version",
+    )
+    got = store.table("T").filter(F.col("id") == 7).collect()
+    assert len(got) == 1 and got[0]["val"] == "reborn"
+    assert store.table("T").count() == 20
+
+
+def test_compact_applies_and_clears_tombstones(spark, tmp_path):
+    root = str(tmp_path / "store")
+    store = BucketedResourceStore(spark, root, num_buckets=4)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], ["id", "val"]
+    )
+    store.import_resources(base, "T")
+    store.delete(base.filter(F.col("id") < 10).select("id"), "T")
+    store.compact("T")
+    # physically applied: raw parquet (bypassing the anti-join) agrees
+    raw = spark.read.parquet(f"{root}/resourceType=T")
+    assert {r["id"] for r in raw.collect()} == set(range(10, 30))
+    # and the tombstone dir is gone
+    assert not os.path.exists(f"{root}/resourceType=T/_tombstones")
+    assert store.table("T").count() == 20
