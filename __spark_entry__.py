@@ -1167,6 +1167,66 @@ def q_st7_streaming_session_flows(spark, sf_dir):
     return out
 
 
+def q_st11_streaming_ewma(spark, sf_dir):
+    """Streaming EWMA maintenance (r8): a REAL 2-micro-batch run of
+    the seeded recursive fold (streaming/smoothing.py) — events stream
+    in time-split at a DAY boundary (so no hourly bucket straddles
+    batches), each batch pre-aggregates to the hourly series, seeds
+    every series with its carried (us, s) state and continues the
+    α=0.3 recursion exactly where the previous batch stopped. Unlike
+    the KMV/Bloom/CMS/HLL maintainers there is no mergeable algebra —
+    this extends the streaming-equals-batch contract to a SEQUENTIAL
+    recursion family, and the gate hash-checks the live run against
+    the x11 oracle VERBATIM."""
+    import shutil
+    import tempfile
+
+    from healthcare_api_spark.streaming.smoothing import (
+        read_ewma,
+        streaming_ewma,
+    )
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    root = tempfile.mkdtemp(prefix="st11_")
+    src, state, ckpt = f"{root}/src", f"{root}/state", f"{root}/ckpt"
+
+    def _hourly(df):
+        return df.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        ).agg(F.round(F.sum("value"), 6).alias("v"))
+
+    try:
+        cutoff = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+        ev.filter(cutoff).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "event_type string, ts timestamp, value double"
+        ).parquet(src)
+        q = streaming_ewma(
+            stream, state, "event_type", "bucket", "v", alpha=0.3,
+            prepare=_hourly, checkpoint=ckpt,
+        )
+        q.processAllAvailable()
+        ev.filter(~cutoff).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+        out = (
+            read_ewma(spark, state)
+            .select(
+                F.col("k").alias("event_type"),
+                F.date_format(
+                    F.timestamp_micros(F.col("us")), "yyyy-MM-dd HH:mm:ss"
+                ).alias("bucket"),
+                F.col("x").alias("v"),
+                F.round("ewma", 6).alias("ewma"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_st4_stream_stream_join(spark, sf_dir):
     """A REAL watermarked stream-stream join inside the gate: events
     split into a click stream (even ids) and a purchase stream (odd
@@ -5486,6 +5546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d21_containment": q_d21_containment,
         "t32_readability": q_t32_readability,
         "s14_soft_delete": q_s14_soft_delete,
+        "st11_streaming_ewma": q_st11_streaming_ewma,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -7694,6 +7755,9 @@ def oracle_sql() -> dict[str, str]:
     # unrolled as k argmax CTEs over the same candidate/sim frames
     from healthcare_api_spark.operators.similarity import mmr_topk_sql
 
+    # r8: st11 — streaming EWMA: the live 2-batch seeded fold must
+    # equal the batch recursion — the x11 oracle applies VERBATIM
+    out["st11_streaming_ewma"] = out["x11_ewma"]
     # r8: s14 — soft-delete lifecycle: the oracle states the final
     # store contents directly (delete %7, resurrect %14 at v2)
     out["s14_soft_delete"] = (

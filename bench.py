@@ -201,6 +201,7 @@ HEADLINE = [
     "d21_containment",
     "t32_readability",
     "s14_soft_delete",
+    "st11_streaming_ewma",
 ]
 
 N_STEADY = 3

@@ -357,3 +357,52 @@ def test_streaming_hll_state_equals_batch_build(spark, tmp_path):
         for r in hll_build(whole, ["grp"], "key", p=5).collect()
     }
     assert got == want
+
+
+def test_streaming_ewma_seeded_fold_equals_batch_and_replay(spark, tmp_path):
+    """st11 machinery on a hand-built stream: batch 1's fold continues
+    from batch 0's carried state bit-for-bit (== the whole-table
+    recursion), new series seed from their own first row, and a
+    replayed batch changes nothing (r8)."""
+    from healthcare_api_spark.operators.temporal import ewma
+    from healthcare_api_spark.streaming.smoothing import ewma_batch, read_ewma
+
+    schema = "k string, ts timestamp, v double"
+
+    def t(i):
+        from datetime import datetime
+
+        return datetime(2024, 1, 1, 10, i)
+
+    b0 = spark.createDataFrame(
+        [("a", t(0), 10.0), ("a", t(1), 20.0), ("b", t(0), 5.0)], schema
+    )
+    b1 = spark.createDataFrame(
+        [("a", t(2), 30.0), ("b", t(3), 6.0), ("c", t(4), 1.0)], schema
+    )
+    root = str(tmp_path / "ewma")
+    ewma_batch(b0, 0, root, "k", "ts", "v", alpha=0.3)
+    ewma_batch(b1, 1, root, "k", "ts", "v", alpha=0.3)
+
+    def live():
+        return {
+            (r["k"], r["us"]): (r["x"], r["ewma"])
+            for r in read_ewma(spark, root).collect()
+        }
+
+    got = live()
+    want = {
+        (r["k"], r["us"]): (r["v"], r["ewma"])
+        for r in (
+            ewma(b0.unionByName(b1), ("k",), "ts", "v", alpha=0.3)
+            .select(
+                "k", F.unix_micros(F.col("ts")).alias("us"), "v", "ewma"
+            )
+            .collect()
+        )
+    }
+    assert got == want  # bit-for-bit, no rounding
+    # replay both batches in any order: results and state unchanged
+    ewma_batch(b1, 1, root, "k", "ts", "v", alpha=0.3)
+    ewma_batch(b0, 0, root, "k", "ts", "v", alpha=0.3)
+    assert live() == got
