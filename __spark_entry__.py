@@ -3468,6 +3468,22 @@ def q_v18_mmr_topk(spark, sf_dir):
     )
 
 
+def q_v19_binary_ann(spark, sf_dir):
+    """Binary-quantized ANN (r8): every embedding collapsed to its
+    per-dim sign bits (two int64 words at dim 64 — 32× smaller than
+    float32), top-10 by XOR+popcount Hamming distance to vec_id 0's
+    sign pattern (similarity.binary_quantized_topk). Pure exact
+    integer arithmetic end to end — no rounding contract at all; the
+    oracle packs the same words with shift/sum over subscripted
+    elements and ranks with xor()+bit_count()."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.binary_quantized_topk(
+        emb, "vec_id", "embedding", list(qvec), k=10
+    )
+
+
 def q_v9_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval (r7): BM25 lexical top-30 for 'window vector'
     (the fs10 ranking) ⊕ dense cosine top-30 to vec_id 0's embedding
@@ -5547,6 +5563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t32_readability": q_t32_readability,
         "s14_soft_delete": q_s14_soft_delete,
         "st11_streaming_ewma": q_st11_streaming_ewma,
+        "v19_binary_ann": q_v19_binary_ann,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -7755,6 +7772,24 @@ def oracle_sql() -> dict[str, str]:
     # unrolled as k argmax CTEs over the same candidate/sim frames
     from healthcare_api_spark.operators.similarity import mmr_topk_sql
 
+    # r8: v19 — binary ANN: the same 63-bit word packing via
+    # shift/sum over subscripted elements; vec_id 0 is the query
+    out["v19_binary_ann"] = (
+        "WITH v AS (SELECT vec_id,"
+        " list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),"
+        " bits AS (SELECT vec_id, CAST((i - 1) // 63 AS INT) AS w,"
+        "  CAST(sum(CASE WHEN x >= 0 THEN"
+        "   (CAST(1 AS BIGINT) << CAST((i - 1) % 63 AS INT))"
+        "   ELSE 0 END) AS BIGINT) AS word"
+        "  FROM v, LATERAL (SELECT unnest(e) AS x,"
+        "   generate_subscripts(e, 1) AS i)"
+        "  GROUP BY vec_id, (i - 1) // 63),"
+        " q AS (SELECT w, word AS qword FROM bits WHERE vec_id = 0)"
+        " SELECT b.vec_id,"
+        "  CAST(sum(bit_count(xor(b.word, q.qword))) AS INT) AS hamming"
+        " FROM bits b JOIN q USING (w)"
+        " GROUP BY b.vec_id ORDER BY hamming ASC, vec_id ASC LIMIT 10"
+    )
     # r8: st11 — streaming EWMA: the live 2-batch seeded fold must
     # equal the batch recursion — the x11 oracle applies VERBATIM
     out["st11_streaming_ewma"] = out["x11_ewma"]

@@ -202,6 +202,7 @@ HEADLINE = [
     "t32_readability",
     "s14_soft_delete",
     "st11_streaming_ewma",
+    "v19_binary_ann",
 ]
 
 N_STEADY = 3

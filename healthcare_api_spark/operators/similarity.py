@@ -1552,3 +1552,75 @@ def mmr_topk_sql(
         f" pk.score_scaled / {float(lambda_den) * 1e6} AS mmr"
         f" FROM ({picks}) pk JOIN cand ON cand.id = pk.id ORDER BY pk.rank"
     )
+
+
+def sign_bits_words(vec: Column, dim: int, bits_per_word: int = 63) -> list[Column]:
+    """Pack a float vector's SIGN BITS (v ≥ 0 → 1) into exact int64
+    words, ``bits_per_word`` dims per word (63 keeps clear of the
+    int64 sign bit). Pure narrow expression — the per-element lambda
+    is cheap arithmetic on materialized elements (the d20 HOF rule's
+    allowed class)."""
+    words = []
+    for w in range((dim + bits_per_word - 1) // bits_per_word):
+        start = w * bits_per_word
+        n = min(bits_per_word, dim - start)
+        weights = F.array(*[F.lit(1 << i) for i in range(n)])
+        words.append(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(vec, start + 1, n),
+                    weights,
+                    lambda v, p: F.when(v >= 0, p).otherwise(F.lit(0)).cast(
+                        "bigint"
+                    ),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return words
+
+
+def binary_quantized_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """1-bit (binary) quantized ANN — the most aggressive compression
+    point on the SQ8 (v6) / PQ (v7) axis: each vector collapses to its
+    per-dimension SIGN BITS (dim/8 bytes — 32× smaller than float32),
+    ranking by Hamming distance to the query's sign pattern. The
+    modern embedding-DB "binary quantization" fast path: at 100 TB the
+    scan reads ~2 int64 words per row instead of the vector column,
+    and XOR+popcount is the cheapest distance there is.
+
+    Everything is EXACT integer arithmetic (bit packing, XOR,
+    popcount), so the result is hash-portable with no rounding
+    contract at all — the one ANN variant even cheaper to verify than
+    SQ8. Ties break by id; recall is data-dependent (documented: rank
+    by Hamming then exact-rerank the top candidates when it matters —
+    compose with ``prefix_rerank_topk``'s second stage).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    dim = len(query_vec)
+    words = sign_bits_words(F.col(vec_col), dim)
+    # query words as exact python ints -> literals
+    qwords = []
+    for w in range((dim + 62) // 63):
+        bits = 0
+        for i, v in enumerate(query_vec[w * 63:(w + 1) * 63]):
+            if v >= 0:
+                bits |= 1 << i
+        qwords.append(bits)
+    ham = None
+    for wc, qw in zip(words, qwords):
+        term = F.bit_count(wc.bitwiseXOR(F.lit(qw)))
+        ham = term if ham is None else ham + term
+    return (
+        df.select(F.col(id_col), ham.cast("int").alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

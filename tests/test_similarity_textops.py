@@ -1733,3 +1733,53 @@ def test_readability_integer_tie_rounding_matches_python(spark):
         d = fre.denominator * 2
         want = (m + fre.denominator) // d if fre >= 0 else -((-m + fre.denominator) // d)
         assert r["fre"] == want / 1000.0, (w, s, sy)
+
+
+def test_binary_ann_hand_computed_and_recall(spark):
+    # hand-checkable 4-dim sign patterns
+    rows = [
+        (1, [1.0, 1.0, 1.0, 1.0]),    # hamming 0 to query
+        (2, [1.0, 1.0, 1.0, -1.0]),   # 1
+        (3, [-1.0, -1.0, 1.0, 1.0]),  # 2
+        (4, [-1.0, -1.0, -1.0, -1.0]),# 4
+        (5, [1.0, 1.0, -1.0, 1.0]),   # 1 -> tie with 2, id breaks
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = [
+        (r["vec_id"], r["hamming"])
+        for r in similarity.binary_quantized_topk(
+            emb, "vec_id", "embedding", [0.5, 2.0, 0.0, 3.0], k=4
+        ).collect()
+    ]
+    assert got == [(1, 0), (2, 1), (5, 1), (3, 2)]
+
+
+def test_binary_ann_multiword_python_parity(spark):
+    import random
+
+    rng = random.Random(12)
+    dim = 130  # 3 words (63 + 63 + 4)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[5][1]
+
+    def pat(v):
+        return [x >= 0 for x in v]
+
+    qb = pat(q)
+    want = sorted(
+        (sum(a != b for a, b in zip(pat(v), qb)), i) for i, v in rows
+    )[:10]
+    got = [
+        (r["hamming"], r["vec_id"])
+        for r in similarity.binary_quantized_topk(
+            emb, "vec_id", "embedding", q, k=10
+        ).collect()
+    ]
+    assert got == want
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.binary_quantized_topk(emb, "vec_id", "embedding", q, k=0)

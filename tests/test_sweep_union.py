@@ -211,7 +211,7 @@ def test_r8_changed_oracles_match_at_sf0001():
         "g6_adamic_adar", "v18_mmr_topk", "t31_ngram_novelty",
         "u10_leakage_safe_splits", "x17_holt_linear",
         "m17_image_patches", "d21_containment", "t32_readability",
-        "s14_soft_delete", "st11_streaming_ewma",
+        "s14_soft_delete", "st11_streaming_ewma", "v19_binary_ann",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
