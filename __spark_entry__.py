@@ -5488,6 +5488,40 @@ def q_u9_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_u11_dedup_eval(spark, sf_dir):
+    """Dedup-quality evaluation (r8): precision/recall/F1 of the
+    4-rotation-minhash full-signature pairing against EXACT-content
+    truth (md5 of the normalized text), over corpus ∪ planted copies
+    (dedup.dedup_eval). Identical text ⇒ identical signature, so
+    recall must be exactly 1.0 (pinned by the oracle hash); precision
+    measures signature collisions between distinct texts — the
+    collision audit a production dedup tracks. Pairs enumerate within
+    signature/content groups (bounded: groups are dup cliques); the
+    metric frame is ONE row of exact counts + integer-DIV ratios."""
+    from healthcare_api_spark.functions.text import normalize_text
+
+    _tune(spark)
+    docs = _docs_dup(spark, sf_dir)
+    sig = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=4, shingle_n=3
+    ).select("doc_id", "mh0", "mh1", "mh2", "mh3")
+    keys = ["mh0", "mh1", "mh2", "mh3"]
+    a = sig.select(F.col("doc_id").alias("id_a"), *keys)
+    b = sig.select(F.col("doc_id").alias("id_b"), *keys)
+    pred = a.join(b, keys).filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    content = docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("h")
+    )
+    ta = content.select(F.col("doc_id").alias("id_a"), "h")
+    tb = content.select(F.col("doc_id").alias("id_b"), "h")
+    truth = ta.join(tb, "h").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    return dedup.dedup_eval(pred, truth)
+
+
 def q_u10_leakage_safe_splits(spark, sf_dir):
     """Leakage-safe train/val/test assignment (r8): near-dup clusters
     (the d6 minhash-band pairs over corpus ∪ planted duplicates →
@@ -5564,6 +5598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s14_soft_delete": q_s14_soft_delete,
         "st11_streaming_ewma": q_st11_streaming_ewma,
         "v19_binary_ann": q_v19_binary_ann,
+        "u11_dedup_eval": q_u11_dedup_eval,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -7772,6 +7807,41 @@ def oracle_sql() -> dict[str, str]:
     # unrolled as k argmax CTEs over the same candidate/sim frames
     from healthcare_api_spark.operators.similarity import mmr_topk_sql
 
+    # r8: u11 — dedup eval: the d2 rotation-signature CTE for the
+    # prediction side, md5(normalized text) for the truth side, exact
+    # counts + integer-DIV ratios
+    _u11_ratio = (
+        "CASE WHEN ({d}) > 0 THEN"
+        " CAST((2 * ({n}) * 1000000 + ({d})) // (2 * ({d})) AS DOUBLE)"
+        " / 1000000.0 ELSE NULL END"
+    )
+    out["u11_dedup_eval"] = (
+        f"WITH docs AS ({_DOCS_DUP_SQL}), {_shingle_cte()},"
+        " dig AS (SELECT doc_id, md5(s) AS d FROM sh),"
+        " sig AS (SELECT doc_id, min(d) AS mh0,"
+        "  min(substr(d, 9, 24) || substr(d, 1, 8)) AS mh1,"
+        "  min(substr(d, 17, 16) || substr(d, 1, 16)) AS mh2,"
+        "  min(substr(d, 25, 8) || substr(d, 1, 24)) AS mh3"
+        "  FROM dig GROUP BY doc_id),"
+        " pred AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb"
+        "  FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1"
+        "   AND a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id),"
+        f" content AS (SELECT doc_id, md5({_NORM_SQL}) AS h FROM docs),"
+        " truth AS (SELECT DISTINCT a.doc_id AS ta, b.doc_id AS tb"
+        "  FROM content a JOIN content b ON a.h = b.h"
+        "   AND a.doc_id < b.doc_id),"
+        " hit AS (SELECT * FROM pred WHERE EXISTS"
+        "  (SELECT 1 FROM truth WHERE ta = pa AND tb = pb)),"
+        " c AS (SELECT"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_pred,"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)"
+        " SELECT n_pred, n_truth, n_hit,"
+        f" {_u11_ratio.format(n='n_hit', d='n_pred')} AS precision,"
+        f" {_u11_ratio.format(n='n_hit', d='n_truth')} AS recall,"
+        f" {_u11_ratio.format(n='2 * n_hit', d='n_pred + n_truth')} AS f1"
+        " FROM c"
+    )
     # r8: v19 — binary ANN: the same 63-bit word packing via
     # shift/sum over subscripted elements; vec_id 0 is the query
     out["v19_binary_ann"] = (

@@ -203,6 +203,7 @@ HEADLINE = [
     "s14_soft_delete",
     "st11_streaming_ewma",
     "v19_binary_ann",
+    "u11_dedup_eval",
 ]
 
 N_STEADY = 3

@@ -1822,3 +1822,61 @@ def containment_pairs(
         F.col("n_b").cast("int").alias("n_b"),
         F.col("overlap").cast("int").alias("overlap"),
     )
+
+
+def dedup_eval(
+    pred_pairs: DataFrame,
+    truth_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Dedup-quality evaluation — precision / recall / F1 of a
+    predicted near-dup PAIR set against a reference pair set (the
+    eval every production dedup tracks next to its speed knob, and the
+    dedup sibling of recall_at_k/ranking_eval for retrieval).
+
+    Both inputs are normalized to unordered distinct pairs
+    (least/greatest, self-pairs dropped), intersected with one
+    equi-join, and reduced to a ONE-ROW frame:
+
+      (n_pred, n_truth, n_hit, precision, recall, f1)
+
+    Counts are exact int64; each ratio is a small-denominator rational
+    rounded to 6 dp in EXACT integer arithmetic (the t30 decimal-tie
+    rule — hit/n_pred ties at .0000005 genuinely occur), with
+    F1 = 2·hit/(n_pred + n_truth) computed directly from the counts
+    (no float P·R composition). Empty denominators yield NULL.
+
+    Scale: everything after the two distincts is join + count —
+    nothing driver-side, output constant-size at any corpus scale.
+    """
+    def _norm(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.least(F.col(id_a), F.col(id_b)).alias("_a"),
+                F.greatest(F.col(id_a), F.col(id_b)).alias("_b"),
+            )
+            .filter(F.col("_a") != F.col("_b"))
+            .distinct()
+        )
+
+    p = _norm(pred_pairs)
+    t = _norm(truth_pairs)
+    hit = p.join(t, ["_a", "_b"], "semi")
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred"))
+    nt = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    nh = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    one = np_.crossJoin(nt).crossJoin(nh)
+    ratio = (
+        "CASE WHEN ({d}) > 0 THEN"
+        " CAST((2 * ({n}) * 1000000 + ({d})) DIV (2 * ({d})) AS DOUBLE)"
+        " / 1000000.0 ELSE NULL END"
+    )
+    return one.select(
+        "n_pred",
+        "n_truth",
+        "n_hit",
+        F.expr(ratio.format(n="n_hit", d="n_pred")).alias("precision"),
+        F.expr(ratio.format(n="n_hit", d="n_truth")).alias("recall"),
+        F.expr(ratio.format(n="2 * n_hit", d="n_pred + n_truth")).alias("f1"),
+    )

@@ -1075,3 +1075,30 @@ def test_containment_validation(spark):
         containment_pairs(docs, "doc_id", "text", 11, 10)
     with pytest.raises(ValueError):
         containment_pairs(docs, "doc_id", "text", 1, 2, shingle_n=0)
+
+
+def test_dedup_eval_hand_computed(spark):
+    from healthcare_api_spark.operators.dedup import dedup_eval
+
+    pred = spark.createDataFrame(
+        # (2,1) normalizes to (1,2); (3,3) self-pair dropped; (1,2)
+        # duplicate collapses
+        [(2, 1), (1, 2), (3, 4), (3, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    truth = spark.createDataFrame([(1, 2), (3, 4), (7, 8)], ["id_a", "id_b"])
+    r = dedup_eval(pred, truth).collect()[0]
+    assert (r["n_pred"], r["n_truth"], r["n_hit"]) == (3, 3, 2)
+    assert r["precision"] == round(2 / 3, 6) + (0.000001 if False else 0)
+    assert abs(r["precision"] - 0.666667) < 1e-12
+    assert abs(r["recall"] - 0.666667) < 1e-12
+    assert abs(r["f1"] - 0.666667) < 1e-12
+
+
+def test_dedup_eval_empty_sides_null_ratios(spark):
+    from healthcare_api_spark.operators.dedup import dedup_eval
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    truth = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    r = dedup_eval(empty, truth).collect()[0]
+    assert (r["n_pred"], r["n_truth"], r["n_hit"]) == (0, 1, 0)
+    assert r["precision"] is None and r["recall"] == 0.0 and r["f1"] == 0.0
