@@ -2347,6 +2347,30 @@ def q_l4_hilbert_key(spark, sf_dir):
     )
 
 
+def q_x18_acf(spark, sf_dir):
+    """Autocorrelation function (r8): per-type hourly-series
+    correlogram at lags 1..24 (temporal.acf) — the find-the-period
+    diagnostic ahead of x8's seasonal decompose. Exploded-offset
+    equi-join (n·24 pairs, never a full-series window), x9
+    exact-cents integer moments, r as one fixed double expression
+    rounded at 6 dp."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    )
+    out = temporal.acf(
+        hourly, "event_type", "bucket", "v", max_lag=24,
+        interval_micros=3_600_000_000, quantize=1,
+    )
+    return out.select(
+        "series", "lag", "n", F.round("corr", 6).alias("corr")
+    )
+
+
 def q_x9_series_correlation(spark, sf_dir):
     """Pairwise Pearson correlation across the per-type hourly series
     (the feature-redundancy matrix) — one bucket equi-join + one
@@ -5599,6 +5623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st11_streaming_ewma": q_st11_streaming_ewma,
         "v19_binary_ann": q_v19_binary_ann,
         "u11_dedup_eval": q_u11_dedup_eval,
+        "x18_acf": q_x18_acf,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -7807,6 +7832,28 @@ def oracle_sql() -> dict[str, str]:
     # unrolled as k argmax CTEs over the same candidate/sim frames
     from healthcare_api_spark.operators.similarity import mmr_topk_sql
 
+    # r8: x18 — ACF correlogram: lag grid × bucket equi-join + the
+    # x9 exact-moment arithmetic per (series, lag)
+    out["x18_acf"] = (
+        "WITH s AS (SELECT event_type, date_trunc('hour', ts) AS bucket,"
+        "  sum(CAST(round(value * 100) AS BIGINT)) AS v FROM events"
+        "  GROUP BY 1, 2),"
+        " l AS (SELECT unnest(generate_series(1, 24)) AS lag),"
+        " j AS (SELECT a.event_type AS series, l.lag AS lag,"
+        "  a.v AS x, b.v AS y"
+        "  FROM s a CROSS JOIN l JOIN s b ON b.event_type = a.event_type"
+        "  AND b.bucket = a.bucket - l.lag * INTERVAL '1 hour'),"
+        " m AS (SELECT series, lag, count(*) AS n, sum(x) AS sx,"
+        "  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,"
+        "  sum(y * y) AS syy FROM j GROUP BY 1, 2)"
+        " SELECT series, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,"
+        "  round(CASE WHEN sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+        "   * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0"
+        "  THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+        "   / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+        "   * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) END, 6)"
+        "  AS corr FROM m"
+    )
     # r8: u11 — dedup eval: the d2 rotation-signature CTE for the
     # prediction side, md5(normalized text) for the truth side, exact
     # counts + integer-DIV ratios

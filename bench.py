@@ -204,6 +204,7 @@ HEADLINE = [
     "st11_streaming_ewma",
     "v19_binary_ann",
     "u11_dedup_eval",
+    "x18_acf",
 ]
 
 N_STEADY = 3

@@ -1301,3 +1301,82 @@ def holt_linear_sql(
         "  FROM rec JOIN ser ON ser.k = rec.k AND ser.rn = rec.rn + 1)"
         " SELECT k, t, x, l, b, l + b AS f FROM rec"
     )
+
+
+def acf(
+    df: DataFrame,
+    series_col: str,
+    bucket_col: str,
+    value_col: str,
+    max_lag: int,
+    interval_micros: int,
+    quantize: int | None = 1,
+) -> DataFrame:
+    """Autocorrelation function (correlogram) per series: Pearson r of
+    the series against itself shifted by 1..``max_lag`` buckets — the
+    seasonality/memory diagnostic behind every "what's the natural
+    period?" question (x8 assumes a period; ACF is how you FIND it).
+
+    Variant note: this is the PAIRWISE-COMPLETE correlogram — each lag
+    correlates the (x_t, x_{t−k}) pairs that both exist, with
+    pair-level means (the `pandas.Series.autocorr` definition), which
+    stays well-defined under bucket gaps; the classical ACF divides by
+    the lag-0 variance instead. Candidates come from an exploded-offset
+    EQUI-join on the bucket epoch (the x13 trick: n·max_lag pairs,
+    never n² and never a window over the whole series), then ONE
+    map-side-combined aggregate per (series, lag) computes the x9
+    exact-integer moments; r is one fixed double expression —
+    engine-portable under ``quantize`` exactly like
+    ``series_correlation``.
+
+    Output: (series, lag, n, corr) — lag in bucket units of
+    ``interval_micros``.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    if interval_micros < 1:
+        raise ValueError("interval_micros must be >= 1")
+    us = F.unix_micros(F.col(bucket_col).cast("timestamp"))
+    a = df.select(
+        F.col(series_col).alias("series"),
+        us.alias("_us"),
+        F.col(value_col).alias("_x"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+        ).alias("lag"),
+    ).withColumn(
+        "_target", F.col("_us") - F.col("lag") * F.lit(int(interval_micros))
+    )
+    b = df.select(
+        F.col(series_col).alias("series"),
+        us.alias("_target"),
+        F.col(value_col).alias("_y"),
+    )
+    joined = a.join(b, ["series", "_target"])
+    if quantize is None:
+        return (
+            joined.groupBy("series", "lag")
+            .agg(F.count(F.lit(1)).alias("n"), F.corr("_x", "_y").alias("corr"))
+        )
+    q = float(quantize)
+    xq = F.round(F.col("_x").cast("double") * q).cast("long")
+    yq = F.round(F.col("_y").cast("double") * q).cast("long")
+    m = joined.groupBy("series", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xq).alias("_sx"),
+        F.sum(yq).alias("_sy"),
+        F.sum(xq * yq).alias("_sxy"),
+        F.sum(xq * xq).alias("_sxx"),
+        F.sum(yq * yq).alias("_syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    den = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    return m.select(
+        "series",
+        "lag",
+        "n",
+        F.when(den > 0, (nd * sxy - sx * sy) / den).alias("corr"),
+    )

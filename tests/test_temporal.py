@@ -737,3 +737,76 @@ def test_holt_linear_sql_twin_parity(spark):
         for k, t, _x, l, b, f in duckdb.connect().execute(sql).fetchall()
     }
     assert got == want
+
+
+def test_acf_detects_planted_period(spark):
+    import math
+    from datetime import datetime, timedelta
+
+    from healthcare_api_spark.operators.temporal import acf
+
+    # exact period-4 integer cycle -> r(4) = 1.0, r(2) strongly negative
+    base = datetime(2024, 1, 1)
+    cyc = [10, 40, 10, -20]
+    rows = [
+        ("a", base + timedelta(hours=i), float(cyc[i % 4])) for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, ["k", "bucket", "v"])
+    got = {
+        r["lag"]: r["corr"]
+        for r in acf(df, "k", "bucket", "v", max_lag=6,
+                     interval_micros=3_600_000_000, quantize=1).collect()
+    }
+    assert math.isclose(got[4], 1.0, abs_tol=1e-9)
+    assert got[2] < -0.5
+    assert math.isclose(got[1], got[3], abs_tol=1e-9)  # symmetric cycle
+
+
+def test_acf_pairwise_means_match_pandas_autocorr(spark):
+    import math
+    import random
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from healthcare_api_spark.operators.temporal import acf
+
+    rng = random.Random(9)
+    base = datetime(2024, 1, 1)
+    vals = [round(rng.uniform(-5, 5), 2) for _ in range(60)]
+    rows = [("a", base + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "bucket", "v"])
+    got = {
+        r["lag"]: r["corr"]
+        for r in acf(df, "k", "bucket", "v", max_lag=3,
+                     interval_micros=3_600_000_000, quantize=100).collect()
+    }
+    s = pd.Series(vals)
+    for lag in (1, 2, 3):
+        assert math.isclose(got[lag], s.autocorr(lag), rel_tol=1e-9), lag
+
+
+def test_acf_gap_tolerant_and_validation(spark):
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from healthcare_api_spark.operators.temporal import acf
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("a", base + timedelta(hours=i), float(i)) for i in (0, 1, 2, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, ["k", "bucket", "v"])
+    got = {
+        r["lag"]: r["n"]
+        for r in acf(df, "k", "bucket", "v", max_lag=2,
+                     interval_micros=3_600_000_000, quantize=1).collect()
+    }
+    # lag-1 pairs: (1,0), (2,1), (6,5) -> 3; lag-2: (2,0) -> 1... plus (6, nothing at 4), (5, nothing at 3)
+    assert got[1] == 3
+    assert got[2] == 1
+    with pytest.raises(ValueError):
+        acf(df, "k", "bucket", "v", max_lag=0, interval_micros=1)
+    with pytest.raises(ValueError):
+        acf(df, "k", "bucket", "v", max_lag=2, interval_micros=0)
