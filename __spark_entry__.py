@@ -3553,6 +3553,28 @@ def q_v9_hybrid_rrf(spark, sf_dir):
     )
 
 
+def q_v20_rag_pipeline(spark, sf_dir):
+    """Composed retrieval pipeline (r8) — the u9 idea applied to the
+    RAG read path, END-TO-END: BM25 lexical top-30 ⊕ dense cosine
+    top-30 → exact-rational RRF fusion to 15 (the whole v9 gate as
+    stage 1) → λ=0.7 MMR diversification of the fused candidates down
+    to the 5 passages a context window would actually get (stage 2).
+    The fused id set is a bounded (≤15-row) fetch; MMR then runs its
+    exact-int64 greedy over that constant frame. The oracle composes
+    the two proven blocks verbatim: the v9 oracle as the candidate
+    ids, mmr_topk_sql over exactly those vectors."""
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    fused = q_v9_hybrid_rrf(spark, sf_dir)
+    ids = [r["doc_id"] for r in fused.select("doc_id").collect()]  # ≤15
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.mmr_topk(
+        emb.filter(F.col("vec_id").isin(ids)),
+        "vec_id", "embedding", list(qvec),
+        k=5, candidates=15, lambda_num=7, lambda_den=10,
+    )
+
+
 def q_ds8_token_mixture(spark, sf_dir):
     """Token-budget mixture END-TO-END: plan per-language doc-sampling
     rates that hit token-share targets (LM mixes are token-budgeted,
@@ -5624,6 +5646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v19_binary_ann": q_v19_binary_ann,
         "u11_dedup_eval": q_u11_dedup_eval,
         "x18_acf": q_x18_acf,
+        "v20_rag_pipeline": q_v20_rag_pipeline,
         # --- r8 new + changed-in-r8 (need fresh driver hashes):
         # v12 partition-pruned IVF probe (new), d14 per-tier scaled-k
         # centroid artifact, t23 batched merges, st5/st6 bucketed
@@ -7832,6 +7855,17 @@ def oracle_sql() -> dict[str, str]:
     # unrolled as k argmax CTEs over the same candidate/sim frames
     from healthcare_api_spark.operators.similarity import mmr_topk_sql
 
+    # r8: v20 — composed RAG pipeline: the v9 oracle (defined in the
+    # dict literal above) supplies the fused candidate ids; MMR
+    # replays over exactly those vectors
+    out["v20_rag_pipeline"] = mmr_topk_sql(
+        "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e"
+        " FROM embeddings WHERE vec_id IN"
+        f" (SELECT doc_id FROM ({out['v9_hybrid_rrf']}))",
+        "SELECT list_transform(embedding, x -> x::DOUBLE) AS qe"
+        " FROM embeddings WHERE vec_id = 0",
+        id_col="vec_id", k=5, candidates=15, lambda_num=7, lambda_den=10,
+    )
     # r8: x18 — ACF correlogram: lag grid × bucket equi-join + the
     # x9 exact-moment arithmetic per (series, lag)
     out["x18_acf"] = (

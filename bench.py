@@ -205,6 +205,7 @@ HEADLINE = [
     "v19_binary_ann",
     "u11_dedup_eval",
     "x18_acf",
+    "v20_rag_pipeline",
 ]
 
 N_STEADY = 3

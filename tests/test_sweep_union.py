@@ -212,7 +212,7 @@ def test_r8_changed_oracles_match_at_sf0001():
         "u10_leakage_safe_splits", "x17_holt_linear",
         "m17_image_patches", "d21_containment", "t32_readability",
         "s14_soft_delete", "st11_streaming_ewma", "v19_binary_ann",
-        "u11_dedup_eval", "x18_acf",
+        "u11_dedup_eval", "x18_acf", "v20_rag_pipeline",
     ):
         sdf = qs[name](spark, sf).toPandas()
         odf = con.execute(osql[name]).df()
