@@ -180,6 +180,10 @@ def _cmd_quality(args) -> int:
         out = textops.perplexity_buckets(df, idc, txt)
         if not args.keep_all:
             out = out.filter(F.col("tier") != "tail")
+    elif args.mode == "readability":
+        out = textops.readability(df, idc, txt)
+    elif args.mode == "novelty":
+        out = textops.ngram_novelty(df, idc, txt)
     else:  # pragma: no cover - argparse choices guard
         raise AssertionError(args.mode)
     if args.output:
@@ -210,6 +214,35 @@ def _cmd_contains(args) -> int:
         for r in out.orderBy("needle", args.id_col).limit(args.limit).collect():
             print(f"{r['needle']}\t{r[args.id_col]}")
         print(out.count())
+    return 0
+
+
+def _cmd_splits(args) -> int:
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators import curation, dedup
+    from healthcare_api_spark.sources.ndjson import write_ndjson
+
+    spark = get_spark("cli-splits")
+    df = spark.read.parquet(args.parquet)
+    splits = {"train": args.train, "val": args.val, "test": args.test}
+    if args.mode == "id":
+        out = curation.assign_splits(df, args.id_col, splits, salt=args.salt)
+    else:
+        pairs = dedup.lsh_candidate_pairs(
+            df, args.id_col, args.text_col, num_hashes=8, rows_per_band=2
+        )
+        out = curation.leakage_safe_splits(
+            df, args.id_col, pairs, "id_a", "id_b", splits, salt=args.salt
+        )
+    if args.output:
+        write_ndjson(out, args.output)
+        print(f"wrote {args.output}")
+    else:
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).orderBy(
+            "split"
+        ).collect():
+            print(f"{r['split']}\t{r['n']}")
     return 0
 
 
@@ -291,7 +324,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--parquet", required=True)
     q.add_argument("--id-col", default="doc_id")
     q.add_argument("--text-col", default="text")
-    q.add_argument("--mode", choices=["gopher", "score", "tiers"], default="gopher")
+    q.add_argument(
+        "--mode",
+        choices=["gopher", "score", "tiers", "readability", "novelty"],
+        default="gopher",
+    )
     q.add_argument(
         "--keep-all", action="store_true",
         help="emit every row with its features/tier instead of survivors",
@@ -313,6 +350,23 @@ def main(argv: list[str] | None = None) -> int:
     ct.add_argument("--limit", type=int, default=20)
     ct.add_argument("--output", default=None, help="NDJSON output dir (else print)")
     ct.set_defaults(fn=_cmd_contains)
+
+    sp = sub.add_parser(
+        "splits",
+        help="train/val/test assignment — mode 'cluster' is leakage-"
+        "safe: near-dup clusters (minhash bands → connected components)"
+        " split atomically by the cluster canonical's hash",
+    )
+    sp.add_argument("--parquet", required=True)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--mode", choices=["id", "cluster"], default="cluster")
+    sp.add_argument("--train", type=float, default=0.9)
+    sp.add_argument("--val", type=float, default=0.05)
+    sp.add_argument("--test", type=float, default=0.05)
+    sp.add_argument("--salt", default="splits-v1")
+    sp.add_argument("--output", default=None, help="NDJSON output dir (else counts)")
+    sp.set_defaults(fn=_cmd_splits)
 
     args = p.parse_args(argv)
     return args.fn(args)

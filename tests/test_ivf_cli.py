@@ -211,3 +211,25 @@ def test_cli_contains_needles(tmp_path, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     assert int(lines[-1]) > 0  # total matches
     assert all("\t" in ln for ln in lines[:-1])
+
+
+def test_cli_splits_cluster_and_quality_modes(capsys):
+    from healthcare_api_spark.cli import main
+
+    rc = main([
+        "splits", "--parquet", "/root/testdata/sf0.001/documents.parquet",
+        "--mode", "cluster", "--train", "0.8", "--val", "0.1", "--test", "0.1",
+    ])
+    assert rc == 0
+    lines = dict(
+        ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()
+    )
+    assert set(lines) <= {"train", "val", "test"}
+    assert sum(int(v) for v in lines.values()) == 500
+
+    rc = main([
+        "quality", "--parquet", "/root/testdata/sf0.001/documents.parquet",
+        "--mode", "novelty",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "500"
