@@ -1759,6 +1759,15 @@ def containment_pairs(
 
     Output: (id_a, id_b, n_a, n_b, overlap) with A = id_a contained
     in B = id_b.
+
+    Output-size caveat (measured, SCALE.md): on a corpus with large
+    MUTUAL-containment cliques (e.g. many exact or boilerplate-wrapped
+    copies of one text) the answer itself is Θ(clique²) pairs — no
+    algorithm can emit fewer rows than the true result. Run
+    ``exact_dedup_by_content`` first (identical texts are trivially
+    mutually contained; their pairs are exactly what exact dedup
+    already reports), and treat a containment sweep like d18: a
+    near-dup PRUNING pass, not a cross-product report.
     """
     if not (0 < tau_num <= tau_den):
         raise ValueError("need 0 < tau_num <= tau_den (tau in (0, 1])")
