@@ -34,7 +34,8 @@ from healthcare_api_spark import get_spark
 from healthcare_api_spark.tables import load_table
 from tools.check_oracle import frame_multiset
 
-QUERIES = ("x8_seasonal_decompose", "x9_series_correlation")
+QUERIES = ("x8_seasonal_decompose", "x9_series_correlation",
+           "x17_holt_linear", "x18_acf")
 
 
 def main() -> int:
