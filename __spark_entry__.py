@@ -4891,6 +4891,44 @@ def q_g6_adamic_adar(spark, sf_dir):
     )
 
 
+def q_g7_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (r8, oracle QUEUED for r9 — the 50-entry
+    sweep prefix filled): seeded-teleport relevance over the k-NN
+    similarity graph from seeds {1, 2, 3} — grow a trusted set through
+    the graph (graph.personalized_pagerank; Haveliwala 2002). Same
+    per-iteration shape as g1's PageRank; the preference vector is a
+    narrow CASE over the bounded literal seed list, and the oracle
+    unrolls the identical seeded rounds (personalized_pagerank_sql,
+    in _R9_ORACLE_QUEUE — live-verified by pytest until it merges)."""
+    from healthcare_api_spark.operators import graph
+
+    _tune(spark)
+    return graph.personalized_pagerank(
+        _knn_customer_edges(spark, sf_dir).select(
+            F.col("s").alias("src"), F.col("d").alias("dst")
+        ),
+        seeds=[1, 2, 3], iters=5, damping=0.85,
+    ).select("node", F.round("rank", 6).alias("rank"))
+
+
+# Oracle SQL for queries added AFTER the r8 sweep prefix filled (the
+# r5-queue precedent: the driver hashes only the first 50 queries()
+# entries and every never-hashed oracle_sql query must sit in that
+# prefix — tests/test_sweep_union.py. At round-9 start: move these
+# queries to the HEAD of queries() and merge this dict into
+# oracle_sql()).
+from healthcare_api_spark.operators.graph import (
+    personalized_pagerank_sql as _ppr_sql,
+)
+
+_R9_ORACLE_QUEUE: dict[str, str] = {
+    "g7_personalized_pagerank": _ppr_sql(
+        f"SELECT s AS src, d AS dst FROM ({_KNN_EDGES_SQL})",
+        seeds=[1, 2, 3], iters=5, damping=0.85,
+    ),
+}
+
+
 def q_d19_paragraph_dedup(spark, sf_dir):
     """Paragraph-level exact dedup (r8): 25-token chunks deduplicated
     corpus-wide, each occurrence kept iff it is the first by (doc_id,
@@ -5876,6 +5914,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_rank_topn_per_group": q_w3_rank_topn_per_group,
         "w5_funnel": q_w5_funnel,
         "w6_cohort_retention": q_w6_cohort_retention,
+        # --- r8 tail: oracle QUEUED for r9 (_R9_ORACLE_QUEUE) — the
+        # 50-entry sweep prefix is full; pytest live-verifies these
+        # until they move to the r9 head ---
+        "g7_personalized_pagerank": q_g7_personalized_pagerank,
     }
 
 

@@ -206,6 +206,7 @@ HEADLINE = [
     "u11_dedup_eval",
     "x18_acf",
     "v20_rag_pipeline",
+    "g7_personalized_pagerank",
 ]
 
 N_STEADY = 3

@@ -792,3 +792,109 @@ def adamic_adar_sql(
         "   AS BIGINT) / 1000000.0 AS aa"
         f" FROM nw GROUP BY u, v{tail}"
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002): PageRank whose teleport
+    mass returns to a SEED SET instead of spreading uniformly — rank
+    becomes "relevance to the seeds", the production variant behind
+    related-item expansion and seed-guided graph curation (here: grow
+    a trusted-document set through the similarity graph).
+
+    Identical distributed shape to :func:`pagerank` (per iteration:
+    one src-keyed contribution join + one map-side-combined sum +
+    one node join; dangling mass is a one-row aggregate and teleports
+    to the seeds, the standard PPR convention). Seeds are a bounded
+    literal list — the preference vector is a narrow CASE expression,
+    never a join. Fixed iteration count keeps the output
+    deterministic; the SQL twin unrolls the same rounds.
+
+    Output: (node, rank); Σ rank = 1 over the graph's nodes.
+    """
+    if iters < 1:
+        raise ValueError("iters must be ≥ 1")
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    p = F.when(
+        F.col("node").isin(list(seeds)), F.lit(1.0 / len(seeds))
+    ).otherwise(F.lit(0.0))
+    out_deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = nodes.withColumn("rank", p)
+    for _ in range(iters):
+        with_deg = ranks.join(out_deg, ranks["node"] == out_deg["_s"], "left")
+        dm = with_deg.filter(F.col("_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
+        contribs = (
+            with_deg.filter(F.col("_deg").isNotNull())
+            .select("node", (F.col("rank") / F.col("_deg")).alias("_share"))
+            .join(e, F.col("node") == F.col("_s"))
+            .groupBy("_d")
+            .agg(F.sum("_share").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["_d"], "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * p
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") * p)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def personalized_pagerank_sql(
+    edges_sql: str,
+    seeds: list,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB oracle twin of :func:`personalized_pagerank` — the same
+    seeded-teleport rounds unrolled as MATERIALIZED CTEs (see
+    pagerank_sql for the materialization rationale)."""
+    d = damping
+    ns = len(seeds)
+    inlist = ", ".join(str(s) for s in seeds)
+    pv = f"CASE WHEN node IN ({inlist}) THEN 1.0 / {ns} ELSE 0.0 END"
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql}),",
+        " nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        " deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),",
+        f" r0 AS MATERIALIZED (SELECT node, {pv} AS rank FROM nodes),",
+    ]
+    for i in range(iters):
+        p_, q = f"r{i}", f"r{i + 1}"
+        parts += [
+            f" dm{i} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM {p_}"
+            f"  LEFT JOIN deg ON {p_}.node = deg.src WHERE deg.src IS NULL),",
+            f" c{i} AS (SELECT e.dst AS node, sum({p_}.rank / deg.deg) AS cin"
+            f"  FROM {p_} JOIN deg ON {p_}.node = deg.src"
+            f"  JOIN e ON e.src = {p_}.node GROUP BY e.dst),",
+            f" {q} AS MATERIALIZED (SELECT nodes.node,"
+            f"  (1.0 - {d}) * ({pv.replace('node', 'nodes.node')})"
+            f"  + {d} * (coalesce(c{i}.cin, 0.0)"
+            f"   + dm{i}.dm * ({pv.replace('node', 'nodes.node')}))"
+            f"  AS rank FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node,"
+            f"  dm{i}),",
+        ]
+    body = "".join(parts).rstrip(",")
+    return f"{body} SELECT node, round(rank, 6) AS rank FROM r{iters}"

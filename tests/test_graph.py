@@ -384,3 +384,49 @@ def test_adamic_adar_sql_twin_parity(spark):
         for u, v, cn, aa in duckdb.connect().execute(sql).fetchall()
     }
     assert got == want
+
+
+def test_personalized_pagerank_seed_locality_and_mass(spark):
+    from healthcare_api_spark.operators.graph import personalized_pagerank
+
+    # path 1-2-3-4-5 plus far pair 8-9: teleport to seed {1} keeps
+    # mass near 1; 8/9 are unreachable from the seed -> rank 0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 5), (5, 4),
+         (8, 9), (9, 8)],
+        ["src", "dst"],
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(edges, [1], iters=8).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9   # mass conserved
+    assert got[1] > got[2] > got[3] > got[4]     # decays with distance
+    assert got[8] == 0.0 and got[9] == 0.0       # unreachable
+
+
+def test_personalized_pagerank_sql_twin_and_validation(spark):
+    import duckdb
+    import pytest
+
+    from healthcare_api_spark.operators.graph import (
+        personalized_pagerank,
+        personalized_pagerank_sql,
+    )
+
+    rows = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 2), (5, 1)]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    got = {
+        (r["node"], round(r["rank"], 6))
+        for r in personalized_pagerank(edges, [1, 4], iters=4).collect()
+    }
+    vals = ", ".join(f"({s}, {d})" for s, d in rows)
+    sql = personalized_pagerank_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", [1, 4], iters=4
+    )
+    want = set(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, [], iters=3)
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, [1], iters=0)

@@ -219,3 +219,47 @@ def test_r8_changed_oracles_match_at_sf0001():
         assert sorted(sdf.columns) == sorted(odf.columns), name
         assert canon(sdf) == canon(odf), f"{name}: spark != oracle"
 
+
+
+def test_r9_queued_oracles_match_at_sf0001():
+    """Queries added after the r8 sweep prefix filled carry their hash
+    oracle in _R9_ORACLE_QUEUE (to merge into oracle_sql() at r9
+    start). Verify them against DuckDB NOW so the queue never rots —
+    the r5-queue precedent."""
+    import math
+
+    import duckdb
+
+    entrymod = _load_entry()
+    queue = getattr(entrymod, "_R9_ORACLE_QUEUE", {})
+    if not queue:
+        return
+    from healthcare_api_spark import get_spark
+    from healthcare_api_spark.tables import TABLE_NAMES
+
+    sf = "/root/testdata/sf0.001"
+    spark = get_spark("r9-queue-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    def canon(frame):
+        cols = sorted(frame.columns)
+        out = []
+        for tup in frame[cols].itertuples(index=False):
+            row = []
+            for v in tup:
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    row.append("\x00")
+                elif isinstance(v, float):
+                    row.append(f"{v:.9g}")
+                else:
+                    row.append(str(v))
+            out.append(tuple(row))
+        return sorted(out)
+
+    for name, sql in queue.items():
+        sdf = entrymod.queries()[name](spark, sf).toPandas()
+        odf = con.execute(sql).df()
+        assert sorted(sdf.columns) == sorted(odf.columns), name
+        assert canon(sdf) == canon(odf), f"{name}: spark != oracle"
