@@ -4891,6 +4891,28 @@ def q_g6_adamic_adar(spark, sf_dir):
     )
 
 
+def q_u12_lsh_eval(spark, sf_dir):
+    """LSH-banding quality evaluation (r8, oracle queued for r9): the
+    question every banded dedup deployment must answer — how much of
+    the EXACT Jaccard-≥0.6 pair set (d18's prefix-filtered join, exact
+    recall proven) does the 2-band×2-row minhash candidate generator
+    actually surface, and at what precision? Prediction =
+    lsh_candidate_pairs (the d2/st5 banding), truth =
+    prefix_jaccard_pairs at τ=0.6 over the SAME 3-shingles, metric =
+    dedup_eval's one-row integer-exact P/R/F1. The theory says recall
+    ≈ 1−(1−J²)² per pair (≈0.59 at J=0.6, →1 as J→1) — this gate
+    MEASURES it, hash-verified."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pred = dedup.lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=4, rows_per_band=2, shingle_n=3
+    )
+    truth = dedup.prefix_jaccard_pairs(
+        docs, "doc_id", "text", 3, 5, shingle_n=3
+    ).select("id_a", "id_b")
+    return dedup.dedup_eval(pred, truth)
+
+
 def q_g7_personalized_pagerank(spark, sf_dir):
     """Personalized PageRank (r8, oracle QUEUED for r9 — the 50-entry
     sweep prefix filled): seeded-teleport relevance over the k-NN
@@ -4921,12 +4943,53 @@ from healthcare_api_spark.operators.graph import (
     personalized_pagerank_sql as _ppr_sql,
 )
 
-_R9_ORACLE_QUEUE: dict[str, str] = {
-    "g7_personalized_pagerank": _ppr_sql(
-        f"SELECT s AS src, d AS dst FROM ({_KNN_EDGES_SQL})",
-        seeds=[1, 2, 3], iters=5, damping=0.85,
-    ),
-}
+def _u12_oracle_sql() -> str:
+    """pred = the st5 banding CTEs over plain documents; truth = the
+    d18 exact-Jaccard join; metric = the u11 integer-DIV ratios."""
+    ratio = (
+        "CASE WHEN ({d}) > 0 THEN"
+        " CAST((2 * ({n}) * 1000000 + ({d})) // (2 * ({d})) AS DOUBLE)"
+        " / 1000000.0 ELSE NULL END"
+    )
+    return (
+        f"WITH docs AS (SELECT doc_id, text FROM documents),"
+        f"{_shingle_cte()},"
+        " dig AS (SELECT doc_id, md5(s) AS d FROM sh),"
+        " sig AS (SELECT doc_id, min(d) AS mh0,"
+        "  min(substr(d, 9, 24) || substr(d, 1, 8)) AS mh1,"
+        "  min(substr(d, 17, 16) || substr(d, 1, 16)) AS mh2,"
+        "  min(substr(d, 25, 8) || substr(d, 1, 24)) AS mh3"
+        "  FROM dig GROUP BY doc_id),"
+        " bands AS (SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket"
+        "  FROM sig UNION ALL"
+        "  SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig),"
+        " pred AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb"
+        "  FROM bands a JOIN bands b ON a.band = b.band"
+        "   AND a.bucket = b.bucket AND a.doc_id < b.doc_id),"
+        " tok AS (SELECT DISTINCT doc_id, s AS t FROM sh WHERE s <> ''),"
+        " st AS (SELECT doc_id, list(DISTINCT t) AS l, count(*) AS n"
+        "  FROM tok GROUP BY doc_id),"
+        " truth AS (SELECT a.doc_id AS ta, b.doc_id AS tb"
+        "  FROM st a JOIN st b ON a.doc_id < b.doc_id"
+        "   AND a.n * 3 <= b.n * 5 AND b.n * 3 <= a.n * 5"
+        "  WHERE len(list_intersect(a.l, b.l)) * 5"
+        "   >= (a.n + b.n - len(list_intersect(a.l, b.l))) * 3),"
+        " hit AS (SELECT * FROM pred WHERE EXISTS"
+        "  (SELECT 1 FROM truth WHERE ta = pa AND tb = pb)),"
+        " c AS (SELECT"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_pred,"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)"
+        " SELECT n_pred, n_truth, n_hit,"
+        f" {ratio.format(n='n_hit', d='n_pred')} AS precision,"
+        f" {ratio.format(n='n_hit', d='n_truth')} AS recall,"
+        f" {ratio.format(n='2 * n_hit', d='n_pred + n_truth')} AS f1"
+        " FROM c"
+    )
+
+
+# _R9_ORACLE_QUEUE is assembled at the END of the module — its SQL
+# builders need helpers (_shingle_cte) defined further down.
 
 
 def q_d19_paragraph_dedup(spark, sf_dir):
@@ -5918,6 +5981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-entry sweep prefix is full; pytest live-verifies these
         # until they move to the r9 head ---
         "g7_personalized_pagerank": q_g7_personalized_pagerank,
+        "u12_lsh_eval": q_u12_lsh_eval,
     }
 
 
@@ -9026,3 +9090,12 @@ def _queue_kcore_sql() -> str:
 
 # appended at module end: _KNN_EDGES_SQL is defined mid-module
 _R5_ORACLE_QUEUE["g3_kcore"] = _queue_kcore_sql()
+
+
+_R9_ORACLE_QUEUE: dict[str, str] = {
+    "g7_personalized_pagerank": _ppr_sql(
+        f"SELECT s AS src, d AS dst FROM ({_KNN_EDGES_SQL})",
+        seeds=[1, 2, 3], iters=5, damping=0.85,
+    ),
+    "u12_lsh_eval": _u12_oracle_sql(),
+}

@@ -207,6 +207,7 @@ HEADLINE = [
     "x18_acf",
     "v20_rag_pipeline",
     "g7_personalized_pagerank",
+    "u12_lsh_eval",
 ]
 
 N_STEADY = 3
