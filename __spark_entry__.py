@@ -4891,6 +4891,53 @@ def q_g6_adamic_adar(spark, sf_dir):
     )
 
 
+def q_m18_keyframes(spark, sf_dir):
+    """Shot segmentation + keyframe selection (r8, oracle queued for
+    r9): the m11 synthetic Y4M videos run through the REAL scene-cut
+    kernel, then multimodal.select_keyframes splits each video into
+    shots at its cuts and nominates the middle frame per shot — the
+    step a video-curation pipeline runs before decoding anything
+    expensive. The oracle recomputes shots ANALYTICALLY from the same
+    luma formula (cut iff |Δluma| > 24, mod-200 wraps included) — an
+    independent route through the pixels, not a CTE composition."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from healthcare_api_spark.operators.multimodal import (
+        scene_cuts,
+        select_keyframes,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4, 4
+                n, cut = d % 6 + 4, d % 4 + 1
+                head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+                body = b"".join(
+                    b"FRAME\n"
+                    + bytes(
+                        [(d * 7 + 40 + (i % 3) + (80 if i >= cut else 0)) % 200]
+                    ) * (w * h)
+                    + bytes([128]) * (w * h // 2)
+                    for i in range(n)
+                )
+                payloads.append(head + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+    vids = docs.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ).mapInPandas(_gen, "doc_id long, data binary")
+    cuts = scene_cuts(vids, "doc_id", "data", threshold=24.0)
+    return select_keyframes(cuts, "id").withColumnRenamed("id", "doc_id")
+
+
 def q_u12_lsh_eval(spark, sf_dir):
     """LSH-banding quality evaluation (r8, oracle queued for r9): the
     question every banded dedup deployment must answer — how much of
@@ -5982,6 +6029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # until they move to the r9 head ---
         "g7_personalized_pagerank": q_g7_personalized_pagerank,
         "u12_lsh_eval": q_u12_lsh_eval,
+        "m18_keyframes": q_m18_keyframes,
     }
 
 
@@ -9098,4 +9146,26 @@ _R9_ORACLE_QUEUE: dict[str, str] = {
         seeds=[1, 2, 3], iters=5, damping=0.85,
     ),
     "u12_lsh_eval": _u12_oracle_sql(),
+    # m18: shots recomputed analytically from the m11 luma formula —
+    # frames per doc = d%6+4, luma_i = (7d + 40 + i%3 + 80·[i≥cut]) % 200,
+    # cut transition at i iff |luma_i − luma_{i−1}| > 24 (wraps included)
+    "m18_keyframes": (
+        "WITH d AS (SELECT doc_id, doc_id % 6 + 4 AS n, doc_id % 4 + 1 AS c"
+        "  FROM documents),"
+        " fr AS (SELECT doc_id, i,"
+        "  (doc_id * 7 + 40 + (i % 3)"
+        "   + CASE WHEN i >= c THEN 80 ELSE 0 END) % 200 AS luma"
+        "  FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i)),"
+        " fl AS (SELECT doc_id, i,"
+        "  CASE WHEN i = 0 THEN 0 WHEN abs(luma -"
+        "   lag(luma) OVER (PARTITION BY doc_id ORDER BY i)) > 24"
+        "   THEN 1 ELSE 0 END AS cut FROM fr),"
+        " sh AS (SELECT doc_id, i, sum(cut) OVER"
+        "  (PARTITION BY doc_id ORDER BY i) AS shot_id FROM fl)"
+        " SELECT doc_id, CAST(shot_id AS INT) AS shot_id,"
+        "  CAST(min(i) AS INT) AS start_idx, CAST(max(i) AS INT) AS end_idx,"
+        "  CAST(count(*) AS INT) AS n_frames,"
+        "  CAST((min(i) + max(i)) // 2 AS INT) AS keyframe_idx"
+        " FROM sh GROUP BY doc_id, shot_id"
+    ),
 }

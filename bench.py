@@ -208,6 +208,7 @@ HEADLINE = [
     "v20_rag_pipeline",
     "g7_personalized_pagerank",
     "u12_lsh_eval",
+    "m18_keyframes",
 ]
 
 N_STEADY = 3

@@ -2509,3 +2509,74 @@ def image_patches(
     return df.select(F.col(id_col), F.col(data_col)).mapInPandas(
         _patches, IMAGE_PATCHES_SCHEMA
     )
+
+
+def select_keyframes(
+    cuts: DataFrame,
+    id_col: str = "id",
+    frame_col: str = "frame_idx",
+    cut_col: str = "is_cut",
+) -> DataFrame:
+    """Shot segmentation + keyframe selection over a
+    :func:`scene_cuts` transition table — the step after shot-boundary
+    detection in every video-curation pipeline: split each video into
+    shots at its cut transitions and nominate one representative frame
+    per shot (the MIDDLE frame, ``(start+end) DIV 2`` — the standard
+    transition-avoiding convention; exact integer arithmetic).
+
+    Input rows are transitions (one per consecutive frame pair,
+    ``frame_col`` = the later frame); frames are densified back with a
+    ``sequence`` explode, the shot id is a running sum of cut flags
+    per video, and shots reduce with one map-side-combined aggregate —
+    two video-keyed shuffles total, nothing sequential.
+    ``mode='y4m'`` transitions only; 1-frame videos (the
+    ``y4m_short`` marker) yield a single one-frame shot.
+
+    Output: (id, shot_id, start_idx, end_idx, n_frames, keyframe_idx).
+    """
+    from pyspark.sql import Window
+
+    ok = cuts.filter(F.col("mode") == "y4m")
+    frames = (
+        ok.groupBy(F.col(id_col).alias("_id"))
+        .agg(F.max(F.col(frame_col)).alias("_mx"))
+        .select(
+            "_id", F.explode(F.sequence(F.lit(0), F.col("_mx"))).alias("_f")
+        )
+    )
+    trans = ok.select(
+        F.col(id_col).alias("_id"),
+        F.col(frame_col).alias("_f"),
+        F.col(cut_col).alias("_cut"),
+    )
+    shorts = (
+        cuts.filter(F.col("mode") == "y4m_short")
+        .filter(F.col(frame_col) == 1)  # exactly one frame
+        .select(F.col(id_col).alias("_id"), F.lit(0).alias("_f"),
+                F.lit(0).alias("_cut"))
+    )
+    w = Window.partitionBy("_id").orderBy("_f")
+    labeled = (
+        frames.join(trans, ["_id", "_f"], "left")
+        .select("_id", "_f", F.coalesce("_cut", F.lit(0)).alias("_cut"))
+        .unionByName(shorts)
+        .withColumn("shot_id", F.sum("_cut").over(w))
+    )
+    return (
+        labeled.groupBy("_id", "shot_id")
+        .agg(
+            F.min("_f").alias("start_idx"),
+            F.max("_f").alias("end_idx"),
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("shot_id").cast("int").alias("shot_id"),
+            F.col("start_idx").cast("int").alias("start_idx"),
+            F.col("end_idx").cast("int").alias("end_idx"),
+            "n_frames",
+            F.expr("(start_idx + end_idx) DIV 2").cast("int").alias(
+                "keyframe_idx"
+            ),
+        )
+    )

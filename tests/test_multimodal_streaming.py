@@ -1202,3 +1202,30 @@ def test_image_patches_edges_dropped_and_errors(spark):
     assert image_patches(tiny, "id", "data", patch=4).count() == 0
     with pytest.raises(ValueError):
         image_patches(df, "id", "data", patch=0)
+
+
+def test_select_keyframes_hand_computed(spark):
+    from healthcare_api_spark.operators.multimodal import select_keyframes
+
+    # 8 frames, cuts entering frames 3 and 6 -> shots [0-2][3-5][6-7]
+    rows = [
+        (1, i, 1.0 if i in (3, 6) else 0.5, 1 if i in (3, 6) else 0, "y4m")
+        for i in range(1, 8)
+    ]
+    # a 1-frame video marker and an unsupported container
+    rows += [(2, 1, None, None, "y4m_short"), (3, -1, None, None, "unsupported")]
+    cuts = spark.createDataFrame(
+        rows, "id long, frame_idx int, mad double, is_cut int, mode string"
+    )
+    got = {
+        (r["id"], r["shot_id"]): (
+            r["start_idx"], r["end_idx"], r["n_frames"], r["keyframe_idx"]
+        )
+        for r in select_keyframes(cuts).collect()
+    }
+    assert got == {
+        (1, 0): (0, 2, 3, 1),
+        (1, 1): (3, 5, 3, 4),
+        (1, 2): (6, 7, 2, 6),
+        (2, 0): (0, 0, 1, 0),   # the y4m_short single-frame shot
+    }
