@@ -4891,6 +4891,24 @@ def q_g6_adamic_adar(spark, sf_dir):
     )
 
 
+def q_g8_modularity(spark, sf_dir):
+    """Community-quality evaluation (r8, oracle queued for r9):
+    Newman modularity decomposition of g4's label-propagation
+    communities over the k-NN similarity graph (graph.modularity) —
+    the eval a clustering deployment tracks next to its round count,
+    joining u11/u12/v11/v14 in the measure-your-own-operators family.
+    Per community: exact int64 q_num = 4·m·in_c − deg_c² and ONE
+    int/double division; Σ q_term = the graph's modularity. The
+    oracle composes the pinned LPA CTEs with the same integer
+    arithmetic."""
+    from healthcare_api_spark.operators import graph
+
+    _tune(spark)
+    edges = _knn_customer_edges(spark, sf_dir)
+    labels = graph.label_propagation(edges, "s", "d", iters=8)
+    return graph.modularity(edges, labels, "s", "d")
+
+
 def q_m18_keyframes(spark, sf_dir):
     """Shot segmentation + keyframe selection (r8, oracle queued for
     r9): the m11 synthetic Y4M videos run through the REAL scene-cut
@@ -6030,6 +6048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g7_personalized_pagerank": q_g7_personalized_pagerank,
         "u12_lsh_eval": q_u12_lsh_eval,
         "m18_keyframes": q_m18_keyframes,
+        "g8_modularity": q_g8_modularity,
     }
 
 
@@ -9146,6 +9165,37 @@ _R9_ORACLE_QUEUE: dict[str, str] = {
         seeds=[1, 2, 3], iters=5, damping=0.85,
     ),
     "u12_lsh_eval": _u12_oracle_sql(),
+    # g8: the pinned LPA rounds as a CTE + the exact-integer
+    # modularity decomposition (q_num = 4·m·in − deg²)
+    "g8_modularity": (
+        "WITH lpa AS ({LPA}),"
+        " e0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS u,"
+        "  greatest(s, d) AS v FROM ({EDGES}) WHERE s <> d),"
+        " mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),"
+        " degs AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM"
+        "  (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0)"
+        "  GROUP BY n),"
+        " pl AS (SELECT lpa.label, CAST(count(*) AS BIGINT) AS n_nodes,"
+        "  CAST(sum(degs.deg) AS BIGINT) AS total_degree"
+        "  FROM degs JOIN lpa ON lpa.node = degs.n GROUP BY lpa.label),"
+        " inn AS (SELECT a.label, CAST(count(*) AS BIGINT) AS internal_edges"
+        "  FROM e0 JOIN lpa a ON a.node = e0.u JOIN lpa b ON b.node = e0.v"
+        "  WHERE a.label = b.label GROUP BY a.label)"
+        " SELECT pl.label, pl.n_nodes,"
+        "  CAST(coalesce(inn.internal_edges, 0) AS BIGINT) AS internal_edges,"
+        "  pl.total_degree,"
+        "  CAST(4 * mm.m * coalesce(inn.internal_edges, 0)"
+        "   - pl.total_degree * pl.total_degree AS BIGINT) AS q_num,"
+        "  CAST(4 * mm.m * coalesce(inn.internal_edges, 0)"
+        "   - pl.total_degree * pl.total_degree AS DOUBLE)"
+        "   / ((4.0 * mm.m) * mm.m) AS q_term"
+        " FROM pl LEFT JOIN inn ON pl.label = inn.label, mm"
+    ).format(
+        LPA=__import__(
+            "healthcare_api_spark.operators.graph", fromlist=["x"]
+        ).label_propagation_sql(_KNN_EDGES_SQL, iters=8),
+        EDGES=_KNN_EDGES_SQL,
+    ),
     # m18: shots recomputed analytically from the m11 luma formula —
     # frames per doc = d%6+4, luma_i = (7d + 40 + i%3 + 80·[i≥cut]) % 200,
     # cut transition at i iff |luma_i − luma_{i−1}| > 24 (wraps included)

@@ -209,6 +209,7 @@ HEADLINE = [
     "g7_personalized_pagerank",
     "u12_lsh_eval",
     "m18_keyframes",
+    "g8_modularity",
 ]
 
 N_STEADY = 3

@@ -898,3 +898,90 @@ def personalized_pagerank_sql(
         ]
     body = "".join(parts).rstrip(",")
     return f"{body} SELECT node, round(rank, 6) AS rank FROM r{iters}"
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "s",
+    dst: str = "d",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-community modularity decomposition (Newman 2004) — the
+    clustering-quality eval for ANY community assignment (LPA,
+    connected components, external labels): for community c over an
+    undirected graph with m edges,
+
+        Q_c = in_c/m − (deg_c / 2m)²,   Q = Σ_c Q_c
+
+    Everything is exact integer arithmetic until one final division:
+    ``q_num = 4·m·in_c − deg_c²`` (int64; deg_c ≤ 2m so the square is
+    bounded by 4m²) and ``q_term = q_num / (4m²)`` — one
+    correctly-rounded int64/double op per row, hash-portable with no
+    rounding contract. Output: (label, n_nodes, internal_edges,
+    total_degree, q_num, q_term); Σ q_term is the graph's modularity.
+
+    Shape: one distinct over canonical edges, one degree aggregate,
+    two label joins, two map-side-combined label aggregates — the
+    eval costs one pass over the edge set, never communities².
+    """
+    u = F.least(F.col(src), F.col(dst))
+    v = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds m, degrees, and internal
+    )
+    m = und.agg(F.count(F.lit(1)).cast("bigint").alias("_m"))
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("label")
+    )
+    deg = (
+        und.select(F.col("u").alias("_n"))
+        .unionByName(und.select(F.col("v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_deg"))
+    )
+    per_label = (
+        deg.join(lab, "_n")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("_deg").cast("bigint").alias("total_degree"),
+        )
+    )
+    lu = lab.select(F.col("_n").alias("u"), F.col("label").alias("_lu"))
+    lv = lab.select(F.col("_n").alias("v"), F.col("label").alias("_lv"))
+    internal = (
+        und.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("_lu") == F.col("_lv"))
+        .groupBy(F.col("_lu").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("internal_edges"))
+    )
+    out = (
+        per_label.join(internal, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0)).cast("bigint").alias(
+                "internal_edges"
+            ),
+            "total_degree",
+            (
+                F.lit(4) * F.col("_m") * F.coalesce("internal_edges", F.lit(0))
+                - F.col("total_degree") * F.col("total_degree")
+            ).cast("bigint").alias("q_num"),
+            (
+                (
+                    F.lit(4) * F.col("_m") * F.coalesce("internal_edges", F.lit(0))
+                    - F.col("total_degree") * F.col("total_degree")
+                ).cast("double")
+                / (F.lit(4.0) * F.col("_m") * F.col("_m")).cast("double")
+            ).alias("q_term"),
+        )
+    )
+    return out

@@ -430,3 +430,51 @@ def test_personalized_pagerank_sql_twin_and_validation(spark):
         personalized_pagerank(edges, [], iters=3)
     with pytest.raises(ValueError):
         personalized_pagerank(edges, [1], iters=0)
+
+
+def test_modularity_hand_computed_two_cliques(spark):
+    from fractions import Fraction
+
+    from healthcare_api_spark.operators.graph import modularity
+
+    # two triangles joined by one bridge: m = 7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["s", "d"],
+    )
+    labels = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "b")],
+        ["node", "label"],
+    )
+    got = {
+        r["label"]: r
+        for r in modularity(edges, labels, "s", "d").collect()
+    }
+    m = 7
+    # community a: in=3, deg=2+2+3=7; b identical
+    for c in ("a", "b"):
+        r = got[c]
+        assert (r["n_nodes"], r["internal_edges"], r["total_degree"]) == (3, 3, 7)
+        assert r["q_num"] == 4 * m * 3 - 49
+        assert r["q_term"] == r["q_num"] / (4.0 * m * m)
+    q = sum(r["q_term"] for r in got.values())
+    want = float(2 * (Fraction(3, 7) - Fraction(7, 14) ** 2))
+    assert abs(q - want) < 1e-12
+
+
+def test_modularity_singleton_and_cross_edges(spark):
+    from healthcare_api_spark.operators.graph import modularity
+
+    # all nodes in one community -> Q = in/m - 1 = 0 exactly
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["s", "d"])
+    labels = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x")], ["node", "label"]
+    )
+    rows = modularity(edges, labels, "s", "d").collect()
+    assert len(rows) == 1 and rows[0]["q_term"] == 0.0
+    # every node its own community -> internal 0 everywhere
+    solo = spark.createDataFrame(
+        [(1, "p"), (2, "q"), (3, "r")], ["node", "label"]
+    )
+    for r in modularity(edges, solo, "s", "d").collect():
+        assert r["internal_edges"] == 0 and r["q_num"] < 0
