@@ -4891,6 +4891,23 @@ def q_g6_adamic_adar(spark, sf_dir):
     )
 
 
+def q_t33_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (r8, oracle queued for r9): top-3
+    stopword-delimited phrases per document scored by the classic
+    deg/freq co-occurrence rule (textops.rake_keywords) — the
+    unsupervised topic-tagging pass a corpus report runs. Every
+    aggregate keys on the doc id; word scores are integer-DIV 6-dp
+    micros (deg/freq is exactly the decimal-tie shape) and phrase
+    scores exact int64 sums, so the ranking is deterministic and the
+    oracle replays the identical windows."""
+    from healthcare_api_spark.operators import textops
+
+    _tune(spark)
+    return textops.rake_keywords(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", top_k=3
+    )
+
+
 def q_g8_modularity(spark, sf_dir):
     """Community-quality evaluation (r8, oracle queued for r9):
     Newman modularity decomposition of g4's label-propagation
@@ -6049,6 +6066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u12_lsh_eval": q_u12_lsh_eval,
         "m18_keyframes": q_m18_keyframes,
         "g8_modularity": q_g8_modularity,
+        "t33_rake_keywords": q_t33_rake_keywords,
     }
 
 
@@ -9165,6 +9183,46 @@ _R9_ORACLE_QUEUE: dict[str, str] = {
         seeds=[1, 2, 3], iters=5, damping=0.85,
     ),
     "u12_lsh_eval": _u12_oracle_sql(),
+    # t33: the same islands/deg-freq/integer-DIV arithmetic; string_agg
+    # ORDER BY i mirrors the position-sorted collect_list
+    "t33_rake_keywords": (
+        "WITH toks AS (SELECT doc_id, unnest({TOKS}) AS w,"
+        "  generate_subscripts({TOKS}, 1) AS i FROM documents),"
+        " t2 AS (SELECT * FROM toks WHERE w <> ''),"
+        " fl AS (SELECT doc_id, i, w,"
+        "  CASE WHEN w IN ({STOPS}) THEN 1 ELSE 0 END AS brk FROM t2),"
+        " pid AS (SELECT doc_id, i, w, brk, sum(brk) OVER"
+        "  (PARTITION BY doc_id ORDER BY i) AS pid FROM fl),"
+        " ph AS (SELECT * FROM pid WHERE brk = 0),"
+        " plen AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen,"
+        "  string_agg(w, ' ' ORDER BY i) AS phrase FROM ph"
+        "  GROUP BY doc_id, pid HAVING count(*) <= 4),"
+        " occ AS (SELECT ph.doc_id, ph.pid, ph.w, plen.plen"
+        "  FROM ph JOIN plen USING (doc_id, pid)),"
+        " wstat AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS freq,"
+        "  CAST(sum(plen) AS BIGINT) AS deg FROM occ GROUP BY doc_id, w),"
+        " wsc AS (SELECT doc_id, w,"
+        "  (2 * deg * 1000000 + freq) // (2 * freq) AS wmic FROM wstat),"
+        " ps AS (SELECT o.doc_id, o.pid, CAST(sum(wmic) AS BIGINT) AS smic"
+        "  FROM occ o JOIN wsc ON wsc.doc_id = o.doc_id AND wsc.w = o.w"
+        "  GROUP BY o.doc_id, o.pid),"
+        " ranked AS (SELECT ps.doc_id, row_number() OVER"
+        "  (PARTITION BY ps.doc_id ORDER BY smic DESC, phrase ASC, ps.pid ASC)"
+        "   AS rank, phrase, plen, smic FROM ps JOIN plen"
+        "  ON plen.doc_id = ps.doc_id AND plen.pid = ps.pid)"
+        " SELECT doc_id, CAST(rank AS INT) AS rank, phrase,"
+        "  CAST(plen AS INT) AS n_words,"
+        "  CAST(smic AS DOUBLE) / 1000000.0 AS score"
+        " FROM ranked WHERE rank <= 3"
+    ).format(
+        TOKS=_TOKS_SQL,
+        STOPS=", ".join(
+            f"'{w}'"
+            for w in __import__(
+                "healthcare_api_spark.operators.textops", fromlist=["x"]
+            ).RAKE_STOPWORDS
+        ),
+    ),
     # g8: the pinned LPA rounds as a CTE + the exact-integer
     # modularity decomposition (q_num = 4·m·in − deg²)
     "g8_modularity": (

@@ -210,6 +210,7 @@ HEADLINE = [
     "u12_lsh_eval",
     "m18_keyframes",
     "g8_modularity",
+    "t33_rake_keywords",
 ]
 
 N_STEADY = 3

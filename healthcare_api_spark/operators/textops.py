@@ -1869,3 +1869,102 @@ def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             / F.lit(1000.0)
         ).alias("fkgl"),
     )
+
+
+RAKE_STOPWORDS: tuple[str, ...] = (
+    "the", "and", "of", "to", "is", "that", "a", "an", "in", "on",
+    "for", "with", "as", "by", "at", "be", "are", "was", "it",
+    "this", "or", "from", "have", "not",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    top_k: int = 3,
+    max_phrase_len: int = 4,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the classic
+    unsupervised per-document keyword algorithm: candidate phrases are
+    maximal stopword-free token runs, each word scores
+    deg(w)/freq(w) over the document's phrases (degree = Σ length of
+    the phrases its occurrences sit in — co-occurrence rewards
+    multi-word terms), and a phrase scores the sum of its words.
+    Output: the ``top_k`` phrases per document.
+
+    Engine-portability: deg/freq are exact integers; each word score
+    is the rational deg/freq rounded to 6-dp micros IN INTEGER
+    ARITHMETIC (the t30 DIV rule — deg/freq is exactly the
+    small-denominator shape that ties), the phrase score is an exact
+    int64 SUM of word micros, and ranking breaks ties by phrase text.
+    (Documented variant: per-word rounding before the sum — scores
+    differ from float RAKE by < 1e-6·len, ordering preserved except
+    at genuine near-ties, where determinism is the point.)
+
+    Shape: every aggregate/window is keyed by the doc id (positions →
+    islands → phrase lengths → word stats → phrase scores → top-k) —
+    one doc-keyed shuffle reused end to end, no corpus-wide state.
+    ``max_phrase_len`` drops longer runs (stopword-free spam would
+    otherwise make one "phrase" of a whole document — a skew and
+    relevance guard, standard in RAKE deployments).
+    """
+    if top_k < 1 or max_phrase_len < 1:
+        raise ValueError("top_k and max_phrase_len must be >= 1")
+    if not stopwords:
+        raise ValueError("stopwords must be non-empty")
+    from pyspark.sql import Window
+
+    from healthcare_api_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("_i", "_w"),
+    ).filter(F.col("_w") != "")
+    stop = F.col("_w").isin(list(stopwords))
+    wd = Window.partitionBy(id_col).orderBy("_i")
+    ph = (
+        toks.withColumn("_brk", F.when(stop, 1).otherwise(0))
+        .withColumn("_pid", F.sum("_brk").over(wd))
+        .filter(~stop)
+    )
+    plen = ph.groupBy(id_col, "_pid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_w"))),
+                lambda s: s["_w"],
+            ),
+            " ",
+        ).alias("phrase"),
+    ).filter(F.col("_plen") <= max_phrase_len)
+    occ = ph.join(plen.select(id_col, "_pid", "_plen"), [id_col, "_pid"])
+    wstat = occ.groupBy(id_col, "_w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_freq"),
+        F.sum("_plen").cast("bigint").alias("_deg"),
+    )
+    wscore = wstat.withColumn(
+        "_wmic",
+        F.expr("(2 * _deg * 1000000 + _freq) DIV (2 * _freq)"),
+    )
+    pscore = (
+        occ.join(wscore.select(id_col, "_w", "_wmic"), [id_col, "_w"])
+        .groupBy(id_col, "_pid")
+        .agg(F.sum("_wmic").cast("bigint").alias("_smic"))
+        .join(plen, [id_col, "_pid"])
+    )
+    wr = Window.partitionBy(id_col).orderBy(
+        F.col("_smic").desc(), F.col("phrase").asc(), F.col("_pid").asc()
+    )
+    return (
+        pscore.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            "phrase",
+            F.col("_plen").cast("int").alias("n_words"),
+            (F.col("_smic").cast("double") / F.lit(1e6)).alias("score"),
+        )
+    )

@@ -1783,3 +1783,43 @@ def test_binary_ann_multiword_python_parity(spark):
 
     with pytest.raises(ValueError):
         similarity.binary_quantized_topk(emb, "vec_id", "embedding", q, k=0)
+
+
+def test_rake_hand_computed(spark):
+    # "deep learning of deep networks is the deep learning way"
+    # stopwords {of, is, the} -> phrases: [deep learning],
+    # [deep networks], [deep learning way]
+    docs = spark.createDataFrame(
+        [(1, "deep learning of deep networks is the deep learning way")],
+        ["doc_id", "text"],
+    )
+    rows = textops.rake_keywords(docs, "doc_id", "text", top_k=3).collect()
+    got = {(r["rank"]): (r["phrase"], r["n_words"], r["score"]) for r in rows}
+    # deg/freq: deep: freq 3, deg 2+2+3=7; learning: freq 2, deg 5;
+    # networks: 1/2; way: 1/3
+    deep = round(7e6 / 3) if (14e6 + 3) % 6 else 0  # half-up via DIV
+    deep = (2 * 7 * 10**6 + 3) // (2 * 3)
+    learning = (2 * 5 * 10**6 + 2) // (2 * 2)
+    networks = (2 * 2 * 10**6 + 1) // 2
+    way = (2 * 3 * 10**6 + 1) // 2
+    assert got[1] == ("deep learning way", 3, (deep + learning + way) / 1e6)
+    assert got[2] == ("deep learning", 2, (deep + learning) / 1e6)
+    assert got[3] == ("deep networks", 2, (deep + networks) / 1e6)
+
+
+def test_rake_phrase_cap_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon of tiny run")],
+        ["doc_id", "text"],
+    )
+    rows = textops.rake_keywords(
+        docs, "doc_id", "text", top_k=5, max_phrase_len=4
+    ).collect()
+    # the 5-word run is dropped by the cap; only "tiny run" survives
+    assert [r["phrase"] for r in rows] == ["tiny run"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        textops.rake_keywords(docs, "doc_id", "text", top_k=0)
+    with pytest.raises(ValueError):
+        textops.rake_keywords(docs, "doc_id", "text", stopwords=())
