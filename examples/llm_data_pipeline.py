@@ -18,8 +18,10 @@ with stats — every stage a distributed operator from this package:
      md5-threshold; reproducible across engines/cluster sizes)
   9. BPE tokenizer training on the cleaned corpus + token
      accounting + sequence packing (concat-and-chunk)
- 10. deterministic splits + round-robin source interleave, written
-     partitioned by language/split in serve order
+ 10. LEAKAGE-SAFE splits (near-dup clusters atomically assigned via
+     the cluster canonical's hash) + round-robin source interleave,
+     written partitioned by language/split in serve order; 9d reports
+     the corpus's mean cross-document 3-gram novelty
 
 Run: python examples/llm_data_pipeline.py [sf_dir]
 """
