@@ -4891,6 +4891,65 @@ def q_g6_adamic_adar(spark, sf_dir):
     )
 
 
+def q_u13_entity_resolution(spark, sf_dir):
+    """Composed entity-resolution pipeline (r8, oracle queued for r9)
+    — the third integration gate beside u9 (curation write path) and
+    v20 (retrieval read path): records = 24-char titles ∪ their
+    planted transposition typos (the d11 substrate, ids + 300000) →
+    (1) blocked fuzzy self-join at Levenshtein ≤ 3 →
+    (2) alternating-star connected components (raise on
+    non-convergence, so the oracle's reach closure is sound) →
+    (3) canonical_per_cluster keeping the longest title with min-id
+    tiebreak (= the original beats its typo). Singletons keep
+    themselves. Output: one row per entity cluster."""
+    _tune(spark)
+    from healthcare_api_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    title = F.substring(
+        F.regexp_replace(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+            "[^ -~]", "",
+        ),
+        1, 24,
+    )
+    t = docs.select(
+        F.col("doc_id").alias("rec_id"), title.alias("title")
+    ).filter(F.length("title") >= 12)
+    typo = t.select(
+        (F.col("rec_id") + 300000).alias("rec_id"),
+        # rec_id here binds to the INPUT column (the original doc id)
+        F.concat(
+            F.expr("substring(title, 1, rec_id % 8 + 4)"),
+            F.expr("substring(title, rec_id % 8 + 6, 1)"),
+            F.expr("substring(title, rec_id % 8 + 5, 1)"),
+            F.expr("substring(title, rec_id % 8 + 7, 9999)"),
+        ).alias("title"),
+    )
+    records = t.unionByName(typo).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ).localCheckpoint(eager=True)  # feeds the self-join twice + ranks
+    pairs = dedup.fuzzy_string_join(
+        records, records, "rec_id", "title", "rec_id", "title", max_dist=3
+    ).filter(F.col("rec_id_l") < F.col("rec_id_r"))
+    cc = graph.connected_components(
+        pairs, "rec_id_l", "rec_id_r", iters=6, on_nonconverged="raise"
+    ).withColumnRenamed("node", "rec_id")
+    members = (
+        records.select("rec_id")
+        .join(cc, "rec_id", "left")
+        .select(
+            "rec_id",
+            F.coalesce("component", F.col("rec_id")).alias("cluster_id"),
+        )
+    )
+    return dedup.canonical_per_cluster(
+        members,
+        records.select("rec_id", F.length("title").alias("tlen")),
+        "rec_id", "cluster_id", "tlen",
+    )
+
+
 def q_t33_rake_keywords(spark, sf_dir):
     """RAKE keyword extraction (r8, oracle queued for r9): top-3
     stopword-delimited phrases per document scored by the classic
@@ -6067,6 +6126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m18_keyframes": q_m18_keyframes,
         "g8_modularity": q_g8_modularity,
         "t33_rake_keywords": q_t33_rake_keywords,
+        "u13_entity_resolution": q_u13_entity_resolution,
     }
 
 
@@ -9183,6 +9243,39 @@ _R9_ORACLE_QUEUE: dict[str, str] = {
         seeds=[1, 2, 3], iters=5, damping=0.85,
     ),
     "u12_lsh_eval": _u12_oracle_sql(),
+    # u13: the d11 title/typo CTEs → blocked Levenshtein pairs → reach
+    # closure (sound: the engine raises on non-convergence) → longest-
+    # title/min-id canonical per cluster (original beats its typo)
+    "u13_entity_resolution": (
+        "WITH RECURSIVE t0 AS (SELECT doc_id,"
+        " substr(regexp_replace(trim(regexp_replace(lower(text),"
+        "   '\\s+', ' ', 'g')), '[^ -~]', '', 'g'), 1, 24) AS title"
+        " FROM documents),"
+        " t AS (SELECT doc_id AS rid, title FROM t0 WHERE length(title) >= 12),"
+        " typo AS (SELECT rid + 300000 AS rid,"
+        "   substr(title, 1, rid % 8 + 4)"
+        "   || substr(title, rid % 8 + 6, 1)"
+        "   || substr(title, rid % 8 + 5, 1)"
+        "   || substr(title, rid % 8 + 7) AS title FROM t),"
+        " rec AS (SELECT rid, title FROM t UNION ALL SELECT rid, title FROM typo),"
+        " lb AS (SELECT rid AS a, title AS ta, substr(title, 1, 4) AS blk FROM rec),"
+        " rb AS (SELECT rid AS b, title AS tb, substr(title, 1, 4) AS blk FROM rec),"
+        " pairs AS (SELECT a, b FROM lb JOIN rb USING (blk)"
+        "  WHERE a < b AND levenshtein(ta, tb) <= 3),"
+        " sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),"
+        " reach(a, b) AS (SELECT a, b FROM sym"
+        "  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),"
+        " comp AS (SELECT rec.rid, least(rec.rid, coalesce("
+        "  (SELECT min(b) FROM reach WHERE a = rec.rid), rec.rid))"
+        "   AS cluster_id FROM rec),"
+        " ranked AS (SELECT comp.cluster_id, comp.rid,"
+        "  row_number() OVER (PARTITION BY comp.cluster_id"
+        "   ORDER BY length(rec.title) DESC, comp.rid ASC) AS rn,"
+        "  count(*) OVER (PARTITION BY comp.cluster_id) AS m"
+        "  FROM comp JOIN rec ON rec.rid = comp.rid)"
+        " SELECT cluster_id, rid AS canonical_id,"
+        "  CAST(m AS BIGINT) AS n_members FROM ranked WHERE rn = 1"
+    ),
     # t33: the same islands/deg-freq/integer-DIV arithmetic; string_agg
     # ORDER BY i mirrors the position-sorted collect_list
     "t33_rake_keywords": (

@@ -211,6 +211,7 @@ HEADLINE = [
     "m18_keyframes",
     "g8_modularity",
     "t33_rake_keywords",
+    "u13_entity_resolution",
 ]
 
 N_STEADY = 3
