@@ -4891,6 +4891,33 @@ def q_g6_adamic_adar(spark, sf_dir):
     )
 
 
+def q_t34_blocklist_screen(spark, sf_dir):
+    """Blocklist safety screen (r8, oracle queued for r9): the
+    LDNOOBW-style denylist pass (curation.blocklist_screen) over
+    documents with decoration planted on doc-id residues (the t26
+    device): every 5th doc gains two soft-list hits, every 7th a
+    zero-tolerance hard term — exercising the ppm threshold and the
+    any-hard-hit branch. One explode + one map-side-combined
+    aggregate; hit_ppm is the integer-DIV rational."""
+    _tune(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" badword badword"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" hardstop"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return curation.blocklist_screen(
+        planted, "doc_id", "text",
+        terms=("badword", "spamtoken"), hard_terms=("hardstop",),
+        max_ratio_ppm=20_000,
+    )
+
+
 def q_u13_entity_resolution(spark, sf_dir):
     """Composed entity-resolution pipeline (r8, oracle queued for r9)
     — the third integration gate beside u9 (curation write path) and
@@ -6127,6 +6154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g8_modularity": q_g8_modularity,
         "t33_rake_keywords": q_t33_rake_keywords,
         "u13_entity_resolution": q_u13_entity_resolution,
+        "t34_blocklist_screen": q_t34_blocklist_screen,
     }
 
 
@@ -9243,6 +9271,28 @@ _R9_ORACLE_QUEUE: dict[str, str] = {
         seeds=[1, 2, 3], iters=5, damping=0.85,
     ),
     "u12_lsh_eval": _u12_oracle_sql(),
+    # t34: the planted decoration + the same IN-list counts and
+    # integer-DIV ppm
+    "t34_blocklist_screen": (
+        "WITH planted AS (SELECT doc_id, text"
+        "  || CASE WHEN doc_id % 5 = 0 THEN ' badword badword' ELSE '' END"
+        "  || CASE WHEN doc_id % 7 = 0 THEN ' hardstop' ELSE '' END AS text"
+        "  FROM documents),"
+        " tok AS (SELECT doc_id, unnest({TOKS}) AS w FROM planted),"
+        " t2 AS (SELECT * FROM tok WHERE w <> ''),"
+        " agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+        "  CAST(sum(CASE WHEN w IN ('badword', 'spamtoken') THEN 1 ELSE 0 END)"
+        "   AS BIGINT) AS n_hits,"
+        "  CAST(sum(CASE WHEN w = 'hardstop' THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_hard_hits FROM t2 GROUP BY doc_id)"
+        " SELECT doc_id, n_tokens, n_hits, n_hard_hits,"
+        "  CAST((2 * n_hits * 1000000 + n_tokens) // (2 * n_tokens)"
+        "   AS BIGINT) AS hit_ppm,"
+        "  CAST(CASE WHEN (2 * n_hits * 1000000 + n_tokens)"
+        "   // (2 * n_tokens) > 20000 OR n_hard_hits > 0"
+        "   THEN 1 ELSE 0 END AS INT) AS flagged"
+        " FROM agg"
+    ).format(TOKS=_TOKS_SQL),
     # u13: the d11 title/typo CTEs → blocked Levenshtein pairs → reach
     # closure (sound: the engine raises on non-convergence) → longest-
     # title/min-id canonical per cluster (original beats its typo)

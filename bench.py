@@ -212,6 +212,7 @@ HEADLINE = [
     "g8_modularity",
     "t33_rake_keywords",
     "u13_entity_resolution",
+    "t34_blocklist_screen",
 ]
 
 N_STEADY = 3

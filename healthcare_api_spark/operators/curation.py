@@ -918,3 +918,57 @@ def leakage_safe_splits(
         .drop("component")
     )
     return assign_splits(comp, "cluster_id", splits, salt=salt)
+
+
+def blocklist_screen(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    hard_terms: tuple[str, ...] = (),
+    max_ratio_ppm: int = 20_000,
+) -> DataFrame:
+    """Denylist safety screen — the blocklist pass every public-corpus
+    build runs (the LDNOOBW-style wordlist filter): count token hits
+    against a broadcast term list, flag a document when hits exceed
+    ``max_ratio_ppm`` parts-per-million of its tokens OR any
+    ``hard_terms`` member appears at all (the zero-tolerance tier).
+
+    Narrow shape: ONE token explode + a map-side-combined (id) (
+    aggregate with the term sets as literal IN-lists — no join, no
+    second scan; at 100 TB this rides the same pass as the other
+    row-level charters. All counts exact int64; ``hit_ppm`` is the
+    integer-DIV rounded rational (the t30 rule). Output: (id,
+    n_tokens, n_hits, n_hard_hits, hit_ppm, flagged).
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if max_ratio_ppm < 0:
+        raise ValueError("max_ratio_ppm must be >= 0")
+    from healthcare_api_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w")
+    ).filter(F.col("_w") != "")
+    hit = F.when(F.col("_w").isin(list(terms)), 1).otherwise(0)
+    hard = (
+        F.when(F.col("_w").isin(list(hard_terms)), 1).otherwise(0)
+        if hard_terms
+        else F.lit(0)
+    )
+    agg = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(hit).cast("bigint").alias("n_hits"),
+        F.sum(hard).cast("bigint").alias("n_hard_hits"),
+    )
+    ppm = F.expr("(2 * n_hits * 1000000 + n_tokens) DIV (2 * n_tokens)")
+    return agg.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_hits",
+        "n_hard_hits",
+        ppm.cast("bigint").alias("hit_ppm"),
+        (
+            (ppm > F.lit(int(max_ratio_ppm))) | (F.col("n_hard_hits") > 0)
+        ).cast("int").alias("flagged"),
+    )

@@ -701,3 +701,30 @@ def test_leakage_safe_splits_match_python_md5(spark):
     ).collect():
         assert r["cluster_id"] == r["doc_id"] % 20
         assert r["split"] == want_split(r["cluster_id"])
+
+
+def test_blocklist_screen_thresholds_and_hard_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text " * 50),                      # 0 hits
+            (2, "bad " + "ok " * 9),                      # 1/10 = 100000 ppm
+            (3, "nuke " + "fine " * 999),                 # hard term
+            (4, "bad " + "w " * 99_999),                  # 1/100000 = 10 ppm
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["n_hard_hits"], r["hit_ppm"], r["flagged"])
+        for r in curation.blocklist_screen(
+            docs, "doc_id", "text", terms=("bad",), hard_terms=("nuke",),
+            max_ratio_ppm=20_000,
+        ).collect()
+    }
+    assert got[1] == (0, 0, 0, 0)
+    assert got[2] == (1, 0, 100000, 1)      # soft threshold trips
+    assert got[3][1] == 1 and got[3][3] == 1  # any hard hit flags
+    assert got[4] == (1, 0, 10, 0)          # below ppm, unflagged
+    import pytest
+
+    with pytest.raises(ValueError):
+        curation.blocklist_screen(docs, "doc_id", "text", terms=())
