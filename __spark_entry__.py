@@ -443,8 +443,11 @@ def q_f1_f2_string_clean(spark, sf_dir):
 
 def q_f7_uuid5(spark, sf_dir):
     """F7: byte-exact RFC-4122 v5 ids (assay.py:100). No SQL oracle —
-    DuckDB has no uuid5 — rows-only; byte-exactness is pinned against
-    Python's uuid in tests/test_assay.py and test_properties.py."""
+    v5 is sha1-based and DuckDB 1.0.0 has no sha1() (verified: Catalog
+    Error; only md5/sha256) — rows-only; byte-exactness is pinned
+    against Python's uuid in tests/test_assay.py and
+    test_properties.py, and the md5-based twin f7b_uuid3 hash-verifies
+    the identical version/variant bit surgery cross-engine."""
     from healthcare_api_spark.functions.ids import uuid5_dns
 
     _tune(spark)
@@ -452,6 +455,32 @@ def q_f7_uuid5(spark, sf_dir):
     return cust.select(
         "c_custkey",
         uuid5_dns(F.concat(F.col("c_custkey").cast("string"), F.lit("-assay"))).alias("assay_id"),
+    )
+
+
+def q_f7b_uuid3(spark, sf_dir):
+    """F7 hash-verified twin (r9, VERDICT r8 task #3): RFC-4122 v3
+    (md5-based) deterministic ids over the same '<key>-assay' name
+    shape as f7 (reference assay.py:100 uses the sha1-based v5; DuckDB
+    1.0.0 has no sha1, so v5 stays rows-only — this twin hash-verifies
+    the IDENTICAL version/variant bit surgery cross-engine via md5).
+    The namespace is an ASCII-byte UUID because DuckDB's md5 only
+    accepts VARCHAR (the DNS namespace contains non-UTF8 bytes);
+    CPython-parity for BOTH namespaces is pinned in
+    tests/test_functions.py. Pure-JVM: md5/substring/conv inside
+    whole-stage codegen, no Python UDF — map-only at any scale."""
+    import uuid as _uuid
+
+    from healthcare_api_spark.functions.ids import uuid3_ns
+
+    _tune(spark)
+    ns = _uuid.UUID(bytes=b"healthcareapi-ns")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return cust.select(
+        "c_custkey",
+        uuid3_ns(
+            F.concat(F.col("c_custkey").cast("string"), F.lit("-assay")), ns
+        ).alias("assay_id"),
     )
 
 
@@ -4993,6 +5022,72 @@ def q_u13_entity_resolution(spark, sf_dir):
     )
 
 
+def q_u14_dataloader_pipeline(spark, sf_dir):
+    """Composed data-LOADER pipeline (r9, VERDICT r8 task #8) — the
+    fourth integration gate beside u9 (curation write path), v20
+    (retrieval read path) and u13 (ER): the curate→split→pack→serve
+    half a training job actually consumes, chained as ONE lazy plan and
+    hash-verified end-to-end. Stages: (1) blocklist safety screen
+    (t34's plants; keep flagged = 0), (2) token-budget mixture planning
+    by language (curation.plan_mixture — only the ≤|langs| per-stratum
+    counts reach the driver, the ds8 bounded-literal class) applied
+    with the deterministic md5-threshold sampler, (3) leakage-stable
+    train/val/test assignment (ds4 thresholds), (4) the TRAIN split
+    interleaved round-robin across four sources (ds7 curriculum;
+    serve_order is the loader's read order), (5) GPT-style sequence
+    packing at budget 512 with global offsets (ds5's two-pass cumsum —
+    the heavy window stays one-reducer-per-source). Corpus-sized
+    shuffles: the blocklist token aggregate, the per-source interleave
+    window, and the per-source pack window — everything else is narrow
+    or a ≤|sources| broadcast. Output: (doc_id, lang, source,
+    serve_order, n_tokens, start_tok, first_seq, last_seq)."""
+    _tune(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" badword badword"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" hardstop"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+        "lang",
+        "source",
+    )
+    screen = curation.blocklist_screen(
+        planted, "doc_id", "text",
+        terms=("badword", "spamtoken"), hard_terms=("hardstop",),
+        max_ratio_ppm=20_000,
+    )
+    kept = planted.join(
+        screen.filter(F.col("flagged") == 0).select("doc_id"), "doc_id"
+    )
+    rates = curation.plan_mixture(
+        kept, "lang", {"en": 0.5, "es": 0.3, "de": 0.2}, total=600
+    )
+    sampled = curation.stratified_sample(
+        kept, "doc_id", "lang", rates, salt="u14mix"
+    )
+    train = curation.assign_splits(
+        sampled, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).filter(F.col("split") == "train")
+    served = curation.interleave_sources(
+        train, "doc_id", "source", ["src3", "src1", "src7", "src0"],
+        salt="serve",
+    )
+    packed = curation.pack_sequences(
+        served, "doc_id", "text", budget=512, part_col="source",
+        global_offsets=True,
+    )
+    return packed.join(
+        served.select("doc_id", "lang", "serve_order"), "doc_id"
+    ).select(
+        "doc_id", "lang", "source", "serve_order",
+        "n_tokens", "start_tok", "first_seq", "last_seq",
+    )
+
+
 def q_t33_rake_keywords(spark, sf_dir):
     """RAKE keyword extraction (r8, oracle queued for r9): top-3
     stopword-delimited phrases per document scored by the classic
@@ -5896,13 +5991,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the union property (r1∪r2∪r3∪r4 sweeps ⊇ all hash queries)
     # mechanically instead of by NOTES.md discipline.
     return {
-        # --- r8 head (VERDICT r7 #6): the 4 rows-only queries lead so
-        # the driver's own ledger finally records them — t12 has NEVER
-        # appeared in a CORRECTNESS round and f7/k1/k2 were last seen
-        # r02; their pytest/sweep status is green, the driver's record
-        # should say so too. (They are rows-only by documented DuckDB
-        # impossibility: no sha1 for uuid5, sketch state is
-        # implementation-defined for k1/k2, t12 measures zlib.) ---
+        # --- r9 head (VERDICT r8 task #1): the 7 r8-tail queries whose
+        # oracles sat in _R9_ORACLE_QUEUE graduate into oracle_sql()
+        # and lead the sweep so CORRECTNESS_r09 finally records them
+        # with driver-issued hashes. ---
+        "g7_personalized_pagerank": q_g7_personalized_pagerank,
+        "u12_lsh_eval": q_u12_lsh_eval,
+        "m18_keyframes": q_m18_keyframes,
+        "g8_modularity": q_g8_modularity,
+        "t33_rake_keywords": q_t33_rake_keywords,
+        "u13_entity_resolution": q_u13_entity_resolution,
+        "t34_blocklist_screen": q_t34_blocklist_screen,
+        # --- r9 new queries (need first driver hashes) ---
+        "f7b_uuid3": q_f7b_uuid3,
+        "u14_dataloader_pipeline": q_u14_dataloader_pipeline,
+        # --- r8 head (VERDICT r7 #6): rows-only queries the driver's
+        # ledger recorded in r08 (f7/k1/k2/t12, rows-only by documented
+        # DuckDB impossibility: DuckDB 1.0.0 has no sha1() for uuid5 —
+        # verified Catalog Error; f7b above hash-verifies the md5-based
+        # RFC-4122 twin, covering the shared bit-surgery path — sketch
+        # state is implementation-defined for k1/k2, t12 measures
+        # zlib.) ---
         "f7_uuid5": q_f7_uuid5,
         "k1_sketch_distinct": q_k1_sketch_distinct,
         "k2_sketch_quantiles": q_k2_sketch_quantiles,
@@ -6156,16 +6265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_rank_topn_per_group": q_w3_rank_topn_per_group,
         "w5_funnel": q_w5_funnel,
         "w6_cohort_retention": q_w6_cohort_retention,
-        # --- r8 tail: oracle QUEUED for r9 (_R9_ORACLE_QUEUE) — the
-        # 50-entry sweep prefix is full; pytest live-verifies these
-        # until they move to the r9 head ---
-        "g7_personalized_pagerank": q_g7_personalized_pagerank,
-        "u12_lsh_eval": q_u12_lsh_eval,
-        "m18_keyframes": q_m18_keyframes,
-        "g8_modularity": q_g8_modularity,
-        "t33_rake_keywords": q_t33_rake_keywords,
-        "u13_entity_resolution": q_u13_entity_resolution,
-        "t34_blocklist_screen": q_t34_blocklist_screen,
     }
 
 
@@ -8931,6 +9030,79 @@ def oracle_sql() -> dict[str, str]:
         " FROM pr JOIN voc va ON va.event_type = pr.series_a"
         " JOIN voc vb ON vb.event_type = pr.series_b"
     )
+    # r9: the r8-tail queue graduates (VERDICT r8 task #1) — these 7
+    # oracles were live-verified by test_r9_queued_oracles every pytest
+    # run since they were written; the dict is defined at module end
+    # (its builders need _shingle_cte/_KNN_EDGES_SQL) and is fully
+    # inlined SQL, runnable by the driver verbatim.
+    out.update(_R9_ORACLE_QUEUE)
+    # r9: f7b — RFC-4122 v3 over the ASCII 'healthcareapi-ns' namespace
+    # (DuckDB md5 is VARCHAR-only, so the non-UTF8 DNS namespace can't
+    # cross; the version/variant bit surgery — the part shared with the
+    # rows-only sha1-based f7 — is what this hash-verifies).
+    out["f7b_uuid3"] = (
+        "WITH h AS (SELECT c_custkey,"
+        "  md5('healthcareapi-ns' || CAST(c_custkey AS VARCHAR)"
+        "   || '-assay') AS x FROM customer WHERE c_custkey <= 200)"
+        " SELECT c_custkey,"
+        "  substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-3'"
+        "   || substr(x, 14, 3) || '-'"
+        "   || substr('89ab89ab89ab89ab',"
+        "       (('0x' || substr(x, 17, 1))::INTEGER) + 1, 1)"
+        "   || substr(x, 18, 3) || '-' || substr(x, 21, 12) AS assay_id"
+        " FROM h"
+    )
+    # r9: u14 — the composed data-loader gate as chained CTEs of the
+    # proven blocks: t34 blocklist → ds8-style mixture rates recomputed
+    # in SQL (same float op order as plan_mixture: ((w/z)·total)/cnt,
+    # printf('%08x', floor(rate·2³²)) thresholds) → ds4 split CASE →
+    # ds7 interleave → ds5 two-pass global pack.
+    out["u14_dataloader_pipeline"] = (
+        "WITH planted AS (SELECT doc_id, text"
+        "  || CASE WHEN doc_id % 5 = 0 THEN ' badword badword' ELSE '' END"
+        "  || CASE WHEN doc_id % 7 = 0 THEN ' hardstop' ELSE '' END AS text,"
+        "  lang, source FROM documents),"
+        " tok AS (SELECT doc_id, unnest({TOKS}) AS w FROM planted),"
+        " t2 AS (SELECT * FROM tok WHERE w <> ''),"
+        " scr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+        "  CAST(sum(CASE WHEN w IN ('badword', 'spamtoken') THEN 1 ELSE 0 END)"
+        "   AS BIGINT) AS n_hits,"
+        "  CAST(sum(CASE WHEN w = 'hardstop' THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_hard FROM t2 GROUP BY doc_id),"
+        " surv AS (SELECT doc_id FROM scr WHERE NOT"
+        "  ((2 * n_hits * 1000000 + n_tokens) // (2 * n_tokens) > 20000"
+        "   OR n_hard > 0)),"
+        " kept AS (SELECT p.* FROM planted p JOIN surv USING (doc_id)),"
+        " cnts AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM kept"
+        "  WHERE lang IN ('en', 'es', 'de') GROUP BY lang),"
+        " r AS (SELECT lang, ((CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.3"
+        "  ELSE 0.2 END / (0.5 + 0.3 + 0.2)) * 600) / cnt AS rate"
+        "  FROM cnts WHERE cnt > 0),"
+        " thr AS (SELECT lang, CASE WHEN rate >= 1.0 THEN 'g'"
+        "  ELSE printf('%08x', CAST(floor(rate * 4294967296) AS BIGINT)) END"
+        "  AS th FROM r),"
+        " samp AS (SELECT k.* FROM kept k JOIN thr ON k.lang = thr.lang"
+        "  WHERE substr(md5('u14mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < th),"
+        " train AS (SELECT * FROM samp WHERE ({DS4}) = 'train'),"
+        " served AS (SELECT doc_id, text, lang, source,"
+        "  CAST((row_number() OVER (PARTITION BY source ORDER BY"
+        "   substr(md5('serve:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id)"
+        "   - 1) * 4 + CASE source WHEN 'src3' THEN 0 WHEN 'src1' THEN 1"
+        "   WHEN 'src7' THEN 2 ELSE 3 END AS BIGINT) AS serve_order"
+        "  FROM train WHERE source IN ('src3', 'src1', 'src7', 'src0')),"
+        " c AS (SELECT doc_id, lang, source, serve_order,"
+        "  CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM served),"
+        " t AS (SELECT source, sum(n_tokens) AS tot FROM c GROUP BY source),"
+        " b AS (SELECT source, coalesce(sum(tot) OVER (ORDER BY source"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM t),"
+        " w AS (SELECT c.doc_id, c.lang, c.source, c.serve_order, n_tokens,"
+        "  b.base + sum(n_tokens) OVER (PARTITION BY c.source ORDER BY doc_id"
+        "   ROWS UNBOUNDED PRECEDING) AS cum FROM c JOIN b USING (source))"
+        " SELECT doc_id, lang, source, serve_order, n_tokens,"
+        "  CAST(cum - n_tokens AS BIGINT) AS start_tok,"
+        "  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS first_seq,"
+        "  CAST(floor((cum - 1) / 512.0) AS BIGINT) AS last_seq FROM w"
+    ).format(TOKS=_TOKS_SQL, DS4=_ds4_case_sql())
     return out
 
 

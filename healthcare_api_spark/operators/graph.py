@@ -829,6 +829,16 @@ def personalized_pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # a seed absent from the edge-derived node set would silently lose
+    # its 1/|seeds| share of teleport mass every round (Σ rank < 1 with
+    # no warning) — the preference vector is only valid over nodes that
+    # exist, so reject the call instead (one bounded IN-list count)
+    n_present = nodes.filter(F.col("node").isin(list(seeds))).count()
+    if n_present != len(set(seeds)):
+        raise ValueError(
+            f"{len(set(seeds)) - n_present} seed(s) are not nodes of the "
+            f"edge set — Σ rank = 1 requires every seed to be present"
+        )
     p = F.when(
         F.col("node").isin(list(seeds)), F.lit(1.0 / len(seeds))
     ).otherwise(F.lit(0.0))
@@ -873,8 +883,19 @@ def personalized_pagerank_sql(
     pagerank_sql for the materialization rationale)."""
     d = damping
     ns = len(seeds)
-    inlist = ", ".join(str(s) for s in seeds)
-    pv = f"CASE WHEN node IN ({inlist}) THEN 1.0 / {ns} ELSE 0.0 END"
+
+    def _lit(s) -> str:
+        # numeric seeds inline as-is; anything else must be a quoted,
+        # escaped SQL string literal or the IN list is invalid SQL
+        if isinstance(s, bool) or not isinstance(s, (int, float)):
+            return "'" + str(s).replace("'", "''") + "'"
+        return str(s)
+
+    inlist = ", ".join(_lit(s) for s in seeds)
+    # a format template, NOT str.replace on the assembled CASE: a seed
+    # literal containing the substring 'node' must never be rewritten
+    pv_tpl = f"CASE WHEN {{col}} IN ({inlist}) THEN 1.0 / {ns} ELSE 0.0 END"
+    pv = pv_tpl.format(col="node")
     parts = [
         f"WITH e AS MATERIALIZED ({edges_sql}),",
         " nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
@@ -890,9 +911,9 @@ def personalized_pagerank_sql(
             f"  FROM {p_} JOIN deg ON {p_}.node = deg.src"
             f"  JOIN e ON e.src = {p_}.node GROUP BY e.dst),",
             f" {q} AS MATERIALIZED (SELECT nodes.node,"
-            f"  (1.0 - {d}) * ({pv.replace('node', 'nodes.node')})"
+            f"  (1.0 - {d}) * ({pv_tpl.format(col='nodes.node')})"
             f"  + {d} * (coalesce(c{i}.cin, 0.0)"
-            f"   + dm{i}.dm * ({pv.replace('node', 'nodes.node')}))"
+            f"   + dm{i}.dm * ({pv_tpl.format(col='nodes.node')}))"
             f"  AS rank FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node,"
             f"  dm{i}),",
         ]

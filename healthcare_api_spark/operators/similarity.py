@@ -1073,10 +1073,15 @@ def rrf_fuse(
     column — not bit-portable across engines, but overflow-free).
 
     Scale shape: each ranking is already a bounded top-N list (the
-    expensive scoring happened upstream); fusion is N−1 full-outer
-    equi-joins on bounded inputs plus one TakeOrderedAndProject — at
-    cluster scale every input broadcasts. Missing ranks contribute
-    nothing (the rational simply skips the step).
+    expensive scoring happened upstream), so the lists are stacked with
+    a union and fused by ONE hash aggregate over Σ top-N rows — no join
+    of any kind (a full-outer join can't broadcast, and would hand
+    Catalyst a SortMergeJoin for two 30-row frames). The stacked frame
+    is eagerly checkpointed FIRST, so the upstream scoring pipelines
+    run exactly once: the r8 regression here was the overflow guard's
+    per-list max-rank agg re-running the whole BM25/ANN scoring once
+    per list before the fusion recomputed it again. Missing ranks
+    contribute nothing (the rational simply skips the step).
 
     Output: (id, rank_1..rank_N nullable, rrf_num, rrf_den), top-``k``
     by score with id tie-break. With ``score_mode="double"`` the two
@@ -1090,12 +1095,25 @@ def rrf_fuse(
         raise ValueError("c must be >= 1")
     if score_mode not in ("exact", "double"):
         raise ValueError("score_mode must be 'exact' or 'double'")
-    fused = None
+    n = len(rankings)
+    stacked = None
     for i, r in enumerate(rankings, start=1):
         side = r.select(
-            F.col(id_col), F.col(rank_col).cast("bigint").alias(f"rank_{i}")
+            F.col(id_col),
+            F.lit(i).alias("_list"),
+            F.col(rank_col).cast("bigint").alias("_r"),
         )
-        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+        stacked = side if stacked is None else stacked.unionByName(side)
+    # bounded materialization (Σ top-N rows): every downstream action —
+    # the overflow guard and the fusion — reads these blocks instead of
+    # re-running the scoring pipelines
+    stacked = stacked.localCheckpoint(eager=True)
+    fused = stacked.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("_list") == i, F.col("_r"))).alias(f"rank_{i}")
+            for i in range(1, n + 1)
+        ]
+    )
     if score_mode == "double":
         score = sum(
             (
@@ -1115,13 +1133,17 @@ def rrf_fuse(
         return scored.orderBy(
             F.col("rrf_score").desc(), F.col(id_col).asc()
         ).limit(k)
-    # overflow guard for the exact rational: each list is a bounded
-    # top-N frame, so its true max rank is one 1-value agg away —
-    # fetch them and refuse if Π(c+max_rankᵢ) could reach 2⁶³
-    bits = 0.0
-    for r in rankings:
-        mr = r.agg(F.max(F.col(rank_col).cast("bigint"))).first()[0]
-        bits += math.log2(c + int(mr if mr is not None else 1))
+    # overflow guard for the exact rational: refuse if Π(c+max_rankᵢ)
+    # could reach 2⁶³. ONE ≤N-row agg over the already-materialized
+    # stacked frame — never a re-run of the upstream scoring (that was
+    # the r8 v9 regression: one full pipeline re-run per list)
+    maxes = {
+        row["_list"]: row["_mr"]
+        for row in stacked.groupBy("_list").agg(F.max("_r").alias("_mr")).collect()
+    }
+    bits = sum(
+        math.log2(c + int(maxes.get(i) or 1)) for i in range(1, n + 1)
+    )
     if bits >= 63.0:
         raise ValueError(
             f"rrf_fuse: exact rational denominator needs ~{bits:.1f} bits "
@@ -1223,6 +1245,11 @@ def ranking_eval(
         F.row_number()
         .over(Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
         .alias("_i"),
+    ).filter(
+        # ranks past k would floor (lcm DIV i is exact only for i <= k);
+        # AP@k is defined over the first k ranks anyway, so truncate
+        # rather than silently mis-rounding an oversized approx frame
+        F.col("_i") <= k
     )
     marked = ranked.join(
         F.broadcast(
@@ -1476,6 +1503,11 @@ def mmr_topk(
             key = (-score, cid)
             if best is None or key < best[0]:
                 best = (key, cid, score)
+        if best is None:
+            # the candidate pool can be smaller than k (tiny corpus, or
+            # an upstream fused set under-filling `candidates`) — return
+            # the ranks selected so far instead of crashing on best[1]
+            break
         selected.append((rank, best[1], best[2]))
         chosen.add(best[1])
     spark = df.sparkSession

@@ -496,35 +496,32 @@ def bm25_score_col(
     Shape at scale: ONE corpus aggregate producing a single stats row
     (map-side combined: a count, an avg, and one sum per term),
     broadcast back via crossJoin; scoring is a narrow array expression
-    per row. Cost is O(terms) per row — no joins, no explode."""
+    per row. Cost is O(terms) per row — no joins, no explode. The
+    token array is materialized into its own projection and tf is
+    ``size − size(array_remove)`` — both regular codegen expressions —
+    because the obvious ``size(filter(arr, x -> x = t))`` is a
+    higher-order function, which Spark evaluates as CodegenFallback
+    (interpreted, re-tokenizing inside the lambda per term per row —
+    the SCALE.md r8 HOF lesson; measured 1.9× on this function)."""
     from healthcare_api_spark.functions.text import tokens
 
     if not terms:
         raise ValueError("terms must be non-empty")
     lowered = [t.lower() for t in terms]
-    ctoks = tokens(F.col(text_col))
-    stats = corpus.agg(
+    cstats = corpus.select(tokens(F.col(text_col)).alias("_ctoks"))
+    stats = cstats.agg(
         F.count(F.lit(1)).alias("_n"),
-        F.avg(F.size(ctoks)).alias("_avgdl"),
+        F.avg(F.size(F.col("_ctoks"))).alias("_avgdl"),
         *[
-            F.sum(F.array_contains(ctoks, t).cast("int")).alias(f"_df_{i}")
+            F.sum(F.array_contains(F.col("_ctoks"), t).cast("int")).alias(f"_df_{i}")
             for i, t in enumerate(lowered)
         ],
     )
-    rtoks = tokens(F.col(text_col))
+    rtoks = F.col("_rtoks")
     dl = F.size(rtoks).cast("double")
-
-    def _eq(term: str):
-        # unary closure — a default-arg lambda would have arity 2 and
-        # pyspark would dispatch the (element, index) HOF form
-        def pred(x):
-            return x == term
-
-        return pred
-
     score = F.lit(0.0)
     for i, t in enumerate(lowered):
-        tf = F.size(F.filter(rtoks, _eq(t))).cast("double")
+        tf = (F.size(rtoks) - F.size(F.array_remove(rtoks, t))).cast("double")
         dfreq = F.col(f"_df_{i}").cast("double")
         idf = F.log(
             F.lit(1.0) + (F.col("_n") - dfreq + 0.5) / (dfreq + 0.5)
@@ -532,9 +529,10 @@ def bm25_score_col(
         score = score + idf * tf * (k1 + 1) / (
             tf + k1 * (1 - b + b * dl / F.col("_avgdl"))
         )
-    drop = ["_n", "_avgdl"] + [f"_df_{i}" for i in range(len(lowered))]
+    drop = ["_n", "_avgdl", "_rtoks"] + [f"_df_{i}" for i in range(len(lowered))]
     return (
-        df.crossJoin(F.broadcast(stats))
+        df.withColumn("_rtoks", tokens(F.col(text_col)))
+        .crossJoin(F.broadcast(stats))
         .withColumn(out_col, score)
         .drop(*drop)
     )

@@ -175,6 +175,15 @@ class BucketedResourceStore(ResourceStore):
         tombstone; a later ``upsert`` of a deleted id RESURRECTS it
         (update-create semantics — the upsert clears matching
         tombstones in its touched buckets)."""
+        existing = self._tombstones(resource_type)
+        if existing is not None:
+            prev = self._tombstone_id_col(existing)
+            if prev != id_col:
+                raise ValueError(
+                    f"tombstones for {resource_type!r} are keyed by "
+                    f"{prev!r}; delete() was called with id_col="
+                    f"{id_col!r} — one id column per resource type"
+                )
         (
             ids.select(F.col(id_col)).distinct()
             .withColumn("bucket", self._bucket_expr(id_col))
@@ -183,13 +192,33 @@ class BucketedResourceStore(ResourceStore):
             .parquet(self._tombstone_path(resource_type))
         )
 
+    @staticmethod
+    def _tombstone_id_col(tomb: DataFrame) -> str:
+        """The tombstone layout is exactly (id value, bucket); the id
+        column KEEPS its live-table name so readers join by name. A
+        mixed-name tombstone dir means delete() calls disagreed — that
+        is rejected at write time, so a multi-column read here is
+        corruption, not a soft case."""
+        cols = [c for c in tomb.columns if c != "bucket"]
+        if len(cols) != 1:
+            raise ValueError(
+                f"tombstone store is corrupt: expected one id column, "
+                f"found {cols!r}"
+            )
+        return cols[0]
+
     def table(self, resource_type: str) -> DataFrame:
         live = super().table(resource_type).drop("bucket")
         tomb = self._tombstones(resource_type)
         if tomb is None:
             return live
-        cols = [c for c in tomb.columns if c != "bucket"]
-        id_col = cols[0]
+        id_col = self._tombstone_id_col(tomb)
+        if id_col not in live.columns:
+            raise ValueError(
+                f"tombstones for {resource_type!r} are keyed by "
+                f"{id_col!r}, which is not a live-table column — "
+                f"reads would silently miss the deletes"
+            )
         return live.join(
             tomb.select(id_col).distinct(), id_col, "left_anti"
         )
@@ -202,7 +231,14 @@ class BucketedResourceStore(ResourceStore):
         # update-create beats delete: clear tombstones for upserted ids
         # (touched tombstone partitions only — same bounded-IO contract)
         tomb = self._tombstones(resource_type)
-        if tomb is not None and id_col in tomb.columns:
+        if tomb is not None and self._tombstone_id_col(tomb) != id_col:
+            raise ValueError(
+                f"tombstones for {resource_type!r} are keyed by "
+                f"{self._tombstone_id_col(tomb)!r}; upsert() was called "
+                f"with id_col={id_col!r} — resurrection would silently "
+                f"fail"
+            )
+        if tomb is not None:
             t_touched = [
                 r["bucket"]
                 for r in updates_b.select("bucket").distinct().collect()
@@ -276,7 +312,13 @@ class BucketedResourceStore(ResourceStore):
         # along for free and the tombstone set resets to empty below
         tomb = self._tombstones(resource_type)
         if tomb is not None:
-            t_id = [c for c in tomb.columns if c != "bucket"][0]
+            t_id = self._tombstone_id_col(tomb)
+            if t_id not in merged.columns:
+                raise ValueError(
+                    f"tombstones for {resource_type!r} are keyed by "
+                    f"{t_id!r}, which is not a table column — compaction "
+                    f"would silently drop the deletes"
+                )
             merged = merged.join(
                 tomb.select(t_id).distinct(), t_id, "left_anti"
             )

@@ -91,6 +91,23 @@ def test_drift_psi_detects_shift(spark):
     assert drifted["psi"] > 0.25
 
 
+def test_drift_psi_hand_computed_literal(spark):
+    """u11-lesson retro (VERDICT r8 task #4): a literal PSI derived by
+    hand. A = 3 values in bucket 0, B = 1 value in bucket 1, bins=2 →
+    smoothed proportions p_a = (4/5, 1/5), p_b = (1/3, 2/3);
+    PSI = (1/3 − 4/5)·ln(5/12) + (2/3 − 1/5)·ln(10/3)
+        = (7/15)·ln(12/5) + (7/15)·ln(10/3) = (7/15)·ln 8 = (7/5)·ln 2."""
+    import math
+
+    from healthcare_api_spark.operators.analytics import drift_psi
+
+    a = spark.createDataFrame([(0.5,), (0.5,), (0.5,)], ["v"])
+    b = spark.createDataFrame([(1.5,)], ["v"])
+    row = drift_psi(a, b, "v", 0.0, 2.0, 2).collect()[0]
+    assert row["n_a"] == 3 and row["n_b"] == 1
+    assert row["psi"] == round(7.0 / 5.0 * math.log(2.0), 6)
+
+
 # ------------------------------------------- incremental agg maintenance --
 
 

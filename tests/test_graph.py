@@ -428,6 +428,42 @@ def test_personalized_pagerank_sql_twin_and_validation(spark):
     assert got == want
     with pytest.raises(ValueError):
         personalized_pagerank(edges, [], iters=3)
+    # a seed absent from the node set would silently shrink Σ rank —
+    # must raise instead (ADVICE r8)
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(edges, [1, 99], iters=2)
+
+
+def test_personalized_pagerank_sql_string_seeds(spark):
+    """String seeds must be quoted/escaped, and a seed containing the
+    substring 'node' must not be corrupted by the per-round preference
+    rewrite (ADVICE r8: the old str.replace would mangle it)."""
+    import duckdb
+
+    from healthcare_api_spark.operators.graph import (
+        personalized_pagerank,
+        personalized_pagerank_sql,
+    )
+
+    rows = [("node1", "b"), ("b", "node1"), ("b", "c"), ("c", "node1")]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(edges, ["node1"], iters=3).collect()
+    }
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in rows)
+    sql = personalized_pagerank_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", ["node1"], iters=3
+    )
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    # tolerance, not 6-dp set equality: this toy graph happens to land
+    # a rank on a round-half boundary; the test's subject is the seed
+    # quoting / 'node'-substring corruption, not rounding bit-parity
+    # (hash-grade parity is g7's job, whose ranks sit off-boundary)
+    assert set(got) == set(want)
+    for n in got:
+        assert abs(got[n] - want[n]) < 1e-6, n
+    assert abs(sum(got.values()) - 1.0) < 1e-5
     with pytest.raises(ValueError):
         personalized_pagerank(edges, [1], iters=0)
 

@@ -498,6 +498,28 @@ def test_mmr_result_assembly_is_bounded(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_hybrid_rrf_fusion_joins_nothing_and_bm25_stays_codegen(spark):
+    # v9 (r9, VERDICT r8 task #5): fusion is union + ONE hash agg over
+    # the checkpointed ≤Σtop-N stacked frame — no join of any kind (a
+    # full-outer join of two 30-row frames was a SortMergeJoin), and
+    # the only scans are the checkpointed lists (Scan ExistingRDD).
+    # BM25's tf is size−size(array_remove), never the interpreted
+    # ArrayFilter HOF (the SCALE.md r8 CodegenFallback lesson).
+    df = entrymod.q_v9_hybrid_rrf(spark, SF_DIR)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert "Scan ExistingRDD" in plan
+    from healthcare_api_spark.operators import textops
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scored = textops.bm25_score_col(docs, docs, "text", ["window", "vector"])
+    bm_plan = _plan(scored.select("doc_id", F.col("_score")))
+    assert "ArrayFilter" not in bm_plan and "arrayfilter" not in bm_plan.lower()
+    assert "array_remove" in bm_plan.lower()
+
+
 def test_ngram_novelty_two_keyed_shuffles_no_single_partition(spark):
     # t31 (r8 wave 8): gram-df aggregate + join back + doc aggregate,
     # all hash-partitioned

@@ -11,7 +11,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from healthcare_api_spark.functions.ids import uuid5_udf
+from healthcare_api_spark.functions.ids import uuid3_ns, uuid5_udf
 from healthcare_api_spark.functions.refs import make_ref, ref_id, ref_type
 from healthcare_api_spark.operators import dedup, textops
 from healthcare_api_spark.sources.store import upsert_frames
@@ -51,6 +51,28 @@ def test_uuid5_byte_exact_property(spark, names):
     out = {r["n"]: r["u"] for r in df.select("n", uuid5_udf(F.col("n")).alias("u")).collect()}
     for n in names:
         assert out[n] == str(uuid.uuid5(uuid.NAMESPACE_DNS, n))
+
+
+@_slow
+@given(st.lists(ids, min_size=1, max_size=15, unique=True))
+def test_uuid3_byte_exact_property(spark, names):
+    """The pure-JVM md5 path (uuid3_ns) must be byte-identical to
+    CPython's uuid.uuid3 — for the default DNS namespace AND the
+    ASCII namespace the f7b oracle uses (DuckDB md5 is VARCHAR-only,
+    so only the latter is cross-engine hash-verified)."""
+    ascii_ns = uuid.UUID(bytes=b"healthcareapi-ns")
+    df = spark.createDataFrame([(n,) for n in names], ["n"])
+    out = {
+        r["n"]: (r["dns"], r["asc"])
+        for r in df.select(
+            "n",
+            uuid3_ns(F.col("n")).alias("dns"),
+            uuid3_ns(F.col("n"), ascii_ns).alias("asc"),
+        ).collect()
+    }
+    for n in names:
+        assert out[n][0] == str(uuid.uuid3(uuid.NAMESPACE_DNS, n))
+        assert out[n][1] == str(uuid.uuid3(ascii_ns, n))
 
 
 @_slow

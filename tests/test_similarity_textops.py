@@ -727,6 +727,25 @@ def test_zipf_fit_exact_power_law(spark):
     assert row["total_tokens"] == sum(5040 // r for r in range(1, 9))
 
 
+def test_zipf_fit_slope_two_literal(spark):
+    """u11-lesson retro: the slope −1 case can't catch a scaling bug in
+    the OLS covariance (any freq ∝ 1/r profile gives −1 under a k×
+    mis-scale of BOTH moments). freq(r) = (840/r)² is exact for r ≤ 8
+    (840 = lcm(1..8)) → log-log slope −2, intercept 2·ln 840 — a
+    hand-derived literal through the same regression path."""
+    import math
+
+    from healthcare_api_spark.operators.textops import zipf_fit
+
+    words = []
+    for r in range(1, 9):
+        words += [f"tok{r}"] * ((840 // r) ** 2)
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    row = zipf_fit(df, "doc_id", "text", top_n=8).collect()[0]
+    assert abs(row["zipf_slope"] + 2.0) < 1e-6
+    assert abs(row["intercept"] - 2.0 * math.log(840.0)) < 1e-6
+
+
 def test_zipf_fit_rejects_tiny_top_n(spark):
     import pytest as _pytest
 
@@ -1624,6 +1643,37 @@ def test_mmr_validation(spark):
         similarity.mmr_topk(
             emb, "vec_id", "embedding", [1.0, 0.0], lambda_num=11, lambda_den=10
         )
+
+
+def test_mmr_pool_smaller_than_k_returns_partial(spark):
+    """The candidate DataFrame can hold fewer rows than k even when
+    k <= candidates validates (tiny corpus) — mmr must return the rows
+    it could select, not crash on best[1] (ADVICE r8)."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    out = similarity.mmr_topk(
+        emb, "vec_id", "embedding", [1.0, 0.0], k=5, candidates=10
+    ).collect()
+    assert [r["rank"] for r in out] == [1, 2]
+    assert {r["vec_id"] for r in out} == {1, 2}
+
+
+def test_ranking_eval_truncates_oversized_approx(spark):
+    """An approx frame longer than k must be truncated to its top-k by
+    (score desc, id asc) — ranks past k would silently floor the exact
+    integer AP terms (ADVICE r8). Hand-computed: top-3 of the 5-row
+    frame is ids 10,11,12; exact = {10, 12} -> hits at ranks 1 and 3,
+    AP = (1/1 + 2/3)/2 = 5/6, MRR = 1."""
+    approx = spark.createDataFrame(
+        [(10, 0.9), (11, 0.8), (12, 0.7), (13, 0.6), (14, 0.5)],
+        ["vec_id", "cos"],
+    )
+    exact = spark.createDataFrame([(10,), (12,)], ["vec_id"])
+    row = similarity.ranking_eval(exact, approx, "vec_id", k=3).collect()[0]
+    assert row["n_rel"] == 2
+    assert row["mrr"] == 1.0
+    assert row["avg_precision"] == round(5 / 6, 6)
 
 
 def test_ngram_novelty_hand_computed(spark):

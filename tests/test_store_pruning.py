@@ -246,6 +246,38 @@ def test_soft_delete_hides_rows_without_touching_data_files(spark, tmp_path):
     assert store.table("T").count() == 32
 
 
+def test_tombstone_id_col_mismatch_raises(spark, tmp_path):
+    """ADVICE r8: delete()/upsert()/table() disagreeing on the id
+    column must raise loudly — the old code inferred cols[0] in reads
+    and SILENTLY skipped tombstone clearing in upsert(), so mis-joined
+    reads or failed resurrection never surfaced."""
+    import pytest
+
+    root = str(tmp_path / "store")
+    store = BucketedResourceStore(spark, root, num_buckets=4)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], ["id", "val"]
+    )
+    store.import_resources(base, "T")
+    store.delete(spark.createDataFrame([(3,)], ["id"]), "T")
+    # a second delete keyed differently is rejected at write time
+    with pytest.raises(ValueError, match="keyed by"):
+        store.delete(
+            spark.createDataFrame([(4,)], ["other_id"]), "T",
+            id_col="other_id",
+        )
+    # an upsert keyed differently is rejected instead of silently
+    # skipping the tombstone clear
+    with pytest.raises(ValueError, match="keyed by"):
+        store.upsert(
+            spark.createDataFrame([(3, "x")], ["other_id", "val"]),
+            "T", id_col="other_id",
+        )
+    # the matching-name paths still work
+    got = {r["id"] for r in store.table("T").collect()}
+    assert got == set(range(10)) - {3}
+
+
 def test_upsert_resurrects_deleted_ids_even_when_bucket_fully_clears(spark, tmp_path):
     root = str(tmp_path / "store")
     store = BucketedResourceStore(spark, root, num_buckets=4)

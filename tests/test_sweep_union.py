@@ -221,6 +221,53 @@ def test_r8_changed_oracles_match_at_sf0001():
 
 
 
+_R9_NEW_QUERIES = [
+    "f7b_uuid3",
+    "u14_dataloader_pipeline",
+]
+
+
+def test_r9_new_oracles_match_at_sf0001():
+    """Queries NEW in r9 have no driver hash yet — verify them against
+    DuckDB now, exactly like the r5/r6/r8 editions. The list grows as
+    round 9 adds queries; all of them sit in the 50-entry sweep head."""
+    import math
+
+    import duckdb
+
+    entrymod = _load_entry()
+    from healthcare_api_spark import get_spark
+    from healthcare_api_spark.tables import TABLE_NAMES
+
+    sf = "/root/testdata/sf0.001"
+    spark = get_spark("r9-new-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+
+    def canon(frame):
+        cols = sorted(frame.columns)
+        out = []
+        for tup in frame[cols].itertuples(index=False):
+            row = []
+            for v in tup:
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    row.append("\x00")
+                elif isinstance(v, float):
+                    row.append(f"{v:.9g}")
+                else:
+                    row.append(str(v))
+            out.append(tuple(row))
+        return sorted(out)
+
+    for name in _R9_NEW_QUERIES:
+        sdf = qs[name](spark, sf).toPandas()
+        odf = con.execute(osql[name]).df()
+        assert sorted(sdf.columns) == sorted(odf.columns), name
+        assert canon(sdf) == canon(odf), f"{name}: spark != oracle"
+
+
 def test_r9_queued_oracles_match_at_sf0001():
     """Queries added after the r8 sweep prefix filled carry their hash
     oracle in _R9_ORACLE_QUEUE (to merge into oracle_sql() at r9

@@ -315,6 +315,31 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
     assert season[0] > season[2]  # +2 phase above -2 phase
 
 
+def test_seasonal_decompose_hand_computed_literals(spark):
+    """u11-lesson retro (VERDICT r8 task #4): literal expected values
+    derived BY HAND, not from either engine. With v_i = 0.5·i +
+    cyc[i%4], cyc = [2,0,−2,0], ma_window=5: the centered window covers
+    one full cycle (sum 0) plus a repeat of phase (i+2)%4, so
+    trend(i) = 0.5·i + cyc[(i+2)%4]/5, and since cyc[p+2] = −cyc[p],
+    detrended(i) = cyc[p] + cyc[p]/5 = 1.2·cyc[p] — constant per phase.
+    Hence seasonal = [2.4, 0, −2.4, 0] (already mean-centered) and
+    resid ≡ 0 on every full-window row. trend(10) = 5 + 2/5 = 5.4."""
+    from healthcare_api_spark.operators.temporal import seasonal_decompose
+
+    cyc = [2.0, 0.0, -2.0, 0.0]
+    rows = [(0, i, 0.5 * i + cyc[i % 4], i % 4) for i in range(40)]
+    df = spark.createDataFrame(rows, ["s", "bucket", "v", "phase"])
+    out = {r["bucket"]: r for r in seasonal_decompose(
+        df, ("s",), "bucket", "v", "phase", ma_window=5
+    ).collect()}
+    assert abs(out[10]["trend"] - 5.4) < 1e-9
+    assert abs(out[11]["trend"] - (5.5 + cyc[1] / 5)) < 1e-9   # 5.5
+    want_seasonal = {0: 2.4, 1: 0.0, 2: -2.4, 3: 0.0}
+    for i in range(2, 38):
+        assert abs(out[i]["seasonal"] - want_seasonal[i % 4]) < 1e-9, i
+        assert abs(out[i]["resid"]) < 1e-9, i
+
+
 def test_seasonal_decompose_rejects_even_window(spark):
     import pytest as _pytest
 
@@ -338,6 +363,24 @@ def test_series_correlation_known_values(spark):
     assert abs(out[("up", "up2")]["corr"] - 1.0) < 1e-12
     assert abs(out[("down", "up")]["corr"] + 1.0) < 1e-12
     assert len(out) == 3 and all(r["n"] == 20 for r in out.values())
+
+
+def test_series_correlation_hand_computed_non_unit(spark):
+    """u11-lesson retro: ±1 correlations survive many scaling bugs (any
+    monotone distortion of covariance keeps |corr| = 1), so pin one
+    NON-unit literal derived by hand: x = [1,2,3,4], y = [1,2,4,3] →
+    means 2.5/2.5, Σxy-dev = 2.25+0.25+0.75+0.75 = 4, Σx-dev² =
+    Σy-dev² = 5 → corr = 4/5 = 0.8 exactly."""
+    from healthcare_api_spark.operators.temporal import series_correlation
+
+    rows = []
+    for i, (xa, ya) in enumerate([(1.0, 1.0), (2.0, 2.0), (3.0, 4.0), (4.0, 3.0)]):
+        rows += [("x", i, xa), ("y", i, ya)]
+    df = spark.createDataFrame(rows, ["s", "bucket", "v"])
+    out = series_correlation(df, "s", "bucket", "v").collect()
+    assert len(out) == 1
+    assert out[0]["n"] == 4
+    assert abs(out[0]["corr"] - 0.8) < 1e-12
 
 
 def test_series_correlation_aligns_buckets(spark):
@@ -386,6 +429,26 @@ def test_time_weighted_avg_hand_computed(spark):
     )
     out = time_weighted_avg(df, ("k",), "ts", "value", "1 hour").collect()
     assert len(out) == 1 and abs(out[0]["twa"] - 15.0) < 1e-9
+
+
+def test_time_weighted_avg_unequal_segments_literal(spark):
+    """u11-lesson retro: the 50/50-segment case (TWA 15) can't catch a
+    swapped-weight bug (symmetric), so pin an ASYMMETRIC literal:
+    v=10 holds 15 min, v=30 holds 45 min →
+    TWA = (10·900 + 30·2700)/3600 = 25 exactly."""
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.temporal import time_weighted_avg
+
+    rows = [
+        ("s", "2024-01-01 10:00:00", 10.0),
+        ("s", "2024-01-01 10:15:00", 30.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = time_weighted_avg(df, ("k",), "ts", "value", "1 hour").collect()
+    assert len(out) == 1 and abs(out[0]["twa"] - 25.0) < 1e-9
 
 
 def test_time_weighted_avg_ignores_sampling_density(spark):
