@@ -4301,6 +4301,39 @@ def q_x17_holt_linear(spark, sf_dir):
     )
 
 
+def q_x19_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters smoothing (r9): level + trend + lag-24
+    seasonal + one-step forecast (α=0.3, β=0.2, γ=0.25, period=24 —
+    the daily cycle on hourly buckets) over the per-type series
+    (temporal.holt_winters_add) — x17's forecaster upgraded with the
+    seasonal state the events table actually has (x8 decomposes the
+    same cycle). Inputs rounded to 6 dp BEFORE the recursion, outputs
+    after; the oracle replays the identical three-state recurrence as
+    a recursive CTE carrying the seasonal history as a ≤24-element
+    list, same IEEE op order."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    out = temporal.holt_winters_add(
+        hourly, ("event_type",), "bucket", "v",
+        period=24, alpha=0.3, beta=0.2, gamma=0.25,
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "v",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
 def q_k5_sample_quantiles(spark, sf_dir):
     """Engine-portable quantile sketch (k5): bottom-k-by-md5 value
     sample per language (KMV pointed at quantiles), then exact
@@ -5121,6 +5154,29 @@ def q_g8_modularity(spark, sf_dir):
     edges = _knn_customer_edges(spark, sf_dir)
     labels = graph.label_propagation(edges, "s", "d", iters=8)
     return graph.modularity(edges, labels, "s", "d")
+
+
+def q_g9_hits(spark, sf_dir):
+    """HITS hubs & authorities (r9): Kleinberg's link analysis over
+    the k-NN similarity graph (graph.hits) — the PageRank complement
+    that separates "points at good things" from "is pointed at by
+    good things". Scores are exact int64 micros renormalized by the
+    per-round MAX raw score (order-independent where an L1 sum is
+    not), so every round is pure integer arithmetic and the oracle
+    (graph.hits_sql, the same rounds unrolled as MATERIALIZED CTEs)
+    matches with NO rounding contract — the only float op is the
+    final /10⁶ display division. Same per-iteration distributed shape
+    as g1: two edge-keyed joins + two map-side-combined aggregates +
+    two broadcast 1-row maxes."""
+    from healthcare_api_spark.operators import graph
+
+    _tune(spark)
+    return graph.hits(
+        _knn_customer_edges(spark, sf_dir).select(
+            F.col("s").alias("src"), F.col("d").alias("dst")
+        ),
+        iters=5,
+    )
 
 
 def q_m18_keyframes(spark, sf_dir):
@@ -6005,6 +6061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r9 new queries (need first driver hashes) ---
         "f7b_uuid3": q_f7b_uuid3,
         "u14_dataloader_pipeline": q_u14_dataloader_pipeline,
+        "g9_hits": q_g9_hits,
+        "x19_holt_winters": q_x19_holt_winters,
         # --- r8 head (VERDICT r7 #6): rows-only queries the driver's
         # ledger recorded in r08 (f7/k1/k2/t12, rows-only by documented
         # DuckDB impossibility: DuckDB 1.0.0 has no sha1() for uuid5 —
@@ -9051,6 +9109,29 @@ def oracle_sql() -> dict[str, str]:
         "       (('0x' || substr(x, 17, 1))::INTEGER) + 1, 1)"
         "   || substr(x, 18, 3) || '-' || substr(x, 21, 12) AS assay_id"
         " FROM h"
+    )
+    # r9: g9 — the exact-integer HITS rounds unrolled (hits_sql)
+    from healthcare_api_spark.operators.graph import hits_sql as _hits_sql
+
+    out["g9_hits"] = _hits_sql(
+        f"SELECT s AS src, d AS dst FROM ({_KNN_EDGES_SQL})", iters=5
+    )
+    # r9: x19 — the x17 recursive-CTE pattern with the seasonal
+    # history carried as a ≤24-element list
+    from healthcare_api_spark.operators.temporal import (
+        holt_winters_add_sql as _hw_sql,
+    )
+
+    out["x19_holt_winters"] = (
+        "SELECT k AS event_type, strftime(t, '%Y-%m-%d %H:%M:%S') AS bucket,"
+        " x AS v, round(l, 6) AS level, round(b, 6) AS trend,"
+        " round(s, 6) AS seasonal, round(f, 6) AS forecast FROM ("
+        + _hw_sql(
+            "SELECT event_type, date_trunc('hour', ts) AS bucket,"
+            " round(sum(value), 6) AS v FROM events GROUP BY 1, 2",
+            "event_type", "bucket", "v", 24, 0.3, 0.2, 0.25,
+        )
+        + ")"
     )
     # r9: u14 — the composed data-loader gate as chained CTEs of the
     # proven blocks: t34 blocklist → ds8-style mixture rates recomputed

@@ -213,6 +213,13 @@ HEADLINE = [
     "t33_rake_keywords",
     "u13_entity_resolution",
     "t34_blocklist_screen",
+    # round 9: the md5-uuid map-only pass, the composed
+    # curate→split→pack→serve data-loader gate, exact-integer HITS,
+    # and seasonal Holt-Winters
+    "f7b_uuid3",
+    "u14_dataloader_pipeline",
+    "g9_hits",
+    "x19_holt_winters",
 ]
 
 N_STEADY = 3

@@ -921,6 +921,135 @@ def personalized_pagerank_sql(
     return f"{body} SELECT node, round(rank, 6) AS rank FROM r{iters}"
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed graph:
+    per round, authority(v) = Σ_{u→v} hub(u) and hub(u) = Σ_{u→v}
+    authority(v), each renormalized — the link-analysis complement of
+    PageRank (g1) that separates "points at good things" from "is
+    pointed at by good things".
+
+    Engine-portability: scores are exact int64 micros and the per-round
+    renormalization divides by the MAX raw score — a max is
+    order-independent where PageRank's L1 sums are not, so every round
+    is pure integer arithmetic ((2·raw·scale + M) DIV (2·M), the t30
+    correctly-rounded division) and the result carries NO rounding
+    contract; the only float op is the final /scale display division.
+    Overflow bound: raw ≤ scale·max_degree, so the scaled numerator
+    stays under 2⁶³ for degrees below ~4.6·10⁶ (raise via ``scale``
+    if a hub ever exceeds that).
+
+    Distributed shape per round (the g1 template): two equi-joins keyed
+    by the edge endpoints + two map-side-combined aggregates + two
+    1-row max aggregates broadcast back; localCheckpoint truncates the
+    per-round lineage. Output: (node, hub, authority).
+    """
+    if iters < 1:
+        raise ValueError("iters must be ≥ 1")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s = F.lit(int(scale)).cast("bigint")
+    h = nodes.withColumn("h", s)
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h, h["node"] == e["_s"])
+            .groupBy("_d")
+            .agg(F.sum("h").alias("_raw"))
+        )
+        am = a_raw.agg(F.max("_raw").alias("_m"))
+        a = (
+            nodes.join(a_raw, nodes["node"] == a_raw["_d"], "left")
+            .crossJoin(F.broadcast(am))
+            .select(
+                "node",
+                F.coalesce(
+                    F.expr(f"(2 * _raw * {int(scale)} + _m) DIV (2 * _m)"),
+                    F.lit(0),
+                ).cast("bigint").alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(a, a["node"] == e["_d"])
+            .groupBy("_s")
+            .agg(F.sum("a").alias("_raw"))
+        )
+        hm = h_raw.agg(F.max("_raw").alias("_m"))
+        h = (
+            nodes.join(h_raw, nodes["node"] == h_raw["_s"], "left")
+            .crossJoin(F.broadcast(hm))
+            .select(
+                "node",
+                F.coalesce(
+                    F.expr(f"(2 * _raw * {int(scale)} + _m) DIV (2 * _m)"),
+                    F.lit(0),
+                ).cast("bigint").alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        h.join(a.withColumnRenamed("node", "_an"), h["node"] == F.col("_an"))
+        .select(
+            "node",
+            (F.col("h").cast("double") / F.lit(float(scale))).alias("hub"),
+            (F.col("a").cast("double") / F.lit(float(scale))).alias("authority"),
+        )
+    )
+
+
+def hits_sql(edges_sql: str, iters: int = 5, scale: int = 1_000_000) -> str:
+    """DuckDB oracle twin of :func:`hits` — the same exact-integer
+    max-normalized rounds unrolled as MATERIALIZED CTEs (see
+    pagerank_sql for the materialization rationale). ``//`` on
+    positive operands floors exactly like Spark's DIV."""
+    s = int(scale)
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql}),",
+        " nodes AS MATERIALIZED (SELECT src AS node FROM e"
+        "  UNION SELECT dst FROM e),",
+        f" h0 AS MATERIALIZED (SELECT node, CAST({s} AS BIGINT) AS h"
+        f"  FROM nodes),",
+    ]
+    for i in range(iters):
+        parts += [
+            f" ar{i} AS (SELECT e.dst AS node, CAST(sum(h) AS BIGINT) AS raw"
+            f"  FROM e JOIN h{i} ON h{i}.node = e.src GROUP BY e.dst),",
+            f" am{i} AS (SELECT max(raw) AS m FROM ar{i}),",
+            f" a{i + 1} AS MATERIALIZED (SELECT nodes.node,"
+            f"  CAST(coalesce((2 * ar{i}.raw * {s} + am{i}.m)"
+            f"   // (2 * am{i}.m), 0) AS BIGINT) AS a"
+            f"  FROM nodes LEFT JOIN ar{i} ON nodes.node = ar{i}.node,"
+            f"  am{i}),",
+            f" hr{i} AS (SELECT e.src AS node, CAST(sum(a) AS BIGINT) AS raw"
+            f"  FROM e JOIN a{i + 1} ON a{i + 1}.node = e.dst"
+            f"  GROUP BY e.src),",
+            f" hm{i} AS (SELECT max(raw) AS m FROM hr{i}),",
+            f" h{i + 1} AS MATERIALIZED (SELECT nodes.node,"
+            f"  CAST(coalesce((2 * hr{i}.raw * {s} + hm{i}.m)"
+            f"   // (2 * hm{i}.m), 0) AS BIGINT) AS h"
+            f"  FROM nodes LEFT JOIN hr{i} ON nodes.node = hr{i}.node,"
+            f"  hm{i}),",
+        ]
+    body = "".join(parts).rstrip(",")
+    return (
+        f"{body} SELECT h{iters}.node,"
+        f" CAST(h{iters}.h AS DOUBLE) / {float(s)} AS hub,"
+        f" CAST(a{iters}.a AS DOUBLE) / {float(s)} AS authority"
+        f" FROM h{iters} JOIN a{iters} ON h{iters}.node = a{iters}.node"
+    )
+
+
 def modularity(
     edges: DataFrame,
     labels: DataFrame,

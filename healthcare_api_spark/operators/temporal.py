@@ -1303,6 +1303,144 @@ def holt_linear_sql(
     )
 
 
+def holt_winters_add(
+    df: DataFrame,
+    series_cols: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+    period: int,
+    alpha: float,
+    beta: float,
+    gamma: float,
+) -> DataFrame:
+    """Additive Holt-Winters (triple-exponential) smoothing per series
+    (Winters 1960) — :func:`holt_linear` plus a lag-``period`` seasonal
+    state, the classic forecaster for daily/weekly-cycled operational
+    series:
+
+        lᵢ = α·(xᵢ − sᵢ₋ₘ) + (1−α)·(lᵢ₋₁ + bᵢ₋₁)
+        bᵢ = β·(lᵢ − lᵢ₋₁) + (1−β)·bᵢ₋₁
+        sᵢ = γ·(xᵢ − lᵢ) + (1−γ)·sᵢ₋ₘ
+
+    Warm-up convention (deterministic, mirrored by the oracle): l₁ = x₁,
+    b₁ = 0, and sᵢ₋ₘ reads as 0.0 until a full period of seasonal state
+    exists — the uniform-formula init, chosen over the textbook
+    first-cycle averages because it keeps the recursion strictly
+    row-wise (one formula everywhere after row 1), which is what lets a
+    recursive CTE replay it with the seasonal history carried as a
+    ≤``period``-element list. Same applyInPandas shape as holt_linear:
+    ONE shuffle on the series key, series count is the parallelism
+    unit. Hash-verifiable via :func:`holt_winters_add_sql` — identical
+    IEEE op order; round inputs before and outputs after (x11
+    contract).
+
+    Output: input columns + ``level``, ``trend``, ``seasonal``,
+    ``forecast`` (one-step-ahead l + b + s_{i+1−m}).
+    """
+    if period < 2:
+        raise ValueError("period must be ≥ 2")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError("beta must be in [0, 1]")
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError("gamma must be in [0, 1]")
+    import pyspark.sql.types as T
+
+    gcols = list(series_cols)
+    proj = df.select(*gcols, ts_col, value_col)
+    schema = T.StructType(
+        list(proj.schema.fields)
+        + [
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("seasonal", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+    a, am = float(alpha), 1.0 - float(alpha)
+    bt, bm = float(beta), 1.0 - float(beta)
+    g, gm = float(gamma), 1.0 - float(gamma)
+    m = int(period)
+
+    def _hw(pdf):
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        xs = pdf[value_col].astype(float).to_list()
+        ls, bs, ss, fs = [], [], [], []
+        sh: list[float] = []  # last ≤m seasonal values, oldest first
+        lp = bp = 0.0
+        for i, x in enumerate(xs):
+            sp = sh[0] if len(sh) == m else 0.0
+            if i == 0:
+                lv, bv = x, 0.0
+            else:
+                lv = a * (x - sp) + am * (lp + bp)
+                bv = bt * (lv - lp) + bm * bp
+            sv = g * (x - lv) + gm * sp
+            sh.append(sv)
+            if len(sh) > m:
+                sh.pop(0)
+            ls.append(lv)
+            bs.append(bv)
+            ss.append(sv)
+            fs.append(lv + bv + (sh[0] if len(sh) == m else 0.0))
+            lp, bp = lv, bv
+        pdf["level"] = ls
+        pdf["trend"] = bs
+        pdf["seasonal"] = ss
+        pdf["forecast"] = fs
+        return pdf
+
+    return proj.groupBy(*gcols).applyInPandas(_hw, schema)
+
+
+def holt_winters_add_sql(
+    series_sql: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    alpha: float,
+    beta: float,
+    gamma: float,
+) -> str:
+    """DuckDB oracle twin of :func:`holt_winters_add` — the recursive
+    CTE carries (l, b) plus the seasonal history as a ≤period list
+    (oldest first); sᵢ₋ₘ is ``sh[1]`` once the list is full. The level
+    expression is repeated textually where Python reuses the variable —
+    a deterministic expression evaluates identically, so the IEEE
+    order still matches."""
+    a, am = repr(float(alpha)), repr(1.0 - float(alpha))
+    bt, bm = repr(float(beta)), repr(1.0 - float(beta))
+    g, gm = repr(float(gamma)), repr(1.0 - float(gamma))
+    m = int(period)
+    sp = f"(CASE WHEN len(rec.sh) = {m} THEN rec.sh[1] ELSE 0.0 END)"
+    lv = f"({a} * (ser.x - {sp}) + {am} * (rec.l + rec.b))"
+    sv = f"({g} * (ser.x - {lv}) + {gm} * {sp})"
+    sh2 = f"list_append(rec.sh, {sv})"
+    return (
+        f"WITH RECURSIVE ser AS (SELECT {key_col} AS k, {ts_col} AS t,"
+        f"  CAST({value_col} AS DOUBLE) AS x,"
+        f"  row_number() OVER (PARTITION BY {key_col} ORDER BY {ts_col}) AS rn"
+        f"  FROM ({series_sql})),"
+        " rec AS ("
+        # CAST: a bare 0.0 types as DECIMAL(2,1) and the recursive
+        # union coerces every later b to one decimal place
+        "  SELECT k, t, x, rn, x AS l, CAST(0.0 AS DOUBLE) AS b,"
+        "   [0.0]::DOUBLE[] AS sh"  # s₁ = γ·(x−x) + (1−γ)·0 = exactly 0
+        "  FROM ser WHERE rn = 1"
+        "  UNION ALL"
+        f"  SELECT ser.k, ser.t, ser.x, ser.rn,"
+        f"   {lv},"
+        f"   {bt} * ({lv} - rec.l) + {bm} * rec.b,"
+        f"   CASE WHEN len({sh2}) > {m} THEN ({sh2})[2:] ELSE {sh2} END"
+        "  FROM rec JOIN ser ON ser.k = rec.k AND ser.rn = rec.rn + 1)"
+        " SELECT k, t, x, l, b, sh[len(sh)] AS s,"
+        f" l + b + (CASE WHEN len(sh) = {m} THEN sh[1] ELSE 0.0 END) AS f"
+        " FROM rec"
+    )
+
+
 def acf(
     df: DataFrame,
     series_col: str,

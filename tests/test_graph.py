@@ -434,6 +434,46 @@ def test_personalized_pagerank_sql_twin_and_validation(spark):
         personalized_pagerank(edges, [1, 99], iters=2)
 
 
+def test_hits_hand_computed_one_round(spark):
+    """u11 rule from birth: literal expected values derived BY HAND.
+    Graph a→b, a→c, b→c, one round, scale 10⁶: a_raw = {b: 10⁶,
+    c: 2·10⁶}, M = 2·10⁶ → authority micros {a: 0, b: 500000 (the
+    (2raw·S+M) DIV 2M half rounds DOWN on the exact .5), c: 10⁶};
+    h_raw = {a: 1.5·10⁶, b: 10⁶}, M = 1.5·10⁶ → hub micros
+    {a: 10⁶, b: 666667 (666666.71 rounds up), c: 0}."""
+    from healthcare_api_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"]
+    )
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(edges, iters=1).collect()
+    }
+    assert got == {
+        "a": (1.0, 0.0),
+        "b": (0.666667, 0.5),
+        "c": (0.0, 1.0),
+    }
+
+
+def test_hits_sql_twin_parity(spark):
+    import duckdb
+
+    from healthcare_api_spark.operators.graph import hits, hits_sql
+
+    rows = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 2), (5, 1), (1, 4)]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    got = sorted(
+        (r["node"], r["hub"], r["authority"])
+        for r in hits(edges, iters=4).collect()
+    )
+    vals = ", ".join(f"({s}, {d})" for s, d in rows)
+    sql = hits_sql(f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iters=4)
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want  # exact equality — integer path, no rounding contract
+
+
 def test_personalized_pagerank_sql_string_seeds(spark):
     """String seeds must be quoted/escaped, and a seed containing the
     substring 'node' must not be corrupted by the per-round preference

@@ -224,6 +224,8 @@ def test_r8_changed_oracles_match_at_sf0001():
 _R9_NEW_QUERIES = [
     "f7b_uuid3",
     "u14_dataloader_pipeline",
+    "g9_hits",
+    "x19_holt_winters",
 ]
 
 

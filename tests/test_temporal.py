@@ -413,6 +413,61 @@ def test_rolling_median_exact_and_edges(spark):
         rolling_median(df, ("s",), "bucket", "v", window=4)
 
 
+def test_holt_winters_hand_computed(spark):
+    """u11 rule from birth: dyadic params (α=β=γ=1/2, period 2) make
+    every state exact. xs = [10, 14, 8]:
+    i0: l=10, b=0, s=0, f=10 (no seasonal history yet);
+    i1: l=.5·14+.5·10=12, b=.5·2=1, s=.5·2=1, f=13 (sh=[0,1], lag=0);
+    i2: sp=sh[0]=0 → l=.5·8+.5·13=10.5, b=.5·(−1.5)+.5=−0.25,
+        s=.5·(−2.5)=−1.25, sh→[1,−1.25], f=10.5−0.25+1=11.25."""
+    from healthcare_api_spark.operators.temporal import holt_winters_add
+
+    rows = [("s", i, x) for i, x in enumerate([10.0, 14.0, 8.0])]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = sorted(
+        holt_winters_add(
+            df, ("k",), "t", "v", period=2, alpha=0.5, beta=0.5, gamma=0.5
+        ).collect(),
+        key=lambda r: r["t"],
+    )
+    got = [(r["level"], r["trend"], r["seasonal"], r["forecast"]) for r in out]
+    assert got == [
+        (10.0, 0.0, 0.0, 10.0),
+        (12.0, 1.0, 1.0, 13.0),
+        (10.5, -0.25, -1.25, 11.25),
+    ]
+
+
+def test_holt_winters_sql_twin_parity(spark):
+    import duckdb
+
+    from healthcare_api_spark.operators.temporal import (
+        holt_winters_add,
+        holt_winters_add_sql,
+    )
+
+    rows = [("a", i, float((i * 7) % 13) + (3.0 if i % 4 == 0 else 0.0))
+            for i in range(30)]
+    rows += [("b", i, float(i % 5) * 1.5) for i in range(11)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    got = sorted(
+        (r["k"], r["t"], r["level"], r["trend"], r["seasonal"], r["forecast"])
+        for r in holt_winters_add(
+            df, ("k",), "t", "v", period=4, alpha=0.3, beta=0.2, gamma=0.25
+        ).collect()
+    )
+    vals = ", ".join(f"('{k}', {t}, {v!r})" for k, t, v in rows)
+    sql = holt_winters_add_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(k, t, v)",
+        "k", "t", "v", 4, 0.3, 0.2, 0.25,
+    )
+    want = sorted(
+        (k, t, l, b, s, f)
+        for k, t, _x, l, b, s, f in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want  # exact — identical IEEE op order, no rounding
+
+
 def test_time_weighted_avg_hand_computed(spark):
     from pyspark.sql import functions as F
 
