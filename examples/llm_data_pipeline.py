@@ -78,6 +78,19 @@ def main() -> None:
         goph.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
     )
 
+    # 2a'''. blocklist safety screen (r9 wiring): the LDNOOBW-style
+    # denylist pass beside the charter rules — soft terms gate on a
+    # ppm ratio, hard terms are zero-tolerance; one explode + one
+    # map-side-combined aggregate, no join against the term list
+    screen = curation.blocklist_screen(
+        gated, "doc_id", "text",
+        terms=("badword", "spamtoken"), hard_terms=("hardstop",),
+        max_ratio_ppm=20_000,
+    )
+    gated = gated.join(
+        screen.filter(F.col("flagged") == 0).select("doc_id"), "doc_id"
+    )
+
     # 2a''. model-based scoring (r8 wave 7): the hashing-trick linear
     # classifier every curation pipeline runs after the rule charter —
     # sign-hashed token buckets, integer-quantized weights broadcast.

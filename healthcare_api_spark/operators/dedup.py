@@ -563,7 +563,9 @@ def exact_substring_flags(
         .filter(F.col("dfreq") >= min_docs)
         .select("g")
     )
-    hits = grams.join(freq, "g").groupBy(id_col).agg(
+    # shuffle_hash: corpus-sized gram-frequency side — never broadcast
+    # (the ×100-sweep driver-OOM lesson; both sides g-partitioned)
+    hits = grams.join(freq.hint("shuffle_hash"), "g").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_repeated")
     )
     return (
@@ -1101,7 +1103,9 @@ def sparse_cosine_pairs(
     dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = df.select(F.count(F.lit(1)).alias("_n"))
     w = (
-        tf.join(dfreq, "_t")
+        # shuffle_hash: corpus-sized term-df side — never broadcast
+        # (the ×100-sweep driver-OOM lesson; both sides _t-partitioned)
+        tf.join(dfreq.hint("shuffle_hash"), "_t")
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("_df") <= F.col("_n") * max_df_frac)
         .select(
@@ -1443,9 +1447,16 @@ def prefix_jaccard_pairs(
         .localCheckpoint(eager=True)
     )
     freq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
-    # per-doc token array in global (df, token) order — rarest first
+    # per-doc token array in global (df, token) order — rarest first.
+    # shuffle_hash hint: the frequency table is CORPUS-SIZED (one row
+    # per distinct shingle); AQE judges it by compressed shuffle bytes
+    # and will broadcast it under the threshold, but the in-memory
+    # hash relation of string keys explodes ~50× — measured driver
+    # OOM (3.3 GiB broadcast on 8g) at the ×100 replication sweep.
+    # Both sides are already partitioned by _t (freq is derived FROM
+    # toks grouped by _t), so the shuffle join reuses the exchange.
     arrs = (
-        toks.join(freq, "_t")
+        toks.join(freq.hint("shuffle_hash"), "_t")
         .groupBy("_id")
         .agg(
             F.transform(
@@ -1786,7 +1797,11 @@ def containment_pairs(
     )
     freq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     arrs = (
-        toks.join(freq, "_t")
+        # shuffle_hash: the df table is corpus-sized — AQE would
+        # broadcast it by compressed-bytes estimate and the string-key
+        # hash relation blows the driver (measured: 3.3 GiB broadcast
+        # OOM at the ×100 sweep); both sides are already _t-partitioned
+        toks.join(freq.hint("shuffle_hash"), "_t")
         .groupBy("_id")
         .agg(
             F.transform(

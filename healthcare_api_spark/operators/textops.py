@@ -373,7 +373,9 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(dfreq, "tok")
+        # shuffle_hash: corpus-sized term-df side — never broadcast
+        # (the ×100-sweep driver-OOM lesson; both sides tok-partitioned)
+        tf.join(dfreq.hint("shuffle_hash"), "tok")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.col("tf") * F.log(F.col("n") / F.col("df")))
     )
@@ -1780,7 +1782,9 @@ def ngram_novelty(
     )
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("gdf"))
     per = (
-        grams.join(dfreq, "g")
+        # shuffle_hash: corpus-sized gram-df side — never broadcast
+        # (the ×100-sweep driver-OOM lesson; both sides g-partitioned)
+        grams.join(dfreq.hint("shuffle_hash"), "g")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
