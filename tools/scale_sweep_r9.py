@@ -10,14 +10,19 @@ replicated with shifted ids to x25 and x100 volume, parquet on disk,
 noop sink, median of 3 steady passes per point.
 
 One deliberate difference for the PAIR-PRODUCING operators (d21
-containment, d20 chunk groups): replica text is PERTURBED with a
-per-replica token prefix. Verbatim replication would make every text
-a 100-way duplicate, growing the TRUE pair output quadratically —
-that measures the output's size, not the operator's scaling. The
-perturbation keeps outputs near-linear so the numbers answer "does
-the plan survive 100x the data", which is the question. (The probe
-and per-doc shapes replicate verbatim — duplicates don't change
-their work.)
+containment, d20 chunk groups): replica text is PERTURBED by suffixing
+EVERY token with the replica index. Verbatim replication makes every
+text a 100-way duplicate, and a light perturbation (one changed token)
+still leaves replicas ≥90%-contained in each other — either way the
+TRUE pair output grows quadratically in the replication factor, which
+measures the output's size, not the operator's scaling (the first
+draft of this sweep perturbed one token and d21's x100 leg ran into
+exactly that wall). All-token suffixing makes every replica's shingle
+set disjoint, so the corpus is 100× the data with the SAME df shape as
+x1 and near-linear true output — the numbers then answer "does the
+plan survive 100x the data", which is the question. (The probe and
+per-doc shapes replicate verbatim — duplicates don't change their
+work.)
 
 Run: python tools/scale_sweep_r9.py [reps="1,25,100"]
 Prints one markdown table row per (operator, volume); paste into
@@ -54,12 +59,24 @@ def replicate_docs(spark, root: str, rep: int, perturb: bool) -> str:
         "doc_id", "text"
     )
     out = f"{root}/docs_x{rep}_{'p' if perturb else 'v'}.parquet"
-    if rep == 1:
-        docs.write.mode("overwrite").parquet(out)
+    # pre-split the replicas (64 files): a 100 TB input arrives split;
+    # writing one file would serialize every first narrow stage onto
+    # one core (measured: t28's x100 trigram explode ran at load~1 on
+    # a 32-core box for 10+ minutes before this repartition)
+    if rep == 1 and not perturb:
+        docs.repartition(64).write.mode("overwrite").parquet(out)
         return out
     r = docs.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
     text = (
-        F.concat(F.lit("rep"), F.col("r").cast("string"), F.lit(" "), F.col("text"))
+        # suffix EVERY token with the replica index: replicas share no
+        # shingles, so pair outputs stay near-linear (see module doc)
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda w: F.concat(w, F.lit("_"), F.col("r").cast("string")),
+            ),
+        )
         if perturb
         else F.col("text")
     )
@@ -68,6 +85,7 @@ def replicate_docs(spark, root: str, rep: int, perturb: bool) -> str:
             (F.col("doc_id") * rep + F.col("r")).alias("doc_id"),
             text.alias("text"),
         )
+        .repartition(64)
         .write.mode("overwrite")
         .parquet(out)
     )
@@ -78,7 +96,7 @@ def replicate_emb(spark, root: str, rep: int) -> str:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     out = f"{root}/emb_x{rep}.parquet"
     if rep == 1:
-        emb.write.mode("overwrite").parquet(out)
+        emb.repartition(16).write.mode("overwrite").parquet(out)
         return out
     (
         emb.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
@@ -87,6 +105,7 @@ def replicate_emb(spark, root: str, rep: int) -> str:
             "embedding",
             "label",
         )
+        .repartition(16)
         .write.mode("overwrite")
         .parquet(out)
     )
