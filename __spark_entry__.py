@@ -8433,7 +8433,11 @@ def oracle_sql() -> dict[str, str]:
     )
     # r8: d21 — containment join: quotes planted as 30-token prefixes;
     # the oracle candidate route is ANY shared shingle (lossless for
-    # τ > 0) where the engine prunes by A-prefixes — disjoint routes
+    # τ > 0) where the engine prunes by A-prefixes — disjoint routes.
+    # r9: both sides intersect 60-bit md5-prefix DIGESTS of the
+    # shingles (the engine's verify-join arrays shrank 4× to kill the
+    # ×100 memory knee) — identical digest both engines, so collisions
+    # merge identically and parity stays exact
     out["d21_containment"] = (
         "WITH base AS (SELECT doc_id, text FROM documents),"
         f" docs AS (SELECT doc_id, text FROM base"
@@ -8441,7 +8445,9 @@ def oracle_sql() -> dict[str, str]:
         f"  array_to_string(({_TOKS_SQL})[1:30], ' ') AS text"
         f"  FROM base WHERE len({_TOKS_SQL}) >= 30),"
         f"{_shingle_cte()},"
-        " tok AS (SELECT DISTINCT doc_id, s FROM sh WHERE s <> ''),"
+        " tok AS (SELECT DISTINCT doc_id,"
+        "  ('0x' || substr(md5(s), 1, 15))::BIGINT AS s"
+        "  FROM sh WHERE s <> ''),"
         " st AS (SELECT doc_id, list(DISTINCT s) AS l,"
         "  CAST(count(*) AS INT) AS n FROM tok GROUP BY doc_id),"
         " cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib"

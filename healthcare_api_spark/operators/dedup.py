@@ -1790,8 +1790,24 @@ def containment_pairs(
         else word_shingles(F.col(text_col), shingle_n)
     )
     toks = (
-        df.select(F.col(id_col).alias("_id"), F.explode(elems).alias("_t"))
-        .filter(F.col("_t") != "")
+        df.select(F.col(id_col).alias("_id"), F.explode(elems).alias("_e"))
+        .filter(F.col("_e") != "")
+        # 60-bit md5-prefix digests replace the raw shingle strings for
+        # everything downstream: the per-doc element arrays shrink ~4×
+        # (8-byte longs vs ~35-char strings), which is what the verify
+        # join ships on BOTH sides — the r9 ×100 sweep measured this
+        # join spilling past a 32 g pool with raw-string arrays (the
+        # d21 memory knee, SCALE.md). The oracle computes the SAME
+        # digest (('0x'||substr(md5,1,15))::BIGINT), so any collision
+        # merges identically in both engines and hash parity is exact,
+        # not probabilistic. The prefix lemma holds for ANY global
+        # order, so ordering by (df, digest) stays lossless.
+        .select(
+            "_id",
+            F.conv(F.substring(F.md5("_e"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_t"),
+        )
         .distinct()
         .localCheckpoint(eager=True)  # feeds freq agg, the B side, and arrs
     )
