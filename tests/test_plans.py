@@ -520,6 +520,33 @@ def test_hybrid_rrf_fusion_joins_nothing_and_bm25_stays_codegen(spark):
     assert "array_remove" in bm_plan.lower()
 
 
+def test_dataloader_pipeline_no_cartesian_one_tiny_global_window(spark):
+    # u14 (r9): blocklist agg + interleave/pack windows are all keyed
+    # and the mixture thresholds are literals (driver saw only per-lang
+    # counts), so nothing corpus-sized crosses unkeyed. Exactly ONE
+    # SinglePartition exchange is expected and CORRECT: pack's
+    # global-offsets exclusive-prefix window runs over the per-source
+    # TOTALS frame (≤ |sources| = 4 rows — the ds5 two-pass design;
+    # the heavy cumsum window stays per-source).
+    df = entrymod.q_u14_dataloader_pipeline(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_hits_rounds_are_checkpointed_no_cartesian(spark):
+    # g9 (r9): per-round shapes are edge-keyed joins + keyed aggs; the
+    # 1-row max aggregates broadcast back (a 1-row BNLJ is the intended
+    # crossJoin, not a data cartesian); the round inputs read the
+    # checkpointed frames (no recursive re-run). The FINAL hub⋈authority
+    # assembly is a node-keyed join of two corpus-sized frames — SMJ is
+    # the correct strategy there, so it is deliberately NOT forbidden.
+    df = entrymod.q_g9_hits(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan  # checkpointed rounds, no re-run
+    assert "CartesianProduct" not in plan
+
+
 def test_ngram_novelty_two_keyed_shuffles_no_single_partition(spark):
     # t31 (r8 wave 8): gram-df aggregate + join back + doc aggregate,
     # all hash-partitioned
