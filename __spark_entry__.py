@@ -3537,6 +3537,34 @@ def q_v18_mmr_topk(spark, sf_dir):
     )
 
 
+def q_v21_l2_range_join(spark, sf_dir):
+    """EXACT L2 range search with LOSSLESS cell pruning (r9, second
+    session): all corpus embeddings within integer-quantized L2
+    radius 1200 (= 1.2 at scale 1000) of the 8 lowest-id query
+    vectors (similarity.l2_range_join). Triangle-inequality bound
+    ‖q−x‖ ≥ ‖q−c‖ − R_c prunes whole k-means cells with PROOF — the
+    exact counterpart of v12/v13's recall-target nprobe pruning, so
+    the oracle is the naive all-pairs filter and the hash match IS
+    the losslessness proof (the d13/d18 oracle pattern applied to
+    dense vectors). Verify distances are exact int64 Σ(aᵢ−bᵢ)²; the
+    result is independent of where Lloyd's put the centroids."""
+    from healthcare_api_spark.operators import similarity
+
+    _tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.l2_range_join(
+        emb,
+        emb.orderBy(F.col("vec_id").asc()).limit(8),
+        "vec_id",
+        "vec_id",
+        "embedding",
+        radius=1.2,
+        scale=1000.0,
+        n_cells=16,
+        iters=3,
+    ).withColumnRenamed("vec_id", "query_id")
+
+
 def q_v19_binary_ann(spark, sf_dir):
     """Binary-quantized ANN (r8): every embedding collapsed to its
     per-dim sign bits (two int64 words at dim 64 — 32× smaller than
@@ -5179,6 +5207,29 @@ def q_g9_hits(spark, sf_dir):
     )
 
 
+def q_g10_bfs_hops(spark, sf_dir):
+    """Multi-source BFS hop distances (r9, second session): the
+    Pregel frontier-expansion primitive over the k-NN similarity
+    graph (graph.bfs_hops) — "every customer within 6 hops of seeds
+    {1,2,3}", the blast-radius / neighborhood query that underlies
+    reference chasing at graph depth (plans/search.py's _include is
+    its depth-1 case). Each round is one frontier ⋈ edges equi-join
+    plus one left-anti join against the visited set; BFS levels are
+    exact (first-reach wins), so the fixed-round unrolled oracle
+    (graph.bfs_hops_sql) hash-matches with no rounding contract —
+    everything is int64."""
+    from healthcare_api_spark.operators import graph
+
+    _tune(spark)
+    return graph.bfs_hops(
+        _knn_customer_edges(spark, sf_dir),
+        "s",
+        "d",
+        seeds=[1, 2, 3],
+        max_hops=6,
+    )
+
+
 def q_m18_keyframes(spark, sf_dir):
     """Shot segmentation + keyframe selection (r8, oracle queued for
     r9): the m11 synthetic Y4M videos run through the REAL scene-cut
@@ -6063,6 +6114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u14_dataloader_pipeline": q_u14_dataloader_pipeline,
         "g9_hits": q_g9_hits,
         "x19_holt_winters": q_x19_holt_winters,
+        "g10_bfs_hops": q_g10_bfs_hops,
+        "v21_l2_range_join": q_v21_l2_range_join,
         # --- r8 head (VERDICT r7 #6): rows-only queries the driver's
         # ledger recorded in r08 (f7/k1/k2/t12, rows-only by documented
         # DuckDB impossibility: DuckDB 1.0.0 has no sha1() for uuid5 —
@@ -8388,6 +8441,23 @@ def oracle_sql() -> dict[str, str]:
         " FROM bits b JOIN q USING (w)"
         " GROUP BY b.vec_id ORDER BY hamming ASC, vec_id ASC LIMIT 10"
     )
+    # r9 second session: v21 — the naive all-pairs range filter; the
+    # engine's cell pruning is lossless (triangle-inequality bound),
+    # so naive IS the spec. Distances exact int64 on round(x·1000)
+    # quantized vectors via a·a − 2a·b + b·b (every term < 2^53).
+    out["v21_l2_range_join"] = (
+        "WITH qi AS (SELECT vec_id, list_transform(embedding,"
+        "  x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS v"
+        "  FROM embeddings),"
+        " q AS (SELECT vec_id, v FROM qi ORDER BY vec_id LIMIT 8)"
+        " SELECT query_id, match_id, sqdist FROM ("
+        "  SELECT q.vec_id AS query_id, c.vec_id AS match_id,"
+        "   CAST(list_dot_product(q.v, q.v)"
+        "    - 2 * list_dot_product(q.v, c.v)"
+        "    + list_dot_product(c.v, c.v) AS BIGINT) AS sqdist"
+        "  FROM q JOIN qi c ON q.vec_id <> c.vec_id)"
+        " WHERE sqdist <= 1440000"
+    )
     # r8: st11 — streaming EWMA: the live 2-batch seeded fold must
     # equal the batch recursion — the x11 oracle applies VERBATIM
     out["st11_streaming_ewma"] = out["x11_ewma"]
@@ -9121,6 +9191,12 @@ def oracle_sql() -> dict[str, str]:
 
     out["g9_hits"] = _hits_sql(
         f"SELECT s AS src, d AS dst FROM ({_KNN_EDGES_SQL})", iters=5
+    )
+    # r9 second session: g10 — the same fixed-round unrolling for BFS
+    from healthcare_api_spark.operators.graph import bfs_hops_sql as _bfs_sql
+
+    out["g10_bfs_hops"] = _bfs_sql(
+        _KNN_EDGES_SQL, seeds=[1, 2, 3], max_hops=6, src="s", dst="d"
     )
     # r9: x19 — the x17 recursive-CTE pattern with the seasonal
     # history carried as a ≤24-element list

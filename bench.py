@@ -220,6 +220,9 @@ HEADLINE = [
     "u14_dataloader_pipeline",
     "g9_hits",
     "x19_holt_winters",
+    # round 9 second session: multi-source BFS, lossless L2 range join
+    "g10_bfs_hops",
+    "v21_l2_range_join",
 ]
 
 N_STEADY = 3

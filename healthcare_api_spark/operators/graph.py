@@ -1135,3 +1135,105 @@ def modularity(
         )
     )
     return out
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seeds: list | None = None,
+    max_hops: int = 6,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: hop distance from the nearest seed, the
+    Pregel frontier-expansion primitive (neighborhood queries,
+    blast-radius analysis, "within k references of these resources").
+    Output: (node, hops) for every node reachable in ≤ ``max_hops``
+    hops; seeds emit hops = 0 whether or not they touch an edge.
+
+    Round i is one equi-join (frontier ⋈ edges on the source endpoint,
+    shuffle keyed by node id — the checkpointed edge frame keeps its
+    partitioning, so every round's join reuses one layout) plus one
+    LEFT-ANTI join against the visited set (keyed the same way). The
+    frontier never revisits: BFS level i is exact because every node
+    enters `dist` at its FIRST reachable level. Rounds stop early when
+    a frontier empties — semantics-neutral (later frontiers would be
+    empty too), so the fixed-round DuckDB twin (:func:`bfs_hops_sql`)
+    still hash-matches.
+
+    Scale shape: per round the shuffle carries |frontier ⋈ edges|
+    rows of two int64s; the visited anti-join carries the visited set
+    (≤ |V|). A 1000-executor BFS over 100 TB of edges is exactly this
+    loop — what matters is that the per-round work is frontier-local,
+    never |V|², and lineage is cut per round (localCheckpoint) so round
+    k doesn't replan rounds 1..k−1.
+    """
+    if not seeds:
+        raise ValueError("seeds must be a non-empty list")
+    if max_hops < 1:
+        raise ValueError("max_hops must be ≥ 1")
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    e = e.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    seed_df = spark.createDataFrame(
+        [(s,) for s in seeds], schema="node bigint"
+    ).distinct()
+    dist = seed_df.select(
+        "node", F.lit(0).cast("bigint").alias("hops")
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for i in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(
+            nxt.select("node", F.lit(i).cast("bigint").alias("hops"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
+
+
+def bfs_hops_sql(
+    edges_sql: str,
+    seeds: list,
+    max_hops: int = 6,
+    src: str = "s",
+    dst: str = "d",
+    directed: bool = False,
+) -> str:
+    """DuckDB oracle twin of :func:`bfs_hops` — the same frontier
+    rounds unrolled as chained MATERIALIZED CTEs (fixed round count;
+    the engine's early stop only skips provably-empty rounds)."""
+    if not seeds:
+        raise ValueError("seeds must be a non-empty list")
+    sym = f"SELECT {src} AS u, {dst} AS v FROM ({edges_sql})"
+    if not directed:
+        sym += f" UNION ALL SELECT {dst} AS u, {src} AS v FROM ({edges_sql})"
+    seed_rows = ", ".join(f"({int(s)})" for s in sorted(set(int(s) for s in seeds)))
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT u, v FROM ({sym})"
+        f"  WHERE u <> v),"
+        f" d0 AS MATERIALIZED (SELECT CAST(node AS BIGINT) AS node,"
+        f"  CAST(0 AS BIGINT) AS hops FROM (VALUES {seed_rows}) AS t(node)),"
+        f" f0 AS MATERIALIZED (SELECT node FROM d0),",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f" f{i} AS MATERIALIZED (SELECT DISTINCT e.v AS node"
+            f"  FROM f{i - 1} JOIN e ON e.u = f{i - 1}.node"
+            f"  WHERE e.v NOT IN (SELECT node FROM d{i - 1})),"
+            f" d{i} AS MATERIALIZED (SELECT node, hops FROM d{i - 1}"
+            f"  UNION ALL SELECT node, CAST({i} AS BIGINT) AS hops FROM f{i}),"
+        )
+    body = "".join(parts).rstrip(",")
+    return f"{body} SELECT node, hops FROM d{max_hops}"

@@ -1656,3 +1656,207 @@ def binary_quantized_topk(
         .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ----------------------------------------------------------- range join --
+
+
+def quantize_int_vec(a: Column, scale: float) -> Column:
+    """Component-wise integer quantization round(x·scale) as int64 —
+    the hash-portable embedding representation (F.round and DuckDB
+    round() both round half away from zero; the v3 SQ8 precedent)."""
+    return F.transform(
+        a, lambda x: F.round(x.cast("double") * scale).cast("bigint")
+    )
+
+
+def _l2_assign_arrow(vec_col: Column, cents: list[list[float]]) -> Column:
+    """Vectorized (cluster, distance) against a centroid matrix —
+    one Arrow batch kernel instead of k interpreted HOF folds per row
+    (the SCALE.md r8 HOF lesson: md5/arith inside array lambdas runs
+    interpreted). Used where the assignment only SELECTS candidates
+    (l2_range_join — lossless, so float-op order is free); the
+    bit-pinned training paths (_kmeans_l2 for PQ artifacts) keep the
+    sequential-order expr fold."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.array(cents, dtype=np.float64)
+    dim = cmat.shape[1]
+
+    @pandas_udf("struct<cid: int, d: double>")
+    def _assign(vecs: pd.Series) -> pd.DataFrame:
+        vals = vecs.tolist()
+        ok = [v is not None and len(v) == dim for v in vals]
+        cid = [None] * len(vals)
+        dist = [None] * len(vals)
+        idx = [j for j, o in enumerate(ok) if o]
+        if idx:
+            mat = np.array(
+                [np.asarray(vals[j], dtype=np.float64) for j in idx]
+            )
+            # (n,k) squared distances via elementwise ops per centroid
+            best_d = np.full(mat.shape[0], np.inf)
+            best = np.zeros(mat.shape[0], dtype=np.int64)
+            for i in range(cmat.shape[0]):
+                diff = mat - cmat[i]
+                d2 = np.einsum("ij,ij->i", diff, diff)
+                better = d2 < best_d  # strict: ties keep the lower cid
+                best_d = np.where(better, d2, best_d)
+                best = np.where(better, i, best)
+            root = np.sqrt(best_d)
+            for j, b, d in zip(idx, best, root):
+                cid[j] = int(b)
+                dist[j] = float(d)
+        return pd.DataFrame({"cid": pd.Series(cid, dtype="Int32"), "d": dist})
+
+    return _assign(vec_col)
+
+
+def _lloyd_l2_arrow(
+    df: DataFrame, id_col: str, vec_col: str, k: int, iters: int
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means (init = k lowest-id vectors) with
+    the Arrow assign kernel — l2_range_join's trainer. Centroid
+    positions only steer candidate pruning there, so this does NOT
+    need _kmeans_l2's bit-pinned fold arithmetic."""
+    init_rows = df.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    cents = [list(map(float, r[0])) for r in init_rows]
+    for _ in range(iters):
+        assigned = df.withColumn(
+            "_c", _l2_assign_arrow(F.col(vec_col), cents).getField("cid")
+        )
+        comp = assigned.select("_c", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        means = (
+            comp.groupBy("_c", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("_c")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .collect()
+        )
+        new = {r["_c"]: [s["m"] for s in r["ms"]] for r in means}
+        cents = [new.get(i, c) for i, c in enumerate(cents)]
+    return cents
+
+
+def l2_range_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    radius: float,
+    scale: float = 1000.0,
+    n_cells: int = 16,
+    iters: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """EXACT L2 range search with lossless cell pruning: for every
+    query vector, ALL corpus vectors within ``radius`` (L2, measured
+    on the round(x·scale) integer-quantized vectors — the portable
+    metric), found WITHOUT scanning every (query, corpus) pair.
+
+    This is the triangle-inequality IVF bound (Lloyd cells + per-cell
+    covering radius): for query q, cell centroid c with covering
+    radius R_c = max over members x of ‖x − c‖,
+
+        ‖q − x‖ ≥ ‖q − c‖ − ‖x − c‖ ≥ ‖q − c‖ − R_c,
+
+    so a cell with ‖q − c‖ − R_c > r can contain NO hit and is pruned
+    with PROOF — unlike nprobe ANN this loses nothing, which is why
+    the oracle can be the naive all-pairs filter. Pruning decisions
+    use float sqrt with a small conservative slack (only ADDS
+    candidates); the final membership test is exact int64
+    Σ(aᵢ−bᵢ)² ≤ r_int², so the result set is bit-portable and
+    independent of where k-means put the centroids.
+
+    Scale shape: centroids train on the corpus (driver sees k×dim
+    floats only); the corpus is scanned ONCE to assign cells + once to
+    verify candidates; the (query × cell) bound table is |Q|·k tiny
+    rows and broadcasts onto the cell-keyed corpus join. At 100 TB the
+    corpus side is written partitioned by cell (write_ivf_partitioned)
+    so pruned cells are never READ — same plan as v12/v13, but with a
+    correctness proof instead of a recall target. Output:
+    (query_id, match_id, sqdist) — sqdist in quantized-integer units.
+
+    HONESTY NOTE (measured): pruning power is data-dependent. On
+    clustered corpora cells outside the radius prune to nothing (the
+    two-blob pytest: only the query's blob is verified); on the
+    synthetic near-uniform test embeddings at a radius that returns
+    any hits, R_c + r exceeds every query-centroid distance and 0 of
+    128 cells prune (measured at sf0.1) — the curse of
+    dimensionality, inherent to metric pruning, not an implementation
+    gap. The result is exact either way; only the candidate count
+    moves.
+    """
+    if radius <= 0:
+        raise ValueError("radius must be > 0")
+    if n_cells < 1:
+        raise ValueError("n_cells must be >= 1")
+    r_int = float(int(round(radius * scale)))
+    thresh = int(r_int) * int(r_int)
+    qv = quantize_int_vec(F.col(vec_col), scale)
+    # checkpoint the quantized corpus ONCE: it feeds every Lloyd
+    # iteration plus the final assign — without this each iteration
+    # re-reads and re-quantizes the table
+    corp = corpus.select(
+        F.col(corpus_id).alias("_cid"), qv.alias("_cqv")
+    ).localCheckpoint(eager=True)
+    qrys = queries.select(F.col(query_id).alias("_qid"), qv.alias("_qv"))
+    cents = _lloyd_l2_arrow(corp, "_cid", "_cqv", n_cells, iters)
+    # one corpus pass: nearest cell (ties -> lowest cid) + distance to it
+    assigned = corp.select(
+        "_cid", "_cqv", _l2_assign_arrow(F.col("_cqv"), cents).alias("_best")
+    ).select(
+        "_cid",
+        "_cqv",
+        F.col("_best").getField("cid").alias("_cell"),
+        F.col("_best").getField("d").alias("_dc"),
+    ).localCheckpoint(eager=True)  # feeds the stats agg AND the verify join
+    stats = assigned.groupBy("_cell").agg(F.max("_dc").alias("_r"))
+    # query-side bound: keep (query, cell) iff ||q-c|| <= R_c + r (+slack)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        schema="_cell int, _cv array<double>",
+    )
+    bounds = qrys.crossJoin(
+        F.broadcast(cent_df.join(stats, "_cell"))
+    ).select(
+        "_qid",
+        "_qv",
+        "_cell",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_qv"),
+                    F.col("_cv"),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("_dqc"),
+        F.col("_r"),
+    )
+    # slack: the bound compares two float sqrts of exact sums — roundoff
+    # is ~1 ulp; 1e-9 relative only ever ADDS candidate cells
+    keep = bounds.filter(
+        F.col("_dqc")
+        <= (F.col("_r") + F.lit(r_int)) * F.lit(1.0 + 1e-9) + F.lit(1e-9)
+    ).select("_qid", "_qv", "_cell")
+    pairs = assigned.join(F.broadcast(keep), "_cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("_cid") != F.col("_qid"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("_cqv"), F.col("_qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias("match_id"),
+            d2.alias("sqdist"),
+        )
+        .filter(F.col("sqdist") <= F.lit(thresh))
+    )

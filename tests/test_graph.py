@@ -554,3 +554,80 @@ def test_modularity_singleton_and_cross_edges(spark):
     )
     for r in modularity(edges, solo, "s", "d").collect():
         assert r["internal_edges"] == 0 and r["q_num"] < 0
+
+
+def test_bfs_hops_hand_computed_chain_and_branch(spark):
+    from healthcare_api_spark.operators.graph import bfs_hops
+
+    # 1-2-3-4-5 chain plus branch 3-6; seed {1}: hops are the chain
+    # positions, independently derivable by eye
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6)], ["s", "d"]
+    )
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, "s", "d", seeds=[1], max_hops=6).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 3}
+
+
+def test_bfs_hops_multi_source_min_and_cap(spark):
+    from healthcare_api_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["s", "d"]
+    )
+    # two seeds: every node takes the NEARER one (node 3 is 2 hops
+    # from seed 1 but 1 hop from seed 4... wait: seeds {1,5})
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, "s", "d", seeds=[1, 5], max_hops=6).collect()
+    }
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+    # hop cap excludes the far tail; isolated seed still emits 0
+    capped = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, "s", "d", seeds=[1, 99], max_hops=2).collect()
+    }
+    assert capped == {1: 0, 99: 0, 2: 1, 3: 2}
+
+
+def test_bfs_hops_directed_and_validation(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["s", "d"])
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(
+            edges, "s", "d", seeds=[2], max_hops=4, directed=True
+        ).collect()
+    }
+    # directed: 2->3->1; the reverse edges don't exist
+    assert got == {2: 0, 3: 1, 1: 2}
+    with pytest.raises(ValueError):
+        bfs_hops(edges, "s", "d", seeds=[], max_hops=4)
+    with pytest.raises(ValueError):
+        bfs_hops(edges, "s", "d", seeds=[1], max_hops=0)
+
+
+def test_bfs_hops_sql_twin_parity(spark):
+    import duckdb
+
+    from healthcare_api_spark.operators.graph import bfs_hops, bfs_hops_sql
+
+    rows = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (4, 10)]
+    edges = spark.createDataFrame(rows, ["s", "d"])
+    got = sorted(
+        (r["node"], r["hops"])
+        for r in bfs_hops(edges, "s", "d", seeds=[1, 12], max_hops=3).collect()
+    )
+    vals = ", ".join(f"({a}, {b})" for a, b in rows)
+    sql = bfs_hops_sql(
+        f"SELECT s, d FROM (VALUES {vals}) AS t(s, d)",
+        seeds=[1, 12],
+        max_hops=3,
+    )
+    want = sorted(duckdb.sql(sql).fetchall())
+    assert got == [(int(a), int(b)) for a, b in want]

@@ -1873,3 +1873,116 @@ def test_rake_phrase_cap_and_validation(spark):
         textops.rake_keywords(docs, "doc_id", "text", top_k=0)
     with pytest.raises(ValueError):
         textops.rake_keywords(docs, "doc_id", "text", stopwords=())
+
+
+def test_l2_range_join_hand_computed(spark):
+    from healthcare_api_spark.operators.similarity import l2_range_join
+
+    # 1-D points at 0.0, 0.1, 0.25, 1.0 (scale 100 -> ints 0, 10, 25,
+    # 100); radius 0.15 -> r_int 15, thresh 225. From point 0:
+    # |0-10|²=100 ✓, |0-25|²=625 ✗. From 10: 100 ✓ (0), 225 ✓ (25).
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [0.1]), (3, [0.25]), (4, [1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = sorted(
+        (r["query_id"], r["match_id"], r["sqdist"])
+        for r in l2_range_join(
+            df,
+            df.withColumnRenamed("vec_id", "query_id"),
+            "vec_id",
+            "query_id",
+            "embedding",
+            radius=0.15,
+            scale=100.0,
+            n_cells=2,
+            iters=2,
+        ).collect()
+    )
+    assert got == [
+        (1, 2, 100),
+        (2, 1, 100),
+        (2, 3, 225),
+        (3, 2, 225),
+    ]
+
+
+def test_l2_range_join_lossless_vs_brute_force(spark):
+    """The hash-oracle property locally: pruned result == naive
+    all-pairs result, for EVERY choice of cell count (losslessness
+    must not depend on the clustering)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.similarity import (
+        l2_range_join,
+        quantize_int_vec,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    qs = df.filter(F.col("vec_id") < 5)
+    naive = (
+        df.select(F.col("vec_id").alias("match_id"), quantize_int_vec(F.col("embedding"), 50.0).alias("_cv"))
+        .crossJoin(
+            qs.select(F.col("vec_id").alias("query_id"), quantize_int_vec(F.col("embedding"), 50.0).alias("_qv"))
+        )
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.aggregate(
+                F.zip_with(F.col("_cv"), F.col("_qv"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("sqdist"),
+        )
+        .filter(F.col("sqdist") <= 100 * 100)
+    )
+    want = sorted(map(tuple, naive.collect()))
+    assert want, "fixture must produce hits"
+    for n_cells in (1, 3, 8):
+        got = sorted(
+            map(
+                tuple,
+                l2_range_join(
+                    df, qs, "vec_id", "vec_id", "embedding",
+                    radius=2.0, scale=50.0, n_cells=n_cells, iters=2,
+                ).withColumnRenamed("vec_id", "query_id").collect(),
+            )
+        )
+        assert got == want, f"n_cells={n_cells} lost/invented pairs"
+
+
+def test_l2_range_join_actually_prunes_and_validates(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from healthcare_api_spark.operators.similarity import l2_range_join
+
+    # two far-apart blobs: a query in blob A must never verify against
+    # blob B's cell, so candidate pairs << |Q|·|C|
+    rows = [(i, [float(i % 3), 0.0]) for i in range(30)] + [
+        (100 + i, [1000.0 + float(i % 3), 0.0]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qs = df.filter(F.col("vec_id") == 0)
+    out = l2_range_join(
+        df, qs, "vec_id", "vec_id", "embedding",
+        radius=2.5, scale=10.0, n_cells=2, iters=3,
+    )
+    got = {r["match_id"] for r in out.collect()}
+    # hits: same-blob points within 2.5 (all of blob A except self)
+    assert got == {i for i in range(1, 30)}
+    with pytest.raises(ValueError):
+        l2_range_join(df, qs, "vec_id", "vec_id", "embedding", radius=0.0)
+    with pytest.raises(ValueError):
+        l2_range_join(
+            df, qs, "vec_id", "vec_id", "embedding", radius=1.0, n_cells=0
+        )

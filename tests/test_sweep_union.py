@@ -226,6 +226,8 @@ _R9_NEW_QUERIES = [
     "u14_dataloader_pipeline",
     "g9_hits",
     "x19_holt_winters",
+    "g10_bfs_hops",
+    "v21_l2_range_join",
 ]
 
 
