@@ -4362,6 +4362,42 @@ def q_x19_holt_winters(spark, sf_dir):
     )
 
 
+def q_x21_dtw_band(spark, sf_dir):
+    """Banded Dynamic Time Warping distances (r9, second session):
+    pairwise DTW (Sakoe-Chiba band 24, squared-difference cost)
+    between the five per-type hourly series, first 144 buckets each
+    (temporal.dtw_band_join) — the alignment-tolerant series
+    similarity that x9's correlation misses when shapes shift by a
+    few hours. Values are x13's exact-int64 quantized hourly means,
+    so the whole DP is integer arithmetic and hash-portable. The
+    oracle evaluates the SAME DP as a recursive-CTE WAVEFRONT — one
+    step per anti-diagonal, each diagonal one list_transform from the
+    two carried predecessors (anti-diagonal cells are independent;
+    row-major would serialize on D[i][j−1] and a list_append fold
+    would copy quadratically). At corpus scale the pair list comes
+    from the SAX prune (x15/x16) exactly like d18's verify stage; the
+    band keeps per-pair work O(n·band)."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value").cast("double") * 100).cast("bigint")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.round(
+            F.sum(cents).cast("double") * 100.0 / F.count(F.lit(1))
+        ).cast("bigint").alias("vq")
+    )
+    idx = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("bucket")
+    )
+    series = hourly.select("event_type", idx.alias("i"), "vq").filter(
+        F.col("i") <= 144
+    )
+    return temporal.dtw_band_join(series, "event_type", "i", "vq", band=24)
+
+
 def q_k5_sample_quantiles(spark, sf_dir):
     """Engine-portable quantile sketch (k5): bottom-k-by-md5 value
     sample per language (KMV pointed at quantiles), then exact
@@ -6116,6 +6152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x19_holt_winters": q_x19_holt_winters,
         "g10_bfs_hops": q_g10_bfs_hops,
         "v21_l2_range_join": q_v21_l2_range_join,
+        "x21_dtw_band": q_x21_dtw_band,
         # --- r8 head (VERDICT r7 #6): rows-only queries the driver's
         # ledger recorded in r08 (f7/k1/k2/t12, rows-only by documented
         # DuckDB impossibility: DuckDB 1.0.0 has no sha1() for uuid5 —
@@ -8440,6 +8477,23 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(sum(bit_count(xor(b.word, q.qword))) AS INT) AS hamming"
         " FROM bits b JOIN q USING (w)"
         " GROUP BY b.vec_id ORDER BY hamming ASC, vec_id ASC LIMIT 10"
+    )
+    # r9 second session: x21 — the banded DTW DP as a recursive-CTE
+    # wavefront over the x13-quantized hourly series (first 144
+    # buckets; band 24 ≥ every |n−m|)
+    from healthcare_api_spark.operators.temporal import (
+        dtw_band_sql as _dtw_sql,
+    )
+
+    out["x21_dtw_band"] = _dtw_sql(
+        "WITH s_ AS (SELECT event_type, date_trunc('hour', ts) AS bucket,"
+        "  CAST(round(CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100)"
+        "   AS BIGINT)) AS DOUBLE) * 100.0 / count(*)) AS BIGINT) AS vq"
+        "  FROM events GROUP BY 1, 2),"
+        " x_ AS (SELECT event_type, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY bucket) AS i, vq FROM s_)"
+        " SELECT event_type, i, vq FROM x_ WHERE i <= 144",
+        "event_type", "i", "vq", band=24,
     )
     # r9 second session: v21 — the naive all-pairs range filter; the
     # engine's cell pruning is lossless (triangle-inequality bound),

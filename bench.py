@@ -220,9 +220,11 @@ HEADLINE = [
     "u14_dataloader_pipeline",
     "g9_hits",
     "x19_holt_winters",
-    # round 9 second session: multi-source BFS, lossless L2 range join
+    # round 9 second session: multi-source BFS, lossless L2 range
+    # join, banded-DTW wavefront
     "g10_bfs_hops",
     "v21_l2_range_join",
+    "x21_dtw_band",
 ]
 
 N_STEADY = 3

@@ -1518,3 +1518,163 @@ def acf(
         "n",
         F.when(den > 0, (nd * sxy - sx * sy) / den).alias("corr"),
     )
+
+
+def dtw_band_join(
+    series: DataFrame,
+    key_col: str,
+    idx_col: str,
+    val_col: str,
+    band: int = 24,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Banded Dynamic Time Warping distance between integer series —
+    the alignment-tolerant similarity that Euclidean/correlation
+    (x9) miss when two series trace the same shape shifted by a few
+    steps (Sakoe & Chiba 1978; the band both bounds cost to O(n·band)
+    and regularizes pathological warps). Cost is the SQUARED
+    difference, all arithmetic exact int64 on the already-quantized
+    values, so the result is hash-portable with no rounding contract
+    — the matrix-profile (x13) treatment applied to a DP.
+
+    ``pairs`` (key_a, key_b) picks which series to compare; None
+    means all unordered key pairs — fine for per-type series (tens),
+    while a corpus-scale run feeds candidates from the SAX prune
+    (sax_similarity_join / sax_motif_candidates) exactly like d18
+    feeds its verify stage. Each pair's DP is sequential by nature;
+    the PAIR is the parallelism unit (the EWMA/Holt recursion rule),
+    and the band keeps per-pair work at O(n·band), never n².
+
+    Validates band ≥ |n−m| for every pair (otherwise the warping
+    path cannot reach the corner). Output: (key_a, key_b, n, m, dtw).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if band < 0:
+        raise ValueError("band must be ≥ 0")
+    arr = (
+        series.groupBy(F.col(key_col).alias("k"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(idx_col), F.col(val_col)))
+                ),
+                lambda s: s.getField(val_col).cast("bigint"),
+            ).alias("v")
+        )
+        .localCheckpoint(eager=True)  # feeds both sides of the pair join
+    )
+    if pairs is None:
+        a = arr.select(F.col("k").alias("key_a"), F.col("v").alias("_va"))
+        b = arr.select(F.col("k").alias("key_b"), F.col("v").alias("_vb"))
+        joined = a.join(b, F.col("key_a") < F.col("key_b"))
+    else:
+        joined = (
+            pairs.select("key_a", "key_b")
+            .join(arr.withColumnRenamed("k", "key_a"), "key_a")
+            .withColumnRenamed("v", "_va")
+            .join(arr.withColumnRenamed("k", "key_b"), "key_b")
+            .withColumnRenamed("v", "_vb")
+        )
+    bad = joined.filter(
+        F.abs(F.size("_va") - F.size("_vb")) > F.lit(band)
+    ).select("key_a", "key_b").limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"band={band} < |n-m| for pair "
+            f"({bad[0]['key_a']}, {bad[0]['key_b']}) — the warping path "
+            f"cannot reach the corner; raise band"
+        )
+    out_schema = (
+        f"key_a {joined.schema['key_a'].dataType.simpleString()}, "
+        f"key_b {joined.schema['key_b'].dataType.simpleString()}, "
+        "n bigint, m bigint, dtw bigint"
+    )
+    big = 1 << 61
+
+    def _dtw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ka, kb, va, vb in zip(
+                pdf["key_a"], pdf["key_b"], pdf["_va"], pdf["_vb"]
+            ):
+                a_, b_ = [int(x) for x in va], [int(x) for x in vb]
+                n, m = len(a_), len(b_)
+                prev = [big] * m
+                for i in range(n):
+                    cur = [big] * m
+                    lo, hi = max(0, i - band), min(m - 1, i + band)
+                    for j in range(lo, hi + 1):
+                        d = a_[i] - b_[j]
+                        c = d * d
+                        if i == 0 and j == 0:
+                            cur[0] = c
+                            continue
+                        best = prev[j] if i > 0 else big
+                        if j > 0 and cur[j - 1] < best:
+                            best = cur[j - 1]
+                        if i > 0 and j > 0 and prev[j - 1] < best:
+                            best = prev[j - 1]
+                        cur[j] = c + best
+                    prev = cur
+                rows.append((ka, kb, n, m, prev[m - 1]))
+            yield pd.DataFrame(
+                rows, columns=["key_a", "key_b", "n", "m", "dtw"]
+            )
+
+    return joined.mapInPandas(_dtw, schema=out_schema)
+
+
+def dtw_band_sql(
+    series_sql: str,
+    key_col: str,
+    idx_col: str,
+    val_col: str,
+    band: int = 24,
+) -> str:
+    """DuckDB oracle twin of :func:`dtw_band_join` (all unordered
+    pairs): the banded DP evaluated as a WAVEFRONT — one recursive-CTE
+    step per anti-diagonal, each new diagonal built by ONE
+    list_transform from the two carried predecessor diagonals (cells
+    on an anti-diagonal are mutually independent, so there is no
+    intra-row dependency to serialize and no quadratic
+    list_append copying). Out-of-band / out-of-grid neighbors read as
+    NULL or the ±2⁶² sentinel and lose the least(); the x19 lesson
+    applies — every literal the recursion carries is CAST."""
+    s_ = "1152921504606846976"  # 2^60 sentinel, never added to a cost
+    i0s = "GREATEST(0, s - m + 1)"
+    i0sm1 = "GREATEST(0, s - m)"
+    return (
+        f"WITH RECURSIVE arr AS MATERIALIZED ("
+        f" SELECT {key_col} AS k, list(CAST({val_col} AS BIGINT)"
+        f"  ORDER BY {idx_col}) AS v FROM ({series_sql}) GROUP BY 1),"
+        f" pr AS MATERIALIZED (SELECT a.k AS ka, a.v AS va, b.k AS kb,"
+        f"  b.v AS vb, len(a.v) AS n, len(b.v) AS m"
+        f"  FROM arr a JOIN arr b ON a.k < b.k),"
+        f" dp AS ("
+        f"  SELECT ka, kb, va, vb, n, m, 0 AS s,"
+        f"   [(va[1] - vb[1]) * (va[1] - vb[1])] AS dcur,"
+        f"   CAST([] AS BIGINT[]) AS dprev FROM pr"
+        f"  UNION ALL"
+        f"  SELECT ka, kb, va, vb, n, m, s + 1,"
+        f"   list_transform("
+        f"    range(GREATEST(0, s + 2 - m), LEAST(n - 1, s + 1) + 1),"
+        f"    i -> CASE WHEN abs(2 * i - (s + 1)) > {band}"
+        f"     THEN CAST({s_} AS BIGINT)"
+        f"     ELSE (va[i + 1] - vb[s + 1 - i + 1])"
+        f"      * (va[i + 1] - vb[s + 1 - i + 1])"
+        f"      + least("
+        f"        coalesce(dcur[CAST(i - {i0s} AS INT)],"
+        f"         CAST({s_} AS BIGINT)),"
+        f"        coalesce(dcur[CAST(i - {i0s} + 1 AS INT)],"
+        f"         CAST({s_} AS BIGINT)),"
+        f"        coalesce(dprev[CAST(i - {i0sm1} AS INT)],"
+        f"         CAST({s_} AS BIGINT)))"
+        f"     END) AS dcur,"
+        f"   dcur AS dprev"
+        f"  FROM dp WHERE s + 1 <= n + m - 2)"
+        f" SELECT ka AS key_a, kb AS key_b, n, m, dcur[1] AS dtw"
+        f" FROM dp WHERE s = n + m - 2"
+    )

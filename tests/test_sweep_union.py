@@ -228,6 +228,7 @@ _R9_NEW_QUERIES = [
     "x19_holt_winters",
     "g10_bfs_hops",
     "v21_l2_range_join",
+    "x21_dtw_band",
 ]
 
 

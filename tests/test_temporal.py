@@ -928,3 +928,99 @@ def test_acf_gap_tolerant_and_validation(spark):
         acf(df, "k", "bucket", "v", max_lag=0, interval_micros=1)
     with pytest.raises(ValueError):
         acf(df, "k", "bucket", "v", max_lag=2, interval_micros=0)
+
+
+def test_dtw_band_hand_computed(spark):
+    from healthcare_api_spark.operators.temporal import dtw_band_join
+
+    # a=[0,0,1], b=[0,1,1]: DTW aligns the step perfectly -> 0;
+    # c=[2,2,2]: vs a -> best path cost hand-derivable
+    rows = (
+        [("a", i, v) for i, v in enumerate([0, 0, 1])]
+        + [("b", i, v) for i, v in enumerate([0, 1, 1])]
+        + [("c", i, v) for i, v in enumerate([2, 2, 2])]
+    )
+    series = spark.createDataFrame(rows, "k string, i int, v long")
+    got = {
+        (r["key_a"], r["key_b"]): (r["n"], r["m"], r["dtw"])
+        for r in dtw_band_join(series, "k", "i", "v", band=2).collect()
+    }
+    # (a,b): D — warping absorbs the shift: path cost 0+0+0+0 = 0
+    assert got[("a", "b")] == (3, 3, 0)
+    # (a,c): diag path (0-2)²+(0-2)²+(1-2)² = 4+4+1 = 9
+    assert got[("a", "c")] == (3, 3, 9)
+    # (b,c): (0-2)² + (1-2)² + (1-2)² = 6
+    assert got[("b", "c")] == (3, 3, 6)
+
+
+def test_dtw_band_unequal_lengths_and_validation(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.temporal import dtw_band_join
+
+    rows = [("p", i, v) for i, v in enumerate([5, 5, 5, 5])] + [
+        ("q", 0, 5),
+        ("q", 1, 5),
+    ]
+    series = spark.createDataFrame(rows, "k string, i int, v long")
+    got = dtw_band_join(series, "k", "i", "v", band=2).collect()
+    assert len(got) == 1 and got[0]["dtw"] == 0  # identical values warp free
+    with pytest.raises(ValueError, match="band"):
+        dtw_band_join(series, "k", "i", "v", band=1)  # |4-2| > 1
+    with pytest.raises(ValueError):
+        dtw_band_join(series, "k", "i", "v", band=-1)
+
+
+def test_dtw_band_tight_band_blocks_alignment(spark):
+    from healthcare_api_spark.operators.temporal import dtw_band_join
+
+    # interior spike shifted by one: a wide band lets the warp line
+    # the spikes up (cost 0); band 0 forces the diagonal and pays both
+    rows = [("u", i, v) for i, v in enumerate([0, 9, 0, 0])] + [
+        ("v", i, v) for i, v in enumerate([0, 0, 9, 0])
+    ]
+    series = spark.createDataFrame(rows, "k string, i int, v long")
+    wide = dtw_band_join(series, "k", "i", "v", band=3).collect()[0]["dtw"]
+    tight = dtw_band_join(series, "k", "i", "v", band=0).collect()[0]["dtw"]
+    assert tight == 81 + 81
+    assert wide == 0
+
+
+def test_dtw_band_sql_twin_parity_random(spark):
+    import random
+
+    import duckdb
+
+    from healthcare_api_spark.operators.temporal import (
+        dtw_band_join,
+        dtw_band_sql,
+    )
+
+    rng = random.Random(3)
+    series = {
+        k: [rng.randint(-50, 50) for _ in range(L)]
+        for k, L in (("a", 9), ("b", 12), ("c", 7), ("d", 8))
+    }
+    rows = [(k, i, v) for k, vs in series.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "k string, i int, v long")
+    got = sorted(
+        (r["key_a"], r["key_b"], r["n"], r["m"], r["dtw"])
+        for r in dtw_band_join(df, "k", "i", "v", band=5).collect()
+    )
+    vals = ", ".join(f"('{k}', {i}, {v})" for k, i, v in rows)
+    sql = dtw_band_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(k, i, v)", "k", "i", "v", band=5
+    )
+    want = sorted(duckdb.sql(sql).fetchall())
+    assert got == [tuple(int(x) if not isinstance(x, str) else x for x in w) for w in want]
+
+
+def test_dtw_band_explicit_pairs_path(spark):
+    from healthcare_api_spark.operators.temporal import dtw_band_join
+
+    rows = [("a", 0, 1), ("a", 1, 2), ("b", 0, 1), ("b", 1, 2), ("c", 0, 9)]
+    series = spark.createDataFrame(rows, "k string, i int, v long")
+    pairs = spark.createDataFrame([("a", "b")], ["key_a", "key_b"])
+    got = dtw_band_join(series, "k", "i", "v", band=1, pairs=pairs).collect()
+    assert len(got) == 1
+    assert (got[0]["key_a"], got[0]["key_b"], got[0]["dtw"]) == ("a", "b", 0)
