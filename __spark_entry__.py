@@ -5266,6 +5266,30 @@ def q_g10_bfs_hops(spark, sf_dir):
     )
 
 
+def q_g11_stress_centrality(spark, sf_dir):
+    """Depth-bounded stress centrality (r9, second session): how many
+    pivot-rooted shortest paths route THROUGH each customer of the
+    k-NN similarity graph (graph.stress_centrality; Shimbel 1953,
+    Brandes forward pass + integer path-count backward pass) — the
+    exact-int64 sibling of betweenness (betweenness's σ_st division
+    is a data-dependent rational with engine-divergent float sums;
+    stress keeps the traffic signal integer, the g9 HITS trade).
+    Pivots {1,2,3,4}, depth 8; at scale the pivot set is the
+    published sampling knob. Oracle unrolls the identical
+    forward/backward rounds as MATERIALIZED CTEs with pivots carried
+    as a column."""
+    from healthcare_api_spark.operators import graph
+
+    _tune(spark)
+    return graph.stress_centrality(
+        _knn_customer_edges(spark, sf_dir),
+        "s",
+        "d",
+        pivots=[1, 2, 3, 4],
+        max_depth=8,
+    )
+
+
 def q_m18_keyframes(spark, sf_dir):
     """Shot segmentation + keyframe selection (r8, oracle queued for
     r9): the m11 synthetic Y4M videos run through the REAL scene-cut
@@ -6153,6 +6177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g10_bfs_hops": q_g10_bfs_hops,
         "v21_l2_range_join": q_v21_l2_range_join,
         "x21_dtw_band": q_x21_dtw_band,
+        "g11_stress_centrality": q_g11_stress_centrality,
         # --- r8 head (VERDICT r7 #6): rows-only queries the driver's
         # ledger recorded in r08 (f7/k1/k2/t12, rows-only by documented
         # DuckDB impossibility: DuckDB 1.0.0 has no sha1() for uuid5 —
@@ -9251,6 +9276,15 @@ def oracle_sql() -> dict[str, str]:
 
     out["g10_bfs_hops"] = _bfs_sql(
         _KNN_EDGES_SQL, seeds=[1, 2, 3], max_hops=6, src="s", dst="d"
+    )
+    # r9 second session: g11 — forward sigma + backward path-count
+    # rounds unrolled, all integer
+    from healthcare_api_spark.operators.graph import (
+        stress_centrality_sql as _stress_sql,
+    )
+
+    out["g11_stress_centrality"] = _stress_sql(
+        _KNN_EDGES_SQL, pivots=[1, 2, 3, 4], max_depth=8, src="s", dst="d"
     )
     # r9: x19 — the x17 recursive-CTE pattern with the seasonal
     # history carried as a ≤24-element list

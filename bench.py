@@ -225,6 +225,7 @@ HEADLINE = [
     "g10_bfs_hops",
     "v21_l2_range_join",
     "x21_dtw_band",
+    "g11_stress_centrality",
 ]
 
 N_STEADY = 3

@@ -1237,3 +1237,188 @@ def bfs_hops_sql(
         )
     body = "".join(parts).rstrip(",")
     return f"{body} SELECT node, hops FROM d{max_hops}"
+
+
+def stress_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    pivots: list | None = None,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Depth-bounded STRESS centrality (Shimbel 1953) from a fixed
+    pivot set — the exact-integer sibling of betweenness: for each
+    node v, the number of shortest paths (from any pivot s, within
+    ``max_depth`` hops) that pass THROUGH v as an interior node,
+
+        stress(v) = Σ_s σ_sv · Q_s(v),
+        Q_s(v) = Σ_{w ∈ succ_s(v)} (1 + Q_s(w)),
+
+    where σ_sv counts shortest s→v paths (the Brandes forward pass)
+    and succ_s(v) = neighbors one BFS level deeper. Betweenness
+    proper divides by σ_st — a data-dependent RATIONAL whose
+    float summation order differs across engines; stress keeps the
+    same "how much traffic routes over v" signal in pure int64, so
+    the unrolled oracle matches with no rounding contract (the g9
+    HITS trade, applied to centrality).
+
+    Shape: the forward pass is ``max_depth`` rounds of frontier ⋈
+    edges + groupBy-sum(σ) + anti-join visited, ALL pivots carried as
+    a key column (one round = one shuffle regardless of pivot count);
+    the backward pass replays the ≤``max_depth`` levels in DESCENDING
+    order, each level one join against the level below's (σ, Q)
+    frame. Per-pivot state is one row per reached node — at 100 TB
+    the pivot set is the sampling knob (pivot-sampled centrality is
+    the published scalable estimator; the sample size trades variance
+    for rounds, never correctness of the sampled sum).
+
+    Output: (node, stress) for every node reached by any pivot, the
+    pivots themselves included (their stress counts only paths they
+    sit INSIDE, from other pivots).
+    """
+    if not pivots:
+        raise ValueError("pivots must be a non-empty list")
+    if max_depth < 1:
+        raise ValueError("max_depth must be ≥ 1")
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    piv = spark.createDataFrame(
+        [(int(p),) for p in sorted(set(int(p) for p in pivots))],
+        schema="p bigint",
+    )
+    # forward: levels[d] = (p, node, sigma) at BFS distance d from p
+    lvl = piv.select(
+        "p", F.col("p").alias("node"), F.lit(1).cast("bigint").alias("sigma")
+    ).localCheckpoint(eager=True)
+    levels = [lvl]
+    seen = lvl.select("p", "node")
+    for _ in range(max_depth):
+        nxt = (
+            levels[-1]
+            .join(e, levels[-1]["node"] == e["u"])
+            .groupBy("p", F.col("v").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(seen, ["p", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        levels.append(nxt)
+        seen = seen.unionByName(nxt.select("p", "node")).localCheckpoint(
+            eager=True
+        )
+    # backward: Q[d] over levels[d], deepest level has Q = 0
+    q = levels[-1].select(
+        "p", "node", "sigma", F.lit(0).cast("bigint").alias("qn")
+    )
+    acc = q.select(
+        "p", "node", (F.col("sigma") * F.col("qn")).alias("through")
+    )
+    for d in range(len(levels) - 2, -1, -1):
+        below = q.select(
+            F.col("p").alias("_pw"),
+            F.col("node").alias("_w"),
+            F.col("qn").alias("_qw"),
+        )
+        qd = (
+            levels[d]
+            .join(e, levels[d]["node"] == e["u"], "left")
+            .join(
+                below,
+                (F.col("v") == F.col("_w")) & (F.col("p") == F.col("_pw")),
+                "left",
+            )
+            .groupBy("p", "node", "sigma")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_w").isNotNull(), F.lit(1) + F.col("_qw")
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("bigint").alias("qn")
+            )
+            .localCheckpoint(eager=True)
+        )
+        q = qd
+        acc = acc.unionByName(
+            qd.select(
+                "p", "node", (F.col("sigma") * F.col("qn")).alias("through")
+            )
+        )
+    # fresh exprIds: localCheckpoint keeps attribute ids, so joining
+    # the ORIGINAL piv frame back against its own descendants trips
+    # Spark's ambiguous-self-join detection
+    piv_keys = piv.select(F.col("p").alias("_pivot"))
+    return (
+        acc.join(piv_keys, acc["node"] == F.col("_pivot"), "left_anti")
+        .groupBy("node")
+        .agg(F.sum("through").cast("bigint").alias("stress"))
+    )
+
+
+def stress_centrality_sql(
+    edges_sql: str,
+    pivots: list,
+    max_depth: int = 8,
+    src: str = "s",
+    dst: str = "d",
+) -> str:
+    """DuckDB oracle twin of :func:`stress_centrality` — the same
+    fixed forward/backward rounds unrolled as chained MATERIALIZED
+    CTEs, all pivots carried as a column."""
+    if not pivots:
+        raise ValueError("pivots must be a non-empty list")
+    ps = ", ".join(f"({int(p)})" for p in sorted(set(int(p) for p in pivots)))
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        f"SELECT {src} AS u, {dst} AS v FROM ({edges_sql})"
+        f" UNION ALL SELECT {dst} AS u, {src} AS v FROM ({edges_sql}))"
+        f" WHERE u <> v),"
+        f" piv AS MATERIALIZED (SELECT CAST(p AS BIGINT) AS p"
+        f"  FROM (VALUES {ps}) AS t(p)),"
+        f" l0 AS MATERIALIZED (SELECT p, p AS node,"
+        f"  CAST(1 AS BIGINT) AS sigma FROM piv),"
+        f" seen0 AS MATERIALIZED (SELECT p, node FROM l0),",
+    ]
+    for i in range(1, max_depth + 1):
+        parts.append(
+            f" l{i} AS MATERIALIZED (SELECT x.p, x.node,"
+            f"  CAST(x.sigma AS BIGINT) AS sigma FROM ("
+            f"  SELECT l.p, e.v AS node, sum(l.sigma) AS sigma"
+            f"  FROM l{i - 1} l JOIN e ON e.u = l.node GROUP BY l.p, e.v) x"
+            f"  WHERE NOT EXISTS (SELECT 1 FROM seen{i - 1} s"
+            f"   WHERE s.p = x.p AND s.node = x.node)),"
+            f" seen{i} AS MATERIALIZED (SELECT p, node FROM seen{i - 1}"
+            f"  UNION ALL SELECT p, node FROM l{i}),"
+        )
+    last = max_depth
+    parts.append(
+        f" q{last} AS MATERIALIZED (SELECT p, node, sigma,"
+        f"  CAST(0 AS BIGINT) AS qn FROM l{last}),"
+    )
+    for d in range(max_depth - 1, -1, -1):
+        parts.append(
+            f" q{d} AS MATERIALIZED (SELECT l.p, l.node, l.sigma,"
+            f"  coalesce(CAST(sum(1 + w.qn) AS BIGINT), 0) AS qn"
+            f"  FROM l{d} l LEFT JOIN e ON e.u = l.node"
+            f"  LEFT JOIN q{d + 1} w ON w.p = l.p AND w.node = e.v"
+            f"  GROUP BY l.p, l.node, l.sigma),"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT p, node, sigma * qn AS through FROM q{d}"
+        for d in range(max_depth + 1)
+    )
+    body = "".join(parts).rstrip(",")
+    return (
+        f"{body} SELECT node, CAST(sum(through) AS BIGINT) AS stress"
+        f" FROM ({union}) t WHERE node NOT IN (SELECT p FROM piv)"
+        f" GROUP BY node"
+    )

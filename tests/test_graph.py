@@ -631,3 +631,96 @@ def test_bfs_hops_sql_twin_parity(spark):
     )
     want = sorted(duckdb.sql(sql).fetchall())
     assert got == [(int(a), int(b)) for a, b in want]
+
+
+def test_stress_centrality_hand_computed_path(spark):
+    from healthcare_api_spark.operators.graph import stress_centrality
+
+    # path 1-2-3-4-5, pivot {1}: paths through 2: 1→2→{3,4,5} = 3;
+    # through 3: 1→..→{4,5} = 2; through 4: 1; endpoint 5: 0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["s", "d"]
+    )
+    got = {
+        r["node"]: r["stress"]
+        for r in stress_centrality(
+            edges, "s", "d", pivots=[1], max_depth=6
+        ).collect()
+    }
+    assert got == {2: 3, 3: 2, 4: 1, 5: 0}
+
+
+def test_stress_centrality_multiplicity_diamond(spark):
+    from healthcare_api_spark.operators.graph import stress_centrality
+
+    # diamond 1-{2,3}-4-5: two shortest 1→4 paths (sigma(4)=2), both
+    # continue to 5, so 4 carries 2 paths; 2 and 3 each carry
+    # {4, 5} = 2 paths
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], ["s", "d"]
+    )
+    got = {
+        r["node"]: r["stress"]
+        for r in stress_centrality(
+            edges, "s", "d", pivots=[1], max_depth=6
+        ).collect()
+    }
+    assert got == {2: 2, 3: 2, 4: 2, 5: 0}
+
+
+def test_stress_centrality_depth_cap_and_multi_pivot(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.graph import stress_centrality
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["s", "d"]
+    )
+    # depth 2: pivot 1 reaches {2,3}; through-2 paths: 1→2→3 only
+    got = {
+        r["node"]: r["stress"]
+        for r in stress_centrality(
+            edges, "s", "d", pivots=[1], max_depth=2
+        ).collect()
+    }
+    assert got == {2: 1, 3: 0}
+    # pivots at both ends: interior nodes carry paths from each side;
+    # pivot nodes are excluded from the output but still serve as
+    # interior nodes of the OTHER pivot's paths... (1 and 5 excluded)
+    both = {
+        r["node"]: r["stress"]
+        for r in stress_centrality(
+            edges, "s", "d", pivots=[1, 5], max_depth=6
+        ).collect()
+    }
+    assert both == {2: 3 + 1, 3: 2 + 2, 4: 1 + 3}
+    with pytest.raises(ValueError):
+        stress_centrality(edges, "s", "d", pivots=[], max_depth=2)
+    with pytest.raises(ValueError):
+        stress_centrality(edges, "s", "d", pivots=[1], max_depth=0)
+
+
+def test_stress_centrality_sql_twin_parity(spark):
+    import duckdb
+
+    from healthcare_api_spark.operators.graph import (
+        stress_centrality,
+        stress_centrality_sql,
+    )
+
+    rows = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 4), (5, 7), (10, 11)]
+    edges = spark.createDataFrame(rows, ["s", "d"])
+    got = sorted(
+        (r["node"], r["stress"])
+        for r in stress_centrality(
+            edges, "s", "d", pivots=[1, 10], max_depth=4
+        ).collect()
+    )
+    vals = ", ".join(f"({a}, {b})" for a, b in rows)
+    sql = stress_centrality_sql(
+        f"SELECT s, d FROM (VALUES {vals}) AS t(s, d)",
+        pivots=[1, 10],
+        max_depth=4,
+    )
+    want = sorted((int(a), int(b)) for a, b in duckdb.sql(sql).fetchall())
+    assert got == want

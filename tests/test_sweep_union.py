@@ -229,6 +229,7 @@ _R9_NEW_QUERIES = [
     "g10_bfs_hops",
     "v21_l2_range_join",
     "x21_dtw_band",
+    "g11_stress_centrality",
 ]
 
 
