@@ -3565,6 +3565,25 @@ def q_v21_l2_range_join(spark, sf_dir):
     ).withColumnRenamed("vec_id", "query_id")
 
 
+def q_u15_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset selection (r9, second session): the 12
+    maximally-spread embeddings (similarity.kcenter_coreset; Gonzalez
+    1985 farthest-point, the diversity sampler that complements
+    SemDeDup's redundancy removal in a curation stack). Exact int64
+    quantized distances; the running min-distance column updates
+    against the NEWEST center only, so each round is one shuffle-free
+    scan + a 1-row TakeOrdered — the corpus never shuffles. Oracle
+    unrolls the 12 greedy argmax rounds as MATERIALIZED CTEs (the x7
+    LTTB device); min_sqdist is the coverage elbow."""
+    from healthcare_api_spark.operators import similarity
+
+    _tune(spark)
+    return similarity.kcenter_coreset(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=12, scale=1000.0,
+    )
+
+
 def q_v19_binary_ann(spark, sf_dir):
     """Binary-quantized ANN (r8): every embedding collapsed to its
     per-dim sign bits (two int64 words at dim 64 — 32× smaller than
@@ -6178,6 +6197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v21_l2_range_join": q_v21_l2_range_join,
         "x21_dtw_band": q_x21_dtw_band,
         "g11_stress_centrality": q_g11_stress_centrality,
+        "u15_kcenter_coreset": q_u15_kcenter_coreset,
         # --- r8 head (VERDICT r7 #6): rows-only queries the driver's
         # ledger recorded in r08 (f7/k1/k2/t12, rows-only by documented
         # DuckDB impossibility: DuckDB 1.0.0 has no sha1() for uuid5 —
@@ -8519,6 +8539,14 @@ def oracle_sql() -> dict[str, str]:
         "  PARTITION BY event_type ORDER BY bucket) AS i, vq FROM s_)"
         " SELECT event_type, i, vq FROM x_ WHERE i <= 144",
         "event_type", "i", "vq", band=24,
+    )
+    # r9 second session: u15 — the 12 greedy k-center rounds unrolled
+    from healthcare_api_spark.operators.similarity import (
+        kcenter_coreset_sql as _kcenter_sql,
+    )
+
+    out["u15_kcenter_coreset"] = _kcenter_sql(
+        "embeddings", "vec_id", "embedding", k=12, scale=1000.0
     )
     # r9 second session: v21 — the naive all-pairs range filter; the
     # engine's cell pruning is lossless (triangle-inequality bound),

@@ -226,6 +226,7 @@ HEADLINE = [
     "v21_l2_range_join",
     "x21_dtw_band",
     "g11_stress_centrality",
+    "u15_kcenter_coreset",
 ]
 
 N_STEADY = 3

@@ -1860,3 +1860,123 @@ def l2_range_join(
         )
         .filter(F.col("sqdist") <= F.lit(thresh))
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 12,
+    scale: float = 1000.0,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection — the
+    2-approximation diversity sampler (Gonzalez 1985) a training-data
+    pipeline uses to pick a maximally-spread subset (coreset seeds,
+    diverse eval sets, dedup-aware anchor selection; SemDeDup's
+    complement: keep the SPREAD, not the clusters).
+
+    Deterministic and hash-portable: distances are exact int64
+    squared L2 on round(x·scale) quantized vectors; the seed is the
+    lowest id; every later pick is argmax of the running min-distance
+    to the selected set with ties broken by lowest id. The classic
+    incremental trick keeps each round O(|corpus|): the running
+    min-distance column is updated against the NEWEST center only
+    (one narrow map, no shuffle), and the argmax is one
+    TakeOrdered(1) reduction — k rounds total, each a scan + a 1-row
+    fetch to the driver; the corpus never shuffles at all. At 100 TB
+    that is k scan-passes over a columnar projection of (id, vec) —
+    embarrassingly parallel, zero data movement.
+
+    Output: (rank, id, min_sqdist) where min_sqdist is the coverage
+    radius² the point closed at selection time (NULL for the seed) —
+    monotonically non-increasing, the elbow read for choosing k.
+    """
+    if k < 1:
+        raise ValueError("k must be ≥ 1")
+    qv = quantize_int_vec(F.col(vec_col), scale)
+    base = df.select(
+        F.col(id_col).alias("_id"), qv.alias("_v")
+    ).localCheckpoint(eager=True)
+    seed = base.orderBy(F.col("_id").asc()).limit(1).collect()
+    if not seed:
+        raise ValueError("empty input")
+    picks = [(1, seed[0]["_id"], None)]
+    center = [int(x) for x in seed[0]["_v"]]
+
+    def _d2_to(lit_vec: list[int]):
+        b = F.array(*[F.lit(int(x)).cast("bigint") for x in lit_vec])
+        return F.aggregate(
+            F.zip_with(F.col("_v"), b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    mind = base.select("_id", "_v", _d2_to(center).alias("_m"))
+    for r in range(2, k + 1):
+        mind = mind.localCheckpoint(eager=True)  # feeds argmax AND update
+        top = (
+            mind.orderBy(F.col("_m").desc(), F.col("_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((r, top["_id"], int(top["_m"])))
+        center = [int(x) for x in top["_v"]]
+        mind = mind.select(
+            "_id", "_v", F.least(F.col("_m"), _d2_to(center)).alias("_m")
+        )
+    spark = df.sparkSession
+    out_id_type = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        picks, schema=f"rank int, {id_col} {out_id_type}, min_sqdist bigint"
+    )
+
+
+def kcenter_coreset_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 12,
+    scale: float = 1000.0,
+) -> str:
+    """DuckDB oracle twin of :func:`kcenter_coreset` — the k greedy
+    rounds unrolled as chained MATERIALIZED argmax CTEs (the x7 LTTB
+    device): sel_i picks the farthest point, m_i folds the new
+    center's distances into the running minimum."""
+    if k < 1:
+        raise ValueError("k must be ≥ 1")
+    d2 = (
+        "CAST(list_dot_product(m{p}.v, m{p}.v)"
+        " - 2 * list_dot_product(m{p}.v, sel{i}.v)"
+        " + list_dot_product(sel{i}.v, sel{i}.v) AS BIGINT)"
+    )
+    parts = [
+        f"WITH base AS MATERIALIZED (SELECT {id_col} AS id,"
+        f" list_transform({vec_col},"
+        f"  x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v"
+        f" FROM {table}),"
+        f" sel1 AS MATERIALIZED (SELECT id, v FROM base"
+        f"  ORDER BY id LIMIT 1),"
+        f" m1 AS MATERIALIZED (SELECT base.id, base.v,"
+        f"  CAST(list_dot_product(base.v, base.v)"
+        f"   - 2 * list_dot_product(base.v, sel1.v)"
+        f"   + list_dot_product(sel1.v, sel1.v) AS BIGINT) AS m"
+        f"  FROM base, sel1),",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(
+            f" sel{i} AS MATERIALIZED (SELECT id, v, m FROM m{p}"
+            f"  ORDER BY m DESC, id ASC LIMIT 1),"
+            f" m{i} AS MATERIALIZED (SELECT m{p}.id, m{p}.v,"
+            f"  least(m{p}.m, {d2.format(p=p, i=i)}) AS m"
+            f"  FROM m{p}, sel{i}),"
+        )
+    union = " UNION ALL ".join(
+        [f"SELECT 1 AS rank, id, CAST(NULL AS BIGINT) AS min_sqdist FROM sel1"]
+        + [
+            f"SELECT {i} AS rank, id, m AS min_sqdist FROM sel{i}"
+            for i in range(2, k + 1)
+        ]
+    )
+    body = "".join(parts).rstrip(",")
+    return f"{body} SELECT rank, id AS {id_col}, min_sqdist FROM ({union}) u"

@@ -1986,3 +1986,63 @@ def test_l2_range_join_actually_prunes_and_validates(spark):
         l2_range_join(
             df, qs, "vec_id", "vec_id", "embedding", radius=1.0, n_cells=0
         )
+
+
+def test_kcenter_coreset_hand_computed(spark):
+    from healthcare_api_spark.operators.similarity import kcenter_coreset
+
+    # 1-D: ids 1..4 at 0, 1, 10, 21 (scale 1): seed=1(0); farthest is
+    # 4 (21², 441); then 3 (min(10², 11²)=100); then 2 (min(1,81,400)=1)
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [21.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = sorted(
+        (r["rank"], r["vec_id"], r["min_sqdist"])
+        for r in kcenter_coreset(df, "vec_id", "embedding", k=4, scale=1.0).collect()
+    )
+    assert got == [(1, 1, None), (2, 4, 441), (3, 3, 100), (4, 2, 1)]
+
+
+def test_kcenter_coreset_python_parity_and_monotone(spark):
+    import random
+
+    from healthcare_api_spark.operators.similarity import kcenter_coreset
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    # independent greedy reference on the same quantized ints
+    pts = {i: [round(x * 100) for x in v] for i, v in rows}
+    sel = [min(pts)]
+    mind = {i: sum((a - b) ** 2 for a, b in zip(pts[i], pts[sel[0]])) for i in pts}
+    want = [(1, sel[0], None)]
+    for r in range(2, 9):
+        nxt = max(pts, key=lambda i: (mind[i], -i))
+        want.append((r, nxt, mind[nxt]))
+        for i in pts:
+            d = sum((a - b) ** 2 for a, b in zip(pts[i], pts[nxt]))
+            if d < mind[i]:
+                mind[i] = d
+    got = sorted(
+        (r["rank"], r["vec_id"], r["min_sqdist"])
+        for r in kcenter_coreset(df, "vec_id", "embedding", k=8, scale=100.0).collect()
+    )
+    assert got == want
+    radii = [m for _, _, m in got[1:]]
+    assert radii == sorted(radii, reverse=True)  # coverage elbow monotone
+
+
+def test_kcenter_coreset_validation(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.similarity import kcenter_coreset
+
+    df = spark.createDataFrame(
+        [(1, [0.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        kcenter_coreset(df, "vec_id", "embedding", k=0)
+    with pytest.raises(ValueError):
+        kcenter_coreset(df.filter("vec_id > 1"), "vec_id", "embedding", k=2)

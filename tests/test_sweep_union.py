@@ -230,6 +230,7 @@ _R9_NEW_QUERIES = [
     "v21_l2_range_join",
     "x21_dtw_band",
     "g11_stress_centrality",
+    "u15_kcenter_coreset",
 ]
 
 
