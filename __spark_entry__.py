@@ -4417,6 +4417,34 @@ def q_x21_dtw_band(spark, sf_dir):
     return temporal.dtw_band_join(series, "event_type", "i", "vq", band=24)
 
 
+def q_x22_binseg_changepoints(spark, sf_dir):
+    """Binary-segmentation changepoints (r9, second session): the 3
+    greedy mean-shift splits per per-type hourly series
+    (temporal.binseg_changepoints) — the retrospective complement of
+    x12's sequential CUSUM. The split gain A²/a + B²/b − C²/n_seg
+    needs only exact int64 prefix sums (the Σx² terms cancel) and is
+    ONE fixed IEEE double expression — identical in both engines, the
+    x13 device — so the per-step argmax (ties: gain desc, t asc) and
+    therefore the whole greedy recursion is hash-portable. Oracle
+    unrolls the 3 argmax rounds; segment bounds per candidate come
+    from the ≤3-element changepoint list, no segment table needed."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value").cast("double") * 100).cast("bigint")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.round(
+            F.sum(cents).cast("double") * 100.0 / F.count(F.lit(1))
+        ).cast("bigint").alias("vq")
+    )
+    return temporal.binseg_changepoints(
+        hourly, "event_type", "bucket", "vq", k=3
+    )
+
+
 def q_k5_sample_quantiles(spark, sf_dir):
     """Engine-portable quantile sketch (k5): bottom-k-by-md5 value
     sample per language (KMV pointed at quantiles), then exact
@@ -6198,6 +6226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x21_dtw_band": q_x21_dtw_band,
         "g11_stress_centrality": q_g11_stress_centrality,
         "u15_kcenter_coreset": q_u15_kcenter_coreset,
+        "x22_binseg_changepoints": q_x22_binseg_changepoints,
         # --- r8 head (VERDICT r7 #6): rows-only queries the driver's
         # ledger recorded in r08 (f7/k1/k2/t12, rows-only by documented
         # DuckDB impossibility: DuckDB 1.0.0 has no sha1() for uuid5 —
@@ -8547,6 +8576,20 @@ def oracle_sql() -> dict[str, str]:
 
     out["u15_kcenter_coreset"] = _kcenter_sql(
         "embeddings", "vec_id", "embedding", k=12, scale=1000.0
+    )
+    # r9 second session: x22 — the same greedy argmax rounds over
+    # window prefix sums (binseg_changepoints_sql)
+    from healthcare_api_spark.operators.temporal import (
+        binseg_changepoints_sql as _binseg_sql,
+    )
+
+    out["x22_binseg_changepoints"] = _binseg_sql(
+        "SELECT event_type, bucket, vq FROM ("
+        " SELECT event_type, date_trunc('hour', ts) AS bucket,"
+        "  CAST(round(CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100)"
+        "   AS BIGINT)) AS DOUBLE) * 100.0 / count(*)) AS BIGINT) AS vq"
+        " FROM events GROUP BY 1, 2)",
+        "event_type", "bucket", "vq", k=3,
     )
     # r9 second session: v21 — the naive all-pairs range filter; the
     # engine's cell pruning is lossless (triangle-inequality bound),

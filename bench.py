@@ -227,6 +227,7 @@ HEADLINE = [
     "x21_dtw_band",
     "g11_stress_centrality",
     "u15_kcenter_coreset",
+    "x22_binseg_changepoints",
 ]
 
 N_STEADY = 3

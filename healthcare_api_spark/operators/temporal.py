@@ -1678,3 +1678,236 @@ def dtw_band_sql(
         f" SELECT ka AS key_a, kb AS key_b, n, m, dcur[1] AS dtw"
         f" FROM dp WHERE s = n + m - 2"
     )
+
+
+def binseg_changepoints(
+    series: DataFrame,
+    key_col: str,
+    idx_col: str,
+    val_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Binary-segmentation changepoint detection (Scott & Knott 1974
+    lineage; the CUSUM-complement x12 doesn't give): greedily place
+    ``k`` mean-shift changepoints per series, each step splitting
+    whichever current segment offers the largest within-SSE drop.
+
+    The split gain needs no Σx² term (it cancels):
+
+        gain(t; l, r) = A²/a + B²/b − C²/n_seg
+
+    with A, B, C exact int64 segment sums off ONE windowed prefix-sum
+    pass and a, b, n_seg integer lengths. The gain is ONE fixed
+    double expression of exact integers — identical IEEE ops in both
+    engines, the x13 portability device — and the per-step argmax
+    breaks ties (gain desc, t asc) deterministically, so the oracle
+    (:func:`binseg_changepoints_sql`, the same ``k`` argmax rounds
+    unrolled) hash-matches with no rounding contract.
+
+    Shape: one window cumsum over the series, then per step one join
+    of candidates against the ≤k-per-key changepoint arrays
+    (broadcast — k rows per key) + two prefix lookups + one per-key
+    argmax window. Candidates are every in-segment index, so a step
+    is O(total series length); k steps total, lineage cut per step.
+    Output: (key, step, cp, gain) — cp splits [l..cp][cp+1..r] in
+    1-based positions.
+    """
+    from pyspark.sql import Window as _W
+
+    if k < 1:
+        raise ValueError("k must be ≥ 1")
+    w = _W.partitionBy("_k").orderBy("_t")
+    pre = (
+        series.select(
+            F.col(key_col).alias("_k"),
+            F.col(idx_col).alias("_i"),
+            F.col(val_col).cast("bigint").alias("_x"),
+        )
+        .withColumn("_t", F.row_number().over(
+            _W.partitionBy("_k").orderBy("_i")
+        ))
+        .select("_k", "_t", F.sum("_x").over(w).alias("_s"))
+        .localCheckpoint(eager=True)  # feeds every step 3×
+    )
+    n_per = pre.groupBy("_k").agg(F.max("_t").alias("_n"))
+    winners = None
+    for step in range(1, k + 1):
+        if winners is None:
+            cand = pre.join(F.broadcast(n_per), "_k").select(
+                "_k", "_t", "_s", "_n",
+                F.lit(1).alias("_l"), F.col("_n").alias("_r"),
+            ).filter(F.col("_t") < F.col("_r"))
+        else:
+            cps = winners.groupBy("_k").agg(
+                F.collect_list("cp").alias("_cps")
+            )
+            cand = (
+                pre.join(F.broadcast(n_per), "_k")
+                .join(F.broadcast(cps), "_k", "left")
+                .select(
+                    "_k", "_t", "_s", "_n",
+                    (
+                        F.lit(1)
+                        + F.coalesce(
+                            F.array_max(
+                                F.filter(
+                                    "_cps", lambda c: c < F.col("_t")
+                                )
+                            ),
+                            F.lit(0),
+                        )
+                    ).alias("_l"),
+                    F.coalesce(
+                        F.array_min(
+                            F.filter("_cps", lambda c: c > F.col("_t"))
+                        ),
+                        F.col("_n"),
+                    ).alias("_r"),
+                    F.coalesce(
+                        F.array_contains("_cps", F.col("_t")), F.lit(False)
+                    ).alias("_iscp"),
+                )
+                .filter((~F.col("_iscp")) & (F.col("_t") < F.col("_r")))
+            )
+        pl = pre.select(
+            F.col("_k").alias("_k1"), F.col("_t").alias("_t1"),
+            F.col("_s").alias("_sl"),
+        )
+        pr_ = pre.select(
+            F.col("_k").alias("_k2"), F.col("_t").alias("_t2"),
+            F.col("_s").alias("_sr"),
+        )
+        scored = (
+            cand.join(
+                pl,
+                (F.col("_k") == F.col("_k1"))
+                & (F.col("_t1") == F.col("_l") - 1),
+                "left",
+            )
+            .join(
+                pr_,
+                (F.col("_k") == F.col("_k2")) & (F.col("_t2") == F.col("_r")),
+            )
+            .select(
+                "_k", "_t",
+                (F.col("_s") - F.coalesce(F.col("_sl"), F.lit(0))).alias("_a"),
+                (F.col("_sr") - F.col("_s")).alias("_b"),
+                (F.col("_sr") - F.coalesce(F.col("_sl"), F.lit(0))).alias("_c"),
+                (F.col("_t") - F.col("_l") + 1).alias("_na"),
+                (F.col("_r") - F.col("_t")).alias("_nb"),
+                (F.col("_r") - F.col("_l") + 1).alias("_nc"),
+            )
+            .select(
+                "_k", "_t",
+                (
+                    (F.col("_a") * F.col("_a")).cast("double")
+                    / F.col("_na").cast("double")
+                    + (F.col("_b") * F.col("_b")).cast("double")
+                    / F.col("_nb").cast("double")
+                    - (F.col("_c") * F.col("_c")).cast("double")
+                    / F.col("_nc").cast("double")
+                ).alias("_gain"),
+            )
+        )
+        pick = (
+            scored.withColumn(
+                "_rn",
+                F.row_number().over(
+                    _W.partitionBy("_k").orderBy(
+                        F.col("_gain").desc(), F.col("_t").asc()
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(
+                "_k",
+                F.lit(step).alias("step"),
+                F.col("_t").alias("cp"),
+                F.col("_gain").alias("gain"),
+            )
+        )
+        winners = (
+            pick if winners is None else winners.unionByName(pick)
+        ).localCheckpoint(eager=True)
+    return winners.select(
+        F.col("_k").alias(key_col), "step", "cp", "gain"
+    )
+
+
+def binseg_changepoints_sql(
+    series_sql: str,
+    key_col: str,
+    idx_col: str,
+    val_col: str,
+    k: int = 3,
+) -> str:
+    """DuckDB oracle twin of :func:`binseg_changepoints` — the same
+    ``k`` greedy argmax rounds unrolled as chained MATERIALIZED CTEs
+    with identical IEEE gain arithmetic."""
+    if k < 1:
+        raise ValueError("k must be ≥ 1")
+    parts = [
+        f"WITH pre AS MATERIALIZED (SELECT {key_col} AS k,"
+        f"  row_number() OVER (PARTITION BY {key_col} ORDER BY {idx_col})"
+        f"   AS t,"
+        f"  sum(CAST({val_col} AS BIGINT)) OVER (PARTITION BY {key_col}"
+        f"   ORDER BY {idx_col}) AS s"
+        f" FROM ({series_sql})),"
+        f" np AS MATERIALIZED (SELECT k, max(t) AS n FROM pre GROUP BY k),",
+    ]
+    gain = (
+        "(CAST(a * a AS DOUBLE) / CAST(na AS DOUBLE)"
+        " + CAST(b * b AS DOUBLE) / CAST(nb AS DOUBLE)"
+        " - CAST(c * c AS DOUBLE) / CAST(nc AS DOUBLE))"
+    )
+    for step in range(1, k + 1):
+        if step == 1:
+            cand = (
+                f" cand{step} AS (SELECT pre.k, pre.t, np.n,"
+                f"  1 AS l, np.n AS r FROM pre JOIN np USING (k)"
+                f"  WHERE pre.t < np.n),"
+            )
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT k, cp FROM w{j}" for j in range(1, step)
+            )
+            cand = (
+                f" cl{step} AS MATERIALIZED (SELECT k, list(cp) AS cps"
+                f"  FROM ({prev}) GROUP BY k),"
+                f" cand{step} AS (SELECT x.k, x.t, x.n, x.l, x.r FROM ("
+                f"  SELECT pre.k, pre.t, np.n,"
+                f"   1 + coalesce(list_max(list_filter(cl{step}.cps,"
+                f"    c -> c < pre.t)), 0) AS l,"
+                f"   coalesce(list_min(list_filter(cl{step}.cps,"
+                f"    c -> c > pre.t)), np.n) AS r,"
+                f"   list_contains(cl{step}.cps, pre.t) AS iscp"
+                f"  FROM pre JOIN np USING (k)"
+                f"   LEFT JOIN cl{step} ON cl{step}.k = pre.k) x"
+                f"  WHERE NOT coalesce(x.iscp, false) AND x.t < x.r),"
+            )
+        parts.append(cand)
+        parts.append(
+            f" sc{step} AS (SELECT cand{step}.k, cand{step}.t, {gain} AS gain"
+            f"  FROM (SELECT c_.k, c_.t,"
+            f"    pre.s - coalesce(pl.s, 0) AS a,"
+            f"    pr_.s - pre.s AS b,"
+            f"    pr_.s - coalesce(pl.s, 0) AS c,"
+            f"    c_.t - c_.l + 1 AS na, c_.r - c_.t AS nb,"
+            f"    c_.r - c_.l + 1 AS nc"
+            f"   FROM cand{step} c_"
+            f"   JOIN pre ON pre.k = c_.k AND pre.t = c_.t"
+            f"   LEFT JOIN pre pl ON pl.k = c_.k AND pl.t = c_.l - 1"
+            f"   JOIN pre pr_ ON pr_.k = c_.k AND pr_.t = c_.r"
+            f"  ) cand{step}),"
+            f" w{step} AS MATERIALIZED (SELECT k, {step} AS step, t AS cp,"
+            f"  gain FROM (SELECT k, t, gain, row_number() OVER ("
+            f"   PARTITION BY k ORDER BY gain DESC, t ASC) AS rn"
+            f"  FROM sc{step}) z WHERE rn = 1),"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT k, step, cp, gain FROM w{j}" for j in range(1, k + 1)
+    )
+    body = "".join(parts).rstrip(",")
+    return (
+        f"{body} SELECT k AS {key_col}, step, cp, gain FROM ({union}) u"
+    )

@@ -231,6 +231,7 @@ _R9_NEW_QUERIES = [
     "x21_dtw_band",
     "g11_stress_centrality",
     "u15_kcenter_coreset",
+    "x22_binseg_changepoints",
 ]
 
 

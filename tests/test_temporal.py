@@ -1024,3 +1024,88 @@ def test_dtw_band_explicit_pairs_path(spark):
     got = dtw_band_join(series, "k", "i", "v", band=1, pairs=pairs).collect()
     assert len(got) == 1
     assert (got[0]["key_a"], got[0]["key_b"], got[0]["dtw"]) == ("a", "b", 0)
+
+
+def test_binseg_hand_computed_step_function(spark):
+    from healthcare_api_spark.operators.temporal import binseg_changepoints
+
+    # 0,0,0,10,10,10,10,5,5,5 — first split isolates the 0→10 jump at
+    # t=3 (gain hand-derivable: A=0,a=3; B=65,b=7; C=65,n=10 →
+    # 65²/7 − 65²/10 = 4225·3/70 = 181.07... wait, recompute:
+    # 0 + 4225/7 − 4225/10 = 603.571 − 422.5 = 181.07) — hmm, values
+    # scaled by the fixture below; assert positions + monotone gains
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate([0, 0, 0, 10, 10, 10, 10, 5, 5, 5])],
+        "k string, i int, v long",
+    )
+    got = {
+        r["step"]: (r["cp"], r["gain"])
+        for r in binseg_changepoints(df, "k", "i", "v", k=2).collect()
+    }
+    assert got[1][0] == 3 and got[2][0] == 7
+    # independently derived gains: step 1 splits [1,10] at 3:
+    # A=0/3, B=55/7, C=55/10 -> 55²/7 − 55²/10 = 3025·3/70
+    assert abs(got[1][1] - (3025 * 3 / 70)) < 1e-9
+    assert got[1][1] > got[2][1] > 0
+
+
+def test_binseg_constant_series_zero_gain_lowest_t(spark):
+    from healthcare_api_spark.operators.temporal import binseg_changepoints
+
+    df = spark.createDataFrame(
+        [("c", i, 7) for i in range(6)], "k string, i int, v long"
+    )
+    got = sorted(
+        (r["step"], r["cp"], r["gain"])
+        for r in binseg_changepoints(df, "k", "i", "v", k=3).collect()
+    )
+    # all gains 0 -> ties break to the lowest valid t each step
+    assert got == [(1, 1, 0.0), (2, 2, 0.0), (3, 3, 0.0)]
+
+
+def test_binseg_validation_and_short_series(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.temporal import binseg_changepoints
+
+    df = spark.createDataFrame(
+        [("s", 0, 1), ("s", 1, 9)], "k string, i int, v long"
+    )
+    with pytest.raises(ValueError):
+        binseg_changepoints(df, "k", "i", "v", k=0)
+    # n=2: only one valid split ever; steps 2-3 produce no row
+    got = binseg_changepoints(df, "k", "i", "v", k=3).collect()
+    assert [(r["step"], r["cp"]) for r in got] == [(1, 1)]
+
+
+def test_binseg_sql_twin_parity_random(spark):
+    import random
+
+    import duckdb
+
+    from healthcare_api_spark.operators.temporal import (
+        binseg_changepoints,
+        binseg_changepoints_sql,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for kk in ("p", "q"):
+        level = 0
+        for i in range(40):
+            if i in (13, 27):
+                level += rng.randint(-30, 30)
+            rows.append((kk, i, level + rng.randint(-3, 3)))
+    df = spark.createDataFrame(rows, "k string, i int, v long")
+    got = sorted(
+        (r["k"], r["step"], r["cp"], round(r["gain"], 9))
+        for r in binseg_changepoints(df, "k", "i", "v", k=4).collect()
+    )
+    vals = ", ".join(f"('{kk}', {i}, {v})" for kk, i, v in rows)
+    sql = binseg_changepoints_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(k, i, v)", "k", "i", "v", k=4
+    )
+    want = sorted(
+        (a, int(b), int(c), round(d, 9)) for a, b, c, d in duckdb.sql(sql).fetchall()
+    )
+    assert got == want
