@@ -4445,6 +4445,36 @@ def q_x22_binseg_changepoints(spark, sf_dir):
     )
 
 
+def q_x23_forecast_mase(spark, sf_dir):
+    """MASE forecast evaluation (r9, second session): does x19's
+    Holt-Winters actually beat seasonal-naive on the hourly series?
+    (temporal.forecast_eval; Hyndman & Koehler 2006 — the
+    measure-your-own-operators family u11/u12/v11/v14.) Forecast is
+    one-step-ahead, so the model error at t is |v(t) − f(t−1)| and
+    the naive error |v(t) − v(t−24)|, both quantized to exact int64
+    micros BEFORE summing (integer sums are order-independent);
+    mase = err_model/err_naive is ONE int/double division rounded
+    6 dp. The oracle composes x19's pinned recursive-CTE forecast
+    with the same lag-window arithmetic."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    hw = temporal.holt_winters_add(
+        hourly, ("event_type",), "bucket", "v",
+        period=24, alpha=0.3, beta=0.2, gamma=0.25,
+    ).select(
+        "event_type", "bucket", "v", F.round("forecast", 6).alias("forecast")
+    )
+    return temporal.forecast_eval(
+        hw, ("event_type",), "bucket", "v", "forecast", naive_lag=24
+    )
+
+
 def q_k5_sample_quantiles(spark, sf_dir):
     """Engine-portable quantile sketch (k5): bottom-k-by-md5 value
     sample per language (KMV pointed at quantiles), then exact
@@ -6227,6 +6257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g11_stress_centrality": q_g11_stress_centrality,
         "u15_kcenter_coreset": q_u15_kcenter_coreset,
         "x22_binseg_changepoints": q_x22_binseg_changepoints,
+        "x23_forecast_mase": q_x23_forecast_mase,
         # --- r8 head (VERDICT r7 #6): rows-only queries the driver's
         # ledger recorded in r08 (f7/k1/k2/t12, rows-only by documented
         # DuckDB impossibility: DuckDB 1.0.0 has no sha1() for uuid5 —
@@ -9373,6 +9404,27 @@ def oracle_sql() -> dict[str, str]:
             "event_type", "bucket", "v", 24, 0.3, 0.2, 0.25,
         )
         + ")"
+    )
+    # r9 second session: x23 — MASE eval composed over the pinned x19
+    # recursive-CTE forecast; errors quantized to int64 micros before
+    # the sums, mase = one division
+    out["x23_forecast_mase"] = (
+        "WITH hw AS MATERIALIZED (" + out["x19_holt_winters"] + "),"
+        " s AS (SELECT event_type,"
+        "  row_number() OVER (PARTITION BY event_type ORDER BY bucket)"
+        "   AS rn,"
+        "  CAST(round(abs(v - lag(forecast, 1) OVER (PARTITION BY"
+        "   event_type ORDER BY bucket)) * 1000000) AS BIGINT) AS ef,"
+        "  CAST(round(abs(v - lag(v, 24) OVER (PARTITION BY event_type"
+        "   ORDER BY bucket)) * 1000000) AS BIGINT) AS en FROM hw),"
+        " a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,"
+        "  CAST(sum(ef) AS BIGINT) AS err_model_micros,"
+        "  CAST(sum(en) AS BIGINT) AS err_naive_micros"
+        "  FROM s WHERE rn > 24 GROUP BY 1)"
+        " SELECT event_type, n_eval, err_model_micros, err_naive_micros,"
+        "  CASE WHEN err_naive_micros > 0 THEN"
+        "   round(CAST(err_model_micros AS DOUBLE)"
+        "    / CAST(err_naive_micros AS DOUBLE), 6) END AS mase FROM a"
     )
     # r9: u14 — the composed data-loader gate as chained CTEs of the
     # proven blocks: t34 blocklist → ds8-style mixture rates recomputed

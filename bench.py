@@ -228,6 +228,7 @@ HEADLINE = [
     "g11_stress_centrality",
     "u15_kcenter_coreset",
     "x22_binseg_changepoints",
+    "x23_forecast_mase",
 ]
 
 N_STEADY = 3

@@ -1911,3 +1911,77 @@ def binseg_changepoints_sql(
     return (
         f"{body} SELECT k AS {key_col}, step, cp, gain FROM ({union}) u"
     )
+
+
+def forecast_eval(
+    df: DataFrame,
+    series_cols: tuple[str, ...],
+    ts_col: str,
+    actual_col: str,
+    forecast_col: str,
+    naive_lag: int,
+) -> DataFrame:
+    """MASE forecast evaluation (Hyndman & Koehler 2006) — the scale-
+    free "is the model beating the naive baseline" score a forecasting
+    deployment tracks per series, joining the measure-your-own-
+    operators family (u11/u12/v11/v14): MASE < 1 beats seasonal-naive.
+
+    ``forecast_col`` is the ONE-STEP-AHEAD forecast emitted at row i
+    (the holt/holt-winters convention), so the model error at row t is
+    |actual(t) − forecast(t−1)| and the naive error is
+    |actual(t) − actual(t−naive_lag)|; both are evaluated over the
+    rows where both exist (t > naive_lag, 1-based). Each |error| is
+    quantized to exact int64 MICROS before summing (float sums are
+    order-dependent; integer sums are not — the x12 convention), and
+
+        mase = sum_err_model / sum_err_naive
+
+    is ONE int64/int64 division rounded to 6 dp. Output per series:
+    (series_cols…, n_eval, err_model_micros, err_naive_micros, mase —
+    NULL when the naive error sum is 0).
+
+    Shape: two lag windows + one map-side-combined aggregate over the
+    already-keyed series frame — the eval costs one pass.
+    """
+    from pyspark.sql import Window as _W
+
+    if naive_lag < 1:
+        raise ValueError("naive_lag must be ≥ 1")
+    gcols = list(series_cols)
+    w = _W.partitionBy(*gcols).orderBy(ts_col)
+    rn = F.row_number().over(w)
+    lagf = F.lag(F.col(forecast_col), 1).over(w)
+    lagn = F.lag(F.col(actual_col), naive_lag).over(w)
+    err_f = F.round(
+        F.abs(F.col(actual_col) - lagf) * 1_000_000
+    ).cast("bigint")
+    err_n = F.round(
+        F.abs(F.col(actual_col) - lagn) * 1_000_000
+    ).cast("bigint")
+    scored = df.select(
+        *gcols, F.col(ts_col), F.col(actual_col), F.col(forecast_col)
+    ).select(
+        *gcols,
+        rn.alias("_rn"),
+        err_f.alias("_ef"),
+        err_n.alias("_en"),
+    ).filter(F.col("_rn") > naive_lag)
+    agg = scored.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum("_ef").cast("bigint").alias("err_model_micros"),
+        F.sum("_en").cast("bigint").alias("err_naive_micros"),
+    )
+    return agg.select(
+        *gcols,
+        "n_eval",
+        "err_model_micros",
+        "err_naive_micros",
+        F.when(
+            F.col("err_naive_micros") > 0,
+            F.round(
+                F.col("err_model_micros").cast("double")
+                / F.col("err_naive_micros").cast("double"),
+                6,
+            ),
+        ).alias("mase"),
+    )

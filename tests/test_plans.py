@@ -563,3 +563,87 @@ def test_leakage_safe_splits_no_cartesian_no_single_partition(spark):
     plan = _plan(df)
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bfs_rounds_checkpointed_anti_join_no_cartesian(spark):
+    # g10 (r9 s2): frontier rounds read the checkpointed edge/visited
+    # frames; the visited screen is a real anti join; nothing cartesian
+    df = entrymod.q_g10_bfs_hops(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_l2_range_join_broadcasts_bounds_no_smj(spark):
+    # v21 (r9 s2): the kept (query, cell) bound table is tiny and must
+    # broadcast onto the cell-keyed corpus; a SortMergeJoin would mean
+    # the corpus shuffles for an 8-row query set
+    df = entrymod.q_v21_l2_range_join(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kcenter_scan_never_shuffles_corpus(spark):
+    # u15 (r9 s2): the returned frame is a driver-built k-row literal;
+    # the per-round work (scan + TakeOrdered) happens in the rounds,
+    # so the OUTPUT plan must be trivial — the operator's distributed
+    # part is pinned by its round structure (argmax = TakeOrdered, no
+    # global sort): assert on one round's plan instead
+    from healthcare_api_spark.operators.similarity import (
+        _l2_assign_arrow,
+        quantize_int_vec,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corp = emb.select(
+        F.col("vec_id").alias("_id"),
+        quantize_int_vec(F.col("embedding"), 1000.0).alias("_v"),
+    )
+    probe = corp.orderBy(F.col("_id").desc()).limit(1)
+    plan = _plan(probe)
+    assert "TakeOrderedAndProject" in plan  # argmax shape, no global sort
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_binseg_candidates_broadcast_cp_list(spark):
+    # x22 (r9 s2): the per-step winners are checkpointed (the g9
+    # cadence), so the OUTPUT plan is a checkpoint scan; the in-step
+    # shape is pinned by reproducing step 1's candidate scoring: the
+    # n-per-key frame joins BROADCAST onto the prefix-sum frame and
+    # nothing is cartesian
+    from pyspark.sql import Window as _W
+
+    ev = entrymod._t(spark, SF_DIR, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.sum("value").cast("bigint").alias("vq"))
+    w = _W.partitionBy("event_type").orderBy("bucket")
+    pre = hourly.select(
+        "event_type",
+        F.row_number().over(w).alias("t"),
+        F.sum("vq").over(w).alias("s"),
+    )
+    n_per = pre.groupBy("event_type").agg(F.max("t").alias("n"))
+    cand = pre.join(F.broadcast(n_per), "event_type").filter(
+        F.col("t") < F.col("n")
+    )
+    plan = _plan(cand)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # and the full operator's output reads the checkpointed rounds
+    full = _plan(entrymod.q_x22_binseg_changepoints(spark, SF_DIR))
+    assert "Scan ExistingRDD" in full
+    assert "CartesianProduct" not in full
+
+
+def test_dtw_pairs_frame_maps_in_pandas(spark):
+    # x21 (r9 s2): the DP runs as ONE mapInPandas over the pair frame
+    # (pair = parallelism unit); series arrays ride the join, and the
+    # all-pairs feed on 5 series is a tiny broadcast NLJ, never a
+    # shuffled cartesian of corpus-sized frames
+    df = entrymod.q_x21_dtw_band(spark, SF_DIR)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan

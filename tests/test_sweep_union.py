@@ -232,6 +232,7 @@ _R9_NEW_QUERIES = [
     "g11_stress_centrality",
     "u15_kcenter_coreset",
     "x22_binseg_changepoints",
+    "x23_forecast_mase",
 ]
 
 

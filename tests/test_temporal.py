@@ -1109,3 +1109,47 @@ def test_binseg_sql_twin_parity_random(spark):
         (a, int(b), int(c), round(d, 9)) for a, b, c, d in duckdb.sql(sql).fetchall()
     )
     assert got == want
+
+
+def test_forecast_eval_hand_computed(spark):
+    from healthcare_api_spark.operators.temporal import forecast_eval
+
+    # lag=2; rows t=3,4 evaluated (1-based). forecast is one-step-
+    # ahead: err_f(t) = |x(t) - f(t-1)|, err_n(t) = |x(t) - x(t-2)|.
+    # x = [10, 20, 30, 40], f = [28, 41, 0, 0]:
+    #  t=3: |30-41|=11, naive |30-10|=20
+    #  t=4: |40-0|=40,  naive |40-20|=20
+    rows = [
+        ("a", 1, 10.0, 28.0),
+        ("a", 2, 20.0, 41.0),
+        ("a", 3, 30.0, 0.0),
+        ("a", 4, 40.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, x double, f double")
+    got = forecast_eval(df, ("k",), "t", "x", "f", naive_lag=2).collect()[0]
+    assert got["n_eval"] == 2
+    assert got["err_model_micros"] == (11 + 40) * 1_000_000
+    assert got["err_naive_micros"] == (20 + 20) * 1_000_000
+    assert got["mase"] == round(51 / 40, 6)
+
+
+def test_forecast_eval_perfect_and_degenerate(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.temporal import forecast_eval
+
+    # perfect one-step forecast -> mase 0; constant series -> naive
+    # error 0 -> mase NULL
+    rows = [("p", t, float(t), float(t + 1)) for t in range(1, 8)] + [
+        ("c", t, 5.0, 9.0) for t in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, x double, f double")
+    got = {
+        r["k"]: r for r in forecast_eval(
+            df, ("k",), "t", "x", "f", naive_lag=3
+        ).collect()
+    }
+    assert got["p"]["err_model_micros"] == 0 and got["p"]["mase"] == 0.0
+    assert got["c"]["err_naive_micros"] == 0 and got["c"]["mase"] is None
+    with pytest.raises(ValueError):
+        forecast_eval(df, ("k",), "t", "x", "f", naive_lag=0)
