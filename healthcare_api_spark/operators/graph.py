@@ -1187,11 +1187,20 @@ def bfs_hops(
     ).localCheckpoint(eager=True)
     frontier = dist.select("node")
     for i in range(1, max_hops + 1):
+        # shuffle_hash hints on the corpus-sized sides (edge set,
+        # visited set): both grow with the graph, and letting either
+        # broadcast OOMs the driver at replicated volume (the c3db30a
+        # lesson, measured again by the r9b x100 sweep); the frontier
+        # side stays free to broadcast when it is genuinely small
         nxt = (
-            frontier.join(e, frontier["node"] == e["u"])
+            frontier.join(e.hint("shuffle_hash"), frontier["node"] == e["u"])
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(dist.select("node"), "node", "left_anti")
+            .join(
+                dist.select("node").hint("shuffle_hash"),
+                "node",
+                "left_anti",
+            )
             .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:
@@ -1299,12 +1308,14 @@ def stress_centrality(
     levels = [lvl]
     seen = lvl.select("p", "node")
     for _ in range(max_depth):
+        # shuffle_hash on the corpus-sized sides (edges, visited) —
+        # the bfs_hops broadcast-OOM lesson applies verbatim here
         nxt = (
             levels[-1]
-            .join(e, levels[-1]["node"] == e["u"])
+            .join(e.hint("shuffle_hash"), levels[-1]["node"] == e["u"])
             .groupBy("p", F.col("v").alias("node"))
             .agg(F.sum("sigma").alias("sigma"))
-            .join(seen, ["p", "node"], "left_anti")
+            .join(seen.hint("shuffle_hash"), ["p", "node"], "left_anti")
             .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:
@@ -1328,7 +1339,7 @@ def stress_centrality(
         )
         qd = (
             levels[d]
-            .join(e, levels[d]["node"] == e["u"], "left")
+            .join(e.hint("shuffle_hash"), levels[d]["node"] == e["u"], "left")
             .join(
                 below,
                 (F.col("v") == F.col("_w")) & (F.col("p") == F.col("_pw")),
