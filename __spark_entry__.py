@@ -977,6 +977,61 @@ def q_s14_soft_delete(spark, sf_dir):
     return out
 
 
+def q_s15_time_travel(spark, sf_dir):
+    """Snapshot time travel (r9, second session): the versioned
+    copy-on-write store (sources/store.VersionedResourceStore —
+    Iceberg-lite manifests: every write rewrites ONLY touched buckets
+    into a new v=K directory and publishes a bucket→version manifest;
+    old snapshots' files are never modified). Lifecycle: import
+    customers (v1) → upsert every 5th id with a shifted balance (v2)
+    → COPY-ON-WRITE delete every 7th id (v3, contrast s14's
+    merge-on-read tombstones), then read ALL THREE snapshots back via
+    ``AS OF`` and union them under a ``snap`` column. The oracle
+    states each snapshot's exact contents as CASE/filter SQL over the
+    base table — time travel is correct iff every historical read is
+    bit-identical to the declarative restatement."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from healthcare_api_spark.sources.store import VersionedResourceStore
+
+    _tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.lit(1).alias("version"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    bumped = base.filter(F.col("id") % 5 == 0).select(
+        "id", F.lit(2).alias("version"),
+        (F.col("acctbal") + 100.0).alias("acctbal"),
+    )
+    doomed = base.filter(F.col("id") % 7 == 0).select("id")
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/spark_graft_s15_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        store = VersionedResourceStore(spark, root, num_buckets=8)
+        store.import_resources(base, "Customer")
+        store.upsert(bumped, "Customer", version_col="version")
+        store.delete(doomed, "Customer")
+        snaps = [
+            store.table("Customer", as_of=v).select(
+                F.lit(v).alias("snap"), "id", "version",
+                F.round("acctbal", 2).alias("acctbal"),
+            )
+            for v in (1, 2, 3)
+        ]
+        out = snaps[0].unionByName(snaps[1]).unionByName(
+            snaps[2]
+        ).localCheckpoint(eager=True)  # detach lineage from store files
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_s9_bucketed_upsert(spark, sf_dir):
     """S8 production path: copy-on-write bucketed store — import the
     customer table, upsert a derived batch (every 10th id gets a higher
@@ -6258,6 +6313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u15_kcenter_coreset": q_u15_kcenter_coreset,
         "x22_binseg_changepoints": q_x22_binseg_changepoints,
         "x23_forecast_mase": q_x23_forecast_mase,
+        "s15_time_travel": q_s15_time_travel,
         # --- r8 head (VERDICT r7 #6): rows-only queries the driver's
         # ledger recorded in r08 (f7/k1/k2/t12, rows-only by documented
         # DuckDB impossibility: DuckDB 1.0.0 has no sha1() for uuid5 —
@@ -8599,6 +8655,20 @@ def oracle_sql() -> dict[str, str]:
         "  PARTITION BY event_type ORDER BY bucket) AS i, vq FROM s_)"
         " SELECT event_type, i, vq FROM x_ WHERE i <= 144",
         "event_type", "i", "vq", band=24,
+    )
+    # r9 second session: s15 — each snapshot's contents restated
+    # declaratively: v1 = base, v2 = %5 bumped, v3 = v2 minus %7
+    out["s15_time_travel"] = (
+        "WITH v1 AS (SELECT c_custkey AS id, 1 AS version,"
+        "  round(c_acctbal, 2) AS acctbal FROM customer),"
+        " v2 AS (SELECT c_custkey AS id,"
+        "  CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS version,"
+        "  CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 100.0, 2)"
+        "   ELSE round(c_acctbal, 2) END AS acctbal FROM customer)"
+        " SELECT 1 AS snap, id, version, acctbal FROM v1"
+        " UNION ALL SELECT 2 AS snap, id, version, acctbal FROM v2"
+        " UNION ALL SELECT 3 AS snap, id, version, acctbal FROM v2"
+        "  WHERE id % 7 <> 0"
     )
     # r9 second session: u15 — the 12 greedy k-center rounds unrolled
     from healthcare_api_spark.operators.similarity import (

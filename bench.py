@@ -229,6 +229,7 @@ HEADLINE = [
     "u15_kcenter_coreset",
     "x22_binseg_changepoints",
     "x23_forecast_mase",
+    "s15_time_travel",
 ]
 
 N_STEADY = 3

@@ -436,3 +436,251 @@ def snapshot_diff(
             "change",
         )
     )
+
+
+class VersionedResourceStore(ResourceStore):
+    """Snapshot-versioned copy-on-write store — the time-travel /
+    snapshot-isolation half of the lakehouse story
+    (BucketedResourceStore covers bounded-IO upserts and s14 covers
+    merge-on-read deletes; this is Iceberg-lite `AS OF`):
+
+    - layout ``root/resourceType=T/v=K/bucket=NN/*.parquet`` plus one
+      tiny JSON manifest per snapshot under the listing-invisible
+      ``_manifests/`` (the underscore trick) mapping every bucket to
+      the version directory holding its CURRENT files;
+    - a write (upsert or copy-on-write delete) rewrites ONLY the
+      touched buckets into a NEW ``v=K+1`` directory and publishes a
+      new manifest — previous snapshots' files are never modified, so
+      ``table(T, as_of=K)`` reconstructs any retained snapshot
+      EXACTLY;
+    - reads group the manifest's buckets by version: one
+      partition-pruned parquet scan per distinct version (the
+      ``bucket IN (...)`` filter prunes at the directory level), then
+      a union — IO is the live file set, never the full history;
+    - ``expire(T, keep_last=N)`` is the vacuum: drops version dirs no
+      retained manifest references.
+
+    Manifest IO is driver-side (a few hundred bytes per snapshot —
+    exactly where table formats keep their metadata); data IO stays
+    on the cluster. ``num_buckets`` is fixed for a store's lifetime,
+    same contract as the bucketed store.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, num_buckets: int = 32):
+        super().__init__(spark, root)
+        self.num_buckets = num_buckets
+
+    # same md5 contract as BucketedResourceStore: layout reproducible
+    # across Spark versions and engines
+    def _bucket_expr(self, id_col: str):
+        digest = F.md5(F.col(id_col).cast("string"))
+        return F.pmod(
+            F.conv(F.substring(digest, 1, 15), 16, 10).cast("long"),
+            F.lit(self.num_buckets),
+        ).cast("int")
+
+    def _manifest_dir(self, resource_type: str) -> str:
+        return f"{self._type_path(resource_type)}/_manifests"
+
+    def _fs(self, path: str):
+        sc = self.spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+        return hpath.getFileSystem(sc._jsc.hadoopConfiguration()), hpath
+
+    def _write_manifest(
+        self, resource_type: str, version: int, mapping: dict[int, int]
+    ) -> None:
+        import json
+
+        fs, _ = self._fs(self._manifest_dir(resource_type))
+        sc = self.spark.sparkContext
+        p = sc._jvm.org.apache.hadoop.fs.Path(
+            f"{self._manifest_dir(resource_type)}/{version}.json"
+        )
+        out = fs.create(p, True)
+        payload = json.dumps(
+            {"version": version, "buckets": {str(k): v for k, v in mapping.items()}}
+        )
+        out.write(bytearray(payload.encode("utf-8")))
+        out.close()
+
+    def versions(self, resource_type: str) -> list[int]:
+        fs, hpath = self._fs(self._manifest_dir(resource_type))
+        if not fs.exists(hpath):
+            return []
+        out = []
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if name.endswith(".json"):
+                out.append(int(name[:-5]))
+        return sorted(out)
+
+    def _read_manifest(
+        self, resource_type: str, as_of: int | None = None
+    ) -> tuple[int, dict[int, int]]:
+        import json
+
+        avail = self.versions(resource_type)
+        if not avail:
+            raise ValueError(f"no snapshots for {resource_type!r}")
+        version = max(avail) if as_of is None else as_of
+        if version not in avail:
+            raise ValueError(
+                f"snapshot v={version} of {resource_type!r} does not "
+                f"exist (have {avail})"
+            )
+        line = (
+            self.spark.read.text(
+                f"{self._manifest_dir(resource_type)}/{version}.json"
+            )
+            .agg(F.concat_ws("", F.collect_list("value")))
+            .head()[0]
+        )
+        doc = json.loads(line)
+        return version, {int(k): v for k, v in doc["buckets"].items()}
+
+    def _version_path(self, resource_type: str, version: int) -> str:
+        return f"{self._type_path(resource_type)}/v={version}"
+
+    def import_resources(self, df: DataFrame, resource_type: str, mode: str = "overwrite",
+                         id_col: str = "id") -> None:
+        if mode != "overwrite":
+            raise ValueError("versioned store imports are snapshot v1: mode='overwrite'")
+        fs, hpath = self._fs(self._type_path(resource_type))
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
+        (
+            df.withColumn("bucket", self._bucket_expr(id_col))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(self._version_path(resource_type, 1))
+        )
+        self._write_manifest(
+            resource_type, 1, {b: 1 for b in range(self.num_buckets)}
+        )
+
+    def table(self, resource_type: str, as_of: int | None = None) -> DataFrame:
+        from functools import reduce
+
+        from pyspark.errors import AnalysisException
+
+        _, mapping = self._read_manifest(resource_type, as_of)
+        by_version: dict[int, list[int]] = {}
+        for b, v in mapping.items():
+            by_version.setdefault(v, []).append(b)
+        parts = []
+        for v, buckets in sorted(by_version.items()):
+            try:
+                df = self.spark.read.parquet(
+                    self._version_path(resource_type, v)
+                )
+            except AnalysisException as e:
+                # a version dir is absent only when every bucket it
+                # would hold ended empty (copy-on-write delete emptied
+                # them) — semantically an empty contribution
+                if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                    continue
+                raise
+            parts.append(df.filter(F.col("bucket").isin(buckets)))
+        if not parts:
+            raise ValueError(f"snapshot has no readable data for {resource_type!r}")
+        return reduce(lambda a, b: a.unionByName(b), parts).drop("bucket")
+
+    def _commit_touched(
+        self,
+        resource_type: str,
+        merged,  # rows for the touched buckets, WITHOUT bucket column
+        id_col: str,
+        touched: list[int],
+        mapping: dict[int, int],
+        new_version: int,
+    ) -> None:
+        out = merged.withColumn("bucket", self._bucket_expr(id_col))
+        # barrier: new version dirs never overlap files we read, but the
+        # checkpoint also keeps the plan from re-reading the store after
+        # the manifest flips
+        out_local = out.localCheckpoint(eager=True)
+        if out_local.take(1):
+            (
+                out_local.write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(self._version_path(resource_type, new_version))
+            )
+        for b in touched:
+            mapping[b] = new_version
+        self._write_manifest(resource_type, new_version, mapping)
+
+    def upsert(self, updates: DataFrame, resource_type: str, id_col: str = "id",
+               version_col: str | None = None) -> None:
+        current, mapping = self._read_manifest(resource_type)
+        updates_b = updates.withColumn("bucket", self._bucket_expr(id_col))
+        touched = [
+            r["bucket"] for r in updates_b.select("bucket").distinct().collect()
+        ]
+        existing = self.table(resource_type).withColumn(
+            "bucket", self._bucket_expr(id_col)
+        )
+        existing_touched = existing.filter(F.col("bucket").isin(touched)).drop(
+            "bucket"
+        )
+        merged = upsert_frames(existing_touched, updates, id_col, version_col)
+        self._commit_touched(
+            resource_type, merged, id_col, touched, mapping, current + 1
+        )
+
+    def delete(self, ids: DataFrame, resource_type: str, id_col: str = "id") -> None:
+        """COPY-ON-WRITE delete (contrast s14's merge-on-read
+        tombstones): touched buckets are rewritten without the doomed
+        rows into the next version — the read path needs no anti-join,
+        and the PREVIOUS snapshot still serves the deleted rows."""
+        current, mapping = self._read_manifest(resource_type)
+        ids_b = (
+            ids.select(F.col(id_col)).distinct()
+            .withColumn("bucket", self._bucket_expr(id_col))
+        )
+        touched = [
+            r["bucket"] for r in ids_b.select("bucket").distinct().collect()
+        ]
+        existing = self.table(resource_type).withColumn(
+            "bucket", self._bucket_expr(id_col)
+        )
+        kept = (
+            existing.filter(F.col("bucket").isin(touched))
+            .drop("bucket")
+            .join(ids.select(id_col).distinct(), id_col, "left_anti")
+        )
+        self._commit_touched(
+            resource_type, kept, id_col, touched, mapping, current + 1
+        )
+
+    def expire(self, resource_type: str, keep_last: int = 1) -> list[int]:
+        """Vacuum: drop manifests older than the last ``keep_last``
+        snapshots and delete version DIRECTORIES no retained manifest
+        references. Returns the removed directory versions."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be ≥ 1")
+        avail = self.versions(resource_type)
+        keep = set(avail[-keep_last:])
+        referenced: set[int] = set()
+        for v in sorted(keep):
+            _, mapping = self._read_manifest(resource_type, v)
+            referenced.update(mapping.values())
+        removed = []
+        fs, _ = self._fs(self._type_path(resource_type))
+        sc = self.spark.sparkContext
+        for v in avail:
+            if v not in keep:
+                p = sc._jvm.org.apache.hadoop.fs.Path(
+                    f"{self._manifest_dir(resource_type)}/{v}.json"
+                )
+                fs.delete(p, False)
+        for v in set(avail) - referenced:
+            # a data dir may be unreferenced even for a kept manifest's
+            # version number (pure-delete snapshots write no files)
+            p = sc._jvm.org.apache.hadoop.fs.Path(
+                self._version_path(resource_type, v)
+            )
+            if fs.exists(p) and v not in referenced:
+                fs.delete(p, True)
+                removed.append(v)
+        return sorted(removed)

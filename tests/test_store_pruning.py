@@ -314,3 +314,107 @@ def test_compact_applies_and_clears_tombstones(spark, tmp_path):
     # and the tombstone dir is gone
     assert not os.path.exists(f"{root}/resourceType=T/_tombstones")
     assert store.table("T").count() == 20
+
+
+def _vstore(spark, tmp_path, rows, nb=4):
+    from healthcare_api_spark.sources.store import VersionedResourceStore
+
+    store = VersionedResourceStore(spark, str(tmp_path / "vstore"), num_buckets=nb)
+    df = spark.createDataFrame(rows, "id bigint, version int, val double")
+    store.import_resources(df, "T")
+    return store
+
+
+def test_time_travel_snapshots_are_exact(spark, tmp_path):
+    store = _vstore(
+        spark, tmp_path, [(i, 1, float(i)) for i in range(1, 21)]
+    )
+    ups = spark.createDataFrame(
+        [(i, 2, float(i) + 100.0) for i in (5, 10, 15, 20)],
+        "id bigint, version int, val double",
+    )
+    store.upsert(ups, "T", version_col="version")
+    dels = spark.createDataFrame([(7,), (14,)], "id bigint")
+    store.delete(dels, "T")
+    assert store.versions("T") == [1, 2, 3]
+    v1 = {r["id"]: (r["version"], r["val"]) for r in store.table("T", as_of=1).collect()}
+    assert v1 == {i: (1, float(i)) for i in range(1, 21)}
+    v2 = {r["id"]: (r["version"], r["val"]) for r in store.table("T", as_of=2).collect()}
+    assert v2[5] == (2, 105.0) and v2[7] == (1, 7.0) and len(v2) == 20
+    v3 = {r["id"]: r["version"] for r in store.table("T").collect()}
+    assert 7 not in v3 and 14 not in v3 and len(v3) == 18 and v3[10] == 2
+
+
+def test_time_travel_writes_only_touched_buckets(spark, tmp_path):
+    import glob
+
+    store = _vstore(
+        spark, tmp_path, [(i, 1, float(i)) for i in range(1, 41)], nb=8
+    )
+    ups = spark.createDataFrame([(3, 2, 999.0)], "id bigint, version int, val double")
+    store.upsert(ups, "T", version_col="version")
+    v2_buckets = {
+        p.split("bucket=")[1]
+        for p in glob.glob(str(tmp_path / "vstore/resourceType=T/v=2/bucket=*"))
+    }
+    assert len(v2_buckets) == 1  # one id -> one rewritten bucket
+    # v1 files untouched: all 8 bucket dirs still present
+    v1_buckets = glob.glob(str(tmp_path / "vstore/resourceType=T/v=1/bucket=*"))
+    assert len(v1_buckets) == 8
+
+
+def test_copy_on_write_delete_empties_bucket_and_reads_survive(spark, tmp_path):
+    # a delete that empties a whole bucket writes no files for it — the
+    # manifest still points there and the read treats it as empty
+    store = _vstore(spark, tmp_path, [(1, 1, 1.0)], nb=2)
+    store.delete(spark.createDataFrame([(1,)], "id bigint"), "T")
+    assert [r["id"] for r in store.table("T").collect()] == []
+    assert [r["id"] for r in store.table("T", as_of=1).collect()] == [1]
+
+
+def test_expire_vacuums_unreferenced_versions(spark, tmp_path):
+    import glob
+
+    store = _vstore(spark, tmp_path, [(i, 1, float(i)) for i in range(1, 9)], nb=2)
+    for k in (2, 3):
+        ups = spark.createDataFrame(
+            [(i, k, float(i * k)) for i in range(1, 9)],
+            "id bigint, version int, val double",
+        )
+        store.upsert(ups, "T", version_col="version")
+    assert store.versions("T") == [1, 2, 3]
+    live_before = sorted(
+        (r["id"], r["version"]) for r in store.table("T").collect()
+    )
+    removed = store.expire("T", keep_last=1)
+    # every bucket was rewritten in v3 (full-table upserts), so v1/v2
+    # data dirs are unreferenced and must be gone
+    assert removed == [1, 2]
+    assert store.versions("T") == [3]
+    assert not glob.glob(str(tmp_path / "vstore/resourceType=T/v=1"))
+    live_after = sorted(
+        (r["id"], r["version"]) for r in store.table("T").collect()
+    )
+    assert live_after == live_before
+    import pytest
+
+    with pytest.raises(ValueError):
+        store.table("T", as_of=1)
+    with pytest.raises(ValueError):
+        store.expire("T", keep_last=0)
+
+
+def test_versioned_store_validation(spark, tmp_path):
+    import pytest
+
+    from healthcare_api_spark.sources.store import VersionedResourceStore
+
+    store = VersionedResourceStore(spark, str(tmp_path / "v2"), num_buckets=2)
+    with pytest.raises(ValueError, match="no snapshots"):
+        store.table("T")
+    df = spark.createDataFrame([(1, 1, 1.0)], "id bigint, version int, val double")
+    with pytest.raises(ValueError, match="overwrite"):
+        store.import_resources(df, "T", mode="append")
+    store.import_resources(df, "T")
+    with pytest.raises(ValueError, match="does not exist"):
+        store.table("T", as_of=9)

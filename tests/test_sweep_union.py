@@ -233,6 +233,7 @@ _R9_NEW_QUERIES = [
     "u15_kcenter_coreset",
     "x22_binseg_changepoints",
     "x23_forecast_mase",
+    "s15_time_travel",
 ]
 
 
