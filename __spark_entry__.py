@@ -5422,6 +5422,52 @@ def q_g11_stress_centrality(spark, sf_dir):
     )
 
 
+def q_g12_sssp_weighted(spark, sf_dir):
+    """Bounded Bellman-Ford weighted shortest paths (r9, second
+    session): cheapest ≤8-edge path cost from sources {1,2,3} over
+    the k-NN similarity graph weighted by balance distance in cents
+    (+1 so edges are never free) — g10's hop metric upgraded to cost
+    (graph.sssp_weighted). Each round is one edges-keyed equi-join +
+    one min-aggregate, the textbook distributed SSSP; weights and
+    distances are exact int64 so min needs no tie contract, and the
+    fixed round count lets the oracle unroll the identical
+    relaxations (exact SSSP whenever shortest paths use ≤8 edges —
+    the kcore/CC bounded-rounds contract otherwise)."""
+    from healthcare_api_spark.operators import graph
+
+    _tune(spark)
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    r = c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    probes = r.select(
+        "c_nationkey",
+        F.col("c_custkey").alias("s"),
+        F.col("cents").alias("cs"),
+        F.explode(
+            F.array(F.col("rn") + 1, F.col("rn") + 2, F.col("rn") + 3)
+        ).alias("rnb"),
+    )
+    edges = probes.join(
+        r.select(
+            "c_nationkey",
+            F.col("c_custkey").alias("d"),
+            F.col("cents").alias("cd"),
+            F.col("rn").alias("rnb"),
+        ),
+        ["c_nationkey", "rnb"],
+    ).select(
+        "s", "d", (F.abs(F.col("cs") - F.col("cd")) + 1).alias("w")
+    )
+    return graph.sssp_weighted(
+        edges, "s", "d", "w", sources=[1, 2, 3], rounds=8
+    )
+
+
 def q_m18_keyframes(spark, sf_dir):
     """Shot segmentation + keyframe selection (r8, oracle queued for
     r9): the m11 synthetic Y4M videos run through the REAL scene-cut
@@ -6314,6 +6360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x22_binseg_changepoints": q_x22_binseg_changepoints,
         "x23_forecast_mase": q_x23_forecast_mase,
         "s15_time_travel": q_s15_time_travel,
+        "g12_sssp_weighted": q_g12_sssp_weighted,
         # --- r8 head (VERDICT r7 #6): rows-only queries the driver's
         # ledger recorded in r08 (f7/k1/k2/t12, rows-only by documented
         # DuckDB impossibility: DuckDB 1.0.0 has no sha1() for uuid5 —
@@ -9448,6 +9495,27 @@ def oracle_sql() -> dict[str, str]:
 
     out["g10_bfs_hops"] = _bfs_sql(
         _KNN_EDGES_SQL, seeds=[1, 2, 3], max_hops=6, src="s", dst="d"
+    )
+    # r9 second session: g12 — the same unrolling for the weighted
+    # relaxations (weights = balance distance in cents + 1)
+    from healthcare_api_spark.operators.graph import (
+        sssp_weighted_sql as _sssp_sql,
+    )
+
+    out["g12_sssp_weighted"] = _sssp_sql(
+        "WITH r AS (SELECT c_nationkey, c_custkey,"
+        " CAST(round(c_acctbal * 100) AS BIGINT) AS cents,"
+        " row_number() OVER (PARTITION BY c_nationkey"
+        "  ORDER BY c_acctbal, c_custkey) AS rn FROM customer)"
+        " SELECT a.c_custkey AS s, b.c_custkey AS d,"
+        "  abs(a.cents - b.cents) + 1 AS w FROM r a JOIN r b"
+        "  ON a.c_nationkey = b.c_nationkey"
+        "  AND b.rn BETWEEN a.rn + 1 AND a.rn + 3",
+        sources=[1, 2, 3],
+        rounds=8,
+        src="s",
+        dst="d",
+        weight="w",
     )
     # r9 second session: g11 — forward sigma + backward path-count
     # rounds unrolled, all integer

@@ -230,6 +230,7 @@ HEADLINE = [
     "x22_binseg_changepoints",
     "x23_forecast_mase",
     "s15_time_travel",
+    "g12_sssp_weighted",
 ]
 
 N_STEADY = 3

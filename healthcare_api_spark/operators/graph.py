@@ -1433,3 +1433,116 @@ def stress_centrality_sql(
         f" FROM ({union}) t WHERE node NOT IN (SELECT p FROM piv)"
         f" GROUP BY node"
     )
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    sources: list | None = None,
+    rounds: int = 8,
+    directed: bool = False,
+) -> DataFrame:
+    """Bounded Bellman-Ford single/multi-source shortest paths with
+    non-negative INTEGER weights — the weighted sibling of
+    :func:`bfs_hops` (hop counts ignore cost; this is "cheapest
+    reference chain", routing cost, weighted blast radius). After
+    ``rounds`` relaxation rounds the output is the exact cheapest
+    ≤``rounds``-edge path cost per reached node — a well-defined
+    semantics of its own (and the exact SSSP whenever the graph's
+    shortest paths use ≤``rounds`` edges), so the fixed-round
+    unrolled oracle (:func:`sssp_weighted_sql`) hash-matches even
+    before global convergence, the kcore/CC contract.
+
+    Each round is ONE equi-join (current distances ⋈ edges on the
+    source endpoint) + one min-aggregate keyed by node — the textbook
+    distributed SSSP; the edge side carries a shuffle_hash pin (the
+    bfs_hops broadcast-OOM lesson). All arithmetic is int64; ties
+    need no break (min is total on integers). Output: (node, dist).
+    """
+    if not sources:
+        raise ValueError("sources must be a non-empty list")
+    if rounds < 1:
+        raise ValueError("rounds must be ≥ 1")
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).alias("u"),
+        F.col(dst).alias("v"),
+        F.col(weight).cast("bigint").alias("w"),
+    )
+    if not directed:
+        e = e.unionByName(
+            edges.select(
+                F.col(dst).alias("u"),
+                F.col(src).alias("v"),
+                F.col(weight).cast("bigint").alias("w"),
+            )
+        )
+    e = (
+        e.filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))  # parallel edges keep the cheapest
+        .localCheckpoint(eager=True)
+    )
+    neg = e.filter(F.col("w") < 0).limit(1).count()
+    if neg:
+        raise ValueError("weights must be non-negative")
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sorted(set(int(s) for s in sources))],
+        schema="node bigint, dist bigint",
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        # fixed round count, no early-stop probe: a convergence check
+        # costs two driver round-trips per round (pure latency) and a
+        # converged frame makes the remaining rounds no-ops anyway —
+        # the bounded-rounds semantics is exact either way
+        dist = (
+            dist.join(e.hint("shuffle_hash"), dist["node"] == e["u"])
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def sssp_weighted_sql(
+    edges_sql: str,
+    sources: list,
+    rounds: int = 8,
+    src: str = "s",
+    dst: str = "d",
+    weight: str = "w",
+    directed: bool = False,
+) -> str:
+    """DuckDB oracle twin of :func:`sssp_weighted` — the same fixed
+    relaxation rounds unrolled as chained MATERIALIZED CTEs."""
+    if not sources:
+        raise ValueError("sources must be a non-empty list")
+    ss = ", ".join(f"({int(s)})" for s in sorted(set(int(s) for s in sources)))
+    sym = (
+        f"SELECT {src} AS u, {dst} AS v, CAST({weight} AS BIGINT) AS w"
+        f" FROM ({edges_sql})"
+    )
+    if not directed:
+        sym += (
+            f" UNION ALL SELECT {dst} AS u, {src} AS v,"
+            f" CAST({weight} AS BIGINT) AS w FROM ({edges_sql})"
+        )
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT u, v, min(w) AS w FROM ({sym})"
+        f" WHERE u <> v GROUP BY u, v),"
+        f" d0 AS MATERIALIZED (SELECT CAST(node AS BIGINT) AS node,"
+        f"  CAST(0 AS BIGINT) AS dist FROM (VALUES {ss}) AS t(node)),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f" d{i} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM ("
+            f"  SELECT e.v AS node, d{i - 1}.dist + e.w AS dist"
+            f"  FROM d{i - 1} JOIN e ON e.u = d{i - 1}.node"
+            f"  UNION ALL SELECT node, dist FROM d{i - 1}) x GROUP BY node),"
+        )
+    body = "".join(parts).rstrip(",")
+    return f"{body} SELECT node, dist FROM d{rounds}"

@@ -724,3 +724,88 @@ def test_stress_centrality_sql_twin_parity(spark):
     )
     want = sorted((int(a), int(b)) for a, b in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_sssp_weighted_hand_computed(spark):
+    from healthcare_api_spark.operators.graph import sssp_weighted
+
+    # 1-2 (w5), 2-3 (w5), 1-3 (w20): the two-hop route beats the
+    # direct edge; 3-4 (w1) extends it
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 20), (3, 4, 1)], ["s", "d", "w"]
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(
+            edges, "s", "d", "w", sources=[1], rounds=6
+        ).collect()
+    }
+    assert got == {1: 0, 2: 5, 3: 10, 4: 11}
+
+
+def test_sssp_weighted_bounded_rounds_and_parallel_edges(spark):
+    from healthcare_api_spark.operators.graph import sssp_weighted
+
+    # rounds=1: only direct neighbors relax; parallel edges keep min
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (1, 2, 4), (2, 3, 1)], ["s", "d", "w"]
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(
+            edges, "s", "d", "w", sources=[1], rounds=1
+        ).collect()
+    }
+    assert got == {1: 0, 2: 4}
+
+
+def test_sssp_weighted_multi_source_directed_validation(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 3), (5, 4, 1), (4, 3, 1)], ["s", "d", "w"]
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(
+            edges, "s", "d", "w", sources=[1, 5], rounds=6, directed=True
+        ).collect()
+    }
+    # node 3: via 1 costs 6, via 5 costs 2 — min wins; nothing flows
+    # backwards in directed mode
+    assert got == {1: 0, 5: 0, 2: 3, 4: 1, 3: 2}
+    with pytest.raises(ValueError):
+        sssp_weighted(edges, "s", "d", "w", sources=[], rounds=3)
+    with pytest.raises(ValueError):
+        sssp_weighted(edges, "s", "d", "w", sources=[1], rounds=0)
+    neg = spark.createDataFrame([(1, 2, -1)], ["s", "d", "w"])
+    with pytest.raises(ValueError, match="non-negative"):
+        sssp_weighted(neg, "s", "d", "w", sources=[1], rounds=2)
+
+
+def test_sssp_weighted_sql_twin_parity(spark):
+    import duckdb
+
+    from healthcare_api_spark.operators.graph import (
+        sssp_weighted,
+        sssp_weighted_sql,
+    )
+
+    rows = [(1, 2, 5), (2, 3, 5), (1, 3, 20), (3, 4, 1), (9, 10, 2)]
+    edges = spark.createDataFrame(rows, ["s", "d", "w"])
+    got = sorted(
+        (r["node"], r["dist"])
+        for r in sssp_weighted(
+            edges, "s", "d", "w", sources=[1, 9], rounds=4
+        ).collect()
+    )
+    vals = ", ".join(f"({a}, {b}, {c})" for a, b, c in rows)
+    sql = sssp_weighted_sql(
+        f"SELECT s, d, w FROM (VALUES {vals}) AS t(s, d, w)",
+        sources=[1, 9],
+        rounds=4,
+    )
+    want = sorted((int(a), int(b)) for a, b in duckdb.sql(sql).fetchall())
+    assert got == want

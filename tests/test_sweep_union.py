@@ -234,6 +234,7 @@ _R9_NEW_QUERIES = [
     "x22_binseg_changepoints",
     "x23_forecast_mase",
     "s15_time_travel",
+    "g12_sssp_weighted",
 ]
 
 
