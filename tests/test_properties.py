@@ -481,3 +481,119 @@ def test_prefix_jaccard_lossless_property(spark, token_lists, tau):
             if o * td >= (len(sets[a]) + len(sets[b]) - o) * tn:
                 want[(a, b)] = o
     assert got == want
+
+
+@_slow
+@given(
+    st.lists(st.integers(-30, 30), min_size=2, max_size=10),
+    st.lists(st.integers(-30, 30), min_size=2, max_size=10),
+)
+def test_dtw_band_full_width_matches_classic_property(spark, a, b):
+    """With the band wider than both series, banded DTW must equal the
+    CLASSIC unbanded DTW computed by an independent full-matrix DP
+    (no band logic, no sentinel — a different code path)."""
+    from healthcare_api_spark.operators.temporal import dtw_band_join
+
+    def classic(x, y):
+        n, m = len(x), len(y)
+        D = [[None] * m for _ in range(n)]
+        for i in range(n):
+            for j in range(m):
+                c = (x[i] - y[j]) ** 2
+                if i == 0 and j == 0:
+                    D[i][j] = c
+                elif i == 0:
+                    D[i][j] = c + D[0][j - 1]
+                elif j == 0:
+                    D[i][j] = c + D[i - 1][0]
+                else:
+                    D[i][j] = c + min(D[i - 1][j], D[i][j - 1], D[i - 1][j - 1])
+        return D[n - 1][m - 1]
+
+    rows = [("a", i, v) for i, v in enumerate(a)] + [
+        ("b", i, v) for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, v long")
+    band = max(len(a), len(b))
+    got = dtw_band_join(df, "k", "i", "v", band=band).collect()[0]
+    assert got["dtw"] == classic(a, b)
+    # self-distance is always 0 (diagonal path, zero cost)
+    same = spark.createDataFrame(
+        [("p", i, v) for i, v in enumerate(a)]
+        + [("q", i, v) for i, v in enumerate(a)],
+        "k string, i int, v long",
+    )
+    assert dtw_band_join(same, "k", "i", "v", band=band).collect()[0]["dtw"] == 0
+
+
+@_slow
+@given(st.lists(st.integers(-50, 50), min_size=4, max_size=14))
+def test_binseg_gain_equals_sse_drop_property(spark, vals):
+    """Every reported gain must EXACTLY equal the within-segment SSE
+    reduction of applying that split, computed independently with
+    Fraction arithmetic (the u11 matching-bugs rule: an independent
+    route through the math, not the engine's formula)."""
+    from fractions import Fraction
+
+    from healthcare_api_spark.operators.temporal import binseg_changepoints
+
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)], "k string, i int, v long"
+    )
+    got = sorted(
+        (r["step"], r["cp"], r["gain"])
+        for r in binseg_changepoints(df, "k", "i", "v", k=2).collect()
+    )
+
+    def sse(seg):
+        n = len(seg)
+        mu = Fraction(sum(seg), n)
+        return sum((Fraction(x) - mu) ** 2 for x in seg)
+
+    cps: list[int] = []
+    for step, cp, gain in got:
+        l = 1 + max([c for c in cps if c < cp], default=0)
+        r = min([c for c in cps if c > cp], default=len(vals))
+        seg = vals[l - 1 : r]
+        left, right = vals[l - 1 : cp], vals[cp : r]
+        drop = sse(seg) - sse(left) - sse(right)
+        assert abs(gain - float(drop)) < 1e-6 * max(1.0, float(drop))
+        cps.append(cp)
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 40), st.integers(1, 40), st.integers(1, 9)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_sssp_upper_bounded_by_bfs_hops_property(spark, raw):
+    """Weighted distance ≤ max_weight · hop distance for every node
+    both operators reach — the two graph metrics must cohere."""
+    from healthcare_api_spark.operators.graph import bfs_hops, sssp_weighted
+
+    edges = [(a, b, w) for a, b, w in raw if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["s", "d", "w"])
+    wmax = max(w for _, _, w in edges)
+    src = min(min(a, b) for a, b, _ in edges)
+    hops = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(
+            df.select("s", "d"), "s", "d", seeds=[src], max_hops=6
+        ).collect()
+    }
+    dist = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(
+            df, "s", "d", "w", sources=[src], rounds=6
+        ).collect()
+    }
+    assert set(hops) == set(dist)  # same reachable set at equal rounds
+    for node, h in hops.items():
+        assert dist[node] <= wmax * h
+        if h > 0:
+            assert dist[node] >= 1  # weights ≥ 1 in this fixture
