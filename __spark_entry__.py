@@ -1926,6 +1926,59 @@ def q_m17_image_patches(spark, sf_dir):
     )
 
 
+def q_m19_patch_vote_neardup(spark, sf_dir):
+    """Crop-robust image near-dup by patch-hash voting (r9, second
+    session): synthetic 40×32 PNGs with a NONLINEAR pixel field
+    v = (x·y + 13·id) % 256 (an affine field like m2's x+y+id makes
+    every anti-diagonal patch identical — measured dead end), plus a
+    24×16 copy CROPPED at offset (8,8) for every 4th image. Whole-
+    image aHash (m12/m13) misses crops entirely; the grid-aligned
+    crop shares its 6 patches byte-for-byte with the original, so
+    multimodal.patch_vote_pairs recovers exactly the (orig, crop)
+    pairs with votes = 6 ≥ 4. REAL PNG encode/decode on the Spark
+    side; the oracle regenerates every patch's bytes ANALYTICALLY
+    (printf hex over generate_series — the m17 device), applies the
+    same md5 / max_df prune / vote join, and must land on the same
+    pairs — an independent route through both the codec and the
+    voting algebra."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_api_spark.operators.multimodal import (
+        encode_png_bytes,
+        image_patches,
+        patch_vote_pairs,
+    )
+
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                x = np.arange(40)
+                y = np.arange(32)
+                v = ((np.outer(y, x) + 13 * d) % 256).astype(np.uint8)
+                out_ids.append(d)
+                payloads.append(encode_png_bytes(v[:, :, None]))
+                if d % 4 == 0:
+                    out_ids.append(d + 10_000_000)
+                    payloads.append(
+                        encode_png_bytes(v[8:24, 8:32][:, :, None])
+                    )
+            yield pd.DataFrame({"doc_id": out_ids, "data": payloads})
+
+    pngs = docs.mapInPandas(_gen, "doc_id long, data binary")
+    patches = image_patches(pngs, "doc_id", "data", patch=8)
+    return patch_vote_pairs(
+        patches, "id", "patch", min_votes=4, max_df=10
+    )
+
+
 def q_m3_audio_features(spark, sf_dir):
     """REAL codec-free audio path: synthesize a PCM16 WAV per doc with
     doc-derived params (Arrow-batched generator UDF), then run the RIFF
@@ -6361,6 +6414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x23_forecast_mase": q_x23_forecast_mase,
         "s15_time_travel": q_s15_time_travel,
         "g12_sssp_weighted": q_g12_sssp_weighted,
+        "m19_patch_vote_neardup": q_m19_patch_vote_neardup,
         # --- r8 head (VERDICT r7 #6): rows-only queries the driver's
         # ledger recorded in r08 (f7/k1/k2/t12, rows-only by documented
         # DuckDB impossibility: DuckDB 1.0.0 has no sha1() for uuid5 —
@@ -8702,6 +8756,38 @@ def oracle_sql() -> dict[str, str]:
         "  PARTITION BY event_type ORDER BY bucket) AS i, vq FROM s_)"
         " SELECT event_type, i, vq FROM x_ WHERE i <= 144",
         "event_type", "i", "vq", band=24,
+    )
+    # r9 second session: m19 — every patch's bytes regenerated
+    # analytically (hex over generate_series, the m17 device), then
+    # the same md5 / max_df prune / vote join
+    out["m19_patch_vote_neardup"] = (
+        "WITH d_ AS (SELECT doc_id AS d FROM documents),"
+        " imgs AS ("
+        "  SELECT d, d AS id, 0 AS ox, 0 AS oy, 4 AS prows, 5 AS pcols"
+        "   FROM d_"
+        "  UNION ALL"
+        "  SELECT d, d + 10000000 AS id, 8 AS ox, 8 AS oy,"
+        "   2 AS prows, 3 AS pcols FROM d_ WHERE d % 4 = 0),"
+        " cells AS (SELECT id, d, ox, oy, pr, pc FROM imgs,"
+        "  LATERAL (SELECT unnest(generate_series(0, prows - 1)) AS pr),"
+        "  LATERAL (SELECT unnest(generate_series(0, pcols - 1)) AS pc)),"
+        " pix AS (SELECT id, d, pr, pc, y, x,"
+        "  CAST(((x + ox) * (y + oy) + 13 * d) % 256 AS INT) AS v"
+        "  FROM cells,"
+        "  LATERAL (SELECT unnest(generate_series(8 * pr, 8 * pr + 7)) AS y),"
+        "  LATERAL (SELECT unnest(generate_series(8 * pc, 8 * pc + 7)) AS x)),"
+        " ph AS (SELECT id, pr, pc,"
+        "  md5(string_agg(printf('%02x', v), '' ORDER BY y, x)) AS phash"
+        "  FROM pix GROUP BY id, pr, pc),"
+        " hp AS (SELECT DISTINCT id, phash FROM ph),"
+        " dfc AS (SELECT phash FROM hp GROUP BY phash"
+        "  HAVING count(*) <= 10),"
+        " kept AS (SELECT hp.id, hp.phash FROM hp JOIN dfc USING (phash)),"
+        " pairs AS (SELECT a.id AS id_a, b.id AS id_b,"
+        "  CAST(count(*) AS BIGINT) AS votes"
+        "  FROM kept a JOIN kept b ON a.phash = b.phash AND a.id < b.id"
+        "  GROUP BY 1, 2)"
+        " SELECT id_a, id_b, votes FROM pairs WHERE votes >= 4"
     )
     # r9 second session: s15 — each snapshot's contents restated
     # declaratively: v1 = base, v2 = %5 bumped, v3 = v2 minus %7

@@ -231,6 +231,7 @@ HEADLINE = [
     "x23_forecast_mase",
     "s15_time_travel",
     "g12_sssp_weighted",
+    "m19_patch_vote_neardup",
 ]
 
 N_STEADY = 3

@@ -2580,3 +2580,56 @@ def select_keyframes(
             ),
         )
     )
+
+
+def patch_vote_pairs(
+    patches: DataFrame,
+    id_col: str = "id",
+    patch_col: str = "patch",
+    min_votes: int = 4,
+    max_df: int = 10,
+) -> DataFrame:
+    """Crop/shift-robust image near-dup candidates by PATCH-HASH
+    VOTING: two images are candidate near-dups when they share at
+    least ``min_votes`` distinct identical patches (md5 of the raw
+    patch bytes). Whole-image hashes (m12/m13 aHash) break under
+    cropping — a crop aligned to the patch grid shares most of its
+    patches verbatim, so patch votes recover exactly the pairs the
+    global hash loses (the local-feature-voting idea behind
+    copy-detection pipelines, discretized to exact bytes).
+
+    Shape: one distinct over (image, patch-hash), one self-join keyed
+    by the 32-char hash (text never rides the shuffle — the d17/d19
+    rule), one pair aggregate. ``max_df`` drops patch hashes shared
+    by more than that many images before the join — the boilerplate
+    patch (solid borders, letterboxes) is both the join-skew risk and
+    semantically a non-signal, the d16 stop-token trade; the cap
+    bounds per-hash pair fan-out at C(max_df, 2). Documented lossy
+    ONLY for pairs whose every shared patch is boilerplate-frequent.
+    Output: (id_a, id_b, votes), id_a < id_b.
+    """
+    if min_votes < 1:
+        raise ValueError("min_votes must be ≥ 1")
+    if max_df < 2:
+        raise ValueError("max_df must be ≥ 2 (a pair needs two images)")
+    hashed = (
+        patches.filter(F.col("status") == "ok")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.md5(F.lower(F.hex(F.col(patch_col)))).alias("_ph"),
+        )
+        .distinct()
+    )
+    dfc = hashed.groupBy("_ph").agg(F.count(F.lit(1)).alias("_df"))
+    kept = hashed.join(
+        dfc.filter(F.col("_df") <= max_df).select("_ph"), "_ph"
+    ).localCheckpoint(eager=True)  # feeds both join sides
+    a = kept.select(F.col("_id").alias("id_a"), "_ph")
+    b = kept.select(F.col("_id").alias("id_b"), "_ph")
+    return (
+        a.join(b, "_ph")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+        .filter(F.col("votes") >= min_votes)
+    )

@@ -1229,3 +1229,81 @@ def test_select_keyframes_hand_computed(spark):
         (1, 2): (6, 7, 2, 6),
         (2, 0): (0, 0, 1, 0),   # the y4m_short single-frame shot
     }
+
+
+def test_patch_vote_pairs_finds_aligned_crop(spark):
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        encode_png_bytes,
+        image_ahash,
+        image_patches,
+        patch_vote_pairs,
+    )
+
+    # nonlinear field x*y%251: original 32x32, crop at (8,8) 16x16,
+    # plus an unrelated image
+    v = ((np.outer(np.arange(32), np.arange(32))) % 251).astype(np.uint8)
+    u = ((np.outer(np.arange(32), np.arange(32)) * 7 + 3) % 249).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_png_bytes(v[:, :, None]))),
+        (2, bytearray(encode_png_bytes(v[8:24, 8:24][:, :, None]))),
+        (3, bytearray(encode_png_bytes(u[:, :, None]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    patches = image_patches(df, "doc_id", "data", patch=8)
+    got = {
+        (r["id_a"], r["id_b"]): r["votes"]
+        for r in patch_vote_pairs(
+            patches, "id", "patch", min_votes=2, max_df=5
+        ).collect()
+    }
+    # the 16x16 crop contributes 4 patches, all shared with image 1
+    assert got == {(1, 2): 4}
+    # the whole-image hash misses the crop: ahashes differ
+    hashes = {
+        r["id"]: r["ahash"]
+        for r in image_ahash(df, "doc_id", "data", hash_size=8).collect()
+    }
+    assert hashes[1] != hashes[2]
+
+
+def test_patch_vote_pairs_max_df_prunes_boilerplate(spark):
+    import numpy as np
+
+    from healthcare_api_spark.operators.multimodal import (
+        encode_png_bytes,
+        image_patches,
+        patch_vote_pairs,
+    )
+
+    # five images sharing one constant (boilerplate) patch block plus
+    # unique content: with max_df=3 the shared hash is dropped and no
+    # pair survives; with max_df=10 every pair votes once (min_votes=1)
+    rows = []
+    for d in range(5):
+        arr = ((np.outer(np.arange(16), np.arange(16)) * (d + 2)) % 255).astype(
+            np.uint8
+        )
+        arr[:8, :8] = 7  # the shared solid patch
+        rows.append((d, bytearray(encode_png_bytes(arr[:, :, None]))))
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    patches = image_patches(df, "doc_id", "data", patch=8)
+    pruned = patch_vote_pairs(patches, "id", "patch", min_votes=1, max_df=3)
+    assert pruned.count() == 0
+    kept = patch_vote_pairs(patches, "id", "patch", min_votes=1, max_df=10)
+    assert kept.count() == 10  # C(5,2), one boilerplate vote each
+
+
+def test_patch_vote_pairs_validation(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.multimodal import patch_vote_pairs
+
+    df = spark.createDataFrame(
+        [(1, "ok", bytearray(b"x"))], "id long, status string, patch binary"
+    )
+    with pytest.raises(ValueError):
+        patch_vote_pairs(df, "id", "patch", min_votes=0)
+    with pytest.raises(ValueError):
+        patch_vote_pairs(df, "id", "patch", min_votes=1, max_df=1)

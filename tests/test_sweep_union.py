@@ -235,6 +235,7 @@ _R9_NEW_QUERIES = [
     "x23_forecast_mase",
     "s15_time_travel",
     "g12_sssp_weighted",
+    "m19_patch_vote_neardup",
 ]
 
 
