@@ -687,6 +687,33 @@ def q_w5_funnel(spark, sf_dir):
                          ["signup", "click", "purchase"])
 
 
+def q_w14_sequence_match(spark, sf_dir):
+    """Event-sequence (CEP) matching (r9, second session):
+    signup → click → purchase spans within 48 hours per user
+    (analytics.sequence_spans) — the MATCH_RECOGNIZE/Flink-CEP
+    primitive w5's funnel COUNTS but never materializes. Each stage
+    is one forward as-of join (skip-till-next-match, earliest
+    continuation), so k-stage CEP is k−1 per-key window passes —
+    declarative, never a per-row loop. Matches key on distinct
+    stage-1 timestamps; the oracle restates the chase as chained
+    min() continuations with the same inclusive-≥ convention."""
+    from healthcare_api_spark.operators.analytics import sequence_spans
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = sequence_spans(
+        ev, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], within="48 hours",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts_1", "yyyy-MM-dd HH:mm:ss").alias("ts_1"),
+        F.date_format("ts_2", "yyyy-MM-dd HH:mm:ss").alias("ts_2"),
+        F.date_format("ts_3", "yyyy-MM-dd HH:mm:ss").alias("ts_3"),
+        "span_us",
+    )
+
+
 def q_w6_cohort_retention(spark, sf_dir):
     """Weekly cohort retention triangle (first-activity cohorts ×
     periods-later activity)."""
@@ -6415,6 +6442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s15_time_travel": q_s15_time_travel,
         "g12_sssp_weighted": q_g12_sssp_weighted,
         "m19_patch_vote_neardup": q_m19_patch_vote_neardup,
+        "w14_sequence_match": q_w14_sequence_match,
         # --- r8 head (VERDICT r7 #6): rows-only queries the driver's
         # ledger recorded in r08 (f7/k1/k2/t12, rows-only by documented
         # DuckDB impossibility: DuckDB 1.0.0 has no sha1() for uuid5 —
@@ -8756,6 +8784,27 @@ def oracle_sql() -> dict[str, str]:
         "  PARTITION BY event_type ORDER BY bucket) AS i, vq FROM s_)"
         " SELECT event_type, i, vq FROM x_ WHERE i <= 144",
         "event_type", "i", "vq", band=24,
+    )
+    # r9 second session: w14 — the stage chase restated as chained
+    # min() continuations (inclusive ≥, the ASOF convention)
+    out["w14_sequence_match"] = (
+        "WITH b1 AS (SELECT DISTINCT user_id, ts AS ts1 FROM events"
+        "  WHERE event_type = 'signup'),"
+        " b2 AS (SELECT b1.user_id, b1.ts1, min(e.ts) AS ts2 FROM b1"
+        "  JOIN events e ON e.user_id = b1.user_id"
+        "   AND e.event_type = 'click' AND e.ts >= b1.ts1"
+        "  GROUP BY 1, 2),"
+        " b3 AS (SELECT b2.user_id, b2.ts1, b2.ts2, min(e.ts) AS ts3"
+        "  FROM b2 JOIN events e ON e.user_id = b2.user_id"
+        "   AND e.event_type = 'purchase' AND e.ts >= b2.ts2"
+        "  GROUP BY 1, 2, 3)"
+        " SELECT user_id,"
+        "  strftime(ts1, '%Y-%m-%d %H:%M:%S') AS ts_1,"
+        "  strftime(ts2, '%Y-%m-%d %H:%M:%S') AS ts_2,"
+        "  strftime(ts3, '%Y-%m-%d %H:%M:%S') AS ts_3,"
+        "  CAST(epoch_us(ts3) - epoch_us(ts1) AS BIGINT) AS span_us"
+        " FROM b3 WHERE epoch_us(ts3) - epoch_us(ts1)"
+        "  <= 172800 * CAST(1000000 AS BIGINT)"
     )
     # r9 second session: m19 — every patch's bytes regenerated
     # analytically (hex over generate_series, the m17 device), then

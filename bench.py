@@ -232,6 +232,7 @@ HEADLINE = [
     "s15_time_travel",
     "g12_sssp_weighted",
     "m19_patch_vote_neardup",
+    "w14_sequence_match",
 ]
 
 N_STEADY = 3

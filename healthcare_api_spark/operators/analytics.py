@@ -356,3 +356,76 @@ def co_occurrence(
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_support)
     )
+
+
+def sequence_spans(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    pattern: list[str],
+    within: str | None = None,
+) -> DataFrame:
+    """Event-sequence (CEP) matching — the MATCH_RECOGNIZE /
+    Flink-CEP primitive: for every occurrence of ``pattern[0]``, chase
+    the EARLIEST following occurrence of each subsequent stage for the
+    same key (skip-till-next-match semantics, ties at equal
+    timestamps are harmless because only the timestamp is carried),
+    optionally bounded by ``within`` (total span, first→last stage).
+
+    The insight that keeps this declarative: each stage is ONE
+    forward as-of join (temporal.asof_join) — CEP over k stages is
+    k−1 as-of joins chained, each a single per-key window pass, never
+    a per-row scan loop. Matches are keyed by DISTINCT
+    (key, stage-1 ts); later stages are functions of that start, so
+    overlapping matches that share a start collapse to one span (the
+    deterministic contract an oracle can restate as k−1 min()
+    chains).
+
+    Output: (key, ts_1 … ts_k, span_secs), completed matches only.
+    """
+    from healthcare_api_spark.operators.temporal import (
+        _parse_duration_secs,
+        asof_join,
+    )
+
+    if len(pattern) < 2:
+        raise ValueError("pattern needs at least 2 stages")
+    cur = (
+        events.filter(F.col(type_col) == pattern[0])
+        .select(F.col(key_col).alias("_k"), F.col(ts_col).alias("ts_1"))
+        .distinct()
+    )
+    for i, stage in enumerate(pattern[1:], start=2):
+        nxt = events.filter(F.col(type_col) == stage).select(
+            F.col(key_col).alias("_k"), F.col(ts_col).alias("_sts")
+        )
+        cur = asof_join(
+            cur,
+            nxt,
+            "_k",
+            f"ts_{i - 1}",
+            "_sts",
+            ["_sts"],
+            direction="forward",
+        ).withColumnRenamed("_sts", f"ts_{i}")
+        cur = cur.filter(F.col(f"ts_{i}").isNotNull())
+    n = len(pattern)
+    # exact int64 micros (unix_timestamp floors to seconds, and a
+    # floored difference disagrees with a fractional one at the
+    # boundary — the hash-portability rule)
+    # .cast("timestamp"): unix_micros rejects TIMESTAMP_NTZ, and the
+    # repo's parquet loads are NTZ — identity under the UTC session tz
+    span = F.unix_micros(
+        F.col(f"ts_{n}").cast("timestamp")
+    ) - F.unix_micros(F.col("ts_1").cast("timestamp"))
+    out = cur.select(
+        F.col("_k").alias(key_col),
+        *[f"ts_{i}" for i in range(1, n + 1)],
+        span.cast("bigint").alias("span_us"),
+    )
+    if within is not None:
+        out = out.filter(
+            F.col("span_us") <= _parse_duration_secs(within) * 1_000_000
+        )
+    return out

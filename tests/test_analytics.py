@@ -343,3 +343,82 @@ def test_session_flows_hand_computed(spark):
         ("a", "c"): (1, 0.5),
         ("b", "a"): (1, 1.0),
     }
+
+
+def _seq_events(spark, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_sequence_spans_hand_computed_chain(spark):
+    from healthcare_api_spark.operators.analytics import sequence_spans
+
+    ev = _seq_events(
+        spark,
+        [
+            ("u1", "2024-01-01 10:00:00", "signup"),
+            ("u1", "2024-01-01 10:30:00", "click"),
+            ("u1", "2024-01-01 09:00:00", "click"),   # before signup: skipped
+            ("u1", "2024-01-01 11:00:00", "purchase"),
+            ("u2", "2024-01-01 10:00:00", "signup"),  # never completes
+            ("u2", "2024-01-01 10:05:00", "purchase"),
+        ],
+    )
+    got = sequence_spans(
+        ev, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == "u1"
+    assert str(r["ts_2"]).startswith("2024-01-01 10:30")  # earliest AFTER start
+    assert r["span_us"] == 3600 * 1_000_000
+
+
+def test_sequence_spans_earliest_continuation_and_within(spark):
+    from healthcare_api_spark.operators.analytics import sequence_spans
+
+    ev = _seq_events(
+        spark,
+        [
+            ("u1", "2024-01-01 10:00:00", "signup"),
+            ("u1", "2024-01-01 10:10:00", "click"),
+            ("u1", "2024-01-01 10:20:00", "click"),   # later click ignored
+            ("u1", "2024-01-03 10:00:00", "purchase"),
+        ],
+    )
+    spans = sequence_spans(
+        ev, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    ).collect()
+    assert str(spans[0]["ts_2"]).startswith("2024-01-01 10:10")
+    bounded = sequence_spans(
+        ev, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], within="1 days",
+    ).collect()
+    assert bounded == []  # the purchase lands two days out
+
+
+def test_sequence_spans_distinct_starts_and_validation(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.analytics import sequence_spans
+
+    ev = _seq_events(
+        spark,
+        [
+            ("u1", "2024-01-01 10:00:00", "signup"),
+            ("u1", "2024-01-01 10:00:00", "signup"),  # duplicate start
+            ("u1", "2024-01-01 12:00:00", "signup"),  # second start
+            ("u1", "2024-01-01 12:30:00", "click"),
+        ],
+    )
+    got = sequence_spans(
+        ev, "user_id", "ts", "event_type", ["signup", "click"]
+    ).collect()
+    # duplicate (key, ts_1) collapses; both distinct starts chase the
+    # same later click
+    assert len(got) == 2
+    assert all(str(r["ts_2"]).startswith("2024-01-01 12:30") for r in got)
+    with pytest.raises(ValueError):
+        sequence_spans(ev, "user_id", "ts", "event_type", ["signup"])

@@ -236,6 +236,7 @@ _R9_NEW_QUERIES = [
     "s15_time_travel",
     "g12_sssp_weighted",
     "m19_patch_vote_neardup",
+    "w14_sequence_match",
 ]
 
 
