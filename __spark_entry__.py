@@ -1278,6 +1278,59 @@ def q_st7_streaming_session_flows(spark, sf_dir):
     return out
 
 
+def q_st12_streaming_cep(spark, sf_dir):
+    """Streaming event-sequence (CEP) matching (r9, second session):
+    the w14 signup→click→purchase chase run LIVE over TWO time-split
+    micro-batches (streaming/cep.py — pendings and completions on the
+    bucketed versioned state; every pending advances through all the
+    stages a batch allows, the Flink-CEP loop as per-batch as-of
+    logic). With per-key time-ordered batches each stage's EARLIEST
+    continuation is found in the first batch containing it, so the
+    completed set must EQUAL the batch sequence_spans — this gate
+    hash-checks the live run against the w14 oracle VERBATIM (the
+    st5/st6/st7 contract on a seventh operator family: stateful
+    multi-stage matching)."""
+    import shutil
+    import tempfile
+
+    from healthcare_api_spark.streaming.cep import (
+        read_sequence_matches,
+        streaming_sequence_match,
+    )
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    root = tempfile.mkdtemp(prefix="st12_")
+    src, state, ckpt = f"{root}/src", f"{root}/state", f"{root}/ckpt"
+    try:
+        cutoff = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+        ev.filter(cutoff).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        ).parquet(src)
+        q = streaming_sequence_match(
+            stream, state, "user_id", "ts", "event_type",
+            ["signup", "click", "purchase"],
+            within_us=172800 * 1_000_000, checkpoint=ckpt,
+        )
+        q.processAllAvailable()
+        ev.filter(~cutoff).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+        out = read_sequence_matches(
+            spark, state, "user_id", n_stages=3
+        ).select(
+            "user_id",
+            F.date_format("ts_1", "yyyy-MM-dd HH:mm:ss").alias("ts_1"),
+            F.date_format("ts_2", "yyyy-MM-dd HH:mm:ss").alias("ts_2"),
+            F.date_format("ts_3", "yyyy-MM-dd HH:mm:ss").alias("ts_3"),
+            "span_us",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_st11_streaming_ewma(spark, sf_dir):
     """Streaming EWMA maintenance (r8): a REAL 2-micro-batch run of
     the seeded recursive fold (streaming/smoothing.py) — events stream
@@ -6443,6 +6496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_sssp_weighted": q_g12_sssp_weighted,
         "m19_patch_vote_neardup": q_m19_patch_vote_neardup,
         "w14_sequence_match": q_w14_sequence_match,
+        "st12_streaming_cep": q_st12_streaming_cep,
         # --- r8 head (VERDICT r7 #6): rows-only queries the driver's
         # ledger recorded in r08 (f7/k1/k2/t12, rows-only by documented
         # DuckDB impossibility: DuckDB 1.0.0 has no sha1() for uuid5 —
@@ -8806,6 +8860,9 @@ def oracle_sql() -> dict[str, str]:
         " FROM b3 WHERE epoch_us(ts3) - epoch_us(ts1)"
         "  <= 172800 * CAST(1000000 AS BIGINT)"
     )
+    # r9 second session: st12 — streaming-equals-batch: the live CEP
+    # run must land on w14's oracle VERBATIM (the st11/x11 device)
+    out["st12_streaming_cep"] = out["w14_sequence_match"]
     # r9 second session: m19 — every patch's bytes regenerated
     # analytically (hex over generate_series, the m17 device), then
     # the same md5 / max_df prune / vote join

@@ -233,6 +233,7 @@ HEADLINE = [
     "g12_sssp_weighted",
     "m19_patch_vote_neardup",
     "w14_sequence_match",
+    "st12_streaming_cep",
 ]
 
 N_STEADY = 3

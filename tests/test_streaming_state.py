@@ -406,3 +406,95 @@ def test_streaming_ewma_seeded_fold_equals_batch_and_replay(spark, tmp_path):
     ewma_batch(b1, 1, root, "k", "ts", "v", alpha=0.3)
     ewma_batch(b0, 0, root, "k", "ts", "v", alpha=0.3)
     assert live() == got
+
+
+def test_streaming_cep_cross_batch_and_replay(spark, tmp_path):
+    """st12 machinery on a hand-built stream: a match whose stages
+    straddle the batch boundary completes exactly once, a within-
+    bound violation drops the match (skip-till-next has no alternative
+    continuation), multi-stage advancement works inside ONE batch, and
+    replaying a batch changes nothing."""
+    from datetime import datetime
+
+    from healthcare_api_spark.operators.analytics import sequence_spans
+    from healthcare_api_spark.streaming.cep import (
+        cep_batch,
+        read_sequence_matches,
+    )
+
+    def t(minute):
+        return datetime(2024, 1, 1, 10 + minute // 60, minute % 60)
+
+    schema = "user_id long, ts timestamp, event_type string"
+    # user 1: a@0 (batch 0) -> b@70, c@80 (batch 1): cross-batch match
+    # user 2: a@1, b@2, c@3 all in batch 0: single-batch full advance
+    # user 3: a@0 (batch 0) -> b@75 -> c@200 (batch 1): span > 120 min
+    #         bound -> dropped at completion
+    b0 = spark.createDataFrame(
+        [(1, t(0), "a"), (2, t(1), "a"), (2, t(2), "b"), (2, t(3), "c"),
+         (3, t(0), "a")],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(1, t(70), "b"), (1, t(80), "c"), (3, t(75), "b"), (3, t(200), "c")],
+        schema,
+    )
+    root = str(tmp_path / "cep")
+    pat = ["a", "b", "c"]
+    within = 120 * 60 * 1_000_000
+    cep_batch(b0, 0, root, "user_id", "ts", "event_type", pat, within)
+    cep_batch(b1, 1, root, "user_id", "ts", "event_type", pat, within)
+
+    def done():
+        return sorted(
+            (r["user_id"], str(r["ts_1"]), str(r["ts_2"]), str(r["ts_3"]),
+             r["span_us"])
+            for r in read_sequence_matches(spark, root, "user_id", 3).collect()
+        )
+
+    got = done()
+    assert [g[0] for g in got] == [1, 2]
+    assert got[0][4] == 80 * 60 * 1_000_000   # user 1 span
+    assert got[1][4] == 2 * 60 * 1_000_000    # user 2 span
+    # equals the batch operator over the union (the st contract)
+    whole = sorted(
+        (r["user_id"], str(r["ts_1"]), str(r["ts_2"]), str(r["ts_3"]),
+         r["span_us"])
+        for r in sequence_spans(
+            b0.unionByName(b1), "user_id", "ts", "event_type", pat,
+            within="7200 seconds",
+        ).collect()
+    )
+    assert got == whole
+    # replay both batches: completions must not duplicate, pendings
+    # must not resurrect
+    cep_batch(b1, 1, root, "user_id", "ts", "event_type", pat, within)
+    cep_batch(b0, 0, root, "user_id", "ts", "event_type", pat, within)
+    assert done() == got
+
+
+def test_streaming_cep_pending_survives_early_continuations(spark, tmp_path):
+    """A pending whose batch has stage-2 events ONLY EARLIER than its
+    start must survive untouched (the groupBy-loses-the-pending bug
+    class) and complete in a later batch."""
+    from datetime import datetime
+
+    from healthcare_api_spark.streaming.cep import (
+        cep_batch,
+        read_sequence_matches,
+    )
+
+    def t(minute):
+        return datetime(2024, 1, 1, 10, minute)
+
+    schema = "user_id long, ts timestamp, event_type string"
+    b0 = spark.createDataFrame(
+        [(1, t(5), "a"), (1, t(1), "b")], schema  # b BEFORE a: no match
+    )
+    b1 = spark.createDataFrame([(1, t(9), "b")], schema)
+    root = str(tmp_path / "cep2")
+    cep_batch(b0, 0, root, "user_id", "ts", "event_type", ["a", "b"], None)
+    assert read_sequence_matches(spark, root, "user_id", 2).count() == 0
+    cep_batch(b1, 1, root, "user_id", "ts", "event_type", ["a", "b"], None)
+    rows = read_sequence_matches(spark, root, "user_id", 2).collect()
+    assert len(rows) == 1 and str(rows[0]["ts_2"]).startswith("2024-01-01 10:09")

@@ -237,6 +237,7 @@ _R9_NEW_QUERIES = [
     "g12_sssp_weighted",
     "m19_patch_vote_neardup",
     "w14_sequence_match",
+    "st12_streaming_cep",
 ]
 
 
