@@ -382,7 +382,13 @@ def sequence_spans(
     deterministic contract an oracle can restate as k−1 min()
     chains).
 
-    Output: (key, ts_1 … ts_k, span_secs), completed matches only.
+    Output: (key, ts_1 … ts_k, span_us), completed matches only.
+
+    Convention note: continuations are INCLUSIVE (ts ≥ previous
+    stage's ts — the ASOF convention), so a pattern that REPEATS an
+    event type can match the same instant twice; use strictly
+    increasing timestamps per (key, type) upstream, or distinct
+    stage types, when that matters.
     """
     from healthcare_api_spark.operators.temporal import (
         _parse_duration_secs,

@@ -1803,6 +1803,8 @@ def l2_range_join(
     ).localCheckpoint(eager=True)
     qrys = queries.select(F.col(query_id).alias("_qid"), qv.alias("_qv"))
     cents = _lloyd_l2_arrow(corp, "_cid", "_cqv", n_cells, iters)
+    if not cents:
+        raise ValueError("empty corpus")
     # one corpus pass: nearest cell (ties -> lowest cid) + distance to it
     assigned = corp.select(
         "_cid", "_cqv", _l2_assign_arrow(F.col("_cqv"), cents).alias("_best")
@@ -1897,9 +1899,12 @@ def kcenter_coreset(
     base = df.select(
         F.col(id_col).alias("_id"), qv.alias("_v")
     ).localCheckpoint(eager=True)
-    seed = base.orderBy(F.col("_id").asc()).limit(1).collect()
-    if not seed:
+    n_rows = base.count()
+    if n_rows == 0:
         raise ValueError("empty input")
+    if k > n_rows:
+        raise ValueError(f"k={k} exceeds corpus size {n_rows}")
+    seed = base.orderBy(F.col("_id").asc()).limit(1).collect()
     picks = [(1, seed[0]["_id"], None)]
     center = [int(x) for x in seed[0]["_v"]]
 
@@ -1911,7 +1916,14 @@ def kcenter_coreset(
             lambda acc, x: acc + x,
         )
 
-    mind = base.select("_id", "_v", _d2_to(center).alias("_m"))
+    # selected rows LEAVE the candidate frame: with duplicate vectors
+    # a selected point's twin sits at distance 0, and an argmax over a
+    # frame that still contains the selected row itself would re-pick
+    # that row's (lower) id forever instead of the twin — Gonzalez
+    # picks k DISTINCT points
+    mind = base.filter(F.col("_id") != seed[0]["_id"]).select(
+        "_id", "_v", _d2_to(center).alias("_m")
+    )
     for r in range(2, k + 1):
         mind = mind.localCheckpoint(eager=True)  # feeds argmax AND update
         top = (
@@ -1921,7 +1933,7 @@ def kcenter_coreset(
         )
         picks.append((r, top["_id"], int(top["_m"])))
         center = [int(x) for x in top["_v"]]
-        mind = mind.select(
+        mind = mind.filter(F.col("_id") != top["_id"]).select(
             "_id", "_v", F.least(F.col("_m"), _d2_to(center)).alias("_m")
         )
     spark = df.sparkSession
@@ -1960,16 +1972,18 @@ def kcenter_coreset_sql(
         f"  CAST(list_dot_product(base.v, base.v)"
         f"   - 2 * list_dot_product(base.v, sel1.v)"
         f"   + list_dot_product(sel1.v, sel1.v) AS BIGINT) AS m"
-        f"  FROM base, sel1),",
+        f"  FROM base, sel1 WHERE base.id <> sel1.id),",
     ]
     for i in range(2, k + 1):
         p = i - 1
         parts.append(
             f" sel{i} AS MATERIALIZED (SELECT id, v, m FROM m{p}"
             f"  ORDER BY m DESC, id ASC LIMIT 1),"
+            # selected rows leave the candidate frame (duplicate-vector
+            # twins must stay pickable — see kcenter_coreset)
             f" m{i} AS MATERIALIZED (SELECT m{p}.id, m{p}.v,"
             f"  least(m{p}.m, {d2.format(p=p, i=i)}) AS m"
-            f"  FROM m{p}, sel{i}),"
+            f"  FROM m{p}, sel{i} WHERE m{p}.id <> sel{i}.id),"
         )
     union = " UNION ALL ".join(
         [f"SELECT 1 AS rank, id, CAST(NULL AS BIGINT) AS min_sqdist FROM sel1"]

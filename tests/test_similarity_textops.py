@@ -2017,11 +2017,13 @@ def test_kcenter_coreset_python_parity_and_monotone(spark):
     pts = {i: [round(x * 100) for x in v] for i, v in rows}
     sel = [min(pts)]
     mind = {i: sum((a - b) ** 2 for a, b in zip(pts[i], pts[sel[0]])) for i in pts}
+    del mind[sel[0]]  # selected points leave the candidate set
     want = [(1, sel[0], None)]
     for r in range(2, 9):
-        nxt = max(pts, key=lambda i: (mind[i], -i))
+        nxt = max(mind, key=lambda i: (mind[i], -i))
         want.append((r, nxt, mind[nxt]))
-        for i in pts:
+        del mind[nxt]
+        for i in mind:
             d = sum((a - b) ** 2 for a, b in zip(pts[i], pts[nxt]))
             if d < mind[i]:
                 mind[i] = d
@@ -2046,3 +2048,23 @@ def test_kcenter_coreset_validation(spark):
         kcenter_coreset(df, "vec_id", "embedding", k=0)
     with pytest.raises(ValueError):
         kcenter_coreset(df.filter("vec_id > 1"), "vec_id", "embedding", k=2)
+    with pytest.raises(ValueError, match="exceeds"):
+        kcenter_coreset(df, "vec_id", "embedding", k=2)
+
+
+def test_kcenter_coreset_duplicate_vectors_pick_distinct_ids(spark):
+    """Gonzalez must select k DISTINCT points: with duplicate vectors
+    the selected point's twin sits at distance 0, and an argmax over a
+    frame still containing the selected row would re-pick its (lower)
+    id forever (the bug class this pins)."""
+    from healthcare_api_spark.operators.similarity import kcenter_coreset
+
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [0.0]), (3, [0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = sorted(
+        (r["rank"], r["vec_id"], r["min_sqdist"])
+        for r in kcenter_coreset(df, "vec_id", "embedding", k=3, scale=1.0).collect()
+    )
+    assert got == [(1, 1, None), (2, 2, 0), (3, 3, 0)]
