@@ -3876,6 +3876,29 @@ def q_ds8_token_mixture(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_u16_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled multilingual mixture (r9, second session):
+    per-language sampling rates ∝ n^(3/4) (the mBERT/XLM-R
+    tail-upsampling rule; curation.temperature_mixture_rates) applied
+    with the deterministic md5-threshold sampler — ds8's
+    plan→sample pipeline with the weights COMPUTED from the corpus
+    instead of given. Portability devices: α quantized to quarters so
+    every weight is a chain of IEEE-correctly-rounded sqrts (cross-
+    engine pow is NOT correctly rounded — a rate-boundary ulp flips
+    membership), and the weight normalizer z folds LEFT-TO-RIGHT over
+    languages sorted by name (the oracle replays the identical fold
+    with list_reduce over list(w ORDER BY lang))."""
+    _tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    rates = curation.temperature_mixture_rates(
+        docs, "lang", total=800, alpha_quarters=3
+    )
+    out = curation.stratified_sample(
+        docs, "doc_id", "lang", rates, salt="temp"
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_t22_repetition_filter(spark, sf_dir):
     """Gopher-style repetition quality filter over the corpus (Rae et
     al. 2021 §A1.1): per-doc token stats, top token/bigram with
@@ -6497,6 +6520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m19_patch_vote_neardup": q_m19_patch_vote_neardup,
         "w14_sequence_match": q_w14_sequence_match,
         "st12_streaming_cep": q_st12_streaming_cep,
+        "u16_temperature_mixture": q_u16_temperature_mixture,
         # --- r8 head (VERDICT r7 #6): rows-only queries the driver's
         # ledger recorded in r08 (f7/k1/k2/t12, rows-only by documented
         # DuckDB impossibility: DuckDB 1.0.0 has no sha1() for uuid5 —
@@ -8863,6 +8887,26 @@ def oracle_sql() -> dict[str, str]:
     # r9 second session: st12 — streaming-equals-batch: the live CEP
     # run must land on w14's oracle VERBATIM (the st11/x11 device)
     out["st12_streaming_cep"] = out["w14_sequence_match"]
+    # r9 second session: u16 — n^(3/4) weights via sqrt chains (pow is
+    # not cross-engine correctly-rounded; sqrt is), z as the SAME
+    # left fold (list_reduce over name-ordered weights), then the ds8
+    # printf-threshold sampler
+    out["u16_temperature_mixture"] = (
+        "WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n"
+        "  FROM documents WHERE lang IS NOT NULL GROUP BY lang),"
+        " w_ AS (SELECT lang, n,"
+        "  sqrt(sqrt(CAST(n * n * n AS DOUBLE))) AS w FROM c),"
+        " z_ AS (SELECT list_reduce(list(w ORDER BY lang),"
+        "  (a, b) -> a + b) AS z FROM w_),"
+        " r AS (SELECT lang,"
+        "  CASE WHEN (w / z) * 800 / n >= 1.0 THEN 'g'"
+        "   ELSE printf('%08x',"
+        "    CAST(floor((w / z) * 800 / n * 4294967296) AS BIGINT)) END"
+        "   AS th FROM w_, z_)"
+        " SELECT d.doc_id, d.lang FROM documents d"
+        " JOIN r ON d.lang = r.lang"
+        " WHERE substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8) < th"
+    )
     # r9 second session: m19 — every patch's bytes regenerated
     # analytically (hex over generate_series, the m17 device), then
     # the same md5 / max_df prune / vote join

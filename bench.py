@@ -234,6 +234,7 @@ HEADLINE = [
     "m19_patch_vote_neardup",
     "w14_sequence_match",
     "st12_streaming_cep",
+    "u16_temperature_mixture",
 ]
 
 N_STEADY = 3

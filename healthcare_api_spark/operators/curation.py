@@ -972,3 +972,61 @@ def blocklist_screen(
             (ppm > F.lit(int(max_ratio_ppm))) | (F.col("n_hard_hits") > 0)
         ).cast("int").alias("flagged"),
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    total: int,
+    alpha_quarters: int = 3,
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights (the multilingual-sampling
+    rule of mBERT/XLM-R: stratum weight ∝ n^α, α < 1 upsamples the
+    tail) turned into deterministic per-stratum sampling rates for
+    ``stratified_sample``.
+
+    Portability is why α is quantized to quarters: cross-engine
+    ``pow`` is NOT correctly rounded (JVM Math.pow vs libm disagree
+    by ulps and a rate boundary flip changes the sample), but IEEE
+    ``sqrt`` IS — so n^(1/4)=√√n, n^(1/2)=√n, n^(3/4)=√√(n³) are
+    bit-identical everywhere (n³ stays exact while n < 2⁵³ᐟ³ ≈ 208k —
+    validated). z folds the weights LEFT-TO-RIGHT over strata sorted
+    by name (float + is order-sensitive; the oracle replays the same
+    fold with list_reduce over list(w ORDER BY stratum)), and each
+    rate is min(1, ((w/z)·total)/n) in plan_mixture's exact op order.
+
+    Only the per-stratum counts reach the driver. Returns
+    {stratum: rate}.
+    """
+    import math
+    from functools import reduce
+
+    if alpha_quarters not in (1, 2, 3, 4):
+        raise ValueError("alpha_quarters must be 1, 2, 3, or 4 (α = q/4)")
+    counts = {
+        r[0]: int(r[1])
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] is not None and r[1] > 0
+    }
+    if not counts:
+        raise ValueError("no non-empty strata")
+
+    def w(n: int) -> float:
+        if alpha_quarters == 4:
+            return float(n)
+        if alpha_quarters == 2:
+            return math.sqrt(float(n))
+        if alpha_quarters == 1:
+            return math.sqrt(math.sqrt(float(n)))
+        cubed = n * n * n
+        if cubed >= 2**53:
+            raise ValueError(
+                f"stratum count {n} too large for exact n³ (α=3/4)"
+            )
+        return math.sqrt(math.sqrt(float(cubed)))
+
+    names = sorted(counts)
+    z = reduce(lambda acc, s: acc + w(counts[s]), names, 0.0)
+    return {
+        s: min(1.0, (w(counts[s]) / z) * total / counts[s]) for s in names
+    }

@@ -728,3 +728,49 @@ def test_blocklist_screen_thresholds_and_hard_terms(spark):
 
     with pytest.raises(ValueError):
         curation.blocklist_screen(docs, "doc_id", "text", terms=())
+
+
+def test_temperature_mixture_hand_computed_and_upsampling(spark):
+    import math
+
+    from healthcare_api_spark.operators.curation import (
+        temperature_mixture_rates,
+    )
+
+    # 1600 'big' vs 100 'small' docs: α=3/4 weights 1600^.75=251.98...,
+    # 100^.75=31.62... — the small stratum's SHARE rises from 100/1700
+    # ≈ 5.9% to ~11.1%, so its rate beats proportional sampling
+    rows = [(i, "big") for i in range(1600)] + [
+        (10_000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = temperature_mixture_rates(df, "lang", total=170, alpha_quarters=3)
+    wb = math.sqrt(math.sqrt(float(1600 ** 3)))
+    ws = math.sqrt(math.sqrt(float(100 ** 3)))
+    z = 0.0 + wb + ws
+    assert rates["big"] == min(1.0, (wb / z) * 170 / 1600)
+    assert rates["small"] == min(1.0, (ws / z) * 170 / 100)
+    # temperature upsamples the tail: small's rate > the uniform rate
+    assert rates["small"] > 170 / 1700 and rates["big"] < 170 / 1600 * 1.0 + 1e-9
+    # α=1 (no temperature) gives proportional rates: both equal
+    flat = temperature_mixture_rates(df, "lang", total=170, alpha_quarters=4)
+    assert abs(flat["big"] - 0.1) < 1e-12 and abs(flat["small"] - 0.1) < 1e-12
+
+
+def test_temperature_mixture_validation(spark):
+    import pytest
+
+    from healthcare_api_spark.operators.curation import (
+        temperature_mixture_rates,
+    )
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        temperature_mixture_rates(df, "lang", total=10, alpha_quarters=5)
+    with pytest.raises(ValueError, match="no non-empty"):
+        temperature_mixture_rates(
+            df.filter("doc_id > 1"), "lang", total=10
+        )
+    # the rate caps at 1.0 when a stratum is smaller than its target
+    rates = temperature_mixture_rates(df, "lang", total=10)
+    assert rates == {"en": 1.0}

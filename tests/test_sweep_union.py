@@ -238,6 +238,7 @@ _R9_NEW_QUERIES = [
     "m19_patch_vote_neardup",
     "w14_sequence_match",
     "st12_streaming_cep",
+    "u16_temperature_mixture",
 ]
 
 
