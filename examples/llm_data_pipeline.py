@@ -268,10 +268,13 @@ def main() -> None:
         for r in km.filter(F.col("dim") == 0).collect()
     }
 
-    # 8. mixture sampling: rebalance toward an even language mix
+    # 8. mixture sampling: temperature-scaled (n^(3/4)) language
+    # rebalancing — the mBERT/XLM-R tail-upsampling rule, with rates
+    # computed FROM the corpus counts (u16) instead of hand-set props
     # (deterministic — rerunning with the same salt reproduces the draw)
-    props = {lang: 1.0 for (lang,) in corpus.select("pred_lang").distinct().collect()}
-    rates = curation.plan_mixture(corpus, "pred_lang", props, total=max(1, n_corpus // 2))
+    rates = curation.temperature_mixture_rates(
+        corpus, "pred_lang", total=max(1, n_corpus // 2), alpha_quarters=3
+    )
     corpus = curation.stratified_sample(
         corpus, "doc_id", "pred_lang", rates, salt="mix-v1"
     ).persist()
