@@ -240,6 +240,9 @@ _R9_NEW_QUERIES = [
     "st12_streaming_cep",
     "u16_temperature_mixture",
 ]
+# NOTE: st12's oracle is w14's VERBATIM — its live-verify here runs the
+# real 2-micro-batch streaming gate, the strongest per-pytest check in
+# the list.
 
 
 def test_r9_new_oracles_match_at_sf0001():
