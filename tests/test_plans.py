@@ -647,3 +647,31 @@ def test_dtw_pairs_frame_maps_in_pandas(spark):
     plan = _plan(df)
     assert "MapInPandas" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bfs_round_pins_shuffle_hash_on_edges(spark):
+    # the r9b x100 broadcast-OOM fix: a frontier round's join against
+    # the corpus-sized edge frame must be a ShuffledHashJoin (the hint),
+    # never a broadcast of the edge side — pinned on the ROUND shape
+    # (one frontier ⋈ edges ⋈ anti-visited step built from the same
+    # pieces bfs_hops uses)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["s", "d"]
+    )
+    e = (
+        edges.select(F.col("s").alias("u"), F.col("d").alias("v"))
+        .unionByName(edges.select(F.col("d").alias("u"), F.col("s").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = spark.createDataFrame([(1,)], "node bigint")
+    dist = frontier.select("node")
+    nxt = (
+        frontier.join(e.hint("shuffle_hash"), frontier["node"] == e["u"])
+        .select(F.col("v").alias("node"))
+        .distinct()
+        .join(dist.hint("shuffle_hash"), "node", "left_anti")
+    )
+    plan = _plan(nxt)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan or "build right" not in plan.lower()
