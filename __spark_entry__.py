@@ -4686,6 +4686,32 @@ def q_x23_forecast_mase(spark, sf_dir):
     )
 
 
+def q_x24_series_features(spark, sf_dir):
+    """Per-series feature screen (r9, second session): the
+    `tsfeatures` routing vector over the per-type hourly series
+    (temporal.series_features) — length, exact-int64 moment
+    numerators (variance = (n·Σx²−(Σx)²)/n², one rounded double
+    beside the exact numerator), LOWER-median crossing points (an
+    order statistic, no interpolation — integer sign products), and
+    the longest flat spot (gaps-and-islands run lengths). Everything
+    rides x13's integer-quantized values, so the whole vector is
+    hash-exact with no float boundary anywhere except the two display
+    divisions."""
+    from healthcare_api_spark.operators import temporal
+
+    _tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value").cast("double") * 100).cast("bigint")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.round(
+            F.sum(cents).cast("double") * 100.0 / F.count(F.lit(1))
+        ).cast("bigint").alias("vq")
+    )
+    return temporal.series_features(hourly, "event_type", "bucket", "vq")
+
+
 def q_k5_sample_quantiles(spark, sf_dir):
     """Engine-portable quantile sketch (k5): bottom-k-by-md5 value
     sample per language (KMV pointed at quantiles), then exact
@@ -6521,6 +6547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_sequence_match": q_w14_sequence_match,
         "st12_streaming_cep": q_st12_streaming_cep,
         "u16_temperature_mixture": q_u16_temperature_mixture,
+        "x24_series_features": q_x24_series_features,
         # --- r8 head (VERDICT r7 #6): rows-only queries the driver's
         # ledger recorded in r08 (f7/k1/k2/t12, rows-only by documented
         # DuckDB impossibility: DuckDB 1.0.0 has no sha1() for uuid5 —
@@ -8960,6 +8987,46 @@ def oracle_sql() -> dict[str, str]:
 
     out["u15_kcenter_coreset"] = _kcenter_sql(
         "embeddings", "vec_id", "embedding", k=12, scale=1000.0
+    )
+    # r9 second session: x24 — the same integer feature algebra:
+    # lower median by order statistic, sign-product crossings,
+    # gaps-and-islands run lengths
+    out["x24_series_features"] = (
+        "WITH s_ AS (SELECT event_type, date_trunc('hour', ts) AS bucket,"
+        "  CAST(round(CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100)"
+        "   AS BIGINT)) AS DOUBLE) * 100.0 / count(*)) AS BIGINT) AS vq"
+        "  FROM events GROUP BY 1, 2),"
+        " med AS (SELECT event_type, vq AS m FROM ("
+        "  SELECT event_type, vq,"
+        "   row_number() OVER (PARTITION BY event_type ORDER BY vq, bucket)"
+        "    AS rn,"
+        "   count(*) OVER (PARTITION BY event_type) AS n FROM s_) z"
+        "  WHERE rn = (n + 1) // 2),"
+        " st AS (SELECT s_.event_type, s_.bucket, s_.vq, med.m,"
+        "  lag(s_.vq) OVER (PARTITION BY s_.event_type ORDER BY s_.bucket)"
+        "   AS pv FROM s_ JOIN med USING (event_type)),"
+        " st2 AS (SELECT *,"
+        "  CASE WHEN pv IS NOT NULL AND (pv - m) * (vq - m) < 0"
+        "   THEN 1 ELSE 0 END AS cr,"
+        "  CASE WHEN pv IS NULL OR pv <> vq THEN 1 ELSE 0 END AS nr"
+        "  FROM st),"
+        " st3 AS (SELECT *, sum(nr) OVER (PARTITION BY event_type"
+        "  ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS run FROM st2),"
+        " runs AS (SELECT event_type, run, count(*) AS rl FROM st3"
+        "  GROUP BY 1, 2),"
+        " flat AS (SELECT event_type, CAST(max(rl) AS BIGINT)"
+        "  AS longest_flat FROM runs GROUP BY 1),"
+        " agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+        "  CAST(sum(vq) AS BIGINT) AS sum_q,"
+        "  CAST(sum(vq * vq) AS BIGINT) AS sumsq_q,"
+        "  CAST(sum(cr) AS BIGINT) AS crossing_points FROM st2 GROUP BY 1)"
+        " SELECT agg.event_type, n, sum_q, sumsq_q,"
+        "  CAST(n * sumsq_q - sum_q * sum_q AS BIGINT) AS var_num,"
+        "  round(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,"
+        "  round(CAST(n * sumsq_q - sum_q * sum_q AS DOUBLE)"
+        "   / CAST(n * n AS DOUBLE), 6) AS variance,"
+        "  crossing_points, longest_flat"
+        " FROM agg JOIN flat USING (event_type)"
     )
     # r9 second session: x22 — the same greedy argmax rounds over
     # window prefix sums (binseg_changepoints_sql)

@@ -235,6 +235,7 @@ HEADLINE = [
     "w14_sequence_match",
     "st12_streaming_cep",
     "u16_temperature_mixture",
+    "x24_series_features",
 ]
 
 N_STEADY = 3

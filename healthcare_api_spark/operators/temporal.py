@@ -1985,3 +1985,108 @@ def forecast_eval(
             ),
         ).alias("mase"),
     )
+
+
+def series_features(
+    series: DataFrame,
+    key_col: str,
+    idx_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Per-series feature vector (the `tsfeatures` screen a
+    forecasting platform computes corpus-wide to route series to
+    models): length, exact-integer moment numerators, median crossing
+    points, and the longest flat spot. Everything is EXACT int64 on
+    the already-quantized values — no rounding contract anywhere:
+
+    - ``var_num`` = n·Σx² − (Σx)² (the variance numerator; variance
+      = var_num / n², exposed as one rounded double beside it),
+    - ``crossing_points`` = #{i : (xᵢ−med)(xᵢ₊₁−med) < 0} with med
+      the LOWER median of the quantized values (order statistic —
+      deterministic, no interpolation),
+    - ``longest_flat`` = the longest run of consecutive equal values
+      (gaps-and-islands over one series window).
+
+    Shape: two windows over the same series partitioning (= one
+    shuffle; the order/lag window and the run-id window share the
+    key) plus one per-key aggregate. Output: (key, n, sum_q, sumsq_q,
+    var_num, mean, variance, crossing_points, longest_flat).
+    """
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("_k").orderBy("_i")
+    base = series.select(
+        F.col(key_col).alias("_k"),
+        F.col(idx_col).alias("_i"),
+        F.col(val_col).cast("bigint").alias("_x"),
+    )
+    # lower median as an order statistic: rank (n+1)//2 over the values
+    med = (
+        base.withColumn(
+            "_rn", F.row_number().over(_W.partitionBy("_k").orderBy("_x", "_i"))
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(_W.partitionBy("_k")))
+        .filter(F.col("_rn") == F.floor((F.col("_n") + F.lit(1)) / 2))
+        .select("_k", F.col("_x").alias("_med"))
+    )
+    stepped = (
+        base.join(med, "_k")
+        .withColumn("_prev", F.lag("_x").over(w))
+        .withColumn(
+            "_cross",
+            F.when(
+                (F.col("_prev").isNotNull())
+                & (
+                    (F.col("_prev") - F.col("_med"))
+                    * (F.col("_x") - F.col("_med"))
+                    < 0
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_newrun",
+            F.when(
+                F.col("_prev").isNull() | (F.col("_prev") != F.col("_x")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_run", F.sum("_newrun").over(w))
+    )
+    runs = stepped.groupBy("_k", "_run").agg(
+        F.count(F.lit(1)).alias("_runlen")
+    )
+    flat = runs.groupBy("_k").agg(
+        F.max("_runlen").cast("bigint").alias("longest_flat")
+    )
+    agg = stepped.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_x").cast("bigint").alias("sum_q"),
+        F.sum(F.col("_x") * F.col("_x")).cast("bigint").alias("sumsq_q"),
+        F.sum("_cross").cast("bigint").alias("crossing_points"),
+    )
+    return (
+        agg.join(flat, "_k")
+        .select(
+            F.col("_k").alias(key_col),
+            "n",
+            "sum_q",
+            "sumsq_q",
+            (
+                F.col("n") * F.col("sumsq_q") - F.col("sum_q") * F.col("sum_q")
+            ).cast("bigint").alias("var_num"),
+            F.round(
+                F.col("sum_q").cast("double") / F.col("n").cast("double"), 6
+            ).alias("mean"),
+            F.round(
+                (
+                    F.col("n") * F.col("sumsq_q")
+                    - F.col("sum_q") * F.col("sum_q")
+                ).cast("double")
+                / (F.col("n") * F.col("n")).cast("double"),
+                6,
+            ).alias("variance"),
+            "crossing_points",
+            "longest_flat",
+        )
+    )

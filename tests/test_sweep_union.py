@@ -239,6 +239,7 @@ _R9_NEW_QUERIES = [
     "w14_sequence_match",
     "st12_streaming_cep",
     "u16_temperature_mixture",
+    "x24_series_features",
 ]
 # NOTE: st12's oracle is w14's VERBATIM — its live-verify here runs the
 # real 2-micro-batch streaming gate, the strongest per-pytest check in

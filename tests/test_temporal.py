@@ -1153,3 +1153,47 @@ def test_forecast_eval_perfect_and_degenerate(spark):
     assert got["c"]["err_naive_micros"] == 0 and got["c"]["mase"] is None
     with pytest.raises(ValueError):
         forecast_eval(df, ("k",), "t", "x", "f", naive_lag=0)
+
+
+def test_series_features_hand_computed(spark):
+    from healthcare_api_spark.operators.temporal import series_features
+
+    # values 1,1,1,5,1,9: n=6, sum=18, sumsq=110, var_num=6*110-324=336
+    # lower median (sorted 1,1,1,1,5,9; rank (6+1)//2=3) = 1;
+    # crossings around 1: products are 0 at every step touching the
+    # median -> 0 crossings; longest flat = the leading 1,1,1 run
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate([1, 1, 1, 5, 1, 9])],
+        "k string, i int, v long",
+    )
+    r = series_features(df, "k", "i", "v").collect()[0]
+    assert (r["n"], r["sum_q"], r["sumsq_q"], r["var_num"]) == (6, 18, 110, 336)
+    assert r["mean"] == 3.0 and r["variance"] == round(336 / 36, 6)
+    assert r["crossing_points"] == 0
+    assert r["longest_flat"] == 3
+
+
+def test_series_features_crossings_and_runs(spark):
+    from healthcare_api_spark.operators.temporal import series_features
+
+    # oscillation around the median: 0,10,0,10,0 (median 0 ->
+    # sign products are 0; shift by -5: -5,5,-5,5,-5 median -5)
+    # use 1,9,1,9,1: sorted 1,1,1,9,9, lower median (rank 3) = 1;
+    # every 9 touches (x-med)>0, every 1 gives 0 -> products 0.
+    # Use values straddling strictly: 1,9,2,9,1 -> median 2:
+    # steps (1,9): (-1)(7)<0 X; (9,2): 7*0=0; (2,9): 0*7=0; (9,1):
+    # 7*(-1)<0 X -> 2 crossings
+    df = spark.createDataFrame(
+        [("b", i, v) for i, v in enumerate([1, 9, 2, 9, 1])],
+        "k string, i int, v long",
+    )
+    r = series_features(df, "k", "i", "v").collect()[0]
+    assert r["crossing_points"] == 2
+    assert r["longest_flat"] == 1
+    # constant series: variance 0, one long run, no crossings
+    c = spark.createDataFrame(
+        [("c", i, 7) for i in range(5)], "k string, i int, v long"
+    )
+    rc = series_features(c, "k", "i", "v").collect()[0]
+    assert rc["var_num"] == 0 and rc["variance"] == 0.0
+    assert rc["longest_flat"] == 5 and rc["crossing_points"] == 0
