@@ -156,7 +156,13 @@ def cep_batch(
         kept = prev.join(batch_keys, "k", "left_anti")
         return kept.unionByName(d)
 
-    pend_store.merge_batch(still, batch_id, _merge_pending)
+    # touched MUST come from batch_keys, not from ``still`` (ADVICE
+    # r9): a batch whose pendings all complete leaves ``still`` empty
+    # for that key's bucket, and deriving touched from the delta would
+    # skip rewriting the bucket — the stale pendings would stay current
+    # and re-advance in later batches, emitting duplicate non-earliest
+    # matches. The store's tombstones handle the bucket-emptied case.
+    pend_store.merge_batch(still, batch_id, _merge_pending, touched=touched)
 
 
 def streaming_sequence_match(

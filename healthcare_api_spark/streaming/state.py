@@ -145,11 +145,21 @@ class BucketedVersionedState:
         """Current state (or the state as of strictly-before
         ``before_batch``, optionally restricted to ``buckets``).
         Returns None when no complete state exists — the first-batch
-        signal."""
+        signal. Tombstone rows (the emptied-bucket markers written by
+        ``merge_batch``) are filtered out here, so callers only ever
+        see live state rows."""
         paths = self._paths_before(spark, before_batch, buckets)
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        # mergeSchema: versions written before the tombstone column
+        # existed lack ``_tomb``; merging yields _tomb=null for their
+        # rows, which coalesce() keeps
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if "_tomb" in df.columns:
+            df = df.filter(
+                ~F.coalesce(F.col("_tomb"), F.lit(False))
+            ).drop("_tomb")
+        return df
 
     # -- the per-batch merge ------------------------------------------
     def touched_buckets(self, delta: DataFrame) -> set[int]:
@@ -191,8 +201,32 @@ class BucketedVersionedState:
             return
         prev = self.read(spark, before_batch=batch_id, buckets=touched)
         merged = merge_fn(prev, delta)
+        out = merged.withColumn("_pt", self.bucket_expr()).withColumn(
+            "_tomb", F.lit(False)
+        )
+        # Emptied-bucket representation (ADVICE r9): a touched bucket
+        # whose post-merge state is EMPTY writes no ``_pt=`` directory
+        # under partitionBy, so the census would keep resolving it to
+        # the older version and its stale rows would resurface. One
+        # tombstone row per touched bucket guarantees every touched
+        # bucket materializes in this version; tombstones ride the same
+        # atomic parquet commit as the data (crash-safe — no separate
+        # manifest file to lose between _SUCCESS and a sidecar write)
+        # and are filtered out by ``read``.
+        null_cols = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in out.schema.fields
+            if f.name not in ("_pt", "_tomb")
+        ]
+        tombs = (
+            spark.createDataFrame(
+                [(int(b),) for b in sorted(touched)], "_pt int"
+            )
+            .withColumn("_tomb", F.lit(True))
+            .select(*null_cols, "_pt", "_tomb")
+        )
         (
-            merged.withColumn("_pt", self.bucket_expr())
+            out.unionByName(tombs)
             .write.partitionBy("_pt")
             .mode("overwrite")
             .parquet(f"{self.path}/v{batch_id}")

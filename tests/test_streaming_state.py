@@ -498,3 +498,72 @@ def test_streaming_cep_pending_survives_early_continuations(spark, tmp_path):
     cep_batch(b1, 1, root, "user_id", "ts", "event_type", ["a", "b"], None)
     rows = read_sequence_matches(spark, root, "user_id", 2).collect()
     assert len(rows) == 1 and str(rows[0]["ts_2"]).startswith("2024-01-01 10:09")
+
+
+def test_emptied_bucket_tombstone_no_resurface(spark, tmp_path):
+    """ADVICE r9 (store half): when a merge empties a touched bucket,
+    the new version must still SHADOW the old copy — an empty
+    partitionBy write materializes no ``_pt=`` dir, so without the
+    tombstone marker the census would keep resolving the bucket to the
+    older version and its stale rows would resurface."""
+    store = BucketedVersionedState(
+        str(tmp_path / "st"), key_cols=["k"], num_buckets=4
+    )
+    store.merge_batch(_mk(spark, [("a", 1), ("b", 2)]), 0, _merge_counts)
+    assert sorted(
+        (r["k"], r["cnt"]) for r in store.read(spark).collect()
+    ) == [("a", 1), ("b", 2)]
+
+    def _delete_a(prev, delta):
+        # post-merge state for a's bucket: nothing (the key is removed)
+        kept = prev.join(delta.select("k"), "k", "left_anti")
+        return kept
+
+    # delta names key "a" -> its bucket is touched; merge removes it.
+    # If b shares a's bucket the bucket still has b; read must show
+    # exactly {b} either way, never a resurrected "a".
+    store.merge_batch(_mk(spark, [("a", 0)]), 1, _delete_a)
+    got = sorted((r["k"], r["cnt"]) for r in store.read(spark).collect())
+    assert got == [("b", 2)]
+    # replay of batch 1 is still a no-op
+    store.merge_batch(_mk(spark, [("a", 0)]), 1, _delete_a)
+    assert sorted(
+        (r["k"], r["cnt"]) for r in store.read(spark).collect()
+    ) == [("b", 2)]
+
+
+def test_streaming_cep_completed_pending_does_not_readvance(spark, tmp_path):
+    """ADVICE r9 (high): a batch whose pendings ALL complete leaves
+    ``still`` empty for that key's bucket; touched buckets must come
+    from batch_keys, not the delta, or the stale stage-1 pending stays
+    current and re-advances on a LATER continuation — emitting a
+    duplicate non-earliest match and breaking streaming == batch."""
+    from datetime import datetime
+
+    from healthcare_api_spark.operators.analytics import sequence_spans
+    from healthcare_api_spark.streaming.cep import (
+        cep_batch,
+        read_sequence_matches,
+    )
+
+    def t(minute):
+        return datetime(2024, 1, 1, 10, minute)
+
+    schema = "user_id long, ts timestamp, event_type string"
+    b0 = spark.createDataFrame([(1, t(0), "a")], schema)
+    b1 = spark.createDataFrame([(1, t(5), "b")], schema)   # completes it
+    b2 = spark.createDataFrame([(1, t(9), "b")], schema)   # bait
+    root = str(tmp_path / "cep3")
+    for i, b in enumerate([b0, b1, b2]):
+        cep_batch(b, i, root, "user_id", "ts", "event_type", ["a", "b"], None)
+    rows = read_sequence_matches(spark, root, "user_id", 2).collect()
+    assert len(rows) == 1
+    assert str(rows[0]["ts_2"]).startswith("2024-01-01 10:05")
+    # and it equals the batch operator over the full stream
+    whole = sequence_spans(
+        b0.unionByName(b1).unionByName(b2),
+        "user_id", "ts", "event_type", ["a", "b"],
+    ).collect()
+    assert len(whole) == 1 and str(whole[0]["ts_2"]).startswith(
+        "2024-01-01 10:05"
+    )
