@@ -6517,7 +6517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and every new r4 query. tests/test_sweep_union.py now enforces
     # the union property (r1∪r2∪r3∪r4 sweeps ⊇ all hash queries)
     # mechanically instead of by NOTES.md discipline.
-    return {
+    base = {
         # --- r9 head (VERDICT r8 task #1): the 7 r8-tail queries whose
         # oracles sat in _R9_ORACLE_QUEUE graduate into oracle_sql()
         # and lead the sweep so CORRECTNESS_r09 finally records them
@@ -6809,6 +6809,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_funnel": q_w5_funnel,
         "w6_cohort_retention": q_w6_cohort_retention,
     }
+    # --- r10 prefix rotation (VERDICT r9 #4): lead the 50-entry sweep
+    # with (a) the gates changed THIS round — g11 pivot semantics
+    # (ADVICE r9), u15 exact-integer oracle, v21 input validation,
+    # x9/x18 decimal moment sums + HUGEINT oracle products, s15 (the
+    # versioned store's bucket-pruned writes), st12 (CEP pending-merge
+    # fix) — and (b) the r9 plan-changed gates whose driver hashes
+    # predate the change: the shuffle_hash-hint six (d16, d18, t10,
+    # t25, t28, d9) and the BM25/RRF-rewrite six (fs5, fs10, fs12,
+    # t19, v20, v9). Everything displaced has an unchanged registry
+    # entry and a green union hash (test_sweep_union enforces). ---
+    _R10_PREFIX = [
+        "g11_stress_centrality",
+        "u15_kcenter_coreset",
+        "v21_l2_range_join",
+        "x9_series_correlation",
+        "x18_acf",
+        "s15_time_travel",
+        "st12_streaming_cep",
+        "d16_sparse_cosine",
+        "d18_prefix_jaccard",
+        "t10_tfidf",
+        "t25_substring_search",
+        "t28_multi_substring",
+        "d9_exact_substring",
+        "fs5_search_text",
+        "fs10_text_bm25",
+        "fs12_text_phrase",
+        "t19_proximity_rank",
+        "v20_rag_pipeline",
+        "v9_hybrid_rrf",
+    ]
+    out = {k: base[k] for k in _R10_PREFIX}
+    out.update(base)
+    return out
 
 
 def _simhash_oracle() -> str:
@@ -8269,7 +8303,8 @@ def oracle_sql() -> dict[str, str]:
             "  a.v AS x, b.v AS y FROM s a JOIN s b ON a.bucket = b.bucket"
             "  AND a.event_type < b.event_type),"
             " m AS (SELECT series_a, series_b, count(*) AS n, sum(x) AS sx,"
-            "  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy"
+            "  sum(y) AS sy, sum(x::HUGEINT * y) AS sxy,"
+            "  sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy"
             "  FROM j GROUP BY 1, 2)"
             " SELECT series_a, series_b, CAST(n AS BIGINT) AS n,"
             "  round(CASE WHEN sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
@@ -8810,8 +8845,9 @@ def oracle_sql() -> dict[str, str]:
         "  FROM s a CROSS JOIN l JOIN s b ON b.event_type = a.event_type"
         "  AND b.bucket = a.bucket - l.lag * INTERVAL '1 hour'),"
         " m AS (SELECT series, lag, count(*) AS n, sum(x) AS sx,"
-        "  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,"
-        "  sum(y * y) AS syy FROM j GROUP BY 1, 2)"
+        "  sum(y) AS sy, sum(x::HUGEINT * y) AS sxy,"
+        "  sum(x::HUGEINT * x) AS sxx,"
+        "  sum(y::HUGEINT * y) AS syy FROM j GROUP BY 1, 2)"
         " SELECT series, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,"
         "  round(CASE WHEN sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
         "   * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0"

@@ -36,6 +36,29 @@ is the longitudinal code-performance signal; the interleaved
 ``comparable_subtotal_sec`` stays for continuity and as a measure of
 sweep crosstalk. ``queries_cold`` for the 18 comes from the isolated
 loop's first pass (the only true cold).
+
+Round 10 (VERDICT r9 #1): the HEAVY-GATE classes — real streaming
+runs (st5–st12), video decode (m18/m19), layout-building probes
+(v12/v13/v17), train-then-encode BPE (t27), and t30 (a r9 phantom-
+spike victim) — run in their OWN per-query isolated loop: each query
+takes a GC barrier, then its cold + 3 steady passes back-to-back,
+BEFORE the interleaved sweep. Their ledger numbers (median and min)
+come from that loop and they are EXCLUDED from the interleaved sweep.
+Rationale: the 118-query single-JVM interleaved sweep let one slow
+host window land on 2 of 3 steady passes and record 4–30× phantom
+spikes (r9 ledger: v17 31.5 s vs 0.94 s re-measured isolated, st10
+22.0 vs 5.2, m18 27.7 vs 3.0, t30 5.5 vs 1.2). ``queries_min`` is
+emitted for EVERY query beside the median so a reader can always
+separate "host was slow" from a real regression.
+
+ADJUDICATION RULE (VERDICT r9 #7, for future rounds): a per-query
+median that moves >2× round-over-round WITH NO CODE CHANGE to that
+query is a measurement-protocol fault — re-measure it isolated (fresh
+session, GC barrier, 3+ passes, take the min and median) before
+believing it. It is NOT a regression to "fix": re-optimizing healthy
+code against host-window noise churns plans that already passed
+review. Only a move that reproduces isolated, or follows a code/plan
+change to that query, is a real regression.
 """
 
 from __future__ import annotations
@@ -238,6 +261,29 @@ HEADLINE = [
     "x24_series_features",
 ]
 
+# r10: per-query isolated loop membership (VERDICT r9 #1) — the
+# classes whose inherent cost (streaming micro-batch IO, video codec
+# batches, index-build + probe, vocabulary rounds) makes them the
+# first victims of a churned shared-JVM window. st1 stays in the
+# comparable-18; everything else streaming lives here.
+HEAVY_ISOLATED = [
+    "st5_streaming_neardup",
+    "st6_streaming_kmv",
+    "st7_streaming_session_flows",
+    "st8_streaming_bloom",
+    "st9_streaming_cms",
+    "st10_streaming_hll",
+    "st11_streaming_ewma",
+    "st12_streaming_cep",
+    "m18_keyframes",
+    "m19_patch_vote_neardup",
+    "v12_ivf_pruned",
+    "v13_lsh_pruned",
+    "v17_filtered_ann",
+    "t27_bpe_encode",
+    "t30_hashed_classifier",
+]
+
 N_STEADY = 3
 
 
@@ -280,11 +326,30 @@ def main() -> None:
         for name in R3_COMPARABLE
     }
 
-    # --- full interleaved sweep (cold + 3 steady over all 71) ---
+    # --- per-query isolated heavy-gate loop (r10, VERDICT r9 #1) ---
+    # each heavy query: GC barrier, then cold + N_STEADY passes
+    # back-to-back — a slow host window can poison at most ONE query,
+    # never the whole class
+    heavy_cold: dict[str, float] = {}
+    heavy_runs: dict[str, list[float]] = {}
+    for name in HEAVY_ISOLATED:
+        gc_barrier()
+        runs = []
+        for _ in range(1 + N_STEADY):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            force(qs[name](spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        heavy_cold[name] = runs[0]
+        heavy_runs[name] = runs[1:]
+
+    # --- interleaved sweep (cold + 3 steady; heavy gates excluded —
+    # their ledger numbers come from the isolated loop above) ---
+    sweep_names = [n for n in HEADLINE if n not in set(HEAVY_ISOLATED)]
     cold: dict[str, float] = {}
     steady: list[dict[str, float]] = [{} for _ in range(N_STEADY)]
     for pass_timings in [cold, *steady]:
-        for qi, name in enumerate(HEADLINE):
+        for qi, name in enumerate(sweep_names):
             spark.catalog.clearCache()  # no cross-pass result reuse
             t0 = time.perf_counter()
             force(qs[name](spark, sf_dir))
@@ -301,13 +366,24 @@ def main() -> None:
         gc_barrier()
 
     # the 18's only TRUE cold numbers come from the isolated loop (in
-    # the sweep they run pre-warmed by it)
+    # the sweep they run pre-warmed by it); heavy gates' cold/steady
+    # come only from their own loop
     cold.update(iso_cold)
+    cold.update(heavy_cold)
 
     medians = {
         name: round(statistics.median(p[name] for p in steady), 3)
-        for name in HEADLINE
+        for name in sweep_names
     }
+    mins = {
+        name: round(min(p[name] for p in steady), 3)
+        for name in sweep_names
+    }
+    for name, runs in heavy_runs.items():
+        medians[name] = round(statistics.median(runs), 3)
+        mins[name] = round(min(runs), 3)
+    medians = {n: medians[n] for n in HEADLINE}
+    mins = {n: mins[n] for n in HEADLINE}
     print(
         json.dumps(
             {
@@ -315,6 +391,15 @@ def main() -> None:
                 "value": round(sum(medians.values()), 3),
                 "unit": "sec",
                 "queries": medians,
+                # r10: per-query min over the steady passes, for EVERY
+                # query — the noise-robust floor a reader compares
+                # against before calling anything a regression (see
+                # the ADJUDICATION RULE in the module docstring)
+                "queries_min": mins,
+                # queries measured in their own per-query isolated
+                # loop (GC barrier + 4 back-to-back passes), excluded
+                # from the interleaved sweep
+                "heavy_isolated_set": HEAVY_ISOLATED,
                 "sf": sf,
                 "queries_cold": cold,
                 "cold_total_sec": round(sum(cold.values()), 3),

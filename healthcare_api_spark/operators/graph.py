@@ -1364,12 +1364,13 @@ def stress_centrality(
                 "p", "node", (F.col("sigma") * F.col("qn")).alias("through")
             )
         )
-    # fresh exprIds: localCheckpoint keeps attribute ids, so joining
-    # the ORIGINAL piv frame back against its own descendants trips
-    # Spark's ambiguous-self-join detection
-    piv_keys = piv.select(F.col("p").alias("_pivot"))
+    # Exclude only SELF-ROOTED contributions (p == node): the pivot is
+    # the path's endpoint there, not interior (Q_s(s) would count s
+    # inside its own paths). Rows with p != node where node is another
+    # pivot are legitimate cross-pivot interior stress and are KEPT —
+    # anti-joining all pivots out would silently drop them (ADVICE r9).
     return (
-        acc.join(piv_keys, acc["node"] == F.col("_pivot"), "left_anti")
+        acc.filter(F.col("p") != F.col("node"))
         .groupBy("node")
         .agg(F.sum("through").cast("bigint").alias("stress"))
     )
@@ -1428,9 +1429,11 @@ def stress_centrality_sql(
         for d in range(max_depth + 1)
     )
     body = "".join(parts).rstrip(",")
+    # p <> node mirrors the Spark twin: drop endpoint-not-interior
+    # self-rooted rows only; pivots keep cross-pivot interior stress
     return (
         f"{body} SELECT node, CAST(sum(through) AS BIGINT) AS stress"
-        f" FROM ({union}) t WHERE node NOT IN (SELECT p FROM piv)"
+        f" FROM ({union}) t WHERE p <> node"
         f" GROUP BY node"
     )
 

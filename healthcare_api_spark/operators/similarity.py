@@ -1802,6 +1802,43 @@ def l2_range_join(
         F.col(corpus_id).alias("_cid"), qv.alias("_cqv")
     ).localCheckpoint(eager=True)
     qrys = queries.select(F.col(query_id).alias("_qid"), qv.alias("_qv"))
+
+    # Malformed vectors (NULL, null elements, ragged dims) would get a
+    # NULL cell from the assigner / a NULL bound distance and silently
+    # VANISH from the result while a naive all-pairs check might keep
+    # them — breaking the lossless contract unobservably (ADVICE r9).
+    # Raise instead: one cheap agg per side over the already-projected
+    # vec column (the corpus one reads the local checkpoint).
+    def _check_vecs(df, col, side):
+        bad = F.sum(
+            F.when(
+                F.col(col).isNull()
+                | F.exists(F.col(col), lambda x: x.isNull()),
+                1,
+            ).otherwise(0)
+        )
+        row = df.agg(
+            bad.alias("bad"),
+            F.min(F.size(col)).alias("dmin"),
+            F.max(F.size(col)).alias("dmax"),
+        ).collect()[0]
+        if row["bad"]:
+            raise ValueError(
+                f"{side} has {row['bad']} NULL/null-element vectors"
+            )
+        if row["dmin"] is not None and row["dmin"] != row["dmax"]:
+            raise ValueError(
+                f"{side} vector dims are ragged "
+                f"({row['dmin']}..{row['dmax']})"
+            )
+        return row["dmin"]
+
+    cdim = _check_vecs(corp, "_cqv", "corpus")
+    qdim = _check_vecs(qrys, "_qv", "queries")
+    if cdim is not None and qdim is not None and cdim != qdim:
+        raise ValueError(
+            f"corpus dim {cdim} != queries dim {qdim}"
+        )
     cents = _lloyd_l2_arrow(corp, "_cid", "_cqv", n_cells, iters)
     if not cents:
         raise ValueError("empty corpus")
@@ -1956,10 +1993,14 @@ def kcenter_coreset_sql(
     center's distances into the running minimum."""
     if k < 1:
         raise ValueError("k must be ≥ 1")
+    # exact int64 Σ(a-b)² via an indexed lambda — list_dot_product
+    # returns DOUBLE, whose a·a − 2ab + b·b intermediates lose bits
+    # past 2^53 and can flip the argmax against the exact Spark zip_with
+    # (ADVICE r9); the subtract-first form also keeps intermediates
+    # small (diffs, not raw magnitudes squared)
     d2 = (
-        "CAST(list_dot_product(m{p}.v, m{p}.v)"
-        " - 2 * list_dot_product(m{p}.v, sel{i}.v)"
-        " + list_dot_product(sel{i}.v, sel{i}.v) AS BIGINT)"
+        "CAST(list_sum(list_transform(m{p}.v,"
+        " (x, j) -> (x - sel{i}.v[j]) * (x - sel{i}.v[j]))) AS BIGINT)"
     )
     parts = [
         f"WITH base AS MATERIALIZED (SELECT {id_col} AS id,"
@@ -1969,9 +2010,8 @@ def kcenter_coreset_sql(
         f" sel1 AS MATERIALIZED (SELECT id, v FROM base"
         f"  ORDER BY id LIMIT 1),"
         f" m1 AS MATERIALIZED (SELECT base.id, base.v,"
-        f"  CAST(list_dot_product(base.v, base.v)"
-        f"   - 2 * list_dot_product(base.v, sel1.v)"
-        f"   + list_dot_product(sel1.v, sel1.v) AS BIGINT) AS m"
+        f"  CAST(list_sum(list_transform(base.v,"
+        f"   (x, j) -> (x - sel1.v[j]) * (x - sel1.v[j]))) AS BIGINT) AS m"
         f"  FROM base, sel1 WHERE base.id <> sel1.id),",
     ]
     for i in range(2, k + 1):

@@ -559,19 +559,37 @@ class VersionedResourceStore(ResourceStore):
             resource_type, 1, {b: 1 for b in range(self.num_buckets)}
         )
 
-    def table(self, resource_type: str, as_of: int | None = None) -> DataFrame:
+    def table(
+        self,
+        resource_type: str,
+        as_of: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Snapshot read. ``buckets`` restricts the read to those hash
+        buckets BEFORE the scan (ADVICE r9): the manifest mapping is
+        pruned driver-side so only versions holding a wanted bucket are
+        scanned at all, and each per-version scan carries a
+        ``bucket IN (...)`` filter on the partition column — directory-
+        level pruning, which the write path (upsert/delete) relies on
+        for its 'IO bounded to touched buckets' contract."""
         from functools import reduce
 
         from pyspark.errors import AnalysisException
 
         _, mapping = self._read_manifest(resource_type, as_of)
+        want = (
+            mapping
+            if buckets is None
+            else {b: v for b, v in mapping.items() if b in set(buckets)}
+        )
         by_version: dict[int, list[int]] = {}
-        for b, v in mapping.items():
+        for b, v in want.items():
             by_version.setdefault(v, []).append(b)
         parts = []
-        for v, buckets in sorted(by_version.items()):
+
+        def _read_version(v):
             try:
-                df = self.spark.read.parquet(
+                return self.spark.read.parquet(
                     self._version_path(resource_type, v)
                 )
             except AnalysisException as e:
@@ -579,9 +597,22 @@ class VersionedResourceStore(ResourceStore):
                 # would hold ended empty (copy-on-write delete emptied
                 # them) — semantically an empty contribution
                 if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                    continue
+                    return None
                 raise
-            parts.append(df.filter(F.col("bucket").isin(buckets)))
+
+        for v, bs in sorted(by_version.items()):
+            df = _read_version(v)
+            if df is not None:
+                parts.append(df.filter(F.col("bucket").isin(bs)))
+        if not parts and buckets is not None:
+            # every wanted bucket's version dir is absent (emptied by
+            # copy-on-write deletes): recover the schema from any
+            # readable version; the result is correctly empty
+            for v in sorted(set(mapping.values())):
+                df = _read_version(v)
+                if df is not None:
+                    parts.append(df.filter(F.lit(False)))
+                    break
         if not parts:
             raise ValueError(f"snapshot has no readable data for {resource_type!r}")
         return reduce(lambda a, b: a.unionByName(b), parts).drop("bucket")
@@ -617,12 +648,10 @@ class VersionedResourceStore(ResourceStore):
         touched = [
             r["bucket"] for r in updates_b.select("bucket").distinct().collect()
         ]
-        existing = self.table(resource_type).withColumn(
-            "bucket", self._bucket_expr(id_col)
-        )
-        existing_touched = existing.filter(F.col("bucket").isin(touched)).drop(
-            "bucket"
-        )
+        # bucket-pruned snapshot read: the IN filter rides the partition
+        # column into each per-version scan instead of being re-derived
+        # from md5 post-read (which cannot prune directories)
+        existing_touched = self.table(resource_type, buckets=touched)
         merged = upsert_frames(existing_touched, updates, id_col, version_col)
         self._commit_touched(
             resource_type, merged, id_col, touched, mapping, current + 1
@@ -641,13 +670,8 @@ class VersionedResourceStore(ResourceStore):
         touched = [
             r["bucket"] for r in ids_b.select("bucket").distinct().collect()
         ]
-        existing = self.table(resource_type).withColumn(
-            "bucket", self._bucket_expr(id_col)
-        )
-        kept = (
-            existing.filter(F.col("bucket").isin(touched))
-            .drop("bucket")
-            .join(ids.select(id_col).distinct(), id_col, "left_anti")
+        kept = self.table(resource_type, buckets=touched).join(
+            ids.select(id_col).distinct(), id_col, "left_anti"
         )
         self._commit_touched(
             resource_type, kept, id_col, touched, mapping, current + 1

@@ -685,15 +685,26 @@ def test_stress_centrality_depth_cap_and_multi_pivot(spark):
     }
     assert got == {2: 1, 3: 0}
     # pivots at both ends: interior nodes carry paths from each side;
-    # pivot nodes are excluded from the output but still serve as
-    # interior nodes of the OTHER pivot's paths... (1 and 5 excluded)
+    # pivot nodes stay IN the output with their cross-pivot interior
+    # stress (here 0 — each pivot is the other's path ENDPOINT); only
+    # their self-rooted endpoint rows are excluded (ADVICE r9)
     both = {
         r["node"]: r["stress"]
         for r in stress_centrality(
             edges, "s", "d", pivots=[1, 5], max_depth=6
         ).collect()
     }
-    assert both == {2: 3 + 1, 3: 2 + 2, 4: 1 + 3}
+    assert both == {1: 0, 2: 3 + 1, 3: 2 + 2, 4: 1 + 3, 5: 0}
+    # a pivot sitting INSIDE the other pivot's paths keeps that stress:
+    # pivot 3 is interior to 1→{4,5} (2 paths) — the count the old
+    # anti-join silently dropped
+    mid = {
+        r["node"]: r["stress"]
+        for r in stress_centrality(
+            edges, "s", "d", pivots=[1, 3], max_depth=6
+        ).collect()
+    }
+    assert mid == {1: 0, 2: 3 + 1, 3: 2, 4: 1 + 1, 5: 0}
     with pytest.raises(ValueError):
         stress_centrality(edges, "s", "d", pivots=[], max_depth=2)
     with pytest.raises(ValueError):

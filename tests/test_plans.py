@@ -675,3 +675,153 @@ def test_bfs_round_pins_shuffle_hash_on_edges(spark):
     plan = _plan(nxt)
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan or "build right" not in plan.lower()
+
+
+def test_stress_round_pins_shuffle_hash_on_edges(spark):
+    # g11 (r9): the forward sigma round joins the frontier against the
+    # corpus-sized symmetrized edge frame — must be ShuffledHashJoin
+    # (the hint; same AQE broadcast-OOM class as the BFS round), and
+    # the visited screen is a real keyed anti join
+    edges = spark.createDataFrame([(i, i + 1) for i in range(200)], ["s", "d"])
+    e = (
+        edges.select(F.col("s").alias("u"), F.col("d").alias("v"))
+        .unionByName(edges.select(F.col("d").alias("u"), F.col("s").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lvl = spark.createDataFrame([(1, 1, 1)], "p bigint, node bigint, sigma bigint")
+    seen = lvl.select("p", "node")
+    nxt = (
+        lvl.join(e.hint("shuffle_hash"), lvl["node"] == e["u"])
+        .groupBy("p", F.col("v").alias("node"))
+        .agg(F.sum("sigma").alias("sigma"))
+        .join(seen.hint("shuffle_hash"), ["p", "node"], "left_anti")
+    )
+    plan = _plan(nxt)
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stress_and_sssp_gate_plans_checkpointed_no_cartesian(spark):
+    # g11/g12 (r9): bounded-round iteration — the OUTPUT plan reads the
+    # checkpointed round frames (no recursive re-run) and nothing
+    # corpus-sized crosses unkeyed
+    for q in (entrymod.q_g11_stress_centrality, entrymod.q_g12_sssp_weighted):
+        plan = _plan(q(spark, SF_DIR))
+        assert "Scan ExistingRDD" in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_sequence_match_asof_chain_keyed_no_cartesian(spark):
+    # w14 (r9): k-stage CEP = k−1 per-key as-of window passes — every
+    # exchange is hash-partitioned on the key, nothing global, nothing
+    # cartesian, and no SMJ materializes a small side
+    df = entrymod.q_w14_sequence_match(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cep_stage_advance_keyed_group_no_cartesian(spark):
+    # st12 (r9): one micro-batch stage advance — pending ⋈ stage events
+    # is a keyed left join feeding a keyed groupBy (the WHEN-inside-min
+    # guard keeps unadvanced pendings alive); no cartesian, no global
+    # exchange
+    pend = spark.createDataFrame(
+        [(1, 1, [100])], "k bigint, stage int, hist array<bigint>"
+    )
+    ev = spark.createDataFrame([(1, 200)], "k bigint, _eus bigint")
+    best = (
+        pend.join(ev, "k", "left")
+        .groupBy("k", "stage", "hist")
+        .agg(
+            F.min(
+                F.when(F.col("_eus") >= F.element_at("hist", -1), F.col("_eus"))
+            ).alias("_nxt")
+        )
+    )
+    plan = _plan(best)
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_temperature_mixture_corpus_plan_join_free(spark):
+    # u16 (r9): the rates are a driver-side dict (computed from a tiny
+    # per-lang aggregate), so the corpus pass is a literal-CASE
+    # md5-threshold filter — NO join on the corpus side at all
+    df = entrymod.q_u16_temperature_mixture(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_patch_vote_mapinpandas_and_keyed_votes(spark):
+    # m19 (r9): PNG decode is the one legitimate Python stage — a
+    # mapInPandas byte codec in the PATCH frame, which patch_vote_pairs
+    # then checkpoints (so the gate plan reads ExistingRDD); the vote
+    # join and max_df prune are keyed aggregates/joins — nothing
+    # cartesian, no global exchange
+    from healthcare_api_spark.operators.multimodal import image_patches
+
+    docs = spark.createDataFrame([(1, b"x")], "doc_id long, data binary")
+    patch_plan = _plan(image_patches(docs, "doc_id", "data", patch=8))
+    assert "MapInPandas" in patch_plan or "mapInPandas" in patch_plan
+    df = entrymod.q_m19_patch_vote_neardup(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan  # checkpointed patch frame
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_forecast_mase_per_series_pandas_and_keyed_aggs(spark):
+    # x23 (r9): Holt-Winters runs per-series (FlatMapGroupsInPandas,
+    # series = parallelism unit); the MASE lag arithmetic is per-series
+    # windows + ONE keyed aggregate — no cartesian
+    df = entrymod.q_x23_forecast_mase(spark, SF_DIR)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_series_features_all_keyed_no_cartesian(spark):
+    # x24 (r9): moment numerators, crossing points and flat-spot runs
+    # are per-series windows + keyed aggs — no cartesian, no global
+    # exchange
+    df = entrymod.q_x24_series_features(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_time_travel_snapshot_union_of_pruned_scans(spark):
+    # s15 (r9): the three AS-OF reads are unions of per-version parquet
+    # scans (manifest-routed); nothing cartesian, no global exchange —
+    # the bucket-IN pruning of the WRITE path is pinned in
+    # test_store_pruning (PartitionFilters on bucket)
+    # the gate checkpoints the unioned snapshots (the store dir is
+    # cleaned up before the driver collects), so its own plan is a
+    # bare ExistingRDD — pin the READ plan on a live store instead
+    from healthcare_api_spark.sources.store import VersionedResourceStore
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        store = VersionedResourceStore(spark, root, num_buckets=4)
+        base = spark.createDataFrame(
+            [(i, 1, float(i)) for i in range(1, 9)],
+            "id bigint, version int, val double",
+        )
+        store.import_resources(base, "T")
+        store.upsert(
+            spark.createDataFrame(
+                [(3, 2, 99.0)], "id bigint, version int, val double"
+            ),
+            "T",
+            version_col="version",
+        )
+        plan = _plan(store.table("T"))
+        assert "Union" in plan  # v1 untouched buckets ∪ v2 touched
+        assert "CartesianProduct" not in plan
+    df = entrymod.q_s15_time_travel(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan

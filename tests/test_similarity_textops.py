@@ -2068,3 +2068,82 @@ def test_kcenter_coreset_duplicate_vectors_pick_distinct_ids(spark):
         for r in kcenter_coreset(df, "vec_id", "embedding", k=3, scale=1.0).collect()
     )
     assert got == [(1, 1, None), (2, 2, 0), (3, 3, 0)]
+
+
+def test_kcenter_sql_twin_exact_at_large_magnitudes(spark):
+    """ADVICE r9: the oracle's old a·a − 2ab + b·b list_dot_product
+    form went through DOUBLE and lost bits past 2^53, flipping the
+    argmax against Spark's exact int64 zip_with. Magnitudes here are
+    chosen so the squared terms exceed 2^53 while the true squared
+    DIFFERENCES stay small — exactly the regime where the float form
+    ties incorrectly and the subtract-first integer form must not."""
+    import duckdb
+
+    from healthcare_api_spark.operators.similarity import (
+        kcenter_coreset,
+        kcenter_coreset_sql,
+    )
+
+    # base magnitude ~1.1e8 -> v ~1.1e11 at scale=1000 -> v² ~1.2e22
+    # (well past 2^53≈9e15); pairwise diffs stay at 1..3
+    rows = [
+        (1, [110000000.0, 110000000.0]),
+        (2, [110000000.001, 110000000.002]),
+        (3, [110000000.003, 110000000.001]),
+        (4, [110000000.002, 110000000.003]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = sorted(
+        (r["rank"], r["vec_id"], r["min_sqdist"])
+        for r in kcenter_coreset(df, "vec_id", "embedding", k=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE emb AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, [{v[0]!r}, {v[1]!r}]::DOUBLE[])" for i, v in rows
+        )
+        + ") AS t(vec_id, embedding)"
+    )
+    sql = kcenter_coreset_sql("emb", "vec_id", "embedding", k=4)
+    want = sorted(
+        (int(r[0]), int(r[1]), None if r[2] is None else int(r[2]))
+        for r in con.execute(sql).fetchall()
+    )
+    assert got == want
+
+
+def test_l2_range_join_rejects_malformed_vectors(spark):
+    """ADVICE r9: a NULL or ragged-dim vector would silently vanish
+    from the 'lossless' result (NULL cell assignment); the operator
+    must raise up front instead."""
+    import pytest
+
+    from healthcare_api_spark.operators.similarity import l2_range_join
+
+    good = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    null_vec = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    ragged = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        l2_range_join(null_vec, good, "vec_id", "vec_id", "embedding", 1.0)
+    with pytest.raises(ValueError, match="ragged"):
+        l2_range_join(ragged, good, "vec_id", "vec_id", "embedding", 1.0)
+    with pytest.raises(ValueError, match="NULL"):
+        l2_range_join(good, null_vec, "vec_id", "vec_id", "embedding", 1.0)
+    with pytest.raises(ValueError, match="dim"):
+        l2_range_join(
+            good,
+            spark.createDataFrame(
+                [(9, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>"
+            ),
+            "vec_id", "vec_id", "embedding", 1.0,
+        )

@@ -418,3 +418,52 @@ def test_versioned_store_validation(spark, tmp_path):
     store.import_resources(df, "T")
     with pytest.raises(ValueError, match="does not exist"):
         store.table("T", as_of=9)
+
+
+def test_versioned_table_bucket_pruning_bounds_input_files(spark, tmp_path):
+    """ADVICE r9: upsert/delete must read ONLY touched buckets' files.
+    table(buckets=...) pushes the bucket IN filter onto each
+    per-version parquet scan (partition-directory pruning); the
+    md5-re-derivation the write path used before could not prune."""
+    store = _vstore(
+        spark, tmp_path, [(i, 1, float(i)) for i in range(1, 41)], nb=8
+    )
+    # derive id=3's bucket the same way the store does
+    probe = spark.createDataFrame([(3,)], "id bigint").withColumn(
+        "bucket", store._bucket_expr("id")
+    )
+    b3 = probe.collect()[0]["bucket"]
+    pruned = store.table("T", buckets=[b3])
+    # the IN filter must land as PartitionFilters on the scan —
+    # inputFiles() reflects the unpruned relation, so read the plan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1].split("]")[0]
+    # and the rows are exactly that bucket's rows
+    full = store.table("T").withColumn("bucket", store._bucket_expr("id"))
+    want = sorted(
+        r["id"] for r in full.filter(F.col("bucket") == b3).collect()
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == want
+
+
+def test_versioned_table_pruned_read_of_emptied_bucket(spark, tmp_path):
+    """When every wanted bucket's version dir is absent (copy-on-write
+    delete emptied them), the pruned read must return an EMPTY frame
+    with the right schema — not raise, not resurface old rows."""
+    store = _vstore(spark, tmp_path, [(1, 1, 1.0)], nb=2)
+    probe = spark.createDataFrame([(1,)], "id bigint").withColumn(
+        "bucket", store._bucket_expr("id")
+    )
+    b1 = probe.collect()[0]["bucket"]
+    store.delete(spark.createDataFrame([(1,)], "id bigint"), "T")
+    got = store.table("T", buckets=[b1])
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "version", "val"]
+    # upsert into the emptied bucket still works end-to-end
+    store.upsert(
+        spark.createDataFrame([(1, 2, 9.0)], "id bigint, version int, val double"),
+        "T",
+        version_col="version",
+    )
+    assert [(r["id"], r["version"]) for r in store.table("T").collect()] == [(1, 2)]

@@ -1197,3 +1197,91 @@ def test_series_features_crossings_and_runs(spark):
     rc = series_features(c, "k", "i", "v").collect()[0]
     assert rc["var_num"] == 0 and rc["variance"] == 0.0
     assert rc["longest_flat"] == 5 and rc["crossing_points"] == 0
+
+
+def test_quantized_moments_exact_at_x1000_magnitude(spark):
+    """VERDICT r9 #3: the quantized Pearson moment sums accumulate in
+    decimal(38,0) (DuckDB's HUGEINT domain), so magnitudes that put
+    Σvq² three orders past int64 still hash-match the oracle — the
+    ×100-volume ~87%-of-int64 knee is removed, not guarded."""
+    import duckdb
+    from datetime import datetime, timedelta
+
+    from healthcare_api_spark.operators.temporal import (
+        acf,
+        series_correlation,
+    )
+
+    # values in [4.5e13, 1.35e14] (exact integers in double, < 2^53)
+    # with variance of the same order as the magnitude, so the double
+    # closed form stays meaningful; vq² ~1.8e28 and the n=240 sums
+    # reach ~4e30 — int64 wraps at 9.2e18, three orders earlier;
+    # decimal(38,0)/HUGEINT both hold the sums exactly
+    base = datetime(2024, 1, 1)
+    rows = []
+    for s in ("a", "b", "c"):
+        for i in range(240):
+            v = 45_000_000_000_000 + (
+                (i * 2654435761 + ord(s) * 104729) % 90_000_000_000_000
+            )
+            rows.append((s, base + timedelta(hours=i), float(v)))
+    df = spark.createDataFrame(rows, "series string, bucket timestamp, v double")
+
+    got_corr = sorted(
+        (r["series_a"], r["series_b"], r["n"], round(r["corr"], 6))
+        for r in series_correlation(df, "series", "bucket", "v", quantize=1).collect()
+    )
+    got_acf = sorted(
+        (r["series"], r["lag"], r["n"], round(r["corr"], 6))
+        for r in acf(
+            df, "series", "bucket", "v", max_lag=3,
+            interval_micros=3_600_000_000, quantize=1,
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE s AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{s}', TIMESTAMP '{t.isoformat(sep=' ')}', {v!r})"
+            for s, t, v in rows
+        )
+        + ") AS t(series, bucket, v)"
+    )
+    want_corr = sorted(
+        (a, b, int(n), round(float(c), 6))
+        for a, b, n, c in con.execute(
+            "WITH q AS (SELECT series, bucket,"
+            "  CAST(round(v * 1) AS BIGINT) AS vq FROM s),"
+            " j AS (SELECT a.series AS sa, b.series AS sb, a.vq AS x, b.vq AS y"
+            "  FROM q a JOIN q b ON a.bucket = b.bucket AND a.series < b.series),"
+            " m AS (SELECT sa, sb, count(*) AS n, sum(x) AS sx, sum(y) AS sy,"
+            "  sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,"
+            "  sum(y::HUGEINT * y) AS syy FROM j GROUP BY 1,2)"
+            " SELECT sa, sb, n,"
+            "  (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+            "  / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+            "   * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) FROM m"
+        ).fetchall()
+    )
+    assert got_corr == want_corr
+    want_acf = sorted(
+        (s, int(l), int(n), round(float(c), 6))
+        for s, l, n, c in con.execute(
+            "WITH q AS (SELECT series, bucket,"
+            "  CAST(round(v * 1) AS BIGINT) AS vq FROM s),"
+            " j AS (SELECT a.series AS series, lag.lag AS lag, a.vq AS x, b.vq AS y"
+            "  FROM q a CROSS JOIN (SELECT unnest(range(1,4)) AS lag) lag"
+            "  JOIN q b ON b.series = a.series"
+            "   AND b.bucket = a.bucket - to_hours(lag.lag::BIGINT)),"
+            " m AS (SELECT series, lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,"
+            "  sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,"
+            "  sum(y::HUGEINT * y) AS syy"
+            "  FROM j GROUP BY 1,2)"
+            " SELECT series, lag, n,"
+            "  (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+            "  / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+            "   * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) FROM m"
+        ).fetchall()
+    )
+    assert got_acf == want_acf
