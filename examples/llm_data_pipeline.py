@@ -41,6 +41,22 @@ from healthcare_api_spark.operators import curation, dedup, similarity, textops
 from healthcare_api_spark.tables import load_table
 
 
+
+import time as _time
+
+_LAST_TICK = [None]
+
+
+def _tick(label: str) -> None:
+    """Coarse per-phase wall time (SPARK_PIPE_STAGE_TIMES=1): phases
+    end at an action (count/collect/checkpoint/write), so the elapsed
+    time since the previous tick is that phase's cost — the dominant-
+    stage report the SCALE.md volume run records."""
+    now = _time.perf_counter()
+    if os.environ.get("SPARK_PIPE_STAGE_TIMES") and _LAST_TICK[0] is not None:
+        print(f"[stage-time] {label}: {now - _LAST_TICK[0]:.1f}s", flush=True)
+    _LAST_TICK[0] = now
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = tempfile.mkdtemp(prefix="llm_corpus_")
@@ -48,6 +64,7 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
+    _tick("1 load")
 
     # 1. annotate: language + quality + tokens (all narrow, one pass each)
     lang = textops.lang_id(docs, "doc_id", "text")
@@ -120,6 +137,7 @@ def main() -> None:
     # example ran ~20 min at sf0.001 from exactly that O(stages²)
     # recompute before these barriers
     gated = gated.localCheckpoint(eager=True)
+    _tick("2 annotate+quality gates")
 
     # 2c. per-domain quota (r8 wiring): cap any single host's
     # contribution BEFORE the expensive dedup/mixture stages so mirror
@@ -153,6 +171,7 @@ def main() -> None:
     gated = gated.join(
         dsir.select("doc_id", "log_weight"), "doc_id"
     ).localCheckpoint(eager=True)
+    _tick("2cd domain quota + DSIR")
 
     # 3. PII redaction: downstream stages consume the scrubbed text
     redacted = curation.redact_pii(gated, "doc_id", "text")
@@ -199,6 +218,7 @@ def main() -> None:
         contam.filter(F.col("contaminated") == 0).select("doc_id"), "doc_id"
     ).localCheckpoint(eager=True)
     n_decontam = gated.count()
+    _tick("3+4 redact, sent/para dedup, decontam")
 
     # 5. exact dedup on normalized content (persisted: feeds candidate
     # generation, clustering, and the final corpus join)
@@ -222,6 +242,7 @@ def main() -> None:
         "h", m_bits=4096, k_hashes=4,
     )
     n_screened = screened.filter(F.col("contained") == 1).count()
+    _tick("5 exact dedup + bloom screen")
 
     # 6. near-dup clusters: minhash band candidates → components
     # (alternating large-star/small-star, r8 — O(log² n) rounds where
@@ -245,6 +266,7 @@ def main() -> None:
     # the whole annotate→gate→dedup→cluster lineage each
     corpus = exact_survivors.join(reps, "doc_id").persist()
     n_corpus = corpus.count()
+    _tick("6 neardup cluster (LSH+CC)")
 
     # 7. embedding near-dup audit (separate modality, LSH-bucketed)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -253,6 +275,7 @@ def main() -> None:
         bucketed, "vec_id", "embedding", "bucket", threshold=0.95
     )
     n_emb_dups = emb_pairs.count()
+    _tick("7 embedding neardup")
 
     # 7b. embedding-space balance audit (r8): one exact-arithmetic
     # k-means statistics round against fixed probe centroids — the
@@ -279,6 +302,7 @@ def main() -> None:
         corpus, "doc_id", "pred_lang", rates, salt="mix-v1"
     ).persist()
     n_mixed = corpus.count()
+    _tick("8 mixture sample")
 
     # 9. token accounting + sequence packing on the survivors. Doc
     # lengths are WINSORIZED first (r8 wiring): order-statistic cuts
@@ -307,6 +331,7 @@ def main() -> None:
     n_chunks = textops.chunk_tokens(
         corpus, "doc_id", "text", chunk_size=64, overlap=16
     ).count()
+    _tick("9 tokens+winsorize+pack+chunks")
 
     # 9a. train a BPE tokenizer ON the cleaned corpus (r7; r8 batched):
     # one corpus token-frequency pass, then vocabulary-sized merge
@@ -321,6 +346,7 @@ def main() -> None:
     # budget planning actually consume
     billed = textops.bpe_encode(corpus, "doc_id", "text", bpe_merges)
     bpe_tokens = billed.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"]
+    _tick("9a BPE train+encode")
 
     # 9b. vocabulary heavy hitters off a count-min sketch (fixed-size
     # summary — the corpus-stats report a 100 TB run can afford)
@@ -336,6 +362,7 @@ def main() -> None:
         tf.select("tok"), "tok", depth=4, width=1024,
     ).orderBy(F.col("est").desc(), "tok").limit(5)
     top_vocab = [(r["tok"], r["est"]) for r in hh.collect()]
+    _tick("9b CMS heavy hitters")
 
     # 9c. cross-language vocabulary overlap from KMV sketches alone
     # (r7): per-language distinct-token sketches, then pairwise
@@ -358,6 +385,7 @@ def main() -> None:
     mean_novelty = novelty.agg(
         F.round(F.avg("novelty"), 4).alias("m")
     ).collect()[0]["m"]
+    _tick("9cd KMV overlap + novelty")
 
     # 10. LEAKAGE-SAFE train/val/test assignment (r8) + round-robin
     # source interleave: the split hash is keyed on the stage-6
@@ -378,6 +406,7 @@ def main() -> None:
     ).sortWithinPartitions("serve_order").write.mode("overwrite").partitionBy(
         "pred_lang", "split"
     ).parquet(out_dir)
+    _tick("10 splits+interleave+write")
 
     langs = {r["pred_lang"]: r["cnt"] for r in corpus.groupBy("pred_lang").agg(
         F.count(F.lit(1)).alias("cnt")).collect()}
