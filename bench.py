@@ -259,6 +259,11 @@ HEADLINE = [
     "st12_streaming_cep",
     "u16_temperature_mixture",
     "x24_series_features",
+    # round 10: vocabulary-concentration report (token-frequency
+    # shuffle + per-stratum rank windows) and single-window-pass
+    # attribution
+    "t35_vocab_gini",
+    "w15_touch_attribution",
 ]
 
 # r10: per-query isolated loop membership (VERDICT r9 #1) — the

@@ -435,3 +435,88 @@ def sequence_spans(
             F.col("span_us") <= _parse_duration_secs(within) * 1_000_000
         )
     return out
+
+
+def touch_attribution(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    convert_type: str,
+    value_col: str | None = None,
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution (r10): for
+    every ``convert_type`` event, credit (a) the EARLIEST and (b) the
+    MOST RECENT strictly-preceding non-conversion event of the same
+    key, then aggregate per touch type — the marketing-attribution
+    primitive beside w5's funnel (which counts a fixed path) and w14's
+    CEP (which matches one): attribution asks "which entry point gets
+    the credit", per conversion, over ALL entry types at once.
+
+    Declarative shape: ONE window pass per key ordered by (ts, type)
+    over the frame [unbounded preceding, current−1) — first touch is
+    ``min(struct(ts, type))``, last touch ``max(struct(ts, type))``
+    over the same frame (conversion rows excluded from candidacy by a
+    WHEN, not a filter, so the frame itself needs no second pass) —
+    then one hash aggregate. A conversion with no preceding touch
+    (the key's first event) lands in touch_type = '(none)'.
+
+    Exactness: timestamps compare as exact micros; ties at equal ts
+    break by type string inside the struct ordering; counts and
+    cents sums are BIGINT — hash-portable, no float anywhere.
+
+    Output: (touch_type, first_touch, last_touch,
+    last_touch_value_cents) — one row per credited type, full outer
+    across the two roles.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cents = (
+        F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+        if value_col is not None
+        else F.lit(0).cast("bigint")
+    )
+    ev = events.select(
+        F.col(key_col).alias("_k"),
+        us.alias("_us"),
+        F.col(type_col).alias("_tp"),
+        cents.alias("_cents"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_us").asc(), F.col("_tp").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("_tp") != F.lit(convert_type), F.struct("_us", "_tp")
+    )
+    conv = ev.select(
+        "_k", "_us", "_tp", "_cents",
+        F.min(touch).over(w).alias("_ft"),
+        F.max(touch).over(w).alias("_lt"),
+    ).filter(F.col("_tp") == F.lit(convert_type))
+    none = F.lit("(none)")
+    first = conv.groupBy(
+        F.coalesce(F.col("_ft._tp"), none).alias("touch_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("first_touch"))
+    last = conv.groupBy(
+        F.coalesce(F.col("_lt._tp"), none).alias("touch_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("last_touch"),
+        F.sum("_cents").cast("bigint").alias("last_touch_value_cents"),
+    )
+    return (
+        first.join(last, "touch_type", "full_outer")
+        .select(
+            "touch_type",
+            F.coalesce("first_touch", F.lit(0)).cast("bigint").alias(
+                "first_touch"
+            ),
+            F.coalesce("last_touch", F.lit(0)).cast("bigint").alias(
+                "last_touch"
+            ),
+            F.coalesce("last_touch_value_cents", F.lit(0))
+            .cast("bigint").alias("last_touch_value_cents"),
+        )
+    )

@@ -1970,3 +1970,94 @@ def rake_keywords(
             (F.col("_smic").cast("double") / F.lit(1e6)).alias("score"),
         )
     )
+
+
+def vocab_concentration(
+    df: DataFrame,
+    strata_col: str,
+    text_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-stratum vocabulary-concentration report (r10): token count,
+    distinct vocabulary, hapax count (Heaps'-law raw material), the
+    top term, top-k frequency mass, and the GINI coefficient of the
+    term-frequency distribution — the log-free Zipf-skew statistic.
+    A near-uniform vocabulary (templated/boilerplate text the dedup
+    stages should have caught) shows low gini + low top-k mass; a
+    natural-language stratum sits near gini ≈ 0.8-0.95. This is the
+    corpus-release health check next to t31's novelty and u2's domain
+    stats.
+
+    Exactness: Gini over counts sorted by (count, term) is
+        G = (Σᵢ (2i − 1)·cᵢ − V·Σc) / (V·Σc),    i = 1..V ascending,
+    computed ENTIRELY in integers — the numerator accumulates in
+    decimal(38,0) (i·c products overflow int64 at corpus scale; the
+    x9/x18 headroom treatment), and the ppm outputs use the u11
+    half-up integer-division device — so every output column is
+    BIGINT/string, hash-portable with NO float boundary anywhere.
+    (A log-log Zipf OLS slope was rejected by design: ln is not
+    correctly rounded cross-engine — the u16 pow lesson.)
+
+    Scale shape: one token-frequency aggregate (the t10 shuffle), one
+    per-stratum sort for the rank/index windows (an order statistic —
+    inherent, same class as a8's exact percentiles; vocabulary ≪
+    corpus by Heaps' law), one hash aggregate. Nothing touches the
+    corpus twice.
+    """
+    from pyspark.sql import Window
+
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    tf = (
+        df.select(
+            F.col(strata_col).alias("stratum"),
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("stratum", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w_asc = Window.partitionBy("stratum").orderBy(
+        F.col("c").asc(), F.col("tok").asc()
+    )
+    w_desc = Window.partitionBy("stratum").orderBy(
+        F.col("c").desc(), F.col("tok").asc()
+    )
+    ranked = tf.select(
+        "stratum", "tok", "c",
+        F.row_number().over(w_asc).cast("long").alias("i"),
+        F.row_number().over(w_desc).cast("long").alias("r"),
+    )
+    d38 = "decimal(38,0)"
+    agg = ranked.groupBy("stratum").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_hapax"),
+        F.max(F.when(F.col("r") == 1, F.col("tok"))).alias("top_term"),
+        F.max(F.when(F.col("r") == 1, F.col("c")))
+        .cast("bigint").alias("top_count"),
+        F.sum(F.when(F.col("r") <= top_k, F.col("c")).otherwise(0))
+        .cast("bigint").alias("_topk"),
+        F.sum(
+            (2 * F.col("i") - 1).cast(d38) * F.col("c").cast(d38)
+        ).alias("_s"),
+    )
+    den = F.col("n_vocab").cast(d38) * F.col("n_tokens").cast(d38)
+    num = F.col("_s") - den
+    return agg.select(
+        F.col("stratum").alias(strata_col),
+        "n_tokens", "n_vocab", "n_hapax", "top_term", "top_count",
+        F.expr(
+            "CAST((2 * _topk * 1000000 + n_tokens) DIV (2 * n_tokens)"
+            " AS BIGINT)"
+        ).alias("topk_mass_ppm"),
+        (2 * num * F.lit(1_000_000).cast(d38) + den).alias("_gnum"),
+        den.alias("_gden"),
+    ).select(
+        strata_col, "n_tokens", "n_vocab", "n_hapax", "top_term",
+        "top_count", "topk_mass_ppm",
+        F.expr("CAST(_gnum DIV (2 * _gden) AS BIGINT)").alias("gini_ppm"),
+    )

@@ -422,3 +422,41 @@ def test_sequence_spans_distinct_starts_and_validation(spark):
     assert all(str(r["ts_2"]).startswith("2024-01-01 12:30") for r in got)
     with pytest.raises(ValueError):
         sequence_spans(ev, "user_id", "ts", "event_type", ["signup"])
+
+
+def test_touch_attribution_hand_computed(spark):
+    """User 1: ad -> email -> purchase(10.50) => first=ad, last=email.
+    User 2: purchase first (no touch) => '(none)'. User 3: click ->
+    purchase -> click -> purchase: second purchase's touches ignore
+    the intervening purchase row but see both clicks."""
+    from datetime import datetime
+
+    from healthcare_api_spark.operators.analytics import touch_attribution
+
+    def t(m):
+        return datetime(2024, 1, 1, 10, m)
+
+    rows = [
+        (1, t(0), "ad", 0.0), (1, t(1), "email", 0.0),
+        (1, t(2), "purchase", 10.50),
+        (2, t(0), "purchase", 5.0),
+        (3, t(0), "click", 0.0), (3, t(1), "purchase", 1.0),
+        (3, t(2), "click", 0.0), (3, t(3), "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string, value double"
+    )
+    got = {
+        r["touch_type"]: (
+            r["first_touch"], r["last_touch"], r["last_touch_value_cents"]
+        )
+        for r in touch_attribution(
+            df, "user_id", "ts", "event_type", "purchase", value_col="value"
+        ).collect()
+    }
+    # first touches: user1 ad, user2 none, user3 click (both purchases)
+    # last touches: user1 email, user2 none, user3 click (both)
+    assert got["ad"] == (1, 0, 0)
+    assert got["email"] == (0, 1, 1050)
+    assert got["(none)"] == (1, 1, 500)
+    assert got["click"] == (2, 2, 300)

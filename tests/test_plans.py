@@ -825,3 +825,22 @@ def test_time_travel_snapshot_union_of_pruned_scans(spark):
     df = entrymod.q_s15_time_travel(spark, SF_DIR)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_gini_keyed_windows_no_cartesian(spark):
+    # t35 (r10): one token-frequency shuffle, per-stratum rank windows
+    # (the order-statistic cost, keyed on stratum), one hash aggregate
+    df = entrymod.q_t35_vocab_gini(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_touch_attribution_single_window_pass_no_cartesian(spark):
+    # w15 (r10): ONE per-key window pass feeds both roles (first/last
+    # touch via min/max of the same conditional struct frame); the
+    # final full-outer joins two ≤|types|-row aggregates
+    df = entrymod.q_w15_touch_attribution(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("WindowExec") <= 1 or plan.count("Window") <= 2

@@ -2147,3 +2147,37 @@ def test_l2_range_join_rejects_malformed_vectors(spark):
             ),
             "vec_id", "vec_id", "embedding", 1.0,
         )
+
+
+def test_vocab_concentration_hand_computed(spark):
+    """Gini over counts {b:1, a:3}: ascending (b,1),(a,3) ->
+    Σ(2i−1)c = 1 + 9 = 10, V=2, Σc=4 -> G = (10−8)/8 = 0.25."""
+    from healthcare_api_spark.operators.textops import vocab_concentration
+
+    df = spark.createDataFrame(
+        [(1, "a b a", "en"), (2, "A", "en"), (3, "x x  y", "de")],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {
+        r["lang"]: r.asDict()
+        for r in vocab_concentration(df, "lang", "text", top_k=1).collect()
+    }
+    en = got["en"]
+    assert (en["n_tokens"], en["n_vocab"], en["n_hapax"]) == (4, 2, 1)
+    assert (en["top_term"], en["top_count"]) == ("a", 3)
+    assert en["gini_ppm"] == 250000
+    assert en["topk_mass_ppm"] == 750000  # top-1 mass 3/4
+    de = got["de"]
+    # {x:2, y:1}: Σ(2i−1)c = 1·1 + 3·2 = 7, V=2, Σc=3 -> (7−6)/6
+    assert de["gini_ppm"] == 166667  # half-up of 1/6
+    assert (de["top_term"], de["n_hapax"]) == ("x", 1)
+
+
+def test_vocab_concentration_uniform_counts_zero_gini(spark):
+    from healthcare_api_spark.operators.textops import vocab_concentration
+
+    df = spark.createDataFrame(
+        [(1, "p q r s", "en")], "doc_id bigint, text string, lang string"
+    )
+    row = vocab_concentration(df, "lang", "text").collect()[0]
+    assert row["gini_ppm"] == 0 and row["n_hapax"] == 4
