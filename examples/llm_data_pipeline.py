@@ -66,62 +66,59 @@ def main() -> None:
     n0 = docs.count()
     _tick("1 load")
 
-    # 1. annotate: language + quality + tokens (all narrow, one pass each)
-    lang = textops.lang_id(docs, "doc_id", "text")
-    qual = textops.quality_score(docs, "doc_id", "text")
-    annotated = (
-        docs.join(lang, "doc_id").join(qual.select("doc_id", "score"), "doc_id")
-    )
-
-    # 2. quality + repetition gates (both Gopher-style signals)
-    rep = curation.repetition_features(docs, "doc_id", "text", ngram_n=2)
-    gated = (
-        annotated.join(rep.select("doc_id", "dup_ngram_frac"), "doc_id")
-        .filter((F.col("score") >= 0.5) & (F.col("dup_ngram_frac") < 0.9))
-    )
-    n_gated = gated.count()
-
-    # 2a'. Gopher charter rules (r8 wiring): the published row-level
-    # filters (word band, mean word length, symbol/bullet/ellipsis
-    # ratios, alpha-word ratio, stopword hits) — thresholds tuned to
-    # the corpus register; one map-only pass, applied before anything
-    # that shuffles
+    # 1+2 FUSED (r10 — the ×25 SCALE.md lesson: this phase was 61% of
+    # pipeline wall because the WIDE docs row, text included, was
+    # shuffled through six sequential doc_id joins). Every signal here
+    # is a per-doc function of text alone with corpus-INDEPENDENT
+    # thresholds, so each operator runs over the SLIM (doc_id, text)
+    # projection, only the ≤4-column signal frames join each other,
+    # and the wide docs row crosses ONE join at the end. The filters
+    # are conjunctive, so the surviving set is IDENTICAL to the old
+    # sequential form; perplexity tiers — whose percentile cuts ARE
+    # corpus-dependent — stay sequential below, as do quota and DSIR.
+    slim = docs.select("doc_id", "text")
+    # language + quality (narrow CASE/regex projections)
+    lang = textops.lang_id(slim, "doc_id", "text")
+    qual = textops.quality_score(slim, "doc_id", "text")
+    # repetition signal (per-doc n-gram aggregate)
+    rep = curation.repetition_features(slim, "doc_id", "text", ngram_n=2)
+    # Gopher charter rules (Rae et al. 2021 table A1; map-only)
     goph = textops.gopher_quality(
-        gated, "doc_id", "text",
+        slim, "doc_id", "text",
         min_words=10, max_words=100_000, min_mean_len=2.0,
         max_mean_len=10.0, min_alpha_ratio=0.5, min_stop_hits=0,
     )
-    gated = gated.join(
-        goph.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
-    )
-
-    # 2a'''. blocklist safety screen (r9 wiring): the LDNOOBW-style
-    # denylist pass beside the charter rules — soft terms gate on a
-    # ppm ratio, hard terms are zero-tolerance; one explode + one
-    # map-side-combined aggregate, no join against the term list
+    # LDNOOBW-style blocklist screen (soft ppm + hard zero-tolerance)
     screen = curation.blocklist_screen(
-        gated, "doc_id", "text",
+        slim, "doc_id", "text",
         terms=("badword", "spamtoken"), hard_terms=("hardstop",),
         max_ratio_ppm=20_000,
     )
-    gated = gated.join(
-        screen.filter(F.col("flagged") == 0).select("doc_id"), "doc_id"
-    )
-
-    # 2a''. model-based scoring (r8 wave 7): the hashing-trick linear
-    # classifier every curation pipeline runs after the rule charter —
-    # sign-hashed token buckets, integer-quantized weights broadcast.
-    # The md5-derived stand-in weights score content-neutrally here
-    # (a trained table drops in at the same schema), so the example
-    # ANNOTATES with the score and keeps it for the quota ranking
-    # below instead of gating on placeholder weights.
+    # hashing-trick classifier (annotation, not a gate — placeholder
+    # weights; a trained table drops in at the same schema)
     clf_w = textops.hashed_feature_weights(spark, dim=256, scale=1_000_000)
     clf = textops.hashed_classifier_score(
-        gated, "doc_id", "text", clf_w, dim=256, scale=1_000_000
+        slim, "doc_id", "text", clf_w, dim=256, scale=1_000_000
     )
-    gated = gated.join(
-        clf.select("doc_id", F.col("logit").alias("clf_logit")), "doc_id"
+    first_gate = (
+        qual.select("doc_id", "score")
+        .join(rep.select("doc_id", "dup_ngram_frac"), "doc_id")
+        .filter((F.col("score") >= 0.5) & (F.col("dup_ngram_frac") < 0.9))
     )
+    n_gated = first_gate.count()
+    signals = (
+        first_gate.select("doc_id", "score")
+        .join(lang, "doc_id")
+        .join(goph.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
+        .join(
+            screen.filter(F.col("flagged") == 0).select("doc_id"), "doc_id"
+        )
+        .join(
+            clf.select("doc_id", F.col("logit").alias("clf_logit")),
+            "doc_id",
+        )
+    )
+    gated = docs.join(signals, "doc_id")
 
     # 2b. perplexity tiers: drop the 'tail' tier under the corpus's
     # own interpolated bigram LM (the CCNet head/middle/tail filter —
