@@ -1977,6 +1977,7 @@ def vocab_concentration(
     strata_col: str,
     text_col: str,
     top_k: int = 10,
+    rank_mode: str = "window",
 ) -> DataFrame:
     """Per-stratum vocabulary-concentration report (r10): token count,
     distinct vocabulary, hapax count (Heaps'-law raw material), the
@@ -1998,16 +1999,29 @@ def vocab_concentration(
     (A log-log Zipf OLS slope was rejected by design: ln is not
     correctly rounded cross-engine — the u16 pow lesson.)
 
-    Scale shape: one token-frequency aggregate (the t10 shuffle), one
-    per-stratum sort for the rank/index windows (an order statistic —
-    inherent, same class as a8's exact percentiles; vocabulary ≪
-    corpus by Heaps' law), one hash aggregate. Nothing touches the
-    corpus twice.
+    Scale shape: one token-frequency aggregate (the t10 shuffle), the
+    rank/index step, one hash aggregate; nothing touches the corpus
+    twice. The rank step has TWO modes with hash-identical output:
+
+    - ``rank_mode="window"`` (default): per-stratum row_number windows
+      — one task sorts each stratum's FULL vocabulary. Fine while
+      vocab-per-stratum fits a task (Heaps' law keeps vocab ≪ corpus),
+      but with a handful of strata at 100 TB that task is the skew
+      point;
+    - ``rank_mode="range"``: the d12 ``global_row_rank`` decomposition
+      (range repartition → per-partition counts → offset + parallel
+      local windows) over (stratum, ±count, term), converted to
+      per-stratum indexes by subtracting each stratum's minimum global
+      rank — every partition sorts a range slice, no stratum-sized
+      task anywhere. Two extra range shuffles; choose it when strata
+      are few and vocabularies huge.
     """
     from pyspark.sql import Window
 
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
+    if rank_mode not in ("window", "range"):
+        raise ValueError("rank_mode must be 'window' or 'range'")
     tf = (
         df.select(
             F.col(strata_col).alias("stratum"),
@@ -2019,17 +2033,40 @@ def vocab_concentration(
         .groupBy("stratum", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    w_asc = Window.partitionBy("stratum").orderBy(
-        F.col("c").asc(), F.col("tok").asc()
-    )
-    w_desc = Window.partitionBy("stratum").orderBy(
-        F.col("c").desc(), F.col("tok").asc()
-    )
-    ranked = tf.select(
-        "stratum", "tok", "c",
-        F.row_number().over(w_asc).cast("long").alias("i"),
-        F.row_number().over(w_desc).cast("long").alias("r"),
-    )
+    if rank_mode == "window":
+        w_asc = Window.partitionBy("stratum").orderBy(
+            F.col("c").asc(), F.col("tok").asc()
+        )
+        w_desc = Window.partitionBy("stratum").orderBy(
+            F.col("c").desc(), F.col("tok").asc()
+        )
+        ranked = tf.select(
+            "stratum", "tok", "c",
+            F.row_number().over(w_asc).cast("long").alias("i"),
+            F.row_number().over(w_desc).cast("long").alias("r"),
+        )
+    else:
+        from healthcare_api_spark.operators.dedup import global_row_rank
+
+        # (stratum, c, tok) and (stratum, −c, tok) are total orders
+        # (tok unique per stratum); per-stratum index = global rank −
+        # stratum's min rank + 1. The mins frame is |strata| rows and
+        # broadcasts.
+        both = global_row_rank(
+            tf.withColumn("_nc", -F.col("c")), ["stratum", "c", "tok"],
+            out_col="_ga",
+        )
+        both = global_row_rank(
+            both, ["stratum", "_nc", "tok"], out_col="_gd"
+        )
+        mins = both.groupBy("stratum").agg(
+            F.min("_ga").alias("_ma"), F.min("_gd").alias("_md")
+        )
+        ranked = both.join(F.broadcast(mins), "stratum").select(
+            "stratum", "tok", "c",
+            (F.col("_ga") - F.col("_ma") + 1).cast("long").alias("i"),
+            (F.col("_gd") - F.col("_md") + 1).cast("long").alias("r"),
+        )
     d38 = "decimal(38,0)"
     agg = ranked.groupBy("stratum").agg(
         F.sum("c").cast("bigint").alias("n_tokens"),

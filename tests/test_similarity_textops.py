@@ -2181,3 +2181,33 @@ def test_vocab_concentration_uniform_counts_zero_gini(spark):
     )
     row = vocab_concentration(df, "lang", "text").collect()[0]
     assert row["gini_ppm"] == 0 and row["n_hapax"] == 4
+
+
+def test_vocab_concentration_range_rank_mode_identical(spark):
+    """The scalable rank path (global_row_rank over range partitions,
+    converted to per-stratum indexes) must be hash-identical to the
+    per-stratum window path — same Gini, same top terms, every column."""
+    import pytest
+
+    from healthcare_api_spark.operators.textops import vocab_concentration
+
+    rows = [
+        (i, f"tok{i % 17} tok{i % 5} tok{i % 3} common common",
+         "en" if i % 2 else "de")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    key = lambda r: (r["lang"],)
+    a = sorted(
+        (tuple(r.asDict().items()) for r in
+         vocab_concentration(df, "lang", "text", top_k=3).collect())
+    )
+    b = sorted(
+        (tuple(r.asDict().items()) for r in
+         vocab_concentration(
+             df, "lang", "text", top_k=3, rank_mode="range"
+         ).collect())
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        vocab_concentration(df, "lang", "text", rank_mode="bogus")
