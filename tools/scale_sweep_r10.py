@@ -273,6 +273,52 @@ def main() -> None:
                 )
             )
             print(f"| x24 series_features | x{rep} | {t} s |", flush=True)
+
+            # r10 late: the two new gates. t35 replicates documents
+            # VERBATIM with shifted ids (vocabulary constant, counts
+            # ×rep — corpus growth in the same language register); w15
+            # rides the shifted-user events replica (conversions ×rep,
+            # constant per-key history).
+            docs_txt = spark.read.parquet(
+                f"{SF_DIR}/documents.parquet"
+            ).select("doc_id", "text", "lang")
+            if rep > 1:
+                docs_txt = docs_txt.withColumn(
+                    "r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1)))
+                ).select(
+                    (F.col("doc_id") * rep + F.col("r")).alias("doc_id"),
+                    "text", "lang",
+                )
+            docs_path = f"{root}/docstxt_x{rep}.parquet"
+            docs_txt.repartition(64).write.mode("overwrite").parquet(docs_path)
+            dtx = spark.read.parquet(docs_path)
+            from healthcare_api_spark.operators import textops as _tx
+
+            t = steady(
+                lambda: force(
+                    _tx.vocab_concentration(dtx, "lang", "text", top_k=10)
+                )
+            )
+            print(f"| t35 vocab_gini | x{rep} | {t} s |", flush=True)
+
+            from healthcare_api_spark.operators.analytics import (
+                touch_attribution,
+            )
+
+            # deterministic synthetic value column (the events replica
+            # dropped it to keep replication narrow)
+            ev_attr = spark.read.parquet(ev_path).withColumn(
+                "value", (F.col("user_id") % 1000).cast("double") / 7.0
+            )
+            t = steady(
+                lambda: force(
+                    touch_attribution(
+                        ev_attr, "user_id", "ts", "event_type",
+                        "purchase", value_col="value",
+                    )
+                )
+            )
+            print(f"| w15 touch_attribution | x{rep} | {t} s |", flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
