@@ -264,6 +264,7 @@ HEADLINE = [
     # attribution
     "t35_vocab_gini",
     "w15_touch_attribution",
+    "x25_strength_features",
 ]
 
 # r10: per-query isolated loop membership (VERDICT r9 #1) — the

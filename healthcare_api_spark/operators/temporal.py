@@ -2109,3 +2109,78 @@ def series_features(
             "longest_flat",
         )
     )
+
+
+def decomposition_strength(
+    decomposed: DataFrame,
+    series_cols: tuple[str, ...],
+    value_col: str = "v",
+    trend_col: str = "trend",
+    seasonal_col: str = "seasonal",
+    resid_col: str = "resid",
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Trend / seasonal STRENGTH per series (Wang, Hyndman & Smith
+    2006 — the two headline `tsfeatures` used to route series to
+    models; the x24 screen tells you a series is interesting, this
+    tells you WHY):
+
+        F_trend    = max(0, 1 − Var(resid) / Var(value − seasonal))
+        F_seasonal = max(0, 1 − Var(resid) / Var(value − trend))
+
+    Input is a ``seasonal_decompose`` output frame (run it in
+    quantize mode so every component is a fixed double, identical
+    cross-engine); rows with NULL trend (MA window edges) are
+    excluded, the classical convention.
+
+    Exactness: the three difference series quantize to
+    ``round(x·quantize)`` int64 micros; each variance numerator
+    ``n·Σx² − (Σx)²`` accumulates in decimal(38,0) (the x9/x18
+    headroom treatment — no int64 knee, DuckDB's HUGEINT domain), and
+    each strength is ONE fixed double expression rounded at 6 dp.
+    Scale: one keyed aggregate over the decomposed frame — nothing
+    else.
+    """
+    gcols = list(series_cols)
+    q = float(quantize)
+
+    def _q(c):
+        return F.round(c * q).cast("long").cast("decimal(19,0)")
+
+    rq = _q(F.col(resid_col))
+    dq = _q(F.col(value_col) - F.col(seasonal_col))
+    sq = _q(F.col(value_col) - F.col(trend_col))
+    m = (
+        decomposed.filter(F.col(trend_col).isNotNull())
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(rq).alias("_sr"),
+            F.sum(rq * rq).alias("_srr"),
+            F.sum(dq).alias("_sd"),
+            F.sum(dq * dq).alias("_sdd"),
+            F.sum(sq).alias("_ss"),
+            F.sum(sq * sq).alias("_sss"),
+        )
+    )
+    nd = F.col("n").cast("double")
+
+    def _var(s, ss):
+        return nd * F.col(ss).cast("double") - (
+            F.col(s).cast("double") * F.col(s).cast("double")
+        )
+
+    vr = _var("_sr", "_srr")
+
+    def _strength(den):
+        return F.when(
+            den > 0,
+            F.round(F.greatest(F.lit(0.0), F.lit(1.0) - vr / den), 6),
+        )
+
+    return m.select(
+        *gcols,
+        "n",
+        _strength(_var("_sd", "_sdd")).alias("trend_strength"),
+        _strength(_var("_ss", "_sss")).alias("seasonal_strength"),
+    )

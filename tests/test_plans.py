@@ -844,3 +844,13 @@ def test_touch_attribution_single_window_pass_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert plan.count("WindowExec") <= 1 or plan.count("Window") <= 2
+
+
+def test_strength_features_single_aggregate_no_cartesian(spark):
+    # x25 (r10): the strengths are ONE keyed aggregate over the
+    # decomposed frame; decompose itself contributes its pinned x8
+    # shape (series window + tiny phase-mean joins)
+    df = entrymod.q_x25_strength_features(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan

@@ -1285,3 +1285,50 @@ def test_quantized_moments_exact_at_x1000_magnitude(spark):
         ).fetchall()
     )
     assert got_acf == want_acf
+
+
+def test_decomposition_strength_hand_computed(spark):
+    """Pure-trend series -> trend_strength ~1 / seasonal ~0 shape;
+    pure-seasonal series -> the reverse. Built from a synthetic
+    decompose frame so the expected variance ratios are hand-checkable
+    exactly."""
+    from healthcare_api_spark.operators.temporal import (
+        decomposition_strength,
+    )
+
+    # series A: v = trend exactly (resid 0, seasonal 0):
+    #   Var(resid)=0 -> trend_strength = 1; Var(v - trend) = 0 ->
+    #   seasonal_strength NULL (degenerate denominator, guarded)
+    rows_a = [("a", float(i), float(i), 0.0, 0.0) for i in range(1, 9)]
+    # series B: v = seasonal exactly (alternating ±1, trend 0)
+    rows_b = [
+        ("b", (-1.0) ** i, 0.0, (-1.0) ** i, 0.0) for i in range(1, 9)
+    ]
+    # series C: resid == detrended == deseasonalized (pure noise):
+    #   both strengths max(0, 1-1) = 0
+    rows_c = [
+        ("c", float((i * 7) % 5), 0.0, 0.0, float((i * 7) % 5))
+        for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(
+        rows_a + rows_b + rows_c,
+        "series string, v double, trend double, seasonal double, resid double",
+    )
+    got = {
+        r["series"]: (r["n"], r["trend_strength"], r["seasonal_strength"])
+        for r in decomposition_strength(df, ("series",)).collect()
+    }
+    assert got["a"] == (8, 1.0, None)
+    assert got["b"] == (8, None, 1.0)
+    assert got["c"] == (8, 0.0, 0.0)
+    # NULL-trend rows (MA edges) are excluded
+    from pyspark.sql import functions as F
+
+    df2 = df.withColumn(
+        "trend", F.when(F.col("v") != 1.0, F.col("trend"))
+    )
+    got2 = {
+        r["series"]: r["n"]
+        for r in decomposition_strength(df2, ("series",)).collect()
+    }
+    assert got2["a"] == 7
