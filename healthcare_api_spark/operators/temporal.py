@@ -691,7 +691,10 @@ def time_weighted_avg(
             seg.groupBy(*gcols, F.col("_bkt").alias("bucket_start"))
             .agg(
                 (
-                    F.sum(vq * F.col("_w")).cast("double") / F.lit(q)
+                    F.sum(
+                        vq.cast("decimal(19,0)")
+                        * F.col("_w").cast("decimal(19,0)")
+                    ).cast("double") / F.lit(q)
                     / F.sum("_w").cast("double")
                 ).alias("twa"),
                 F.count(F.lit(1)).alias("n_points"),
@@ -1046,7 +1049,9 @@ def sax_symbols(
     stats = pts.groupBy("_s").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_v").cast("bigint").alias("_sv"),
-        F.sum(F.col("_v") * F.col("_v")).cast("bigint").alias("_qv"),
+        F.sum(
+            F.col("_v").cast("decimal(19,0)") * F.col("_v").cast("decimal(19,0)")
+        ).cast("bigint").alias("_qv"),
     )
     j = frames.join(F.broadcast(stats), "_s")
     mu = F.col("_sv").cast("double") / F.col("_n")
@@ -2081,7 +2086,12 @@ def series_features(
     agg = stepped.groupBy("_k").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("_x").cast("bigint").alias("sum_q"),
-        F.sum(F.col("_x") * F.col("_x")).cast("bigint").alias("sumsq_q"),
+        # decimal(38,0) accumulation (the x9/x18 headroom treatment);
+        # the bigint output cast fails LOUDLY past int64 instead of
+        # wrapping — values identical in-range
+        F.sum(
+            F.col("_x").cast("decimal(19,0)") * F.col("_x").cast("decimal(19,0)")
+        ).cast("bigint").alias("sumsq_q"),
         F.sum("_cross").cast("bigint").alias("crossing_points"),
     )
     return (
@@ -2092,15 +2102,20 @@ def series_features(
             "sum_q",
             "sumsq_q",
             (
-                F.col("n") * F.col("sumsq_q") - F.col("sum_q") * F.col("sum_q")
+                F.col("n").cast("decimal(38,0)")
+                * F.col("sumsq_q").cast("decimal(38,0)")
+                - F.col("sum_q").cast("decimal(38,0)")
+                * F.col("sum_q").cast("decimal(38,0)")
             ).cast("bigint").alias("var_num"),
             F.round(
                 F.col("sum_q").cast("double") / F.col("n").cast("double"), 6
             ).alias("mean"),
             F.round(
                 (
-                    F.col("n") * F.col("sumsq_q")
-                    - F.col("sum_q") * F.col("sum_q")
+                    F.col("n").cast("decimal(38,0)")
+                    * F.col("sumsq_q").cast("decimal(38,0)")
+                    - F.col("sum_q").cast("decimal(38,0)")
+                    * F.col("sum_q").cast("decimal(38,0)")
                 ).cast("double")
                 / (F.col("n") * F.col("n")).cast("double"),
                 6,
