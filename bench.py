@@ -265,6 +265,7 @@ HEADLINE = [
     "t35_vocab_gini",
     "w15_touch_attribution",
     "x25_strength_features",
+    "w16_touch_lag",
 ]
 
 # r10: per-query isolated loop membership (VERDICT r9 #1) — the

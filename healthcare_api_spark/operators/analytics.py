@@ -520,3 +520,62 @@ def touch_attribution(
             .cast("bigint").alias("last_touch_value_cents"),
         )
     )
+
+
+def touch_lag_quantiles(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    convert_type: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Conversion-lag distribution per last-touch type (r10): for
+    every conversion that HAS a preceding touch, lag = conversion ts −
+    last-touch ts in exact micros, then interpolated quantiles per
+    touch type — w15 says WHO gets credit, this says HOW LONG the
+    credited channel takes to convert (the attribution-window tuning
+    read).
+
+    Same single window pass as ``touch_attribution``; quantiles use
+    the exact ``percentile`` aggregate over int64 micros — the
+    x10/w11 interpolation contract (both engines evaluate the same
+    (n−1)·q fraction over the same sorted integers), rounded 4 dp.
+    Output: (touch_type, n, lag_p<q·100> …) sorted-free, keyed.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(key_col).alias("_k"),
+        us.alias("_us"),
+        F.col(type_col).alias("_tp"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_us").asc(), F.col("_tp").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("_tp") != F.lit(convert_type), F.struct("_us", "_tp")
+    )
+    conv = (
+        ev.select("_k", "_us", "_tp", F.max(touch).over(w).alias("_lt"))
+        .filter(
+            (F.col("_tp") == F.lit(convert_type))
+            & F.col("_lt").isNotNull()
+        )
+        .select(
+            F.col("_lt._tp").alias("touch_type"),
+            (F.col("_us") - F.col("_lt._us")).alias("_lag"),
+        )
+    )
+    qcols = [
+        F.round(
+            F.expr(f"percentile(_lag, {q!r})"), 4
+        ).alias(f"lag_p{int(round(q * 100))}")
+        for q in quantiles
+    ]
+    return conv.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), *qcols
+    )

@@ -460,3 +460,33 @@ def test_touch_attribution_hand_computed(spark):
     assert got["email"] == (0, 1, 1050)
     assert got["(none)"] == (1, 1, 500)
     assert got["click"] == (2, 2, 300)
+
+
+def test_touch_lag_quantiles_hand_computed(spark):
+    """Lags for 'click' conversions: [60s, 120s, 180s] micros ->
+    p50 = 120e6 exactly, p90 interpolated between 120e6 and 180e6 at
+    fraction 0.8 -> 168e6. No-touch conversions are excluded."""
+    from datetime import datetime
+
+    from healthcare_api_spark.operators.analytics import touch_lag_quantiles
+
+    def t(m, s=0):
+        return datetime(2024, 1, 1, 10, m, s)
+
+    rows = [
+        (1, t(0), "click"), (1, t(1), "purchase"),      # lag 60 s
+        (2, t(0), "click"), (2, t(2), "purchase"),      # lag 120 s
+        (3, t(0), "click"), (3, t(3), "purchase"),      # lag 180 s
+        (4, t(0), "purchase"),                          # no touch
+        (5, t(0), "ad"), (5, t(0, 30), "purchase"),     # ad lag 30 s
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    got = {
+        r["touch_type"]: (r["n"], r["lag_p50"], r["lag_p90"])
+        for r in touch_lag_quantiles(
+            df, "user_id", "ts", "event_type", "purchase"
+        ).collect()
+    }
+    assert got["click"] == (3, 120_000_000.0, 168_000_000.0)
+    assert got["ad"] == (1, 30_000_000.0, 30_000_000.0)
+    assert "(none)" not in got and len(got) == 2

@@ -854,3 +854,12 @@ def test_strength_features_single_aggregate_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_touch_lag_single_window_keyed_no_cartesian(spark):
+    # w16 (r10): same single per-key window pass as w15, one keyed
+    # percentile aggregate after it
+    df = entrymod.q_w16_touch_lag(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
