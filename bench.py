@@ -266,6 +266,11 @@ HEADLINE = [
     "w15_touch_attribution",
     "x25_strength_features",
     "w16_touch_lag",
+    # round 11: multi-touch attribution (one checkpointed corpus
+    # window pass + (user, path, type)-cardinality credit arithmetic)
+    # and the quantity-class FHIR search (pure pushdown predicates)
+    "w17_multi_touch",
+    "fs13_quantity_search",
 ]
 
 # r10: per-query isolated loop membership (VERDICT r9 #1) — the
@@ -391,25 +396,43 @@ def main() -> None:
         mins[name] = round(min(runs), 3)
     medians = {n: medians[n] for n in HEADLINE}
     mins = {n: mins[n] for n in HEADLINE}
+    iso_mins = {
+        name: round(min(p[name] for p in iso_steady), 3)
+        for name in R3_COMPARABLE
+    }
+    # KEY ORDER IS LOAD-BEARING (r11, VERDICT r10 #1): the driver's
+    # ledger persists only the LAST ~2,000 characters of this line, so
+    # everything the ADJUDICATION RULE needs — the heavy-gate
+    # median+min pairs, the isolated-18 per-query medians AND mins, and
+    # the isolated subtotals — is serialized at the TAIL, after the
+    # large maps. json.dumps preserves dict insertion order; the
+    # truncation-sacrificial big maps (queries_cold, queries,
+    # queries_min) go first. In r10 queries_min sat before
+    # queries_cold, so the surviving tail showed inflated medians with
+    # no floors (isolated-18 recorded 18.68 s vs 12.4 s real).
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": round(sum(medians.values()), 3),
                 "unit": "sec",
+                "sf": sf,
+                "runs": 1 + N_STEADY,
+                "comparable_set": "r3_18_query",
+                # queries measured in their own per-query isolated
+                # loop (GC barrier + 4 back-to-back passes), excluded
+                # from the interleaved sweep
+                "heavy_isolated_set": HEAVY_ISOLATED,
+                "queries_cold": cold,
+                "cold_total_sec": round(sum(cold.values()), 3),
                 "queries": medians,
                 # r10: per-query min over the steady passes, for EVERY
                 # query — the noise-robust floor a reader compares
                 # against before calling anything a regression (see
                 # the ADJUDICATION RULE in the module docstring)
                 "queries_min": mins,
-                # queries measured in their own per-query isolated
-                # loop (GC barrier + 4 back-to-back passes), excluded
-                # from the interleaved sweep
-                "heavy_isolated_set": HEAVY_ISOLATED,
-                "sf": sf,
-                "queries_cold": cold,
-                "cold_total_sec": round(sum(cold.values()), 3),
+                # ---- adjudication tail starts here: compact,
+                # truncation-proof, most-critical last ----
                 "steady_totals": [round(sum(p.values()), 3) for p in steady],
                 "comparable_subtotal_sec": round(
                     sum(medians[n] for n in R3_COMPARABLE), 3
@@ -426,6 +449,20 @@ def main() -> None:
                     ),
                     3,
                 ),
+                # per-heavy-gate [median, min, cold] triples — the r10
+                # driver row recorded st12 at 24.57 s with no visible
+                # floor (quiet re-measure: 6.8); these make the rule
+                # applicable from the stored record alone. The third
+                # element is the query's OWN cold pass: for the
+                # index-backed probes (v12/v13/v17) cold ≈ index BUILD
+                # and median/min ≈ the probe users repeat (VERDICT r10
+                # #3's build/probe split).
+                "heavy_gates": {
+                    n: [medians[n], mins[n], heavy_cold[n]]
+                    for n in HEAVY_ISOLATED
+                },
+                "queries_comparable_isolated": iso_medians,
+                "queries_comparable_isolated_min": iso_mins,
                 # r8: the isolated-loop numbers — compare THESE round
                 # over round; the interleaved subtotal above measures
                 # sweep crosstalk on top of code perf
@@ -433,15 +470,8 @@ def main() -> None:
                     sum(iso_medians.values()), 3
                 ),
                 "comparable_subtotal_isolated_min_sec": round(
-                    sum(
-                        min(p[n] for p in iso_steady)
-                        for n in R3_COMPARABLE
-                    ),
-                    3,
+                    sum(iso_mins.values()), 3
                 ),
-                "queries_comparable_isolated": iso_medians,
-                "comparable_set": "r3_18_query",
-                "runs": 1 + N_STEADY,
             }
         )
     )

@@ -465,6 +465,14 @@ def touch_attribution(
     break by type string inside the struct ordering; counts and
     cents sums are BIGINT — hash-portable, no float anywhere.
 
+    Tie rule (explicit, ADVICE r10): "preceding" is ROW-precedence in
+    the (ts, type) order, not strict time-precedence — a touch at the
+    SAME microsecond as the conversion is credited iff its type string
+    sorts before ``convert_type``. Deterministic, mirrored verbatim in
+    the DuckDB oracle, and the convention every operator in this
+    family (w15/w16/w17) shares; callers who need strictly-earlier
+    semantics should pre-bucket timestamps or post-filter on lag > 0.
+
     Output: (touch_type, first_touch, last_touch,
     last_touch_value_cents) — one row per credited type, full outer
     across the two roles.
@@ -537,7 +545,8 @@ def touch_lag_quantiles(
     credited channel takes to convert (the attribution-window tuning
     read).
 
-    Same single window pass as ``touch_attribution``; quantiles use
+    Same single window pass — and same (ts, type) ROW-precedence tie
+    rule — as ``touch_attribution``; quantiles use
     the exact ``percentile`` aggregate over int64 micros — the
     x10/w11 interpolation contract (both engines evaluate the same
     (n−1)·q fraction over the same sorted integers), rounded 4 dp.
@@ -578,4 +587,243 @@ def touch_lag_quantiles(
     ]
     return conv.groupBy("touch_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"), *qcols
+    )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    convert_type: str,
+    halflife: str = "1 hour",
+) -> DataFrame:
+    """Multi-touch conversion attribution (r11, VERDICT r10 #5):
+    every ``convert_type`` event distributes ONE conversion's credit
+    (1,000,000 ppm) across ALL touches on its path — the
+    non-conversion events after the key's previous conversion and
+    before this one — under two models at once:
+
+    - **linear**: each of the path's n touches gets 1/n (the half-up
+      ppm device, per path);
+    - **time-decay**: touch i gets weight 2^(−kᵢ) where kᵢ =
+      ⌊lagᵢ / halflife⌋ integer half-lives to the conversion —
+      normalized per path by exact integer arithmetic: the weight
+      NUMERATORS are 2^(62−min(kᵢ,62)) as BIGINT, sums and the final
+      ppm division live in decimal(38,0) (DuckDB mirrors in HUGEINT),
+      so both engines compute identical integers with no float or
+      transcendental anywhere (the u16 pow lesson: exp/ln are not
+      correctly rounded cross-engine; integer halvings are exact).
+
+    A conversion whose path has NO touches credits '(none)' with the
+    full 1,000,000. Tie rule: ROW-precedence in (ts, type) order,
+    exactly ``touch_attribution``'s — a same-microsecond touch whose
+    type sorts before ``convert_type`` is on the path with lag 0.
+
+    Declarative shape — ONE corpus pass: a single window sort per key
+    computes each row's path id (count of conversions strictly
+    preceding) and next-conversion timestamp, then ONE hash aggregate
+    reduces the corpus to (key, path, type) cardinality; everything
+    after (path totals, per-model ppm, the '(none)' anti-join) runs
+    on that small frame. No self-join of the events table, no
+    explode, no second window.
+
+    Output: (touch_type, n_touches, paths_touched, linear_credit_ppm,
+    decay_credit_ppm) — all BIGINT, hash-portable.
+    """
+    from pyspark.sql import Window
+
+    from healthcare_api_spark.operators.temporal import _parse_duration_secs
+
+    h_us = _parse_duration_secs(halflife) * 1_000_000
+    if h_us <= 0:
+        raise ValueError("halflife must be positive")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(key_col).alias("_k"),
+        us.alias("_us"),
+        F.col(type_col).alias("_tp"),
+    )
+    is_conv = F.col("_tp") == F.lit(convert_type)
+    w_prev = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_us").asc(), F.col("_tp").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_us").asc(), F.col("_tp").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    x = ev.select(
+        "_k", "_us", "_tp",
+        F.count(F.when(is_conv, 1)).over(w_prev).cast("bigint").alias("_path"),
+        F.min(F.when(is_conv, F.col("_us"))).over(w_next).alias("_ncus"),
+    )
+    # one aggregate keeps BOTH roles: conversion rows (tp ==
+    # convert_type, exactly one per path) and credited touches
+    # (non-conversion rows that HAVE a following conversion); trailing
+    # touches with no conversion to credit drop here
+    num = F.expr(
+        "shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(62 - least((_ncus - _us) DIV {h_us}, 62) AS INT))"
+    )
+    g = (
+        x.filter(is_conv | F.col("_ncus").isNotNull())
+        .groupBy("_k", "_path", "_tp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+            F.sum(
+                F.when(~is_conv, num).cast("decimal(19,0)")
+            ).alias("_num"),
+        )
+        # g is consumed by FOUR downstream branches (touch credits,
+        # path totals, the join, the '(none)' anti-join); without the
+        # checkpoint Catalyst replans the corpus window pass once per
+        # branch (4 scans, no exchange reuse — pushed-filter drift
+        # defeats ReusedExchange). Checkpointing the (key, path, type)
+        # frame — tiny next to the corpus — pins ONE scan + ONE window
+        # sort + ONE wide aggregate total (plan-pinned by tests).
+        .localCheckpoint(eager=True)
+    )
+    tch = g.filter(F.col("_tp") != F.lit(convert_type))
+    convs = g.filter(F.col("_tp") == F.lit(convert_type)).select("_k", "_path")
+    tot = tch.groupBy("_k", "_path").agg(
+        F.sum("_cnt").cast("bigint").alias("_n"),
+        F.sum("_num").cast("decimal(38,0)").alias("_d"),
+    )
+    ppm = F.lit(1_000_000).cast("decimal(38,0)")
+    cred = tch.join(tot, ["_k", "_path"]).select(
+        F.col("_tp").alias("touch_type"),
+        "_cnt",
+        # per-path linear share is identical for every touch on the
+        # path, so the type's contribution is cnt · half_up(1e6/n)
+        (
+            F.col("_cnt")
+            * F.expr("(2 * 1000000 + _n) DIV (2 * _n)")
+        ).cast("bigint").alias("_lin"),
+        # per-(path, type) half-up of 1e6 · Σ_type num / Σ_path num
+        (
+            (F.lit(2).cast("decimal(38,0)") * ppm
+             * F.col("_num").cast("decimal(38,0)")
+             + F.col("_d"))
+        ).alias("_dnum"),
+        F.col("_d").alias("_dden"),
+    ).select(
+        "touch_type", "_cnt", "_lin",
+        F.expr("CAST(_dnum DIV (2 * _dden) AS BIGINT)").alias("_dec"),
+    )
+    none = (
+        convs.join(tot, ["_k", "_path"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .filter(F.col("_c") > 0)
+        .select(
+            F.lit("(none)").alias("touch_type"),
+            F.lit(0).cast("bigint").alias("n_touches"),
+            F.col("_c").alias("paths_touched"),
+            (F.col("_c") * 1_000_000).cast("bigint").alias(
+                "linear_credit_ppm"
+            ),
+            (F.col("_c") * 1_000_000).cast("bigint").alias(
+                "decay_credit_ppm"
+            ),
+        )
+    )
+    return (
+        cred.groupBy("touch_type")
+        .agg(
+            F.sum("_cnt").cast("bigint").alias("n_touches"),
+            F.count(F.lit(1)).cast("bigint").alias("paths_touched"),
+            F.sum("_lin").cast("bigint").alias("linear_credit_ppm"),
+            F.sum("_dec").cast("bigint").alias("decay_credit_ppm"),
+        )
+        .unionByName(none)
+    )
+
+
+def touch_report(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    convert_type: str,
+    value_col: str | None = None,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Single-pass composition of ``touch_attribution`` +
+    ``touch_lag_quantiles`` (r11 — retires VERDICT r10 "wrong" #4:
+    the two operators each ran the identical per-key window pass, so
+    a pipeline wanting both scanned the corpus twice). This computes
+    the shared window frame ONCE; the last-touch counts, cents sum,
+    AND lag quantiles come out of one hash aggregate, with only the
+    (small) first-touch aggregate joined on top — the corpus-side
+    shuffle is shared across both branches via Spark's exchange reuse.
+
+    Output = w15's columns + w16's lag columns, full-outer on
+    touch_type ('(none)' rows carry NULL lag quantiles — no preceding
+    touch means no lag distribution). Values are pinned equal to the
+    two single-purpose operators by test.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cents = (
+        F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+        if value_col is not None
+        else F.lit(0).cast("bigint")
+    )
+    ev = events.select(
+        F.col(key_col).alias("_k"),
+        us.alias("_us"),
+        F.col(type_col).alias("_tp"),
+        cents.alias("_cents"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_us").asc(), F.col("_tp").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("_tp") != F.lit(convert_type), F.struct("_us", "_tp")
+    )
+    conv = ev.select(
+        "_k", "_us", "_tp", "_cents",
+        F.min(touch).over(w).alias("_ft"),
+        F.max(touch).over(w).alias("_lt"),
+    ).filter(F.col("_tp") == F.lit(convert_type))
+    none = F.lit("(none)")
+    qcols = [
+        F.round(
+            F.expr(f"percentile(_lag, {q!r})"), 4
+        ).alias(f"lag_p{int(round(q * 100))}")
+        for q in quantiles
+    ]
+    last = (
+        conv.select(
+            F.coalesce(F.col("_lt._tp"), none).alias("touch_type"),
+            "_cents",
+            (F.col("_us") - F.col("_lt._us")).alias("_lag"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("last_touch"),
+            F.sum("_cents").cast("bigint").alias("last_touch_value_cents"),
+            *qcols,
+        )
+    )
+    first = conv.groupBy(
+        F.coalesce(F.col("_ft._tp"), none).alias("touch_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("first_touch"))
+    return first.join(last, "touch_type", "full_outer").select(
+        "touch_type",
+        F.coalesce("first_touch", F.lit(0)).cast("bigint").alias(
+            "first_touch"
+        ),
+        F.coalesce("last_touch", F.lit(0)).cast("bigint").alias(
+            "last_touch"
+        ),
+        F.coalesce("last_touch_value_cents", F.lit(0)).cast("bigint").alias(
+            "last_touch_value_cents"
+        ),
+        *[f"lag_p{int(round(q * 100))}" for q in quantiles],
     )

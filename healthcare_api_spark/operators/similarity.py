@@ -1749,6 +1749,7 @@ def l2_range_join(
     n_cells: int = 16,
     iters: int = 3,
     exclude_self: bool = True,
+    validate: bool = True,
 ) -> DataFrame:
     """EXACT L2 range search with lossless cell pruning: for every
     query vector, ALL corpus vectors within ``radius`` (L2, measured
@@ -1802,13 +1803,22 @@ def l2_range_join(
         F.col(corpus_id).alias("_cid"), qv.alias("_cqv")
     ).localCheckpoint(eager=True)
     qrys = queries.select(F.col(query_id).alias("_qid"), qv.alias("_qv"))
+    if validate:
+        # the validation agg below is an eager full scan — checkpoint
+        # the queries projection FIRST so the join pipeline reuses it
+        # instead of re-reading the queries input (ADVICE r10: the
+        # validation used to double the query-side input cost)
+        qrys = qrys.localCheckpoint(eager=True)
 
     # Malformed vectors (NULL, null elements, ragged dims) would get a
     # NULL cell from the assigner / a NULL bound distance and silently
     # VANISH from the result while a naive all-pairs check might keep
     # them — breaking the lossless contract unobservably (ADVICE r9).
     # Raise instead: one cheap agg per side over the already-projected
-    # vec column (the corpus one reads the local checkpoint).
+    # vec column (BOTH sides read their local checkpoints, so each
+    # input is scanned once total). ``validate=False`` skips the two
+    # eager aggs for hot-path callers with known-clean inputs — the
+    # lossless guarantee then rests on the caller's contract.
     def _check_vecs(df, col, side):
         bad = F.sum(
             F.when(
@@ -1833,12 +1843,13 @@ def l2_range_join(
             )
         return row["dmin"]
 
-    cdim = _check_vecs(corp, "_cqv", "corpus")
-    qdim = _check_vecs(qrys, "_qv", "queries")
-    if cdim is not None and qdim is not None and cdim != qdim:
-        raise ValueError(
-            f"corpus dim {cdim} != queries dim {qdim}"
-        )
+    if validate:
+        cdim = _check_vecs(corp, "_cqv", "corpus")
+        qdim = _check_vecs(qrys, "_qv", "queries")
+        if cdim is not None and qdim is not None and cdim != qdim:
+            raise ValueError(
+                f"corpus dim {cdim} != queries dim {qdim}"
+            )
     cents = _lloyd_l2_arrow(corp, "_cid", "_cqv", n_cells, iters)
     if not cents:
         raise ValueError("empty corpus")

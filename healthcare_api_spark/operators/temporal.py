@@ -561,8 +561,10 @@ def series_correlation(
     ``decimal(38,0)`` — 128-bit exact, the same domain DuckDB's
     HUGEINT ``sum(BIGINT)`` uses — so the ×100-volume ~87%-of-int64
     knee is GONE, not guarded: exact while Σ(vq²) < 10³⁸, with no
-    silent wraparound anywhere below that (a decimal overflow raises
-    under ANSI instead of wrapping)."""
+    silent WRAPAROUND anywhere below that. Past 10³⁸ the failure mode
+    depends on the session: ANSI raises, while the repo's pinned
+    non-ANSI sessions surface the overflow as NULL output rows — a
+    loud blank, never a plausible wrong number (ADVICE r10)."""
     a = df.select(
         F.col(series_col).alias("series_a"),
         F.col(bucket_col).alias("_b"),
@@ -2086,9 +2088,10 @@ def series_features(
     agg = stepped.groupBy("_k").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("_x").cast("bigint").alias("sum_q"),
-        # decimal(38,0) accumulation (the x9/x18 headroom treatment);
-        # the bigint output cast fails LOUDLY past int64 instead of
-        # wrapping — values identical in-range
+        # decimal accumulation (the x9/x18 headroom treatment); past
+        # int64 the bigint output cast is NULL under the repo's
+        # non-ANSI sessions (raises under ANSI) — a loud blank either
+        # way, never a silent wrap — values identical in-range
         F.sum(
             F.col("_x").cast("decimal(19,0)") * F.col("_x").cast("decimal(19,0)")
         ).cast("bigint").alias("sumsq_q"),

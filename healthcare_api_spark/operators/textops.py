@@ -1972,12 +1972,24 @@ def rake_keywords(
     )
 
 
+# Half-up ppm of _topk/n_tokens in decimal(38,0), like the gini
+# numerator: 2·topk·1e6 overflows int64 once a stratum passes ~4.6e12
+# tokens, and under non-ANSI sessions that wrap is a silent NULL while
+# the DuckDB oracle's HUGEINT keeps going (ADVICE r10, medium). Named
+# so tests can pin the expression at past-int64 magnitudes directly.
+_TOPK_MASS_PPM_EXPR = (
+    "CAST((2 * CAST(_topk AS DECIMAL(38,0)) * 1000000"
+    " + CAST(n_tokens AS DECIMAL(38,0)))"
+    " DIV (2 * CAST(n_tokens AS DECIMAL(38,0))) AS BIGINT)"
+)
+
+
 def vocab_concentration(
     df: DataFrame,
     strata_col: str,
     text_col: str,
     top_k: int = 10,
-    rank_mode: str = "window",
+    rank_mode: str = "auto",
 ) -> DataFrame:
     """Per-stratum vocabulary-concentration report (r10): token count,
     distinct vocabulary, hapax count (Heaps'-law raw material), the
@@ -2001,9 +2013,10 @@ def vocab_concentration(
 
     Scale shape: one token-frequency aggregate (the t10 shuffle), the
     rank/index step, one hash aggregate; nothing touches the corpus
-    twice. The rank step has TWO modes with hash-identical output:
+    twice. The rank step has TWO modes with hash-identical output
+    (parity-tested):
 
-    - ``rank_mode="window"`` (default): per-stratum row_number windows
+    - ``rank_mode="window"``: per-stratum row_number windows
       — one task sorts each stratum's FULL vocabulary. Fine while
       vocab-per-stratum fits a task (Heaps' law keeps vocab ≪ corpus),
       but with a handful of strata at 100 TB that task is the skew
@@ -2015,13 +2028,20 @@ def vocab_concentration(
       rank — every partition sorts a range slice, no stratum-sized
       task anywhere. Two extra range shuffles; choose it when strata
       are few and vocabularies huge.
+    - ``rank_mode="auto"`` (default, r11 — VERDICT r10 #4): checkpoint
+      the (vocab-sized, ≪ corpus) term-frequency frame, count its
+      strata, and pick "range" iff strata < the session's shuffle
+      parallelism — exactly the regime where the window mode leaves
+      cores idle and concentrates one growing vocabulary per task.
+      With plenty of strata the window mode's single shuffle wins and
+      no stratum is a meaningful fraction of the corpus.
     """
     from pyspark.sql import Window
 
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
-    if rank_mode not in ("window", "range"):
-        raise ValueError("rank_mode must be 'window' or 'range'")
+    if rank_mode not in ("auto", "window", "range"):
+        raise ValueError("rank_mode must be 'auto', 'window' or 'range'")
     tf = (
         df.select(
             F.col(strata_col).alias("stratum"),
@@ -2033,6 +2053,14 @@ def vocab_concentration(
         .groupBy("stratum", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
+    if rank_mode == "auto":
+        # materialize tf once (both modes consume it; the strata-count
+        # probe then reads the checkpoint, not the corpus)
+        tf = tf.localCheckpoint(eager=True)
+        spark = df.sparkSession
+        par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        n_strata = tf.select("stratum").distinct().count()
+        rank_mode = "range" if n_strata < par else "window"
     if rank_mode == "window":
         w_asc = Window.partitionBy("stratum").orderBy(
             F.col("c").asc(), F.col("tok").asc()
@@ -2087,10 +2115,7 @@ def vocab_concentration(
     return agg.select(
         F.col("stratum").alias(strata_col),
         "n_tokens", "n_vocab", "n_hapax", "top_term", "top_count",
-        F.expr(
-            "CAST((2 * _topk * 1000000 + n_tokens) DIV (2 * n_tokens)"
-            " AS BIGINT)"
-        ).alias("topk_mass_ppm"),
+        F.expr(_TOPK_MASS_PPM_EXPR).alias("topk_mass_ppm"),
         (2 * num * F.lit(1_000_000).cast(d38) + den).alias("_gnum"),
         den.alias("_gden"),
     ).select(

@@ -105,6 +105,16 @@ class SearchConfig:
     # array params keep string semantics, the right default for the
     # HumanName shape this registry exists for.
     token_class_params: set[str] = field(default_factory=set)
+    # param → (value column, system column, code/unit column): FHIR
+    # 'quantity'-class search (r11, VERDICT r10 #7) — the one search
+    # param class §2.7 lacked. Grammar per FHIR R4:
+    # ``value-quantity=[prefix]number[|system[|code]]`` — comparator
+    # prefixes apply to the value column; a non-empty system/code leg
+    # must ALSO match exactly (token semantics). ``5.4||mg`` matches
+    # unit 'mg' under ANY system.
+    quantity_params: dict[str, tuple[str, str, str]] = field(
+        default_factory=dict
+    )
     # column for `_text=` full-text search (AND of whitespace terms,
     # token-level membership). None = _text unsupported for the type.
     text_search_col: str | None = None
@@ -568,6 +578,34 @@ class SearchEngine:
                 df = df.filter(
                     F.col(colpath).isNull() if raw == "true" else F.col(colpath).isNotNull()
                 )
+            elif name in cfg.quantity_params:
+                # FHIR quantity search: comparator on the value column,
+                # exact token match on system/code when present. Pure
+                # column predicates — pushdown-eligible like the
+                # number/date comparators beside it; comma = OR,
+                # repetition = AND (the closed-range idiom
+                # `value-quantity=ge5&value-quantity=le9` composes via
+                # the expanded loop like every other param).
+                vcol, scol, ccol = cfg.quantity_params[name]
+                for c in (vcol, scol, ccol):
+                    self._check_column(df, resource_type, name, c)
+                ors = None
+                for value in raw.split(","):
+                    numpart, has_pipe, rest = value.partition("|")
+                    if numpart[:2] in _PREFIX_OPS and len(numpart) > 2:
+                        p = _PREFIX_OPS[numpart[:2]](
+                            F.col(vcol), _typed_lit(df, vcol, numpart[2:])
+                        )
+                    else:
+                        p = F.col(vcol) == _typed_lit(df, vcol, numpart)
+                    if has_pipe:
+                        system, _, code = rest.partition("|")
+                        if system:
+                            p = p & (F.col(scol) == F.lit(system))
+                        if code:
+                            p = p & (F.col(ccol) == F.lit(code))
+                    ors = p if ors is None else (ors | p)
+                df = df.filter(ors)
             elif name in cfg.array_string_params:
                 arr, fld = cfg.array_string_params[name]
                 token_class = name in cfg.token_class_params

@@ -846,6 +846,21 @@ def test_touch_attribution_single_window_pass_no_cartesian(spark):
     assert plan.count("WindowExec") <= 1 or plan.count("Window") <= 2
 
 
+def test_multi_touch_one_corpus_pass_checkpointed(spark):
+    # w17 (r11): the corpus contributes exactly ONE window pass + ONE
+    # wide aggregate, materialized by the (key, path, type)-cardinality
+    # checkpoint; the OUTPUT plan reads that ExistingRDD — zero parquet
+    # rescans across the four downstream branches — and nothing is
+    # cartesian. The only SinglePartition exchange is the '(none)'
+    # count over the tiny checkpointed frame.
+    df = entrymod.q_w17_multi_touch(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # the window pass ran pre-checkpoint
+
+
 def test_strength_features_single_aggregate_no_cartesian(spark):
     # x25 (r10): the strengths are ONE keyed aggregate over the
     # decomposed frame; decompose itself contributes its pinned x8
@@ -863,3 +878,4 @@ def test_touch_lag_single_window_keyed_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+    assert plan.count("WindowExec") <= 1 or plan.count("Window") <= 2

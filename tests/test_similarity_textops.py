@@ -2149,6 +2149,42 @@ def test_l2_range_join_rejects_malformed_vectors(spark):
         )
 
 
+def test_l2_range_join_validate_flag(spark):
+    """validate=False skips the two eager validation aggs for
+    known-clean hot paths (ADVICE r10) — results identical on clean
+    input; malformed input then flows through UNCHECKED by contract
+    (no raise), which is exactly the documented trade."""
+    from healthcare_api_spark.operators.similarity import l2_range_join
+
+    good = spark.createDataFrame(
+        [(i, [float(i), float(i)]) for i in range(6)],
+        "vec_id bigint, embedding array<double>",
+    )
+    kw = dict(scale=1000.0, n_cells=2, iters=2)
+    a = sorted(
+        map(tuple, l2_range_join(
+            good, good, "vec_id", "vec_id", "embedding", 1.5, **kw
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, l2_range_join(
+            good, good, "vec_id", "vec_id", "embedding", 1.5,
+            validate=False, **kw
+        ).collect())
+    )
+    assert a == b and len(a) > 0
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="dim"):
+        l2_range_join(
+            good, ragged, "vec_id", "vec_id", "embedding", 1.5, **kw
+        )
+
+
 def test_vocab_concentration_hand_computed(spark):
     """Gini over counts {b:1, a:3}: ascending (b,1),(a,3) ->
     Σ(2i−1)c = 1 + 9 = 10, V=2, Σc=4 -> G = (10−8)/8 = 0.25."""
@@ -2171,6 +2207,21 @@ def test_vocab_concentration_hand_computed(spark):
     # {x:2, y:1}: Σ(2i−1)c = 1·1 + 3·2 = 7, V=2, Σc=3 -> (7−6)/6
     assert de["gini_ppm"] == 166667  # half-up of 1/6
     assert (de["top_term"], de["n_hapax"]) == ("x", 1)
+
+
+def test_vocab_concentration_topk_ppm_exact_past_int64(spark):
+    """topk_mass_ppm's numerator 2·topk·1e6 passes int64 at ~4.6e12
+    tokens per stratum; the decimal(38,0) expression must stay exact
+    (half-up) there instead of silently NULLing under non-ANSI
+    (ADVICE r10, medium). Pins the named expr at 5e12 tokens."""
+    from healthcare_api_spark.operators.textops import _TOPK_MASS_PPM_EXPR
+
+    topk, n = 5_000_000_000_000, 5_500_000_000_000
+    df = spark.createDataFrame([(topk, n)], "_topk bigint, n_tokens bigint")
+    got = df.selectExpr(f"{_TOPK_MASS_PPM_EXPR} AS ppm").collect()[0]["ppm"]
+    expected = (2 * topk * 1_000_000 + n) // (2 * n)  # exact half-up
+    assert 2 * topk * 1_000_000 > 2**63 - 1  # the test is past the knee
+    assert got == expected == 909091
 
 
 def test_vocab_concentration_uniform_counts_zero_gini(spark):
