@@ -271,6 +271,7 @@ HEADLINE = [
     # and the quantity-class FHIR search (pure pushdown predicates)
     "w17_multi_touch",
     "fs13_quantity_search",
+    "w18_position_attribution",
 ]
 
 # r10: per-query isolated loop membership (VERDICT r9 #1) — the

@@ -827,3 +827,125 @@ def touch_report(
         ),
         *[f"lag_p{int(round(q * 100))}" for q in quantiles],
     )
+
+
+def position_attribution(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    convert_type: str,
+) -> DataFrame:
+    """Position-based (U-shaped) conversion attribution (r11): per
+    conversion path, 40% of the credit to the FIRST touch, 40% to the
+    LAST, and 20% split evenly among the middles — the third standard
+    multi-touch model beside ``multi_touch_attribution``'s linear and
+    time-decay. Degenerate paths follow the industry convention:
+    one touch takes 100%, two touches split 50/50.
+
+    Exact-integer ppm arithmetic: the middle share uses the u11
+    half-up device per (path, type) in decimal(38,0); the 40/40/20
+    legs are exact constants. First/last OWNERSHIP is struct-valued —
+    the path's min/max (ts, type) struct over touches — so ownership
+    is unique even under timestamp ties (the type is part of the
+    ordering) and both engines agree bit-for-bit.
+
+    Same single-pass shape as ``multi_touch_attribution``: ONE corpus
+    window sort (path ids + next-conversion ts), ONE corpus hash
+    aggregate to (key, path, type) rows carrying count + min/max touch
+    structs, checkpointed; path totals, ownership flags and the
+    '(none)' anti-join all run at path×type cardinality. Same
+    (ts, type) ROW-precedence tie rule as w15/w17, documented there.
+
+    Output: (touch_type, n_touches, paths_touched,
+    position_credit_ppm) — all BIGINT.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(key_col).alias("_k"),
+        us.alias("_us"),
+        F.col(type_col).alias("_tp"),
+    )
+    is_conv = F.col("_tp") == F.lit(convert_type)
+    w_prev = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_us").asc(), F.col("_tp").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_us").asc(), F.col("_tp").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    x = ev.select(
+        "_k", "_us", "_tp",
+        F.count(F.when(is_conv, 1)).over(w_prev).cast("bigint").alias("_path"),
+        F.min(F.when(is_conv, F.col("_us"))).over(w_next).alias("_ncus"),
+    )
+    touch = F.when(~is_conv, F.struct("_us", "_tp"))
+    g = (
+        x.filter(is_conv | F.col("_ncus").isNotNull())
+        .groupBy("_k", "_path", "_tp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+            F.min(touch).alias("_mn"),
+            F.max(touch).alias("_mx"),
+        )
+        # same four-consumer fan-out as multi_touch_attribution: the
+        # checkpoint pins ONE corpus scan + window + aggregate total
+        .localCheckpoint(eager=True)
+    )
+    tch = g.filter(F.col("_tp") != F.lit(convert_type))
+    convs = g.filter(F.col("_tp") == F.lit(convert_type)).select("_k", "_path")
+    tot = tch.groupBy("_k", "_path").agg(
+        F.sum("_cnt").cast("bigint").alias("_n"),
+        F.min("_mn").alias("_fst"),
+        F.max("_mx").alias("_lst"),
+    )
+    of = (F.col("_mn") == F.col("_fst")).cast("bigint")
+    ol = (F.col("_mx") == F.col("_lst")).cast("bigint")
+    # half-up integer ppm for the middle share (the u11 DIV device in
+    # decimal(38,0)); n == 1 means this (sole) type row IS the path's
+    # only touch — it owns first and last by construction, full credit
+    ppm = F.expr(
+        "CAST(CASE"
+        " WHEN _n = 1 THEN 1000000"
+        " WHEN _n = 2 THEN (_of + _ol) * 500000"
+        " ELSE 400000 * (_of + _ol) + (CASE WHEN _cnt - _of - _ol > 0"
+        "  THEN CAST((2 * CAST(_cnt - _of - _ol AS DECIMAL(38,0))"
+        "   * 200000 + CAST(_n - 2 AS DECIMAL(38,0)))"
+        "   DIV (2 * CAST(_n - 2 AS DECIMAL(38,0))) AS BIGINT)"
+        "  ELSE 0 END)"
+        " END AS BIGINT)"
+    )
+    cred = tch.join(tot, ["_k", "_path"]).select(
+        F.col("_tp").alias("touch_type"),
+        "_cnt",
+        "_n",
+        of.alias("_of"),
+        ol.alias("_ol"),
+    ).select("touch_type", "_cnt", ppm.alias("_ppm"))
+    none = (
+        convs.join(tot, ["_k", "_path"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .filter(F.col("_c") > 0)
+        .select(
+            F.lit("(none)").alias("touch_type"),
+            F.lit(0).cast("bigint").alias("n_touches"),
+            F.col("_c").alias("paths_touched"),
+            (F.col("_c") * 1_000_000).cast("bigint").alias(
+                "position_credit_ppm"
+            ),
+        )
+    )
+    return (
+        cred.groupBy("touch_type")
+        .agg(
+            F.sum("_cnt").cast("bigint").alias("n_touches"),
+            F.count(F.lit(1)).cast("bigint").alias("paths_touched"),
+            F.sum("_ppm").cast("bigint").alias("position_credit_ppm"),
+        )
+        .unionByName(none)
+    )

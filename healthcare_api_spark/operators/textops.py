@@ -1990,6 +1990,7 @@ def vocab_concentration(
     text_col: str,
     top_k: int = 10,
     rank_mode: str = "auto",
+    range_vocab_threshold: int = 32_000_000,
 ) -> DataFrame:
     """Per-stratum vocabulary-concentration report (r10): token count,
     distinct vocabulary, hapax count (Heaps'-law raw material), the
@@ -2029,12 +2030,17 @@ def vocab_concentration(
       task anywhere. Two extra range shuffles; choose it when strata
       are few and vocabularies huge.
     - ``rank_mode="auto"`` (default, r11 — VERDICT r10 #4): checkpoint
-      the (vocab-sized, ≪ corpus) term-frequency frame, count its
-      strata, and pick "range" iff strata < the session's shuffle
-      parallelism — exactly the regime where the window mode leaves
-      cores idle and concentrates one growing vocabulary per task.
-      With plenty of strata the window mode's single shuffle wins and
-      no stratum is a meaningful fraction of the corpus.
+      the (vocab-sized, ≪ corpus) term-frequency frame, measure its
+      LARGEST per-stratum vocabulary, and pick "range" iff that
+      exceeds ``range_vocab_threshold`` rows. MEASURED (r11 hapax
+      legs, SCALE.md): few-strata alone does NOT justify range — at
+      20M vocab rows over 5 strata (4M/stratum) the window mode's
+      single-task sorts still beat range's two extra full-vocab range
+      shuffles 14.1 s vs 37.9 s; the range mode only pays off when a
+      single stratum's vocabulary is too big for one task's sort
+      (memory + the single-task wall). The default threshold 32M rows
+      ≈ a 20-30 s single-task external sort — past it the constant
+      ~2.7× range overhead is cheaper than the skew.
     """
     from pyspark.sql import Window
 
@@ -2054,13 +2060,21 @@ def vocab_concentration(
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
     if rank_mode == "auto":
-        # materialize tf once (both modes consume it; the strata-count
-        # probe then reads the checkpoint, not the corpus)
+        # materialize tf once (both modes consume it; the probe then
+        # reads the checkpoint, not the corpus) and measure the
+        # largest per-stratum vocabulary — the quantity that actually
+        # decides the mode (see docstring: strata count alone was
+        # measured and rejected)
         tf = tf.localCheckpoint(eager=True)
-        spark = df.sparkSession
-        par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        n_strata = tf.select("stratum").distinct().count()
-        rank_mode = "range" if n_strata < par else "window"
+        mx = (
+            tf.groupBy("stratum")
+            .agg(F.count(F.lit(1)).alias("v"))
+            .agg(F.max("v").alias("m"))
+            .collect()[0]["m"]
+        )
+        rank_mode = (
+            "range" if (mx or 0) > range_vocab_threshold else "window"
+        )
     if rank_mode == "window":
         w_asc = Window.partitionBy("stratum").orderBy(
             F.col("c").asc(), F.col("tok").asc()

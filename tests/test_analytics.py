@@ -633,3 +633,81 @@ def test_touch_report_equals_w15_join_w16(spark):
             assert row["lag_p90"] == w16[tp]["lag_p90"], tp
         else:
             assert row["lag_p50"] is None and row["lag_p90"] is None
+
+
+def test_position_attribution_hand_computed(spark):
+    """U-shaped 40/40/20: path ad,email,click,ad -> purchase (n=4):
+    first 'ad' 400k, last 'ad' 400k, middles email+click 100k each
+    (200k/2) -> ad 800k. Two-touch path: 50/50. One-touch: 100%.
+    Pathless -> '(none)' 1e6."""
+    from datetime import datetime
+
+    from healthcare_api_spark.operators.analytics import position_attribution
+
+    def t(m):
+        return datetime(2024, 1, 1, 10, m)
+
+    rows = [
+        # user 1: 4-touch path
+        (1, t(0), "ad"), (1, t(1), "email"), (1, t(2), "click"),
+        (1, t(3), "ad"), (1, t(4), "purchase"),
+        # user 2: 2-touch path (email, click)
+        (2, t(0), "email"), (2, t(1), "click"), (2, t(2), "purchase"),
+        # user 3: single touch
+        (3, t(0), "click"), (3, t(1), "purchase"),
+        # user 4: pathless
+        (4, t(0), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    got = {
+        r["touch_type"]: (
+            r["n_touches"], r["paths_touched"], r["position_credit_ppm"]
+        )
+        for r in position_attribution(
+            df, "user_id", "ts", "event_type", "purchase"
+        ).collect()
+    }
+    assert got["ad"] == (2, 1, 800_000)
+    assert got["email"] == (2, 2, 600_000)   # 100k (middle) + 500k (first of 2)
+    assert got["click"] == (3, 3, 1_600_000)  # 100k + 500k + 1e6
+    assert got["(none)"] == (0, 1, 1_000_000)
+    # per-path credit sums to ~1e6 each (4 paths incl. none)
+    assert sum(v[2] for v in got.values()) == 4_000_000
+
+
+def test_position_attribution_middle_rounding_per_type(spark):
+    """Middle credit rounds ONCE per (path, type) — half_up(200000·m/
+    (n−2)) — so same-type middles don't accumulate rounding error:
+    path 2's three 'm' middles get exactly 200000 together, while
+    path 3's three DIFFERENT-type middles each get half_up(200000/3)
+    = 66667 (sum 200001, the documented 1-ppm half-up overshoot,
+    mirrored in the oracle)."""
+    from datetime import datetime
+
+    from healthcare_api_spark.operators.analytics import position_attribution
+
+    def t(m):
+        return datetime(2024, 1, 1, 10, m)
+
+    rows = [
+        (1, t(0), "a"), (1, t(1), "m"), (1, t(2), "z"), (1, t(3), "purchase"),
+        (2, t(0), "a"), (2, t(1), "m"), (2, t(2), "m"), (2, t(3), "m"),
+        (2, t(4), "z"), (2, t(5), "purchase"),
+        (3, t(0), "a"), (3, t(1), "m1"), (3, t(2), "m2"), (3, t(3), "m3"),
+        (3, t(4), "z"), (3, t(5), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    got = {
+        r["touch_type"]: r["position_credit_ppm"]
+        for r in position_attribution(
+            df, "user_id", "ts", "event_type", "purchase"
+        ).collect()
+    }
+    assert got["a"] == 1_200_000          # first of all three paths
+    assert got["z"] == 1_200_000          # last of all three paths
+    assert got["m"] == 200_000 + 200_000  # full middle + 3-of-a-kind exact
+    assert got["m1"] == got["m2"] == got["m3"] == 66_667

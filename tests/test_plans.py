@@ -879,3 +879,26 @@ def test_touch_lag_single_window_keyed_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
     assert plan.count("WindowExec") <= 1 or plan.count("Window") <= 2
+
+
+def test_quantity_search_pushdown_and_pruned_scan(spark):
+    # fs13 (r11): the quantity grammar compiles to pure column
+    # predicates — the numeric leg pushes into the parquet scan and
+    # the scan reads only the referenced columns; no join, no UDF
+    df = entrymod.q_fs13_quantity_search(spark, SF_DIR)
+    plan = _plan(df)
+    assert "GreaterThanOrEqual(value,0.5)" in plan  # PushedFilters
+    assert "ReadSchema: struct<event_id:bigint,value:double>" in plan
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_position_attribution_one_corpus_pass_checkpointed(spark):
+    # w18 (r11): same one-pass contract as w17 — the output plan reads
+    # the checkpointed (key, path, type) frame, zero parquet rescans,
+    # no window downstream, nothing cartesian
+    df = entrymod.q_w18_position_attribution(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

@@ -2209,6 +2209,39 @@ def test_vocab_concentration_hand_computed(spark):
     assert (de["top_term"], de["n_hapax"]) == ("x", 1)
 
 
+def test_vocab_concentration_auto_threshold_parity(spark):
+    """auto mode flips to the range path when the largest per-stratum
+    vocabulary exceeds the threshold; output is hash-identical either
+    way (the r11 measured rule: mode follows max-stratum vocab, not
+    strata count)."""
+    from healthcare_api_spark.operators.textops import vocab_concentration
+
+    rows = [
+        (i, f"tok{i % 29} tok{i % 7} common", "en" if i % 2 else "de")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    base = sorted(
+        tuple(r.asDict().items())
+        for r in vocab_concentration(
+            df, "lang", "text", top_k=3, rank_mode="window"
+        ).collect()
+    )
+    # threshold 1: every stratum's vocab exceeds it -> auto takes range
+    forced = sorted(
+        tuple(r.asDict().items())
+        for r in vocab_concentration(
+            df, "lang", "text", top_k=3, range_vocab_threshold=1
+        ).collect()
+    )
+    # huge threshold -> auto takes window
+    relaxed = sorted(
+        tuple(r.asDict().items())
+        for r in vocab_concentration(df, "lang", "text", top_k=3).collect()
+    )
+    assert base == forced == relaxed
+
+
 def test_vocab_concentration_topk_ppm_exact_past_int64(spark):
     """topk_mass_ppm's numerator 2·topk·1e6 passes int64 at ~4.6e12
     tokens per stratum; the decimal(38,0) expression must stay exact
