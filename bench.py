@@ -272,6 +272,7 @@ HEADLINE = [
     "w17_multi_touch",
     "fs13_quantity_search",
     "w18_position_attribution",
+    "fs14_composite_search",
 ]
 
 # r10: per-query isolated loop membership (VERDICT r9 #1) — the

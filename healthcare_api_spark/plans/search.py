@@ -115,6 +115,17 @@ class SearchConfig:
     quantity_params: dict[str, tuple[str, str, str]] = field(
         default_factory=dict
     )
+    # param → (array column, [(element field, class), ...]) with class
+    # ∈ {"token", "number"}: FHIR 'composite'-class search (r11) —
+    # ``component-code-value=8480-6$gt90`` requires ALL components to
+    # match inside the SAME repeating element (one F.exists over the
+    # array, never a cross-element AND that would false-positive on
+    # two different components). Number components take the comparator
+    # prefixes; token components match exactly. Comma = OR of whole
+    # composite values; repetition = AND.
+    composite_params: dict[str, tuple[str, list[tuple[str, str]]]] = field(
+        default_factory=dict
+    )
     # column for `_text=` full-text search (AND of whitespace terms,
     # token-level membership). None = _text unsupported for the type.
     text_search_col: str | None = None
@@ -578,6 +589,55 @@ class SearchEngine:
                 df = df.filter(
                     F.col(colpath).isNull() if raw == "true" else F.col(colpath).isNotNull()
                 )
+            elif name in cfg.composite_params:
+                # FHIR composite search: every component predicate is
+                # evaluated against the SAME array element inside one
+                # F.exists — a narrow higher-order expression, no
+                # explode, no join, no cross-element false positives.
+                arr, comps = cfg.composite_params[name]
+                self._check_column(df, resource_type, name, arr)
+                elem_type = df.select(F.col(arr)).schema[0].dataType.elementType
+                ftypes = {
+                    f.name: f.dataType.simpleString() for f in elem_type.fields
+                }
+
+                def _elem_pred(parts: list[str]):
+                    # factory closes over a COPY of parts (the comma
+                    # loop reuses the name); returns the unary lambda
+                    # F.exists dispatches on
+                    def pred(s):
+                        p = None
+                        for part, (fld, klass) in zip(parts, comps):
+                            lit = F.lit(part)
+                            if klass == "number":
+                                lit2 = F.lit(
+                                    part[2:]
+                                    if part[:2] in _PREFIX_OPS and len(part) > 2
+                                    else part
+                                ).cast(ftypes[fld])
+                                if part[:2] in _PREFIX_OPS and len(part) > 2:
+                                    c = _PREFIX_OPS[part[:2]](s[fld], lit2)
+                                else:
+                                    c = s[fld] == lit2
+                            else:  # token: exact match
+                                c = s[fld] == lit.cast(ftypes[fld])
+                            p = c if p is None else (p & c)
+                        return p
+
+                    return pred
+
+                ors = None
+                for value in raw.split(","):
+                    parts = value.split("$")
+                    if len(parts) != len(comps):
+                        raise ValueError(
+                            f"composite '{name}' expects "
+                            f"{len(comps)} $-separated components, got "
+                            f"{len(parts)} in '{value}'"
+                        )
+                    p = F.exists(F.col(arr), _elem_pred(parts))
+                    ors = p if ors is None else (ors | p)
+                df = df.filter(ors)
             elif name in cfg.quantity_params:
                 # FHIR quantity search: comparator on the value column,
                 # exact token match on system/code when present. Pure

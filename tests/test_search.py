@@ -849,3 +849,51 @@ def test_quantity_param_unit_mismatch_empty(spark):
     assert eng.search(
         "Observation", {"value-quantity": "gt0|http://unitsofmeasure.org|mg"}
     ).count() == 1
+
+
+def test_composite_param_same_element_semantics(spark):
+    """FHIR composite: components must match inside the SAME repeating
+    element — o2 has code 8480-6 (value 70) and code 8462-4 (value 95),
+    so `8480-6$gt90` must NOT match it even though it has both a
+    8480-6 component and a >90 value; o1 (8480-6 at 120) matches."""
+    obs = spark.createDataFrame(
+        [
+            ("o1", [{"code": "8480-6", "v": 120.0}]),
+            ("o2", [{"code": "8480-6", "v": 70.0},
+                    {"code": "8462-4", "v": 95.0}]),
+            ("o3", None),
+        ],
+        "id string, components array<struct<code:string,v:double>>",
+    )
+    eng = SearchEngine(
+        {"Observation": obs},
+        {
+            "Observation": SearchConfig(
+                composite_params={
+                    "component-code-value": (
+                        "components",
+                        [("code", "token"), ("v", "number")],
+                    )
+                }
+            )
+        },
+    )
+
+    def ids(params):
+        return sorted(
+            r["id"] for r in eng.search("Observation", params).collect()
+        )
+
+    assert ids({"component-code-value": "8480-6$gt90"}) == ["o1"]
+    # bare number component = equality; comma = OR of whole composites
+    assert ids(
+        {"component-code-value": "8480-6$70,8462-4$gt90"}
+    ) == ["o2"]
+    # repetition = AND (both composites must hold, each in ITS element)
+    assert ids(
+        {"component-code-value": ["8480-6$70", "8462-4$ge95"]}
+    ) == ["o2"]
+    import pytest
+
+    with pytest.raises(ValueError, match="components"):
+        eng.search("Observation", {"component-code-value": "8480-6"})
