@@ -273,6 +273,7 @@ HEADLINE = [
     "fs13_quantity_search",
     "w18_position_attribution",
     "fs14_composite_search",
+    "w19_rfm_segments",
 ]
 
 # r10: per-query isolated loop membership (VERDICT r9 #1) — the

@@ -949,3 +949,106 @@ def position_attribution(
         )
         .unionByName(none)
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    convert_type: str,
+    value_col: str,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation (r11) — the
+    classic customer-value grid every marketing stack derives before
+    any model sees the data. Per purchasing user: recency = whole days
+    between their LAST ``convert_type`` event and the corpus's max
+    event timestamp (exact integer micros DIV 86400e6), frequency =
+    purchase count, monetary = exact cents sum. Each dimension scores
+    1-5 against the POPULATION's quintile thresholds; output is the
+    segment grid (r_score, f_score, m_score) with user counts and
+    total cents — ≤125 rows.
+
+    Scale discipline: scoring uses percentile THRESHOLDS (p20/40/60/80
+    from one tiny aggregate, broadcast back as literals) compared
+    against each user's metrics — NEVER a global ntile window, which
+    would funnel every user through one task. Score = 1 + #thresholds
+    strictly below the metric (recency inverted: fresher = higher), so
+    boundary ties are deterministic in both engines; the thresholds
+    themselves ride the x10/w11 ``percentile`` == ``quantile_cont``
+    interpolation contract over exact integers.
+
+    Shape: one corpus filter+groupBy(user) (map-side combined), one
+    1-row threshold aggregate joined back as a broadcast literal
+    frame, one ≤125-group hash aggregate. No window over users, no
+    sort, no UDF. The exact ``percentile`` threshold aggregate is
+    |purchasers|-bound on its merge task (exact percentiles buffer
+    values — the x10/w11 family's documented cost); swap in
+    ``percentile_approx`` for billion-user populations at the price
+    of the cross-engine hash contract.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+    purchases = events.filter(
+        F.col(type_col) == F.lit(convert_type)
+    ).select(
+        F.col(user_col).alias("_u"), us.alias("_us"), cents.alias("_cents")
+    )
+    per_user = purchases.groupBy("_u").agg(
+        F.max("_us").alias("_last"),
+        F.count(F.lit(1)).cast("bigint").alias("f"),
+        F.sum("_cents").cast("bigint").alias("m"),
+    )
+    # corpus max ts (any event type — "now" for the dataset) and the
+    # quintile thresholds: two tiny aggregates, crossJoined back as
+    # single-row broadcast frames (literal-like; no user-keyed join)
+    now = events.select(
+        F.max(us).alias("_now")
+    )
+    base = per_user.crossJoin(F.broadcast(now)).select(
+        "_u", "f", "m",
+        F.expr("(_now - _last) DIV 86400000000").cast("bigint").alias("r"),
+    )
+    th = base.agg(
+        *[
+            F.expr(f"percentile(r, {q!r})").alias(f"_rq{i}")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), 1)
+        ],
+        *[
+            F.expr(f"percentile(f, {q!r})").alias(f"_fq{i}")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), 1)
+        ],
+        *[
+            F.expr(f"percentile(m, {q!r})").alias(f"_mq{i}")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), 1)
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(th)).select(
+        # recency: LOWER is better — score 5 at the freshest quintile
+        (
+            F.lit(5)
+            - sum(
+                (F.col("r") > F.col(f"_rq{i}")).cast("int")
+                for i in range(1, 5)
+            )
+        ).cast("int").alias("r_score"),
+        (
+            F.lit(1)
+            + sum(
+                (F.col("f") > F.col(f"_fq{i}")).cast("int")
+                for i in range(1, 5)
+            )
+        ).cast("int").alias("f_score"),
+        (
+            F.lit(1)
+            + sum(
+                (F.col("m") > F.col(f"_mq{i}")).cast("int")
+                for i in range(1, 5)
+            )
+        ).cast("int").alias("m_score"),
+        "m",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("m").cast("bigint").alias("total_cents"),
+    )

@@ -711,3 +711,46 @@ def test_position_attribution_middle_rounding_per_type(spark):
     assert got["z"] == 1_200_000          # last of all three paths
     assert got["m"] == 200_000 + 200_000  # full middle + 3-of-a-kind exact
     assert got["m1"] == got["m2"] == got["m3"] == 66_667
+
+
+def test_rfm_segments_hand_computed(spark):
+    """Five purchasers with strictly increasing f and m and strictly
+    DECREASING freshness land on the grid diagonal: thresholds at
+    p20/40/60/80 of {1..5}-like metrics put exactly one user per
+    score; non-purchasers and non-purchase events are excluded."""
+    from datetime import datetime, timedelta
+
+    from healthcare_api_spark.operators.analytics import rfm_segments
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for u in range(1, 6):
+        # user u: u purchases of 10*u each; last purchase u-1 days
+        # before the corpus max ts (user 5 freshest? no — user 1 is
+        # (5-1) days stale ... make user u's last purchase (5-u) days
+        # before max, so higher u = fresher = higher r_score)
+        for k in range(u):
+            rows.append(
+                (u, base + timedelta(days=30 - (5 - u), hours=-k),
+                 "purchase", 10.0 * u)
+            )
+    rows.append((99, base + timedelta(days=30), "click", 0.0))  # corpus max
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string, value double"
+    )
+    got = {
+        (r["r_score"], r["f_score"], r["m_score"]): (
+            r["n_users"], r["total_cents"]
+        )
+        for r in rfm_segments(
+            df, "user_id", "ts", "event_type", "purchase", "value"
+        ).collect()
+    }
+    # user u: recency rank u (fresher = higher score), f = u, m = u·u·1000
+    assert got == {
+        (1, 1, 1): (1, 1000),
+        (2, 2, 2): (1, 4000),
+        (3, 3, 3): (1, 9000),
+        (4, 4, 4): (1, 16000),
+        (5, 5, 5): (1, 25000),
+    }

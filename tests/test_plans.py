@@ -902,3 +902,15 @@ def test_position_attribution_one_corpus_pass_checkpointed(spark):
     assert "Scan parquet" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_rfm_no_global_window_broadcast_thresholds(spark):
+    # w19 (r11): quintile scoring must come from broadcast threshold
+    # literals, NEVER a global ntile window (single-task scale killer);
+    # the only nested-loop joins are the 1-row broadcast frames
+    df = entrymod.q_w19_rfm_segments(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "Sort [" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row threshold frames
