@@ -274,6 +274,7 @@ HEADLINE = [
     "w18_position_attribution",
     "fs14_composite_search",
     "w19_rfm_segments",
+    "st13_streaming_attribution",
 ]
 
 # r10: per-query isolated loop membership (VERDICT r9 #1) — the
@@ -290,6 +291,7 @@ HEAVY_ISOLATED = [
     "st10_streaming_hll",
     "st11_streaming_ewma",
     "st12_streaming_cep",
+    "st13_streaming_attribution",
     "m18_keyframes",
     "m19_patch_vote_neardup",
     "v12_ivf_pruned",

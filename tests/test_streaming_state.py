@@ -567,3 +567,73 @@ def test_streaming_cep_completed_pending_does_not_readvance(spark, tmp_path):
     assert len(whole) == 1 and str(whole[0]["ts_2"]).startswith(
         "2024-01-01 10:05"
     )
+
+
+def test_streaming_touch_attribution_cross_batch_and_replay(spark, tmp_path):
+    """st13 machinery on a hand-built stream: a conversion in batch 1
+    credits a touch from batch 0 (the carried min/max structs seed the
+    window), first-ever vs most-recent diverge across the boundary,
+    a brand-new batch-1 user with no touch lands in '(none)', and
+    replaying either batch changes nothing."""
+    from datetime import datetime
+
+    from healthcare_api_spark.operators.analytics import touch_attribution
+    from healthcare_api_spark.streaming.attribution import (
+        read_touch_attribution,
+        touch_batch,
+    )
+
+    schema = "user_id bigint, ts timestamp, event_type string, value double"
+
+    def t(i):
+        return datetime(2024, 1, 1, 10, i)
+
+    b0 = spark.createDataFrame(
+        [
+            (1, t(0), "ad", 0.0), (1, t(1), "email", 0.0),
+            (2, t(0), "click", 0.0),
+            (2, t(1), "purchase", 3.0),  # in-batch conversion
+        ],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, t(5), "purchase", 10.5),  # credits b0: first=ad, last=email
+            (2, t(6), "ad", 0.0),
+            (2, t(7), "purchase", 2.0),   # first=click (b0), last=ad (b1)
+            (3, t(5), "purchase", 1.0),   # no touch ever -> (none)
+        ],
+        schema,
+    )
+    root = str(tmp_path / "attr")
+    args = (root, "user_id", "ts", "event_type", "purchase", "value")
+    touch_batch(b0, 0, *args)
+    touch_batch(b1, 1, *args)
+
+    def live():
+        return {
+            r["touch_type"]: (
+                r["first_touch"], r["last_touch"], r["last_touch_value_cents"]
+            )
+            for r in read_touch_attribution(spark, root).collect()
+        }
+
+    got = live()
+    want = {
+        r["touch_type"]: (
+            r["first_touch"], r["last_touch"], r["last_touch_value_cents"]
+        )
+        for r in touch_attribution(
+            b0.unionByName(b1), "user_id", "ts", "event_type", "purchase",
+            value_col="value",
+        ).collect()
+    }
+    assert got == want
+    assert got["ad"] == (1, 1, 200)       # u1 first (b0); u2 last (b1)
+    assert got["email"] == (0, 1, 1050)   # u1 last, cross-batch
+    assert got["click"] == (2, 1, 300)    # u2 first (both convs), u2 last (b0)
+    assert got["(none)"] == (1, 1, 100)
+    # replay both batches out of order: results and state unchanged
+    touch_batch(b1, 1, *args)
+    touch_batch(b0, 0, *args)
+    assert live() == got
