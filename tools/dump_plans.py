@@ -134,6 +134,15 @@ QUERIES = [
     # r10
     "t35_vocab_gini",
     "w15_touch_attribution",
+    # r11: the one-pass attribution family (w17/w18 show the
+    # checkpointed (key,path,type) shape), the pushdown-only quantity/
+    # composite search predicates, and the broadcast-threshold RFM
+    # grid; st13 omitted — foreachBatch shell like st5-st12
+    "w17_multi_touch",
+    "w18_position_attribution",
+    "w19_rfm_segments",
+    "fs13_quantity_search",
+    "fs14_composite_search",
 ]
 
 
