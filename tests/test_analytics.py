@@ -754,3 +754,55 @@ def test_rfm_segments_hand_computed(spark):
         (4, 4, 4): (1, 16000),
         (5, 5, 5): (1, 25000),
     }
+
+
+def test_attribution_credit_conservation_random(spark):
+    """Invariant over a seeded random event stream: every conversion
+    distributes exactly 1,000,000 ppm per model, up to the documented
+    per-(path,type) half-up rounding — so each model's global credit
+    sum lies within ±(credited path×type rows)/2 ppm of 1e6 × paths,
+    and '(none)' rows are exact. Pins w17 (linear + decay) and w18
+    (position) against drift in the path machinery."""
+    import random
+    from datetime import datetime, timedelta
+
+    from healthcare_api_spark.operators.analytics import (
+        multi_touch_attribution,
+        position_attribution,
+    )
+
+    rng = random.Random(11)
+    base = datetime(2024, 1, 1)
+    types = ["ad", "email", "click", "social", "purchase"]
+    rows = [
+        (rng.randrange(40),
+         base + timedelta(minutes=rng.randrange(10_000)),
+         rng.choice(types))
+        for _ in range(1200)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    w17 = multi_touch_attribution(
+        df, "user_id", "ts", "event_type", "purchase"
+    ).collect()
+    w18 = position_attribution(
+        df, "user_id", "ts", "event_type", "purchase"
+    ).collect()
+    paths17 = sum(r["paths_touched"] for r in w17 if r["touch_type"] == "(none)")
+    # credited (path, type) rows bound the half-up deviation
+    rows17 = sum(r["paths_touched"] for r in w17 if r["touch_type"] != "(none)")
+    # total conversions = credited paths + pathless paths; recompute
+    # credited paths exactly: every credited path has ≥1 type row but
+    # paths_touched counts (path, type) pairs — use the conversions
+    # count from the frame itself for the exact total
+    n_conv = df.filter("event_type = 'purchase'").count()
+    for col in ("linear_credit_ppm", "decay_credit_ppm"):
+        total = sum(r[col] for r in w17)
+        assert abs(total - 1_000_000 * n_conv) <= rows17, col
+    total18 = sum(r["position_credit_ppm"] for r in w18)
+    rows18 = sum(r["paths_touched"] for r in w18 if r["touch_type"] != "(none)")
+    assert abs(total18 - 1_000_000 * n_conv) <= rows18
+    # both models agree on the pathless count
+    none18 = [r for r in w18 if r["touch_type"] == "(none)"]
+    assert none18 and none18[0]["paths_touched"] == paths17

@@ -637,3 +637,52 @@ def test_streaming_touch_attribution_cross_batch_and_replay(spark, tmp_path):
     touch_batch(b1, 1, *args)
     touch_batch(b0, 0, *args)
     assert live() == got
+
+
+def test_streaming_attribution_random_splits_equal_batch(spark, tmp_path):
+    """The st13 contract over a seeded random stream cut at RANDOM
+    time boundaries into 3 micro-batches: the streamed credit table
+    equals touch_attribution over the whole table — for any split, not
+    just the gate's date boundary."""
+    import random
+    from datetime import datetime, timedelta
+
+    from healthcare_api_spark.operators.analytics import touch_attribution
+    from healthcare_api_spark.streaming.attribution import (
+        read_touch_attribution,
+        touch_batch,
+    )
+
+    rng = random.Random(13)
+    base = datetime(2024, 1, 1)
+    types = ["ad", "email", "click", "purchase"]
+    rows = [
+        (rng.randrange(25),
+         base + timedelta(minutes=rng.randrange(5000)),
+         rng.choice(types),
+         round(rng.uniform(0, 50), 2))
+        for _ in range(600)
+    ]
+    schema = "user_id bigint, ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+    # random time cuts (batches must be per-user time-ordered)
+    cuts = sorted(rng.sample(range(500, 4500), 2))
+    t1 = base + timedelta(minutes=cuts[0])
+    t2 = base + timedelta(minutes=cuts[1])
+    b0 = df.filter(F.col("ts") < F.lit(t1))
+    b1 = df.filter((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2)))
+    b2 = df.filter(F.col("ts") >= F.lit(t2))
+    root = str(tmp_path / "attr_rand")
+    args = (root, "user_id", "ts", "event_type", "purchase", "value")
+    for i, b in enumerate((b0, b1, b2)):
+        touch_batch(b, i, *args)
+    got = {
+        tuple(r) for r in read_touch_attribution(spark, root).collect()
+    }
+    want = {
+        tuple(r)
+        for r in touch_attribution(
+            df, "user_id", "ts", "event_type", "purchase", value_col="value"
+        ).collect()
+    }
+    assert got == want
