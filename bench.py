@@ -275,6 +275,7 @@ HEADLINE = [
     "fs14_composite_search",
     "w19_rfm_segments",
     "st13_streaming_attribution",
+    "st14_streaming_multitouch",
 ]
 
 # r10: per-query isolated loop membership (VERDICT r9 #1) — the
@@ -292,6 +293,7 @@ HEAVY_ISOLATED = [
     "st11_streaming_ewma",
     "st12_streaming_cep",
     "st13_streaming_attribution",
+    "st14_streaming_multitouch",
     "m18_keyframes",
     "m19_patch_vote_neardup",
     "v12_ivf_pruned",

@@ -686,3 +686,74 @@ def test_streaming_attribution_random_splits_equal_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_multitouch_cross_batch_and_replay(spark, tmp_path):
+    """st14 machinery: a path STRADDLING the batch boundary (touches in
+    batch 0, conversion in batch 1) credits exactly like the batch
+    operator; an in-batch path closes and RESETS the open path; a
+    pathless conversion lands in '(none)'; replay changes nothing."""
+    from datetime import datetime
+
+    from healthcare_api_spark.operators.analytics import (
+        multi_touch_attribution,
+    )
+    from healthcare_api_spark.streaming.multitouch import (
+        multitouch_batch,
+        read_multitouch,
+    )
+
+    schema = "user_id bigint, ts timestamp, event_type string"
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    b0 = spark.createDataFrame(
+        [
+            (1, t(8), "ad"), (1, t(9), "email"),           # open path
+            (2, t(8), "click"), (2, t(9), "purchase"),     # closes in-batch
+            (2, t(10), "ad"),                              # reopens
+        ],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, t(10), "purchase"),     # credits b0's ad+email
+            (2, t(11), "purchase"),     # credits b0's reopened ad
+            (3, t(11), "purchase"),     # pathless -> (none)
+        ],
+        schema,
+    )
+    root = str(tmp_path / "mt")
+    h_us = 3_600_000_000
+    args = (root, "user_id", "ts", "event_type", "purchase", h_us)
+    multitouch_batch(b0, 0, *args)
+    multitouch_batch(b1, 1, *args)
+
+    def live():
+        return {
+            r["touch_type"]: tuple(r)[1:]
+            for r in read_multitouch(spark, root).collect()
+        }
+
+    got = live()
+    want = {
+        r["touch_type"]: tuple(r)[1:]
+        for r in multi_touch_attribution(
+            b0.unionByName(b1), "user_id", "ts", "event_type",
+            "purchase", halflife="1 hour",
+        ).collect()
+    }
+    assert got == want
+    # hand check: u1 path ad (lag 2h, k=2) + email (lag 1h, k=1):
+    # decay ad 333333 / email 666667, linear 500000 each; u2 paths:
+    # click 1e6+1e6? click closes path 1 alone (1e6 both models);
+    # ad alone closes path 2 (1e6 both)
+    assert got["email"] == (1, 1, 500_000, 666_667)
+    assert got["click"] == (1, 1, 1_000_000, 1_000_000)
+    assert got["ad"] == (2, 2, 1_500_000, 1_333_333)
+    assert got["(none)"] == (0, 1, 1_000_000, 1_000_000)
+    # replay both batches out of order: nothing changes
+    multitouch_batch(b1, 1, *args)
+    multitouch_batch(b0, 0, *args)
+    assert live() == got

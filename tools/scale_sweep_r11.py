@@ -175,6 +175,93 @@ def t35_hapax_vocab(spark, reps: list[int]) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def r11_gate_volume(spark, reps: list[int]) -> None:
+    """Replicated-volume legs for the r11 wave: w17/w18 (one corpus
+    window pass + checkpointed path×type credit arithmetic), w19 (one
+    user aggregate + broadcast thresholds), st13 (2 real micro-batch
+    lifecycles of attribution state). Events replicate by user-id
+    shift — conversions ×rep at constant per-key history, the w15
+    convention — so the window pass parallelizes across users and the
+    path arithmetic's small-frame claim is tested at ×rep paths."""
+    import __spark_entry__ as entrymod
+    from healthcare_api_spark.operators.analytics import (
+        multi_touch_attribution,
+        position_attribution,
+        rfm_segments,
+    )
+
+    print("## r11 gate volume legs (events ×rep by user shift)", flush=True)
+    print("| gate | x | wall s |", flush=True)
+    root = tempfile.mkdtemp(prefix="r11_vol_")
+    try:
+        for rep in reps:
+            ev = entrymod._t(spark, SF_DIR, "events").select(
+                "user_id", "ts", "event_type", "value"
+            )
+            if rep > 1:
+                shift = 10_000_000
+                ev = ev.withColumn(
+                    "r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1)))
+                ).select(
+                    (F.col("user_id") + F.col("r") * shift).alias("user_id"),
+                    "ts", "event_type",
+                    # vary value per replica so cents sums differ
+                    (F.col("value") + F.col("r") % 7).alias("value"),
+                )
+            path = f"{root}/ev_x{rep}.parquet"
+            ev.repartition(64).write.mode("overwrite").parquet(path)
+            evr = spark.read.parquet(path)
+            legs = {
+                "w17 multi_touch": lambda: force(
+                    multi_touch_attribution(
+                        evr, "user_id", "ts", "event_type", "purchase",
+                        halflife="1 hour",
+                    )
+                ),
+                "w18 position": lambda: force(
+                    position_attribution(
+                        evr, "user_id", "ts", "event_type", "purchase"
+                    )
+                ),
+                "w19 rfm": lambda: force(
+                    rfm_segments(
+                        evr, "user_id", "ts", "event_type", "purchase",
+                        "value",
+                    )
+                ),
+            }
+            for name, fn in legs.items():
+                t = steady(fn)
+                print(f"| {name} | x{rep} | {t} s |", flush=True)
+            # st13: 2-batch lifecycle (the run IS the work — cold state
+            # dirs per pass, st5/st12 protocol)
+            from healthcare_api_spark.streaming.attribution import (
+                touch_batch,
+            )
+
+            def _st13():
+                r2 = tempfile.mkdtemp(prefix="r11st13_")
+                try:
+                    cutoff = F.col("ts") < F.lit("2024-01-16").cast(
+                        "timestamp"
+                    )
+                    touch_batch(
+                        evr.filter(cutoff), 0, f"{r2}/state", "user_id",
+                        "ts", "event_type", "purchase", "value",
+                    )
+                    touch_batch(
+                        evr.filter(~cutoff), 1, f"{r2}/state", "user_id",
+                        "ts", "event_type", "purchase", "value",
+                    )
+                finally:
+                    shutil.rmtree(r2, ignore_errors=True)
+
+            t = steady(_st13)
+            print(f"| st13 lifecycle | x{rep} | {t} s |", flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _dir_stats(path: str) -> tuple[int, int]:
     files = bytes_ = 0
     for dp, _dn, fns in os.walk(path):
@@ -271,6 +358,7 @@ def main() -> None:
     spark = get_spark("scale-sweep-r11")
     t35_growing_vocab(spark, reps)
     t35_hapax_vocab(spark, reps)
+    r11_gate_volume(spark, reps)
     st_commit_audit(spark)
 
 
