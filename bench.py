@@ -276,6 +276,7 @@ HEADLINE = [
     "w19_rfm_segments",
     "st13_streaming_attribution",
     "st14_streaming_multitouch",
+    "w20_hazard_curve",
 ]
 
 # r10: per-query isolated loop membership (VERDICT r9 #1) — the

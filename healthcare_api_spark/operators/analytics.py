@@ -1052,3 +1052,92 @@ def rfm_segments(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("m").cast("bigint").alias("total_cents"),
     )
+
+
+def hazard_table(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    event_type: str,
+) -> DataFrame:
+    """Discrete-time survival / churn table (r11) — the Kaplan-Meier
+    ingredient grid every retention analysis starts from. Per user,
+    duration = whole days from their FIRST event to their first
+    ``event_type`` occurrence; users who never convert are RIGHT-
+    CENSORED at the corpus's max timestamp. Per day t the table
+    reports the risk set and the exact discrete hazard:
+
+        at_risk(t)  = users with min(event_day, censor_day) ≥ t
+        events(t)   = users whose event lands ON day t
+        censored(t) = users censored ON day t
+        hazard_ppm  = half_up(1e6 · events / at_risk)
+
+    Survival itself is a cumulative PRODUCT (not portable across
+    engines in floats); the table carries exact integers so any
+    consumer can fold S(t) = Π(1 − h) in whatever precision it wants —
+    the same emit-ingredients discipline as the sketch gates.
+
+    Scale shape: one corpus groupBy(user) with map-side combine (min
+    ts, min event ts), one single-row corpus-max broadcast, one
+    day-bucket aggregate (≤ date-range rows), and the cumulative
+    at-risk window runs over THAT tiny frame — never over users.
+    Exact integer days via micros DIV 86400e6; no float anywhere but
+    nothing — even hazard is an integer ppm.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_user = events.select(
+        F.col(user_col).alias("_u"),
+        us.alias("_us"),
+        F.col(type_col).alias("_tp"),
+    ).groupBy("_u").agg(
+        F.min("_us").alias("_t0"),
+        F.min(
+            F.when(F.col("_tp") == F.lit(event_type), F.col("_us"))
+        ).alias("_te"),
+        F.max("_us").alias("_umax"),
+    )
+    cmax = events.select(F.max(us).alias("_cmax"))
+    base = per_user.crossJoin(F.broadcast(cmax)).select(
+        "_u",
+        F.when(
+            F.col("_te").isNotNull(),
+            F.expr("(_te - _t0) DIV 86400000000"),
+        ).cast("bigint").alias("_d"),
+        F.expr("(_cmax - _t0) DIV 86400000000").cast("bigint").alias("_c"),
+    )
+    days = base.select(
+        F.coalesce("_d", "_c").alias("day"),
+        F.col("_d").isNotNull().cast("int").alias("_is_event"),
+    ).groupBy("day").agg(
+        F.sum("_is_event").cast("bigint").alias("events"),
+        F.sum(1 - F.col("_is_event")).cast("bigint").alias("censored"),
+    )
+    # cumulative exits BEFORE day t over the tiny day frame; at_risk =
+    # N − exits_before. N rides a 1-row broadcast (not a driver
+    # count() — the whole table stays ONE lazy plan). The global-order
+    # window is safe HERE because the day frame is ≤ date-range rows.
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ntot = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    return days.crossJoin(F.broadcast(ntot)).select(
+        "day",
+        (
+            F.col("_n")
+            - F.coalesce(
+                F.sum(F.col("events") + F.col("censored")).over(w),
+                F.lit(0),
+            )
+        ).cast("bigint").alias("at_risk"),
+        "events",
+        "censored",
+    ).select(
+        "day", "at_risk", "events", "censored",
+        F.expr(
+            "CAST((2 * events * 1000000 + at_risk) DIV (2 * at_risk)"
+            " AS BIGINT)"
+        ).alias("hazard_ppm"),
+    )

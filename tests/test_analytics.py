@@ -806,3 +806,39 @@ def test_attribution_credit_conservation_random(spark):
     # both models agree on the pathless count
     none18 = [r for r in w18 if r["touch_type"] == "(none)"]
     assert none18 and none18[0]["paths_touched"] == paths17
+
+
+def test_hazard_table_hand_computed(spark):
+    """u1 converts day 0, u2 day 2, u3 never (censored at the corpus
+    max, day 4): at_risk 3/2/1, hazards 333333/500000/0; per-day
+    exits leave the risk set AFTER their day (standard KM)."""
+    from datetime import datetime, timedelta
+
+    from healthcare_api_spark.operators.analytics import hazard_table
+
+    d0 = datetime(2024, 1, 1)
+
+    def d(n, h=0):
+        return d0 + timedelta(days=n, hours=h)
+
+    rows = [
+        (1, d(0), "visit"), (1, d(0, 2), "purchase"),
+        (2, d(0), "visit"), (2, d(2), "purchase"),
+        (3, d(0), "visit"), (3, d(4), "visit"),   # corpus max, censored
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    got = {
+        r["day"]: (
+            r["at_risk"], r["events"], r["censored"], r["hazard_ppm"]
+        )
+        for r in hazard_table(
+            df, "user_id", "ts", "event_type", "purchase"
+        ).collect()
+    }
+    assert got == {
+        0: (3, 1, 0, 333_333),
+        2: (2, 1, 0, 500_000),
+        4: (1, 0, 1, 0),
+    }
