@@ -51,6 +51,17 @@ spikes (r9 ledger: v17 31.5 s vs 0.94 s re-measured isolated, st10
 emitted for EVERY query beside the median so a reader can always
 separate "host was slow" from a real regression.
 
+Round 11 (VERDICT r10 #1/#3): the output JSON's KEY ORDER is part of
+the protocol — the driver persists only the last ~2,000 characters of
+this line, so the big maps (queries_cold, queries, queries_min)
+serialize FIRST and the adjudication tail LAST: steady_totals, the
+interleaved comparable subtotals, per-heavy-gate ``heavy_gates``
+[median, min, cold] triples (for the index-backed probes v12/v13/v17,
+cold ≈ index BUILD and median/min ≈ the probe users repeat — the
+build/probe split), the isolated-18 per-query medians AND mins, and
+the isolated subtotals as the final keys. A reader holding only the
+stored tail can apply the rule below without re-running anything.
+
 ADJUDICATION RULE (VERDICT r9 #7, for future rounds): a per-query
 median that moves >2× round-over-round WITH NO CODE CHANGE to that
 query is a measurement-protocol fault — re-measure it isolated (fresh
