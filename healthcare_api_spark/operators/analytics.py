@@ -597,6 +597,7 @@ def multi_touch_attribution(
     type_col: str,
     convert_type: str,
     halflife: str = "1 hour",
+    lookback: str | None = None,
 ) -> DataFrame:
     """Multi-touch conversion attribution (r11, VERDICT r10 #5):
     every ``convert_type`` event distributes ONE conversion's credit
@@ -620,6 +621,13 @@ def multi_touch_attribution(
     exactly ``touch_attribution``'s — a same-microsecond touch whose
     type sorts before ``convert_type`` is on the path with lag 0.
 
+    ``lookback`` (r11, optional): the standard attribution-window cap
+    — a touch more than ``lookback`` before its conversion falls OFF
+    the path (shrinking n for the linear model and the decay
+    denominator), and a conversion whose entire path ages out credits
+    '(none)'. Exact integer micros comparison; None = unbounded (the
+    driver-gate semantics, unchanged).
+
     Declarative shape — ONE corpus pass: a single window sort per key
     computes each row's path id (count of conversions strictly
     preceding) and next-conversion timestamp, then ONE hash aggregate
@@ -638,6 +646,13 @@ def multi_touch_attribution(
     h_us = _parse_duration_secs(halflife) * 1_000_000
     if h_us <= 0:
         raise ValueError("halflife must be positive")
+    lb_us = (
+        _parse_duration_secs(lookback) * 1_000_000
+        if lookback is not None
+        else None
+    )
+    if lb_us is not None and lb_us <= 0:
+        raise ValueError("lookback must be positive")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     ev = events.select(
         F.col(key_col).alias("_k"),
@@ -668,8 +683,15 @@ def multi_touch_attribution(
         "shiftleft(CAST(1 AS BIGINT),"
         f" CAST(62 - least((_ncus - _us) DIV {h_us}, 62) AS INT))"
     )
+    credited_touch = F.col("_ncus").isNotNull()
+    if lb_us is not None:
+        # attribution window: the touch must land within `lookback`
+        # of the conversion it would credit
+        credited_touch = credited_touch & (
+            (F.col("_ncus") - F.col("_us")) <= F.lit(lb_us)
+        )
     g = (
-        x.filter(is_conv | F.col("_ncus").isNotNull())
+        x.filter(is_conv | credited_touch)
         .groupBy("_k", "_path", "_tp")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("_cnt"),

@@ -842,3 +842,46 @@ def test_hazard_table_hand_computed(spark):
         2: (2, 1, 0, 500_000),
         4: (1, 0, 1, 0),
     }
+
+
+def test_multi_touch_lookback_window(spark):
+    """Attribution window: a touch older than `lookback` falls off the
+    path — shrinking n for BOTH models — and a conversion whose whole
+    path ages out credits '(none)'. Unbounded default unchanged."""
+    from datetime import datetime
+
+    import pytest
+
+    from healthcare_api_spark.operators.analytics import (
+        multi_touch_attribution,
+    )
+
+    def t(h):
+        return datetime(2024, 1, 1, h)
+
+    rows = [
+        # u1: old ad (5h before) + fresh email (1h) -> purchase
+        (1, t(0), "ad"), (1, t(4), "email"), (1, t(5), "purchase"),
+        # u2: only an old touch (6h before) -> purchase ages out
+        (2, t(0), "ad"), (2, t(6), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    args = (df, "user_id", "ts", "event_type", "purchase")
+    unbounded = {
+        r["touch_type"]: r["linear_credit_ppm"]
+        for r in multi_touch_attribution(*args).collect()
+    }
+    assert unbounded == {"ad": 1_500_000, "email": 500_000}
+    capped = {
+        r["touch_type"]: (r["n_touches"], r["linear_credit_ppm"])
+        for r in multi_touch_attribution(
+            *args, lookback="2 hours"
+        ).collect()
+    }
+    # u1's ad aged out -> email takes the whole conversion; u2's path
+    # emptied -> '(none)'
+    assert capped == {"email": (1, 1_000_000), "(none)": (0, 1_000_000)}
+    with pytest.raises(ValueError, match="positive"):
+        multi_touch_attribution(*args, lookback="0 seconds")
