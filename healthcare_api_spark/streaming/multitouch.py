@@ -117,18 +117,20 @@ def multitouch_batch(
         )
     )
 
-    out_schema = T.StructType(
+    # ONE fused walk emits BOTH outputs (credit rows, kind=0, and the
+    # user's final open path, kind=1) — the first cut ran two
+    # applyInPandas passes over the same union and the doubled
+    # shuffle + Python group overhead dominated the gate (46.9 s at
+    # sf0.1, the suite's slowest; fused: one grouped Python pass per
+    # batch)
+    combined_schema = T.StructType(
         [
             T.StructField("k", key_dt),
+            T.StructField("kind", T.IntegerType()),
             T.StructField("conv_us", T.LongType()),
             T.StructField("tp", T.StringType()),
             T.StructField("h", T.IntegerType()),
             T.StructField("cnt", T.LongType()),
-        ]
-    )
-    state_schema = T.StructType(
-        [
-            T.StructField("k", key_dt),
             T.StructField(
                 "path",
                 T.ArrayType(
@@ -162,7 +164,7 @@ def multitouch_batch(
             us_ = int(us_)
             if tp_ == conv:
                 if not path:
-                    out.append((k, us_, None, None, 1))
+                    out.append((k, 0, us_, None, None, 1, None))
                 else:
                     agg: dict[tuple[str, int], int] = {}
                     for tus, ttp in path:
@@ -171,58 +173,30 @@ def multitouch_batch(
                         # exact ints; 2^(62-h) reconstruction happens
                         # Spark-side in decimal(38,0)
                     for (ttp, h), c in agg.items():
-                        out.append((k, us_, ttp, int(h), int(c)))
+                        out.append((k, 0, us_, ttp, int(h), int(c), None))
                     path = []
             else:
                 path.append((us_, tp_))
-        return (
-            pd.DataFrame(
-                out, columns=["k", "conv_us", "tp", "h", "cnt"]
-            )
-            if out
-            else pd.DataFrame(
-                {"k": [], "conv_us": [], "tp": [], "h": [], "cnt": []}
-            ).astype(
-                {"conv_us": "int64", "h": "float64", "cnt": "int64"}
-            )
+        out.append(
+            (k, 1, None, None, None, None,
+             [{"us": u, "tp": t} for u, t in path])
+        )
+        return pd.DataFrame(
+            out,
+            columns=["k", "kind", "conv_us", "tp", "h", "cnt", "path"],
         )
 
-    emitted = (
-        union.groupBy("k").applyInPandas(_walk, out_schema)
+    combined = (
+        union.groupBy("k").applyInPandas(_walk, combined_schema)
         .localCheckpoint(eager=True)
     )
-    emitted.write.mode("overwrite").parquet(
+    combined.filter(F.col("kind") == 0).select(
+        "k", "conv_us", "tp", "h", "cnt"
+    ).write.mode("overwrite").parquet(
         f"{state_root}/results/batch={batch_id}"
     )
-
-    def _open_path(pdf):
-        import pandas as pd
-
-        k = pdf["k"].iloc[0]
-        path = []
-        for p in pdf["path"]:
-            if p is not None and len(p):
-                path = [(int(r["us"]), str(r["tp"])) for r in p]
-        rows = pdf[pdf["us"].notna()].sort_values(
-            ["us", "tp"], kind="mergesort"
-        )
-        for us_, tp_ in zip(rows["us"], rows["tp"]):
-            if tp_ == conv:
-                path = []
-            else:
-                path.append((int(us_), str(tp_)))
-        return pd.DataFrame(
-            {
-                "k": [k],
-                "path": [
-                    [{"us": u, "tp": t} for u, t in path]
-                ],
-            }
-        )
-
-    new_state = (
-        union.groupBy("k").applyInPandas(_open_path, state_schema)
-        .select(F.col("k").alias(key_col), "path")
+    new_state = combined.filter(F.col("kind") == 1).select(
+        F.col("k").alias(key_col), "path"
     )
 
     def _merge(prev, d):
