@@ -258,6 +258,28 @@ def r11_gate_volume(spark, reps: list[int]) -> None:
 
             t = steady(_st13)
             print(f"| st13 lifecycle | x{rep} | {t} s |", flush=True)
+
+            from healthcare_api_spark.streaming.multitouch import (
+                multitouch_batch,
+            )
+
+            def _st14():
+                r2 = tempfile.mkdtemp(prefix="r11st14_")
+                try:
+                    cutoff = F.col("ts") < F.lit("2024-01-16").cast(
+                        "timestamp"
+                    )
+                    for i, flt in enumerate((cutoff, ~cutoff)):
+                        multitouch_batch(
+                            evr.filter(flt), i, f"{r2}/state", "user_id",
+                            "ts", "event_type", "purchase",
+                            3_600_000_000,
+                        )
+                finally:
+                    shutil.rmtree(r2, ignore_errors=True)
+
+            t = steady(_st14)
+            print(f"| st14 lifecycle | x{rep} | {t} s |", flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
