@@ -1119,7 +1119,6 @@ def hazard_table(
         F.min(
             F.when(F.col("_tp") == F.lit(event_type), F.col("_us"))
         ).alias("_te"),
-        F.max("_us").alias("_umax"),
     )
     cmax = events.select(F.max(us).alias("_cmax"))
     base = per_user.crossJoin(F.broadcast(cmax)).select(
@@ -1158,8 +1157,13 @@ def hazard_table(
         "censored",
     ).select(
         "day", "at_risk", "events", "censored",
+        # decimal(38,0) headroom: 2·events·1e6 overflows BIGINT past
+        # ~4.6e12 events/day and would yield NULL under non-ANSI
+        # sessions (the _TOPK_MASS_PPM_EXPR lesson; DuckDB's HUGEINT
+        # oracle already has the headroom)
         F.expr(
-            "CAST((2 * events * 1000000 + at_risk) DIV (2 * at_risk)"
+            "CAST((2 * CAST(events AS DECIMAL(38,0)) * 1000000"
+            " + at_risk) DIV (2 * CAST(at_risk AS DECIMAL(38,0)))"
             " AS BIGINT)"
         ).alias("hazard_ppm"),
     )

@@ -1240,16 +1240,20 @@ def ranking_eval(
     if not 1 <= k <= 30:
         raise ValueError("k must be in [1, 30] for exact-integer AP")
     lcm = _lcm_1_to(k)
-    ranked = approx.select(
-        F.col(id_col).alias("_id"),
+    # pre-truncate with orderBy().limit(k) — TakeOrderedAndProject
+    # (per-partition heaps, no single-partition shuffle) — so an
+    # oversized approx frame never funnels through the unpartitioned
+    # row_number window below (the zipf_fit device, textops.py). Ranks
+    # past k would floor anyway (lcm DIV i is exact only for i <= k)
+    # and AP@k is defined over the first k ranks.
+    topk = approx.select(
+        F.col(id_col).alias("_id"), F.col(score_col).alias("_s")
+    ).orderBy(F.col("_s").desc(), F.col("_id").asc()).limit(k)
+    ranked = topk.select(
+        "_id",
         F.row_number()
-        .over(Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+        .over(Window.orderBy(F.col("_s").desc(), F.col("_id").asc()))
         .alias("_i"),
-    ).filter(
-        # ranks past k would floor (lcm DIV i is exact only for i <= k);
-        # AP@k is defined over the first k ranks anyway, so truncate
-        # rather than silently mis-rounding an oversized approx frame
-        F.col("_i") <= k
     )
     marked = ranked.join(
         F.broadcast(

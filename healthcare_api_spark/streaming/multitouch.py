@@ -156,9 +156,12 @@ def multitouch_batch(
             if p is not None and len(p):
                 # the carried open path (at most one seed row per user)
                 path = [(int(r["us"]), str(r["tp"])) for r in p]
-        rows = pdf[pdf["us"].notna()].sort_values(
-            ["us", "tp"], kind="mergesort"
-        )
+        rows = pdf[pdf["us"].notna()].copy()
+        # the nullable seed rows make `us` arrive as float64 — exact
+        # only below 2^53 µs; the batch operator is exact for any
+        # int64 micros, so restore int64 BEFORE sorting and the walk
+        rows["us"] = rows["us"].astype("int64")
+        rows = rows.sort_values(["us", "tp"], kind="mergesort")
         out = []
         for us_, tp_ in zip(rows["us"], rows["tp"]):
             us_ = int(us_)

@@ -409,6 +409,29 @@ def test_ranking_eval_windows_on_k_row_frames_only(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ranking_eval_pretruncates_oversized_approx(spark):
+    """r12 (VERDICT r11 #2): an OVERSIZED approx frame must be cut by
+    TakeOrderedAndProject (per-partition heaps) BEFORE the row_number
+    window — never funneled whole through a single-partition
+    WindowExec. The rank window's child subtree therefore contains the
+    top-k cut, not a scan of the full frame."""
+    import re
+
+    from healthcare_api_spark.operators.similarity import ranking_eval
+
+    exact = spark.range(5).select(F.col("id").cast("long").alias("id"))
+    approx = spark.range(100_000).select(
+        "id", (F.col("id") % 97).cast("double").alias("cos")
+    )
+    plan = _plan(ranking_eval(exact, approx, "id", k=10))
+    # the row_number window sits directly on the top-k cut (modulo the
+    # single-partition exchange Spark inserts for the ≤k-row window)
+    assert re.search(
+        r"Window \[row_number\(\)(?:[^\n]*\n)+?[^\n]*TakeOrderedAndProject",
+        plan,
+    ), plan
+
+
 def test_filtered_ann_partition_and_pushed_filters(spark, tmp_path):
     # v17 (r8 wave 7): the filtered probe must compose BOTH pruning
     # layers in the SAME scan node — the cluster probe as
