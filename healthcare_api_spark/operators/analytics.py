@@ -973,6 +973,271 @@ def position_attribution(
     )
 
 
+def markov_attribution(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    convert_type: str,
+    iters: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Data-driven (Markov removal-effect) conversion attribution
+    (r12, VERDICT r11 #4) — completes the standard model set
+    {first/last, linear, time-decay, position, data-driven}. Build the
+    first-order Markov chain over per-key journeys: states are
+    '(start)', every touch type, and the absorbing '(conv)' /
+    '(null)'; a conversion closes a path (the w17 path semantics), a
+    key's trailing touch with no further events transitions to
+    '(null)'. A channel's value is its REMOVAL EFFECT (Anderl et al.
+    2014): how much the start→conversion absorption probability drops
+    when every transition INTO that channel is redirected to '(null)'.
+    Credit shares are the removal effects normalized to 1,000,000 ppm.
+
+    Exactness device (the HITS max-norm lesson, graph.py): absorption
+    probabilities come from ``iters`` rounds of VALUE ITERATION in
+    exact scaled integers —
+
+        p_{k+1}(s) = half_up( Σ_d n(s,d)·p_k(d) / Σ_d n(s,d) )
+
+    with p('(conv)') ≡ scale, p('(null)') ≡ 0, p_0 ≡ 0 elsewhere, and
+    the half-up as the t30 (2·num + tot) DIV (2·tot) division in
+    decimal(38,0) (oracle: HUGEINT). p_k('(start)') is then the exact
+    probability of converting within k steps — a DEFINED semantic both
+    engines compute bit-identically (no float, no linear solver).
+    Removed-channel scenarios zero n(s,d→c) in the numerator but keep
+    the original denominator — exactly "redirect to '(null)'".
+
+    Scale shape: ONE corpus window pass (lag + lead share one
+    (key | ts, type) sort) reduced by ONE hash aggregate to the
+    |states|² transition matrix; everything after — the scenario
+    cross-join (|channels|+1 scenarios) and the fixed value-iteration
+    rounds — runs at |states|²·|scenarios| cardinality, checkpointed
+    per round (the pagerank lineage device). Same (ts, type)
+    ROW-precedence tie rule as w15/w17; same-key same-instant
+    same-type ties are interchangeable so counts are deterministic.
+
+    Output: (touch_type, p_full_ppm, p_drop_ppm, removal_effect_ppm,
+    credit_ppm) — one row per channel, all BIGINT at ppm scale.
+    """
+    from pyspark.sql import Window
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    s = int(scale)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(key_col).alias("_k"),
+        us.alias("_us"),
+        F.col(type_col).alias("_tp"),
+    )
+    w = Window.partitionBy("_k").orderBy(
+        F.col("_us").asc(), F.col("_tp").asc()
+    )
+    # a conversion is always the LAST row of its path, so "previous row
+    # is a conversion (or absent)" ⇔ "this row starts a path" — no path
+    # ids needed; lag and lead share one window sort
+    x = ev.select(
+        "_tp",
+        F.lag("_tp").over(w).alias("_ptp"),
+        F.lead("_tp").over(w).alias("_ntp"),
+    )
+    is_conv = F.col("_tp") == F.lit(convert_type)
+    base = x.select(
+        F.when(
+            F.col("_ptp").isNull() | (F.col("_ptp") == F.lit(convert_type)),
+            F.lit("(start)"),
+        ).otherwise(F.col("_ptp")).alias("src"),
+        F.when(is_conv, F.lit("(conv)")).otherwise(F.col("_tp")).alias("dst"),
+    )
+    extra = x.filter(F.col("_ntp").isNull() & ~is_conv).select(
+        F.col("_tp").alias("src"), F.lit("(null)").alias("dst")
+    )
+    tr = (
+        base.unionByName(extra)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        # the matrix is ≤(|types|+1)² rows — the corpus reduces HERE;
+        # every consumer below re-reads this tiny frame, never the scan
+        .localCheckpoint(eager=True)
+    )
+    channels = tr.filter(F.col("src") != F.lit("(start)")).select(
+        F.col("src").alias("scen")
+    ).distinct()
+    scen = channels.unionByName(
+        channels.sparkSession.createDataFrame(
+            [("(full)",)], "scen string"
+        )
+    )
+    ts_ = (
+        tr.crossJoin(F.broadcast(scen))
+        .select(
+            "scen", "src", "dst", "n",
+            F.when(F.col("dst") == F.col("scen"), F.lit(0))
+            .otherwise(F.col("n")).cast("bigint").alias("ne"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d38 = "decimal(38,0)"
+    step_num = (
+        "CAST(ne AS DECIMAL(20,0)) * CAST(CASE"
+        f" WHEN dst = '(conv)' THEN {s}"
+        " WHEN dst = '(null)' THEN 0"
+        " ELSE coalesce(_p, 0) END AS DECIMAL(8,0))"
+    )
+    p = None
+    for _ in range(iters):
+        if p is None:
+            j = ts_.withColumn("_p", F.lit(None).cast("bigint"))
+        else:
+            j = ts_.join(
+                p.select(
+                    F.col("scen").alias("_ps"),
+                    F.col("state").alias("_pt"),
+                    F.col("p").alias("_p"),
+                ),
+                (F.col("scen") == F.col("_ps"))
+                & (F.col("dst") == F.col("_pt")),
+                "left",
+            )
+        p = (
+            j.groupBy("scen", F.col("src").alias("state"))
+            .agg(
+                F.sum(F.expr(step_num)).cast(d38).alias("_num"),
+                F.sum("n").cast(d38).alias("_tot"),
+            )
+            .select(
+                "scen", "state",
+                F.expr(
+                    "CAST((2 * _num + _tot) DIV (2 * _tot) AS BIGINT)"
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    start = p.filter(F.col("state") == F.lit("(start)"))
+    pf = start.filter(F.col("scen") == F.lit("(full)")).select(
+        F.col("p").alias("_pf")
+    )
+    pc = start.filter(F.col("scen") != F.lit("(full)")).select(
+        F.col("scen").alias("touch_type"), F.col("p").alias("_pc")
+    )
+    re = pc.crossJoin(F.broadcast(pf)).select(
+        "touch_type", "_pf", "_pc",
+        # removal cannot raise conversion in exact math; per-round
+        # half-up noise could dip a few ppm negative — clamp, same rule
+        # both engines
+        F.greatest(F.col("_pf") - F.col("_pc"), F.lit(0)).cast(
+            "bigint"
+        ).alias("_re"),
+    )
+    tot = re.agg(F.sum("_re").cast("bigint").alias("_t"))
+    return re.crossJoin(F.broadcast(tot)).select(
+        "touch_type",
+        F.col("_pf").alias("p_full_ppm"),
+        F.col("_pc").alias("p_drop_ppm"),
+        F.expr(
+            "CAST(CASE WHEN _pf > 0 THEN (2 * CAST(_re AS DECIMAL(38,0))"
+            " * 1000000 + _pf) DIV (2 * CAST(_pf AS DECIMAL(38,0)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("removal_effect_ppm"),
+        F.expr(
+            "CAST(CASE WHEN _t > 0 THEN (2 * CAST(_re AS DECIMAL(38,0))"
+            " * 1000000 + _t) DIV (2 * CAST(_t AS DECIMAL(38,0)))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("credit_ppm"),
+    )
+
+
+def markov_attribution_sql(
+    events_sql: str,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    convert_type: str,
+    iters: int = 8,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB oracle twin of :func:`markov_attribution` — the same
+    transition build and exact-integer value-iteration rounds unrolled
+    as MATERIALIZED CTEs (see graph.pagerank_sql for the
+    materialization rationale). ``//`` on non-negative HUGEINTs floors
+    exactly like Spark's decimal DIV; keep in lockstep."""
+    s = int(scale)
+    cv = convert_type.replace("'", "''")
+    parts = [
+        f"WITH ev AS MATERIALIZED (SELECT {key_col} AS k,"
+        f" epoch_us(CAST({ts_col} AS TIMESTAMP)) AS us,"
+        f" {type_col} AS tp FROM ({events_sql})),",
+        " w AS MATERIALIZED (SELECT tp,"
+        "  lag(tp) OVER (PARTITION BY k ORDER BY us, tp) AS ptp,"
+        "  lead(tp) OVER (PARTITION BY k ORDER BY us, tp) AS ntp"
+        "  FROM ev),",
+        " tr AS MATERIALIZED (SELECT src, dst,"
+        "  CAST(count(*) AS BIGINT) AS n FROM ("
+        f"  SELECT CASE WHEN ptp IS NULL OR ptp = '{cv}'"
+        "    THEN '(start)' ELSE ptp END AS src,"
+        f"   CASE WHEN tp = '{cv}' THEN '(conv)' ELSE tp END AS dst"
+        "   FROM w"
+        "  UNION ALL"
+        f"  SELECT tp, '(null)' FROM w WHERE ntp IS NULL AND tp <> '{cv}'"
+        " ) GROUP BY 1, 2),",
+        " scen AS MATERIALIZED (SELECT DISTINCT src AS scen FROM tr"
+        "  WHERE src <> '(start)'"
+        "  UNION ALL SELECT '(full)'),",
+        " ts_ AS MATERIALIZED (SELECT scen.scen, tr.src, tr.dst, tr.n,"
+        "  CASE WHEN tr.dst = scen.scen THEN 0 ELSE tr.n END AS ne"
+        "  FROM tr, scen),",
+    ]
+    prev = None
+    for i in range(1, iters + 1):
+        pd_ = (
+            f"CASE WHEN t.dst = '(conv)' THEN {s}"
+            " WHEN t.dst = '(null)' THEN 0"
+            " ELSE coalesce(p.p, 0) END"
+        )
+        if prev is None:
+            src = "FROM ts_ t"
+            pd_ = (
+                f"CASE WHEN t.dst = '(conv)' THEN {s} ELSE 0 END"
+            )
+        else:
+            src = (
+                f"FROM ts_ t LEFT JOIN {prev} p"
+                " ON p.scen = t.scen AND p.state = t.dst"
+            )
+        parts.append(
+            f" p{i} AS MATERIALIZED (SELECT t.scen, t.src AS state,"
+            f"  CAST((2 * sum(t.ne * ({pd_})) + sum(t.n))"
+            f"   // (2 * sum(t.n)) AS BIGINT) AS p"
+            f"  {src} GROUP BY 1, 2),"
+        )
+        prev = f"p{i}"
+    parts.append(
+        f" pf AS (SELECT p FROM {prev}"
+        "  WHERE scen = '(full)' AND state = '(start)'),"
+    )
+    parts.append(
+        f" re AS (SELECT scen AS touch_type, pf.p AS pfull,"
+        f"  {prev}.p AS pdrop, greatest(pf.p - {prev}.p, 0) AS re"
+        f"  FROM {prev}, pf"
+        "  WHERE scen <> '(full)' AND state = '(start)'),"
+    )
+    parts.append(" tt AS (SELECT sum(re) AS t FROM re)")
+    body = "".join(parts)
+    return (
+        f"{body} SELECT touch_type,"
+        " CAST(pfull AS BIGINT) AS p_full_ppm,"
+        " CAST(pdrop AS BIGINT) AS p_drop_ppm,"
+        " CAST(CASE WHEN pfull > 0 THEN"
+        "  (2 * re * 1000000 + pfull) // (2 * pfull)"
+        "  ELSE 0 END AS BIGINT) AS removal_effect_ppm,"
+        " CAST(CASE WHEN tt.t > 0 THEN"
+        "  (2 * re * 1000000 + tt.t) // (2 * tt.t)"
+        "  ELSE 0 END AS BIGINT) AS credit_ppm"
+        " FROM re, tt"
+    )
+
+
 def rfm_segments(
     events: DataFrame,
     user_col: str,

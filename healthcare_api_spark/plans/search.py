@@ -17,6 +17,10 @@ Supported grammar (each an entry in §2.7's capability table):
     field:not=value            negation incl. absent values
     field:missing=true|false   presence filter
     code=system|code / |code / code   token search over coding arrays
+    code:below=X / code:above=X token subsumption via the configured
+                               (system, ancestor, descendant) closure
+    uri=value / uri:below / uri:above   uri-class match (exact /
+                               query-is-prefix / stored-is-prefix)
     field=Type/id              reference filter
     ref_field.sub=value        chained search (join target table)
     _has:Type:ref:field=value  reverse chain (semi-join); the field part
@@ -126,6 +130,19 @@ class SearchConfig:
     composite_params: dict[str, tuple[str, list[tuple[str, str]]]] = field(
         default_factory=dict
     )
+    # params with FHIR class 'uri' (r12, VERDICT r11 #5): exact match
+    # by default (case-sensitive, never the string-class prefix);
+    # ``:below`` matches any stored uri the query value is a prefix of
+    # (http://hl7.org/fhir/search.html#uri), ``:above`` the reverse
+    # (the stored uri is a prefix of the query value).
+    uri_params: set[str] = field(default_factory=set)
+    # (system, ancestor, descendant) subsumption closure for token
+    # ``:above``/``:below`` (r12) — code-system hierarchy, transitive
+    # (reflexive rows optional: the query code always matches itself).
+    # The per-query subtree is collected ONCE at plan build into a
+    # literal IN list (bounded by the code system's subtree size — the
+    # MIME-lookup discipline: a tiny dimension, never a corpus join).
+    code_closure: "DataFrame | None" = None
     # column for `_text=` full-text search (AND of whitespace terms,
     # token-level membership). None = _text unsupported for the type.
     text_search_col: str | None = None
@@ -687,11 +704,48 @@ class SearchEngine:
                 # token search `?code=system|code` / `?code=code` over the
                 # coding array (SURVEY §2.7 'Token/code filter'). A bare
                 # code matches ANY system (FHIR token grammar); comma = OR.
+                # `:below`/`:above` (r12) widen the match to the code's
+                # subsumption subtree/ancestry via the configured closure.
                 coding_col = cfg.token_params[name]
+
+                def _closure_codes(system: str, code: str, mod: str) -> list[str]:
+                    # the query code's subtree (:below) or ancestry
+                    # (:above) from the closure dimension — one bounded
+                    # collect at plan build (a code system's subtree; the
+                    # MIME-lookup scale class), emitted as a literal IN
+                    # list so the array predicate stays join-free and
+                    # pushdown-shaped
+                    if cfg.code_closure is None:
+                        raise ValueError(
+                            f"token :{mod} on '{name}' needs "
+                            "SearchConfig.code_closure (system, ancestor,"
+                            " descendant)"
+                        )
+                    key, out = (
+                        ("ancestor", "descendant")
+                        if mod == "below"
+                        else ("descendant", "ancestor")
+                    )
+                    cl = cfg.code_closure.filter(F.col(key) == F.lit(code))
+                    if system:
+                        cl = cl.filter(F.col("system") == F.lit(system))
+                    rows = cl.select(out).distinct().collect()
+                    return sorted({r[0] for r in rows} | {code})
 
                 def _token_pred(system: str, code: str) -> Column:
                     # separate helper so the HOF lambda stays unary
                     # (pyspark dispatches on the callable's arity)
+                    if modifier in ("above", "below"):
+                        codes = _closure_codes(system, code, modifier)
+                        if system:
+                            return F.exists(
+                                F.col(coding_col),
+                                lambda c: (c["system"] == system)
+                                & c["code"].isin(codes),
+                            )
+                        return F.exists(
+                            F.col(coding_col), lambda c: c["code"].isin(codes)
+                        )
                     if system:
                         return F.exists(
                             F.col(coding_col),
@@ -705,6 +759,25 @@ class SearchEngine:
                     if not has_pipe:
                         system, code = "", value
                     p = _token_pred(system, code)
+                    ors = p if ors is None else (ors | p)
+                df = df.filter(ors)
+            elif name in cfg.uri_params and modifier != "not":
+                # uri-class search (r12): exact by default (uris are
+                # opaque identifiers — never the string-class
+                # case-insensitive prefix), `:below` = query is a prefix
+                # of the stored uri, `:above` = stored uri is a prefix
+                # of the query. Pure column predicates, pushdown-shaped
+                # (`:below` compiles to StringStartsWith).
+                colpath = self._resolve(resource_type, name)
+                self._check_column(df, resource_type, name, colpath)
+                ors = None
+                for value in raw.split(","):
+                    if modifier == "below":
+                        p = F.col(colpath).startswith(value)
+                    elif modifier == "above":
+                        p = F.lit(value).startswith(F.col(colpath))
+                    else:
+                        p = F.col(colpath) == F.lit(value)
                     ors = p if ors is None else (ors | p)
                 df = df.filter(ors)
             elif name in cfg.reference_params and "/" in raw:

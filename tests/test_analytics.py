@@ -885,3 +885,80 @@ def test_multi_touch_lookback_window(spark):
     assert capped == {"email": (1, 1_000_000), "(none)": (0, 1_000_000)}
     with pytest.raises(ValueError, match="positive"):
         multi_touch_attribution(*args, lookback="0 seconds")
+
+
+def test_markov_attribution_hand_computed(spark):
+    """w21 (r12): removal effects on a 3-user chain computed by hand.
+    Matrix: (start)->ad x2, (start)->email x1; ad->(conv) 1,
+    ad->(null) 1; email->(conv) 1. Full absorption from start is
+    half_up((2*500000 + 1000000)/3) = 666667 ppm; removing either
+    channel leaves half_up of the other's 1e6/3 = 333333, so both
+    removal effects are 333334 -> 500001 of p_full, exactly 500000
+    of the normalized credit each."""
+    from datetime import datetime
+
+    from healthcare_api_spark.operators.analytics import markov_attribution
+
+    def t(h):
+        return datetime(2024, 1, 1, h)
+
+    rows = [
+        (1, t(0), "ad"), (1, t(1), "purchase"),
+        (2, t(0), "email"), (2, t(1), "purchase"),
+        (3, t(0), "ad"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    got = {
+        r["touch_type"]: (
+            r["p_full_ppm"], r["p_drop_ppm"],
+            r["removal_effect_ppm"], r["credit_ppm"],
+        )
+        for r in markov_attribution(
+            df, "user_id", "ts", "event_type", "purchase"
+        ).collect()
+    }
+    assert got == {
+        "ad": (666_667, 333_333, 500_001, 500_000),
+        "email": (666_667, 333_333, 500_001, 500_000),
+    }
+
+
+def test_markov_attribution_mid_path_and_guard(spark):
+    """A two-hop chain (ad -> email -> purchase): removing email must
+    cost MORE than removing ad only if email is the bottleneck; here
+    every path converts through email, so removing it zeroes
+    conversion (removal effect 1e6), while removing ad leaves the
+    email-only path intact. iters guard raises."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from healthcare_api_spark.operators.analytics import markov_attribution
+
+    def t(h):
+        return datetime(2024, 1, 1, h)
+
+    rows = [
+        (1, t(0), "ad"), (1, t(1), "email"), (1, t(2), "purchase"),
+        (2, t(0), "email"), (2, t(1), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    got = {
+        r["touch_type"]: (r["p_drop_ppm"], r["removal_effect_ppm"])
+        for r in markov_attribution(
+            df, "user_id", "ts", "event_type", "purchase"
+        ).collect()
+    }
+    # full: both users convert -> p_full = 1e6 exactly
+    assert got["email"] == (0, 1_000_000)
+    # removing ad: (start)->ad mass is lost, email-only path survives:
+    # p = half_up(1e6/2) = 500000 -> effect 500000
+    assert got["ad"] == (500_000, 500_000)
+    with _pytest.raises(ValueError, match="iters"):
+        markov_attribution(
+            df, "user_id", "ts", "event_type", "purchase", iters=0
+        )

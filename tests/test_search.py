@@ -897,3 +897,107 @@ def test_composite_param_same_element_semantics(spark):
 
     with pytest.raises(ValueError, match="components"):
         eng.search("Observation", {"component-code-value": "8480-6"})
+
+
+def test_uri_param_grammar(spark):
+    """uri-class search (r12): exact by default (case-sensitive, no
+    prefix), :below = query-is-prefix, :above = stored-is-prefix,
+    comma = OR, :missing and :not compose via the generic branches."""
+    res = spark.createDataFrame(
+        [
+            ("r1", "http://example.org/vs/a"),
+            ("r2", "http://example.org/vs/a/b"),
+            ("r3", "http://example.org/vs/c"),
+            ("r4", None),
+        ],
+        "id string, url string",
+    )
+    eng = SearchEngine(
+        {"ValueSet": res},
+        {
+            "ValueSet": SearchConfig(
+                params={"url": "url"}, uri_params={"url"}
+            )
+        },
+    )
+
+    def ids(params):
+        return sorted(
+            r["id"] for r in eng.search("ValueSet", params).collect()
+        )
+
+    # exact — no implicit prefix, no case folding
+    assert ids({"url": "http://example.org/vs/a"}) == ["r1"]
+    assert ids({"url": "HTTP://example.org/vs/a"}) == []
+    # :below — stored uris the query is a prefix of
+    assert ids({"url:below": "http://example.org/vs/a"}) == ["r1", "r2"]
+    # :above — stored uris that are a prefix of the query
+    assert ids(
+        {"url:above": "http://example.org/vs/a/b/c"}
+    ) == ["r1", "r2"]
+    # comma OR
+    assert ids(
+        {"url": "http://example.org/vs/a,http://example.org/vs/c"}
+    ) == ["r1", "r3"]
+    # :missing and :not keep their generic semantics
+    assert ids({"url:missing": "true"}) == ["r4"]
+    assert ids({"url:not": "http://example.org/vs/a"}) == [
+        "r2", "r3", "r4"
+    ]
+
+
+def test_token_subsumption_grammar(spark):
+    """token :below/:above (r12): the closure dimension widens the
+    match to the subtree/ancestry; bare (system-less) codes match any
+    system; a missing closure raises."""
+    import pytest as _pytest
+
+    obs = spark.createDataFrame(
+        [
+            ("o1", [("http://cs", "click")]),
+            ("o2", [("http://cs", "view")]),
+            ("o3", [("http://cs", "interaction")]),
+            ("o4", [("http://other", "click")]),
+            ("o5", [("http://cs", "purchase")]),
+        ],
+        "id string, codings array<struct<system string, code string>>",
+    )
+    closure = spark.createDataFrame(
+        [
+            ("http://cs", "interaction", "click"),
+            ("http://cs", "interaction", "view"),
+            ("http://cs", "lifecycle", "purchase"),
+        ],
+        "system string, ancestor string, descendant string",
+    )
+    eng = SearchEngine(
+        {"Observation": obs},
+        {
+            "Observation": SearchConfig(
+                token_params={"code": "codings"}, code_closure=closure
+            )
+        },
+    )
+
+    def ids(params):
+        return sorted(
+            r["id"] for r in eng.search("Observation", params).collect()
+        )
+
+    # :below — the code itself plus its descendants, system-pinned
+    assert ids({"code:below": "http://cs|interaction"}) == [
+        "o1", "o2", "o3"
+    ]
+    # :above — the code itself plus its ancestors
+    assert ids({"code:above": "http://cs|click"}) == ["o1", "o3"]
+    # bare code: any system (o4's other-system click also matches)
+    assert ids({"code:below": "interaction"}) == ["o1", "o2", "o3", "o4"]
+    # plain token search unchanged
+    assert ids({"code": "http://cs|click"}) == ["o1"]
+    # no closure configured -> explicit error
+    eng2 = SearchEngine(
+        {"Observation": obs},
+        {"Observation": SearchConfig(token_params={"code": "codings"})},
+    )
+    with _pytest.raises(ValueError, match="code_closure"):
+        eng2.search("Observation", {"code:below": "http://cs|click"})
