@@ -757,3 +757,83 @@ def test_streaming_multitouch_cross_batch_and_replay(spark, tmp_path):
     multitouch_batch(b1, 1, *args)
     multitouch_batch(b0, 0, *args)
     assert live() == got
+
+
+def test_streaming_multitouch_wm_lateness_contract(spark, tmp_path):
+    """st15 machinery (r12): the late-data contract end-to-end —
+    an in-window late touch is RECOMPUTED into the open path at its
+    true event-time position; a late conversion merge-sorts BEFORE
+    carried open-path touches; a survivor lex-before the last emitted
+    conversion drops '(dropped:closed)'; a row beyond the tolerance
+    drops '(dropped:late)' (and dropped rows still advance the
+    high-water mark via observed data); replay changes nothing."""
+    from datetime import datetime
+
+    from healthcare_api_spark.streaming.multitouch_wm import (
+        multitouch_wm_batch,
+        read_multitouch_wm,
+    )
+
+    schema = "user_id bigint, ts timestamp, event_type string"
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    b0 = spark.createDataFrame(
+        [
+            (1, t(8), "ad"), (1, t(9), "email"),        # open path
+            (2, t(8), "click"), (2, t(9), "purchase"),  # closes, cus=9
+            (3, t(12), "ad"),                           # open path
+        ],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, t(8, 30), "click"),      # in-window late -> recompute
+            (1, t(10), "purchase"),      # credits ad+click+email
+            (2, t(6), "view"),           # < hwm-1h -> (dropped:late)
+            (2, t(8, 30), "ad"),         # lex-before conv@9 -> closed
+            (2, t(9, 30), "email"),      # accepted, reopens path
+            (3, t(11, 30), "purchase"),  # merges BEFORE seed ad@12 -> (none)
+            (3, t(12, 30), "purchase"),  # credits ad@12
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (2, t(8, 45), "click"),      # >= 9:30-1h but lex-before
+                                         # conv@9 -> (dropped:closed)
+            (2, t(10), "purchase"),      # credits email@9:30
+        ],
+        schema,
+    )
+    root = str(tmp_path / "mtwm")
+    h_us = 3_600_000_000
+    args = (
+        root, "user_id", "ts", "event_type", "purchase", h_us, h_us
+    )
+    multitouch_wm_batch(b0, 0, *args)
+    multitouch_wm_batch(b1, 1, *args)
+    multitouch_wm_batch(b2, 2, *args)
+
+    def live():
+        return {
+            r["touch_type"]: tuple(r)[1:]
+            for r in read_multitouch_wm(spark, root).collect()
+        }
+
+    got = live()
+    # u1 path (ad k=2, click k=1.5h->1, email k=1): decay 1/5, 2/5,
+    # 2/5; linear 333333 each. u3: one '(none)' + full-credit ad.
+    assert got == {
+        "ad": (2, 2, 1_333_333, 1_200_000),
+        "click": (2, 2, 1_333_333, 1_400_000),
+        "email": (2, 2, 1_333_333, 1_400_000),
+        "(none)": (0, 1, 1_000_000, 1_000_000),
+        "(dropped:late)": (1, 0, 0, 0),
+        "(dropped:closed)": (2, 0, 0, 0),
+    }
+    # replay is idempotent
+    multitouch_wm_batch(b2, 2, *args)
+    multitouch_wm_batch(b1, 1, *args)
+    assert live() == got
