@@ -2295,3 +2295,75 @@ def test_vocab_concentration_range_rank_mode_identical(spark):
     assert a == b
     with pytest.raises(ValueError):
         vocab_concentration(df, "lang", "text", rank_mode="bogus")
+
+
+def test_ivf_upsert_probe_parity_and_compact(spark, tmp_path):
+    """r12 (VERDICT r11 #6): upserting into an IVF layout with the
+    index's frozen centroids is probe-equivalent to a full rebuild
+    over old ∪ new (cell assignment is a pure function of vector and
+    centroids); upsert appends files only into touched cells; compact
+    rewrites the touched cells to one file each without changing any
+    probe result."""
+    import glob
+
+    rows = [
+        (i, [math.cos(i * 0.37), math.sin(i * 0.37), 0.1 * (i % 5), 0.0])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    base = df.filter(F.col("vec_id") % 5 != 0)
+    new = df.filter(F.col("vec_id") % 5 == 0)
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [-1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, -1.0, 0.0, 0.0],
+    ]
+    up_path = str(tmp_path / "ivf_up")
+    rb_path = str(tmp_path / "ivf_rb")
+    similarity.write_ivf_partitioned(base, up_path, "embedding", cents)
+
+    def files(path):
+        return {
+            c: len(glob.glob(f"{path}/cluster={c}/*.parquet"))
+            for c in range(len(cents))
+            if glob.glob(f"{path}/cluster={c}")
+        }
+    before = files(up_path)
+
+    similarity.ivf_upsert(new, up_path, "embedding", cents)
+    similarity.write_ivf_partitioned(df, rb_path, "embedding", cents)
+
+    q = [0.9, 0.4, 0.05, 0.0]
+
+    def probe(path):
+        return [
+            (r["vec_id"], round(r["cos"], 9))
+            for r in similarity.ivf_topk_pruned(
+                spark, path, "vec_id", "embedding", cents, q,
+                k=8, nprobe=2,
+            ).collect()
+        ]
+
+    got = probe(up_path)
+    assert got == probe(rb_path)
+    # upsert appended files into the touched cells only
+    after = files(up_path)
+    touched = {
+        r["cluster"]
+        for r in similarity.ivf_assign(new, "embedding", cents)
+        .select("cluster").distinct().collect()
+    }
+    for c, n in after.items():
+        if c in touched:
+            assert n > before.get(c, 0)
+        else:
+            assert n == before.get(c)
+    # compact touched cells to one file each; probes unchanged
+    similarity.ivf_compact(spark, up_path, cells=sorted(touched))
+    compacted = files(up_path)
+    for c in touched:
+        assert compacted[c] == 1
+    for c in set(after) - touched:
+        assert compacted[c] == after[c]
+    assert probe(up_path) == got
