@@ -226,7 +226,15 @@ class BucketedVersionedState:
             .select(*null_cols, "_pt", "_tomb")
         )
         (
+            # ONE file per touched bucket per version (r12 audit): the
+            # state bytes are tiny next to the batch plan, so commit
+            # cost is FILE-COUNT overhead — without this repartition
+            # every upstream task holding a bucket's rows writes its
+            # own fragment (32 files for 0.09 MB measured at sf0.1).
+            # Hashing on _pt makes each bucket exactly one task's
+            # output; buckets stay the parallelism unit at scale.
             out.unionByName(tombs)
+            .repartition(F.col("_pt"))
             .write.partitionBy("_pt")
             .mode("overwrite")
             .parquet(f"{self.path}/v{batch_id}")

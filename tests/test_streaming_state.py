@@ -837,3 +837,92 @@ def test_streaming_multitouch_wm_lateness_contract(spark, tmp_path):
     multitouch_wm_batch(b2, 2, *args)
     multitouch_wm_batch(b1, 1, *args)
     assert live() == got
+
+
+def test_streaming_flows_wm_retraction_and_lateness(spark, tmp_path):
+    """st16 machinery (r12): a late event landing INSIDE an already-
+    counted session RETRACTS the old transition via a negative delta
+    (A->C cancels to zero and disappears) and adds the recomputed ones;
+    rows beyond the horizon drop with audit; the anchor keeps the
+    frozen-boundary transition correct after the suffix shrinks;
+    replay changes nothing; the matrix equals the batch operator over
+    the survivors."""
+    from datetime import datetime
+
+    from healthcare_api_spark.operators.analytics import session_flows
+    from healthcare_api_spark.streaming.flows_wm import (
+        flows_wm_batch,
+        read_session_flows_wm,
+    )
+
+    schema = "user_id bigint, ts timestamp, event_type string"
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    b0 = spark.createDataFrame(
+        [
+            (1, t(8), "A"), (1, t(8, 10), "C"),   # A->C (to be retracted)
+            (2, t(8), "A"), (2, t(10), "B"),      # two sessions, no edge
+            (3, t(8), "A"), (3, t(8, 10), "B"),   # A->B (freezes later)
+        ],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, t(8, 5), "B"),    # late INSIDE the session -> recompute
+            (1, t(8, 20), "D"),   # C->D
+            (2, t(8, 30), "X"),   # < 10:00-1h -> dropped
+            (2, t(10, 10), "C"),  # B->C
+            (3, t(12), "C"),      # hwm 12:00 -> horizon 11:00 shrinks
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (3, t(8, 15), "D"),   # < 11:00 -> dropped
+            (3, t(11, 30), "E"),  # accepted; E->C (exactly 30min gap)
+        ],
+        schema,
+    )
+    root = str(tmp_path / "fwm")
+    args = (root, "user_id", "ts", "event_type", 30, 3_600_000_000)
+    flows_wm_batch(b0, 0, *args)
+    flows_wm_batch(b1, 1, *args)
+    flows_wm_batch(b2, 2, *args)
+
+    def live():
+        return {
+            (r["src"], r["dst"]): (r["n_transitions"], r["prob"])
+            for r in read_session_flows_wm(spark, root).collect()
+        }
+
+    got = live()
+    assert got == {
+        ("A", "B"): (2, 1.0),
+        ("B", "C"): (2, 1.0),
+        ("C", "D"): (1, 1.0),
+        ("E", "C"): (1, 1.0),
+        ("(dropped)", "late"): (2, None),
+    }
+    # the retracted A->C cancelled to zero and is filtered out
+    assert ("A", "C") not in got
+    # equals the batch operator over the survivors
+    survivors = (
+        b0.unionByName(b1).unionByName(b2)
+        .filter(~(
+            ((F.col("user_id") == 2) & (F.col("event_type") == "X"))
+            | ((F.col("user_id") == 3) & (F.col("event_type") == "D"))
+        ))
+    )
+    want = {
+        (r["src"], r["dst"]): (r["n_transitions"], r["prob"])
+        for r in session_flows(
+            survivors, "user_id", "ts", "event_type", 30
+        ).collect()
+    }
+    assert {k: v for k, v in got.items() if k[0] != "(dropped)"} == want
+    # replay is idempotent
+    flows_wm_batch(b2, 2, *args)
+    flows_wm_batch(b1, 1, *args)
+    assert live() == got
