@@ -288,6 +288,15 @@ HEADLINE = [
     "st13_streaming_attribution",
     "st14_streaming_multitouch",
     "w20_hazard_curve",
+    # round 12: Markov removal-effect attribution (one corpus window
+    # pass + matrix-sized value iteration), the lookback branch, uri +
+    # subsumption search (pushdown predicates + literal IN closure),
+    # and the two watermarked streaming lifecycles
+    "w21_markov_attribution",
+    "w17b_multi_touch_lookback",
+    "fs15_uri_and_subsumption",
+    "st15_streaming_multitouch_wm",
+    "st16_streaming_flows_wm",
 ]
 
 # r10: per-query isolated loop membership (VERDICT r9 #1) — the
@@ -306,6 +315,8 @@ HEAVY_ISOLATED = [
     "st12_streaming_cep",
     "st13_streaming_attribution",
     "st14_streaming_multitouch",
+    "st15_streaming_multitouch_wm",
+    "st16_streaming_flows_wm",
     "m18_keyframes",
     "m19_patch_vote_neardup",
     "v12_ivf_pruned",

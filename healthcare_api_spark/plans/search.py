@@ -36,6 +36,9 @@ Supported grammar (each an entry in §2.7's capability table):
                                left-join the referenced field in
     _count=N / _page_token=v   paging (keyset off the sort key)
     _elements=a,b              projection
+    _summary=count|true|data|false   result shaping (count-only /
+                               configured summary view / strip
+                               narrative / full)
     _total=accurate            count only
     _filter=expr               boolean expression grammar: and/or/not,
                                parens, eq ne gt lt ge le co sw ew pr
@@ -146,6 +149,13 @@ class SearchConfig:
     # column for `_text=` full-text search (AND of whitespace terms,
     # token-level membership). None = _text unsupported for the type.
     text_search_col: str | None = None
+    # `_summary=true` projection (r12): the columns that make up the
+    # type's summary view (FHIR marks summary elements per resource;
+    # here it is catalog config). None = _summary=true unsupported.
+    summary_elements: "list[str] | None" = None
+    # the narrative/text column `_summary=data` strips. None = data
+    # form is the full row (nothing to strip).
+    narrative_col: str | None = None
     # unique row-id column, used as the deterministic tie-break that
     # keyset pagination appends to `_sort` (FHIR resources: "id")
     id_col: str = "id"
@@ -567,6 +577,35 @@ class SearchEngine:
                         sort_fields.append((self._resolve(resource_type, sname), desc))
             elif key == "_elements":
                 elements = [self._resolve(resource_type, e) for e in raw.split(",")]
+            elif key == "_summary":
+                # result shaping (r12 — the last delegated-surface
+                # shaping param): count = count-only (the _total
+                # device); true = the configured summary projection;
+                # data = full row minus the narrative column; false =
+                # full row. All forms are pure projections — column
+                # pruning reaches the scan like _elements.
+                if raw == "count":
+                    total_only = True
+                elif raw == "true":
+                    if cfg.summary_elements is None:
+                        raise ValueError(
+                            f"_summary=true is not configured for "
+                            f"{resource_type} (set "
+                            "SearchConfig.summary_elements)"
+                        )
+                    elements = list(cfg.summary_elements)
+                elif raw == "data":
+                    if cfg.narrative_col is not None:
+                        elements = [
+                            c
+                            for c in df.columns
+                            if c != cfg.narrative_col
+                        ]
+                elif raw != "false":
+                    raise ValueError(
+                        f"unsupported _summary value '{raw}' "
+                        "(count|true|data|false)"
+                    )
             elif key.startswith("_has:"):
                 # _has:Observation:patient:code=X → semi-join from Observation.
                 # The remainder after `_has:Type:ref:` is ITSELF a search on

@@ -1001,3 +1001,38 @@ def test_token_subsumption_grammar(spark):
     )
     with _pytest.raises(ValueError, match="code_closure"):
         eng2.search("Observation", {"code:below": "http://cs|click"})
+
+
+def test_summary_result_shaping(spark):
+    """_summary (r12): count = count-only, true = the configured
+    summary projection, data = full row minus the narrative column,
+    false = full row; unknown values and unconfigured true raise."""
+    import pytest as _pytest
+
+    res = spark.createDataFrame(
+        [("p1", "Eve", 44, "<div>narrative</div>")],
+        "id string, name string, age int, text string",
+    )
+    cfg = SearchConfig(
+        params={"name": "name"},
+        summary_elements=["id", "name"],
+        narrative_col="text",
+    )
+    eng = SearchEngine({"Patient": res}, {"Patient": cfg})
+    assert eng.search("Patient", {"_summary": "count"}).collect()[0][
+        "total"
+    ] == 1
+    assert eng.search("Patient", {"_summary": "true"}).columns == [
+        "id", "name"
+    ]
+    assert eng.search("Patient", {"_summary": "data"}).columns == [
+        "id", "name", "age"
+    ]
+    assert eng.search("Patient", {"_summary": "false"}).columns == [
+        "id", "name", "age", "text"
+    ]
+    with _pytest.raises(ValueError, match="unsupported _summary"):
+        eng.search("Patient", {"_summary": "bogus"})
+    bare = SearchEngine({"Patient": res}, {"Patient": SearchConfig()})
+    with _pytest.raises(ValueError, match="summary_elements"):
+        bare.search("Patient", {"_summary": "true"})
