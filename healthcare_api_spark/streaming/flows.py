@@ -10,8 +10,9 @@ touched key/pair buckets, replays are idempotent, and a crash never
 loses state.
 
 Exactness contract (the st5/st6 discipline): with batches arriving in
-per-key time order (the time-split source; out-of-order streams get
-the watermark treatment first, st4), each batch computes its
+per-key time order (the time-split source; out-of-order streams use
+streaming/flows_wm.py (r12), which carries a horizon suffix and emits
+± count deltas under a watermark rule), each batch computes its
 transitions over ``carried-last ∪ batch`` with the IDENTICAL
 gaps-and-islands + (epoch-micros, state) lag logic as the batch
 operator — the carried row is strictly earliest per key, so it

@@ -57,10 +57,10 @@ def _counts_store(state_root: str, nb: int) -> BucketedVersionedState:
     )
 
 
-def _audit_store(state_root: str, nb: int) -> BucketedVersionedState:
-    return BucketedVersionedState(
-        f"{state_root}/audit", key_cols=["reason"], num_buckets=1
-    )
+# the drop audit rides the counts store as ('(dropped)', reason) rows —
+# drop totals are mergeable sums exactly like transition counts, and a
+# separate store would add a third per-batch version commit for one row
+_AUDIT_SRC = "(dropped)"
 
 
 def _transitions(rows: list, gap_us: int) -> dict:
@@ -96,7 +96,6 @@ def flows_wm_batch(
     spark = batch_df.sparkSession
     suffix_store = _suffix_store(state_root, key_col, num_state_buckets)
     counts_store = _counts_store(state_root, num_state_buckets)
-    audit_store = _audit_store(state_root, num_state_buckets)
     gap_us = gap_minutes * 60 * 1_000_000
     late_us = int(lateness_us)
 
@@ -230,6 +229,14 @@ def flows_wm_batch(
 
     delta_counts = (
         combined.filter(F.col("kind") == 0)
+        .select("src", "dst", "dn")
+        .unionByName(
+            combined.filter(F.col("kind") == 2).select(
+                F.lit(_AUDIT_SRC).alias("src"),
+                F.lit("late").alias("dst"),
+                F.col("dn"),
+            )
+        )
         .groupBy("src", "dst")
         .agg(F.sum("dn").cast("bigint").alias("n"))
     )
@@ -244,21 +251,6 @@ def flows_wm_batch(
         )
 
     counts_store.merge_batch(delta_counts, batch_id, _merge_counts)
-
-    delta_audit = (
-        combined.filter(F.col("kind") == 2)
-        .agg(F.sum("dn").cast("bigint").alias("n"))
-        .filter(F.col("n") > 0)
-        .select(F.lit("late").alias("reason"), "n")
-    )
-    audit_store.merge_batch(
-        delta_audit, batch_id,
-        lambda prev, d: d if prev is None else (
-            prev.unionByName(d)
-            .groupBy("reason")
-            .agg(F.sum("n").cast("bigint").alias("n"))
-        ),
-    )
 
     new_suffix = combined.filter(F.col("kind") == 1).select(
         F.col("k").alias(key_col), "suffix", "hwm"
@@ -317,30 +309,29 @@ def read_session_flows_wm(
 
     counts = _counts_store(state_root, num_state_buckets).read(spark)
     if counts is None:
-        flows = spark.createDataFrame(
+        return spark.createDataFrame(
             [], "src string, dst string, n_transitions bigint, prob double"
         )
-    else:
-        live = counts.filter(F.col("n") > 0)
-        tot = Window.partitionBy("src")
-        flows = live.select(
-            "src",
-            "dst",
-            F.col("n").alias("n_transitions"),
-            F.round(
-                F.col("n").cast("double")
-                / F.sum("n").over(tot).cast("double"),
-                6,
-            ).alias("prob"),
-        )
-    audit = _audit_store(state_root, num_state_buckets).read(spark)
-    if audit is not None:
-        flows = flows.unionByName(
-            audit.filter(F.col("n") > 0).select(
-                F.lit("(dropped)").alias("src"),
-                F.col("reason").alias("dst"),
-                F.col("n").alias("n_transitions"),
-                F.lit(None).cast("double").alias("prob"),
-            )
-        )
-    return flows
+    live = counts.filter(
+        (F.col("n") > 0) & (F.col("src") != F.lit(_AUDIT_SRC))
+    )
+    tot = Window.partitionBy("src")
+    flows = live.select(
+        "src",
+        "dst",
+        F.col("n").alias("n_transitions"),
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(tot).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+    audit = counts.filter(
+        (F.col("src") == F.lit(_AUDIT_SRC)) & (F.col("n") > 0)
+    ).select(
+        "src",
+        "dst",
+        F.col("n").alias("n_transitions"),
+        F.lit(None).cast("double").alias("prob"),
+    )
+    return flows.unionByName(audit)

@@ -8,7 +8,9 @@ therefore the user's OPEN path (touches not yet closed by a
 conversion), and each batch walks its rows per user in (ts, type)
 order, seeded with the carried path: a conversion closes the running
 path and emits its credit rows; touches extend it. Input contract (the
-st7/st11 discipline): batches arrive in per-user time order.
+st7/st11 discipline): batches arrive in per-user time order — for
+out-of-order feeds use streaming/multitouch_wm.py (r12), which
+replaces this contract with a watermark/late-data rule.
 
 Exactness device: per (conversion, touch-type, half-life count h) the
 batch emits an integer COUNT — never a weight — so the emitted rows

@@ -51,7 +51,9 @@ def steady(fn) -> float:
     return round(statistics.median(ts), 2)
 
 
-def r12_gate_volume(spark, reps: list[int]) -> None:
+def r12_gate_volume(
+    spark, reps: list[int], gates: set[str] | None = None
+) -> None:
     import __spark_entry__ as entrymod
     from healthcare_api_spark.operators.analytics import markov_attribution
 
@@ -78,15 +80,16 @@ def r12_gate_volume(spark, reps: list[int]) -> None:
             ev.repartition(64).write.mode("overwrite").parquet(path)
             evr = spark.read.parquet(path)
 
-            t = steady(
-                lambda: force(
-                    markov_attribution(
-                        evr, "user_id", "ts", "event_type", "purchase",
-                        iters=8,
+            if gates is None or "w21" in gates:
+                t = steady(
+                    lambda: force(
+                        markov_attribution(
+                            evr, "user_id", "ts", "event_type",
+                            "purchase", iters=8,
+                        )
                     )
                 )
-            )
-            print(f"| w21 markov | x{rep} | {t} s |", flush=True)
+                print(f"| w21 markov | x{rep} | {t} s |", flush=True)
 
             # st15 / st16: 2-batch watermarked lifecycles (the run IS
             # the work — cold state dirs per pass)
@@ -123,8 +126,10 @@ def r12_gate_volume(spark, reps: list[int]) -> None:
                 finally:
                     shutil.rmtree(r2, ignore_errors=True)
 
-            for name, fn in (("st15 lifecycle", _st15),
-                             ("st16 lifecycle", _st16)):
+            for key, name, fn in (("st15", "st15 lifecycle", _st15),
+                                  ("st16", "st16 lifecycle", _st16)):
+                if gates is not None and key not in gates:
+                    continue
                 t = steady(fn)
                 print(f"| {name} | x{rep} | {t} s |", flush=True)
     finally:
@@ -133,8 +138,9 @@ def r12_gate_volume(spark, reps: list[int]) -> None:
 
 def main() -> None:
     reps = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "1,25,100").split(",")]
+    gates = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = get_spark("scale-sweep-r12")
-    r12_gate_volume(spark, reps)
+    r12_gate_volume(spark, reps, gates)
 
 
 if __name__ == "__main__":
