@@ -297,6 +297,7 @@ HEADLINE = [
     "fs15_uri_and_subsumption",
     "st15_streaming_multitouch_wm",
     "st16_streaming_flows_wm",
+    "st17_streaming_markov",
 ]
 
 # r10: per-query isolated loop membership (VERDICT r9 #1) — the
@@ -317,6 +318,7 @@ HEAVY_ISOLATED = [
     "st14_streaming_multitouch",
     "st15_streaming_multitouch_wm",
     "st16_streaming_flows_wm",
+    "st17_streaming_markov",
     "m18_keyframes",
     "m19_patch_vote_neardup",
     "v12_ivf_pruned",

@@ -1057,6 +1057,26 @@ def markov_attribution(
         base.unionByName(extra)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return markov_credit_from_transitions(tr, iters=iters, scale=scale)
+
+
+def markov_credit_from_transitions(
+    tr: DataFrame,
+    iters: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The removal-effect credit computation of
+    :func:`markov_attribution` over an ALREADY-BUILT transition matrix
+    (src, dst, n) with '(start)'/'(conv)'/'(null)' boundary states —
+    split out (r12) so the streaming maintainer
+    (streaming/markov.py), which accumulates the same matrix
+    incrementally, shares the value iteration VERBATIM."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    s = int(scale)
+    tr = (
+        tr
         # the matrix is ≤(|types|+1)² rows — the corpus reduces HERE;
         # every consumer below re-reads this tiny frame, never the scan
         .localCheckpoint(eager=True)

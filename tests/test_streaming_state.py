@@ -926,3 +926,76 @@ def test_streaming_flows_wm_retraction_and_lateness(spark, tmp_path):
     flows_wm_batch(b2, 2, *args)
     flows_wm_batch(b1, 1, *args)
     assert live() == got
+
+
+def test_streaming_markov_cross_batch_and_replay(spark, tmp_path):
+    """st17 machinery (r12): adjacency reconstructs across the batch
+    boundary via the carried last event (including the conversion-
+    closes-path '(start)' rule), the trailing '(null)' edge comes from
+    the last-event state at READ time (and MOVES as the stream
+    extends), and the result equals the batch operator; replay changes
+    nothing."""
+    from datetime import datetime
+
+    from healthcare_api_spark.operators.analytics import markov_attribution
+    from healthcare_api_spark.streaming.markov import (
+        markov_batch,
+        read_markov_attribution,
+    )
+
+    schema = "user_id bigint, ts timestamp, event_type string"
+
+    def t(h):
+        return datetime(2024, 1, 1, h)
+
+    b0 = spark.createDataFrame(
+        [
+            (1, t(8), "ad"),                      # boundary: ad -> (next batch)
+            (2, t(8), "email"), (2, t(9), "purchase"),  # closes in-batch
+        ],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, t(9), "purchase"),   # boundary edge ad->(conv)
+            (2, t(10), "ad"),        # after conversion -> (start)->ad
+            (3, t(10), "ad"),        # new key -> (start)->ad
+        ],
+        schema,
+    )
+    root = str(tmp_path / "mk")
+    args = (root, "user_id", "ts", "event_type", "purchase")
+    markov_batch(b0, 0, *args)
+
+    def live():
+        return {
+            r["touch_type"]: tuple(r)[1:]
+            for r in read_markov_attribution(
+                spark, root, "purchase", iters=8
+            ).collect()
+        }
+
+    # after batch 0 alone: u1's ad is a trailing touch (from state),
+    # u2 is email->conv; matrix: (start)->ad 1, (start)->email 1,
+    # ad->(null) 1, email->(conv) 1: p(start)=half_up((0+1e6)/2)=500000
+    # removing ad leaves email's 1e6/2; removing email leaves 0
+    got0 = live()
+    assert got0["email"] == (500_000, 0, 1_000_000, 1_000_000)
+    assert got0["ad"] == (500_000, 500_000, 0, 0)
+
+    markov_batch(b1, 1, *args)
+    got = live()
+    want = {
+        r["touch_type"]: tuple(r)[1:]
+        for r in markov_attribution(
+            b0.unionByName(b1), "user_id", "ts", "event_type",
+            "purchase", iters=8,
+        ).collect()
+    }
+    assert got == want
+    # the batch-0 trailing ad->(null) edge MOVED: u1's ad now closes
+    # into (conv); u2/u3's trailing ads are the current null edges
+    # replay both batches out of order: nothing changes
+    markov_batch(b1, 1, *args)
+    markov_batch(b0, 0, *args)
+    assert live() == got
