@@ -298,6 +298,7 @@ HEADLINE = [
     "st15_streaming_multitouch_wm",
     "st16_streaming_flows_wm",
     "st17_streaming_markov",
+    "v22_ivf_batch_probe",
 ]
 
 # r10: per-query isolated loop membership (VERDICT r9 #1) — the
@@ -324,6 +325,7 @@ HEAVY_ISOLATED = [
     "v12_ivf_pruned",
     "v13_lsh_pruned",
     "v17_filtered_ann",
+    "v22_ivf_batch_probe",
     "t27_bpe_encode",
     "t30_hashed_classifier",
 ]

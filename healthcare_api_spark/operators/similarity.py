@@ -504,6 +504,93 @@ def ivf_topk_pruned(
     return brute_force_topk(cands, id_col, vec_col, query_vec, k)
 
 
+def ivf_topk_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """BATCH (multi-query) IVF probe over a cell-partitioned table —
+    the retrieval SERVING shape (r12): a whole batch of queries
+    answered in ONE corpus pass instead of |Q| separate probes.
+
+    1. Per-query probe cells are computed Spark-side against the
+       centroid literal (the ivf_assign (−cos, cid) struct device,
+       exploded; top-``nprobe`` per query via a qid-partitioned rank
+       window — |Q|·|C| rows, tiny).
+    2. The UNION of probed cells (≤ |centroids| values — ONE bounded
+       collect, the lsh_bucketed_topk discipline) prunes the SCAN:
+       ``cluster IN (...)`` is a PartitionFilter, so only directories
+       some query probes are listed and read — per-batch IO is the
+       probed-cell union's bytes, amortized across all queries that
+       share a cell.
+    3. Candidates join the broadcast (qid, cell, qvec) pairs on the
+       cell id (each row lives in exactly one cell → no fan-out beyond
+       queries-per-cell), exact cosine per pair, and per-query top-k
+       via a qid-partitioned rank window (never a global sort).
+
+    Semantics per query are IDENTICAL to :func:`ivf_topk_pruned` on
+    the same centroids (same probe rule: raw −cos ties → lowest cell;
+    same rounded-cosine (cos, id) ranking), so the single-query oracle
+    device verifies the batch path. Output: (query id, ``id_col``,
+    cos, rank), k rows per query.
+    """
+    from pyspark.sql import Window
+
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    -cosine(
+                        F.col(qvec_col),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                    )
+                ).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    q = queries.select(
+        F.col(qid_col).alias("_qid"),
+        F.col(qvec_col).alias("_qe"),
+        F.explode(cands).alias("_c"),
+    ).select("_qid", "_qe", F.col("_c.d").alias("_d"), F.col("_c.cid").alias("_cid"))
+    wq = Window.partitionBy("_qid").orderBy(F.col("_d").asc(), F.col("_cid").asc())
+    probe = (
+        q.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("_qid", "_qe", "_cid")
+        .localCheckpoint(eager=True)
+    )
+    cells = sorted(
+        {r[0] for r in probe.select("_cid").distinct().collect()}
+    )
+    cand = spark.read.parquet(path).where(
+        F.col("cluster").isin([int(c) for c in cells])
+    )
+    scored = cand.join(
+        F.broadcast(probe), cand["cluster"] == probe["_cid"]
+    ).select(
+        F.col("_qid").alias("query_id"),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qe")), 6).alias("cos"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42
 ) -> DataFrame:

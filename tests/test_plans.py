@@ -937,3 +937,16 @@ def test_rfm_no_global_window_broadcast_thresholds(spark):
     assert "Sort [" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row threshold frames
+
+
+def test_ivf_batch_probe_prunes_and_avoids_global_sort(spark):
+    """v22 (r12): the batch probe's scan lists only the probed-cell
+    union (PartitionFilters on cluster), and per-query top-k is a
+    qid-partitioned rank window — no SinglePartition sort of the
+    candidate frame."""
+    df = entrymod.q_v22_ivf_batch_probe(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "cluster" in plan
+    assert "BroadcastHashJoin" in plan  # (qid, cell, qvec) pairs
+    # the rank window is partitioned by query_id, never unpartitioned
+    assert "SinglePartition" not in plan

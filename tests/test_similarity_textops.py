@@ -2367,3 +2367,36 @@ def test_ivf_upsert_probe_parity_and_compact(spark, tmp_path):
     for c in set(after) - touched:
         assert compacted[c] == after[c]
     assert probe(up_path) == got
+
+
+def test_ivf_batch_probe_matches_single_probes(spark, tmp_path):
+    """v22 (r12): the batch probe answers every query exactly like the
+    single-query pruned probe on the same layout and centroids."""
+    rows = [
+        (i, [math.cos(i * 0.41), math.sin(i * 0.41), 0.2 * (i % 3), 0.1])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [-1.0, 0.5, 0.0, 0.0],
+        [0.0, 1.0, 0.3, 0.0],
+        [0.0, -1.0, 0.0, 0.2],
+    ]
+    path = str(tmp_path / "ivfb")
+    similarity.write_ivf_partitioned(df, path, "embedding", cents)
+    queries = df.filter(F.col("vec_id") % 13 == 1)
+    batch = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cos"])
+        for r in similarity.ivf_topk_batch(
+            spark, path, queries, "vec_id", "embedding",
+            "vec_id", "embedding", cents, k=4, nprobe=2,
+        ).collect()
+    }
+    for q in queries.collect():
+        single = similarity.ivf_topk_pruned(
+            spark, path, "vec_id", "embedding", cents,
+            [float(x) for x in q["embedding"]], k=4, nprobe=2,
+        ).collect()
+        for i, r in enumerate(single, start=1):
+            assert batch[(q["vec_id"], i)] == (r["vec_id"], r["cos"])
