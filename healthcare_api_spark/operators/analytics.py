@@ -763,6 +763,140 @@ def multi_touch_attribution(
     )
 
 
+def multi_touch_value(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    convert_type: str,
+    value_col: str,
+    halflife: str = "1 hour",
+) -> DataFrame:
+    """Value-weighted (revenue) multi-touch attribution (r12): each
+    conversion distributes its OWN monetary value — not a unit ppm —
+    across its path under the same linear and time-decay models as
+    :func:`multi_touch_attribution`; the per-channel totals are what a
+    marketing stack actually reports ("email drove $X").
+
+    Exactness: money rides the w15 cents device (round(value·100) as
+    BIGINT); each (path, type) share rounds ONCE, half-up, in exact
+    integer arithmetic — linear = half_up(C·cnt / n), decay =
+    half_up(C·num_type / D) with the w17 power-of-two numerators in
+    decimal(38,0) (oracle: HUGEINT) — and channel totals are sums of
+    those exact integers, so both engines agree bit-for-bit. A
+    pathless conversion keeps its full cents under '(none)'.
+
+    Same ONE-pass shape as w17: one corpus window sort (path ids +
+    next-conversion ts), one corpus hash aggregate to (key, path,
+    type) rows — the conversion row's cents ride the same aggregate —
+    then path-cardinality joins. Same (ts, type) ROW-precedence tie
+    rule, documented at :func:`multi_touch_attribution`.
+
+    Output: (touch_type, n_touches, paths_touched, linear_value_cents,
+    decay_value_cents) — all BIGINT.
+    """
+    from pyspark.sql import Window
+
+    from healthcare_api_spark.operators.temporal import _parse_duration_secs
+
+    h_us = _parse_duration_secs(halflife) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+    ev = events.select(
+        F.col(key_col).alias("_k"),
+        us.alias("_us"),
+        F.col(type_col).alias("_tp"),
+        cents.alias("_cents"),
+    )
+    is_conv = F.col("_tp") == F.lit(convert_type)
+    w_prev = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_us").asc(), F.col("_tp").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_us").asc(), F.col("_tp").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    x = ev.select(
+        "_k", "_us", "_tp", "_cents",
+        F.count(F.when(is_conv, 1)).over(w_prev).cast("bigint").alias("_path"),
+        F.min(F.when(is_conv, F.col("_us"))).over(w_next).alias("_ncus"),
+    )
+    num = F.expr(
+        "shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(62 - least((_ncus - _us) DIV {h_us}, 62) AS INT))"
+    )
+    g = (
+        x.filter(is_conv | F.col("_ncus").isNotNull())
+        .groupBy("_k", "_path", "_tp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+            F.sum(
+                F.when(~is_conv, num).cast("decimal(19,0)")
+            ).alias("_num"),
+            # the conversion row's cents ride the SAME aggregate (one
+            # conversion per closed path by construction)
+            F.sum(F.when(is_conv, F.col("_cents"))).cast("bigint").alias(
+                "_ccents"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tch = g.filter(F.col("_tp") != F.lit(convert_type)).drop("_ccents")
+    convs = g.filter(F.col("_tp") == F.lit(convert_type)).select(
+        "_k", "_path", "_ccents"
+    )
+    tot = tch.groupBy("_k", "_path").agg(
+        F.sum("_cnt").cast("bigint").alias("_n"),
+        F.sum("_num").cast("decimal(38,0)").alias("_d"),
+    )
+    cred = tch.join(tot, ["_k", "_path"]).join(
+        convs, ["_k", "_path"]
+    ).select(
+        F.col("_tp").alias("touch_type"),
+        "_cnt",
+        # linear: half_up(C·cnt / n) once per (path, type)
+        F.expr(
+            "CAST((2 * CAST(_ccents AS DECIMAL(38,0))"
+            " * CAST(_cnt AS DECIMAL(38,0)) + _n)"
+            " DIV (2 * CAST(_n AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("_lin"),
+        # decay: half_up(C·num_type / D) in decimal(38,0)
+        F.expr(
+            "CAST((2 * CAST(_ccents AS DECIMAL(38,0))"
+            " * CAST(_num AS DECIMAL(38,0)) + _d)"
+            " DIV (2 * _d) AS BIGINT)"
+        ).alias("_dec"),
+    )
+    none = (
+        convs.join(tot, ["_k", "_path"], "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c"),
+            F.sum("_ccents").cast("bigint").alias("_cc"),
+        )
+        .filter(F.col("_c") > 0)
+        .select(
+            F.lit("(none)").alias("touch_type"),
+            F.lit(0).cast("bigint").alias("n_touches"),
+            F.col("_c").alias("paths_touched"),
+            F.col("_cc").alias("linear_value_cents"),
+            F.col("_cc").alias("decay_value_cents"),
+        )
+    )
+    return (
+        cred.groupBy("touch_type")
+        .agg(
+            F.sum("_cnt").cast("bigint").alias("n_touches"),
+            F.count(F.lit(1)).cast("bigint").alias("paths_touched"),
+            F.sum("_lin").cast("bigint").alias("linear_value_cents"),
+            F.sum("_dec").cast("bigint").alias("decay_value_cents"),
+        )
+        .unionByName(none)
+    )
+
+
 def touch_report(
     events: DataFrame,
     key_col: str,

@@ -962,3 +962,40 @@ def test_markov_attribution_mid_path_and_guard(spark):
         markov_attribution(
             df, "user_id", "ts", "event_type", "purchase", iters=0
         )
+
+
+def test_multi_touch_value_hand_computed(spark):
+    """w22 (r12): each conversion's OWN cents split across its path —
+    per-(path,type) half-up shares, '(none)' keeps full cents."""
+    from datetime import datetime
+
+    from healthcare_api_spark.operators.analytics import multi_touch_value
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    rows = [
+        # u1: ad (2 half-lives) + email (1) -> $3.00 purchase
+        (1, t(8), "ad", 0.0), (1, t(9), "email", 0.0),
+        (1, t(10), "purchase", 3.0),
+        # u2: pathless $1.23 purchase -> (none)
+        (2, t(9), "purchase", 1.23),
+        # u3: single ad 30min before a 1-cent purchase (k=0, full)
+        (3, t(8), "ad", 0.0), (3, t(8, 30), "purchase", 0.01),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string, value double"
+    )
+    got = {
+        r["touch_type"]: tuple(r)[1:]
+        for r in multi_touch_value(
+            df, "user_id", "ts", "event_type", "purchase", "value",
+            halflife="1 hour",
+        ).collect()
+    }
+    # u1 decay: ad 2^60 / (3·2^60) of 300 = 100; email 2/3 of 300 = 200
+    assert got == {
+        "ad": (2, 2, 151, 101),
+        "email": (1, 1, 150, 200),
+        "(none)": (0, 1, 123, 123),
+    }
