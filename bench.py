@@ -299,6 +299,7 @@ HEADLINE = [
     "st16_streaming_flows_wm",
     "st17_streaming_markov",
     "v22_ivf_batch_probe",
+    "w22_multi_touch_value",
 ]
 
 # r10: per-query isolated loop membership (VERDICT r9 #1) — the
