@@ -143,6 +143,15 @@ QUERIES = [
     "w19_rfm_segments",
     "fs13_quantity_search",
     "fs14_composite_search",
+    # r12: the matrix-sized Markov value iteration off ONE corpus
+    # window pass, the value-weighted credit twin, the pushdown-shaped
+    # uri/subsumption predicates, and the batch IVF probe
+    # (PartitionFilters + broadcast query pairs + per-qid rank window);
+    # st15-st17 omitted — foreachBatch shells like st5-st14
+    "w21_markov_attribution",
+    "w22_multi_touch_value",
+    "fs15_uri_and_subsumption",
+    "v22_ivf_batch_probe",
 ]
 
 
