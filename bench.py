@@ -300,6 +300,7 @@ HEADLINE = [
     "st17_streaming_markov",
     "v22_ivf_batch_probe",
     "w22_multi_touch_value",
+    "st18_streaming_attribution_wm",
 ]
 
 # r10: per-query isolated loop membership (VERDICT r9 #1) — the
@@ -321,6 +322,7 @@ HEAVY_ISOLATED = [
     "st15_streaming_multitouch_wm",
     "st16_streaming_flows_wm",
     "st17_streaming_markov",
+    "st18_streaming_attribution_wm",
     "m18_keyframes",
     "m19_patch_vote_neardup",
     "v12_ivf_pruned",

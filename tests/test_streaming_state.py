@@ -999,3 +999,69 @@ def test_streaming_markov_cross_batch_and_replay(spark, tmp_path):
     markov_batch(b1, 1, *args)
     markov_batch(b0, 0, *args)
     assert live() == got
+
+
+def test_streaming_touch_wm_late_conversion_between_touches(spark, tmp_path):
+    """st18 machinery (r12): the case that breaks extremes-only state —
+    an accepted LATE conversion sorting BETWEEN two retained touches
+    must credit the touch before it, not the newest; frozen-prefix
+    extremes + horizon suffix reproduce the batch frame exactly. Both
+    drop reasons audit; replay changes nothing."""
+    from datetime import datetime
+
+    from healthcare_api_spark.streaming.attribution_wm import (
+        read_touch_attribution_wm,
+        touch_wm_batch,
+    )
+
+    schema = "user_id bigint, ts timestamp, event_type string, value double"
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    b0 = spark.createDataFrame(
+        [
+            # u1: ad@8 freezes (horizon 10:00 after hwm 11:00),
+            # chat@11 stays in the suffix
+            (1, t(8), "ad", 0.0), (1, t(11), "chat", 0.0),
+            (2, t(8), "banner", 0.0), (2, t(9), "purchase", 0.5),
+        ],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            # late conversion lands BETWEEN ad@8 and chat@11: its last
+            # touch is ad, NOT chat
+            (1, t(10, 30), "purchase", 1.0),
+            (1, t(12), "purchase", 2.0),     # frame {ad, chat}
+            (2, t(8, 30), "ad", 0.0),        # lex-before conv@9 -> closed
+            (2, t(5), "chat", 0.0),          # < 9:00-1h -> late
+        ],
+        schema,
+    )
+    root = str(tmp_path / "twm")
+    args = (
+        root, "user_id", "ts", "event_type", "purchase", 3_600_000_000,
+        "value",
+    )
+    touch_wm_batch(b0, 0, *args)
+    touch_wm_batch(b1, 1, *args)
+
+    def live():
+        return {
+            r["touch_type"]: tuple(r)[1:]
+            for r in read_touch_attribution_wm(spark, root).collect()
+        }
+
+    got = live()
+    assert got == {
+        "ad": (2, 1, 100),
+        "chat": (0, 1, 200),
+        "banner": (1, 1, 50),
+        "(dropped:late)": (1, 0, 0),
+        "(dropped:closed)": (1, 0, 0),
+    }
+    # replay is idempotent
+    touch_wm_batch(b1, 1, *args)
+    touch_wm_batch(b0, 0, *args)
+    assert live() == got
