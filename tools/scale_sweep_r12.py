@@ -126,8 +126,25 @@ def r12_gate_volume(
                 finally:
                     shutil.rmtree(r2, ignore_errors=True)
 
+            from healthcare_api_spark.streaming.attribution_wm import (
+                touch_wm_batch,
+            )
+
+            def _st18():
+                r2 = tempfile.mkdtemp(prefix="r12st18_")
+                try:
+                    a = (
+                        r2, "user_id", "ts", "event_type", "purchase",
+                        late_us,
+                    )
+                    touch_wm_batch(b0, 0, *a)
+                    touch_wm_batch(b1, 1, *a)
+                finally:
+                    shutil.rmtree(r2, ignore_errors=True)
+
             for key, name, fn in (("st15", "st15 lifecycle", _st15),
-                                  ("st16", "st16 lifecycle", _st16)):
+                                  ("st16", "st16 lifecycle", _st16),
+                                  ("st18", "st18 lifecycle", _st18)):
                 if gates is not None and key not in gates:
                     continue
                 t = steady(fn)
