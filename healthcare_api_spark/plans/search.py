@@ -19,6 +19,8 @@ Supported grammar (each an entry in §2.7's capability table):
     code=system|code / |code / code   token search over coding arrays
     code:below=X / code:above=X token subsumption via the configured
                                (system, ancestor, descendant) closure
+    code:in=url / code:not-in=url   ValueSet membership via the
+                               configured (url, system, code) expansion
     uri=value / uri:below / uri:above   uri-class match (exact /
                                query-is-prefix / stored-is-prefix)
     field=Type/id              reference filter
@@ -146,6 +148,11 @@ class SearchConfig:
     # literal IN list (bounded by the code system's subtree size — the
     # MIME-lookup discipline: a tiny dimension, never a corpus join).
     code_closure: "DataFrame | None" = None
+    # (url, system, code) ValueSet expansion dimension for token
+    # ``:in``/``:not-in`` (r12) — ``code:in=<valueset-url>`` matches
+    # any member coding; same bounded plan-build collect as the
+    # closure.
+    value_sets: "DataFrame | None" = None
     # column for `_text=` full-text search (AND of whitespace terms,
     # token-level membership). None = _text unsupported for the type.
     text_search_col: str | None = None
@@ -771,9 +778,44 @@ class SearchEngine:
                     rows = cl.select(out).distinct().collect()
                     return sorted({r[0] for r in rows} | {code})
 
-                def _token_pred(system: str, code: str) -> Column:
+                def _valueset_members(url: str) -> list[tuple[str, str]]:
+                    # the ValueSet expansion — bounded plan-build
+                    # collect, like the closure
+                    if cfg.value_sets is None:
+                        raise ValueError(
+                            f"token :{modifier} on '{name}' needs "
+                            "SearchConfig.value_sets (url, system, code)"
+                        )
+                    rows = (
+                        cfg.value_sets.filter(F.col("url") == F.lit(url))
+                        .select("system", "code")
+                        .distinct()
+                        .collect()
+                    )
+                    return sorted((r[0], r[1]) for r in rows)
+
+                def _token_pred(
+                    system: str, code: str, value: str = ""
+                ) -> Column:
                     # separate helper so the HOF lambda stays unary
                     # (pyspark dispatches on the callable's arity)
+                    if modifier in ("in", "not-in"):
+                        # the whole comma-segment IS a ValueSet url
+                        # (never system|code); membership = any
+                        # (system, code) pair of the expansion
+                        members = _valueset_members(value)
+                        keys = [f"{s}|{c}" for s, c in members]
+                        p = F.exists(
+                            F.col(coding_col),
+                            lambda c: F.concat_ws(
+                                "|", c["system"], c["code"]
+                            ).isin(keys),
+                        )
+                        if modifier == "not-in":
+                            # null-safe negation (the :not discipline):
+                            # rows with NO codings also match
+                            return ~F.coalesce(p, F.lit(False))
+                        return p
                     if modifier in ("above", "below"):
                         codes = _closure_codes(system, code, modifier)
                         if system:
@@ -797,7 +839,7 @@ class SearchEngine:
                     system, has_pipe, code = value.partition("|")
                     if not has_pipe:
                         system, code = "", value
-                    p = _token_pred(system, code)
+                    p = _token_pred(system, code, value)
                     ors = p if ors is None else (ors | p)
                 df = df.filter(ors)
             elif name in cfg.uri_params and modifier != "not":

@@ -1036,3 +1036,61 @@ def test_summary_result_shaping(spark):
     bare = SearchEngine({"Patient": res}, {"Patient": SearchConfig()})
     with _pytest.raises(ValueError, match="summary_elements"):
         bare.search("Patient", {"_summary": "true"})
+
+
+def test_token_valueset_membership_grammar(spark):
+    """token :in/:not-in (r12): ValueSet membership via the configured
+    (url, system, code) expansion; :not-in is null-safe (rows with no
+    codings match); missing config raises."""
+    import pytest as _pytest
+
+    obs = spark.createDataFrame(
+        [
+            ("o1", [("http://cs", "click")]),
+            ("o2", [("http://cs", "view")]),
+            ("o3", [("http://other", "click")]),
+            ("o4", [("http://cs", "purchase")]),
+        ],
+        "id string, codings array<struct<system string, code string>>",
+    )
+    vs = spark.createDataFrame(
+        [
+            ("http://example.org/vs/engagement", "http://cs", "click"),
+            ("http://example.org/vs/engagement", "http://cs", "view"),
+            ("http://example.org/vs/commerce", "http://cs", "purchase"),
+        ],
+        "url string, system string, code string",
+    )
+    eng = SearchEngine(
+        {"Observation": obs},
+        {
+            "Observation": SearchConfig(
+                token_params={"code": "codings"}, value_sets=vs
+            )
+        },
+    )
+
+    def ids(params):
+        return sorted(
+            r["id"] for r in eng.search("Observation", params).collect()
+        )
+
+    # membership is (system, code)-exact: o3's other-system click is out
+    assert ids({"code:in": "http://example.org/vs/engagement"}) == [
+        "o1", "o2"
+    ]
+    # comma = OR of ValueSets
+    assert ids(
+        {"code:in": "http://example.org/vs/engagement,"
+                    "http://example.org/vs/commerce"}
+    ) == ["o1", "o2", "o4"]
+    # :not-in — complement, null-safe
+    assert ids({"code:not-in": "http://example.org/vs/engagement"}) == [
+        "o3", "o4"
+    ]
+    eng2 = SearchEngine(
+        {"Observation": obs},
+        {"Observation": SearchConfig(token_params={"code": "codings"})},
+    )
+    with _pytest.raises(ValueError, match="value_sets"):
+        eng2.search("Observation", {"code:in": "http://x"})
