@@ -1195,17 +1195,98 @@ def markov_attribution(
     return markov_credit_from_transitions(tr, iters=iters, scale=scale)
 
 
+_MARKOV_OUT_SCHEMA = (
+    "touch_type string, p_full_ppm bigint, p_drop_ppm bigint,"
+    " removal_effect_ppm bigint, credit_ppm bigint"
+)
+
+
+def _markov_credit_driver(spark, rows, iters: int, scale: int) -> DataFrame:
+    """Exact driver-side twin of the distributed value iteration in
+    :func:`markov_credit_from_transitions` — unbounded Python integers
+    reproduce the decimal(38,0) half-up arithmetic bit for bit. The
+    input is the collected (src, dst, n) matrix (bounded by
+    construction: a touch-type vocabulary squared)."""
+    edges: dict[str, list[tuple[str, int]]] = {}
+    denom: dict[str, int] = {}
+    for r in rows:
+        src, dst, n = r["src"], r["dst"], int(r["n"])
+        edges.setdefault(src, []).append((dst, n))
+        denom[src] = denom.get(src, 0) + n
+    channels = sorted(src for src in edges if src != "(start)")
+    scens = channels + ["(full)"]
+    # p[(scen, state)] with the same init/specials as the SQL:
+    # p('(conv)') ≡ scale, p('(null)') ≡ 0, p_0 ≡ 0 elsewhere
+    p: dict[tuple[str, str], int] = {}
+    for _ in range(iters):
+        new: dict[tuple[str, str], int] = {}
+        for scen in scens:
+            for src, dsts in edges.items():
+                num = 0
+                for dst, n in dsts:
+                    ne = 0 if dst == scen else n
+                    if dst == "(conv)":
+                        pd = scale
+                    elif dst == "(null)":
+                        pd = 0
+                    else:
+                        pd = p.get((scen, dst), 0)
+                    num += ne * pd
+                tot = denom[src]
+                new[(scen, src)] = (2 * num + tot) // (2 * tot)
+        p = new
+    out = []
+    pf = p.get(("(full)", "(start)"))
+    if pf is not None and channels:
+        res = []
+        for ch in channels:
+            pc = p.get((ch, "(start)"))
+            if pc is None:
+                continue  # mirrors the inner start-row filter
+            re_ = max(pf - pc, 0)
+            res.append((ch, pc, re_))
+        tot_re = sum(re_ for _, _, re_ in res)
+        for ch, pc, re_ in res:
+            removal = (
+                (2 * re_ * 1_000_000 + pf) // (2 * pf) if pf > 0 else 0
+            )
+            credit = (
+                (2 * re_ * 1_000_000 + tot_re) // (2 * tot_re)
+                if tot_re > 0
+                else 0
+            )
+            out.append((ch, pf, pc, removal, credit))
+    return spark.createDataFrame(out, _MARKOV_OUT_SCHEMA)
+
+
 def markov_credit_from_transitions(
     tr: DataFrame,
     iters: int = 8,
     scale: int = 1_000_000,
+    max_driver_matrix_rows: int = 65536,
 ) -> DataFrame:
     """The removal-effect credit computation of
     :func:`markov_attribution` over an ALREADY-BUILT transition matrix
     (src, dst, n) with '(start)'/'(conv)'/'(null)' boundary states —
     split out (r12) so the streaming maintainer
     (streaming/markov.py), which accumulates the same matrix
-    incrementally, shares the value iteration VERBATIM."""
+    incrementally, shares the value iteration VERBATIM.
+
+    r12 optimization (guide §1.1 first-principles): the value
+    iteration's input is corpus-INDEPENDENT — ≤(|types|+2)² rows, a
+    touch-type vocabulary squared, reduced from the corpus by the one
+    window pass + hash aggregate upstream. Running the fixed point as
+    8 distributed rounds (join + agg + localCheckpoint each) cost
+    10+ scheduler round-trips on constant-size data, and each round's
+    broadcast already collected the matrix to the driver anyway. When
+    the matrix is ≤``max_driver_matrix_rows`` it is now collected ONCE
+    (the bounded-by-construction collect class: BPE merge batches,
+    touched buckets) and iterated in exact Python integers — the same
+    half-up ``(2·num + tot) DIV (2·tot)`` arithmetic, bit-identical
+    results (pinned by the unchanged w21/st17 oracles and the
+    hand-computed pytest). An adversarially large vocabulary falls
+    back to the distributed rounds unchanged.
+    """
     if iters < 1:
         raise ValueError("iters must be >= 1")
     s = int(scale)
@@ -1215,6 +1296,11 @@ def markov_credit_from_transitions(
         # every consumer below re-reads this tiny frame, never the scan
         .localCheckpoint(eager=True)
     )
+    head = tr.take(max_driver_matrix_rows + 1)
+    if len(head) <= max_driver_matrix_rows:
+        return _markov_credit_driver(
+            tr.sparkSession, head, iters=iters, scale=s
+        )
     channels = tr.filter(F.col("src") != F.lit("(start)")).select(
         F.col("src").alias("scen")
     ).distinct()

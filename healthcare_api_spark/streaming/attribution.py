@@ -163,7 +163,7 @@ def touch_batch(
             )
         )
 
-    store.merge_batch(new_state, batch_id, _merge)
+    store.merge_batch(new_state, batch_id, _merge, materialize=False)
 
 
 def streaming_touch_attribution(

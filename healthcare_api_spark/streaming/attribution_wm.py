@@ -270,7 +270,7 @@ def touch_wm_batch(
             ).unionByName(d)
         )
 
-    store.merge_batch(new_state, batch_id, _merge)
+    store.merge_batch(new_state, batch_id, _merge, materialize=False)
 
 
 def streaming_touch_attribution_wm(

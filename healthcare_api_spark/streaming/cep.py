@@ -146,7 +146,7 @@ def cep_batch(
             return d
         return prev.unionByName(d).distinct()
 
-    done_store.merge_batch(completed, batch_id, _merge_done)
+    done_store.merge_batch(completed, batch_id, _merge_done, materialize=False)
 
     def _merge_pending(prev, d):
         # batch users' pendings are REPLACED wholesale (they were read

@@ -130,7 +130,7 @@ def flows_batch(
             )
         )
 
-    last_store.merge_batch(_last_of(ev), batch_id, _merge_last)
+    last_store.merge_batch(_last_of(ev), batch_id, _merge_last, materialize=False)
 
 
 def streaming_session_flows(

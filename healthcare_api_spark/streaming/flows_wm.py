@@ -250,7 +250,7 @@ def flows_wm_batch(
             .agg(F.sum("n").cast("bigint").alias("n"))
         )
 
-    counts_store.merge_batch(delta_counts, batch_id, _merge_counts)
+    counts_store.merge_batch(delta_counts, batch_id, _merge_counts, materialize=False)
 
     new_suffix = combined.filter(F.col("kind") == 1).select(
         F.col("k").alias(key_col), "suffix", "hwm"
@@ -267,7 +267,7 @@ def flows_wm_batch(
             ).unionByName(d)
         )
 
-    suffix_store.merge_batch(new_suffix, batch_id, _merge_suffix)
+    suffix_store.merge_batch(new_suffix, batch_id, _merge_suffix, materialize=False)
 
 
 def streaming_session_flows_wm(

@@ -146,7 +146,9 @@ def markov_batch(
             )
         )
 
-    last_store.merge_batch(_last_of(ev.drop("_seed")), batch_id, _merge_last)
+    last_store.merge_batch(
+        _last_of(ev.drop("_seed")), batch_id, _merge_last, materialize=False
+    )
 
 
 def streaming_markov_attribution(

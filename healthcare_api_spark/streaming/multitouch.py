@@ -29,8 +29,10 @@ change semantics and is deliberately NOT applied.
 Per micro-batch:
 1. read carried open paths for the TOUCHED buckets (strictly-pre-batch
    versions — replay-safe),
-2. applyInPandas per user: walk seed ∪ batch rows in (us, tp) order
-   (the documented w15/w17 ROW-precedence tie rule), emitting
+2. ONE window sort per key over seed ∪ batch rows in (us, tp) order
+   (the documented w15/w17 ROW-precedence tie rule) — pure DataFrame
+   since the r12 optimization round (formerly an applyInPandas walk:
+   one pandas frame PER USER dominated the gate) — emitting
    (conv_us, tp, h, cnt) rows per closed path and a tp=NULL marker for
    pathless conversions,
 3. OVERWRITE ``results/batch={batch_id}`` (replay-idempotent),
@@ -106,102 +108,99 @@ def multitouch_batch(
                 ]
             ),
         )
-    union = ev.select(
-        "k", "us", "tp", F.lit(None).cast(
-            "array<struct<us:bigint,tp:string>>"
-        ).alias("path")
-    ).unionByName(
-        seeds.select(
-            "k",
-            F.lit(None).cast("bigint").alias("us"),
-            F.lit(None).cast("string").alias("tp"),
-            "path",
-        )
-    )
+    # r12 optimization (guide §4.1): the seeded walk used to run as
+    # groupBy(k).applyInPandas — one pandas DataFrame PER USER, so the
+    # grouped-Python overhead (not the arithmetic) dominated the gate.
+    # The walk's semantics are the batch operator's own window device
+    # (analytics.multi_touch_attribution): seed-path rows sort BEFORE
+    # the batch rows (the walk pre-loads the path), one window sort
+    # per key yields each touch's next-conversion timestamp (its
+    # closing conversion) and each conversion's pathless flag (its
+    # predecessor is a conversion or absent — any row in between would
+    # be a touch on the path). Credit/pathless rows and the new open
+    # path then fall out of two hash aggregates — no Python anywhere.
+    # Credit-row equality with the walk is bitwise: h uses the
+    # pmod-floor division (Python's // semantics, identical for the
+    # in-contract lag ≥ 0 and for any out-of-contract negative lag),
+    # and per-(conversion, tp, h) counts are order-free.
+    from pyspark.sql import Window
 
-    # ONE fused walk emits BOTH outputs (credit rows, kind=0, and the
-    # user's final open path, kind=1) — the first cut ran two
-    # applyInPandas passes over the same union and the doubled
-    # shuffle + Python group overhead dominated the gate (46.9 s at
-    # sf0.1, the suite's slowest; fused: one grouped Python pass per
-    # batch)
-    combined_schema = T.StructType(
-        [
-            T.StructField("k", key_dt),
-            T.StructField("kind", T.IntegerType()),
-            T.StructField("conv_us", T.LongType()),
-            T.StructField("tp", T.StringType()),
-            T.StructField("h", T.IntegerType()),
-            T.StructField("cnt", T.LongType()),
-            T.StructField(
-                "path",
-                T.ArrayType(
-                    T.StructType(
-                        [
-                            T.StructField("us", T.LongType()),
-                            T.StructField("tp", T.StringType()),
-                        ]
-                    )
-                ),
-            ),
-        ]
-    )
     h_us = int(halflife_us)
     conv = str(convert_type)
-
-    def _walk(pdf):
-        import pandas as pd
-
-        k = pdf["k"].iloc[0]
-        path = []
-        for p in pdf["path"]:
-            if p is not None and len(p):
-                # the carried open path (at most one seed row per user)
-                path = [(int(r["us"]), str(r["tp"])) for r in p]
-        rows = pdf[pdf["us"].notna()].copy()
-        # the nullable seed rows make `us` arrive as float64 — exact
-        # only below 2^53 µs; the batch operator is exact for any
-        # int64 micros, so restore int64 BEFORE sorting and the walk
-        rows["us"] = rows["us"].astype("int64")
-        rows = rows.sort_values(["us", "tp"], kind="mergesort")
-        out = []
-        for us_, tp_ in zip(rows["us"], rows["tp"]):
-            us_ = int(us_)
-            if tp_ == conv:
-                if not path:
-                    out.append((k, 0, us_, None, None, 1, None))
-                else:
-                    agg: dict[tuple[str, int], int] = {}
-                    for tus, ttp in path:
-                        h = min((us_ - tus) // h_us, 62)
-                        agg[(ttp, h)] = agg.get((ttp, h), 0) + 1
-                        # exact ints; 2^(62-h) reconstruction happens
-                        # Spark-side in decimal(38,0)
-                    for (ttp, h), c in agg.items():
-                        out.append((k, 0, us_, ttp, int(h), int(c), None))
-                    path = []
-            else:
-                path.append((us_, tp_))
-        out.append(
-            (k, 1, None, None, None, None,
-             [{"us": u, "tp": t} for u, t in path])
+    path_t = "array<struct<us:bigint,tp:string>>"
+    seedrows = seeds.select(
+        "k", F.posexplode("path").alias("pos", "e")
+    ).select(
+        "k",
+        F.col("e.us").alias("us"),
+        F.col("e.tp").alias("tp"),
+        F.lit(0).alias("ord0"),
+        F.col("pos").alias("ord1"),
+    )
+    batchrows = ev.select(
+        "k", "us", "tp", F.lit(1).alias("ord0"), F.lit(0).alias("ord1")
+    )
+    w = Window.partitionBy("k").orderBy("ord0", "ord1", "us", "tp")
+    w_next = w.rowsBetween(1, Window.unboundedFollowing)
+    ic = (F.col("tp") == F.lit(conv)) & (F.col("ord0") == 1)
+    x = (
+        batchrows.unionByName(seedrows)
+        .withColumn("_ic", ic)
+        .select(
+            "k", "us", "tp", "_ic",
+            F.min(F.when(F.col("_ic"), F.col("us"))).over(w_next).alias(
+                "_ncus"
+            ),
+            F.lag("_ic").over(w).alias("_pic"),
         )
-        return pd.DataFrame(
-            out,
-            columns=["k", "kind", "conv_us", "tp", "h", "cnt", "path"],
-        )
-
-    combined = (
-        union.groupBy("k").applyInPandas(_walk, combined_schema)
         .localCheckpoint(eager=True)
     )
-    combined.filter(F.col("kind") == 0).select(
-        "k", "conv_us", "tp", "h", "cnt"
+    lag_us = F.col("_ncus") - F.col("us")
+    h = F.least(
+        ((lag_us - F.pmod(lag_us, F.lit(h_us))) / F.lit(h_us)).cast("long"),
+        F.lit(62),
+    ).cast("int")
+    credits = (
+        x.filter(~F.col("_ic") & F.col("_ncus").isNotNull())
+        .groupBy(
+            "k", F.col("_ncus").alias("conv_us"), "tp", h.alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pathless = x.filter(
+        F.col("_ic") & F.coalesce(F.col("_pic"), F.lit(True))
+    ).select(
+        "k",
+        F.col("us").alias("conv_us"),
+        F.lit(None).cast("string").alias("tp"),
+        F.lit(None).cast("int").alias("h"),
+        F.lit(1).cast("bigint").alias("cnt"),
+    )
+    credits.select("k", "conv_us", "tp", "h", "cnt").unionByName(
+        pathless
     ).write.mode("overwrite").parquet(
         f"{state_root}/results/batch={batch_id}"
     )
-    new_state = combined.filter(F.col("kind") == 1).select(
-        F.col("k").alias(key_col), "path"
+    open_touches = (
+        x.filter(~F.col("_ic") & F.col("_ncus").isNull())
+        .groupBy("k")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("us", "tp"))
+            ).alias("path")
+        )
+    )
+    # EVERY batch key gets a state row (empty path when its touches
+    # were all consumed) — the wholesale-replace merge below depends
+    # on it, exactly like the walk's unconditional kind=1 row
+    new_state = (
+        ev.select("k").distinct()
+        .join(open_touches, "k", "left")
+        .select(
+            F.col("k").alias(key_col),
+            F.coalesce(F.col("path"), F.expr(f"CAST(array() AS {path_t})"))
+            .alias("path"),
+        )
     )
 
     def _merge(prev, d):
@@ -217,6 +216,9 @@ def multitouch_batch(
             ).unionByName(d)
         )
 
+    # new_state is now a real plan (distinct + join + agg over the
+    # checkpointed window frame) — materialize it so the touched-bucket
+    # collect and the version write share one execution
     store.merge_batch(new_state, batch_id, _merge)
 
 

@@ -116,143 +116,144 @@ def multitouch_wm_batch(
                 ]
             ),
         )
-    union = ev.select(
-        "k", "us", "tp",
-        F.lit(None).cast(path_t).alias("path"),
-        F.lit(None).cast("bigint").alias("hwm"),
-        F.lit(None).cast("bigint").alias("cus"),
-    ).unionByName(
-        seeds.select(
-            "k",
-            F.lit(None).cast("bigint").alias("us"),
-            F.lit(None).cast("string").alias("tp"),
-            "path", "hwm", "cus",
-        )
-    )
+    # r12 optimization (guide §4.1, the st14 device): the watermarked
+    # walk is pure window SQL too — no grouped Python. The lateness
+    # rule classifies each batch row against the key's CARRIED
+    # (hwm, cus) with two flag expressions; survivors then MERGE-SORT
+    # with the exploded seed path under one (us, tp) window sort (the
+    # walk's `sorted(keep + path)`), and the st14 aggregates emit the
+    # identical integer credit/pathless rows, the drop audit, and the
+    # per-key state triple (open path, advanced hwm, last conversion).
+    from pyspark.sql import Window
 
-    # one fused walk emits credit rows (kind=0), the new state row
-    # (kind=1) and the drop audit (kind=2) — the st14 single-pass
-    # lesson applied from day one
-    combined_schema = T.StructType(
-        [
-            T.StructField("k", key_dt),
-            T.StructField("kind", T.IntegerType()),
-            T.StructField("conv_us", T.LongType()),
-            T.StructField("tp", T.StringType()),
-            T.StructField("h", T.IntegerType()),
-            T.StructField("cnt", T.LongType()),
-            T.StructField("path", path_t),
-            T.StructField("hwm", T.LongType()),
-            T.StructField("cus", T.LongType()),
-        ]
-    )
     h_us = int(halflife_us)
     late_us = int(lateness_us)
     conv = str(convert_type)
-
-    def _walk(pdf):
-        import pandas as pd
-
-        k = pdf["k"].iloc[0]
-        path: list = []
-        hwm = None
-        cus = None
-        seed = pdf[pdf["us"].isna()]
-        for _, srow in seed.iterrows():
-            p = srow["path"]
-            if p is not None and len(p):
-                path = [(int(r["us"]), str(r["tp"])) for r in p]
-            if srow["hwm"] is not None and not pd.isna(srow["hwm"]):
-                hwm = int(srow["hwm"])
-            if srow["cus"] is not None and not pd.isna(srow["cus"]):
-                cus = int(srow["cus"])
-        rows = pdf[pdf["us"].notna()].copy()
-        # int64 restore before anything touches the values (the st14
-        # float64 lesson — nullable seed rows upcast the column)
-        rows["us"] = rows["us"].astype("int64")
-        late_n = 0
-        closed_n = 0
-        keep_us: list[int] = []
-        keep_tp: list[str] = []
-        for us_, tp_ in zip(rows["us"], rows["tp"]):
-            us_ = int(us_)
-            # lateness judged against PRE-batch state only; dropped
-            # rows still advance hwm below (observed-data watermark)
-            if hwm is not None and us_ < hwm - late_us:
-                late_n += 1
-            elif cus is not None and (
-                us_ < cus or (us_ == cus and tp_ < conv)
-            ):
-                closed_n += 1
-            else:
-                keep_us.append(us_)
-                keep_tp.append(tp_)
-        new_hwm = hwm
-        if len(rows):
-            bmax = int(rows["us"].max())
-            new_hwm = bmax if new_hwm is None else max(new_hwm, bmax)
-        out = []
-        new_cus = cus
-        # MERGE the seed path into the accepted rows (st14 prepends —
-        # correct only for time-ordered feeds): an accepted late
-        # conversion may sort BEFORE carried open-path touches, and the
-        # walk must close the path exactly where the global event-time
-        # order would. Seed entries are always touches, so replaying
-        # them through the walk is the identity on in-order feeds.
-        merged = sorted(list(zip(keep_us, keep_tp)) + path)
-        path = []
-        for us_, tp_ in merged:
-            if tp_ == conv:
-                if not path:
-                    out.append(
-                        (k, 0, us_, None, None, 1, None, None, None)
-                    )
-                else:
-                    agg: dict[tuple[str, int], int] = {}
-                    for tus, ttp in path:
-                        hh = min((us_ - tus) // h_us, 62)
-                        agg[(ttp, hh)] = agg.get((ttp, hh), 0) + 1
-                    for (ttp, hh), c in agg.items():
-                        out.append(
-                            (k, 0, us_, ttp, int(hh), int(c), None,
-                             None, None)
-                        )
-                    path = []
-                new_cus = us_
-            else:
-                path.append((us_, tp_))
-        if late_n:
-            out.append((k, 2, None, "late", None, late_n, None, None, None))
-        if closed_n:
-            out.append(
-                (k, 2, None, "closed", None, closed_n, None, None, None)
-            )
-        out.append(
-            (
-                k, 1, None, None, None, None,
-                [{"us": u, "tp": t} for u, t in path],
-                new_hwm, new_cus,
-            )
+    sinfo = seeds.select("k", "hwm", "cus")
+    cls = (
+        ev.join(sinfo, "k", "left")
+        .withColumn(
+            "_late",
+            F.col("hwm").isNotNull()
+            & (F.col("us") < F.col("hwm") - F.lit(late_us)),
         )
-        return pd.DataFrame(
-            out,
-            columns=[
-                "k", "kind", "conv_us", "tp", "h", "cnt",
-                "path", "hwm", "cus",
-            ],
+        .withColumn(
+            "_closed",
+            ~F.col("_late")
+            & F.col("cus").isNotNull()
+            & (
+                (F.col("us") < F.col("cus"))
+                | (
+                    (F.col("us") == F.col("cus"))
+                    & (F.col("tp") < F.lit(conv))
+                )
+            ),
         )
-
-    combined = (
-        union.groupBy("k").applyInPandas(_walk, combined_schema)
         .localCheckpoint(eager=True)
     )
-    combined.filter(F.col("kind") != 1).select(
+    seedrows = seeds.select("k", F.explode("path").alias("e")).select(
+        "k", F.col("e.us").alias("us"), F.col("e.tp").alias("tp")
+    )
+    survivors = cls.filter(~F.col("_late") & ~F.col("_closed")).select(
+        "k", "us", "tp"
+    )
+    w = Window.partitionBy("k").orderBy("us", "tp")
+    w_next = w.rowsBetween(1, Window.unboundedFollowing)
+    x = (
+        survivors.unionByName(seedrows)
+        # the walk's merged loop treats ANY conv-typed entry as a
+        # closer, seed or not — same here (seed paths never carry one)
+        .withColumn("_ic", F.col("tp") == F.lit(conv))
+        .select(
+            "k", "us", "tp", "_ic",
+            F.min(F.when(F.col("_ic"), F.col("us"))).over(w_next).alias(
+                "_ncus"
+            ),
+            F.lag("_ic").over(w).alias("_pic"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lag_expr = F.col("_ncus") - F.col("us")
+    h = F.least(
+        ((lag_expr - F.pmod(lag_expr, F.lit(h_us))) / F.lit(h_us)).cast(
+            "long"
+        ),
+        F.lit(62),
+    ).cast("int")
+    credits = (
+        x.filter(~F.col("_ic") & F.col("_ncus").isNotNull())
+        .groupBy("k", F.col("_ncus").alias("conv_us"), "tp", h.alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "k", F.lit(0).alias("kind"), "conv_us", "tp", "h", "cnt"
+        )
+    )
+    pathless = x.filter(
+        F.col("_ic") & F.coalesce(F.col("_pic"), F.lit(True))
+    ).select(
+        "k",
+        F.lit(0).alias("kind"),
+        F.col("us").alias("conv_us"),
+        F.lit(None).cast("string").alias("tp"),
+        F.lit(None).cast("int").alias("h"),
+        F.lit(1).cast("bigint").alias("cnt"),
+    )
+    drop_counts = cls.groupBy("k").agg(
+        F.max("us").alias("_bmax"),
+        F.sum(F.when(F.col("_late"), 1)).cast("bigint").alias("_ln"),
+        F.sum(F.when(F.col("_closed"), 1)).cast("bigint").alias("_cn"),
+    )
+    audits = drop_counts.selectExpr(
+        "k",
+        "stack(2, 'late', _ln, 'closed', _cn) AS (tp, cnt)",
+    ).filter(F.col("cnt") > 0).select(
+        "k",
+        F.lit(2).alias("kind"),
+        F.lit(None).cast("bigint").alias("conv_us"),
+        "tp",
+        F.lit(None).cast("int").alias("h"),
+        "cnt",
+    )
+    credits.unionByName(pathless).unionByName(audits).select(
         "k", "kind", "conv_us", "tp", "h", "cnt"
     ).write.mode("overwrite").parquet(
         f"{state_root}/results/batch={batch_id}"
     )
-    new_state = combined.filter(F.col("kind") == 1).select(
-        F.col("k").alias(key_col), "path", "hwm", "cus"
+
+    open_touches = (
+        x.filter(~F.col("_ic") & F.col("_ncus").isNull())
+        .groupBy("k")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("us", "tp"))).alias(
+                "path"
+            )
+        )
+    )
+    conv_k = (
+        x.filter(F.col("_ic"))
+        .groupBy("k")
+        .agg(F.max("us").alias("_cmax"))
+    )
+    path_sql = "array<struct<us:bigint,tp:string>>"
+    new_state = (
+        ev.select("k").distinct()
+        .join(sinfo, "k", "left")
+        .join(open_touches, "k", "left")
+        .join(conv_k, "k", "left")
+        .join(drop_counts.select("k", "_bmax"), "k", "left")
+        .select(
+            F.col("k").alias(key_col),
+            F.coalesce(
+                F.col("path"), F.expr(f"CAST(array() AS {path_sql})")
+            ).alias("path"),
+            # dropped rows still advance the mark (observed-data
+            # watermark); every batch key has ≥1 batch row so _bmax
+            # is never null here
+            F.greatest(
+                F.coalesce(F.col("hwm"), F.col("_bmax")), F.col("_bmax")
+            ).alias("hwm"),
+            F.coalesce(F.col("_cmax"), F.col("cus")).alias("cus"),
+        )
     )
 
     def _merge(prev, d):
@@ -268,6 +269,8 @@ def multitouch_wm_batch(
             ).unionByName(d)
         )
 
+    # new_state is a real multi-join plan now — materialize so the
+    # touched collect and the version write share one execution
     store.merge_batch(new_state, batch_id, _merge)
 
 

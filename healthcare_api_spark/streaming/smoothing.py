@@ -135,7 +135,7 @@ def ewma_batch(
             .select(key_col, F.col("m.us").alias("us"), F.col("m.s").alias("s"))
         )
 
-    store.merge_batch(new_last, batch_id, _merge)
+    store.merge_batch(new_last, batch_id, _merge, materialize=False)
 
 
 def streaming_ewma(
