@@ -63,22 +63,6 @@ def _counts_store(state_root: str, nb: int) -> BucketedVersionedState:
 _AUDIT_SRC = "(dropped)"
 
 
-def _transitions(rows: list, gap_us: int) -> dict:
-    """Transition multiset of one key's (us, st) rows — the
-    analytics.session_flows logic (integer gap breaks in us order,
-    in-session lag in (us, st) order) as plain Python over the bounded
-    suffix. Keep in lockstep with the w13 oracle."""
-    out: dict = {}
-    prev_us = None
-    prev_st = None
-    for us, st in sorted(rows):
-        if prev_us is not None and us - prev_us <= gap_us:
-            key = (prev_st, st)
-            out[key] = out.get(key, 0) + 1
-        prev_us, prev_st = us, st
-    return out
-
-
 def flows_wm_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -135,110 +119,82 @@ def flows_wm_batch(
                 ]
             ),
         )
-    union = ev.select(
-        "k", "us", "st",
-        F.lit(None).cast(suffix_t).alias("suffix"),
-        F.lit(None).cast("bigint").alias("hwm"),
-    ).unionByName(
-        seeds.select(
-            "k",
-            F.lit(None).cast("bigint").alias("us"),
-            F.lit(None).cast("string").alias("st"),
-            "suffix", "hwm",
+    # r12 optimization (guide §4.1, the st14/st15 device): the per-key
+    # recompute walk is pure window SQL — no grouped Python. Lateness
+    # classifies each batch row against the key's CARRIED hwm with one
+    # flag expression; the transition delta T(suffix ∪ accepted) −
+    # T(suffix) falls out of ONE window pass over a two-sided union —
+    # the OLD side (suffix only, weight −1) and the MERGED side (suffix
+    # plus accepted rows, weight +1) each sort per (k, side) by
+    # (us, st) (the walk's ``sorted()``), and every in-gap lag pair is
+    # one transition. Suffix-shrink (horizon keep + one frozen anchor)
+    # is a per-key aggregate: collect the in-horizon events, take the
+    # max-(us, st) event below the horizon as the anchor.
+    from pyspark.sql import Window
+
+    sinfo = seeds.select("k", "hwm")
+    cls = (
+        ev.join(sinfo, "k", "left")
+        .withColumn(
+            "_late",
+            F.col("hwm").isNotNull()
+            & (F.col("us") < F.col("hwm") - F.lit(late_us)),
         )
-    )
-
-    combined_schema = T.StructType(
-        [
-            T.StructField("k", key_dt),
-            T.StructField("kind", T.IntegerType()),
-            T.StructField("src", T.StringType()),
-            T.StructField("dst", T.StringType()),
-            T.StructField("dn", T.LongType()),
-            T.StructField("suffix", suffix_t),
-            T.StructField("hwm", T.LongType()),
-        ]
-    )
-
-    def _walk(pdf):
-        import pandas as pd
-
-        k = pdf["k"].iloc[0]
-        suffix: list = []
-        hwm = None
-        seed = pdf[pdf["us"].isna()]
-        for _, srow in seed.iterrows():
-            sfx = srow["suffix"]
-            if sfx is not None and len(sfx):
-                suffix = [(int(r["us"]), str(r["st"])) for r in sfx]
-            if srow["hwm"] is not None and not pd.isna(srow["hwm"]):
-                hwm = int(srow["hwm"])
-        rows = pdf[pdf["us"].notna()].copy()
-        rows["us"] = rows["us"].astype("int64")
-        late_n = 0
-        accepted: list = []
-        for us_, st_ in zip(rows["us"], rows["st"]):
-            us_ = int(us_)
-            if hwm is not None and us_ < hwm - late_us:
-                late_n += 1
-            else:
-                accepted.append((us_, st_))
-        new_hwm = hwm
-        if len(rows):
-            bmax = int(rows["us"].max())
-            new_hwm = bmax if new_hwm is None else max(new_hwm, bmax)
-        t_old = _transitions(suffix, gap_us)
-        merged = sorted(suffix + accepted)
-        t_new = _transitions(merged, gap_us)
-        out = []
-        for key in set(t_old) | set(t_new):
-            dn = t_new.get(key, 0) - t_old.get(key, 0)
-            if dn:
-                out.append((k, 0, key[0], key[1], dn, None, None))
-        if late_n:
-            out.append((k, 2, None, None, late_n, None, None))
-        # shrink to the NEW horizon: keep everything within
-        # [new_hwm - lateness, new_hwm] plus one anchor (the newest
-        # frozen event) for the mutable boundary transition
-        horizon = (new_hwm - late_us) if new_hwm is not None else None
-        keep: list = []
-        anchor = None
-        for us_, st_ in merged:
-            if horizon is not None and us_ < horizon:
-                anchor = (us_, st_)
-            else:
-                keep.append((us_, st_))
-        if anchor is not None:
-            keep = [anchor] + keep
-        out.append(
-            (
-                k, 1, None, None, None,
-                [{"us": u, "st": s} for u, s in keep],
-                new_hwm,
-            )
-        )
-        return pd.DataFrame(
-            out,
-            columns=["k", "kind", "src", "dst", "dn", "suffix", "hwm"],
-        )
-
-    combined = (
-        union.groupBy("k").applyInPandas(_walk, combined_schema)
         .localCheckpoint(eager=True)
     )
-
-    delta_counts = (
-        combined.filter(F.col("kind") == 0)
-        .select("src", "dst", "dn")
-        .unionByName(
-            combined.filter(F.col("kind") == 2).select(
-                F.lit(_AUDIT_SRC).alias("src"),
-                F.lit("late").alias("dst"),
-                F.col("dn"),
-            )
+    suffixrows = seeds.select("k", F.explode("suffix").alias("e")).select(
+        "k", F.col("e.us").alias("us"), F.col("e.st").alias("st")
+    )
+    accepted = cls.filter(~F.col("_late")).select("k", "us", "st")
+    # one checkpoint: this frame feeds the two-sided transition window
+    # AND the new-suffix aggregate
+    events = (
+        suffixrows.withColumn("_b", F.lit(False))
+        .unionByName(accepted.withColumn("_b", F.lit(True)))
+        .localCheckpoint(eager=True)
+    )
+    sided = (
+        events.filter(~F.col("_b")).withColumn("side", F.lit(0))
+        .unionByName(events.withColumn("side", F.lit(1)))
+    )
+    w = Window.partitionBy("k", "side").orderBy("us", "st")
+    tr = sided.select(
+        "k", "side", "us", "st",
+        F.lag("us").over(w).alias("_pus"),
+        F.lag("st").over(w).alias("_pst"),
+    )
+    trans = tr.filter(
+        F.col("_pus").isNotNull()
+        & ((F.col("us") - F.col("_pus")) <= F.lit(gap_us))
+    ).select(
+        F.col("_pst").alias("src"),
+        F.col("st").alias("dst"),
+        F.when(F.col("side") == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("dn"),
+    )
+    late_audit = (
+        cls.agg(
+            F.sum(F.when(F.col("_late"), F.lit(1)))
+            .cast("bigint")
+            .alias("dn")
         )
+        .filter(F.col("dn").isNotNull() & (F.col("dn") > 0))
+        .select(
+            F.lit(_AUDIT_SRC).alias("src"),
+            F.lit("late").alias("dst"),
+            "dn",
+        )
+    )
+    # a (src, dst) whose ± contributions cancel to 0 merges identically
+    # to no row at all (count sums; the read side filters n > 0), so
+    # drop it here
+    delta_counts = (
+        trans.unionByName(late_audit)
         .groupBy("src", "dst")
         .agg(F.sum("dn").cast("bigint").alias("n"))
+        .filter(F.col("n") != 0)
     )
 
     def _merge_counts(prev, d):
@@ -250,10 +206,56 @@ def flows_wm_batch(
             .agg(F.sum("n").cast("bigint").alias("n"))
         )
 
-    counts_store.merge_batch(delta_counts, batch_id, _merge_counts, materialize=False)
+    # the delta is a real window+agg plan now — materialize so the
+    # touched collect and the version write share one execution
+    counts_store.merge_batch(delta_counts, batch_id, _merge_counts)
 
-    new_suffix = combined.filter(F.col("kind") == 1).select(
-        F.col("k").alias(key_col), "suffix", "hwm"
+    # dropped rows still advance the mark (observed-data watermark);
+    # every batch key has ≥1 batch row so _bmax is never null
+    hwm_new = (
+        cls.groupBy("k")
+        .agg(F.max("us").alias("_bmax"))
+        .join(sinfo, "k", "left")
+        .select(
+            "k",
+            F.greatest(
+                F.coalesce(F.col("hwm"), F.col("_bmax")), F.col("_bmax")
+            ).alias("hwm"),
+        )
+    )
+    suffix_sql = "array<struct<us:bigint,st:string>>"
+    kept = (
+        events.join(hwm_new, "k")
+        .withColumn("_hz", F.col("hwm") - F.lit(late_us))
+        .groupBy("k")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("us") >= F.col("_hz"), F.struct("us", "st")
+                    )
+                )
+            ).alias("_keep"),
+            F.max(
+                F.when(F.col("us") < F.col("_hz"), F.struct("us", "st"))
+            ).alias("_anchor"),
+        )
+    )
+    # left join: a key whose every batch row was dropped late and whose
+    # carried suffix was empty has no events row — its suffix is empty
+    new_suffix = (
+        hwm_new.join(kept, "k", "left")
+        .select(
+            F.col("k").alias(key_col),
+            F.coalesce(
+                F.when(
+                    F.col("_anchor").isNotNull(),
+                    F.concat(F.array(F.col("_anchor")), F.col("_keep")),
+                ).otherwise(F.col("_keep")),
+                F.expr(f"CAST(array() AS {suffix_sql})"),
+            ).alias("suffix"),
+            "hwm",
+        )
     )
 
     def _merge_suffix(prev, d):
@@ -267,7 +269,9 @@ def flows_wm_batch(
             ).unionByName(d)
         )
 
-    suffix_store.merge_batch(new_suffix, batch_id, _merge_suffix, materialize=False)
+    # new_suffix is a real join+agg plan — materialize so the touched
+    # collect and the version write share one execution
+    suffix_store.merge_batch(new_suffix, batch_id, _merge_suffix)
 
 
 def streaming_session_flows_wm(
