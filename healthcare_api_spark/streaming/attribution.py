@@ -74,7 +74,7 @@ def touch_batch(
         F.col(type_col).alias("tp"),
         cents.alias("cents"),
         F.lit(False).alias("_seed"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     touched = store.touched_buckets(ev.select(F.col("k").alias(key_col)))
     carry = store.read(spark, before_batch=batch_id, buckets=touched)
@@ -114,7 +114,7 @@ def touch_batch(
         "k", "us", "tp", "cents", "_seed",
         F.min(touch).over(w).alias("_ft"),
         F.max(touch).over(w).alias("_lt"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     convs = passed.filter(
         (F.col("tp") == F.lit(convert_type)) & (~F.col("_seed"))

@@ -86,7 +86,7 @@ def touch_wm_batch(
         us.alias("us"),
         F.col(type_col).alias("tp"),
         cents.alias("cents"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     touched = store.touched_buckets(ev.select(F.col("k").alias(key_col)))
     carry = store.read(spark, before_batch=batch_id, buckets=touched)
@@ -98,7 +98,7 @@ def touch_wm_batch(
             ),
             "k",
             "inner",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     else:
         seeds = spark.createDataFrame(
             [],
@@ -144,7 +144,7 @@ def touch_wm_batch(
             ),
             F.lit("closed"),
         ),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     acc = cls.filter(F.col("_reason").isNull()).select(
         "k", "us", "tp", "cents", F.lit(False).alias("_seed")
     )
@@ -182,7 +182,7 @@ def touch_wm_batch(
         "k", "us", "tp", "cents", "_seed",
         F.min(touch).over(w).alias("_ft"),
         F.max(touch).over(w).alias("_lt"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     convs = passed.filter((F.col("tp") == conv) & (~F.col("_seed"))).select(
         "k", "us", "cents",

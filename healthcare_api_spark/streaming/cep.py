@@ -70,8 +70,8 @@ def cep_batch(
         F.col(key_col).alias("k"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
         F.col(type_col).alias("tp"),
-    ).localCheckpoint(eager=True)
-    batch_keys = ev.select("k").distinct().localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    batch_keys = ev.select("k").distinct().localCheckpoint(eager=False)
 
     touched = pend_store.touched_buckets(batch_keys)
     carry = pend_store.read(spark, before_batch=batch_id, buckets=touched)
@@ -87,7 +87,7 @@ def cep_batch(
         .distinct()
     )
     pend = starts if carry is None else carry.unionByName(starts)
-    pend = pend.localCheckpoint(eager=True)
+    pend = pend.localCheckpoint(eager=False)
 
     # advance every pending as far as THIS batch allows: stage s looks
     # for the earliest batch event of pattern[s] at us ≥ the last
@@ -131,7 +131,7 @@ def cep_batch(
             .otherwise(F.col("hist"))
             .alias("hist"),
         )
-        pend = advanced.unionByName(rest).localCheckpoint(eager=True)
+        pend = advanced.unionByName(rest).localCheckpoint(eager=False)
 
     completed = pend.filter(F.col("stage") == n).select("k", "hist")
     if within_us is not None:

@@ -61,11 +61,13 @@ def flows_batch(
     counts_store = _counts_store(state_root, num_state_buckets)
     gap_us = gap_minutes * 60 * 1_000_000
 
+    # lazy checkpoint: the touched-bucket collect is the first action,
+    # so one job materializes the blocks AND fetches the bucket ids
     ev = batch_df.select(
         F.col(key_col).alias("k"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
         F.col(state_col).alias("st"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     touched = last_store.touched_buckets(ev.select(F.col("k").alias(key_col)))
     carry = last_store.read(spark, before_batch=batch_id, buckets=touched)

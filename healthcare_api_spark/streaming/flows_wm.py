@@ -87,7 +87,7 @@ def flows_wm_batch(
         F.col(key_col).alias("k"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
         F.col(state_col).alias("st"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     touched = suffix_store.touched_buckets(
         ev.select(F.col("k").alias(key_col))
@@ -140,7 +140,7 @@ def flows_wm_batch(
             F.col("hwm").isNotNull()
             & (F.col("us") < F.col("hwm") - F.lit(late_us)),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     suffixrows = seeds.select("k", F.explode("suffix").alias("e")).select(
         "k", F.col("e.us").alias("us"), F.col("e.st").alias("st")
@@ -151,7 +151,7 @@ def flows_wm_batch(
     events = (
         suffixrows.withColumn("_b", F.lit(False))
         .unionByName(accepted.withColumn("_b", F.lit(True)))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sided = (
         events.filter(~F.col("_b")).withColumn("side", F.lit(0))

@@ -77,7 +77,7 @@ def markov_batch(
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
         F.col(type_col).alias("tp"),
         F.lit(False).alias("_seed"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     touched = last_store.touched_buckets(ev.select(F.col("k").alias(key_col)))
     carry = last_store.read(spark, before_batch=batch_id, buckets=touched)

@@ -79,7 +79,7 @@ def multitouch_batch(
         F.col(key_col).alias("k"),
         us.alias("us"),
         F.col(type_col).alias("tp"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     touched = store.touched_buckets(ev.select(F.col("k").alias(key_col)))
     carry = store.read(spark, before_batch=batch_id, buckets=touched)
@@ -153,7 +153,7 @@ def multitouch_batch(
             ),
             F.lag("_ic").over(w).alias("_pic"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     lag_us = F.col("_ncus") - F.col("us")
     h = F.least(

@@ -83,7 +83,7 @@ def multitouch_wm_batch(
         F.col(key_col).alias("k"),
         us.alias("us"),
         F.col(type_col).alias("tp"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     touched = store.touched_buckets(ev.select(F.col("k").alias(key_col)))
     carry = store.read(spark, before_batch=batch_id, buckets=touched)
@@ -149,7 +149,7 @@ def multitouch_wm_batch(
                 )
             ),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     seedrows = seeds.select("k", F.explode("path").alias("e")).select(
         "k", F.col("e.us").alias("us"), F.col("e.tp").alias("tp")
@@ -171,7 +171,7 @@ def multitouch_wm_batch(
             ),
             F.lag("_ic").over(w).alias("_pic"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     lag_expr = F.col("_ncus") - F.col("us")
     h = F.least(

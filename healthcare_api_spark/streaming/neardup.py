@@ -110,7 +110,7 @@ def admit_batch(
     spark = batch_df.sparkSession
     sig = band_signatures(
         batch_df, id_col, text_col, num_hashes, rows_per_band, shingle_n
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     touched = store.touched_buckets(sig)
     # the verdicts ALWAYS compute against the strictly-pre-batch
     # state — on a replay (state version already committed, stream

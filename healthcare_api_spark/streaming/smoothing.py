@@ -63,7 +63,7 @@ def ewma_batch(
         F.col(key_col).alias("k"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
         F.col(value_col).cast("double").alias("x"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     touched = store.touched_buckets(ev.select(F.col("k").alias(key_col)))
     carry = store.read(spark, before_batch=batch_id, buckets=touched)
@@ -113,7 +113,7 @@ def ewma_batch(
         )
 
     folded = (
-        union.groupBy("k").applyInPandas(_fold, schema).localCheckpoint(eager=True)
+        union.groupBy("k").applyInPandas(_fold, schema).localCheckpoint(eager=False)
     )
     folded.write.mode("overwrite").parquet(
         f"{state_root}/results/batch={batch_id}"

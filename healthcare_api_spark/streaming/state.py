@@ -151,10 +151,17 @@ class BucketedVersionedState:
         paths = self._paths_before(spark, before_batch, buckets)
         if not paths:
             return None
-        # mergeSchema: versions written before the tombstone column
-        # existed lack ``_tomb``; merging yields _tomb=null for their
-        # rows, which coalesce() keeps
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        # r12: no mergeSchema on the hot path — it launches a
+        # distributed footer-merge JOB per read (~5-8 reads per
+        # 2-batch lifecycle), and every version merge_batch writes
+        # carries ``_tomb``, so current-layout versions share one
+        # schema. Only a state dir written by pre-tombstone code can
+        # surface a footer without ``_tomb``; fall back to the merged
+        # read for exactly that case (merging yields _tomb=null there,
+        # which coalesce() keeps).
+        df = spark.read.parquet(*paths)
+        if "_tomb" not in df.columns:
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
         if "_tomb" in df.columns:
             df = df.filter(
                 ~F.coalesce(F.col("_tomb"), F.lit(False))
@@ -211,7 +218,13 @@ class BucketedVersionedState:
             # job costs more than the second cached scan it saves
             # (measured: st16 42→46 jobs, +2 s, before the opt-out).
             if materialize:
-                delta = delta.localCheckpoint(eager=True)
+                # lazy checkpoint: the touched-bucket collect right
+                # below is the first action over the frame, so ONE job
+                # both materializes the checkpoint blocks and fetches
+                # the bucket ids (eager=True spent a separate job on
+                # materialization first); the version write then reads
+                # the same blocks with lineage truncated either way
+                delta = delta.localCheckpoint(eager=False)
             touched = self.touched_buckets(delta)
         if not touched:
             return
