@@ -146,8 +146,6 @@ def cep_batch(
             return d
         return prev.unionByName(d).distinct()
 
-    done_store.merge_batch(completed, batch_id, _merge_done, materialize=False)
-
     def _merge_pending(prev, d):
         # batch users' pendings are REPLACED wholesale (they were read
         # into this batch's advance loop); other users' rows persist
@@ -162,7 +160,24 @@ def cep_batch(
     # skip rewriting the bucket — the stale pendings would stay current
     # and re-advance in later batches, emitting duplicate non-earliest
     # matches. The store's tombstones handle the bucket-emptied case.
-    pend_store.merge_batch(still, batch_id, _merge_pending, touched=touched)
+    # The two stores are independent: the final pend chain is fully
+    # materialized by the first thread to compute it (localCheckpoint
+    # blocks), and both merges run on two driver threads (guide §2.6).
+    # pend is materialized HERE (one action) so neither thread races
+    # the other into double-computing the advance chain.
+    pend.write.format("noop").mode("overwrite").save()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fd = pool.submit(
+            done_store.merge_batch, completed, batch_id, _merge_done,
+            None, False,
+        )
+        fp = pool.submit(
+            pend_store.merge_batch, still, batch_id, _merge_pending, touched
+        )
+        fd.result()
+        fp.result()
 
 
 def streaming_sequence_match(

@@ -148,10 +148,14 @@ def flows_wm_batch(
     accepted = cls.filter(~F.col("_late")).select("k", "us", "st")
     # one checkpoint: this frame feeds the two-sided transition window
     # AND the new-suffix aggregate
+    # EAGER: events is the shared parent of both store deltas, which
+    # run on concurrent threads below — materializing it (and, as a
+    # side effect, cls) up front means neither thread can race the
+    # other into double-computing shared partitions
     events = (
         suffixrows.withColumn("_b", F.lit(False))
         .unionByName(accepted.withColumn("_b", F.lit(True)))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sided = (
         events.filter(~F.col("_b")).withColumn("side", F.lit(0))
@@ -206,9 +210,7 @@ def flows_wm_batch(
             .agg(F.sum("n").cast("bigint").alias("n"))
         )
 
-    # the delta is a real window+agg plan now — materialize so the
-    # touched collect and the version write share one execution
-    counts_store.merge_batch(delta_counts, batch_id, _merge_counts)
+
 
     # dropped rows still advance the mark (observed-data watermark);
     # every batch key has ≥1 batch row so _bmax is never null
@@ -269,9 +271,21 @@ def flows_wm_batch(
             ).unionByName(d)
         )
 
-    # new_suffix is a real join+agg plan — materialize so the touched
-    # collect and the version write share one execution
-    suffix_store.merge_batch(new_suffix, batch_id, _merge_suffix)
+    # the two stores are independent and their deltas read only the
+    # materialized events/cls blocks — run the full merges (delta
+    # collect + version write + prune) on two driver threads (guide
+    # §2.6: concurrent jobs back-fill each other's task tails)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fc = pool.submit(
+            counts_store.merge_batch, delta_counts, batch_id, _merge_counts
+        )
+        fs = pool.submit(
+            suffix_store.merge_batch, new_suffix, batch_id, _merge_suffix
+        )
+        fc.result()
+        fs.result()
 
 
 def streaming_session_flows_wm(

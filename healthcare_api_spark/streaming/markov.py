@@ -123,8 +123,6 @@ def markov_batch(
             .agg(F.sum("n").cast("bigint").alias("n"))
         )
 
-    counts_store.merge_batch(delta, batch_id, _merge_counts)
-
     # new last-event per key: max (us, tp) over carry ∪ batch
     def _last_of(df):
         return (
@@ -146,9 +144,21 @@ def markov_batch(
             )
         )
 
-    last_store.merge_batch(
-        _last_of(ev.drop("_seed")), batch_id, _merge_last, materialize=False
-    )
+    # the two stores are independent; ev is materialized by the
+    # touched collect above, so run the merges on two driver threads
+    # (guide §2.6: concurrent jobs back-fill each other's task tails)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fc = pool.submit(
+            counts_store.merge_batch, delta, batch_id, _merge_counts
+        )
+        fl = pool.submit(
+            last_store.merge_batch, _last_of(ev.drop("_seed")), batch_id,
+            _merge_last, None, False,
+        )
+        fc.result()
+        fl.result()
 
 
 def streaming_markov_attribution(
