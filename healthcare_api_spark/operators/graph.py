@@ -555,23 +555,28 @@ def connected_components(
         .unionByName(e0.select(F.col("b").alias("node")))
         .distinct()
     )
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("u")
     e = e0
     prev = None
     for _i in range(iters):
         prev = e
         # large-star: for every directed perspective (u, v): attach the
-        # larger neighbors v > u to mu = min(neighborhood(u) ∪ {u})
+        # larger neighbors v > u to mu = min(neighborhood(u) ∪ {u}).
+        # r12: the neighborhood minimum is a WINDOW over the one
+        # hash(u) exchange instead of groupBy-min + equi-join — the
+        # join re-shuffled (and sort-merge-sorted) the full sym frame a
+        # second time for identical values (guide §2.4: a window
+        # partitioned like the preceding shuffle needs no new exchange)
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        lm = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("_mn"))
-            .select("u", F.least(F.col("_mn"), F.col("u")).alias("mu"))
-        )
         el = (
-            sym.filter(F.col("v") > F.col("u"))
-            .join(lm, "u")
+            sym.withColumn(
+                "mu", F.least(F.min("v").over(wu), F.col("u"))
+            )
+            .filter(F.col("v") > F.col("u"))
             .select(
                 F.least(F.col("v"), F.col("mu")).alias("a"),
                 F.greatest(F.col("v"), F.col("mu")).alias("b"),
@@ -579,17 +584,20 @@ def connected_components(
             .distinct()
         )
         # small-star: per node u, link its smaller neighbors AND itself
-        # to their minimum
+        # to their minimum — same one-exchange window form; the (mv, u)
+        # self-link appears once per neighbor and the existing distinct
+        # collapses it
         dd = el.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        sm = dd.groupBy("u").agg(F.min("v").alias("mv"))
+        ddw = dd.withColumn("mv", F.min("v").over(wu))
         e = (
-            dd.join(sm, "u")
-            .filter(F.col("v") != F.col("mv"))
+            ddw.filter(F.col("v") != F.col("mv"))
             .select(
                 F.least(F.col("v"), F.col("mv")).alias("a"),
                 F.greatest(F.col("v"), F.col("mv")).alias("b"),
             )
-            .unionByName(sm.select(F.col("mv").alias("a"), F.col("u").alias("b")))
+            .unionByName(
+                ddw.select(F.col("mv").alias("a"), F.col("u").alias("b"))
+            )
             .distinct()
             # checkpoint EVERY round: e feeds the next round twice (both
             # directions of sym) and the final round twice more (the
@@ -599,9 +607,12 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
     if on_nonconverged != "ignore":
+        # ONE action for the symmetric diff (two sequential counts
+        # before — pure job latency on converged inputs)
         moved = (
-            e.exceptAll(prev).limit(1).count()
-            + prev.exceptAll(e).limit(1).count()
+            e.exceptAll(prev).limit(1)
+            .unionAll(prev.exceptAll(e).limit(1))
+            .count()
         )
         if moved:
             msg = (
