@@ -43,7 +43,16 @@ def pagerank(
     re-executes) all k−1 predecessors."""
     if iters < 1:
         raise ValueError("iters must be ≥ 1")
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # r12: hash-partition the edge frame by _s ONCE — localCheckpoint
+    # preserves outputPartitioning in the LogicalRDD, so every
+    # iteration's contribution join is co-located instead of
+    # re-shuffling the (edge-scale) frame per round (guide §2.4; the
+    # docstring's pre-partition note, now actually done)
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .repartition(F.col("_s"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
@@ -51,7 +60,14 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # one scalar to the driver, once
-    out_deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    # checkpoint the degree frame too: it is re-aggregated from e every
+    # round otherwise, and its hash(_s) layout joins ranks without a
+    # new exchange on this side
+    out_deg = (
+        e.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iters):
         with_deg = ranks.join(out_deg, ranks["node"] == out_deg["_s"], "left")
@@ -833,7 +849,13 @@ def personalized_pagerank(
         raise ValueError("iters must be ≥ 1")
     if not seeds:
         raise ValueError("seeds must be non-empty")
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # r12: same one-time hash(_s) layout as pagerank — the per-round
+    # contribution join stops re-shuffling the edge frame
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .repartition(F.col("_s"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
@@ -853,7 +875,11 @@ def personalized_pagerank(
     p = F.when(
         F.col("node").isin(list(seeds)), F.lit(1.0 / len(seeds))
     ).otherwise(F.lit(0.0))
-    out_deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    out_deg = (
+        e.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank", p)
     for _ in range(iters):
         with_deg = ranks.join(out_deg, ranks["node"] == out_deg["_s"], "left")
