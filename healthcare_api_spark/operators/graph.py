@@ -428,10 +428,14 @@ def label_propagation(
     if on_nonconverged not in ("warn", "raise", "ignore"):
         raise ValueError("on_nonconverged must be 'warn', 'raise', or 'ignore'")
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # r12: hash-partition by the join key ONCE — the checkpointed
+    # LogicalRDD keeps the layout, so the per-round vote join stops
+    # re-shuffling the symmetric edge frame (guide §2.4)
     sym = (
         fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .repartition(F.col("b"))
         .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("a").alias("node"), F.col("a").alias("lab")).distinct()
@@ -995,12 +999,17 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r12: the rounds join the edge frame by _s (authority pass) AND
+    # by _d (hub pass) — keep one checkpointed copy in each layout so
+    # neither pass re-shuffles edges (guide §2.4)
+    e_s = e.repartition(F.col("_s")).localCheckpoint(eager=True)
+    e_d = e.repartition(F.col("_d")).localCheckpoint(eager=True)
     s = F.lit(int(scale)).cast("bigint")
     h = nodes.withColumn("h", s)
     a = None
     for _ in range(iters):
         a_raw = (
-            e.join(h, h["node"] == e["_s"])
+            e_s.join(h, h["node"] == e_s["_s"])
             .groupBy("_d")
             .agg(F.sum("h").alias("_raw"))
         )
@@ -1018,7 +1027,7 @@ def hits(
             .localCheckpoint(eager=True)
         )
         h_raw = (
-            e.join(a, a["node"] == e["_d"])
+            e_d.join(a, a["node"] == e_d["_d"])
             .groupBy("_s")
             .agg(F.sum("a").alias("_raw"))
         )
