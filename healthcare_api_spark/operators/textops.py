@@ -1520,7 +1520,18 @@ def substring_search_multi(
             else char_trigram_index(df, id_col, text_col)
         )
         hits = (
-            idx.join(F.broadcast(grams), "gram")
+            # r12: restrict the index to the needle-gram set with a
+            # LITERAL isin BEFORE the join — a broadcast join cannot
+            # push below the index build's distinct(), so the full
+            # corpus gram index was shuffled; the literal predicate
+            # pushes through the Aggregate down to the position
+            # explode (inline build) or the parquet scan (external
+            # index), and the (id, gram) exchange shrinks to matching
+            # grams only (guide §2.3: filter before the exchange)
+            idx.filter(
+                F.col("gram").isin(sorted({g for _, g in gram_rows}))
+            )
+            .join(F.broadcast(grams), "gram")
             .groupBy("needle", id_col)
             .agg(F.count(F.lit(1)).alias("_got"))
             .join(F.broadcast(n_grams), "needle")
