@@ -2126,7 +2126,11 @@ def kcenter_coreset(
         "_id", "_v", _d2_to(center).alias("_m")
     )
     for r in range(2, k + 1):
-        mind = mind.localCheckpoint(eager=True)  # feeds argmax AND update
+        # lazy: the argmax TakeOrdered collect right below is the first
+        # action and computes every partition, so ONE job materializes
+        # the round's checkpoint blocks AND fetches the pick; the
+        # update then reads the same blocks (r12 job fusion)
+        mind = mind.localCheckpoint(eager=False)  # feeds argmax AND update
         top = (
             mind.orderBy(F.col("_m").desc(), F.col("_id").asc())
             .limit(1)
