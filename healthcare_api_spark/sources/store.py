@@ -228,6 +228,12 @@ class BucketedResourceStore(ResourceStore):
         from pyspark.errors import AnalysisException
 
         updates_b = updates.withColumn("bucket", self._bucket_expr(id_col))
+        # ONE touched-bucket collect (r12: the tombstone path and the
+        # data path each ran this identical distinct — two full passes
+        # over the updates plan per upsert)
+        touched = [
+            r["bucket"] for r in updates_b.select("bucket").distinct().collect()
+        ]
         # update-create beats delete: clear tombstones for upserted ids
         # (touched tombstone partitions only — same bounded-IO contract)
         tomb = self._tombstones(resource_type)
@@ -239,10 +245,7 @@ class BucketedResourceStore(ResourceStore):
                 f"fail"
             )
         if tomb is not None:
-            t_touched = [
-                r["bucket"]
-                for r in updates_b.select("bucket").distinct().collect()
-            ]
+            t_touched = touched
             kept = (
                 tomb.filter(F.col("bucket").isin(t_touched))
                 .join(updates.select(id_col).distinct(), id_col, "left_anti")
@@ -270,7 +273,6 @@ class BucketedResourceStore(ResourceStore):
                 raise
             self.import_resources(updates, resource_type, id_col=id_col)
             return
-        touched = [r["bucket"] for r in updates_b.select("bucket").distinct().collect()]
         # partition-pruned read: only the touched bucket directories
         existing_touched = existing.filter(F.col("bucket").isin(touched))
         merged = upsert_frames(
