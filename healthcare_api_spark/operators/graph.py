@@ -459,7 +459,10 @@ def label_propagation(
             .select("node", F.col("m.l").alias("lab"))
         )
         if (i + 1) % 2 == 0 or i == iters - 1:
-            labels = labels.localCheckpoint(eager=True)
+            # lazy: same every-2-rounds lineage cut, but the round's
+            # result stage materializes inside the next consumer's job
+            # instead of a dedicated count job (r12 opt, guide §1.2)
+            labels = labels.localCheckpoint(eager=False)
     if on_nonconverged != "ignore":
         moved = (
             labels.join(
@@ -1247,13 +1250,16 @@ def bfs_hops(
                 "node",
                 "left_anti",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.limit(1).count() == 0:
+        # the full count doubles as the emptiness probe AND the
+        # checkpoint-materialization action — one job per round instead
+        # of checkpoint + limit-probe (r12 opt, the k-center fusion)
+        if nxt.count() == 0:
             break
         dist = dist.unionByName(
             nxt.select("node", F.lit(i).cast("bigint").alias("hops"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         frontier = nxt
     return dist
 
@@ -1321,8 +1327,10 @@ def stress_centrality(
     edges + groupBy-sum(σ) + anti-join visited, ALL pivots carried as
     a key column (one round = one shuffle regardless of pivot count);
     the backward pass replays the ≤``max_depth`` levels in DESCENDING
-    order, each level one join against the level below's (σ, Q)
-    frame. Per-pivot state is one row per reached node — at 100 TB
+    order, each level joining the forward pass's CHECKPOINTED
+    frontier ⋈ edges frame against the level below's (σ, Q) frame —
+    the corpus-sized edge shuffle is paid once per level, not twice.
+    Per-pivot state is one row per reached node — at 100 TB
     the pivot set is the sampling knob (pivot-sampled centrality is
     the published scalable estimator; the sample size trades variance
     for rounds, never correctness of the sampled sum).
@@ -1352,23 +1360,34 @@ def stress_centrality(
         "p", F.col("p").alias("node"), F.lit(1).cast("bigint").alias("sigma")
     ).localCheckpoint(eager=True)
     levels = [lvl]
+    # joins[d] = levels[d] ⋈ edges, checkpointed so the backward pass
+    # replays each level WITHOUT re-joining the corpus-sized edge frame
+    # (r12 opt: the forward pass already paid that shuffle; guide §2.4)
+    joins: list = []
     seen = lvl.select("p", "node")
     for _ in range(max_depth):
         # shuffle_hash on the corpus-sized sides (edges, visited) —
         # the bfs_hops broadcast-OOM lesson applies verbatim here
-        nxt = (
+        jf = (
             levels[-1]
             .join(e.hint("shuffle_hash"), levels[-1]["node"] == e["u"])
-            .groupBy("p", F.col("v").alias("node"))
+            .select("p", "node", "sigma", "v")
+            .localCheckpoint(eager=False)
+        )
+        nxt = (
+            jf.groupBy("p", F.col("v").alias("node"))
             .agg(F.sum("sigma").alias("sigma"))
             .join(seen.hint("shuffle_hash"), ["p", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.limit(1).count() == 0:
+        # full count = emptiness probe + checkpoint materialization of
+        # BOTH jf and nxt in one job (the k-center fusion, r12 opt)
+        if nxt.count() == 0:
             break
+        joins.append(jf)
         levels.append(nxt)
         seen = seen.unionByName(nxt.select("p", "node")).localCheckpoint(
-            eager=True
+            eager=False
         )
     # backward: Q[d] over levels[d], deepest level has Q = 0
     q = levels[-1].select(
@@ -1383,26 +1402,32 @@ def stress_centrality(
             F.col("node").alias("_w"),
             F.col("qn").alias("_qw"),
         )
-        qd = (
-            levels[d]
-            .join(e.hint("shuffle_hash"), levels[d]["node"] == e["u"], "left")
+        # joins[d] holds exactly the (p, node, sigma, v) rows the old
+        # levels[d] ⋈ edges left-join produced for nodes WITH edges; the
+        # successor sum over its inner join with the level below is the
+        # same conditional sum, and the left join back onto levels[d]
+        # restores the no-successor rows as qn = 0 (the old coalesce)
+        contrib = (
+            joins[d]
             .join(
                 below,
                 (F.col("v") == F.col("_w")) & (F.col("p") == F.col("_pw")),
-                "left",
             )
-            .groupBy("p", "node", "sigma")
+            .groupBy("p", "node")
             .agg(
-                F.coalesce(
-                    F.sum(
-                        F.when(
-                            F.col("_w").isNotNull(), F.lit(1) + F.col("_qw")
-                        )
-                    ),
-                    F.lit(0),
-                ).cast("bigint").alias("qn")
+                F.sum(F.lit(1) + F.col("_qw")).cast("bigint").alias("_qc")
             )
-            .localCheckpoint(eager=True)
+        )
+        qd = (
+            levels[d]
+            .join(contrib, ["p", "node"], "left")
+            .select(
+                "p",
+                "node",
+                "sigma",
+                F.coalesce(F.col("_qc"), F.lit(0)).cast("bigint").alias("qn"),
+            )
+            .localCheckpoint(eager=False)
         )
         q = qd
         acc = acc.unionByName(
@@ -1545,14 +1570,18 @@ def sssp_weighted(
         # fixed round count, no early-stop probe: a convergence check
         # costs two driver round-trips per round (pure latency) and a
         # converged frame makes the remaining rounds no-ops anyway —
-        # the bounded-rounds semantics is exact either way
+        # the bounded-rounds semantics is exact either way. The
+        # checkpoint is LAZY: it still truncates each round's plan (the
+        # next round sees one LogicalRDD leaf), but the round's result
+        # stage materializes inside the next round's first job instead
+        # of paying a dedicated job per round (r12 opt, guide §1.2)
         dist = (
             dist.join(e.hint("shuffle_hash"), dist["node"] == e["u"])
             .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
             .unionByName(dist)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return dist
 

@@ -1429,6 +1429,10 @@ def bpe_encode(
         wf = _apply_merge_match(ex, match, ())
         if vocab_partitions is not None:
             wf = wf.coalesce(vocab_partitions)
+        # eager, deliberately: lazy per-rule checkpoints (fusing all 8
+        # rule rounds into the final action) measured +15% at sf0.1 —
+        # the same flat-to-negative result the k-center fusion found on
+        # the BPE merge loop (r12 opt; evidence in OPTIMIZATION_r12.md)
         wf = wf.localCheckpoint(eager=True)
     enc = wf.select("word", F.size("syms").cast("bigint").alias("_len"))
     return (

@@ -668,6 +668,24 @@ def test_stress_centrality_multiplicity_diamond(spark):
     assert got == {2: 2, 3: 2, 4: 2, 5: 0}
 
 
+def test_stress_centrality_early_dead_end_branch(spark):
+    from healthcare_api_spark.operators.graph import stress_centrality
+
+    # branch 1-2-3 plus dead-end 1-4: node 4 sits at level 1 with NO
+    # level-2 successors — it must come back with Q = 0 (the r12
+    # backward pass restores no-successor rows by a left join onto the
+    # level frame instead of the old edges left-join; this pins that
+    # path). Through-2 paths from pivot 1: 1→2→3 = 1; 3 and 4 carry 0.
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 4)], ["s", "d"])
+    got = {
+        r["node"]: r["stress"]
+        for r in stress_centrality(
+            edges, "s", "d", pivots=[1], max_depth=6
+        ).collect()
+    }
+    assert got == {2: 1, 3: 0, 4: 0}
+
+
 def test_stress_centrality_depth_cap_and_multi_pivot(spark):
     import pytest
 
