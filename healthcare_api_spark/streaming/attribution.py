@@ -36,11 +36,41 @@ from pyspark.sql import functions as F
 from healthcare_api_spark.streaming.state import BucketedVersionedState
 
 
+def _merge_extremes_fn(key_col: str):
+    def _merge(prev, d):
+        if prev is None:
+            return d
+        return (
+            prev.unionByName(d)
+            .groupBy(key_col)
+            .agg(
+                F.min(F.struct(
+                    F.col("f_us").alias("us"), F.col("f_tp").alias("tp")
+                )).alias("_f"),
+                F.max(F.struct(
+                    F.col("l_us").alias("us"), F.col("l_tp").alias("tp")
+                )).alias("_l"),
+            )
+            .select(
+                key_col,
+                F.col("_f.us").alias("f_us"), F.col("_f.tp").alias("f_tp"),
+                F.col("_l.us").alias("l_us"), F.col("_l.tp").alias("l_tp"),
+            )
+        )
+
+    return _merge
+
+
 def _state_store(
     state_root: str, key_col: str, nb: int
 ) -> BucketedVersionedState:
+    # r13 (guide §6): append-protocol commits — per-batch extreme
+    # deltas, read-time min/max fold, periodic compaction.
     return BucketedVersionedState(
-        f"{state_root}/touches", key_cols=[key_col], num_buckets=nb
+        f"{state_root}/touches",
+        key_cols=[key_col],
+        num_buckets=nb,
+        merge_fn=_merge_extremes_fn(key_col),
     )
 
 
@@ -142,28 +172,7 @@ def touch_batch(
         )
     )
 
-    def _merge(prev, d):
-        if prev is None:
-            return d
-        return (
-            prev.unionByName(d)
-            .groupBy(key_col)
-            .agg(
-                F.min(F.struct(
-                    F.col("f_us").alias("us"), F.col("f_tp").alias("tp")
-                )).alias("_f"),
-                F.max(F.struct(
-                    F.col("l_us").alias("us"), F.col("l_tp").alias("tp")
-                )).alias("_l"),
-            )
-            .select(
-                key_col,
-                F.col("_f.us").alias("f_us"), F.col("_f.tp").alias("f_tp"),
-                F.col("_l.us").alias("l_us"), F.col("_l.tp").alias("l_tp"),
-            )
-        )
-
-    store.merge_batch(new_state, batch_id, _merge, materialize=False)
+    store.merge_batch(new_state, batch_id)
 
 
 def streaming_touch_attribution(

@@ -38,14 +38,40 @@ from pyspark.sql import functions as F
 from healthcare_api_spark.streaming.state import BucketedVersionedState
 
 
+def _merge_done(prev, d):
+    if prev is None:
+        return d
+    return prev.unionByName(d).distinct()
+
+
+def _merge_pending(prev, d):
+    """Pending-set fold for the append protocol (r13). The delta holds
+    one row per BATCH KEY: its surviving pendings, or a single marker
+    row (stage IS NULL) when every pending completed — so the fold can
+    replace a batch key's pendings wholesale from the delta alone (the
+    ADVICE r9 bug class: a key whose pendings all complete must still
+    CLEAR its old rows, which delta keys alone cannot express)."""
+    live = d.filter(F.col("stage").isNotNull())
+    if prev is None:
+        return live
+    return prev.join(d.select("k"), "k", "left_anti").unionByName(live)
+
+
 def _pending_store(root: str, nb: int) -> BucketedVersionedState:
+    # r13 (guide §6): append-protocol commits — per-batch pending
+    # deltas with explicit clear markers, read-time replace fold.
     return BucketedVersionedState(
-        f"{root}/pending", key_cols=["k"], num_buckets=nb
+        f"{root}/pending",
+        key_cols=["k"],
+        num_buckets=nb,
+        merge_fn=_merge_pending,
     )
 
 
 def _done_store(root: str, nb: int) -> BucketedVersionedState:
-    return BucketedVersionedState(f"{root}/done", key_cols=["k"], num_buckets=nb)
+    return BucketedVersionedState(
+        f"{root}/done", key_cols=["k"], num_buckets=nb, merge_fn=_merge_done
+    )
 
 
 def cep_batch(
@@ -140,41 +166,26 @@ def cep_batch(
             <= F.lit(within_us)
         )
     still = pend.filter(F.col("stage") < n)
+    # the pending delta carries one row per BATCH KEY — survivors, or a
+    # stage-NULL clear marker when every pending completed (ADVICE r9:
+    # deriving the replaced keys from ``still`` alone would leave a
+    # fully-completed key's stale pendings current; the marker makes
+    # the delta self-describing so the append-protocol fold works)
+    pend_delta = batch_keys.join(still, "k", "left")
 
-    def _merge_done(prev, d):
-        if prev is None:
-            return d
-        return prev.unionByName(d).distinct()
-
-    def _merge_pending(prev, d):
-        # batch users' pendings are REPLACED wholesale (they were read
-        # into this batch's advance loop); other users' rows persist
-        if prev is None:
-            return d
-        kept = prev.join(batch_keys, "k", "left_anti")
-        return kept.unionByName(d)
-
-    # touched MUST come from batch_keys, not from ``still`` (ADVICE
-    # r9): a batch whose pendings all complete leaves ``still`` empty
-    # for that key's bucket, and deriving touched from the delta would
-    # skip rewriting the bucket — the stale pendings would stay current
-    # and re-advance in later batches, emitting duplicate non-earliest
-    # matches. The store's tombstones handle the bucket-emptied case.
     # The two stores are independent: the final pend chain is fully
     # materialized by the first thread to compute it (localCheckpoint
-    # blocks), and both merges run on two driver threads (guide §2.6).
-    # pend is materialized HERE (one action) so neither thread races
-    # the other into double-computing the advance chain.
+    # blocks), and both (now delta-only, guide §6) commits run on two
+    # driver threads (guide §2.6). pend is materialized HERE (one
+    # action) so neither thread races the other into double-computing
+    # the advance chain.
     pend.write.format("noop").mode("overwrite").save()
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fd = pool.submit(
-            done_store.merge_batch, completed, batch_id, _merge_done,
-            None, False,
-        )
+        fd = pool.submit(done_store.merge_batch, completed, batch_id)
         fp = pool.submit(
-            pend_store.merge_batch, still, batch_id, _merge_pending, touched
+            pend_store.merge_batch, pend_delta, batch_id, touched=touched
         )
         fd.result()
         fp.result()

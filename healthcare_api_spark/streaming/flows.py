@@ -30,15 +30,51 @@ from pyspark.sql import functions as F
 from healthcare_api_spark.streaming.state import BucketedVersionedState
 
 
+def _merge_counts(prev, d):
+    if prev is None:
+        return d
+    return (
+        prev.unionByName(d)
+        .groupBy("src", "dst")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
+
+def _merge_last(prev, d):
+    # key column introspected from the frame (everything except the
+    # fixed payload) so read-side folds need no key-name coupling
+    if prev is None:
+        return d
+    keys = [c for c in d.columns if c not in ("us", "st")]
+    return (
+        prev.unionByName(d)
+        .groupBy(*keys)
+        .agg(F.max(F.struct("us", "st")).alias("m"))
+        .select(
+            *keys,
+            F.col("m.us").alias("us"),
+            F.col("m.st").alias("st"),
+        )
+    )
+
+
 def _last_store(state_root: str, key_col: str, nb: int) -> BucketedVersionedState:
     return BucketedVersionedState(
-        f"{state_root}/last", key_cols=[key_col], num_buckets=nb
+        f"{state_root}/last",
+        key_cols=[key_col],
+        num_buckets=nb,
+        merge_fn=_merge_last,
     )
 
 
 def _counts_store(state_root: str, nb: int) -> BucketedVersionedState:
+    # r13 (guide §6): append-protocol commits — each batch writes only
+    # its (src, dst) count delta; reads fold the integer sums exactly.
     return BucketedVersionedState(
-        f"{state_root}/counts", key_cols=["src", "dst"], num_buckets=nb
+        f"{state_root}/counts",
+        key_cols=["src", "dst"],
+        num_buckets=nb,
+        merge_fn=_merge_counts,
     )
 
 
@@ -100,16 +136,8 @@ def flows_batch(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
 
-    def _merge_counts(prev, d):
-        if prev is None:
-            return d
-        return (
-            prev.unionByName(d)
-            .groupBy("src", "dst")
-            .agg(F.sum("n").cast("bigint").alias("n"))
-        )
-
-    # new last-event per key: max by (us, st) over carry ∪ batch
+    # new last-event per key: max by (us, st) over the batch (the
+    # fold-at-read merge handles the carried rows — ``_merge_last_fn``)
     def _last_of(df):
         return (
             df.groupBy("k")
@@ -121,28 +149,15 @@ def flows_batch(
             )
         )
 
-    def _merge_last(prev, d):
-        if prev is None:
-            return d
-        return _last_of(
-            prev.select(F.col(key_col).alias("k"), "us", "st").unionByName(
-                d.select(F.col(key_col).alias("k"), "us", "st")
-            )
-        )
-
     # the two stores are independent; ev is materialized by the
-    # touched collect above, so run the merges on two driver threads
-    # (guide §2.6: concurrent jobs back-fill each other's task tails)
+    # touched collect above, so run the (now delta-only, guide §6)
+    # commits on two driver threads (guide §2.6: concurrent jobs
+    # back-fill each other's task tails)
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fc = pool.submit(
-            counts_store.merge_batch, delta_counts, batch_id, _merge_counts
-        )
-        fl = pool.submit(
-            last_store.merge_batch, _last_of(ev), batch_id, _merge_last,
-            None, False,
-        )
+        fc = pool.submit(counts_store.merge_batch, delta_counts, batch_id)
+        fl = pool.submit(last_store.merge_batch, _last_of(ev), batch_id)
         fc.result()
         fl.result()
 

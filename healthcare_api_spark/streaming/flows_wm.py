@@ -43,17 +43,52 @@ from pyspark.sql import functions as F
 from healthcare_api_spark.streaming.state import BucketedVersionedState
 
 
+def _merge_counts(prev, d):
+    if prev is None:
+        return d
+    return (
+        prev.unionByName(d)
+        .groupBy("src", "dst")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
+
+def _merge_suffix_fn(key_col: str):
+    def _merge(prev, d):
+        # batch keys REPLACE wholesale; untouched keys persist
+        if prev is None:
+            return d
+        return (
+            prev.join(
+                d.select(F.col(key_col).alias("_dk")),
+                prev[key_col] == F.col("_dk"),
+                "left_anti",
+            ).unionByName(d)
+        )
+
+    return _merge
+
+
 def _suffix_store(
     state_root: str, key_col: str, nb: int
 ) -> BucketedVersionedState:
+    # r13 (guide §6): append-protocol commits for both stores — the
+    # counts store appends ± integer deltas (sum fold at read), the
+    # suffix store appends touched keys' new rows (newest-delta-wins).
     return BucketedVersionedState(
-        f"{state_root}/suffix", key_cols=[key_col], num_buckets=nb
+        f"{state_root}/suffix",
+        key_cols=[key_col],
+        num_buckets=nb,
+        merge_fn=_merge_suffix_fn(key_col),
     )
 
 
 def _counts_store(state_root: str, nb: int) -> BucketedVersionedState:
     return BucketedVersionedState(
-        f"{state_root}/counts", key_cols=["src", "dst"], num_buckets=nb
+        f"{state_root}/counts",
+        key_cols=["src", "dst"],
+        num_buckets=nb,
+        merge_fn=_merge_counts,
     )
 
 
@@ -201,17 +236,6 @@ def flows_wm_batch(
         .filter(F.col("n") != 0)
     )
 
-    def _merge_counts(prev, d):
-        if prev is None:
-            return d
-        return (
-            prev.unionByName(d)
-            .groupBy("src", "dst")
-            .agg(F.sum("n").cast("bigint").alias("n"))
-        )
-
-
-
     # dropped rows still advance the mark (observed-data watermark);
     # every batch key has ≥1 batch row so _bmax is never null
     hwm_new = (
@@ -260,30 +284,15 @@ def flows_wm_batch(
         )
     )
 
-    def _merge_suffix(prev, d):
-        if prev is None:
-            return d
-        return (
-            prev.join(
-                d.select(F.col(key_col).alias("_dk")),
-                prev[key_col] == F.col("_dk"),
-                "left_anti",
-            ).unionByName(d)
-        )
-
-    # the two stores are independent and their deltas read only the
-    # materialized events/cls blocks — run the full merges (delta
-    # collect + version write + prune) on two driver threads (guide
-    # §2.6: concurrent jobs back-fill each other's task tails)
+    # the two stores are independent and their (now delta-only, guide
+    # §6) commits read only the materialized events/cls blocks — run
+    # them on two driver threads (guide §2.6: concurrent jobs
+    # back-fill each other's task tails)
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fc = pool.submit(
-            counts_store.merge_batch, delta_counts, batch_id, _merge_counts
-        )
-        fs = pool.submit(
-            suffix_store.merge_batch, new_suffix, batch_id, _merge_suffix
-        )
+        fc = pool.submit(counts_store.merge_batch, delta_counts, batch_id)
+        fs = pool.submit(suffix_store.merge_batch, new_suffix, batch_id)
         fc.result()
         fs.result()
 

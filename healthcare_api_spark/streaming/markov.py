@@ -40,17 +40,55 @@ from pyspark.sql import functions as F
 from healthcare_api_spark.streaming.state import BucketedVersionedState
 
 
+def _merge_counts(prev, d):
+    if prev is None:
+        return d
+    return (
+        prev.unionByName(d)
+        .groupBy("src", "dst")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
+
+def _merge_last(prev, d):
+    # key column introspected from the frame (everything except the
+    # fixed payload) so read-side folds need no key-name coupling
+    # (read_markov_attribution reconstructs this store without the
+    # writer's key_col)
+    if prev is None:
+        return d
+    keys = [c for c in d.columns if c not in ("us", "tp")]
+    return (
+        prev.unionByName(d)
+        .groupBy(*keys)
+        .agg(F.max(F.struct("us", "tp")).alias("m"))
+        .select(
+            *keys,
+            F.col("m.us").alias("us"),
+            F.col("m.tp").alias("tp"),
+        )
+    )
+
+
 def _last_store(
     state_root: str, key_col: str, nb: int
 ) -> BucketedVersionedState:
     return BucketedVersionedState(
-        f"{state_root}/last", key_cols=[key_col], num_buckets=nb
+        f"{state_root}/last",
+        key_cols=[key_col],
+        num_buckets=nb,
+        merge_fn=_merge_last,
     )
 
 
 def _counts_store(state_root: str, nb: int) -> BucketedVersionedState:
+    # r13 (guide §6): append-protocol commits — per-batch delta dirs,
+    # read-time integer-sum fold, periodic compaction.
     return BucketedVersionedState(
-        f"{state_root}/counts", key_cols=["src", "dst"], num_buckets=nb
+        f"{state_root}/counts",
+        key_cols=["src", "dst"],
+        num_buckets=nb,
+        merge_fn=_merge_counts,
     )
 
 
@@ -114,16 +152,8 @@ def markov_batch(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
 
-    def _merge_counts(prev, d):
-        if prev is None:
-            return d
-        return (
-            prev.unionByName(d)
-            .groupBy("src", "dst")
-            .agg(F.sum("n").cast("bigint").alias("n"))
-        )
-
-    # new last-event per key: max (us, tp) over carry ∪ batch
+    # new last-event per key: max (us, tp) over the batch (the
+    # fold-at-read merge handles the carried rows)
     def _last_of(df):
         return (
             df.groupBy("k")
@@ -135,27 +165,16 @@ def markov_batch(
             )
         )
 
-    def _merge_last(prev, d):
-        if prev is None:
-            return d
-        return _last_of(
-            prev.select(F.col(key_col).alias("k"), "us", "tp").unionByName(
-                d.select(F.col(key_col).alias("k"), "us", "tp")
-            )
-        )
-
     # the two stores are independent; ev is materialized by the
-    # touched collect above, so run the merges on two driver threads
-    # (guide §2.6: concurrent jobs back-fill each other's task tails)
+    # touched collect above, so run the (now delta-only, guide §6)
+    # commits on two driver threads (guide §2.6: concurrent jobs
+    # back-fill each other's task tails)
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fc = pool.submit(
-            counts_store.merge_batch, delta, batch_id, _merge_counts
-        )
+        fc = pool.submit(counts_store.merge_batch, delta, batch_id)
         fl = pool.submit(
             last_store.merge_batch, _last_of(ev.drop("_seed")), batch_id,
-            _merge_last, None, False,
         )
         fc.result()
         fl.result()

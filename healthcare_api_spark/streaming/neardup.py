@@ -41,6 +41,28 @@ from pyspark.sql import functions as F
 from healthcare_api_spark.streaming.state import BucketedVersionedState
 
 
+def _merge_owners(prev_state, delta_min):
+    """min-owner fold: first (batch, id) wins per band bucket —
+    associative, so the append protocol's read-time fold reproduces
+    the per-batch write-time merge exactly."""
+    if prev_state is None:
+        return delta_min
+    return (
+        prev_state.unionByName(delta_min)
+        .groupBy("band", "bucket")
+        .agg(F.min("owner_id").alias("owner_id"))
+    )
+
+
+def _band_store(state_root: str, num_state_buckets: int):
+    return BucketedVersionedState(
+        f"{state_root}/bands",
+        key_cols=["band", "bucket"],
+        num_buckets=num_state_buckets,
+        merge_fn=_merge_owners,
+    )
+
+
 def streaming_neardup(
     stream_df: DataFrame,
     state_root: str,
@@ -101,11 +123,7 @@ def admit_batch(
     call (foreachBatch is at-least-once)."""
     from healthcare_api_spark.operators.dedup import band_signatures
 
-    store = BucketedVersionedState(
-        f"{state_root}/bands",
-        key_cols=["band", "bucket"],
-        num_buckets=num_state_buckets,
-    )
+    store = _band_store(state_root, num_state_buckets)
     verdicts_dir = f"{state_root}/verdicts"
     spark = batch_df.sparkSession
     sig = band_signatures(
@@ -140,20 +158,10 @@ def admit_batch(
         f"{verdicts_dir}/batch={batch_id}"
     )
 
-    def _merge(prev_state, delta_min):
-        if prev_state is None:
-            return delta_min
-        return (
-            prev_state.unionByName(delta_min)
-            .groupBy("band", "bucket")
-            .agg(F.min("owner_id").alias("owner_id"))
-        )
-
     store.merge_batch(
         batch_min.select(
             "band", "bucket", F.col("_bmin").alias("owner_id")
         ),
         batch_id,
-        _merge,
         touched=touched,
     )

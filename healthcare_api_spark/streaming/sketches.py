@@ -30,11 +30,30 @@ from healthcare_api_spark.operators.sketches import kmv_build, kmv_merge
 from healthcare_api_spark.streaming.state import BucketedVersionedState
 
 
-def _store(state_root: str, group_cols: list[str], num_state_buckets: int):
+def _kmv_merge_fn(group_cols: list[str], k: int):
+    def _merge(prev, d):
+        if prev is None:
+            return d
+        return kmv_merge(prev, d, group_cols, k)
+
+    return _merge
+
+
+def _store(
+    state_root: str,
+    group_cols: list[str],
+    num_state_buckets: int,
+    k: int = 64,
+):
+    # r13 (guide §6): constructor merge_fn → append-protocol commits
+    # (per-batch delta dirs, read-time fold, periodic compaction) —
+    # commit I/O ∝ |batch sketch|, not |accumulated state|. The reader
+    # must pass the SAME k the writer used (both default to 64).
     return BucketedVersionedState(
         f"{state_root}/kmv",
         key_cols=list(group_cols),
         num_buckets=num_state_buckets,
+        merge_fn=_kmv_merge_fn(list(group_cols), k),
     )
 
 
@@ -60,17 +79,11 @@ def streaming_kmv(
     ``kmv_distinct`` / ``kmv_set_ops`` for estimates — sketch algebra
     works on the streaming state unchanged).
     """
-    store = _store(state_root, group_cols, num_state_buckets)
+    store = _store(state_root, group_cols, num_state_buckets, k)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         delta = kmv_build(batch_df, group_cols, key_col, k)
-
-        def _merge(prev, d):
-            if prev is None:
-                return d
-            return kmv_merge(prev, d, group_cols, k)
-
-        store.merge_batch(delta, batch_id, _merge)
+        store.merge_batch(delta, batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(_fold).outputMode("update")
@@ -85,10 +98,20 @@ def read_kmv_state(
     state_root: str,
     group_cols: list[str],
     num_state_buckets: int = 16,
+    k: int = 64,
 ) -> DataFrame | None:
     """Newest complete per-group sketch state (None before the first
-    commit)."""
-    return _store(state_root, group_cols, num_state_buckets).read(spark)
+    commit). ``k`` must match the writer's — the append-protocol fold
+    re-applies the bottom-k merge at read time."""
+    return _store(state_root, group_cols, num_state_buckets, k).read(spark)
+
+
+def _cms_merge_fn(prev, d):
+    from healthcare_api_spark.operators.sketches import cms_merge
+
+    if prev is None:
+        return d
+    return cms_merge(prev, d)
 
 
 def _cms_store(state_root: str, num_state_buckets: int):
@@ -96,6 +119,7 @@ def _cms_store(state_root: str, num_state_buckets: int):
         f"{state_root}/cms",
         key_cols=["r", "bucket"],
         num_buckets=num_state_buckets,
+        merge_fn=_cms_merge_fn,
     )
 
 
@@ -138,13 +162,7 @@ def streaming_cms(
         delta = cms_build(
             batch_df, key_col, depth=depth, width=width, weight_col=weight_col
         )
-
-        def _merge(prev, d):
-            if prev is None:
-                return d
-            return cms_merge(prev, d)
-
-        store.merge_batch(delta, batch_id, _merge)
+        store.merge_batch(delta, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
     if checkpoint:
@@ -161,11 +179,23 @@ def read_cms_state(
     return _cms_store(state_root, num_state_buckets).read(spark)
 
 
+def _hll_merge_fn(group_cols: list[str]):
+    def _merge(prev, d):
+        from healthcare_api_spark.operators.sketches import hll_merge
+
+        if prev is None:
+            return d
+        return hll_merge(prev, d, group_cols)
+
+    return _merge
+
+
 def _hll_store(state_root: str, group_cols: list[str], num_state_buckets: int):
     return BucketedVersionedState(
         f"{state_root}/hll",
         key_cols=[*group_cols, "reg"],
         num_buckets=num_state_buckets,
+        merge_fn=_hll_merge_fn(list(group_cols)),
     )
 
 
@@ -207,13 +237,7 @@ def streaming_hll(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         delta = hll_build(batch_df, group_cols, key_col, p)
-
-        def _merge(prev, d):
-            if prev is None:
-                return d
-            return hll_merge(prev, d, group_cols)
-
-        store.merge_batch(delta, batch_id, _merge)
+        store.merge_batch(delta, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
     if checkpoint:
@@ -232,6 +256,14 @@ def read_hll_state(
     return _hll_store(state_root, group_cols, num_state_buckets).read(spark)
 
 
+def _bloom_merge_fn(prev, d):
+    from healthcare_api_spark.operators.sketches import bloom_merge
+
+    if prev is None:
+        return d
+    return bloom_merge(prev, d)
+
+
 def _bloom_store(state_root: str, num_state_buckets: int):
     from healthcare_api_spark.streaming.state import BucketedVersionedState
 
@@ -239,6 +271,7 @@ def _bloom_store(state_root: str, num_state_buckets: int):
         f"{state_root}/bloom",
         key_cols=["word_idx"],
         num_buckets=num_state_buckets,
+        merge_fn=_bloom_merge_fn,
     )
 
 
@@ -275,13 +308,7 @@ def streaming_bloom(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         delta = bloom_build(batch_df, key_col, m_bits, k_hashes)
-
-        def _merge(prev, d):
-            if prev is None:
-                return d
-            return bloom_merge(prev, d)
-
-        store.merge_batch(delta, batch_id, _merge)
+        store.merge_batch(delta, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_fold).outputMode("update")
     if checkpoint:

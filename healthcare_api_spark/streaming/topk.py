@@ -26,8 +26,14 @@ from healthcare_api_spark.streaming.state import BucketedVersionedState
 
 
 def _store(state_path: str, num_state_buckets: int) -> BucketedVersionedState:
+    # r13 (guide §6): constructor merge_fn → append-protocol commits;
+    # per-batch I/O is the batch vocabulary's counts, not the
+    # accumulated vocabulary, and reads fold the pending deltas.
     return BucketedVersionedState(
-        state_path, key_cols=["tok"], num_buckets=num_state_buckets
+        state_path,
+        key_cols=["tok"],
+        num_buckets=num_state_buckets,
+        merge_fn=_merge_counts,
     )
 
 
@@ -68,7 +74,7 @@ def streaming_top_tokens(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         delta = _batch_counts(batch_df, text_col)
-        store.merge_batch(delta, batch_id, _merge_counts)
+        store.merge_batch(delta, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_apply).outputMode("update")
     if checkpoint:

@@ -1065,3 +1065,170 @@ def test_streaming_touch_wm_late_conversion_between_touches(spark, tmp_path):
     touch_wm_batch(b1, 1, *args)
     touch_wm_batch(b0, 0, *args)
     assert live() == got
+
+
+# ---------------------------------------------------------------------
+# r13: the append + compact commit protocol (constructor merge_fn) —
+# commit I/O ∝ |delta|, read-time fold, periodic compaction, and the
+# same crash/replay/retention contract as the full-snapshot protocol.
+# ---------------------------------------------------------------------
+
+
+def _append_store(tmp_path, spark=None, compact_every=8, keep_versions=2):
+    return BucketedVersionedState(
+        str(tmp_path / "astate"),
+        key_cols=["k"],
+        num_buckets=4,
+        keep_versions=keep_versions,
+        merge_fn=_merge_counts,
+        compact_every=compact_every,
+    )
+
+
+def test_append_commits_write_deltas_and_read_folds(spark, tmp_path):
+    """Each merge_batch writes only its own delta directory (d{batch},
+    _SUCCESS-gated) — no full-bucket rewrite — and read() folds base +
+    deltas through merge_fn in commit order."""
+    store = _append_store(tmp_path)
+    path = store.path
+    store.merge_batch(_mk(spark, [(f"key{i}", 1) for i in range(64)]), 0)
+    store.merge_batch(_mk(spark, [("key0", 5)]), 1)
+    store.merge_batch(_mk(spark, [("key0", 2), ("key63", 7)]), 2)
+    names = sorted(os.listdir(path))
+    assert [n for n in names if n.startswith("d")] == ["d0", "d1", "d2"]
+    assert not [n for n in names if n.startswith("v")]
+    # the narrow batch's delta dir holds ONE bucket — commit ∝ delta
+    d1 = sorted(d for d in os.listdir(f"{path}/d1") if d.startswith("_pt="))
+    assert len(d1) == 1
+    got = {r["k"]: r["cnt"] for r in store.read(spark).collect()}
+    assert got["key0"] == 8 and got["key63"] == 8 and len(got) == 64
+    # before_batch folds strictly-pre-batch deltas only (replay view)
+    pre = {
+        r["k"]: r["cnt"]
+        for r in store.read(spark, before_batch=2).collect()
+    }
+    assert pre["key0"] == 6 and pre["key63"] == 1
+
+
+def test_append_replay_short_circuits_on_complete_delta(spark, tmp_path):
+    store = _append_store(tmp_path)
+    path = store.path
+    store.merge_batch(_mk(spark, [("a", 1), ("b", 2)]), 0)
+    store.merge_batch(_mk(spark, [("a", 10)]), 1)
+    after = {r["k"]: r["cnt"] for r in store.read(spark).collect()}
+    assert after == {"a": 11, "b": 2}
+    mtimes = {v: os.path.getmtime(f"{path}/d{v}") for v in (0, 1)}
+    store.merge_batch(_mk(spark, [("a", 10)]), 1)  # replay: no-op
+    assert {r["k"]: r["cnt"] for r in store.read(spark).collect()} == after
+    assert all(
+        os.path.getmtime(f"{path}/d{v}") == mtimes[v] for v in (0, 1)
+    )
+
+
+def test_append_crashed_delta_ignored_and_recovered(spark, tmp_path):
+    """A crash mid-delta-write leaves d{batch} without _SUCCESS: reads
+    ignore it, prior state is intact, and the replay overwrites it."""
+    store = _append_store(tmp_path)
+    path = store.path
+    store.merge_batch(_mk(spark, [("a", 1), ("b", 2)]), 0)
+    _mk(spark, [("a", 999)]).withColumn("_pt", store.bucket_expr()) \
+        .write.partitionBy("_pt").parquet(f"{path}/d1")
+    os.remove(f"{path}/d1/_SUCCESS")
+    got = {r["k"]: r["cnt"] for r in store.read(spark).collect()}
+    assert got == {"a": 1, "b": 2}
+    store.merge_batch(_mk(spark, [("a", 999)]), 1)
+    got = {r["k"]: r["cnt"] for r in store.read(spark).collect()}
+    assert got == {"a": 1000, "b": 2}
+
+
+def test_append_compaction_covers_pending_buckets(spark, tmp_path):
+    """Once compact_every deltas are pending, the next commit writes a
+    full v{batch} snapshot covering the touched buckets AND every
+    pending-delta bucket — so older deltas are fully shadowed and the
+    fold restarts from the snapshot."""
+    store = _append_store(tmp_path, compact_every=2)
+    path = store.path
+    # two deltas in different buckets, then a third commit that touches
+    # only one key — the snapshot must still cover BOTH earlier buckets
+    store.merge_batch(_mk(spark, [(f"key{i}", 1) for i in range(8)]), 0)
+    store.merge_batch(_mk(spark, [("key0", 5)]), 1)
+    store.merge_batch(_mk(spark, [("key1", 3)]), 2)  # compacts
+    names = sorted(os.listdir(path))
+    assert "v2" in names and "d2" not in names
+    all_buckets = {
+        int(r[0])
+        for r in _mk(spark, [(f"key{i}", 0) for i in range(8)])
+        .select(store.bucket_expr())
+        .distinct()
+        .collect()
+    }
+    v2 = {
+        int(d[4:])
+        for d in os.listdir(f"{path}/v2")
+        if d.startswith("_pt=")
+    }
+    assert all_buckets <= v2
+    got = {r["k"]: r["cnt"] for r in store.read(spark).collect()}
+    assert got["key0"] == 6 and got["key1"] == 4 and len(got) == 8
+    # post-compaction deltas fold on top of the snapshot
+    store.merge_batch(_mk(spark, [("key0", 1)]), 3)
+    got = {r["k"]: r["cnt"] for r in store.read(spark).collect()}
+    assert got["key0"] == 7
+    # replay-as-of reads reconstruct any pre-batch state across the mix
+    pre = {
+        r["k"]: r["cnt"]
+        for r in store.read(spark, before_batch=2).collect()
+    }
+    assert pre["key0"] == 6 and pre["key1"] == 1
+
+
+def test_append_retention_prunes_shadowed_deltas(spark, tmp_path):
+    """A delta is pruned once keep_versions newer complete base
+    snapshots exist (every base newer than a delta shadows all its
+    buckets by the coverage invariant); bases keep the per-bucket
+    rule."""
+    store = _append_store(tmp_path, compact_every=1, keep_versions=2)
+    path = store.path
+    # compact_every=1: batch 0 appends (nothing pending yet), every
+    # later batch compacts — bases pile up, the delta gets shadowed
+    store.merge_batch(_mk(spark, [("a", 1), ("b", 2)]), 0)
+    for i in (1, 2, 3):
+        store.merge_batch(_mk(spark, [("a", 1)]), i)
+    names = sorted(os.listdir(path))
+    assert "d0" not in names  # shadowed by v1..v3 (>= keep_versions)
+    got = {r["k"]: r["cnt"] for r in store.read(spark).collect()}
+    assert got == {"a": 4, "b": 2}
+
+
+def test_append_replace_merge_clears_keys_via_markers(spark, tmp_path):
+    """The cep-pending device: a replace-style merge_fn whose delta
+    carries explicit clear rows removes a key wholesale at fold time,
+    across both delta folds and compaction."""
+
+    def _replace(prev, d):
+        live = d.filter(F.col("cnt").isNotNull())
+        if prev is None:
+            return live
+        return prev.join(d.select("k"), "k", "left_anti").unionByName(live)
+
+    store = BucketedVersionedState(
+        str(tmp_path / "rstate"),
+        key_cols=["k"],
+        num_buckets=4,
+        merge_fn=_replace,
+        compact_every=2,
+    )
+    store.merge_batch(_mk(spark, [("a", 1), ("b", 2)]), 0)
+    # clear "a" (cnt NULL marker), replace "b"
+    store.merge_batch(
+        spark.createDataFrame([("a", None), ("b", 9)], "k string, cnt bigint"),
+        1,
+    )
+    got = {r["k"]: r["cnt"] for r in store.read(spark).collect()}
+    assert got == {"b": 9}
+    store.merge_batch(_mk(spark, [("c", 3)]), 2)  # compacts
+    got = {r["k"]: r["cnt"] for r in store.read(spark).collect()}
+    assert got == {"b": 9, "c": 3}
+    assert sorted(
+        n for n in os.listdir(store.path) if n.startswith("v")
+    ) == ["v2"]
