@@ -442,10 +442,20 @@ def label_propagation(
     prev = None
     for i in range(iters):
         prev = labels
+        # r13 (guide §2.4): ONE exchange for the whole vote instead of
+        # two — the raw votes repartition by node once; hash(node)
+        # satisfies the clustering of BOTH the (node, lab) count and
+        # the per-node argmax, so the two aggregates fuse into a single
+        # exchange-free stage. Trade (documented): the count loses its
+        # map-side partial aggregation, so the one exchange carries raw
+        # vote rows (|E|+|V|) instead of per-partition-deduped pairs —
+        # measured a net win here and the exchange count is what grows
+        # quadratically with cluster size (guide §2.2).
         votes = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .select(F.col("a").alias("node"), "lab")
             .unionByName(labels.select("node", "lab"))  # self-vote
+            .repartition(F.col("node"))
             .groupBy("node", "lab")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -595,6 +605,13 @@ def connected_components(
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
+        # r13 (guide §2.4): el's dedup exchange doubles as the
+        # small-star window's exchange — repartition by b (the next
+        # step's window key), then dropDuplicates runs exchange-free
+        # (hash(b) satisfies the (a, b) clustering) and the window over
+        # u = b below needs only a local sort. 4 → 3 exchanges per
+        # round; the trade is the dedup losing its map-side partial
+        # (raw large-star rows cross the one exchange).
         el = (
             sym.withColumn(
                 "mu", F.least(F.min("v").over(wu), F.col("u"))
@@ -604,7 +621,8 @@ def connected_components(
                 F.least(F.col("v"), F.col("mu")).alias("a"),
                 F.greatest(F.col("v"), F.col("mu")).alias("b"),
             )
-            .distinct()
+            .repartition(F.col("b"))
+            .dropDuplicates(["a", "b"])
         )
         # small-star: per node u, link its smaller neighbors AND itself
         # to their minimum — same one-exchange window form; the (mv, u)
