@@ -1263,7 +1263,7 @@ def markov_credit_from_transitions(
     tr: DataFrame,
     iters: int = 8,
     scale: int = 1_000_000,
-    max_driver_matrix_rows: int = 65536,
+    max_driver_matrix_rows: int = 4096,
 ) -> DataFrame:
     """The removal-effect credit computation of
     :func:`markov_attribution` over an ALREADY-BUILT transition matrix
@@ -1286,6 +1286,15 @@ def markov_credit_from_transitions(
     results (pinned by the unchanged w21/st17 oracles and the
     hand-computed pytest). An adversarially large vocabulary falls
     back to the distributed rounds unchanged.
+
+    Cap sizing (r13, VERDICT r12 #7): the driver loop costs
+    iters × (|channels|+1) × rows single-threaded Python ops. At the
+    old 65,536-row cap a ~250-type vocabulary cost ~10⁸ ops — slower
+    than the distributed rounds it replaces. 4,096 rows (a ≤64-channel
+    vocabulary squared) bounds the loop at ~2·10⁶ ops (< the ~10
+    scheduler round-trips it saves) while still covering every real
+    touch-type vocabulary; the boundary is pinned by
+    tests/test_analytics.py::test_markov_credit_driver_cap_boundary.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")

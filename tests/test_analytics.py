@@ -999,3 +999,30 @@ def test_multi_touch_value_hand_computed(spark):
         "email": (1, 1, 150, 200),
         "(none)": (0, 1, 123, 123),
     }
+
+
+def test_markov_credit_driver_cap_boundary(spark):
+    """r13 (VERDICT r12 #7): matrices at or under
+    ``max_driver_matrix_rows`` take the exact-integer driver fixed
+    point; one row over falls back to the distributed rounds — and both
+    paths produce IDENTICAL rows (the bit-for-bit twin contract)."""
+    from healthcare_api_spark.operators.analytics import (
+        markov_credit_from_transitions,
+    )
+
+    rows = [("(start)", "a", 3), ("a", "(conv)", 2), ("a", "(null)", 1),
+            ("(start)", "b", 1), ("b", "a", 1)]
+    tr = spark.createDataFrame(rows, "src string, dst string, n bigint")
+
+    def got(cap):
+        return sorted(
+            tuple(r)
+            for r in markov_credit_from_transitions(
+                tr, iters=8, max_driver_matrix_rows=cap
+            ).collect()
+        )
+
+    driver = got(len(rows))          # at the cap -> driver path
+    distributed = got(len(rows) - 1)  # one over -> distributed rounds
+    assert driver == distributed
+    assert len(driver) == 2  # channels a and b
