@@ -43,6 +43,31 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r13 (guide §2.1): make post-shuffle partition counts
+        # DATA-sized, not core-derived. With parallelismFirst=true
+        # (Spark's default) AQE ignores the advisory size and fans tiny
+        # intermediates out to one partition per core — measured in
+        # PERF_r12: eight bench queries ran up to 3× FASTER on 8 cores
+        # than 32 because 32-way task fan-out over KB..MB shuffles is
+        # pure scheduler/fetch overhead. parallelismFirst=false lets
+        # AQE target advisoryPartitionSizeInBytes instead; the
+        # advisory size is env-tunable because the right value is
+        # deployment-dependent (guide §9 suggests 256m for large batch
+        # ETL; the 16m default keeps small-shuffle stages coalesced
+        # locally while leaving >16m/partition stages their
+        # parallelism at any scale — partitions grow with data, which
+        # is the point).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get(
+                "SPARK_GRAFT_ADVISORY_PARTITION_BYTES",
+                str(16 * 1024 * 1024),
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
