@@ -509,6 +509,53 @@ def main() -> None:
                 "comparable_subtotal_isolated_min_sec": round(
                     sum(iso_mins.values()), 3
                 ),
+                # r13 (VERDICT r12 #1): the adjudication tail above had
+                # outgrown the driver's ~2,000-character retention
+                # window — r11's stored tail failed to parse and r12's
+                # was front-truncated mid-``heavy_gates``, costing a
+                # round of automated prev comparisons. This FINAL key
+                # is a compact duplicate of everything the ADJUDICATION
+                # RULE needs — heavy-gate [median, min, cold] triples,
+                # isolated-18 [median, min] pairs, steady totals and
+                # the four subtotals — with query names shortened to
+                # their first token (unique within each set) and 2-dp
+                # rounding, sized well under the window so the stored
+                # tail always ends with a complete, readable record.
+                # Additions-only: every pre-existing key keeps its
+                # position and precision.
+                "adjudication_tail": {
+                    "note": "keys = query-name first token; 2dp",
+                    "steady_totals": [
+                        round(sum(p.values()), 2) for p in steady
+                    ],
+                    "sub": [
+                        round(sum(medians[n] for n in R3_COMPARABLE), 2),
+                        round(
+                            sum(
+                                min(p[n] for p in steady)
+                                for n in R3_COMPARABLE
+                            ),
+                            2,
+                        ),
+                        round(sum(iso_medians.values()), 2),
+                        round(sum(iso_mins.values()), 2),
+                    ],
+                    "hg": {
+                        n.split("_", 1)[0]: [
+                            round(medians[n], 2),
+                            round(mins[n], 2),
+                            round(heavy_cold[n], 2),
+                        ]
+                        for n in HEAVY_ISOLATED
+                    },
+                    "i18": {
+                        n.split("_", 1)[0]: [
+                            round(iso_medians[n], 2),
+                            round(iso_mins[n], 2),
+                        ]
+                        for n in R3_COMPARABLE
+                    },
+                },
             }
         )
     )
