@@ -2110,7 +2110,12 @@ def kcenter_coreset(
     center = [int(x) for x in seed[0]["_v"]]
 
     def _d2_to(lit_vec: list[int]):
-        b = F.array(*[F.lit(int(x)).cast("bigint") for x in lit_vec])
+        # ONE array literal instead of dim-many lit().cast() calls —
+        # the expression tree (and the py4j chatter building it) per
+        # round shrinks from O(dims) nodes to O(1) (r13; the k rounds'
+        # cost here is driver-side plan construction, not the scans —
+        # measured 9.6 s wall vs 3.9 s inside jobs)
+        b = F.lit([int(x) for x in lit_vec]).cast("array<bigint>")
         return F.aggregate(
             F.zip_with(F.col("_v"), b, lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("bigint"),
