@@ -1353,6 +1353,17 @@ def stress_centrality(
     the published scalable estimator; the sample size trades variance
     for rounds, never correctness of the sampled sum).
 
+    Space bound of the join reuse (ADVICE r12): the forward pass
+    retains every level's frontier ⋈ edges frame in local-checkpoint
+    storage until the backward pass consumes it — peak storage is
+    O(Σ_d |levels[d] ⋈ edges|), i.e. the whole traversal's edge
+    expansion, spilled to executor disk under MEMORY_AND_DISK. That is
+    the explicit trade for not re-shuffling the edge frame per
+    backward level; deployments whose level expansions exceed executor
+    disk should lower ``max_depth`` or the pivot count (the same knob
+    that bounds rounds). The dead final round's frame is released
+    before the backward pass (it is never appended to ``joins``).
+
     Output: (node, stress) for every node reached by any pivot, the
     pivots themselves included (their stress counts only paths they
     sit INSIDE, from other pivots).
@@ -1401,6 +1412,10 @@ def stress_centrality(
         # full count = emptiness probe + checkpoint materialization of
         # BOTH jf and nxt in one job (the k-center fusion, r12 opt)
         if nxt.count() == 0:
+            # drop the Python refs to the dead round's frames so their
+            # checkpoint blocks are collectible during the backward
+            # pass instead of pinned to function exit (ADVICE r12)
+            jf = nxt = None  # noqa: F841
             break
         joins.append(jf)
         levels.append(nxt)
