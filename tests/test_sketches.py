@@ -164,9 +164,12 @@ def test_streaming_kmv_state_equals_batch(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
 
+    # read-side params must match the writer's (k drives the
+    # append-protocol read fold, like num_state_buckets drives
+    # bucket resolution)
     got = {
         r["g"]: (r["n_seen"], list(r["kmv"]))
-        for r in read_kmv_state(spark, state, ["g"]).collect()
+        for r in read_kmv_state(spark, state, ["g"], k=32).collect()
     }
     whole = kmv_build(
         spark.createDataFrame(rows1 + rows2, schema), ["g"], "u", k=32
@@ -174,7 +177,9 @@ def test_streaming_kmv_state_equals_batch(spark, tmp_path):
     want = {r["g"]: (r["n_seen"], list(r["kmv"])) for r in whole.collect()}
     assert got == want
     # downstream algebra on the live state: one pair row, sane jaccard
-    pairs = kmv_set_ops(read_kmv_state(spark, state, ["g"]), "g", k=32).collect()
+    pairs = kmv_set_ops(
+        read_kmv_state(spark, state, ["g"], k=32), "g", k=32
+    ).collect()
     assert len(pairs) == 1 and 0.0 <= pairs[0]["jaccard"] <= 1.0
 
 
