@@ -43,29 +43,30 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # r13 (guide §2.1): make post-shuffle partition counts
-        # DATA-sized, not core-derived. With parallelismFirst=true
-        # (Spark's default) AQE ignores the advisory size and fans tiny
-        # intermediates out to one partition per core — measured in
-        # PERF_r12: eight bench queries ran up to 3× FASTER on 8 cores
-        # than 32 because 32-way task fan-out over KB..MB shuffles is
-        # pure scheduler/fetch overhead. parallelismFirst=false lets
-        # AQE target advisoryPartitionSizeInBytes instead; the
-        # advisory size is env-tunable because the right value is
-        # deployment-dependent (guide §9 suggests 256m for large batch
-        # ETL; the 16m default keeps small-shuffle stages coalesced
-        # locally while leaving >16m/partition stages their
-        # parallelism at any scale — partitions grow with data, which
-        # is the point).
+        # r13 (guide §2.1), measured and kept at Spark's defaults with
+        # env overrides. parallelismFirst=false + a bytes-based
+        # advisory size was measured this round (VERDICT r12 #5): it
+        # moved the inverse-scaling group's 8c/32c ratios toward 1
+        # (m12 0.40→0.92, v16 0.48→1.00) and cut the join/agg-shuffle
+        # gates, but it coalesces the explode-heavy class — small
+        # shuffle BYTES, large downstream CPU (a14 +96%, d18 +86%,
+        # u12 +66%, t33 +48%, d4 +51% medians at sf0.1) — because one
+        # global bytes knob cannot see post-shuffle compute density.
+        # parallelismFirst=true already coalesces sub-minPartitionSize
+        # shuffles data-driven-ly while preserving parallelism above
+        # it, so the DEFAULT stays Spark's; deployments whose mix is
+        # scan/join-dominated can flip the env knobs (advisory toward
+        # the guide-§9 256m class). Full evidence: OPTIMIZATION_r13.md
+        # §2 and artifacts/r13/time_aqe_* / time_iso18_* pairs.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
         )
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get(
                 "SPARK_GRAFT_ADVISORY_PARTITION_BYTES",
-                str(16 * 1024 * 1024),
+                str(64 * 1024 * 1024),
             ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

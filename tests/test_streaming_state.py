@@ -1232,3 +1232,28 @@ def test_append_replace_merge_clears_keys_via_markers(spark, tmp_path):
     assert sorted(
         n for n in os.listdir(store.path) if n.startswith("v")
     ) == ["v2"]
+
+
+def test_append_store_reads_legacy_snapshot_dirs(spark, tmp_path):
+    """Migration compatibility: a state dir whose history was written
+    by the full-snapshot protocol (v{batch} dirs) keeps reading
+    correctly when later batches append deltas — bases resolve
+    newest-wins per bucket, deltas newer than the newest base fold on
+    top."""
+    path = str(tmp_path / "mig")
+    legacy = BucketedVersionedState(path, ["k"], num_buckets=4)
+    legacy.merge_batch(_mk(spark, [("a", 1), ("b", 2)]), 0, _merge_counts)
+    legacy.merge_batch(_mk(spark, [("a", 3)]), 1, _merge_counts)
+    store = BucketedVersionedState(
+        path, ["k"], num_buckets=4, merge_fn=_merge_counts
+    )
+    # replay of a legacy-committed batch short-circuits in append mode
+    store.merge_batch(_mk(spark, [("a", 3)]), 1)
+    store.merge_batch(_mk(spark, [("b", 10), ("c", 5)]), 2)
+    assert sorted(os.listdir(path))[-1] == "v1" or "d2" in os.listdir(path)
+    got = {r["k"]: r["cnt"] for r in store.read(spark).collect()}
+    assert got == {"a": 4, "b": 12, "c": 5}
+    pre = {
+        r["k"]: r["cnt"] for r in store.read(spark, before_batch=2).collect()
+    }
+    assert pre == {"a": 4, "b": 2}
