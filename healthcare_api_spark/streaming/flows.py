@@ -137,7 +137,7 @@ def flows_batch(
     )
 
     # new last-event per key: max by (us, st) over the batch (the
-    # fold-at-read merge handles the carried rows — ``_merge_last_fn``)
+    # fold-at-read merge handles the carried rows — ``_merge_last``)
     def _last_of(df):
         return (
             df.groupBy("k")
